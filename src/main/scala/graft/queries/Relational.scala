@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.9): scans, filter/project,
+  * joins (inner/outer/semi/anti, broadcast), aggregations, windows,
+  * sort/limit/top-k, set ops, scalar/JSON/array functions.
+  *
+  * Every query is declared with the DataFrame API so Catalyst owns the
+  * physical plan: filters and projections push into the Parquet scan,
+  * dimension joins broadcast, aggregates get map-side partial combine.
+  * Every query also carries a deterministic total ORDER BY so results are
+  * stable for hash comparison against the DuckDB oracle.
+  *
+  * Scale notes (100 TB): fact-fact joins shuffle on their join keys and
+  * rely on AQE for skew; dim joins (region/nation/customer at TPC-H
+  * ratios) are explicit `broadcast()`. No collect(), no driver loops.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: partial-agg friendly groupBy over the
+    * fact table with an arithmetic expression kept inside codegen. */
+  private def pricingSummary: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Narrow filter+project — the plan must show PushedFilters + a 2-column
+    * ReadSchema (verified in PlanSpec). */
+  private def filterProject: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Revenue per nation: fact joined through two broadcast dims.
+    * customer/nation/region are tiny relative to orders at any SF. */
+  private def revenueByNation: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("order_cnt"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-outer join keeping customers with zero orders; count per key. */
+  private def leftOuterOrderCounts: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy(col("c_custkey"))
+      .limit(1000)
+  }
+
+  /** Semi join: customers that placed at least one urgent order. */
+  private def semiJoinUrgent: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join: customers with no orders at all — the same shape as the
+    * reference's replication-planner dedup (ReplicationPlanner.java:81-84)
+    * and inventory gap report (iceberg-arch-geo-distributed-ha.md:1206). */
+  private def antiJoinNoOrders: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-3 orders per customer via ranked window (dedup/top-k-per-group
+    * pattern; at scale this shuffles once on the partition key). */
+  private def top3OrdersPerCustomer: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running total per customer (frame spec rowsBetween). */
+  private def runningTotal: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .withColumn("running_spend", sum(col("o_totalprice")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — no full sort. */
+  private def topkOrders: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(50)
+
+  /** Set difference: orders that have no lineitem shipped after a date
+    * (EXCEPT — the reference's GC reachability primitive, G2). */
+  private def setExcept: Q = (s, d) => {
+    val allKeys = Tables.orders(s, d).select(col("o_orderkey"))
+    val shippedLate = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01"))
+      .select(col("l_orderkey").as("o_orderkey"))
+    allKeys.except(shippedLate).orderBy(col("o_orderkey"))
+  }
+
+  /** Intersection: customers that are both urgent-order and high-priority
+    * purchasers (INTERSECT). */
+  private def setIntersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val b = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    a.intersect(b).orderBy(col("o_custkey"))
+  }
+
+  /** UNION ALL + dedup via distinct (union semantics). */
+  private def setUnion: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    a.union(b).distinct().orderBy(col("o_custkey"))
+  }
+
+  /** ROLLUP over (status, priority); grouping keys coalesced so the output
+    * is null-free and orders identically in both engines. */
+  private def rollupOrderStats: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Scalar string/date/math functions in one projection. */
+  private def scalarFunctions: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(lit("ord-"), col("o_orderkey").cast("string")).as("tag"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        round(col("o_totalprice") / 1000.0, 1).as("price_k"),
+        (col("o_totalprice") > 200000.0).as("is_big"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON extraction over the events table (props is a JSON string). */
+  private def jsonEvents: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Exact distinct aggregation (the oracle-checkable dual of the
+    * approx_count_distinct/HLL path used at 100 TB). */
+  private def distinctUsers: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** Array functions over embeddings: length + L2 norm via higher-order
+    * aggregate (no UDF — stays in codegen). */
+  private def arrayNorms: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** Time-bucketed aggregation over the event stream (batch dual of the
+    * streaming tumbling-window query). */
+  private def hourlyEventStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "rel_pricing_summary"     -> pricingSummary,
+    "rel_filter_project"      -> filterProject,
+    "rel_revenue_by_nation"   -> revenueByNation,
+    "rel_left_outer_counts"   -> leftOuterOrderCounts,
+    "rel_semi_join_urgent"    -> semiJoinUrgent,
+    "rel_anti_join_no_orders" -> antiJoinNoOrders,
+    "rel_window_top3"         -> top3OrdersPerCustomer,
+    "rel_window_running"      -> runningTotal,
+    "rel_topk_orders"         -> topkOrders,
+    "rel_set_except"          -> setExcept,
+    "rel_set_intersect"       -> setIntersect,
+    "rel_set_union"           -> setUnion,
+    "rel_rollup_stats"        -> rollupOrderStats,
+    "rel_scalar_functions"    -> scalarFunctions,
+    "rel_json_events"         -> jsonEvents,
+    "rel_distinct_users"      -> distinctUsers,
+    "rel_array_norms"         -> arrayNorms,
+    "rel_hourly_events"       -> hourlyEventStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_filter_project" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+         ORDER BY o_orderkey""",
+    "rel_revenue_by_nation" ->
+      """SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+         count(*) AS order_cnt
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_left_outer_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1 LIMIT 1000""",
+    "rel_semi_join_urgent" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "rel_anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "rel_window_top3" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
+    "rel_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "rel_set_except" ->
+      """SELECT o_orderkey FROM orders
+         EXCEPT
+         SELECT l_orderkey AS o_orderkey FROM lineitem
+         WHERE l_shipdate > TIMESTAMP '1997-01-01'
+         ORDER BY o_orderkey""",
+    "rel_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+         ORDER BY o_custkey""",
+    "rel_set_union" ->
+      """SELECT DISTINCT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+         ORDER BY o_custkey""",
+    "rel_rollup_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS cnt, sum(o_totalprice) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "rel_scalar_functions" ->
+      """SELECT o_orderkey,
+         upper(o_orderstatus) AS status_uc,
+         substring(o_orderpriority, 1, 1) AS prio_code,
+         'ord-' || CAST(o_orderkey AS VARCHAR) AS tag,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(month(o_orderdate) AS INT) AS o_month,
+         round(o_totalprice / 1000.0, 1) AS price_k,
+         o_totalprice > 200000.0 AS is_big
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "rel_json_events" ->
+      """SELECT event_type, count(*) AS cnt,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "rel_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "rel_array_norms" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         round(sqrt(list_aggregate(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+         FROM embeddings ORDER BY vec_id""",
+    "rel_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ControlPlane, Relational}
+import graft.queries.{ControlPlane, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (ControlPlane.queries, ControlPlane.oracles),
+      (Pipeline.queries, Pipeline.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

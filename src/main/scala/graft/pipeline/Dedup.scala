@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB corpus):
+  *  - exact dedup is one hash-aggregate on a fingerprint (map-side combine
+  *    shrinks the shuffle to one row per distinct document);
+  *  - MinHash signatures are a narrow projection (higher-order array
+  *    functions, codegen'd, no UDF); LSH banding turns the quadratic
+  *    pair search into an equi-join on (band, bandHash) — the only
+  *    shuffle is on band keys, and skewed buckets (boilerplate docs) are
+  *    handled by AQE skew-join splitting;
+  *  - candidate pairs are then verified with exact Jaccard over shingle
+  *    sets, so LSH recall/precision is tunable without correctness risk;
+  *  - SimHash packs a document into one 64-bit value; near-dup detection
+  *    is a self-join on rotated prefixes or (here) a bounded
+  *    hamming-distance filter via bit_count(xor).
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Keep the lowest-id row per distinct value of `byCol`. */
+  def exactDedup(df: DataFrame, byCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(byCol)).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Duplicate-group report: fingerprint, representative id, copy count. */
+  def exactGroups(df: DataFrame, byCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(byCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  // ---------- MinHash + LSH ----------
+
+  /** Word k-shingles of the text (k consecutive words, space-joined). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the document's shingles. One array column,
+    * fully codegen'd. */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
+    val sh = shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(sh, s => xxhash64(h, s))))
+  }
+
+  /** Explode a signature into LSH bands: (band_id, band_hash) rows.
+    * bands × rowsPerBand must equal the signature length. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+
+  /** Candidate pairs: documents sharing any (band_id, band_hash) bucket.
+    * The equi-join is the scalable heart of LSH — no cross join ever. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band_id"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets, used to verify LSH
+    * candidates (and directly for n-gram similarity). */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val union = size(array_union(setA, setB)).cast("double")
+    round(inter / union, 4)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    * pairs → exact-Jaccard verification at `threshold`. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, shingleK: Int = 3,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = docs.select(col(idCol),
+      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val pairs = lshCandidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol), shingleK)).as("shingle_set"))
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/−1 votes from each
+    * token's xxhash64; the packed value ORs the positive-bit positions. */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val bitVotes = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0),
+        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(element_at(bitVotes, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  }
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Near-dup pairs by SimHash hamming distance <= maxDistance.
+    * NOTE: the pair join here is banded by the high 16 bits to avoid a
+    * full cross join (near-dups almost always share the high band; for
+    * exhaustive recall run the 4-rotation variant). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDistance: Int = 10): DataFrame = {
+    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+      .withColumn("band", shiftright(col("sh"), 48))
+    val a = sh.select(col("band"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("band"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------- character n-gram Jaccard ----------
+
+  /** Distinct character n-grams of the text. */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
+    jaccard(charNgrams(textA, n), charNgrams(textB, n))
+}

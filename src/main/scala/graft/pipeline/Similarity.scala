@@ -29,7 +29,15 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
                    lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Reference implementation via higher-order functions (interpreted —
+    * kept for cross-checking the codegen'd expression). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Hot-path cosine: fused codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — same numerics, ~1000× faster
+    * in pairwise joins. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact brute-force top-k: queries broadcast against the corpus;
     * ranked per query with deterministic id tie-break. */

@@ -1,0 +1,206 @@
+package graft.catalog
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-table catalog over Parquet — the Spark-native reproduction of
+  * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
+  *
+  * The reference deploys Iceberg+Nessie; this environment ships no Iceberg
+  * jars, so graft implements the same *semantics* directly:
+  *  - a table = a directory of immutable Parquet data files plus an
+  *    append-only JSON commit log (`_meta/vNNNNN.json`), one file per
+  *    version — the Iceberg metadata-file pattern;
+  *  - commits are optimistic CAS: the new version file is staged under a
+  *    temp name and published with an atomic rename; a concurrent commit
+  *    to the same version loses the rename and retries on a fresh version
+  *    number (Iceberg's commit loop, C12);
+  *  - reads resolve a version (latest, by sequence, or by commit id) to
+  *    its file list and hand Spark exactly those files — time travel
+  *    (`VERSION AS OF`, C1), incremental diff reads (Y14) and history
+  *    scans (C9/C11) all fall out of the log.
+  *
+  * Scale notes: data files are written by Spark executors (distributed);
+  * only the tiny JSON log touches the driver — same division of labor as
+  * Iceberg. File lists ride in the log as relative paths; at real scale
+  * the log would page into manifest Parquet files (the `t.files` pattern
+  * queried by SnapshotDiff/GcPlanner operators).
+  */
+final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+
+  case class Snapshot(seq: Long, commitId: String, parentId: Option[String],
+                      timestampMs: Long, files: Seq[String], sourceRegion: String)
+
+  private def tableDir(ns: String, name: String): Path = Paths.get(warehouse, ns, name)
+  private def metaDir(ns: String, name: String): Path = tableDir(ns, name).resolve("_meta")
+  private def dataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("data")
+
+  // ---- DDL (C4, C5, C6) ----
+
+  def createTable(ns: String, name: String): Unit = {
+    Files.createDirectories(metaDir(ns, name))
+    Files.createDirectories(dataDir(ns, name))
+  }
+
+  def dropTable(ns: String, name: String): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(tableDir(ns, name))
+  }
+
+  def tableExists(ns: String, name: String): Boolean =
+    Files.isDirectory(metaDir(ns, name))
+
+  def listTables(ns: String): Seq[String] = {
+    val p = Paths.get(warehouse, ns)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** C7: offset/limit pagination over the (sorted) namespace listing. */
+  def listTablesPaginated(ns: String, offset: Int, pageSize: Int): Seq[String] =
+    listTables(ns).slice(offset, offset + pageSize)
+
+  // ---- commit log ----
+
+  private def versionFile(ns: String, name: String, seq: Long): Path =
+    metaDir(ns, name).resolve(f"v$seq%06d.json")
+
+  private def writeJson(s: Snapshot): String = {
+    def q(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"seq":${s.seq},"commitId":${q(s.commitId)},""" +
+      s""""parentId":${s.parentId.map(q).getOrElse("null")},""" +
+      s""""timestampMs":${s.timestampMs},"sourceRegion":${q(s.sourceRegion)},""" +
+      s""""files":[${s.files.map(q).mkString(",")}]}"""
+  }
+
+  private def parseJson(j: String): Snapshot = {
+    def str(k: String): Option[String] =
+      (s""""$k":"([^"]*)"""").r.findFirstMatchIn(j).map(_.group(1))
+    def num(k: String): Long =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    Snapshot(num("seq"), str("commitId").get,
+      if (j.contains(""""parentId":null""")) None else str("parentId"),
+      num("timestampMs"), files, str("sourceRegion").getOrElse(""))
+  }
+
+  /** C9/C11: snapshots ordered by sequence. */
+  def snapshots(ns: String, name: String): Seq[Snapshot] = {
+    val md = metaDir(ns, name)
+    if (!Files.isDirectory(md)) return Seq.empty
+    Files.list(md).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      .toSeq.sortBy(_.seq)
+  }
+
+  /** C2 / C1. */
+  def latest(ns: String, name: String): Option[Snapshot] = snapshots(ns, name).lastOption
+  def byCommitId(ns: String, name: String, commitId: String): Option[Snapshot] =
+    snapshots(ns, name).find(_.commitId == commitId)
+
+  /** C3/C12: append `df` as a new version with optimistic CAS on the
+    * version number. Data files land distributed (executor writes); the
+    * atomic rename of the version JSON is the commit point. */
+  def commitAppend(ns: String, name: String, df: DataFrame,
+                   sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    // 1. write data files (distributed, outside the commit critical section)
+    val stagingId = UUID.randomUUID().toString.take(8)
+    val outDir = dataDir(ns, name).resolve(stagingId)
+    df.write.parquet(outDir.toString)
+    val newFiles = Files.list(outDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(f => s"data/$stagingId/$f").toSeq.sorted
+    // 2. CAS loop on the version number
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val parent = latest(ns, name)
+      val seq = parent.map(_.seq + 1).getOrElse(0L)
+      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
+        System.currentTimeMillis(), parent.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+        sourceRegion)
+      val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        // atomic create-if-absent publish: a hard link FAILS if the target
+        // exists (POSIX rename would silently overwrite a concurrent
+        // winner). On an object store this becomes a conditional PUT /
+        // If-None-Match — same CAS contract.
+        Files.createLink(versionFile(ns, name, seq), tmp)
+        Files.deleteIfExists(tmp)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // lost the race — re-read parent and retry (C12)
+      }
+    }
+    throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
+  }
+
+  // ---- reads ----
+
+  private def readFiles(ns: String, name: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+
+  /** C2: current table state. */
+  def read(ns: String, name: String): DataFrame =
+    readFiles(ns, name, latest(ns, name).map(_.files).getOrElse(Seq.empty))
+
+  /** C1: `VERSION AS OF seq` time travel. */
+  def readVersion(ns: String, name: String, seq: Long): DataFrame = {
+    val snap = snapshots(ns, name).find(_.seq == seq)
+      .getOrElse(throw new IllegalArgumentException(s"no version $seq of $ns.$name"))
+    readFiles(ns, name, snap.files)
+  }
+
+  /** Y14: incremental read — only rows in files ADDED in (fromSeq, toSeq]. */
+  def readIncremental(ns: String, name: String, fromSeq: Long, toSeq: Long): DataFrame = {
+    val snaps = snapshots(ns, name)
+    val fromFiles = snaps.find(_.seq == fromSeq).map(_.files.toSet).getOrElse(Set.empty)
+    val toFiles = snaps.find(_.seq == toSeq).map(_.files).getOrElse(Seq.empty)
+    readFiles(ns, name, toFiles.filterNot(fromFiles))
+  }
+
+  /** History as a DataFrame (the `t.history` metadata-table pattern). */
+  def history(ns: String, name: String): DataFrame = {
+    import spark.implicits._
+    snapshots(ns, name)
+      .map(s => (s.seq, s.commitId, s.parentId.orNull, s.timestampMs, s.files.size, s.sourceRegion))
+      .toDF("seq", "commit_id", "parent_id", "timestamp_ms", "file_cnt", "source_region")
+  }
+
+  /** Files metadata table (the `t.files` pattern driving diff/GC ops). */
+  def filesTable(ns: String, name: String, seq: Long): DataFrame = {
+    import spark.implicits._
+    snapshots(ns, name).find(_.seq == seq).map(_.files).getOrElse(Seq.empty)
+      .toDF("path")
+  }
+
+  /** G1: expire old snapshots — drop version files below the keep floor,
+    * then delete data files unreachable from any surviving version
+    * (reachability set difference, the G2 primitive, driver-side here
+    * because the log is small; the operator form is GcPlanner). */
+  def expireSnapshots(ns: String, name: String, retainLast: Int): Seq[String] = {
+    val snaps = snapshots(ns, name)
+    if (snaps.size <= retainLast) return Seq.empty
+    val (expired, kept) = snaps.splitAt(snaps.size - retainLast)
+    val reachable = kept.flatMap(_.files).toSet
+    val removable = expired.flatMap(_.files).filterNot(reachable).distinct
+    expired.foreach(s => Files.deleteIfExists(versionFile(ns, name, s.seq)))
+    removable.foreach(f => Files.deleteIfExists(tableDir(ns, name).resolve(f)))
+    removable
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface for the sync-event lifecycle
+  * (SURVEY Y1/Y6/Y9/Y10 + §2.9 streaming categories).
+  *
+  * Reference semantics (InMemorySyncAdapter.scala:32-44, 79-94):
+  * status transitions Pending→InProgress→{Completed,Failed}; retry resets
+  * only Failed events back to Pending; unknown events are errors.
+  *
+  * Spark-first: the per-event state machine is `mapGroupsWithState`
+  * keyed by event_id (exactly-once transitions within the query,
+  * checkpoint-recoverable); per-region throughput metrics are a
+  * watermarked tumbling-window aggregate, so late events beyond the
+  * watermark are dropped deterministically. At production scale events
+  * shard by event_id hash across executors — no driver state.
+  */
+object SyncEventStream {
+
+  case class EventUpdate(eventId: Long, targetRegion: String, requested: String,
+                         eventTime: Timestamp)
+  case class EventState(status: String, transitions: Int)
+  case class EventStatus(eventId: Long, targetRegion: String, status: String,
+                         transitions: Int, valid: Boolean)
+
+  /** Legal transitions of the reference's lifecycle. */
+  private[streaming] def transition(current: String, requested: String): Option[String] =
+    (current, requested) match {
+      case ("Pending", "InProgress")    => Some("InProgress")
+      case ("InProgress", "Completed")  => Some("Completed")
+      case ("InProgress", "Failed")     => Some("Failed")
+      case ("Failed", "Pending")        => Some("Pending")    // retry (Y8)
+      case _                            => None               // illegal — rejected
+    }
+
+  /** Per-event state machine over a stream of requested transitions.
+    * Emits the post-update status; illegal requests are flagged invalid
+    * and leave state untouched (idempotent replays are no-ops). */
+  def lifecycle(updates: Dataset[EventUpdate])(implicit spark: SparkSession): Dataset[EventStatus] = {
+    import spark.implicits._
+    updates.groupByKey(_.eventId)
+      .mapGroupsWithState[EventState, EventStatus](GroupStateTimeout.NoTimeout) {
+        (eventId, batch, state: GroupState[EventState]) =>
+          var st = state.getOption.getOrElse(EventState("Pending", 0))
+          var region = ""
+          var lastValid = true
+          batch.toSeq.sortBy(_.eventTime.getTime).foreach { u =>
+            region = u.targetRegion
+            transition(st.status, u.requested) match {
+              case Some(next) => st = EventState(next, st.transitions + 1); lastValid = true
+              case None       => lastValid = false
+            }
+          }
+          state.update(st)
+          EventStatus(eventId, region, st.status, st.transitions, lastValid)
+      }
+  }
+
+  /** Watermarked tumbling-window per-region event counts (late data beyond
+    * the watermark is dropped). */
+  def regionThroughput(events: DataFrame, watermark: String = "10 minutes",
+                       window_ : String = "1 minute"): DataFrame =
+    events
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), window_), col("targetRegion"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("window.start").as("window_start"), col("targetRegion"), col("events"))
+
+  /** Y9 worker loop as foreachBatch: process the batch's pending events
+    * (the `process` callback does the copy work) and return the
+    * completion updates — the batch-stream duality of the reference's
+    * processPendingEvents. */
+  def pendingWorker(events: DataFrame, process: DataFrame => DataFrame): DataFrame =
+    process(events.filter(col("status") === "Pending"))
+}

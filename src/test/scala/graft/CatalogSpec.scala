@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.GraftCatalog
+import graft.operators.SnapshotDiff
+
+/** Catalog semantics: DDL, optimistic commits, time travel, incremental
+  * reads, history, expiry — the reference's C1-C14 surface, Spark-native. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-wh").toString)
+
+  test("create/exists/list/drop") {
+    val cat = freshCatalog()
+    cat.createTable("analytics", "user_events")
+    cat.createTable("analytics", "clicks")
+    cat.createTable("other", "t")
+    assert(cat.tableExists("analytics", "user_events"))
+    assert(cat.listTables("analytics") === Seq("clicks", "user_events"))
+    assert(cat.listTablesPaginated("analytics", 1, 5) === Seq("user_events"))
+    cat.dropTable("analytics", "clicks")
+    assert(!cat.tableExists("analytics", "clicks"))
+  }
+
+  test("append commits chain parents and accumulate files; time travel reads exact versions") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    val s0 = cat.commitAppend("ns", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = cat.commitAppend("ns", "t", Seq((3L, "c")).toDF("id", "v"))
+    assert(s0.seq === 0 && s1.seq === 1)
+    assert(s1.parentId === Some(s0.commitId))
+    assert(cat.read("ns", "t").count() === 3)
+    assert(cat.readVersion("ns", "t", 0).count() === 2)
+    assert(cat.latest("ns", "t").get.commitId === s1.commitId)
+    assert(cat.byCommitId("ns", "t", s0.commitId).get.seq === 0)
+  }
+
+  test("incremental read returns only rows from files added in the range (Y14)") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq(1L, 2L).toDF("id"))
+    cat.commitAppend("ns", "t", Seq(3L).toDF("id"))
+    cat.commitAppend("ns", "t", Seq(4L, 5L).toDF("id"))
+    val inc = cat.readIncremental("ns", "t", 0, 2).as[Long].collect().sorted
+    assert(inc === Array(3L, 4L, 5L))
+    // the same diff via the generic operator over files metadata tables
+    val v0Files = cat.filesTable("ns", "t", 0).count()
+    val v2Files = cat.filesTable("ns", "t", 2).count()
+    val added = SnapshotDiff.addedFiles(
+      cat.filesTable("ns", "t", 0), cat.filesTable("ns", "t", 2), Seq("path"))
+    assert(added.count() === v2Files - v0Files)
+  }
+
+  test("history is ordered and complete") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    (1 to 3).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong).toDF("id")))
+    val h = cat.history("ns", "t").select("seq", "file_cnt").as[(Long, Int)].collect()
+    assert(h.map(_._1) === Array(0L, 1L, 2L))
+    assert(h.map(_._2) === Array(1, 2, 3))
+  }
+
+  test("concurrent committers both land via CAS retry (C12)") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    val threads = (1 to 4).map { i =>
+      new Thread(() => { cat.commitAppend("ns", "t", Seq(i.toLong).toDF("id")): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val snaps = cat.snapshots("ns", "t")
+    assert(snaps.map(_.seq) === Seq(0L, 1L, 2L, 3L), "all four commits must land on distinct versions")
+    assert(cat.read("ns", "t").count() === 4)
+    // parent chain must be linear
+    val byId = snaps.map(s => s.commitId -> s).toMap
+    snaps.filter(_.seq > 0).foreach(s =>
+      assert(byId(s.parentId.get).seq === s.seq - 1))
+  }
+
+  test("expireSnapshots removes only files unreachable from kept versions (G1/G2)") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    (1 to 4).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong).toDF("id")))
+    val removed = cat.expireSnapshots("ns", "t", retainLast = 2)
+    // appends accumulate files, so files of expired v0/v1 are still
+    // reachable from kept v2/v3 - nothing must be deleted
+    assert(removed.isEmpty)
+    assert(cat.snapshots("ns", "t").map(_.seq) === Seq(2L, 3L))
+    assert(cat.read("ns", "t").count() === 4)
+    intercept[IllegalArgumentException](cat.readVersion("ns", "t", 0))
+  }
+}

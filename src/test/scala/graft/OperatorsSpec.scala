@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantics of the control-plane operators against hand-computed
+  * fixtures, including scenarios ported from the reference's test suite
+  * (region scoring/fallback, planner dedup levels, watermark routing). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SnapshotDiff added/removed are exact set differences") {
+    val v1 = Seq("a", "b", "c").toDF("path")
+    val v2 = Seq("b", "c", "d", "e").toDF("path")
+    assert(SnapshotDiff.addedFiles(v1, v2, Seq("path")).as[String].collect().sorted
+      === Array("d", "e"))
+    assert(SnapshotDiff.removedFiles(v1, v2, Seq("path")).as[String].collect()
+      === Array("a"))
+  }
+
+  test("ReplicationPlanner applies all three dedup levels") {
+    // src has 4 files; f1 already at dst; f2 known to inventory;
+    // f3 stat-verified identical; f4 stat size mismatch -> only f4 copies
+    val src = Seq(("f1", 10L, "e1"), ("f2", 20L, "e2"), ("f3", 30L, "e3"), ("f4", 40L, "e4"))
+      .toDF("path", "size_bytes", "etag")
+    val dst = Seq(("f1", 10L, "e1")).toDF("path", "size_bytes", "etag")
+    val inv = Seq("f2").toDF("path")
+    val stat = Seq(("f3", 30L, "e3"), ("f4", 41L, "e4")).toDF("path", "size_bytes", "etag")
+    val plan = ReplicationPlanner.plan(src, dst, inv, stat).select("path").as[String].collect()
+    assert(plan === Array("f4"))
+  }
+
+  test("ReplicationPlanner copies files missing from stat entirely") {
+    val src = Seq(("f9", 1L, "x")).toDF("path", "size_bytes", "etag")
+    val empty = Seq.empty[(String, Long, String)].toDF("path", "size_bytes", "etag")
+    val plan = ReplicationPlanner.plan(src, empty, empty.select("path"), empty)
+    assert(plan.count() === 1)
+  }
+
+  test("StateReconciler classifies missing vs size mismatch; promotionSafe") {
+    val manifest = Seq(("f1", 10L), ("f2", 20L), ("f3", 30L)).toDF("path", "size_bytes")
+    val stat = Seq(("f1", 10L), ("f2", 99L)).toDF("path", "size_bytes")
+    val defects = StateReconciler.defects(manifest, stat)
+      .select("path", "defect").as[(String, String)].collect().toMap
+    assert(defects === Map("f2" -> "size_mismatch", "f3" -> "missing"))
+    assert(!StateReconciler.promotionSafe(manifest, stat))
+    assert(StateReconciler.promotionSafe(
+      Seq(("f1", 10L)).toDF("path", "size_bytes"), stat))
+  }
+
+  test("ReadRouterOps reproduces the reference scoring exactly") {
+    // ReadRouter.scala:104-111 - storage*0.7 + (active ? 1.0 : 0.3)*0.3
+    val health = Seq(
+      ("up-active", true, true),     // 1.0
+      ("up-inactive", true, false),  // 0.7 + 0.09 = 0.79
+      ("down-active", false, true),  // 0.3
+      ("down-inactive", false, false) // 0.09
+    ).toDF("region", "storage_available", "active")
+    val scores = ReadRouterOps.scoreRegions(health)
+      .select("region", "score").as[(String, Double)].collect().toMap
+    assert(math.abs(scores("up-active") - 1.0) < 1e-9)
+    assert(math.abs(scores("up-inactive") - 0.79) < 1e-9)
+    assert(math.abs(scores("down-active") - 0.3) < 1e-9)
+    assert(math.abs(scores("down-inactive") - 0.09) < 1e-9)
+    val best = ReadRouterOps.selectOptimal(health).select("region").as[String].collect()
+    assert(best === Array("up-active"))
+  }
+
+  test("watermark routing: CLOUD only when commitTs <= watermark (v1 ReadRouter)") {
+    val reqs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    ).toDF("id", "commit_ts")
+    val wm = lit("2024-03-01 00:00:00").cast("timestamp")
+    val routed = ReadRouterOps.routeByWatermark(reqs, "commit_ts", wm, "MEET_WATERMARK")
+      .select("id", "target").as[(Long, String)].collect().toMap
+    assert(routed === Map(1L -> "CLOUD", 2L -> "ONPREM"))
+    val onprem = ReadRouterOps.routeByWatermark(reqs, "commit_ts", wm, "PREFER_ONPREM")
+      .select("target").as[String].collect().toSet
+    assert(onprem === Set("ONPREM"))
+  }
+
+  test("CommitGate quorum = all-approved AND at least one vote") {
+    val approvals = Seq(
+      ("c1", "r1", true), ("c1", "r2", true),
+      ("c2", "r1", true), ("c2", "r2", false)
+    ).toDF("commit_id", "target_region", "approved")
+    val q = CommitGate.quorum(approvals)
+      .select("commit_id", "approved").as[(String, Boolean)].collect().toMap
+    assert(q === Map("c1" -> true, "c2" -> false))
+  }
+
+  test("PathLocalizer picks the longest matching prefix; unmatched -> null") {
+    val mappings = Seq(
+      "s3://src/" -> "file:///local/",
+      "s3://src/data/" -> "file:///ssd/")
+    val df = Seq("s3://src/data/x.parquet", "s3://src/meta/y.json", "gs://other/z")
+      .toDF("p")
+      .select(col("p"), PathLocalizer.localize(col("p"), mappings).as("out"))
+    val out = df.as[(String, String)].collect().toMap
+    assert(out("s3://src/data/x.parquet") === "file:///ssd/x.parquet")
+    assert(out("s3://src/meta/y.json") === "file:///local/meta/y.json")
+    assert(out("gs://other/z") === null)
+  }
+
+  test("GcPlanner.deleteGuard honors safety window and waterline") {
+    val now = lit("2024-06-10 00:00:00").cast("timestamp")
+    val cands = Seq(
+      ("old-ok", "2024-06-01 00:00:00", "2024-06-05 00:00:00"),  // past window, wm after gen
+      ("too-new", "2024-06-09 00:00:00", "2024-06-09 12:00:00"), // inside safety window
+      ("wm-behind", "2024-06-01 00:00:00", "2024-05-01 00:00:00") // waterline behind gen
+    ).toDF("path", "generated_at", "wm")
+      .select(col("path"), col("generated_at").cast("timestamp").as("generated_at"),
+              col("wm").cast("timestamp").as("wm"))
+    val kept = GcPlanner.deleteGuard(cands, now, "generated_at",
+        safetyWindowSeconds = 86400, cloudSide = true, "wm")
+      .select("path").as[String].collect()
+    assert(kept === Array("old-ok"))
+  }
+
+  test("GcPlanner orphan heuristics: tmp paths get the short grace") {
+    val inv = Seq(("_tmp/a", "2024-01-01 00:00:00"), ("data/b", "2024-01-01 00:00:00"))
+      .toDF("path", "seen_at")
+      .select(col("path"), col("seen_at").cast("timestamp").as("seen_at"))
+    val reach = Seq.empty[String].toDF("path")
+    val o = GcPlanner.orphans(inv, reach, Seq("path"), "seen_at")
+      .select("path", "grace_days").as[(String, Int)].collect().toMap
+    assert(o === Map("_tmp/a" -> 3, "data/b" -> 14))
+  }
+
+  test("SyncOps retry only resets Failed events (reference Y8 semantics)") {
+    val ev = Seq((1L, "Failed"), (2L, "Pending"), (3L, "Completed"))
+      .toDF("event_id", "status")
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("target_region", lit("r1"))
+    val retried = SyncOps.retryCandidates(ev).select("event_id", "status")
+      .as[(Long, String)].collect()
+    assert(retried === Array((1L, "Pending")))
+  }
+}

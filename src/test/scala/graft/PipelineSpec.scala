@@ -1,0 +1,133 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis => TA}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis semantics on planted fixtures. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near dup of 0
+    (3L, "completely different content about spark query engines and columnar io"),
+    (4L, "dog lazy the over jumps fox brown quick the bank river the near today")  // word-order shuffle of 0
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L, 2L, 3L, 4L))
+  }
+
+  test("exactGroups counts copies") {
+    val copies = Dedup.exactGroups(docs, "text", "doc_id")
+      .select("keeper", "copies").as[(Long, Long)].collect().toMap
+    assert(copies(0L) === 2L)
+  }
+
+  test("MinHash-LSH finds the planted near-duplicates and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        numHashes = 16, shingleK = 2, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must collide in every band")
+    assert(pairs.contains((0L, 2L)), "one-word-changed dup should pass 0.5 jaccard")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("SimHash: identical docs distance 0; near dup close; unrelated far") {
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+      .select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 16, s"near dup hamming was ${ham(sh(0L), sh(2L))}")
+    assert(ham(sh(0L), sh(3L)) > 16, s"unrelated hamming was ${ham(sh(0L), sh(3L))}")
+  }
+
+  test("bag-of-words fingerprint catches word-order duplicates, md5 does not") {
+    val fps = docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"),
+        TA.bowFingerprint(col("text")).as("bow"))
+      .as[(Long, String, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(fps(0L)._1 !== fps(4L)._1)
+    assert(fps(0L)._2 === fps(4L)._2)
+  }
+
+  test("ngram jaccard: 1.0 for identical, high for near dup, low for unrelated") {
+    val pairs = Seq((0, 1), (0, 2), (0, 3)).toDF("ia", "ib")
+    val d = docs.select(col("doc_id"), col("text"))
+    val out = pairs
+      .join(d.select(col("doc_id").as("ia"), col("text").as("ta")), "ia")
+      .join(d.select(col("doc_id").as("ib"), col("text").as("tb")), "ib")
+      .select(col("ia"), col("ib"), Dedup.ngramJaccard(col("ta"), col("tb"), 3).as("j"))
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((0, 1)) === 1.0)
+    assert(out((0, 2)) > 0.7)
+    assert(out((0, 3)) < 0.3)
+  }
+
+  test("codegen cosine matches the higher-order-function reference exactly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f)),
+      (1L, Array(0.0f, 3.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 4.0f)),
+      (3L, Array(0.1f, 0.2f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val both = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        VectorFunctions.cosineSim(col("va"), col("vb")).as("fast"),
+        Similarity.cosineHof(col("va"), col("vb")).as("ref"))
+      .as[(Long, Long, Double, Double)].collect()
+    both.foreach { case (ia, ib, fast, ref) =>
+      assert(fast === ref, s"pair ($ia,$ib)")
+    }
+    val ortho = both.find(t => t._1 == 0L && t._2 == 1L).get
+    assert(ortho._3 === 0.0)
+    val parallel = both.find(t => t._1 == 0L && t._2 == 2L).get
+    assert(math.abs(parallel._3 - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top === Map(1L -> 1, 3L -> 2))
+  }
+
+  test("LSH ANN results are a subset of brute force (same bucket only)") {
+    val vecs = Tables.embeddings(spark, sf()).limit(200)
+    val q = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, q, 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, q, 5, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute) || lsh.forall(p => brute.exists(_._1 == p._1)))
+  }
+
+  test("quality score favors stopword-bearing prose over noise") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and looked at the dog in the sun all day long"),
+      (2L, "zzz qqq xxx")
+    ).toDF("id", "text")
+      .select(col("id"), TA.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(df(1L) > df(2L))
+  }
+
+  test("language-ID argmax picks the marker-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato la casa los perros"),
+      (3L, "qqq zzz www")
+    ).toDF("id", "text")
+      .select(col("id"), TA.predictLang(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(df === Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+}

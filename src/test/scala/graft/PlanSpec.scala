@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.Multimodal
+import graft.queries.{Pipeline, Relational}
+
+/** Physical-plan assertions: the queries must produce the plans we would
+  * want on a 1000-executor cluster, not just correct rows — pushdown,
+  * pruning, broadcast joins, codegen coverage. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.collect() // materialize so AQE settles on the final physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter+project pushes filters and prunes columns at the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull(o_orderstatus)") || p.contains("EqualTo(o_orderstatus"),
+      s"status filter not pushed:\n$p")
+    // the scan keeps filter columns (status) but must prune everything
+    // else: 3 of the 6 order columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"scan reads more than projection+filter columns:\n$p")
+  }
+
+  test("dimension joins broadcast (no shuffle for customer/nation/region)") {
+    val p = plan("rel_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to sort-merge:\n$p")
+  }
+
+  test("flagship queries run inside WholeStageCodegen") {
+    // AQE wraps the plan and reports zero codegen subtrees pre-execution;
+    // disable it for the static inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("rel_pricing_summary")(spark, sf())
+      val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(!p.contains("Found 0 WholeStageCodegen"), s"zero codegen subtrees:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k did a full sort:\n$p")
+  }
+
+  test("metadata-only multimodal query prunes the heavy binary column") {
+    val df = Multimodal.metadataOnly(Multimodal.mediaTable(Tables.documents(spark, sf())))
+    val p = df.queryExecution.executedPlan.toString
+    // the scan must not read `text` eagerly... it is the media source here,
+    // but the point stands for the doc_id-only branch: ensure lang/source
+    // are pruned from the scan.
+    assert(!p.contains("lang"), s"scan reads pruned column lang:\n$p")
+    assert(!p.contains("source"), s"scan reads pruned column source:\n$p")
+  }
+
+  test("codegen'd cosine expression appears in the similarity plan") {
+    val p = plan("ann_topk")
+    assert(p.contains("cosine_similarity"), s"custom expression missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("exact dedup aggregates with partial (map-side) combine") {
+    val p = plan("dedup_exact_groups")
+    assert(p.contains("partial_"), s"no partial aggregation phase:\n$p")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.SyncEventStream
+import graft.streaming.SyncEventStream.{EventStatus, EventUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured-Streaming lifecycle semantics via MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("event lifecycle state machine enforces reference transitions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventUpdate]
+    val query = SyncEventStream.lifecycle(input.toDS())
+      .writeStream.format("memory").queryName("lifecycle")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: both events claim InProgress
+      input.addData(
+        EventUpdate(1L, "eu", "InProgress", ts("2024-01-01 00:00:01")),
+        EventUpdate(2L, "us", "InProgress", ts("2024-01-01 00:00:02")))
+      query.processAllAvailable()
+      // batch 2: 1 completes; 2 fails then retries (Failed->Pending)
+      input.addData(
+        EventUpdate(1L, "eu", "Completed", ts("2024-01-01 00:01:00")),
+        EventUpdate(2L, "us", "Failed", ts("2024-01-01 00:01:00")),
+        EventUpdate(2L, "us", "Pending", ts("2024-01-01 00:02:00")))
+      query.processAllAvailable()
+      // batch 3: illegal jump Pending->Completed is rejected
+      input.addData(EventUpdate(2L, "us", "Completed", ts("2024-01-01 00:03:00")))
+      query.processAllAvailable()
+
+      val state = spark.table("lifecycle").as[EventStatus].collect()
+        .groupBy(_.eventId).map { case (k, v) => k -> v.maxBy(_.transitions) }
+      assert(state(1L).status === "Completed" && state(1L).transitions === 2)
+      assert(state(2L).status === "Pending", "retry must land back on Pending")
+      assert(state(2L).transitions === 3, "illegal Pending->Completed must not count")
+      val lastBatch = spark.table("lifecycle").as[EventStatus].collect()
+        .filter(e => e.eventId == 2L && !e.valid)
+      assert(lastBatch.nonEmpty, "illegal transition must be flagged invalid")
+    } finally query.stop()
+  }
+
+  test("watermarked tumbling window counts per region") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("eventTime", "targetRegion")
+    val query = SyncEventStream.regionThroughput(events, watermark = "5 minutes", window_ = "1 minute")
+      .writeStream.format("memory").queryName("throughput")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:10"), "eu"), (ts("2024-01-01 00:00:40"), "eu"),
+        (ts("2024-01-01 00:01:10"), "us"))
+      query.processAllAvailable()
+      // advance watermark far enough to close earlier windows
+      input.addData((ts("2024-01-01 00:30:00"), "eu"))
+      query.processAllAvailable()
+      val rows = spark.table("throughput")
+        .select("targetRegion", "events").as[(String, Long)].collect().toSet
+      assert(rows.contains(("eu", 2L)))
+      assert(rows.contains(("us", 1L)))
+    } finally query.stop()
+  }
+}

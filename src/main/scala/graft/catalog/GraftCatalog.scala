@@ -149,6 +149,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
+  /** Replica-side commit (sync DAG t6_cas_commit_replica): register files
+    * that already landed under the table dir (copied by the sync engine)
+    * as a new version — same CAS loop, no data write. */
+  def commitFiles(ns: String, name: String, newFiles: Seq[String],
+                  sourceRegion: String, maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val parent = latest(ns, name)
+      val seq = parent.map(_.seq + 1).getOrElse(0L)
+      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
+        System.currentTimeMillis(),
+        (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).distinct, sourceRegion)
+      val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(versionFile(ns, name, seq), tmp)
+        Files.deleteIfExists(tmp)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
+  }
+
+  def tablePath(ns: String, name: String): Path = tableDir(ns, name)
+
   // ---- reads ----
 
   private def readFiles(ns: String, name: String, files: Seq[String]): DataFrame =

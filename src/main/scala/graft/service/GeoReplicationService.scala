@@ -1,0 +1,191 @@
+package graft.service
+
+import java.util.UUID
+
+import graft.catalog.GraftCatalog
+import graft.operators.ReadRouterOps
+import graft.sources.StorageOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's application services re-expressed Spark-first
+  * (SURVEY §2.4-§2.6, §3): multi-region write coordination, sync
+  * orchestration, and routed reads over per-region GraftCatalogs.
+  *
+  * Architecture (vs the reference's ZIO service mesh):
+  *  - each "region" is an independent catalog + storage root (a directory
+  *    locally; a bucket+catalog in production);
+  *  - control-plane state is EVENT-SOURCED into a system table
+  *    (`_system.sync_events` in the primary region): every status change
+  *    appends a row; current status = latest row per event (a ranked
+  *    window — the cat_latest pattern). Appends are atomic catalog
+  *    commits, so workers on different executors never lose updates —
+  *    this replaces the reference's Ref[Map] CAS (InMemorySyncAdapter);
+  *  - the data plane (file copy) runs distributed via
+  *    StorageOps.distributedCopy with an exists-guard for idempotence
+  *    (SyncOrchestrator.scala:114-118);
+  *  - reads route by registry + health scoring (ReadRouterOps — exact
+  *    reference weights) with injectable region failure for testing
+  *    (GeoDistributedSystemE2ESpec's simulateRegionFailure pattern).
+  */
+final class GeoReplicationService(spark: SparkSession,
+                                  val regions: Map[String, GraftCatalog],
+                                  primaryRegion: String) {
+  import spark.implicits._
+
+  private val sys = regions(primaryRegion)
+  sys.createTable("_system", "sync_events")
+  sys.createTable("_system", "registry")
+
+  /** Regions currently failing storage probes (test injection point). */
+  @volatile var unavailableRegions: Set[String] = Set.empty
+
+  // ---------------- registry (R1-R6) ----------------
+
+  def registerTable(ns: String, table: String, region: String): Unit =
+    sys.commitAppend("_system", "registry",
+      Seq((s"$ns.$table", region, "Active", System.currentTimeMillis()))
+        .toDF("entry", "region", "status", "updated_at"))
+
+  def registry: DataFrame = sys.read("_system", "registry")
+
+  def tableRegions(ns: String, table: String): Seq[String] =
+    registry.filter(col("entry") === s"$ns.$table")
+      .select("region").distinct().as[String].collect().toSeq.sorted
+
+  // ---------------- sync events (Y1-Y8, event-sourced) ----------------
+
+  private def appendEvents(rows: Seq[(String, String, String, String, String, String, Long)]): Unit =
+    sys.commitAppend("_system", "sync_events",
+      rows.toDF("event_id", "table_entry", "commit_id", "event_type", "target_region",
+                "status", "ts"))
+
+  /** Current status per event = latest appended row (ranked window). */
+  def eventLog: DataFrame = {
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ts").desc)
+    sys.read("_system", "sync_events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  def pendingEvents(region: String): DataFrame =
+    eventLog.filter(col("status") === "Pending" && col("target_region") === region)
+
+  def failedEvents(region: String): DataFrame =
+    eventLog.filter(col("status") === "Failed" && col("target_region") === region)
+
+  /** Y8: only Failed events may be reset to Pending. */
+  def retryFailedEvents(region: String): Int = {
+    val failed = failedEvents(region)
+      .select("event_id", "table_entry", "commit_id", "event_type", "target_region")
+      .collect()
+    if (failed.nonEmpty) appendEvents(failed.toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+       "Pending", System.currentTimeMillis())))
+    failed.length
+  }
+
+  // ---------------- write path (W1) ----------------
+
+  case class WriteResult(commitId: String, seq: Long, syncEvents: Int)
+
+  /** The coordinateWrite protocol (WriteCoordinator.scala:35-76):
+    * approval (single-writer catalog = auto-approved, as the only
+    * reference impl does) → local commit → metadata+data sync event
+    * fan-out to every other region hosting the table. */
+  def coordinateWrite(ns: String, table: String, df: DataFrame,
+                      sourceRegion: String): WriteResult = {
+    val snap = regions(sourceRegion).commitAppend(ns, table, df, sourceRegion)
+    val targets = tableRegions(ns, table).filter(_ != sourceRegion)
+    val now = System.currentTimeMillis()
+    val events = targets.flatMap { tr =>
+      Seq("MetadataSync", "DataSync").map(t =>
+        (s"evt-${UUID.randomUUID()}", s"$ns.$table", snap.commitId, t, tr, "Pending", now))
+    }
+    if (events.nonEmpty) appendEvents(events)
+    WriteResult(snap.commitId, snap.seq, events.size)
+  }
+
+  // ---------------- sync path (Y9-Y13) ----------------
+
+  /** Process every pending event for a region: metadata sync ensures the
+    * replica table + registry entry; data sync copies exactly the files
+    * ADDED by the commit (snapshot-diff semantics) with a distributed,
+    * exists-guarded copy, then CAS-commits them on the replica (the
+    * t1→t6 DAG of the design doc). Returns (completed, failed). */
+  def processPendingEvents(region: String): (Int, Int) = {
+    val pending = pendingEvents(region)
+      .select("event_id", "table_entry", "commit_id", "event_type", "target_region")
+      .collect()
+    var ok = 0; var bad = 0
+    val updates = pending.map { r =>
+      val (eventId, entry, commitId, eventType) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      val Array(ns, table) = entry.split("\\.", 2)
+      val status =
+        try {
+          if (unavailableRegions.contains(region))
+            throw new IllegalStateException(s"region $region unavailable")
+          eventType match {
+            case "MetadataSync" =>
+              if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
+              if (!tableRegions(ns, table).contains(region)) registerTable(ns, table, region)
+            case "DataSync" =>
+              val src = findSourceCatalog(ns, table, commitId)
+              val snap = src.byCommitId(ns, table, commitId).get
+              val parentFiles = snap.parentId
+                .flatMap(pid => src.byCommitId(ns, table, pid)).map(_.files.toSet)
+                .getOrElse(Set.empty)
+              val added = snap.files.filterNot(parentFiles) // Y14 diff
+              if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
+              val manifest = added
+                .map(f => (src.tablePath(ns, table).resolve(f).toString,
+                           regions(region).tablePath(ns, table).resolve(f).toString))
+                .toDF("src_path", "dst_path")
+              StorageOps.distributedCopy(manifest)
+              regions(region).commitFiles(ns, table, added, sourceRegion = region)
+            case other => throw new IllegalArgumentException(s"unknown event type $other")
+          }
+          ok += 1; "Completed"
+        } catch { case _: Exception => bad += 1; "Failed" }
+      (eventId, entry, commitId, eventType, region, status, System.currentTimeMillis())
+    }
+    if (updates.nonEmpty) appendEvents(updates.toSeq)
+    (ok, bad)
+  }
+
+  private def findSourceCatalog(ns: String, table: String, commitId: String): GraftCatalog =
+    regions.values.find(_.byCommitId(ns, table, commitId).isDefined)
+      .getOrElse(throw new IllegalStateException(s"commit $commitId not found in any region"))
+
+  // ---------------- read path (Q1-Q4) ----------------
+
+  case class ReadLocation(region: String, score: Double)
+
+  /** Q1 routeRead: registry lookup → preferred-if-healthy → weighted
+    * scoring argmax (exact reference semantics via ReadRouterOps). */
+  def routeRead(ns: String, table: String,
+                preferredRegion: Option[String] = None): ReadLocation = {
+    val hosts = tableRegions(ns, table)
+    require(hosts.nonEmpty, s"TableNotFound: $ns.$table in no region")
+    preferredRegion.filter(r => hosts.contains(r) && !unavailableRegions.contains(r)) match {
+      case Some(r) => ReadLocation(r, 1.0)
+      case None =>
+        val health = hosts
+          .map(r => (r, !unavailableRegions.contains(r), !unavailableRegions.contains(r)))
+          .toDF("region", "storage_available", "active")
+        val best = ReadRouterOps.selectOptimal(health)
+          .select("region", "score").as[(String, Double)].collect()
+        require(best.nonEmpty, s"no suitable region for $ns.$table")
+        ReadLocation(best.head._1, best.head._2)
+    }
+  }
+
+  /** Routed read: resolve the region, then an ordinary catalog read. */
+  def readRouted(ns: String, table: String,
+                 preferredRegion: Option[String] = None): DataFrame = {
+    val loc = routeRead(ns, table, preferredRegion)
+    regions(loc.region).read(ns, table)
+  }
+}

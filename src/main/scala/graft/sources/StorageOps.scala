@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage operators (SURVEY §2.2, S1-S11) over Hadoop FileSystem — the
+  * same API that fronts S3/HDFS/local on a real cluster.
+  *
+  * Single-file ops are driver-side conveniences; the operators that matter
+  * at 100 TB are the table-valued ones:
+  *  - `listing` turns a storage prefix into a DataFrame (path/size/mtime)
+  *    so existence checks become anti-joins instead of per-file HEADs
+  *    (the reference's inventory pattern, G7);
+  *  - `distributedCopy` fans a file manifest out over executors with
+  *    foreachPartition — per-partition FileSystem clients, no driver
+  *    bottleneck (Y12's foreachPar, Spark-shaped). Idempotent: an
+  *    exists-guard skips files already at the destination.
+  */
+object StorageOps {
+
+  private def fs(path: String, conf: Configuration): FileSystem =
+    new HPath(path).getFileSystem(conf)
+
+  // ---- S1/S2/S3/S7/S9: single-file ops ----
+
+  def writeFile(path: String, bytes: Array[Byte], conf: Configuration = new Configuration()): Unit = {
+    val out = fs(path, conf).create(new HPath(path), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def readFile(path: String, conf: Configuration = new Configuration()): Array[Byte] = {
+    val f = fs(path, conf)
+    val in = f.open(new HPath(path))
+    try {
+      val len = f.getFileStatus(new HPath(path)).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(buf); buf
+    } finally in.close()
+  }
+
+  def fileExists(path: String, conf: Configuration = new Configuration()): Boolean =
+    fs(path, conf).exists(new HPath(path))
+
+  def deleteFile(path: String, conf: Configuration = new Configuration()): Boolean =
+    fs(path, conf).delete(new HPath(path), false)
+
+  def stat(path: String, conf: Configuration = new Configuration()): Option[(Long, Long)] = {
+    val f = fs(path, conf)
+    val p = new HPath(path)
+    if (f.exists(p)) { val st = f.getFileStatus(p); Some((st.getLen, st.getModificationTime)) }
+    else None
+  }
+
+  // ---- S4/S9/S11: listings as DataFrames ----
+
+  /** Recursive listing of a prefix as (path, size_bytes, mtime_ms). */
+  def listing(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(root, conf)
+    val rootPath = new HPath(root)
+    val rows = if (!f.exists(rootPath)) Seq.empty else {
+      val it = f.listFiles(rootPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      }
+      buf.toSeq
+    }
+    rows.toDF("path", "size_bytes", "mtime_ms")
+  }
+
+  /** S11: storage stats in one aggregate. */
+  def storageStats(spark: SparkSession, root: String): DataFrame =
+    listing(spark, root).agg(
+      count(lit(1)).as("file_cnt"),
+      coalesce(sum(col("size_bytes")), lit(0L)).as("total_bytes"))
+
+  // ---- S5/S6 + Y12: distributed manifest copy ----
+
+  /** Copy every (srcPathCol, dstPathCol) row of `manifest` using executor-
+    * side FileSystem clients. Returns copied count. Exists-guarded
+    * (idempotent re-runs, reference SyncOrchestrator.scala:114-118). */
+  def distributedCopy(manifest: DataFrame, srcPathCol: String = "src_path",
+                      dstPathCol: String = "dst_path"): Long = {
+    val spark = manifest.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val copied = spark.sparkContext.longAccumulator("files_copied")
+    manifest.select(col(srcPathCol), col(dstPathCol)).foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = confSer.value
+        rows.foreach { r =>
+          val src = new HPath(r.getString(0))
+          val dst = new HPath(r.getString(1))
+          val dstFs = dst.getFileSystem(conf)
+          if (!dstFs.exists(dst)) {
+            val srcFs = src.getFileSystem(conf)
+            dstFs.mkdirs(dst.getParent)
+            FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
+            copied.add(1)
+          }
+        }
+    }
+    copied.value
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.GraftCatalog
+import graft.service.GeoReplicationService
+import graft.sources.StorageOps
+
+/** End-to-end scenarios ported from the reference's integration suite
+  * (WriteSyncReadWorkflowE2ESpec / GeoDistributedSystemE2ESpec):
+  * multi-region write→sync→read with byte-equality, region-failure
+  * fallback, and failed-event retry — over local-FS regions. */
+class GeoReplicationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshService(regionNames: String*): GeoReplicationService = {
+    val regions = regionNames.map { r =>
+      r -> new GraftCatalog(spark, Files.createTempDirectory(s"graft-$r").toString)
+    }.toMap
+    new GeoReplicationService(spark, regions, regionNames.head)
+  }
+
+  test("write -> sync -> routed read returns identical data in the replica region") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("analytics", "user_events")
+    svc.registerTable("analytics", "user_events", "us-east-1")
+    svc.registerTable("analytics", "user_events", "eu-west-1")
+
+    val data = Seq((1L, "click"), (2L, "view"), (3L, "click")).toDF("user_id", "event_type")
+    val res = svc.coordinateWrite("analytics", "user_events", data, "us-east-1")
+    assert(res.syncEvents === 2, "metadata + data sync event for the one target region")
+    assert(svc.pendingEvents("eu-west-1").count() === 2)
+
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (2, 0))
+    assert(svc.pendingEvents("eu-west-1").count() === 0)
+
+    // replica holds byte-identical rows (reference consistency check)
+    val replica = svc.regions("eu-west-1").read("analytics", "user_events")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(replica === Array((1L, "click"), (2L, "view"), (3L, "click")))
+
+    // preferred-region read routes to the replica
+    val loc = svc.routeRead("analytics", "user_events", Some("eu-west-1"))
+    assert(loc.region === "eu-west-1")
+  }
+
+  test("incremental sync copies only files added by the new commit") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+
+    svc.coordinateWrite("ns", "t", Seq(1L, 2L).toDF("id"), "us-east-1")
+    svc.processPendingEvents("eu-west-1")
+    val filesAfterFirst = svc.regions("eu-west-1").latest("ns", "t").get.files.size
+
+    svc.coordinateWrite("ns", "t", Seq(3L).toDF("id"), "us-east-1")
+    svc.processPendingEvents("eu-west-1")
+    val replica = svc.regions("eu-west-1")
+    assert(replica.read("ns", "t").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    assert(replica.latest("ns", "t").get.files.size > filesAfterFirst)
+    // idempotence: reprocessing with nothing pending copies nothing
+    assert(svc.processPendingEvents("eu-west-1") === (0, 0))
+  }
+
+  test("region failure: events fail, reads fall back, retry recovers (reference failure scenario)") {
+    val svc = freshService("us-east-1", "eu-west-1", "ap-northeast-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+
+    svc.coordinateWrite("ns", "t", Seq(1L).toDF("id"), "us-east-1")
+
+    svc.unavailableRegions = Set("eu-west-1")
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (0, 2))
+    assert(svc.failedEvents("eu-west-1").count() === 2)
+
+    // routed read must avoid the failed region (falls back to us-east-1)
+    assert(svc.routeRead("ns", "t").region === "us-east-1")
+    // preferred failed region is ignored
+    assert(svc.routeRead("ns", "t", Some("eu-west-1")).region === "us-east-1")
+
+    // region recovers: retry resets Failed->Pending, processing completes
+    svc.unavailableRegions = Set.empty
+    assert(svc.retryFailedEvents("eu-west-1") === 2)
+    assert(svc.processPendingEvents("eu-west-1") === (2, 0))
+    assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect() === Array(1L))
+  }
+
+  test("StorageOps distributed copy is exists-guarded (idempotent)") {
+    val src = Files.createTempDirectory("src")
+    val dst = Files.createTempDirectory("dst")
+    StorageOps.writeFile(s"$src/a.bin", Array[Byte](1, 2, 3))
+    StorageOps.writeFile(s"$src/b.bin", Array[Byte](4))
+    val manifest = Seq(
+      (s"$src/a.bin", s"$dst/a.bin"),
+      (s"$src/b.bin", s"$dst/b.bin")).toDF("src_path", "dst_path")
+    assert(StorageOps.distributedCopy(manifest) === 2)
+    assert(StorageOps.distributedCopy(manifest) === 0, "second run must skip existing files")
+    assert(StorageOps.readFile(s"$dst/a.bin").toSeq === Seq[Byte](1, 2, 3))
+    assert(StorageOps.stat(s"$dst/b.bin").map(_._1) === Some(1L))
+    val stats = StorageOps.storageStats(spark, dst.toString)
+      .collect().head
+    assert(stats.getLong(0) === 2 && stats.getLong(1) === 4)
+  }
+}

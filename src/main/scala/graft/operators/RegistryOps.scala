@@ -33,4 +33,18 @@ object RegistryOps {
     * broadcast. Missing entries survive as nulls (caller decides policy). */
   def lookupBatch(keys: DataFrame, registry: DataFrame, keyCols: Seq[String]): DataFrame =
     keys.join(broadcast(registry), keyCols, "left_outer")
+
+  /** Skew-safe large-×-large equi-join: salt the skewed left side into
+    * `salts` sub-keys and explode the right side across all salt values,
+    * then join on (key, salt). Use when one key dominates (hot tenant /
+    * hot table) and AQE skew splitting isn't enough; salts multiplies the
+    * right side, so keep it small (8-32). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

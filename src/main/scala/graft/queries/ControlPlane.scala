@@ -289,6 +289,36 @@ object ControlPlane {
       .agg(count(lit(1)).as("file_cnt"), sum(col("size_bytes")).as("total_bytes"))
       .orderBy(col("region"))
 
+  /** G5 lease guard: GC candidates minus snapshots pinned by active
+    * query leases (anti-join; reference GCCoordinator.java:86). */
+  private def gcLeaseGuard: Q = (s, d) => {
+    val now = lit("1998-01-01").cast("timestamp")
+    val cands = ControlTables.fileInventory(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("path"),
+        concat(lit("tbl"), (col("commit_seq") % 10).cast("string")).as("table_entry"),
+        (col("commit_seq") % 100).cast("int").as("pinned_seq"))
+    val leases = Tables.supplier(s, d).select(
+      concat(lit("lease-"), col("s_suppkey").cast("string")).as("lease_id"),
+      concat(lit("tbl"), (col("s_suppkey") % 10).cast("string")).as("table_entry"),
+      (col("s_suppkey") % 100).cast("int").as("pinned_seq"),
+      (lit("1998-01-01").cast("timestamp") +
+        when(col("s_acctbal") > 0, 30).otherwise(-30) * expr("INTERVAL 1 DAY")).as("expires_at"))
+    LeaseOps.leaseGuard(cands, leases, now)
+      .select(col("path"), col("table_entry"), col("pinned_seq"))
+      .orderBy(col("path"))
+  }
+
+  /** E6 100 TB variants: HLL distinct + approx percentile (sketch results
+    * are engine-specific — rows-only check; the exact duals are
+    * rel_distinct_users / slo_percentiles). */
+  private def sloApprox: Q = (s, d) =>
+    ControlTables.syncEvents(s, d)
+      .groupBy(col("target_region"))
+      .agg(approx_count_distinct(col("commit_id")).as("approx_commits"),
+           percentile_approx(col("duration_ms"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy(col("target_region"))
+
   /** E6 SLO lag percentiles (exact interpolated percentile — the
     * approx_percentile path is the 100 TB variant, not oracle-checkable). */
   private def sloPercentiles: Q = (s, d) =>
@@ -328,6 +358,8 @@ object ControlPlane {
     "path_localize"          -> pathLocalize,
     "storage_stats"          -> storageStats,
     "slo_percentiles"        -> sloPercentiles,
+    "gc_lease_guard"         -> gcLeaseGuard,
+    "slo_approx"             -> sloApprox,
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -505,6 +537,22 @@ object ControlPlane {
       s"""WITH $FILES SELECT region, count(*) AS file_cnt,
           CAST(sum(size_bytes) AS BIGINT) AS total_bytes
           FROM files GROUP BY 1 ORDER BY 1""",
+    "gc_lease_guard" ->
+      s"""WITH $FILES,
+          cand AS (SELECT path, 'tbl' || (commit_seq % 10) AS table_entry,
+                          CAST(commit_seq % 100 AS INT) AS pinned_seq
+                   FROM files WHERE l_returnflag = 'R'),
+          pins AS (SELECT 'tbl' || (s_suppkey % 10) AS table_entry,
+                          CAST(s_suppkey % 100 AS INT) AS pinned_seq
+                   FROM supplier
+                   WHERE TIMESTAMP '1998-01-01' +
+                         CASE WHEN s_acctbal > 0 THEN 30 ELSE -30 END * INTERVAL 1 DAY
+                         > TIMESTAMP '1998-01-01')
+          SELECT path, table_entry, pinned_seq FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM pins p
+                            WHERE p.table_entry = c.table_entry
+                              AND p.pinned_seq = c.pinned_seq)
+          ORDER BY path""",
     "slo_percentiles" ->
       s"""WITH $EV SELECT event_type,
           round(quantile_cont(duration_ms, 0.5), 4) AS p50,

@@ -218,7 +218,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** CUBE over (status, order-year): all grouping-set combinations. */
+  private def cubeOrderStats: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
+        col("cnt"))
+      .orderBy(col("status"), col("o_year"))
+
   val queries: Map[String, Q] = Map(
+    "rel_cube_stats"          -> cubeOrderStats,
     "rel_pricing_summary"     -> pricingSummary,
     "rel_filter_project"      -> filterProject,
     "rel_revenue_by_nation"   -> revenueByNation,
@@ -240,6 +253,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_cube_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS o_year,
+         count(*) AS cnt
+         FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+         ORDER BY status, o_year""",
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,

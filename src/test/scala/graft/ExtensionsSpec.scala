@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{LeaseOps, RegistryOps}
+import org.apache.spark.sql.functions._
+
+/** SparkSessionExtensions SQL registration, lease guard, salted join. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_similarity / dot_product are callable from pure SQL") {
+    val row = spark.sql(
+      """SELECT
+           cosine_similarity(CAST(array(1.0, 0.0) AS array<float>),
+                             CAST(array(2.0, 0.0) AS array<float>)) AS cos,
+           dot_product(CAST(array(1.0, 2.0) AS array<float>),
+                       CAST(array(3.0, 4.0) AS array<float>)) AS dot""").collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) === 11.0)
+  }
+
+  test("lease guard drops candidates pinned by active leases only") {
+    val now = lit("2024-01-01 00:00:00").cast("timestamp")
+    val cands = Seq(
+      ("f1", "t1", 5), ("f2", "t1", 6), ("f3", "t2", 5)
+    ).toDF("path", "table_entry", "pinned_seq")
+    val leases = Seq(
+      ("l1", "t1", 5, "2024-02-01 00:00:00"), // active pin on (t1,5)
+      ("l2", "t2", 5, "2023-12-01 00:00:00")  // expired -> no protection
+    ).toDF("lease_id", "table_entry", "pinned_seq", "exp")
+      .withColumn("expires_at", col("exp").cast("timestamp")).drop("exp")
+    val kept = LeaseOps.leaseGuard(cands, leases, now)
+      .select("path").as[String].collect().sorted
+    assert(kept === Array("f2", "f3"))
+    assert(LeaseOps.listActive(leases, now).count() === 1)
+  }
+
+  test("salted join produces exactly the plain-join result") {
+    val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v")      // skewed: 3 keys
+    val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = left.join(right, "k").count()
+    val salted = RegistryOps.saltedJoin(left, right, "k", salts = 8)
+    assert(salted.count() === plain)
+    assert(salted.columns.toSet === Set("k", "v", "name"))
+  }
+}

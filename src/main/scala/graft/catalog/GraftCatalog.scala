@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
 final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   case class Snapshot(seq: Long, commitId: String, parentId: Option[String],
-                      timestampMs: Long, files: Seq[String], sourceRegion: String)
+                      timestampMs: Long, files: Seq[String], sourceRegion: String,
+                      fileSizes: Seq[Long] = Seq.empty) {
+    def fileEntries: Seq[(String, Long)] =
+      files.zipAll(fileSizes, "", -1L).filter(_._1.nonEmpty)
+  }
 
   private def tableDir(ns: String, name: String): Path = Paths.get(warehouse, ns, name)
   private def metaDir(ns: String, name: String): Path = tableDir(ns, name).resolve("_meta")
@@ -79,6 +83,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     s"""{"seq":${s.seq},"commitId":${q(s.commitId)},""" +
       s""""parentId":${s.parentId.map(q).getOrElse("null")},""" +
       s""""timestampMs":${s.timestampMs},"sourceRegion":${q(s.sourceRegion)},""" +
+      s""""fileSizes":[${s.fileSizes.mkString(",")}],""" +
       s""""files":[${s.files.map(q).mkString(",")}]}"""
   }
 
@@ -89,9 +94,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       (s""""$k":(\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
     val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
       .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val sizes = """"fileSizes":\[([^\]]*)\]""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
     Snapshot(num("seq"), str("commitId").get,
       if (j.contains(""""parentId":null""")) None else str("parentId"),
-      num("timestampMs"), files, str("sourceRegion").getOrElse(""))
+      num("timestampMs"), files, str("sourceRegion").getOrElse(""), sizes)
   }
 
   /** C9/C11: snapshots ordered by sequence. */
@@ -122,6 +129,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val newFiles = Files.list(outDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(f => s"data/$stagingId/$f").toSeq.sorted
+    val newSizes = newFiles.map(f => Files.size(tableDir(ns, name).resolve(f)))
     // 2. CAS loop on the version number
     var attempt = 0
     while (attempt < maxRetries) {
@@ -129,7 +137,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val seq = parent.map(_.seq + 1).getOrElse(0L)
       val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
         System.currentTimeMillis(), parent.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-        sourceRegion)
+        sourceRegion,
+        parent.map(_.fileSizes).getOrElse(Seq.empty) ++ newSizes)
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
       try {
@@ -159,9 +168,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     while (attempt < maxRetries) {
       val parent = latest(ns, name)
       val seq = parent.map(_.seq + 1).getOrElse(0L)
+      val parentEntries = parent.map(_.fileEntries).getOrElse(Seq.empty)
+      val landedEntries = newFiles.filterNot(parentEntries.map(_._1).contains)
+        .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
+      val allEntries = parentEntries ++ landedEntries
       val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
-        System.currentTimeMillis(),
-        (parent.map(_.files).getOrElse(Seq.empty) ++ newFiles).distinct, sourceRegion)
+        System.currentTimeMillis(), allEntries.map(_._1), sourceRegion,
+        allEntries.map(_._2))
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
       try {
@@ -177,6 +190,43 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
+
+  // ---- visibility (C13: shadow→visible promotion) ----
+  // Replica-side commits land as SHADOW versions; readers that ask for the
+  // published view only see versions at or below the promoted floor
+  // (reference setVisibility, used by StateReconciler.java:79 after the
+  // verification join passes). The marker is a single JSON file updated
+  // with the same atomic-publish pattern.
+
+  private def publishedFile(ns: String, name: String): Path =
+    metaDir(ns, name).resolve("published.json")
+
+  /** Promote versions up to `seq`, effective at `visibleAtMs`. */
+  def setVisibility(ns: String, name: String, seq: Long, visibleAtMs: Long): Unit = {
+    val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp, s"""{"publishedSeq":$seq,"visibleAtMs":$visibleAtMs}"""
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, publishedFile(ns, name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Highest published version visible at `asOfMs` (None = nothing promoted). */
+  def publishedSeq(ns: String, name: String, asOfMs: Long = Long.MaxValue): Option[Long] = {
+    val pf = publishedFile(ns, name)
+    if (!Files.exists(pf)) return None
+    val j = new String(Files.readAllBytes(pf), StandardCharsets.UTF_8)
+    val seq = """"publishedSeq":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+    val at = """"visibleAtMs":(\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
+    seq.filter(_ => at <= asOfMs)
+  }
+
+  /** Read the PUBLISHED view: latest promoted version, ignoring shadow
+    * commits beyond the visibility floor. */
+  def readVisible(ns: String, name: String, asOfMs: Long = Long.MaxValue): DataFrame =
+    publishedSeq(ns, name, asOfMs) match {
+      case Some(seq) => readVersion(ns, name, seq)
+      case None      => spark.emptyDataFrame
+    }
 
   // ---- reads ----
 
@@ -211,11 +261,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .toDF("seq", "commit_id", "parent_id", "timestamp_ms", "file_cnt", "source_region")
   }
 
-  /** Files metadata table (the `t.files` pattern driving diff/GC ops). */
+  /** Files metadata table (the `t.files` pattern driving diff/GC ops);
+    * size_bytes is the AUTHORITATIVE size recorded at commit time — the
+    * reconciliation operators compare live listings against it. */
   def filesTable(ns: String, name: String, seq: Long): DataFrame = {
     import spark.implicits._
-    snapshots(ns, name).find(_.seq == seq).map(_.files).getOrElse(Seq.empty)
-      .toDF("path")
+    snapshots(ns, name).find(_.seq == seq).map(_.fileEntries).getOrElse(Seq.empty)
+      .toDF("path", "size_bytes")
   }
 
   /** G1: expire old snapshots — drop version files below the keep floor,

@@ -159,6 +159,56 @@ final class GeoReplicationService(spark: SparkSession,
     regions.values.find(_.byCommitId(ns, table, commitId).isDefined)
       .getOrElse(throw new IllegalStateException(s"commit $commitId not found in any region"))
 
+  // ---------------- commit gate (W2/W3/W4) ----------------
+  // Explicit per-region voting (the v2 InMemoryCommitGateAdapter surface):
+  // votes append to a system table; the quorum decision is CommitGate's
+  // bool_and aggregate over the latest vote per (commit, region).
+
+  sys.createTable("_system", "approvals")
+
+  def requestCommitApproval(commitId: String, regionsAsked: Seq[String]): Unit =
+    sys.commitAppend("_system", "approvals",
+      regionsAsked.map(r => (commitId, r, None: Option[Boolean], System.currentTimeMillis()))
+        .toDF("commit_id", "region", "approved", "ts"))
+
+  def vote(commitId: String, region: String, approve: Boolean): Unit =
+    sys.commitAppend("_system", "approvals",
+      Seq((commitId, region, Some(approve): Option[Boolean], System.currentTimeMillis()))
+        .toDF("commit_id", "region", "approved", "ts"))
+
+  /** W4: all asked regions answered AND all answered true. */
+  def isCommitApproved(commitId: String): Boolean = {
+    val w = Window.partitionBy(col("commit_id"), col("region")).orderBy(col("ts").desc)
+    val latest = sys.read("_system", "approvals")
+      .filter(col("commit_id") === commitId)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val decided = graft.operators.CommitGate.quorum(
+      latest.withColumn("approved", coalesce(col("approved"), lit(false))))
+    decided.select("approved").as[Boolean].collect().headOption.getOrElse(false)
+  }
+
+  // ---------------- verify + promote (Y16 + C13) ----------------
+
+  /** The v1 happy-path tail: verify every file of the replica snapshot
+    * exists with the right size (reconciliation join), then atomically
+    * promote visibility. Throws if any defect — no partial visibility. */
+  def verifyAndPromote(ns: String, table: String, region: String,
+                       seq: Long, visibleAtMs: Long): Unit = {
+    val cat = regions(region)
+    require(cat.snapshots(ns, table).exists(_.seq == seq),
+      s"no version $seq of $ns.$table in $region")
+    // expected sizes come from the snapshot log (recorded at commit time),
+    // never from the destination filesystem being verified
+    val manifest = cat.filesTable(ns, table, seq)
+    val listing = StorageOps.listing(spark, cat.tablePath(ns, table).toString)
+      .withColumn("path", regexp_replace(col("path"),
+        java.util.regex.Pattern.quote(cat.tablePath(ns, table).toString + "/"), ""))
+      .select("path", "size_bytes")
+    if (!graft.operators.StateReconciler.promotionSafe(manifest, listing))
+      throw new IllegalStateException(s"verification failed for $ns.$table@$seq in $region")
+    cat.setVisibility(ns, table, seq, visibleAtMs)
+  }
+
   // ---------------- read path (Q1-Q4) ----------------
 
   case class ReadLocation(region: String, score: Double)

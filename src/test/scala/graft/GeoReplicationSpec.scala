@@ -89,6 +89,41 @@ class GeoReplicationSpec extends SparkSpec {
     assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect() === Array(1L))
   }
 
+  test("v1 happy path: commit -> sync -> verify -> promote -> visible read (C13/Y16)") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    svc.coordinateWrite("ns", "t", Seq(7L, 8L).toDF("id"), "us-east-1")
+    svc.processPendingEvents("eu-west-1")
+    val replica = svc.regions("eu-west-1")
+    val seq = replica.latest("ns", "t").get.seq
+
+    // shadow until promoted: published view is empty
+    assert(replica.readVisible("ns", "t").isEmpty)
+    svc.verifyAndPromote("ns", "t", "eu-west-1", seq, visibleAtMs = 0L)
+    assert(replica.readVisible("ns", "t").as[Long].collect().sorted === Array(7L, 8L))
+
+    // corrupt a data file -> verification must refuse to promote
+    val f = replica.latest("ns", "t").get.files.head
+    java.nio.file.Files.write(replica.tablePath("ns", "t").resolve(f), Array[Byte](1))
+    intercept[IllegalStateException](
+      svc.verifyAndPromote("ns", "t", "eu-west-1", seq, visibleAtMs = 0L))
+  }
+
+  test("commit gate voting: quorum requires every asked region to approve (W2/W3/W4)") {
+    val svc = freshService("us-east-1")
+    svc.requestCommitApproval("c1", Seq("us-east-1", "eu-west-1"))
+    assert(!svc.isCommitApproved("c1"), "unanswered request is not approved")
+    svc.vote("c1", "us-east-1", approve = true)
+    assert(!svc.isCommitApproved("c1"))
+    svc.vote("c1", "eu-west-1", approve = true)
+    assert(svc.isCommitApproved("c1"))
+    // a rejection after approval flips the latest vote for that region
+    svc.vote("c1", "eu-west-1", approve = false)
+    assert(!svc.isCommitApproved("c1"))
+  }
+
   test("StorageOps distributed copy is exists-guarded (idempotent)") {
     val src = Files.createTempDirectory("src")
     val dst = Files.createTempDirectory("dst")

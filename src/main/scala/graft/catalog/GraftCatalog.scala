@@ -158,6 +158,52 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
+  /** Overwrite commit: the new version references ONLY the files written
+    * from `df` (previous files become unreachable → reclaimed by
+    * expireSnapshots). Used by compaction. */
+  def commitReplace(ns: String, name: String, df: DataFrame,
+                    sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    val stagingId = UUID.randomUUID().toString.take(8)
+    val outDir = dataDir(ns, name).resolve(stagingId)
+    df.write.parquet(outDir.toString)
+    val newFiles = Files.list(outDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(f => s"data/$stagingId/$f").toSeq.sorted
+    val newSizes = newFiles.map(f => Files.size(tableDir(ns, name).resolve(f)))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val parent = latest(ns, name)
+      val seq = parent.map(_.seq + 1).getOrElse(0L)
+      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
+        System.currentTimeMillis(), newFiles, sourceRegion, newSizes)
+      val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(versionFile(ns, name, seq), tmp)
+        Files.deleteIfExists(tmp)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp); attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
+  }
+
+  /** Bin-pack compaction (the reference docs' small-file control,
+    * 256MB–1GB targets; rewriteDataFiles in Iceberg terms): rewrite the
+    * current version into ceil(totalBytes / targetBytes) files via one
+    * distributed repartition, committed as an overwrite. Old files stay
+    * reachable from old versions until expireSnapshots reclaims them. */
+  def compact(ns: String, name: String, targetFileBytes: Long): Snapshot = {
+    val cur = latest(ns, name)
+      .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
+    val totalBytes = math.max(1L, cur.fileSizes.sum)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    commitReplace(ns, name, read(ns, name).repartition(parts))
+  }
+
   /** Replica-side commit (sync DAG t6_cas_commit_replica): register files
     * that already landed under the table dir (copied by the sync engine)
     * as a new version — same CAS loop, no data write. */

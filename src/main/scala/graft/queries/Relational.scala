@@ -230,8 +230,59 @@ object Relational {
         col("cnt"))
       .orderBy(col("status"), col("o_year"))
 
+  /** Generator/UNNEST: explode document tokens to rows, global top-50. */
+  private def explodeTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(50)
+
+  /** Fuzzy string matching: edit distance against a probe value. */
+  private def levenshteinBrands: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), col("p_brand"),
+        levenshtein(col("p_brand"), lit("Brand#33")).as("dist"))
+      .orderBy(col("p_partkey"))
+
+  /** Datetime arithmetic: diffs, truncation, month-end, interval shift. */
+  private def datetimeFunctions: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 400)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_at"))
+      .orderBy(col("o_orderkey"))
+
+  /** Ordered string aggregation per group (deterministic listagg). */
+  private def stringAggNations: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy(col("r_name"))
+
+  /** Pivot: per order-year counts by status as columns. */
+  private def pivotStatus: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_year"))
+
   val queries: Map[String, Q] = Map(
     "rel_cube_stats"          -> cubeOrderStats,
+    "rel_explode_tokens"      -> explodeTokens,
+    "rel_levenshtein"         -> levenshteinBrands,
+    "rel_datetime_functions"  -> datetimeFunctions,
+    "rel_string_agg"          -> stringAggNations,
+    "rel_pivot_status"        -> pivotStatus,
     "rel_pricing_summary"     -> pricingSummary,
     "rel_filter_project"      -> filterProject,
     "rel_revenue_by_nation"   -> revenueByNation,
@@ -253,6 +304,31 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_explode_tokens" ->
+      """SELECT tok, count(*) AS cnt
+         FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+         GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 50""",
+    "rel_levenshtein" ->
+      """SELECT p_partkey, p_brand,
+         CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS dist
+         FROM part WHERE p_partkey < 300 ORDER BY p_partkey""",
+    "rel_datetime_functions" ->
+      """SELECT o_orderkey,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(last_day(o_orderdate) AS DATE) AS month_end,
+         o_orderdate + INTERVAL 90 DAY AS due_at
+         FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
+    "rel_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "rel_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "rel_cube_stats" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(CAST(CAST(year(o_orderdate) AS INT) AS VARCHAR), 'ALL') AS o_year,

@@ -104,6 +104,7 @@ final class GeoReplicationService(spark: SparkSession,
         (s"evt-${UUID.randomUUID()}", s"$ns.$table", snap.commitId, t, tr, "Pending", now))
     }
     if (events.nonEmpty) appendEvents(events)
+    advanceWatermark(s"$ns.$table", sourceRegion, snap.timestampMs)
     WriteResult(snap.commitId, snap.seq, events.size)
   }
 
@@ -145,6 +146,7 @@ final class GeoReplicationService(spark: SparkSession,
                 .toDF("src_path", "dst_path")
               StorageOps.distributedCopy(manifest)
               regions(region).commitFiles(ns, table, added, sourceRegion = region)
+              advanceWatermark(entry, region, snap.timestampMs)
             case other => throw new IllegalArgumentException(s"unknown event type $other")
           }
           ok += 1; "Completed"
@@ -153,6 +155,34 @@ final class GeoReplicationService(spark: SparkSession,
     }
     if (updates.nonEmpty) appendEvents(updates.toSeq)
     (ok, bad)
+  }
+
+  // ---------------- consistency tokens (G9 + Q9) ----------------
+  // After a replica lands a commit, its watermark advances to the source
+  // commit timestamp; freshness-constrained reads only consider regions
+  // whose watermark covers the requested timestamp (v1 ReadRouter.java:21).
+
+  sys.createTable("_system", "consistency_tokens")
+
+  private def advanceWatermark(entry: String, region: String, watermarkMs: Long): Unit =
+    sys.commitAppend("_system", "consistency_tokens",
+      Seq((entry, region, watermarkMs, System.currentTimeMillis()))
+        .toDF("table_entry", "region", "high_watermark_ms", "ts"))
+
+  /** Latest watermark per (table, region). */
+  def consistencyTokens: DataFrame = {
+    val w = Window.partitionBy(col("table_entry"), col("region")).orderBy(col("ts").desc)
+    sys.read("_system", "consistency_tokens")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn", "ts")
+  }
+
+  /** Q9: regions able to serve `ns.table` at `requiredMs` freshness. The
+    * writing source region always qualifies. */
+  def freshRegions(ns: String, table: String, requiredMs: Long): Seq[String] = {
+    val entry = s"$ns.$table"
+    consistencyTokens
+      .filter(col("table_entry") === entry && col("high_watermark_ms") >= requiredMs)
+      .select("region").as[String].collect().toSeq.sorted
   }
 
   private def findSourceCatalog(ns: String, table: String, commitId: String): GraftCatalog =

@@ -79,6 +79,23 @@ class CatalogSpec extends SparkSpec {
       assert(byId(s.parentId.get).seq === s.seq - 1))
   }
 
+  test("compaction bin-packs to the file-size target and preserves data; expire reclaims old files") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    (1 to 5).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong, i * 10L).toDF("id")))
+    val before = cat.latest("ns", "t").get
+    assert(before.files.size >= 5, "appends should have created many small files")
+    val compacted = cat.compact("ns", "t", targetFileBytes = Long.MaxValue)
+    assert(compacted.files.size === 1, "everything fits one target-size file")
+    assert(cat.read("ns", "t").count() === 10)
+    assert(cat.read("ns", "t").as[Long].collect().sorted
+      === (1 to 5).flatMap(i => Seq(i.toLong, i * 10L)).sorted.toArray)
+    // old small files are unreachable from the kept (compacted) version
+    val removed = cat.expireSnapshots("ns", "t", retainLast = 1)
+    assert(removed.toSet === before.files.toSet)
+    assert(cat.read("ns", "t").count() === 10)
+  }
+
   test("expireSnapshots removes only files unreachable from kept versions (G1/G2)") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

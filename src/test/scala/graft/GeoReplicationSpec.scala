@@ -124,6 +124,23 @@ class GeoReplicationSpec extends SparkSpec {
     assert(!svc.isCommitApproved("c1"))
   }
 
+  test("consistency tokens gate freshness-constrained reads (G9/Q9)") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    val res = svc.coordinateWrite("ns", "t", Seq(1L).toDF("id"), "us-east-1")
+    val commitTs = svc.regions("us-east-1").latest("ns", "t").get.timestampMs
+
+    // before sync: only the source region is fresh enough
+    assert(svc.freshRegions("ns", "t", commitTs) === Seq("us-east-1"))
+    svc.processPendingEvents("eu-west-1")
+    // after sync: the replica watermark covers the commit
+    assert(svc.freshRegions("ns", "t", commitTs) === Seq("eu-west-1", "us-east-1"))
+    assert(svc.freshRegions("ns", "t", commitTs + 1).isEmpty,
+      "a future timestamp is served by no region yet")
+  }
+
   test("StorageOps distributed copy is exists-guarded (idempotent)") {
     val src = Files.createTempDirectory("src")
     val dst = Files.createTempDirectory("dst")

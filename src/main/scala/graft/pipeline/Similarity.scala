@@ -87,6 +87,52 @@ object Similarity {
       })
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (Spark MLlib)
+    * partitions the corpus into `nlist` cells; a query scores only the
+    * vectors in its `nprobe` nearest cells. The standard billion-scale
+    * layout: cells are the partition key, so at 100 TB the corpus is
+    * bucketed/sorted by cell id once and probes touch `nprobe/nlist` of
+    * the data. Exact cosine within probed cells — recall is controlled by
+    * nprobe, precision is exact. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val featurized = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .select(col("neighbor_id"), col("vec"), col("prediction").as("cell"))
+
+    // nprobe nearest cells per query, from the broadcast centroid array
+    val centers: Array[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
+      .map { case (c: Vector, i) => (i, c.toArray.map(_.toFloat)) }
+    val centersDf = corpus.sparkSession.createDataFrame(
+      centers.toSeq.map { case (i, arr) => (i, arr) }
+    ).toDF("cell", "center_vec")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_score").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centersDf))
+      .withColumn("cell_score", cosine(col("query_vec"), col("center_vec")))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries bucketed identically; neighbors
     * searched only within the query's bucket. Returns ranked matches per
     * query (subset recall vs brute force — tune `planes` down for more

@@ -94,6 +94,12 @@ object Pipeline {
     Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  private def annIvfTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def annLshTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, planes = 6)
@@ -123,6 +129,7 @@ object Pipeline {
     "ann_topk"             -> annTopK,
     "ann_neardup_pairs"    -> annNearDupPairs,
     "ann_lsh_topk"         -> annLshTopK,
+    "ann_ivf_topk"         -> annIvfTopK,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
   )

@@ -110,6 +110,25 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) || lsh.forall(p => brute.exists(_._1 == p._1)))
   }
 
+  test("IVF ANN: high recall vs brute force at nprobe=half the cells") {
+    val vecs = Tables.embeddings(spark, sf()).limit(300)
+    val q = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, q, 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size === 15, "5 ranked neighbors per query")
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("regex token count splits punctuation like a coarse BPE pre-tokenizer") {
+    val df = Seq((1L, "hello, world! it's 42")).toDF("id", "text")
+      .select(TA.regexTokenCount(col("text")).as("n"))
+    // hello | , | world | ! | it | 's | 42
+    assert(df.as[Int].collect().head === 7)
+  }
+
   test("quality score favors stopword-bearing prose over noise") {
     val df = Seq(
       (1L, "the cat sat on the mat and looked at the dog in the sun all day long"),

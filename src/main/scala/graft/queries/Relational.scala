@@ -218,6 +218,20 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Explicit GROUPING SETS: per-status, per-priority, and grand total in
+    * one aggregate pass. */
+  private def groupingSetsStats: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"))
+      .orderBy(col("status"), col("priority"))
+
   /** CUBE over (status, order-year): all grouping-set combinations. */
   private def cubeOrderStats: Q = (s, d) =>
     Tables.orders(s, d)
@@ -278,6 +292,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "rel_cube_stats"          -> cubeOrderStats,
+    "rel_grouping_sets"       -> groupingSetsStats,
     "rel_explode_tokens"      -> explodeTokens,
     "rel_levenshtein"         -> levenshteinBrands,
     "rel_datetime_functions"  -> datetimeFunctions,
@@ -304,6 +319,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
     "rel_explode_tokens" ->
       """SELECT tok, count(*) AS cnt
          FROM documents, unnest(string_split(text, ' ')) AS u(tok)

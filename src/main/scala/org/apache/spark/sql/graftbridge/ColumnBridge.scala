@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a single-row/single-column Dataset as a scalar subquery
+    * expression (required e.g. by BloomFilterMightContain). */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[_]): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
 }

@@ -34,6 +34,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(LeaseOps.listActive(leases, now).count() === 1)
   }
 
+  test("Bloom inventory filter: no false negatives; anti-join agreement on real data") {
+    import graft.operators.InventoryFilter
+    val inv = (1 to 2000).map(i => s"s3://inv/$i").toDF("path")
+    val cands = ((1500 to 2500).map(i => s"s3://inv/$i")).toDF("path")
+    val not = InventoryFilter.notInInventory(cands, inv).as[String].collect().toSet
+    // everything actually in the inventory must be filtered out (no false negatives)
+    assert(not.forall(p => p.stripPrefix("s3://inv/").toInt > 2000))
+    // with generous bits, no false positives either -> exact agreement with anti-join
+    val anti = cands.join(inv, Seq("path"), "left_anti").as[String].collect().toSet
+    assert(not === anti)
+    val in = InventoryFilter.probablyInInventory(cands, inv).count()
+    assert(in === cands.count() - not.size)
+  }
+
   test("salted join produces exactly the plain-join result") {
     val left = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v")      // skewed: 3 keys
     val right = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")

@@ -47,6 +47,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows close after the gap duration") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    // two bursts for user A separated by >5m gap -> two sessions; B -> one
+    val events = Seq(
+      ("A", ts("2024-01-01 00:00:00")), ("A", ts("2024-01-01 00:02:00")),
+      ("A", ts("2024-01-01 00:20:00")),
+      ("B", ts("2024-01-01 00:01:00"))
+    ).toDF("user", "eventTime")
+    val sessions = events
+      .groupBy(session_window(col("eventTime"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("events"))
+      .select("user", "events").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions("A") === Seq(1L, 2L), "burst of 2 + later single = two sessions")
+    assert(sessions("B") === Seq(1L))
+  }
+
   test("watermarked tumbling window counts per region") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

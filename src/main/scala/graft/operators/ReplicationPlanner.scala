@@ -49,4 +49,27 @@ object ReplicationPlanner {
                col("stat_etag") =!= col(etagCol)))
       .drop("stat_size", "stat_etag")
   }
+
+  /** Bloom-accelerated variant: level 2 probes a Bloom sketch of the
+    * inventory instead of anti-joining it (G7's scale path — at a
+    * billions-of-objects inventory the sketch broadcast replaces the
+    * biggest shuffle). Bloom false positives only *drop* copy candidates
+    * that level 3 would also have dropped or that re-verification
+    * catches; false negatives are impossible, so nothing is copied twice. */
+  def planWithBloomInventory(srcFiles: DataFrame, dstFiles: DataFrame, inventory: DataFrame,
+                             dstStat: DataFrame, pathCol: String = "path",
+                             sizeCol: String = "size_bytes", etagCol: String = "etag",
+                             bloomBits: Long = 8388608L): DataFrame = {
+    val newFiles = srcFiles.join(dstFiles.select(pathCol), Seq(pathCol), "left_anti")
+    val notInInventory = InventoryFilter.notInInventory(
+      newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
+    val stat = dstStat.select(
+      col(pathCol), col(sizeCol).as("stat_size"), col(etagCol).as("stat_etag"))
+    notInInventory.join(stat, Seq(pathCol), "left_outer")
+      .filter(col("stat_size").isNull ||
+              col("stat_size") =!= col(sizeCol) ||
+              (col("stat_etag").isNotNull && col(etagCol).isNotNull &&
+               col("stat_etag") =!= col(etagCol)))
+      .drop("stat_size", "stat_etag")
+  }
 }

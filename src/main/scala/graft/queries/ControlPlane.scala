@@ -96,6 +96,21 @@ object ControlPlane {
       .select(col("path")).orderBy(col("path"))
   }
 
+  /** Y15 Bloom-accelerated plan (G7 scale path) — rows-only: Bloom false
+    * positives may legitimately drop candidates vs the exact anti-join. */
+  private def replicationPlanBloom: Q = (s, d) => {
+    val files = ControlTables.fileInventory(s, d)
+    val src = files.select("path", "size_bytes", "etag")
+    val dst = files.filter(col("shipped_at") < lit("1995-06-01"))
+    val inv = files.filter(col("shipped_at") < lit("1996-06-01") && col("l_returnflag") =!= "R")
+    val stat = files.filter(col("shipped_at") < lit("1997-01-01"))
+      .select(col("path"),
+        (col("size_bytes") + when(col("l_discount") > 0.08, 1).otherwise(0)).as("size_bytes"),
+        col("etag"))
+    ReplicationPlanner.planWithBloomInventory(src, dst, inv, stat)
+      .select(col("path")).orderBy(col("path"))
+  }
+
   /** Y16/G8 reconciliation defect report (missing / size mismatch). */
   private def reconDefects: Q = (s, d) => {
     val files = ControlTables.fileInventory(s, d)
@@ -336,6 +351,7 @@ object ControlPlane {
     "sync_retry_candidates"  -> syncRetry,
     "sync_snapshot_diff"     -> snapshotDiff,
     "sync_replication_plan"  -> replicationPlan,
+    "sync_replication_bloom" -> replicationPlanBloom,
     "sync_recon_defects"     -> reconDefects,
     "sync_progress_eta"      -> syncProgress,
     "sync_backpressure"      -> backpressure,

@@ -124,6 +124,30 @@ class GeoReplicationSpec extends SparkSpec {
     assert(!svc.isCommitApproved("c1"))
   }
 
+  test("sync worker runs as a Structured Streaming foreachBatch loop (Y9 streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    svc.coordinateWrite("ns", "t", Seq(42L).toDF("id"), "us-east-1")
+    assert(svc.pendingEvents("eu-west-1").count() === 2)
+
+    // the per-region worker as a streaming job: each trigger drains the
+    // region's pending events (reference processPendingEvents loop)
+    val ticks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val worker = ticks.toDF().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        svc.processPendingEvents("eu-west-1"); ()
+      }.start()
+    try {
+      ticks.addData(1)
+      worker.processAllAvailable()
+      assert(svc.pendingEvents("eu-west-1").count() === 0)
+      assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect() === Array(42L))
+    } finally worker.stop()
+  }
+
   test("consistency tokens gate freshness-constrained reads (G9/Q9)") {
     val svc = freshService("us-east-1", "eu-west-1")
     svc.regions("us-east-1").createTable("ns", "t")

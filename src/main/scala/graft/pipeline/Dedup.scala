@@ -153,6 +153,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // ---------- near-dup clustering ----------
+
+  /** Collapse a near-duplicate pair graph into clusters: every doc gets
+    * the minimum doc-id reachable through pair edges (connected
+    * components by iterative min-label propagation — converges in
+    * O(log(diameter)) joins; dup clusters are tiny in practice so this
+    * terminates in a few rounds even at corpus scale).
+    * Input: pairs (id_a, id_b); ids: all doc ids (singletons keep
+    * themselves). Output: (id, cluster) where cluster = min id of the
+    * component — "keep one per cluster" dedup follows as
+    * filter(id === cluster). */
+  def clusterNearDups(pairs: DataFrame, ids: DataFrame,
+                      idCol: String = "doc_id", maxIterations: Int = 10): DataFrame = {
+    // undirected edge list incl. self-loops so singletons survive joins
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      // each node adopts the min cluster label among itself and neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("new_cluster"))
+      val next = labels.join(viaNeighbors, "id")
+        .select(col("id"), least(col("cluster"), col("new_cluster")).as("cluster"))
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // ---------- character n-gram Jaccard ----------
 
   /** Distinct character n-grams of the text. */

@@ -110,6 +110,19 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) || lsh.forall(p => brute.exists(_._1 == p._1)))
   }
 
+  test("near-dup clustering: transitive pairs collapse to min-id components") {
+    val ids = (0L to 7L).toDF("doc_id")
+    // components: {0,1,2,3} via chain, {5,6}, singletons {4}, {7}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterNearDups(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // keep-one-per-cluster: representatives only
+    val kept = clusters.filter { case (id, c) => id == c }.keySet
+    assert(kept === Set(0L, 4L, 5L, 7L))
+  }
+
   test("IVF ANN: high recall vs brute force at nprobe=half the cells") {
     val vecs = Tables.embeddings(spark, sf()).limit(300)
     val q = vecs.filter(col("vec_id") < 3)

@@ -50,6 +50,18 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Full dedup pipeline: MinHash-LSH pairs → connected components →
+    * keep the min-id representative per cluster (rows-only: hash-based). */
+  private def dedupClusterKeepers: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 16, shingleK = 2, bands = 8, threshold = 0.5)
+    Dedup.clusterNearDups(pairs, docs.select("doc_id"))
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------- text analysis ----------------
 
   private def textTokenStats: Q = (s, d) =>
@@ -122,6 +134,7 @@ object Pipeline {
     "dedup_minhash_pairs"  -> dedupMinhashPairs,
     "dedup_simhash_pairs"  -> dedupSimhashPairs,
     "dedup_ngram_pairs"    -> dedupNgramPairs,
+    "dedup_cluster_keepers" -> dedupClusterKeepers,
     "text_token_stats"     -> textTokenStats,
     "text_quality_source"  -> textQualityBySource,
     "text_langid"          -> textLangidConfusion,

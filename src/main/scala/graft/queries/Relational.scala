@@ -478,7 +478,7 @@ object Relational {
          FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
     "rel_json_events" ->
       """SELECT event_type, count(*) AS cnt,
-         sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
     "rel_distinct_users" ->

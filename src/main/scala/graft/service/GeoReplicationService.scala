@@ -110,50 +110,102 @@ final class GeoReplicationService(spark: SparkSession,
 
   // ---------------- sync path (Y9-Y13) ----------------
 
+  private case class PreparedEvent(eventId: String, entry: String, commitId: String,
+                                   eventType: String, status: Option[String],
+                                   files: Seq[String] = Nil, ns: String = "",
+                                   table: String = "", watermarkMs: Long = 0L,
+                                   manifest: Seq[(String, String, String)] = Nil)
+
+  /** Copy batches launched by processPendingEvents — test observability:
+    * a whole pending backlog must cost O(1) copy jobs, not O(events). */
+  @volatile private[graft] var copyBatches: Int = 0
+
   /** Process every pending event for a region: metadata sync ensures the
     * replica table + registry entry; data sync copies exactly the files
-    * ADDED by the commit (snapshot-diff semantics) with a distributed,
-    * exists-guarded copy, then CAS-commits them on the replica (the
-    * t1→t6 DAG of the design doc). Returns (completed, failed). */
+    * ADDED by the commit (snapshot-diff semantics), then CAS-commits them
+    * on the replica (the t1→t6 DAG of the design doc).
+    *
+    * Data-plane parallelism (reference SyncOrchestrator.scala:29
+    * `ZIO.foreachPar`, Spark-shaped): ALL DataSync manifests in the batch
+    * union into ONE distributed exists-guarded copy (per-file failures
+    * tolerated), and per-event success is derived from one distributed
+    * existence probe grouped by event — O(1) Spark jobs per backlog,
+    * never a driver-serial copy loop. Metadata prep and the final
+    * per-event catalog commits are metadata-scale driver work.
+    * Returns (completed, failed). */
   def processPendingEvents(region: String): (Int, Int) = {
     val pending = pendingEvents(region)
-      .select("event_id", "table_entry", "commit_id", "event_type", "target_region")
+      .select("event_id", "table_entry", "commit_id", "event_type")
       .collect()
-    var ok = 0; var bad = 0
-    val updates = pending.map { r =>
-      val (eventId, entry, commitId, eventType) =
-        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
-      val Array(ns, table) = entry.split("\\.", 2)
-      val status =
-        try {
-          if (unavailableRegions.contains(region))
-            throw new IllegalStateException(s"region $region unavailable")
-          eventType match {
-            case "MetadataSync" =>
-              if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
-              if (!tableRegions(ns, table).contains(region)) registerTable(ns, table, region)
-            case "DataSync" =>
-              val src = findSourceCatalog(ns, table, commitId)
-              val snap = src.byCommitId(ns, table, commitId).get
-              val parentFiles = snap.parentId
-                .flatMap(pid => src.byCommitId(ns, table, pid)).map(_.files.toSet)
-                .getOrElse(Set.empty)
-              val added = snap.files.filterNot(parentFiles) // Y14 diff
-              if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
-              val manifest = added
-                .map(f => (src.tablePath(ns, table).resolve(f).toString,
-                           regions(region).tablePath(ns, table).resolve(f).toString))
-                .toDF("src_path", "dst_path")
-              StorageOps.distributedCopy(manifest)
-              regions(region).commitFiles(ns, table, added, sourceRegion = region)
-              advanceWatermark(entry, region, snap.timestampMs)
-            case other => throw new IllegalArgumentException(s"unknown event type $other")
-          }
-          ok += 1; "Completed"
-        } catch { case _: Exception => bad += 1; "Failed" }
-      (eventId, entry, commitId, eventType, region, status, System.currentTimeMillis())
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val regionDown = unavailableRegions.contains(region)
+
+    // phase 1: metadata-scale prep — metadata syncs execute immediately;
+    // each DataSync resolves its snapshot diff into (event, src, dst) rows.
+    val preps: Seq[PreparedEvent] = pending.toSeq.map { case (eventId, entry, commitId, eventType) =>
+      try {
+        if (regionDown) throw new IllegalStateException(s"region $region unavailable")
+        val Array(ns, table) = entry.split("\\.", 2)
+        eventType match {
+          case "MetadataSync" =>
+            if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
+            if (!tableRegions(ns, table).contains(region)) registerTable(ns, table, region)
+            PreparedEvent(eventId, entry, commitId, eventType, Some("Completed"))
+          case "DataSync" =>
+            val src = findSourceCatalog(ns, table, commitId)
+            val snap = src.byCommitId(ns, table, commitId).get
+            val parentFiles = snap.parentId
+              .flatMap(pid => src.byCommitId(ns, table, pid)).map(_.files.toSet)
+              .getOrElse(Set.empty)
+            val added = snap.files.filterNot(parentFiles) // Y14 diff
+            if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
+            PreparedEvent(eventId, entry, commitId, eventType, None, added, ns, table,
+              snap.timestampMs,
+              added.map(f => (eventId,
+                src.tablePath(ns, table).resolve(f).toString,
+                regions(region).tablePath(ns, table).resolve(f).toString)))
+          case other => throw new IllegalArgumentException(s"unknown event type $other")
+        }
+      } catch { case _: Exception =>
+        PreparedEvent(eventId, entry, commitId, eventType, Some("Failed"))
+      }
     }
-    if (updates.nonEmpty) appendEvents(updates.toSeq)
+
+    // phase 2: ONE union copy job for the whole batch, then ONE
+    // distributed verification probe → per-event verdicts.
+    val dataSyncs = preps.filter(_.status.isEmpty)
+    val okEvents: Set[String] = if (dataSyncs.isEmpty) Set.empty else {
+      val manifest = dataSyncs.flatMap(_.manifest)
+        .toDF("event_id", "src_path", "dst_path")
+      copyBatches += 1
+      StorageOps.distributedCopy(manifest, tolerant = true)
+      val verified = StorageOps.existsProbe(manifest, "dst_path", "event_id")
+        .groupBy(col("event_id"))
+        .agg(min(col("exists").cast("int")).as("all_ok"))
+        .filter(col("all_ok") === 1)
+        .select("event_id").as[String].collect().toSet
+      // events whose snapshot diff was empty are trivially complete
+      verified ++ dataSyncs.filter(_.manifest.isEmpty).map(_.eventId)
+    }
+
+    // phase 3: per-event catalog commits (metadata-scale) + status append.
+    var ok = 0; var bad = 0
+    val now = System.currentTimeMillis()
+    val updates = preps.map { p =>
+      val status = p.status.getOrElse {
+        if (okEvents.contains(p.eventId)) {
+          try {
+            regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region)
+            advanceWatermark(p.entry, region, p.watermarkMs)
+            "Completed"
+          } catch { case _: Exception => "Failed" }
+        } else "Failed"
+      }
+      if (status == "Completed") ok += 1 else bad += 1
+      (p.eventId, p.entry, p.commitId, p.eventType, region, status, now)
+    }
+    if (updates.nonEmpty) appendEvents(updates)
     (ok, bad)
   }
 

@@ -83,28 +83,63 @@ object StorageOps {
 
   /** Copy every (srcPathCol, dstPathCol) row of `manifest` using executor-
     * side FileSystem clients. Returns copied count. Exists-guarded
-    * (idempotent re-runs, reference SyncOrchestrator.scala:114-118). */
+    * (idempotent re-runs, reference SyncOrchestrator.scala:114-118).
+    *
+    * `tolerant = true` turns a per-file failure (e.g. vanished source)
+    * into a skip instead of failing the whole job — callers that batch
+    * many logical events into one manifest (the sync worker) derive
+    * per-event success from [[existsProbe]] afterwards. */
   def distributedCopy(manifest: DataFrame, srcPathCol: String = "src_path",
-                      dstPathCol: String = "dst_path"): Long = {
+                      dstPathCol: String = "dst_path", tolerant: Boolean = false): Long =
+    distributedCopyStats(manifest, srcPathCol, dstPathCol, tolerant)._1
+
+  /** [[distributedCopy]] with (filesCopied, bytesCopied) accounting (E3 /
+    * S6 progress metrics come from these accumulators). */
+  def distributedCopyStats(manifest: DataFrame, srcPathCol: String = "src_path",
+                           dstPathCol: String = "dst_path",
+                           tolerant: Boolean = false): (Long, Long) = {
     val spark = manifest.sparkSession
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val copied = spark.sparkContext.longAccumulator("files_copied")
+    val bytes = spark.sparkContext.longAccumulator("bytes_copied")
     manifest.select(col(srcPathCol), col(dstPathCol)).foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
         val conf = confSer.value
         rows.foreach { r =>
-          val src = new HPath(r.getString(0))
-          val dst = new HPath(r.getString(1))
-          val dstFs = dst.getFileSystem(conf)
-          if (!dstFs.exists(dst)) {
-            val srcFs = src.getFileSystem(conf)
-            dstFs.mkdirs(dst.getParent)
-            FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
-            copied.add(1)
-          }
+          try {
+            val src = new HPath(r.getString(0))
+            val dst = new HPath(r.getString(1))
+            val dstFs = dst.getFileSystem(conf)
+            if (!dstFs.exists(dst)) {
+              val srcFs = src.getFileSystem(conf)
+              dstFs.mkdirs(dst.getParent)
+              FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
+              copied.add(1)
+              bytes.add(dstFs.getFileStatus(dst).getLen)
+            }
+          } catch { case e: Exception => if (!tolerant) throw e }
         }
     }
-    copied.value
+    (copied.value, bytes.value)
+  }
+
+  /** Distributed existence probe: one boolean per manifest row, evaluated
+    * with executor-side FileSystem clients (no driver HEAD loop). The
+    * string `keyCol` rides along for downstream per-group verdicts. */
+  def existsProbe(manifest: DataFrame, pathCol: String = "dst_path",
+                  keyCol: String = "event_id"): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    manifest.select(col(keyCol).cast("string"), col(pathCol)).as[(String, String)]
+      .mapPartitions { rows =>
+        val conf = confSer.value
+        rows.map { case (key, p0) =>
+          val p = new HPath(p0)
+          (key, p0, p.getFileSystem(conf).exists(p))
+        }
+      }.toDF(keyCol, pathCol, "exists")
   }
 }

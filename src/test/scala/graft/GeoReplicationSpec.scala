@@ -165,6 +165,59 @@ class GeoReplicationSpec extends SparkSpec {
       "a future timestamp is served by no region yet")
   }
 
+  test("a backlog of O(100) pending events costs exactly ONE copy batch (Y9-Y11 parallel dispatch)") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    // 50 commits -> 100 pending events (50 MetadataSync + 50 DataSync)
+    (1 to 50).foreach(i => svc.coordinateWrite("ns", "t", Seq(i.toLong).toDF("id"), "us-east-1"))
+    assert(svc.pendingEvents("eu-west-1").count() === 100)
+
+    svc.copyBatches = 0
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (100, 0))
+    assert(svc.copyBatches === 1,
+      "the whole DataSync backlog must union into one distributed copy job")
+    assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect().sorted
+      === (1L to 50L).toArray)
+  }
+
+  test("S6 async copy jobs: submit/progress/cancel with idempotent resume") {
+    import graft.sources.CopyJobManager
+    val src = Files.createTempDirectory("cj-src")
+    val dst = Files.createTempDirectory("cj-dst")
+    (1 to 40).foreach(i => StorageOps.writeFile(s"$src/f$i.bin", Array.fill(i)(i.toByte)))
+    val manifest = (1 to 40).map(i => (s"$src/f$i.bin", s"$dst/f$i.bin"))
+      .toDF("src_path", "dst_path")
+
+    val mgr = new CopyJobManager(spark)
+    val job = mgr.submit(manifest)
+    val done = mgr.await(job)
+    assert(done.state === "Completed")
+    assert(done.files_copied === 40)
+    assert(done.bytes_copied === (1 to 40).map(_.toLong).sum)
+    // status table is SQL-queryable
+    assert(mgr.statusTable.filter($"state" === "Completed").count() === 1)
+    // cancel on a terminal job is refused
+    assert(!mgr.cancel(job))
+
+    // cancel path: either we catch it running (Cancelled) or it already
+    // finished (cancel refused) — in both cases resubmission converges to
+    // a fully-copied destination because the copy is exists-guarded.
+    val dst2 = Files.createTempDirectory("cj-dst2")
+    val manifest2 = (1 to 40).map(i => (s"$src/f$i.bin", s"$dst2/f$i.bin"))
+      .toDF("src_path", "dst_path")
+    val job2 = mgr.submit(manifest2)
+    val cancelled = mgr.cancel(job2)
+    val st2 = mgr.await(job2)
+    assert(if (cancelled) st2.state === "Cancelled" else st2.state === "Completed")
+    val resume = mgr.await(mgr.submit(manifest2))
+    assert(resume.state === "Completed")
+    assert(StorageOps.listing(spark, dst2.toString).count() === 40)
+    assert(mgr.status("nope").isEmpty)
+  }
+
   test("StorageOps distributed copy is exists-guarded (idempotent)") {
     val src = Files.createTempDirectory("src")
     val dst = Files.createTempDirectory("dst")

@@ -30,6 +30,37 @@ class OperatorsSpec extends SparkSpec {
     assert(plan === Array("f4"))
   }
 
+  test("ReplicationPlanner: stale inventory entry (size/etag mismatch) does not suppress a re-copy") {
+    // f2 is in the inventory but with a stale size; f5 with a stale etag —
+    // both must fall through to stat verification and (stat missing) copy.
+    // f6 has an agreeing inventory entry -> trusted, skipped.
+    val src = Seq(("f2", 20L, "e2"), ("f5", 50L, "e5"), ("f6", 60L, "e6"))
+      .toDF("path", "size_bytes", "etag")
+    val dst = Seq.empty[(String, Long, String)].toDF("path", "size_bytes", "etag")
+    val inv = Seq(("f2", 99L, "e2"), ("f5", 50L, "stale"), ("f6", 60L, "e6"))
+      .toDF("path", "size_bytes", "etag")
+    val stat = Seq.empty[(String, Long, String)].toDF("path", "size_bytes", "etag")
+    val plan = ReplicationPlanner.plan(src, dst, inv, stat)
+      .select("path").as[String].collect().sorted
+    assert(plan === Array("f2", "f5"))
+  }
+
+  test("Bloom plan == exact plan even when the sketch is saturated with false positives") {
+    // 64-bit sketch over 300 inventory paths -> essentially every probe is
+    // a Bloom positive; positives must be resolved against the real
+    // inventory, never dropped (a dropped FP = silent under-replication).
+    val src = (1 to 400).map(i => (s"f$i", i.toLong, s"e$i")).toDF("path", "size_bytes", "etag")
+    val dst = (1 to 50).map(i => (s"f$i", i.toLong, s"e$i")).toDF("path", "size_bytes", "etag")
+    val inv = (51 to 350).map(i => s"f$i").toDF("path")
+    val stat = (351 to 375).map(i => (s"f$i", i.toLong, s"e$i")).toDF("path", "size_bytes", "etag")
+    val exact = ReplicationPlanner.plan(src, dst, inv, stat)
+      .select("path").as[String].collect().sorted
+    val bloom = ReplicationPlanner.planWithBloomInventory(src, dst, inv, stat, bloomBits = 64L)
+      .select("path").as[String].collect().sorted
+    assert(exact === (376 to 400).map(i => s"f$i").toArray.sorted)
+    assert(bloom === exact)
+  }
+
   test("ReplicationPlanner copies files missing from stat entirely") {
     val src = Seq(("f9", 1L, "x")).toDF("path", "size_bytes", "etag")
     val empty = Seq.empty[(String, Long, String)].toDF("path", "size_bytes", "etag")

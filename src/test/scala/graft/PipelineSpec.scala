@@ -110,6 +110,19 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(brute) || lsh.forall(p => brute.exists(_._1 == p._1)))
   }
 
+  test("lshBucket derives dims from the vector: 32-dim vectors land in non-degenerate buckets") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val buckets = vecs.select(Similarity.lshBucket(col("embedding"), 8).as("b"))
+      .as[Long].collect()
+    assert(buckets.distinct.length > 1,
+      "a hardcoded dims > vector length would null every plane and collapse all buckets")
+    // deterministic: same input -> same bucket
+    val again = vecs.select(Similarity.lshBucket(col("embedding"), 8).as("b")).as[Long].collect()
+    assert(buckets.toSeq === again.toSeq)
+  }
+
   test("near-dup clustering: transitive pairs collapse to min-id components") {
     val ids = (0L to 7L).toDF("doc_id")
     // components: {0,1,2,3} via chain, {5,6}, singletons {4}, {7}

@@ -58,6 +58,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       Files.deleteIfExists(p)
     }
     rm(tableDir(ns, name))
+    // a re-created table restarts at v0 on the same paths — drop any
+    // cached snapshots under this table's meta dir
+    val prefix = metaDir(ns, name).toAbsolutePath
+    snapshotCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   def tableExists(ns: String, name: String): Boolean =
@@ -87,19 +91,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       s""""files":[${s.files.map(q).mkString(",")}]}"""
   }
 
+  // Real JSON parsing (Jackson, already on Spark's classpath) — the
+  // writer escapes quotes/backslashes, so paths containing `"`, `,` or
+  // `]` must survive a round trip; a regex tokenizer cannot unescape.
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def parseJson(j: String): Snapshot = {
-    def str(k: String): Option[String] =
-      (s""""$k":"([^"]*)"""").r.findFirstMatchIn(j).map(_.group(1))
-    def num(k: String): Long =
-      (s""""$k":(\\d+)""").r.findFirstMatchIn(j).map(_.group(1).toLong).getOrElse(0L)
-    val files = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
-      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    val sizes = """"fileSizes":\[([^\]]*)\]""".r.findFirstMatchIn(j).map(_.group(1)).getOrElse("")
-      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    Snapshot(num("seq"), str("commitId").get,
-      if (j.contains(""""parentId":null""")) None else str("parentId"),
-      num("timestampMs"), files, str("sourceRegion").getOrElse(""), sizes)
+    val n = jsonMapper.readTree(j)
+    Snapshot(
+      n.get("seq").asLong(),
+      n.get("commitId").asText(),
+      Option(n.get("parentId")).filterNot(_.isNull).map(_.asText()),
+      n.get("timestampMs").asLong(),
+      n.get("files").elements().asScala.map(_.asText()).toSeq,
+      Option(n.get("sourceRegion")).map(_.asText()).getOrElse(""),
+      Option(n.get("fileSizes")).map(_.elements().asScala.map(_.asLong()).toSeq)
+        .getOrElse(Seq.empty))
   }
+
+  // Published version files are immutable (hard-link create-if-absent), so
+  // parsed snapshots cache by path forever; without this every commit's
+  // CAS loop re-reads the whole log — O(V²) parses across a table's life.
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, Snapshot]()
 
   /** C9/C11: snapshots ordered by sequence. */
   def snapshots(ns: String, name: String): Seq[Snapshot] = {
@@ -107,7 +121,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (!Files.isDirectory(md)) return Seq.empty
     Files.list(md).iterator().asScala
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-      .map(p => parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      .map(p => snapshotCache.computeIfAbsent(p.toAbsolutePath, ap =>
+        parseJson(new String(Files.readAllBytes(ap), StandardCharsets.UTF_8))))
       .toSeq.sortBy(_.seq)
   }
 

@@ -88,6 +88,21 @@ object ControlTables {
       (col("r_regionkey") =!= 3).as("storage_available"),
       (col("r_regionkey") % 2 === 0).as("active"))
 
+  /** GC execution log (G3): one state transition per events row; path
+    * collisions (event_id % 997) give multiple transitions per
+    * (execution, path) so the latest-state resolution is meaningful. */
+  def gcExecutions(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, d).select(
+      concat(lit("exec-"), (col("user_id") % 10).cast("string")).as("execution_id"),
+      concat(lit("s3://gc/"), (col("event_id") % 997).cast("string")).as("path"),
+      when(k % 5 === 0, "planned").when(k % 5 === 1, "deleting")
+        .when(k % 5 === 2, "deleted").when(k % 5 === 3, "missing")
+        .otherwise("error").as("state"),
+      col("ts").as("updated_at_ms"),
+      col("event_id"))
+  }
+
   /** Commit log: one commit per orders row (table_id = o_custkey). */
   def commits(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(

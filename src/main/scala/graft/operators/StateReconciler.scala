@@ -34,4 +34,20 @@ object StateReconciler {
     * visibility (reference StateReconciler.java:79). */
   def promotionSafe(manifest: DataFrame, dstStat: DataFrame): Boolean =
     defects(manifest, dstStat).isEmpty
+
+  /** L0 sampling verification (doc iceberg-arch-hybrid-replica-dr.md:
+    * 148-158, 264-267): verify a sample of k = clamp(ceil(total·p), kMin,
+    * kMax) files before paying for a full reconcile. The sample is the k
+    * hash-smallest paths (md5) — deterministic, engine-portable, unbiased
+    * w.r.t. path structure — and orderBy+limit plans as a distributed
+    * TakeOrderedAndProject, not a global sort. `total` costs one count
+    * job (metadata scale). */
+  def sampledDefects(manifest: DataFrame, dstStat: DataFrame, p: Double,
+                     kMin: Int, kMax: Int, pathCol: String = "path",
+                     sizeCol: String = "size_bytes"): DataFrame = {
+    val total = manifest.count()
+    val k = math.min(math.max(math.ceil(total * p).toLong, kMin.toLong), kMax.toLong).toInt
+    val sample = manifest.orderBy(md5(col(pathCol)), col(pathCol)).limit(k)
+    defects(sample, dstStat, pathCol, sizeCol)
+  }
 }

@@ -59,4 +59,24 @@ object SyncOps {
       .when(lag < orange, "Yellow")
       .when(lag < red, "Orange")
       .otherwise("Red")
+
+  /** Scalar dual of [[backpressureTier]] for driver-side controllers. */
+  def tierOf(lag: Double,
+             yellow: Double = 1e4, orange: Double = 5e4, red: Double = 2e5): String =
+    if (lag < yellow) "Green"
+    else if (lag < orange) "Yellow"
+    else if (lag < red) "Orange"
+    else "Red"
+
+  /** Y20 closed loop: per-trigger admission limit by tier (doc
+    * iceberg-arch-hybrid-replica-dr.md:478-505). None = unthrottled; on a
+    * file-source stream this value maps onto `maxFilesPerTrigger`, on the
+    * event worker it caps how many pending events a trigger drains.
+    * Red pauses ingestion entirely so the backlog drains. */
+  def throttleLimit(tier: String, base: Int = 1000): Option[Int] = tier match {
+    case "Green"  => None
+    case "Yellow" => Some(base)
+    case "Orange" => Some(math.max(1, base / 10))
+    case _        => Some(0)
+  }
 }

@@ -184,14 +184,26 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("new_cluster"))
-      val next = labels.join(viaNeighbors, "id")
+      val hopped = labels.join(viaNeighbors, "id")
         .select(col("id"), least(col("cluster"), col("new_cluster")).as("cluster"))
+      // pointer jumping: follow each label to ITS label (cluster :=
+      // label(cluster)), squaring the propagation distance per round —
+      // O(log diameter) convergence, so a chain-shaped component longer
+      // than maxIterations hops cannot silently split (one-hop-only
+      // propagation needs O(diameter) rounds).
+      val next = hopped.as("a")
+        .join(hopped.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
+              col("a.cluster") === col("b.cid"))
+        .select(col("a.id").as("id"), least(col("a.cluster"), col("ccluster")).as("cluster"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusterNearDups did not converge in $maxIterations rounds; raise maxIterations")
     labels
   }
 

@@ -124,6 +124,19 @@ object ControlPlane {
       .select(col("path"), col("defect")).orderBy(col("path"))
   }
 
+  /** Y16-L0 sampled verification: defects over the k hash-smallest
+    * manifest paths, k = clamp(ceil(total·2%), 100, 500). */
+  private def verifySample: Q = (s, d) => {
+    val files = ControlTables.fileInventory(s, d)
+    val manifest = files.filter(col("shipped_at") >= lit("1997-06-01"))
+      .select("path", "size_bytes")
+    val stat = files.filter(col("shipped_at") >= lit("1997-06-01") && !(col("l_discount") > 0.09))
+      .select(col("path"),
+        (col("size_bytes") + when(col("l_tax") > 0.05, 1).otherwise(0)).as("size_bytes"))
+    StateReconciler.sampledDefects(manifest, stat, p = 0.02, kMin = 100, kMax = 500)
+      .select(col("path"), col("defect")).orderBy(col("path"))
+  }
+
   /** E4 per-region sync progress + ETA. */
   private def syncProgress: Q = (s, d) =>
     SyncOps.progress(ControlTables.syncEvents(s, d))
@@ -193,6 +206,15 @@ object ControlPlane {
       .select(col("path"), col("region")).orderBy(col("path"))
   }
 
+  /** G3 gc_executions state machine: latest state per (execution, path)
+    * — timestamp, then state precedence, then event id break ties —
+    * rolled up by state. */
+  private def gcExecStatus: Q = (s, d) =>
+    GcExecutor.currentState(ControlTables.gcExecutions(s, d),
+        tieBreak = Seq(col("event_id").desc))
+      .groupBy(col("state")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("state"))
+
   // ======================= §2.6 read routing =======================
 
   /** Q3/Q4 weighted region scoring (0.7/0.3 weights, 0.3 inactive floor). */
@@ -256,6 +278,16 @@ object ControlPlane {
   private def catPaginated: Q = (s, d) =>
     Tables.part(s, d).select(col("p_name")).distinct()
       .orderBy(col("p_name")).offset(50).limit(25)
+
+  /** C8/Y3 continuation-token pagination: the third 25-row page reached
+    * by chaining opaque tokens (keyset form — each page is one
+    * distributed top-k, no offset rescans). */
+  private def catPaginatedToken: Q = (s, d) => {
+    val names = Tables.part(s, d).select(col("p_name")).distinct()
+    val t1 = Pagination.nextToken(names, "p_name", 25, None)
+    val t2 = Pagination.nextToken(names, "p_name", 25, t1)
+    Pagination.page(names, "p_name", 25, t2)
+  }
 
   /** C9 commit history for one table, newest first. */
   private def catHistory: Q = (s, d) =>
@@ -354,6 +386,7 @@ object ControlPlane {
     "sync_replication_plan"  -> replicationPlan,
     "sync_replication_bloom" -> replicationPlanBloom,
     "sync_recon_defects"     -> reconDefects,
+    "sync_verify_sample"     -> verifySample,
     "sync_progress_eta"      -> syncProgress,
     "sync_backpressure"      -> backpressure,
     "sync_fast_forward"      -> fastForward,
@@ -369,6 +402,7 @@ object ControlPlane {
     "registry_stats"         -> registryStats,
     "registry_lookup"        -> registryLookup,
     "cat_paginated"          -> catPaginated,
+    "cat_paginated_token"    -> catPaginatedToken,
     "cat_history"            -> catHistory,
     "cat_latest"             -> catLatest,
     "cat_batch"              -> catBatch,
@@ -376,6 +410,7 @@ object ControlPlane {
     "storage_stats"          -> storageStats,
     "slo_percentiles"        -> sloPercentiles,
     "gc_lease_guard"         -> gcLeaseGuard,
+    "gc_exec_status"         -> gcExecStatus,
     "slo_approx"             -> sloApprox,
   )
 
@@ -534,6 +569,27 @@ object ControlPlane {
           WHERE c_custkey < 100 ORDER BY c_custkey""",
     "cat_paginated" ->
       """SELECT DISTINCT p_name FROM part ORDER BY p_name LIMIT 25 OFFSET 50""",
+    // keyset pagination over unique sorted keys is positionally identical
+    // to offset pagination — the token form must land on the same page 3
+    "cat_paginated_token" ->
+      """SELECT DISTINCT p_name FROM part ORDER BY p_name LIMIT 25 OFFSET 50""",
+    "sync_verify_sample" ->
+      s"""WITH $FILES,
+          manifest AS (SELECT path, size_bytes FROM files WHERE shipped_at >= TIMESTAMP '1997-06-01'),
+          stat AS (SELECT path, size_bytes + CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END AS stat_size
+                   FROM files WHERE shipped_at >= TIMESTAMP '1997-06-01' AND NOT (l_discount > 0.09)),
+          sampled AS (
+            SELECT path, size_bytes FROM (
+              SELECT m.path, m.size_bytes,
+                     row_number() OVER (ORDER BY md5(m.path), m.path) AS rn,
+                     count(*) OVER () AS total
+              FROM manifest m) t
+            WHERE rn <= least(greatest(CAST(ceil(total * 0.02) AS BIGINT), 100), 500))
+          SELECT s.path,
+                 CASE WHEN st.stat_size IS NULL THEN 'missing' ELSE 'size_mismatch' END AS defect
+          FROM sampled s LEFT JOIN stat st ON s.path = st.path
+          WHERE st.stat_size IS NULL OR st.stat_size <> s.size_bytes
+          ORDER BY s.path""",
     "cat_history" ->
       s"""WITH $COMMITS SELECT table_id, commit_seq, committed_at FROM commits
           WHERE table_id % 100 = 7
@@ -581,6 +637,26 @@ object ControlPlane {
                             WHERE p.table_entry = c.table_entry
                               AND p.pinned_seq = c.pinned_seq)
           ORDER BY path""",
+    "gc_exec_status" ->
+      """WITH gx AS (
+           SELECT 'exec-' || (user_id % 10) AS execution_id,
+                  's3://gc/' || (event_id % 997) AS path,
+                  CASE CAST(json_extract_string(props, '$.k') AS INT) % 5
+                    WHEN 0 THEN 'planned' WHEN 1 THEN 'deleting'
+                    WHEN 2 THEN 'deleted' WHEN 3 THEN 'missing'
+                    ELSE 'error' END AS state,
+                  CAST(ts AS TIMESTAMP) AS updated_at, event_id
+           FROM events),
+         cur AS (
+           SELECT state FROM (
+             SELECT state, row_number() OVER (
+               PARTITION BY execution_id, path
+               ORDER BY updated_at DESC,
+                        CASE state WHEN 'planned' THEN 0 WHEN 'deleting' THEN 1
+                                   WHEN 'error' THEN 2 ELSE 3 END DESC,
+                        event_id DESC) AS rn
+             FROM gx) t WHERE rn = 1)
+         SELECT state, count(*) AS cnt FROM cur GROUP BY 1 ORDER BY 1""",
     "slo_percentiles" ->
       s"""WITH $EV SELECT event_type,
           round(quantile_cont(duration_ms, 0.5), 4) AS p50,

@@ -41,6 +41,13 @@ final class GeoReplicationService(spark: SparkSession,
   /** Regions currently failing storage probes (test injection point). */
   @volatile var unavailableRegions: Set[String] = Set.empty
 
+  /** Monotonic append sequence: two appends can land in the same
+    * millisecond, so every latest-row window orders by (ts, seq) — a
+    * wall-clock tie must never let a stale status shadow a newer row.
+    * (On a multi-driver deployment the catalog commit seq plays this
+    * role; here one driver owns the system tables.) */
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ---------------- registry (R1-R6) ----------------
 
   def registerTable(ns: String, table: String, region: String): Unit =
@@ -58,12 +65,14 @@ final class GeoReplicationService(spark: SparkSession,
 
   private def appendEvents(rows: Seq[(String, String, String, String, String, String, Long)]): Unit =
     sys.commitAppend("_system", "sync_events",
-      rows.toDF("event_id", "table_entry", "commit_id", "event_type", "target_region",
-                "status", "ts"))
+      rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, appendSeq.getAndIncrement()))
+        .toDF("event_id", "table_entry", "commit_id", "event_type", "target_region",
+              "status", "ts", "seq"))
 
-  /** Current status per event = latest appended row (ranked window). */
+  /** Current status per event = latest appended row (ranked window;
+    * same-millisecond appends resolve by the monotonic seq). */
   def eventLog: DataFrame = {
-    val w = Window.partitionBy(col("event_id")).orderBy(col("ts").desc)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ts").desc, col("seq").desc)
     sys.read("_system", "sync_events")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
@@ -218,14 +227,15 @@ final class GeoReplicationService(spark: SparkSession,
 
   private def advanceWatermark(entry: String, region: String, watermarkMs: Long): Unit =
     sys.commitAppend("_system", "consistency_tokens",
-      Seq((entry, region, watermarkMs, System.currentTimeMillis()))
-        .toDF("table_entry", "region", "high_watermark_ms", "ts"))
+      Seq((entry, region, watermarkMs, System.currentTimeMillis(), appendSeq.getAndIncrement()))
+        .toDF("table_entry", "region", "high_watermark_ms", "ts", "seq"))
 
   /** Latest watermark per (table, region). */
   def consistencyTokens: DataFrame = {
-    val w = Window.partitionBy(col("table_entry"), col("region")).orderBy(col("ts").desc)
+    val w = Window.partitionBy(col("table_entry"), col("region"))
+      .orderBy(col("ts").desc, col("seq").desc)
     sys.read("_system", "consistency_tokens")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn", "ts")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn", "ts", "seq")
   }
 
   /** Q9: regions able to serve `ns.table` at `requiredMs` freshness. The
@@ -250,17 +260,20 @@ final class GeoReplicationService(spark: SparkSession,
 
   def requestCommitApproval(commitId: String, regionsAsked: Seq[String]): Unit =
     sys.commitAppend("_system", "approvals",
-      regionsAsked.map(r => (commitId, r, None: Option[Boolean], System.currentTimeMillis()))
-        .toDF("commit_id", "region", "approved", "ts"))
+      regionsAsked.map(r => (commitId, r, None: Option[Boolean], System.currentTimeMillis(),
+                             appendSeq.getAndIncrement()))
+        .toDF("commit_id", "region", "approved", "ts", "seq"))
 
   def vote(commitId: String, region: String, approve: Boolean): Unit =
     sys.commitAppend("_system", "approvals",
-      Seq((commitId, region, Some(approve): Option[Boolean], System.currentTimeMillis()))
-        .toDF("commit_id", "region", "approved", "ts"))
+      Seq((commitId, region, Some(approve): Option[Boolean], System.currentTimeMillis(),
+           appendSeq.getAndIncrement()))
+        .toDF("commit_id", "region", "approved", "ts", "seq"))
 
   /** W4: all asked regions answered AND all answered true. */
   def isCommitApproved(commitId: String): Boolean = {
-    val w = Window.partitionBy(col("commit_id"), col("region")).orderBy(col("ts").desc)
+    val w = Window.partitionBy(col("commit_id"), col("region"))
+      .orderBy(col("ts").desc, col("seq").desc)
     val latest = sys.read("_system", "approvals")
       .filter(col("commit_id") === commitId)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

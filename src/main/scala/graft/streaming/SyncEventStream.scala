@@ -77,4 +77,24 @@ object SyncEventStream {
     * processPendingEvents. */
   def pendingWorker(events: DataFrame, process: DataFrame => DataFrame): DataFrame =
     process(events.filter(col("status") === "Pending"))
+
+  /** Y20 CLOSED-LOOP worker: the tier computed from the batch's own
+    * pending lag (sum of duration_ms) throttles how much of the batch is
+    * admitted to `process` — Green drains everything, Yellow/Orange cap
+    * the drain (oldest first), Red admits nothing so the copy plane can
+    * catch up. The same limit maps to `maxFilesPerTrigger` when the
+    * source is a file stream. Returns (tier, processed-result). */
+  def throttledPendingWorker(events: DataFrame, process: DataFrame => DataFrame,
+                             base: Int = 1000): (String, DataFrame) = {
+    import graft.operators.SyncOps
+    val pending = events.filter(col("status") === "Pending")
+    val lag = pending.agg(coalesce(sum(col("duration_ms")), lit(0.0)))
+      .collect().head.getDouble(0)
+    val tier = SyncOps.tierOf(lag)
+    val admitted = SyncOps.throttleLimit(tier, base) match {
+      case Some(n) => pending.orderBy(col("created_at"), col("event_id")).limit(n)
+      case None    => pending
+    }
+    (tier, process(admitted))
+  }
 }

@@ -25,6 +25,19 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.tableExists("analytics", "clicks"))
   }
 
+  test("commit log round-trips paths containing quotes, commas, brackets and backslashes") {
+    val wh = Files.createTempDirectory("graft-wh-weird").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "t")
+    val weird = """we"ird,na]me \back [x].parquet"""
+    Files.write(cat.tablePath("ns", "t").resolve(s"data/$weird"), Array[Byte](1, 2))
+    cat.commitFiles("ns", "t", Seq(s"data/$weird"), "local")
+    // a SECOND catalog instance has a cold cache -> must re-parse the log
+    val reread = new GraftCatalog(spark, wh).latest("ns", "t").get
+    assert(reread.files === Seq(s"data/$weird"))
+    assert(reread.fileEntries === Seq((s"data/$weird", 2L)))
+  }
+
   test("append commits chain parents and accumulate files; time travel reads exact versions") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -61,6 +61,45 @@ class OperatorsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("G3 gc_executions: planned -> deleting -> terminal, idempotent re-runs") {
+    import graft.sources.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("gcx")
+    StorageOps.writeFile(s"$dir/a.bin", Array[Byte](1))
+    StorageOps.writeFile(s"$dir/b.bin", Array[Byte](2))
+    // c.bin never existed -> must resolve to 'missing'
+    val plan = Seq(s"$dir/a.bin", s"$dir/b.bin", s"$dir/c.bin").toDF("path")
+    var log = GcExecutor.planRows(plan, "exec-1", 1000L)
+    log = log.unionByName(GcExecutor.executeRound(log, "exec-1", 2000L)).localCheckpoint()
+
+    val cur = GcExecutor.currentState(log)
+      .select("path", "state").as[(String, String)].collect().toMap
+    assert(cur(s"$dir/a.bin") === "deleted")
+    assert(cur(s"$dir/b.bin") === "deleted")
+    assert(cur(s"$dir/c.bin") === "missing")
+    assert(!StorageOps.fileExists(s"$dir/a.bin"))
+    // idempotence: every path terminal -> empty work set, no new transitions
+    assert(GcExecutor.workSet(log, "exec-1").count() === 0)
+    assert(GcExecutor.executeRound(log, "exec-1", 3000L).count() === 0)
+  }
+
+  test("G3 crash recovery: a dangling 'deleting' marker is retried to terminal") {
+    import graft.sources.StorageOps
+    val dir = java.nio.file.Files.createTempDirectory("gcx2")
+    StorageOps.writeFile(s"$dir/d.bin", Array[Byte](4))
+    val plan = Seq(s"$dir/d.bin").toDF("path")
+    var log = GcExecutor.planRows(plan, "exec-2", 1000L)
+    // simulate a crash after the 'deleting' marker, before any outcome
+    log = log.unionByName(log.select(col("execution_id"), col("path"),
+      lit("deleting").as("state"), lit(2000L).as("updated_at_ms")))
+    assert(GcExecutor.workSet(log, "exec-2").count() === 1)
+    log = log.unionByName(GcExecutor.executeRound(log, "exec-2", 3000L))
+    assert(GcExecutor.currentState(log).select("state").as[String].collect() === Array("deleted"))
+    // same-timestamp tie: terminal outcome outranks the in-flight marker
+    val tied = Seq(("e", "p", "deleting", 5000L), ("e", "p", "deleted", 5000L))
+      .toDF("execution_id", "path", "state", "updated_at_ms")
+    assert(GcExecutor.currentState(tied).select("state").as[String].collect() === Array("deleted"))
+  }
+
   test("ReplicationPlanner copies files missing from stat entirely") {
     val src = Seq(("f9", 1L, "x")).toDF("path", "size_bytes", "etag")
     val empty = Seq.empty[(String, Long, String)].toDF("path", "size_bytes", "etag")

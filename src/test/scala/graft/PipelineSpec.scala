@@ -136,6 +136,16 @@ class PipelineSpec extends SparkSpec {
     assert(kept === Set(0L, 4L, 5L, 7L))
   }
 
+  test("clustering converges on a chain component far longer than the round budget (pointer jumping)") {
+    // a 60-node chain has diameter 59; one-hop propagation would need 59
+    // rounds and silently split at maxIterations=10 — pointer jumping
+    // squares the reach per round, so 10 rounds cover 2^10 hops.
+    val ids = (0L to 59L).toDF("doc_id")
+    val pairs = (0L to 58L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterNearDups(pairs, ids).as[(Long, Long)].collect().toMap
+    assert(clusters.values.toSet === Set(0L), "whole chain must collapse to min id 0")
+  }
+
   test("IVF ANN: high recall vs brute force at nprobe=half the cells") {
     val vecs = Tables.embeddings(spark, sf()).limit(300)
     val q = vecs.filter(col("vec_id") < 3)

@@ -66,6 +66,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token pagination completeness: chained continuation tokens reproduce the full sorted result") {
+    import graft.operators.Pagination
+    samples(Gen.zip(Gen.choose(1, 20), Gen.listOfN(60, Gen.choose(0, 300))), 6) { case (pageSize, xs) =>
+      if (xs.nonEmpty) {
+        val df = xs.map(x => f"k$x%04d").toDF("k").distinct()
+        val full = df.orderBy(col("k")).as[String].collect().toSeq
+        val paged = Pagination.allPages(df, "k", pageSize)
+          .flatMap(_.as[String].collect()).toSeq
+        assert(paged === full)
+      }
+    }
+  }
+
   test("snapshot diff laws: added ∪ kept = newer; removed ∩ newer = ∅") {
     samples(Gen.zip(Gen.listOf(Gen.choose(0, 80)), Gen.listOf(Gen.choose(0, 80))), 8) { case (olds, news) =>
       val o = olds.distinct.toDF("path")

@@ -85,4 +85,26 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("us", 1L)))
     } finally query.stop()
   }
+
+  test("Y20 closed loop: the backpressure tier throttles how much backlog a trigger drains") {
+    import org.apache.spark.sql.functions.col
+    def backlog(n: Int, durationMs: Double) =
+      (1 to n).map(i => (i, f"e$i%03d", "Pending", durationMs))
+        .toDF("created_at", "event_id", "status", "duration_ms")
+
+    // Green (lag < 1e4): everything drains
+    val (t1, r1) = SyncEventStream.throttledPendingWorker(backlog(50, 10.0), identity, base = 20)
+    assert(t1 === "Green" && r1.count() === 50)
+    // Yellow (1e4 <= lag < 5e4): capped at base
+    val (t2, r2) = SyncEventStream.throttledPendingWorker(backlog(30, 1000.0), identity, base = 20)
+    assert(t2 === "Yellow" && r2.count() === 20)
+    // Orange (5e4 <= lag < 2e5): capped at base/10, oldest first
+    val (t3, r3) = SyncEventStream.throttledPendingWorker(backlog(50, 2000.0), identity, base = 20)
+    assert(t3 === "Orange" && r3.count() === 2)
+    assert(r3.orderBy(col("created_at")).select("event_id").as[String].collect()
+      === Array("e001", "e002"))
+    // Red (lag >= 2e5): ingestion pauses so the copy plane catches up
+    val (t4, r4) = SyncEventStream.throttledPendingWorker(backlog(100, 10000.0), identity, base = 20)
+    assert(t4 === "Red" && r4.count() === 0)
+  }
 }

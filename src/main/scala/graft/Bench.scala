@@ -10,6 +10,31 @@ import org.apache.spark.sql.SparkSession
   * reflect steady-state execution, matching how the operators would run
   * inside a long-lived cluster application.
   */
+/** Isolation runner: time a single named query (outlier re-runs on a
+  * noisy host; ROUND_NOTES documents why totals beat single samples). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <queryName> [repeat]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val repeat = if (args.length > 1) args(1).toInt else 1
+    (1 to repeat).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(args(0))(spark, sfDir).count()
+      println(s"""{"query":"${args(0)}","run":$i,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+    }
+    spark.stop()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

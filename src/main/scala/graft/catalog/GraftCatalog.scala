@@ -77,6 +77,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def listTablesPaginated(ns: String, offset: Int, pageSize: Int): Seq[String] =
     listTables(ns).slice(offset, offset + pageSize)
 
+  /** C8: streaming namespace listing — a lazy iterator that pulls
+    * directory entries on demand instead of materializing the namespace
+    * (the reference's listTablesStream; the token-paginated form is
+    * operators.Pagination). Unordered, like a storage LIST. */
+  def listTablesStream(ns: String): Iterator[String] = {
+    val p = Paths.get(warehouse, ns)
+    if (!Files.isDirectory(p)) Iterator.empty
+    else Files.list(p).iterator().asScala.map(_.getFileName.toString)
+  }
+
   // ---- commit log ----
 
   private def versionFile(ns: String, name: String, seq: Long): Path =

@@ -103,6 +103,19 @@ object ControlTables {
       col("event_id"))
   }
 
+  /** Copy jobs (S6): one tracked async copy job per events row — the
+    * warehouse-table shape of CopyJobManager's registry. */
+  def copyJobs(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, d).select(
+      concat(lit("copy-"), col("event_id").cast("string")).as("job_id"),
+      when(k % 4 === 0, "Running").when(k % 4 === 1, "Completed")
+        .when(k % 4 === 2, "Failed").otherwise("Cancelled").as("state"),
+      (col("event_id") % 1000).as("files_copied"),
+      round(col("value") * 1e6).cast("bigint").as("bytes_copied"),
+      col("ts").as("updated_at"))
+  }
+
   /** Commit log: one commit per orders row (table_id = o_custkey). */
   def commits(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(

@@ -337,6 +337,16 @@ object ControlPlane {
       .agg(count(lit(1)).as("file_cnt"), sum(col("size_bytes")).as("total_bytes"))
       .orderBy(col("region"))
 
+  /** S6 copy-job progress rollup per state. */
+  private def copyJobStats: Q = (s, d) =>
+    ControlTables.copyJobs(s, d)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("jobs"),
+           sum(col("bytes_copied")).as("total_bytes"),
+           round(avg(col("files_copied")), 2).as("avg_files"),
+           max(col("updated_at")).as("last_update"))
+      .orderBy(col("state"))
+
   /** G5 lease guard: GC candidates minus snapshots pinned by active
     * query leases (anti-join; reference GCCoordinator.java:86). */
   private def gcLeaseGuard: Q = (s, d) => {
@@ -408,6 +418,7 @@ object ControlPlane {
     "cat_batch"              -> catBatch,
     "path_localize"          -> pathLocalize,
     "storage_stats"          -> storageStats,
+    "storage_copy_jobs"      -> copyJobStats,
     "slo_percentiles"        -> sloPercentiles,
     "gc_lease_guard"         -> gcLeaseGuard,
     "gc_exec_status"         -> gcExecStatus,
@@ -621,6 +632,21 @@ object ControlPlane {
       s"""WITH $FILES SELECT region, count(*) AS file_cnt,
           CAST(sum(size_bytes) AS BIGINT) AS total_bytes
           FROM files GROUP BY 1 ORDER BY 1""",
+    "storage_copy_jobs" ->
+      """WITH cj AS (
+           SELECT 'copy-' || event_id AS job_id,
+                  CASE CAST(json_extract_string(props, '$.k') AS INT) % 4
+                    WHEN 0 THEN 'Running' WHEN 1 THEN 'Completed'
+                    WHEN 2 THEN 'Failed' ELSE 'Cancelled' END AS state,
+                  event_id % 1000 AS files_copied,
+                  CAST(round(value * 1000000) AS BIGINT) AS bytes_copied,
+                  CAST(ts AS TIMESTAMP) AS updated_at
+           FROM events)
+         SELECT state, count(*) AS jobs,
+                CAST(sum(bytes_copied) AS BIGINT) AS total_bytes,
+                round(avg(files_copied), 2) AS avg_files,
+                max(updated_at) AS last_update
+         FROM cj GROUP BY 1 ORDER BY 1""",
     "gc_lease_guard" ->
       s"""WITH $FILES,
           cand AS (SELECT path, 'tbl' || (commit_seq % 10) AS table_entry,

@@ -32,14 +32,16 @@ object Pipeline {
     Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
       .orderBy(col("fp"))
 
-  /** MinHash-LSH near-dups with one-row bands (r=1, 16 bands): a pair with
-    * Jaccard >= 0.5 misses every band with prob (1-0.5)^16 ~ 1.5e-5, so on
-    * this corpus the banded output provably equals the exact-Jaccard pair
-    * set (verified at sf0.01 and sf0.1) — which is what the DuckDB oracle
-    * computes directly from word 2-shingles. */
+  /** MinHash-LSH near-dups, 16 bands × 2 rows: an unrelated pair collides
+    * in a band with prob J² (so the candidate set stays near-linear — r=1
+    * banding floods buckets with every pair sharing one common shingle),
+    * while a planted near-dup at J >= 0.8 misses all 16 bands with prob
+    * (1−0.64)^16 ≈ 7e-8. On this corpus the verified output therefore
+    * equals the exact-Jaccard pair set the DuckDB oracle computes
+    * directly from word 2-shingles (the gate checks that at sf0.01). */
   private def dedupMinhashPairs: Q = (s, d) =>
     Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 16, shingleK = 2, bands = 16, threshold = 0.5)
+        numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private def dedupSimhashPairs: Q = (s, d) =>

@@ -3,7 +3,7 @@ package graft.service
 import java.util.UUID
 
 import graft.catalog.GraftCatalog
-import graft.operators.ReadRouterOps
+import graft.operators.{GcExecutor, ReadRouterOps}
 import graft.sources.StorageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -38,6 +38,9 @@ final class GeoReplicationService(spark: SparkSession,
   sys.createTable("_system", "sync_events")
   sys.createTable("_system", "registry")
 
+  /** E3 counter/gauge surface, fed from distributed-stage accumulators. */
+  val metrics = new graft.operators.Metrics
+
   /** Regions currently failing storage probes (test injection point). */
   @volatile var unavailableRegions: Set[String] = Set.empty
 
@@ -50,16 +53,31 @@ final class GeoReplicationService(spark: SparkSession,
 
   // ---------------- registry (R1-R6) ----------------
 
-  def registerTable(ns: String, table: String, region: String): Unit =
+  def registerTable(ns: String, table: String, region: String): Unit = {
     sys.commitAppend("_system", "registry",
       Seq((s"$ns.$table", region, "Active", System.currentTimeMillis()))
         .toDF("entry", "region", "status", "updated_at"))
+    registryCacheSnapshot = None // invalidate the lookup cache
+  }
 
   def registry: DataFrame = sys.read("_system", "registry")
 
+  // tableRegions runs on EVERY coordinateWrite — without a cache each
+  // write pays a full registry scan + collect. The registry is metadata
+  // scale (entries × regions), so one collect per invalidation amortizes
+  // to a driver map lookup per write.
+  @volatile private var registryCacheSnapshot: Option[Map[String, Seq[String]]] = None
+
+  private def registryMap: Map[String, Seq[String]] =
+    registryCacheSnapshot.getOrElse {
+      val m = registry.select("entry", "region").distinct().collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+      registryCacheSnapshot = Some(m)
+      m
+    }
+
   def tableRegions(ns: String, table: String): Seq[String] =
-    registry.filter(col("entry") === s"$ns.$table")
-      .select("region").distinct().as[String].collect().toSeq.sorted
+    registryMap.getOrElse(s"$ns.$table", Seq.empty)
 
   // ---------------- sync events (Y1-Y8, event-sourced) ----------------
 
@@ -188,7 +206,9 @@ final class GeoReplicationService(spark: SparkSession,
       val manifest = dataSyncs.flatMap(_.manifest)
         .toDF("event_id", "src_path", "dst_path")
       copyBatches += 1
-      StorageOps.distributedCopy(manifest, tolerant = true)
+      val (files, bytes) = StorageOps.distributedCopyStats(manifest, tolerant = true)
+      metrics.increment("sync.files_copied", files)
+      metrics.increment("sync.bytes_copied", bytes)
       val verified = StorageOps.existsProbe(manifest, "dst_path", "event_id")
         .groupBy(col("event_id"))
         .agg(min(col("exists").cast("int")).as("all_ok"))
@@ -208,10 +228,19 @@ final class GeoReplicationService(spark: SparkSession,
             regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region)
             advanceWatermark(p.entry, region, p.watermarkMs)
             "Completed"
-          } catch { case _: Exception => "Failed" }
+          } catch {
+            case _: Exception =>
+              // W8 compensation: the copy landed but the replica commit
+              // failed — delete the staged files so nothing dangles
+              // uncommitted (re-copy on retry is cheap and idempotent).
+              if (p.manifest.nonEmpty)
+                GcExecutor.attemptDeletes(p.manifest.map(_._3).toDF("path")).count()
+              "Failed"
+          }
         } else "Failed"
       }
       if (status == "Completed") ok += 1 else bad += 1
+      metrics.increment(s"sync.events_${status.toLowerCase}")
       (p.eventId, p.entry, p.commitId, p.eventType, region, status, now)
     }
     if (updates.nonEmpty) appendEvents(updates)
@@ -258,27 +287,52 @@ final class GeoReplicationService(spark: SparkSession,
 
   sys.createTable("_system", "approvals")
 
-  def requestCommitApproval(commitId: String, regionsAsked: Seq[String]): Unit =
+  /** W2: ask every region to vote. `timeoutMs` (the reference's timeout
+    * variant) sets a voting deadline — unanswered regions past it turn
+    * the request TimedOut. */
+  def requestCommitApproval(commitId: String, regionsAsked: Seq[String],
+                            timeoutMs: Option[Long] = None): Unit = {
+    val deadline = timeoutMs.map(System.currentTimeMillis() + _)
     sys.commitAppend("_system", "approvals",
       regionsAsked.map(r => (commitId, r, None: Option[Boolean], System.currentTimeMillis(),
-                             appendSeq.getAndIncrement()))
-        .toDF("commit_id", "region", "approved", "ts", "seq"))
+                             appendSeq.getAndIncrement(), deadline))
+        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"))
+  }
 
   def vote(commitId: String, region: String, approve: Boolean): Unit =
     sys.commitAppend("_system", "approvals",
       Seq((commitId, region, Some(approve): Option[Boolean], System.currentTimeMillis(),
-           appendSeq.getAndIncrement()))
-        .toDF("commit_id", "region", "approved", "ts", "seq"))
+           appendSeq.getAndIncrement(), None: Option[Long]))
+        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"))
+
+  private def latestVotes(commitId: String): DataFrame = {
+    val w = Window.partitionBy(col("commit_id"), col("region"))
+      .orderBy(col("ts").desc, col("seq").desc)
+    sys.read("_system", "approvals")
+      .filter(col("commit_id") === commitId)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  /** W2/W4 lifecycle: Approved (all true) / Rejected (any false) /
+    * TimedOut (unanswered past the deadline) / Pending. */
+  def approvalStatus(commitId: String, nowMs: Long = System.currentTimeMillis()): String = {
+    val votes = latestVotes(commitId).select("approved").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Boolean]))
+    if (votes.isEmpty) return "Pending"
+    val deadline = sys.read("_system", "approvals")
+      .filter(col("commit_id") === commitId && col("deadline_ms").isNotNull)
+      .agg(min(col("deadline_ms"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    if (votes.forall(_.contains(true))) "Approved"
+    else if (votes.exists(_.contains(false))) "Rejected"
+    else if (deadline.exists(nowMs > _)) "TimedOut"
+    else "Pending"
+  }
 
   /** W4: all asked regions answered AND all answered true. */
   def isCommitApproved(commitId: String): Boolean = {
-    val w = Window.partitionBy(col("commit_id"), col("region"))
-      .orderBy(col("ts").desc, col("seq").desc)
-    val latest = sys.read("_system", "approvals")
-      .filter(col("commit_id") === commitId)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     val decided = graft.operators.CommitGate.quorum(
-      latest.withColumn("approved", coalesce(col("approved"), lit(false))))
+      latestVotes(commitId).withColumn("approved", coalesce(col("approved"), lit(false))))
     decided.select("approved").as[Boolean].collect().headOption.getOrElse(false)
   }
 

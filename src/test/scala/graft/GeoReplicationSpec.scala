@@ -218,6 +218,64 @@ class GeoReplicationSpec extends SparkSpec {
     assert(mgr.status("nope").isEmpty)
   }
 
+  test("W2 approval timeout: unanswered requests time out; answered ones resolve (reference timeout variant)") {
+    val svc = freshService("us-east-1")
+    svc.requestCommitApproval("c-t1", Seq("us-east-1", "eu-west-1"), timeoutMs = Some(60000L))
+    assert(svc.approvalStatus("c-t1") === "Pending")
+    // past the deadline with missing votes -> TimedOut
+    assert(svc.approvalStatus("c-t1", nowMs = System.currentTimeMillis() + 120000L) === "TimedOut")
+    // full approval beats any deadline
+    svc.vote("c-t1", "us-east-1", approve = true)
+    svc.vote("c-t1", "eu-west-1", approve = true)
+    assert(svc.approvalStatus("c-t1", nowMs = System.currentTimeMillis() + 120000L) === "Approved")
+    // any rejection is terminal
+    svc.vote("c-t1", "eu-west-1", approve = false)
+    assert(svc.approvalStatus("c-t1") === "Rejected")
+  }
+
+  test("E1 typed pub/sub: type filter, wildcard, predicate unsubscribe, isolated handler failure") {
+    import graft.streaming.EventBus
+    val bus = new EventBus[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s1 = bus.subscribe("DataSync")(e => seen += s"data:$e")
+    bus.subscribe("MetadataSync")(e => seen += s"meta:$e")
+    bus.subscribe("*")(e => seen += s"any:$e")
+    bus.subscribe("DataSync")(_ => throw new RuntimeException("boom"))
+
+    assert(bus.publish("DataSync", "e1") === 2, "typed + wildcard ran; thrower did not count")
+    assert(seen.toSeq === Seq("data:e1", "any:e1"))
+    assert(bus.unsubscribe(s1))
+    assert(!bus.unsubscribe(s1), "double unsubscribe is a no-op")
+    assert(bus.unsubscribeWhere(_ == "DataSync") === 1, "predicate removes the thrower")
+    seen.clear()
+    bus.publish("DataSync", "e2")
+    assert(seen.toSeq === Seq("any:e2"), "only the wildcard remains for DataSync")
+  }
+
+  test("E3 metrics: sync worker feeds copy counters; snapshot is SQL-queryable") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    svc.coordinateWrite("ns", "t", Seq(1L, 2L, 3L).toDF("id"), "us-east-1")
+    svc.processPendingEvents("eu-west-1")
+    assert(svc.metrics.counter("sync.files_copied") > 0)
+    assert(svc.metrics.counter("sync.bytes_copied") > 0)
+    assert(svc.metrics.counter("sync.events_completed") === 2)
+    val snap = svc.metrics.asDataFrame(spark)
+      .filter($"kind" === "counter").select("metric").as[String].collect()
+    assert(snap.contains("sync.files_copied"))
+  }
+
+  test("C8 streaming listing pulls lazily and matches the full listing") {
+    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-stream").toString)
+    (1 to 5).foreach(i => cat.createTable("ns", s"t$i"))
+    val it = cat.listTablesStream("ns")
+    assert(it.take(2).toSeq.size === 2, "partial pull must not require the full listing")
+    assert(cat.listTablesStream("ns").toSeq.sorted === (1 to 5).map(i => s"t$i"))
+    assert(cat.listTablesStream("nope").isEmpty)
+  }
+
   test("StorageOps distributed copy is exists-guarded (idempotent)") {
     val src = Files.createTempDirectory("src")
     val dst = Files.createTempDirectory("dst")

@@ -135,6 +135,88 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** PQ-lite (product quantization) ANN — the 100 TB compression path:
+    * vectors split into `m` subvectors, each subspace k-means-quantized
+    * to `ksub` centroids (MLlib, seeded), every vector stored as m small
+    * integer codes (m bytes at ksub<=256 — a 64-dim float vector shrinks
+    * 32×). Queries never touch raw corpus vectors: each query precomputes
+    * an m×ksub inner-product lookup table against the (tiny, broadcast)
+    * codebook, and scoring a corpus vector is m table lookups + adds
+    * (asymmetric distance computation). Vectors are L2-normalized first
+    * so inner product ≡ cosine. The codes table is the only thing
+    * scanned at serving time; at warehouse scale it is a narrow Parquet
+    * table bucketed by IVF cell with PQ codes as payload.
+    *
+    * Returns (query_id, neighbor_id, score, rank) like the other ANN
+    * paths — approximate scores, recall controlled by m/ksub (ScalaTest
+    * checks recall vs brute force; the result is quantizer-defined, so
+    * the driver check is rows-only like IVF/LSH). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = corpus.sparkSession
+    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val dsub = dims / m
+
+    // L2-normalize so inner product == cosine
+    def normalized(df: DataFrame): DataFrame = {
+      val n = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+                             lit(0.0), (a, v) => a + v))
+      df.withColumn("_nvec", transform(col(vecCol), x => x.cast("double") / n))
+    }
+    val c0 = normalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)))
+
+    // one KMeans codebook per subspace (driver loop over m small fits)
+    val withSubs = (0 until m).foldLeft(c0) { (df, j) =>
+      df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
+    }
+    val models = (0 until m).map { j =>
+      new KMeans().setK(ksub).setSeed(seed + j).setFeaturesCol(s"_f$j")
+        .setPredictionCol(s"_c$j").fit(withSubs)
+    }
+    // chained transforms: codes ride as one array<int> column, no joins
+    val coded = models.zipWithIndex.foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
+
+    // per-query LUT: lut[j][c] = <query_sub_j, centroid_{j,c}> (queries are
+    // the small side — computed on the driver, broadcast as literals)
+    val codebooks: Array[Array[Array[Double]]] =
+      models.map(_.clusterCenters.map(_.toArray)).toArray
+    val qRows = normalized(queries.select(col(idCol).as("query_id"), col(vecCol)))
+      .select(col("query_id"), col("_nvec")).collect()
+      .map { r =>
+        val qid = r.get(0)
+        val v = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(m, ksub) { (j, c) =>
+          val cen = codebooks(j)(c)
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += v(j * dsub + i) * cen(i); i += 1 }
+          s
+        }
+        (qid.toString.toLong, lut.map(_.toSeq).toSeq)
+      }
+    import spark.implicits._
+    val qLut = qRows.toSeq.toDF("query_id", "lut")
+
+    // ADC scoring: m lookups + adds per (vector, query)
+    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("lut"), j + 1),
+                                   element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    coded.crossJoin(broadcast(qLut))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(score, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus and queries bucketed identically; neighbors
     * searched only within the query's bucket. Returns ranked matches per
     * query (subset recall vs brute force — tune `planes` down for more

@@ -135,6 +135,12 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def annPqTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 5, m = 8, ksub = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------- multimodal ----------------
 
   private def mmMediaStats: Q = (s, d) =>
@@ -164,6 +170,7 @@ object Pipeline {
     "ann_neardup_pairs"    -> annNearDupPairs,
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
+    "ann_pq_topk"          -> annPqTopK,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
   )

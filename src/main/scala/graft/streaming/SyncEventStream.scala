@@ -61,6 +61,33 @@ object SyncEventStream {
       }
   }
 
+  /** [[lifecycle]] dual that emits the FULL TIMELINE: one row per
+    * requested transition (applied or rejected), not just the final
+    * state per trigger — `flatMapGroupsWithState` instead of
+    * `mapGroupsWithState`, for audit-log sinks that need every hop of
+    * Pending→InProgress→{Completed,Failed}→(retry)Pending. */
+  def lifecycleTimeline(updates: Dataset[EventUpdate])
+                       (implicit spark: SparkSession): Dataset[EventStatus] = {
+    import spark.implicits._
+    updates.groupByKey(_.eventId)
+      .flatMapGroupsWithState[EventState, EventStatus](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (eventId, batch, state: GroupState[EventState]) =>
+          var st = state.getOption.getOrElse(EventState("Pending", 0))
+          val out = batch.toSeq.sortBy(_.eventTime.getTime).map { u =>
+            transition(st.status, u.requested) match {
+              case Some(next) =>
+                st = EventState(next, st.transitions + 1)
+                EventStatus(eventId, u.targetRegion, next, st.transitions, valid = true)
+              case None =>
+                EventStatus(eventId, u.targetRegion, st.status, st.transitions, valid = false)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Watermarked tumbling-window per-region event counts (late data beyond
     * the watermark is dropped). */
   def regionThroughput(events: DataFrame, watermark: String = "10 minutes",

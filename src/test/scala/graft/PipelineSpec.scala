@@ -158,6 +158,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN: asymmetric-distance top-k recalls brute-force neighbors; self-consistent ranks") {
+    val vecs = Tables.embeddings(spark, sf()).limit(300)
+    val q = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(vecs, q, 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(pq.length === 30, "10 ranked neighbors per query")
+    assert(pq.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 10)),
+      "dense ranks per query")
+    val recall = pq.map(p => (p._1, p._2)).toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"PQ recall collapsed: $recall")
+  }
+
   test("regex token count splits punctuation like a coarse BPE pre-tokenizer") {
     val df = Seq((1L, "hello, world! it's 42")).toDF("id", "text")
       .select(TA.regexTokenCount(col("text")).as("n"))

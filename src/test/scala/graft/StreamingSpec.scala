@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("lifecycle timeline emits EVERY transition hop (flatMapGroupsWithState audit form)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventUpdate]
+    val query = SyncEventStream.lifecycleTimeline(input.toDS())
+      .writeStream.format("memory").queryName("timeline")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventUpdate(7L, "eu", "InProgress", ts("2024-01-01 00:00:01")),
+        EventUpdate(7L, "eu", "Failed", ts("2024-01-01 00:00:02")),
+        EventUpdate(7L, "eu", "Pending", ts("2024-01-01 00:00:03")),
+        EventUpdate(7L, "eu", "Completed", ts("2024-01-01 00:00:04"))) // illegal from Pending
+      query.processAllAvailable()
+      val rows = spark.table("timeline").as[EventStatus].collect().sortBy(_.transitions)
+      // every hop appears, in order, including the rejected final jump
+      assert(rows.map(r => (r.status, r.valid)).toSeq === Seq(
+        ("InProgress", true), ("Failed", true), ("Pending", true), ("Pending", false)))
+    } finally query.stop()
+  }
+
   test("session windows close after the gap duration") {
     import org.apache.spark.sql.functions.{col, count, lit, session_window}
     // two bursts for user A separated by >5m gap -> two sessions; B -> one

@@ -174,9 +174,15 @@ object Similarity {
     val withSubs = (0 until m).foldLeft(c0) { (df, j) =>
       df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
     }
+    // codebook training: ksub centroids need only a bounded sample, and a
+    // handful of Lloyd iterations — training cost must stay independent of
+    // corpus size (m serial fits × maxIter jobs is pure scheduler overhead
+    // otherwise). The ENCODE pass below still covers the full corpus.
+    val trainSample = withSubs.orderBy(col("neighbor_id")).limit(4096)
+      .localCheckpoint()
     val models = (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setFeaturesCol(s"_f$j")
-        .setPredictionCol(s"_c$j").fit(withSubs)
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+        .setFeaturesCol(s"_f$j").setPredictionCol(s"_c$j").fit(trainSample)
     }
     // chained transforms: codes ride as one array<int> column, no joins
     val coded = models.zipWithIndex.foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }

@@ -48,16 +48,22 @@ object Pipeline {
     Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDistance = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  private def dedupNgramPairs: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+  /** Gram sets are projected BEFORE the pair join — computing them inside
+    * the join condition rebuilds both arrays per pair (O(pairs·len))
+    * instead of per doc (O(docs·len)). */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("grams"))
+    val a = g.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
+      .withColumn("sim", Dedup.jaccard(col("grams_a"), col("grams_b")))
       .filter(col("sim") >= 0.5)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private def dedupNgramPairs: Q = (s, d) =>
+    ngramPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   /** Full dedup pipeline: near-dup pairs → connected components → keep the
     * min-id representative per cluster. Pairs come from the (bounded,
@@ -65,19 +71,13 @@ object Pipeline {
     * pipeline with a recursive-CTE transitive closure; the MinHash-LSH
     * front end composes identically (PipelineSpec covers it on planted
     * fixtures). */
-  private def dedupClusterKeepers: Q = (s, d) => {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Dedup.ngramJaccard(col("text_a"), col("text_b"), 3))
-      .filter(col("sim") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    Dedup.clusterNearDups(pairs, docs.select("doc_id"))
+  private def dedupClusterKeepers: Q = (s, d) =>
+    Dedup.clusterNearDups(
+        ngramPairs(s, d).select(col("id_a"), col("id_b")),
+        Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id"))
       .filter(col("id") === col("cluster"))
       .select(col("id").as("doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   // ---------------- text analysis ----------------
 

@@ -68,4 +68,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_exact_groups")
     assert(p.contains("partial_"), s"no partial aggregation phase:\n$p")
   }
+
+  test("L0 sampled verify plans as distributed top-k, never a global sort") {
+    val p = plan("sync_verify_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"sample did a full sort:\n$p")
+  }
+
+  test("MinHash-LSH pair search contains no cartesian product — banded equi-joins only") {
+    val p = plan("dedup_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), s"LSH degraded to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degraded to nested-loop:\n$p")
+  }
+
+  test("PQ scoring broadcasts the query LUTs; the codes table is the streamed side") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query LUTs not broadcast:\n$p")
+  }
+
+  test("token pagination page plans as TakeOrderedAndProject with the key filter pushed") {
+    import graft.operators.Pagination
+    val names = Tables.part(spark, sf()).select(org.apache.spark.sql.functions.col("p_name")).distinct()
+    val t1 = Pagination.nextToken(names, "p_name", 25, None)
+    val page = Pagination.page(names, "p_name", 25, t1)
+    page.collect()
+    val p = page.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"page did a full sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(p_name), GreaterThan(p_name"),
+      s"token filter not pushed to the scan:\n$p")
+  }
 }

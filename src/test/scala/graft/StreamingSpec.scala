@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup: first occurrence wins, word-order copies collapse under the BoW fingerprint") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val query = StreamingDedup.dropBowDups(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 00:00:02"), 2L, "the quick brown fox"),   // exact dup
+        (ts("2024-01-01 00:00:03"), 3L, "fox brown quick the"),   // word-order dup
+        (ts("2024-01-01 00:00:04"), 4L, "completely different"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted
+      assert(kept === Array(1L, 4L), "only the first copy of each BoW class survives")
+    } finally query.stop()
+  }
+
   test("session windows close after the gap duration") {
     import org.apache.spark.sql.functions.{col, count, lit, session_window}
     // two bursts for user A separated by >5m gap -> two sessions; B -> one

@@ -117,6 +117,41 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** lead/lag offsets: per-customer order-to-order spend delta and the
+    * next order key (the offset-window family §2.9 windows). */
+  private def windowLeadLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ntile quartiles over a bounded, totally-ordered slice. */
+  private def ntileBuckets: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** EXISTS / NOT EXISTS subqueries through the SQL front end (the
+    * decorrelation path — distinct from the semi/anti join API form). */
+  private def existsSubquery: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")
+  }
+
   /** Global top-k: Spark plans TakeOrderedAndProject — no full sort. */
   private def topkOrders: Q = (s, d) =>
     Tables.orders(s, d)
@@ -316,6 +351,9 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_scalar_subquery"     -> scalarSubquery,
+    "rel_exists_subquery"     -> existsSubquery,
+    "rel_window_leadlag"      -> windowLeadLag,
+    "rel_ntile_quartiles"     -> ntileBuckets,
     "rel_cube_stats"          -> cubeOrderStats,
     "rel_grouping_sets"       -> groupingSetsStats,
     "rel_explode_tokens"      -> explodeTokens,
@@ -476,6 +514,24 @@ object Relational {
          round(o_totalprice / 1000.0, 1) AS price_k,
          o_totalprice > 200000.0 AS is_big
          FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "rel_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+         round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+         lead(o_orderkey, 1) OVER w AS next_order
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "rel_ntile_quartiles" ->
+      """SELECT o_orderkey,
+         CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+         FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""",
+    "rel_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
     "rel_json_events" ->
       """SELECT event_type, count(*) AS cnt,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -82,9 +82,14 @@ object ControlPlane {
     SnapshotDiff.addedFiles(atV1, atV2, Seq("path")).orderBy(col("path"))
   }
 
-  /** Y15 three-level replication plan. */
+  /** Y15 three-level replication plan.
+    *
+    * The derived inventory feeds all four legs (src/dst/inv/stat); one
+    * `localCheckpoint` materializes the narrow projection once instead of
+    * re-deriving the lineitem⋈region scan per leg. At warehouse scale the
+    * inventory IS a table, so this models "share one scan", not caching. */
   private def replicationPlan: Q = (s, d) => {
-    val files = ControlTables.fileInventory(s, d)
+    val files = ControlTables.fileInventory(s, d).localCheckpoint()
     val src = files.select("path", "size_bytes", "etag")
     val dst = files.filter(col("shipped_at") < lit("1995-06-01"))
     val inv = files.filter(col("shipped_at") < lit("1996-06-01") && col("l_returnflag") =!= "R")
@@ -100,7 +105,7 @@ object ControlPlane {
     * resolved against the real inventory, so the output is provably
     * identical to the exact plan — same oracle. */
   private def replicationPlanBloom: Q = (s, d) => {
-    val files = ControlTables.fileInventory(s, d)
+    val files = ControlTables.fileInventory(s, d).localCheckpoint()
     val src = files.select("path", "size_bytes", "etag")
     val dst = files.filter(col("shipped_at") < lit("1995-06-01"))
     val inv = files.filter(col("shipped_at") < lit("1996-06-01") && col("l_returnflag") =!= "R")

@@ -62,6 +62,10 @@ final class GeoReplicationService(spark: SparkSession,
 
   def registry: DataFrame = sys.read("_system", "registry")
 
+  /** S8 getStorageLocation: the storage root serving a region. */
+  def storageLocation(region: String): Option[String] =
+    regions.get(region).map(_.warehouse)
+
   // tableRegions runs on EVERY coordinateWrite — without a cache each
   // write pays a full registry scan + collect. The registry is metadata
   // scale (entries × regions), so one collect per invalidation amortizes

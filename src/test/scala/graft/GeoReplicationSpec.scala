@@ -43,6 +43,10 @@ class GeoReplicationSpec extends SparkSpec {
     // preferred-region read routes to the replica
     val loc = svc.routeRead("analytics", "user_events", Some("eu-west-1"))
     assert(loc.region === "eu-west-1")
+
+    // S8: each region resolves to its storage root; unknown regions don't
+    assert(svc.storageLocation("eu-west-1") === Some(svc.regions("eu-west-1").warehouse))
+    assert(svc.storageLocation("mars-1").isEmpty)
   }
 
   test("incremental sync copies only files added by the new commit") {

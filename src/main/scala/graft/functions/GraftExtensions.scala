@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_product(a, b) takes 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_similarity"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_similarity"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_similarity(a, b) takes 2 arguments")
+        JaccardSimilarity(children.head, children(1))
+      }))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst vector expressions with whole-stage codegen.
   *
@@ -110,6 +110,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused set-Jaccard over two array<string> columns.
+  *
+  * The composable form `size(array_intersect(a,b)) / size(array_union(a,b))`
+  * builds TWO throwaway result arrays per pair just to count them — in the
+  * LSH verify join that is the hot path over every candidate pair. This
+  * expression computes both distinct counts in one pass over each array
+  * (two hash sets, zero intermediate arrays) and stays inside whole-stage
+  * codegen.
+  *
+  * Semantics mirror the composable form exactly, including duplicate
+  * inputs (distinct-count), null elements (a value present in both sides)
+  * and the 0/0 → NaN edge, so swapping it in never changes oracle-checked
+  * results. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> inputs")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < x.numElements()) {
+      setA.add(if (x.isNullAt(i)) null else x.getUTF8String(i)); i += 1
+    }
+    val seenB = new java.util.HashSet[Any]()
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      val e = if (y.isNullAt(i)) null else y.getUTF8String(i)
+      if (seenB.add(e) && setA.contains(e)) inter += 1
+      i += 1
+    }
+    val union = setA.size + seenB.size - inter
+    inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val setA = ctx.freshName("setA")
+      val seenB = ctx.freshName("seenB")
+      val e = ctx.freshName("e")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+         |java.util.HashSet $setA = new java.util.HashSet();
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $setA.add($a.isNullAt($i) ? null : $a.getUTF8String($i));
+         |}
+         |java.util.HashSet $seenB = new java.util.HashSet();
+         |int $inter = 0;
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  Object $e = $b.isNullAt($i) ? null : $b.getUTF8String($i);
+         |  if ($seenB.add($e) && $setA.contains($e)) $inter++;
+         |}
+         |double $union = (double) ($setA.size() + $seenB.size() - $inter);
+         |${ev.value} = (double) $inter / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Fused cosine similarity — use in pairwise joins and top-k scans. */
   def cosineSim(a: Column, b: Column): Column =
@@ -118,5 +190,10 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fused distinct-set Jaccard — use in pairwise verify joins. */
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -84,8 +84,17 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct shingle sets, used to verify LSH
-    * candidates (and directly for n-gram similarity). */
-  def jaccard(setA: Column, setB: Column): Column = {
+    * candidates (and directly for n-gram similarity). Hot path: the fused
+    * codegen'd expression counts both sets in one pass instead of
+    * materializing intersect+union arrays per candidate pair (identical
+    * semantics — see JaccardSimilarity; the composable form is kept below
+    * as the cross-checked reference). */
+  def jaccard(setA: Column, setB: Column): Column =
+    round(graft.functions.VectorFunctions.jaccardSim(setA, setB), 4)
+
+  /** Composable-built-ins reference form of [[jaccard]] (interpreted
+    * array_intersect/array_union) — cross-checked in ExtensionsSpec. */
+  def jaccardRef(setA: Column, setB: Column): Column = {
     val inter = size(array_intersect(setA, setB)).cast("double")
     val union = size(array_union(setA, setB)).cast("double")
     round(inter / union, 4)

@@ -18,6 +18,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) === 11.0)
   }
 
+  test("fused jaccard_similarity matches the array_intersect/array_union form on edge cases") {
+    import graft.pipeline.Dedup
+    val cases = Seq(
+      (1L, Seq("a", "b", "c"), Seq("b", "c", "d")),          // plain overlap
+      (2L, Seq("a", "a", "b"), Seq("b", "b", "a")),          // duplicate inputs
+      (3L, Seq("a"), Seq("z")),                              // disjoint
+      (4L, Seq("x", "y"), Seq("x", "y")),                    // identical
+      (5L, Seq.empty[String], Seq("a")),                     // one empty
+      (6L, Seq("a", "b", "c", "d", "e"), Seq("c")),          // asymmetric sizes
+    ).toDF("id", "sa", "sb")
+    val both = cases.select(col("id"),
+        Dedup.jaccard(col("sa"), col("sb")).as("fused"),
+        Dedup.jaccardRef(col("sa"), col("sb")).as("ref"))
+      .as[(Long, Double, Double)].collect()
+    both.foreach { case (id, fused, ref) => assert(fused === ref, s"case $id") }
+    // SQL registration path
+    val sqlRow = spark.sql(
+      """SELECT jaccard_similarity(array('a','b'), array('b','c')) AS j""").collect().head
+    assert(math.abs(sqlRow.getDouble(0) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("lease guard drops candidates pinned by active leases only") {
     val now = lit("2024-01-01 00:00:00").cast("timestamp")
     val cands = Seq(

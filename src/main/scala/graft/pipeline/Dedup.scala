@@ -46,15 +46,23 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(k))))
   }
 
-  /** MinHash signatures as a table: explode distinct shingles once, then
-    * one hash aggregate taking the per-doc min of numHashes seeded
-    * xxhash64 values (seed = slot index). Map-side partial combine
-    * shrinks the shuffle to numHashes longs per document, and the seeded
-    * hashes stay inside whole-stage codegen (an arithmetic 2^64-wrap
-    * hash family would trip ANSI overflow checks).
+  /** MinHash signatures as a table — ONE narrow projection per document
+    * via the codegen'd MinHashSignature expression: no shingle explode,
+    * no groupBy shuffle (the aggregate form shuffled one row per
+    * (doc, shingle) only to min-reduce them back). Signatures are
+    * bit-identical to min(xxhash64(lit(i), shingle)) per slot, so they
+    * are independent of partitioning and cluster size.
     * Returns (idCol, sig: array<long>). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int, shingleK: Int): DataFrame = {
+                        numHashes: Int, shingleK: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.MinHashFunctions
+        .minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+
+  /** Aggregate-form reference of [[minhashSignatures]] (explode + min
+    * aggregates) — cross-checked for bit-equality in PipelineSpec. */
+  def minhashSignaturesRef(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, shingleK: Int): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(array_distinct(shingles(col(textCol), shingleK))).as("s"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))

@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
   }
 
+  test("MinHashSignature expression is bit-identical to the explode+min-aggregate form") {
+    val docs500 = Tables.documents(spark, sf()).limit(120)
+    val fused = Dedup.minhashSignatures(docs500, "doc_id", "text", 16, 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = Dedup.minhashSignaturesRef(docs500, "doc_id", "text", 16, 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused.keySet === ref.keySet)
+    ref.foreach { case (id, sig) => assert(fused(id) === sig, s"doc $id") }
+  }
+
   test("SimHash: identical docs distance 0; near dup close; unrelated far") {
     val sh = Dedup.simhashTable(docs, "doc_id", "text")
       .select("doc_id", "sh").as[(Long, Long)].collect().toMap

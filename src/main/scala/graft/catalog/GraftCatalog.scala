@@ -87,6 +87,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     else Files.list(p).iterator().asScala.map(_.getFileName.toString)
   }
 
+  // jittered exponential backoff between CAS retries (the reference's
+  // commit envelope: retries with jitter — losing committers must spread
+  // out instead of re-colliding in lockstep under hot contention).
+  private def backoff(attempt: Int): Unit =
+    Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt + 2, 8)).toLong)
+
   // ---- commit log ----
 
   private def versionFile(ns: String, name: String, seq: Long): Path =
@@ -178,6 +184,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           attempt += 1 // lost the race — re-read parent and retry (C12)
+          backoff(attempt)
       }
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
@@ -210,7 +217,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         return snap
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); attempt += 1
+          Files.deleteIfExists(tmp); attempt += 1; backoff(attempt)
       }
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
@@ -254,7 +261,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         return snap
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); attempt += 1
+          Files.deleteIfExists(tmp); attempt += 1; backoff(attempt)
       }
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")

@@ -38,6 +38,12 @@ final class GeoReplicationService(spark: SparkSession,
   sys.createTable("_system", "sync_events")
   sys.createTable("_system", "registry")
 
+  /** System tables are ONE CAS point shared by every writer thread — a
+    * deeper retry budget than data tables (which only race with
+    * themselves) keeps concurrent multi-table loads from spuriously
+    * failing; jittered backoff lives in the catalog's CAS loop. */
+  private val SystemRetries = 30
+
   /** E3 counter/gauge surface, fed from distributed-stage accumulators. */
   val metrics = new graft.operators.Metrics
 
@@ -56,7 +62,7 @@ final class GeoReplicationService(spark: SparkSession,
   def registerTable(ns: String, table: String, region: String): Unit = {
     sys.commitAppend("_system", "registry",
       Seq((s"$ns.$table", region, "Active", System.currentTimeMillis()))
-        .toDF("entry", "region", "status", "updated_at"))
+        .toDF("entry", "region", "status", "updated_at"), maxRetries = SystemRetries)
     registryCacheSnapshot = None // invalidate the lookup cache
   }
 
@@ -89,7 +95,7 @@ final class GeoReplicationService(spark: SparkSession,
     sys.commitAppend("_system", "sync_events",
       rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, appendSeq.getAndIncrement()))
         .toDF("event_id", "table_entry", "commit_id", "event_type", "target_region",
-              "status", "ts", "seq"))
+              "status", "ts", "seq"), maxRetries = SystemRetries)
 
   /** Current status per event = latest appended row (ranked window;
     * same-millisecond appends resolve by the monotonic seq). */
@@ -261,7 +267,8 @@ final class GeoReplicationService(spark: SparkSession,
   private def advanceWatermark(entry: String, region: String, watermarkMs: Long): Unit =
     sys.commitAppend("_system", "consistency_tokens",
       Seq((entry, region, watermarkMs, System.currentTimeMillis(), appendSeq.getAndIncrement()))
-        .toDF("table_entry", "region", "high_watermark_ms", "ts", "seq"))
+        .toDF("table_entry", "region", "high_watermark_ms", "ts", "seq"),
+      maxRetries = SystemRetries)
 
   /** Latest watermark per (table, region). */
   def consistencyTokens: DataFrame = {
@@ -300,14 +307,16 @@ final class GeoReplicationService(spark: SparkSession,
     sys.commitAppend("_system", "approvals",
       regionsAsked.map(r => (commitId, r, None: Option[Boolean], System.currentTimeMillis(),
                              appendSeq.getAndIncrement(), deadline))
-        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"))
+        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"),
+      maxRetries = SystemRetries)
   }
 
   def vote(commitId: String, region: String, approve: Boolean): Unit =
     sys.commitAppend("_system", "approvals",
       Seq((commitId, region, Some(approve): Option[Boolean], System.currentTimeMillis(),
            appendSeq.getAndIncrement(), None: Option[Long]))
-        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"))
+        .toDF("commit_id", "region", "approved", "ts", "seq", "deadline_ms"),
+      maxRetries = SystemRetries)
 
   private def latestVotes(commitId: String): DataFrame = {
     val w = Window.partitionBy(col("commit_id"), col("region"))

@@ -222,6 +222,39 @@ class GeoReplicationSpec extends SparkSpec {
     assert(mgr.status("nope").isEmpty)
   }
 
+  test("concurrent load: 10 tables written in parallel, synced, 30 routed reads byte-identical (reference WriteSyncReadWorkflow)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+
+    val svc = freshService("us-east-1", "eu-west-1")
+    val tables = (1 to 10).map(i => s"t$i")
+    tables.foreach { t =>
+      svc.regions("us-east-1").createTable("load", t)
+      svc.registerTable("load", t, "us-east-1")
+      svc.registerTable("load", t, "eu-west-1")
+    }
+    // parallel writers contend on the shared sync-event/watermark tables —
+    // the CAS loop with jittered backoff must absorb all 10
+    val writes = tables.zipWithIndex.map { case (t, i) =>
+      Future(svc.coordinateWrite("load", t, Seq(i.toLong, i + 100L).toDF("v"), "us-east-1"))
+    }
+    val results = Await.result(Future.sequence(writes), 5.minutes)
+    assert(results.forall(_.syncEvents === 2))
+    assert(svc.pendingEvents("eu-west-1").count() === 20)
+
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (20, 0))
+
+    // 30 routed reads across tables and preferred regions, byte-identical
+    (0 until 30).foreach { i =>
+      val t = tables(i % 10)
+      val pref = if (i % 2 == 0) Some("eu-west-1") else Some("us-east-1")
+      val got = svc.readRouted("load", t, pref).as[Long].collect().sorted
+      assert(got === Array((i % 10).toLong, (i % 10) + 100L), s"read $i of $t")
+    }
+  }
+
   test("W2 approval timeout: unanswered requests time out; answered ones resolve (reference timeout variant)") {
     val svc = freshService("us-east-1")
     svc.requestCommitApproval("c-t1", Seq("us-east-1", "eu-west-1"), timeoutMs = Some(60000L))

@@ -170,6 +170,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SimHash near-dups with GUARANTEED recall for maxDistance < bands:
+    * the 64-bit simhash splits into `bands` equal bit-bands; by
+    * pigeonhole, a pair within hamming distance d < bands differs in at
+    * most d bands and therefore matches EXACTLY in at least one — the
+    * banded equi-join provably loses no qualifying pair (test-asserted
+    * equal to the all-pairs search). [[simhashNearDups]]'s high-16
+    * banding is the cheaper, recall-lossy variant for larger d. */
+  def simhashNearDupsExact(docs: DataFrame, idCol: String, textCol: String,
+                           maxDistance: Int = 7, bands: Int = 8): DataFrame = {
+    require(maxDistance < bands, "pigeonhole guarantee needs maxDistance < bands")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = simhashTable(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("sh"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("sh"), b * width).bitwiseAND(lit(mask)))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("band_id"), col("band_val"),
+      col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---------- near-dup clustering ----------
 
   /** Collapse a near-duplicate pair graph into clusters: every doc gets

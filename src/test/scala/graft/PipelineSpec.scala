@@ -55,6 +55,20 @@ class PipelineSpec extends SparkSpec {
     assert(ham(sh(0L), sh(3L)) > 16, s"unrelated hamming was ${ham(sh(0L), sh(3L))}")
   }
 
+  test("pigeonhole SimHash banding equals the all-pairs hamming search (guaranteed recall)") {
+    val corpus = Tables.documents(spark, sf()).limit(150)
+    val banded = Dedup.simhashNearDupsExact(corpus, "doc_id", "text", maxDistance = 7, bands = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sh = Dedup.simhashTable(corpus, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 7)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute, "banding must lose no pair within distance < bands")
+  }
+
   test("bag-of-words fingerprint catches word-order duplicates, md5 does not") {
     val fps = docs.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"),
         TA.bowFingerprint(col("text")).as("bow"))

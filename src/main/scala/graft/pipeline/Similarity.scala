@@ -135,6 +135,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  // ---------------- product quantization (PQ) ----------------
+
+  private case class PqIndex(coded: DataFrame, codebooks: Array[Array[Array[Double]]],
+                             m: Int, ksub: Int, dsub: Int)
+
+  /** L2-normalize `vecCol` into a double-array `_nvec` (inner product on
+    * normalized vectors == cosine). */
+  private def withNormalized(df: DataFrame, vecCol: String): DataFrame = {
+    val n = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+                           lit(0.0), (a, v) => a + v))
+    df.withColumn("_nvec", transform(col(vecCol), x => x.cast("double") / n))
+  }
+
+  /** Train per-subspace codebooks and encode every row of `c0` (must carry
+    * `_nvec`; `passthrough` columns ride into the codes table).
+    *
+    * Codebook training: ksub centroids need only a bounded sample and a
+    * handful of Lloyd iterations — training cost must stay independent of
+    * corpus size (m serial full-corpus fits are pure scheduler overhead).
+    * The encode pass covers the full corpus via m chained transforms (no
+    * joins); codes ride as one array<int> column. */
+  private def buildPqIndex(c0: DataFrame, m: Int, ksub: Int, seed: Long,
+                           passthrough: Seq[String]): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dims = c0.select(size(col("_nvec"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val dsub = dims / m
+    val withSubs = (0 until m).foldLeft(c0) { (df, j) =>
+      df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
+    }
+    val trainSample = withSubs.orderBy(col("neighbor_id")).limit(4096).localCheckpoint()
+    val models = (0 until m).map { j =>
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+        .setFeaturesCol(s"_f$j").setPredictionCol(s"_c$j").fit(trainSample)
+    }
+    val coded = models.foldLeft(withSubs) { (df, mod) => mod.transform(df) }
+      .select((Seq(col("neighbor_id"),
+        array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
+        ++ passthrough.map(col)): _*)
+    PqIndex(coded, models.map(_.clusterCenters.map(_.toArray)).toArray, m, ksub, dsub)
+  }
+
+  /** Per-query ADC lookup tables: lut[j][c] = <query_sub_j, centroid_{j,c}>.
+    * Queries are the small side — LUTs are computed on the driver and
+    * broadcast; scoring a corpus vector is then m lookups + adds. */
+  private def queryLuts(queries: DataFrame, idx: PqIndex,
+                        idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val rows = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
+      .select(col("query_id"), col("_nvec")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(idx.m, idx.ksub) { (j, c) =>
+          val cen = idx.codebooks(j)(c)
+          var acc = 0.0; var i = 0
+          while (i < idx.dsub) { acc += v(j * idx.dsub + i) * cen(i); i += 1 }
+          acc
+        }
+        (r.get(0).toString.toLong, lut.map(_.toSeq).toSeq)
+      }
+    rows.toSeq.toDF("query_id", "lut")
+  }
+
+  /** ADC score column over (codes, lut). */
+  private def adcScore(m: Int) =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("lut"), j + 1),
+                                   element_at(col("codes"), j + 1) + 1))
+
   /** PQ-lite (product quantization) ANN — the 100 TB compression path:
     * vectors split into `m` subvectors, each subspace k-means-quantized
     * to `ksub` centroids (MLlib, seeded), every vector stored as m small
@@ -143,9 +214,7 @@ object Similarity {
     * an m×ksub inner-product lookup table against the (tiny, broadcast)
     * codebook, and scoring a corpus vector is m table lookups + adds
     * (asymmetric distance computation). Vectors are L2-normalized first
-    * so inner product ≡ cosine. The codes table is the only thing
-    * scanned at serving time; at warehouse scale it is a narrow Parquet
-    * table bucketed by IVF cell with PQ codes as payload.
+    * so inner product ≡ cosine.
     *
     * Returns (query_id, neighbor_id, score, rank) like the other ANN
     * paths — approximate scores, recall controlled by m/ksub (ScalaTest
@@ -154,70 +223,67 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, seed: Long = 42L,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val spark = corpus.sparkSession
-    val dims = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
-    val dsub = dims / m
-
-    // L2-normalize so inner product == cosine
-    def normalized(df: DataFrame): DataFrame = {
-      val n = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-                             lit(0.0), (a, v) => a + v))
-      df.withColumn("_nvec", transform(col(vecCol), x => x.cast("double") / n))
-    }
-    val c0 = normalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)))
-
-    // one KMeans codebook per subspace (driver loop over m small fits)
-    val withSubs = (0 until m).foldLeft(c0) { (df, j) =>
-      df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
-    }
-    // codebook training: ksub centroids need only a bounded sample, and a
-    // handful of Lloyd iterations — training cost must stay independent of
-    // corpus size (m serial fits × maxIter jobs is pure scheduler overhead
-    // otherwise). The ENCODE pass below still covers the full corpus.
-    val trainSample = withSubs.orderBy(col("neighbor_id")).limit(4096)
-      .localCheckpoint()
-    val models = (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
-        .setFeaturesCol(s"_f$j").setPredictionCol(s"_c$j").fit(trainSample)
-    }
-    // chained transforms: codes ride as one array<int> column, no joins
-    val coded = models.zipWithIndex.foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
-      .select(col("neighbor_id"),
-        array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
-
-    // per-query LUT: lut[j][c] = <query_sub_j, centroid_{j,c}> (queries are
-    // the small side — computed on the driver, broadcast as literals)
-    val codebooks: Array[Array[Array[Double]]] =
-      models.map(_.clusterCenters.map(_.toArray)).toArray
-    val qRows = normalized(queries.select(col(idCol).as("query_id"), col(vecCol)))
-      .select(col("query_id"), col("_nvec")).collect()
-      .map { r =>
-        val qid = r.get(0)
-        val v = r.getSeq[Double](1).toArray
-        val lut = Array.tabulate(m, ksub) { (j, c) =>
-          val cen = codebooks(j)(c)
-          var s = 0.0; var i = 0
-          while (i < dsub) { s += v(j * dsub + i) * cen(i); i += 1 }
-          s
-        }
-        (qid.toString.toLong, lut.map(_.toSeq).toSeq)
-      }
-    import spark.implicits._
-    val qLut = qRows.toSeq.toDF("query_id", "lut")
-
-    // ADC scoring: m lookups + adds per (vector, query)
-    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(element_at(col("lut"), j + 1),
-                                   element_at(col("codes"), j + 1) + 1))
+    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val idx = buildPqIndex(c0, m, ksub, seed, passthrough = Seq.empty)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    coded.crossJoin(broadcast(qLut))
+    idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(score, 4))
+      .withColumn("score", round(adcScore(m), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-PQ — the composed billion-scale serving layout: the corpus is
+    * partitioned into `nlist` coarse cells (IVF) AND stored as PQ codes;
+    * a query probes its `nprobe` nearest cells and ADC-scores only those
+    * cells\' codes. Touches nprobe/nlist of a corpus that is itself ~32×
+    * smaller than raw vectors — at warehouse scale the codes table is
+    * bucketed by cell id, so a probe is a bucket-pruned scan of m-byte
+    * codes with a broadcast LUT, no raw vectors anywhere on the read
+    * path. Recall is governed by (nprobe, m, ksub); ScalaTest checks it
+    * against brute force. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                seed: Long = 42L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+      .withColumn("_fcell", array_to_vector(col("_nvec")))
+    val cellSample = c0.orderBy(col("neighbor_id")).limit(4096).localCheckpoint()
+    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("_fcell").setPredictionCol("cell").fit(cellSample)
+    val withCell = coarse.transform(c0)
+    val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"))
+
+    // nprobe nearest cells per query (normalized space -> IP == cosine)
+    val centers = coarse.clusterCenters.zipWithIndex
+      .map { case (c: Vector, i) => (i, c.toArray) }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centersDf = centers.toSeq.toDF("cell", "center_vec")
+    val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_score").desc, col("cell"))
+    val probes = qn.crossJoin(broadcast(centersDf))
+      .withColumn("cell_score",
+        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
+                  lit(0.0), (acc, v) => acc + v))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    idx.coded
+      .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
+            Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(adcScore(m), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))

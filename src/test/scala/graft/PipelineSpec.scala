@@ -196,6 +196,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall collapsed: $recall")
   }
 
+  test("IVF-PQ: cell-pruned ADC scoring still recalls brute-force neighbors") {
+    val vecs = Tables.embeddings(spark, sf()).limit(300)
+    val q = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(vecs, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(vecs, q, 10, nlist = 8, nprobe = 4, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(ivfpq.groupBy(_._1).size === 3, "every query answered")
+    assert(ivfpq.groupBy(_._1).values.forall(v => v.map(_._3).sorted.toSeq == (1 to v.size)),
+      "dense ranks per query")
+    val recall = ivfpq.map(p => (p._1, p._2)).toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-PQ recall collapsed: $recall")
+  }
+
   test("regex token count splits punctuation like a coarse BPE pre-tokenizer") {
     val df = Seq((1L, "hello, world! it's 42")).toDF("id", "text")
       .select(TA.regexTokenCount(col("text")).as("n"))

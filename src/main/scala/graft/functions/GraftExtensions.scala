@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "jaccard_similarity(a, b) takes 2 arguments")
         JaccardSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_signature(shingles, numHashes) takes 2 arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be an integer literal, got $other")
+        }
+        MinHashSignature(children.head, n)
+      }))
   }
 }

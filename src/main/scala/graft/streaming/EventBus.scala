@@ -18,11 +18,14 @@ import scala.jdk.CollectionConverters._
   * too (EventPort vs the sync log). Handlers run on the publisher's
   * thread, matching the reference's synchronous dispatch.
   */
+object EventBus {
+  final case class Subscription[E](id: Long, eventType: String, handler: E => Unit)
+}
+
 final class EventBus[E] {
+  import EventBus.Subscription
 
-  final case class Subscription(id: Long, eventType: String, handler: E => Unit)
-
-  private val subs = new ConcurrentHashMap[Long, Subscription]()
+  private val subs = new ConcurrentHashMap[Long, Subscription[E]]()
   private val ids = new AtomicLong(0L)
 
   /** Register a handler for one event type ("*" = every type). Returns

@@ -37,6 +37,11 @@ class ExtensionsSpec extends SparkSpec {
     val sqlRow = spark.sql(
       """SELECT jaccard_similarity(array('a','b'), array('b','c')) AS j""").collect().head
     assert(math.abs(sqlRow.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    // minhash_signature is SQL-callable too; identical docs => identical sigs
+    val sigs = spark.sql(
+      """SELECT minhash_signature(array('a b','b c'), 8) AS s1,
+                minhash_signature(array('b c','a b'), 8) AS s2""").collect().head
+    assert(sigs.getSeq[Long](0) === sigs.getSeq[Long](1))
   }
 
   test("lease guard drops candidates pinned by active leases only") {

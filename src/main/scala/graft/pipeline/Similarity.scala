@@ -167,8 +167,10 @@ object Similarity {
       df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
     }
     val trainSample = withSubs.orderBy(col("neighbor_id")).limit(4096).localCheckpoint()
+    // random init (not k-means||): the parallel init costs extra distributed
+    // passes per subspace fit, and PQ codebook quality is insensitive to it
     val models = (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5).setInitMode("random")
         .setFeaturesCol(s"_f$j").setPredictionCol(s"_c$j").fit(trainSample)
     }
     val coded = models.foldLeft(withSubs) { (df, mod) => mod.transform(df) }

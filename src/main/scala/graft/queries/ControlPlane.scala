@@ -220,6 +220,19 @@ object ControlPlane {
       .groupBy(col("state")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("state"))
 
+  /** Small-file compaction planning (the docs' 256MB-1GB file-target
+    * policy, scaled to this dataset): tables whose average file size is
+    * below threshold get a bin-pack target of ceil(total/target) files —
+    * the planning half of GraftCatalog.compact. */
+  private def compactionPlan: Q = (s, d) =>
+    ControlTables.fileInventory(s, d)
+      .groupBy((col("commit_seq") % 40).as("table_bucket"))
+      .agg(count(lit(1)).as("file_cnt"), sum(col("size_bytes")).as("total_bytes"))
+      .filter(col("total_bytes") / col("file_cnt") < 5300000.0 && col("file_cnt") > 1)
+      .withColumn("target_files",
+        greatest(lit(1L), ceil(col("total_bytes") / 10000000.0)))
+      .orderBy(col("table_bucket"))
+
   // ======================= §2.6 read routing =======================
 
   /** Q3/Q4 weighted region scoring (0.7/0.3 weights, 0.3 inactive floor). */
@@ -427,6 +440,7 @@ object ControlPlane {
     "slo_percentiles"        -> sloPercentiles,
     "gc_lease_guard"         -> gcLeaseGuard,
     "gc_exec_status"         -> gcExecStatus,
+    "gc_compaction_plan"     -> compactionPlan,
     "slo_approx"             -> sloApprox,
   )
 
@@ -668,6 +682,15 @@ object ControlPlane {
                             WHERE p.table_entry = c.table_entry
                               AND p.pinned_seq = c.pinned_seq)
           ORDER BY path""",
+    "gc_compaction_plan" ->
+      s"""WITH $FILES
+          SELECT commit_seq % 40 AS table_bucket, count(*) AS file_cnt,
+                 CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+                 greatest(CAST(1 AS BIGINT),
+                          CAST(ceil(sum(size_bytes) / 10000000.0) AS BIGINT)) AS target_files
+          FROM files GROUP BY 1
+          HAVING sum(size_bytes) / count(*) < 5300000.0 AND count(*) > 1
+          ORDER BY table_bucket""",
     "gc_exec_status" ->
       """WITH gx AS (
            SELECT 'exec-' || (user_id % 10) AS execution_id,

@@ -152,6 +152,29 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Regex extraction family: first-group extract, scrub-replace, and
+    * full-match listing — same PCRE-ish dialect in both engines. */
+  private def regexExtract: Q = (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_scrubbed"),
+        size(split(col("p_name"), " ")).as("name_words"))
+      .orderBy(col("p_partkey"))
+
+  /** Conditional + math scalar family: coalesce/nullif/least/greatest,
+    * sign/abs/mod, log/power (rounded for engine-portable doubles). */
+  private def conditionalMath: Q = (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 400)
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_custkey") % 7, lit(2L)).as("floored_mod"),
+        signum(col("o_totalprice") - 150000.0).cast("int").as("above_mid"),
+        round(log(col("o_totalprice")), 4).as("ln_price"),
+        round(pow(col("o_totalprice") / 100000.0, 2), 4).as("sq_ratio"))
+      .orderBy(col("o_orderkey"))
+
   /** Global top-k: Spark plans TakeOrderedAndProject — no full sort. */
   private def topkOrders: Q = (s, d) =>
     Tables.orders(s, d)
@@ -354,6 +377,8 @@ object Relational {
     "rel_exists_subquery"     -> existsSubquery,
     "rel_window_leadlag"      -> windowLeadLag,
     "rel_ntile_quartiles"     -> ntileBuckets,
+    "rel_regex_extract"       -> regexExtract,
+    "rel_conditional_math"    -> conditionalMath,
     "rel_cube_stats"          -> cubeOrderStats,
     "rel_grouping_sets"       -> groupingSetsStats,
     "rel_explode_tokens"      -> explodeTokens,
@@ -514,6 +539,21 @@ object Relational {
          round(o_totalprice / 1000.0, 1) AS price_k,
          o_totalprice > 200000.0 AS is_big
          FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+    "rel_regex_extract" ->
+      """SELECT p_partkey,
+         regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+         regexp_replace(p_type, '[aeiou]', '', 'g') AS type_scrubbed,
+         CAST(len(string_split(p_name, ' ')) AS INT) AS name_words
+         FROM part WHERE p_partkey < 300 ORDER BY p_partkey""",
+    "rel_conditional_math" ->
+      """SELECT o_orderkey,
+         coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+         least(o_totalprice, CAST(100000.0 AS DOUBLE)) AS capped,
+         greatest(o_custkey % 7, CAST(2 AS BIGINT)) AS floored_mod,
+         CAST(sign(o_totalprice - CAST(150000.0 AS DOUBLE)) AS INT) AS above_mid,
+         round(ln(o_totalprice), 4) AS ln_price,
+         round(power(o_totalprice / CAST(100000.0 AS DOUBLE), 2), 4) AS sq_ratio
+         FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""",
     "rel_window_leadlag" ->
       """SELECT o_custkey, o_orderkey,
          round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,

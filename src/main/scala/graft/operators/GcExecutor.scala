@@ -84,10 +84,16 @@ object GcExecutor {
 
   /** One execution round: attempt every non-terminal path and return the
     * log rows to append (a `deleting` marker plus the outcome per path —
-    * the caller appends them atomically with its log's commit primitive). */
+    * the caller appends them atomically with its log's commit primitive).
+    *
+    * The delete attempt is EAGERLY materialized exactly once
+    * (localCheckpoint): attemptDeletes has physical side effects, so a
+    * caller that evaluates the returned frame twice (count then write) or
+    * a task retry must observe the first run's outcomes, not re-delete
+    * and flip verdicts to 'missing'. */
   def executeRound(log: DataFrame, executionId: String, nowMs: Long): DataFrame = {
     val work = workSet(log, executionId)
-    val outcomes = attemptDeletes(work)
+    val outcomes = attemptDeletes(work).localCheckpoint()
     val marker = work.select(
       col("execution_id"), col("path"),
       lit("deleting").as("state"), lit(nowMs).as("updated_at_ms"))

@@ -34,24 +34,33 @@ object Pagination {
     math.min(pageSize, MaxPageSize)
   }
 
-  /** One page: rows strictly after the token's key, in key order. */
+  /** One page: rows strictly after the token's key, in key order. The
+    * token rides as a string but is compared in the key's NATIVE type —
+    * a string-literal comparison over a numeric key would resume from
+    * the lexicographic position and re-serve rows. */
   def page(df: DataFrame, keyCol: String, pageSize: Int,
            token: Option[String] = None): DataFrame = {
     val size = clamp(pageSize)
-    token.map(t => df.filter(col(keyCol) > lit(decodeToken(t)))).getOrElse(df)
+    val keyType = df.schema(keyCol).dataType
+    token.map(t => df.filter(col(keyCol) > lit(decodeToken(t)).cast(keyType)))
+      .getOrElse(df)
       .orderBy(col(keyCol))
       .limit(size)
   }
 
   /** Continuation token for the page that followed `token` — None when the
     * page was short (end of listing). Collects at most one page (≤ 10000
-    * keys) to find the resume point. */
+    * keys) to find the resume point. collect() preserves the page's
+    * orderBy+limit order, so the LAST row collected is the last key
+    * served — never a lexicographic max over stringified keys, which
+    * disagrees with the native order for numeric keys (page [2,10] must
+    * resume after 10, not "2") and for non-BMP strings. */
   def nextToken(df: DataFrame, keyCol: String, pageSize: Int,
                 token: Option[String] = None): Option[String] = {
     val size = clamp(pageSize)
     val keys = page(df, keyCol, pageSize, token)
       .select(col(keyCol).cast("string")).collect().map(_.getString(0))
-    if (keys.length < size) None else Some(encodeToken(keys.max))
+    if (keys.length < size) None else Some(encodeToken(keys.last))
   }
 
   /** Drain the whole listing page by page (driver-side iteration — each

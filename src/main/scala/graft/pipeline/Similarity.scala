@@ -1,16 +1,20 @@
 package graft.pipeline
 
+import graft.functions.TopKAggregator
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Embedding similarity search: brute-force cosine top-k (exact baseline)
   * and random-hyperplane LSH bucketing (the scale path).
   *
   * Scale design (100 TB / billions of vectors):
   *  - the query set is broadcast — the corpus is never shuffled for
-  *    brute force; per-partition scoring + TakeOrderedAndProject gives
-  *    exact top-k with one narrow pass;
+  *    brute force; scoring happens per partition and the final ranking
+  *    is a bounded-heap partial aggregation (TopKAggregator), so the
+  *    exchange carries O(partitions · queries · k) rows — NEVER a
+  *    per-query window rank, which would pull every scored corpus row
+  *    for a query into one task;
   *  - LSH assigns every vector a small bucket key in one projection;
   *    ANN probes then equi-join on the bucket key (plus neighbor probes
   *    for recall), turning O(N·Q) into O(bucket·Q);
@@ -18,6 +22,14 @@ import org.apache.spark.sql.functions._
   *    codegen'd, no UDF, deterministic.
   */
 object Similarity {
+
+  /** Exact top-k per query via two-phase bounded-heap aggregation: map
+    * partitions each reduce to <= k entries per query (partial
+    * ObjectHashAggregate), the shuffle merges heaps. Output contract is
+    * identical to the window-rank pattern: (query_id, neighbor_id,
+    * score, rank), score desc, neighbor_id asc tie-break. */
+  private def topKPerQuery(scored: DataFrame, k: Int, idType: DataType): DataFrame =
+    TopKAggregator.topKPerGroup(scored, k, idType)
 
   /** Dot product of two array<float/double> columns in double precision,
     * summed left-to-right (deterministic, engine-portable). */
@@ -40,19 +52,17 @@ object Similarity {
     graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact brute-force top-k: queries broadcast against the corpus;
-    * ranked per query with deterministic id tie-break. */
+    * per-partition scoring, bounded-heap top-k merge, deterministic id
+    * tie-break. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** All pairs with rounded cosine >= threshold (near-dup detection).
@@ -117,22 +127,19 @@ object Similarity {
       centers.toSeq.map { case (i, arr) => (i, arr) }
     ).toDF("cell", "center_vec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_score").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(centersDf))
-      .withColumn("cell_score", cosine(col("query_vec"), col("center_vec")))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("cell"))
+    val cellScores = q.crossJoin(broadcast(centersDf))
+      .select(col("query_id"), col("cell").as("neighbor_id"),
+        cosine(col("query_vec"), col("center_vec")).as("score"))
+    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
+        org.apache.spark.sql.types.IntegerType)
+      .select(col("query_id"), col("neighbor_id").as("cell"))
+      .join(q, "query_id") // re-attach the query vector (tiny side)
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   // ---------------- product quantization (PQ) ----------------
@@ -227,14 +234,10 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
     val idx = buildPqIndex(c0, m, ksub, seed, passthrough = Seq.empty)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
+    val scored = idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(adcScore(m), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), round(adcScore(m), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** IVF-PQ — the composed billion-scale serving layout: the corpus is
@@ -269,26 +272,20 @@ object Similarity {
     import spark.implicits._
     val centersDf = centers.toSeq.toDF("cell", "center_vec")
     val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_score").desc, col("cell"))
-    val probes = qn.crossJoin(broadcast(centersDf))
-      .withColumn("cell_score",
+    val cellScores = qn.crossJoin(broadcast(centersDf))
+      .select(col("query_id"), col("cell").as("neighbor_id"),
         aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
-                  lit(0.0), (acc, v) => acc + v))
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= nprobe)
-      .select(col("query_id"), col("cell"))
+                  lit(0.0), (acc, v) => acc + v).as("score"))
+    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
+        org.apache.spark.sql.types.IntegerType)
+      .select(col("query_id"), col("neighbor_id").as("cell"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    idx.coded
+    val scored = idx.coded
       .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
             Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(adcScore(m), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), round(adcScore(m), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** LSH-bucketed ANN: corpus and queries bucketed identically; neighbors
@@ -301,13 +298,10 @@ object Similarity {
                           lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
                            lshBucket(col(vecCol), planes).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("vec"), col("query_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 }

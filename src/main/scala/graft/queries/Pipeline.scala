@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
 /** LLM-training-data pipeline queries: dedup, similarity search, text
   * analysis, multimodal plumbing — over the documents/embeddings tables.
   * SQL-expressible ops carry DuckDB oracles. MinHash-LSH is oracle-checked
-  * through its *verified* output (r=1 banding makes recall effectively 1,
-  * so the result equals the exact-Jaccard pair set DuckDB computes
-  * directly). SimHash/LSH-ANN outputs are defined by xxhash64 (no DuckDB
-  * twin) and run as rows-only checks with ScalaTest fixture coverage.
+  * through its *verified* output (16 bands × 2 rows — see
+  * dedupMinhashPairs for the recall arithmetic that makes the verified
+  * set equal the exact-Jaccard pair set DuckDB computes directly).
+  * SimHash/LSH-ANN outputs are defined by xxhash64 (no DuckDB twin) and
+  * run as rows-only checks with ScalaTest fixture coverage.
   */
 object Pipeline {
 

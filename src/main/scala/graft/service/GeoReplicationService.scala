@@ -63,6 +63,10 @@ final class GeoReplicationService(spark: SparkSession,
     sys.commitAppend("_system", "registry",
       Seq((s"$ns.$table", region, "Active", System.currentTimeMillis()))
         .toDF("entry", "region", "status", "updated_at"), maxRetries = SystemRetries)
+    // bump BEFORE clearing: a reader that scanned the old registry and
+    // stores its map after this invalidation sees a changed epoch and
+    // discards its stale snapshot instead of re-caching it
+    registryEpoch.incrementAndGet()
     registryCacheSnapshot = None // invalidate the lookup cache
   }
 
@@ -77,12 +81,17 @@ final class GeoReplicationService(spark: SparkSession,
   // scale (entries × regions), so one collect per invalidation amortizes
   // to a driver map lookup per write.
   @volatile private var registryCacheSnapshot: Option[Map[String, Seq[String]]] = None
+  private val registryEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def registryMap: Map[String, Seq[String]] =
     registryCacheSnapshot.getOrElse {
+      // epoch-guarded populate: only cache the scan if no registerTable
+      // invalidated while it ran (check-then-set race otherwise leaves a
+      // stale snapshot installed AFTER the invalidation)
+      val epochAtScan = registryEpoch.get()
       val m = registry.select("entry", "region").distinct().collect()
         .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
-      registryCacheSnapshot = Some(m)
+      if (registryEpoch.get() == epochAtScan) registryCacheSnapshot = Some(m)
       m
     }
 

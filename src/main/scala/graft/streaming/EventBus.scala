@@ -1,8 +1,9 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, Executors}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.concurrent.{ExecutionContext, Future}
 import scala.jdk.CollectionConverters._
 
 /** E1/E2: typed publish/subscribe with predicate unsubscribe.
@@ -20,6 +21,15 @@ import scala.jdk.CollectionConverters._
   */
 object EventBus {
   final case class Subscription[E](id: Long, eventType: String, handler: E => Unit)
+
+  // one ordered daemon worker shared by every bus — async deliveries never
+  // hold the JVM open and never reorder relative to each other
+  private[streaming] val asyncEc: ExecutionContext =
+    ExecutionContext.fromExecutor(Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-eventbus-async")
+      t.setDaemon(true)
+      t
+    })
 }
 
 final class EventBus[E] {
@@ -55,6 +65,14 @@ final class EventBus[E] {
         try { s.handler(event); true }
         catch { case _: Exception => false }
       }
+
+  /** Async publish (EventPort.java:20-101 carries both sync and async
+    * forms): dispatch on a single daemon worker so the publisher never
+    * blocks on slow handlers, while deliveries from one bus stay in
+    * publish order (the reference's async port is an ordered queue, not
+    * a free-for-all thread pool). */
+  def publishAsync(eventType: String, event: E): Future[Int] =
+    Future(publish(eventType, event))(EventBus.asyncEc)
 
   def subscriptionCount: Int = subs.size
 }

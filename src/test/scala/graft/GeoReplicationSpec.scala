@@ -289,6 +289,28 @@ class GeoReplicationSpec extends SparkSpec {
     assert(seen.toSeq === Seq("any:e2"), "only the wildcard remains for DataSync")
   }
 
+  test("E2 publishAsync delivers off the publisher thread, in order, isolating slow handlers") {
+    import graft.streaming.EventBus
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val bus = new EventBus[String]
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val publisherThread = Thread.currentThread().getName
+    @volatile var handlerThread = ""
+    bus.subscribe("Ev") { e => handlerThread = Thread.currentThread().getName; Thread.sleep(50); seen.add(e): Unit }
+    bus.subscribe("Ev")(_ => throw new RuntimeException("boom"))
+
+    val t0 = System.nanoTime()
+    val f1 = bus.publishAsync("Ev", "a")
+    val f2 = bus.publishAsync("Ev", "b")
+    val publisherElapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(publisherElapsedMs < 40, s"publishAsync blocked the publisher for ${publisherElapsedMs}ms")
+    assert(Await.result(f1, 5.seconds) === 1, "clean handler counted; thrower isolated")
+    assert(Await.result(f2, 5.seconds) === 1)
+    assert(seen.toArray.toSeq === Seq("a", "b"), "async deliveries preserve publish order")
+    assert(handlerThread !== publisherThread, "handler must run off the publisher thread")
+  }
+
   test("E3 metrics: sync worker feeds copy counters; snapshot is SQL-queryable") {
     val svc = freshService("us-east-1", "eu-west-1")
     svc.regions("us-east-1").createTable("ns", "t")

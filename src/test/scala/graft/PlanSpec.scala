@@ -86,6 +86,18 @@ class PlanSpec extends SparkSpec {
       s"query LUTs not broadcast:\n$p")
   }
 
+  test("ANN ranking is bounded-heap partial aggregation — no per-query window rank") {
+    // a Window.partitionBy(query_id) would pull every scored corpus row
+    // for a query into ONE task — OOM by construction at a billion-row
+    // corpus; the TopKAggregator plan must partial-aggregate map-side
+    for (q <- Seq("ann_topk", "ann_pq_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a single-partition window:\n$p")
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_topkagg"),
+        s"$q top-k is not a partial (map-side) aggregation:\n$p")
+    }
+  }
+
   test("token pagination page plans as TakeOrderedAndProject with the key filter pushed") {
     import graft.operators.Pagination
     val names = Tables.part(spark, sf()).select(org.apache.spark.sql.functions.col("p_name")).distinct()

@@ -1,13 +1,14 @@
 package graft.catalog
 
-import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned-table catalog over Parquet — the Spark-native reproduction of
   * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
@@ -17,51 +18,79 @@ import org.apache.spark.sql.functions._
   *  - a table = a directory of immutable Parquet data files plus an
   *    append-only JSON commit log (`_meta/vNNNNN.json`), one file per
   *    version — the Iceberg metadata-file pattern;
+  *  - the version JSON holds MANIFEST POINTERS ONLY (plus O(1) summary
+  *    stats); the file list itself pages into immutable row-based
+  *    manifest files under `_meta/manifests/` — the Iceberg
+  *    snapshot→manifest indirection (reference `Manifest.java:3`,
+  *    `FileRef.java:3-4`). A commit writes ONE manifest holding only the
+  *    files it ADDED, so commit cost is O(new files), never O(table), and
+  *    the commit log stays metadata-scale no matter how many files the
+  *    table accumulates;
   *  - commits are optimistic CAS: the new version file is staged under a
-  *    temp name and published with an atomic rename; a concurrent commit
-  *    to the same version loses the rename and retries on a fresh version
-  *    number (Iceberg's commit loop, C12);
+  *    temp name and published with an atomic create-if-absent; a
+  *    concurrent commit to the same version loses and retries on a fresh
+  *    version number (Iceberg's commit loop, C12);
+  *  - each version records the table SCHEMA as JSON (reference
+  *    `TableMetadata.scala:15` carries a schema string per version);
+  *    commits validate additively — new columns may appear, but dropping
+  *    or retyping a column is rejected — and reads apply the recorded
+  *    schema, so time travel sees each version's own shape;
   *  - reads resolve a version (latest, by sequence, or by commit id) to
-  *    its file list and hand Spark exactly those files — time travel
-  *    (`VERSION AS OF`, C1), incremental diff reads (Y14) and history
-  *    scans (C9/C11) all fall out of the log.
+  *    its manifests and hand Spark exactly those files — time travel
+  *    (`VERSION AS OF`, C1), incremental diff reads (Y14, a MANIFEST-set
+  *    diff — no per-file comparison) and history scans (C9/C11) all fall
+  *    out of the log.
   *
   * Scale notes: data files are written by Spark executors (distributed);
-  * only the tiny JSON log touches the driver — same division of labor as
-  * Iceberg. File lists ride in the log as relative paths; at real scale
-  * the log would page into manifest Parquet files (the `t.files` pattern
-  * queried by SnapshotDiff/GcPlanner operators).
+  * manifests are consumed two ways — [[filesTable]] reads them as a
+  * DISTRIBUTED DataFrame (the `t.files` metadata table feeding
+  * SnapshotDiff/GcPlanner/verification joins, never materialized on the
+  * driver), while scan planning reads just the scanned version's
+  * manifests through a per-manifest immutable cache (the same transient
+  * planning read Iceberg's driver does). Manifests are JSON-lines —
+  * row-based like Iceberg's Avro manifests, splittable for Spark, and
+  * driver-writable in O(commit batch).
   */
 final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
+  /** One table version. `manifests` are relative paths of the immutable
+    * manifest files whose union is the version's file set; `fileCount` /
+    * `totalBytes` are O(1) summary stats recorded at commit time. */
   case class Snapshot(seq: Long, commitId: String, parentId: Option[String],
-                      timestampMs: Long, files: Seq[String], sourceRegion: String,
-                      fileSizes: Seq[Long] = Seq.empty) {
-    def fileEntries: Seq[(String, Long)] =
-      files.zipAll(fileSizes, "", -1L).filter(_._1.nonEmpty)
-  }
+                      timestampMs: Long, manifests: Seq[String], sourceRegion: String,
+                      fileCount: Long, totalBytes: Long,
+                      schemaJson: Option[String] = None)
 
   private def tableDir(ns: String, name: String): Path = Paths.get(warehouse, ns, name)
   private def metaDir(ns: String, name: String): Path = tableDir(ns, name).resolve("_meta")
+  private def manifestDir(ns: String, name: String): Path = metaDir(ns, name).resolve("manifests")
   private def dataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("data")
+
+  /** Directory listing that CLOSES the underlying OS handle (a bare
+    * `Files.list(..).iterator` leaks one handle per call). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
 
   // ---- DDL (C4, C5, C6) ----
 
   def createTable(ns: String, name: String): Unit = {
-    Files.createDirectories(metaDir(ns, name))
+    Files.createDirectories(manifestDir(ns, name))
     Files.createDirectories(dataDir(ns, name))
   }
 
   def dropTable(ns: String, name: String): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(tableDir(ns, name))
     // a re-created table restarts at v0 on the same paths — drop any
-    // cached snapshots under this table's meta dir
+    // cached snapshots/manifests under this table's meta dir
     val prefix = metaDir(ns, name).toAbsolutePath
     snapshotCache.keySet.removeIf(_.startsWith(prefix))
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   def tableExists(ns: String, name: String): Boolean =
@@ -70,21 +99,22 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def listTables(ns: String): Seq[String] = {
     val p = Paths.get(warehouse, ns)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    else listDir(p).map(_.getFileName.toString).sorted
   }
 
   /** C7: offset/limit pagination over the (sorted) namespace listing. */
   def listTablesPaginated(ns: String, offset: Int, pageSize: Int): Seq[String] =
     listTables(ns).slice(offset, offset + pageSize)
 
-  /** C8: streaming namespace listing — a lazy iterator that pulls
-    * directory entries on demand instead of materializing the namespace
-    * (the reference's listTablesStream; the token-paginated form is
-    * operators.Pagination). Unordered, like a storage LIST. */
+  /** C8: streaming namespace listing — pull entries on demand (the
+    * reference's listTablesStream; the token-paginated form is
+    * operators.Pagination). Unordered, like a storage LIST. The
+    * directory page is materialized so the OS handle closes immediately
+    * instead of riding a partially-consumed iterator. */
   def listTablesStream(ns: String): Iterator[String] = {
     val p = Paths.get(warehouse, ns)
     if (!Files.isDirectory(p)) Iterator.empty
-    else Files.list(p).iterator().asScala.map(_.getFileName.toString)
+    else listDir(p).map(_.getFileName.toString).iterator
   }
 
   // jittered exponential backoff between CAS retries (the reference's
@@ -98,14 +128,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def versionFile(ns: String, name: String, seq: Long): Path =
     metaDir(ns, name).resolve(f"v$seq%06d.json")
 
-  private def writeJson(s: Snapshot): String = {
-    def q(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(x: String) =
+    "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def writeJson(s: Snapshot): String =
     s"""{"seq":${s.seq},"commitId":${q(s.commitId)},""" +
       s""""parentId":${s.parentId.map(q).getOrElse("null")},""" +
       s""""timestampMs":${s.timestampMs},"sourceRegion":${q(s.sourceRegion)},""" +
-      s""""fileSizes":[${s.fileSizes.mkString(",")}],""" +
-      s""""files":[${s.files.map(q).mkString(",")}]}"""
-  }
+      s""""fileCount":${s.fileCount},"totalBytes":${s.totalBytes},""" +
+      s""""schemaJson":${s.schemaJson.map(q).getOrElse("null")},""" +
+      s""""manifests":[${s.manifests.map(q).mkString(",")}]}"""
 
   // Real JSON parsing (Jackson, already on Spark's classpath) — the
   // writer escapes quotes/backslashes, so paths containing `"`, `,` or
@@ -119,10 +151,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       n.get("commitId").asText(),
       Option(n.get("parentId")).filterNot(_.isNull).map(_.asText()),
       n.get("timestampMs").asLong(),
-      n.get("files").elements().asScala.map(_.asText()).toSeq,
+      n.get("manifests").elements().asScala.map(_.asText()).toSeq,
       Option(n.get("sourceRegion")).map(_.asText()).getOrElse(""),
-      Option(n.get("fileSizes")).map(_.elements().asScala.map(_.asLong()).toSeq)
-        .getOrElse(Seq.empty))
+      n.get("fileCount").asLong(),
+      n.get("totalBytes").asLong(),
+      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText()))
   }
 
   // Published version files are immutable (hard-link create-if-absent), so
@@ -135,11 +168,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def snapshots(ns: String, name: String): Seq[Snapshot] = {
     val md = metaDir(ns, name)
     if (!Files.isDirectory(md)) return Seq.empty
-    Files.list(md).iterator().asScala
+    listDir(md)
       .filter(_.getFileName.toString.matches("v\\d+\\.json"))
       .map(p => snapshotCache.computeIfAbsent(p.toAbsolutePath, ap =>
         parseJson(new String(Files.readAllBytes(ap), StandardCharsets.UTF_8))))
-      .toSeq.sortBy(_.seq)
+      .sortBy(_.seq)
   }
 
   /** C2 / C1. */
@@ -147,37 +180,115 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def byCommitId(ns: String, name: String, commitId: String): Option[Snapshot] =
     snapshots(ns, name).find(_.commitId == commitId)
 
-  /** C3/C12: append `df` as a new version with optimistic CAS on the
-    * version number. Data files land distributed (executor writes); the
-    * atomic rename of the version JSON is the commit point. */
-  def commitAppend(ns: String, name: String, df: DataFrame,
-                   sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
-    require(tableExists(ns, name), s"no such table $ns.$name")
-    // 1. write data files (distributed, outside the commit critical section)
+  // ---- manifests ----
+
+  private val ManifestSchema = "path STRING, size_bytes LONG"
+
+  /** Write one immutable manifest holding `entries` (relative path, size).
+    * JSON-lines: row-based like Iceberg's Avro manifests, readable
+    * distributed by Spark and in one pass by the driver planner. */
+  private def writeManifest(ns: String, name: String,
+                            entries: Seq[(String, Long)]): String = {
+    val rel = s"_meta/manifests/m-${UUID.randomUUID()}.jsonl"
+    val body = entries.map { case (p, sz) => s"""{"path":${q(p)},"size_bytes":$sz}""" }
+      .mkString("", "\n", "\n")
+    val tmp = manifestDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tableDir(ns, name).resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+    rel
+  }
+
+  // Manifests are immutable once published — cache parsed entries so scan
+  // planning touches each manifest file once per driver (Iceberg's
+  // manifest cache); bounded by the manifests actually planned.
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, Seq[(String, Long)]]()
+
+  private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
+    manifestCache.computeIfAbsent(tableDir(ns, name).resolve(rel).toAbsolutePath, ap =>
+      Files.readAllLines(ap, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty)
+        .map { line =>
+          val n = jsonMapper.readTree(line)
+          (n.get("path").asText(), n.get("size_bytes").asLong())
+        }.toSeq)
+
+  /** (path, size) entries of a version — driver-side SCAN-PLANNING read
+    * (transient, per-version), not the metadata-query path; distributed
+    * consumers use [[filesTable]]. */
+  def dataFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
+    snap.manifests.flatMap(manifestEntries(ns, name, _))
+
+  def dataFiles(ns: String, name: String, snap: Snapshot): Seq[String] =
+    dataFileEntries(ns, name, snap).map(_._1)
+
+  /** Manifests ADDED by `snap` relative to its parent (the commit's
+    * delta) — the manifest-granular form of Y14. */
+  def addedManifests(ns: String, name: String, snap: Snapshot): Seq[String] = {
+    val parentManifests = snap.parentId
+      .flatMap(byCommitId(ns, name, _)).map(_.manifests.toSet).getOrElse(Set.empty)
+    snap.manifests.filterNot(parentManifests)
+  }
+
+  /** Files ADDED by `snap`'s commit (Y14 per-commit delta) — reads only
+    * the added manifests, never diffs per-file sets. */
+  def addedFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
+    addedManifests(ns, name, snap).flatMap(manifestEntries(ns, name, _))
+
+  def addedFiles(ns: String, name: String, snap: Snapshot): Seq[String] =
+    addedFileEntries(ns, name, snap).map(_._1)
+
+  // ---- schema (reference TableMetadata.scala:15: schema JSON per version) ----
+
+  /** Additive schema validation: every column of the current schema must
+    * survive with its type; new columns may appear (evolution). Returns
+    * the schema JSON to record. */
+  private def validatedSchemaJson(parent: Option[Snapshot], schema: StructType): String = {
+    parent.flatMap(_.schemaJson).foreach { pj =>
+      val prev = DataType.fromJson(pj).asInstanceOf[StructType]
+      prev.fields.foreach { pf =>
+        schema.fields.find(_.name == pf.name) match {
+          case None => throw new IllegalArgumentException(
+            s"schema mismatch: column '${pf.name}' (${pf.dataType.simpleString}) " +
+              "is missing from the appended data")
+          case Some(nf) if nf.dataType != pf.dataType =>
+            throw new IllegalArgumentException(
+              s"schema mismatch: column '${pf.name}' changed " +
+                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
+          case _ =>
+        }
+      }
+    }
+    schema.json
+  }
+
+  // ---- commits ----
+
+  /** Stage `df` as data files and return their (relative path, size)
+    * entries — distributed executor writes, driver lists ONLY this
+    * commit's staging dir (O(batch), never O(table)). */
+  private def stageDataFiles(ns: String, name: String, df: DataFrame): Seq[(String, Long)] = {
     val stagingId = UUID.randomUUID().toString.take(8)
     val outDir = dataDir(ns, name).resolve(stagingId)
     df.write.parquet(outDir.toString)
-    val newFiles = Files.list(outDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(f => s"data/$stagingId/$f").toSeq.sorted
-    val newSizes = newFiles.map(f => Files.size(tableDir(ns, name).resolve(f)))
-    // 2. CAS loop on the version number
+    listDir(outDir)
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+      .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
+  }
+
+  /** CAS publish loop shared by every commit flavor: `mkSnapshot` builds
+    * the candidate from the freshly-read parent; the atomic
+    * create-if-absent hard link is the commit point (on an object store
+    * this becomes a conditional PUT / If-None-Match — same contract). */
+  private def casCommit(ns: String, name: String, maxRetries: Int)
+                       (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val parent = latest(ns, name)
-      val seq = parent.map(_.seq + 1).getOrElse(0L)
-      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
-        System.currentTimeMillis(), parent.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-        sourceRegion,
-        parent.map(_.fileSizes).getOrElse(Seq.empty) ++ newSizes)
+      val snap = mkSnapshot(latest(ns, name))
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
       try {
-        // atomic create-if-absent publish: a hard link FAILS if the target
-        // exists (POSIX rename would silently overwrite a concurrent
-        // winner). On an object store this becomes a conditional PUT /
-        // If-None-Match — same CAS contract.
-        Files.createLink(versionFile(ns, name, seq), tmp)
+        Files.createLink(versionFile(ns, name, snap.seq), tmp)
         Files.deleteIfExists(tmp)
         return snap
       } catch {
@@ -190,37 +301,68 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
+  /** C3/C12: append `df` as a new version with optimistic CAS on the
+    * version number. Data files land distributed (executor writes); one
+    * manifest records the added files; the version JSON carries pointers
+    * and summary stats only. Schema is validated additively against the
+    * current version and recorded (a mismatched append is REJECTED before
+    * any data is staged). */
+  def commitAppend(ns: String, name: String, df: DataFrame,
+                   sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    // fail fast on an incompatible schema before staging any data; the
+    // CAS loop re-validates against the re-read parent on every attempt
+    validatedSchemaJson(latest(ns, name), df.schema)
+    val entries = stageDataFiles(ns, name, df)
+    val newManifest =
+      if (entries.isEmpty) None else Some(writeManifest(ns, name, entries))
+    casCommit(ns, name, maxRetries) { parent =>
+      Snapshot(
+        parent.map(_.seq + 1).getOrElse(0L),
+        s"commit-${UUID.randomUUID()}",
+        parent.map(_.commitId),
+        System.currentTimeMillis(),
+        parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
+        sourceRegion,
+        parent.map(_.fileCount).getOrElse(0L) + entries.size,
+        parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
+        Some(validatedSchemaJson(parent, df.schema)))
+    }
+  }
+
   /** Overwrite commit: the new version references ONLY the files written
     * from `df` (previous files become unreachable → reclaimed by
-    * expireSnapshots). Used by compaction. */
+    * expireSnapshots). Used by compaction and log checkpointing.
+    *
+    * `expectedParentSeq` turns the overwrite into a conditional commit:
+    * if a concurrent append landed since the caller derived `df`, the
+    * CAS aborts instead of silently dropping that append's rows (the
+    * compact-vs-append race). */
   def commitReplace(ns: String, name: String, df: DataFrame,
-                    sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+                    sourceRegion: String = "local", maxRetries: Int = 5,
+                    expectedParentSeq: Option[Long] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
-    val stagingId = UUID.randomUUID().toString.take(8)
-    val outDir = dataDir(ns, name).resolve(stagingId)
-    df.write.parquet(outDir.toString)
-    val newFiles = Files.list(outDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(f => s"data/$stagingId/$f").toSeq.sorted
-    val newSizes = newFiles.map(f => Files.size(tableDir(ns, name).resolve(f)))
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val parent = latest(ns, name)
-      val seq = parent.map(_.seq + 1).getOrElse(0L)
-      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
-        System.currentTimeMillis(), newFiles, sourceRegion, newSizes)
-      val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
-      Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(versionFile(ns, name, seq), tmp)
-        Files.deleteIfExists(tmp)
-        return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); attempt += 1; backoff(attempt)
+    validatedSchemaJson(latest(ns, name), df.schema)
+    val entries = stageDataFiles(ns, name, df)
+    val manifest =
+      if (entries.isEmpty) Seq.empty else Seq(writeManifest(ns, name, entries))
+    casCommit(ns, name, maxRetries) { parent =>
+      expectedParentSeq.foreach { exp =>
+        val cur = parent.map(_.seq).getOrElse(-1L)
+        if (cur != exp) throw new java.util.ConcurrentModificationException(
+          s"conditional replace of $ns.$name expected parent v$exp but found v$cur")
       }
+      Snapshot(
+        parent.map(_.seq + 1).getOrElse(0L),
+        s"commit-${UUID.randomUUID()}",
+        parent.map(_.commitId),
+        System.currentTimeMillis(),
+        manifest,
+        sourceRegion,
+        entries.size,
+        entries.map(_._2).sum,
+        Some(validatedSchemaJson(parent, df.schema)))
     }
-    throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
   /** Bin-pack compaction (the reference docs' small-file control,
@@ -231,40 +373,40 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def compact(ns: String, name: String, targetFileBytes: Long): Snapshot = {
     val cur = latest(ns, name)
       .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
-    val totalBytes = math.max(1L, cur.fileSizes.sum)
+    val totalBytes = math.max(1L, cur.totalBytes)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     commitReplace(ns, name, read(ns, name).repartition(parts))
   }
 
   /** Replica-side commit (sync DAG t6_cas_commit_replica): register files
     * that already landed under the table dir (copied by the sync engine)
-    * as a new version — same CAS loop, no data write. */
+    * as a new version — same CAS loop, no data write. `schemaJson`
+    * carries the SOURCE version's schema across regions (defaults to the
+    * replica parent's). */
   def commitFiles(ns: String, name: String, newFiles: Seq[String],
-                  sourceRegion: String, maxRetries: Int = 5): Snapshot = {
+                  sourceRegion: String, maxRetries: Int = 5,
+                  schemaJson: Option[String] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val parent = latest(ns, name)
-      val seq = parent.map(_.seq + 1).getOrElse(0L)
-      val parentEntries = parent.map(_.fileEntries).getOrElse(Seq.empty)
-      val landedEntries = newFiles.filterNot(parentEntries.map(_._1).contains)
+    casCommit(ns, name, maxRetries) { parent =>
+      // dedup against the parent so a retried sync event can't register
+      // the same landed file twice (keeps the one-manifest-per-file
+      // invariant the manifest-set diff and expiry rely on)
+      val parentFiles = parent.map(dataFiles(ns, name, _).toSet).getOrElse(Set.empty)
+      val landed = newFiles.filterNot(parentFiles)
         .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
-      val allEntries = parentEntries ++ landedEntries
-      val snap = Snapshot(seq, s"commit-${UUID.randomUUID()}", parent.map(_.commitId),
-        System.currentTimeMillis(), allEntries.map(_._1), sourceRegion,
-        allEntries.map(_._2))
-      val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
-      Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(versionFile(ns, name, seq), tmp)
-        Files.deleteIfExists(tmp)
-        return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp); attempt += 1; backoff(attempt)
-      }
+      val newManifest =
+        if (landed.isEmpty) None else Some(writeManifest(ns, name, landed))
+      Snapshot(
+        parent.map(_.seq + 1).getOrElse(0L),
+        s"commit-${UUID.randomUUID()}",
+        parent.map(_.commitId),
+        System.currentTimeMillis(),
+        parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
+        sourceRegion,
+        parent.map(_.fileCount).getOrElse(0L) + landed.size,
+        parent.map(_.totalBytes).getOrElse(0L) + landed.map(_._2).sum,
+        schemaJson.orElse(parent.flatMap(_.schemaJson)))
     }
-    throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
@@ -308,58 +450,128 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   // ---- reads ----
 
-  private def readFiles(ns: String, name: String, files: Seq[String]): DataFrame =
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+  private def readSnapshot(ns: String, name: String, snap: Snapshot): DataFrame = {
+    val files = dataFiles(ns, name, snap)
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (files.isEmpty)
+      schema.map(st => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      // the RECORDED schema governs the read: time travel sees each
+      // version's own shape, and post-evolution reads project older
+      // files (missing columns read as null — standard additive merge)
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+    }
+  }
 
   /** C2: current table state. */
   def read(ns: String, name: String): DataFrame =
-    readFiles(ns, name, latest(ns, name).map(_.files).getOrElse(Seq.empty))
+    latest(ns, name).map(readSnapshot(ns, name, _)).getOrElse(spark.emptyDataFrame)
 
-  /** C1: `VERSION AS OF seq` time travel. */
+  /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */
   def readVersion(ns: String, name: String, seq: Long): DataFrame = {
     val snap = snapshots(ns, name).find(_.seq == seq)
       .getOrElse(throw new IllegalArgumentException(s"no version $seq of $ns.$name"))
-    readFiles(ns, name, snap.files)
+    readSnapshot(ns, name, snap)
   }
 
-  /** Y14: incremental read — only rows in files ADDED in (fromSeq, toSeq]. */
+  /** Y14: incremental read — only rows in files ADDED in (fromSeq, toSeq].
+    * A manifest-set diff: the added files are exactly the union of the
+    * manifests `toSeq` carries beyond `fromSeq` (each file lives in ONE
+    * manifest), so the diff never enumerates per-file sets. */
   def readIncremental(ns: String, name: String, fromSeq: Long, toSeq: Long): DataFrame = {
     val snaps = snapshots(ns, name)
-    val fromFiles = snaps.find(_.seq == fromSeq).map(_.files.toSet).getOrElse(Set.empty)
-    val toFiles = snaps.find(_.seq == toSeq).map(_.files).getOrElse(Seq.empty)
-    readFiles(ns, name, toFiles.filterNot(fromFiles))
+    val fromManifests = snaps.find(_.seq == fromSeq).map(_.manifests.toSet).getOrElse(Set.empty)
+    val toSnap = snaps.find(_.seq == toSeq)
+    val addedM = toSnap.map(_.manifests.filterNot(fromManifests)).getOrElse(Seq.empty)
+    val files = addedM.flatMap(manifestEntries(ns, name, _)).map(_._1)
+    val schema = toSnap.flatMap(_.schemaJson).map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (files.isEmpty) spark.emptyDataFrame
+    else {
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+    }
   }
 
-  /** History as a DataFrame (the `t.history` metadata-table pattern). */
+  /** History as a DataFrame (the `t.history` metadata-table pattern) —
+    * summary stats come straight from the version JSON, O(versions). */
   def history(ns: String, name: String): DataFrame = {
     import spark.implicits._
     snapshots(ns, name)
-      .map(s => (s.seq, s.commitId, s.parentId.orNull, s.timestampMs, s.files.size, s.sourceRegion))
+      .map(s => (s.seq, s.commitId, s.parentId.orNull, s.timestampMs, s.fileCount, s.sourceRegion))
       .toDF("seq", "commit_id", "parent_id", "timestamp_ms", "file_cnt", "source_region")
   }
 
-  /** Files metadata table (the `t.files` pattern driving diff/GC ops);
-    * size_bytes is the AUTHORITATIVE size recorded at commit time — the
-    * reconciliation operators compare live listings against it. */
+  /** Files metadata table (the `t.files` pattern driving diff/GC ops):
+    * a DISTRIBUTED read of the version's manifest files — the file list
+    * never materializes on the driver, so reconciliation joins scale to
+    * manifest sets far past driver memory. size_bytes is the
+    * AUTHORITATIVE size recorded at commit time. */
   def filesTable(ns: String, name: String, seq: Long): DataFrame = {
     import spark.implicits._
-    snapshots(ns, name).find(_.seq == seq).map(_.fileEntries).getOrElse(Seq.empty)
-      .toDF("path", "size_bytes")
+    val manifests = snapshots(ns, name).find(_.seq == seq).map(_.manifests).getOrElse(Seq.empty)
+    if (manifests.isEmpty) Seq.empty[(String, Long)].toDF("path", "size_bytes")
+    else spark.read.schema(ManifestSchema)
+      .json(manifests.map(m => tableDir(ns, name).resolve(m).toString): _*)
+      .select("path", "size_bytes")
   }
 
-  /** G1: expire old snapshots — drop version files below the keep floor,
-    * then delete data files unreachable from any surviving version
-    * (reachability set difference, the G2 primitive, driver-side here
-    * because the log is small; the operator form is GcPlanner). */
-  def expireSnapshots(ns: String, name: String, retainLast: Int): Seq[String] = {
+  // ---- G1: snapshot expiry ----
+
+  /** Shared expiry: manifest-granular reachability (each data file lives
+    * in exactly ONE manifest, so a manifest referenced only by expired
+    * versions is removable wholesale — no per-file set difference), then
+    * a DISTRIBUTED physical delete of the removable files. Returns the
+    * removed data-file paths. */
+  private def expire(ns: String, name: String, keep: Snapshot => Boolean): Seq[String] = {
     val snaps = snapshots(ns, name)
-    if (snaps.size <= retainLast) return Seq.empty
-    val (expired, kept) = snaps.splitAt(snaps.size - retainLast)
-    val reachable = kept.flatMap(_.files).toSet
-    val removable = expired.flatMap(_.files).filterNot(reachable).distinct
-    expired.foreach(s => Files.deleteIfExists(versionFile(ns, name, s.seq)))
-    removable.foreach(f => Files.deleteIfExists(tableDir(ns, name).resolve(f)))
+    val (kept, expired) = snaps.partition(keep)
+    if (expired.isEmpty) return Seq.empty
+    val keptManifests = kept.flatMap(_.manifests).toSet
+    val removableManifests = expired.flatMap(_.manifests).distinct.filterNot(keptManifests)
+    val removable = removableManifests.flatMap(manifestEntries(ns, name, _)).map(_._1).distinct
+    if (removable.nonEmpty) {
+      import spark.implicits._
+      val base = tableDir(ns, name).toString
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      removable.toDF("path").as[String].foreachPartition { (paths: Iterator[String]) =>
+        val conf = confSer.value
+        paths.foreach { p =>
+          val hp = new HPath(s"$base/$p")
+          hp.getFileSystem(conf).delete(hp, false): Unit
+        }
+      }
+    }
+    expired.foreach { s =>
+      snapshotCache.remove(versionFile(ns, name, s.seq).toAbsolutePath)
+      Files.deleteIfExists(versionFile(ns, name, s.seq)): Unit
+    }
+    removableManifests.foreach { m =>
+      val ap = tableDir(ns, name).resolve(m).toAbsolutePath
+      manifestCache.remove(ap)
+      Files.deleteIfExists(ap): Unit
+    }
     removable
+  }
+
+  /** G1: retain the newest `retainLast` versions; drop the rest plus any
+    * data files (and manifests) unreachable from a kept version. */
+  def expireSnapshots(ns: String, name: String, retainLast: Int): Seq[String] = {
+    val keepSeqs = snapshots(ns, name).takeRight(retainLast).map(_.seq).toSet
+    expire(ns, name, s => keepSeqs.contains(s.seq))
+  }
+
+  /** G1 age form (reference RetentionPolicy.java:3 — min snapshots + max
+    * age; application.yaml:3-6): expire versions committed before
+    * `olderThanMs`, but ALWAYS retain the newest `minSnapshotsToKeep`
+    * regardless of age (the retention floor that keeps time travel and
+    * in-flight readers alive through an aggressive age policy). */
+  def expireOlderThan(ns: String, name: String, olderThanMs: Long,
+                      minSnapshotsToKeep: Int = 1): Seq[String] = {
+    val floor = snapshots(ns, name).takeRight(math.max(1, minSnapshotsToKeep)).map(_.seq).toSet
+    expire(ns, name, s => floor.contains(s.seq) || s.timestampMs >= olderThanMs)
   }
 }

@@ -160,7 +160,8 @@ final class GeoReplicationService(spark: SparkSession,
                                    eventType: String, status: Option[String],
                                    files: Seq[String] = Nil, ns: String = "",
                                    table: String = "", watermarkMs: Long = 0L,
-                                   manifest: Seq[(String, String, String)] = Nil)
+                                   manifest: Seq[(String, String, String)] = Nil,
+                                   schemaJson: Option[String] = None)
 
   /** Copy batches launched by processPendingEvents — test observability:
     * a whole pending backlog must cost O(1) copy jobs, not O(events). */
@@ -201,16 +202,16 @@ final class GeoReplicationService(spark: SparkSession,
           case "DataSync" =>
             val src = findSourceCatalog(ns, table, commitId)
             val snap = src.byCommitId(ns, table, commitId).get
-            val parentFiles = snap.parentId
-              .flatMap(pid => src.byCommitId(ns, table, pid)).map(_.files.toSet)
-              .getOrElse(Set.empty)
-            val added = snap.files.filterNot(parentFiles) // Y14 diff
+            // Y14 delta straight from the commit's ADDED manifests — reads
+            // O(this commit's files), never the version's full file set
+            val added = src.addedFiles(ns, table, snap)
             if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
             PreparedEvent(eventId, entry, commitId, eventType, None, added, ns, table,
               snap.timestampMs,
               added.map(f => (eventId,
                 src.tablePath(ns, table).resolve(f).toString,
-                regions(region).tablePath(ns, table).resolve(f).toString)))
+                regions(region).tablePath(ns, table).resolve(f).toString)),
+              snap.schemaJson)
           case other => throw new IllegalArgumentException(s"unknown event type $other")
         }
       } catch { case _: Exception =>
@@ -244,7 +245,8 @@ final class GeoReplicationService(spark: SparkSession,
       val status = p.status.getOrElse {
         if (okEvents.contains(p.eventId)) {
           try {
-            regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region)
+            regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region,
+              schemaJson = p.schemaJson)
             advanceWatermark(p.entry, region, p.watermarkMs)
             "Completed"
           } catch {

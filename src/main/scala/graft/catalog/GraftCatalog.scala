@@ -276,6 +276,32 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
   }
 
+  /** Remove staged artifacts of an ABORTED commit attempt (conditional
+    * replace lost its race, or CAS retries exhausted): without this the
+    * staged data files and manifest are referenced by no version and
+    * accumulate unboundedly under contention — expiry only reclaims
+    * artifacts reachable from expired versions. */
+  private def cleanupStaged(ns: String, name: String,
+                            entries: Seq[(String, Long)], manifests: Seq[String]): Unit = {
+    // staged files share one per-commit staging dir — remove it whole
+    // (including Spark's _SUCCESS / checksum siblings)
+    entries.map { case (p, _) => tableDir(ns, name).resolve(p).getParent }
+      .distinct.foreach { dir =>
+        if (Files.isDirectory(dir)) {
+          def rm(p: Path): Unit = {
+            if (Files.isDirectory(p)) listDir(p).foreach(rm)
+            Files.deleteIfExists(p): Unit
+          }
+          rm(dir)
+        }
+      }
+    manifests.foreach { m =>
+      val ap = tableDir(ns, name).resolve(m).toAbsolutePath
+      manifestCache.remove(ap)
+      Files.deleteIfExists(ap): Unit
+    }
+  }
+
   /** CAS publish loop shared by every commit flavor: `mkSnapshot` builds
     * the candidate from the freshly-read parent; the atomic
     * create-if-absent hard link is the commit point (on an object store
@@ -316,7 +342,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val entries = stageDataFiles(ns, name, df)
     val newManifest =
       if (entries.isEmpty) None else Some(writeManifest(ns, name, entries))
-    casCommit(ns, name, maxRetries) { parent =>
+    try casCommit(ns, name, maxRetries) { parent =>
       Snapshot(
         parent.map(_.seq + 1).getOrElse(0L),
         s"commit-${UUID.randomUUID()}",
@@ -327,6 +353,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         parent.map(_.fileCount).getOrElse(0L) + entries.size,
         parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
         Some(validatedSchemaJson(parent, df.schema)))
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, newManifest.toSeq); throw e
     }
   }
 
@@ -346,7 +374,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val entries = stageDataFiles(ns, name, df)
     val manifest =
       if (entries.isEmpty) Seq.empty else Seq(writeManifest(ns, name, entries))
-    casCommit(ns, name, maxRetries) { parent =>
+    // an aborted conditional replace (or exhausted CAS) must not orphan
+    // its staged data + manifest — they are reachable from no version
+    try casCommit(ns, name, maxRetries) { parent =>
       expectedParentSeq.foreach { exp =>
         val cur = parent.map(_.seq).getOrElse(-1L)
         if (cur != exp) throw new java.util.ConcurrentModificationException(
@@ -362,6 +392,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         entries.size,
         entries.map(_._2).sum,
         Some(validatedSchemaJson(parent, df.schema)))
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, manifest); throw e
     }
   }
 
@@ -375,7 +407,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
     val totalBytes = math.max(1L, cur.totalBytes)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    commitReplace(ns, name, read(ns, name).repartition(parts))
+    // conditional on the version we read: an append landing between the
+    // read and the CAS publish aborts the compaction (caller retries)
+    // instead of being silently dropped by the replacing snapshot
+    commitReplace(ns, name, read(ns, name).repartition(parts),
+      expectedParentSeq = Some(cur.seq))
   }
 
   /** Replica-side commit (sync DAG t6_cas_commit_replica): register files
@@ -387,7 +423,20 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                   sourceRegion: String, maxRetries: Int = 5,
                   schemaJson: Option[String] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
-    casCommit(ns, name, maxRetries) { parent =>
+    // the manifest depends on the freshly-read parent (dedup below), so it
+    // is written INSIDE the retry closure — drop the previous attempt's
+    // manifest first, or every lost CAS race orphans one manifest file
+    var attemptManifest: Option[String] = None
+    def dropAttemptManifest(): Unit = {
+      attemptManifest.foreach { m =>
+        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
+        manifestCache.remove(ap)
+        Files.deleteIfExists(ap): Unit
+      }
+      attemptManifest = None
+    }
+    try casCommit(ns, name, maxRetries) { parent =>
+      dropAttemptManifest()
       // dedup against the parent so a retried sync event can't register
       // the same landed file twice (keeps the one-manifest-per-file
       // invariant the manifest-set diff and expiry rely on)
@@ -396,6 +445,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
       val newManifest =
         if (landed.isEmpty) None else Some(writeManifest(ns, name, landed))
+      attemptManifest = newManifest
       Snapshot(
         parent.map(_.seq + 1).getOrElse(0L),
         s"commit-${UUID.randomUUID()}",
@@ -406,6 +456,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         parent.map(_.fileCount).getOrElse(0L) + landed.size,
         parent.map(_.totalBytes).getOrElse(0L) + landed.map(_._2).sum,
         schemaJson.orElse(parent.flatMap(_.schemaJson)))
+    } catch { case e: Throwable =>
+      dropAttemptManifest(); throw e
     }
   }
 

@@ -63,11 +63,10 @@ final class GeoReplicationService(spark: SparkSession,
     sys.commitAppend("_system", "registry",
       Seq((s"$ns.$table", region, "Active", System.currentTimeMillis()))
         .toDF("entry", "region", "status", "updated_at"), maxRetries = SystemRetries)
-    // bump BEFORE clearing: a reader that scanned the old registry and
-    // stores its map after this invalidation sees a changed epoch and
-    // discards its stale snapshot instead of re-caching it
-    registryEpoch.incrementAndGet()
-    registryCacheSnapshot = None // invalidate the lookup cache
+    // atomic bump+clear: the epoch and the cached map live in ONE
+    // reference, so a reader can never install a map scanned before this
+    // invalidation (its CAS below compares the whole (epoch, map) pair)
+    registryCache.updateAndGet { case (e, _) => (e + 1, None) }: Unit
   }
 
   def registry: DataFrame = sys.read("_system", "registry")
@@ -80,20 +79,23 @@ final class GeoReplicationService(spark: SparkSession,
   // write pays a full registry scan + collect. The registry is metadata
   // scale (entries × regions), so one collect per invalidation amortizes
   // to a driver map lookup per write.
-  @volatile private var registryCacheSnapshot: Option[Map[String, Seq[String]]] = None
-  private val registryEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  // (epoch, cached map) in one atomic cell: install is a compareAndSet
+  // against the exact pre-scan state, so an invalidation that lands at
+  // ANY point during the scan (epoch bumped, map cleared) makes the
+  // install fail — a stale snapshot can never overwrite an invalidation.
+  private val registryCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Option[Map[String, Seq[String]]])](
+      (0L, None))
 
-  private def registryMap: Map[String, Seq[String]] =
-    registryCacheSnapshot.getOrElse {
-      // epoch-guarded populate: only cache the scan if no registerTable
-      // invalidated while it ran (check-then-set race otherwise leaves a
-      // stale snapshot installed AFTER the invalidation)
-      val epochAtScan = registryEpoch.get()
+  private def registryMap: Map[String, Seq[String]] = {
+    val before = registryCache.get()
+    before._2.getOrElse {
       val m = registry.select("entry", "region").distinct().collect()
         .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
-      if (registryEpoch.get() == epochAtScan) registryCacheSnapshot = Some(m)
+      registryCache.compareAndSet(before, (before._1, Some(m))): Unit
       m
     }
+  }
 
   def tableRegions(ns: String, table: String): Seq[String] =
     registryMap.getOrElse(s"$ns.$table", Seq.empty)

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.catalog.GraftCatalog
 import graft.operators.SnapshotDiff
@@ -33,9 +34,10 @@ class CatalogSpec extends SparkSpec {
     Files.write(cat.tablePath("ns", "t").resolve(s"data/$weird"), Array[Byte](1, 2))
     cat.commitFiles("ns", "t", Seq(s"data/$weird"), "local")
     // a SECOND catalog instance has a cold cache -> must re-parse the log
-    val reread = new GraftCatalog(spark, wh).latest("ns", "t").get
-    assert(reread.files === Seq(s"data/$weird"))
-    assert(reread.fileEntries === Seq((s"data/$weird", 2L)))
+    val cat2 = new GraftCatalog(spark, wh)
+    val reread = cat2.latest("ns", "t").get
+    assert(cat2.dataFiles("ns", "t", reread) === Seq(s"data/$weird"))
+    assert(cat2.dataFileEntries("ns", "t", reread) === Seq((s"data/$weird", 2L)))
   }
 
   test("append commits chain parents and accumulate files; time travel reads exact versions") {
@@ -71,9 +73,9 @@ class CatalogSpec extends SparkSpec {
     val cat = freshCatalog()
     cat.createTable("ns", "t")
     (1 to 3).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong).toDF("id")))
-    val h = cat.history("ns", "t").select("seq", "file_cnt").as[(Long, Int)].collect()
+    val h = cat.history("ns", "t").select("seq", "file_cnt").as[(Long, Long)].collect()
     assert(h.map(_._1) === Array(0L, 1L, 2L))
-    assert(h.map(_._2) === Array(1, 2, 3))
+    assert(h.map(_._2) === Array(1L, 2L, 3L))
   }
 
   test("concurrent committers both land via CAS retry (C12)") {
@@ -97,16 +99,108 @@ class CatalogSpec extends SparkSpec {
     cat.createTable("ns", "t")
     (1 to 5).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong, i * 10L).toDF("id")))
     val before = cat.latest("ns", "t").get
-    assert(before.files.size >= 5, "appends should have created many small files")
+    // capture the file list now: expiry below deletes the manifests too
+    val beforeFiles = cat.dataFiles("ns", "t", before)
+    assert(beforeFiles.size >= 5, "appends should have created many small files")
     val compacted = cat.compact("ns", "t", targetFileBytes = Long.MaxValue)
-    assert(compacted.files.size === 1, "everything fits one target-size file")
+    assert(cat.dataFiles("ns", "t", compacted).size === 1, "everything fits one target-size file")
     assert(cat.read("ns", "t").count() === 10)
     assert(cat.read("ns", "t").as[Long].collect().sorted
       === (1 to 5).flatMap(i => Seq(i.toLong, i * 10L)).sorted.toArray)
     // old small files are unreachable from the kept (compacted) version
     val removed = cat.expireSnapshots("ns", "t", retainLast = 1)
-    assert(removed.toSet === before.files.toSet)
+    assert(removed.toSet === beforeFiles.toSet)
     assert(cat.read("ns", "t").count() === 10)
+  }
+
+  test("schema per version: additive evolution is recorded, drops and retypes are rejected") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a")).toDF("id", "v"))
+    // additive: a new column lands and is recorded on the new version
+    cat.commitAppend("ns", "t", Seq((2L, "b", 0.5)).toDF("id", "v", "score"))
+    assert(cat.read("ns", "t").columns.toSeq === Seq("id", "v", "score"))
+    // time travel sees each version's OWN shape
+    assert(cat.readVersion("ns", "t", 0).columns.toSeq === Seq("id", "v"))
+    // the old file reads under the evolved schema with nulls for the new column
+    assert(cat.read("ns", "t").filter($"score".isNull).count() === 1)
+    // dropping a column is rejected before any data is staged
+    intercept[IllegalArgumentException](
+      cat.commitAppend("ns", "t", Seq(3L).toDF("id")))
+    // retyping a column is rejected
+    intercept[IllegalArgumentException](
+      cat.commitAppend("ns", "t", Seq(("x", "c", 1.0)).toDF("id", "v", "score")))
+    assert(cat.latest("ns", "t").get.seq === 1, "rejected commits must not create versions")
+  }
+
+  test("expireOlderThan expires by age but always keeps the min-snapshots floor (G1 age form)") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    (1 to 4).foreach(i => cat.commitAppend("ns", "t", Seq(i.toLong).toDF("id")))
+    // everything is older than the horizon, but the floor keeps the last 2
+    cat.expireOlderThan("ns", "t", olderThanMs = System.currentTimeMillis() + 60000,
+      minSnapshotsToKeep = 2)
+    assert(cat.snapshots("ns", "t").map(_.seq) === Seq(2L, 3L))
+    // nothing younger than a past horizon expires
+    cat.expireOlderThan("ns", "t", olderThanMs = 0L, minSnapshotsToKeep = 1)
+    assert(cat.snapshots("ns", "t").map(_.seq) === Seq(2L, 3L))
+  }
+
+  test("conditional replace aborts on a concurrent append and leaves no orphan artifacts") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq(1L).toDF("id"))
+    val seen = cat.latest("ns", "t").get.seq
+    // an append lands AFTER the compactor read the table (the lost-update race)
+    cat.commitAppend("ns", "t", Seq(2L).toDF("id"))
+    intercept[java.util.ConcurrentModificationException](
+      cat.commitReplace("ns", "t", Seq(9L).toDF("id"), expectedParentSeq = Some(seen)))
+    // the concurrent append survives; the aborted replace is invisible
+    assert(cat.read("ns", "t").as[Long].collect().sorted === Array(1L, 2L))
+    // no orphans: every on-disk manifest is referenced, every data file reachable
+    val referenced = cat.snapshots("ns", "t").flatMap(_.manifests).toSet
+    val onDisk = {
+      val md = cat.tablePath("ns", "t").resolve("_meta/manifests")
+      val s = Files.list(md)
+      try s.iterator().asScala.map(p => s"_meta/manifests/${p.getFileName}").toSet
+      finally s.close()
+    }
+    assert(onDisk === referenced, "aborted replace must clean up its staged manifest")
+    val reachable = cat.snapshots("ns", "t")
+      .flatMap(s => cat.dataFiles("ns", "t", s)).toSet
+    val dataOnDisk = {
+      val dd = cat.tablePath("ns", "t").resolve("data")
+      val s = Files.walk(dd)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => cat.tablePath("ns", "t").relativize(p).toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    assert(dataOnDisk === reachable, "aborted replace must clean up its staged data files")
+  }
+
+  test("concurrent commitFiles retries do not orphan manifests") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    // land 4 files on disk, register them from 4 racing committers (CAS retries)
+    val names = (1 to 4).map { i =>
+      val f = s"data/landed-$i.parquet"
+      Files.write(cat.tablePath("ns", "t").resolve(f), Array[Byte](i.toByte))
+      f
+    }
+    val threads = names.map(f =>
+      new Thread(() => { cat.commitFiles("ns", "t", Seq(f), "remote"): Unit }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(cat.snapshots("ns", "t").size === 4)
+    assert(cat.dataFiles("ns", "t", cat.latest("ns", "t").get).toSet === names.toSet)
+    val referenced = cat.snapshots("ns", "t").flatMap(_.manifests).toSet
+    val onDisk = {
+      val md = cat.tablePath("ns", "t").resolve("_meta/manifests")
+      val s = Files.list(md)
+      try s.iterator().asScala.map(p => s"_meta/manifests/${p.getFileName}").toSet
+      finally s.close()
+    }
+    assert(onDisk === referenced, "every CAS retry must drop its previous attempt's manifest")
   }
 
   test("expireSnapshots removes only files unreachable from kept versions (G1/G2)") {

@@ -57,13 +57,14 @@ class GeoReplicationSpec extends SparkSpec {
 
     svc.coordinateWrite("ns", "t", Seq(1L, 2L).toDF("id"), "us-east-1")
     svc.processPendingEvents("eu-west-1")
-    val filesAfterFirst = svc.regions("eu-west-1").latest("ns", "t").get.files.size
+    val eu = svc.regions("eu-west-1")
+    val filesAfterFirst = eu.dataFiles("ns", "t", eu.latest("ns", "t").get).size
 
     svc.coordinateWrite("ns", "t", Seq(3L).toDF("id"), "us-east-1")
     svc.processPendingEvents("eu-west-1")
     val replica = svc.regions("eu-west-1")
     assert(replica.read("ns", "t").as[Long].collect().sorted === Array(1L, 2L, 3L))
-    assert(replica.latest("ns", "t").get.files.size > filesAfterFirst)
+    assert(replica.dataFiles("ns", "t", replica.latest("ns", "t").get).size > filesAfterFirst)
     // idempotence: reprocessing with nothing pending copies nothing
     assert(svc.processPendingEvents("eu-west-1") === (0, 0))
   }
@@ -109,7 +110,7 @@ class GeoReplicationSpec extends SparkSpec {
     assert(replica.readVisible("ns", "t").as[Long].collect().sorted === Array(7L, 8L))
 
     // corrupt a data file -> verification must refuse to promote
-    val f = replica.latest("ns", "t").get.files.head
+    val f = replica.dataFiles("ns", "t", replica.latest("ns", "t").get).head
     java.nio.file.Files.write(replica.tablePath("ns", "t").resolve(f), Array[Byte](1))
     intercept[IllegalStateException](
       svc.verifyAndPromote("ns", "t", "eu-west-1", seq, visibleAtMs = 0L))

@@ -27,6 +27,36 @@ class PipelineSpec extends SparkSpec {
     assert(copies(0L) === 2L)
   }
 
+  test("topKPerGroup preserves string ids (no cast-to-null collapse)") {
+    import graft.functions.TopKAggregator
+    import org.apache.spark.sql.types.StringType
+    val scored = Seq(
+      ("q1", "doc-aaa", 0.9), ("q1", "doc-bbb", 0.7), ("q1", "doc-ccc", 0.8),
+      ("q2", "urn:uuid:42", 0.5), ("q2", "doc-aaa", 0.6)
+    ).toDF("query_id", "neighbor_id", "score")
+    val top = TopKAggregator.topKPerGroup(scored, 2, StringType)
+      .select("query_id", "neighbor_id", "rank").as[(String, String, Int)].collect().toSet
+    assert(top === Set(
+      ("q1", "doc-aaa", 1), ("q1", "doc-ccc", 2),
+      ("q2", "doc-aaa", 1), ("q2", "urn:uuid:42", 2)))
+  }
+
+  test("topKPerGroup ranks NaN deterministically (total order, arrival-independent)") {
+    import graft.functions.TopKAggregator
+    import org.apache.spark.sql.types.LongType
+    val rows = Seq(
+      ("q", 1L, 0.9), ("q", 2L, Double.NaN), ("q", 3L, 0.8), ("q", 4L, Double.NaN))
+    def run(input: Seq[(String, Long, Double)]) =
+      TopKAggregator.topKPerGroup(input.toDF("query_id", "neighbor_id", "score")
+          .repartition(4), 3, LongType)
+        .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    val fwd = run(rows)
+    val rev = run(rows.reverse)
+    assert(fwd === rev, "ranking must not depend on arrival/merge order")
+    // NaN compares largest under the total order (Spark's own sort semantics)
+    assert(fwd === Seq((2L, 1), (4L, 2), (1L, 3)))
+  }
+
   test("MinHash-LSH finds the planted near-duplicates and skips unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         numHashes = 16, shingleK = 2, bands = 8, threshold = 0.5)

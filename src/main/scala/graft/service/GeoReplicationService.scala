@@ -123,6 +123,68 @@ final class GeoReplicationService(spark: SparkSession,
   def failedEvents(region: String): DataFrame =
     eventLog.filter(col("status") === "Failed" && col("target_region") === region)
 
+  // ---------------- event-log compaction ----------------
+  // The _system tables are append-only event logs: every status change is
+  // a new row and reads window down to the latest row per key — so the
+  // history (and every read's scan) grows forever. Compaction replaces
+  // the history with its latest-row checkpoint: subsequent reads scan
+  // O(live keys) + the post-checkpoint tail, and the window computation
+  // is UNCHANGED (checkpointed rows keep their original ts/seq, so newer
+  // tail appends still win the ranking).
+
+  /** Latest row per `keys`, FULL original schema (ts/seq retained — they
+    * order the checkpoint against post-compaction tail appends). */
+  private def latestRows(name: String, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts").desc, col("seq").desc)
+    sys.read("_system", name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Conditionally replace `name`'s history with `compacted`: the CAS is
+    * pinned to the version the checkpoint was derived from, so an append
+    * racing the compaction ABORTS it (returns false — caller may retry)
+    * rather than losing the event. `compacted` is BY-NAME: reads pin
+    * their file list at DataFrame construction, so the plan must be
+    * built after `cur` is read — then a racing append can only make the
+    * checkpoint NEWER than `cur`, which the CAS rejects (safe), never
+    * older (silent loss). */
+  private def compactSystem(name: String, compacted: => DataFrame): Boolean = {
+    val cur = sys.latest("_system", name) match {
+      case Some(s) => s.seq
+      case None    => return true // nothing to compact
+    }
+    try {
+      sys.commitReplace("_system", name, compacted, expectedParentSeq = Some(cur))
+      true
+    } catch { case _: java.util.ConcurrentModificationException => false }
+  }
+
+  /** Physical row count of a `_system` log (ops introspection: how much
+    * history a read actually scans — compaction drops it to live keys). */
+  def rawSystemCount(name: String): Long = sys.read("_system", name).count()
+
+  /** Checkpoint `_system.sync_events` to its live rows (one per event). */
+  def compactSyncEvents(): Boolean =
+    compactSystem("sync_events", latestRows("sync_events", Seq("event_id")))
+
+  /** Checkpoint consistency tokens to the latest watermark per (table, region). */
+  def compactConsistencyTokens(): Boolean =
+    compactSystem("consistency_tokens",
+      latestRows("consistency_tokens", Seq("table_entry", "region")))
+
+  /** Checkpoint approvals to the latest vote per (commit, region). The
+    * voting deadline lives on the REQUEST row, which the latest vote
+    * shadows — carry the key's min deadline onto the checkpoint row so
+    * approvalStatus' TimedOut computation survives compaction. */
+  def compactApprovals(): Boolean = compactSystem("approvals", {
+    val latest = latestRows("approvals", Seq("commit_id", "region"))
+    val deadlines = sys.read("_system", "approvals")
+      .groupBy("commit_id", "region").agg(min("deadline_ms").as("_dl"))
+    latest.drop("deadline_ms")
+      .join(deadlines, Seq("commit_id", "region"), "left")
+      .withColumnRenamed("_dl", "deadline_ms")
+  })
+
   /** Y8: only Failed events may be reset to Pending. */
   def retryFailedEvents(region: String): Int = {
     val failed = failedEvents(region)

@@ -55,22 +55,52 @@ object StorageOps {
 
   // ---- S4/S9/S11: listings as DataFrames ----
 
-  /** Recursive listing of a prefix as (path, size_bytes, mtime_ms). */
+  /** Recursive listing of a prefix as (path, size_bytes, mtime_ms) —
+    * DISTRIBUTED: the driver reads ONE non-recursive page of the root
+    * (O(direct children)); every child directory becomes a prefix listed
+    * recursively by an EXECUTOR task (the S3-inventory prefix fan-out).
+    * A million-object tree never materializes on the driver — rows flow
+    * from executor listings straight into the downstream join/aggregate. */
   def listing(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(root, conf)
     val rootPath = new HPath(root)
-    val rows = if (!f.exists(rootPath)) Seq.empty else {
-      val it = f.listFiles(rootPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile) buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
-      }
-      buf.toSeq
-    }
-    rows.toDF("path", "size_bytes", "mtime_ms")
+    if (!f.exists(rootPath))
+      return Seq.empty[(String, Long, Long)].toDF("path", "size_bytes", "mtime_ms")
+    val top = f.listStatus(rootPath)
+    val rootFiles = top.filter(_.isFile)
+      .map(st => (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)).toSeq
+    val prefixes = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
+    val prefixListing =
+      if (prefixes.isEmpty) Seq.empty[(String, Long, Long)].toDS()
+      else spark.createDataset(prefixes)
+        .repartition(prefixes.size) // one prefix per task: listings run in parallel
+        .mapPartitions { ps =>
+          val c = confSer.value
+          ps.flatMap { prefix =>
+            val p = new HPath(prefix)
+            val pfs = p.getFileSystem(c)
+            val it = pfs.listFiles(p, true)
+            new Iterator[(String, Long, Long)] {
+              private var nextSt: Option[(String, Long, Long)] = advance()
+              private def advance(): Option[(String, Long, Long)] = {
+                while (it.hasNext) {
+                  val st = it.next()
+                  if (st.isFile)
+                    return Some((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+                }
+                None
+              }
+              def hasNext: Boolean = nextSt.isDefined
+              def next(): (String, Long, Long) = {
+                val r = nextSt.get; nextSt = advance(); r
+              }
+            }
+          }
+        }
+    rootFiles.toDS().union(prefixListing).toDF("path", "size_bytes", "mtime_ms")
   }
 
   /** S11: storage stats in one aggregate. */

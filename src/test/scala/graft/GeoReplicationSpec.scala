@@ -223,6 +223,70 @@ class GeoReplicationSpec extends SparkSpec {
     assert(mgr.status("nope").isEmpty)
   }
 
+  test("event-log compaction: logical state identical, physical history collapses to checkpoint + tail") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+
+    // generate history: writes fan out events, processing appends status rows
+    svc.coordinateWrite("ns", "t", Seq(1L).toDF("id"), "us-east-1")
+    svc.coordinateWrite("ns", "t", Seq(2L).toDF("id"), "us-east-1")
+    svc.processPendingEvents("eu-west-1")
+
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    val before = svc.eventLog.collect().map(r => key(r) -> r.toString).toMap
+    val rawBefore = svc.rawSystemCount("sync_events")
+    assert(rawBefore > before.size, "history must hold more rows than live events")
+
+    assert(svc.compactSyncEvents())
+    val after = svc.eventLog.collect().map(r => key(r) -> r.toString).toMap
+    assert(after === before, "compaction must not change the logical event log")
+    assert(svc.rawSystemCount("sync_events") === before.size.toLong,
+      "post-compaction reads scan exactly the live checkpoint")
+
+    // tail appends after the checkpoint still win the latest-row window
+    svc.coordinateWrite("ns", "t", Seq(3L).toDF("id"), "us-east-1")
+    assert(svc.pendingEvents("eu-west-1").count() === 2)
+    svc.processPendingEvents("eu-west-1")
+    assert(svc.pendingEvents("eu-west-1").count() === 0)
+    assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+
+    // approvals compaction carries the TimedOut deadline through
+    svc.requestCommitApproval("c-dl", Seq("us-east-1", "eu-west-1"), timeoutMs = Some(60000))
+    svc.vote("c-dl", "us-east-1", approve = true)
+    val statusBefore = svc.approvalStatus("c-dl")
+    assert(svc.compactApprovals())
+    assert(svc.approvalStatus("c-dl") === statusBefore)
+    assert(svc.approvalStatus("c-dl", nowMs = System.currentTimeMillis() + 120000)
+      === "TimedOut", "the voting deadline must survive compaction")
+
+    // consistency tokens: watermark answers identical after checkpointing
+    val freshBefore = svc.freshRegions("ns", "t", 0L)
+    assert(svc.compactConsistencyTokens())
+    assert(svc.freshRegions("ns", "t", 0L) === freshBefore)
+  }
+
+  test("storage listing fans prefixes out to executors; deep trees list without driver buffering") {
+    val root = Files.createTempDirectory("list-tree")
+    // root-level files + many nested prefixes, several levels deep
+    (1 to 3).foreach(i => Files.write(root.resolve(s"root-$i.bin"), Array[Byte](1)))
+    (1 to 8).foreach { d =>
+      val deep = root.resolve(s"prefix-$d/mid/leaf")
+      Files.createDirectories(deep)
+      (1 to 25).foreach(i => Files.write(deep.resolve(s"f$i.bin"), Array.fill[Byte](i)(0)))
+    }
+    val df = StorageOps.listing(spark, root.toString)
+    assert(df.count() === 3 + 8 * 25)
+    // per-prefix totals survive the fan-out (sizes/paths intact)
+    val bytes = df.agg(org.apache.spark.sql.functions.sum("size_bytes")).head.getLong(0)
+    assert(bytes === 3 + 8 * (1 to 25).sum)
+    // the prefix scan is distributed: one task per top-level prefix, so the
+    // plan must carry >1 partition (driver-buffered listings collapse to 1)
+    assert(df.rdd.getNumPartitions >= 8)
+  }
+
   test("concurrent load: 10 tables written in parallel, synced, 30 routed reads byte-identical (reference WriteSyncReadWorkflow)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -35,7 +35,7 @@ object ReplicationPlanner {
       pathCol: String, sizeCol: String, etagCol: String): DataFrame = {
     val invCols = inventory.columns.toSet
     if (!invCols.contains(sizeCol) && !invCols.contains(etagCol)) {
-      candidates.join(inventory.select(pathCol), Seq(pathCol), "left_anti")
+      JoinKeys.hashKeyedJoin(candidates, inventory.select(pathCol), Seq(pathCol), "left_anti")
     } else {
       val invSize =
         if (invCols.contains(sizeCol)) col(sizeCol) else lit(null).cast("long")
@@ -44,7 +44,7 @@ object ReplicationPlanner {
       val inv = inventory.select(
         col(pathCol), invSize.as("inv_size"), invEtag.as("inv_etag"),
         lit(true).as("inv_hit"))
-      candidates.join(inv, Seq(pathCol), "left_outer")
+      JoinKeys.hashKeyedJoin(candidates, inv, Seq(pathCol), "left_outer")
         .filter(col("inv_hit").isNull ||
                 (col("inv_size").isNotNull && col("inv_size") =!= col(sizeCol)) ||
                 (col("inv_etag").isNotNull && col(etagCol).isNotNull &&
@@ -60,7 +60,7 @@ object ReplicationPlanner {
       col(pathCol),
       col(sizeCol).as("stat_size"),
       col(etagCol).as("stat_etag"))
-    candidates.join(stat, Seq(pathCol), "left_outer")
+    JoinKeys.hashKeyedJoin(candidates, stat, Seq(pathCol), "left_outer")
       .filter(col("stat_size").isNull ||
               col("stat_size") =!= col(sizeCol) ||
               (col("stat_etag").isNotNull && col(etagCol).isNotNull &&
@@ -80,7 +80,7 @@ object ReplicationPlanner {
            dstStat: DataFrame, pathCol: String = "path", sizeCol: String = "size_bytes",
            etagCol: String = "etag"): DataFrame = {
     // 1. manifest diff: new files not yet at the destination
-    val newFiles = srcFiles.join(dstFiles.select(pathCol), Seq(pathCol), "left_anti")
+    val newFiles = JoinKeys.hashKeyedJoin(srcFiles, dstFiles.select(pathCol), Seq(pathCol), "left_anti")
     // 2. inventory probe: drop files the inventory records with agreeing size/etag
     val notInInventory = notSatisfiedByInventory(newFiles, inventory, pathCol, sizeCol, etagCol)
     // 3. object-level verify: missing stat, size mismatch, or etag mismatch
@@ -102,7 +102,7 @@ object ReplicationPlanner {
                              dstStat: DataFrame, pathCol: String = "path",
                              sizeCol: String = "size_bytes", etagCol: String = "etag",
                              bloomBits: Long = 8388608L): DataFrame = {
-    val newFiles = srcFiles.join(dstFiles.select(pathCol), Seq(pathCol), "left_anti")
+    val newFiles = JoinKeys.hashKeyedJoin(srcFiles, dstFiles.select(pathCol), Seq(pathCol), "left_anti")
     val negatives = InventoryFilter.notInInventory(
       newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
     val positives = InventoryFilter.probablyInInventory(

@@ -19,11 +19,11 @@ object SnapshotDiff {
 
   /** Files present in `newer` but not in `older` (by `keyCols`). */
   def addedFiles(older: DataFrame, newer: DataFrame, keyCols: Seq[String]): DataFrame =
-    newer.join(older, keyCols, "left_anti")
+    JoinKeys.hashKeyedJoin(newer, older, keyCols, "left_anti")
 
   /** Files removed between `older` and `newer`. */
   def removedFiles(older: DataFrame, newer: DataFrame, keyCols: Seq[String]): DataFrame =
-    older.join(newer, keyCols, "left_anti")
+    JoinKeys.hashKeyedJoin(older, newer, keyCols, "left_anti")
 
   /** Fast-forward catch-up (Y19): the same operation with a wider version
     * range — computing added files directly from vK to latest vN skips the

@@ -23,7 +23,7 @@ object StateReconciler {
   def defects(manifest: DataFrame, dstStat: DataFrame,
               pathCol: String = "path", sizeCol: String = "size_bytes"): DataFrame = {
     val stat = dstStat.select(col(pathCol), col(sizeCol).as("stat_size"))
-    manifest.join(stat, Seq(pathCol), "left_outer")
+    JoinKeys.hashKeyedJoin(manifest, stat, Seq(pathCol), "left_outer")
       .filter(col("stat_size").isNull || col("stat_size") =!= col(sizeCol))
       .withColumn("defect",
         when(col("stat_size").isNull, "missing").otherwise("size_mismatch"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ControlPlane, Pipeline, Relational}
+import graft.queries.{CatalogQueries, ControlPlane, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (ControlPlane.queries, ControlPlane.oracles),
       (Pipeline.queries, Pipeline.oracles),
+      (CatalogQueries.queries, CatalogQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.catalog.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real-catalog queries: unlike the derived cat_* control-plane queries,
+  * these run against a LIVE GraftCatalog — data is committed through the
+  * manifest/commit-log machinery at query time, then read back through
+  * time travel, incremental manifests, schema projection and expiry. The
+  * DuckDB oracle recomputes the same answers straight from the source
+  * parquet, so a hash match proves the whole commit→manifest→read path
+  * preserves the data and the per-version schema exactly.
+  */
+object CatalogQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // one fixture warehouse per sf dir (Verify/Bench run many queries per JVM)
+  private val fixtures = scala.collection.concurrent.TrieMap.empty[String, GraftCatalog]
+
+  /** q.orders: v0 = keys ≡0 (mod 3) with 3 columns; v1 = keys ≡1 with an
+    * ADDED o_orderstatus column (additive evolution recorded per version).
+    * q.compacted: two appends (keys ≡2 then ≡0), bin-pack compacted
+    * (conditional replace) and expired down to the single live version. */
+  private def fixture(s: SparkSession, d: String): GraftCatalog =
+    fixtures.getOrElseUpdate(d, {
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-qcat").toString)
+      val orders = Tables.orders(s, d)
+      cat.createTable("q", "orders")
+      cat.commitAppend("q", "orders", orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      cat.commitAppend("q", "orders", orders.filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+      cat.createTable("q", "compacted")
+      cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_totalprice").repartition(8))
+      cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice").repartition(8))
+      cat.compact("q", "compacted", targetFileBytes = 256L * 1024 * 1024)
+      cat.expireSnapshots("q", "compacted", retainLast = 1)
+      cat
+    })
+
+  /** Post-evolution read: old files project the added column as null. */
+  private def schemaEvolution: Q = (s, d) =>
+    fixture(s, d).read("q", "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+
+  /** C1 time travel on the real log: v0 sees its own 3-column schema. */
+  private def timeTravel: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val v0 = cat.readVersion("q", "orders", 0)
+    v0.agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("n_cols", lit(v0.columns.length))
+  }
+
+  /** Y14 incremental read off the real manifest-set diff: (v0, v1]. */
+  private def incrementalRead: Q = (s, d) =>
+    fixture(s, d).readIncremental("q", "orders", 0, 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Compaction + expiry preserve the data; one live version remains. */
+  private def compactExpire: Q = (s, d) => {
+    val cat = fixture(s, d)
+    cat.read("q", "compacted")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("live_versions", lit(cat.snapshots("q", "compacted").size))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cat_schema_evolution" -> schemaEvolution,
+    "cat_time_travel"      -> timeTravel,
+    "cat_incremental_read" -> incrementalRead,
+    "cat_compact_expire"   -> compactExpire,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cat_schema_evolution" ->
+      """WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderstatus
+                     FROM orders WHERE o_orderkey % 3 = 0),
+              v1 AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                     FROM orders WHERE o_orderkey % 3 = 1),
+              u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM u GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""",
+    "cat_time_travel" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, 3 AS n_cols
+         FROM orders WHERE o_orderkey % 3 = 0""",
+    "cat_incremental_read" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 1 ORDER BY 1""",
+    "cat_compact_expire" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key, 1 AS live_versions
+         FROM orders WHERE o_orderkey % 3 IN (0, 2)""",
+  )
+}

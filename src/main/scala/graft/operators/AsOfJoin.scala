@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the single right row
+  * with the greatest `rightTime <= leftTime` in the same key group — the
+  * point-in-time lookup every event/metrics pipeline needs (reference
+  * semantics: the read router resolves "state as of this read" the same
+  * way, modules/domain TableMetadata version resolution).
+  *
+  * Implementation is the scalable union-scan form, NOT a per-key
+  * subquery: tag both sides, union, and take a running
+  * `last(right_payload, ignoreNulls)` over one (key, time)-sorted window.
+  *
+  *  - ONE shuffle, on the key — identical to what any equi-join would pay.
+  *  - No range explosion: a naive `l JOIN r ON key AND r.t <= l.t` builds
+  *    O(|L|·|R|) intermediate rows per key before the argmax; this carries
+  *    one running value per partition stream instead, so a key with a
+  *    million rows costs a sort, not a quadratic join.
+  *  - The window frame is rowsBetween(unboundedPreceding, currentRow) on
+  *    an ascending sort — Spark's WindowExec streams it with O(1) state
+  *    per row (no frame rescans).
+  *
+  * Tie semantics: a right row exactly at `leftTime` matches (at-or-
+  * before). Multiple right rows on the same (key, time) resolve to the
+  * largest payload struct (deterministic, order-insensitive).
+  */
+object AsOfJoin {
+
+  /** @param rightPayload right columns carried onto each left row,
+    *                      emitted as `{prefix}{col}` (null when no right
+    *                      row is at-or-before the left row — left-outer
+    *                      semantics). `rightTime` is implicitly carried
+    *                      as `{prefix}{rightTime}`. */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val payload = (rightTime +: rightPayload.filterNot(_ == rightTime))
+    val keyCols = keys.map(col)
+
+    // left rows keep their full row as a struct so no column set is
+    // assumed; right rows carry only key + time + payload.
+    val taggedRight = right.select(
+      keyCols :+ col(rightTime).cast("timestamp").as("__t") :+
+        lit(1).as("__is_right") :+
+        struct(payload.map(col): _*).as("__r") :+
+        lit(null).cast(structType(left)).as("__l"): _*)
+    val taggedLeft = left.select(
+      keyCols :+ col(leftTime).cast("timestamp").as("__t") :+
+        lit(0).as("__is_right") :+
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r") :+
+        struct(left.columns.map(col): _*).as("__l"): _*)
+
+    // right rows sort BEFORE left rows at an equal timestamp
+    // (__is_right desc) so "at-or-before" includes exact matches; the
+    // trailing __r sort makes same-(key,time) right rows deterministic.
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__is_right").desc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val asofCols = payload.map(c => col(s"__asof.$c").as(s"$prefix$c"))
+    matched.select(leftCols ++ asofCols: _*)
+  }
+
+  private def structType(df: DataFrame) =
+    org.apache.spark.sql.types.StructType(df.schema.fields)
+}

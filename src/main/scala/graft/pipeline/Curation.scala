@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: benchmark-contamination detection,
+  * deterministic sampling (stratified / token-budget), and Gopher-style
+  * repetition & entropy quality signals.
+  *
+  * Everything is pure column algebra over a (doc_id, ord, token) stream —
+  * no UDFs, so the hot path stays inside whole-stage codegen, and every
+  * construct has an exact DuckDB twin for the oracle gate. Determinism
+  * matters as much as scale here: sampling decisions use md5 (engine-
+  * portable, data-independent) rather than rand(), so a re-run on a
+  * different cluster layout selects the identical corpus subset.
+  */
+object Curation {
+
+  /** (id, ord, tok) token stream — posexplode keeps the in-doc position
+    * so n-grams come from `lead` over one per-doc window (a single
+    * shuffle on the id, streamed O(1)-state frames) instead of a
+    * positional self-join. */
+  def tokenStream(df: DataFrame, idCol: String, textCol: String,
+                  lowercase: Boolean = false): DataFrame = {
+    val text = if (lowercase) lower(col(textCol)) else col(textCol)
+    df.select(col(idCol), posexplode(split(text, " ")).as(Seq("pos", "tok")))
+      .select(col(idCol), (col("pos") + 1).as("ord"), col("tok"))
+  }
+
+  /** Distinct word n-grams per document: (idCol, gram). */
+  def wordNgramSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    lowercase: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val parts = (0 until n).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    tokenStream(df, idCol, textCol, lowercase)
+      .select(col(idCol), concat_ws(" ", parts: _*).as("gram"), parts.last.isNotNull.as("ok"))
+      .filter(col("ok"))
+      .select(col(idCol), col("gram"))
+      .distinct()
+  }
+
+  /** Benchmark-contamination report: training documents sharing at least
+    * `minShared` distinct word n-grams with an eval-set document.
+    *
+    * Scale shape: the eval side is the benchmark suite — thousands of
+    * docs, not billions — so its gram set is broadcast and the corpus
+    * side streams through a hash join without a shuffle; the only wide
+    * stage is the (train, eval) pair count, a partial-aggregated rollup
+    * of join hits. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Long = 2): DataFrame = {
+    val tg = wordNgramSets(train, idCol, textCol, n, lowercase = true)
+      .withColumnRenamed(idCol, "train_doc")
+    val eg = wordNgramSets(eval, idCol, textCol, n, lowercase = true)
+      .withColumnRenamed(idCol, "eval_doc")
+    tg.join(broadcast(eg), "gram")
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Exactly `perStratum` rows per stratum, chosen by md5 rank — a
+    * deterministic, engine-portable "random" sample that is reproducible
+    * across clusters and engines (rand() is neither). One shuffle on the
+    * stratum; the rank window streams. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Token-budget sampling (domain-mixing primitive): per stratum, admit
+    * md5-ordered documents while the running token total stays within
+    * `budget` — how a training mix takes "N tokens of source X" from an
+    * arbitrarily large corpus deterministically. Emits `cum_tokens` so
+    * downstream mixing can audit the exact spend per stratum. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val order = Seq(md5(col(idCol).cast("string")), col(idCol))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Gopher-style per-document repetition / diversity signals:
+    *  - word_entropy: Shannon entropy (nats) of the unigram distribution
+    *    — near-zero entropy is boilerplate or keyword stuffing;
+    *  - top_bigram_frac: share of all bigram occurrences taken by the
+    *    single most frequent bigram;
+    *  - dup_trigram_frac: fraction of trigram occurrences that are
+    *    repeats of an earlier trigram in the same document.
+    *
+    * One token-stream scan fans into three partial-aggregated rollups
+    * re-joined on the id — each leg is a hash aggregate with map-side
+    * combine, so the whole signal set costs O(tokens) with no
+    * per-document state on any single node. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val toks = tokenStream(df, idCol, textCol)
+    val grams = toks.select(
+      col(idCol), col("tok"),
+      concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("bigram"),
+      lead(col("tok"), 1).over(w).isNotNull.as("bi_ok"),
+      concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)).as("trigram"),
+      lead(col("tok"), 2).over(w).isNotNull.as("tri_ok"))
+
+    // entropy = ln(N) - sum(c·ln c)/N over unigram counts c (N = Σc):
+    // one grouped count plus one rollup, no per-doc distribution held
+    val ent = grams.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+        .as("word_entropy"))
+    val top = grams.filter(col("bi_ok"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_bigram_frac"))
+    val dup = grams.filter(col("tri_ok"))
+      .groupBy(col(idCol))
+      .agg(round(lit(1.0) - countDistinct(col("trigram")).cast("double") / count(lit(1)), 4)
+        .as("dup_trigram_frac"))
+    ent.join(top, idCol).join(dup, idCol)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,36 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------- curation ----------------
+
+  /** Benchmark contamination: eval set = doc_id ≡ 0 (mod 97); flag train
+    * docs sharing ≥2 distinct lowercased word 3-grams with an eval doc. */
+  private def textContamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minShared = 2)
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  private def textRepetition: Q = (s, d) =>
+    Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def sampleStratified: Q = (s, d) =>
+    Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private def sampleTokenBudget: Q = (s, d) =>
+    Curation.tokenBudgetSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 600)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
   // ---------------- multimodal ----------------
 
   private def mmMediaStats: Q = (s, d) =>
@@ -172,6 +202,10 @@ object Pipeline {
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_pq_topk"          -> annPqTopK,
+    "text_contamination"   -> textContamination,
+    "text_repetition"      -> textRepetition,
+    "sample_stratified"    -> sampleStratified,
+    "sample_token_budget"  -> sampleTokenBudget,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
   )
@@ -213,7 +247,59 @@ object Pipeline {
     s"""round(CAST(len(list_intersect($a, $b)) AS DOUBLE)
          / len(list_distinct(list_concat($a, $b))), 4)"""
 
+  // token-with-position stream shared by the curation oracles: DuckDB
+  // zips parallel unnests, mirroring Spark's posexplode
+  private val TOKSTREAM =
+    """w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks)"""
+
   val oracles: Map[String, String] = Map(
+    "text_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              g AS (SELECT doc_id,
+                           tok || ' ' || lead(tok,1) OVER dw || ' ' || lead(tok,2) OVER dw AS gram,
+                           lead(tok,2) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              d AS (SELECT DISTINCT doc_id, gram FROM g WHERE ok IS NOT NULL),
+              ev AS (SELECT doc_id AS eval_doc, gram FROM d WHERE doc_id % 97 = 0),
+              tr AS (SELECT doc_id AS train_doc, gram FROM d WHERE doc_id % 97 <> 0)
+         SELECT train_doc, eval_doc, count(*) AS shared
+         FROM tr JOIN ev USING (gram) GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY train_doc, eval_doc""",
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              $TOKSTREAM,
+              uni AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+              ent AS (SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS word_entropy
+                      FROM uni GROUP BY 1),
+              bi AS (SELECT doc_id, tok || ' ' || lead(tok) OVER dw AS g
+                     FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              bic AS (SELECT doc_id, g, count(*) AS c FROM bi WHERE g IS NOT NULL GROUP BY 1, 2),
+              top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+                      FROM bic GROUP BY 1),
+              tri AS (SELECT doc_id,
+                             tok || ' ' || lead(tok,1) OVER dw || ' ' || lead(tok,2) OVER dw AS g,
+                             lead(tok,2) OVER dw AS ok
+                      FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              dup AS (SELECT doc_id, round(1.0 - count(DISTINCT g)::DOUBLE / count(g), 4) AS dup_trigram_frac
+                      FROM tri WHERE ok IS NOT NULL GROUP BY 1)
+         SELECT doc_id, word_entropy, top_bigram_frac, dup_trigram_frac
+         FROM ent JOIN top USING (doc_id) JOIN dup USING (doc_id) ORDER BY doc_id""",
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                    FROM documents)
+         SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM d)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 600 ORDER BY doc_id""",
     "dedup_minhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
           scored AS (

@@ -371,7 +371,45 @@ object Relational {
       ORDER BY o_orderkey""")
   }
 
+  /** As-of join: each click paired with the user's latest purchase at or
+    * before it (point-in-time lookup). Implementation is the union-scan
+    * form — one shuffle on user_id, no per-key range explosion
+    * (operators/AsOfJoin.scala); the oracle is DuckDB's native ASOF JOIN. */
+  private def asofLastPurchase: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_purchase_id"), col("asof_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: click values falling inside [purchase_value,
+    * purchase_value + 2] — bucketed equi-join (operators/RangeJoin.scala),
+    * not the BroadcastNestedLoop Spark would plan for a bare inequality
+    * join. Bounded to user_id < 30 to keep the oracle pair set modest. */
+  private def rangeValueJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("user_id") < 30)
+    val points = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("value"))
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("value").as("lo"),
+        (col("value") + 2).as("hi"))
+    graft.operators.RangeJoin.pointsInIntervals(
+        points, intervals, "value", "lo", "hi", bucketWidth = 2.0)
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_asof_join"           -> asofLastPurchase,
+    "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_scalar_subquery"     -> scalarSubquery,
     "rel_exists_subquery"     -> existsSubquery,
@@ -407,6 +445,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_id AS purchase_id, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+                p.ts AS asof_ts, p.purchase_id AS asof_purchase_id,
+                p.purchase_value AS asof_purchase_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "rel_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, value FROM events
+                    WHERE event_type = 'click' AND user_id < 30),
+              p AS (SELECT event_id AS purchase_id, value AS lo, value + 2 AS hi
+                    FROM events WHERE event_type = 'purchase' AND user_id < 30)
+         SELECT click_id, purchase_id FROM c JOIN p ON value >= lo AND value <= hi
+         ORDER BY click_id, purchase_id""",
     "rel_correlated_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
          FROM customer c

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.pipeline.Curation
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** As-of / range join semantics and curation (contamination, sampling,
+  * repetition) on planted fixtures, each checked against the naive
+  * brute-force computation of the same answer. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---------------- as-of join ----------------
+
+  private val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 1.0),
+    (2L, "A", ts("2024-01-01 10:00:20"), 2.0),
+    (3L, "B", ts("2024-01-01 10:00:10"), 3.0),
+    (4L, "C", ts("2024-01-01 09:00:00"), 4.0) // before any quote
+  ).toDF("trade_id", "sym", "t", "qty")
+
+  private val quotes = Seq(
+    (10L, "A", ts("2024-01-01 10:00:00"), 99.0),
+    (11L, "A", ts("2024-01-01 10:00:05"), 100.0), // exactly at trade 1
+    (12L, "A", ts("2024-01-01 10:00:15"), 101.0),
+    (13L, "B", ts("2024-01-01 10:00:01"), 200.0),
+    (14L, "C", ts("2024-01-01 12:00:00"), 300.0)
+  ).toDF("quote_id", "sym", "qt", "px")
+
+  test("asOf picks the latest right row at-or-before each left row; left-outer when none") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt", Seq("quote_id", "px"))
+      .select("trade_id", "asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      1L -> Some(11L), // exact-timestamp quote matches (at-or-before)
+      2L -> Some(12L),
+      3L -> Some(13L),
+      4L -> None))     // no quote at or before 09:00
+  }
+
+  test("asOf equals the brute-force argmax on a random fixture") {
+    val r = new scala.util.Random(7)
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${r.nextInt(5)}", new Timestamp(1700000000000L + r.nextInt(100000) * 1000L)))
+      .toDF("lid", "k", "t")
+    val right = (1 to 300).map(i =>
+      (i.toLong, s"k${r.nextInt(5)}", new Timestamp(1700000000000L + r.nextInt(100000) * 1000L)))
+      .toDF("rid", "k", "rt")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val naive = left.join(right, Seq("k"), "left")
+      .filter(col("rt") <= col("t") || col("rt").isNull)
+      .groupBy(col("lid"))
+      .agg(max_by(col("rid"), struct(col("rt"), col("rid"))).as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    val allLeft = left.select("lid").as[Long].collect()
+      .map(l => l -> naive.getOrElse(l, None)).toMap
+    assert(got === allLeft)
+  }
+
+  // ---------------- range join ----------------
+
+  test("bucketed range join equals the naive inequality join") {
+    val r = new scala.util.Random(11)
+    val points = (1 to 500).map(i => (i.toLong, r.nextDouble() * 100)).toDF("pid", "v")
+    val ivals = (1 to 200).map { i =>
+      val lo = r.nextDouble() * 100
+      (i.toLong, lo, lo + r.nextDouble() * 5)
+    }.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointsInIntervals(points, ivals, "v", "lo", "hi", bucketWidth = 3.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.crossJoin(ivals)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------- curation ----------------
+
+  private val docs = Seq(
+    (0L, "src0", "alpha beta gamma delta epsilon zeta eta theta"),
+    (1L, "src0", "alpha beta gamma delta DIFFERENT tail here now"),   // shares 3-grams with 0
+    (2L, "src0", "totally unrelated words with no shared sequences"),
+    (3L, "src1", "spam spam spam spam spam spam spam spam"),          // max repetition
+    (4L, "src1", "eight distinct tokens make one diverse document x")
+  ).toDF("doc_id", "source", "text")
+
+  test("contamination flags docs sharing >= minShared n-grams with the eval set") {
+    val eval  = docs.filter(col("doc_id") === 0)
+    val train = docs.filter(col("doc_id") =!= 0)
+    val hits = Curation.contamination(train, eval, "doc_id", "text", n = 3, minShared = 2)
+      .select("train_doc", "eval_doc", "shared").as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares "alpha beta gamma" and "beta gamma delta" with doc 0
+    assert(hits === Set((1L, 0L, 2L)))
+  }
+
+  test("stratifiedSample takes exactly k per stratum, deterministically") {
+    val s1 = Curation.stratifiedSample(docs, "source", "doc_id", 2)
+    val s2 = Curation.stratifiedSample(docs, "source", "doc_id", 2)
+    val bySrc = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc === Map("src0" -> 2L, "src1" -> 2L))
+    assert(s1.select("doc_id").as[Long].collect().sorted
+      === s2.select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("tokenBudgetSample admits md5-ordered docs while the running total fits") {
+    val withTokens = docs.withColumn("n_tokens", size(split(col("text"), " ")))
+    val sel = Curation.tokenBudgetSample(withTokens, "source", "doc_id", "n_tokens", budget = 8)
+    // every stratum spends within budget, and at least one doc is admitted
+    val spend = sel.groupBy("source").agg(max("cum_tokens").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(spend.values.forall(_ <= 8))
+    assert(spend.nonEmpty)
+    // budget below the smallest doc admits nothing
+    assert(Curation.tokenBudgetSample(withTokens, "source", "doc_id", "n_tokens", 5).count() === 0)
+  }
+
+  test("repetitionStats: repeated-token doc scores zero entropy and max repetition") {
+    val stats = Curation.repetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "word_entropy", "top_bigram_frac", "dup_trigram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (e3, tb3, dup3) = stats(3L)
+    assert(e3 === 0.0)      // single repeated token
+    assert(tb3 === 1.0)     // the only bigram is the top bigram
+    assert(dup3 === round6(1.0 - 1.0 / 6))  // 6 trigram slots, 1 distinct
+    val (e4, _, dup4) = stats(4L)
+    assert(e4 > 1.9 && dup4 === 0.0) // fully distinct doc
+  }
+
+  private def round6(d: Double) = math.round(d * 10000).toDouble / 10000
+}

@@ -109,4 +109,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(p_name), GreaterThan(p_name"),
       s"token filter not pushed to the scan:\n$p")
   }
+
+  test("as-of join plans with NO join operator — one union-scan window pass") {
+    val p = plan("rel_asof_join")
+    assert(!p.contains("Join"), s"as-of degraded to a join (range explosion at scale):\n$p")
+    assert(p.contains("Window"), s"expected the running-last window pass:\n$p")
+  }
+
+  test("range join is a bucketed equi-join, never a nested-loop") {
+    val p = plan("rel_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to all-pairs compare:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"no equi-join on the bucket key:\n$p")
+  }
+
+  test("contamination broadcasts the eval-set gram side") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination degraded to all-pairs:\n$p")
+  }
 }

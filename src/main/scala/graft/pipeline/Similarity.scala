@@ -109,23 +109,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val featurized = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
-      .fit(featurized)
-    val assigned = model.transform(featurized)
-      .select(col("neighbor_id"), col("vec"), col("prediction").as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    // bounded-sample LocalKMeans + a codegen'd assignment projection:
+    // training cost is corpus-size-independent, and the full-corpus pass
+    // is one narrow NearestCentroid map (no MLlib fit/transform jobs)
+    val sample = c.orderBy(col("neighbor_id")).limit(4096)
+      .select(col("vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
+    val assigned = c.withColumn("cell",
+      graft.functions.PqFunctions.nearestCentroid(col("vec"), centers))
 
     // nprobe nearest cells per query, from the broadcast centroid array
-    val centers: Array[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
-      .map { case (c: Vector, i) => (i, c.toArray.map(_.toFloat)) }
-    val centersDf = corpus.sparkSession.createDataFrame(
-      centers.toSeq.map { case (i, arr) => (i, arr) }
-    ).toDF("cell", "center_vec")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (cn, i) => (i, cn.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "center_vec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val cellScores = q.crossJoin(broadcast(centersDf))
       .select(col("query_id"), col("cell").as("neighbor_id"),
@@ -155,41 +155,44 @@ object Similarity {
     df.withColumn("_nvec", transform(col(vecCol), x => x.cast("double") / n))
   }
 
+  /** Bounded deterministic training sample: the id-smallest `n` vectors,
+    * collected to the driver as double arrays. Quantizer training only
+    * ever sees this sample, so training cost is independent of corpus
+    * size; the full-corpus work (encode/assign) stays distributed. */
+  private def collectSample(df: DataFrame, vecCol: String, n: Int): Array[Array[Double]] =
+    df.orderBy(col("neighbor_id")).limit(n).select(col(vecCol))
+      .collect().map(_.getSeq[Double](0).toArray)
+
   /** Train per-subspace codebooks and encode every row of `c0` (must carry
     * `_nvec`; `passthrough` columns ride into the codes table).
     *
     * Codebook training: ksub centroids need only a bounded sample and a
-    * handful of Lloyd iterations — training cost must stay independent of
-    * corpus size (m serial full-corpus fits are pure scheduler overhead).
-    * The encode pass covers the full corpus via m chained transforms (no
-    * joins); codes ride as one array<int> column. */
+    * handful of Lloyd iterations — seeded LocalKMeans on the collected
+    * sample (microseconds of arithmetic; the previous m serial MLlib fits
+    * were ~5 s of pure scheduler overhead at ANY corpus size). The encode
+    * pass covers the full corpus in ONE codegen'd projection (PqEncode);
+    * codes ride as one array<int> column. */
   private def buildPqIndex(c0: DataFrame, m: Int, ksub: Int, seed: Long,
                            passthrough: Seq[String]): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val dims = c0.select(size(col("_nvec"))).head().getInt(0)
+    val sample = collectSample(c0, "_nvec", 4096)
+    val dims = sample.head.length
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
-    val withSubs = (0 until m).foldLeft(c0) { (df, j) =>
-      df.withColumn(s"_f$j", array_to_vector(slice(col("_nvec"), j * dsub + 1, dsub)))
+    val codebooks = Array.tabulate(m) { j =>
+      LocalKMeans.fit(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        ksub, maxIter = 5, seed = seed + j)
     }
-    val trainSample = withSubs.orderBy(col("neighbor_id")).limit(4096).localCheckpoint()
-    // random init (not k-means||): the parallel init costs extra distributed
-    // passes per subspace fit, and PQ codebook quality is insensitive to it
-    val models = (0 until m).map { j =>
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5).setInitMode("random")
-        .setFeaturesCol(s"_f$j").setPredictionCol(s"_c$j").fit(trainSample)
-    }
-    val coded = models.foldLeft(withSubs) { (df, mod) => mod.transform(df) }
-      .select((Seq(col("neighbor_id"),
-        array((0 until m).map(j => col(s"_c$j")): _*).as("codes"))
-        ++ passthrough.map(col)): _*)
-    PqIndex(coded, models.map(_.clusterCenters.map(_.toArray)).toArray, m, ksub, dsub)
+    val coded = c0.select((Seq(col("neighbor_id"),
+      graft.functions.PqFunctions.pqEncode(col("_nvec"), codebooks).as("codes"))
+      ++ passthrough.map(col)): _*)
+    PqIndex(coded, codebooks, m, ksub, dsub)
   }
 
-  /** Per-query ADC lookup tables: lut[j][c] = <query_sub_j, centroid_{j,c}>.
-    * Queries are the small side — LUTs are computed on the driver and
-    * broadcast; scoring a corpus vector is then m lookups + adds. */
+  /** Per-query ADC lookup tables: lut[j·ksub + c] = <query_sub_j,
+    * centroid_{j,c}> (flat array<double> — one primitive lookup per
+    * subspace in the scorer). Queries are the small side — LUTs are
+    * computed on the driver and broadcast; scoring a corpus vector is
+    * then m lookups + adds. */
   private def queryLuts(queries: DataFrame, idx: PqIndex,
                         idCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
@@ -198,22 +201,26 @@ object Similarity {
       .select(col("query_id"), col("_nvec")).collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
-        val lut = Array.tabulate(idx.m, idx.ksub) { (j, c) =>
-          val cen = idx.codebooks(j)(c)
-          var acc = 0.0; var i = 0
-          while (i < idx.dsub) { acc += v(j * idx.dsub + i) * cen(i); i += 1 }
-          acc
+        val lut = new Array[Double](idx.m * idx.ksub)
+        var j = 0
+        while (j < idx.m) {
+          var c = 0
+          while (c < idx.ksub) {
+            val cen = idx.codebooks(j)(c)
+            var acc = 0.0; var i = 0
+            while (i < idx.dsub) { acc += v(j * idx.dsub + i) * cen(i); i += 1 }
+            lut(j * idx.ksub + c) = acc; c += 1
+          }
+          j += 1
         }
-        (r.get(0).toString.toLong, lut.map(_.toSeq).toSeq)
+        (r.get(0).toString.toLong, lut.toSeq)
       }
     rows.toSeq.toDF("query_id", "lut")
   }
 
-  /** ADC score column over (codes, lut). */
-  private def adcScore(m: Int) =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(element_at(col("lut"), j + 1),
-                                   element_at(col("codes"), j + 1) + 1))
+  /** Codegen'd ADC score column over (codes, flat lut). */
+  private def adcScore(idx: PqIndex) =
+    graft.functions.PqFunctions.adcScore(col("codes"), col("lut"), idx.m, idx.ksub)
 
   /** PQ-lite (product quantization) ANN — the 100 TB compression path:
     * vectors split into `m` subvectors, each subspace k-means-quantized
@@ -236,7 +243,7 @@ object Similarity {
     val idx = buildPqIndex(c0, m, ksub, seed, passthrough = Seq.empty)
     val scored = idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), round(adcScore(m), 4).as("score"))
+      .select(col("query_id"), col("neighbor_id"), round(adcScore(idx), 4).as("score"))
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
@@ -253,24 +260,17 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 seed: Long = 42L,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-      .withColumn("_fcell", array_to_vector(col("_nvec")))
-    val cellSample = c0.orderBy(col("neighbor_id")).limit(4096).localCheckpoint()
-    val coarse = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("_fcell").setPredictionCol("cell").fit(cellSample)
-    val withCell = coarse.transform(c0)
+    val coarse = LocalKMeans.fit(collectSample(c0, "_nvec", 4096), nlist, maxIter = 5, seed = seed)
+    val withCell = c0.withColumn("cell",
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
     val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"))
 
     // nprobe nearest cells per query (normalized space -> IP == cosine)
-    val centers = coarse.clusterCenters.zipWithIndex
-      .map { case (c: Vector, i) => (i, c.toArray) }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centersDf = centers.toSeq.toDF("cell", "center_vec")
+    val centersDf = coarse.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center_vec")
     val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
     val cellScores = qn.crossJoin(broadcast(centersDf))
       .select(col("query_id"), col("cell").as("neighbor_id"),
@@ -284,7 +284,7 @@ object Similarity {
       .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
             Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), round(adcScore(m), 4).as("score"))
+      .select(col("query_id"), col("neighbor_id"), round(adcScore(idx), 4).as("score"))
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 

@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: constant-width interval joins become bucketed
+    // equi-joins instead of BroadcastNestedLoop (see RangeJoinRewrite)
+    ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

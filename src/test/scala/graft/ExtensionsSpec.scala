@@ -82,4 +82,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(salted.count() === plain)
     assert(salted.columns.toSet === Set("k", "v", "name"))
   }
+
+  test("RangeJoinRewrite turns a constant-width BETWEEN join into a bucketed equi-join") {
+    val r = new scala.util.Random(3)
+    val points = (1 to 400).map(i => (i.toLong, r.nextDouble() * 50)).toDF("pid", "v")
+    val ivals = (1 to 150).map(i => (i.toLong, r.nextDouble() * 50)).toDF("iid", "lo")
+    def q() = points.join(ivals,
+      points("v") >= ivals("lo") && points("v") <= ivals("lo") + 2.5)
+      .select("pid", "iid")
+
+    val rewritten = q()
+    rewritten.collect()
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"rule did not fire — nested-loop survived:\n$p")
+
+    // identical result set with the rule disabled (the nested-loop baseline)
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val baseline = q()
+      val bp = baseline.queryExecution.executedPlan.toString
+      assert(bp.contains("BroadcastNestedLoopJoin"), s"baseline unexpectedly equi-joined:\n$bp")
+      assert(rewritten.as[(Long, Long)].collect().toSet
+        === baseline.as[(Long, Long)].collect().toSet)
+      assert(baseline.count() > 0)
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
+
+  test("RangeJoinRewrite leaves equi-joins and variable-width bands alone") {
+    val a = Seq((1L, 1.0, 1.0), (2L, 2.0, 5.0)).toDF("ida", "va", "wa")
+    val b = Seq((1L, 0.5, 9.0), (2L, 1.5, 9.0)).toDF("idb", "vb", "wb")
+    // equi conjunct present -> hash join already; rule must not touch it
+    val equi = a.join(b, a("ida") === b("idb") && a("va") >= b("vb") && a("va") <= b("vb") + 1.0)
+    equi.collect()
+    assert(!equi.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+    // width is a column, not a literal -> statically unknown, no rewrite
+    val varw = a.join(b, a("va") >= b("vb") && a("va") <= b("vb") + b("wb"))
+    varw.collect()
+    assert(!varw.queryExecution.executedPlan.toString.contains("__graft_bucket"))
+  }
 }

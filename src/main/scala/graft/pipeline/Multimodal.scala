@@ -76,4 +76,63 @@ object Multimodal {
   def metadataOnly(media: DataFrame): DataFrame =
     media.groupBy(col("format"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_bytes")).as("total_bytes"))
+
+  /** Frame sampling: treat the binary as a container of fixed-size frames
+    * and emit every `everyNth` frame as its own row — the video/audio
+    * "sample k frames per clip" primitive. Pure column algebra
+    * (sequence + explode + binary substring): the media column is sliced
+    * by the scan's own batch iteration, no UDF, no decoder needed for
+    * container formats with fixed frame stride. Emits (doc_id, format,
+    * frame_idx, frame) — downstream decode/feature-extraction then runs
+    * per frame instead of per clip, so one huge video cannot skew a task. */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0, s"frameBytes=$frameBytes everyNth=$everyNth")
+    val nFrames = ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast("int")
+    media
+      // sequence(0, -1) would generate a DESCENDING range for an empty
+      // payload — guard to an empty array instead
+      .withColumn("__idx", when(nFrames > 0, sequence(lit(0), nFrames - 1))
+        .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"), col("format"), explode(col("__idx")).as("frame_idx"), col("media"))
+      .filter(col("frame_idx") % everyNth === 0)
+      .withColumn("frame", expr(s"substring(media, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("format"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_len"), col("frame"))
+  }
+
+  /** A byte-level media transform (resize/transcode); one instance per
+    * partition, same plumbing contract as MediaDecoder. */
+  trait MediaTransform extends Serializable {
+    def transform(bytes: Array[Byte]): Array[Byte]
+  }
+
+  /** Deterministic stand-in for a real resizer (see STUB NOTE): keeps
+    * every `stride`-th byte, the byte-domain analogue of nearest-neighbor
+    * downsampling. Engine-portable, so the oracle can recompute the
+    * resized payload bit-for-bit. */
+  case class StrideResizer(stride: Int) extends MediaTransform {
+    require(stride > 0)
+    def transform(bytes: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+      out
+    }
+  }
+
+  /** Per-partition resize: the binary column is rewritten through the
+    * transform, metadata re-derived. Typed Dataset path like
+    * extractFeatures — streaming iterator, one transform instance per
+    * partition, partitions sized by bytes. */
+  def resize(media: DataFrame, transform: MediaTransform)
+            (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = transform.transform(r.media)
+          MediaRow(r.doc_id, out, r.format, out.length.toLong)
+        }
+      }
+  }
 }

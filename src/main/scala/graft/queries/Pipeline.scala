@@ -186,6 +186,29 @@ object Pipeline {
         col("byte_max"), col("head_checksum"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over the media container: every 4th 64-byte frame.
+    * The oracle recomputes each frame's md5 from the source text (the
+    * synthetic corpus is ASCII, so byte slices == char slices). */
+  private def mmFrameSample: Q = (s, d) =>
+    Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)),
+        frameBytes = 64, everyNth = 4)
+      .select(col("doc_id"), col("format"), col("frame_idx"), col("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Byte-domain resize (stride-4 nearest-neighbor analogue): the oracle
+    * rebuilds the resized payload per document and matches its md5 —
+    * a bit-for-bit check of the whole per-partition transform path. */
+  private def mmResize: Q = (s, d) => {
+    implicit val sp: SparkSession = s
+    Multimodal.resize(Multimodal.mediaTable(Tables.documents(s, d)),
+        Multimodal.StrideResizer(4))
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        col("n_bytes").as("resized_bytes"), md5(col("media")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_keepers"  -> dedupExactKeepers,
     "dedup_exact_groups"   -> dedupExactGroups,
@@ -208,6 +231,8 @@ object Pipeline {
     "sample_token_budget"  -> sampleTokenBudget,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
+    "mm_frame_sample"      -> mmFrameSample,
+    "mm_resize"            -> mmResize,
   )
 
   // ---------------- oracles ----------------
@@ -348,6 +373,37 @@ object Pipeline {
                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[1:8]),
                      (acc, x) -> acc * 31 + x) AS BIGINT) AS head_checksum
          FROM b ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+                           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                                ELSE 'video/mp4' END AS format,
+                           length(text) AS n, text
+                    FROM documents WHERE length(text) > 0),
+              fr AS (SELECT doc_id, format,
+                            CAST(unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS INT) AS frame_idx,
+                            text
+                     FROM f)
+         SELECT doc_id, format, frame_idx,
+                CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INT) AS frame_len,
+                md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+         FROM fr WHERE frame_idx % 4 = 0
+         ORDER BY doc_id, frame_idx""",
+    "mm_resize" ->
+      """WITH ch AS (SELECT doc_id,
+                            CAST(unnest(range(1, length(text) + 1, 4)) AS INT) AS i, text
+                     FROM documents),
+              r AS (SELECT doc_id,
+                           md5(string_agg(substr(text, i, 1), '' ORDER BY i)) AS resized_md5,
+                           count(*) AS resized_bytes
+                    FROM ch GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN d.doc_id % 3 = 0 THEN 'image/png'
+                     WHEN d.doc_id % 3 = 1 THEN 'audio/wav'
+                     ELSE 'video/mp4' END AS format,
+                r.resized_bytes, r.resized_md5
+         FROM documents d JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
     "dedup_exact_keepers" ->
       """SELECT doc_id, n_chars FROM (
            SELECT doc_id, n_chars,

@@ -267,4 +267,26 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(df === Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
+
+  test("frameSample slices exact byte windows; resize keeps every stride-th byte") {
+    import graft.pipeline.Multimodal
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val payload = Array.tabulate(10)(i => (200 + i).toByte) // non-ASCII bytes
+    val media = Seq((1L, payload, "video/mp4", 10L), (2L, Array.empty[Byte], "video/mp4", 0L))
+      .toDF("doc_id", "media", "format", "n_bytes")
+
+    val frames = Multimodal.frameSample(media, frameBytes = 4, everyNth = 1)
+      .select("doc_id", "frame_idx", "frame")
+      .as[(Long, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    assert(frames.keySet === Set((1L, 0), (1L, 1), (1L, 2))) // empty doc: no frames
+    assert(frames((1L, 0)) === payload.slice(0, 4).toSeq)
+    assert(frames((1L, 1)) === payload.slice(4, 8).toSeq)
+    assert(frames((1L, 2)) === payload.slice(8, 10).toSeq)   // short tail frame
+
+    val resized = Multimodal.resize(media, Multimodal.StrideResizer(3))
+      .collect().map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(resized(1L) === Seq(payload(0), payload(3), payload(6), payload(9)))
+    assert(resized(2L) === Seq.empty)
+  }
 }

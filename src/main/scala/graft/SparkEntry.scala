@@ -24,8 +24,12 @@ object SparkEntry {
     Relational.queries("rel_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.iterator.flatMap(_._1).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = groups.map(_._1)
+    val dup = all.flatMap(_.keys).groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"duplicate query names across groups (silent override): $dup")
+    all.reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

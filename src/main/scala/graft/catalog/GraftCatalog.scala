@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
 
 /** Versioned-table catalog over Parquet — the Spark-native reproduction of
   * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
@@ -184,14 +184,31 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   private val ManifestSchema = "path STRING, size_bytes LONG"
 
-  /** Write one immutable manifest holding `entries` (relative path, size).
-    * JSON-lines: row-based like Iceberg's Avro manifests, readable
-    * distributed by Spark and in one pass by the driver planner. */
+  /** One manifest row: a data file plus optional per-column min/max
+    * (Iceberg's lower_bounds/upper_bounds, the scan-pruning substrate).
+    * Bounds are the column value cast to string — lexicographically
+    * ordered for dates/timestamps/booleans/strings; numeric columns are
+    * re-parsed before comparison (string order breaks on negatives). */
+  private[graft] case class ManifestEntry(path: String, sizeBytes: Long,
+                                          stats: Map[String, (String, String)])
+
+  /** Write one immutable manifest holding `entries` (relative path, size,
+    * optional column bounds). JSON-lines: row-based like Iceberg's Avro
+    * manifests, readable distributed by Spark and in one pass by the
+    * driver planner. */
   private def writeManifest(ns: String, name: String,
-                            entries: Seq[(String, Long)]): String = {
+                            entries: Seq[(String, Long)],
+                            stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
     val rel = s"_meta/manifests/m-${UUID.randomUUID()}.jsonl"
-    val body = entries.map { case (p, sz) => s"""{"path":${q(p)},"size_bytes":$sz}""" }
-      .mkString("", "\n", "\n")
+    val body = entries.map { case (p, sz) =>
+      val st = stats.getOrElse(p, Map.empty)
+      val statsJson =
+        if (st.isEmpty) ""
+        else st.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"${q(c)}:[${q(mn)},${q(mx)}]" }
+          .mkString(""","stats":{""", ",", "}")
+      s"""{"path":${q(p)},"size_bytes":$sz$statsJson}"""
+    }.mkString("", "\n", "\n")
     val tmp = manifestDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, tableDir(ns, name).resolve(rel), StandardCopyOption.ATOMIC_MOVE)
@@ -202,16 +219,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   // planning touches each manifest file once per driver (Iceberg's
   // manifest cache); bounded by the manifests actually planned.
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[Path, Seq[(String, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[Path, Seq[ManifestEntry]]()
 
-  private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
+  private def manifestEntriesFull(ns: String, name: String, rel: String): Seq[ManifestEntry] =
     manifestCache.computeIfAbsent(tableDir(ns, name).resolve(rel).toAbsolutePath, ap =>
       Files.readAllLines(ap, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty)
         .map { line =>
           val n = jsonMapper.readTree(line)
-          (n.get("path").asText(), n.get("size_bytes").asLong())
+          val stats = Option(n.get("stats")).map { sn =>
+            sn.fieldNames().asScala
+              .map(k => k -> (sn.get(k).get(0).asText(), sn.get(k).get(1).asText()))
+              .toMap
+          }.getOrElse(Map.empty[String, (String, String)])
+          ManifestEntry(n.get("path").asText(), n.get("size_bytes").asLong(), stats)
         }.toSeq)
+
+  private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
+    manifestEntriesFull(ns, name, rel).map(e => (e.path, e.sizeBytes))
 
   /** (path, size) entries of a version — driver-side SCAN-PLANNING read
     * (transient, per-version), not the metadata-query path; distributed
@@ -274,6 +299,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     listDir(outDir)
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
       .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
+  }
+
+  /** Per-file column bounds for a freshly-staged batch — ONE distributed
+    * aggregate over the staged files (grouped by input_file_name, map-side
+    * combined), keyed back to the manifest-relative paths. Only atomic,
+    * orderable column types carry bounds; anything else is simply never
+    * pruned. All-null columns in a file record no bound (same effect). */
+  private def stagedFileStats(ns: String, name: String,
+                              entries: Seq[(String, Long)],
+                              schema: StructType): Map[String, Map[String, (String, String)]] = {
+    val statFields = schema.fields.filter(f => GraftCatalog.prunableType(f.dataType))
+    if (statFields.isEmpty || entries.isEmpty) return Map.empty
+    val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
+    val df = spark.read.schema(schema)
+      .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
+    val aggs = statFields.toSeq.flatMap(f => Seq(
+      min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val base = r.getString(0).split('/').last
+      byBase.get(base).map { rel =>
+        rel -> statFields.zipWithIndex.flatMap { case (f, i) =>
+          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+            case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
+            case _ => None
+          }
+        }.toMap
+      }
+    }.toMap
   }
 
   /** Remove staged artifacts of an ABORTED commit attempt (conditional
@@ -341,7 +396,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     validatedSchemaJson(latest(ns, name), df.schema)
     val entries = stageDataFiles(ns, name, df)
     val newManifest =
-      if (entries.isEmpty) None else Some(writeManifest(ns, name, entries))
+      if (entries.isEmpty) None
+      else Some(writeManifest(ns, name, entries,
+        stagedFileStats(ns, name, entries, df.schema)))
     try casCommit(ns, name, maxRetries) { parent =>
       Snapshot(
         parent.map(_.seq + 1).getOrElse(0L),
@@ -373,7 +430,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     validatedSchemaJson(latest(ns, name), df.schema)
     val entries = stageDataFiles(ns, name, df)
     val manifest =
-      if (entries.isEmpty) Seq.empty else Seq(writeManifest(ns, name, entries))
+      if (entries.isEmpty) Seq.empty
+      else Seq(writeManifest(ns, name, entries,
+        stagedFileStats(ns, name, entries, df.schema)))
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version
     try casCommit(ns, name, maxRetries) { parent =>
@@ -522,6 +581,53 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def read(ns: String, name: String): DataFrame =
     latest(ns, name).map(readSnapshot(ns, name, _)).getOrElse(spark.emptyDataFrame)
 
+  /** Stats-pruned range scan: `column BETWEEN lower AND upper` (either
+    * bound optional), where the FILE LIST is pruned by the per-file
+    * min/max bounds recorded in the manifests at commit time — Iceberg's
+    * lower_bounds/upper_bounds scan planning. A file is skipped only when
+    * its recorded range provably cannot intersect the predicate; files
+    * without bounds (foreign commits via commitFiles, non-orderable
+    * types) are always read. The residual row filter still applies, so
+    * results are exact regardless of pruning — pruning only shrinks I/O.
+    *
+    * At 100 TB this is THE scan optimization: data clustered by the
+    * predicate column (write-time repartitionByRange / sort) turns a
+    * full-table scan into a handful of files BEFORE Spark plans anything;
+    * Parquet row-group min/max then prunes further inside each file.
+    *
+    * Bounds are strings in the column's cast-to-string form (e.g.
+    * "1995-06-01" for dates). Numeric columns compare numerically. */
+  def readWhere(ns: String, name: String, column: String,
+                lower: Option[String], upper: Option[String]): DataFrame = {
+    val snap = latest(ns, name).getOrElse(return spark.emptyDataFrame)
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val dt = schema.flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    val numeric = dt.exists(_.isInstanceOf[NumericType])
+    def lt(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+
+    val entries = snap.manifests.flatMap(manifestEntriesFull(ns, name, _))
+    val kept = entries.filter { e =>
+      e.stats.get(column) match {
+        case Some((mn, mx)) =>
+          !upper.exists(u => lt(u, mn)) && !lower.exists(l => lt(mx, l))
+        case None => true // no bounds recorded -> cannot prune, must read
+      }
+    }
+    if (kept.isEmpty) {
+      return schema.map(st => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(spark.emptyDataFrame)
+    }
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
+    def bound(v: String) = dt.map(t => lit(v).cast(t)).getOrElse(lit(v))
+    val residual = (lower.map(l => col(column) >= bound(l)) ++
+        upper.map(u => col(column) <= bound(u)))
+      .reduceOption(_ && _)
+    residual.map(df.filter).getOrElse(df)
+  }
+
   /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */
   def readVersion(ns: String, name: String, seq: Long): DataFrame = {
     val snap = snapshots(ns, name).find(_.seq == seq)
@@ -625,5 +731,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                       minSnapshotsToKeep: Int = 1): Seq[String] = {
     val floor = snapshots(ns, name).takeRight(math.max(1, minSnapshotsToKeep)).map(_.seq).toSet
     expire(ns, name, s => floor.contains(s.seq) || s.timestampMs >= olderThanMs)
+  }
+}
+
+object GraftCatalog {
+  /** Column types whose manifest bounds support pruning: atomic and
+    * totally ordered with an order-preserving string form (numerics are
+    * re-parsed before comparison). */
+  private[catalog] def prunableType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
   }
 }

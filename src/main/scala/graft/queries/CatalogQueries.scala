@@ -35,6 +35,10 @@ object CatalogQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice"))
       cat.commitAppend("q", "orders", orders.filter(col("o_orderkey") % 3 === 1)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+      cat.createTable("q", "ranged")
+      cat.commitAppend("q", "ranged", orders
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate")))
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -85,7 +89,21 @@ object CatalogQueries {
       .withColumn("live_versions", lit(cat.snapshots("q", "compacted").size))
   }
 
+  /** Manifest-stats pruned scan: the fixture clusters `q.ranged` by
+    * o_orderdate (repartitionByRange at commit), so the recorded per-file
+    * min/max bounds let readWhere hand Spark only the files overlapping
+    * 1995 — CatalogSpec asserts the file-count reduction; this query's
+    * oracle proves the pruned read returns exactly the full-scan answer. */
+  private def prunedRead: Q = (s, d) =>
+    fixture(s, d).readWhere("q", "ranged", "o_orderdate",
+        Some("1995-01-01"), Some("1995-12-31"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
   val queries: Map[String, Q] = Map(
+    "cat_pruned_read"      -> prunedRead,
     "cat_schema_evolution" -> schemaEvolution,
     "cat_time_travel"      -> timeTravel,
     "cat_incremental_read" -> incrementalRead,
@@ -93,6 +111,11 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_pruned_read" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""",
     "cat_schema_evolution" ->
       """WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderstatus
                      FROM orders WHERE o_orderkey % 3 = 0),

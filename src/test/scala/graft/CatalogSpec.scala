@@ -215,4 +215,44 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("ns", "t").count() === 4)
     intercept[IllegalArgumentException](cat.readVersion("ns", "t", 0))
   }
+
+  test("manifest min/max bounds prune the file list; results stay exact") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    // 1000 rows clustered into 10 files of tight id ranges
+    cat.commitAppend("ns", "t",
+      (0 until 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+        .repartitionByRange(10, org.apache.spark.sql.functions.col("id")))
+    val allFiles = cat.read("ns", "t").inputFiles.length
+    assert(allFiles === 10)
+
+    val pruned = cat.readWhere("ns", "t", "id", Some("150"), Some("249"))
+    assert(pruned.inputFiles.length <= 2, // two 100-row ranges cover [150,249]
+      s"expected <=2 files read, got ${pruned.inputFiles.length} of $allFiles")
+    assert(pruned.select("id").as[Long].collect().sorted === (150L to 249L).toArray)
+
+    // numeric bounds compare numerically, not lexicographically: "1000" vs "999"
+    val hi = cat.readWhere("ns", "t", "id", Some("999"), None)
+    assert(hi.count() === 1)
+
+    // string column pruning + residual filter
+    val s0 = cat.readWhere("ns", "t", "payload", Some("row100"), Some("row101"))
+    assert(s0.select("payload").as[String].collect().sorted === Array("row100", "row101"))
+
+    // files without recorded bounds (foreign commitFiles) are never pruned away
+    val raw = (2000L to 2004L).map(i => (i, s"x$i")).toDF("id", "payload")
+    val staged = java.nio.file.Files.createDirectories(
+      cat.tablePath("ns", "t").resolve("data/foreign"))
+    raw.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val landed = java.nio.file.Files.list(staged).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[String]
+    while (landed.hasNext) {
+      val f = landed.next().getFileName.toString
+      if (f.endsWith(".parquet")) files += s"data/foreign/$f"
+    }
+    cat.commitFiles("ns", "t", files.toSeq, sourceRegion = "remote")
+    val afterForeign = cat.readWhere("ns", "t", "id", Some("2000"), None)
+    assert(afterForeign.count() === 5, "stat-less foreign files must still be read")
+  }
 }

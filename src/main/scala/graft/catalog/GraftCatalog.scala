@@ -389,8 +389,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * current version and recorded (a mismatched append is REJECTED before
     * any data is staged). */
   def commitAppend(ns: String, name: String, df: DataFrame,
-                   sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+                   sourceRegion: String = "local", maxRetries: Int = 5,
+                   commitId: Option[String] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
+    // idempotence fast path: a caller-supplied commitId that already
+    // committed (streaming batch replay, retried RPC) must not re-append
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
     // fail fast on an incompatible schema before staging any data; the
     // CAS loop re-validates against the re-read parent on every attempt
     validatedSchemaJson(latest(ns, name), df.schema)
@@ -400,9 +406,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       else Some(writeManifest(ns, name, entries,
         stagedFileStats(ns, name, entries, df.schema)))
     try casCommit(ns, name, maxRetries) { parent =>
+      // re-check inside the CAS closure: a concurrent duplicate that won
+      // the race is visible in the freshly-read log by now
+      commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+      }
       Snapshot(
         parent.map(_.seq + 1).getOrElse(0L),
-        s"commit-${UUID.randomUUID()}",
+        commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
         parent.map(_.commitId),
         System.currentTimeMillis(),
         parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
@@ -742,4 +753,9 @@ object GraftCatalog {
     case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
     case _ => false
   }
+
+  /** A caller-supplied commitId already exists in the log — the append
+    * was a replay; `seq` is the version the original commit created. */
+  final class DuplicateCommitException(val commitId: String, val seq: Long)
+    extends RuntimeException(s"commit $commitId already applied as v$seq")
 }

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.catalog.GraftCatalog
+import org.apache.spark.sql.DataFrame
+
+/** Streaming ingestion into the catalog: each micro-batch commits as ONE
+  * table version (SURVEY §7.3 "sync worker state machine → foreachBatch +
+  * MERGE"; here the MERGE is an append commit).
+  *
+  * Exactly-once versions on top of at-least-once foreachBatch: the
+  * commitId is derived from (queryTag, batchId), so a Spark retry of a
+  * failed/duplicated batch finds the id already in the commit log and
+  * skips — the same replay guard a replicated sync commit uses
+  * (commitFiles dedups landed files against the parent). The check runs
+  * again INSIDE the CAS closure, so two racing replays cannot both land.
+  *
+  * At scale each batch is a distributed executor write (stageDataFiles),
+  * the commit itself is metadata-only, and version history doubles as
+  * the stream's progress log — readIncremental(v, v') replays exactly
+  * the batches in between.
+  */
+object CatalogStreamSink {
+
+  /** Pass to `writeStream.foreachBatch(...)`. */
+  def foreachBatchCommit(cat: GraftCatalog, ns: String, table: String,
+                         queryTag: String = "stream"): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      val cid = s"$queryTag-batch-$batchId"
+      try { cat.commitAppend(ns, table, df, commitId = Some(cid)); () }
+      catch { case _: GraftCatalog.DuplicateCommitException => () } // replay — already landed
+    }
+}

@@ -149,4 +149,38 @@ class StreamingSpec extends SparkSpec {
     val (t4, r4) = SyncEventStream.throttledPendingWorker(backlog(100, 10000.0), identity, base = 20)
     assert(t4 === "Red" && r4.count() === 0)
   }
+
+  test("streaming sink commits one catalog version per batch, exactly-once under replay") {
+    import graft.catalog.GraftCatalog
+    import graft.streaming.CatalogStreamSink
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-sink").toString)
+    cat.createTable("st", "ingest")
+
+    val input = MemoryStream[(Long, String)]
+    val sink = CatalogStreamSink.foreachBatchCommit(cat, "st", "ingest", "q1")
+    val query = input.toDS().toDF("id", "payload")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); query.processAllAvailable()
+      input.addData((3L, "c")); query.processAllAvailable()
+      val versions = cat.snapshots("st", "ingest")
+      assert(versions.map(_.commitId) === Seq("q1-batch-0", "q1-batch-1"))
+      assert(cat.read("st", "ingest").count() === 3)
+
+      // simulate Spark replaying batch 1 after a crash: no third version
+      sink(Seq((3L, "c")).toDF("id", "payload"), 1L)
+      assert(cat.snapshots("st", "ingest").size === 2)
+      assert(cat.read("st", "ingest").count() === 3)
+
+      // incremental read replays exactly the second batch
+      assert(cat.readIncremental("st", "ingest", 0, 1)
+        .select("id").as[Long].collect() === Array(3L))
+    } finally query.stop()
+  }
 }

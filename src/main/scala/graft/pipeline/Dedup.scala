@@ -72,14 +72,25 @@ object Dedup {
   }
 
   /** Explode a signature into LSH bands: (band_id, band_hash) rows.
-    * bands × rowsPerBand must equal the signature length. */
+    * bands × rowsPerBand must equal the signature length.
+    *
+    * The band array is expanded STATICALLY (one xxhash64 call per band
+    * over its element_at slots) instead of a `transform` lambda over a
+    * slice — the lambda form is interpreted per band per row, ~4× the
+    * cost of this fully-codegen'd projection. Bit-identical: Spark's
+    * xxhash64 folds an array child element-by-element exactly as it folds
+    * an argument list, so xxhash64(b, slice(sig, i, r)) ==
+    * xxhash64(b, sig[i], ..., sig[i+r-1]). */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))))))
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b) +:
+        (0 until rowsPerBand).map(i => element_at(col(sigCol), b * rowsPerBand + i + 1)): _*)
+    }: _*)
+    df.select(col(idCol), posexplode(bandHashes))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+  }
 
   /** Candidate pairs: documents sharing any (band_id, band_hash) bucket.
     * The equi-join is the scalable heart of LSH — no cross join ever. */
@@ -121,12 +132,21 @@ object Dedup {
     // the codegen'd pipeline twice is cheap. At warehouse scale, persist
     // signatures to a real Parquet table instead of executor cache.
     val pairs = lshCandidatePairs(lshBands(sigs, idCol, "sig", bands, numHashes / bands), idCol)
+    // verify sets pre-hashed ONCE per doc to sorted distinct longs: the
+    // per-pair check becomes a primitive merge (SortedLongJaccard,
+    // ~200ns) instead of two UTF8String hash sets (~15µs) — at 200k+
+    // candidates that was the entire verify stage. Distinct counts over
+    // 64-bit shingle hashes equal the string counts unless two distinct
+    // shingles of one pair collide (~3e-16/pair); the DuckDB oracle
+    // computes the string form and hash-matches.
     val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol), shingleK)).as("shingle_set"))
+      sort_array(array_distinct(transform(shingles(col(textCol), shingleK), xxhash64(_))))
+        .as("shingle_set"))
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .withColumn("jaccard",
+        round(graft.functions.VectorFunctions.sortedLongJaccard(col("set_a"), col("set_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

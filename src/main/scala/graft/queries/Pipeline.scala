@@ -142,6 +142,17 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composition — the billion-vector serving layout (cell-pruned
+    * scan of m-byte codes, broadcast LUTs, no raw vectors on the read
+    * path). Quantizer-defined output → rows-only; recall vs brute force
+    * is ScalaTest-checked in PipelineSpec. */
+  private def annIvfPqTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        nlist = 8, nprobe = 3, m = 8, ksub = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------- curation ----------------
 
   /** Benchmark contamination: eval set = doc_id ≡ 0 (mod 97); flag train
@@ -225,6 +236,7 @@ object Pipeline {
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_pq_topk"          -> annPqTopK,
+    "ann_ivfpq_topk"       -> annIvfPqTopK,
     "text_contamination"   -> textContamination,
     "text_repetition"      -> textRepetition,
     "sample_stratified"    -> sampleStratified,

@@ -91,4 +91,20 @@ class PropertySpec extends SparkSpec {
       assert(removed.intersect(news.toSet).isEmpty)
     }
   }
+
+  test("sorted-long-hash jaccard equals string-set jaccard on random token sets") {
+    import graft.functions.VectorFunctions
+    val wordGen = Gen.listOfN(40, Gen.oneOf(
+      (0 until 25).map(i => s"w$i")))  // small vocab -> real overlaps + duplicates
+    samples(Gen.zip(wordGen, wordGen), n = 20) { case (wa, wb) =>
+      val df = Seq((wa, wb)).toDF("a", "b")
+        .select(
+          VectorFunctions.jaccardSim(col("a"), col("b")).as("s"),
+          VectorFunctions.sortedLongJaccard(
+            sort_array(array_distinct(transform(col("a"), xxhash64(_)))),
+            sort_array(array_distinct(transform(col("b"), xxhash64(_))))).as("h"))
+      val (s, h) = df.as[(Double, Double)].collect().head
+      assert(s === h, s"string=$s hashed=$h for $wa vs $wb")
+    }
+  }
 }

@@ -183,6 +183,27 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The whole curation pipeline as ONE composition — the realistic
+    * "corpus → training set" path: quality gate → exact dedup →
+    * benchmark-decontamination → per-source token budget. Every stage is
+    * an operator with its own oracle elsewhere; this query proves they
+    * compose (one DuckDB CTE chain replays all four stages). */
+  private def pipelineCuration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val quality = train.filter(TA.qualityScore(col("text")) >= 0.5)
+    val deduped = Dedup.exactDedup(quality, "text", "doc_id")
+    val contaminated = Curation.contamination(deduped, evalSet, "doc_id", "text", n = 3, minShared = 2)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    Curation.tokenBudgetSample(
+        clean.select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 400)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------- multimodal ----------------
 
   private def mmMediaStats: Q = (s, d) =>
@@ -241,6 +262,7 @@ object Pipeline {
     "text_repetition"      -> textRepetition,
     "sample_stratified"    -> sampleStratified,
     "sample_token_budget"  -> sampleTokenBudget,
+    "pipeline_curation"    -> pipelineCuration,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -385,6 +407,47 @@ object Pipeline {
                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[1:8]),
                      (acc, x) -> acc * 31 + x) AS BIGINT) AS head_checksum
          FROM b ORDER BY doc_id""",
+    "pipeline_curation" ->
+      s"""WITH q AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 97 <> 0 AND
+              round(
+                least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                least(round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) * 5.0, 1.0) * 0.4 +
+                (1.0 - round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text), 4)) * 0.2,
+                4) >= 0.5),
+          ded AS (
+            SELECT doc_id, source, text FROM (
+              SELECT doc_id, source, text,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM q) t WHERE rn = 1),
+          dtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM ded),
+          etoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents WHERE doc_id % 97 = 0),
+          dw AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM dtoks),
+          ew AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM etoks),
+          dg AS (SELECT DISTINCT doc_id,
+                        tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+                 FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+                 QUALIFY lead(tok,2) OVER w IS NOT NULL),
+          eg AS (SELECT DISTINCT doc_id,
+                        tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS gram
+                 FROM ew WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+                 QUALIFY lead(tok,2) OVER w IS NOT NULL),
+          contam AS (
+            SELECT DISTINCT train_doc AS doc_id FROM (
+              SELECT dg.doc_id AS train_doc, eg.doc_id AS eval_doc
+              FROM dg JOIN eg USING (gram)
+              GROUP BY 1, 2 HAVING count(*) >= 2) p),
+          keep AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+          wt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM keep),
+          c AS (SELECT doc_id, source, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                FROM wt)
+          SELECT doc_id, source, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= 400 ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
                            CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    pair search into an equi-join on (band, bandHash) — the only
   *    shuffle is on band keys, and skewed buckets (boilerplate docs) are
   *    handled by AQE skew-join splitting;
-  *  - candidate pairs are then verified with exact Jaccard over shingle
-  *    sets, so LSH recall/precision is tunable without correctness risk;
+  *  - candidate pairs are then verified with Jaccard over the documents'
+  *    distinct shingle sets (pre-hashed to sorted longs, merged with a
+  *    primitive codegen'd loop), so LSH recall/precision is tunable
+  *    without correctness risk;
   *  - SimHash packs a document into one 64-bit value; near-dup detection
   *    is a self-join on rotated prefixes or (here) a bounded
   *    hamming-distance filter via bit_count(xor).
@@ -120,7 +122,8 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
-    * pairs → exact-Jaccard verification at `threshold`. */
+    * pairs → shingle-set Jaccard verification at `threshold` (sets
+    * pre-hashed to sorted longs; see the in-body note). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, shingleK: Int = 3,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {

@@ -743,6 +743,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val floor = snapshots(ns, name).takeRight(math.max(1, minSnapshotsToKeep)).map(_.seq).toSet
     expire(ns, name, s => floor.contains(s.seq) || s.timestampMs >= olderThanMs)
   }
+
+  /** G6 completeness for the metadata plane: manifests referenced by NO
+    * version (a crash between writeManifest and the CAS publish — the
+    * in-process abort paths already clean up after themselves) are
+    * removable once older than `graceMs`. The grace window keeps an
+    * in-flight commit's freshly-written manifest safe: its mtime is
+    * seconds old while it races toward the CAS. Returns removed paths. */
+  def sweepOrphanManifests(ns: String, name: String,
+                           graceMs: Long = 3600000L): Seq[String] = {
+    val referenced = snapshots(ns, name).flatMap(_.manifests).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dir = manifestDir(ns, name)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    listDir(dir)
+      .filter(p => p.getFileName.toString.startsWith("m-"))
+      .filter(p => !referenced.contains(s"_meta/manifests/${p.getFileName}"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map { p =>
+        manifestCache.remove(p.toAbsolutePath)
+        Files.deleteIfExists(p)
+        s"_meta/manifests/${p.getFileName}"
+      }
+  }
 }
 
 object GraftCatalog {

@@ -173,8 +173,11 @@ object Similarity {
     * pass covers the full corpus in ONE codegen'd projection (PqEncode);
     * codes ride as one array<int> column. */
   private def buildPqIndex(c0: DataFrame, m: Int, ksub: Int, seed: Long,
-                           passthrough: Seq[String]): PqIndex = {
-    val sample = collectSample(c0, "_nvec", 4096)
+                           passthrough: Seq[String],
+                           sharedSample: Option[Array[Array[Double]]] = None): PqIndex = {
+    // IVF-PQ already collected the identical _nvec sample for the coarse
+    // quantizer — reuse it instead of a second distributed top-k collect
+    val sample = sharedSample.getOrElse(collectSample(c0, "_nvec", 4096))
     val dims = sample.head.length
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
@@ -261,10 +264,12 @@ object Similarity {
                 seed: Long = 42L,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-    val coarse = LocalKMeans.fit(collectSample(c0, "_nvec", 4096), nlist, maxIter = 5, seed = seed)
+    val sample = collectSample(c0, "_nvec", 4096)
+    val coarse = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     val withCell = c0.withColumn("cell",
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
-    val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"))
+    val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"),
+      sharedSample = Some(sample))
 
     // nprobe nearest cells per query (normalized space -> IP == cosine)
     val spark = corpus.sparkSession

@@ -255,4 +255,21 @@ class CatalogSpec extends SparkSpec {
     val afterForeign = cat.readWhere("ns", "t", "id", Some("2000"), None)
     assert(afterForeign.count() === 5, "stat-less foreign files must still be read")
   }
+
+  test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a")).toDF("id", "v"))
+    // plant a crash artifact: a manifest no version references
+    val orphan = cat.tablePath("ns", "t").resolve("_meta/manifests/m-orphan.jsonl")
+    java.nio.file.Files.write(orphan, "{\"path\":\"data/x/y.parquet\",\"size_bytes\":1}\n".getBytes)
+    // inside the grace window nothing is removed (could be an in-flight commit)
+    assert(cat.sweepOrphanManifests("ns", "t", graceMs = 3600000L) === Seq.empty)
+    // past the grace window only the orphan goes; the live version is untouched
+    val removed = cat.sweepOrphanManifests("ns", "t", graceMs = -1L)
+    assert(removed === Seq("_meta/manifests/m-orphan.jsonl"))
+    assert(cat.read("ns", "t").count() === 1)
+    assert(cat.sweepOrphanManifests("ns", "t", graceMs = -1L) === Seq.empty)
+  }
 }

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.SyncEventStream
 import graft.streaming.SyncEventStream.{EventStatus, EventUpdate}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured-Streaming lifecycle semantics via MemoryStream. */
@@ -148,6 +149,35 @@ class StreamingSpec extends SparkSpec {
     // Red (lag >= 2e5): ingestion pauses so the copy plane catches up
     val (t4, r4) = SyncEventStream.throttledPendingWorker(backlog(100, 10000.0), identity, base = 20)
     assert(t4 === "Red" && r4.count() === 0)
+  }
+
+  test("stream-stream interval join: purchases within 5 minutes of a click, watermark-bounded state") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val c = clicks.toDS().toDF("click_id", "user_id", "cts")
+      .withWatermark("cts", "10 minutes")
+    val b = buys.toDS().toDF("buy_id", "buy_user", "bts")
+      .withWatermark("bts", "10 minutes")
+    // the time-range conjunct bounds the join state on BOTH sides: rows
+    // beyond watermark+range are dropped from state, so the join runs
+    // forever without unbounded memory (the batch dual is rel_asof/range)
+    val joined = c.join(b, expr(
+      "user_id = buy_user AND bts >= cts AND bts <= cts + interval 5 minutes"))
+      .select("click_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((100L, 1L, ts("2024-01-01 10:00:00")), (101L, 2L, ts("2024-01-01 10:00:00")))
+      buys.addData(
+        (500L, 1L, ts("2024-01-01 10:03:00")),  // within window -> match
+        (501L, 1L, ts("2024-01-01 10:20:00")),  // too late -> no match
+        (502L, 3L, ts("2024-01-01 10:01:00")))  // other user -> no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 500L)))
+    } finally q.stop()
   }
 
   test("streaming sink commits one catalog version per batch, exactly-once under replay") {

@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaccardSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sorted_long_jaccard"),
+      new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "sorted_long_jaccard(a, b) takes 2 arguments")
+        SortedLongJaccard(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => {

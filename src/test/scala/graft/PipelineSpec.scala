@@ -268,6 +268,29 @@ class PipelineSpec extends SparkSpec {
     assert(df === Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
+    import graft.functions.PqFunctions
+    import org.apache.spark.sql.functions.typedLit
+    val r = new scala.util.Random(5)
+    val centroids = Array.fill(4)(Array.fill(8)(r.nextDouble()))
+    val codebooks = Array.fill(2)(Array.fill(4)(Array.fill(4)(r.nextDouble())))
+    val vecs = (1 to 50).map(i => (i.toLong, Seq.fill(8)(r.nextDouble())))
+      .toDF("id", "v").withColumn("vd", col("v").cast("array<double>"))
+
+    def run(codegen: Boolean): Array[(Int, Seq[Int], Double)] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      try {
+        vecs.select(
+            PqFunctions.nearestCentroid(col("vd"), centroids).as("cell"),
+            PqFunctions.pqEncode(col("vd"), codebooks).as("codes"))
+          .withColumn("score", PqFunctions.adcScore(col("codes"),
+            typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)), 2, 4))
+          .as[(Int, Seq[Int], Double)].collect()
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run(codegen = true) === run(codegen = false))
+  }
+
   test("frameSample slices exact byte windows; resize keeps every stride-th byte") {
     import graft.pipeline.Multimodal
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -293,6 +293,94 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  // ---------------- persisted serving index (IVF-PQ × catalog) ----------------
+
+  /** Build the IVF-PQ index ONCE as catalog tables — the serving form:
+    *  - `{prefix}_codes`: (cell, neighbor_id, codes array<int>) written
+    *    range-clustered by cell, so the manifest column bounds
+    *    (GraftCatalog stats pruning) let a probe read only the files
+    *    holding its cells;
+    *  - `{prefix}_centroids`: the coarse centroids and PQ codebooks as
+    *    rows (kind, j, c, vec) — tiny, collected at serve time.
+    * Build cost (training + full-corpus encode + distributed write) is
+    * paid once; serving never touches raw vectors again. Re-running
+    * replaces both tables atomically (commitReplace). */
+  def buildIvfPqIndexTables(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                            corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                            seed: Long = 42L,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val sample = collectSample(c0, "_nvec", 4096)
+    val coarse = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
+    val withCell = c0.withColumn("cell",
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
+    val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"),
+      sharedSample = Some(sample))
+
+    val centroidRows =
+      coarse.zipWithIndex.map { case (v, i) => ("coarse", 0, i, v.toSeq) } ++
+      (for (j <- 0 until m; c <- 0 until ksub)
+        yield ("pq", j, c, idx.codebooks(j)(c).toSeq))
+    Seq(s"${prefix}_codes", s"${prefix}_centroids").foreach { t =>
+      if (!cat.tableExists(ns, t)) cat.createTable(ns, t)
+    }
+    cat.commitReplace(ns, s"${prefix}_codes",
+      idx.coded.select(col("cell"), col("neighbor_id"), col("codes"))
+        .repartitionByRange(math.max(1, nlist / 4), col("cell")))
+    cat.commitReplace(ns, s"${prefix}_centroids",
+      centroidRows.toSeq.toDF("kind", "j", "c", "vec"))
+  }
+
+  /** Serve top-k from the persisted index: centroids/codebooks load from
+    * the tiny `{prefix}_centroids` table, per-query LUTs and probe cells
+    * compute driver-side (broadcast), and the only distributed work is a
+    * stats-pruned scan of the m-byte codes restricted to the probed cell
+    * range — no raw corpus vectors anywhere on the read path. Same seed
+    * + same corpus ⇒ results identical to the in-memory ivfPqTopK
+    * composition (spec-asserted). */
+  def servePqTopK(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cent = cat.read(ns, s"${prefix}_centroids")
+      .select(col("kind"), col("j"), col("c"), col("vec"))
+      .as[(String, Int, Int, Seq[Double])].collect()
+    val coarse = cent.filter(_._1 == "coarse").sortBy(_._3).map(_._4.toArray)
+    val pqRows = cent.filter(_._1 == "pq")
+    val m = pqRows.map(_._2).max + 1
+    val ksub = pqRows.map(_._3).max + 1
+    val codebooks = Array.tabulate(m, ksub)((j, c) =>
+      pqRows.find(r => r._2 == j && r._3 == c).get._4.toArray)
+    val dsub = codebooks(0)(0).length
+    val idx = PqIndex(coded = null, codebooks = codebooks, m = m, ksub = ksub, dsub = dsub)
+
+    val centersDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "center_vec")
+    val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
+    val cellScores = qn.crossJoin(broadcast(centersDf))
+      .select(col("query_id"), col("cell").as("neighbor_id"),
+        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
+                  lit(0.0), (acc, v) => acc + v).as("score"))
+    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
+        org.apache.spark.sql.types.IntegerType)
+      .select(col("query_id"), col("neighbor_id").as("cell"))
+    val probeCells = probes.select("cell").distinct().as[Int].collect()
+
+    // manifest-stats coarse prune: only files whose cell range intersects
+    // the probed span are read at all (files are cell-clustered at build)
+    val codes = cat.readWhere(ns, s"${prefix}_codes", "cell",
+        Some(probeCells.min.toString), Some(probeCells.max.toString))
+    val scored = codes
+      .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
+            Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), round(adcScore(idx), 4).as("score"))
+    topKPerQuery(scored, k, queries.schema(idCol).dataType)
+  }
+
   /** LSH-bucketed ANN: corpus and queries bucketed identically; neighbors
     * searched only within the query's bucket. Returns ranked matches per
     * query (subset recall vs brute force — tune `planes` down for more

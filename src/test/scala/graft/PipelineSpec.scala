@@ -268,6 +268,29 @@ class PipelineSpec extends SparkSpec {
     assert(df === Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("persisted IVF-PQ index serves the same results as the in-memory composition") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann").toString)
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val queries = emb.filter(col("vec_id") < 5)
+
+    Similarity.buildIvfPqIndexTables(cat, "ann", "ix", emb, nlist = 8, m = 8, ksub = 16)
+    val served = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val inMemory = Similarity.ivfPqTopK(emb, queries, 5, nlist = 8, nprobe = 3, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === inMemory)
+    assert(served.nonEmpty)
+    // the codes table is cell-clustered: a one-cell probe range reads
+    // fewer files than the full span (manifest bounds doing their job)
+    val all = cat.read("ann", "ix_codes").inputFiles.length
+    val one = cat.readWhere("ann", "ix_codes", "cell", Some("0"), Some("0")).inputFiles.length
+    assert(one < all || all == 1, s"expected pruning: $one of $all files")
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

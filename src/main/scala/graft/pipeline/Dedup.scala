@@ -154,6 +154,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup detection: INCOMING documents checked against
+    * an EXISTING corpus (continual ingestion — every batch dedups against
+    * everything already admitted). Asymmetric form of [[minhashNearDups]]:
+    * band tables computed per side, candidates from the cross-side
+    * equi-join on (band, band_hash), verified the same way. At warehouse
+    * scale the existing side's signatures/bands are a PERSISTED table
+    * maintained at admit time, so each batch pays O(batch) signature work
+    * plus one equi-join against the band index — never a rescan of the
+    * admitted corpus. Output: (incoming_id, existing_id, jaccard). */
+  def minhashNearDupsAgainst(existing: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             numHashes: Int = 16, shingleK: Int = 3,
+                             bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bandSide(df: DataFrame, as: String) =
+      lshBands(minhashSignatures(df, idCol, textCol, numHashes, shingleK), idCol, "sig", bands, r)
+        .withColumnRenamed(idCol, as)
+    val cands = bandSide(incoming, "incoming_id")
+      .join(bandSide(existing, "existing_id"), Seq("band_id", "band_hash"))
+      .select(col("incoming_id"), col("existing_id")).distinct()
+    def setSide(df: DataFrame, as: String, setAs: String) = df.select(
+      col(idCol).as(as),
+      sort_array(array_distinct(transform(shingles(col(textCol), shingleK), xxhash64(_))))
+        .as(setAs))
+    cands
+      .join(setSide(incoming, "incoming_id", "set_i"), "incoming_id")
+      .join(setSide(existing, "existing_id", "set_e"), "existing_id")
+      .withColumn("jaccard",
+        round(graft.functions.VectorFunctions.sortedLongJaccard(col("set_i"), col("set_e")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("existing_id"), col("jaccard"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash as a table: explode tokens, hash each ONCE, then one

@@ -45,6 +45,18 @@ object Pipeline {
         numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental dedup: the docs with doc_id ≡ 0 (mod 4) arrive as a new
+    * batch and are checked against everything else (the admitted corpus).
+    * Same 16×2 banding arithmetic as dedupMinhashPairs, so the verified
+    * output equals the exact cross-set Jaccard pair set DuckDB computes. */
+  private def dedupIncrementalPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashNearDupsAgainst(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+      .orderBy(col("incoming_id"), col("existing_id"))
+  }
+
   private def dedupSimhashPairs: Q = (s, d) =>
     Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDistance = 16)
       .orderBy(col("id_a"), col("id_b"))
@@ -245,6 +257,7 @@ object Pipeline {
     "dedup_exact_keepers"  -> dedupExactKeepers,
     "dedup_exact_groups"   -> dedupExactGroups,
     "dedup_minhash_pairs"  -> dedupMinhashPairs,
+    "dedup_incremental_pairs" -> dedupIncrementalPairs,
     "dedup_simhash_pairs"  -> dedupSimhashPairs,
     "dedup_ngram_pairs"    -> dedupNgramPairs,
     "dedup_cluster_keepers" -> dedupClusterKeepers,
@@ -367,6 +380,14 @@ object Pipeline {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           SELECT id_a, id_b, jaccard FROM scored
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_incremental_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
+          scored AS (
+            SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
+                   ${jaccardSql("i.s", "e.s")} AS jaccard
+            FROM sh i JOIN sh e ON i.doc_id % 4 = 0 AND e.doc_id % 4 <> 0)
+          SELECT incoming_id, existing_id, jaccard FROM scored
+          WHERE jaccard >= 0.5 ORDER BY incoming_id, existing_id""",
     "dedup_ngram_pairs" ->
       s"""WITH g AS (SELECT doc_id, ${charGramsSql("text")} AS grams
                      FROM documents WHERE doc_id < 100),

@@ -88,6 +88,29 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** RE2-safe PII patterns (no lookaround — portable across Java regex,
+    * RE2 and DuckDB): conservative by design; a production deployment
+    * swaps in its compliance-approved pattern set. */
+  val PhonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** PII scrubbing: phones/emails replaced with typed placeholders,
+    * occurrence counts kept for audit. Pure regexp columns — codegen'd,
+    * one pass over the text, no UDF. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))))
+      .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), PhonePattern, "<PHONE>"),
+          EmailPattern, "<EMAIL>"))
+
+  /** Canonical text normalization (the pre-dedup/pre-fingerprint form):
+    * lowercase, non-alphanumerics to spaces, whitespace collapsed,
+    * trimmed. Normalizing BEFORE exact dedup merges trivial variants
+    * (case, punctuation, spacing) into one fingerprint class. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Gopher-style per-document repetition / diversity signals:
     *  - word_entropy: Shannon entropy (nats) of the unigram distribution
     *    — near-zero entropy is boilerplate or keyword stuffing;

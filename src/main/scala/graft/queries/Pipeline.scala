@@ -216,6 +216,31 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing: the synthetic corpus carries no natural PII, so the
+    * query PLANTS a deterministic contact suffix from doc_id (both
+    * engines construct the identical string); the operator itself is
+    * generic over any text column. The md5 of the redacted text checks
+    * the transform byte-for-byte. */
+  private def textPiiRedaction: Q = (s, d) => {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 12-345-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-9012")).as("text"))
+    Curation.redactPii(planted, "text")
+      .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+        col("n_phones"), col("n_emails"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical normalization + its payoff: normalized exact dedup merges
+    * case/punctuation/spacing variants into one fingerprint class. */
+  private def textNormalized: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Curation.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).as("norm_len"))
+      .orderBy(col("doc_id"))
+
   // ---------------- multimodal ----------------
 
   private def mmMediaStats: Q = (s, d) =>
@@ -276,6 +301,8 @@ object Pipeline {
     "sample_stratified"    -> sampleStratified,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
+    "text_pii_redaction"   -> textPiiRedaction,
+    "text_normalized"      -> textNormalized,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -469,6 +496,24 @@ object Pipeline {
                 FROM wt)
           SELECT doc_id, source, n_tokens, cum_tokens FROM c
           WHERE cum_tokens <= 400 ORDER BY doc_id""",
+    "text_pii_redaction" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 12-345-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-9012' AS text
+           FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(
+                      regexp_replace(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
+                CAST(len(regexp_extract_all(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails
+         FROM planted ORDER BY doc_id""",
+    "text_normalized" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+         FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
                            CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -88,6 +88,53 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Deterministic train/val/test assignment: the first 8 md5 hex chars
+    * of the id partition [0,1) by lexicographic threshold — engine-
+    * portable (pure string compares), reproducible across clusters, and
+    * stable under corpus growth (a document's split never changes when
+    * other documents arrive, unlike rank-based sampling). `fractions`
+    * must sum to ~1; the last split absorbs rounding. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $fractions")
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+    val hexBounds = bounds.init.map(f => f"${(f * (1L << 32)).toLong}%08x")
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    // ascending-bound when-chain: the first satisfied threshold wins
+    val assigned = hexBounds.zip(fractions.map(_._1)).reverse
+      .foldLeft(lit(fractions.last._1)) { case (rest, (bound, name)) =>
+        when(h < lit(bound), lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Sequence packing (the pretraining concat-then-chunk form): within
+    * each stratum (shard), documents concatenate in md5 order and the
+    * token stream chunks every `chunkTokens`; each document occupies the
+    * chunk span [floor(before/chunk), floor((before+n-1)/chunk)] where
+    * `before` is the running token total ahead of it in its shard.
+    *
+    * Sharding IS the scale story: packing is a prefix sum, and a single
+    * global ordering would pull every row into one task (the window-rank
+    * anti-pattern). Real packed datasets shard anyway (per source /
+    * writer task); the per-shard window streams with O(1) state, shards
+    * pack in parallel, and (stratum, chunk) ids are what a packed-
+    * dataset loader needs to locate any document. */
+  def packSequences(df: DataFrame, stratumCol: String, idCol: String,
+                    tokenCol: String, chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("first_chunk",
+        floor((col("__cum") - col(tokenCol)) / chunkTokens).cast("long"))
+      .withColumn("last_chunk",
+        floor((col("__cum") - 1) / chunkTokens).cast("long"))
+      .drop("__cum")
+  }
+
   /** RE2-safe PII patterns (no lookaround — portable across Java regex,
     * RE2 and DuckDB): conservative by design; a production deployment
     * swaps in its compliance-approved pattern set. */

@@ -216,6 +216,26 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic 80/10/10 split: per-split doc and token totals. */
+  private def sampleSplitAssign: Q = (s, d) =>
+    Curation.assignSplit(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("split"))
+
+  /** Sharded sequence packing: 512-token chunks per source shard. */
+  private def samplePackChunks: Q = (s, d) =>
+    Curation.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", chunkTokens = 512)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("first_chunk"), col("last_chunk"))
+      .orderBy(col("doc_id"))
+
   /** PII scrubbing: the synthetic corpus carries no natural PII, so the
     * query PLANTS a deterministic contact suffix from doc_id (both
     * engines construct the identical string); the operator itself is
@@ -303,6 +323,8 @@ object Pipeline {
     "pipeline_curation"    -> pipelineCuration,
     "text_pii_redaction"   -> textPiiRedaction,
     "text_normalized"      -> textNormalized,
+    "sample_split_assign"  -> sampleSplitAssign,
+    "sample_pack_chunks"   -> samplePackChunks,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -496,6 +518,25 @@ object Pipeline {
                 FROM wt)
           SELECT doc_id, source, n_tokens, cum_tokens FROM c
           WHERE cum_tokens <= 400 ORDER BY doc_id""",
+    "sample_split_assign" ->
+      """WITH a AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM documents)
+         SELECT split, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+         FROM a GROUP BY 1 ORDER BY 1""",
+    "sample_pack_chunks" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                    FROM d)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+                CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_chunk
+         FROM c ORDER BY doc_id""",
     "text_pii_redaction" ->
       """WITH planted AS (
            SELECT doc_id,

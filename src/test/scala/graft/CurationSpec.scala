@@ -133,4 +133,47 @@ class CurationSpec extends SparkSpec {
   }
 
   private def round6(d: Double) = math.round(d * 10000).toDouble / 10000
+
+  test("assignSplit is stable under corpus growth and covers all splits") {
+    val small = (1L to 200L).map(i => Tuple1(i)).toDF("id")
+    val big = (1L to 1000L).map(i => Tuple1(i)).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Curation.assignSplit(small, "id", fr).select("id", "split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Curation.assignSplit(big, "id", fr).select("id", "split")
+      .as[(Long, String)].collect().toMap
+    // hash-threshold assignment: a document's split NEVER changes when
+    // other documents arrive (rank-based sampling breaks this)
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    val dist = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist("train") > 700 && dist("train") < 900)
+    assert(dist.keySet === Set("train", "val", "test"))
+    intercept[IllegalArgumentException](
+      Curation.assignSplit(small, "id", Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
+  test("packSequences: chunk spans tile each shard's token stream exactly") {
+    val r = new scala.util.Random(13)
+    val docsT = (1L to 300L).map(i => (i, s"src${i % 3}", 1 + r.nextInt(200)))
+      .toDF("id", "src", "n")
+    val packed = Curation.packSequences(docsT, "src", "id", "n", chunkTokens = 256)
+      .select("id", "src", "n", "first_chunk", "last_chunk")
+      .as[(Long, String, Int, Long, Long)].collect()
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      // replay the shard in md5 order and check every span
+      val ordered = rows.sortBy(t => (md5Hex(t._1), t._1))
+      var before = 0L
+      ordered.foreach { case (_, _, n, first, last) =>
+        assert(first === before / 256)
+        assert(last === (before + n - 1) / 256)
+        before += n
+      }
+    }
+  }
+
+  private def md5Hex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 }

@@ -609,20 +609,30 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * Bounds are strings in the column's cast-to-string form (e.g.
     * "1995-06-01" for dates). Numeric columns compare numerically. */
   def readWhere(ns: String, name: String, column: String,
-                lower: Option[String], upper: Option[String]): DataFrame = {
+                lower: Option[String], upper: Option[String]): DataFrame =
+    readWhereAll(ns, name, Seq((column, lower, upper)))
+
+  /** Conjunction form of [[readWhere]]: a file is read unless ANY
+    * predicate's recorded bounds provably exclude it — with data
+    * Z-order-clustered at write time (functions.ZOrder2), one physical
+    * layout serves range predicates on EITHER clustered column. */
+  def readWhereAll(ns: String, name: String,
+                   preds: Seq[(String, Option[String], Option[String])]): DataFrame = {
     val snap = latest(ns, name).getOrElse(return spark.emptyDataFrame)
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val dt = schema.flatMap(_.fields.find(_.name == column)).map(_.dataType)
-    val numeric = dt.exists(_.isInstanceOf[NumericType])
-    def lt(a: String, b: String): Boolean =
-      if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+    def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
 
     val entries = snap.manifests.flatMap(manifestEntriesFull(ns, name, _))
     val kept = entries.filter { e =>
-      e.stats.get(column) match {
-        case Some((mn, mx)) =>
-          !upper.exists(u => lt(u, mn)) && !lower.exists(l => lt(mx, l))
-        case None => true // no bounds recorded -> cannot prune, must read
+      preds.forall { case (column, lower, upper) =>
+        val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
+        def lt(a: String, b: String): Boolean =
+          if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+        e.stats.get(column) match {
+          case Some((mn, mx)) =>
+            !upper.exists(u => lt(u, mn)) && !lower.exists(l => lt(mx, l))
+          case None => true // no bounds recorded -> cannot prune, must read
+        }
       }
     }
     if (kept.isEmpty) {
@@ -632,10 +642,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
-    def bound(v: String) = dt.map(t => lit(v).cast(t)).getOrElse(lit(v))
-    val residual = (lower.map(l => col(column) >= bound(l)) ++
-        upper.map(u => col(column) <= bound(u)))
-      .reduceOption(_ && _)
+    val residual = preds.flatMap { case (column, lower, upper) =>
+      def bound(v: String) = dtOf(column).map(t => lit(v).cast(t)).getOrElse(lit(v))
+      lower.map(l => col(column) >= bound(l)) ++ upper.map(u => col(column) <= bound(u))
+    }.reduceOption(_ && _)
     residual.map(df.filter).getOrElse(df)
   }
 

@@ -177,6 +177,57 @@ case class AdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Z-order (Morton) interleave of two 32-bit keys into one long — the
+  * multi-dimensional clustering key: sorting by the interleaved value
+  * keeps rows close in BOTH dimensions, so per-file min/max bounds stay
+  * tight on each column simultaneously and manifest stats pruning works
+  * for predicates on either column off ONE physical layout (the
+  * Delta/Iceberg OPTIMIZE ZORDER idea, expressed as a plain cluster-by
+  * column). Inputs are truncated to their low 32 bits. */
+case class ZOrder2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires integral inputs")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  private def toLongBits(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong
+    case s: Short => s.toLong; case b: Byte => b.toLong
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.interleave(toLongBits(a), toLongBits(b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = classOf[ZOrder2].getName.stripSuffix("$")
+      s"${ev.value} = $z.interleave((long) $a, (long) $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  /** Spread the low 32 bits of `v` into the even bit positions. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8))  & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4))  & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+  /** Morton-interleave two 32-bit values (a in even bits, b in odd). */
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 object PqFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
@@ -190,4 +241,9 @@ object PqFunctions {
   def adcScore(codes: Column, flatLut: Column, m: Int, ksub: Int): Column =
     ColumnBridge.column(AdcScore(ColumnBridge.expression(codes),
       ColumnBridge.expression(flatLut), m, ksub))
+
+  /** Morton-interleaved clustering key — commit data sorted by this to
+    * get manifest-bounds pruning on BOTH input columns. */
+  def zorder2(a: Column, b: Column): Column =
+    ColumnBridge.column(ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

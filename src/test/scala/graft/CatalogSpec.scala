@@ -256,6 +256,34 @@ class CatalogSpec extends SparkSpec {
     assert(afterForeign.count() === 5, "stat-less foreign files must still be read")
   }
 
+  test("z-order clustering prunes files on BOTH dimensions from one layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("ns", "z")
+    // 64x64 grid of (x, y) points, committed clustered by the Morton key:
+    // 16 files, each covering a compact 2-D tile instead of a stripe
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong, x * 64L + y))
+      .toDF("x", "y", "payload")
+    cat.commitAppend("ns", "z", grid
+      .repartitionByRange(16, graft.functions.PqFunctions.zorder2(col("x"), col("y"))))
+    val all = cat.read("ns", "z").inputFiles.length
+    assert(all === 16)
+
+    val px = cat.readWhere("ns", "z", "x", Some("0"), Some("7"))
+    val py = cat.readWhere("ns", "z", "y", Some("0"), Some("7"))
+    assert(px.inputFiles.length < all, s"x-band read ${px.inputFiles.length}/$all")
+    assert(py.inputFiles.length < all, s"y-band read ${py.inputFiles.length}/$all")
+    assert(px.count() === 8 * 64 && py.count() === 64 * 8)
+
+    // 2-D conjunction: a corner tile reads the fewest files of all
+    val corner = cat.readWhereAll("ns", "z",
+      Seq(("x", Some("0"), Some("7")), ("y", Some("0"), Some("7"))))
+    assert(corner.count() === 64)
+    assert(corner.inputFiles.length <= math.min(px.inputFiles.length, py.inputFiles.length))
+    assert(corner.inputFiles.length <= 2, s"corner tile read ${corner.inputFiles.length} files")
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

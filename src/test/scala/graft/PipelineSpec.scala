@@ -300,7 +300,7 @@ class PipelineSpec extends SparkSpec {
     val vecs = (1 to 50).map(i => (i.toLong, Seq.fill(8)(r.nextDouble())))
       .toDF("id", "v").withColumn("vd", col("v").cast("array<double>"))
 
-    def run(codegen: Boolean): Array[(Int, Seq[Int], Double)] = {
+    def run(codegen: Boolean): Array[(Int, Seq[Int], Double, Long)] = {
       spark.conf.set("spark.sql.codegen.factoryMode", if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
       try {
         vecs.select(
@@ -308,7 +308,8 @@ class PipelineSpec extends SparkSpec {
             PqFunctions.pqEncode(col("vd"), codebooks).as("codes"))
           .withColumn("score", PqFunctions.adcScore(col("codes"),
             typedLit(Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)), 2, 4))
-          .as[(Int, Seq[Int], Double)].collect()
+          .withColumn("z", PqFunctions.zorder2(col("cell"), col("cell") + 1))
+          .as[(Int, Seq[Int], Double, Long)].collect()
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
     assert(run(codegen = true) === run(codegen = false))

@@ -39,6 +39,11 @@ object CatalogQueries {
       cat.commitAppend("q", "ranged", orders
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .repartitionByRange(8, col("o_orderdate")))
+      cat.createTable("q", "zorders")
+      cat.commitAppend("q", "zorders", orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(16,
+          graft.functions.PqFunctions.zorder2(col("o_orderkey"), col("o_custkey"))))
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -102,8 +107,22 @@ object CatalogQueries {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
 
+  /** 2-D stats-pruned scan off the z-clustered fixture: both range
+    * predicates prune the file list (one layout, either/both axes —
+    * CatalogSpec asserts the file counts; this oracle proves the pruned
+    * conjunction returns exactly the full-scan answer). */
+  private def zorderRead: Q = (s, d) =>
+    fixture(s, d).readWhereAll("q", "zorders", Seq(
+        ("o_orderkey", Some("1000"), Some("20000")),
+        ("o_custkey", Some("100"), Some("400"))))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_custkey")).as("max_cust"))
+
   val queries: Map[String, Q] = Map(
     "cat_pruned_read"      -> prunedRead,
+    "cat_zorder_read"      -> zorderRead,
     "cat_schema_evolution" -> schemaEvolution,
     "cat_time_travel"      -> timeTravel,
     "cat_incremental_read" -> incrementalRead,
@@ -116,6 +135,12 @@ object CatalogQueries {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders
          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""",
+    "cat_zorder_read" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
+         FROM orders
+         WHERE o_orderkey BETWEEN 1000 AND 20000
+           AND o_custkey BETWEEN 100 AND 400""",
     "cat_schema_evolution" ->
       """WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderstatus
                      FROM orders WHERE o_orderkey % 3 = 0),

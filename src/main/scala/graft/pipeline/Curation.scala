@@ -135,6 +135,25 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Weighted Bernoulli sampling: admit a document with probability
+    * min(1, expectedK · w / Σw) — importance sampling for training mixes
+    * (weight = token count ⇒ the sample's token mass tracks the corpus).
+    * The coin is the first 32 md5 bits of the id, and the comparison
+    * `u · Σw < expectedK · w · 2³²` is EXACT 64-bit integer arithmetic:
+    * no pow/ln whose last-ulp differences could flip a decision across
+    * engines, so the selection is bit-reproducible anywhere (and the
+    * DuckDB oracle replays it exactly). One scan + one broadcast scalar. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     expectedK: Long): DataFrame = {
+    require(expectedK > 0)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val totals = df.agg(sum(col(weightCol)).cast("long").as("__total_w"))
+    df.crossJoin(broadcast(totals))
+      .filter(u * col("__total_w") <
+        lit(expectedK) * col(weightCol).cast("long") * lit(4294967296L))
+      .drop("__total_w")
+  }
+
   /** RE2-safe PII patterns (no lookaround — portable across Java regex,
     * RE2 and DuckDB): conservative by design; a production deployment
     * swaps in its compliance-approved pattern set. */

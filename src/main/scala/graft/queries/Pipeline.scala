@@ -216,6 +216,16 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-weighted Bernoulli sample (expected ~60 docs, long docs more
+    * likely — the sample's token mass tracks the corpus). */
+  private def sampleWeighted: Q = (s, d) =>
+    Curation.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", expectedK = 60)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic 80/10/10 split: per-split doc and token totals. */
   private def sampleSplitAssign: Q = (s, d) =>
     Curation.assignSplit(
@@ -325,6 +335,7 @@ object Pipeline {
     "text_normalized"      -> textNormalized,
     "sample_split_assign"  -> sampleSplitAssign,
     "sample_pack_chunks"   -> samplePackChunks,
+    "sample_weighted"      -> sampleWeighted,
     "mm_media_stats"       -> mmMediaStats,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -518,6 +529,14 @@ object Pipeline {
                 FROM wt)
           SELECT doc_id, source, n_tokens, cum_tokens FROM c
           WHERE cum_tokens <= 400 ORDER BY doc_id""",
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+              t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_w FROM d)
+         SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+         FROM d, t
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT) * total_w
+               < 60 * CAST(n_tokens AS BIGINT) * 4294967296
+         ORDER BY doc_id""",
     "sample_split_assign" ->
       """WITH a AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

@@ -171,6 +171,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample biases admission toward heavy rows, deterministically") {
+    val r = new scala.util.Random(17)
+    val rows = (1L to 2000L).map(i => (i, 1 + r.nextInt(100))).toDF("id", "w")
+    val s1 = Curation.weightedSample(rows, "id", "w", expectedK = 100)
+      .select("id", "w").as[(Long, Int)].collect()
+    val s2 = Curation.weightedSample(rows, "id", "w", expectedK = 100)
+      .select("id", "w").as[(Long, Int)].collect()
+    assert(s1.map(_._1).sorted === s2.map(_._1).sorted, "sampling must be deterministic")
+    assert(s1.length > 50 && s1.length < 200, s"expected ~100 rows, got ${s1.length}")
+    val corpusAvg = rows.agg(avg("w")).as[Double].head()
+    val sampleAvg = s1.map(_._2).sum.toDouble / s1.length
+    assert(sampleAvg > corpusAvg, "token-weighted sampling must favor heavy rows")
+  }
+
   private def md5Hex(id: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))

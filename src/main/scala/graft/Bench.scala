@@ -82,10 +82,13 @@ object Bench {
     val p1 = pass()
     spark.catalog.clearCache(); System.gc()
     val p2 = pass()
+    // a crash in EITHER pass surfaces as an error — a query that ran once
+    // and then blew up (state corruption, cache-clear exposing a bug)
+    // must not masquerade as a fast success
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      (Seq(p1(name), p2(name)).filter(_._2.isEmpty), p2(name)) match {
-        case (ok, _) if ok.nonEmpty => (name, ok.map(_._1).min, None)
-        case (_, (_, err))          => (name, 0.0, err)
+      (p1(name), p2(name)) match {
+        case ((t1, None), (t2, None)) => (name, math.min(t1, t2), None)
+        case ((_, e1), (_, e2))       => (name, 0.0, e1.orElse(e2))
       }
     }
     // millisecond precision keeps the whole line short enough for the

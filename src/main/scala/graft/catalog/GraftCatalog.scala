@@ -401,28 +401,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // CAS loop re-validates against the re-read parent on every attempt
     validatedSchemaJson(latest(ns, name), df.schema)
     val entries = stageDataFiles(ns, name, df)
-    val newManifest =
-      if (entries.isEmpty) None
-      else Some(writeManifest(ns, name, entries,
-        stagedFileStats(ns, name, entries, df.schema)))
-    try casCommit(ns, name, maxRetries) { parent =>
-      // re-check inside the CAS closure: a concurrent duplicate that won
-      // the race is visible in the freshly-read log by now
-      commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
-        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    // the stats aggregate and manifest write sit INSIDE the cleanup
+    // scope: a failure there (executor loss mid-stats, disk error) must
+    // reclaim the staged data dir too, not only a failed CAS
+    var staged: Seq[String] = Seq.empty
+    try {
+      val newManifest =
+        if (entries.isEmpty) None
+        else Some(writeManifest(ns, name, entries,
+          stagedFileStats(ns, name, entries, df.schema)))
+      staged = newManifest.toSeq
+      casCommit(ns, name, maxRetries) { parent =>
+        // re-check inside the CAS closure: a concurrent duplicate that won
+        // the race is visible in the freshly-read log by now
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
+          sourceRegion,
+          parent.map(_.fileCount).getOrElse(0L) + entries.size,
+          parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
+          Some(validatedSchemaJson(parent, df.schema)))
       }
-      Snapshot(
-        parent.map(_.seq + 1).getOrElse(0L),
-        commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
-        parent.map(_.commitId),
-        System.currentTimeMillis(),
-        parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
-        sourceRegion,
-        parent.map(_.fileCount).getOrElse(0L) + entries.size,
-        parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
-        Some(validatedSchemaJson(parent, df.schema)))
     } catch { case e: Throwable =>
-      cleanupStaged(ns, name, entries, newManifest.toSeq); throw e
+      cleanupStaged(ns, name, entries, staged); throw e
     }
   }
 
@@ -440,30 +447,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(tableExists(ns, name), s"no such table $ns.$name")
     validatedSchemaJson(latest(ns, name), df.schema)
     val entries = stageDataFiles(ns, name, df)
-    val manifest =
-      if (entries.isEmpty) Seq.empty
-      else Seq(writeManifest(ns, name, entries,
-        stagedFileStats(ns, name, entries, df.schema)))
     // an aborted conditional replace (or exhausted CAS) must not orphan
-    // its staged data + manifest — they are reachable from no version
-    try casCommit(ns, name, maxRetries) { parent =>
-      expectedParentSeq.foreach { exp =>
-        val cur = parent.map(_.seq).getOrElse(-1L)
-        if (cur != exp) throw new java.util.ConcurrentModificationException(
-          s"conditional replace of $ns.$name expected parent v$exp but found v$cur")
+    // its staged data + manifest — they are reachable from no version.
+    // The stats/manifest steps sit inside the cleanup scope too: a
+    // failure there must reclaim the staged data dir
+    var staged: Seq[String] = Seq.empty
+    try {
+      val manifest =
+        if (entries.isEmpty) Seq.empty
+        else Seq(writeManifest(ns, name, entries,
+          stagedFileStats(ns, name, entries, df.schema)))
+      staged = manifest
+      casCommit(ns, name, maxRetries) { parent =>
+        expectedParentSeq.foreach { exp =>
+          val cur = parent.map(_.seq).getOrElse(-1L)
+          if (cur != exp) throw new java.util.ConcurrentModificationException(
+            s"conditional replace of $ns.$name expected parent v$exp but found v$cur")
+        }
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          s"commit-${UUID.randomUUID()}",
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          manifest,
+          sourceRegion,
+          entries.size,
+          entries.map(_._2).sum,
+          Some(validatedSchemaJson(parent, df.schema)))
       }
-      Snapshot(
-        parent.map(_.seq + 1).getOrElse(0L),
-        s"commit-${UUID.randomUUID()}",
-        parent.map(_.commitId),
-        System.currentTimeMillis(),
-        manifest,
-        sourceRegion,
-        entries.size,
-        entries.map(_._2).sum,
-        Some(validatedSchemaJson(parent, df.schema)))
     } catch { case e: Throwable =>
-      cleanupStaged(ns, name, entries, manifest); throw e
+      cleanupStaged(ns, name, entries, staged); throw e
     }
   }
 
@@ -630,7 +643,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
         e.stats.get(column) match {
           case Some((mn, mx)) =>
-            !upper.exists(u => lt(u, mn)) && !lower.exists(l => lt(mx, l))
+            // unparseable bounds (a double column recorded "NaN"/"Infinity",
+            // a caller-supplied bound that isn't a number) must mean "keep
+            // the file", never a failed scan
+            try !upper.exists(u => lt(u, mn)) && !lower.exists(l => lt(mx, l))
+            catch { case _: NumberFormatException => true }
           case None => true // no bounds recorded -> cannot prune, must read
         }
       }
@@ -781,9 +798,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 object GraftCatalog {
   /** Column types whose manifest bounds support pruning: atomic and
     * totally ordered with an order-preserving string form (numerics are
-    * re-parsed before comparison). */
+    * re-parsed before comparison). Timestamps are deliberately EXCLUDED:
+    * their cast-to-string form depends on the writer session's timezone,
+    * so a reader in another zone would prune against shifted bounds and
+    * silently drop files — dates are calendar values and stay safe. */
   private[catalog] def prunableType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | BooleanType | DateType | TimestampType => true
+    case _: NumericType | StringType | BooleanType | DateType => true
     case _ => false
   }
 

@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object JoinKeys {
 
-  private val KeyName = "_pk"
+  private val KeyName = "__graft_join_pk"
 
   /** Join `left` with `right` on `keys`, led by a 64-bit hash of the key
     * columns. Output schema and row set are identical to
-    * `left.join(right, keys, how)`. */
+    * `left.join(right, keys, how)`. The helper column name is namespaced
+    * and guarded — a caller column with the same name would be silently
+    * overwritten and then dropped, corrupting the equivalence contract. */
   def hashKeyedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                     how: String): DataFrame = {
+    require(!left.columns.contains(KeyName) && !right.columns.contains(KeyName),
+      s"input already carries reserved column $KeyName")
     val l = left.withColumn(KeyName, xxhash64(keys.map(col): _*))
     val r = right.withColumn(KeyName, xxhash64(keys.map(col): _*))
     l.join(r, KeyName +: keys, how).drop(KeyName)

@@ -138,19 +138,21 @@ object Curation {
   /** Weighted Bernoulli sampling: admit a document with probability
     * min(1, expectedK · w / Σw) — importance sampling for training mixes
     * (weight = token count ⇒ the sample's token mass tracks the corpus).
-    * The coin is the first 32 md5 bits of the id, and the comparison
-    * `u · Σw < expectedK · w · 2³²` is EXACT 64-bit integer arithmetic:
-    * no pow/ln whose last-ulp differences could flip a decision across
-    * engines, so the selection is bit-reproducible anywhere (and the
-    * DuckDB oracle replays it exactly). One scan + one broadcast scalar. */
+    * The coin is the first 32 md5 bits of the id; the decision
+    * `u · Σw < expectedK · w · 2³²` runs in DOUBLE on both engines:
+    * IEEE multiply is correctly rounded, so identical inputs give
+    * bit-identical products everywhere (unlike pow/ln), there is no
+    * 64-bit overflow at any corpus size (integer products would wrap
+    * once Σw·2³² passes 2⁶³ — ~2 B tokens), and the DuckDB oracle
+    * replays the decision exactly. One scan + one broadcast scalar. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      expectedK: Long): DataFrame = {
     require(expectedK > 0)
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
-    val totals = df.agg(sum(col(weightCol)).cast("long").as("__total_w"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("double")
+    val totals = df.agg(sum(col(weightCol)).cast("double").as("__total_w"))
     df.crossJoin(broadcast(totals))
       .filter(u * col("__total_w") <
-        lit(expectedK) * col(weightCol).cast("long") * lit(4294967296L))
+        lit(expectedK.toDouble) * col(weightCol).cast("double") * lit(4294967296.0))
       .drop("__total_w")
   }
 

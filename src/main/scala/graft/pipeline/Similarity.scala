@@ -368,6 +368,11 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType)
       .select(col("query_id"), col("neighbor_id").as("cell"))
     val probeCells = probes.select("cell").distinct().as[Int].collect()
+    if (probeCells.isEmpty) { // no queries -> empty result, same shape
+      return topKPerQuery(
+        spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "score"),
+        k, queries.schema(idCol).dataType)
+    }
 
     // manifest-stats coarse prune: only files whose cell range intersects
     // the probed span are read at all (files are cell-clustered at build)

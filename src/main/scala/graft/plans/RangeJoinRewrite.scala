@@ -43,19 +43,22 @@ case class RangeJoinRewrite(session: SparkSession)
     else plan.transformUp {
       case j @ Join(l, r, Inner | Cross, Some(cond), hint)
           if j.resolved && findBand(j, l, r, cond).isDefined =>
-        val (v, lo, w, vFromLeft) = findBand(j, l, r, cond).get
+        val (v, lo, hi, w, vFromLeft) = findBand(j, l, r, cond).get
         val width = Literal(w, DoubleType)
 
         def bucketOf(e: Expression): Expression =
           Floor(Divide(Cast(e, DoubleType), width))
 
         // interval side: explode onto the covering buckets
-        // [floor(lo/W), floor((lo+W)/W)] — at most 2 for width-W bands
+        // [floor(lo/W), floor(hi/W)] — at most 2 for width-W bands. Use
+        // the ORIGINAL hi expression (already typed by the analyzer);
+        // reconstructing lo + W here with a double literal would be
+        // ill-typed for integer/decimal bound columns
         val iBucket = AttributeReference("__graft_bucket_i", LongType, nullable = false)()
         val (pointSide, intervalSide) = if (vFromLeft) (l, r) else (r, l)
         // Sequence is TimeZoneAwareExpression: post-analysis construction
         // must supply the zone itself or the plan turns unresolved
-        val buckets = new Sequence(bucketOf(lo), bucketOf(Add(lo, width)), None,
+        val buckets = new Sequence(bucketOf(lo), bucketOf(hi), None,
           Some(session.sessionState.conf.sessionLocalTimeZone))
         val gen = Generate(
           Explode(buckets),
@@ -74,11 +77,11 @@ case class RangeJoinRewrite(session: SparkSession)
     }
 
   /** Find a constant-width band among the conjuncts: returns (point value
-    * expr, interval lower bound expr, width, value-from-left). Bails if
-    * any equi-conjunct spans both sides (the planner hash-joins those
-    * without help). */
+    * expr, interval lower bound expr, upper bound expr, width,
+    * value-from-left). Bails if any equi-conjunct spans both sides (the
+    * planner hash-joins those without help). */
   private def findBand(j: Join, l: LogicalPlan, r: LogicalPlan,
-                       cond: Expression): Option[(Expression, Expression, Double, Boolean)] = {
+                       cond: Expression): Option[(Expression, Expression, Expression, Double, Boolean)] = {
     val conjuncts = splitConjunctivePredicates(cond)
     def sided(e: Expression): Option[Boolean] = // Some(true)=left, Some(false)=right
       if (e.references.nonEmpty && e.references.subsetOf(l.outputSet)) Some(true)
@@ -110,7 +113,7 @@ case class RangeJoinRewrite(session: SparkSession)
       (v, lo, _) <- lowers
       (v2, hi, _) <- uppers if v2.semanticEquals(v)
       w <- constWidth(lo, hi)
-    } yield (v, lo, w, sided(v).get)).headOption
+    } yield (v, lo, hi, w, sided(v).get)).headOption
   }
 
   /** hi must be lo + positive literal (either operand order). */

@@ -531,11 +531,11 @@ object Pipeline {
           WHERE cum_tokens <= 400 ORDER BY doc_id""",
     "sample_weighted" ->
       """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
-              t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_w FROM d)
+              t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_w FROM d)
          SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
          FROM d, t
-         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT) * total_w
-               < 60 * CAST(n_tokens AS BIGINT) * 4294967296
+         WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) * total_w
+               < 60.0 * CAST(n_tokens AS DOUBLE) * 4294967296.0
          ORDER BY doc_id""",
     "sample_split_assign" ->
       """WITH a AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -25,8 +25,22 @@ object CatalogStreamSink {
   def foreachBatchCommit(cat: GraftCatalog, ns: String, table: String,
                          queryTag: String = "stream"): (DataFrame, Long) => Unit =
     (df, batchId) => {
-      val cid = s"$queryTag-batch-$batchId"
-      try { cat.commitAppend(ns, table, df, commitId = Some(cid)); () }
-      catch { case _: GraftCatalog.DuplicateCommitException => () } // replay — already landed
+      // replay guard #1 — monotonic high-water mark: batches commit in
+      // order, so any batchId at or below the LATEST live batch of this
+      // tag is a replay. This survives snapshot expiry (expiry always
+      // keeps the newest version, while the per-commitId check alone
+      // would forget batches whose versions aged out of retention).
+      val prefix = s"$queryTag-batch-"
+      val maxLive = cat.snapshots(ns, table).map(_.commitId)
+        .filter(_.startsWith(prefix))
+        .flatMap(c => c.stripPrefix(prefix).toLongOption)
+        .maxOption
+      if (maxLive.forall(batchId > _)) {
+        val cid = s"$prefix$batchId"
+        // replay guard #2: the per-commitId check, re-validated inside
+        // the commit's CAS closure for racing replays
+        try { cat.commitAppend(ns, table, df, commitId = Some(cid)); () }
+        catch { case _: GraftCatalog.DuplicateCommitException => () }
+      }
     }
 }

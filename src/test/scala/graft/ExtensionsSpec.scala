@@ -109,6 +109,25 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
   }
 
+  test("RangeJoinRewrite handles INTEGER bound columns (typed hi expression, no double literal)") {
+    val points = (1 to 300).map(i => (i.toLong, i % 97)).toDF("pid", "v")
+    val ivals = (1 to 100).map(i => (i.toLong, (i * 7) % 90)).toDF("iid", "lo")
+    val joined = points.join(ivals,
+      points("v") >= ivals("lo") && points("v") <= ivals("lo") + 5)
+      .select("pid", "iid")
+    joined.collect() // must not throw (ill-typed Add would fail analysis/codegen)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"rule did not fire on int bounds:\n$p")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+    try {
+      val baseline = joined.as[(Long, Long)].collect().toSet
+      val expected = points.join(ivals,
+        points("v") >= ivals("lo") && points("v") <= ivals("lo") + 5)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(baseline === expected && expected.nonEmpty)
+    } finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
+
   test("RangeJoinRewrite leaves equi-joins and variable-width bands alone") {
     val a = Seq((1L, 1.0, 1.0), (2L, 2.0, 5.0)).toDF("ida", "va", "wa")
     val b = Seq((1L, 0.5, 9.0), (2L, 1.5, 9.0)).toDF("idb", "vb", "wb")

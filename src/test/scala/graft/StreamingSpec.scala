@@ -211,6 +211,16 @@ class StreamingSpec extends SparkSpec {
       // incremental read replays exactly the second batch
       assert(cat.readIncremental("st", "ingest", 0, 1)
         .select("id").as[Long].collect() === Array(3L))
+
+      // replay guard survives snapshot expiry: after batch 0's version
+      // ages out of retention, a re-run of batch 0 must STILL be a no-op
+      // (the monotonic high-water mark on live commit ids catches it
+      // even though the per-commitId check has forgotten the batch)
+      cat.expireSnapshots("st", "ingest", retainLast = 1)
+      assert(cat.snapshots("st", "ingest").size === 1)
+      sink(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), 0L)
+      assert(cat.snapshots("st", "ingest").size === 1,
+        "expired-batch replay must not re-append")
     } finally query.stop()
   }
 }

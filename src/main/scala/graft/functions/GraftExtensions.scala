@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: constant-width interval joins become bucketed
     // equi-joins instead of BroadcastNestedLoop (see RangeJoinRewrite)
     ext.injectOptimizerRule(graft.plans.RangeJoinRewrite(_))
+    // planner strategy: AsOfJoinNode → physical sort-merge as-of join
+    // (see plans/AsOfJoinPlan.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -69,6 +69,48 @@ object AsOfJoin {
     matched.select(leftCols ++ asofCols: _*)
   }
 
+  /** [[asOf]] as a first-class Catalyst operator: builds the custom
+    * AsOfJoinNode logical plan (plans/AsOfJoinPlan.scala) and lets the
+    * injected AsOfJoinStrategy plan the physical sort-merge — two
+    * co-partitioned exchanges, two sorts, one O(1)-state streaming merge
+    * per partition. Same signature, output schema, and row semantics as
+    * [[asOf]] (property-checked equal in OperatorsSpec); requires the
+    * session to carry graft.functions.GraftExtensions. */
+  def asOfExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    val resolver = spark.sessionState.analyzer.resolver
+    val lPlan = ColumnBridge.analyzed(left)
+    // a self-join (left and right reading the same source) would put the
+    // same exprIds on both sides of the node; re-aliasing the right
+    // output mints fresh ids (what the analyzer's DeduplicateRelations
+    // does for built-in joins — our node builds on analyzed children, so
+    // it must do this itself)
+    val rPlan0 = ColumnBridge.analyzed(right)
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rPlan0.output.map(a => org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], name: String, side: String) =
+      out.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(s"$side column '$name' not found")
+        case many => throw new IllegalArgumentException(s"$side column '$name' ambiguous: $many")
+      }
+    val rOut = rPlan.projectList.map(_.toAttribute)
+    val payloadNames = rightTime +: rightPayload.filterNot(_ == rightTime)
+    val payloadAttrs = payloadNames.map(attr(rOut, _, "right"))
+    val payloadOut = payloadAttrs.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan.output, _, "left")), keys.map(attr(rOut, _, "right")),
+      attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"),
+      payloadAttrs, payloadOut)
+    ColumnBridge.ofRows(spark, node)
+  }
+
   private def structType(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
 }

@@ -390,6 +390,25 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of query through the custom Catalyst operator
+    * (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec sort-merge): the
+    * planner owns the two co-partitioned exchanges and sorts, the merge
+    * streams with O(1) state. Identical output contract, same oracle. */
+  private def asofLastPurchaseExec: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOfExec(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_purchase_id"), col("asof_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: click values falling inside [purchase_value,
     * purchase_value + 2] — bucketed equi-join (operators/RangeJoin.scala),
     * not the BroadcastNestedLoop Spark would plan for a bare inequality
@@ -409,6 +428,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "rel_asof_join"           -> asofLastPurchase,
+    "rel_asof_join_exec"      -> asofLastPurchaseExec,
     "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_scalar_subquery"     -> scalarSubquery,
@@ -446,6 +466,17 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "rel_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_id AS purchase_id, value AS purchase_value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+                p.ts AS asof_ts, p.purchase_id AS asof_purchase_id,
+                p.purchase_value AS asof_purchase_value
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "rel_asof_join_exec" ->
       """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
                     FROM events WHERE event_type = 'click'),
               p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

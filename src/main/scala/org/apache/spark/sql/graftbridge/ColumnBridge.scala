@@ -18,4 +18,16 @@ object ColumnBridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
+
+  /** Analyzed logical plan of a DataFrame (for building custom logical
+    * nodes on already-resolved children). */
+  def analyzed(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point for
+    * custom LogicalPlan nodes planned by an injected SparkStrategy. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -207,4 +207,39 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(retried === Array((1L, "Pending")))
   }
+
+  test("asOfExec (custom SparkPlan) == asOf (window form) incl. ties, no-match, same-ts rights") {
+    import graft.operators.AsOfJoin
+    // deterministic pseudo-random fixture with planted edge cases:
+    // keys with no right rows, right rows exactly at a left ts, several
+    // right rows on one (key, ts), keys only on the right
+    val left = (1 to 300).map { i =>
+      (i.toLong, (i % 13).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${(i * 7) % 60}%02d:${(i * 11) % 60}%02d"), i * 1.5)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val right = (1 to 150).map { i =>
+      // user_id 0..9 only => users 10..12 never match; duplicate rows at
+      // i multiple of 10 (same key+ts, different payload)
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-01 00:${(i * 3) % 60}%02d:${(i * 5) % 60}%02d")
+      (if (i % 10 == 0) (i - 1).toLong % 10 else i.toLong % 10, ts, i.toLong + 1000, i * 2.0)
+    }.toDF("user_id", "ts", "purchase_id", "purchase_value")
+
+    val ref = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value")).collect().toSet
+    val got = AsOfJoin.asOfExec(left, right, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "purchase_value")).collect().toSet
+    assert(got.size == 300, "left-outer: one output row per left row")
+    assert(got == ref)
+  }
+
+  test("asOfExec self-join (both sides from one source) dedups exprIds itself") {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, sf()).limit(2000)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val l = ev.filter(col("event_type") === "click")
+    val r = ev.filter(col("event_type") === "purchase")
+      .withColumnRenamed("event_id", "purchase_id")
+    val out = AsOfJoin.asOfExec(l, r, Seq("user_id"), "ts", "ts", Seq("purchase_id"))
+    val ref = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts", Seq("purchase_id"))
+    assert(out.collect().toSet == ref.collect().toSet)
+  }
 }

@@ -116,6 +116,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the running-last window pass:\n$p")
   }
 
+  test("as-of exec plans as the custom AsOfJoinExec: 2 exchanges, 2 sorts, streaming merge") {
+    // AQE's executedPlan string carries final + initial sections; assert
+    // on the final plan only
+    val p = plan("rel_asof_join_exec").split("== Initial Plan ==").head
+    // AsOfJoinExec prints with the Exec suffix stripped; `!` would mark
+    // a missing-input (producedAttributes) bug
+    assert(" AsOfJoin ".r.findAllIn(p).nonEmpty, s"custom strategy did not plan the node:\n$p")
+    assert(!p.contains("!AsOfJoin"), s"node flags missing input:\n$p")
+    // the planner owes the operator exactly the two co-partitioning hash
+    // exchanges (plus the final range exchange for the ORDER BY) — a plan
+    // that shuffles more than that defeats the point of declaring
+    // requirements
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"as-of exec fell back to a generic join or window:\n$p")
+  }
+
   test("range join is a bucketed equi-join, never a nested-loop") {
     val p = plan("rel_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

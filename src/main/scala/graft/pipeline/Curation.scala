@@ -191,6 +191,63 @@ object Curation {
     * re-joined on the id — each leg is a hash aggregate with map-side
     * combine, so the whole signal set costs O(tokens) with no
     * per-document state on any single node. */
+  /** Corpus unigram-LM quality score (the CCNet idea, reduced to the
+    * unigram case): score each document by the mean log-probability of
+    * its tokens under the corpus's own unigram distribution
+    * p(w) = count(w) / total_tokens. Ordinary prose re-uses the corpus's
+    * high-mass vocabulary and scores high; OCR noise, gibberish and
+    * boilerplate-with-rare-symbols sink. Output: (idCol, n_tokens,
+    * avg_logprob), higher = more typical.
+    *
+    * Scale shape: ONE token hash-aggregate builds the LM (map-side
+    * combine; the vocab is Zipf-bounded, orders of magnitude smaller
+    * than the corpus), the total count rides a 1-row broadcast, and
+    * scoring is an equi-join of the token stream with the vocab —
+    * shuffled on the word key, AQE-splittable on stopword skew. Nothing
+    * touches the driver. In a standing pipeline the vocab table persists
+    * as a catalog table and scores every future batch without a corpus
+    * rescan (same serving pattern as the persisted IVF-PQ index). */
+  def lmQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenStream(df, idCol, textCol, lowercase = true)
+      .select(col(idCol), col("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log(col("cnt") / col("n_total"))), 4).as("avg_logprob"))
+  }
+
+  /** Per-document top-k salient terms by smoothed TF-IDF:
+    * tf(w,d) · ln((N+1)/(df(w)+1)), ties broken by term (ascending) so
+    * the ranking is total and engine-portable. Output: (idCol, rank,
+    * tok, tf, df, tfidf).
+    *
+    * Scale shape: term frequencies aggregate on (doc, term) — partial
+    * combine collapses repeats before the shuffle; document frequencies
+    * roll up from that result on the term key alone (vocab-sized, tiny
+    * next to the corpus); N rides a 1-row broadcast. The per-doc top-k
+    * is a row_number window — WindowExec streams each doc's frame after
+    * the (doc)-shuffle sort, holding k rows of state, never a per-doc
+    * collect. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = tokenStream(df, idCol, textCol, lowercase = true)
+      .select(col(idCol), col("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log((col("n_docs") + 1) / (col("df") + 1)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
     val toks = tokenStream(df, idCol, textCol)

@@ -182,6 +182,14 @@ object Pipeline {
     Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  private def textLmQuality: Q = (s, d) =>
+    Curation.lmQualityScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private def textTfidfTerms: Q = (s, d) =>
+    Curation.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
   private def sampleStratified: Q = (s, d) =>
     Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
       .select(col("doc_id"), col("source"))
@@ -328,6 +336,8 @@ object Pipeline {
     "ann_ivfpq_topk"       -> annIvfPqTopK,
     "text_contamination"   -> textContamination,
     "text_repetition"      -> textRepetition,
+    "text_lm_quality"      -> textLmQuality,
+    "text_tfidf_terms"     -> textTfidfTerms,
     "sample_stratified"    -> sampleStratified,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
@@ -417,6 +427,29 @@ object Pipeline {
                       FROM tri WHERE ok IS NOT NULL GROUP BY 1)
          SELECT doc_id, word_entropy, top_bigram_frac, dup_trigram_frac
          FROM ent JOIN top USING (doc_id) JOIN dup USING (doc_id) ORDER BY doc_id""",
+    "text_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents),
+              vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+              tot AS (SELECT count(*)::DOUBLE AS n_total FROM toks)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(cnt / n_total)), 4) AS avg_logprob
+         FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "text_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+              scored AS (SELECT doc_id, tok, tf, df,
+                                tf * ln((n_docs + 1) / (df + 1)) AS tfidf
+                         FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+              ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok ASC) AS rank
+                         FROM scored)
+         SELECT doc_id, rank, tok, tf, df, round(tfidf, 4) AS tfidf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, source,
                            row_number() OVER (PARTITION BY source

@@ -134,6 +134,53 @@ class CurationSpec extends SparkSpec {
 
   private def round6(d: Double) = math.round(d * 10000).toDouble / 10000
 
+  test("lmQualityScore: common-vocabulary docs outscore rare-token docs; math matches brute force") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "qzx vplk wyrt hjkm zzzq aa"), // gibberish: every token unique to it
+      (4L, "the cat and the dog")
+    ).toDF("doc_id", "text")
+    val got = Curation.lmQualityScore(corpus, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: unigram p over the 23-token corpus
+    val toks = Seq("the cat sat on the mat", "the dog sat on the mat",
+      "qzx vplk wyrt hjkm zzzq aa", "the cat and the dog")
+      .flatMap(_.split(" "))
+    val p = toks.groupBy(identity).view.mapValues(_.size.toDouble / toks.size).toMap
+    def score(text: String) = {
+      val ws = text.split(" ")
+      BigDecimal(ws.map(w => math.log(p(w))).sum / ws.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L)._1 === 6L)
+    Seq(1L -> "the cat sat on the mat", 3L -> "qzx vplk wyrt hjkm zzzq aa").foreach {
+      case (id, text) => assert(got(id)._2 === score(text), s"doc $id")
+    }
+    // the gibberish doc must sink below every prose doc
+    assert(got(3L)._2 < Seq(1L, 2L, 4L).map(got(_)._2).min)
+  }
+
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones, ties by term") {
+    val corpus = Seq(
+      (1L, "spark spark catalyst shuffle the the the"),
+      (2L, "the quick brown fox the"),
+      (3L, "the slow brown bear the")
+    ).toDF("doc_id", "text")
+    val got = Curation.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .select("doc_id", "rank", "tok")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: 'spark' tf=2 df=1 beats 'catalyst'/'shuffle' tf=1 df=1 (tie → term asc);
+    // 'the' (df=3, idf=0) never ranks
+    assert(got(1L) === Seq("spark", "catalyst"))
+    // doc 2: quick/fox tf=1 df=1 beat brown (df=2); tie between fox/quick → term asc
+    assert(got(2L) === Seq("fox", "quick"))
+    assert(got(3L) === Seq("bear", "slow"))
+  }
+
   test("assignSplit is stable under corpus growth and covers all splits") {
     val small = (1L to 200L).map(i => Tuple1(i)).toDF("id")
     val big = (1L to 1000L).map(i => Tuple1(i)).toDF("id")

@@ -208,16 +208,35 @@ object Curation {
     * as a catalog table and scores every future batch without a corpus
     * rescan (same serving pattern as the persisted IVF-PQ index). */
   def lmQualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (vocab, total) = unigramLm(df, idCol, textCol)
+    scoreWithLm(df, vocab, total, idCol, textCol)
+  }
+
+  /** The unigram LM as data: (vocab (tok, cnt), 1-row total (n_total)).
+    * Persist both as catalog tables and [[scoreWithLm]] scores every
+    * future ingest batch without rescanning the corpus — the serving
+    * split mirrors the persisted IVF-PQ index. */
+  def unigramLm(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val toks = tokenStream(df, idCol, textCol, lowercase = true)
       .select(col(idCol), col("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
-    toks.join(vocab, "tok")
+    (toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+     toks.agg(count(lit(1)).cast("double").as("n_total")))
+  }
+
+  /** Score a batch against a prebuilt LM. Tokens absent from the vocab
+    * (possible only when the batch is not part of the LM corpus) take
+    * the floor count 1 — the minimum mass any observed token has — so
+    * out-of-vocabulary text degrades smoothly instead of -inf. */
+  def scoreWithLm(batch: DataFrame, vocab: DataFrame, total: DataFrame,
+                  idCol: String, textCol: String): DataFrame =
+    tokenStream(batch, idCol, textCol, lowercase = true)
+      .select(col(idCol), col("tok"))
+      .join(vocab, Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-           round(avg(log(col("cnt") / col("n_total"))), 4).as("avg_logprob"))
-  }
+           round(avg(log(coalesce(col("cnt"), lit(1L)) / col("n_total"))), 4)
+             .as("avg_logprob"))
 
   /** Per-document top-k salient terms by smoothed TF-IDF:
     * tf(w,d) · ln((N+1)/(df(w)+1)), ties broken by term (ascending) so

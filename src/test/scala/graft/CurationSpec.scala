@@ -163,6 +163,26 @@ class CurationSpec extends SparkSpec {
     assert(got(3L)._2 < Seq(1L, 2L, 4L).map(got(_)._2).min)
   }
 
+  test("scoreWithLm against a persisted LM == self-scored corpus; OOV takes the floor") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat and the dog")
+    ).toDF("doc_id", "text")
+    val (vocab, total) = Curation.unigramLm(corpus, "doc_id", "text")
+    val self = Curation.lmQualityScore(corpus, "doc_id", "text").collect().toSet
+    val served = Curation.scoreWithLm(corpus, vocab, total, "doc_id", "text").collect().toSet
+    assert(served === self)
+    // a batch with out-of-vocabulary tokens scores at the floor (cnt=1),
+    // not -inf / null
+    val oov = Curation.scoreWithLm(
+        Seq((9L, "zzz yyy")).toDF("doc_id", "text"), vocab, total, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    val floor = BigDecimal(math.log(1.0 / 17)) // corpus has 6+6+5 = 17 tokens
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(oov(9L) === floor)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones, ties by term") {
     val corpus = Seq(
       (1L, "spark spark catalyst shuffle the the the"),

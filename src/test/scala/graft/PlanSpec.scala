@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degraded to nested-loop:\n$p")
   }
 
+  test("MinHash self-join legs reuse ONE signature computation in the shuffle-join regime") {
+    // At toy scale the band table broadcasts, so each self-join leg keeps
+    // its own signature pipeline. At warehouse scale the join is
+    // sort-merge and the two legs are canonically identical exchanges —
+    // Spark must collapse them (ReusedExchange), i.e. the expensive
+    // minhash_signature scan runs ONCE however large the corpus. Pin
+    // that by forcing the no-broadcast regime.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_minhash_pairs")(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      // band legs + the two shingle-set verify legs both collapse
+      assert(reused >= 2, s"expected >=2 reused exchanges (bands, shingle sets), got $reused:\n$p")
+      val sigScans = "minhash_signature".r.findAllIn(p).size
+      assert(sigScans == 1, s"signature pipeline computed $sigScans times, want 1:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("PQ scoring broadcasts the query LUTs; the codes table is the streamed side") {
     val p = plan("ann_pq_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -79,6 +79,8 @@ object AsOfJoin {
   def asOfExec(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asOfExec needs at least one key column " +
+      "(a keyless as-of would cluster everything into one partition)")
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = left.sparkSession
@@ -101,6 +103,14 @@ object AsOfJoin {
     val rOut = rPlan.projectList.map(_.toAttribute)
     val payloadNames = rightTime +: rightPayload.filterNot(_ == rightTime)
     val payloadAttrs = payloadNames.map(attr(rOut, _, "right"))
+    // the right side sorts by (keys, time, payload) for deterministic
+    // same-timestamp resolution — every payload column must be orderable
+    // (the window form has the identical constraint through its struct
+    // sort; fail at construction, not deep inside planning)
+    payloadAttrs.find(a => !org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType))
+      .foreach(a => throw new IllegalArgumentException(
+        s"payload column '${a.name}' has non-orderable type ${a.dataType.simpleString}; " +
+        "wrap or drop it (deterministic tie-breaking sorts the payload)"))
     val payloadOut = payloadAttrs.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
     val node = graft.plans.AsOfJoinNode(

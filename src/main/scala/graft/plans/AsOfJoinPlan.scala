@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -122,8 +123,15 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rOut)
       val payloadProj = UnsafeProjection.create(payloadExprs, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeExpr.dataType))
+      // codegen'd comparators over the projected key/time rows — the
+      // natural-ascending helper builds an interpreted ordering that
+      // boxes every field; these stay primitive
+      def boundAscOrdering(types: Seq[DataType]) = RowOrdering.create(
+        types.zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending) },
+        Seq.empty)
+      val keyOrd = boundAscOrdering(lKeyExprs.map(_.dataType))
+      val timeOrd = boundAscOrdering(Seq(lTimeExpr.dataType))
       val nullPayload = new GenericInternalRow(payloadExprs.size)
       val resultProj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow

@@ -101,7 +101,9 @@ object AsOfJoin {
         case many => throw new IllegalArgumentException(s"$side column '$name' ambiguous: $many")
       }
     val rOut = rPlan.projectList.map(_.toAttribute)
-    val payloadNames = rightTime +: rightPayload.filterNot(_ == rightTime)
+    // dedup with the session resolver, not ==: under the default
+    // case-insensitive resolution "TS" and "ts" are the same column
+    val payloadNames = rightTime +: rightPayload.filterNot(resolver(_, rightTime))
     val payloadAttrs = payloadNames.map(attr(rOut, _, "right"))
     // the right side sorts by (keys, time, payload) for deterministic
     // same-timestamp resolution — every payload column must be orderable
@@ -113,11 +115,25 @@ object AsOfJoin {
         "wrap or drop it (deterministic tie-breaking sorts the payload)"))
     val payloadOut = payloadAttrs.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    val lKeys = keys.map(attr(lPlan.output, _, "left"))
+    val rKeys = keys.map(attr(rOut, _, "right"))
+    val lTime = attr(lPlan.output, leftTime, "left")
+    val rTime = attr(rOut, rightTime, "right")
+    // the exec hashes and compares each side with the LEFT types — a
+    // left INT key against a right BIGINT key would hash-partition the
+    // same value to different partitions and compare garbage. The window
+    // form widens via its union; here mismatches must fail loudly (cast
+    // the inputs explicitly instead).
+    lKeys.zip(rKeys).find { case (l, r) => l.dataType != r.dataType }.foreach { case (l, r) =>
+      throw new IllegalArgumentException(
+        s"key type mismatch: left '${l.name}' ${l.dataType.simpleString} vs " +
+        s"right '${r.name}' ${r.dataType.simpleString}; cast one side first") }
+    if (lTime.dataType != rTime.dataType)
+      throw new IllegalArgumentException(
+        s"time type mismatch: left '${lTime.name}' ${lTime.dataType.simpleString} vs " +
+        s"right '${rTime.name}' ${rTime.dataType.simpleString}; cast one side first")
     val node = graft.plans.AsOfJoinNode(
-      lPlan, rPlan,
-      keys.map(attr(lPlan.output, _, "left")), keys.map(attr(rOut, _, "right")),
-      attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"),
-      payloadAttrs, payloadOut)
+      lPlan, rPlan, lKeys, rKeys, lTime, rTime, payloadAttrs, payloadOut)
     ColumnBridge.ofRows(spark, node)
   }
 

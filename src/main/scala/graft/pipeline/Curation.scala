@@ -179,18 +179,6 @@ object Curation {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Gopher-style per-document repetition / diversity signals:
-    *  - word_entropy: Shannon entropy (nats) of the unigram distribution
-    *    — near-zero entropy is boilerplate or keyword stuffing;
-    *  - top_bigram_frac: share of all bigram occurrences taken by the
-    *    single most frequent bigram;
-    *  - dup_trigram_frac: fraction of trigram occurrences that are
-    *    repeats of an earlier trigram in the same document.
-    *
-    * One token-stream scan fans into three partial-aggregated rollups
-    * re-joined on the id — each leg is a hash aggregate with map-side
-    * combine, so the whole signal set costs O(tokens) with no
-    * per-document state on any single node. */
   /** Corpus unigram-LM quality score (the CCNet idea, reduced to the
     * unigram case): score each document by the mean log-probability of
     * its tokens under the corpus's own unigram distribution
@@ -217,10 +205,11 @@ object Curation {
     * future ingest batch without rescanning the corpus — the serving
     * split mirrors the persisted IVF-PQ index. */
   def unigramLm(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
-    val toks = tokenStream(df, idCol, textCol, lowercase = true)
-      .select(col(idCol), col("tok"))
-    (toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
-     toks.agg(count(lit(1)).cast("double").as("n_total")))
+    val vocab = tokenStream(df, idCol, textCol, lowercase = true)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // total = sum over the vocab-sized aggregate, NOT a second corpus
+    // scan — exactly equal (every token occurrence lands in one cnt)
+    (vocab, vocab.agg(sum(col("cnt")).cast("double").as("n_total")))
   }
 
   /** Score a batch against a prebuilt LM. Tokens absent from the vocab
@@ -267,6 +256,18 @@ object Curation {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Gopher-style per-document repetition / diversity signals:
+    *  - word_entropy: Shannon entropy (nats) of the unigram distribution
+    *    — near-zero entropy is boilerplate or keyword stuffing;
+    *  - top_bigram_frac: share of all bigram occurrences taken by the
+    *    single most frequent bigram;
+    *  - dup_trigram_frac: fraction of trigram occurrences that are
+    *    repeats of an earlier trigram in the same document.
+    *
+    * One token-stream scan fans into three partial-aggregated rollups
+    * re-joined on the id — each leg is a hash aggregate with map-side
+    * combine, so the whole signal set costs O(tokens) with no
+    * per-document state on any single node. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
     val toks = tokenStream(df, idCol, textCol)

@@ -150,11 +150,13 @@ case class AsOfJoinExec(leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
         // consume same-key rights at-or-before lt; the last one consumed
         // is the match (right sorted by time then payload). Rights left
         // unconsumed are strictly after lt and stay for later left rows.
+        var consumed = false
         while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0 &&
                timeOrd.compare(rTimeProj(rBuf.head), lt) <= 0) {
           matchPayload = payloadProj(rBuf.next()).copy()
-          matchKey = lk.copy()
+          consumed = true
         }
+        if (consumed) matchKey = lk.copy()
         val p = if (matchKey != null && keyOrd.compare(matchKey, lk) == 0) matchPayload
                 else nullPayload
         numOutputRows += 1

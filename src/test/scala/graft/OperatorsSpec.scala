@@ -231,6 +231,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("asOfExec rejects mismatched key/time types loudly (silent wrong hashing otherwise)") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1, 1L, 10L)).toDF("k", "t", "v")                     // k: int
+    val r = Seq((1L, 1L, 2L)).toDF("k", "t", "p")                      // k: bigint
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfExec(l, r, Seq("k"), "t", "t", Seq("p"))
+    }
+    assert(e.getMessage.contains("key type mismatch"))
+    val r2 = Seq((1, "2024-01-01", 2L)).toDF("k", "t", "p")            // t: string
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfExec(l, r2, Seq("k"), "t", "t", Seq("p"))
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
   test("asOfExec self-join (both sides from one source) dedups exprIds itself") {
     import graft.operators.AsOfJoin
     val ev = Tables.events(spark, sf()).limit(2000)

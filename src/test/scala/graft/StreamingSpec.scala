@@ -180,6 +180,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest scores against the static LM; batch boundaries don't change scores") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Curation
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat and the dog")).toDF("doc_id", "text")
+    val (vocab, total) = Curation.unigramLm(corpus, "doc_id", "text")
+    // stream-static composition: the token→vocab join is stateless, the
+    // per-doc aggregate is the only stateful piece (update mode)
+    val input = MemoryStream[(Long, String)]
+    val scored = Curation.scoreWithLm(
+      input.toDS().toDF("doc_id", "text"), vocab, total, "doc_id", "text")
+    val query = scored.writeStream.format("memory").queryName("lm_scores")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((10L, "the cat sat"), (11L, "zzz yyy"))
+      query.processAllAvailable()
+      input.addData((12L, "the dog and the mat"))
+      query.processAllAvailable()
+      val got = spark.table("lm_scores")
+        .select("doc_id", "avg_logprob").as[(Long, Double)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      val want = Curation.scoreWithLm(
+          Seq((10L, "the cat sat"), (11L, "zzz yyy"), (12L, "the dog and the mat"))
+            .toDF("doc_id", "text"), vocab, total, "doc_id", "text")
+        .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+      assert(got === want, "streaming scores must equal the batch computation")
+    } finally query.stop()
+  }
+
   test("streaming sink commits one catalog version per batch, exactly-once under replay") {
     import graft.catalog.GraftCatalog
     import graft.streaming.CatalogStreamSink

@@ -41,6 +41,43 @@ class CurationSpec extends SparkSpec {
       4L -> None))     // no quote at or before 09:00
   }
 
+  test("asOfExec reproduces the planted trades/quotes semantics exactly") {
+    val got = AsOfJoin.asOfExec(trades, quotes, Seq("sym"), "t", "qt", Seq("quote_id", "px"))
+      .select("trade_id", "asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      1L -> Some(11L), // exact-timestamp quote matches (at-or-before)
+      2L -> Some(12L),
+      3L -> Some(13L),
+      4L -> None))     // no quote at or before 09:00
+  }
+
+  test("asOfExec matches the window form on null keys and null timestamps") {
+    // null keys group together (window-partition semantics); null times
+    // sort first — right null-time rows match any left row of the key,
+    // left null-time rows match only null-time rights
+    val left = Seq(
+      (1L, Option("A"), Option(ts("2024-01-01 10:00:10"))),
+      (2L, Option("A"), Option.empty[Timestamp]),
+      (3L, Option.empty[String], Option(ts("2024-01-01 10:00:10"))),
+      (4L, Option.empty[String], Option.empty[Timestamp])
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      (100L, Option("A"), Option(ts("2024-01-01 10:00:00"))),
+      (101L, Option("A"), Option.empty[Timestamp]),
+      (102L, Option.empty[String], Option(ts("2024-01-01 10:00:05"))),
+      (103L, Option.empty[String], Option.empty[Timestamp])
+    ).toDF("rid", "k", "rt")
+    val ref = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    val got = AsOfJoin.asOfExec(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(got === ref)
+    // and the semantics themselves, not just parity
+    assert(got === Map(1L -> Some(100L), 2L -> Some(101L),
+                       3L -> Some(102L), 4L -> Some(103L)))
+  }
+
   test("asOf equals the brute-force argmax on a random fixture") {
     val r = new scala.util.Random(7)
     val left = (1 to 200).map(i =>

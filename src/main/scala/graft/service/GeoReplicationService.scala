@@ -241,8 +241,19 @@ final class GeoReplicationService(spark: SparkSession,
     * union into ONE distributed exists-guarded copy (per-file failures
     * tolerated), and per-event success is derived from one distributed
     * existence probe grouped by event — O(1) Spark jobs per backlog,
-    * never a driver-serial copy loop. Metadata prep and the final
-    * per-event catalog commits are metadata-scale driver work.
+    * never a driver-serial copy loop.
+    *
+    * Control-plane parallelism: table creation/registration runs ONCE
+    * per distinct table (tables << events), which makes the per-event
+    * prep read-only — it fans out across the driver pool, as do the
+    * phase-3 replica commits (parallel ACROSS tables; sequential WITHIN
+    * a table, where version parent chains impose order). Watermark
+    * advances batch into a single `_system` append after the fan-out,
+    * so the shared consistency-token CAS never contends — and a
+    * watermark failure can no longer fire W8 compensation against files
+    * a SUCCESSFUL commit already owns (previously both lived in one
+    * try). A 100k-event backlog therefore costs O(tables) sequential
+    * CAS chains + 2 system appends, not 100k driver-serial round trips.
     * Returns (completed, failed). */
   def processPendingEvents(region: String): (Int, Int) = {
     val pending = pendingEvents(region)
@@ -252,16 +263,32 @@ final class GeoReplicationService(spark: SparkSession,
       .sortBy(_._1)
     val regionDown = unavailableRegions.contains(region)
 
-    // phase 1: metadata-scale prep — metadata syncs execute immediately;
-    // each DataSync resolves its snapshot diff into (event, src, dst) rows.
-    val preps: Seq[PreparedEvent] = pending.toSeq.map { case (eventId, entry, commitId, eventType) =>
+    // phase 0: per-TABLE ensure — create/register each distinct table
+    // exactly once, sequentially (tables << events). This keeps the
+    // registry/catalog CAS free of same-table races and leaves the
+    // per-event prep below pure reads.
+    val ensured: Map[String, Option[Throwable]] =
+      if (regionDown) Map.empty
+      else pending.map(_._2).distinct.map { entry =>
+        entry -> (try {
+          val Array(ns, table) = entry.split("\\.", 2)
+          if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
+          if (!tableRegions(ns, table).contains(region)) registerTable(ns, table, region)
+          None
+        } catch { case e: Exception => Some(e) })
+      }.toMap
+
+    // phase 1: read-only per-event prep (snapshot lookup + Y14 diff),
+    // fanned out across the driver pool — the reference's foreachPar.
+    // Catalog reads are thread-safe (immutable files + concurrent caches).
+    import scala.collection.parallel.CollectionConverters._
+    val preps: Seq[PreparedEvent] = pending.toSeq.par.map { case (eventId, entry, commitId, eventType) =>
       try {
         if (regionDown) throw new IllegalStateException(s"region $region unavailable")
+        ensured(entry).foreach(e => throw e)
         val Array(ns, table) = entry.split("\\.", 2)
         eventType match {
           case "MetadataSync" =>
-            if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
-            if (!tableRegions(ns, table).contains(region)) registerTable(ns, table, region)
             PreparedEvent(eventId, entry, commitId, eventType, Some("Completed"))
           case "DataSync" =>
             val src = findSourceCatalog(ns, table, commitId)
@@ -269,7 +296,6 @@ final class GeoReplicationService(spark: SparkSession,
             // Y14 delta straight from the commit's ADDED manifests — reads
             // O(this commit's files), never the version's full file set
             val added = src.addedFiles(ns, table, snap)
-            if (!regions(region).tableExists(ns, table)) regions(region).createTable(ns, table)
             PreparedEvent(eventId, entry, commitId, eventType, None, added, ns, table,
               snap.timestampMs,
               added.map(f => (eventId,
@@ -281,7 +307,7 @@ final class GeoReplicationService(spark: SparkSession,
       } catch { case _: Exception =>
         PreparedEvent(eventId, entry, commitId, eventType, Some("Failed"))
       }
-    }
+    }.seq
 
     // phase 2: ONE union copy job for the whole batch, then ONE
     // distributed verification probe → per-event verdicts.
@@ -302,34 +328,47 @@ final class GeoReplicationService(spark: SparkSession,
       verified ++ dataSyncs.filter(_.manifest.isEmpty).map(_.eventId)
     }
 
-    // phase 3: per-event catalog commits (metadata-scale) + status append.
-    var ok = 0; var bad = 0
+    // phase 3: replica commits — parallel ACROSS tables, in-order WITHIN
+    // a table (version parent chains). Watermark advances are collected
+    // and appended ONCE after the fan-out: the shared consistency-token
+    // CAS never contends, and a watermark append failure can no longer
+    // fail (or W8-compensate!) an event whose commit already succeeded.
     val now = System.currentTimeMillis()
-    val updates = preps.map { p =>
-      val status = p.status.getOrElse {
-        if (okEvents.contains(p.eventId)) {
-          try {
-            regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region,
-              schemaJson = p.schemaJson)
-            advanceWatermark(p.entry, region, p.watermarkMs)
-            "Completed"
-          } catch {
-            case _: Exception =>
-              // W8 compensation: the copy landed but the replica commit
-              // failed — delete the staged files so nothing dangles
-              // uncommitted (re-copy on retry is cheap and idempotent).
-              if (p.manifest.nonEmpty)
-                GcExecutor.attemptDeletes(p.manifest.map(_._3).toDF("path")).count()
-              "Failed"
-          }
-        } else "Failed"
+    val results = preps.groupBy(_.entry).toSeq.par.map { case (_, evs) =>
+      evs.map { p =>
+        val (status, wm) = p.status match {
+          case Some(st) => (st, None)
+          case None if okEvents.contains(p.eventId) =>
+            try {
+              regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region,
+                schemaJson = p.schemaJson)
+              ("Completed", Some(p.entry -> p.watermarkMs))
+            } catch {
+              case _: Exception =>
+                // W8 compensation: the copy landed but the replica commit
+                // failed — delete the staged files so nothing dangles
+                // uncommitted (re-copy on retry is cheap and idempotent).
+                if (p.manifest.nonEmpty)
+                  GcExecutor.attemptDeletes(p.manifest.map(_._3).toDF("path")).count()
+                ("Failed", None)
+            }
+          case None => ("Failed", None)
+        }
+        metrics.increment(s"sync.events_${status.toLowerCase}")
+        ((p.eventId, p.entry, p.commitId, p.eventType, region, status, now), wm)
       }
-      if (status == "Completed") ok += 1 else bad += 1
-      metrics.increment(s"sync.events_${status.toLowerCase}")
-      (p.eventId, p.entry, p.commitId, p.eventType, region, status, now)
-    }
+    }.seq.flatten
+    val updates = results.map(_._1)
+    val watermarks = results.flatMap(_._2)
+    if (watermarks.nonEmpty)
+      sys.commitAppend("_system", "consistency_tokens",
+        watermarks.map { case (entry, wmMs) =>
+          (entry, region, wmMs, System.currentTimeMillis(), appendSeq.getAndIncrement()) }
+          .toDF("table_entry", "region", "high_watermark_ms", "ts", "seq"),
+        maxRetries = SystemRetries)
+    val ok = updates.count(_._6 == "Completed")
     if (updates.nonEmpty) appendEvents(updates)
-    (ok, bad)
+    (ok, updates.size - ok)
   }
 
   // ---------------- consistency tokens (G9 + Q9) ----------------

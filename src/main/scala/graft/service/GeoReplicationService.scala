@@ -225,7 +225,8 @@ final class GeoReplicationService(spark: SparkSession,
                                    files: Seq[String] = Nil, ns: String = "",
                                    table: String = "", watermarkMs: Long = 0L,
                                    manifest: Seq[(String, String, String)] = Nil,
-                                   schemaJson: Option[String] = None)
+                                   schemaJson: Option[String] = None,
+                                   srcSeq: Long = 0L)
 
   /** Copy batches launched by processPendingEvents — test observability:
     * a whole pending backlog must cost O(1) copy jobs, not O(events). */
@@ -301,7 +302,7 @@ final class GeoReplicationService(spark: SparkSession,
               added.map(f => (eventId,
                 src.tablePath(ns, table).resolve(f).toString,
                 regions(region).tablePath(ns, table).resolve(f).toString)),
-              snap.schemaJson)
+              snap.schemaJson, snap.seq)
           case other => throw new IllegalArgumentException(s"unknown event type $other")
         }
       } catch { case _: Exception =>
@@ -334,7 +335,11 @@ final class GeoReplicationService(spark: SparkSession,
     // CAS never contends, and a watermark append failure can no longer
     // fail (or W8-compensate!) an event whose commit already succeeded.
     val now = System.currentTimeMillis()
-    val results = preps.groupBy(_.entry).toSeq.par.map { case (_, evs) =>
+    val results = preps.groupBy(_.entry).toSeq.par.map { case (_, evs0) =>
+      // replay in SOURCE commit order, not event-id (UUID) order — an
+      // out-of-order replay would apply schema evolution backwards and
+      // could regress the watermark to an older commit
+      val evs = evs0.sortBy(p => (p.srcSeq, p.eventId))
       evs.map { p =>
         val (status, wm) = p.status match {
           case Some(st) => (st, None)
@@ -359,7 +364,10 @@ final class GeoReplicationService(spark: SparkSession,
       }
     }.seq.flatten
     val updates = results.map(_._1)
+    // one watermark row per table at the MAX completed commit ts —
+    // latest-row-wins semantics must never see an older commit last
     val watermarks = results.flatMap(_._2)
+      .groupBy(_._1).map { case (entry, ws) => entry -> ws.map(_._2).max }.toSeq
     if (watermarks.nonEmpty)
       sys.commitAppend("_system", "consistency_tokens",
         watermarks.map { case (entry, wmMs) =>

@@ -188,6 +188,35 @@ class GeoReplicationSpec extends SparkSpec {
       === (1L to 50L).toArray)
   }
 
+  test("multi-table backlog: commits parallel across tables, ordered within, still ONE copy batch") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    val tables = (1 to 8).map(i => s"t$i")
+    tables.foreach { t =>
+      svc.regions("us-east-1").createTable("ns", t)
+      svc.registerTable("ns", t, "us-east-1")
+      svc.registerTable("ns", t, "eu-west-1")
+    }
+    // 8 tables x 5 commits -> 80 pending events; each table's commits
+    // must replay in order on the replica even though tables fan out
+    for (i <- 1 to 5; t <- tables)
+      svc.coordinateWrite("ns", t, Seq(i.toLong).toDF("id"), "us-east-1")
+    assert(svc.pendingEvents("eu-west-1").count() === 80)
+
+    svc.copyBatches = 0
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (80, 0))
+    assert(svc.copyBatches === 1,
+      "the whole multi-table backlog must still union into one copy job")
+    tables.foreach { t =>
+      assert(svc.regions("eu-west-1").read("ns", t).as[Long].collect().sorted
+        === (1L to 5L).toArray, s"table $t replica contents")
+      // the batched watermark append must cover each table's last commit
+      val commitTs = svc.regions("us-east-1").latest("ns", t).get.timestampMs
+      assert(svc.freshRegions("ns", t, commitTs).contains("eu-west-1"),
+        s"table $t watermark must reach the final commit")
+    }
+  }
+
   test("S6 async copy jobs: submit/progress/cancel with idempotent resume") {
     import graft.sources.CopyJobManager
     val src = Files.createTempDirectory("cj-src")

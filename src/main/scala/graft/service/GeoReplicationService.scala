@@ -386,19 +386,21 @@ final class GeoReplicationService(spark: SparkSession,
 
   sys.createTable("_system", "consistency_tokens")
 
-  private def advanceWatermark(entry: String, region: String, watermarkMs: Long): Unit =
+  private[graft] def advanceWatermark(entry: String, region: String, watermarkMs: Long): Unit =
     sys.commitAppend("_system", "consistency_tokens",
       Seq((entry, region, watermarkMs, System.currentTimeMillis(), appendSeq.getAndIncrement()))
         .toDF("table_entry", "region", "high_watermark_ms", "ts", "seq"),
       maxRetries = SystemRetries)
 
-  /** Latest watermark per (table, region). */
-  def consistencyTokens: DataFrame = {
-    val w = Window.partitionBy(col("table_entry"), col("region"))
-      .orderBy(col("ts").desc, col("seq").desc)
+  /** High-water mark per (table, region) — the MAX over all appended
+    * tokens, NOT the latest row: a stale advance landing late (a retried
+    * old event completing after newer commits synced) must never regress
+    * the mark. A high-water mark is a max by definition; latest-row-wins
+    * is only correct for status-like state. */
+  def consistencyTokens: DataFrame =
     sys.read("_system", "consistency_tokens")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn", "ts", "seq")
-  }
+      .groupBy(col("table_entry"), col("region"))
+      .agg(max(col("high_watermark_ms")).as("high_watermark_ms"))
 
   /** Q9: regions able to serve `ns.table` at `requiredMs` freshness. The
     * writing source region always qualifies. */

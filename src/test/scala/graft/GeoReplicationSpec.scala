@@ -217,6 +217,22 @@ class GeoReplicationSpec extends SparkSpec {
     }
   }
 
+  test("a stale watermark advance landing late never regresses the high-water mark") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    // a retried OLD event can complete after newer commits already
+    // advanced the mark — the read must be a max, not latest-row-wins
+    svc.advanceWatermark("ns.t", "eu-west-1", 100L)
+    svc.advanceWatermark("ns.t", "eu-west-1", 50L) // stale retry lands later
+    val wm = svc.consistencyTokens
+      .filter(org.apache.spark.sql.functions.col("table_entry") === "ns.t" &&
+        org.apache.spark.sql.functions.col("region") === "eu-west-1")
+      .select("high_watermark_ms").as[Long].collect()
+    assert(wm === Array(100L))
+    assert(svc.freshRegions("ns", "t", 100L).contains("eu-west-1"))
+  }
+
   test("S6 async copy jobs: submit/progress/cancel with idempotent resume") {
     import graft.sources.CopyJobManager
     val src = Files.createTempDirectory("cj-src")

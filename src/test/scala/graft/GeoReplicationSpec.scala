@@ -217,6 +217,24 @@ class GeoReplicationSpec extends SparkSpec {
     }
   }
 
+  test("replica replays schema evolution in source-commit order") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    // v1 commits (id); v2 evolves to (id, name) — replaying v2 before v1
+    // would fail the replica's additive schema validation, so this also
+    // guards the source-order replay
+    svc.coordinateWrite("ns", "t", Seq(1L).toDF("id"), "us-east-1")
+    svc.coordinateWrite("ns", "t", Seq((2L, "b")).toDF("id", "name"), "us-east-1")
+    val (ok, bad) = svc.processPendingEvents("eu-west-1")
+    assert((ok, bad) === (4, 0))
+    val replica = svc.regions("eu-west-1").read("ns", "t")
+    assert(replica.columns.toSeq === Seq("id", "name"))
+    assert(replica.as[(Long, Option[String])].collect().sortBy(_._1)
+      === Array((1L, None), (2L, Some("b"))))
+  }
+
   test("a stale watermark advance landing late never regresses the high-water mark") {
     val svc = freshService("us-east-1", "eu-west-1")
     svc.regions("us-east-1").createTable("ns", "t")

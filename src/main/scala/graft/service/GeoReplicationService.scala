@@ -167,10 +167,17 @@ final class GeoReplicationService(spark: SparkSession,
   def compactSyncEvents(): Boolean =
     compactSystem("sync_events", latestRows("sync_events", Seq("event_id")))
 
-  /** Checkpoint consistency tokens to the latest watermark per (table, region). */
+  /** Checkpoint consistency tokens to the MAX watermark per (table,
+    * region) — NOT the latest row: a stale advance appended late (see
+    * consistencyTokens) would otherwise become the checkpoint and
+    * silently regress the mark through compaction. */
   def compactConsistencyTokens(): Boolean =
-    compactSystem("consistency_tokens",
-      latestRows("consistency_tokens", Seq("table_entry", "region")))
+    compactSystem("consistency_tokens", {
+      val w = Window.partitionBy(col("table_entry"), col("region"))
+        .orderBy(col("high_watermark_ms").desc, col("ts").desc, col("seq").desc)
+      sys.read("_system", "consistency_tokens")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    })
 
   /** Checkpoint approvals to the latest vote per (commit, region). The
     * voting deadline lives on the REQUEST row, which the latest vote

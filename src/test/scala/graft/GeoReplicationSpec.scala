@@ -249,6 +249,12 @@ class GeoReplicationSpec extends SparkSpec {
       .select("high_watermark_ms").as[Long].collect()
     assert(wm === Array(100L))
     assert(svc.freshRegions("ns", "t", 100L).contains("eu-west-1"))
+    // compaction must checkpoint the MAX row too, not the latest append
+    assert(svc.compactConsistencyTokens())
+    val wmAfter = svc.consistencyTokens
+      .filter(org.apache.spark.sql.functions.col("table_entry") === "ns.t")
+      .select("high_watermark_ms").as[Long].collect()
+    assert(wmAfter === Array(100L), "compaction regressed the high-water mark")
   }
 
   test("S6 async copy jobs: submit/progress/cancel with idempotent resume") {

@@ -128,8 +128,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def versionFile(ns: String, name: String, seq: Long): Path =
     metaDir(ns, name).resolve(f"v$seq%06d.json")
 
-  private def q(x: String) =
-    "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  // escape backslash, quote AND all control chars: a newline in a
+  // caller-supplied file path would split a JSONL manifest line and make
+  // every referencing version unreadable
+  private def q(x: String) = {
+    val sb = new StringBuilder("\"")
+    x.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   private def writeJson(s: Snapshot): String =
     s"""{"seq":${s.seq},"commitId":${q(s.commitId)},""" +
@@ -504,8 +515,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * replica parent's). */
   def commitFiles(ns: String, name: String, newFiles: Seq[String],
                   sourceRegion: String, maxRetries: Int = 5,
-                  schemaJson: Option[String] = None): Snapshot = {
+                  schemaJson: Option[String] = None,
+                  commitId: Option[String] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
+    // idempotence fast path (same contract as commitAppend): a replayed
+    // sync event whose commit already landed must not add a new version
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
     // the manifest depends on the freshly-read parent (dedup below), so it
     // is written INSIDE the retry closure — drop the previous attempt's
     // manifest first, or every lost CAS race orphans one manifest file
@@ -520,6 +537,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     try casCommit(ns, name, maxRetries) { parent =>
       dropAttemptManifest()
+      // re-check inside the CAS closure (concurrent duplicate replays)
+      commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+      }
       // dedup against the parent so a retried sync event can't register
       // the same landed file twice (keeps the one-manifest-per-file
       // invariant the manifest-set diff and expiry rely on)
@@ -531,7 +552,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       attemptManifest = newManifest
       Snapshot(
         parent.map(_.seq + 1).getOrElse(0L),
-        s"commit-${UUID.randomUUID()}",
+        commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
         parent.map(_.commitId),
         System.currentTimeMillis(),
         parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,

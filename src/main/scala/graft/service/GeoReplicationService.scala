@@ -57,6 +57,37 @@ final class GeoReplicationService(spark: SparkSession,
     * role; here one driver owns the system tables.) */
   private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Declared schemas of the system event logs — a read BEFORE the first
+    * append must return an empty TYPED frame, not the zero-column
+    * emptyDataFrame a version-less catalog table yields (every window /
+    * filter on it would throw UNRESOLVED_COLUMN on a cold start: a
+    * worker polling before the first write, a read routed before the
+    * first registration). */
+  private val systemSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*) =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    Map(
+      "sync_events" -> st("event_id" -> StringType, "table_entry" -> StringType,
+        "commit_id" -> StringType, "event_type" -> StringType,
+        "target_region" -> StringType, "status" -> StringType,
+        "ts" -> LongType, "seq" -> LongType),
+      "registry" -> st("entry" -> StringType, "region" -> StringType,
+        "status" -> StringType, "updated_at" -> LongType),
+      "consistency_tokens" -> st("table_entry" -> StringType, "region" -> StringType,
+        "high_watermark_ms" -> LongType, "ts" -> LongType, "seq" -> LongType),
+      "approvals" -> st("commit_id" -> StringType, "region" -> StringType,
+        "approved" -> BooleanType, "ts" -> LongType, "seq" -> LongType,
+        "deadline_ms" -> LongType))
+  }
+
+  private def sysRead(name: String): DataFrame = {
+    val df = sys.read("_system", name)
+    if (df.columns.nonEmpty) df
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], systemSchemas(name))
+  }
+
   // ---------------- registry (R1-R6) ----------------
 
   def registerTable(ns: String, table: String, region: String): Unit = {
@@ -69,7 +100,7 @@ final class GeoReplicationService(spark: SparkSession,
     registryCache.updateAndGet { case (e, _) => (e + 1, None) }: Unit
   }
 
-  def registry: DataFrame = sys.read("_system", "registry")
+  def registry: DataFrame = sysRead("registry")
 
   /** S8 getStorageLocation: the storage root serving a region. */
   def storageLocation(region: String): Option[String] =
@@ -110,12 +141,7 @@ final class GeoReplicationService(spark: SparkSession,
 
   /** Current status per event = latest appended row (ranked window;
     * same-millisecond appends resolve by the monotonic seq). */
-  def eventLog: DataFrame = {
-    val w = Window.partitionBy(col("event_id")).orderBy(col("ts").desc, col("seq").desc)
-    sys.read("_system", "sync_events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-  }
+  def eventLog: DataFrame = latestRows("sync_events", Seq("event_id"))
 
   def pendingEvents(region: String): DataFrame =
     eventLog.filter(col("status") === "Pending" && col("target_region") === region)
@@ -136,7 +162,7 @@ final class GeoReplicationService(spark: SparkSession,
     * order the checkpoint against post-compaction tail appends). */
   private def latestRows(name: String, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts").desc, col("seq").desc)
-    sys.read("_system", name)
+    sysRead(name)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
@@ -161,7 +187,7 @@ final class GeoReplicationService(spark: SparkSession,
 
   /** Physical row count of a `_system` log (ops introspection: how much
     * history a read actually scans — compaction drops it to live keys). */
-  def rawSystemCount(name: String): Long = sys.read("_system", name).count()
+  def rawSystemCount(name: String): Long = sysRead(name).count()
 
   /** Checkpoint `_system.sync_events` to its live rows (one per event). */
   def compactSyncEvents(): Boolean =
@@ -175,18 +201,19 @@ final class GeoReplicationService(spark: SparkSession,
     compactSystem("consistency_tokens", {
       val w = Window.partitionBy(col("table_entry"), col("region"))
         .orderBy(col("high_watermark_ms").desc, col("ts").desc, col("seq").desc)
-      sys.read("_system", "consistency_tokens")
+      sysRead("consistency_tokens")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     })
 
   /** Checkpoint approvals to the latest vote per (commit, region). The
     * voting deadline lives on the REQUEST row, which the latest vote
-    * shadows — carry the key's min deadline onto the checkpoint row so
-    * approvalStatus' TimedOut computation survives compaction. */
+    * shadows — carry the key's MAX deadline onto the checkpoint row
+    * (matching approvalStatus' extended-window semantics) so the
+    * TimedOut computation survives compaction. */
   def compactApprovals(): Boolean = compactSystem("approvals", {
     val latest = latestRows("approvals", Seq("commit_id", "region"))
-    val deadlines = sys.read("_system", "approvals")
-      .groupBy("commit_id", "region").agg(min("deadline_ms").as("_dl"))
+    val deadlines = sysRead("approvals")
+      .groupBy("commit_id", "region").agg(max("deadline_ms").as("_dl"))
     latest.drop("deadline_ms")
       .join(deadlines, Seq("commit_id", "region"), "left")
       .withColumnRenamed("_dl", "deadline_ms")
@@ -327,9 +354,11 @@ final class GeoReplicationService(spark: SparkSession,
       val (files, bytes) = StorageOps.distributedCopyStats(manifest, tolerant = true)
       metrics.increment("sync.files_copied", files)
       metrics.increment("sync.bytes_copied", bytes)
-      val verified = StorageOps.existsProbe(manifest, "dst_path", "event_id")
+      // size-verified, not existence-only: a truncated dst from a
+      // mid-copy crash must fail the event, not silently complete it
+      val verified = StorageOps.copyVerifyProbe(manifest, "src_path", "dst_path", "event_id")
         .groupBy(col("event_id"))
-        .agg(min(col("exists").cast("int")).as("all_ok"))
+        .agg(min(col("ok").cast("int")).as("all_ok"))
         .filter(col("all_ok") === 1)
         .select("event_id").as[String].collect().toSet
       // events whose snapshot diff was empty are trivially complete
@@ -343,29 +372,57 @@ final class GeoReplicationService(spark: SparkSession,
     // fail (or W8-compensate!) an event whose commit already succeeded.
     val now = System.currentTimeMillis()
     val results = preps.groupBy(_.entry).toSeq.par.map { case (_, evs0) =>
-      // replay in SOURCE commit order, not event-id (UUID) order — an
-      // out-of-order replay would apply schema evolution backwards and
-      // could regress the watermark to an older commit
-      val evs = evs0.sortBy(p => (p.srcSeq, p.eventId))
+      // replay in SOURCE commit order — wall-clock commit ts first (the
+      // only cross-source-comparable key), then the per-source snapshot
+      // seq, never event-id (UUID) order: an out-of-order replay would
+      // apply schema evolution backwards and regress the watermark
+      val evs = evs0.sortBy(p => (p.watermarkMs, p.srcSeq, p.eventId))
+      // HALT the table at the first failed DataSync: committing a LATER
+      // commit over the gap would advance the watermark past missing
+      // data and replay out of order when the gap retries. Skipped
+      // events are marked Failed so one retry re-pends the table's whole
+      // suffix and replays it in order.
+      var halted = false
       evs.map { p =>
         val (status, wm) = p.status match {
           case Some(st) => (st, None)
+          case None if halted && p.eventType == "DataSync" => ("Failed", None)
           case None if okEvents.contains(p.eventId) =>
             try {
+              // commitId makes a replayed event (worker died after the
+              // commit, before the status append) a no-op duplicate
+              // instead of a second version
               regions(region).commitFiles(p.ns, p.table, p.files, sourceRegion = region,
-                schemaJson = p.schemaJson)
+                schemaJson = p.schemaJson, commitId = Some(s"sync-${p.commitId}"))
               ("Completed", Some(p.entry -> p.watermarkMs))
             } catch {
+              case _: GraftCatalog.DuplicateCommitException =>
+                ("Completed", Some(p.entry -> p.watermarkMs))
               case _: Exception =>
                 // W8 compensation: the copy landed but the replica commit
                 // failed — delete the staged files so nothing dangles
                 // uncommitted (re-copy on retry is cheap and idempotent).
-                if (p.manifest.nonEmpty)
-                  GcExecutor.attemptDeletes(p.manifest.map(_._3).toDF("path")).count()
+                // Never touch files a PRIOR successful commit references
+                // (a reprocessed event shares them); on any doubt skip —
+                // the orphan sweep is the backstop.
+                if (p.manifest.nonEmpty) {
+                  val staged = p.manifest.map(_._3)
+                  val cat = regions(region)
+                  val referenced =
+                    try cat.latest(p.ns, p.table)
+                      .map(s => cat.dataFiles(p.ns, p.table, s)).getOrElse(Seq.empty)
+                      .map(f => cat.tablePath(p.ns, p.table).resolve(f).toString)
+                      .toSet
+                    catch { case _: Exception => staged.toSet }
+                  val deletable = staged.filterNot(referenced)
+                  if (deletable.nonEmpty)
+                    GcExecutor.attemptDeletes(deletable.toDF("path")).count(): Unit
+                }
                 ("Failed", None)
             }
           case None => ("Failed", None)
         }
+        if (status == "Failed" && p.eventType == "DataSync") halted = true
         metrics.increment(s"sync.events_${status.toLowerCase}")
         ((p.eventId, p.entry, p.commitId, p.eventType, region, status, now), wm)
       }
@@ -405,7 +462,7 @@ final class GeoReplicationService(spark: SparkSession,
     * the mark. A high-water mark is a max by definition; latest-row-wins
     * is only correct for status-like state. */
   def consistencyTokens: DataFrame =
-    sys.read("_system", "consistency_tokens")
+    sysRead("consistency_tokens")
       .groupBy(col("table_entry"), col("region"))
       .agg(max(col("high_watermark_ms")).as("high_watermark_ms"))
 
@@ -452,7 +509,7 @@ final class GeoReplicationService(spark: SparkSession,
   private def latestVotes(commitId: String): DataFrame = {
     val w = Window.partitionBy(col("commit_id"), col("region"))
       .orderBy(col("ts").desc, col("seq").desc)
-    sys.read("_system", "approvals")
+    sysRead("approvals")
       .filter(col("commit_id") === commitId)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
   }
@@ -463,9 +520,13 @@ final class GeoReplicationService(spark: SparkSession,
     val votes = latestVotes(commitId).select("approved").collect()
       .map(r => Option(r.get(0)).map(_.asInstanceOf[Boolean]))
     if (votes.isEmpty) return "Pending"
-    val deadline = sys.read("_system", "approvals")
+    // MAX over the commit's recorded deadlines: a re-request that extends
+    // the voting window (or asks another region with a fresh one) must
+    // take effect — min would pin the commit to the earliest deadline
+    // ever written and turn it sticky-TimedOut
+    val deadline = sysRead("approvals")
       .filter(col("commit_id") === commitId && col("deadline_ms").isNotNull)
-      .agg(min(col("deadline_ms"))).collect()
+      .agg(max(col("deadline_ms"))).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
     if (votes.forall(_.contains(true))) "Approved"
     else if (votes.exists(_.contains(false))) "Rejected"

@@ -141,10 +141,25 @@ object StorageOps {
             val src = new HPath(r.getString(0))
             val dst = new HPath(r.getString(1))
             val dstFs = dst.getFileSystem(conf)
-            if (!dstFs.exists(dst)) {
-              val srcFs = src.getFileSystem(conf)
+            val srcFs = src.getFileSystem(conf)
+            // the exists-guard also re-copies a SIZE-MISMATCHED dst: a
+            // crash mid-copy used to leave a truncated dst that the
+            // guard then treated as done — permanent silent corruption
+            val srcLen = srcFs.getFileStatus(src).getLen
+            val stale = dstFs.exists(dst) && dstFs.getFileStatus(dst).getLen != srcLen
+            if (stale) dstFs.delete(dst, false)
+            if (stale || !dstFs.exists(dst)) {
               dstFs.mkdirs(dst.getParent)
-              FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
+              // write to a temp sibling and rename: dst is either absent
+              // or COMPLETE, never a partial file another worker's
+              // exists-guard would wrongly trust
+              val tmp = new HPath(dst.getParent,
+                s"._tmp_${dst.getName}.${java.util.UUID.randomUUID()}")
+              try {
+                FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
+                if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
+                  throw new java.io.IOException(s"rename $tmp -> $dst failed")
+              } finally { if (dstFs.exists(tmp)) dstFs.delete(tmp, false): Unit }
               copied.add(1)
               bytes.add(dstFs.getFileStatus(dst).getLen)
             }
@@ -157,6 +172,36 @@ object StorageOps {
   /** Distributed existence probe: one boolean per manifest row, evaluated
     * with executor-side FileSystem clients (no driver HEAD loop). The
     * string `keyCol` rides along for downstream per-group verdicts. */
+  /** Copy verification: for each manifest row, `ok` = dst exists AND its
+    * length equals src's — existence alone would bless a truncated file
+    * (see the temp+rename note in distributedCopyStats; this probe is
+    * the belt to that suspender, and also catches pre-existing partial
+    * files). One distributed pass, two stats per row. */
+  def copyVerifyProbe(manifest: DataFrame, srcPathCol: String = "src_path",
+                      dstPathCol: String = "dst_path",
+                      keyCol: String = "event_id"): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    manifest.select(col(keyCol).cast("string"), col(srcPathCol), col(dstPathCol))
+      .as[(String, String, String)]
+      .mapPartitions { rows =>
+        val conf = confSer.value
+        rows.map { case (key, s0, d0) =>
+          val d = new HPath(d0)
+          val fs = d.getFileSystem(conf)
+          val ok = try {
+            fs.exists(d) && {
+              val s = new HPath(s0)
+              s.getFileSystem(conf).getFileStatus(s).getLen == fs.getFileStatus(d).getLen
+            }
+          } catch { case _: Exception => false }
+          (key, d0, ok)
+        }
+      }.toDF(keyCol, dstPathCol, "ok")
+  }
+
   def existsProbe(manifest: DataFrame, pathCol: String = "dst_path",
                   keyCol: String = "event_id"): DataFrame = {
     val spark = manifest.sparkSession

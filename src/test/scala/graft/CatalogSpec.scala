@@ -179,6 +179,32 @@ class CatalogSpec extends SparkSpec {
     assert(dataOnDisk === reachable, "aborted replace must clean up its staged data files")
   }
 
+  test("commit log survives control characters in paths and regions (JSON escaping)") {
+    val wh = Files.createTempDirectory("graft-wh-ctl").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "t")
+    val ctl = "we\tird\nname.parquet" // tab + newline are legal in POSIX names
+    Files.write(cat.tablePath("ns", "t").resolve(s"data/$ctl"), Array[Byte](1, 2, 3))
+    cat.commitFiles("ns", "t", Seq(s"data/$ctl"), "region\nwith\tctl")
+    val cat2 = new GraftCatalog(spark, wh) // cold cache -> full re-parse
+    val snap = cat2.latest("ns", "t").get
+    assert(cat2.dataFiles("ns", "t", snap) === Seq(s"data/$ctl"))
+    assert(snap.sourceRegion === "region\nwith\tctl")
+  }
+
+  test("commitFiles with a caller commitId is an idempotent no-op on replay") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    Files.write(cat.tablePath("ns", "t").resolve("data/f1.parquet"), Array[Byte](1))
+    cat.commitFiles("ns", "t", Seq("data/f1.parquet"), "r1", commitId = Some("sync-c1"))
+    val v = cat.latest("ns", "t").get.seq
+    val e = intercept[GraftCatalog.DuplicateCommitException] {
+      cat.commitFiles("ns", "t", Seq("data/f1.parquet"), "r1", commitId = Some("sync-c1"))
+    }
+    assert(e.commitId === "sync-c1")
+    assert(cat.latest("ns", "t").get.seq === v, "replay must not add a version")
+  }
+
   test("concurrent commitFiles retries do not orphan manifests") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

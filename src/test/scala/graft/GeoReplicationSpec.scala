@@ -257,6 +257,74 @@ class GeoReplicationSpec extends SparkSpec {
     assert(wmAfter === Array(100L), "compaction regressed the high-water mark")
   }
 
+  test("cold start: every read works before the first append (typed empty system tables)") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    assert(svc.pendingEvents("eu-west-1").count() === 0)
+    assert(svc.failedEvents("eu-west-1").count() === 0)
+    assert(svc.consistencyTokens.count() === 0)
+    assert(svc.approvalStatus("no-such-commit") === "Pending")
+    assert(svc.freshRegions("ns", "t", 0L).isEmpty)
+    assert(svc.processPendingEvents("eu-west-1") === ((0, 0)))
+  }
+
+  test("a failed commit HALTS its table: no watermark over the gap, retry replays in order") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.regions("us-east-1").createTable("ns", "t")
+    svc.registerTable("ns", "t", "us-east-1")
+    svc.registerTable("ns", "t", "eu-west-1")
+    svc.coordinateWrite("ns", "t", Seq(1L).toDF("id"), "us-east-1")
+    val src = svc.regions("us-east-1")
+    val snap1 = src.latest("ns", "t").get
+    svc.coordinateWrite("ns", "t", Seq(2L).toDF("id"), "us-east-1")
+    val ts2 = src.latest("ns", "t").get.timestampMs
+
+    // sabotage c1: move its source data file away -> its copy cannot verify
+    val f1 = src.tablePath("ns", "t").resolve(src.addedFiles("ns", "t", snap1).head)
+    val hidden = f1.resolveSibling(f1.getFileName.toString + ".hidden")
+    Files.move(f1, hidden)
+    val (ok1, bad1) = svc.processPendingEvents("eu-west-1")
+    // 2 MetadataSync complete; BOTH DataSyncs fail: c1 on the copy, c2 by
+    // the halt (committing it would advance the watermark over the gap)
+    assert((ok1, bad1) === ((2, 2)))
+    assert(svc.regions("eu-west-1").tableExists("ns", "t"))
+    assert(!svc.freshRegions("ns", "t", ts2).contains("eu-west-1"),
+      "watermark must NOT cover c2 while c1 is missing")
+
+    // heal and retry: both replay, in source order
+    Files.move(hidden, f1)
+    assert(svc.retryFailedEvents("eu-west-1") === 2)
+    val (ok2, bad2) = svc.processPendingEvents("eu-west-1")
+    assert((ok2, bad2) === ((2, 0)))
+    assert(svc.regions("eu-west-1").read("ns", "t").as[Long].collect().sorted === Array(1L, 2L))
+    assert(svc.freshRegions("ns", "t", ts2).contains("eu-west-1"))
+  }
+
+  test("approval re-request with a longer window lifts a TimedOut back to Pending") {
+    val svc = freshService("us-east-1", "eu-west-1")
+    svc.requestCommitApproval("c9", Seq("eu-west-1"), timeoutMs = Some(-1000)) // already past
+    assert(svc.approvalStatus("c9") === "TimedOut")
+    svc.requestCommitApproval("c9", Seq("eu-west-1"), timeoutMs = Some(600000))
+    assert(svc.approvalStatus("c9") === "Pending",
+      "the extended voting window must take effect (max deadline, not min)")
+  }
+
+  test("a truncated destination file is re-copied, never trusted") {
+    val src = Files.createTempDirectory("trunc-src")
+    val dst = Files.createTempDirectory("trunc-dst")
+    StorageOps.writeFile(s"$src/f.bin", Array.fill(100)(7.toByte))
+    StorageOps.writeFile(s"$dst/f.bin", Array.fill(10)(7.toByte)) // partial from a crashed copy
+    val manifest = Seq(("e1", s"$src/f.bin", s"$dst/f.bin"))
+      .toDF("event_id", "src_path", "dst_path")
+    // verify probe flags the mismatch...
+    val bad = StorageOps.copyVerifyProbe(manifest).select("ok").as[Boolean].collect()
+    assert(bad === Array(false))
+    // ...and the copy replaces the partial file instead of skipping it
+    StorageOps.distributedCopyStats(manifest)
+    assert(StorageOps.readFile(s"$dst/f.bin").length === 100)
+    val good = StorageOps.copyVerifyProbe(manifest).select("ok").as[Boolean].collect()
+    assert(good === Array(true))
+  }
+
   test("S6 async copy jobs: submit/progress/cancel with idempotent resume") {
     import graft.sources.CopyJobManager
     val src = Files.createTempDirectory("cj-src")

@@ -39,6 +39,19 @@ object ReadRouterOps {
       .orderBy(col("score").desc, col("region"))
       .limit(1)
 
+  /** Driver-side twin of [[selectOptimal]] for the serving hot path: a
+    * routed read scores the HANDFUL of regions hosting one table, and a
+    * Spark job (plan + schedule + collect) per read costs tens of ms
+    * for a 3-element argmax. Same arithmetic and tie-break, in-process;
+    * spec-checked equal to the DataFrame form. The DataFrame form stays
+    * for BATCH scoring (fleets of tables at once). */
+  def selectOptimalLocal(health: Seq[(String, Boolean, Boolean)]): Option[(String, Double)] =
+    health.map { case (region, storage, active) =>
+      (region, (if (storage) 1.0 else 0.0) * 0.7 + (if (active) 1.0 else 0.3) * 0.3) }
+      .filter(_._2 > 0.0)
+      .sortBy { case (region, score) => (-score, region) }
+      .headOption
+
   /** v1 watermark routing over a batch of read requests.
     * @param requests     one row per request with `requestedTsCol`
     * @param watermark    the table's consistency watermark (may be null)

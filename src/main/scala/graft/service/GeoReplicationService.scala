@@ -576,13 +576,12 @@ final class GeoReplicationService(spark: SparkSession,
     preferredRegion.filter(r => hosts.contains(r) && !unavailableRegions.contains(r)) match {
       case Some(r) => ReadLocation(r, 1.0)
       case None =>
-        val health = hosts
-          .map(r => (r, !unavailableRegions.contains(r), !unavailableRegions.contains(r)))
-          .toDF("region", "storage_available", "active")
-        val best = ReadRouterOps.selectOptimal(health)
-          .select("region", "score").as[(String, Double)].collect()
+        // driver-side argmax (selectOptimalLocal): a serving-loop read
+        // must not pay a Spark job to rank a handful of regions
+        val best = ReadRouterOps.selectOptimalLocal(hosts.map(r =>
+          (r, !unavailableRegions.contains(r), !unavailableRegions.contains(r))))
         require(best.nonEmpty, s"no suitable region for $ns.$table")
-        ReadLocation(best.head._1, best.head._2)
+        ReadLocation(best.get._1, best.get._2)
     }
   }
 

@@ -136,6 +136,21 @@ class OperatorsSpec extends SparkSpec {
     assert(best === Array("up-active"))
   }
 
+  test("selectOptimalLocal == selectOptimal on every health combination") {
+    import graft.operators.ReadRouterOps
+    val regions = Seq("ap-1", "eu-1", "us-1")
+    // exhaustive: every (storage, active) assignment over 3 regions
+    for (mask <- 0 until (1 << 6)) {
+      val health = regions.zipWithIndex.map { case (r, i) =>
+        (r, (mask & (1 << (2 * i))) != 0, (mask & (1 << (2 * i + 1))) != 0) }
+      val local = ReadRouterOps.selectOptimalLocal(health)
+      val df = ReadRouterOps.selectOptimal(
+          health.toDF("region", "storage_available", "active"))
+        .select("region", "score").as[(String, Double)].collect().headOption
+      assert(local === df, s"divergence for $health")
+    }
+  }
+
   test("watermark routing: CLOUD only when commitTs <= watermark (v1 ReadRouter)") {
     val reqs = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),

@@ -92,7 +92,11 @@ object GcExecutor {
     * a task retry must observe the first run's outcomes, not re-delete
     * and flip verdicts to 'missing'. */
   def executeRound(log: DataFrame, executionId: String, nowMs: Long): DataFrame = {
-    val work = workSet(log, executionId)
+    // checkpoint the work set ONCE: marker and outcomes must derive from
+    // the SAME materialized snapshot — re-running the window over a live
+    // log for the marker could emit 'deleting' rows for paths the delete
+    // pass never saw (and pays the shuffle twice)
+    val work = workSet(log, executionId).localCheckpoint()
     val outcomes = attemptDeletes(work).localCheckpoint()
     val marker = work.select(
       col("execution_id"), col("path"),

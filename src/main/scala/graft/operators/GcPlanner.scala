@@ -37,9 +37,14 @@ object GcPlanner {
     * `graceDays` (doc defaults: P3D vs P14D). */
   def orphans(inventory: DataFrame, reachable: DataFrame, keyCols: Seq[String],
               seenAtCol: String, graceDays: Int = 14, tmpGraceDays: Int = 3,
-              tmpPrefixes: Seq[String] = Seq("_tmp/", "_staging/")): DataFrame = {
+              tmpPrefixes: Seq[String] = Seq("_tmp/", "_staging/", "._tmp_")): DataFrame = {
+    // match each tmp marker as a PATH SEGMENT, not only at position 0:
+    // real inventory paths are absolute/URI ("s3a://b/tbl/_tmp/f"), so a
+    // root-anchored startsWith never fired on them and abandoned temp
+    // files silently got the long grace ("._tmp_" is the basename prefix
+    // distributedCopy's temp siblings use)
     val isTmp = tmpPrefixes
-      .map(p => col(keyCols.head).startsWith(p))
+      .map(p => col(keyCols.head).startsWith(p) || col(keyCols.head).contains("/" + p))
       .reduce(_ || _)
     inventory.join(reachable.select(keyCols.map(col): _*), keyCols, "left_anti")
       .withColumn("grace_days", when(isTmp, tmpGraceDays).otherwise(graceDays))

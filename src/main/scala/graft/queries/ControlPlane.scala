@@ -542,9 +542,13 @@ object ControlPlane {
                          shipped_at FROM files),
           reachable AS (SELECT path FROM files WHERE l_tax < 0.07)
           SELECT i.path,
-                 CASE WHEN starts_with(i.path, '_tmp/') OR starts_with(i.path, '_staging/')
+                 CASE WHEN starts_with(i.path, '_tmp/') OR i.path LIKE '%/!_tmp/%' ESCAPE '!'
+                       OR starts_with(i.path, '_staging/') OR i.path LIKE '%/!_staging/%' ESCAPE '!'
+                       OR starts_with(i.path, '._tmp_') OR i.path LIKE '%/.!_tmp!_%' ESCAPE '!'
                       THEN 3 ELSE 14 END AS grace_days,
-                 i.shipped_at + CASE WHEN starts_with(i.path, '_tmp/') OR starts_with(i.path, '_staging/')
+                 i.shipped_at + CASE WHEN starts_with(i.path, '_tmp/') OR i.path LIKE '%/!_tmp/%' ESCAPE '!'
+                       OR starts_with(i.path, '_staging/') OR i.path LIKE '%/!_staging/%' ESCAPE '!'
+                       OR starts_with(i.path, '._tmp_') OR i.path LIKE '%/.!_tmp!_%' ESCAPE '!'
                       THEN 3 ELSE 14 END * INTERVAL 1 DAY AS delete_after
           FROM inv i WHERE NOT EXISTS (SELECT 1 FROM reachable r WHERE r.path = i.path)
           ORDER BY i.path""",

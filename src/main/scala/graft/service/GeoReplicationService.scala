@@ -554,9 +554,13 @@ final class GeoReplicationService(spark: SparkSession,
     // expected sizes come from the snapshot log (recorded at commit time),
     // never from the destination filesystem being verified
     val manifest = cat.filesTable(ns, table, seq)
+    // listing paths are fully qualified (scheme + authority); strip the
+    // QUALIFIED table root to get manifest-relative paths
+    val qualifiedRoot = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(cat.tablePath(ns, table).toString)).toString
     val listing = StorageOps.listing(spark, cat.tablePath(ns, table).toString)
-      .withColumn("path", regexp_replace(col("path"),
-        java.util.regex.Pattern.quote(cat.tablePath(ns, table).toString + "/"), ""))
+      .withColumn("path", regexp_replace(col("path"), ".*" +
+        java.util.regex.Pattern.quote(qualifiedRoot + "/"), ""))
       .select("path", "size_bytes")
     if (!graft.operators.StateReconciler.promotionSafe(manifest, listing))
       throw new IllegalStateException(s"verification failed for $ns.$table@$seq in $region")

@@ -66,11 +66,17 @@ final class CopyJobManager(spark: SparkSession) {
     * Terminal jobs are left untouched (returns false). The copy is
     * exists-guarded, so a cancelled job resumes by plain resubmission. */
   def cancel(jobId: String): Boolean =
-    Option(jobs.get(jobId)).filter(_.state == "Running").exists { st =>
+    Option(jobs.get(jobId)).filter(_.state == "Running").exists { _ =>
       spark.sparkContext.cancelJobGroup(jobId)
-      jobs.put(jobId, CopyJobStatus(jobId, "Cancelled", st.files_copied, st.bytes_copied,
-                                    System.currentTimeMillis()))
-      true
+      // transition atomically and ONLY from Running: the worker may reach
+      // Completed between our read and this write, and a completed copy
+      // must never be downgraded to Cancelled with stale progress
+      val updated = jobs.computeIfPresent(jobId, (_, cur) =>
+        if (cur.state == "Running")
+          CopyJobStatus(jobId, "Cancelled", cur.files_copied, cur.bytes_copied,
+                        System.currentTimeMillis())
+        else cur)
+      updated != null && updated.state == "Cancelled"
     }
 
   /** Registry as a DataFrame for SQL over job progress. */

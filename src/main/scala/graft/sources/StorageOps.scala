@@ -32,10 +32,12 @@ object StorageOps {
 
   def readFile(path: String, conf: Configuration = new Configuration()): Array[Byte] = {
     val f = fs(path, conf)
+    val len = f.getFileStatus(new HPath(path)).getLen
+    require(len <= Int.MaxValue,
+      s"readFile is a driver-side convenience capped at 2 GiB; $path is $len bytes")
     val in = f.open(new HPath(path))
     try {
-      val len = f.getFileStatus(new HPath(path)).getLen.toInt
-      val buf = new Array[Byte](len)
+      val buf = new Array[Byte](len.toInt)
       in.readFully(buf); buf
     } finally in.close()
   }
@@ -69,8 +71,12 @@ object StorageOps {
     if (!f.exists(rootPath))
       return Seq.empty[(String, Long, Long)].toDF("path", "size_bytes", "mtime_ms")
     val top = f.listStatus(rootPath)
+    // paths are emitted FULLY QUALIFIED (scheme + authority): stripping
+    // to the bare key made two buckets indistinguishable and broke every
+    // anti-join against manifest URIs — and a bare key handed to a
+    // FileSystem client resolves against the DEFAULT fs, not the listed one
     val rootFiles = top.filter(_.isFile)
-      .map(st => (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)).toSeq
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSeq
     val prefixes = top.filter(_.isDirectory).map(_.getPath.toString).toSeq
     val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
     val prefixListing =
@@ -89,7 +95,7 @@ object StorageOps {
                 while (it.hasNext) {
                   val st = it.next()
                   if (st.isFile)
-                    return Some((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+                    return Some((st.getPath.toString, st.getLen, st.getModificationTime))
                 }
                 None
               }
@@ -155,13 +161,18 @@ object StorageOps {
               // exists-guard would wrongly trust
               val tmp = new HPath(dst.getParent,
                 s"._tmp_${dst.getName}.${java.util.UUID.randomUUID()}")
-              try {
-                FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
-                if (!dstFs.rename(tmp, dst) && !dstFs.exists(dst))
-                  throw new java.io.IOException(s"rename $tmp -> $dst failed")
-              } finally { if (dstFs.exists(tmp)) dstFs.delete(tmp, false): Unit }
-              copied.add(1)
-              bytes.add(dstFs.getFileStatus(dst).getLen)
+              val renamed =
+                try {
+                  FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
+                  val ok = dstFs.rename(tmp, dst)
+                  if (!ok && !dstFs.exists(dst))
+                    throw new java.io.IOException(s"rename $tmp -> $dst failed")
+                  ok
+                } finally { if (dstFs.exists(tmp)) dstFs.delete(tmp, false): Unit }
+              // a lost rename race (speculative task, retry) means the
+              // OTHER worker owns the copy — counting it here would
+              // double the files/bytes metrics
+              if (renamed) { copied.add(1); bytes.add(srcLen) }
             }
           } catch { case e: Exception => if (!tolerant) throw e }
         }
@@ -212,8 +223,13 @@ object StorageOps {
       .mapPartitions { rows =>
         val conf = confSer.value
         rows.map { case (key, p0) =>
-          val p = new HPath(p0)
-          (key, p0, p.getFileSystem(conf).exists(p))
+          // per-row tolerance (same as copyVerifyProbe): one malformed
+          // path must yield exists=false, not fail the whole probe job
+          val ex = try {
+            val p = new HPath(p0)
+            p.getFileSystem(conf).exists(p)
+          } catch { case _: Exception => false }
+          (key, p0, ex)
         }
       }.toDF(keyCol, pathCol, "exists")
   }

@@ -25,22 +25,37 @@ object CatalogStreamSink {
   def foreachBatchCommit(cat: GraftCatalog, ns: String, table: String,
                          queryTag: String = "stream"): (DataFrame, Long) => Unit =
     (df, batchId) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      import java.nio.file.{Files, StandardCopyOption}
       // replay guard #1 — monotonic high-water mark: batches commit in
-      // order, so any batchId at or below the LATEST live batch of this
-      // tag is a replay. This survives snapshot expiry (expiry always
-      // keeps the newest version, while the per-commitId check alone
-      // would forget batches whose versions aged out of retention).
+      // order, so any batchId at or below the mark is a replay. The mark
+      // is max(live tag commits, durable marker file): the live scan
+      // alone FAILS OPEN once compaction + expiry leave no tag commit in
+      // the retained log, so the marker (written after every commit,
+      // monotonic) carries the mark across expiry; the live scan in turn
+      // covers a crash BETWEEN commit and marker write.
       val prefix = s"$queryTag-batch-"
+      val marker = cat.tablePath(ns, table).resolve(s"_meta/stream-hwm-$queryTag")
+      val durable =
+        if (Files.exists(marker))
+          new String(Files.readAllBytes(marker), UTF_8).trim.toLongOption
+        else None
       val maxLive = cat.snapshots(ns, table).map(_.commitId)
         .filter(_.startsWith(prefix))
         .flatMap(c => c.stripPrefix(prefix).toLongOption)
         .maxOption
-      if (maxLive.forall(batchId > _)) {
+      if ((durable ++ maxLive).maxOption.forall(batchId > _)) {
         val cid = s"$prefix$batchId"
         // replay guard #2: the per-commitId check, re-validated inside
         // the commit's CAS closure for racing replays
         try { cat.commitAppend(ns, table, df, commitId = Some(cid)); () }
         catch { case _: GraftCatalog.DuplicateCommitException => () }
+        // advance the durable mark (batchId > previous mark by the guard
+        // above); tmp + atomic move so a crashed write can't corrupt it
+        val tmp = marker.resolveSibling(s".tmp-hwm-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, batchId.toString.getBytes(UTF_8))
+        Files.move(tmp, marker, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
       }
     }
 }

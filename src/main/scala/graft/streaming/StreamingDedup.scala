@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * `dropDuplicatesWithinWatermark` bounds state to the watermark horizon,
   * which is the correct contract for ingest dedup where duplicates arrive
   * near each other (retries, double-publishes, mirrored crawls).
-  * Fingerprints are md5 of the normalized text — one narrow state-store
-  * key, never the document body.
+  * Fingerprints are the SAME expressions as the batch dedup family
+  * (TextAnalysis.fingerprint / bowFingerprint, called, not copied), so
+  * stream-admitted and batch-admitted corpora always agree on identity —
+  * one narrow state-store key, never the document body.
   */
 object StreamingDedup {
 
@@ -21,7 +23,7 @@ object StreamingDedup {
     * `timeCol` must be the event-time column used by the watermark. */
   def dropExactDups(docs: DataFrame, timeCol: String = "event_time",
                     textCol: String = "text", watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("fp", md5(col(textCol)))
+    docs.withColumn("fp", graft.pipeline.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
@@ -31,8 +33,7 @@ object StreamingDedup {
     * the streaming twin of TextAnalysis.bowFingerprint. */
   def dropBowDups(docs: DataFrame, timeCol: String = "event_time",
                   textCol: String = "text", watermark: String = "1 hour"): DataFrame =
-    docs.withColumn("fp",
-        md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
+    docs.withColumn("fp", graft.pipeline.TextAnalysis.bowFingerprint(col(textCol)))
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")

@@ -41,23 +41,50 @@ object SyncEventStream {
   /** Per-event state machine over a stream of requested transitions.
     * Emits the post-update status; illegal requests are flagged invalid
     * and leave state untouched (idempotent replays are no-ops). */
-  def lifecycle(updates: Dataset[EventUpdate])(implicit spark: SparkSession): Dataset[EventStatus] = {
+  /** State discipline: event ids grow without bound, so NoTimeout would
+    * pin every finished event in the state store forever (checkpoint +
+    * executor memory climb until the query dies). A Completed event's
+    * state is only needed to reject late duplicates; it expires once the
+    * event-time watermark passes its completion by `completedStateTtlMs`.
+    * (Failed is NOT terminal — retry resets it to Pending — so it keeps
+    * its state.) A duplicate arriving after expiry restarts the key at
+    * Pending: the same at-least-once tradeoff the batch worker's retry
+    * path makes. EventTimeTimeout, deliberately NOT ProcessingTimeTimeout:
+    * processing-time timeouts force `shouldRunAnotherBatch` true on every
+    * trigger (the engine can never quiesce — an idle query spins empty
+    * batches and processAllAvailable never returns), and they are not
+    * replay-deterministic; watermark-driven expiry is both. */
+  def lifecycle(updates: Dataset[EventUpdate],
+                completedStateTtlMs: Long = 3600000L)
+               (implicit spark: SparkSession): Dataset[EventStatus] = {
     import spark.implicits._
-    updates.groupByKey(_.eventId)
-      .mapGroupsWithState[EventState, EventStatus](GroupStateTimeout.NoTimeout) {
+    updates.withWatermark("eventTime", s"$completedStateTtlMs milliseconds")
+      .groupByKey(_.eventId)
+      .mapGroupsWithState[EventState, EventStatus](GroupStateTimeout.EventTimeTimeout) {
         (eventId, batch, state: GroupState[EventState]) =>
-          var st = state.getOption.getOrElse(EventState("Pending", 0))
-          var region = ""
-          var lastValid = true
-          batch.toSeq.sortBy(_.eventTime.getTime).foreach { u =>
-            region = u.targetRegion
-            transition(st.status, u.requested) match {
-              case Some(next) => st = EventState(next, st.transitions + 1); lastValid = true
-              case None       => lastValid = false
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            EventStatus(eventId, "", st.status, st.transitions, valid = true)
+          } else {
+            var st = state.getOption.getOrElse(EventState("Pending", 0))
+            var region = ""
+            var lastValid = true
+            var maxTs = 0L
+            batch.toSeq.sortBy(_.eventTime.getTime).foreach { u =>
+              region = u.targetRegion
+              maxTs = math.max(maxTs, u.eventTime.getTime)
+              transition(st.status, u.requested) match {
+                case Some(next) => st = EventState(next, st.transitions + 1); lastValid = true
+                case None       => lastValid = false
+              }
             }
+            state.update(st)
+            if (st.status == "Completed")
+              state.setTimeoutTimestamp(
+                math.max(maxTs + completedStateTtlMs, state.getCurrentWatermarkMs() + 1))
+            EventStatus(eventId, region, st.status, st.transitions, lastValid)
           }
-          state.update(st)
-          EventStatus(eventId, region, st.status, st.transitions, lastValid)
       }
   }
 
@@ -66,25 +93,38 @@ object SyncEventStream {
     * state per trigger — `flatMapGroupsWithState` instead of
     * `mapGroupsWithState`, for audit-log sinks that need every hop of
     * Pending→InProgress→{Completed,Failed}→(retry)Pending. */
-  def lifecycleTimeline(updates: Dataset[EventUpdate])
+  def lifecycleTimeline(updates: Dataset[EventUpdate],
+                        completedStateTtlMs: Long = 3600000L)
                        (implicit spark: SparkSession): Dataset[EventStatus] = {
     import spark.implicits._
-    updates.groupByKey(_.eventId)
+    updates.withWatermark("eventTime", s"$completedStateTtlMs milliseconds")
+      .groupByKey(_.eventId)
       .flatMapGroupsWithState[EventState, EventStatus](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (eventId, batch, state: GroupState[EventState]) =>
-          var st = state.getOption.getOrElse(EventState("Pending", 0))
-          val out = batch.toSeq.sortBy(_.eventTime.getTime).map { u =>
-            transition(st.status, u.requested) match {
-              case Some(next) =>
-                st = EventState(next, st.transitions + 1)
-                EventStatus(eventId, u.targetRegion, next, st.transitions, valid = true)
-              case None =>
-                EventStatus(eventId, u.targetRegion, st.status, st.transitions, valid = false)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(EventState("Pending", 0))
+            var maxTs = 0L
+            val out = batch.toSeq.sortBy(_.eventTime.getTime).map { u =>
+              maxTs = math.max(maxTs, u.eventTime.getTime)
+              transition(st.status, u.requested) match {
+                case Some(next) =>
+                  st = EventState(next, st.transitions + 1)
+                  EventStatus(eventId, u.targetRegion, next, st.transitions, valid = true)
+                case None =>
+                  EventStatus(eventId, u.targetRegion, st.status, st.transitions, valid = false)
+              }
             }
+            state.update(st)
+            // same eviction contract as [[lifecycle]]
+            if (st.status == "Completed")
+              state.setTimeoutTimestamp(
+                math.max(maxTs + completedStateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -41,13 +41,21 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   @transient private lazy val seeds: Array[Long] =
     MinHashSignature.slotSeeds(numHashes)
 
+  // null for an empty (or all-null) shingle set — the aggregate reference
+  // form emits NO signature row for such docs; an all-MaxValue signature
+  // would instead make every empty doc collide in every LSH band
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashSignature.compute(input.asInstanceOf[ArrayData], seeds)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MinHashSignature.compute($a, $seedsRef);")
+      s"""
+         |${ev.value} = graft.functions.MinHashSignature.compute($a, $seedsRef);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -62,14 +70,17 @@ object MinHashSignature {
 
   /** Loops live here as JIT-compiled Scala, invoked from generated code —
     * one virtual call per row, still inside whole-stage codegen. */
+  /** Returns null when no non-null shingle exists (see nullable note). */
   def compute(arr: ArrayData, seeds: Array[Long]): ArrayData = {
     val m = seeds.length
     val mins = new Array[Long](m)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
+    var any = false
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        any = true
         val s = arr.getUTF8String(i)
         var j = 0
         while (j < m) {
@@ -80,7 +91,7 @@ object MinHashSignature {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (any) new GenericArrayData(mins) else null
   }
 }
 

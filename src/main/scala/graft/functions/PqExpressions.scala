@@ -34,9 +34,14 @@ case class NearestCentroid(child: Expression, flat: Array[Double], k: Int, dim: 
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
+  // null for a vector whose width differs from the quantizer's dim —
+  // reading past numElements on UnsafeArrayData would return adjacent
+  // buffer bytes and assign a silently wrong cell
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
     val isFloat = elemType == FloatType
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -59,16 +64,20 @@ case class NearestCentroid(child: Expression, flat: Array[Double], k: Int, dim: 
       val (c, i, d, t, best, bestD) = (ctx.freshName("c"), ctx.freshName("i"),
         ctx.freshName("d"), ctx.freshName("t"), ctx.freshName("best"), ctx.freshName("bestD"))
       s"""
-         |int $best = 0; double $bestD = Double.MAX_VALUE;
-         |for (int $c = 0; $c < $k; $c++) {
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    double $t = (double) $v.$get($i) - $cb[$c * $dim + $i];
-         |    $d += $t * $t;
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double $t = (double) $v.$get($i) - $cb[$c * $dim + $i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
          |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  ${ev.value} = $best;
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
   }
@@ -89,9 +98,12 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, ksub: Int, d
   }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
+  // null on width mismatch — see NearestCentroid
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != m * dsub) return null
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -118,20 +130,24 @@ case class PqEncode(child: Expression, flat: Array[Double], m: Int, ksub: Int, d
         ctx.freshName("i"), ctx.freshName("d"), ctx.freshName("t"), ctx.freshName("best"),
         ctx.freshName("bestD"), ctx.freshName("codes"))
       s"""
-         |int[] $codes = new int[$m];
-         |for (int $j = 0; $j < $m; $j++) {
-         |  int $best = 0; double $bestD = Double.MAX_VALUE;
-         |  for (int $c = 0; $c < $ksub; $c++) {
-         |    double $d = 0.0;
-         |    for (int $i = 0; $i < $dsub; $i++) {
-         |      double $t = $v.getDouble($j * $dsub + $i) - $cb[($j * $ksub + $c) * $dsub + $i];
-         |      $d += $t * $t;
+         |if ($v.numElements() != $m * $dsub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $dsub; $i++) {
+         |        double $t = $v.getDouble($j * $dsub + $i) - $cb[($j * $ksub + $c) * $dsub + $i];
+         |        $d += $t * $t;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
          |    }
-         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    $codes[$j] = $best;
          |  }
-         |  $codes[$j] = $best;
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
        """.stripMargin
     })
   }
@@ -152,10 +168,13 @@ case class AdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "adc_score"
+  // null on shape mismatch — see NearestCentroid
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val lut = lutAny.asInstanceOf[ArrayData]
+    if (codes.numElements() != m || lut.numElements() != m * ksub) return null
     var acc = 0.0; var j = 0
     while (j < m) { acc += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
     acc
@@ -165,11 +184,15 @@ case class AdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
     nullSafeCodeGen(ctx, ev, (codes, lut) => {
       val (j, acc) = (ctx.freshName("j"), ctx.freshName("acc"))
       s"""
-         |double $acc = 0.0;
-         |for (int $j = 0; $j < $m; $j++) {
-         |  $acc += $lut.getDouble($j * $ksub + $codes.getInt($j));
+         |if ($codes.numElements() != $m || $lut.numElements() != $m * $ksub) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $acc += $lut.getDouble($j * $ksub + $codes.getInt($j));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

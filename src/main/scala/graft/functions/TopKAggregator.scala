@@ -110,6 +110,11 @@ object TopKAggregator {
       if (isIntegral(idType)) (udaf(TopKAgg[Long](k)), col(idCol).cast("long"))
       else (udaf(TopKAgg[String](k)), col(idCol).cast("string"))
     scored
+      // a null score/id (e.g. a null embedding upstream of cosine) can
+      // never rank; dropping it here matters because the aggregator's
+      // non-nullable (Double, id) tuple encoder otherwise ABORTS the job
+      // on the first null — the window-rank pattern tolerated them
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(topk(col(scoreCol), idAgg).as("_tk"))
       .select(col(groupCol),

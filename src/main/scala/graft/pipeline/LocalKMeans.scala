@@ -58,6 +58,11 @@ private[graft] object LocalKMeans {
             q += 1
           }
           centroids(c) = points(worst).clone()
+          // claim the point for this slot so the NEXT empty cluster in
+          // this same sweep picks a different seed — otherwise every
+          // empty slot grabs the identical farthest point and duplicate
+          // centroids leave cells permanently empty
+          assign(worst) = c
         }
         c += 1
       }

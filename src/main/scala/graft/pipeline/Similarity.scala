@@ -109,27 +109,33 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    // NORMALIZE before the quantizer (same as ivfPqTopK): cells are
+    // assigned by L2 and probed by inner product — on unit vectors those
+    // orderings agree, on raw vectors they diverge and queries probe
+    // cells their true neighbors were never assigned to (silent recall
+    // loss on un-normalized embeddings)
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
     // bounded-sample LocalKMeans + a codegen'd assignment projection:
     // training cost is corpus-size-independent, and the full-corpus pass
     // is one narrow NearestCentroid map (no MLlib fit/transform jobs)
-    val sample = c.orderBy(col("neighbor_id")).limit(4096)
-      .select(col("vec").cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     val assigned = c.withColumn("cell",
-      graft.functions.PqFunctions.nearestCentroid(col("vec"), centers))
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers))
 
     // nprobe nearest cells per query, from the broadcast centroid array
     val spark = corpus.sparkSession
     import spark.implicits._
     val centersDf = centers.zipWithIndex
-      .map { case (cn, i) => (i, cn.map(_.toFloat).toSeq) }.toSeq
+      .map { case (cn, i) => (i, cn.toSeq) }.toSeq
       .toDF("cell", "center_vec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val cellScores = q.crossJoin(broadcast(centersDf))
+    val qn = withNormalized(q, "query_vec")
+    val cellScores = qn.crossJoin(broadcast(centersDf))
       .select(col("query_id"), col("cell").as("neighbor_id"),
-        cosine(col("query_vec"), col("center_vec")).as("score"))
+        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
+                  lit(0.0), (acc, v) => acc + v).as("score"))
     val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
         org.apache.spark.sql.types.IntegerType)
       .select(col("query_id"), col("neighbor_id").as("cell"))
@@ -152,7 +158,12 @@ object Similarity {
   private def withNormalized(df: DataFrame, vecCol: String): DataFrame = {
     val n = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
                            lit(0.0), (a, v) => a + v))
-    df.withColumn("_nvec", transform(col(vecCol), x => x.cast("double") / n))
+    // an all-zero vector (padding/dead row) must stay zero, not become
+    // NaN: NaN compares false everywhere, so PqEncode would silently
+    // give it centroid-0 codes and let it surface as a plausible neighbor
+    df.withColumn("_nvec",
+      when(n > 0, transform(col(vecCol), x => x.cast("double") / n))
+        .otherwise(transform(col(vecCol), _ => lit(0.0))))
   }
 
   /** Bounded deterministic training sample: the id-smallest `n` vectors,
@@ -178,6 +189,7 @@ object Similarity {
     // IVF-PQ already collected the identical _nvec sample for the coarse
     // quantizer — reuse it instead of a second distributed top-k collect
     val sample = sharedSample.getOrElse(collectSample(c0, "_nvec", 4096))
+    require(sample.nonEmpty, "PQ quantizer training needs a non-empty corpus sample")
     val dims = sample.head.length
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val dsub = dims / m
@@ -216,9 +228,17 @@ object Similarity {
           }
           j += 1
         }
-        (r.get(0).toString.toLong, lut.toSeq)
+        org.apache.spark.sql.Row(r.get(0), lut.toSeq)
       }
-    rows.toSeq.toDF("query_id", "lut")
+    // keep the id's ORIGINAL type — every other ANN path supports
+    // string/UUID ids, and .toString.toLong crashed on them
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("lut",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** Codegen'd ADC score column over (codes, flat lut). */

@@ -240,6 +240,71 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("expression edge guards: dim mismatch -> null, empty shingles -> null, null scores tolerated") {
+    import graft.functions.{MinHashFunctions, TopKAggregator, VectorFunctions}
+    // cosine/dot return NULL on dimension mismatch (the HOF reference's
+    // zip_with null-padding), never a truncated similarity
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f, 3.0f))
+    ).toDF("id", "a", "b")
+    val sims = vecs.select(col("id"),
+        VectorFunctions.cosineSim(col("a"), col("b")).as("cos"),
+        VectorFunctions.dotProduct(col("a"), col("b")).as("dot"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(sims(1L)._1.contains(1.0) && sims(1L)._2.contains(1.0))
+    assert(sims(2L) === ((None, None)), "mismatched dims must be null")
+
+    // empty shingle set -> null signature (aggregate form emits no row;
+    // an all-MaxValue signature would LSH-collide every empty doc)
+    val sig = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a b c")))
+      .toDF("sh")
+      .select(MinHashFunctions.minhashSignature(col("sh"), 8).as("sig"))
+      .collect().map(r => Option(r.get(0)))
+    assert(sig(0).isEmpty && sig(1).nonEmpty)
+
+    // a null score row must be DROPPED by top-k, not abort the aggregator
+    val scored = Seq((1L, 10L, Some(0.9)), (1L, 11L, None), (1L, 12L, Some(0.5)))
+      .toDF("query_id", "neighbor_id", "score")
+    val top = TopKAggregator.topKPerGroup(scored, 2, org.apache.spark.sql.types.LongType)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top === Set(10L, 12L))
+  }
+
+  test("PQ paths accept string ids end to end") {
+    val corpus = (1 to 40).map(i =>
+      (s"doc-$i", Seq.tabulate(8)(d => math.sin(i * (d + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.limit(2)
+    val out = Similarity.pqTopK(corpus, queries, k = 3, m = 4, ksub = 8)
+      .select("query_id", "neighbor_id").collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getString(0).startsWith("doc-")))
+  }
+
+  test("zero vectors normalize to zero (not NaN) and never outrank real neighbors") {
+    val corpus = (1 to 30).map(i =>
+        (i.toLong, Seq.tabulate(8)(d => math.cos(i * (d + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+      .union(Seq((99L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val top = Similarity.pqTopK(corpus, queries, k = 5, m = 4, ksub = 8)
+      .select("neighbor_id").as[Long].collect()
+    assert(!top.contains(99L), "an all-zero vector must not surface as a neighbor")
+  }
+
+  test("LocalKMeans reseeds empty clusters to DISTINCT points") {
+    import graft.pipeline.LocalKMeans
+    // 3 distinct points, k=8: five clusters are empty every iteration
+    val pts = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val centers = LocalKMeans.fit(Array.tabulate(12)(i => pts(i % 3)), k = 8,
+      maxIter = 5, seed = 1L)
+    // no two centroids may coincide with each other AND a third: the
+    // distinct points must all be represented
+    assert(centers.map(_.toSeq).distinct.size >= 3,
+      "duplicate reseeds collapsed the centroid set")
+  }
+
   test("regex token count splits punctuation like a coarse BPE pre-tokenizer") {
     val df = Seq((1L, "hello, world! it's 42")).toDF("id", "text")
       .select(TA.regexTokenCount(col("text")).as("n"))

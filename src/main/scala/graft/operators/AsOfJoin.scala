@@ -42,11 +42,16 @@ object AsOfJoin {
 
     // left rows keep their full row as a struct so no column set is
     // assumed; right rows carry only key + time + payload.
+    // a right row with a NULL time (or one whose cast fails) can never
+    // be "at or before" anything — without this filter it sorts FIRST
+    // (nulls-first asc) and fabricates a match for left rows that should
+    // get left-outer nulls
     val taggedRight = right.select(
       keyCols :+ col(rightTime).cast("timestamp").as("__t") :+
         lit(1).as("__is_right") :+
         struct(payload.map(col): _*).as("__r") :+
         lit(null).cast(structType(left)).as("__l"): _*)
+      .where(col("__t").isNotNull)
     val taggedLeft = left.select(
       keyCols :+ col(leftTime).cast("timestamp").as("__t") :+
         lit(0).as("__is_right") :+
@@ -86,12 +91,14 @@ object AsOfJoin {
     val spark = left.sparkSession
     val resolver = spark.sessionState.analyzer.resolver
     val lPlan = ColumnBridge.analyzed(left)
+    // same null-time contract as the window form (see asOf)
+    val rightNonNullTime = right.filter(org.apache.spark.sql.functions.col(rightTime).isNotNull)
     // a self-join (left and right reading the same source) would put the
     // same exprIds on both sides of the node; re-aliasing the right
     // output mints fresh ids (what the analyzer's DeduplicateRelations
     // does for built-in joins — our node builds on analyzed children, so
     // it must do this itself)
-    val rPlan0 = ColumnBridge.analyzed(right)
+    val rPlan0 = ColumnBridge.analyzed(rightNonNullTime)
     val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
       rPlan0.output.map(a => org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
     def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], name: String, side: String) =

@@ -46,13 +46,17 @@ object InventoryFilter {
   def notInInventory(candidates: DataFrame, inventory: DataFrame,
                      pathCol: String = "path",
                      expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame =
-    candidates.filter(!mightContain(
-      bloomSubquery(inventory, pathCol, expectedItems, numBits), col(pathCol)))
+    // an EMPTY inventory aggregates to a NULL sketch and might_contain
+    // returns null — without the coalesce both membership filters drop
+    // every row and a fresh destination silently plans ZERO copies
+    candidates.filter(!coalesce(mightContain(
+      bloomSubquery(inventory, pathCol, expectedItems, numBits), col(pathCol)), lit(false)))
 
   /** Probable members (candidates for the stat-verify level). */
   def probablyInInventory(candidates: DataFrame, inventory: DataFrame,
                           pathCol: String = "path",
                           expectedItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame =
-    candidates.filter(mightContain(
-      bloomSubquery(inventory, pathCol, expectedItems, numBits), col(pathCol)))
+    // null sketch (empty inventory) -> nothing is probably-in
+    candidates.filter(coalesce(mightContain(
+      bloomSubquery(inventory, pathCol, expectedItems, numBits), col(pathCol)), lit(false)))
 }

@@ -29,7 +29,11 @@ final class Metrics {
 
   def setGauge(name: String, value: Double): Unit = gauges.put(name, value)
 
-  def gauge(name: String): Option[Double] = Option(gauges.get(name))
+  // gauges.get on a scala.Double-valued map unboxes a missing key's null
+  // to 0.0 BEFORE Option wraps it — containsKey first, or every absent
+  // gauge reads as a healthy Some(0.0)
+  def gauge(name: String): Option[Double] =
+    if (gauges.containsKey(name)) Some(gauges.get(name)) else None
 
   /** Point-in-time snapshot as (metric, kind, value). */
   def asDataFrame(spark: SparkSession): DataFrame = {

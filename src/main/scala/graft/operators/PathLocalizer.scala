@@ -26,6 +26,9 @@ object PathLocalizer {
     * @return localized path, or null when no prefix matches (caller
     *         quarantines nulls — the doc's unmatched-path guard). */
   def localize(path: Column, mappings: Seq[(String, String)]): Column = {
+    require(mappings.nonEmpty,
+      "localize needs at least one prefix mapping (a region with none " +
+      "configured should quarantine explicitly, not crash on .head)")
     // when-chain ordered longest-prefix-first: the first matching branch
     // wins, so longer prefixes shadow their own prefixes correctly.
     val ordered = mappings.sortBy { case (src, _) => -src.length }

@@ -41,6 +41,8 @@ object RegistryOps {
     * right side, so keep it small (8-32). */
   def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
                  salts: Int): DataFrame = {
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column; rename it on the inputs first")
     val saltedLeft = left.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("_salt",

@@ -99,7 +99,11 @@ object Curation {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1: $fractions")
     val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
-    val hexBounds = bounds.init.map(f => f"${(f * (1L << 32)).toLong}%08x")
+    // a cumulative bound that reaches 1.0 (trailing zero fraction) would
+    // format as the 9-char "100000000" and lexicographically exclude
+    // ~7/8 of hashes; "g" sorts above every 8-char hex string
+    val hexBounds = bounds.init.map(f =>
+      if (f >= 1.0) "g" else f"${(f * (1L << 32)).toLong}%08x")
     val h = substring(md5(col(idCol).cast("string")), 1, 8)
     // ascending-bound when-chain: the first satisfied threshold wins
     val assigned = hexBounds.zip(fractions.map(_._1)).reverse
@@ -168,9 +172,13 @@ object Curation {
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_phones", size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))))
       .withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      // EMAIL first: replacing phones first can mangle a phone-shaped
+      // email local part ("12-345-678-9012@corp.com" -> "<PHONE>@corp.com")
+      // so the email regex no longer matches and the address leaks while
+      // n_emails claims it was redacted
       .withColumn("redacted",
-        regexp_replace(regexp_replace(col(textCol), PhonePattern, "<PHONE>"),
-          EmailPattern, "<EMAIL>"))
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
 
   /** Canonical text normalization (the pre-dedup/pre-fingerprint form):
     * lowercase, non-alphanumerics to spaces, whitespace collapsed,
@@ -292,6 +300,12 @@ object Curation {
       .groupBy(col(idCol))
       .agg(round(lit(1.0) - countDistinct(col("trigram")).cast("double") / count(lit(1)), 4)
         .as("dup_trigram_frac"))
-    ent.join(top, idCol).join(dup, idCol)
+    // LEFT joins: a 1-2-token doc has no bigram/trigram rows, and inner
+    // joins dropped it from the report entirely — exactly the degenerate
+    // docs repetition filters exist to catch. No n-grams = no repetition
+    // evidence = 0.0.
+    ent.join(top, Seq(idCol), "left").join(dup, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+      .withColumn("dup_trigram_frac", coalesce(col("dup_trigram_frac"), lit(0.0)))
   }
 }

@@ -425,8 +425,11 @@ object Pipeline {
                       FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
               dup AS (SELECT doc_id, round(1.0 - count(DISTINCT g)::DOUBLE / count(g), 4) AS dup_trigram_frac
                       FROM tri WHERE ok IS NOT NULL GROUP BY 1)
-         SELECT doc_id, word_entropy, top_bigram_frac, dup_trigram_frac
-         FROM ent JOIN top USING (doc_id) JOIN dup USING (doc_id) ORDER BY doc_id""",
+         SELECT doc_id, word_entropy,
+                COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+                COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac
+         FROM ent LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+         ORDER BY doc_id""",
     "text_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents),
@@ -597,8 +600,8 @@ object Pipeline {
            FROM documents)
          SELECT doc_id,
                 md5(regexp_replace(
-                      regexp_replace(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS redacted_md5,
+                      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                      '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
                 CAST(len(regexp_extract_all(text, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
                 CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails
          FROM planted ORDER BY doc_id""",

@@ -53,9 +53,10 @@ class CurationSpec extends SparkSpec {
   }
 
   test("asOfExec matches the window form on null keys and null timestamps") {
-    // null keys group together (window-partition semantics); null times
-    // sort first — right null-time rows match any left row of the key,
-    // left null-time rows match only null-time rights
+    // null keys group together (window-partition semantics); a null TIME
+    // on either side can never satisfy "at or before" (SQL comparison
+    // semantics, matching DuckDB ASOF): null-time rights are filtered,
+    // null-time lefts get left-outer nulls
     val left = Seq(
       (1L, Option("A"), Option(ts("2024-01-01 10:00:10"))),
       (2L, Option("A"), Option.empty[Timestamp]),
@@ -74,8 +75,8 @@ class CurationSpec extends SparkSpec {
       .select("lid", "asof_rid").as[(Long, Option[Long])].collect().toMap
     assert(got === ref)
     // and the semantics themselves, not just parity
-    assert(got === Map(1L -> Some(100L), 2L -> Some(101L),
-                       3L -> Some(102L), 4L -> Some(103L)))
+    assert(got === Map(1L -> Some(100L), 2L -> None,
+                       3L -> Some(102L), 4L -> None))
   }
 
   test("asOf equals the brute-force argmax on a random fixture") {

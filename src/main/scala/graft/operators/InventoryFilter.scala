@@ -35,6 +35,21 @@ object InventoryFilter {
       ColumnBridge.expression(bloom),
       ColumnBridge.expression(xxhash64(c))))
 
+  /** Build the inventory sketch ONCE as a scalar-subquery column — pass
+    * it to both membership filters instead of aggregating the (billions-
+    * row) inventory twice for two identical sketches. */
+  def bloomSketch(inventory: DataFrame, pathCol: String,
+                  expectedItems: Long, numBits: Long): Column =
+    bloomSubquery(inventory, pathCol, expectedItems, numBits)
+
+  /** Membership filters over a prebuilt sketch (null sketch = empty
+    * inventory: nothing is probably-in, everything is definitely-out). */
+  def notInSketch(candidates: DataFrame, sketch: Column, pathCol: String = "path"): DataFrame =
+    candidates.filter(!coalesce(mightContain(sketch, col(pathCol)), lit(false)))
+
+  def probablyInSketch(candidates: DataFrame, sketch: Column, pathCol: String = "path"): DataFrame =
+    candidates.filter(coalesce(mightContain(sketch, col(pathCol)), lit(false)))
+
   private def bloomSubquery(inventory: DataFrame, pathCol: String,
                             expectedItems: Long, numBits: Long): Column =
     ColumnBridge.scalarSubquery(

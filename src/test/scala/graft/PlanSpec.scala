@@ -74,6 +74,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"sample did a full sort:\n$p")
   }
 
+  test("ball-cover near-dup search contains no cartesian product — cell-pair equi-joins only") {
+    val p = plan("ann_neardup_pairs")
+    assert(!p.contains("CartesianProduct"), s"ball cover degraded to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ball cover degraded to nested-loop:\n$p")
+  }
+
   test("MinHash-LSH pair search contains no cartesian product — banded equi-joins only") {
     val p = plan("dedup_minhash_pairs")
     assert(!p.contains("CartesianProduct"), s"LSH degraded to all-pairs:\n$p")

@@ -257,6 +257,112 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
+  * long. Plane component for (plane p, dim i) is the SAME deterministic
+  * pseudo-random the composable HOF form uses —
+  * (xxhash64(p, i) % 1000) / 500.0 with Spark's chained-seed XXH64 — so
+  * swapping this expression in never moves a vector to a different
+  * bucket (spec-asserted bit-equality).
+  *
+  * The HOF form recomputes planes×dims hashes per ROW interpreted; here
+  * the coefficient matrix is cached per distinct width (vector dims vary
+  * by row in general, but are constant within a table), so steady-state
+  * per-row cost is a pure fused multiply loop inside whole-stage
+  * codegen. */
+case class LshBucket(child: Expression, planes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes >= 1 && planes <= 63, s"planes=$planes must be in [1, 63]")
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et; case _ => org.apache.spark.sql.types.NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult = elemType match {
+    case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float|double>")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  @transient private var coefCache: Array[Double] = _
+
+  private def coefFor(dims: Int): Array[Double] = {
+    if (coefCache == null || coefCache.length < planes * dims) {
+      coefCache = LshBucket.coefficients(planes, dims)
+    }
+    coefCache
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dims = x.numElements()
+    val coef = coefFor(dims)
+    val isFloat = elemType == FloatType
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0; var i = 0
+      while (i < dims) {
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        dot += xi * coef(p * dims + i); i += 1
+      }
+      if (dot > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[LshBucket].getName.stripSuffix("$")
+    // per-operator mutable coefficient cache: hashed once per distinct
+    // width, reused for every row of the partition
+    val coef = ctx.addMutableState("double[]", "lshCoef", _ => "")
+    val get = if (elemType == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val (p, i, dot, dims, bucket) = (ctx.freshName("p"), ctx.freshName("i"),
+        ctx.freshName("dot"), ctx.freshName("dims"), ctx.freshName("bucket"))
+      s"""
+         |int $dims = $v.numElements();
+         |if ($coef == null || $coef.length < $planes * $dims) {
+         |  $coef = $cls.coefficients($planes, $dims);
+         |}
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += (double) $v.$get($i) * $coef[$p * $dims + $i];
+         |  }
+         |  if ($dot > 0) $bucket |= 1L << $p;
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+}
+
+object LshBucket {
+  /** planes×dims plane components, row-major — EXACTLY the SQL form's
+    * arithmetic: (xxhash64(p, i) % 1000) / 500.0, where xxhash64 chains
+    * int children through Spark's XXH64 with seed 42. */
+  def coefficients(planes: Int, dims: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val out = new Array[Double](planes * dims)
+    var p = 0
+    while (p < planes) {
+      val seedP = XXH64.hashInt(p, 42L)
+      var i = 0
+      while (i < dims) {
+        out(p * dims + i) = (XXH64.hashInt(i, seedP) % 1000L).toDouble / 500.0
+        i += 1
+      }
+      p += 1
+    }
+    out
+  }
+}
+
 object VectorFunctions {
   /** Fused cosine similarity — use in pairwise joins and top-k scans. */
   def cosineSim(a: Column, b: Column): Column =
@@ -277,4 +383,8 @@ object VectorFunctions {
   def sortedLongJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedLongJaccard(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd sign-LSH bucket key (bit-identical to the HOF form). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(vec), planes))
 }

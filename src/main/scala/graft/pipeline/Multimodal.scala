@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * (`spark.sql.files.maxPartitionBytes`) so a 100 TB media table yields
   * balanced tasks.
   *
-  * STUB NOTE: no codec libraries ship in this container, so the default
-  * decoder is a deterministic fake (byte statistics standing in for
-  * pixels). The Spark-side plumbing — schema, encoders, partition
-  * batching, feature signature — is real and tested; swap
-  * `DeterministicFakeDecoder` for a JNI/FFmpeg/ImageIO-backed
-  * implementation in production.
+  * Decoders: `ImageIoDecoder` is a REAL image decoder over the in-JDK
+  * javax.imageio codecs (PNG/JPEG/GIF/BMP) — see the mm_decode gate
+  * query, which round-trips deterministic pixels through actual PNG
+  * encode/decode under a cross-engine oracle. `DeterministicFakeDecoder`
+  * remains for audio/video formats whose codecs don't ship in this
+  * container (byte statistics standing in for samples) and for
+  * determinism tests; swap it for an FFmpeg-backed MediaDecoder in
+  * production — the plumbing contract (schema, encoders, partition
+  * batching) is identical.
   */
 object Multimodal {
 
@@ -48,6 +51,97 @@ object Multimodal {
       MediaFeatures(docId, format, bytes.length.toLong,
         if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, mx, head)
     }
+  }
+
+  // ---------------- real image decode (javax.imageio — in-JDK) ----------------
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           channels: Int, px_sum: Long)
+
+  /** REAL image decoder over the in-JDK `javax.imageio` codecs (PNG,
+    * JPEG, GIF, BMP — no external deps, offline-safe). Returns None for
+    * bytes no installed reader accepts, so a mixed media column degrades
+    * row-by-row instead of failing the task. px_sum is the sum of every
+    * raster sample across all bands — for lossless formats (PNG) it is
+    * bit-exact against the encoder's input, which is what lets the
+    * mm_decode gate query carry a cross-engine oracle. */
+  object ImageIoDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        val (w, h, ch) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < ch) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, ch, sum))
+      }
+    }
+  }
+
+  /** Deterministic synthetic image per document, encoded as a REAL PNG:
+    * width/height derive from doc_id, sample i (row-major, band-minor)
+    * is (doc_id·31 + i) mod 256; even ids are 8-bit grayscale, odd ids
+    * RGB. PNG is lossless, so decoding recovers exactly these samples —
+    * the arithmetic an engine with no codec (DuckDB) can replay. One
+    * encoder pass per partition, same batching contract as the decoders. */
+  def syntheticPngTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id * 7) % 16).toInt
+        val gray = id % 2 == 0
+        val img = new java.awt.image.BufferedImage(w, h,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        val ch = raster.getNumBands
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < ch) {
+              val i = (y.toLong * w + x) * ch + b
+              raster.setSample(x, y, b, ((id * 31 + i) % 256).toInt)
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        MediaRow(id, bytes, "image/png", bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Per-partition REAL decode of an image media column → dimensions,
+    * channel count, and the exact sample sum. Undecodable rows are
+    * dropped (logged upstream by count difference), mirroring how a
+    * production pipeline quarantines corrupt media. */
+  def decodeImageFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          ImageIoDecoder.decode(r.media).map { case (w, h, ch, sum) =>
+            ImageFeatures(r.doc_id, w, h, ch, sum)
+          }
+        }
+      }
   }
 
   /** Derive a media table from the documents corpus: text bytes stand in

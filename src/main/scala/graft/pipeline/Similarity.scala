@@ -148,8 +148,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
     * long. Plane components are deterministic pseudo-randoms from
-    * xxhash64(plane, dim) — reproducible across runs and cluster sizes. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+    * xxhash64(plane, dim) — reproducible across runs and cluster sizes.
+    * Codegen'd Catalyst expression with a per-width coefficient cache
+    * (the last interpreted HOF on a vector hot path, retired); the HOF
+    * reference form below stays for the bit-equality spec. */
+  def lshBucket(vec: Column, planes: Int): Column =
+    graft.functions.VectorFunctions.lshBucket(vec, planes)
+
+  /** Interpreted higher-order-function reference for [[lshBucket]]. */
+  private[graft] def lshBucketHof(vec: Column, planes: Int): Column = {
     // dims derived per row from the vector itself — a hardcoded width would
     // null the plane dot product (element_at past the end) for narrower
     // embeddings and silently collapse every bucket to 0.

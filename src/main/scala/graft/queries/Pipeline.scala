@@ -352,6 +352,20 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image decode: deterministic per-doc pixels → actual PNG encode
+    * (javax.imageio) → actual PNG decode → dimensions + exact sample sum.
+    * PNG is lossless, so the decoded samples equal the planted
+    * arithmetic, which DuckDB replays without any codec — the oracle
+    * checks a genuine encode→decode round trip, not a fake. */
+  private def mmDecode: Q = (s, d) => {
+    implicit val sp: SparkSession = s
+    Multimodal.decodeImageFeatures(
+        Multimodal.syntheticPngTable(Tables.documents(s, d)).toDF())
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"), col("px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_keepers"  -> dedupExactKeepers,
     "dedup_exact_groups"   -> dedupExactGroups,
@@ -385,6 +399,7 @@ object Pipeline {
     "sample_pack_chunks"   -> samplePackChunks,
     "sample_weighted"      -> sampleWeighted,
     "mm_media_stats"       -> mmMediaStats,
+    "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
     "mm_resize"            -> mmResize,
@@ -739,6 +754,18 @@ object Pipeline {
           FROM embeddings e JOIN q ON e.vec_id < q.vec_id
           WHERE $cosineSql >= 0.4
           ORDER BY id_a, id_b""",
+    "mm_decode" ->
+      """WITH spec AS (
+           SELECT doc_id,
+                  CAST(8 + doc_id % 16 AS INT) AS width,
+                  CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+                  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+           FROM documents)
+         SELECT doc_id, width, height, channels,
+                CAST(list_aggregate(list_transform(
+                       range(0, width * height * channels),
+                       i -> (doc_id * 31 + i) % 256), 'sum') AS BIGINT) AS px_sum
+         FROM spec ORDER BY doc_id""",
     "mm_media_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                      WHEN doc_id % 3 = 1 THEN 'audio/wav'

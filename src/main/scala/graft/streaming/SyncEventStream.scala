@@ -53,19 +53,33 @@ object SyncEventStream {
     * processing-time timeouts force `shouldRunAnotherBatch` true on every
     * trigger (the engine can never quiesce — an idle query spins empty
     * batches and processAllAvailable never returns), and they are not
-    * replay-deterministic; watermark-driven expiry is both. */
+    * replay-deterministic; watermark-driven expiry is both.
+    *
+    * Output contract: when a Completed key's state expires, ONE final row
+    * is emitted with status `"Expired"` (targetRegion empty, transitions
+    * preserved) — distinguishable from every lifecycle status, so
+    * downstream consumers never see a duplicate terminal `Completed` row.
+    *
+    * `latenessMs` bounds how far behind max event time an update may
+    * arrive before the watermark drops it — a SEPARATE knob from
+    * `completedStateTtlMs` (how long a Completed key keeps rejecting
+    * late duplicates). Pass -1 (default) to reuse the TTL for both,
+    * the historical behavior. */
   def lifecycle(updates: Dataset[EventUpdate],
-                completedStateTtlMs: Long = 3600000L)
+                completedStateTtlMs: Long = 3600000L,
+                latenessMs: Long = -1L)
                (implicit spark: SparkSession): Dataset[EventStatus] = {
     import spark.implicits._
-    updates.withWatermark("eventTime", s"$completedStateTtlMs milliseconds")
+    val lateness = if (latenessMs >= 0) latenessMs else completedStateTtlMs
+    updates.withWatermark("eventTime", s"$lateness milliseconds")
       .groupByKey(_.eventId)
       .mapGroupsWithState[EventState, EventStatus](GroupStateTimeout.EventTimeTimeout) {
         (eventId, batch, state: GroupState[EventState]) =>
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            EventStatus(eventId, "", st.status, st.transitions, valid = true)
+            // distinct terminal marker — NOT a re-emission of Completed
+            EventStatus(eventId, "", "Expired", st.transitions, valid = true)
           } else {
             var st = state.getOption.getOrElse(EventState("Pending", 0))
             var region = ""
@@ -94,10 +108,12 @@ object SyncEventStream {
     * `mapGroupsWithState`, for audit-log sinks that need every hop of
     * Pending→InProgress→{Completed,Failed}→(retry)Pending. */
   def lifecycleTimeline(updates: Dataset[EventUpdate],
-                        completedStateTtlMs: Long = 3600000L)
+                        completedStateTtlMs: Long = 3600000L,
+                        latenessMs: Long = -1L)
                        (implicit spark: SparkSession): Dataset[EventStatus] = {
     import spark.implicits._
-    updates.withWatermark("eventTime", s"$completedStateTtlMs milliseconds")
+    val lateness = if (latenessMs >= 0) latenessMs else completedStateTtlMs
+    updates.withWatermark("eventTime", s"$lateness milliseconds")
       .groupByKey(_.eventId)
       .flatMapGroupsWithState[EventState, EventStatus](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {

@@ -537,6 +537,54 @@ class GeoReplicationSpec extends SparkSpec {
     assert(cat.listTablesStream("nope").isEmpty)
   }
 
+  test("cross-process control plane: a second JVM commits concurrently through the file-CAS catalog") {
+    // the reference's production intent is MULTIPLE coordinator processes
+    // sharing one catalog (its v2 gate simulates multi-region commit
+    // arbitration in-memory, InMemoryCommitGateAdapter.java:29-81). The
+    // file-CAS commit point needs no in-process lock, so a foreign JVM
+    // must interleave with zero lost updates and a gapless linear history.
+    val wh = Files.createTempDirectory("graft-xproc").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "t")
+    val perSide = 8
+
+    val sparkJars = "/opt/spark/jars/*"
+    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic").map(p => s"--add-opens=java.base/$p=ALL-UNNAMED") ++
+      Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
+        .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx1g", "-cp", s"$classes:$sparkJars",
+      "graft.tools.CommitStorm", wh, "ns", "t", "jvm2", perSide.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+
+    // this JVM commits in parallel with the child process
+    (0 until perSide).foreach { i =>
+      cat.commitAppend("ns", "t", Seq(("jvm1", i)).toDF("committer", "i"),
+        sourceRegion = "jvm1", maxRetries = 50)
+    }
+    val out = scala.io.Source.fromInputStream(child.getInputStream).mkString
+    assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), s"child hung:\n$out")
+    assert(child.exitValue() === 0, s"child failed:\n${out.takeRight(4000)}")
+    assert(out.contains(s"STORM-DONE jvm2 $perSide"), s"child did not finish:\n${out.takeRight(2000)}")
+
+    val snaps = cat.snapshots("ns", "t")
+    assert(snaps.map(_.seq) === (0L until 2L * perSide), "gapless monotonic seq")
+    // linear history: every snapshot's parent is exactly its predecessor —
+    // a lost update would fork the chain or skip a parent
+    snaps.sliding(2).foreach { case Seq(p, c) =>
+      assert(c.parentId === Some(p.commitId), s"broken chain at seq ${c.seq}")
+    }
+    val bySide = snaps.groupBy(_.sourceRegion).view.mapValues(_.size).toMap
+    assert(bySide === Map("jvm1" -> perSide, "jvm2" -> perSide))
+    // and the data all landed: one row per commit
+    assert(cat.read("ns", "t").count() === 2L * perSide)
+  }
+
   test("StorageOps distributed copy is exists-guarded (idempotent)") {
     val src = Files.createTempDirectory("src")
     val dst = Files.createTempDirectory("dst")

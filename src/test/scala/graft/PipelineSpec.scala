@@ -177,6 +177,20 @@ class PipelineSpec extends SparkSpec {
     assert(buckets.toSeq === again.toSeq)
   }
 
+  test("codegen'd lsh_bucket is bit-identical to the HOF reference across widths and planes") {
+    val rnd = new scala.util.Random(13)
+    for (dims <- Seq(8, 32, 64); planes <- Seq(4, 8, 16)) {
+      val vecs = (0L until 50L).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      val pair = vecs.select(
+          Similarity.lshBucket(col("embedding"), planes).as("fast"),
+          Similarity.lshBucketHof(col("embedding"), planes).as("ref"))
+        .as[(Long, Long)].collect()
+      assert(pair.forall(p => p._1 == p._2),
+        s"dims=$dims planes=$planes diverged: ${pair.find(p => p._1 != p._2)}")
+    }
+  }
+
   test("near-dup clustering: transitive pairs collapse to min-id components") {
     val ids = (0L to 7L).toDF("doc_id")
     // components: {0,1,2,3} via chain, {5,6}, singletons {4}, {7}
@@ -410,6 +424,33 @@ class PipelineSpec extends SparkSpec {
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
     assert(run(codegen = true) === run(codegen = false))
+  }
+
+  test("ImageIoDecoder decodes real PNG bytes bit-exactly and real JPEG dimensions") {
+    import graft.pipeline.Multimodal
+    implicit val s = spark
+    // PNG round trip: planted samples recovered exactly (lossless)
+    val docs = Seq(2L, 3L, 10L, 11L).toDF("doc_id")
+    val decoded = Multimodal.decodeImageFeatures(
+        Multimodal.syntheticPngTable(docs).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(decoded.size === 4, "every synthetic PNG must decode")
+    for ((id, f) <- decoded) {
+      val (w, h, ch) = (8 + (id % 16).toInt, 8 + ((id * 7) % 16).toInt,
+        if (id % 2 == 0) 1 else 3)
+      assert((f.width, f.height, f.channels) === ((w, h, ch)))
+      val expected = (0L until w.toLong * h * ch).map(i => (id * 31 + i) % 256).sum
+      assert(f.px_sum === expected, s"PNG decode must be bit-exact for doc $id")
+    }
+    // JPEG (lossy): dimensions and channel count still decode correctly
+    val img = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = Multimodal.ImageIoDecoder.decode(bos.toByteArray)
+    assert(jpeg.map(d => (d._1, d._2, d._3)) === Some((20, 12, 3)))
+    // undecodable bytes degrade to None, not an exception
+    assert(Multimodal.ImageIoDecoder.decode("not an image".getBytes).isEmpty)
   }
 
   test("frameSample slices exact byte windows; resize keeps every stride-th byte") {

@@ -48,6 +48,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("completed state expires with a distinct Expired marker, never a duplicate Completed row") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventUpdate]
+    // tiny TTL, tiny lateness: the next batch's watermark evicts the key
+    val query = SyncEventStream.lifecycle(input.toDS(),
+        completedStateTtlMs = 1000L, latenessMs = 500L)
+      .writeStream.format("memory").queryName("lifecycle_expiry")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventUpdate(1L, "eu", "InProgress", ts("2024-01-01 00:00:01")),
+        EventUpdate(1L, "eu", "Completed", ts("2024-01-01 00:00:02")))
+      query.processAllAvailable()
+      // unrelated event far in the future advances the watermark past
+      // completion + TTL, firing the EventTimeTimeout for key 1
+      input.addData(EventUpdate(9L, "us", "InProgress", ts("2024-01-01 01:00:00")))
+      query.processAllAvailable()
+      input.addData(EventUpdate(9L, "us", "Failed", ts("2024-01-01 01:00:01")))
+      query.processAllAvailable()
+      val rows = spark.table("lifecycle_expiry").as[EventStatus].collect()
+        .filter(_.eventId == 1L)
+      assert(rows.count(_.status == "Completed") === 1, "terminal Completed row emitted once")
+      val expired = rows.filter(_.status == "Expired")
+      assert(expired.length === 1, s"state eviction must emit one Expired marker, got: ${rows.toSeq}")
+      assert(expired.head.transitions === 2, "expiry preserves the transition count")
+    } finally query.stop()
+  }
+
   test("lifecycle timeline emits EVERY transition hop (flatMapGroupsWithState audit form)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

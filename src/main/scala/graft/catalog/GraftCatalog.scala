@@ -232,6 +232,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Path, Seq[ManifestEntry]]()
 
+  // Latest file set per table, keyed by the commit it reflects: lets
+  // commitFiles dedup each commit against its parent in O(new files)
+  // amortized instead of re-materializing the full 50k+-entry set per
+  // commit. ONE entry per table (memory O(live files), same order as the
+  // manifest cache); a miss (foreign commit, reopened catalog) rebuilds
+  // from the manifests.
+  private val latestFileSet =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Set[String])]()
+
+  private def parentFileSet(ns: String, name: String, parent: Option[Snapshot]): Set[String] =
+    parent match {
+      case None => Set.empty
+      case Some(p) =>
+        val cached = latestFileSet.get((ns, name))
+        if (cached != null && cached._1 == p.commitId) cached._2
+        else dataFiles(ns, name, p).toSet
+    }
+
   private def manifestEntriesFull(ns: String, name: String, rel: String): Seq[ManifestEntry] =
     manifestCache.computeIfAbsent(tableDir(ns, name).resolve(rel).toAbsolutePath, ap =>
       Files.readAllLines(ap, StandardCharsets.UTF_8).asScala
@@ -535,31 +553,38 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       }
       attemptManifest = None
     }
-    try casCommit(ns, name, maxRetries) { parent =>
-      dropAttemptManifest()
-      // re-check inside the CAS closure (concurrent duplicate replays)
-      commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
-        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    var committedSet: Set[String] = Set.empty
+    try {
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        dropAttemptManifest()
+        // re-check inside the CAS closure (concurrent duplicate replays)
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        // dedup against the parent so a retried sync event can't register
+        // the same landed file twice (keeps the one-manifest-per-file
+        // invariant the manifest-set diff and expiry rely on) — O(new
+        // files) amortized via the latest-file-set cache
+        val parentFiles = parentFileSet(ns, name, parent)
+        val landed = newFiles.filterNot(parentFiles)
+          .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
+        val newManifest =
+          if (landed.isEmpty) None else Some(writeManifest(ns, name, landed))
+        attemptManifest = newManifest
+        committedSet = parentFiles ++ landed.map(_._1)
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
+          sourceRegion,
+          parent.map(_.fileCount).getOrElse(0L) + landed.size,
+          parent.map(_.totalBytes).getOrElse(0L) + landed.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
       }
-      // dedup against the parent so a retried sync event can't register
-      // the same landed file twice (keeps the one-manifest-per-file
-      // invariant the manifest-set diff and expiry rely on)
-      val parentFiles = parent.map(dataFiles(ns, name, _).toSet).getOrElse(Set.empty)
-      val landed = newFiles.filterNot(parentFiles)
-        .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
-      val newManifest =
-        if (landed.isEmpty) None else Some(writeManifest(ns, name, landed))
-      attemptManifest = newManifest
-      Snapshot(
-        parent.map(_.seq + 1).getOrElse(0L),
-        commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
-        parent.map(_.commitId),
-        System.currentTimeMillis(),
-        parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifest,
-        sourceRegion,
-        parent.map(_.fileCount).getOrElse(0L) + landed.size,
-        parent.map(_.totalBytes).getOrElse(0L) + landed.map(_._2).sum,
-        schemaJson.orElse(parent.flatMap(_.schemaJson)))
+      latestFileSet.put((ns, name), (snap.commitId, committedSet))
+      snap
     } catch { case e: Throwable =>
       dropAttemptManifest(); throw e
     }

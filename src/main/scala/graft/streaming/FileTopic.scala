@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-shaped durable topic over append-only files — the external-queue
+  * seam for E1 (reference stub: KafkaEventBusAdapter.java:7-16).
+  *
+  * Shape mirrors Kafka's contract, not its wire protocol:
+  *  - a topic is a set of PARTITIONS; a record is (partition, offset,
+  *    timestamp, key, value) with offsets dense and monotonic per
+  *    partition; records are partitioned by key hash so one key's
+  *    records stay totally ordered;
+  *  - the producer appends SEGMENT files (one per flush, monotonically
+  *    named) — never rewrites — so both the poll consumer and Spark's
+  *    file streaming source see an immutable, replayable log;
+  *  - consumers track progress as committed offsets per (group,
+  *    partition), stored beside the log; delivery is at-least-once on
+  *    redrive after a crash, exactly like a Kafka group rebalance.
+  *
+  * Single writer per partition (Kafka's broker-side invariant) — this
+  * adapter is the local twin of a real broker, swap-compatible at the
+  * call sites: `publish` matches EventBus's surface, `streamDF` feeds
+  * SyncEventStream the same rows a kafka source would.
+  */
+final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
+  require(partitions >= 1, s"partitions=$partitions")
+
+  private def partDir(p: Int): Path = Paths.get(root, topic, s"part=$p")
+  private def offsetsDir: Path = Paths.get(root, topic, "_offsets")
+  (0 until partitions).foreach(p => Files.createDirectories(partDir(p)))
+  Files.createDirectories(offsetsDir)
+
+  // next offset per partition, recovered from the log on open (a segment
+  // file's name carries its base offset and record count)
+  private val nextOffset: Array[AtomicLong] = Array.tabulate(partitions) { p =>
+    new AtomicLong(segmentFiles(p).lastOption.map { f =>
+      val Array(base, n) = f.getFileName.toString.stripPrefix("segment-")
+        .stripSuffix(".jsonl").split("-").map(_.toLong)
+      base + n
+    }.getOrElse(0L))
+  }
+  private def segmentFiles(p: Int): Seq[Path] =
+    Files.list(partDir(p)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("segment-"))
+      .sortBy(_.getFileName.toString.stripPrefix("segment-")
+        .stripSuffix(".jsonl").split("-").head.toLong)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def partitionFor(key: String): Int = math.floorMod(key.hashCode, partitions)
+
+  /** Append a batch of (key, value) records with an explicit event
+    * timestamp; one new segment file per touched partition (immutable —
+    * the file-stream source and replaying consumers depend on it).
+    * Returns the (partition, offset) of every record in input order. */
+  def appendBatch(records: Seq[(String, String)], tsMs: Long): Seq[(Int, Long)] = {
+    val byPart = records.zipWithIndex.groupBy { case ((k, _), _) => partitionFor(k) }
+    val out = new Array[(Int, Long)](records.size)
+    byPart.foreach { case (p, recs) =>
+      val base = nextOffset(p).getAndAdd(recs.size)
+      val lines = recs.zipWithIndex.map { case (((k, v), origIdx), i) =>
+        out(origIdx) = (p, base + i)
+        s"""{"partition":$p,"offset":${base + i},"ts":$tsMs,"key":"${esc(k)}","value":"${esc(v)}"}"""
+      }
+      // segment name = base offset + record count: unique because base
+      // offsets are monotonic per partition (and recovered on reopen);
+      // CREATE_NEW turns any violation of that invariant into a loud error
+      val seg = partDir(p).resolve(
+        s"segment-$base-${recs.size}.jsonl")
+      Files.write(seg, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+    }
+    out.toSeq
+  }
+
+  /** EventBus-surface publish: event type is the record key (so one
+    * type's events are totally ordered, like a keyed Kafka producer). */
+  def publish(eventType: String, payload: String, tsMs: Long): (Int, Long) =
+    appendBatch(Seq(eventType -> payload), tsMs).head
+
+  case class Record(partition: Int, offset: Long, ts: Long, key: String, value: String)
+
+  private def parse(line: String): Record = {
+    // records are written by this class only — parse with the same
+    // minimal escaping rules (no external JSON dependency in the hot path)
+    def field(name: String): String = {
+      val tag = s""""$name":"""
+      val at = line.indexOf(tag)
+      require(at >= 0, s"corrupt record: $line")
+      val rest = line.substring(at + tag.length)
+      if (rest.startsWith("\"")) {
+        val sb = new StringBuilder; var i = 1
+        while (rest.charAt(i) != '"') {
+          if (rest.charAt(i) == '\\') {
+            rest.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+              case 't' => sb.append('\t')
+              case 'u' => sb.append(Integer.parseInt(rest.substring(i + 2, i + 6), 16).toChar)
+              case c => sb.append(c)
+            }
+            i += (if (rest.charAt(i + 1) == 'u') 6 else 2)
+          } else { sb.append(rest.charAt(i)); i += 1 }
+        }
+        sb.toString
+      } else rest.takeWhile(c => c != ',' && c != '}')
+    }
+    Record(field("partition").toInt, field("offset").toLong, field("ts").toLong,
+      field("key"), field("value"))
+  }
+
+  /** Read records of one partition from `fromOffset` (inclusive). */
+  def poll(partition: Int, fromOffset: Long, max: Int = Int.MaxValue): Seq[Record] =
+    segmentFiles(partition).iterator.flatMap { f =>
+      val Array(base, n) = f.getFileName.toString.stripPrefix("segment-")
+        .stripSuffix(".jsonl").split("-").map(_.toLong)
+      if (base + n <= fromOffset) Iterator.empty
+      else Files.readAllLines(f).asScala.iterator.map(parse)
+        .filter(_.offset >= fromOffset)
+    }.take(max).toSeq
+
+  def endOffset(partition: Int): Long = nextOffset(partition).get()
+
+  // ---- consumer groups: committed offsets live beside the log ----
+
+  private def groupFile(group: String, p: Int): Path =
+    offsetsDir.resolve(s"$group-$p.offset")
+
+  def committedOffset(group: String, partition: Int): Long = {
+    val f = groupFile(group, partition)
+    if (Files.exists(f)) new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  def commitOffset(group: String, partition: Int, offset: Long): Unit = {
+    val tmp = offsetsDir.resolve(s".tmp-$group-$partition-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, offset.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, groupFile(group, partition),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Kafka-consumer-shaped drain: deliver every record past the group's
+    * committed offsets to `handler`, then commit the new positions.
+    * At-least-once: a crash between delivery and commit redelivers on
+    * the next drain — same contract as a group rebalance mid-poll. */
+  def drain(group: String)(handler: Record => Unit): Int = {
+    var n = 0
+    (0 until partitions).foreach { p =>
+      val from = committedOffset(group, p)
+      val recs = poll(p, from)
+      recs.foreach(handler)
+      if (recs.nonEmpty) { commitOffset(group, p, recs.last.offset + 1); n += recs.size }
+    }
+    n
+  }
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("partition", IntegerType), StructField("offset", LongType),
+    StructField("ts", LongType), StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** Structured-Streaming view of the topic — the `readStream` twin of a
+    * kafka source: one row per record, `ts` surfaced as an event-time
+    * timestamp column. New segment files become new micro-batch input,
+    * so SyncEventStream consumes this exactly as it would a broker. */
+  def streamDF(spark: SparkSession): DataFrame =
+    spark.readStream.schema(recordSchema)
+      .option("maxFilesPerTrigger", "16")
+      .json(s"$root/$topic/part=*")
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+}

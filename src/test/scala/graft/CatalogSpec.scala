@@ -310,6 +310,50 @@ class CatalogSpec extends SparkSpec {
     assert(corner.inputFiles.length <= 2, s"corner tile read ${corner.inputFiles.length} files")
   }
 
+  test("manifest scale: 50k-file table — O(new files) commits, distributed listing and diff") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "big")
+    val base = cat.tablePath("ns", "big")
+    Files.createDirectories(base.resolve("data"))
+    val batches = 100; val perBatch = 500 // 50k files total
+    val timings = Array.ofDim[Double](batches)
+    (0 until batches).foreach { b =>
+      val files = (0 until perBatch).map { i =>
+        val rel = s"data/f-$b-$i.bin"
+        Files.write(base.resolve(rel), Array[Byte](1)); rel
+      }
+      val t0 = System.nanoTime()
+      cat.commitFiles("ns", "big", files, sourceRegion = "local")
+      timings(b) = (System.nanoTime() - t0) / 1e6
+    }
+    val snaps = cat.snapshots("ns", "big")
+    assert(snaps.size === batches && snaps.last.fileCount === batches.toLong * perBatch)
+    // commit = O(new files) structurally: exactly ONE manifest added per
+    // commit, prior manifests never rewritten (manifest count on disk ==
+    // commit count; manifests are immutable by construction)
+    snaps.sliding(2).foreach { case Seq(p, c) =>
+      assert(c.manifests.size === p.manifests.size + 1, s"commit ${c.seq} rewrote manifests")
+    }
+    assert(Files.list(base.resolve("_meta/manifests")).count() === batches.toLong)
+    // commit cost stays flat as the table grows 100x: generous 10x bound
+    // rides out CPU steal but catches an O(table)-per-commit regression
+    val first = timings.slice(2, 22).sum / 20
+    val last = timings.takeRight(20).sum / 20
+    assert(last < first * 10, f"commit cost grew with table size: first=$first%.1fms last=$last%.1fms")
+    info(f"commit cost: first-20 avg $first%.1f ms, last-20 avg $last%.1f ms (table 100x larger)")
+
+    // listing is a real distributed file-source scan of the manifests —
+    // the driver never materializes the 50k-row file list
+    val head = cat.filesTable("ns", "big", snaps.last.seq)
+    assert(head.count() === batches.toLong * perBatch)
+    assert(head.queryExecution.executedPlan.toString.contains("FileScan json"),
+      "filesTable must plan as a distributed manifest scan")
+    // snapshot diff runs over the same distributed listings
+    val mid = cat.filesTable("ns", "big", snaps(batches / 2).seq)
+    assert(SnapshotDiff.addedFiles(mid, head, Seq("path")).count()
+      === snaps.last.fileCount - snaps(batches / 2).fileCount)
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

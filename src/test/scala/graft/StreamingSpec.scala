@@ -1,11 +1,12 @@
 package graft
 
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.streaming.SyncEventStream
 import graft.streaming.SyncEventStream.{EventStatus, EventUpdate}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, split}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured-Streaming lifecycle semantics via MemoryStream. */
@@ -95,6 +96,53 @@ class StreamingSpec extends SparkSpec {
       // every hop appears, in order, including the rejected final jump
       assert(rows.map(r => (r.status, r.valid)).toSeq === Seq(
         ("InProgress", true), ("Failed", true), ("Pending", true), ("Pending", false)))
+    } finally query.stop()
+  }
+
+  test("Kafka-shaped FileTopic: durable offsets, consumer-group drain, and the lifecycle streams from it") {
+    import graft.streaming.FileTopic
+    implicit val s = spark
+    val root = Files.createTempDirectory("graft-topic").toString
+    val t = new FileTopic(root, "sync_events", partitions = 2)
+    def pub(id: Long, region: String, req: String, at: String): Unit =
+      { t.publish(id.toString, s"$region|$req", ts(at).getTime): Unit }
+    pub(1L, "eu", "InProgress", "2024-01-01 00:00:01")
+    pub(2L, "us", "InProgress", "2024-01-01 00:00:02")
+    pub(1L, "eu", "Completed",  "2024-01-01 00:01:00")
+    pub(2L, "us", "Failed",     "2024-01-01 00:01:01")
+
+    // consumer-group drain: everything once, then nothing, then the delta
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(t.drain("g1")(r => { seen += s"${r.key}:${r.value}"; () }) === 4)
+    assert(t.drain("g1")(_ => fail("redelivery without new records")) === 0)
+    pub(2L, "us", "Pending", "2024-01-01 00:02:00") // retry
+    assert(t.drain("g1")(r => { seen += s"${r.key}:${r.value}"; () }) === 1)
+    assert(seen.size === 5)
+    // per-key total order survives partitioning (key -> one partition)
+    val key2 = seen.filter(_.startsWith("2:")).toSeq
+    assert(key2 === Seq("2:us|InProgress", "2:us|Failed", "2:us|Pending"))
+
+    // a reopened topic recovers its end offsets from the segment log
+    val reopened = new FileTopic(root, "sync_events", partitions = 2)
+    assert((0 until 2).map(reopened.endOffset).sum === 5L)
+
+    // the topic's stream view drives the sync-event lifecycle, exactly
+    // as a broker-backed source would
+    val updates = t.streamDF(spark)
+      .select(col("key").cast("long").as("eventId"),
+        split(col("value"), "\\|").getItem(0).as("targetRegion"),
+        split(col("value"), "\\|").getItem(1).as("requested"),
+        col("eventTime"))
+      .as[EventUpdate]
+    val query = SyncEventStream.lifecycle(updates)
+      .writeStream.format("memory").queryName("topic_lifecycle")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      val state = spark.table("topic_lifecycle").as[EventStatus].collect()
+        .groupBy(_.eventId).map { case (k, v) => k -> v.maxBy(_.transitions) }
+      assert(state(1L).status === "Completed")
+      assert(state(2L).status === "Pending", "Failed then retried lands on Pending")
     } finally query.stop()
   }
 

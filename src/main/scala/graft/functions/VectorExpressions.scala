@@ -286,11 +286,16 @@ case class LshBucket(child: Expression, planes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  // cache keyed on the EXACT width: the coefficient layout is row-major
+  // by dims, so a wider row's array must never be reused for a narrower
+  // row (coef[p*dims+i] would read the wrong plane's coefficients)
   @transient private var coefCache: Array[Double] = _
+  @transient private var coefDims: Int = -1
 
   private def coefFor(dims: Int): Array[Double] = {
-    if (coefCache == null || coefCache.length < planes * dims) {
+    if (coefDims != dims) {
       coefCache = LshBucket.coefficients(planes, dims)
+      coefDims = dims
     }
     coefCache
   }
@@ -316,17 +321,19 @@ case class LshBucket(child: Expression, planes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = classOf[LshBucket].getName.stripSuffix("$")
-    // per-operator mutable coefficient cache: hashed once per distinct
-    // width, reused for every row of the partition
+    // per-operator mutable coefficient cache keyed on the EXACT width
+    // (see coefFor): hashed once per distinct width, reused per row
     val coef = ctx.addMutableState("double[]", "lshCoef", _ => "")
+    val coefDims = ctx.addMutableState("int", "lshCoefDims", n => s"$n = -1;")
     val get = if (elemType == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val (p, i, dot, dims, bucket) = (ctx.freshName("p"), ctx.freshName("i"),
         ctx.freshName("dot"), ctx.freshName("dims"), ctx.freshName("bucket"))
       s"""
          |int $dims = $v.numElements();
-         |if ($coef == null || $coef.length < $planes * $dims) {
+         |if ($coefDims != $dims) {
          |  $coef = $cls.coefficients($planes, $dims);
+         |  $coefDims = $dims;
          |}
          |long $bucket = 0L;
          |for (int $p = 0; $p < $planes; $p++) {

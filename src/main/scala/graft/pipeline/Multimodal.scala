@@ -67,7 +67,12 @@ object Multimodal {
     * mm_decode gate query carry a cross-engine oracle. */
   object ImageIoDecoder extends Serializable {
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read returns null for unrecognized bytes but THROWS for
+      // recognized-but-corrupt ones (truncated IDAT etc.) — both must
+      // degrade to None so one bad row never fails the task
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) None
       else {
         val raster = img.getRaster

@@ -113,9 +113,15 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
     val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
+    // drop width-mismatched vectors (null cell by NearestCentroid's
+    // contract) — the all-pairs form excludes them too, via null cosine;
+    // persist: the assignment pass feeds the radii action AND both join
+    // sides, and Spark won't dedup the common subplan on its own
     val assigned = c.select(col("neighbor_id"), col("vec"),
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers).as("cell"),
       graft.functions.PqFunctions.nearestCentroidDist(col("_nvec"), centers).as("cdist"))
+      .filter(col("cell").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-cell radii: nlist rows — driver-scale by construction
     val radii = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
       .as[(Int, Double)].collect().toMap

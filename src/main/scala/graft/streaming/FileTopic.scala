@@ -47,19 +47,26 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
       base + n
     }.getOrElse(0L))
   }
-  private def segmentFiles(p: Int): Seq[Path] =
-    Files.list(partDir(p)).iterator().asScala.toSeq
+  private def segmentFiles(p: Int): Seq[Path] = {
+    // Files.list streams hold a directory handle — close eagerly, or a
+    // long-lived polling consumer leaks one fd per drain
+    val s = Files.list(partDir(p))
+    try s.iterator().asScala.toSeq
       .filter(_.getFileName.toString.startsWith("segment-"))
       .sortBy(_.getFileName.toString.stripPrefix("segment-")
         .stripSuffix(".jsonl").split("-").head.toLong)
+    finally s.close()
+  }
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  // same Jackson stack the catalog's manifests use — proper escaping on
+  // write, and corrupt lines surface with file context instead of
+  // index-out-of-bounds from a bespoke scanner
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def esc(s: String): String = {
+    val q = jsonMapper.writeValueAsString(s)
+    q.substring(1, q.length - 1)
+  }
 
   def partitionFor(key: String): Int = math.floorMod(key.hashCode, partitions)
 
@@ -77,12 +84,19 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
         s"""{"partition":$p,"offset":${base + i},"ts":$tsMs,"key":"${esc(k)}","value":"${esc(v)}"}"""
       }
       // segment name = base offset + record count: unique because base
-      // offsets are monotonic per partition (and recovered on reopen);
-      // CREATE_NEW turns any violation of that invariant into a loud error
-      val seg = partDir(p).resolve(
-        s"segment-$base-${recs.size}.jsonl")
-      Files.write(seg, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
+      // offsets are monotonic per partition (and recovered on reopen).
+      // Write-then-ATOMIC_MOVE: a concurrent reader (poll from another
+      // process, Spark's file-stream source listing part=*) must never
+      // observe a half-written segment — the file-stream source would
+      // mark it processed and permanently drop the missing tail
+      val seg = partDir(p).resolve(s"segment-$base-${recs.size}.jsonl")
+      val tmp = partDir(p).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      // create-if-absent hard link (the catalog's commit-point pattern):
+      // atomic for concurrent readers AND loud on a name collision,
+      // which would mean the monotonic-offset invariant broke
+      Files.createLink(seg, tmp)
+      Files.delete(tmp)
     }
     out.toSeq
   }
@@ -94,33 +108,16 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
 
   case class Record(partition: Int, offset: Long, ts: Long, key: String, value: String)
 
-  private def parse(line: String): Record = {
-    // records are written by this class only — parse with the same
-    // minimal escaping rules (no external JSON dependency in the hot path)
-    def field(name: String): String = {
-      val tag = s""""$name":"""
-      val at = line.indexOf(tag)
-      require(at >= 0, s"corrupt record: $line")
-      val rest = line.substring(at + tag.length)
-      if (rest.startsWith("\"")) {
-        val sb = new StringBuilder; var i = 1
-        while (rest.charAt(i) != '"') {
-          if (rest.charAt(i) == '\\') {
-            rest.charAt(i + 1) match {
-              case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
-              case 't' => sb.append('\t')
-              case 'u' => sb.append(Integer.parseInt(rest.substring(i + 2, i + 6), 16).toChar)
-              case c => sb.append(c)
-            }
-            i += (if (rest.charAt(i + 1) == 'u') 6 else 2)
-          } else { sb.append(rest.charAt(i)); i += 1 }
-        }
-        sb.toString
-      } else rest.takeWhile(c => c != ',' && c != '}')
+  private def parse(line: String, src: Path): Record =
+    try {
+      val n = jsonMapper.readTree(line)
+      Record(n.get("partition").asInt(), n.get("offset").asLong(), n.get("ts").asLong(),
+        n.get("key").asText(), n.get("value").asText())
+    } catch { case e: Exception =>
+      // a corrupt record is data loss, not something to skip silently —
+      // fail loudly with enough context to find the bad segment
+      throw new IllegalStateException(s"corrupt record in $src: $line", e)
     }
-    Record(field("partition").toInt, field("offset").toLong, field("ts").toLong,
-      field("key"), field("value"))
-  }
 
   /** Read records of one partition from `fromOffset` (inclusive). */
   def poll(partition: Int, fromOffset: Long, max: Int = Int.MaxValue): Seq[Record] =
@@ -128,7 +125,7 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
       val Array(base, n) = f.getFileName.toString.stripPrefix("segment-")
         .stripSuffix(".jsonl").split("-").map(_.toLong)
       if (base + n <= fromOffset) Iterator.empty
-      else Files.readAllLines(f).asScala.iterator.map(parse)
+      else Files.readAllLines(f).asScala.iterator.map(parse(_, f))
         .filter(_.offset >= fromOffset)
     }.take(max).toSeq
 

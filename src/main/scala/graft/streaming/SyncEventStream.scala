@@ -119,8 +119,11 @@ object SyncEventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (eventId, batch, state: GroupState[EventState]) =>
           if (state.hasTimedOut) {
+            val st = state.get
             state.remove()
-            Iterator.empty
+            // same eviction contract as [[lifecycle]]: the audit timeline
+            // records the expiry hop too, so a key never just vanishes
+            Iterator.single(EventStatus(eventId, "", "Expired", st.transitions, valid = true))
           } else {
             var st = state.getOption.getOrElse(EventState("Pending", 0))
             var maxTs = 0L

@@ -334,7 +334,8 @@ class CatalogSpec extends SparkSpec {
     snaps.sliding(2).foreach { case Seq(p, c) =>
       assert(c.manifests.size === p.manifests.size + 1, s"commit ${c.seq} rewrote manifests")
     }
-    assert(Files.list(base.resolve("_meta/manifests")).count() === batches.toLong)
+    val mlist = Files.list(base.resolve("_meta/manifests"))
+    try assert(mlist.count() === batches.toLong) finally mlist.close()
     // commit cost stays flat as the table grows 100x: generous 10x bound
     // rides out CPU steal but catches an O(table)-per-commit regression
     val first = timings.slice(2, 22).sum / 20

@@ -548,15 +548,16 @@ class GeoReplicationSpec extends SparkSpec {
     cat.createTable("ns", "t")
     val perSide = 8
 
-    val sparkJars = "/opt/spark/jars/*"
-    val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    // inherit this (forked) test JVM's own classpath — works wherever the
+    // build puts classes and Spark jars, no hardcoded locations
+    val classpath = System.getProperty("java.class.path")
     val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
       "java.net", "java.nio", "java.util", "java.util.concurrent",
       "java.util.concurrent.atomic").map(p => s"--add-opens=java.base/$p=ALL-UNNAMED") ++
       Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
         .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
     val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
-      "-Xmx1g", "-cp", s"$classes:$sparkJars",
+      "-Xmx1g", "-cp", classpath,
       "graft.tools.CommitStorm", wh, "ns", "t", "jvm2", perSide.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)

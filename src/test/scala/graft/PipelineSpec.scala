@@ -189,6 +189,19 @@ class PipelineSpec extends SparkSpec {
       assert(pair.forall(p => p._1 == p._2),
         s"dims=$dims planes=$planes diverged: ${pair.find(p => p._1 != p._2)}")
     }
+    // MIXED widths in one column, wide rows first: the coefficient cache
+    // must rebuild on every width change, not reuse a wider row-major
+    // layout for a narrower vector (regression: `length <` check)
+    val mixed = (0L until 40L).map { i =>
+      val dims = if (i % 2 == 0) 64 else 16
+      (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val mixedPair = mixed.select(
+        Similarity.lshBucket(col("embedding"), 8).as("fast"),
+        Similarity.lshBucketHof(col("embedding"), 8).as("ref"))
+      .as[(Long, Long)].collect()
+    assert(mixedPair.forall(p => p._1 == p._2),
+      s"mixed-width column diverged: ${mixedPair.find(p => p._1 != p._2)}")
   }
 
   test("near-dup clustering: transitive pairs collapse to min-id components") {

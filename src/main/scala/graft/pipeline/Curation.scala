@@ -235,6 +235,61 @@ object Curation {
            round(avg(log(coalesce(col("cnt"), lit(1L)) / col("n_total"))), 4)
              .as("avg_logprob"))
 
+  /** DSIR-style importance weights for target-domain data selection
+    * (Data Selection via Importance Resampling, Xie et al. 2023,
+    * arXiv:2302.03169 — public paper): score each corpus document by how
+    * much more likely its hashed-unigram features are under the TARGET
+    * distribution than under the corpus's own,
+    *
+    *   w(d) = avg over tokens of [ log p̂_tgt(b(tok)) − log p̂_cor(b(tok)) ]
+    *
+    * with b = a 3-hex-digit md5 bucket (16³ = 4096 hashed features) and
+    * add-one smoothing over the full bucket space on both sides. md5
+    * bucketing (not xxhash64) keeps the whole decision engine-portable —
+    * the same reproducibility contract as the sampling operators — and
+    * hashing bounds the feature table at 4096 rows regardless of corpus
+    * vocabulary, which is the point of DSIR's hashed variant. The
+    * averaged (per-token) form removes document-length bias so the
+    * weight ranks "how target-like", not "how long".
+    *
+    * Output: (idCol, n_tokens, dsir_weight) — higher = more target-like;
+    * resampling by weight composes with [[weightedSample]].
+    *
+    * Scale shape: both bucket LMs are ≤4096-row hash aggregates (one
+    * over the target — tiny by definition; one over the corpus token
+    * stream, map-side combined). The merged weight table rides ONE
+    * broadcast join into a single corpus token-stream scan; the per-doc
+    * rollup is a partial-aggregated hash aggregate. Nothing touches the
+    * driver, and in a standing pipeline the weight table persists as a
+    * catalog table so every future ingest batch scores without
+    * rescanning either side (same serving split as [[unigramLm]]). */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val nBuckets = 4096.0
+    def buckets(df: DataFrame): DataFrame =
+      tokenStream(df, idCol, textCol, lowercase = true)
+        .select(col(idCol), substring(md5(col("tok")), 1, 3).as("b"))
+    def bucketLm(toks: DataFrame): DataFrame =
+      toks.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val corToks = buckets(corpus)
+    val tgtLm = bucketLm(buckets(target))
+    val corLm = bucketLm(corToks)
+    // totals from the bucket aggregates, not a second corpus scan
+    val tgtTotal = tgtLm.agg(sum(col("cnt")).cast("double").as("t_total"))
+    val corTotal = corLm.agg(sum(col("cnt")).cast("double").as("c_total"))
+    val weights = tgtLm.withColumnRenamed("cnt", "t_cnt")
+      .join(corLm.withColumnRenamed("cnt", "c_cnt"), Seq("b"), "full_outer")
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(corTotal))
+      .select(col("b"),
+        (log((coalesce(col("t_cnt"), lit(0L)) + 1) / (col("t_total") + nBuckets)) -
+         log((coalesce(col("c_cnt"), lit(0L)) + 1) / (col("c_total") + nBuckets)))
+          .as("lw"))
+    corToks.join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(col("lw")), 4).as("dsir_weight"))
+  }
+
   /** Per-document top-k salient terms by smoothed TF-IDF:
     * tf(w,d) · ln((N+1)/(df(w)+1)), ties broken by term (ascending) so
     * the ranking is total and engine-portable. Output: (idCol, rank,

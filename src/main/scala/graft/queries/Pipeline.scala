@@ -144,6 +144,27 @@ object Pipeline {
     Similarity.nearDupPairsBallCover(Tables.embeddings(s, d), 0.4, nlist = 16)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    * — public paper): embedding-space near-duplicate graph → connected
+    * components → one deterministic representative (min vec_id) per
+    * component. Both stages are the scale paths already proven
+    * elsewhere: pairs come from the ball-cover plan (no cartesian,
+    * PlanSpec-asserted; completeness by triangle inequality) and
+    * components from O(log diameter) pointer-jumping — so the composed
+    * corpus-level semantic dedup a training pipeline runs before
+    * tokenization inherits both scale arguments, and DuckDB replays the
+    * whole thing as exact cosine edges + a recursive-CTE closure. */
+  private def semdedupKeepers: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Dedup.clusterNearDups(
+        Similarity.nearDupPairsBallCover(emb, 0.4, nlist = 16)
+          .select(col("id_a"), col("id_b")),
+        emb.select(col("vec_id")), idCol = "vec_id")
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   private def annIvfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 3)
@@ -270,6 +291,19 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weights against the same held-out target set the
+    * contamination query uses (doc_id % 97): every corpus doc scored by
+    * how target-like its hashed-unigram distribution is. Full output,
+    * doc_id-ordered — the resampling step composes via weightedSample. */
+  private def sampleDsir: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.dsirWeights(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split: per-split doc and token totals. */
   private def sampleSplitAssign: Q = (s, d) =>
     Curation.assignSplit(
@@ -380,6 +414,7 @@ object Pipeline {
     "text_fingerprints"    -> textFingerprints,
     "ann_topk"             -> annTopK,
     "ann_neardup_pairs"    -> annNearDupPairs,
+    "semdedup_keepers"     -> semdedupKeepers,
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_ivf_exact"        -> annIvfExact,
@@ -395,6 +430,7 @@ object Pipeline {
     "pipeline_curation"    -> pipelineCuration,
     "text_pii_redaction"   -> textPiiRedaction,
     "text_normalized"      -> textNormalized,
+    "sample_dsir"          -> sampleDsir,
     "sample_split_assign"  -> sampleSplitAssign,
     "sample_pack_chunks"   -> samplePackChunks,
     "sample_weighted"      -> sampleWeighted,
@@ -754,6 +790,41 @@ object Pipeline {
           FROM embeddings e JOIN q ON e.vec_id < q.vec_id
           WHERE $cosineSql >= 0.4
           ORDER BY id_a, id_b""",
+    // semantic dedup = exact cosine edge set + transitive closure; the
+    // Spark side's ball-cover pruning and pointer jumping are plan
+    // optimizations with proofs of equality, so the naive replay here is
+    // the same function
+    "semdedup_keepers" ->
+      s"""WITH RECURSIVE q AS (SELECT vec_id, embedding AS qv FROM embeddings),
+          edges AS (
+            SELECT e.vec_id AS src, q.vec_id AS dst
+            FROM embeddings e JOIN q ON e.vec_id <> q.vec_id
+            WHERE $cosineSql >= 0.4),
+          reach AS (
+            SELECT vec_id AS id, vec_id AS r FROM embeddings
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+          SELECT id AS vec_id FROM (
+            SELECT id, min(r) AS cluster FROM reach GROUP BY id) t
+          WHERE id = cluster ORDER BY vec_id""",
+    "sample_dsir" ->
+      """WITH tt AS (SELECT substr(md5(tok), 1, 3) AS b
+                     FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                           FROM documents WHERE doc_id % 97 = 0)),
+          ct AS (SELECT doc_id, substr(md5(tok), 1, 3) AS b
+                 FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                       FROM documents WHERE doc_id % 97 <> 0)),
+          tlm AS (SELECT b, count(*) AS cnt FROM tt GROUP BY b),
+          clm AS (SELECT b, count(*) AS cnt FROM ct GROUP BY b),
+          ttot AS (SELECT count(*)::DOUBLE AS t_total FROM tt),
+          ctot AS (SELECT count(*)::DOUBLE AS c_total FROM ct),
+          w AS (SELECT coalesce(tlm.b, clm.b) AS b,
+                       ln((coalesce(tlm.cnt, 0) + 1) / (t_total + 4096)) -
+                       ln((coalesce(clm.cnt, 0) + 1) / (c_total + 4096)) AS lw
+                FROM tlm FULL JOIN clm ON tlm.b = clm.b
+                CROSS JOIN ttot CROSS JOIN ctot)
+         SELECT ct.doc_id, count(*) AS n_tokens, round(avg(lw), 4) AS dsir_weight
+         FROM ct JOIN w USING (b) GROUP BY ct.doc_id ORDER BY ct.doc_id""",
     "mm_decode" ->
       """WITH spec AS (
            SELECT doc_id,

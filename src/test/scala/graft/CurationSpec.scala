@@ -221,6 +221,49 @@ class CurationSpec extends SparkSpec {
     assert(oov(9L) === floor)
   }
 
+  test("dsirWeights: target-like docs outweigh off-domain docs; math matches brute force") {
+    val target = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "a cat and another cat")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on a mat"),      // near-verbatim target domain
+      (2L, "stock prices fell sharply"), // off-domain
+      (3L, "qzx vplk wyrt hjkm")         // gibberish: unseen in target
+    ).toDF("doc_id", "text")
+    val got = Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dsir_weight")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force replay: 3-hex-digit md5 buckets, add-one smoothing
+    // over the 4096-bucket space on both sides, avg of log ratios
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): String =
+      md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    val tgtToks = Seq("the cat sat on the mat", "a cat and another cat")
+      .flatMap(_.split(" ")).map(bucket)
+    val corToks = Seq("the cat sat on a mat", "stock prices fell sharply",
+      "qzx vplk wyrt hjkm").flatMap(_.split(" ")).map(bucket)
+    val tCnt = tgtToks.groupBy(identity).view.mapValues(_.size).toMap
+    val cCnt = corToks.groupBy(identity).view.mapValues(_.size).toMap
+    def weight(text: String): Double = {
+      val ws = text.split(" ").map(bucket)
+      val lws = ws.map { b =>
+        math.log((tCnt.getOrElse(b, 0) + 1.0) / (tgtToks.size + 4096.0)) -
+        math.log((cCnt.getOrElse(b, 0) + 1.0) / (corToks.size + 4096.0))
+      }
+      BigDecimal(lws.sum / lws.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(1L -> "the cat sat on a mat", 2L -> "stock prices fell sharply",
+        3L -> "qzx vplk wyrt hjkm").foreach { case (id, text) =>
+      assert(got(id)._1 === text.split(" ").length.toLong, s"doc $id token count")
+      assert(got(id)._2 === weight(text), s"doc $id weight")
+    }
+    // ranking: target-domain > off-domain > gibberish-never-seen-in-target
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones, ties by term") {
     val corpus = Seq(
       (1L, "spark spark catalyst shuffle the the the"),

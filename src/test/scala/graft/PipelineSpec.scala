@@ -251,6 +251,34 @@ class PipelineSpec extends SparkSpec {
     assert(cover === exact)
   }
 
+  test("semantic dedup: planted embedding clusters collapse to min-id keepers") {
+    // two tight clusters plus a singleton; 1↔2 may only connect THROUGH 0,
+    // so the component stage (not just the pair stage) is exercised
+    val rnd = new scala.util.Random(7)
+    def unit(dims: Int): Array[Float] = {
+      val v = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zip(unit(v.length)).map { case (x, e) => x + eps * e }
+    val a = unit(32); val b = unit(32)
+    val emb = Seq(
+      0L -> a, 1L -> jitter(a, 0.15f), 2L -> jitter(a, 0.15f),
+      3L -> b, 4L -> jitter(b, 0.15f),
+      5L -> unit(32)
+    ).toDF("vec_id", "embedding")
+    val keepers = Dedup.clusterNearDups(
+        Similarity.nearDupPairsBallCover(emb, 0.9, nlist = 4, idCol = "vec_id")
+          .select(col("id_a"), col("id_b")),
+        emb.select(col("vec_id")), idCol = "vec_id")
+      .filter(col("id") === col("cluster"))
+      .select(col("id")).as[Long].collect().toSet
+    // jittered copies sit at cosine ≈ 1/sqrt(1+eps²) ≈ 0.989 > 0.9; the
+    // independent random directions are near-orthogonal (cos ≈ 0 ± 0.2)
+    assert(keepers === Set(0L, 3L, 5L))
+  }
+
   test("IVF probing every cell (nprobe = nlist) is exactly brute force") {
     val emb = Tables.embeddings(spark, sf())
     val q = emb.filter(col("vec_id") < 3)

@@ -175,4 +175,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"contamination degraded to all-pairs:\n$p")
   }
+
+  test("DSIR weight table broadcasts into the corpus token scan") {
+    val p = plan("sample_dsir")
+    // the <=4096-row bucket-weight table must ride a broadcast hash join
+    // on the bucket key; shuffling the corpus token stream would be the
+    // 100 TB mistake. (The 1-row LM totals legitimately ride broadcast
+    // nested-loop CROSS joins inside the weight-table build — that side
+    // is vocab-bounded, never corpus-sized, so only CartesianProduct is
+    // categorically banned here.)
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dsir degraded to all-pairs:\n$p")
+  }
 }

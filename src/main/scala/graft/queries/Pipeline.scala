@@ -156,10 +156,15 @@ object Pipeline {
     * whole thing as exact cosine edges + a recursive-CTE closure. */
   private def semdedupKeepers: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    // maxIterations 24: at threshold 0.4 this corpus's near-dup graph has
+    // a sparse giant component (avg degree ~2), whose diameter grows with
+    // corpus size — pointer jumping doubles reach per round, so 24 rounds
+    // covers diameter 2^24 at a cost that only accrues while labels still
+    // change (the loop exits on converged counts, it never pads)
     Dedup.clusterNearDups(
         Similarity.nearDupPairsBallCover(emb, 0.4, nlist = 16)
           .select(col("id_a"), col("id_b")),
-        emb.select(col("vec_id")), idCol = "vec_id")
+        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 24)
       .filter(col("id") === col("cluster"))
       .select(col("id").as("vec_id"))
       .orderBy(col("vec_id"))

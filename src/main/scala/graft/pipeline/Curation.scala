@@ -88,6 +88,41 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Domain-mixture sampling (the data-mixing step of a pretraining
+    * recipe): given target token PROPORTIONS per source and one global
+    * token budget, admit md5-ordered documents per source while that
+    * source's running total stays within its share — the deterministic
+    * execution of a mixture like "50% web, 30% code, 20% books". The
+    * per-source budget is floor(totalBudget · weight); sources absent
+    * from the mixture are dropped (weight 0). Emits `cum_tokens` and
+    * `stratum_budget` so the realized mix is auditable row by row.
+    *
+    * Scale shape: one window partitioned by source (same per-shard
+    * prefix-sum story as [[tokenBudgetSample]]; for a source so large
+    * one partition can't sort it, pre-shard within source and two-level
+    * the prefix sums exactly as [[packSequences]] documents), plus one
+    * broadcast of the |sources|-row budget table. Determinism contract
+    * matches every sampler here: md5 order, engine-portable. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    tokenCol: String, mixture: Seq[(String, Double)],
+                    totalBudget: Long): DataFrame = {
+    require(mixture.nonEmpty && mixture.forall(_._2 >= 0.0) &&
+      math.abs(mixture.map(_._2).sum - 1.0) < 1e-9,
+      s"mixture weights must be >= 0 and sum to 1: $mixture")
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = mixture.map { case (s, w) =>
+      (s, math.floor(totalBudget * w).toLong)
+    }.toDF(stratumCol, "stratum_budget")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .join(broadcast(budgets), stratumCol)
+      .filter(col("cum_tokens") <= col("stratum_budget"))
+  }
+
   /** Deterministic train/val/test assignment: the first 8 md5 hex chars
     * of the id partition [0,1) by lexicographic threshold — engine-
     * portable (pure string compares), reproducible across clusters, and

@@ -309,6 +309,19 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Data mixing: a 20-source target mixture (weight ∝ source index + 1)
+    * executed deterministically under one 10k global token budget. */
+  private def sampleMixture: Q = (s, d) => {
+    val mixture = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0)
+    Curation.mixtureSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", mixture, totalBudget = 10000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("stratum_budget"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic 80/10/10 split: per-split doc and token totals. */
   private def sampleSplitAssign: Q = (s, d) =>
     Curation.assignSplit(
@@ -436,6 +449,7 @@ object Pipeline {
     "text_pii_redaction"   -> textPiiRedaction,
     "text_normalized"      -> textNormalized,
     "sample_dsir"          -> sampleDsir,
+    "sample_mixture"       -> sampleMixture,
     "sample_split_assign"  -> sampleSplitAssign,
     "sample_pack_chunks"   -> samplePackChunks,
     "sample_weighted"      -> sampleWeighted,
@@ -578,6 +592,20 @@ object Pipeline {
                     FROM d)
          SELECT doc_id, source, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 600 ORDER BY doc_id""",
+    "sample_mixture" ->
+      """WITH wt AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                            CAST(floor(10000 * (CAST(i + 1 AS DOUBLE) / 210.0)) AS BIGINT)
+                              AS stratum_budget
+                     FROM range(0, 20) t(i)),
+              d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM d)
+         SELECT doc_id, c.source, n_tokens, cum_tokens, stratum_budget
+         FROM c JOIN wt ON c.source = wt.source
+         WHERE cum_tokens <= stratum_budget ORDER BY doc_id""",
     "dedup_minhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
           scored AS (

@@ -221,6 +221,32 @@ class CurationSpec extends SparkSpec {
     assert(oov(9L) === floor)
   }
 
+  test("mixtureSample admits per-source md5-ordered docs within floor(budget*weight)") {
+    val docs = Seq(
+      (1L, "A", 4L), (2L, "A", 3L), (3L, "A", 5L),
+      (10L, "B", 2L), (11L, "B", 6L),
+      (20L, "C", 1L) // not in the mixture: must be dropped
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Curation.mixtureSample(docs, "source", "doc_id", "n_tokens",
+        Seq("A" -> 0.7, "B" -> 0.3), totalBudget = 10L)
+      .select("doc_id", "cum_tokens", "stratum_budget")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute-force replay: md5(id) order within source, cum <= floor(10*w)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Map("A" -> (Seq(1L, 2L, 3L), 7L), "B" -> (Seq(10L, 11L), 3L))
+      .flatMap { case (_, (ids, budget)) =>
+        val toks = Map(1L -> 4L, 2L -> 3L, 3L -> 5L, 10L -> 2L, 11L -> 6L)
+        ids.sortBy(h).scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + toks(id)) }
+          .tail.takeWhile(_._2 <= budget)
+          .map { case (id, cum) => id -> ((cum, budget)) }
+      }
+    assert(got === expected)
+    assert(!got.contains(20L), "source outside the mixture must be dropped")
+  }
+
   test("dsirWeights: target-like docs outweigh off-domain docs; math matches brute force") {
     val target = Seq(
       (100L, "the cat sat on the mat"),

@@ -473,6 +473,53 @@ object Similarity {
       centroidRows.toSeq.toDF("kind", "j", "c", "vec"))
   }
 
+  /** Load the (coarse centroids, PQ codebooks) of a persisted index from
+    * its tiny `{prefix}_centroids` table — driver-scale by construction
+    * (nlist + m·ksub rows). */
+  private def loadIndexMeta(cat: graft.catalog.GraftCatalog, ns: String,
+                            prefix: String): (Array[Array[Double]], PqIndex) = {
+    import cat.spark.implicits._
+    val cent = cat.read(ns, s"${prefix}_centroids")
+      .select(col("kind"), col("j"), col("c"), col("vec"))
+      .as[(String, Int, Int, Seq[Double])].collect()
+    val coarse = cent.filter(_._1 == "coarse").sortBy(_._3).map(_._4.toArray)
+    val pqRows = cent.filter(_._1 == "pq")
+    val m = pqRows.map(_._2).max + 1
+    val ksub = pqRows.map(_._3).max + 1
+    val codebooks = Array.tabulate(m, ksub)((j, c) =>
+      pqRows.find(r => r._2 == j && r._3 == c).get._4.toArray)
+    val dsub = codebooks(0)(0).length
+    (coarse, PqIndex(coded = null, codebooks = codebooks, m = m, ksub = ksub, dsub = dsub))
+  }
+
+  /** Append a new vector batch to a persisted IVF-PQ index WITHOUT
+    * retraining — the production freshness path. The batch is assigned
+    * to the EXISTING coarse cells and encoded with the EXISTING
+    * codebooks (both loaded from the centroids table), and the codes
+    * land as ONE append commit, cell-clustered like the original build
+    * so manifest-stats pruning keeps working across old and new files
+    * alike. Cost is O(batch): no corpus rescan, no quantizer training,
+    * and the serving path needs no change to see the new vectors.
+    * Quantization error for the batch is governed by how well the
+    * original training sample covers it — periodic re-builds
+    * ([[buildIvfPqIndexTables]]) re-train when drift accumulates, the
+    * same freshness/rebuild split every production ANN system runs. */
+  def appendToIvfPqIndex(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                         batch: DataFrame,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
+    val c0 = withNormalized(batch.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val coded = c0.select(
+        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse).as("cell"),
+        col("neighbor_id"),
+        graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
+      // width-mismatched vectors assign a null cell by NearestCentroid's
+      // contract — they must not be committed as unreachable rows
+      .filter(col("cell").isNotNull)
+      .repartitionByRange(math.max(1, coarse.length / 4), col("cell"))
+    cat.commitAppend(ns, s"${prefix}_codes", coded)
+  }
+
   /** Serve top-k from the persisted index: centroids/codebooks load from
     * the tiny `{prefix}_centroids` table, per-query LUTs and probe cells
     * compute driver-side (broadcast), and the only distributed work is a
@@ -485,17 +532,7 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cent = cat.read(ns, s"${prefix}_centroids")
-      .select(col("kind"), col("j"), col("c"), col("vec"))
-      .as[(String, Int, Int, Seq[Double])].collect()
-    val coarse = cent.filter(_._1 == "coarse").sortBy(_._3).map(_._4.toArray)
-    val pqRows = cent.filter(_._1 == "pq")
-    val m = pqRows.map(_._2).max + 1
-    val ksub = pqRows.map(_._3).max + 1
-    val codebooks = Array.tabulate(m, ksub)((j, c) =>
-      pqRows.find(r => r._2 == j && r._3 == c).get._4.toArray)
-    val dsub = codebooks(0)(0).length
-    val idx = PqIndex(coded = null, codebooks = codebooks, m = m, ksub = ksub, dsub = dsub)
+    val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
 
     val qn = withNormalized(queries.select(col(idCol).as("query_id"), col(vecCol)), vecCol)
     val probes = probeCells(qn, coarse, nprobe)

@@ -443,6 +443,42 @@ class PipelineSpec extends SparkSpec {
     assert(one < all || all == 1, s"expected pruning: $one of $all files")
   }
 
+  test("incremental index append: a new batch is searchable without retraining; one O(batch) commit") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-inc").toString)
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val base = emb.filter(col("vec_id") < 400)
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfPqIndexTables(cat, "ann", "ix", base, nlist = 8, m = 8, ksub = 16)
+    val before = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(before.nonEmpty && before.forall(_._2 < 400))
+
+    // batch = the held-out tail PLUS a planted near-copy of query 0
+    val q0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    val planted = Seq((9999L, q0.map(x => x * 2.0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(cat, "ann", "ix",
+      emb.filter(col("vec_id") >= 400).select("vec_id", "embedding").union(planted))
+
+    val after = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    // the planted copy is colinear with query 0 (cosine 1 up to
+    // quantization) — it must surface at rank 1 through the served path
+    assert(after.filter(_._1 == 0L).minBy(_._3)._2 === 9999L,
+      s"planted near-copy not rank 1: ${after.filter(_._1 == 0L).toSeq.sortBy(_._3)}")
+    // freshness cost contract: exactly ONE new commit on the codes
+    // table, centroids untouched (no retraining)
+    assert(cat.snapshots("ann", "ix_codes").size === 2)
+    assert(cat.snapshots("ann", "ix_centroids").size === 1)
+    // cell clustering survives the append: a one-cell probe range still
+    // reads fewer files than the full table
+    val all = cat.read("ann", "ix_codes").inputFiles.length
+    val one = cat.readWhere("ann", "ix_codes", "cell", Some("0"), Some("0")).inputFiles.length
+    assert(one < all, s"expected pruning after append: $one of $all files")
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

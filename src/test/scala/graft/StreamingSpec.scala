@@ -289,6 +289,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("E2E ingest loop: topic -> quality gate -> streaming dedup -> catalog equals batch curation") {
+    import graft.streaming.{CatalogStreamSink, FileTopic, StreamingDedup}
+    import graft.catalog.GraftCatalog
+    import graft.pipeline.{TextAnalysis => TA}
+    implicit val s = spark
+    val t = new FileTopic(Files.createTempDirectory("graft-ingest").toString,
+      "docs", partitions = 2)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and runs to the green field",
+      2L -> "a second perfectly reasonable document about cats and dogs in the house",
+      3L -> "the quick brown fox jumps over the lazy dog and runs to the green field", // dup of 1
+      4L -> "yet another ordinary paragraph with many common words in it for the gate",
+      5L -> "@@@ ### $$$ %%%", // fails the quality gate: pure punctuation
+      6L -> "zzz")             // fails the quality gate: one junk token
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      t.publish(id.toString, text, ts("2024-01-01 00:00:01").getTime + i * 1000L): Unit
+    }
+
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-ingest-cat").toString)
+    cat.createTable("cur", "docs")
+    val gated = t.streamDF(spark)
+      .select(col("key").cast("long").as("doc_id"), col("value").as("text"),
+        col("eventTime"))
+      .filter(TA.qualityScore(col("text")) >= 0.5)
+    val query = StreamingDedup.dropExactDups(gated, timeCol = "eventTime")
+      .select("doc_id", "text")
+      .writeStream
+      .foreachBatch(CatalogStreamSink.foreachBatchCommit(cat, "cur", "docs", "ing"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    // the streamed corpus must equal the BATCH curation of the same raw
+    // input (gate + exact dedup) — compared on text because which copy
+    // of a duplicate survives a stream is arrival-order-defined
+    val streamed = cat.read("cur", "docs").select("text").as[String].collect().toSet
+    val expected = docs.toDF("doc_id", "text")
+      .filter(TA.qualityScore(col("text")) >= 0.5)
+      .select("text").distinct().as[String].collect().toSet
+    assert(streamed === expected)
+    assert(streamed.size === 3, "dup + both low-quality docs must be gone")
+  }
+
   test("streaming sink commits one catalog version per batch, exactly-once under replay") {
     import graft.catalog.GraftCatalog
     import graft.streaming.CatalogStreamSink

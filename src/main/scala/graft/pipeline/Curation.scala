@@ -109,6 +109,10 @@ object Curation {
     require(mixture.nonEmpty && mixture.forall(_._2 >= 0.0) &&
       math.abs(mixture.map(_._2).sum - 1.0) < 1e-9,
       s"mixture weights must be >= 0 and sum to 1: $mixture")
+    // a repeated source would fan out the budget join (every admitted
+    // doc emitted once per duplicate entry) — reject it loudly
+    require(mixture.map(_._1).distinct.size == mixture.size,
+      s"mixture has duplicate sources: ${mixture.map(_._1)}")
     require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
     val spark = df.sparkSession
     import spark.implicits._
@@ -118,8 +122,12 @@ object Curation {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
-      .join(broadcast(budgets), stratumCol)
+    // budget join BEFORE the window: sources outside the mixture drop
+    // ahead of the shuffle+sort instead of paying it and then being
+    // discarded — identical output (the window partitions on the same
+    // key the join filters)
+    df.join(broadcast(budgets), stratumCol)
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= col("stratum_budget"))
   }
 
@@ -293,11 +301,16 @@ object Curation {
     * Scale shape: both bucket LMs are ≤4096-row hash aggregates (one
     * over the target — tiny by definition; one over the corpus token
     * stream, map-side combined). The merged weight table rides ONE
-    * broadcast join into a single corpus token-stream scan; the per-doc
-    * rollup is a partial-aggregated hash aggregate. Nothing touches the
-    * driver, and in a standing pipeline the weight table persists as a
-    * catalog table so every future ingest batch scores without
-    * rescanning either side (same serving split as [[unigramLm]]). */
+    * broadcast join into the scoring scan of the corpus token stream;
+    * the per-doc rollup is a partial-aggregated hash aggregate and
+    * nothing touches the driver. The one-shot form here scans the
+    * corpus token stream TWICE (LM build + scoring) — deliberately
+    * uncached, the same compute-twice-not-cache trade the MinHash
+    * pipeline measured (the stream is a cheap codegen'd projection;
+    * materializing it costs more than recomputing). In a standing
+    * pipeline the weight table persists as a catalog table and every
+    * future ingest batch pays only its own scoring scan (same serving
+    * split as [[unigramLm]]). */
   def dsirWeights(corpus: DataFrame, target: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
     val nBuckets = 4096.0

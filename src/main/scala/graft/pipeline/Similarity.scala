@@ -503,21 +503,37 @@ object Similarity {
     * Quantization error for the batch is governed by how well the
     * original training sample covers it — periodic re-builds
     * ([[buildIvfPqIndexTables]]) re-train when drift accumulates, the
-    * same freshness/rebuild split every production ANN system runs. */
+    * same freshness/rebuild split every production ANN system runs.
+    *
+    * Pass a stable `commitId` (batch id, stream epoch) to make retries
+    * idempotent: a replayed append with an already-committed id raises
+    * DuplicateCommitException instead of double-inserting the batch —
+    * duplicate codes rows would silently burn top-k slots at serve
+    * time. A batch whose vector width does not match the index throws
+    * (NearestCentroid assigns it no cell) rather than committing an
+    * empty or partial batch that monitoring would read as success. */
   def appendToIvfPqIndex(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
-                         batch: DataFrame,
+                         batch: DataFrame, commitId: Option[String] = None,
                          idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import cat.spark.implicits._
     val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
     val c0 = withNormalized(batch.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-    val coded = c0.select(
+    val assigned = c0.select(
         graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse).as("cell"),
         col("neighbor_id"),
         graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
-      // width-mismatched vectors assign a null cell by NearestCentroid's
-      // contract — they must not be committed as unreachable rows
-      .filter(col("cell").isNotNull)
-      .repartitionByRange(math.max(1, coarse.length / 4), col("cell"))
-    cat.commitAppend(ns, s"${prefix}_codes", coded)
+    // width-mismatched vectors assign a null cell by NearestCentroid's
+    // contract; committing them would create unreachable rows, and
+    // silently dropping them would report success for a batch that was
+    // never indexed — count both sides and fail loudly on any mismatch
+    val (nIn, nOk) = assigned.agg(count(lit(1)), count(col("cell")))
+      .as[(Long, Long)].head()
+    require(nOk == nIn,
+      s"$nIn-row batch has ${nIn - nOk} vectors whose width does not match " +
+        s"index $ns.$prefix (dims=${idx.m * idx.dsub}) — refusing a partial append")
+    cat.commitAppend(ns, s"${prefix}_codes",
+      assigned.repartitionByRange(math.max(1, coarse.length / 4), col("cell")),
+      commitId = commitId)
   }
 
   /** Serve top-k from the persisted index: centroids/codebooks load from

@@ -252,8 +252,10 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("semantic dedup: planted embedding clusters collapse to min-id keepers") {
-    // two tight clusters plus a singleton; 1↔2 may only connect THROUGH 0,
-    // so the component stage (not just the pair stage) is exercised
+    // an explicit 3-vector ARC so 0↔2 is connected ONLY through 1:
+    // adjacent points sit 18° apart (cos 0.951 > 0.9) while the endpoints
+    // sit 36° apart (cos 0.809 < 0.9) — a broken component stage that
+    // only merges direct pairs would split {0,1,2} and fail here
     val rnd = new scala.util.Random(7)
     def unit(dims: Int): Array[Float] = {
       val v = Array.fill(dims)(rnd.nextGaussian().toFloat)
@@ -262,9 +264,19 @@ class PipelineSpec extends SparkSpec {
     }
     def jitter(v: Array[Float], eps: Float): Array[Float] =
       v.zip(unit(v.length)).map { case (x, e) => x + eps * e }
-    val a = unit(32); val b = unit(32)
+    val a = unit(32)
+    val u0 = unit(32) // Gram-Schmidt: u ⟂ a, unit
+    val proj = a.zip(u0).map { case (x, y) => x.toDouble * y }.sum
+    val uRaw = u0.zip(a).map { case (y, x) => y - (proj * x).toFloat }
+    val un = math.sqrt(uRaw.map(x => x.toDouble * x).sum).toFloat
+    val u = uRaw.map(_ / un)
+    def onArc(deg: Double): Array[Float] = {
+      val c = math.cos(math.toRadians(deg)); val s = math.sin(math.toRadians(deg))
+      a.zip(u).map { case (x, y) => (c * x + s * y).toFloat }
+    }
+    val b = unit(32)
     val emb = Seq(
-      0L -> a, 1L -> jitter(a, 0.15f), 2L -> jitter(a, 0.15f),
+      0L -> onArc(0), 1L -> onArc(18), 2L -> onArc(36),
       3L -> b, 4L -> jitter(b, 0.15f),
       5L -> unit(32)
     ).toDF("vec_id", "embedding")
@@ -274,7 +286,8 @@ class PipelineSpec extends SparkSpec {
         emb.select(col("vec_id")), idCol = "vec_id")
       .filter(col("id") === col("cluster"))
       .select(col("id")).as[Long].collect().toSet
-    // jittered copies sit at cosine ≈ 1/sqrt(1+eps²) ≈ 0.989 > 0.9; the
+    // the arc collapses to min-id 0 only if 0-1 and 1-2 edges both exist
+    // AND the closure runs; 3's jittered copy sits at cos ≈ 0.989 > 0.9;
     // independent random directions are near-orthogonal (cos ≈ 0 ± 0.2)
     assert(keepers === Set(0L, 3L, 5L))
   }
@@ -460,7 +473,18 @@ class PipelineSpec extends SparkSpec {
       .as[Array[Float]].head()
     val planted = Seq((9999L, q0.map(x => x * 2.0f))).toDF("vec_id", "embedding")
     Similarity.appendToIvfPqIndex(cat, "ann", "ix",
-      emb.filter(col("vec_id") >= 400).select("vec_id", "embedding").union(planted))
+      emb.filter(col("vec_id") >= 400).select("vec_id", "embedding").union(planted),
+      commitId = Some("batch-1"))
+    // retried append with the same commitId must NOT double-insert
+    intercept[graft.catalog.GraftCatalog.DuplicateCommitException] {
+      Similarity.appendToIvfPqIndex(cat, "ann", "ix", planted, commitId = Some("batch-1"))
+    }
+    // a wrong-width batch must throw, not land an empty "successful" commit
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(cat, "ann", "ix",
+        Seq((7777L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding"))
+    }
+    assert(err.getMessage.contains("width"))
 
     val after = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5, nprobe = 8)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()

@@ -268,18 +268,34 @@ object Dedup {
     * Input: pairs (id_a, id_b); ids: all doc ids (singletons keep
     * themselves). Output: (id, cluster) where cluster = min id of the
     * component — "keep one per cluster" dedup follows as
-    * filter(id === cluster). */
+    * filter(id === cluster).
+    *
+    * The iteration runs over the PAIR-TOUCHED node set only: a node with
+    * no edge can never change its label, so carrying it through every
+    * round would multiply each join by |corpus|/|dup graph| for no
+    * effect — at training-corpus scale singletons are the overwhelming
+    * majority. They rejoin as (id, id) at the end via one anti-join. */
   def clusterNearDups(pairs: DataFrame, ids: DataFrame,
                       idCol: String = "doc_id", maxIterations: Int = 10): DataFrame = {
-    // undirected edge list incl. self-loops so singletons survive joins.
-    // localCheckpoint: iterative joins otherwise double the lineage every
-    // round, re-executing the (expensive) upstream pair pipeline
-    // exponentially — checkpointing truncates the DAG per iteration.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(ids.select(col(idCol).as("src"), col(idCol).as("dst")))
+    // checkpoint the pair list FIRST: everything below references it 2-4
+    // times, and the upstream pair pipeline (LSH verify, ball-cover) is
+    // the expensive part — one materialization, not one per reference.
+    // localCheckpoint throughout: iterative joins otherwise double the
+    // lineage every round, re-executing upstream exponentially.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // semi-join against ids: an edge endpoint outside the id set never
+    // labeled, bridged, or emitted before this optimization — keep that
+    val touched = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+      .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .localCheckpoint()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // undirected edge list incl. self-loops so single-edge endpoints keep
+    // their own candidacy in the min
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(touched.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -309,7 +325,12 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"clusterNearDups did not converge in $maxIterations rounds; raise maxIterations")
-    labels
+    // singletons (no edge → label can never move) rejoin as their own
+    // cluster; left_anti keeps this one pass over the full id set
+    labels.union(
+      ids.select(col(idCol).as("id"))
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
   }
 
   // ---------- character n-gram Jaccard ----------

@@ -41,6 +41,35 @@ object Curation {
       .distinct()
   }
 
+  /** Corpus heavy-hitter n-grams: the top-k word n-grams by total
+    * occurrence count, with document frequency alongside — the corpus
+    * statistic that seeds BPE merge tables, flags boilerplate (high
+    * occurrence at low doc spread), and shortlists contamination
+    * screens. Ordering is total (occurrences desc, then gram asc) so
+    * the cut is engine-portable.
+    *
+    * Scale shape: occurrences aggregate on the gram key with map-side
+    * combine; doc frequency rolls up from the (doc, gram)-distinct
+    * aggregate; both are Zipf-bounded (vocab-scale, not corpus-scale)
+    * after the partial combine. The final top-k is a limit over the
+    * sorted aggregate — TakeOrderedAndProject, never a global sort. */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int,
+                lowercase: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val parts = (0 until n).map(i => if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    val grams = tokenStream(df, idCol, textCol, lowercase)
+      .select(col(idCol), concat_ws(" ", parts: _*).as("gram"), parts.last.isNotNull.as("ok"))
+      .filter(col("ok"))
+      .select(col(idCol), col("gram"))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("occurrences"))
+    val dfreq = grams.distinct().groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+    occ.join(dfreq, "gram")
+      .orderBy(col("occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Benchmark-contamination report: training documents sharing at least
     * `minShared` distinct word n-grams with an eval-set document.
     *

@@ -252,6 +252,12 @@ object Pipeline {
     Curation.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Corpus heavy-hitter bigrams: top-20 lowercased word 2-grams by
+    * total occurrence count, document frequency alongside. */
+  private def textTopNgrams: Q = (s, d) =>
+    Curation.topNgrams(Tables.documents(s, d), "doc_id", "text",
+      n = 2, k = 20, lowercase = true)
+
   private def sampleStratified: Q = (s, d) =>
     Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
       .select(col("doc_id"), col("source"))
@@ -443,6 +449,7 @@ object Pipeline {
     "text_repetition"      -> textRepetition,
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
+    "text_top_ngrams"      -> textTopNgrams,
     "sample_stratified"    -> sampleStratified,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
@@ -554,6 +561,16 @@ object Pipeline {
                 COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac
          FROM ent LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
          ORDER BY doc_id""",
+    "text_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              g AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER dw AS gram
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+              occ AS (SELECT gram, count(*) AS occurrences FROM g2 GROUP BY 1),
+              dfreq AS (SELECT gram, count(DISTINCT doc_id) AS doc_freq FROM g2 GROUP BY 1)
+         SELECT gram, occurrences, doc_freq FROM occ JOIN dfreq USING (gram)
+         ORDER BY occurrences DESC, gram ASC LIMIT 20""",
     "text_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents),

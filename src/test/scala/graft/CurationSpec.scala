@@ -201,6 +201,29 @@ class CurationSpec extends SparkSpec {
     assert(got(3L)._2 < Seq(1L, 2L, 4L).map(got(_)._2).min)
   }
 
+  test("topNgrams counts occurrences and doc frequency; top-k cut is deterministic") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran and the cat hid"),
+      (3L, "a dog sat")
+    ).toDF("doc_id", "text")
+    val got = Curation.topNgrams(corpus, "doc_id", "text", n = 2, k = 4)
+      .as[(String, Long, Long)].collect()
+    // brute-force replay: sliding bigrams per doc, tie-break gram asc
+    val docs = Map(1L -> "the cat sat on the mat",
+      2L -> "the cat ran and the cat hid", 3L -> "a dog sat")
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val occ = grams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dfreq = grams.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = occ.toSeq.map { case (g, c) => (g, c, dfreq(g)) }
+      .sortBy { case (g, c, _) => (-c, g) }.take(4)
+    assert(got.toSeq === expected)
+    // "the cat" appears 3 times across 2 docs — the clear heavy hitter
+    assert(got.head === (("the cat", 3L, 2L)))
+  }
+
   test("scoreWithLm against a persisted LM == self-scored corpus; OOV takes the floor") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),

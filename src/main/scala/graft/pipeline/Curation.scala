@@ -307,6 +307,93 @@ object Curation {
            round(avg(log(coalesce(col("cnt"), lit(1L)) / col("n_total"))), 4)
              .as("avg_logprob"))
 
+  /** Interpolated bigram-LM quality score — the next step up from
+    * [[lmQualityScore]]: each token transition w1→w2 is scored by
+    *
+    *   log( λ · p(w2|w1) + (1−λ) · p(w2) )
+    *
+    * with p(w2|w1) = cnt(w1,w2)/cnt(w1·) from the corpus's own bigram
+    * counts and the unigram term as the smoothing floor (so an unseen
+    * transition degrades to (1−λ)·p_uni instead of −inf). The bigram
+    * term is what the unigram score cannot see: a document of real words
+    * in scrambled order has a PERFECT unigram score but improbable
+    * transitions — word-salad spam, shuffled boilerplate, and
+    * keyword-stuffed pages sink here while sinking nowhere else.
+    * Output: (idCol, n_bigrams, avg_logprob), higher = more fluent;
+    * single-token documents have no transitions → n_bigrams 0,
+    * avg_logprob null (no fluency evidence either way).
+    *
+    * Scale shape: the bigram LM is ONE hash aggregate over the token-
+    * pair stream (map-side combine; Zipf-bounded like the unigram vocab,
+    * just with a fatter tail), the w1 marginal rolls up from it
+    * (no second corpus scan), and scoring is an equi-join of the pair
+    * stream against the counts table on (w1,w2) — shuffled on the pair
+    * key, AQE-splittable on stopword-pair skew. Like [[unigramLm]], the
+    * counts table persists as a catalog table in a standing pipeline and
+    * future batches pay only their own scoring scan. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val pairs = tokenStream(df, idCol, textCol, lowercase = true)
+      .select(col(idCol), col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val biCnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bi_cnt"))
+    // w1 marginal and the unigram LM both roll up from aggregates, not
+    // corpus rescans; cnt(w1·) sums bigram counts, the unigram p uses
+    // the full token count (every token, not just pair-left positions)
+    val w1Cnt = biCnt.groupBy(col("w1")).agg(sum(col("bi_cnt")).as("w1_cnt"))
+    val (vocab, total) = unigramLm(df, idCol, textCol)
+    val uni = vocab.select(col("tok").as("w2"), col("cnt").as("u_cnt"))
+    val scored = pairs
+      .join(biCnt, Seq("w1", "w2"), "left")
+      .join(w1Cnt, Seq("w1"), "left")
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        log(lit(lambda) * coalesce(col("bi_cnt") / col("w1_cnt"), lit(0.0)) +
+            lit(1.0 - lambda) * (col("u_cnt") / col("n_total"))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("avg_logprob"))
+    // LEFT from the corpus: a 1-token doc has no transitions and must
+    // surface with 0/null, not vanish from the quality report
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** Fixed-size token-window chunking with overlap — the retrieval /
+    * context-window prep step (distinct from [[packSequences]], which
+    * concatenates ACROSS documents; this splits WITHIN a document and
+    * never mixes sources): chunk k of a document covers tokens
+    * [k·stride + 1, min(k·stride + size, n)], k = 0..K with
+    * K = ceil((n − size)/stride) (0 when n <= size), so every token is
+    * covered, consecutive chunks overlap by (size − stride) tokens, and
+    * only the last chunk may be short. Output: (idCol, chunk_idx,
+    * n_chunk_tokens, chunk_text); ids are (document, index) pairs so a
+    * retriever can cite the exact span.
+    *
+    * Scale shape: pure per-row column algebra — split once, explode the
+    * K+1 chunk indexes, slice the token array — a narrow codegen'd map
+    * with NO shuffle and no per-document state anywhere; each output row
+    * costs O(size) slice work. At 100 TB this pipelines straight from
+    * the scan into the embedding/indexing stage. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1: $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size]: stride=$stride size=$size")
+    val t = split(col(textCol), " ")
+    val n = org.apache.spark.sql.functions.size(t)
+    val lastK = when(n <= size, lit(0))
+      .otherwise(ceil((n - lit(size)).cast("double") / stride).cast("int"))
+    df.select(col(idCol), t.as("__t"), explode(sequence(lit(0), lastK)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("chunk_idx") * stride + 1, lit(size)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__c")).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** DSIR-style importance weights for target-domain data selection
     * (Data Selection via Importance Resampling, Xie et al. 2023,
     * arXiv:2302.03169 — public paper): score each corpus document by how

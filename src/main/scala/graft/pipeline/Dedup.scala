@@ -344,4 +344,43 @@ object Dedup {
   /** n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(textA: Column, textB: Column, n: Int): Column =
     jaccard(charNgrams(textA, n), charNgrams(textB, n))
+
+  // ---------- exact-substring duplicate pairs ----------
+
+  /** Document pairs sharing at least `minShared` distinct exact
+    * `n`-token substrings — the anchor-n-gram form of exact-substring
+    * dedup (the EXACTSUBSTR signal of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * public paper: any shared substring of >= n tokens necessarily
+    * shares one of these n-gram anchors, so the candidate set is
+    * COMPLETE for n-token-or-longer overlaps; MinHash, by contrast, can
+    * miss a long verbatim quote inside two otherwise-different
+    * documents). Output: (id_a, id_b, shared) with id_a < id_b.
+    *
+    * `maxDf` drops anchor grams appearing in more than that many
+    * documents before the pair fan-out: a boilerplate gram in d
+    * documents alone fans into d·(d−1)/2 pairs — the classic quadratic
+    * hot key — and a phrase that common is boilerplate, not plagiarism
+    * evidence. The cut is part of the operator's declared semantics
+    * (pairs whose every shared gram is corpus-rare are unaffected), and
+    * with it the pair stage is an equi-join on the gram key whose
+    * per-key fan-out is bounded by maxDf² — shuffle-partitioned,
+    * AQE-splittable, no driver state. */
+  def exactSubstringPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minShared: Long = 1,
+                          maxDf: Int = 1000): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(maxDf >= 2, s"maxDf must be >= 2 to ever emit a pair: $maxDf")
+    val grams = graft.pipeline.Curation
+      .wordNgramSets(docs, idCol, textCol, n, lowercase = true)
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("gram"))
+    val g = grams.join(rare, "gram")
+    g.select(col("gram"), col(idCol).as("id_a"))
+      .join(g.select(col("gram"), col(idCol).as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -258,6 +258,28 @@ object Pipeline {
     Curation.topNgrams(Tables.documents(s, d), "doc_id", "text",
       n = 2, k = 20, lowercase = true)
 
+  /** Interpolated bigram-LM fluency score over the whole corpus
+    * (λ=0.7 bigram, 0.3 unigram floor). */
+  private def textBigramLm: Q = (s, d) =>
+    Curation.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Token-window chunking: 32-token chunks, stride 24 (8-token
+    * overlap) — every doc covered, only the last chunk short. */
+  private def textChunks: Q = (s, d) =>
+    Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+      size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Exact-substring duplicate pairs: documents sharing >= 1 distinct
+    * lowercased 6-token anchor gram (maxDf 1000 — no gram in this
+    * corpus is that common, so the declared cut is a no-op here and
+    * the output equals the uncapped exact answer). */
+  private def dedupSubstringPairs: Q = (s, d) =>
+    Dedup.exactSubstringPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 6, minShared = 1, maxDf = 1000)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def sampleStratified: Q = (s, d) =>
     Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
       .select(col("doc_id"), col("source"))
@@ -450,6 +472,9 @@ object Pipeline {
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
     "text_top_ngrams"      -> textTopNgrams,
+    "text_bigram_lm"       -> textBigramLm,
+    "text_chunks"          -> textChunks,
+    "dedup_substring_pairs" -> dedupSubstringPairs,
     "sample_stratified"    -> sampleStratified,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
@@ -571,6 +596,53 @@ object Pipeline {
               dfreq AS (SELECT gram, count(DISTINCT doc_id) AS doc_freq FROM g2 GROUP BY 1)
          SELECT gram, occurrences, doc_freq FROM occ JOIN dfreq USING (gram)
          ORDER BY occurrences DESC, gram ASC LIMIT 20""",
+    "text_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              p AS (SELECT doc_id, tok AS w1, lead(tok,1) OVER dw AS w2
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              p2 AS (SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL),
+              bi AS (SELECT w1, w2, count(*) AS bi_cnt FROM p2 GROUP BY 1, 2),
+              m AS (SELECT w1, sum(bi_cnt) AS w1_cnt FROM bi GROUP BY 1),
+              uni AS (SELECT tok AS w2, count(*) AS u_cnt FROM w GROUP BY 1),
+              tot AS (SELECT count(*)::DOUBLE AS n_total FROM w),
+              scored AS (SELECT doc_id, count(*) AS n_bigrams,
+                                round(avg(ln(0.7 * (bi_cnt / w1_cnt)
+                                           + 0.3 * (u_cnt / n_total))), 4) AS avg_logprob
+                         FROM p2 JOIN bi USING (w1, w2) JOIN m USING (w1)
+                              JOIN uni USING (w2) CROSS JOIN tot
+                         GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id""",
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+                           len(string_split(text, ' ')) AS n FROM documents),
+              k AS (SELECT doc_id, t,
+                           unnest(range(0, CASE WHEN n <= 32 THEN 1
+                             ELSE CAST(ceil((n - 32)::DOUBLE / 24) AS BIGINT) + 1 END))
+                             AS chunk_idx
+                    FROM t),
+              c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                           t[CAST(chunk_idx * 24 + 1 AS INT):CAST(chunk_idx * 24 + 32 AS INT)] AS c
+                    FROM k)
+         SELECT doc_id, chunk_idx, CAST(len(c) AS INT) AS n_chunk_tokens,
+                array_to_string(c, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "dedup_substring_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              g AS (SELECT doc_id,
+                           tok || ' ' || lead(tok,1) OVER dw || ' ' || lead(tok,2) OVER dw
+                               || ' ' || lead(tok,3) OVER dw || ' ' || lead(tok,4) OVER dw
+                               || ' ' || lead(tok,5) OVER dw AS gram,
+                           lead(tok,5) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              d AS (SELECT DISTINCT doc_id, gram FROM g WHERE ok IS NOT NULL),
+              rare AS (SELECT gram FROM d GROUP BY gram HAVING count(*) <= 1000),
+              dg AS (SELECT doc_id, gram FROM d JOIN rare USING (gram))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         FROM dg a JOIN dg b USING (gram) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY id_a, id_b""",
     "text_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents),

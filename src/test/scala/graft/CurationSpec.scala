@@ -224,6 +224,67 @@ class CurationSpec extends SparkSpec {
     assert(got.head === (("the cat", 3L, 2L)))
   }
 
+  test("bigramLmScore sinks word-salad the unigram LM cannot see; replays the math") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "mat the on sat cat the"), // shuffle of doc 1: same unigrams
+      (5L, "solo")                    // no transitions
+    ).toDF("doc_id", "text")
+    val got = Curation.bigramLmScore(corpus, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute-force replay of the interpolated math
+    val texts = Map(1L -> "the cat sat on the mat", 2L -> "the dog sat on the mat",
+      3L -> "the cat sat on the rug", 4L -> "mat the on sat cat the", 5L -> "solo")
+    val allToks = texts.values.toSeq.flatMap(_.split(" "))
+    val uni = allToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val nTotal = allToks.size.toDouble
+    val allPairs = texts.values.toSeq.flatMap(t => t.split(" ").sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val bi = allPairs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val w1 = allPairs.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def score(t: String): Double = {
+      val lps = t.split(" ").sliding(2).collect { case Array(a, b) =>
+        math.log(0.7 * (bi((a, b)) / w1(a)) + 0.3 * (uni(b) / nTotal))
+      }.toSeq
+      BigDecimal(lps.sum / lps.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(got(id)._1 === 5L)
+      assert(got(id)._2 === Some(score(texts(id))), s"doc $id")
+    }
+    // the shuffle has a PERFECT unigram profile but improbable transitions
+    assert(got(4L)._2.get < Seq(1L, 2L, 3L).map(got(_)._2.get).min,
+      "word-salad must sink below every fluent doc")
+    // and the unigram LM indeed cannot tell docs 1 and 4 apart
+    val uniScores = Curation.lmQualityScore(corpus, "doc_id", "text")
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(uniScores(1L) === uniScores(4L))
+    // a single-token doc surfaces with no transitions, not an error/drop
+    assert(got(5L) === ((0L, None)))
+  }
+
+  test("chunkDocuments: full coverage, declared overlap, short last chunk only") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // n=10: chunks at 1,4,7
+      (2L, "a b c"),                           // n <= size: one whole chunk
+      (3L, "x1 x2 x3 x4 x5")                   // n=5: [1-4] and short [4-5]
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text", size = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      (1L, 0) -> ((4, "t1 t2 t3 t4")), (1L, 1) -> ((4, "t4 t5 t6 t7")),
+      (1L, 2) -> ((4, "t7 t8 t9 t10")),
+      (2L, 0) -> ((3, "a b c")),
+      (3L, 0) -> ((4, "x1 x2 x3 x4")), (3L, 1) -> ((2, "x4 x5"))))
+  }
+
   test("scoreWithLm against a persisted LM == self-scored corpus; OOV takes the floor") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),

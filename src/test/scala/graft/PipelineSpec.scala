@@ -57,6 +57,20 @@ class PipelineSpec extends SparkSpec {
     assert(fwd === Seq((2L, 1), (4L, 2), (1L, 3)))
   }
 
+  test("exactSubstringPairs finds anchor-gram overlaps; maxDf drops boilerplate grams") {
+    // docs 0/1 identical (9 distinct 6-grams each), doc 2 differs only in
+    // the last token (shares the 8 grams not touching it), doc 4 is a
+    // word-order shuffle of 0 — same unigrams, NO shared 6-gram
+    val pairs = Dedup.exactSubstringPairs(docs, "doc_id", "text", n = 6)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs === Map((0L, 1L) -> 9L, (0L, 2L) -> 8L, (1L, 2L) -> 8L))
+    // maxDf=2: the 8 grams common to docs 0/1/2 (df=3) are cut as
+    // boilerplate; only doc 0/1's last gram (df=2) survives
+    val rare = Dedup.exactSubstringPairs(docs, "doc_id", "text", n = 6, maxDf = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(rare === Map((0L, 1L) -> 1L))
+  }
+
   test("MinHash-LSH finds the planted near-duplicates and skips unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         numHashes = 16, shingleK = 2, bands = 8, threshold = 0.5)

@@ -80,6 +80,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"ball cover degraded to nested-loop:\n$p")
   }
 
+  test("document chunking is a pure narrow map — zero exchanges, zero joins") {
+    // the operator itself, not the declared query (whose orderBy is
+    // presentation-only for the oracle compare)
+    val df = graft.pipeline.Curation.chunkDocuments(
+      Tables.documents(spark, sf()), "doc_id", "text", size = 32, stride = 24)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+    assert(!p.contains("Join"), s"chunking joined:\n$p")
+  }
+
+  test("exact-substring pair search contains no cartesian product — gram equi-joins only") {
+    val p = plan("dedup_substring_pairs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in substring-pair plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in substring-pair plan:\n$p")
+  }
+
   test("MinHash-LSH pair search contains no cartesian product — banded equi-joins only") {
     val p = plan("dedup_minhash_pairs")
     assert(!p.contains("CartesianProduct"), s"LSH degraded to all-pairs:\n$p")

@@ -527,4 +527,159 @@ object Curation {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
       .withColumn("dup_trigram_frac", coalesce(col("dup_trigram_frac"), lit(0.0)))
   }
+
+  // ---------- Gopher document-quality rules ----------
+
+  /** Gopher-style document-level quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1, public paper): per-document measurements
+    * plus one boolean per rule and the conjunctive keep decision a
+    * pretraining filter applies. Rules covered (the subset whose inputs
+    * exist on plain text):
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen];
+    *  - fraction of words containing an alphabetic character
+    *    >= minAlphaRatio;
+    *  - at least minStopwords stop-word hits (the "real language" test).
+    *
+    * Pure per-row column algebra — a full-corpus quality pass is one
+    * narrow scan with zero shuffles, so at 100 TB it runs at I/O speed
+    * and composes in front of dedup/sampling stages for free.
+    * Ratios divide exact integer counts once, so values are engine-
+    * portable (single rounding of an exact quotient). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaRatio: Double = 0.8, minStopwords: Int = 2,
+                  stopwords: Seq[String] = TextAnalysis.DefaultStopwords): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nWords = size(toks)
+    val meanLen = aggregate(transform(toks, t => length(t)),
+      lit(0L), (acc, v) => acc + v).cast("double") / nWords
+    val alphaRatio = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(toks, t => lower(t).isInCollection(stopwords)))
+    df.select(
+        col(idCol), nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("ok_words",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("ok_word_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("ok_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("ok_stop", col("stop_hits") >= minStopwords)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stop"))
+  }
+
+  // ---------- hashed-n-gram quality classifier ----------
+
+  /** Feature-hashing bucket of a gram string: first 32 bits of md5, mod
+    * `buckets` — engine-portable (DuckDB: CAST('0x'||substr(md5,1,8) AS
+    * BIGINT) % buckets). */
+  private def gramBucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Linear quality-classifier scoring over hashed word bigrams — the
+    * fastText-style classifier shape every production pipeline runs
+    * (e.g. the CCNet/LLaMA "looks like Wikipedia" filter), with
+    * DETERMINISTIC md5-derived integer weights so the score has an exact
+    * cross-engine oracle: weight(b) = (first 32 md5 bits of 'w'||b mod
+    * 2001) − 1000 ∈ [−1000, 1000]. Per document the bigram weight sum S
+    * is exact integer arithmetic (order-independent — no float
+    * accumulation across engines), and
+    * score = sigmoid(S / (1000 · max(n_bigrams, 1))), rounded once.
+    *
+    * For scoring with TRAINED weights use `scoreWithWeights`, which
+    * takes the weight table `trainHashedClassifier` produces. Scale
+    * shape (both): pure per-row column algebra — hashing, lookup-free
+    * weight derivation, and the sum all happen inside one narrow
+    * projection; a 100 TB scoring pass has zero shuffles. */
+  def hashedClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                            buckets: Int = 1024): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => when(i < size(toks) - 1,
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    val weights = transform(grams, g =>
+      when(g.isNotNull,
+        conv(substring(md5(concat(lit("w"), gramBucket(g, buckets).cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).otherwise(lit(0L)))
+    val s = aggregate(weights, lit(0L), (acc, v) => acc + v)
+    val n = greatest(size(toks) - 1, lit(1))
+    df.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-s.cast("double") / (n * lit(1000.0)))), 4)
+        .as("score"))
+  }
+
+  /** (id, bucket, x) hashed-bigram frequency features: x = occurrences
+    * of the bucket in the doc / total bigrams in the doc. */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                             buckets: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ord"))
+    val grams = tokenStream(df, idCol, textCol, lowercase = true)
+      .select(col(idCol),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("gram"),
+        lead(col("tok"), 1).over(w).isNotNull.as("ok"))
+      .filter(col("ok"))
+      .select(col(idCol), gramBucket(col("gram"), buckets).as("bucket"))
+    val n = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    grams.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+      .join(n, Seq(idCol))
+      .select(col(idCol), col("bucket"),
+        (col("__c").cast("double") / col("__n")).as("x"))
+  }
+
+  /** Logistic-regression training over hashed-bigram features, by
+    * full-batch gradient descent run AS DATAFRAME JOBS: each iteration
+    * is one pass over the feature stream (join with the current weights,
+    * per-doc margin, sigmoid, per-bucket gradient aggregation). The
+    * weight vector is `buckets` floats — driver-scale by construction
+    * (like the IVF centroids), so it rides along as a broadcast join and
+    * collects back once per iteration; the corpus itself is never
+    * collected, cached once, and scanned `iters` times.
+    *
+    * `labeled` needs (idCol, textCol, labelCol ∈ {0,1}) — e.g. "is this
+    * document Wikipedia-like". Returns (bucket, weight). Deterministic:
+    * full-batch gradient, fixed iteration count, no randomness. */
+  def trainHashedClassifier(labeled: DataFrame, idCol: String, textCol: String,
+                            labelCol: String, buckets: Int = 1024,
+                            iters: Int = 20, lr: Double = 50.0): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(labeled, idCol, textCol, buckets)
+      .join(labeled.select(col(idCol), col(labelCol).cast("double").as("__y")), Seq(idCol))
+      .persist()
+    try {
+      var w = Map.empty[Long, Double].withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
+        val margins = feats.join(wDf, Seq("bucket"), "left")
+          .groupBy(col(idCol), col("__y"))
+          .agg(sum(col("x") * coalesce(col("w"), lit(0.0))).as("__m"))
+          .select(col(idCol), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__m")))).as("__p"))
+        // grad_b = Σ_docs (p − y)·x_b  — one keyed aggregation, collected
+        // at driver scale (≤ buckets rows)
+        val grad = feats.join(margins.select(col(idCol), (col("__p") - col("__y")).as("__e")), Seq(idCol))
+          .groupBy(col("bucket")).agg(sum(col("__e") * col("x")).as("g"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        w = grad.foldLeft(w) { case (acc, (b, g)) => acc.updated(b, acc(b) - lr * g) }
+      }
+      spark.createDataset(w.toSeq).toDF("bucket", "weight")
+    } finally feats.unpersist()
+  }
+
+  /** Score documents with a trained weight table: sigmoid of the
+    * broadcast-joined weight·frequency dot product. One corpus scan, one
+    * keyed aggregation back to the id — no corpus-sized shuffle beyond
+    * the per-doc rollup. */
+  def scoreWithWeights(df: DataFrame, weights: DataFrame, idCol: String,
+                       textCol: String, buckets: Int = 1024): DataFrame =
+    hashedFeatures(df, idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg((lit(1.0) / (lit(1.0) +
+        exp(-sum(col("x") * coalesce(col("weight"), lit(0.0)))))).as("score"))
 }

@@ -383,4 +383,54 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  // ---------- exact-span removal (dedup that rewrites the text) ----------
+
+  /** Corpus-wide exact-span dedup with text reconstruction: tokenize,
+    * chunk into non-overlapping `window`-token spans, keep only the
+    * FIRST occurrence of each distinct span across the whole corpus
+    * (first = smallest (id, span_idx)), and reassemble each document
+    * from its surviving spans. This is the removal counterpart of
+    * exactSubstringPairs — the ExactSubstr rewrite of Lee et al. 2022
+    * (arXiv:2107.06499), where duplicated passages are cut out of later
+    * documents rather than whole documents dropped.
+    *
+    * Output: (id, clean_text, n_spans, n_kept); a document whose every
+    * span already appeared earlier comes back with clean_text = "".
+    *
+    * Scale shape: span extraction is a per-row projection (posexplode of
+    * a higher-order transform — no join); first-occurrence election is
+    * ONE shuffle on the span value (groups are duplicate sets, tiny and
+    * AQE-splittable if a boilerplate span explodes); reassembly is one
+    * shuffle back on the document id. No driver state, no windows over
+    * the whole corpus — both windows partition by keys whose groups are
+    * bounded (a span's copies; a doc's spans). */
+  def spanDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val w = window
+    val toks = split(col(textCol), " ")
+    val spans = docs.select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ((size(toks) + (w - 1)) / w).cast("int") - 1),
+          i => array_join(slice(toks, i * w + 1, w), " "))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+    val first = Window.partitionBy(col("span"))
+      .orderBy(col(idCol), col("span_idx"))
+    val kept = spans
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("span_idx"), col("span")))),
+        s => s.getField("span")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        (((size(toks) + (w - 1)) / w).cast("int")).as("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

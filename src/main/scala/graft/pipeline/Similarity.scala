@@ -65,6 +65,36 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** kNN majority-vote classification: each query's `k` nearest corpus
+    * vectors (exact cosine, same two-phase bounded-heap plan as
+    * bruteForceTopK) vote with their label; the most common label wins,
+    * ties broken by smaller label. The training-pipeline use is label
+    * assignment / label-noise auditing over an embedded corpus.
+    *
+    * Scale shape: the corpus is scanned once (queries broadcast); the
+    * neighbor table is O(queries · k) and stays broadcast-small for the
+    * label join and the vote, so no corpus-sized shuffle ever happens.
+    * Output: (query_id, pred_label, votes), votes = neighbors carrying
+    * the winning label. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol))
+    // nn is queries·k rows — broadcast it into the corpus-sized label
+    // table so the join is a single corpus scan, then vote on the tiny
+    // result (per-query groups of <= k rows; the window is metadata-scale)
+    val votes = labels.join(broadcast(nn), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col(labelCol).as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    import org.apache.spark.sql.expressions.Window
+    votes
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("pred_label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("pred_label"), col("votes"))
+  }
+
   /** All pairs with rounded cosine >= threshold (near-dup detection).
     * Quadratic — intended for post-LSH candidate sets; kept exact here
     * for oracle checking. */

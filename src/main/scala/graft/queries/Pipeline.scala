@@ -244,6 +244,36 @@ object Pipeline {
     Curation.repetitionStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Gopher document-quality rule bundle: measurements + per-rule flags
+    * + the conjunctive keep decision. minWords=50 lands inside this
+    * corpus's word-count range so both outcomes occur. */
+  private def textGopherRules: Q = (s, d) =>
+    Curation.gopherRules(Tables.documents(s, d), "doc_id", "text", minWords = 50)
+      .orderBy(col("doc_id"))
+
+  /** fastText-shaped hashed-bigram classifier score with deterministic
+    * md5-derived integer weights (exact cross-engine arithmetic; the
+    * trained-weights path is ScalaTest-covered in PipelineSpec). */
+  private def textClassifierScore: Q = (s, d) =>
+    Curation.hashedClassifierScore(Tables.documents(s, d), "doc_id", "text",
+        buckets = 1024)
+      .orderBy(col("doc_id"))
+
+  /** ExactSubstr-style span removal: corpus-wide first-occurrence dedup
+    * of 3-token spans, documents rebuilt from surviving spans. */
+  private def dedupSpanRewrite: Q = (s, d) =>
+    Dedup.spanDedupRewrite(Tables.documents(s, d), "doc_id", "text", window = 3)
+      .orderBy(col("doc_id"))
+
+  /** kNN label vote over the embeddings table: held-out queries
+    * (vec_id < 10) classified by their 5 nearest corpus neighbors. */
+  private def annKnnClassify: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnClassify(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 5)
+      .orderBy(col("query_id"))
+  }
+
   private def textLmQuality: Q = (s, d) =>
     Curation.lmQualityScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -469,6 +499,10 @@ object Pipeline {
     "ann_ivfpq_topk"       -> annIvfPqTopK,
     "text_contamination"   -> textContamination,
     "text_repetition"      -> textRepetition,
+    "text_gopher_rules"    -> textGopherRules,
+    "text_classifier_score" -> textClassifierScore,
+    "dedup_span_rewrite"   -> dedupSpanRewrite,
+    "ann_knn_classify"     -> annKnnClassify,
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
     "text_top_ngrams"      -> textTopNgrams,

@@ -414,7 +414,7 @@ object Dedup {
         col(idCol),
         posexplode(transform(
           sequence(lit(0), ((size(toks) + (w - 1)) / w).cast("int") - 1),
-          i => array_join(slice(toks, i * w + 1, w), " "))))
+          i => array_join(slice(toks, i * w + 1, lit(w)), " "))))
       .withColumnRenamed("pos", "span_idx")
       .withColumnRenamed("col", "span")
     val first = Window.partitionBy(col("span"))

@@ -677,6 +677,78 @@ object Pipeline {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          FROM dg a JOIN dg b USING (gram) WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY id_a, id_b""",
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              m AS (SELECT doc_id,
+                           CAST(len(toks) AS INT) AS n_words,
+                           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+                                 / len(toks), 4) AS mean_word_len,
+                           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                                 / len(toks), 4) AS alpha_ratio,
+                           CAST(len(list_filter(toks,
+                             x -> lower(x) IN ('the','a','and','of','to','in','is'))) AS INT) AS stop_hits
+                    FROM t)
+         SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+                (n_words BETWEEN 50 AND 100000) AS ok_words,
+                (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
+                (alpha_ratio >= 0.8) AS ok_alpha,
+                (stop_hits >= 2) AS ok_stop,
+                ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+         FROM m ORDER BY doc_id""",
+    "text_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              p AS (SELECT doc_id, tok || ' ' || lead(tok) OVER dw AS gram,
+                           lead(tok) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              wt AS (SELECT doc_id,
+                            CAST('0x' || substr(md5('w' || CAST(
+                              CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024
+                            AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000 AS wgt
+                     FROM p WHERE ok IS NOT NULL),
+              s AS (SELECT doc_id, sum(wgt) AS s, count(*) AS nb FROM wt GROUP BY 1)
+         SELECT t.doc_id,
+                round(1.0 / (1.0 + exp(-(COALESCE(s.s, 0))::DOUBLE
+                                       / (COALESCE(s.nb, 1) * 1000.0))), 4) AS score
+         FROM toks t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
+    "dedup_span_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           CAST((len(string_split(text, ' ')) + 2) // 3 AS INT) AS n_spans
+                    FROM documents),
+              s AS (SELECT doc_id, toks,
+                           CAST(unnest(range(0, n_spans)) AS INT) AS span_idx
+                    FROM t),
+              sp AS (SELECT doc_id, span_idx,
+                            array_to_string(toks[span_idx*3+1 : span_idx*3+3], ' ') AS span
+                     FROM s),
+              kept AS (SELECT doc_id, span_idx, span,
+                              row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) AS rn
+                       FROM sp),
+              rebuilt AS (SELECT doc_id,
+                                 array_to_string(list(span ORDER BY span_idx), ' ') AS clean_text,
+                                 count(*) AS n_kept
+                          FROM kept WHERE rn = 1 GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text, t.n_spans,
+                COALESCE(r.n_kept, 0) AS n_kept
+         FROM t LEFT JOIN rebuilt r USING (doc_id) ORDER BY t.doc_id""",
+    "ann_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id, e.label, $cosineSql AS score
+                FROM (SELECT * FROM embeddings WHERE vec_id >= 10) e CROSS JOIN q),
+              ranked AS (SELECT query_id, label,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rn
+                         FROM scored),
+              votes AS (SELECT query_id, label AS pred_label, count(*) AS votes
+                        FROM ranked WHERE rn <= 5 GROUP BY 1, 2),
+              win AS (SELECT query_id, pred_label, votes,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, pred_label) AS wrn
+                      FROM votes)
+         SELECT query_id, pred_label, votes FROM win WHERE wrn = 1 ORDER BY query_id""",
     "text_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents),

@@ -443,9 +443,56 @@ class CurationSpec extends SparkSpec {
     assert(sampleAvg > corpusAvg, "token-weighted sampling must favor heavy rows")
   }
 
-  private def md5Hex(id: Long): String = {
+  test("gopherRules: each rule trips on its planted violator; keep is the conjunction") {
+    val fixture = Seq(
+      (0L, "the cat and the dog ran to the old red barn in the warm rain"), // passes all
+      (1L, "too short"),                                                    // n_words < 5
+      (2L, "12 34 56 78 90 11 22 33"),                                      // no alpha words
+      (3L, "internationalization accessibility virtualization parallelization notwithstanding " +
+           "crystallographically uncharacteristically electroencephalography"), // mean len > 10
+      (4L, "zebra quartz jumps vexed lynx fowl grabs whomp")                 // no stopwords
+    ).toDF("doc_id", "text")
+    val r = Curation.gopherRules(fixture, "doc_id", "text", minWords = 5)
+      .select("doc_id", "n_words", "mean_word_len", "alpha_ratio", "stop_hits",
+        "ok_words", "ok_word_len", "ok_alpha", "ok_stop", "keep")
+      .as[(Long, Int, Double, Double, Int, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(0L)._10, "clean prose must keep")
+    assert(!r(1L)._6 && !r(1L)._10, "short doc fails word-count rule")
+    assert(!r(2L)._8 && !r(2L)._10, "digit-only doc fails alpha-ratio rule")
+    assert(!r(3L)._7 && !r(3L)._10, "jargon wall fails mean-word-length rule")
+    assert(!r(4L)._9 && !r(4L)._10, "stopword-free doc fails the real-language rule")
+    // brute-force replay of the measurements for doc 0
+    val toks = "the cat and the dog ran to the old red barn in the warm rain".split(" ")
+    assert(r(0L)._2 === toks.length)
+    assert(r(0L)._3 === math.rint(toks.map(_.length).sum.toDouble / toks.length * 1e4) / 1e4)
+    assert(r(0L)._5 === toks.count(t => Seq("the", "a", "and", "of", "to", "in", "is").contains(t)))
+  }
+
+  test("hashedClassifierScore replays the md5 weight math; <2-token docs score 0.5") {
+    val fixture = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "solo"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = Curation.hashedClassifierScore(fixture, "doc_id", "text", buckets = 1024)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // brute-force: bucket = first-32-md5-bits(gram) % 1024,
+    // weight = first-32-md5-bits("w"+bucket) % 2001 - 1000
+    def h32(s: String): Long = java.lang.Long.parseLong(md5HexOf(s).take(8), 16)
+    val grams = Seq("the quick", "quick brown", "brown fox")
+    val s = grams.map(g => h32("w" + (h32(g) % 1024).toString) % 2001 - 1000).sum
+    val expected = math.rint(1.0 / (1.0 + math.exp(-s.toDouble / 3000.0)) * 1e4) / 1e4
+    assert(got(0L) === expected)
+    assert(got(1L) === 0.5, "1-token doc has no bigrams -> sigmoid(0)")
+    assert(got(2L) === 0.5, "empty doc -> sigmoid(0)")
+  }
+
+  private def md5HexOf(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
+
+  private def md5Hex(id: Long): String = md5HexOf(id.toString)
 }

@@ -253,6 +253,43 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("spanDedupRewrite removes later copies of a span, within and across docs") {
+    val fixture = Seq(
+      (0L, "a b c d e f"),      // first owner of both spans
+      (1L, "a b c x y z"),      // first span dup of doc 0's -> only "x y z" survives
+      (2L, "a b c d e f"),      // full duplicate -> empty rewrite
+      (3L, "d e f"),            // single span already owned by doc 0
+      (4L, "p q"),              // short unique span survives whole
+      (5L, "m n o m n o")       // within-doc duplicate span
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedupRewrite(fixture, "doc_id", "text", window = 3)
+      .select("doc_id", "clean_text", "n_spans", "n_kept")
+      .as[(Long, String, Int, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L) === ((0L, "a b c d e f", 2, 2L)))
+    assert(r(1L) === ((1L, "x y z", 2, 1L)))
+    assert(r(2L) === ((2L, "", 2, 0L)))
+    assert(r(3L) === ((3L, "", 1, 0L)))
+    assert(r(4L) === ((4L, "p q", 1, 1L)))
+    assert(r(5L) === ((5L, "m n o", 2, 1L)))
+  }
+
+  test("knnClassify: majority label wins; vote ties break to the smaller label") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.98f, 0.05f), 0), (12L, Array(0.95f, 0.1f), 0),
+      (13L, Array(0.0f, 1.0f), 1), (14L, Array(0.05f, 0.98f), 1),
+      (20L, Array(1.0f, 0.0f), 5), (21L, Array(0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val majority = Similarity.knnClassify(
+        corpus.filter(col("vec_id") < 20), Seq((1L, Array(0.9f, 0.2f))).toDF("vec_id", "embedding"), 3)
+      .as[(Long, Int, Long)].collect()
+    assert(majority === Array((1L, 0, 3L)), "all 3 nearest carry label 0")
+    // equidistant two-class vote: 1-1 tie resolves to the smaller label
+    val tie = Similarity.knnClassify(
+        corpus.filter(col("vec_id") >= 20), Seq((2L, Array(0.7071f, 0.7071f))).toDF("vec_id", "embedding"), 2)
+      .as[(Long, Int, Long)].collect()
+    assert(tie === Array((2L, 3, 1L)))
+  }
+
   test("ball-cover near-dup pairs equal the exact all-pairs output") {
     // completeness is a triangle-inequality theorem, but assert it anyway:
     // same ids AND same rounded scores as the quadratic reference form

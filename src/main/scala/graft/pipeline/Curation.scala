@@ -674,12 +674,17 @@ object Curation {
   /** Score documents with a trained weight table: sigmoid of the
     * broadcast-joined weight·frequency dot product. One corpus scan, one
     * keyed aggregation back to the id — no corpus-sized shuffle beyond
-    * the per-doc rollup. */
+    * the per-doc rollup. Documents with fewer than 2 tokens have no
+    * bigram features; they score sigmoid(0) = 0.5 (matching
+    * hashedClassifierScore) instead of vanishing from the output. */
   def scoreWithWeights(df: DataFrame, weights: DataFrame, idCol: String,
-                       textCol: String, buckets: Int = 1024): DataFrame =
-    hashedFeatures(df, idCol, textCol, buckets)
+                       textCol: String, buckets: Int = 1024): DataFrame = {
+    val dots = hashedFeatures(df, idCol, textCol, buckets)
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg((lit(1.0) / (lit(1.0) +
-        exp(-sum(col("x") * coalesce(col("weight"), lit(0.0)))))).as("score"))
+      .agg(sum(col("x") * coalesce(col("weight"), lit(0.0))).as("__dot"))
+    df.select(col(idCol)).join(dots, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__dot"), lit(0.0))))).as("score"))
+  }
 }

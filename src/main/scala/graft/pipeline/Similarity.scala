@@ -133,7 +133,8 @@ object Similarity {
     * plan still shuffles by cell (co-partitioned, spillable) instead of
     * materializing a cartesian. Scores come from the same codegen'd
     * cosine over RAW vectors as nearDupPairs, so output is bit-identical
-    * to the all-pairs form. */
+    * to the all-pairs form on uniform-width corpora (mixed widths are
+    * rejected loudly — see the radii check below). */
   def nearDupPairsBallCover(corpus: DataFrame, threshold: Double,
                             nlist: Int = 16, seed: Long = 42L,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -143,19 +144,30 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
     val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
-    // drop width-mismatched vectors (null cell by NearestCentroid's
-    // contract) — the all-pairs form excludes them too, via null cosine;
-    // persist: the assignment pass feeds the radii action AND both join
-    // sides, and Spark won't dedup the common subplan on its own
+    // localCheckpoint (not persist): the assignment pass feeds the radii
+    // action AND both join sides, and Spark won't dedup the common
+    // subplan on its own; checkpointing materializes once and truncates
+    // lineage without leaking cached blocks across repeated calls
     val assigned = c.select(col("neighbor_id"), col("vec"),
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers).as("cell"),
       graft.functions.PqFunctions.nearestCentroidDist(col("_nvec"), centers).as("cdist"))
-      .filter(col("cell").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-cell radii: nlist rows — driver-scale by construction
-    val radii = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
-      .as[(Int, Double)].collect().toMap
-    val reach = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+      .localCheckpoint()
+    // per-cell radii: nlist rows — driver-scale by construction. A null
+    // cell means a width-mismatched vector (NearestCentroid's contract);
+    // the all-pairs form would still pair two vectors sharing a MINORITY
+    // width, which no cell geometry can cover — so the equality claim
+    // only holds on uniform-width corpora, and we fail loudly instead of
+    // silently dropping pairs.
+    val radiiRows = assigned.groupBy("cell").agg(max(col("cdist")).as("r")).collect()
+    require(!radiiRows.exists(_.isNullAt(0)),
+      "nearDupPairsBallCover requires a uniform-width corpus: found vectors whose " +
+        "width differs from the sampled centroid dimension (use nearDupPairs, or " +
+        "partition the corpus by width first)")
+    val radii = radiiRows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // reach from the ROUND-UP boundary: emission tests round(cos,4) >=
+    // threshold, so a pair with true cosine down to threshold−5e-5 can
+    // round up and be emitted — the geometric bound must cover it
+    val reach = math.sqrt(math.max(0.0, 2.0 - 2.0 * (threshold - 0.00005)))
     def centerDist(i: Int, j: Int): Double = {
       var s = 0.0; var t = 0
       while (t < centers(i).length) {

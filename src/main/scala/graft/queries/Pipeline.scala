@@ -274,6 +274,21 @@ object Pipeline {
       .orderBy(col("query_id"))
   }
 
+  /** Trained-classifier path end-to-end: 2 full-batch GD iterations on
+    * labels planted as doc_id parity, then scoreWithWeights over the
+    * same corpus. Deterministic by design (full-batch gradient, fixed
+    * iteration count, no randomness), so the DuckDB oracle replays the
+    * two unrolled iterations exactly. */
+  private def textClassifierTrained: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val labeled = docs.withColumn("label", (col("doc_id") % 2).cast("int"))
+    val w = Curation.trainHashedClassifier(labeled, "doc_id", "text", "label",
+      buckets = 1024, iters = 2, lr = 50.0)
+    Curation.scoreWithWeights(docs, w, "doc_id", "text", buckets = 1024)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   private def textLmQuality: Q = (s, d) =>
     Curation.lmQualityScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -501,6 +516,7 @@ object Pipeline {
     "text_repetition"      -> textRepetition,
     "text_gopher_rules"    -> textGopherRules,
     "text_classifier_score" -> textClassifierScore,
+    "text_classifier_trained" -> textClassifierTrained,
     "dedup_span_rewrite"   -> dedupSpanRewrite,
     "ann_knn_classify"     -> annKnnClassify,
     "text_lm_quality"      -> textLmQuality,
@@ -712,6 +728,39 @@ object Pipeline {
                 round(1.0 / (1.0 + exp(-(COALESCE(s.s, 0))::DOUBLE
                                        / (COALESCE(s.nb, 1) * 1000.0))), 4) AS score
          FROM toks t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
+    // exact replay of trainHashedClassifier(iters=2, lr=50) + scoreWithWeights:
+    // iteration 1 starts from w=0 so every margin is sigmoid(0)=0.5 and the
+    // gradient needs no weight join; iteration 2 joins the iter-1 weights.
+    // g1/g2 both aggregate over exactly the buckets present in feats, so the
+    // weight-update join is a plain inner join.
+    "text_classifier_trained" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              p AS (SELECT doc_id, tok || ' ' || lead(tok) OVER dw AS gram,
+                           lead(tok) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              f0 AS (SELECT doc_id,
+                            CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024 AS bucket
+                     FROM p WHERE ok IS NOT NULL),
+              nb AS (SELECT doc_id, count(*) AS n FROM f0 GROUP BY 1),
+              feats AS (SELECT f0.doc_id, bucket, count(*)::DOUBLE / nb.n AS x
+                        FROM f0 JOIN nb USING (doc_id) GROUP BY f0.doc_id, bucket, nb.n),
+              lab AS (SELECT doc_id, (doc_id % 2)::DOUBLE AS y FROM documents),
+              g1 AS (SELECT bucket, sum((0.5 - y) * x) AS g
+                     FROM feats JOIN lab USING (doc_id) GROUP BY 1),
+              w1 AS (SELECT bucket, -50.0 * g AS wt FROM g1),
+              m2 AS (SELECT doc_id, y,
+                            1.0 / (1.0 + exp(-sum(x * COALESCE(wt, 0)))) AS prob
+                     FROM feats JOIN lab USING (doc_id) LEFT JOIN w1 USING (bucket)
+                     GROUP BY doc_id, y),
+              g2 AS (SELECT bucket, sum((prob - y) * x) AS g
+                     FROM feats JOIN m2 USING (doc_id) GROUP BY 1),
+              w2 AS (SELECT bucket, wt - 50.0 * g AS wt FROM w1 JOIN g2 USING (bucket)),
+              dots AS (SELECT doc_id, sum(x * COALESCE(wt, 0)) AS dot
+                       FROM feats LEFT JOIN w2 USING (bucket) GROUP BY 1)
+         SELECT d.doc_id,
+                round(1.0 / (1.0 + exp(-COALESCE(dots.dot, 0))), 4) AS score
+         FROM documents d LEFT JOIN dots USING (doc_id) ORDER BY d.doc_id""",
     "dedup_span_rewrite" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                            CAST((len(string_split(text, ' ')) + 2) // 3 AS INT) AS n_spans

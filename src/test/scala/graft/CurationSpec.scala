@@ -488,6 +488,34 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) === 0.5, "empty doc -> sigmoid(0)")
   }
 
+  test("trainHashedClassifier separates planted classes; scoreWithWeights covers short docs") {
+    val labeled = Seq(
+      (0L, "good clean prose about science and method", 1),
+      (1L, "good clean prose about careful science", 1),
+      (2L, "good clean prose on science method details", 1),
+      (3L, "spam spam buy now spam click here", 0),
+      (4L, "buy now spam click spam here now", 0),
+      (5L, "spam click buy here now spam spam", 0)
+    ).toDF("doc_id", "text", "label")
+    val w = Curation.trainHashedClassifier(labeled, "doc_id", "text", "label",
+      buckets = 256, iters = 5, lr = 50.0)
+    val scores = Curation.scoreWithWeights(labeled, w, "doc_id", "text", buckets = 256)
+      .as[(Long, Double)].collect().toMap
+    val pos = Seq(0L, 1L, 2L).map(scores)
+    val neg = Seq(3L, 4L, 5L).map(scores)
+    assert(pos.min > neg.max,
+      s"trained classifier must separate the planted classes: pos=$pos neg=$neg")
+    // determinism: a second training run lands on identical weights
+    val w2 = Curation.trainHashedClassifier(labeled, "doc_id", "text", "label",
+      buckets = 256, iters = 5, lr = 50.0)
+    assert(w.orderBy("bucket").collect() === w2.orderBy("bucket").collect())
+    // <2-token docs keep a row and score sigmoid(0)=0.5 instead of vanishing
+    val short = Seq((9L, "solo"), (10L, "")).toDF("doc_id", "text")
+    val s2 = Curation.scoreWithWeights(short, w, "doc_id", "text", buckets = 256)
+      .as[(Long, Double)].collect().toMap
+    assert(s2 === Map(9L -> 0.5, 10L -> 0.5))
+  }
+
   private def md5HexOf(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

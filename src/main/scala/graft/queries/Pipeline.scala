@@ -61,6 +61,30 @@ object Pipeline {
     Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDistance = 16)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** In-engine verifier for the pigeonhole SimHash banding: the
+    * symmetric difference between the banded join and the all-pairs
+    * Hamming search, which the pigeonhole theorem proves EMPTY for
+    * maxDistance < bands. The oracle is the empty set — if banding ever
+    * lost (or invented) a pair, rows would appear and the driver gate
+    * would fail. SimHash values are xxhash64-defined so the pair lists
+    * themselves admit no cross-engine oracle; the emptiness of this diff
+    * is engine-independent. The quadratic brute side is verifier-only —
+    * the production operator is the banded form. */
+  private def dedupSimhashExactDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val banded = Dedup.simhashNearDupsExact(docs, "doc_id", "text",
+      maxDistance = 7, bands = 8)
+    val sh = Dedup.simhashTable(docs, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 7)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    banded.exceptAll(brute).unionAll(brute.exceptAll(banded))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Gram sets are projected BEFORE the pair join — computing them inside
     * the join condition rebuilds both arrays per pair (O(pairs·len))
     * instead of per doc (O(docs·len)). */
@@ -272,6 +296,45 @@ object Pipeline {
     Similarity.knnClassify(
         emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 5)
       .orderBy(col("query_id"))
+  }
+
+  /** Deterministic replay of the streaming ingest loop the driver can
+    * hash-check: corpus → FileTopic → quality gate → watermark-bounded
+    * streaming dedup → catalog sink (exactly-once batch commits), read
+    * back from the catalog. Which COPY of a duplicate survives is
+    * arrival-order-defined, so the declared output is the admitted
+    * distinct-text set — equal to the batch gate+dedup of the same rows
+    * by the stream≡batch law StreamingSpec proves. The driver-side
+    * publish loop is replay-fixture plumbing standing in for a real
+    * broker, not a scale path. */
+  private def streamIngestReplay: Q = (s, d) => {
+    import graft.streaming.{CatalogStreamSink, FileTopic, StreamingDedup}
+    import graft.catalog.GraftCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-replay")
+    val topic = new FileTopic(dir.resolve("topic").toString, "docs", partitions = 2)
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    // one batched produce (a real producer batches too): a handful of
+    // segment files instead of one per record, so the file-stream source
+    // drains the topic in a few triggers
+    topic.appendBatch(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").collect().toSeq
+        .map(r => r.getLong(0).toString -> r.getString(1)),
+      base): Unit
+    val cat = new GraftCatalog(s, dir.resolve("cat").toString)
+    cat.createTable("cur", "docs")
+    val gated = topic.streamDF(s)
+      .select(col("key").cast("long").as("doc_id"), col("value").as("text"),
+        col("eventTime"))
+      .filter(graft.pipeline.TextAnalysis.qualityScore(col("text")) >= 0.5)
+    val q = StreamingDedup.dropExactDups(gated, timeCol = "eventTime")
+      .select("doc_id", "text")
+      .writeStream
+      .foreachBatch(CatalogStreamSink.foreachBatchCommit(cat, "cur", "docs", "ing"))
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    cat.read("cur", "docs").select("text").distinct().orderBy("text")
   }
 
   /** Trained-classifier path end-to-end: 2 full-batch GD iterations on
@@ -497,6 +560,7 @@ object Pipeline {
     "dedup_minhash_pairs"  -> dedupMinhashPairs,
     "dedup_incremental_pairs" -> dedupIncrementalPairs,
     "dedup_simhash_pairs"  -> dedupSimhashPairs,
+    "dedup_simhash_exact_diff" -> dedupSimhashExactDiff,
     "dedup_ngram_pairs"    -> dedupNgramPairs,
     "dedup_cluster_keepers" -> dedupClusterKeepers,
     "text_token_stats"     -> textTokenStats,
@@ -517,6 +581,7 @@ object Pipeline {
     "text_gopher_rules"    -> textGopherRules,
     "text_classifier_score" -> textClassifierScore,
     "text_classifier_trained" -> textClassifierTrained,
+    "stream_ingest_replay" -> streamIngestReplay,
     "dedup_span_rewrite"   -> dedupSpanRewrite,
     "ann_knn_classify"     -> annKnnClassify,
     "text_lm_quality"      -> textLmQuality,
@@ -582,6 +647,15 @@ object Pipeline {
   /** Brute-force cosine top-k — the shared oracle for ann_topk and every
     * ANN configuration that provably converges to it (exact IVF probe of
     * all cells; PQ pool + exact re-rank). */
+  /** Per-doc quality score q — shared by the quality rollup and the
+    * streaming-ingest replay gate (mirrors TextAnalysis.qualityScore). */
+  private val qualitySql =
+    s"""round(
+          least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+          least(round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) * 5.0, 1.0) * 0.4 +
+          (1.0 - round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text), 4)) * 0.2,
+          4)"""
+
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         scored AS (
@@ -693,6 +767,11 @@ object Pipeline {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          FROM dg a JOIN dg b USING (gram) WHERE a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY id_a, id_b""",
+    // pigeonhole theorem: the banded-vs-brute diff is empty; any row
+    // here is a recall bug, so the oracle is the typed empty set
+    "dedup_simhash_exact_diff" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                CAST(NULL AS INT) AS hamming WHERE 1 = 0""",
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
               m AS (SELECT doc_id,
@@ -1042,13 +1121,14 @@ object Pipeline {
           FROM documents ORDER BY doc_id""",
     "text_quality_source" ->
       s"""SELECT source, round(avg(q), 4) AS avg_quality, count(*) AS docs FROM (
-            SELECT source, round(
-              least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-              least(round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) * 5.0, 1.0) * 0.4 +
-              (1.0 - round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text), 4)) * 0.2,
-              4) AS q
+            SELECT source, $qualitySql AS q
             FROM documents) t
           GROUP BY source ORDER BY source""",
+    // replay of the streaming ingest loop: the admitted corpus is the
+    // quality-gated distinct-text set, independent of arrival order
+    "stream_ingest_replay" ->
+      s"""SELECT DISTINCT text FROM (SELECT text, $qualitySql AS q FROM documents) t
+          WHERE q >= 0.5 ORDER BY text""",
     "text_langid" ->
       s"""SELECT lang, $langCaseSql AS predicted, count(*) AS cnt
           FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -91,6 +91,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"chunking joined:\n$p")
   }
 
+  test("span-rewrite dedup shuffles exactly twice: span election + doc reassembly") {
+    // the operator itself (the declared query adds a presentation orderBy);
+    // its contract: ONE shuffle on the span value, ONE back on the doc id —
+    // the doc-side join must reuse the id partitioning or broadcast, never
+    // add a third corpus shuffle
+    val df = graft.pipeline.Dedup.spanDedupRewrite(
+      Tables.documents(spark, sf()), "doc_id", "text", window = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 2, s"expected <=2 hash exchanges, got $hashExchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span rewrite degraded to a cross join:\n$p")
+  }
+
   test("exact-substring pair search contains no cartesian product — gram equi-joins only") {
     val p = plan("dedup_substring_pairs")
     assert(!p.contains("CartesianProduct"), s"cartesian in substring-pair plan:\n$p")

@@ -235,12 +235,19 @@ object Dedup {
     * equal to the all-pairs search). [[simhashNearDups]]'s high-16
     * banding is the cheaper, recall-lossy variant for larger d. */
   def simhashNearDupsExact(docs: DataFrame, idCol: String, textCol: String,
-                           maxDistance: Int = 7, bands: Int = 8): DataFrame = {
+                           maxDistance: Int = 7, bands: Int = 8): DataFrame =
+    simhashNearDupsExactOnTable(simhashTable(docs, idCol, textCol), idCol,
+      maxDistance, bands)
+
+  /** [[simhashNearDupsExact]] over a PRECOMPUTED (id, sh) signature
+    * table — callers that also need the signatures elsewhere (e.g. the
+    * banding-vs-brute verifier) compute them once and share. */
+  def simhashNearDupsExactOnTable(sh: DataFrame, idCol: String,
+                                  maxDistance: Int = 7, bands: Int = 8): DataFrame = {
     require(maxDistance < bands, "pigeonhole guarantee needs maxDistance < bands")
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simhashTable(docs, idCol, textCol)
     val banded = sh.select(col(idCol), col("sh"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftright", col("sh"), b * width).bitwiseAND(lit(mask)))))

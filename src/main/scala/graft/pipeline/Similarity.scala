@@ -629,4 +629,61 @@ object Similarity {
         round(cosine(col("vec"), col("query_vec")), 4).as("score"))
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
+
+  /** Deterministic fixed-iteration Lloyd k-means over the embedding
+    * column — the domain-discovery / corpus-partitioning step a
+    * training pipeline runs before per-cluster dedup (SemDeDup's
+    * clustering stage) or mixture balancing.
+    *
+    * Determinism (so a second engine can replay it exactly): initial
+    * centroids are the `k` lowest-id vectors; assignment is argmin of
+    * squared L2 with ties to the lower centroid index; recomputed means
+    * round to 6 decimals each iteration, which quantizes away
+    * sum-order float noise far below the rounding bin. `iters` full
+    * {assign, update} rounds run, then the returned assignment is
+    * against the final centroids.
+    *
+    * Scale shape: centroids are a k×dim driver-scale artifact compiled
+    * INTO the scan as codegen'd literals — each iteration is one narrow
+    * corpus scan (no join, no corpus shuffle) plus a (k·dim)-row mean
+    * aggregation; empty clusters keep their previous centroid. This is
+    * the same topology MLlib's k-means runs, minus its sampling-based
+    * init (deliberately, for the cross-engine oracle).
+    * Output: (idCol, cluster, dist), dist = round(sqrt(d2), 4). */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k"); require(iters >= 1, s"iters=$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .filter(col("__vec").isNotNull)
+    val init: Array[Array[Double]] = base.orderBy("__id").limit(k)
+      .select("__vec").as[Seq[Float]].collect()
+      .map(_.toArray.map(_.toDouble))
+    require(init.length == k, s"corpus has fewer than k=$k vectors")
+    def dist2(c: Array[Double]): Column =
+      aggregate(
+        zip_with(col("__vec"), typedLit(c.toSeq),
+          (x, y) => { val d = x.cast("double") - y; d * d }),
+        lit(0.0), (acc, v) => acc + v)
+    def assign(centers: Array[Array[Double]]): DataFrame = {
+      val dists = array(centers.map(dist2).toIndexedSeq: _*)
+      base.withColumn("__dists", dists)
+        .withColumn("cluster",
+          (array_position(col("__dists"), array_min(col("__dists"))) - 1).cast("int"))
+    }
+    var centers = init
+    for (_ <- 1 to iters) {
+      val means = assign(centers)
+        .select(col("cluster"), posexplode(col("__vec")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .collect()
+      val next = centers.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centers = next
+    }
+    assign(centers).select(col("__id").as(idCol), col("cluster"),
+      round(sqrt(array_min(col("__dists"))), 4).as("dist"))
+  }
 }

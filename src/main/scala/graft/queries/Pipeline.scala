@@ -72,9 +72,12 @@ object Pipeline {
     * the production operator is the banded form. */
   private def dedupSimhashExactDiff: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val banded = Dedup.simhashNearDupsExact(docs, "doc_id", "text",
+    // signatures computed ONCE and checkpointed — the banded and brute
+    // forms plus both except-legs would otherwise recompute the 64-vote
+    // aggregation up to 4×
+    val sh = Dedup.simhashTable(docs, "doc_id", "text").localCheckpoint()
+    val banded = Dedup.simhashNearDupsExactOnTable(sh, "doc_id",
       maxDistance = 7, bands = 8)
-    val sh = Dedup.simhashTable(docs, "doc_id", "text")
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -337,6 +340,13 @@ object Pipeline {
     cat.read("cur", "docs").select("text").distinct().orderBy("text")
   }
 
+  /** Corpus domain clustering: 2 deterministic Lloyd iterations, k=8,
+    * over the embeddings table (the SemDeDup / mixture-balancing
+    * preprocessing stage); oracle replays both unrolled iterations. */
+  private def annKmeansAssign: Q = (s, d) =>
+    Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+
   /** Trained-classifier path end-to-end: 2 full-batch GD iterations on
     * labels planted as doc_id parity, then scoreWithWeights over the
     * same corpus. Deterministic by design (full-batch gradient, fixed
@@ -584,6 +594,7 @@ object Pipeline {
     "stream_ingest_replay" -> streamIngestReplay,
     "dedup_span_rewrite"   -> dedupSpanRewrite,
     "ann_knn_classify"     -> annKnnClassify,
+    "ann_kmeans_assign"    -> annKmeansAssign,
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
     "text_top_ngrams"      -> textTopNgrams,
@@ -655,6 +666,35 @@ object Pipeline {
           least(round(CAST(len(${stopSql()}) AS DOUBLE) / len(string_split(text, ' ')), 4) * 5.0, 1.0) * 0.4 +
           (1.0 - round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / length(text), 4)) * 0.2,
           4)"""
+
+  /** One k-means assignment pass in DuckDB: squared-L2 to every centroid
+    * in `centTbl`, argmin with ties to the lower centroid index (rn=1). */
+  private def kmeansAssignSql(centTbl: String, outName: String): String =
+    s"""$outName AS (
+          SELECT vec_id, cluster, dist2,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist2, cluster) AS rn
+          FROM (SELECT e.vec_id, c.cluster,
+                       list_aggregate(list_transform(list_zip(e.v, c.c),
+                         p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dist2
+                FROM e CROSS JOIN $centTbl c))"""
+
+  /** One k-means centroid update in DuckDB: per-(cluster,dim) means of
+    * the rn=1 assignment, rounded to 6 decimals (the engine-portability
+    * quantization kmeansAssign applies), empty clusters keeping their
+    * previous coordinates. */
+  private def kmeansUpdateSql(assignTbl: String, prevCent: String,
+                              mTbl: String, cTbl: String): String =
+    s"""$mTbl AS (SELECT a.cluster, u.pos, round(avg(u.val), 6) AS m
+                  FROM (SELECT vec_id, cluster FROM $assignTbl WHERE rn = 1) a
+                  JOIN (SELECT vec_id, unnest(v) AS val,
+                               unnest(range(0, len(v))) AS pos FROM e) u USING (vec_id)
+                  GROUP BY a.cluster, u.pos),
+        ${cTbl}u AS (SELECT p.cluster, p.pos, COALESCE($mTbl.m, p.cv) AS cv
+                     FROM (SELECT cluster, unnest(c) AS cv,
+                                  unnest(range(0, len(c))) AS pos FROM $prevCent) p
+                     LEFT JOIN $mTbl ON $mTbl.cluster = p.cluster AND $mTbl.pos = p.pos),
+        $cTbl AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM ${cTbl}u GROUP BY cluster)"""
 
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -807,6 +847,22 @@ object Pipeline {
                 round(1.0 / (1.0 + exp(-(COALESCE(s.s, 0))::DOUBLE
                                        / (COALESCE(s.nb, 1) * 1000.0))), 4) AS score
          FROM toks t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id""",
+    // exact replay of kmeansAssign(k=8, iters=2): init = 8 lowest-id
+    // vectors, two unrolled {assign, update-mean} rounds, final
+    // assignment against the round-2 centroids
+    "ann_kmeans_assign" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+                     FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+              ${kmeansAssignSql("c0", "a1")},
+              ${kmeansUpdateSql("a1", "c0", "m1", "c1")},
+              ${kmeansAssignSql("c1", "a2")},
+              ${kmeansUpdateSql("a2", "c1", "m2", "c2")},
+              ${kmeansAssignSql("c2", "a3")}
+         SELECT vec_id, CAST(cluster AS INT) AS cluster,
+                round(sqrt(dist2), 4) AS dist
+         FROM a3 WHERE rn = 1 ORDER BY vec_id""",
     // exact replay of trainHashedClassifier(iters=2, lr=50) + scoreWithWeights:
     // iteration 1 starts from w=0 so every margin is sigmoid(0)=0.5 and the
     // gradient needs no weight join; iteration 2 joins the iter-1 weights.

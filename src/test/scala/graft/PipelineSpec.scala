@@ -290,6 +290,25 @@ class PipelineSpec extends SparkSpec {
     assert(tie === Array((2L, 3, 1L)))
   }
 
+  test("kmeansAssign groups planted clusters around their centers, deterministically") {
+    val emb = Seq(
+      (0L, Array(10.0f, 0.2f)), (2L, Array(10.2f, 0.0f)), (3L, Array(9.8f, 0.1f)),
+      (1L, Array(0.1f, 10.0f)), (4L, Array(0.0f, 9.9f)), (5L, Array(0.2f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    val a = Seq(0L, 2L, 3L).map(r(_)._2)
+    val b = Seq(1L, 4L, 5L).map(r(_)._2)
+    assert(a.distinct.size === 1 && b.distinct.size === 1 && a.head != b.head,
+      s"planted clusters must separate: $r")
+    assert(r.values.forall(_._3 < 1.0), s"every point sits near its own centroid: $r")
+    val r2 = Similarity.kmeansAssign(emb, k = 2, iters = 2)
+      .select("vec_id", "cluster", "dist").as[(Long, Int, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r === r2, "fixed-iteration k-means must be deterministic")
+  }
+
   test("ball-cover near-dup pairs equal the exact all-pairs output") {
     // completeness is a triangle-inequality theorem, but assert it anyway:
     // same ids AND same rounded scores as the quadratic reference form

@@ -160,6 +160,43 @@ object Curation {
       .filter(col("cum_tokens") <= col("stratum_budget"))
   }
 
+  /** Temperature-based domain resampling (the multilingual-LM mixing
+    * rule): each stratum's budget share is its token mass flattened by
+    * `alpha` — share_d = T_d^α / Σ_e T_e^α — so low-resource domains are
+    * upsampled relative to their natural frequency (α=1 keeps natural
+    * proportions, α→0 approaches uniform). Unlike [[mixtureSample]] the
+    * mixture is DERIVED from the corpus, not supplied.
+    *
+    * Engine-portability of the derived budgets: shares are rounded to 9
+    * decimals before the floor(totalBudget·share) cut, which quantizes
+    * last-ulp pow() differences between engines far below the rounding
+    * bin. Admission inside a budget is the shared md5-order contract.
+    *
+    * Scale shape: the share computation runs on the |strata|-row totals
+    * table (driver-scale; the single-partition window there is over that
+    * tiny table, never the corpus), broadcast back into one corpus
+    * window — same topology as [[mixtureSample]]. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokenCol: String, alpha: Double,
+                        totalBudget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val budgets = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__t"))
+      .withColumn("__p", pow(col("__t"), lit(alpha)))
+      .withColumn("stratum_budget",
+        floor(lit(totalBudget.toDouble) *
+          round(col("__p") / sum(col("__p")).over(wAll), 9)).cast("long"))
+      .select(col(stratumCol), col("stratum_budget"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets), stratumCol)
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= col("stratum_budget"))
+  }
+
   /** Deterministic train/val/test assignment: the first 8 md5 hex chars
     * of the id partition [0,1) by lexicographic threshold — engine-
     * portable (pure string compares), reproducible across clusters, and

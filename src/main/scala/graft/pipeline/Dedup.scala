@@ -340,6 +340,37 @@ object Dedup {
         .select(col("id"), col("id").as("cluster")))
   }
 
+  /** Quality-aware keeper election: near-dup components via
+    * [[clusterNearDups]], then each cluster keeps its HIGHEST-quality
+    * member (ties to the lower id) instead of the min-id one — the
+    * curation-grade dedup policy: when five near-copies of a page
+    * exist, keep the cleanest extraction, not an arbitrary
+    * representative. `docs` must carry (idCol, qualityCol).
+    *
+    * Cost over min-id keepers: one extra broadcast-scale join of labels
+    * to quality plus one per-cluster window (bounded groups — cluster
+    * sizes are dup-group sizes). Output: (idCol, cluster, qualityCol). */
+  def bestQualityKeepers(pairs: DataFrame, docs: DataFrame,
+                         idCol: String = "doc_id",
+                         qualityCol: String = "quality",
+                         maxIterations: Int = 10): DataFrame = {
+    // computing CONSTRAINTS over the component iteration's final
+    // union throws in Spark's Union.rewriteConstraints for this plan
+    // shape (child constraints reference attributes outside the
+    // rewrite map) — localCheckpoint triggers exactly that while
+    // building its LogicalRDD. Cross the RDD boundary instead: the
+    // narrow (id, cluster) rows re-enter as a constraint-free scan,
+    // and the iteration's own localCheckpoints bound recompute cost.
+    val lab = clusterNearDups(pairs, docs.select(col(idCol)), idCol, maxIterations)
+    val labels = lab.sparkSession.createDataFrame(lab.rdd, lab.schema)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col("id"))
+    labels.join(docs.select(col(idCol).as("id"), col(qualityCol)), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol), col("cluster"), col(qualityCol))
+  }
+
   // ---------- character n-gram Jaccard ----------
 
   /** Distinct character n-grams of the text. */

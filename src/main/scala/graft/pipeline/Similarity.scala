@@ -686,4 +686,36 @@ object Similarity {
     assign(centers).select(col("__id").as(idCol), col("cluster"),
       round(sqrt(array_min(col("__dists"))), 4).as("dist"))
   }
+
+  /** Per-domain centroid cosine + outlier flag — the curation step that
+    * prunes off-topic documents from a labeled/classified corpus: embed,
+    * group by domain label, and drop rows whose embedding points away
+    * from their domain's mean direction (cos < `threshold`).
+    *
+    * Centroid = exact per-dimension mean rounded to 6 decimals (the same
+    * engine-portability quantization as [[kmeansAssign]]); emitted
+    * cosine rounds to 4. The centroid table is |labels|-rows and
+    * broadcasts; the corpus is scanned once with one
+    * dim-length dot product per row (against ONE centroid, not a
+    * pairwise join — the interpreted HOF costs nothing detectable here;
+    * the codegen'd expression exists for the pairwise paths).
+    * Output: (idCol, labelCol, cos_centroid, is_outlier). */
+  def domainOutliers(emb: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+    val cents = base
+      .select(col(labelCol), posexplode(col("__v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("__c"))
+    base.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(cosineHof(col("__v"), col("__c")), 4).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
 }

@@ -347,6 +347,25 @@ object Pipeline {
     Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Off-topic pruning: cosine of every embedding against its label's
+    * mean direction; rows below 0.1 flagged (isotropic corpus, so the
+    * flag actually fires). Oracle replays centroid + cosine exactly. */
+  private def annDomainOutliers: Q = (s, d) =>
+    Similarity.domainOutliers(Tables.embeddings(s, d), threshold = 0.1)
+      .orderBy(col("vec_id"))
+
+  /** Quality-aware dedup: same near-dup components as
+    * dedup_cluster_keepers, but each cluster keeps its highest-quality
+    * member (ties to lower id) — the curation-grade keeper policy. */
+  private def dedupBestKeepers: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    Dedup.bestQualityKeepers(
+        ngramPairs(s, d).select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id"), TA.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality")
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained-classifier path end-to-end: 2 full-batch GD iterations on
     * labels planted as doc_id parity, then scoreWithWeights over the
     * same corpus. Deterministic by design (full-batch gradient, fixed
@@ -467,6 +486,18 @@ object Pipeline {
         col("cum_tokens"), col("stratum_budget"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-flattened domain mixing (α = 0.5 square-root
+    * resampling, the multilingual-LM default): budgets DERIVED from the
+    * per-source token mass, then the same deterministic md5 admission. */
+  private def sampleTemperature: Q = (s, d) =>
+    Curation.temperatureSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", alpha = 0.5, totalBudget = 10000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("stratum_budget"))
+      .orderBy(col("doc_id"))
 
   /** Deterministic 80/10/10 split: per-split doc and token totals. */
   private def sampleSplitAssign: Q = (s, d) =>
@@ -595,6 +626,9 @@ object Pipeline {
     "dedup_span_rewrite"   -> dedupSpanRewrite,
     "ann_knn_classify"     -> annKnnClassify,
     "ann_kmeans_assign"    -> annKmeansAssign,
+    "ann_domain_outliers"  -> annDomainOutliers,
+    "dedup_best_keepers"   -> dedupBestKeepers,
+    "sample_temperature"   -> sampleTemperature,
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
     "text_top_ngrams"      -> textTopNgrams,
@@ -863,6 +897,26 @@ object Pipeline {
          SELECT vec_id, CAST(cluster AS INT) AS cluster,
                 round(sqrt(dist2), 4) AS dist
          FROM a3 WHERE rn = 1 ORDER BY vec_id""",
+    // exact replay of domainOutliers(threshold=0.1): per-label centroid
+    // = 6-decimal per-dim means, cosine rounded to 4 before the flag
+    "ann_domain_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings WHERE embedding IS NOT NULL),
+              m AS (SELECT label, pos, round(avg(val), 6) AS m
+                    FROM (SELECT label, unnest(v) AS val,
+                                 unnest(range(0, len(v))) AS pos FROM e)
+                    GROUP BY label, pos),
+              cent AS (SELECT label, list(m ORDER BY pos) AS c FROM m GROUP BY label),
+              s AS (SELECT e.vec_id, e.label,
+                           round(list_aggregate(list_transform(list_zip(e.v, cent.c),
+                                   p -> p[1] * p[2]), 'sum')
+                                 / (sqrt(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))
+                                  * sqrt(list_aggregate(list_transform(cent.c, x -> x * x), 'sum'))),
+                                 4) AS cos_centroid
+                    FROM e JOIN cent USING (label))
+         SELECT vec_id, label, cos_centroid, cos_centroid < 0.1 AS is_outlier
+         FROM s ORDER BY vec_id""",
     // exact replay of trainHashedClassifier(iters=2, lr=50) + scoreWithWeights:
     // iteration 1 starts from w=0 so every margin is sigmoid(0)=0.5 and the
     // gradient needs no weight join; iteration 2 joins the iter-1 weights.
@@ -985,6 +1039,24 @@ object Pipeline {
          SELECT doc_id, c.source, n_tokens, cum_tokens, stratum_budget
          FROM c JOIN wt ON c.source = wt.source
          WHERE cum_tokens <= stratum_budget ORDER BY doc_id""",
+    // exact replay of temperatureSample(alpha=0.5, budget=10000): shares
+    // = sqrt-flattened token mass rounded to 9 decimals, floor cut, md5
+    // admission — same window as sample_mixture with DERIVED budgets
+    "sample_temperature" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+              t AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS tt FROM d GROUP BY source),
+              b AS (SELECT source,
+                           CAST(floor(10000.0 * round(pow(tt, 0.5)
+                             / sum(pow(tt, 0.5)) OVER (), 9)) AS BIGINT) AS stratum_budget
+                    FROM t),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                    FROM d)
+         SELECT doc_id, c.source, n_tokens, cum_tokens, stratum_budget
+         FROM c JOIN b ON c.source = b.source
+         WHERE cum_tokens <= stratum_budget ORDER BY doc_id""",
     "dedup_minhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
           scored AS (
@@ -1025,6 +1097,28 @@ object Pipeline {
           SELECT id AS doc_id FROM (
             SELECT id, min(r) AS cluster FROM reach GROUP BY id) t
           WHERE id = cluster ORDER BY doc_id""",
+    // same recursive-CTE closure as dedup_cluster_keepers, but the
+    // keeper is the max-quality member (ties to lower id) per cluster
+    "dedup_best_keepers" ->
+      s"""WITH RECURSIVE g AS (
+            SELECT doc_id, ${charGramsSql("text")} AS grams, $qualitySql AS quality
+            FROM documents WHERE doc_id < 100),
+          edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst FROM g a JOIN g b
+            ON a.doc_id <> b.doc_id
+            WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM g
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+          ranked AS (
+            SELECT lab.id, lab.cluster, g.quality,
+                   row_number() OVER (PARTITION BY lab.cluster
+                     ORDER BY g.quality DESC, lab.id) AS rn
+            FROM lab JOIN g ON g.doc_id = lab.id)
+          SELECT id AS doc_id, cluster, quality FROM ranked
+          WHERE rn = 1 ORDER BY doc_id""",
     "mm_features" ->
       """WITH b AS (
            SELECT doc_id,

@@ -38,6 +38,41 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Writes lineitem + orders as BUCKETED tables on their join key and
+    * returns them re-read through the session catalog. Bucketing is the
+    * at-rest layout for 100 TB repeated joins: both sides pre-hashed
+    * into the same bucket count means every subsequent join/aggregation
+    * on that key plans with ZERO shuffle exchanges (PlanSpec asserts) —
+    * the shuffle is paid once at write time, not once per query. A
+    * fixed location + overwrite keeps re-runs idempotent. */
+  def bucketedOrderTables(s: SparkSession, d: String,
+                          nBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val loc = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-bucketed-tables").toString
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.format("parquet").option("path", s"$loc/lineitem_b")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_bucketed_lineitem")
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .write.format("parquet").option("path", s"$loc/orders_b")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_bucketed_orders")
+    (s.table("graft_bucketed_lineitem"), s.table("graft_bucketed_orders"))
+  }
+
+  /** Revenue by priority over the bucketed layout — the merge hint keeps
+    * the join on the sort-merge path, which the bucketed co-location
+    * turns into a zero-exchange join at every scale factor. */
+  private def bucketedJoin: Q = (s, d) => {
+    val (l, o) = bucketedOrderTables(s, d)
+    l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Narrow filter+project — the plan must show PushedFilters + a 2-column
     * ReadSchema (verified in PlanSpec). */
   private def filterProject: Q = (s, d) =>
@@ -445,6 +480,7 @@ object Relational {
     "rel_string_agg"          -> stringAggNations,
     "rel_pivot_status"        -> pivotStatus,
     "rel_pricing_summary"     -> pricingSummary,
+    "rel_bucketed_join"       -> bucketedJoin,
     "rel_filter_project"      -> filterProject,
     "rel_revenue_by_nation"   -> revenueByNation,
     "rel_left_outer_counts"   -> leftOuterOrderCounts,
@@ -551,6 +587,14 @@ object Relational {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the bucketed layout is a physical-plan property; the result is the
+    // plain join — which is the point: same answer, zero join shuffles
+    "rel_bucketed_join" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "rel_filter_project" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0

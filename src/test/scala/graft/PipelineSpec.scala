@@ -645,4 +645,57 @@ class PipelineSpec extends SparkSpec {
     assert(resized(1L) === Seq(payload(0), payload(3), payload(6), payload(9)))
     assert(resized(2L) === Seq.empty)
   }
+
+  test("temperatureSample flattens the mixture toward low-resource domains") {
+    import graft.pipeline.Curation
+    // big: 9 docs x 100 tokens = 900; small: 1 doc x 100 = 100
+    val corpus = ((0 until 9).map(i => (i.toLong, "big", 100L)) :+ (9L, "small", 100L))
+      .toDF("doc_id", "source", "n_tokens")
+    val r = Curation.temperatureSample(corpus, "source", "doc_id", "n_tokens",
+      alpha = 0.5, totalBudget = 500L)
+    val budgets = r.select("source", "stratum_budget").distinct()
+      .as[(String, Long)].collect().toMap
+    // natural shares 0.9/0.1; sqrt-flattened: 3/(3+1)=0.75 and 0.25
+    assert(budgets("big") === 375L && budgets("small") === 125L, budgets.toString)
+    // admitted token mass respects each derived budget
+    val spent = r.groupBy("source").agg(max("cum_tokens").as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(spent("big") <= 375L && spent("small") <= 125L, spent.toString)
+    // alpha = 1 recovers natural proportions: big gets 450; small's 50
+    // cannot admit even its single 100-token doc, so it drops entirely
+    val nat = Curation.temperatureSample(corpus, "source", "doc_id", "n_tokens",
+      alpha = 1.0, totalBudget = 500L)
+      .select("source", "stratum_budget").distinct().as[(String, Long)].collect().toMap
+    assert(nat === Map("big" -> 450L), nat.toString)
+  }
+
+  test("domainOutliers flags the vector pointing away from its label centroid") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.1f), 0), (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(1.1f, -0.1f, 0.0f), 0), (3L, Array(-1.0f, 0.2f, 0.0f), 0), // off-topic in label 0
+      (4L, Array(0.0f, 1.0f, 0.0f), 1), (5L, Array(0.1f, 0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.domainOutliers(emb, threshold = 0.5)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(r === Map(0L -> false, 1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false), r.toString)
+  }
+
+  test("bestQualityKeepers keeps the max-quality member, not the min id") {
+    // component {0,1,2} chained 0-1, 1-2; quality peaks at id 2
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val docs = Seq((0L, 0.3), (1L, 0.5), (2L, 0.9), (7L, 0.1))
+      .toDF("doc_id", "quality")
+    val r = Dedup.bestQualityKeepers(pairs, docs, "doc_id", "quality")
+      .select("doc_id", "cluster", "quality")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // singleton 7 keeps itself; the chain keeps id 2 under cluster label 0
+    assert(r === Array((2L, 0L, 0.9), (7L, 7L, 0.1)), r.mkString(","))
+    // quality ties break to the LOWER id
+    val tied = Dedup.bestQualityKeepers(pairs,
+        Seq((0L, 0.5), (1L, 0.5), (2L, 0.5)).toDF("doc_id", "quality"),
+        "doc_id", "quality")
+      .select("doc_id").as[Long].collect()
+    assert(tied === Array(0L), tied.mkString(","))
+  }
 }

@@ -91,6 +91,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"chunking joined:\n$p")
   }
 
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    import org.apache.spark.sql.functions.col
+    val (l, o) = graft.queries.Relational.bucketedOrderTables(spark, sf())
+    // disable broadcast so the plan must stand on the bucketed layout
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed co-location must eliminate every join shuffle:\n$p")
+      // (bucket-LOCAL SMJ sorts remain: sortBy orders each file, and a
+      // bucket may span several files — the expensive part, the network
+      // exchange, is what the layout removes)
+      assert(p.contains("Bucketed: true"), s"scan must be bucket-aware:\n$p")
+      // correctness of the layout round-trip, not just the plan shape
+      val viaBuckets = joined.count()
+      val direct = Tables.lineitem(spark, sf())
+        .join(Tables.orders(spark, sf()),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(viaBuckets === direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("span-rewrite dedup shuffles exactly twice: span election + doc reassembly") {
     // the operator itself (the declared query adds a presentation orderBy);
     // its contract: ONE shuffle on the span value, ONE back on the doc id —

@@ -687,6 +687,114 @@ object Similarity {
       round(sqrt(array_min(col("__dists"))), 4).as("dist"))
   }
 
+  /** Deterministic PCA projection via fixed-iteration power method —
+    * the dimension-reduction step an embedding pipeline runs before
+    * clustering / ANN indexing (and the whitening stage of SemDeDup
+    * variants). Output: (idCol, pc1..pcK), pc_k = round((v−μ)·w_k, 4).
+    *
+    * Distribution of work: the ONLY corpus-scale computation is the
+    * d-vector mean and the d×d second-moment matrix, accumulated per
+    * partition (mapPartitions — justified deliberately: the columnar
+    * alternative explodes every row into d² cells, multiplying a 100 TB
+    * corpus by 4096; a d²-double accumulator per partition collapses to
+    * |partitions| rows) and reduced on the driver. Everything after —
+    * 64×64 power iteration, deflation — is driver-scale arithmetic, and
+    * the projection compiles μ and w_k into ONE corpus scan as literals
+    * (no join, same topology as [[kmeansAssign]]).
+    *
+    * Determinism/engine-portability (the oracle replays all of it in
+    * SQL): μ and the covariance entries round to 6 decimals; the power
+    * method starts from the exact-representable uniform vector 1/√d
+    * when d is a power of 4 (required), runs exactly `iters` rounds,
+    * renormalizing and rounding the iterate to 9 decimals each round;
+    * the deflation eigenvalue rounds to 6. Every inter-engine sum-order
+    * difference sits ~1e-14, far below the tightest rounding bin, so
+    * both engines walk identical float paths. Convergence quality is
+    * irrelevant to parity: the output is DEFINED as `iters` rounds. */
+  def pcaPowerProject(corpus: DataFrame, nComponents: Int = 2, iters: Int = 10,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nComponents >= 1, s"nComponents=$nComponents")
+    require(iters >= 1, s"iters=$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .as[Seq[Float]]
+    val dims = vecs.limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "pcaPowerProject: corpus has no non-null vectors")).length
+    require(dims > 0, "empty vectors")
+    val sqrtD = math.sqrt(dims.toDouble)
+    require(sqrtD * sqrtD == dims.toDouble && (dims & (dims - 1)) == 0,
+      s"start vector 1/sqrt(d) must be exactly representable: d=$dims")
+    // per-partition partial sums: n, Σv, Σ v·vᵀ (upper storage: full d²)
+    val partials = vecs.mapPartitions { it =>
+      var n = 0L
+      val s = new Array[Double](dims)
+      val ss = new Array[Double](dims * dims)
+      it.foreach { v =>
+        require(v.length == dims, s"mixed widths: ${v.length} vs $dims")
+        n += 1
+        var i = 0
+        while (i < dims) {
+          val vi = v(i).toDouble
+          s(i) += vi
+          var j = 0
+          while (j < dims) { ss(i * dims + j) += vi * v(j).toDouble; j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single((n, s, ss))
+    }.collect()
+    val n = partials.map(_._1).sum.toDouble
+    require(n > 0, "empty corpus")
+    def r(x: Double, p: Int): Double = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = Array.tabulate(dims)(i => r(partials.map(_._2(i)).sum / n, 6))
+    // centered covariance from raw moments against the ROUNDED mean —
+    // the algebraic identity the SQL twin computes directly
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val sij = partials.map(_._3(i * dims + j)).sum
+      val si = partials.map(_._2(i)).sum
+      val sj = partials.map(_._2(j)).sum
+      r(sij / n - mu(i) * (sj / n) - mu(j) * (si / n) + mu(i) * mu(j), 6)
+    }
+    def powerIterate(c: Array[Array[Double]]): Array[Double] = {
+      var w = Array.fill(dims)(1.0 / sqrtD)
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(dims)(i => {
+          var acc = 0.0; var j = 0
+          while (j < dims) { acc += c(i)(j) * w(j); j += 1 }; acc
+        })
+        val nrm = math.sqrt(u.map(x => x * x).sum)
+        require(nrm > 0, "power iteration collapsed to the zero vector")
+        w = u.map(x => r(x / nrm, 9))
+      }
+      w
+    }
+    val comps = new Array[Array[Double]](nComponents)
+    var c = cov
+    for (k <- 0 until nComponents) {
+      val w = powerIterate(c)
+      comps(k) = w
+      if (k < nComponents - 1) {
+        // deflate: C ← C − λwwᵀ, λ = wᵀCw (both rounded to 6)
+        val lam = r(
+          (0 until dims).map(i => (0 until dims).map(j => w(i) * c(i)(j) * w(j)).sum).sum, 6)
+        val prev = c
+        c = Array.tabulate(dims, dims)((i, j) => r(prev(i)(j) - lam * w(i) * w(j), 6))
+      }
+    }
+    val centered = zip_with(col(vecCol), typedLit(mu.toSeq),
+      (x, m) => x.cast("double") - m)
+    val pcCols = comps.zipWithIndex.map { case (w, k) =>
+      round(aggregate(
+        zip_with(centered, typedLit(w.toSeq), (x, wi) => x * wi),
+        lit(0.0), (acc, v) => acc + v), 4).as(s"pc${k + 1}")
+    }
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol) +: pcCols.toIndexedSeq: _*)
+  }
+
   /** Per-domain centroid cosine + outlier flag — the curation step that
     * prunes off-topic documents from a labeled/classified corpus: embed,
     * group by domain label, and drop rows whose embedding points away
@@ -703,7 +811,9 @@ object Similarity {
   def domainOutliers(emb: DataFrame, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {
-    val base = emb.filter(col(vecCol).isNotNull)
+    // null labels dropped EXPLICITLY (the centroid join would silently
+    // drop them anyway — null never equi-joins null)
+    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
       .select(col(idCol), col(labelCol),
         transform(col(vecCol), _.cast("double")).as("__v"))
     val cents = base

@@ -347,6 +347,14 @@ object Pipeline {
     Similarity.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Embedding PCA: top-2 principal directions by 10 deterministic
+    * power-method rounds (+ one deflation), projected per row. The
+    * oracle replays mean, covariance, all 20 iterations, and the
+    * deflation — every stage quantized for engine portability. */
+  private def annPcaProject: Q = (s, d) =>
+    Similarity.pcaPowerProject(Tables.embeddings(s, d), nComponents = 2, iters = 10)
+      .orderBy(col("vec_id"))
+
   /** Off-topic pruning: cosine of every embedding against its label's
     * mean direction; rows below 0.1 flagged (isotropic corpus, so the
     * flag actually fires). Oracle replays centroid + cosine exactly. */
@@ -627,6 +635,7 @@ object Pipeline {
     "ann_knn_classify"     -> annKnnClassify,
     "ann_kmeans_assign"    -> annKmeansAssign,
     "ann_domain_outliers"  -> annDomainOutliers,
+    "ann_pca_project"      -> annPcaProject,
     "dedup_best_keepers"   -> dedupBestKeepers,
     "sample_temperature"   -> sampleTemperature,
     "text_lm_quality"      -> textLmQuality,
@@ -729,6 +738,60 @@ object Pipeline {
                                   unnest(range(0, len(c))) AS pos FROM $prevCent) p
                      LEFT JOIN $mTbl ON $mTbl.cluster = p.cluster AND $mTbl.pos = p.pos),
         $cTbl AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM ${cTbl}u GROUP BY cluster)"""
+
+  /** `iters` power-method rounds in DuckDB over covariance CTE
+    * `covTbl`: matvec, L2-normalize, round the iterate to 9 decimals —
+    * the exact quantization pcaPowerProject applies. Returns (CTE text,
+    * final iterate name). Start = the exactly-representable 1/sqrt(d). */
+  private def powerIterSql(covTbl: String, prefix: String, iters: Int): (String, String) = {
+    val ctes = new StringBuilder(
+      s"""${prefix}w0 AS MATERIALIZED (SELECT pos AS i,
+            1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM mu)) AS x FROM mu)""")
+    var prev = s"${prefix}w0"
+    for (k <- 1 to iters) {
+      val u = s"${prefix}u$k"; val w = s"${prefix}w$k"
+      ctes ++= s""",
+        $u AS MATERIALIZED (SELECT $covTbl.i, sum($covTbl.c * w.x) AS u
+               FROM $covTbl JOIN $prev w ON w.i = $covTbl.j GROUP BY $covTbl.i),
+        $w AS MATERIALIZED (SELECT i, round(u / (SELECT sqrt(sum(u * u)) FROM $u), 9) AS x FROM $u)"""
+      prev = w
+    }
+    (ctes.toString, prev)
+  }
+
+  /** Full PCA oracle: mean/covariance (6-decimal), `iters` power rounds
+    * per component, one deflation (6-decimal λ), 4-decimal projections. */
+  private def pcaProjectSql(iters: Int): String = {
+    val (it1, w1) = powerIterSql("cov", "a", iters)
+    val (it2, w2) = powerIterSql("cov2", "b", iters)
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+              x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL),
+        ex AS MATERIALIZED (SELECT vec_id, unnest(v) AS val,
+                      unnest(range(0, len(v))) AS pos FROM e),
+        mu AS MATERIALIZED (SELECT pos, round(avg(val), 6) AS m FROM ex GROUP BY pos),
+        cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+                       round(avg((a.val - ma.m) * (b.val - mb.m)), 6) AS c
+                FROM ex a JOIN ex b USING (vec_id)
+                JOIN mu ma ON ma.pos = a.pos JOIN mu mb ON mb.pos = b.pos
+                GROUP BY a.pos, b.pos),
+        $it1,
+        lam AS MATERIALIZED (SELECT round(sum(wi.x * cov.c * wj.x), 6) AS l
+                FROM cov JOIN $w1 wi ON wi.i = cov.i
+                         JOIN $w1 wj ON wj.i = cov.j),
+        cov2 AS MATERIALIZED (SELECT cov.i, cov.j,
+                        round(cov.c - (SELECT l FROM lam) * wi.x * wj.x, 6) AS c
+                 FROM cov JOIN $w1 wi ON wi.i = cov.i
+                          JOIN $w1 wj ON wj.i = cov.j),
+        $it2
+     SELECT ex.vec_id,
+            round(sum((ex.val - mu.m) * a.x), 4) AS pc1,
+            round(sum((ex.val - mu.m) * b.x), 4) AS pc2
+     FROM ex JOIN mu ON mu.pos = ex.pos
+             JOIN $w1 a ON a.i = ex.pos
+             JOIN $w2 b ON b.i = ex.pos
+     GROUP BY ex.vec_id ORDER BY ex.vec_id"""
+  }
 
   private val bruteTopKSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -897,6 +960,9 @@ object Pipeline {
          SELECT vec_id, CAST(cluster AS INT) AS cluster,
                 round(sqrt(dist2), 4) AS dist
          FROM a3 WHERE rn = 1 ORDER BY vec_id""",
+    // exact replay of pcaPowerProject(2, 10): every quantization stage
+    // unrolled — see pcaProjectSql
+    "ann_pca_project" -> pcaProjectSql(10),
     // exact replay of domainOutliers(threshold=0.1): per-label centroid
     // = 6-decimal per-dim means, cosine rounded to 4 before the flag
     "ann_domain_outliers" ->

@@ -669,6 +669,28 @@ class PipelineSpec extends SparkSpec {
     assert(nat === Map("big" -> 450L), nat.toString)
   }
 
+  test("pcaPowerProject recovers the planted variance direction") {
+    // variance concentrated along (1,1,0,0)/sqrt2 in d=4 (exact 1/sqrt(d))
+    val emb = Seq(
+      (0L, Array(3.0f, 3.1f, 0.1f, 0.0f)), (1L, Array(2.0f, 1.9f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 1.1f, -0.1f, 0.0f)), (3L, Array(-1.0f, -0.9f, 0.0f, -0.1f)),
+      (4L, Array(-2.0f, -2.1f, 0.1f, 0.0f)), (5L, Array(-3.0f, -3.0f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.pcaPowerProject(emb, nComponents = 2, iters = 10)
+      .select("vec_id", "pc1", "pc2").as[(Long, Double, Double)].collect().sortBy(_._1)
+    // pc1 must order the points along the planted axis (up to global sign)
+    val sign = math.signum(r.head._2 - r.last._2)
+    val pc1 = r.map(_._2 * sign)
+    assert(pc1.sliding(2).forall(p => p(0) > p(1)), r.map(_._2).mkString(","))
+    assert(pc1.head > 3.0, s"pc1 must carry the planted spread: ${pc1.head}")
+    // pc2 is the residual noise axis — an order of magnitude smaller
+    assert(r.map(t => math.abs(t._3)).max < 1.0, r.map(_._3).mkString(","))
+    // fixed-iteration power method is deterministic
+    val r2 = Similarity.pcaPowerProject(emb, nComponents = 2, iters = 10)
+      .select("vec_id", "pc1", "pc2").as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(r === r2)
+  }
+
   test("domainOutliers flags the vector pointing away from its label centroid") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.1f), 0), (1L, Array(0.9f, 0.1f, 0.0f), 0),

@@ -311,6 +311,80 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Gap-based sessionization via Spark's native `session_window`: events
+    * for a user merge into one session while consecutive gaps are <= 30
+    * minutes (strictly-greater gaps split); `window.end` is last-event +
+    * gap (Spark's session semantics, replayed literally in the oracle as
+    * max(ts) + 30 min).
+    *
+    * Scale shape: ONE shuffle on user_id; session merging happens inside
+    * the sort-based session aggregation, state bounded per user. This is
+    * the batch dual of the streaming session_window query (StreamingSpec
+    * asserts stream ≡ batch on the same micro-batched input). */
+  private def sessionize: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("n_types"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Ordered conversion funnel: first signup, then the first view AFTER
+    * it, first click after that view, first purchase after that click —
+    * each stage's timestamp must strictly follow the previous stage's.
+    *
+    * Scale shape: each stage is a filter (pushed to the scan) + an agg
+    * and a join, ALL keyed on user_id — the same hash partitioning is
+    * reused through the chain, and the per-stage aggregates are
+    * user-cardinality (small), so Catalyst broadcasts them back against
+    * the fact scan. No window over the full corpus, no collect. */
+  private def funnelStages: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(stage: String, prev: DataFrame, prevCol: String, outCol: String) =
+      e.filter(col("event_type") === stage)
+        .join(broadcast(prev), "user_id")
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = firstAfter("view", t1, "t1", "t2")
+    val t3 = firstAfter("click", t2.select("user_id", "t2"), "t2", "t3")
+    val t4 = firstAfter("purchase", t3.select("user_id", "t3"), "t3", "t4")
+    t1.join(t2.select(col("user_id").as("u2"), col("t2")), col("user_id") === col("u2"), "left")
+      .join(t3.select(col("user_id").as("u3"), col("t3")), col("user_id") === col("u3"), "left")
+      .join(t4.select(col("user_id").as("u4"), col("t4")), col("user_id") === col("u4"), "left")
+      .agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_view_after"),
+        count(col("t3")).as("n_click_after"),
+        count(col("t4")).as("n_purchase_after"))
+  }
+
+  /** Weekly cohort retention: cohort = week of a user's first event;
+    * n_active = distinct users from that cohort seen again at each whole
+    * -week offset. The offset divides exactly by 7 because both sides
+    * are week-truncated first.
+    *
+    * Scale shape: distinct (user, week) pairs shrink the fact table
+    * before the cohort join; both aggs and the join hash on user_id, the
+    * final agg on (cohort, offset) is small. */
+  private def retentionCohorts: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    e.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("wk"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Explicit GROUPING SETS: per-status, per-priority, and grand total in
     * one aggregate pass. */
   private def groupingSetsStats: Q = (s, d) =>
@@ -498,6 +572,9 @@ object Relational {
     "rel_distinct_users"      -> distinctUsers,
     "rel_array_norms"         -> arrayNorms,
     "rel_hourly_events"       -> hourlyEventStats,
+    "rel_sessionize"          -> sessionize,
+    "rel_funnel"              -> funnelStages,
+    "rel_retention_cohorts"   -> retentionCohorts,
   )
 
   val oracles: Map[String, String] = Map(
@@ -720,5 +797,49 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Replays Spark's session_window semantics: a NEW session starts only
+    // when the gap to the previous event is STRICTLY > 30 min (an event
+    // landing exactly on the previous session's end is merged — verified
+    // in StreamingSpec); session_end = last event + gap.
+    "rel_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                           event_type, value FROM events),
+              l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_ts FROM e),
+              f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                                   THEN 1 ELSE 0 END AS new_sess FROM l),
+              g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+                round(sum(value), 2) AS sum_value
+         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "rel_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                     WHERE event_type = 'signup' GROUP BY 1),
+              t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 USING (user_id)
+                     WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1),
+              t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 USING (user_id)
+                     WHERE e.event_type = 'click' AND e.ts > t2.t2 GROUP BY 1),
+              t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e JOIN t3 USING (user_id)
+                     WHERE e.event_type = 'purchase' AND e.ts > t3.t3 GROUP BY 1)
+         SELECT count(t1.t1) AS n_signup, count(t2.t2) AS n_view_after,
+                count(t3.t3) AS n_click_after, count(t4.t4) AS n_purchase_after
+         FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+              LEFT JOIN t4 USING (user_id)""",
+    "rel_retention_cohorts" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+                    FROM events),
+              f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+                count(DISTINCT user_id) AS n_active
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

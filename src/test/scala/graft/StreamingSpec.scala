@@ -184,6 +184,46 @@ class StreamingSpec extends SparkSpec {
     assert(sessions("B") === Seq(1L))
   }
 
+  test("streaming session_window ≡ batch sessionization on the same events") {
+    import org.apache.spark.sql.functions.{count, lit, round, session_window, sum}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+    val query = stream.writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      // user 1: burst of 3, then a >30m gap, then 1 more -> two sessions
+      (ts("2024-01-01 00:00:00"), 1L, 1.0), (ts("2024-01-01 00:10:00"), 1L, 2.0),
+      (ts("2024-01-01 00:25:00"), 1L, 3.0), (ts("2024-01-01 01:10:00"), 1L, 4.0),
+      // user 2: gap of exactly 30m -> still ONE session (Spark merges an
+      // event landing exactly on the previous session's end)
+      (ts("2024-01-01 00:00:00"), 2L, 5.0), (ts("2024-01-01 00:30:00"), 2L, 6.0))
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // sentinel far in the future closes every real session's watermark
+      input.addData((ts("2024-01-02 12:00:00"), 99L, 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .filter(col("user_id") =!= 99L)
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+      val batch = rows.toDF("ts", "user_id", "value")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"), col("sum_value"))
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().sortBy(r => (r._1, r._2.getTime))
+      assert(streamed === batch, "append-mode streaming sessions must equal the batch sessionization")
+      assert(batch.count(_._1 == 1L) === 2, "a 45-minute gap closes user 1's first session")
+      assert(batch.count(_._1 == 2L) === 1 && batch.find(_._1 == 2L).get._4 === 2L,
+        "a gap of exactly the window merges: Spark extends a session whose end == next ts")
+    } finally query.stop()
+  }
+
   test("watermarked tumbling window counts per region") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

@@ -117,6 +117,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("sessionization shuffles the events exactly once, on user_id") {
+    val df = SparkEntry.queries("rel_sessionize")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // one hash exchange for the session aggregation (the presentation
+    // orderBy adds only a range exchange over the already-aggregated rows)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1, s"session agg must shuffle the corpus once, got $hashExchanges:\n$p")
+    assert(p.contains("user_id"), s"session shuffle must key on user_id:\n$p")
+  }
+
+  test("funnel stage aggregates broadcast back against the fact scan") {
+    val df = SparkEntry.queries("rel_funnel")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"user-level stage tables must broadcast, not shuffle the fact side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel degraded to a cross join:\n$p")
+  }
+
   test("span-rewrite dedup shuffles exactly twice: span election + doc reassembly") {
     // the operator itself (the declared query adds a presentation orderBy);
     // its contract: ONE shuffle on the span value, ONE back on the doc id —

@@ -311,6 +311,63 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Writes documents as a Hive-partitioned (`partitionBy(lang)`) parquet
+    * layout at a fixed location and returns the re-read DataFrame. This is
+    * the third at-rest layout next to bucketing (rel_bucketed_join) and
+    * z-order/range clustering (cat_zorder_read): a predicate on the
+    * partition column prunes whole DIRECTORIES at planning time
+    * (`PartitionFilters` in the scan, PlanSpec asserts), so a per-language
+    * pipeline over a 100 TB corpus reads only its language's files.
+    * Overwrite keeps re-runs idempotent. */
+  def partitionedDocuments(s: SparkSession, d: String): DataFrame = {
+    val loc = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-partitioned-docs").toString
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("lang").parquet(loc)
+    s.read.parquet(loc)
+  }
+
+  /** Per-source quality stats for ONE language off the partitioned layout
+    * — the scan touches only the `lang=en` directory. */
+  private def partitionedScan: Q = (s, d) =>
+    partitionedDocuments(s, d)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("source"))
+
+  /** MERGE INTO-style upsert expressed as a full-outer join + coalesce —
+    * the batch primitive behind incremental table maintenance (the
+    * foreachBatch MERGE sink pattern). The updates batch is derived
+    * deterministically from the target itself: every 97th order key gets
+    * its priority rewritten (MATCHED ⇒ UPDATE) and every 501st key is
+    * re-keyed negative, guaranteed absent (NOT MATCHED ⇒ INSERT).
+    *
+    * Scale shape: ONE shuffle join on the merge key (on a bucketed
+    * at-rest layout — rel_bucketed_join — even that exchange
+    * disappears); result verified as a per-priority rollup. */
+  private def mergeUpsert: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val updates = orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("u_key"), lit("0-MERGED").as("u_priority"),
+        col("o_totalprice").as("u_price"))
+      .unionByName(orders.filter(col("o_orderkey") % 501 === 0)
+        .select((-col("o_orderkey")).as("u_key"), lit("6-INSERTED").as("u_priority"),
+          lit(0.0).as("u_price")))
+    orders.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("u_key")).as("key"),
+        coalesce(col("u_priority"), col("o_orderpriority")).as("priority"),
+        coalesce(col("u_price"), col("o_totalprice")).as("price"))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("price")), 2).as("sum_price"),
+        min(col("key")).as("min_key"))
+      .orderBy(col("priority"))
+  }
+
   /** Gap-based sessionization via Spark's native `session_window`: events
     * for a user merge into one session while consecutive gaps are <= 30
     * minutes (strictly-greater gaps split); `window.end` is last-event +
@@ -575,6 +632,8 @@ object Relational {
     "rel_sessionize"          -> sessionize,
     "rel_funnel"              -> funnelStages,
     "rel_retention_cohorts"   -> retentionCohorts,
+    "rel_partitioned_scan"    -> partitionedScan,
+    "rel_merge_upsert"        -> mergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -841,5 +900,26 @@ object Relational {
                 count(DISTINCT user_id) AS n_active
          FROM e JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "rel_partitioned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                round(avg(n_chars), 2) AS avg_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
+    "rel_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+              u AS (SELECT o_orderkey AS u_key, '0-MERGED' AS u_priority,
+                           o_totalprice AS u_price
+                    FROM o WHERE o_orderkey % 97 = 0
+                    UNION ALL
+                    SELECT -o_orderkey, '6-INSERTED', CAST(0.0 AS DOUBLE)
+                    FROM o WHERE o_orderkey % 501 = 0),
+              m AS (SELECT coalesce(o.o_orderkey, u.u_key) AS key,
+                           coalesce(u.u_priority, o.o_orderpriority) AS priority,
+                           coalesce(u.u_price, o.o_totalprice) AS price
+                    FROM o FULL OUTER JOIN u ON o.o_orderkey = u.u_key)
+         SELECT priority, count(*) AS n_rows, round(sum(price), 2) AS sum_price,
+                min(key) AS min_key
+         FROM m GROUP BY priority ORDER BY priority""",
   )
 }

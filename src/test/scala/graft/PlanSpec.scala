@@ -138,6 +138,23 @@ class PlanSpec extends SparkSpec {
       s"funnel degraded to a cross join:\n$p")
   }
 
+  test("partitioned layout prunes whole directories at planning time") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Relational.partitionedDocuments(spark, sf())
+    val df = docs.filter(col("lang") === "en").select("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang predicate must prune partitions, not filter rows:\n$p")
+    // the pruned scan must touch only the lang=en directory
+    val files = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.get
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      s"scan file list must be only lang=en: $files")
+  }
+
   test("span-rewrite dedup shuffles exactly twice: span election + doc reassembly") {
     // the operator itself (the declared query adds a presentation orderBy);
     // its contract: ONE shuffle on the span value, ONE back on the doc id —
@@ -265,5 +282,23 @@ class PlanSpec extends SparkSpec {
     // categorically banned here.)
     assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"dsir degraded to all-pairs:\n$p")
+  }
+
+  test("merge upsert: matched keys rewrite, unmatched keys insert, rest survive") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = SparkEntry.queries("rel_merge_upsert")(spark, sf())
+    val rows = df.collect()
+    val byPriority = rows.map(r => r.getString(r.fieldIndex("priority")) ->
+      r.getLong(r.fieldIndex("n_rows"))).toMap
+    val orders = Tables.orders(spark, sf())
+    val total = orders.count()
+    val matched = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val inserted = orders.filter(col("o_orderkey") % 501 === 0).count()
+    assert(byPriority("0-MERGED") === matched, "every 97th key must be rewritten")
+    assert(byPriority("6-INSERTED") === inserted, "every 501st key must be inserted")
+    assert(byPriority.values.sum === total + inserted,
+      "merge must preserve unmatched target rows and add only the inserts")
+    // inserts are re-keyed negative, so the global min key is negative
+    assert(rows.map(r => r.getLong(r.fieldIndex("min_key"))).min < 0L)
   }
 }

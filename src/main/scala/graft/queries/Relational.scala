@@ -368,6 +368,30 @@ object Relational {
       .orderBy(col("priority"))
   }
 
+  /** Skew-salted large-×-large join as a gate query: ~30% of the events
+    * fact table is collapsed onto ONE hot user key (the planted-skew shape
+    * of a hot tenant / bot account at 100 TB), then joined to the customer
+    * dim through [[graft.operators.RegistryOps.saltedJoin]] — the hot key
+    * is split across 8 salt sub-keys so no single reducer owns it, and the
+    * dim side is exploded ×8 (dim-scale, cheap). The join result is
+    * salt-invariant, so a plain DuckDB join oracles it exactly; SkewSpec
+    * pins the partition-spread property and PlanSpec pins the (key, salt)
+    * join keys. AQE skew-split is the first line of defense (SkewSpec's
+    * other test); explicit salting is the fallback when one key is so hot
+    * a single AQE split still straggles. */
+  private def saltedSkewJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("k",
+        when(col("user_id") % 10 < 3, lit(1L)).otherwise(col("user_id")))
+      .select(col("k"), col("value"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    graft.operators.RegistryOps.saltedJoin(ev, dim, "k", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Gap-based sessionization via Spark's native `session_window`: events
     * for a user merge into one session while consecutive gaps are <= 30
     * minutes (strictly-greater gaps split); `window.end` is last-event +
@@ -634,6 +658,7 @@ object Relational {
     "rel_retention_cohorts"   -> retentionCohorts,
     "rel_partitioned_scan"    -> partitionedScan,
     "rel_merge_upsert"        -> mergeUpsert,
+    "rel_salted_skew_join"    -> saltedSkewJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -921,5 +946,13 @@ object Relational {
          SELECT priority, count(*) AS n_rows, round(sum(price), 2) AS sum_price,
                 min(key) AS min_key
          FROM m GROUP BY priority ORDER BY priority""",
+    "rel_salted_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM (SELECT CASE WHEN user_id % 10 < 3 THEN 1
+                           ELSE user_id END AS k, value
+               FROM events) e
+         JOIN customer ON e.k = customer.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

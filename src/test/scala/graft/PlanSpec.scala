@@ -284,6 +284,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"dsir degraded to all-pairs:\n$p")
   }
 
+  test("salted skew-join joins on the salt sub-key so no reducer owns the hot key") {
+    // broadcast off: at warehouse scale neither side fits in the driver,
+    // and the salted shape only matters for a shuffling join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("rel_salted_skew_join")(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"salted join must shuffle on (key, salt):\n$p")
+      assert(p.contains("_salt"), s"join keys must include the salt sub-key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"dim explode degraded to all-pairs:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("merge upsert: matched keys rewrite, unmatched keys insert, rest survive") {
     import org.apache.spark.sql.functions.{col, sum}
     val df = SparkEntry.queries("rel_merge_upsert")(spark, sf())

@@ -724,4 +724,83 @@ object Curation {
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__dot"), lit(0.0))))).as("score"))
   }
+
+  // ---------- global shuffle order + equal-token shard manifests ----------
+
+  /** Deterministic global training-order shuffle + exact global running
+    * token count + equal-token contiguous shard assignment — the step that
+    * turns a curated corpus into N balanced shard manifests in a seeded
+    * pseudo-random order.
+    *
+    * The naive form is `sum(tokens) OVER (ORDER BY h)` — a windowed prefix
+    * sum with no partition spec, which Spark plans as ONE partition holding
+    * the whole corpus: the canonical single-reducer scale-killer. This
+    * implementation is the two-phase exact equivalent:
+    *
+    *   1. range-repartition on the shuffle key (h, id) — the one corpus
+    *      shuffle, same cost as any global sort — and sort within
+    *      partitions;
+    *   2. one tiny pass collects PER-PARTITION token totals (≤ `partitions`
+    *      longs — driver-scale by construction, like the IVF centroids);
+    *      their scan becomes each partition's starting offset;
+    *   3. one mapPartitions pass streams the per-partition running sum on
+    *      top of the broadcast offset — O(1) state, no second corpus
+    *      shuffle (a Window.partitionBy(pid) here would re-exchange the
+    *      whole corpus on pid just to get partition-local frames).
+    *
+    * The two passes share the range exchange: both jobs hang off the same
+    * shuffled RDD, so Spark reuses the map stage's shuffle files instead
+    * of re-partitioning twice.
+    *
+    * The shuffle key is a Knuth multiplicative hash — engine-portable
+    * integer algebra (no xxhash64, which DuckDB lacks), kept inside int64:
+    * h = ((id mod 2^31) · 2654435761 + seed) mod 2^32. Shards are
+    * contiguous equal-token ranges of that order: a document belongs to
+    * the shard where it STARTS (floor(start / ceil(total/numShards))),
+    * clamped so rounding never mints shard numShards.
+    *
+    * Determinism: the hash is data-independent, range-partitioner bounds
+    * sampling is seeded by partition index (byteswap32), and ties are
+    * impossible (ids are unique) — a re-run on any cluster layout yields
+    * byte-identical (order, cum, shard). */
+  def globalShuffleShards(df: DataFrame, idCol: String, tokenCol: String,
+                          numShards: Int, partitions: Int = 32,
+                          seed: Long = 41L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
+    val spark = df.sparkSession
+    val hashed = df.select(
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("h",
+        ((col("id") % lit(1L << 31)) * lit(2654435761L) + lit(seed)) % lit(1L << 32))
+    val ranged = hashed
+      .repartitionByRange(partitions, col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+    val rdd = ranged.rdd // one RDD object: both jobs below reuse its shuffle
+    val perPartition = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+    }.collect()
+    val totalsByIdx = Array.fill(rdd.getNumPartitions)(0L)
+    perPartition.foreach { case (i, s) => totalsByIdx(i) = s }
+    val offsets = totalsByIdx.scanLeft(0L)(_ + _) // offsets(i) = tokens before partition i
+    val total = offsets.last
+    val shardTokens = math.max(1L, (total + numShards - 1) / numShards)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val lastShard = (numShards - 1).toLong
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bcOffsets.value(i)
+      it.map { r =>
+        val tok = r.getLong(1)
+        cum += tok
+        org.apache.spark.sql.Row(r.getLong(0), tok, r.getLong(2), cum,
+          math.min((cum - tok) / shardTokens, lastShard))
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType), StructField("n_tokens", LongType),
+      StructField("h", LongType), StructField("cum_tokens", LongType),
+      StructField("shard", LongType))))
+  }
 }

@@ -527,6 +527,22 @@ object Pipeline {
         col("first_chunk"), col("last_chunk"))
       .orderBy(col("doc_id"))
 
+  /** Global deterministic shuffle + equal-token contiguous shards: the
+    * corpus in seeded pseudo-random training order with an EXACT global
+    * running token count and 8 balanced shard manifests — computed by the
+    * two-phase prefix sum in [[Curation.globalShuffleShards]] (one range
+    * shuffle + driver-scale offsets), never a single-partition window.
+    * The DuckDB oracle IS the naive global window — the scale-safe form
+    * must reproduce it bit-for-bit. */
+  private def sampleGlobalShards: Q = (s, d) =>
+    Curation.globalShuffleShards(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TA.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", numShards = 8, partitions = 32)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("h"),
+        col("cum_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
   /** PII scrubbing: the synthetic corpus carries no natural PII, so the
     * query PLANTS a deterministic contact suffix from doc_id (both
     * engines construct the identical string); the operator itself is
@@ -653,6 +669,7 @@ object Pipeline {
     "sample_mixture"       -> sampleMixture,
     "sample_split_assign"  -> sampleSplitAssign,
     "sample_pack_chunks"   -> samplePackChunks,
+    "sample_global_shards" -> sampleGlobalShards,
     "sample_weighted"      -> sampleWeighted,
     "mm_media_stats"       -> mmMediaStats,
     "mm_decode"            -> mmDecode,
@@ -1269,6 +1286,20 @@ object Pipeline {
                 CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
                 CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_chunk
          FROM c ORDER BY doc_id""",
+    "sample_global_shards" ->
+      """WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  ((doc_id % 2147483648) * 2654435761 + 41) % 4294967296 AS h
+           FROM documents),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM d),
+         c AS (SELECT doc_id, n_tokens, h,
+                  CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM d)
+         SELECT doc_id, n_tokens, h, cum_tokens,
+                least((cum_tokens - n_tokens) // greatest((tot + 7) // 8, 1),
+                      7) AS shard
+         FROM c, t ORDER BY doc_id""",
     "text_pii_redaction" ->
       """WITH planted AS (
            SELECT doc_id,

@@ -25,16 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * Parquet reader rejects. Read nanos as long (legacy conf) and convert
-    * to a microsecond TimestampType column — lossless here (values carry
-    * microsecond precision) and still a single codegen'd projection.
+  /** events.parquet has shipped `ts` two ways across testdata generations:
+    * TIMESTAMP(NANOS) — which Spark's vectorized Parquet reader rejects, so
+    * it is read as a nanosecond long (legacy conf) and converted — and
+    * plain TIMESTAMP[us], which needs only a cast from NTZ to the session
+    * (UTC) TimestampType. Dispatch on the loaded dtype so either layout
+    * yields the same microsecond TimestampType column; both paths are a
+    * single codegen'd projection.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    val tsCol =
+      if (raw.schema("ts").dataType == LongType)
+        timestamp_micros(expr("ts div 1000")) // nanos-as-long generation
+      else col("ts").cast("timestamp")        // native timestamp generation
+    raw.withColumn("ts", tsCol)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -523,4 +523,52 @@ class CurationSpec extends SparkSpec {
   }
 
   private def md5Hex(id: Long): String = md5HexOf(id.toString)
+
+  // ---------------- global shuffle + equal-token shards ----------------
+
+  test("globalShuffleShards == naive global-window prefix sum, invariant to partition count") {
+    import org.apache.spark.sql.expressions.Window
+    // 97 docs, token counts 1..40 (co-prime sizes so shard boundaries land
+    // mid-document and exercise the start-offset ownership rule)
+    val docs = (1L to 97L).map(i => (i, 1L + (i * 7L) % 40L))
+      .toDF("doc_id", "n_tokens")
+    val got = Curation.globalShuffleShards(docs, "doc_id", "n_tokens",
+        numShards = 4, partitions = 5)
+      .orderBy("h", "id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // naive oracle: same hash, ONE global window (the scale-killer form)
+    val naive = docs
+      .withColumn("h",
+        ((col("doc_id") % lit(1L << 31)) * lit(2654435761L) + lit(41L)) % lit(1L << 32))
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = docs.agg(sum("n_tokens")).as[Long].head()
+    val shardTokens = math.max(1L, (total + 3) / 4)
+    val expected = naive
+      .select(col("doc_id"), col("n_tokens"), col("h"), col("cum_tokens"),
+        least((col("cum_tokens") - col("n_tokens")) / lit(shardTokens), lit(3L))
+          .cast("long").as("shard"))
+      .orderBy("h", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+
+    // repartitioning differently must not move a single row, cum, or shard
+    val again = Curation.globalShuffleShards(docs, "doc_id", "n_tokens",
+        numShards = 4, partitions = 11)
+      .orderBy("h", "id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again === got)
+
+    // shard balance: every shard's token mass is within one max-doc of the
+    // ideal slice (a doc belongs to the shard where it STARTS)
+    val byShard = got.groupBy(_._5).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.keySet === Set(0L, 1L, 2L, 3L))
+    val maxDoc = got.map(_._2).max
+    byShard.foreach { case (s, mass) =>
+      assert(mass <= shardTokens + maxDoc,
+        s"shard $s holds $mass tokens vs slice $shardTokens (+maxDoc $maxDoc)")
+    }
+  }
 }

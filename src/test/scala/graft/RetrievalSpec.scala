@@ -1,0 +1,139 @@
+package graft
+
+import graft.pipeline.{GraphOps, Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval, rank-quantile gating, PageRank, int8 quantization —
+  * planted fixtures with hand-checkable arithmetic. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- BM25 ----------------
+
+  private val bmDocs = Seq(
+    (0L, "x x x y"),      // tf(x)=3, dl=4
+    (1L, "x y z z"),      // tf(x)=1, dl=4
+    (2L, "y y y y"),      // no query term
+    (3L, "x"),            // tf(x)=1, dl=1 — shorter doc, same tf as doc 1
+    (4L, "x x y y")       // tf(x)=2, dl=4
+  ).toDF("doc_id", "text")
+
+  test("bm25: tf drives rank at equal length; shorter doc beats longer at equal tf") {
+    val out = Retrieval.bm25TopK(bmDocs, "doc_id", "text", Seq("x"), topK = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    val ranks = out.map(r => r._1 -> r._3).toMap
+    // doc 2 has no query term — absent
+    assert(!ranks.contains(2L))
+    assert(out.map(_._3) === (1 to out.size))
+    // tf ordering at equal dl: 0 (tf3) before 4 (tf2) before 1 (tf1)
+    assert(ranks(0L) < ranks(4L) && ranks(4L) < ranks(1L))
+    // length normalization: doc 3 (dl=1) beats doc 1 (dl=4) at tf=1
+    assert(ranks(3L) < ranks(1L))
+  }
+
+  test("bm25 score replays the formula by hand") {
+    val out = Retrieval.bm25TopK(bmDocs, "doc_id", "text", Seq("x"), topK = 10)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    val n = 5.0; val df = 4.0; val avgdl = (4 + 4 + 4 + 1 + 4) / 5.0
+    val idf = BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(tf: Double, dl: Double) = {
+      val c = BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0L) === score(3, 4))
+    assert(out(3L) === score(1, 1))
+  }
+
+  // ---------------- rank-quantile gate ----------------
+
+  test("quantileGate keeps rows at or above the ceil(q*n) ascending rank") {
+    val rows = ((1 to 8).map(i => (i.toLong, "g1", i.toDouble)) ++
+                (1 to 5).map(i => (100L + i, "g2", i.toDouble)))
+      .toDF("doc_id", "grp", "score")
+    val kept = Retrieval.quantileGate(rows, "doc_id", "score", "grp", q = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    // g1: n=8, thr = value at rank ceil(6.0)=6 → scores {6,7,8}
+    // g2: n=5, thr = value at rank ceil(3.75)=4 → scores {4,5}
+    assert(kept === Set(6L, 7L, 8L, 104L, 105L))
+  }
+
+  test("quantileGate with all-equal scores keeps the whole group") {
+    val rows = (1 to 4).map(i => (i.toLong, "g", 1.0)).toDF("doc_id", "grp", "score")
+    val kept = Retrieval.quantileGate(rows, "doc_id", "score", "grp", q = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
+  // ---------------- PageRank ----------------
+
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pageRank matches an in-memory replay; highest-degree node wins; mass conserved") {
+    // path 1-2-3 symmetrized, node 4 isolated (dangling every round)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = GraphOps.pageRank(GraphOps.symmetrize(pairs, "id_a", "id_b"),
+        nodes, iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+
+    // naive replay with identical per-round rounding and the same double ops
+    var pr = Seq(1L, 2L, 3L, 4L).map(_ -> r9(1.0 / 4.0)).toMap
+    for (_ <- 1 to 3) {
+      val dangling = pr(4L) // node 4 has no out-edges
+      val in = Map(
+        1L -> pr(2L) * (1.0 / 2.0),
+        2L -> (pr(1L) * (1.0 / 1.0) + pr(3L) * (1.0 / 1.0)),
+        3L -> pr(2L) * (1.0 / 2.0),
+        4L -> 0.0)
+      pr = pr.map { case (id, _) =>
+        id -> r9((1.0 - 0.85) / 4.0 + 0.85 * (in(id) + dangling / 4.0))
+      }
+    }
+    assert(got === pr)
+    assert(got.maxBy(_._2)._1 === 2L)            // degree-2 hub wins
+    assert(math.abs(got.values.sum - 1.0) < 1e-6) // dangling mass not lost
+  }
+
+  // ---------------- int8 quantization ----------------
+
+  test("quantizeInt8 codes replay floor(v/scale + 0.5) exactly") {
+    val df = Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val codes = df.select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .as[Array[Long]].head()
+    // scale = 1/127: 1.0→127, -0.5→floor(-63.5+0.5)=-63, 0.25→floor(32.25)=32
+    assert(codes === Array(127L, -63L, 32L, 0L))
+  }
+
+  test("int8 cosine: identical vectors 1.0, orthogonal 0.0, zero vector finite") {
+    val df = Seq(
+      (0L, Array(0.3f, 0.7f, -0.2f)),
+      (1L, Array(0.3f, 0.7f, -0.2f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    val self = q.as("a").join(q.as("b"), col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.int8Cosine(col("a.q"), col("b.q"))).as[Double].head()
+    assert(self === 1.0)
+    val zeroCodes = q.filter(col("vec_id") === 2).select("q").as[Array[Long]].head()
+    assert(zeroCodes === Array(0L, 0L, 0L)) // 1e-30 guard: codes collapse, no NaN blowup
+  }
+
+  test("int8TopK agrees with exact cosine top-1 when gaps dominate grid noise") {
+    val corpus = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 5), 1)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val q = Similarity.int8TopK(corpus, corpus.filter(col("vec_id") < 5), 1)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // int8 perturbs each coordinate by <= scale/2 ≈ 0.004 — far below the
+    // cosine gaps between sin-wave vectors, so the argmax is unchanged
+    assert(q === exact)
+  }
+}

@@ -311,6 +311,16 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Sliding-window trending: top-3 event types per 2-hour window
+    * sliding every 30 minutes (batch dual of the watermarked streaming
+    * form — StreamingSpec proves stream ≡ batch). The 4× window fan-out
+    * happens before a partially-aggregated count; ranking runs on the
+    * aggregated (window × type) table only. */
+  private def streamSlidingTopn: Q = (s, d) =>
+    graft.streaming.Trending.topNPerWindow(
+        graft.streaming.Trending.slidingCounts(Tables.events(s, d), "ts", "event_type"), 3)
+      .orderBy(col("window_start"), col("rank"))
+
   /** Writes documents as a Hive-partitioned (`partitionBy(lang)`) parquet
     * layout at a fixed location and returns the re-read DataFrame. This is
     * the third at-rest layout next to bucketing (rel_bucketed_join) and
@@ -653,6 +663,7 @@ object Relational {
     "rel_distinct_users"      -> distinctUsers,
     "rel_array_norms"         -> arrayNorms,
     "rel_hourly_events"       -> hourlyEventStats,
+    "stream_sliding_topn"     -> streamSlidingTopn,
     "rel_sessionize"          -> sessionize,
     "rel_funnel"              -> funnelStages,
     "rel_retention_cohorts"   -> retentionCohorts,
@@ -881,6 +892,21 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Sliding windows replayed by hand: each event belongs to the 4
+    // 30-minute-grid starts covering it (Spark window() epoch alignment)
+    "stream_sliding_topn" ->
+      """WITH w AS (SELECT (CAST(ts AS TIMESTAMP)
+                            - to_microseconds(epoch_us(CAST(ts AS TIMESTAMP)) % 1800000000)
+                            - to_minutes(30 * k)) AS window_start,
+                           event_type
+                    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+              cnt AS (SELECT window_start, event_type, count(*) AS cnt
+                      FROM w GROUP BY 1, 2),
+              r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                                     ORDER BY cnt DESC, event_type) AS INT) AS "rank"
+                    FROM cnt)
+         SELECT window_start, event_type, cnt, "rank" FROM r
+         WHERE "rank" <= 3 ORDER BY window_start, "rank"""",
     // Replays Spark's session_window semantics: a NEW session starts only
     // when the gap to the previous event is STRICTLY > 30 min (an event
     // landing exactly on the previous session's end is merged — verified

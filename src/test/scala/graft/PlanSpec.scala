@@ -316,4 +316,18 @@ class PlanSpec extends SparkSpec {
     // inserts are re-keyed negative, so the global min key is negative
     assert(rows.map(r => r.getLong(r.fieldIndex("min_key"))).min < 0L)
   }
+
+  test("bm25: IDF side broadcasts, top-k is TakeOrderedAndProject, no cartesian") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 did a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"IDF join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bm25 planned a product join:\n$p")
+  }
+
+  test("quantile gate: thresholds broadcast back into the corpus join") {
+    val p = plan("sample_quantile_filter")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"per-group threshold degraded to SMJ:\n$p")
+  }
 }

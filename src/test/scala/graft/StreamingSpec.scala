@@ -246,6 +246,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding-window trending: streaming counts equal the batch dual on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val query = graft.streaming.Trending.slidingCounts(
+        events.withWatermark("ts", "10 minutes"), "ts", "event_type",
+        windowLen = "1 hour", slide = "15 minutes")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        (ts("2024-01-01 00:05:00"), "click"),
+        (ts("2024-01-01 00:20:00"), "click"),
+        (ts("2024-01-01 00:20:30"), "view"),
+        (ts("2024-01-01 00:50:00"), "view"))
+      input.addData(data: _*)
+      query.processAllAvailable()
+      // a far-future marker advances the watermark past every data window
+      input.addData((ts("2024-01-01 06:00:00"), "marker"))
+      query.processAllAvailable()
+      val streamed = spark.table("trending")
+        .select("window_start", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = graft.streaming.Trending.slidingCounts(
+          data.toDF("ts", "event_type"), "ts", "event_type", "1 hour", "15 minutes")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // marker windows are still open (watermark never passes them), so
+      // the emitted set is exactly the batch result over the data rows
+      assert(streamed === batch)
+      assert(batch.nonEmpty && batch.map(_._1).size >= 4) // real 4x fan-out
+    } finally query.stop()
+  }
+
   test("Y20 closed loop: the backpressure tier throttles how much backlog a trigger drains") {
     import org.apache.spark.sql.functions.col
     def backlog(n: Int, durationMs: Double) =

@@ -70,6 +70,34 @@ object Curation {
       .limit(k)
   }
 
+  /** First-occurrence novelty: the fraction of a document's distinct
+    * word n-grams that the corpus sees FIRST in that document (owner =
+    * min doc_id, a deterministic ingestion-order proxy). High-novelty
+    * docs add new content; near-zero novelty flags boilerplate and
+    * template spam that exact/near dedup misses because no single pair
+    * crosses its threshold.
+    *
+    * Scale shape: one gram-keyed aggregate for the first owner (map-side
+    * combined min), one corpus-scale equi-join on the gram key
+    * (shuffle-partitioned, AQE-splittable, fan-out 1 — each gram row
+    * meets exactly one owner row), one per-doc rollup. Gram-less docs
+    * (< n tokens) are left-joined back with novelty 0, not dropped (the
+    * scoreWithWeights coverage rule). */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = wordNgramSets(df, idCol, textCol, n, lowercase = true)
+    val first = grams.groupBy(col("gram")).agg(min(col(idCol)).as("__first"))
+    val per = grams.join(first, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("__novel"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("__novel").cast("double") / col("n_grams"), lit(0.0)), 4)
+          .as("novelty"))
+  }
+
   /** Benchmark-contamination report: training documents sharing at least
     * `minShared` distinct word n-grams with an eval-set document.
     *

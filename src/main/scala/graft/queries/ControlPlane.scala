@@ -395,6 +395,25 @@ object ControlPlane {
            percentile_approx(col("duration_ms"), lit(0.95), lit(1000)).as("p95_approx"))
       .orderBy(col("target_region"))
 
+  /** In-engine verifier for the approx-distinct path: HLL++ estimates
+    * per event_type checked against the exact distinct count, emitting
+    * every group whose relative error exceeds 20% (4× the default 5%
+    * rsd). The oracle is the typed EMPTY SET — the sketches are
+    * engine-defined so their values admit no cross-engine oracle, but
+    * their accuracy contract does (the simhash_exact_diff pattern). The
+    * exact side is the verifier; the approx side is the operator a 100 TB
+    * deployment would actually run (fixed sketch memory vs a
+    * distinct-sized hash table per group). */
+  private def sloHllCheck: Q = (s, d) =>
+    graft.Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           approx_count_distinct(col("user_id")).as("approx_users"))
+      .filter(abs(col("approx_users") - col("exact_users")).cast("double")
+                > col("exact_users") * lit(0.2))
+      .select(col("event_type"), col("exact_users"), col("approx_users"))
+      .orderBy(col("event_type"))
+
   /** E6 SLO lag percentiles (exact interpolated percentile — the
     * approx_percentile path is the 100 TB variant, not oracle-checkable). */
   private def sloPercentiles: Q = (s, d) =>
@@ -442,6 +461,7 @@ object ControlPlane {
     "gc_exec_status"         -> gcExecStatus,
     "gc_compaction_plan"     -> compactionPlan,
     "slo_approx"             -> sloApprox,
+    "slo_hll_check"          -> sloHllCheck,
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -720,5 +740,9 @@ object ControlPlane {
           round(quantile_cont(duration_ms, 0.5), 4) AS p50,
           round(quantile_cont(duration_ms, 0.95), 4) AS p95
           FROM ev GROUP BY 1 ORDER BY 1""",
+    "slo_hll_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS BIGINT) AS exact_users,
+                CAST(NULL AS BIGINT) AS approx_users WHERE 1 = 0""",
   )
 }

@@ -292,6 +292,12 @@ object Pipeline {
     Dedup.spanDedupRewrite(Tables.documents(s, d), "doc_id", "text", window = 3)
       .orderBy(col("doc_id"))
 
+  /** First-occurrence 3-gram novelty per document — the
+    * boilerplate/template-spam signal pairwise dedup misses. */
+  private def textNovelty: Q = (s, d) =>
+    Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
   /** BM25 retrieval of the 10 best documents for a fixed 3-term query.
     * Terms chosen from the corpus's common vocabulary so tf (not mere
     * presence) drives the ranking. Corpus stats (N, avgdl) are two
@@ -713,6 +719,7 @@ object Pipeline {
     "sample_pack_chunks"   -> samplePackChunks,
     "sample_global_shards" -> sampleGlobalShards,
     "sample_weighted"      -> sampleWeighted,
+    "text_novelty"         -> textNovelty,
     "text_bm25_topk"       -> textBm25TopK,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
@@ -1154,6 +1161,22 @@ object Pipeline {
                                ORDER BY votes DESC, pred_label) AS wrn
                       FROM votes)
          SELECT query_id, pred_label, votes FROM win WHERE wrn = 1 ORDER BY query_id""",
+    "text_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              g AS (SELECT doc_id,
+                           tok || ' ' || lead(tok,1) OVER dw || ' ' || lead(tok,2) OVER dw AS gram,
+                           lead(tok,2) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              d AS (SELECT DISTINCT doc_id, gram FROM g WHERE ok IS NOT NULL),
+              f AS (SELECT gram, min(doc_id) AS first_id FROM d GROUP BY 1),
+              per AS (SELECT d.doc_id, count(*) AS n_grams,
+                             sum(CASE WHEN f.first_id = d.doc_id THEN 1 ELSE 0 END) AS novel
+                      FROM d JOIN f USING (gram) GROUP BY 1)
+         SELECT doc.doc_id,
+                COALESCE(per.n_grams, 0) AS n_grams,
+                round(COALESCE(CAST(per.novel AS DOUBLE) / per.n_grams, 0.0), 4) AS novelty
+         FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
     "text_bm25_topk" ->
       s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               dlen AS (SELECT doc_id, len(t) AS dl FROM base),

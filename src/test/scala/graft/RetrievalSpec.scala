@@ -136,4 +136,28 @@ class RetrievalSpec extends SparkSpec {
     // cosine gaps between sin-wave vectors, so the argmax is unchanged
     assert(q === exact)
   }
+
+  // ---------------- first-occurrence novelty ----------------
+
+  test("noveltyScore: first owner keeps, copies score 0, partial overlap is fractional") {
+    val docs = Seq(
+      (0L, "a b c d"),   // grams {a b c, b c d} — both introduced here
+      (1L, "a b c d"),   // exact copy — nothing new
+      (2L, "a b c x"),   // {a b c} owned by 0, {b c x} new → 0.5
+      (3L, "zz")         // < 3 tokens — no grams, survives with novelty 0
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.noveltyScore(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) === ((2L, 1.0)))
+    assert(out(1L) === ((2L, 0.0)))
+    assert(out(2L) === ((2L, 0.5)))
+    assert(out(3L) === ((0L, 0.0)))
+  }
+
+  // ---------------- HLL accuracy contract ----------------
+
+  test("approx distinct stays inside the 20% contract on the events table") {
+    val violations = SparkEntry.queries("slo_hll_check")(spark, sf()).count()
+    assert(violations === 0L)
+  }
 }

@@ -353,7 +353,22 @@ object Dedup {
   def bestQualityKeepers(pairs: DataFrame, docs: DataFrame,
                          idCol: String = "doc_id",
                          qualityCol: String = "quality",
+                         maxIterations: Int = 10): DataFrame =
+    topKQualityKeepers(pairs, docs, idCol, qualityCol, k = 1,
+        maxIterations = maxIterations)
+      .drop("rank")
+
+  /** Keep the `k` highest-quality members of each near-dup cluster
+    * (ties to the lower id) — the diversity-preserving dedup knob: for
+    * template families one representative loses legitimate variation,
+    * so curation pipelines often keep 2-3 per cluster. k=1 is
+    * bestQualityKeepers. Output adds `rank` (1..k within cluster). */
+  def topKQualityKeepers(pairs: DataFrame, docs: DataFrame,
+                         idCol: String = "doc_id",
+                         qualityCol: String = "quality",
+                         k: Int = 1,
                          maxIterations: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     // computing CONSTRAINTS over the component iteration's final
     // union throws in Spark's Union.rewriteConstraints for this plan
     // shape (child constraints reference attributes outside the
@@ -366,9 +381,9 @@ object Dedup {
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col(qualityCol).desc, col("id"))
     labels.join(docs.select(col(idCol).as("id"), col(qualityCol)), Seq("id"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id").as(idCol), col("cluster"), col(qualityCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("cluster"), col(qualityCol), col("rank"))
   }
 
   // ---------- character n-gram Jaccard ----------

@@ -422,6 +422,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Diversity-preserving dedup: the TWO highest-quality members per
+    * near-dup cluster (k=1 is dedup_best_keepers) — template families
+    * keep some legitimate variation instead of one representative. */
+  private def dedupTopkKeepers: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    Dedup.topKQualityKeepers(
+        ngramPairs(s, d).select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id"), TA.qualityScore(col("text")).as("quality")),
+        "doc_id", "quality", k = 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Trained-classifier path end-to-end: 2 full-batch GD iterations on
     * labels planted as doc_id parity, then scoreWithWeights over the
     * same corpus. Deterministic by design (full-batch gradient, fixed
@@ -701,6 +713,7 @@ object Pipeline {
     "ann_domain_outliers"  -> annDomainOutliers,
     "ann_pca_project"      -> annPcaProject,
     "dedup_best_keepers"   -> dedupBestKeepers,
+    "dedup_topk_keepers"   -> dedupTopkKeepers,
     "sample_temperature"   -> sampleTemperature,
     "text_lm_quality"      -> textLmQuality,
     "text_tfidf_terms"     -> textTfidfTerms,
@@ -1366,6 +1379,26 @@ object Pipeline {
             FROM lab JOIN g ON g.doc_id = lab.id)
           SELECT id AS doc_id, cluster, quality FROM ranked
           WHERE rn = 1 ORDER BY doc_id""",
+    "dedup_topk_keepers" ->
+      s"""WITH RECURSIVE g AS (
+            SELECT doc_id, ${charGramsSql("text")} AS grams, $qualitySql AS quality
+            FROM documents WHERE doc_id < 100),
+          edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst FROM g a JOIN g b
+            ON a.doc_id <> b.doc_id
+            WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM g
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+          ranked AS (
+            SELECT lab.id, lab.cluster, g.quality,
+                   CAST(row_number() OVER (PARTITION BY lab.cluster
+                     ORDER BY g.quality DESC, lab.id) AS INT) AS rn
+            FROM lab JOIN g ON g.doc_id = lab.id)
+          SELECT id AS doc_id, cluster, quality, rn AS "rank" FROM ranked
+          WHERE rn <= 2 ORDER BY doc_id""",
     "mm_features" ->
       """WITH b AS (
            SELECT doc_id,

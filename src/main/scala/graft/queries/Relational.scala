@@ -152,6 +152,22 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Value-RANGE frame (vs the ROWS frame above): trailing 30-day spend
+    * per customer. The frame is defined on the ORDER-BY VALUE (epoch
+    * seconds), so same-timestamp peers always aggregate together —
+    * semantics a ROWS frame cannot express. Same one-shuffle window
+    * shape as every per-customer window here. */
+  private def rangeFrameSpend: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .withColumn("trailing_30d_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_30d_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** lead/lag offsets: per-customer order-to-order spend delta and the
     * next order key (the offset-window family §2.9 windows). */
   private def windowLeadLag: Q = (s, d) => {
@@ -653,6 +669,7 @@ object Relational {
     "rel_anti_join_no_orders" -> antiJoinNoOrders,
     "rel_window_top3"         -> top3OrdersPerCustomer,
     "rel_window_running"      -> runningTotal,
+    "rel_window_range_frame"  -> rangeFrameSpend,
     "rel_topk_orders"         -> topkOrders,
     "rel_set_except"          -> setExcept,
     "rel_set_intersect"       -> setIntersect,
@@ -804,6 +821,13 @@ object Relational {
          sum(o_totalprice) OVER (PARTITION BY o_custkey
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
+    "rel_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch_us(o_orderdate) / 1000000.0) AS BIGINT)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
          FROM orders WHERE o_custkey < 200
          ORDER BY o_custkey, o_orderkey""",
     "rel_topk_orders" ->

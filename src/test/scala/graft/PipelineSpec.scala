@@ -720,4 +720,15 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(tied === Array(0L), tied.mkString(","))
   }
+
+  test("topKQualityKeepers keeps k best per cluster; singletons rank 1; k=1 is bestQualityKeepers") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val docs = Seq((0L, 0.3), (1L, 0.5), (2L, 0.9), (7L, 0.1))
+      .toDF("doc_id", "quality")
+    val r = Dedup.topKQualityKeepers(pairs, docs, "doc_id", "quality", k = 2)
+      .select("doc_id", "cluster", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    // chain {0,1,2}: keeps 2 (rank 1) and 1 (rank 2); singleton 7 rank 1
+    assert(r === Array((1L, 0L, 2), (2L, 0L, 1), (7L, 7L, 1)), r.mkString(","))
+  }
 }

@@ -188,6 +188,99 @@ object Dedup {
       .select(col("incoming_id"), col("existing_id"), col("jaccard"))
   }
 
+  // ---------- persisted LSH dedup index ----------
+
+  /** Sorted distinct shingle-hash set per doc — the exact-verify payload
+    * stored beside the band index (and the projection every serve-side
+    * verification uses). */
+  private def shingleSet(textCol: String, shingleK: Int) =
+    sort_array(array_distinct(transform(shingles(col(textCol), shingleK), xxhash64(_))))
+
+  /** Build (replace) the PERSISTED MinHash-LSH dedup index of the
+    * admitted corpus — the production shape minhashNearDupsAgainst's
+    * docstring promises: `{prefix}_bands` (band_id, band_hash, id) is
+    * the equi-join index, `{prefix}_sets` (id, set) carries the sorted
+    * shingle hashes for exact Jaccard verification. Each ingest batch
+    * then pays O(batch) signature work + one join against these tables
+    * (dedupAgainstLshIndex) — the admitted corpus is NEVER re-scanned,
+    * re-shingled, or re-hashed. Bands commit clustered by band_hash so
+    * per-bucket file pruning holds as the index grows. */
+  def buildLshIndexTables(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, shingleK: Int = 3,
+                          bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    Seq(s"${prefix}_bands", s"${prefix}_sets").foreach { t =>
+      if (!cat.tableExists(ns, t)) cat.createTable(ns, t)
+    }
+    val bandRows =
+      lshBands(minhashSignatures(docs, idCol, textCol, numHashes, shingleK),
+        idCol, "sig", bands, r)
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
+    cat.commitReplace(ns, s"${prefix}_bands",
+      bandRows.repartitionByRange(8, col("band_hash")))
+    cat.commitReplace(ns, s"${prefix}_sets",
+      docs.select(col(idCol).as("id"), shingleSet(textCol, shingleK).as("set")))
+  }
+
+  /** Admit a batch into the persisted index: append its band rows and
+    * shingle sets. Idempotent under retries via `commitId` — each
+    * table-level append that already committed this id is skipped, so a
+    * crash between the two appends heals on replay instead of
+    * double-inserting or wedging. Sets append FIRST: a candidate row
+    * whose verify-set is missing would silently drop a true pair, while
+    * the reverse order merely delays new candidates to the next commit. */
+  def appendToLshIndex(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, shingleK: Int = 3, bands: Int = 4,
+                       commitId: Option[String] = None): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def idempotent(commit: => Unit): Unit =
+      try commit catch { case _: graft.catalog.GraftCatalog.DuplicateCommitException => () }
+    idempotent(cat.commitAppend(ns, s"${prefix}_sets",
+      batch.select(col(idCol).as("id"), shingleSet(textCol, shingleK).as("set")),
+      commitId = commitId))
+    idempotent(cat.commitAppend(ns, s"${prefix}_bands",
+      lshBands(minhashSignatures(batch, idCol, textCol, numHashes, shingleK),
+        idCol, "sig", bands, r)
+        .select(col("band_id"), col("band_hash"), col(idCol).as("id")),
+      commitId = commitId))
+  }
+
+  /** Near-dups of `batch` against the PERSISTED index: candidates from
+    * the batch-bands ⋈ index-bands equi-join, verified exactly against
+    * the stored shingle sets. Read-only — pair admission decisions and
+    * appendToLshIndex are the caller's policy. Output:
+    * (incoming_id, existing_id, jaccard), same contract as
+    * minhashNearDupsAgainst (PipelineSpec pins equality). */
+  def dedupAgainstLshIndex(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
+                           batch: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 16, shingleK: Int = 3, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val batchBands =
+      lshBands(minhashSignatures(batch, idCol, textCol, numHashes, shingleK),
+        idCol, "sig", bands, r)
+        .withColumnRenamed(idCol, "incoming_id")
+    val cands = batchBands
+      .join(cat.read(ns, s"${prefix}_bands")
+        .select(col("band_id"), col("band_hash"), col("id").as("existing_id")),
+        Seq("band_id", "band_hash"))
+      .select(col("incoming_id"), col("existing_id")).distinct()
+    cands
+      .join(batch.select(col(idCol).as("incoming_id"),
+        shingleSet(textCol, shingleK).as("set_i")), "incoming_id")
+      .join(cat.read(ns, s"${prefix}_sets")
+        .select(col("id").as("existing_id"), col("set").as("set_e")), "existing_id")
+      .withColumn("jaccard",
+        round(graft.functions.VectorFunctions.sortedLongJaccard(col("set_i"), col("set_e")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("incoming_id"), col("existing_id"), col("jaccard"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash as a table: explode tokens, hash each ONCE, then one

@@ -422,6 +422,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup against the PERSISTED LSH index — the continuous
+    * ingest shape: the admitted corpus (doc_id % 4 != 0) is indexed
+    * ONCE into catalog tables (band join-index + shingle verify-sets);
+    * the new batch (doc_id % 4 == 0) pays O(batch) signature work plus
+    * one equi-join against the index. Same banding arithmetic as
+    * dedup_incremental_pairs, so the verified output equals the exact
+    * cross-set Jaccard pair set — the two queries share one oracle. */
+  private def dedupLshIndex: Q = (s, d) => {
+    import graft.catalog.GraftCatalog
+    val docs = Tables.documents(s, d)
+    val cat = new GraftCatalog(s,
+      java.nio.file.Files.createTempDirectory("graft-lshix").toString)
+    Dedup.buildLshIndexTables(cat, "dd", "ix", docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", numHashes = 32, shingleK = 2, bands = 16)
+    Dedup.dedupAgainstLshIndex(cat, "dd", "ix", docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+      .orderBy(col("incoming_id"), col("existing_id"))
+  }
+
   /** Diversity-preserving dedup: the TWO highest-quality members per
     * near-dup cluster (k=1 is dedup_best_keepers) — template families
     * keep some legitimate variation instead of one representative. */
@@ -684,6 +703,7 @@ object Pipeline {
     "dedup_exact_groups"   -> dedupExactGroups,
     "dedup_minhash_pairs"  -> dedupMinhashPairs,
     "dedup_incremental_pairs" -> dedupIncrementalPairs,
+    "dedup_lsh_index"      -> dedupLshIndex,
     "dedup_simhash_pairs"  -> dedupSimhashPairs,
     "dedup_simhash_exact_diff" -> dedupSimhashExactDiff,
     "dedup_ngram_pairs"    -> dedupNgramPairs,
@@ -926,6 +946,19 @@ object Pipeline {
             ${iter("pr2", "pr3")}
        SELECT id, pr FROM pr3 ORDER BY id"""
   }
+
+  /** Exact cross-set Jaccard pairs (new batch = doc_id % 4 == 0 vs the
+    * admitted rest) — shared by dedup_incremental_pairs and its
+    * persisted-index twin dedup_lsh_index (identical verified output by
+    * the 16-band recall arithmetic). */
+  private val incrementalPairsSql =
+    s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
+        scored AS (
+          SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
+                 ${jaccardSql("i.s", "e.s")} AS jaccard
+          FROM sh i JOIN sh e ON i.doc_id % 4 = 0 AND e.doc_id % 4 <> 0)
+        SELECT incoming_id, existing_id, jaccard FROM scored
+        WHERE jaccard >= 0.5 ORDER BY incoming_id, existing_id"""
 
   // token-with-position stream shared by the curation oracles: DuckDB
   // zips parallel unnests, mirroring Spark's posexplode
@@ -1325,14 +1358,8 @@ object Pipeline {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           SELECT id_a, id_b, jaccard FROM scored
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
-    "dedup_incremental_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, ${wordShinglesSql("text")} AS s FROM documents),
-          scored AS (
-            SELECT i.doc_id AS incoming_id, e.doc_id AS existing_id,
-                   ${jaccardSql("i.s", "e.s")} AS jaccard
-            FROM sh i JOIN sh e ON i.doc_id % 4 = 0 AND e.doc_id % 4 <> 0)
-          SELECT incoming_id, existing_id, jaccard FROM scored
-          WHERE jaccard >= 0.5 ORDER BY incoming_id, existing_id""",
+    "dedup_incremental_pairs" -> incrementalPairsSql,
+    "dedup_lsh_index" -> incrementalPairsSql,
     "dedup_ngram_pairs" ->
       s"""WITH g AS (SELECT doc_id, ${charGramsSql("text")} AS grams
                      FROM documents WHERE doc_id < 100),

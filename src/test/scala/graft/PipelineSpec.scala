@@ -721,6 +721,40 @@ class PipelineSpec extends SparkSpec {
     assert(tied === Array(0L), tied.mkString(","))
   }
 
+  test("persisted LSH index: serve == direct cross-set search; appends are idempotent and visible") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lsh").toString)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val existing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    Dedup.buildLshIndexTables(cat, "dd", "ix", existing, "doc_id", "text",
+      numHashes = 32, shingleK = 2, bands = 16)
+    val served = Dedup.dedupAgainstLshIndex(cat, "dd", "ix", batch, "doc_id", "text",
+        numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashNearDupsAgainst(existing, batch, "doc_id", "text",
+        numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served === direct)
+
+    // admit the batch; a replay with the same commitId must not double-insert
+    val setsBefore = cat.read("dd", "ix_sets").count()
+    Dedup.appendToLshIndex(cat, "dd", "ix", batch, "doc_id", "text",
+      numHashes = 32, shingleK = 2, bands = 16, commitId = Some("batch-1"))
+    Dedup.appendToLshIndex(cat, "dd", "ix", batch, "doc_id", "text",
+      numHashes = 32, shingleK = 2, bands = 16, commitId = Some("batch-1"))
+    assert(cat.read("dd", "ix_sets").count() === setsBefore + batch.count())
+
+    // the admitted batch is now searchable: its exact copies hit at J=1
+    val again = Dedup.dedupAgainstLshIndex(cat, "dd", "ix", batch, "doc_id", "text",
+        numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+      .filter(col("incoming_id") === col("existing_id"))
+      .as[(Long, Long, Double)].collect()
+    assert(again.nonEmpty && again.forall(_._3 === 1.0))
+  }
+
   test("topKQualityKeepers keeps k best per cluster; singletons rank 1; k=1 is bestQualityKeepers") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
     val docs = Seq((0L, 0.3), (1L, 0.5), (2L, 0.9), (7L, 0.1))

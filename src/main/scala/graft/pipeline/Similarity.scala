@@ -95,6 +95,41 @@ object Similarity {
       .select(col("query_id"), col("pred_label"), col("votes"))
   }
 
+  // ---------------- embedding drift monitoring ----------------
+
+  /** Per-label centroid drift between a reference corpus slice and a
+    * current one — the embedding-space monitoring primitive: when a
+    * label's two centroids stop being collinear (cosine well below 1),
+    * the incoming data's geometry has moved and downstream ANN indexes /
+    * classifiers trained on the reference slice are stale (the rebuild
+    * trigger appendToIvfPqIndex's docstring defers to).
+    *
+    * Scale shape: each side is ONE posexplode + hash aggregate — the d×
+    * row fan-out is immediately collapsed by map-side partial avg, so
+    * the shuffle carries labels × d partial sums, not corpus rows. The
+    * cosine then reduces labels × d mean rows to labels — metadata
+    * scale. Means are rounded to 6 decimals (engine portability), the
+    * cosine to 4. Labels must appear in BOTH slices to be reported
+    * (inner join — a label with no current data is a volume alarm, not
+    * a drift measurement). */
+  def centroidDrift(ref: DataFrame, cur: DataFrame,
+                    labelCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    def sideMeans(df: DataFrame, as: String) =
+      df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col(labelCol), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as(as))
+    val cosine = sideMeans(ref, "mr").join(sideMeans(cur, "mc"), Seq(labelCol, "pos"))
+      .groupBy(col(labelCol))
+      .agg(round(sum(col("mr") * col("mc")) /
+        (sqrt(sum(col("mr") * col("mr"))) * sqrt(sum(col("mc") * col("mc")))), 4)
+        .as("drift_cosine"))
+    val nr = ref.groupBy(col(labelCol)).agg(count(lit(1)).as("n_ref"))
+    val nc = cur.groupBy(col(labelCol)).agg(count(lit(1)).as("n_cur"))
+    cosine.join(nr, labelCol).join(nc, labelCol)
+      .select(col(labelCol), col("n_ref"), col("n_cur"), col("drift_cosine"))
+  }
+
   // ---------------- int8 scalar quantization ----------------
 
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,

@@ -331,6 +331,16 @@ object Pipeline {
       .orderBy(col("id"))
   }
 
+  /** Per-label centroid drift between the even-id (reference) and
+    * odd-id (current) halves of the embeddings table — the staleness
+    * monitor for ANN indexes and classifiers. */
+  private def annDrift: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+      .orderBy(col("label"))
+  }
+
   /** Top-5 neighbors under int8-quantized cosine — the reduced-IO scan
     * path. Scales cancel in the cosine, so scoring is exact integer
     * arithmetic and the oracle replays it bit-for-bit. */
@@ -757,6 +767,7 @@ object Pipeline {
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
     "ann_int8_topk"        -> annInt8TopK,
+    "ann_drift"            -> annDrift,
     "mm_media_stats"       -> mmMediaStats,
     "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
@@ -1258,6 +1269,23 @@ object Pipeline {
          FROM sc s JOIN thr USING (source) WHERE s.q >= thr.thr
          ORDER BY s.doc_id""",
     "graph_pagerank" -> pagerankSql,
+    "ann_drift" ->
+      """WITH ex AS (SELECT vec_id, label, unnest(embedding) AS val,
+                            unnest(range(0, len(embedding))) AS pos FROM embeddings),
+              r AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS mr
+                    FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+              c AS (SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS mc
+                    FROM ex WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+              cos AS (SELECT r.label,
+                             round(sum(mr * mc) / (sqrt(sum(mr * mr)) * sqrt(sum(mc * mc))), 4)
+                               AS drift_cosine
+                      FROM r JOIN c USING (label, pos) GROUP BY 1),
+              nr AS (SELECT label, count(*) AS n_ref FROM embeddings
+                     WHERE vec_id % 2 = 0 GROUP BY 1),
+              nc AS (SELECT label, count(*) AS n_cur FROM embeddings
+                     WHERE vec_id % 2 = 1 GROUP BY 1)
+         SELECT cos.label, n_ref, n_cur, drift_cosine
+         FROM cos JOIN nr USING (label) JOIN nc USING (label) ORDER BY label""",
     "ann_int8_topk" ->
       s"""WITH z AS MATERIALIZED (
                 SELECT vec_id,

@@ -317,6 +317,26 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(r.fieldIndex("min_key"))).min < 0L)
   }
 
+  test("sweep: no query plans an unlisted CartesianProduct") {
+    // Documented exceptions — bounded fixtures (doc_id < 100 ngram pair
+    // graph) or verifier-only brute legs whose quadratic side exists to
+    // prove the production operator's output. Everything else must plan
+    // equi-joins / broadcasts only; a new query that accidentally plans a
+    // cartesian fails here before it ever reaches a driver gate.
+    val boundedOrVerifier = Set(
+      "dedup_ngram_pairs", "dedup_cluster_keepers", "dedup_best_keepers",
+      "dedup_topk_keepers", "graph_pagerank", "dedup_simhash_exact_diff")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(boundedOrVerifier)
+      .flatMap { name =>
+        val p =
+          try SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
+  }
+
   test("bm25: IDF side broadcasts, top-k is TakeOrderedAndProject, no cartesian") {
     val p = plan("text_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), s"bm25 did a global sort:\n$p")

@@ -154,6 +154,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0.0)))
   }
 
+  // ---------------- centroid drift ----------------
+
+  test("centroidDrift: unchanged distribution reads 1.0, rotated one reads 0") {
+    val ref = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.1f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cur = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(1.0f, 0.1f), 0), // identical
+      (12L, Array(1.0f, 0.0f), 1), (13L, Array(1.0f, -0.1f), 1) // ~90° rotation
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(ref, cur)
+      .as[(Int, Long, Long, Double)].collect().map(x => x._1 -> x._4).toMap
+    assert(r(0) === 1.0)
+    assert(r(1) === 0.0) // centroids (0.05,1.0) vs (1.0,-0.05): exact orthogonality
+  }
+
   // ---------------- HLL accuracy contract ----------------
 
   test("approx distinct stays inside the 20% contract on the events table") {

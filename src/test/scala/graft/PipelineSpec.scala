@@ -755,6 +755,49 @@ class PipelineSpec extends SparkSpec {
     assert(again.nonEmpty && again.forall(_._3 === 1.0))
   }
 
+  test("E2E incremental-dedup loop over the persisted LSH index equals a sequential batch replay") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-lshloop").toString)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val batches = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+    // policy: admit a doc iff it has NO near-dup (J >= 0.5) among the
+    // already-admitted corpus — first batch wins; in-batch dups are a
+    // separate (within-batch) pass in both paths, so parity is exact
+
+    // production path: serve + admit against the PERSISTED index
+    Dedup.buildLshIndexTables(cat, "dd", "loop", batches(0), "doc_id", "text",
+      numHashes = 32, shingleK = 2, bands = 16)
+    batches.drop(1).zipWithIndex.foreach { case (b, i) =>
+      val dups = Dedup.dedupAgainstLshIndex(cat, "dd", "loop", b, "doc_id", "text",
+          numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+        .select(col("incoming_id").as("doc_id")).distinct()
+      val admitted = b.join(dups, Seq("doc_id"), "left_anti")
+      Dedup.appendToLshIndex(cat, "dd", "loop", admitted, "doc_id", "text",
+        numHashes = 32, shingleK = 2, bands = 16, commitId = Some(s"loop-$i"))
+      // crash-replay: the same admission must be a no-op
+      Dedup.appendToLshIndex(cat, "dd", "loop", admitted, "doc_id", "text",
+        numHashes = 32, shingleK = 2, bands = 16, commitId = Some(s"loop-$i"))
+    }
+    val servedAdmitted = cat.read("dd", "loop_sets")
+      .select("id").as[Long].collect().toSet
+
+    // reference path: sequential in-memory replay, no index
+    var admitted = batches(0)
+    batches.drop(1).foreach { b =>
+      val dups = Dedup.minhashNearDupsAgainst(admitted, b, "doc_id", "text",
+          numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+        .select(col("incoming_id").as("doc_id")).distinct()
+      admitted = admitted.unionByName(b.join(dups, Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+    }
+    val replayAdmitted = admitted.select("doc_id").as[Long].collect().toSet
+
+    assert(servedAdmitted === replayAdmitted)
+    assert(servedAdmitted.size < docs.count()) // the corpus really has cross-batch dups
+  }
+
   test("topKQualityKeepers keeps k best per cluster; singletons rank 1; k=1 is bestQualityKeepers") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
     val docs = Seq((0L, 0.3), (1L, 0.5), (2L, 0.9), (7L, 0.1))

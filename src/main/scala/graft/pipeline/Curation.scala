@@ -70,6 +70,34 @@ object Curation {
       .limit(k)
   }
 
+  /** Incremental novelty: each batch document's fraction of distinct
+    * word n-grams UNSEEN in the admitted corpus — the streaming form of
+    * [[noveltyScore]] (whose min-id ownership needs the whole corpus at
+    * once). At warehouse scale the admitted side's distinct-gram set is
+    * a PERSISTED table maintained at admit time (append the batch's new
+    * grams, exactly the LSH-index admission pattern in
+    * Dedup.appendToLshIndex), so each batch pays O(batch grams) plus one
+    * equi-join against the gram index — never a corpus rescan.
+    *
+    * Scale shape: distinct grams per side, one left join on the gram key
+    * (fan-out 1: the admitted side is gram-distinct), one per-doc
+    * rollup; gram-less batch docs survive at new_frac 0. */
+  def noveltyAgainst(admitted: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bGrams = wordNgramSets(batch, idCol, textCol, n, lowercase = true)
+    val seen = wordNgramSets(admitted, idCol, textCol, n, lowercase = true)
+      .select(col("gram")).distinct().withColumn("__seen", lit(1))
+    val per = bGrams.join(seen, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("__new"))
+    batch.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("__new").cast("double") / col("n_grams"), lit(0.0)), 4)
+          .as("new_frac"))
+  }
+
   /** First-occurrence novelty: the fraction of a document's distinct
     * word n-grams that the corpus sees FIRST in that document (owner =
     * min doc_id, a deterministic ingestion-order proxy). High-novelty

@@ -298,6 +298,17 @@ object Pipeline {
     Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
 
+  /** Incremental novelty of the doc_id % 4 == 0 batch against the
+    * admitted rest — the streaming novelty form (the admitted gram set
+    * is a persisted index at scale; see Curation.noveltyAgainst). */
+  private def textNoveltyIncr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.noveltyAgainst(
+        docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 retrieval of the 10 best documents for a fixed 3-term query.
     * Terms chosen from the corpus's common vocabulary so tf (not mere
     * presence) drives the ranking. Corpus stats (N, avgdl) are two
@@ -763,6 +774,7 @@ object Pipeline {
     "sample_global_shards" -> sampleGlobalShards,
     "sample_weighted"      -> sampleWeighted,
     "text_novelty"         -> textNovelty,
+    "text_novelty_incr"    -> textNoveltyIncr,
     "text_bm25_topk"       -> textBm25TopK,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
@@ -1234,6 +1246,24 @@ object Pipeline {
                 COALESCE(per.n_grams, 0) AS n_grams,
                 round(COALESCE(CAST(per.novel AS DOUBLE) / per.n_grams, 0.0), 4) AS novelty
          FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
+    "text_novelty_incr" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              g AS (SELECT doc_id,
+                           tok || ' ' || lead(tok,1) OVER dw || ' ' || lead(tok,2) OVER dw AS gram,
+                           lead(tok,2) OVER dw AS ok
+                    FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              d AS (SELECT DISTINCT doc_id, gram FROM g WHERE ok IS NOT NULL),
+              seen AS (SELECT DISTINCT gram FROM d WHERE doc_id % 4 <> 0),
+              per AS (SELECT d.doc_id, count(*) AS n_grams,
+                             sum(CASE WHEN seen.gram IS NULL THEN 1 ELSE 0 END) AS newg
+                      FROM d LEFT JOIN seen ON seen.gram = d.gram
+                      WHERE d.doc_id % 4 = 0 GROUP BY 1)
+         SELECT doc.doc_id,
+                COALESCE(per.n_grams, 0) AS n_grams,
+                round(COALESCE(CAST(per.newg AS DOUBLE) / per.n_grams, 0.0), 4) AS new_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) doc
+         LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
     "text_bm25_topk" ->
       s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               dlen AS (SELECT doc_id, len(t) AS dl FROM base),

@@ -327,6 +327,24 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Join-key skew diagnostic — the report to run BEFORE choosing a
+    * salting factor (rel_salted_skew_join) or trusting AQE's runtime
+    * split: the per-key row-count distribution of a prospective join
+    * key. One partial-aggregated groupBy, then a single-row aggregate
+    * over |keys| counts (key-cardinality scale, not row scale). */
+  private def skewReport: Q = (s, d) => {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("cnt")).as("min_rows"),
+      round(expr("percentile(cnt, 0.5)"), 4).as("p50_rows"),
+      round(expr("percentile(cnt, 0.95)"), 4).as("p95_rows"),
+      max(col("cnt")).as("max_rows"),
+      round(avg(col("cnt")), 4).as("avg_rows"),
+      round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+  }
+
   /** Sliding-window trending: top-3 event types per 2-hour window
     * sliding every 30 minutes (batch dual of the watermarked streaming
     * form — StreamingSpec proves stream ≡ batch). The 4× window fan-out
@@ -681,6 +699,7 @@ object Relational {
     "rel_array_norms"         -> arrayNorms,
     "rel_hourly_events"       -> hourlyEventStats,
     "stream_sliding_topn"     -> streamSlidingTopn,
+    "rel_skew_report"         -> skewReport,
     "rel_sessionize"          -> sessionize,
     "rel_funnel"              -> funnelStages,
     "rel_retention_cohorts"   -> retentionCohorts,
@@ -830,6 +849,14 @@ object Relational {
            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
          FROM orders WHERE o_custkey < 200
          ORDER BY o_custkey, o_orderkey""",
+    "rel_skew_report" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+         SELECT count(*) AS n_keys, min(cnt) AS min_rows,
+                round(quantile_cont(cnt, 0.5), 4) AS p50_rows,
+                round(quantile_cont(cnt, 0.95), 4) AS p95_rows,
+                max(cnt) AS max_rows, round(avg(cnt), 4) AS avg_rows,
+                round(max(cnt) / avg(cnt), 4) AS skew_ratio
+         FROM c""",
     "rel_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",

@@ -154,6 +154,35 @@ class RetrievalSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0.0)))
   }
 
+  test("noveltyAgainst: unseen grams count, seen grams don't, short docs survive") {
+    val admitted = Seq((0L, "a b c d")).toDF("doc_id", "text") // grams {a b c, b c d}
+    val batch = Seq(
+      (10L, "a b c d"),  // both grams seen → 0.0
+      (11L, "a b c x"),  // {a b c} seen, {b c x} new → 0.5
+      (12L, "p q r s"),  // all new → 1.0
+      (13L, "zz")        // gram-less → 0 grams, 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.noveltyAgainst(admitted, batch, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) === ((2L, 0.0)))
+    assert(out(11L) === ((2L, 0.5)))
+    assert(out(12L) === ((2L, 1.0)))
+    assert(out(13L) === ((0L, 0.0)))
+  }
+
+  test("skew report finds the planted hot key ratio on a tiny frame") {
+    val rows = (1 to 50).map(i => (1L, i)) ++ (2 to 11).map(i => (i.toLong, i))
+    val counts = rows.toDF("k", "v").groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val r = counts.agg(
+        max(col("cnt")).as("max_rows"),
+        round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"))
+      .as[(Long, Double)].head()
+    // key 1 holds 50 rows, 10 keys hold 1 → avg (50+10)/11, ratio 50/avg
+    assert(r._1 === 50L)
+    assert(r._2 === BigDecimal(50.0 / (60.0 / 11.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // ---------------- centroid drift ----------------
 
   test("centroidDrift: unchanged distribution reads 1.0, rotated one reads 0") {

@@ -70,6 +70,39 @@ object Curation {
       .limit(k)
   }
 
+  /** Frequency-ranked vocabulary + integer encoding — the
+    * materialization step between raw text and packed training
+    * sequences: the top-`vocabSize` tokens get ids 1..V (rank by count
+    * desc, ties by token asc — engine-portable), everything else
+    * encodes as OOV id 0. Returns (idCol, n_tokens, n_oov, ids) with
+    * `ids` in document order.
+    *
+    * Scale shape: the vocabulary is a Zipf-bounded aggregate + top-V
+    * limit (TakeOrderedAndProject — never a global sort of the vocab);
+    * the id-assignment window runs AFTER the limit, over V rows only.
+    * Encoding is one broadcast join of the tiny vocab into the token
+    * stream and a per-doc rollup whose groups are doc-length bounded.
+    * The OOV fallback is id 0, not a dropped row — every token of
+    * every doc lands in `ids`. */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val toks = tokenStream(docs, idCol, textCol, lowercase = true)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(col("tok"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+           transform(
+             array_sort(collect_list(struct(col("ord").as("o"),
+               coalesce(col("token_id"), lit(0)).as("tid")))),
+             s => s.getField("tid")).as("ids"))
+  }
+
   /** Incremental novelty: each batch document's fraction of distinct
     * word n-grams UNSEEN in the admitted corpus — the streaming form of
     * [[noveltyScore]] (whose min-id ownership needs the whole corpus at

@@ -298,6 +298,12 @@ object Pipeline {
     Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
 
+  /** Vocabulary build (top-512 tokens) + integer encoding of every
+    * document — the step between curation and sequence packing. */
+  private def textVocabEncode: Q = (s, d) =>
+    Curation.vocabEncode(Tables.documents(s, d), "doc_id", "text", vocabSize = 512)
+      .orderBy(col("doc_id"))
+
   /** Incremental novelty of the doc_id % 4 == 0 batch against the
     * admitted rest — the streaming novelty form (the admitted gram set
     * is a persisted index at scale; see Curation.noveltyAgainst). */
@@ -775,6 +781,7 @@ object Pipeline {
     "sample_weighted"      -> sampleWeighted,
     "text_novelty"         -> textNovelty,
     "text_novelty_incr"    -> textNoveltyIncr,
+    "text_vocab_encode"    -> textVocabEncode,
     "text_bm25_topk"       -> textBm25TopK,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
@@ -1246,6 +1253,18 @@ object Pipeline {
                 COALESCE(per.n_grams, 0) AS n_grams,
                 round(COALESCE(CAST(per.novel AS DOUBLE) / per.n_grams, 0.0), 4) AS novelty
          FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
+    "text_vocab_encode" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              vc AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1
+                     ORDER BY cnt DESC, tok LIMIT 512),
+              vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
+                               AS token_id FROM vc)
+         SELECT w.doc_id, count(*) AS n_tokens,
+                sum(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                list(COALESCE(vocab.token_id, 0) ORDER BY w.ord) AS ids
+         FROM w LEFT JOIN vocab ON vocab.tok = w.tok
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
     "text_novelty_incr" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

@@ -170,6 +170,16 @@ class RetrievalSpec extends SparkSpec {
     assert(out(13L) === ((0L, 0.0)))
   }
 
+  test("vocabEncode: frequency-then-token ranking, in-order ids, OOV encodes as 0") {
+    // counts: a=3, b=3 (tie → a first), c=1, x=1 (c ranks, x falls out at V=3)
+    val docs = Seq((0L, "b a b c b a"), (1L, "a x")).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.vocabEncode(docs, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Long, Array[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4.toSeq))).toMap
+    assert(out(0L) === ((6L, 0L, Seq(2, 1, 2, 3, 2, 1))))
+    assert(out(1L) === ((2L, 1L, Seq(1, 0))))
+  }
+
   test("skew report finds the planted hot key ratio on a tiny frame") {
     val rows = (1 to 50).map(i => (1L, i)) ++ (2 to 11).map(i => (i.toLong, i))
     val counts = rows.toDF("k", "v").groupBy(col("k")).agg(count(lit(1)).as("cnt"))

@@ -107,4 +107,65 @@ class PropertySpec extends SparkSpec {
       assert(s === h, s"string=$s hashed=$h for $wa vs $wb")
     }
   }
+
+  private val tokenGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+  private val docGen: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString(" "))
+
+  test("quantileGate law: every kept score >= every dropped score within its group") {
+    samples(Gen.listOfN(40, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 100)))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, s"g$g", v.toDouble) }
+        .toDF("doc_id", "grp", "score")
+      val kept = graft.pipeline.Retrieval.quantileGate(df, "doc_id", "score", "grp", 0.75)
+        .select("doc_id").as[Long].collect().toSet
+      val all = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      all.groupBy(_._2).foreach { case (_, members) =>
+        val (in, out) = members.partition(m => kept(m._1))
+        if (in.nonEmpty && out.nonEmpty)
+          assert(in.map(_._3).min >= out.map(_._3).max)
+      }
+    }
+  }
+
+  test("pageRank law: mass conserved and strictly positive on random undirected graphs") {
+    samples(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))), n = 6) { es =>
+      val pairs = es.filter(e => e._1 < e._2).distinct
+      val nodes = (0L to 7L).toDF("id")
+      val pr = graft.pipeline.GraphOps.pageRank(
+          graft.pipeline.GraphOps.symmetrize(
+            pairs.toDF("id_a", "id_b"), "id_a", "id_b"),
+          nodes, iters = 3)
+        .as[(Long, Double)].collect()
+      assert(pr.length === 8)
+      assert(pr.forall(_._2 > 0.0))
+      assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
+    }
+  }
+
+  test("vocabEncode law: ids cover every token in order, bounded by V, OOV count consistent") {
+    samples(Gen.listOfN(6, docGen), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val v = 4
+      val out = graft.pipeline.Curation.vocabEncode(df, "doc_id", "text", v)
+        .as[(Long, Long, Long, Array[Int])].collect()
+      out.foreach { case (id, nTok, nOov, ids) =>
+        assert(ids.length === nTok)
+        assert(ids.length === texts(id.toInt).split(" ").length)
+        assert(ids.forall(x => x >= 0 && x <= v))
+        assert(ids.count(_ == 0) === nOov)
+      }
+    }
+  }
+
+  test("noveltyAgainst law: empty admitted corpus makes every gram-bearing doc fully novel") {
+    samples(Gen.listOfN(5, docGen), n = 8) { texts =>
+      val batch = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      graft.pipeline.Curation.noveltyAgainst(empty, batch, "doc_id", "text", n = 2)
+        .as[(Long, Long, Double)].collect().foreach { case (_, nGrams, frac) =>
+          assert(if (nGrams == 0) frac === 0.0 else frac === 1.0)
+        }
+    }
+  }
 }

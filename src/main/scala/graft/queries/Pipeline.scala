@@ -531,6 +531,22 @@ object Pipeline {
       n = 6, minShared = 1, maxDf = 1000)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Round-robin curriculum interleave: the training order that
+    * de-clusters sources — pass p carries each source's p-th document,
+    * so no contiguous run of the stream is dominated by one domain (the
+    * balanced dual of sample_global_shards' random order). One window
+    * shuffle on the source key; at scale the global order is realized
+    * by range-partitioning on (pass, source) — a sort the writer pays
+    * once, exactly like the shard manifests. */
+  private def sampleInterleave: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("pass", row_number().over(w))
+      .orderBy(col("pass"), col("source"), col("doc_id"))
+  }
+
   private def sampleStratified: Q = (s, d) =>
     Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
       .select(col("doc_id"), col("source"))
@@ -769,6 +785,7 @@ object Pipeline {
     "text_chunks"          -> textChunks,
     "dedup_substring_pairs" -> dedupSubstringPairs,
     "sample_stratified"    -> sampleStratified,
+    "sample_interleave"    -> sampleInterleave,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
     "text_pii_redaction"   -> textPiiRedaction,
@@ -1253,6 +1270,10 @@ object Pipeline {
                 COALESCE(per.n_grams, 0) AS n_grams,
                 round(COALESCE(CAST(per.novel AS DOUBLE) / per.n_grams, 0.0), 4) AS novelty
          FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
+    "sample_interleave" ->
+      """SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS pass
+         FROM documents ORDER BY pass, source, doc_id""",
     "text_vocab_encode" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

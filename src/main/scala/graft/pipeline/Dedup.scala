@@ -142,9 +142,7 @@ object Dedup {
     // 64-bit shingle hashes equal the string counts unless two distinct
     // shingles of one pair collide (~3e-16/pair); the DuckDB oracle
     // computes the string form and hash-matches.
-    val sets = docs.select(col(idCol),
-      sort_array(array_distinct(transform(shingles(col(textCol), shingleK), xxhash64(_))))
-        .as("shingle_set"))
+    val sets = docs.select(col(idCol), shingleSet(textCol, shingleK).as("shingle_set"))
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("shingle_set").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingle_set").as("set_b")), "id_b")
@@ -175,10 +173,8 @@ object Dedup {
     val cands = bandSide(incoming, "incoming_id")
       .join(bandSide(existing, "existing_id"), Seq("band_id", "band_hash"))
       .select(col("incoming_id"), col("existing_id")).distinct()
-    def setSide(df: DataFrame, as: String, setAs: String) = df.select(
-      col(idCol).as(as),
-      sort_array(array_distinct(transform(shingles(col(textCol), shingleK), xxhash64(_))))
-        .as(setAs))
+    def setSide(df: DataFrame, as: String, setAs: String) =
+      df.select(col(idCol).as(as), shingleSet(textCol, shingleK).as(setAs))
     cands
       .join(setSide(incoming, "incoming_id", "set_i"), "incoming_id")
       .join(setSide(existing, "existing_id", "set_e"), "existing_id")
@@ -214,14 +210,17 @@ object Dedup {
     Seq(s"${prefix}_bands", s"${prefix}_sets").foreach { t =>
       if (!cat.tableExists(ns, t)) cat.createTable(ns, t)
     }
+    // sets commit FIRST (same ordering argument as appendToLshIndex): a
+    // crash between the two commits must only cost candidate recall,
+    // never let fresh band candidates verify against stale sets
+    cat.commitReplace(ns, s"${prefix}_sets",
+      docs.select(col(idCol).as("id"), shingleSet(textCol, shingleK).as("set")))
     val bandRows =
       lshBands(minhashSignatures(docs, idCol, textCol, numHashes, shingleK),
         idCol, "sig", bands, r)
         .select(col("band_id"), col("band_hash"), col(idCol).as("id"))
     cat.commitReplace(ns, s"${prefix}_bands",
       bandRows.repartitionByRange(8, col("band_hash")))
-    cat.commitReplace(ns, s"${prefix}_sets",
-      docs.select(col(idCol).as("id"), shingleSet(textCol, shingleK).as("set")))
   }
 
   /** Admit a batch into the persisted index: append its band rows and

@@ -40,7 +40,9 @@ object GraphOps {
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val ids = nodes.select(col("id")).distinct()
+    // materialized once — every iteration's left join (and the initial
+    // count) reuses it instead of re-running the distinct shuffle
+    val ids = nodes.select(col("id")).distinct().localCheckpoint()
     val n = ids.count().toDouble
     require(n > 0, "empty vertex set")
 

@@ -47,10 +47,9 @@ object Retrieval {
     // two scalars for the whole corpus — computed in one job, compiled
     // into the scoring expression as literals (same shape as the IVF
     // centroid broadcast: driver-scale by construction)
-    val Array(nDocs, avgdl) = {
-      val r = base.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
-      Array(r.getDouble(0), r.getDouble(1))
-    }
+    val statsRow = base.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+    require(!statsRow.isNullAt(1), "bm25TopK: empty corpus (avgdl undefined)")
+    val (nDocs, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
 
     val tf = base
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
@@ -104,8 +103,11 @@ object Retrieval {
     val ranked = docs
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    // long, not int: an int cast wraps negative past ~2.1B rows/group and
+    // silently drops the whole group (row_number itself bounds a group at
+    // Int.MaxValue rows — beyond that, pre-aggregate per (group, score))
     val thresholds = ranked
-      .filter(col("__rn") === ceil(lit(q) * col("__n")).cast("int"))
+      .filter(col("__rn").cast("long") === ceil(lit(q) * col("__n")).cast("long"))
       .select(col(groupCol), col(scoreCol).as("__thr"))
     docs.join(broadcast(thresholds), groupCol)
       .filter(col(scoreCol) >= col("__thr"))

@@ -113,7 +113,7 @@ object Similarity {
     * (inner join — a label with no current data is a volume alarm, not
     * a drift measurement). */
   def centroidDrift(ref: DataFrame, cur: DataFrame,
-                    labelCol: String = "label", idCol: String = "vec_id",
+                    labelCol: String = "label",
                     vecCol: String = "embedding"): DataFrame = {
     def sideMeans(df: DataFrame, as: String) =
       df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -148,12 +148,15 @@ object Similarity {
   /** Cosine over int8 codes. The per-vector scales CANCEL in the cosine
     * ratio, so this is pure integer arithmetic (exact, order-independent
     * sums — no float-accumulation portability caveat) until the single
-    * final division. */
+    * final division. An all-zero code vector (a zero embedding after
+    * quantization) scores 0.0, not NaN — NaN would sort ABOVE every real
+    * score in a descending top-k and crown the garbage vector rank-1. */
   def int8Cosine(a: Column, b: Column): Column = {
     def isum(c: Column) =
       aggregate(transform(c, x => x * x), lit(0L), (acc, v) => acc + v)
     val d = aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    d.cast("double") / (sqrt(isum(a).cast("double")) * sqrt(isum(b).cast("double")))
+    val denom = sqrt(isum(a).cast("double")) * sqrt(isum(b).cast("double"))
+    when(denom === 0.0, lit(0.0)).otherwise(d.cast("double") / denom)
   }
 
   /** Brute-force top-k over int8-quantized vectors — the memory-scale

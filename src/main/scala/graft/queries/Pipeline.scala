@@ -1367,10 +1367,16 @@ object Pipeline {
               q AS (SELECT vec_id AS query_id, qv AS quv FROM z WHERE vec_id < 5),
               scored AS (
                 SELECT q.query_id, z.vec_id AS neighbor_id,
-                       round(CAST(list_aggregate(list_transform(list_zip(z.qv, q.quv),
-                                p -> p[1] * p[2]), 'sum') AS DOUBLE)
-                         / (sqrt(CAST(list_aggregate(list_transform(z.qv, x -> x * x), 'sum') AS DOUBLE))
-                          * sqrt(CAST(list_aggregate(list_transform(q.quv, x -> x * x), 'sum') AS DOUBLE))), 4) AS score
+                       -- zero-code vectors score 0.0, mirroring int8Cosine's
+                       -- NaN guard (NaN would sort above every real score)
+                       round(CASE WHEN sqrt(CAST(list_aggregate(list_transform(z.qv, x -> x * x), 'sum') AS DOUBLE))
+                                     * sqrt(CAST(list_aggregate(list_transform(q.quv, x -> x * x), 'sum') AS DOUBLE)) = 0
+                                  THEN 0.0
+                                  ELSE CAST(list_aggregate(list_transform(list_zip(z.qv, q.quv),
+                                         p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                                       / (sqrt(CAST(list_aggregate(list_transform(z.qv, x -> x * x), 'sum') AS DOUBLE))
+                                        * sqrt(CAST(list_aggregate(list_transform(q.quv, x -> x * x), 'sum') AS DOUBLE)))
+                             END, 4) AS score
                 FROM z CROSS JOIN q WHERE z.vec_id <> q.query_id),
               ranked AS (SELECT query_id, neighbor_id, score,
                                 row_number() OVER (PARTITION BY query_id

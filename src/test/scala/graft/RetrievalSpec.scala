@@ -107,7 +107,7 @@ class RetrievalSpec extends SparkSpec {
     assert(codes === Array(127L, -63L, 32L, 0L))
   }
 
-  test("int8 cosine: identical vectors 1.0, orthogonal 0.0, zero vector finite") {
+  test("int8 cosine: identical vectors 1.0; zero vector scores 0.0, never NaN-ranks first") {
     val df = Seq(
       (0L, Array(0.3f, 0.7f, -0.2f)),
       (1L, Array(0.3f, 0.7f, -0.2f)),
@@ -118,7 +118,13 @@ class RetrievalSpec extends SparkSpec {
       .select(Similarity.int8Cosine(col("a.q"), col("b.q"))).as[Double].head()
     assert(self === 1.0)
     val zeroCodes = q.filter(col("vec_id") === 2).select("q").as[Array[Long]].head()
-    assert(zeroCodes === Array(0L, 0L, 0L)) // 1e-30 guard: codes collapse, no NaN blowup
+    assert(zeroCodes === Array(0L, 0L, 0L)) // 1e-30 guard: codes collapse
+    // the zero vector must score 0.0 against everything and land LAST,
+    // not NaN (which sorts above every real score in a desc top-k)
+    val top = Similarity.int8TopK(df, df.filter(col("vec_id") === 0), k = 2)
+      .select("neighbor_id", "score", "rank").as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(top.map(_._1).toSeq === Seq(1L, 2L))
+    assert(top(1)._2 === 0.0 && !top(1)._2.isNaN)
   }
 
   test("int8TopK agrees with exact cosine top-1 when gaps dominate grid noise") {

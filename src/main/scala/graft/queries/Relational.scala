@@ -327,6 +327,55 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Exponential time-decay engagement score per user — the recency
+    * weighting every feed/freshness ranker runs: events lose half their
+    * weight every 24h against a FIXED anchor (deterministic, and at
+    * scale the anchor is the batch watermark, so incremental runs
+    * compose by rescaling). One partial-aggregated groupBy; exp() stays
+    * inside codegen. Anchor chosen past the data's ts range. */
+  private def decayScore: Q = (s, d) => {
+    // ts casts to FRACTIONAL epoch seconds on both sides (micros/1e6 as
+    // one double division) — unix_timestamp would truncate to whole
+    // seconds while DuckDB's epoch_us/1000000.0 would not, and the
+    // exp() would amplify the disagreement
+    // 2025-01-01T00:00:00Z — fixed epoch constant, NOT Timestamp.valueOf
+    // (which reads the JVM default zone; the oracle's naive TIMESTAMP
+    // literal is epoch-UTC like Spark's internal micros)
+    val anchorSec = lit(1735689600.0)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          exp(lit(-DecayLambda) * (anchorSec - col("ts").cast("double")))), 6)
+          .as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Half-life 24h in per-second units; ONE Scala-computed double
+    * embedded verbatim in both the Spark plan and the DuckDB oracle so
+    * ln(2)/86400 can never disagree across engines. */
+  private val DecayLambda: Double = math.log(2.0) / 86400.0
+
+  /** Fixed-bucket histogram of order totals — the distribution report
+    * behind partition sizing and skew triage. Buckets are
+    * floor((v - lo) / width) clamped to [0, n-1] with EXPLICIT lo/width
+    * literals (both engines compute identical bucket ids; no
+    * width_bucket dialect differences). One partial-aggregated groupBy
+    * over a codegen'd projection. */
+  private def valueHistogram: Q = (s, d) => {
+    val (lo, width, n) = (0.0, 50000.0, 12)
+    val bucket = least(greatest(
+      floor((col("o_totalprice") - lit(lo)) / lit(width)), lit(0.0)),
+      lit((n - 1).toDouble)).cast("int")
+    Tables.orders(s, d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+           round(min(col("o_totalprice")), 2).as("lo_seen"),
+           round(max(col("o_totalprice")), 2).as("hi_seen"))
+      .orderBy(col("bucket"))
+  }
+
   /** Join-key skew diagnostic — the report to run BEFORE choosing a
     * salting factor (rel_salted_skew_join) or trusting AQE's runtime
     * split: the per-key row-count distribution of a prospective join
@@ -700,6 +749,8 @@ object Relational {
     "rel_hourly_events"       -> hourlyEventStats,
     "stream_sliding_topn"     -> streamSlidingTopn,
     "rel_skew_report"         -> skewReport,
+    "rel_decay_score"         -> decayScore,
+    "rel_value_histogram"     -> valueHistogram,
     "rel_sessionize"          -> sessionize,
     "rel_funnel"              -> funnelStages,
     "rel_retention_cohorts"   -> retentionCohorts,
@@ -849,6 +900,20 @@ object Relational {
            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
          FROM orders WHERE o_custkey < 200
          ORDER BY o_custkey, o_orderkey""",
+    "rel_decay_score" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         round(sum(value * exp(-($DecayLambda) *
+           (CAST(epoch_us(TIMESTAMP '2025-01-01 00:00:00') AS DOUBLE) / 1000000.0
+            - CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0))), 6)
+           AS decayed_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "rel_value_histogram" ->
+      """SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0.0), 11.0) AS INT)
+                AS bucket,
+                count(*) AS cnt,
+                round(min(o_totalprice), 2) AS lo_seen,
+                round(max(o_totalprice), 2) AS hi_seen
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "rel_skew_report" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
          SELECT count(*) AS n_keys, min(cnt) AS min_rows,

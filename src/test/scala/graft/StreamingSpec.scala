@@ -362,6 +362,55 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch near-dup gate over the persisted LSH index: stream admission equals batch loop") {
+    import graft.catalog.GraftCatalog
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-lshstream").toString)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val batches = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+    Dedup.buildLshIndexTables(cat, "dd", "st", batches(0), "doc_id", "text",
+      numHashes = 32, shingleK = 2, bands = 16)
+
+    // stream the remaining docs; each micro-batch serves against the
+    // index, rejects near-dups of ALREADY-ADMITTED docs, and admits the
+    // rest with the epoch as the idempotent commitId — exactly the
+    // foreachBatch shape a production ingest job runs
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val batch = b.localCheckpoint()
+        val dups = Dedup.dedupAgainstLshIndex(cat, "dd", "st", batch,
+            "doc_id", "text", numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+          .select(col("incoming_id").as("doc_id")).distinct()
+        Dedup.appendToLshIndex(cat, "dd", "st",
+          batch.join(dups, Seq("doc_id"), "left_anti"), "doc_id", "text",
+          numHashes = 32, shingleK = 2, bands = 16, commitId = Some(s"epoch-$epoch"))
+      }
+      .start()
+    try {
+      val b1 = batches(1).as[(Long, String)].collect()
+      val b2 = batches(2).as[(Long, String)].collect()
+      input.addData(b1.toIndexedSeq: _*); query.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = cat.read("dd", "st_sets").select("id").as[Long].collect().toSet
+
+    // reference: the batch-mode admission loop from PipelineSpec
+    var admitted = batches(0)
+    batches.drop(1).foreach { b =>
+      val dups = Dedup.minhashNearDupsAgainst(admitted, b, "doc_id", "text",
+          numHashes = 32, shingleK = 2, bands = 16, threshold = 0.5)
+        .select(col("incoming_id").as("doc_id")).distinct()
+      admitted = admitted.unionByName(b.join(dups, Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+    }
+    assert(streamed === admitted.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("E2E ingest loop: topic -> quality gate -> streaming dedup -> catalog equals batch curation") {
     import graft.streaming.{CatalogStreamSink, FileTopic, StreamingDedup}
     import graft.catalog.GraftCatalog

@@ -298,6 +298,41 @@ object Pipeline {
     Curation.noveltyScore(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
 
+  /** Per-source boilerplate-prefix report: the most common leading
+    * 3-gram per source and the fraction of that source's docs carrying
+    * it — the header/template detector that runs BEFORE span-rewrite
+    * dedup decides what to cut. Prefix extraction is a narrow
+    * projection; per-(source, prefix) counts partial-aggregate; the
+    * argmax is a bounded per-source window over distinct prefixes. */
+  private def textBoilerplate: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val docs = Tables.documents(s, d).select(col("source"),
+      array_join(slice(split(lower(col("text")), " "), 1, 3), " ").as("prefix"))
+    docs.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_with_prefix"))
+      .withColumn("n_docs", sum(col("n_with_prefix")).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n_with_prefix").desc, col("prefix"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("prefix").as("top_prefix"),
+        col("n_with_prefix"), col("n_docs"),
+        round(col("n_with_prefix").cast("double") / col("n_docs"), 4).as("frac"))
+      .orderBy(col("source"))
+  }
+
+  /** Normalization-collision dup groups: fingerprint groups whose
+    * members normalize identically but differ RAW — exactly the
+    * trivial variants (case/punctuation/spacing) raw exact-dedup
+    * misses. One fingerprint aggregate with two counts. */
+  private def dedupNormCollisions: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(Curation.normalize(col("text"))).as("norm_fp"))
+      .agg(min(col("doc_id")).as("keeper"),
+           count(lit(1)).as("copies"),
+           countDistinct(col("text")).as("distinct_raw"))
+      .filter(col("copies") >= 2 && col("distinct_raw") >= 2)
+      .orderBy(col("keeper"))
+
   /** Vocabulary build (top-512 tokens) + integer encoding of every
     * document — the step between curation and sequence packing. */
   private def textVocabEncode: Q = (s, d) =>
@@ -799,6 +834,8 @@ object Pipeline {
     "text_novelty"         -> textNovelty,
     "text_novelty_incr"    -> textNoveltyIncr,
     "text_vocab_encode"    -> textVocabEncode,
+    "text_boilerplate"     -> textBoilerplate,
+    "dedup_norm_collisions" -> dedupNormCollisions,
     "text_bm25_topk"       -> textBm25TopK,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
@@ -1270,6 +1307,27 @@ object Pipeline {
                 COALESCE(per.n_grams, 0) AS n_grams,
                 round(COALESCE(CAST(per.novel AS DOUBLE) / per.n_grams, 0.0), 4) AS novelty
          FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc.doc_id""",
+    "text_boilerplate" ->
+      """WITH p AS (SELECT source,
+                           array_to_string((string_split(lower(text), ' '))[1:3], ' ') AS prefix
+                    FROM documents),
+              c AS (SELECT source, prefix, count(*) AS n_with_prefix
+                    FROM p GROUP BY 1, 2),
+              r AS (SELECT source, prefix, n_with_prefix,
+                           sum(n_with_prefix) OVER (PARTITION BY source) AS n_docs,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY n_with_prefix DESC, prefix) AS rn
+                    FROM c)
+         SELECT source, prefix AS top_prefix, n_with_prefix, n_docs,
+                round(CAST(n_with_prefix AS DOUBLE) / n_docs, 4) AS frac
+         FROM r WHERE rn = 1 ORDER BY source""",
+    "dedup_norm_collisions" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+                min(doc_id) AS keeper, count(*) AS copies,
+                count(DISTINCT text) AS distinct_raw
+         FROM documents GROUP BY 1
+         HAVING count(*) >= 2 AND count(DISTINCT text) >= 2
+         ORDER BY keeper""",
     "sample_interleave" ->
       """SELECT doc_id, source,
                 CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT) AS pass

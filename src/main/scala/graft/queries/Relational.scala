@@ -152,6 +152,20 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Relative-position windows: percent_rank and cume_dist per customer
+    * over a unique (price, key) ordering — identical definitions in both
+    * engines ((rank-1)/(n-1); peers-cumulative/n). Completes the ranking
+    * window family next to row_number/ntile/lead/lag. */
+  private def windowPercentiles: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Value-RANGE frame (vs the ROWS frame above): trailing 30-day spend
     * per customer. The frame is defined on the ORDER-BY VALUE (epoch
     * seconds), so same-timestamp peers always aggregate together —
@@ -737,6 +751,7 @@ object Relational {
     "rel_window_top3"         -> top3OrdersPerCustomer,
     "rel_window_running"      -> runningTotal,
     "rel_window_range_frame"  -> rangeFrameSpend,
+    "rel_window_percentiles"  -> windowPercentiles,
     "rel_topk_orders"         -> topkOrders,
     "rel_set_except"          -> setExcept,
     "rel_set_intersect"       -> setIntersect,
@@ -899,6 +914,13 @@ object Relational {
            ORDER BY CAST(floor(epoch_us(o_orderdate) / 1000000.0) AS BIGINT)
            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d_spend
          FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
+    "rel_window_percentiles" ->
+      """SELECT o_custkey, o_orderkey,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
     "rel_decay_score" ->
       s"""SELECT user_id, count(*) AS n_events,

@@ -195,6 +195,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Forward fill (gap fill): every event carries the user's most recent
+    * purchase value at-or-before it — `last(..., ignoreNulls)` over a
+    * running frame; events before the user's first purchase stay null.
+    * The timeseries imputation primitive (carry-forward of a sparse
+    * signal onto a dense one); one shuffle on user_id like every window
+    * here, and the frame is running so the window evaluates in one pass. */
+  private def gapFill: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+          .over(w).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** ntile quartiles over a bounded, totally-ordered slice. */
   private def ntileBuckets: Q = (s, d) => {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -706,6 +724,27 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a match-age tolerance (the pandas `merge_asof
+    * tolerance` semantics): the matched purchase must be within one hour
+    * of the click or the payload nulls out. Same one-shuffle union-scan
+    * plan as rel_asof_join — the tolerance is a post-join projection over
+    * integer microseconds (exact in both engines), not a different join. */
+  private def asofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val within = col("asof_ts").isNotNull &&
+      (unix_micros(col("ts")) - unix_micros(col("asof_ts"))) <= lit(3600000000L)
+    graft.operators.AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightPayload = Seq("purchase_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(within, col("asof_ts")).as("recent_ts"),
+        when(within, col("asof_purchase_id")).as("recent_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: click values falling inside [purchase_value,
     * purchase_value + 2] — bucketed equi-join (operators/RangeJoin.scala),
     * not the BroadcastNestedLoop Spark would plan for a bare inequality
@@ -726,6 +765,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "rel_asof_join"           -> asofLastPurchase,
     "rel_asof_join_exec"      -> asofLastPurchaseExec,
+    "rel_asof_tolerance"      -> asofTolerance,
+    "rel_gap_fill"            -> gapFill,
     "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_scalar_subquery"     -> scalarSubquery,
@@ -797,6 +838,28 @@ object Relational {
                 p.purchase_value AS asof_purchase_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY c.event_id""",
+    "rel_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           event_id AS purchase_id
+                    FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+                CASE WHEN p.ts IS NOT NULL
+                      AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                     THEN p.ts END AS recent_ts,
+                CASE WHEN p.ts IS NOT NULL
+                      AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                     THEN p.purchase_id END AS recent_purchase_id
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "rel_gap_fill" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_value
+         FROM events WHERE user_id < 50 ORDER BY event_id""",
     "rel_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, value FROM events
                     WHERE event_type = 'click' AND user_id < 30),

@@ -83,6 +83,35 @@ object Retrieval {
       .orderBy(col("rank"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009): fuse two
+    * ranked retrieval lists by score(d) = Σ_l 1/(K + rank_l(d)) over the
+    * lists containing d. Rank-only fusion needs no score calibration
+    * between heterogeneous retrievers (BM25 vs embedding cosine) — the
+    * standard hybrid-retrieval combiner — and integer ranks make the
+    * arithmetic exact cross-engine (one final rounding).
+    *
+    * Scale shape: both inputs are top-k lists — bounded rows by
+    * construction — so the fusion cost is independent of corpus size;
+    * the heavy lifting lives in the upstream retrievals (bm25TopK,
+    * Similarity.bruteForceTopK), which carry their own scale arguments.
+    * The re-rank window runs over ≤ 2k fused rows.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
+              kConst: Int = 60, topK: Int = 10): DataFrame = {
+    val a = lex.select(col(idCol), col("rank").as("lex_rank"))
+    val b = sem.select(col(idCol), col("rank").as("sem_rank"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (col("lex_rank") + lit(kConst)), lit(0.0)) +
+        coalesce(lit(1.0) / (col("sem_rank") + lit(kConst)), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol))))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("lex_rank"), col("sem_rank"),
+        col("rrf_score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-group relative-threshold gate (Gopher-style "keep the top
     * (1−q) quantile per domain"): a row survives when its score is >= the
     * value at ascending rank ceil(q·n) within its group — a rank-based

@@ -359,6 +359,20 @@ object Pipeline {
     Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
       Seq("vector", "scan", "merge"), k1 = 1.2, b = 0.75, topK = 10)
 
+  /** Hybrid retrieval: RRF fusion of the BM25 lexical top-50 and the
+    * exact-cosine dense top-50 for query vector 0 (vec_id ↔ doc_id in
+    * the testdata). Rank-only fusion — no score calibration between the
+    * two retrievers — and both input lists are bounded top-k, so the
+    * fusion stage is corpus-size-independent by construction. */
+  private def textRrfFusion: Q = (s, d) => {
+    val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("vector", "scan", "merge"), topK = 50)
+    val emb = Tables.embeddings(s, d)
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(lex, sem, "doc_id", kConst = 60, topK = 10)
+  }
+
   /** Per-source rank-quantile quality gate: keep documents at or above
     * their source's p75 quality score (rank-based threshold — identical
     * in both engines, no percentile interpolation semantics). */
@@ -837,6 +851,7 @@ object Pipeline {
     "text_boilerplate"     -> textBoilerplate,
     "dedup_norm_collisions" -> dedupNormCollisions,
     "text_bm25_topk"       -> textBm25TopK,
+    "text_rrf_fusion"      -> textRrfFusion,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
     "ann_int8_topk"        -> annInt8TopK,
@@ -1385,6 +1400,47 @@ object Pipeline {
                                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS "rank"
                          FROM sc)
          SELECT doc_id, score, "rank" FROM ranked WHERE "rank" <= 10 ORDER BY "rank"""",
+    "text_rrf_fusion" ->
+      s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              dlen AS (SELECT doc_id, len(t) AS dl FROM base),
+              stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlen),
+              w AS (SELECT doc_id, unnest(t) AS tok FROM base),
+              tf AS (SELECT w.doc_id, dlen.dl, w.tok, CAST(count(*) AS DOUBLE) AS tf
+                     FROM w JOIN dlen USING (doc_id)
+                     WHERE w.tok IN ('vector', 'scan', 'merge')
+                     GROUP BY 1, 2, 3),
+              idf AS (SELECT tok,
+                             round(ln(1.0 + ((SELECT n FROM stats) - CAST(count(*) AS DOUBLE) + 0.5)
+                                            / (CAST(count(*) AS DOUBLE) + 0.5)), 6) AS idf
+                      FROM tf GROUP BY tok),
+              bsc AS (SELECT tf.doc_id,
+                             round(sum(round(idf.idf * tf.tf * CAST(2.2 AS DOUBLE)
+                               / (tf.tf + CAST(1.2 AS DOUBLE) *
+                                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * tf.dl
+                                     / (SELECT avgdl FROM stats))), 6)), 4) AS score
+                      FROM tf JOIN idf USING (tok) GROUP BY 1),
+              lexr AS (SELECT doc_id,
+                              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+                       FROM bsc),
+              lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 50),
+              q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+              csc AS (SELECT e.vec_id AS doc_id, $cosineSql AS score
+                      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+              semr AS (SELECT doc_id,
+                              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS sem_rank
+                       FROM csc),
+              sem AS (SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= 50),
+              fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                               lex_rank, sem_rank,
+                               round(COALESCE(CAST(1.0 AS DOUBLE) / (lex_rank + 60), CAST(0 AS DOUBLE))
+                                     + COALESCE(CAST(1.0 AS DOUBLE) / (sem_rank + 60), CAST(0 AS DOUBLE)), 6)
+                                 AS rrf_score
+                        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+              ranked AS (SELECT doc_id, lex_rank, sem_rank, rrf_score,
+                                CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS "rank"
+                         FROM fused)
+         SELECT doc_id, lex_rank, sem_rank, rrf_score, "rank" FROM ranked
+         WHERE "rank" <= 10 ORDER BY "rank"""",
     "sample_quantile_filter" ->
       s"""WITH sc AS (SELECT doc_id, source, $qualitySql AS q FROM documents),
               ranked AS (SELECT doc_id, source, q,

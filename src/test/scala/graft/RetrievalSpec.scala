@@ -216,6 +216,24 @@ class RetrievalSpec extends SparkSpec {
     assert(r(1) === 0.0) // centroids (0.05,1.0) vs (1.0,-0.05): exact orthogonality
   }
 
+  // ---------------- RRF fusion ----------------
+
+  test("rrfFuse: both-list docs outrank single-list docs; missing ranks contribute 0") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, sem, "doc_id", kConst = 60, topK = 10)
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    def rrf(rs: Seq[Int]) = BigDecimal(rs.map(r => 1.0 / (r + 60)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20: ranks (2,1); doc 10: ranks (1,3); both beat single-list 30/40
+    assert(byId(20L)._4 === rrf(Seq(2, 1)))
+    assert(byId(10L)._4 === rrf(Seq(1, 3)))
+    assert(byId(30L)._4 === rrf(Seq(3)) && byId(30L)._3.isEmpty)
+    assert(byId(40L)._4 === rrf(Seq(2)) && byId(40L)._2.isEmpty)
+    assert(out.sortBy(_._5).map(_._1) === Seq(20L, 10L, 40L, 30L))
+  }
+
   // ---------------- HLL accuracy contract ----------------
 
   test("approx distinct stays inside the 20% contract on the events table") {

@@ -529,6 +529,51 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Asymmetric near-dup pairs by the OVERLAP COEFFICIENT over distinct
+    * word n-grams: overlap(A,B) = |A∩B| / min(|A|,|B|) — high when the
+    * smaller document is (nearly) contained in the larger one, even when
+    * symmetric Jaccard is far below any dedup threshold (a short doc
+    * quoted whole inside a long one: Jaccard |A|/|B| → 0, overlap → 1).
+    * The containment-dup detector that whole-document Jaccard dedup
+    * structurally misses.
+    *
+    * Grams above `maxDf` documents are cut BEFORE the pair fan-out AND
+    * excluded from the measure (declared semantics, as in
+    * [[exactSubstringPairs]]): ubiquitous grams carry no containment
+    * signal and are exactly the quadratic hot keys. Docs left with no
+    * gram after the cut (or shorter than n tokens) emit no pairs.
+    *
+    * Scale shape: candidates come from the gram equi-join (per-key
+    * fan-out bounded by maxDf²); sizes are one aggregate joined back;
+    * the intersection count IS the pair aggregate — no per-pair set
+    * materialization, no cartesian. Output: (id_a, id_b, inter, size_a,
+    * size_b, overlap) with id_a < id_b, overlap rounded to 4. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 2, threshold: Double = 0.6,
+                       maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    require(maxDf >= 2, s"maxDf must be >= 2 to ever emit a pair: $maxDf")
+    val grams = graft.pipeline.Curation
+      .wordNgramSets(docs, idCol, textCol, n, lowercase = true)
+    val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("gram"))
+    val g = grams.join(rare, "gram")
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val inter = g.select(col("gram"), col(idCol).as("id_a"))
+      .join(g.select(col("gram"), col(idCol).as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("size_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("size_b")), "id_b")
+      .withColumn("overlap", round(
+        col("inter").cast("double") / least(col("size_a"), col("size_b")), 4))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"), col("overlap"))
+  }
+
   // ---------- exact-span removal (dedup that rewrites the text) ----------
 
   /** Corpus-wide exact-span dedup with text reconstruction: tokenize,

@@ -77,4 +77,55 @@ object GraphOps {
   def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+
+  /** Per-node triangle counts over an undirected graph given as
+    * canonical pairs (id_a < id_b) — the local clustering signal on the
+    * similarity graph (a near-dup cluster is triangle-dense; a chain of
+    * borderline matches is triangle-free, so the count separates "true
+    * duplicate cliques" from transitive-closure accidents before any
+    * cluster decision).
+    *
+    * Algorithm: the compact-forward / node-iterator join with DEGREE
+    * ORDERING (Schank & Wagner 2005, public algorithm): orient every
+    * edge from the lower (degree, id) endpoint to the higher; each
+    * triangle is then found EXACTLY ONCE as a wedge at its ≺-lowest
+    * vertex closed by the oriented third edge. The orientation bounds
+    * the wedge fan-out per vertex by its ORIENTED out-degree — O(m^1.5)
+    * wedges total for any graph — where the naive id-ordered form is
+    * quadratic at a hub (a boilerplate doc similar to d others alone
+    * fans d²/2 wedges). Three equi-joins + one aggregate, no cartesian,
+    * no driver state.
+    *
+    * Output: (id, triangles) for every vertex in `nodes`, 0 for
+    * triangle-free vertices. Deterministic integer counts. */
+  def triangleCounts(pairs: DataFrame, nodes: DataFrame,
+                     idCol: String = "id"): DataFrame = {
+    val raw = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .distinct().localCheckpoint()
+    val deg = raw.select(col("u").as("id")).unionAll(raw.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // (src → dst) with dst's degree carried for the wedge-order compare
+    val oriented = raw
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"),
+        when(lower, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+    val tri = w1.join(w2, "src")
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+      .localCheckpoint()
+    val perNode = tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    nodes.select(col(idCol).as("id")).join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

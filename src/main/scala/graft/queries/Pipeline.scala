@@ -397,6 +397,48 @@ object Pipeline {
       .orderBy(col("id"))
   }
 
+  /** Containment (overlap-coefficient) near-dup pairs over distinct
+    * word bigrams: catches a short document quoted (nearly) whole inside
+    * a longer one, where symmetric Jaccard stays below any dedup
+    * threshold. Candidates come from the gram equi-join with the maxDf
+    * boilerplate cut — no cartesian. */
+  private def dedupContainmentPairs: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 2, threshold = 0.6, maxDf = 1000)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Leakage-safe train/val/test split: near-dup clusters (connected
+    * components over the n-gram similarity graph) are assigned AS
+    * UNITS — every member inherits the md5 split of its cluster label,
+    * so a near-duplicate of a training document can never land in test
+    * (the contamination mode per-document hashing cannot prevent).
+    * Composes the two proven stages: pointer-jumping components +
+    * assignSplit keyed on the cluster id. */
+  private def sampleLeakageSplit: Q = (s, d) => {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id")
+    val labels = Dedup.clusterNearDups(
+        ngramPairs(s, d).select(col("id_a"), col("id_b")), ids)
+      .withColumnRenamed("id", "doc_id")
+    // clusterNearDups labels only pair-touched ids; untouched docs are
+    // their own (singleton) cluster
+    val full = ids.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    Curation.assignSplit(full, "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-node triangle counts on the n-gram similarity graph (degree-
+    * ordered compact-forward join): separates triangle-dense true dup
+    * cliques from triangle-free transitive chains before clustering. */
+  private def graphTriangles: Q = (s, d) => {
+    val pairs = ngramPairs(s, d).select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id"))
+    GraphOps.triangleCounts(pairs, nodes).orderBy(col("id"))
+  }
+
   /** Per-label centroid drift between the even-id (reference) and
     * odd-id (current) halves of the embeddings table — the staleness
     * monitor for ANN indexes and classifiers. */
@@ -854,6 +896,9 @@ object Pipeline {
     "text_rrf_fusion"      -> textRrfFusion,
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
+    "graph_triangles"      -> graphTriangles,
+    "dedup_containment_pairs" -> dedupContainmentPairs,
+    "sample_leakage_split" -> sampleLeakageSplit,
     "ann_int8_topk"        -> annInt8TopK,
     "ann_drift"            -> annDrift,
     "mm_media_stats"       -> mmMediaStats,
@@ -1587,6 +1632,76 @@ object Pipeline {
             FROM g a JOIN g b ON a.doc_id < b.doc_id)
           SELECT id_a, id_b, sim FROM scored
           WHERE sim >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks),
+              g2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER dw AS gram,
+                            lead(tok, 1) OVER dw AS ok
+                     FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
+              d AS (SELECT DISTINCT doc_id, gram FROM g2 WHERE ok IS NOT NULL),
+              df AS (SELECT gram, count(*) AS df FROM d GROUP BY 1),
+              r AS (SELECT d.doc_id, d.gram FROM d JOIN df USING (gram) WHERE df.df <= 1000),
+              sz AS (SELECT doc_id, count(*) AS sz FROM r GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                        FROM r a JOIN r b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+                round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS overlap
+         FROM inter JOIN sz sa ON sa.doc_id = inter.id_a
+                    JOIN sz sb ON sb.doc_id = inter.id_b
+         WHERE round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.6
+         ORDER BY id_a, id_b""",
+    // the cluster-keepers recursive closure, re-labeled: every member
+    // inherits the md5 split of its cluster's min id (split thresholds
+    // are sample_split_assign's 0.8/0.1/0.1 hex bounds)
+    "sample_leakage_split" ->
+      s"""WITH RECURSIVE g AS (
+            SELECT doc_id, ${charGramsSql("text")} AS grams
+            FROM documents WHERE doc_id < 100),
+          edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst FROM g a JOIN g b
+            ON a.doc_id <> b.doc_id
+            WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM g
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+          lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)
+          SELECT doc_id, cluster,
+                 CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+                      WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM lab ORDER BY doc_id""",
+    "graph_triangles" ->
+      s"""WITH g AS MATERIALIZED (
+            SELECT doc_id, ${charGramsSql("text")} AS grams
+            FROM documents WHERE doc_id < 100),
+          p AS MATERIALIZED (
+            SELECT a.doc_id AS u, b.doc_id AS v FROM g a JOIN g b
+            ON a.doc_id < b.doc_id
+            WHERE ${jaccardSql("a.grams", "b.grams")} >= 0.5),
+          deg AS MATERIALIZED (
+            SELECT id, count(*) AS deg FROM (
+              SELECT u AS id FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+          o AS MATERIALIZED (
+            SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+                        THEN p.u ELSE p.v END AS src,
+                   CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+                        THEN p.v ELSE p.u END AS dst,
+                   CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND p.u < p.v)
+                        THEN dv.deg ELSE du.deg END AS ddst
+            FROM p JOIN deg du ON du.id = p.u JOIN deg dv ON dv.id = p.v),
+          tri AS (
+            SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+            FROM o w1 JOIN o w2 ON w1.src = w2.src
+             AND (w1.ddst < w2.ddst OR (w1.ddst = w2.ddst AND w1.dst < w2.dst))
+            JOIN o e ON e.src = w1.dst AND e.dst = w2.dst),
+          cnt AS (SELECT id, count(*) AS triangles FROM (
+                    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1),
+          nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100)
+          SELECT nodes.id, COALESCE(cnt.triangles, 0) AS triangles
+          FROM nodes LEFT JOIN cnt USING (id) ORDER BY nodes.id""",
     "dedup_cluster_keepers" ->
       s"""WITH RECURSIVE g AS (
             SELECT doc_id, ${charGramsSql("text")} AS grams

@@ -798,6 +798,40 @@ class PipelineSpec extends SparkSpec {
     assert(servedAdmitted.size < docs.count()) // the corpus really has cross-batch dups
   }
 
+  test("containmentPairs: near-subset doc pairs at overlap ~1 where Jaccard is low; maxDf cuts boilerplate") {
+    val docs = Seq(
+      // doc 1's 4 bigrams all appear in doc 2 (9 bigrams): overlap = 1.0,
+      // Jaccard = 4/9 ≈ 0.44 — below every dedup threshold
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely different words here now"),
+      // docs 4-6 share ONLY the ubiquitous bigram "common pair"
+      (4L, "common pair one"), (5L, "common pair two"), (6L, "common pair three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6, maxDf = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 2L)))
+    val p = out.head
+    assert(p._3 === 4L && p._4 === 4L && p._5 === 9L && p._6 === 1.0)
+    // sanity: the same pair's Jaccard really is sub-threshold
+    assert(4.0 / 9.0 < 0.5)
+  }
+
+  test("leakage-safe split: every near-dup cluster lands in exactly one split") {
+    val out = SparkEntry.queries("sample_leakage_split")(spark, sf())
+      .as[(Long, Long, String)].collect().toSeq
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.exists(_._2.size > 1)) // the corpus really has multi-doc clusters
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.size === 1,
+        s"cluster $c split across ${members.map(_._3).distinct}")
+    }
+    // and the assignment is the md5 rule on the cluster id, not the doc id
+    val aSplit = out.map(r => r._2 -> r._3).toMap
+    out.foreach { case (_, cluster, split) => assert(aSplit(cluster) === split) }
+  }
+
   test("topKQualityKeepers keeps k best per cluster; singletons rank 1; k=1 is bestQualityKeepers") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
     val docs = Seq((0L, 0.3), (1L, 0.5), (2L, 0.9), (7L, 0.1))

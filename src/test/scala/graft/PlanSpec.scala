@@ -325,7 +325,8 @@ class PlanSpec extends SparkSpec {
     // cartesian fails here before it ever reaches a driver gate.
     val boundedOrVerifier = Set(
       "dedup_ngram_pairs", "dedup_cluster_keepers", "dedup_best_keepers",
-      "dedup_topk_keepers", "graph_pagerank", "dedup_simhash_exact_diff")
+      "dedup_topk_keepers", "graph_pagerank", "graph_triangles",
+      "sample_leakage_split", "dedup_simhash_exact_diff")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedOrVerifier)
       .flatMap { name =>

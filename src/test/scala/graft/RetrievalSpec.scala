@@ -216,6 +216,22 @@ class RetrievalSpec extends SparkSpec {
     assert(r(1) === 0.0) // centroids (0.05,1.0) vs (1.0,-0.05): exact orthogonality
   }
 
+  // ---------------- triangle counting ----------------
+
+  test("triangleCounts: one triangle + pendant edge + isolated node; K4 gives 3 per node") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val r = GraphOps.triangleCounts(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val r4 = GraphOps.triangleCounts(k4, Seq(1L, 2L, 3L, 4L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(r4.values.toSeq === Seq(3L, 3L, 3L, 3L))
+  }
+
   // ---------------- RRF fusion ----------------
 
   test("rrfFuse: both-list docs outrank single-list docs; missing ranks contribute 0") {

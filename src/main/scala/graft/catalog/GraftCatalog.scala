@@ -389,16 +389,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** CAS publish loop shared by every commit flavor: `mkSnapshot` builds
     * the candidate from the freshly-read parent; the atomic
     * create-if-absent hard link is the commit point (on an object store
-    * this becomes a conditional PUT / If-None-Match — same contract). */
-  private def casCommit(ns: String, name: String, maxRetries: Int)
-                       (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
+    * this becomes a conditional PUT / If-None-Match — same contract).
+    * `readParent`/`target` parameterize WHICH log the commit lands on
+    * (main `_meta/vNNNNN.json` or a branch dir) — the CAS mechanics are
+    * identical for every ref. */
+  private def casCommitAt(ns: String, name: String, maxRetries: Int,
+                          readParent: () => Option[Snapshot],
+                          target: Long => Path)
+                         (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
-      val snap = mkSnapshot(latest(ns, name))
+      val snap = mkSnapshot(readParent())
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
       try {
-        Files.createLink(versionFile(ns, name, snap.seq), tmp)
+        Files.createLink(target(snap.seq), tmp)
         Files.deleteIfExists(tmp)
         return snap
       } catch {
@@ -410,6 +415,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
+
+  private def casCommit(ns: String, name: String, maxRetries: Int)
+                       (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot =
+    casCommitAt(ns, name, maxRetries,
+      () => latest(ns, name), versionFile(ns, name, _))(mkSnapshot)
 
   /** C3/C12: append `df` as a new version with optimistic CAS on the
     * version number. Data files land distributed (executor writes); one
@@ -591,6 +601,181 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   }
 
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
+
+  // ---- branches (Nessie-style named refs) ----
+  // The reference's replica model IS branches: every region commits to
+  // its own main_replica_<region> ref and fast-forwards from main
+  // (iceberg-arch-geo-distributed-ha.md's regional-branch commit flow).
+  // A branch here is a second commit log under _meta/branches/<name>/
+  // forked from a main version; data files and manifests are SHARED
+  // (branching is O(1) metadata, like Nessie), branch commits stage
+  // into the same table dir, and a fast-forward merge publishes the
+  // branch head back onto main iff main has not moved since the fork —
+  // the same conditional-commit contract as commitReplace.
+
+  private val BranchName = "[A-Za-z0-9._-]{1,64}".r
+  private def branchDir(ns: String, name: String, branch: String): Path =
+    metaDir(ns, name).resolve("branches").resolve(branch)
+  private def branchVersionFile(ns: String, name: String, branch: String, seq: Long): Path =
+    branchDir(ns, name, branch).resolve(f"v$seq%06d.json")
+  private def branchRefFile(ns: String, name: String, branch: String): Path =
+    branchDir(ns, name, branch).resolve("ref.json")
+
+  private def requireBranchName(branch: String): Unit =
+    require(BranchName.matches(branch), s"invalid branch name: '$branch'")
+
+  /** Fork `branch` at main version `atSeq` (default: current head).
+    * Create-if-absent on the ref file: a concurrent create of the same
+    * name loses loudly. O(1) — no data or manifest copies. */
+  def createBranch(ns: String, name: String, branch: String,
+                   atSeq: Option[Long] = None): Unit = {
+    requireBranchName(branch)
+    val fork = atSeq match {
+      case Some(sq) => snapshots(ns, name).find(_.seq == sq).getOrElse(
+        throw new IllegalArgumentException(s"no version $sq in $ns.$name"))
+      case None => latest(ns, name).getOrElse(
+        throw new IllegalStateException(s"cannot branch empty table $ns.$name"))
+    }
+    Files.createDirectories(branchDir(ns, name, branch))
+    val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp,
+      s"""{"forkSeq":${fork.seq},"forkCommitId":${q(fork.commitId)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(branchRefFile(ns, name, branch), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(s"branch '$branch' already exists on $ns.$name")
+    }
+    Files.deleteIfExists(tmp): Unit
+  }
+
+  def listBranches(ns: String, name: String): Seq[String] = {
+    val bd = metaDir(ns, name).resolve("branches")
+    if (!Files.isDirectory(bd)) Seq.empty
+    else listDir(bd).filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
+  }
+
+  def branchExists(ns: String, name: String, branch: String): Boolean =
+    Files.exists(branchRefFile(ns, name, branch))
+
+  /** (forkSeq, forkCommitId) recorded at branch creation. */
+  def branchFork(ns: String, name: String, branch: String): (Long, String) = {
+    val rf = branchRefFile(ns, name, branch)
+    require(Files.exists(rf), s"no branch '$branch' on $ns.$name")
+    val n = jsonMapper.readTree(new String(Files.readAllBytes(rf), StandardCharsets.UTF_8))
+    (n.get("forkSeq").asLong(), n.get("forkCommitId").asText())
+  }
+
+  /** Branch-local commits ordered by seq (numbering continues from the
+    * fork seq, so a branch head's seq is comparable to main's). */
+  def branchSnapshots(ns: String, name: String, branch: String): Seq[Snapshot] = {
+    val bd = branchDir(ns, name, branch)
+    if (!Files.isDirectory(bd)) return Seq.empty
+    listDir(bd)
+      .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+      .map(p => snapshotCache.computeIfAbsent(p.toAbsolutePath, ap =>
+        parseJson(new String(Files.readAllBytes(ap), StandardCharsets.UTF_8))))
+      .sortBy(_.seq)
+  }
+
+  /** The branch's current snapshot: its last own commit, or the fork
+    * point's main snapshot when the branch has no commits yet. */
+  def branchHead(ns: String, name: String, branch: String): Snapshot = {
+    val (forkSeq, forkCommitId) = branchFork(ns, name, branch)
+    branchSnapshots(ns, name, branch).lastOption.getOrElse {
+      snapshots(ns, name).find(_.seq == forkSeq).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$branch' fork v$forkSeq ($forkCommitId) expired from $ns.$name"))
+    }
+  }
+
+  /** C3 on a branch: append `df` as a new branch version — same staging,
+    * stats, manifest and CAS machinery as [[commitAppend]], landing on
+    * the branch log. Main is never touched. */
+  def commitAppendToBranch(ns: String, name: String, branch: String, df: DataFrame,
+                           sourceRegion: String = "local", maxRetries: Int = 5,
+                           commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    val dup = () => commitId
+      .flatMap(id => branchSnapshots(ns, name, branch).find(_.commitId == id))
+      .foreach { prior =>
+        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+      }
+    dup()
+    validatedSchemaJson(Some(branchHead(ns, name, branch)), df.schema)
+    val entries = stageDataFiles(ns, name, df)
+    var staged: Seq[String] = Seq.empty
+    try {
+      val newManifest =
+        if (entries.isEmpty) None
+        else Some(writeManifest(ns, name, entries,
+          stagedFileStats(ns, name, entries, df.schema)))
+      staged = newManifest.toSeq
+      casCommitAt(ns, name, maxRetries,
+          () => Some(branchHead(ns, name, branch)),
+          branchVersionFile(ns, name, branch, _)) { parent =>
+        dup()
+        val p = parent.get // branchHead is total — fork or newer
+        Snapshot(
+          p.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(p.commitId),
+          System.currentTimeMillis(),
+          p.manifests ++ newManifest,
+          sourceRegion,
+          p.fileCount + entries.size,
+          p.totalBytes + entries.map(_._2).sum,
+          Some(validatedSchemaJson(Some(p), df.schema)))
+      }
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, staged); throw e
+    }
+  }
+
+  /** Read the branch head (manifest union of the fork point plus every
+    * branch commit — shared immutable files, no copies). */
+  def readBranch(ns: String, name: String, branch: String): DataFrame =
+    readSnapshot(ns, name, branchHead(ns, name, branch))
+
+  /** Fast-forward merge: publish the branch head back onto main as one
+    * commit, iff main still sits at the branch's fork version — checked
+    * INSIDE the CAS closure, so a concurrent main commit aborts the
+    * merge (MergeConflictException) instead of silently dropping it.
+    * The branch head's manifest list already extends the fork point's,
+    * so adopting it wholesale is exactly main ∪ branch-added. */
+  def fastForwardMerge(ns: String, name: String, branch: String,
+                       maxRetries: Int = 5): Snapshot = {
+    val (forkSeq, _) = branchFork(ns, name, branch)
+    val head = branchHead(ns, name, branch)
+    casCommit(ns, name, maxRetries) { parent =>
+      val cur = parent.map(_.seq).getOrElse(-1L)
+      if (cur != forkSeq) throw new GraftCatalog.MergeConflictException(
+        s"main of $ns.$name moved to v$cur since branch '$branch' forked at v$forkSeq")
+      Snapshot(
+        cur + 1,
+        s"merge-${UUID.randomUUID()}",
+        parent.map(_.commitId),
+        System.currentTimeMillis(),
+        head.manifests,
+        head.sourceRegion,
+        head.fileCount,
+        head.totalBytes,
+        head.schemaJson.orElse(parent.flatMap(_.schemaJson)))
+    }
+  }
+
+  /** Delete the branch ref and its log. Branch-only data files become
+    * unreachable (no main version references them) and are reclaimed by
+    * the orphan sweep, exactly like files of expired versions. */
+  def dropBranch(ns: String, name: String, branch: String): Unit = {
+    requireBranchName(branch)
+    val bd = branchDir(ns, name, branch)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
+      Files.deleteIfExists(p): Unit
+    }
+    rm(bd)
+  }
 
   // ---- visibility (C13: shadow→visible promotion) ----
   // Replica-side commits land as SHADOW versions; readers that ask for the
@@ -857,4 +1042,8 @@ object GraftCatalog {
     * was a replay; `seq` is the version the original commit created. */
   final class DuplicateCommitException(val commitId: String, val seq: Long)
     extends RuntimeException(s"commit $commitId already applied as v$seq")
+
+  /** Main advanced past a branch's fork point, so a fast-forward merge
+    * cannot publish the branch head without dropping main commits. */
+  final class MergeConflictException(msg: String) extends RuntimeException(msg)
 }

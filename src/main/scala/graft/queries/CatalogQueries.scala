@@ -44,6 +44,17 @@ object CatalogQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .repartitionByRange(16,
           graft.functions.PqFunctions.zorder2(col("o_orderkey"), col("o_custkey"))))
+      // branch dance, run once: main v0 (keys ≡0 mod 5) → fork "dev" →
+      // one branch commit (keys ≡1) → fast-forward merge back onto main.
+      // The query then reads all three refs (main v0, branch head, merged
+      // main head) purely — repeated query runs never re-mutate the log.
+      cat.createTable("q", "branched")
+      cat.commitAppend("q", "branched", orders.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.createBranch("q", "branched", "dev")
+      cat.commitAppendToBranch("q", "branched", "dev", orders
+        .filter(col("o_orderkey") % 5 === 1).select("o_orderkey", "o_totalprice"))
+      cat.fastForwardMerge("q", "branched", "dev")
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -120,7 +131,30 @@ object CatalogQueries {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_custkey")).as("max_cust"))
 
+  /** Branch lifecycle on the real log (Nessie-style refs — the
+    * reference's main_replica_<region> model): main's pre-fork version
+    * is untouched by branch commits (isolation), the branch head sees
+    * fork + branch data, and the fast-forward merge publishes exactly
+    * the branch head back onto main. All three reads are pure; the
+    * fixture ran the dance once. */
+  private def branchMerge: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.readVersion("q", "branched", 0), "1_main_pre_merge")
+      .unionByName(agg(cat.readBranch("q", "branched", "dev"), "2_branch_head"))
+      .unionByName(agg(cat.read("q", "branched"), "3_main_post_merge"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_branch_merge"     -> branchMerge,
     "cat_pruned_read"      -> prunedRead,
     "cat_zorder_read"      -> zorderRead,
     "cat_schema_evolution" -> schemaEvolution,
@@ -130,6 +164,20 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_branch_merge" ->
+      """WITH m0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
+              b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1)),
+              s1 AS (SELECT '1_main_pre_merge' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM m0),
+              s2 AS (SELECT '2_branch_head' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM b),
+              s3 AS (SELECT '3_main_post_merge' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM b)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         ORDER BY stage""",
     "cat_pruned_read" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

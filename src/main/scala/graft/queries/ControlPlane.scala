@@ -414,6 +414,23 @@ object ControlPlane {
       .select(col("event_type"), col("exact_users"), col("approx_users"))
       .orderBy(col("event_type"))
 
+  /** In-engine verifier for the count-min sketch path: per-event-type
+    * CMS estimates vs exact counts, emitting any key the sketch
+    * UNDERcounts — provably none (every cell counts a superset of its
+    * key's occurrences), so the oracle is the typed empty set. At 100 TB
+    * the sketch is the operator (fixed d·w memory, mergeable); the exact
+    * side is its verifier, same split as slo_hll_check. */
+  private def sloCmsCheck: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+    val sketch = graft.pipeline.Sketches.cmsBuild(ev, "event_type")
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+    graft.pipeline.Sketches.cmsEstimate(sketch, exact.select("event_type"), "event_type")
+      .join(exact, "event_type")
+      .filter(col("cms_estimate") < col("exact_count"))
+      .select(col("event_type"), col("exact_count"), col("cms_estimate"))
+      .orderBy(col("event_type"))
+  }
+
   /** E6 SLO lag percentiles (exact interpolated percentile — the
     * approx_percentile path is the 100 TB variant, not oracle-checkable). */
   private def sloPercentiles: Q = (s, d) =>
@@ -462,6 +479,7 @@ object ControlPlane {
     "gc_compaction_plan"     -> compactionPlan,
     "slo_approx"             -> sloApprox,
     "slo_hll_check"          -> sloHllCheck,
+    "slo_cms_check"          -> sloCmsCheck,
   )
 
   // ---- oracle SQL (DuckDB) ----
@@ -744,5 +762,12 @@ object ControlPlane {
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
                 CAST(NULL AS BIGINT) AS exact_users,
                 CAST(NULL AS BIGINT) AS approx_users WHERE 1 = 0""",
+    // CMS never undercounts — a theorem about the sketch, not a
+    // tolerance — so the oracle is the typed empty set (the
+    // slo_hll_check / dedup_simhash_exact_diff pattern)
+    "slo_cms_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS BIGINT) AS exact_count,
+                CAST(NULL AS BIGINT) AS cms_estimate WHERE 1 = 0""",
   )
 }

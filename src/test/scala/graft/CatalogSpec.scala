@@ -355,6 +355,67 @@ class CatalogSpec extends SparkSpec {
       === snaps.last.fileCount - snaps(batches / 2).fileCount)
   }
 
+  test("branches: isolation, fast-forward merge, conflict detection, idempotent branch commits") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.createBranch("ns", "t", "dev")
+    assert(cat.listBranches("ns", "t") === Seq("dev"))
+    intercept[IllegalStateException](cat.createBranch("ns", "t", "dev"))
+    intercept[IllegalArgumentException](cat.createBranch("ns", "t", "../evil"))
+
+    // branch commit: main untouched, branch sees fork + new rows
+    cat.commitAppendToBranch("ns", "t", "dev", Seq((3L, "c")).toDF("id", "v"),
+      commitId = Some("dev-b1"))
+    assert(cat.read("ns", "t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(cat.readBranch("ns", "t", "dev").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // replayed branch commit is rejected, not re-applied
+    intercept[GraftCatalog.DuplicateCommitException](
+      cat.commitAppendToBranch("ns", "t", "dev", Seq((9L, "x")).toDF("id", "v"),
+        commitId = Some("dev-b1")))
+
+    // fast-forward merge: main adopts the branch head as one commit
+    val merged = cat.fastForwardMerge("ns", "t", "dev")
+    assert(merged.seq === 1L)
+    assert(cat.read("ns", "t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // a branch forked before an unrelated main commit can no longer
+    // fast-forward (main moved) — conflict, loudly
+    cat.createBranch("ns", "t", "stale")
+    cat.commitAppend("ns", "t", Seq((4L, "d")).toDF("id", "v"))
+    cat.commitAppendToBranch("ns", "t", "stale", Seq((5L, "e")).toDF("id", "v"))
+    intercept[GraftCatalog.MergeConflictException](
+      cat.fastForwardMerge("ns", "t", "stale"))
+    // main kept its own commit; the failed merge published nothing
+    assert(cat.read("ns", "t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    cat.dropBranch("ns", "t", "stale")
+    assert(cat.listBranches("ns", "t") === Seq("dev"))
+  }
+
+  test("branch schema evolution rides through the merge; fork survives main expiry checks") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a")).toDF("id", "v"))
+    cat.createBranch("ns", "t", "feat")
+    // additive column on the branch only
+    cat.commitAppendToBranch("ns", "t", "feat",
+      Seq((2L, "b", 7.5)).toDF("id", "v", "score"))
+    assert(!cat.read("ns", "t").columns.contains("score"))
+    val branchRows = cat.readBranch("ns", "t", "feat")
+      .select("id", "v", "score").as[(Long, String, Option[Double])].collect().toSet
+    assert(branchRows === Set((1L, "a", None), (2L, "b", Some(7.5))))
+    cat.fastForwardMerge("ns", "t", "feat")
+    // merged main carries the evolved schema; old file projects null
+    val mainRows = cat.read("ns", "t")
+      .select("id", "v", "score").as[(Long, String, Option[Double])].collect().toSet
+    assert(mainRows === branchRows)
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

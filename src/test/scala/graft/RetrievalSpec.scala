@@ -256,4 +256,26 @@ class RetrievalSpec extends SparkSpec {
     val violations = SparkEntry.queries("slo_hll_check")(spark, sf()).count()
     assert(violations === 0L)
   }
+
+  // ---------------- count-min sketch ----------------
+
+  test("CMS: estimates are exact at low load, never undercount, and unseen keys read 0") {
+    import graft.pipeline.Sketches
+    val rows = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = rows.toDF("k")
+    val sketch = Sketches.cmsBuild(df, "k", depth = 4, width = 1024)
+    // sketch is bounded: at most depth*width cells, exactly depth*distinct here
+    assert(sketch.count() <= 4L * 1024)
+    val probes = Seq("alpha", "beta", "gamma", "never_seen").toDF("k")
+    val est = Sketches.cmsEstimate(sketch, probes, "k", depth = 4, width = 1024)
+      .as[(String, Long)].collect().toMap
+    // 3 keys in 1024 buckets: no full-depth collision, so estimates are exact
+    assert(est("alpha") === 7L && est("beta") === 3L && est("gamma") === 1L)
+    assert(est("never_seen") === 0L)
+  }
+
+  test("CMS never undercounts on the events table (the slo_cms_check contract)") {
+    val violations = SparkEntry.queries("slo_cms_check")(spark, sf()).count()
+    assert(violations === 0L)
+  }
 }

@@ -546,10 +546,15 @@ object Dedup {
     * Scale shape: candidates come from the gram equi-join (per-key
     * fan-out bounded by maxDf²); sizes are one aggregate joined back;
     * the intersection count IS the pair aggregate — no per-pair set
-    * materialization, no cartesian. Output: (id_a, id_b, inter, size_a,
-    * size_b, overlap) with id_a < id_b, overlap rounded to 4. */
+    * materialization, no cartesian. Choose `n` so typical gram df stays
+    * small (the candidate stage is Σ df² over grams): on a
+    * narrow-vocabulary corpus bigrams can carry df in the hundreds and
+    * the join fans out quadratically, while trigrams keep df near 1 —
+    * same reason exactSubstringPairs anchors on LONG grams. Output:
+    * (id_a, id_b, inter, size_a, size_b, overlap) with id_a < id_b,
+    * overlap rounded to 4. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 2, threshold: Double = 0.6,
+                       n: Int = 3, threshold: Double = 0.6,
                        maxDf: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxDf >= 2, s"maxDf must be >= 2 to ever emit a pair: $maxDf")

@@ -398,13 +398,15 @@ object Pipeline {
   }
 
   /** Containment (overlap-coefficient) near-dup pairs over distinct
-    * word bigrams: catches a short document quoted (nearly) whole inside
-    * a longer one, where symmetric Jaccard stays below any dedup
+    * word trigrams: catches a short document quoted (nearly) whole
+    * inside a longer one, where symmetric Jaccard stays below any dedup
     * threshold. Candidates come from the gram equi-join with the maxDf
-    * boilerplate cut — no cartesian. */
+    * boilerplate cut — no cartesian. Trigrams, not bigrams: candidate
+    * cost is Σ df² over grams, and on this narrow-vocabulary corpus
+    * bigram df runs in the hundreds while trigram df stays ~1. */
   private def dedupContainmentPairs: Q = (s, d) =>
     Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 2, threshold = 0.6, maxDf = 1000)
+        n = 3, threshold = 0.6, maxDf = 1000)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Leakage-safe train/val/test split: near-dup clusters (connected
@@ -1635,8 +1637,9 @@ object Pipeline {
     "dedup_containment_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks),
-              g2 AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER dw AS gram,
-                            lead(tok, 1) OVER dw AS ok
+              g2 AS (SELECT doc_id,
+                            tok || ' ' || lead(tok, 1) OVER dw || ' ' || lead(tok, 2) OVER dw AS gram,
+                            lead(tok, 2) OVER dw AS ok
                      FROM w WINDOW dw AS (PARTITION BY doc_id ORDER BY ord)),
               d AS (SELECT DISTINCT doc_id, gram FROM g2 WHERE ok IS NOT NULL),
               df AS (SELECT gram, count(*) AS df FROM d GROUP BY 1),

@@ -196,20 +196,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val ManifestSchema = "path STRING, size_bytes LONG"
 
   /** One manifest row: a data file plus optional per-column min/max
-    * (Iceberg's lower_bounds/upper_bounds, the scan-pruning substrate).
-    * Bounds are the column value cast to string — lexicographically
-    * ordered for dates/timestamps/booleans/strings; numeric columns are
-    * re-parsed before comparison (string order breaks on negatives). */
+    * (Iceberg's lower_bounds/upper_bounds, the scan-pruning substrate)
+    * and optional per-column Bloom filters (base64 bitsets — Iceberg
+    * puffin-style secondary stats for POINT-lookup pruning where min/max
+    * is useless, i.e. hash-distributed high-cardinality keys). Bounds
+    * are the column value cast to string — lexicographically ordered for
+    * dates/booleans/strings; numeric columns are re-parsed before
+    * comparison (string order breaks on negatives). */
   private[graft] case class ManifestEntry(path: String, sizeBytes: Long,
-                                          stats: Map[String, (String, String)])
+                                          stats: Map[String, (String, String)],
+                                          blooms: Map[String, String] = Map.empty)
 
   /** Write one immutable manifest holding `entries` (relative path, size,
-    * optional column bounds). JSON-lines: row-based like Iceberg's Avro
-    * manifests, readable distributed by Spark and in one pass by the
-    * driver planner. */
+    * optional column bounds and blooms). JSON-lines: row-based like
+    * Iceberg's Avro manifests, readable distributed by Spark and in one
+    * pass by the driver planner. */
   private def writeManifest(ns: String, name: String,
                             entries: Seq[(String, Long)],
-                            stats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
+                            stats: Map[String, Map[String, (String, String)]] = Map.empty,
+                            blooms: Map[String, Map[String, String]] = Map.empty): String = {
     val rel = s"_meta/manifests/m-${UUID.randomUUID()}.jsonl"
     val body = entries.map { case (p, sz) =>
       val st = stats.getOrElse(p, Map.empty)
@@ -218,7 +223,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         else st.toSeq.sortBy(_._1)
           .map { case (c, (mn, mx)) => s"${q(c)}:[${q(mn)},${q(mx)}]" }
           .mkString(""","stats":{""", ",", "}")
-      s"""{"path":${q(p)},"size_bytes":$sz$statsJson}"""
+      val bl = blooms.getOrElse(p, Map.empty)
+      val bloomJson =
+        if (bl.isEmpty) ""
+        else bl.toSeq.sortBy(_._1)
+          .map { case (c, b64) => s"${q(c)}:${q(b64)}" }
+          .mkString(""","blooms":{""", ",", "}")
+      s"""{"path":${q(p)},"size_bytes":$sz$statsJson$bloomJson}"""
     }.mkString("", "\n", "\n")
     val tmp = manifestDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -261,7 +272,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               .map(k => k -> (sn.get(k).get(0).asText(), sn.get(k).get(1).asText()))
               .toMap
           }.getOrElse(Map.empty[String, (String, String)])
-          ManifestEntry(n.get("path").asText(), n.get("size_bytes").asLong(), stats)
+          val blooms = Option(n.get("blooms")).map { bn =>
+            bn.fieldNames().asScala.map(k => k -> bn.get(k).asText()).toMap
+          }.getOrElse(Map.empty[String, String])
+          ManifestEntry(n.get("path").asText(), n.get("size_bytes").asLong(), stats, blooms)
         }.toSeq)
 
   private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
@@ -360,6 +374,41 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }.toMap
   }
 
+  /** Per-file Bloom filters for `bloomCols` over a freshly-staged batch —
+    * one distributed job per column: the k bit positions are a codegen'd
+    * projection, exploded and collapsed to ≤ BloomBits distinct ints per
+    * file by collect_set (bounded however many rows the file has), then
+    * packed into a base64 bitset on the driver. Membership is over the
+    * column's CAST-TO-STRING form (type-stable across engines/sessions;
+    * pruning only — the residual filter keeps reads exact). */
+  private def stagedFileBlooms(ns: String, name: String,
+                               entries: Seq[(String, Long)],
+                               schema: StructType,
+                               bloomCols: Seq[String]): Map[String, Map[String, String]] = {
+    val cols = bloomCols.filter(c => schema.fieldNames.contains(c))
+    if (cols.isEmpty || entries.isEmpty) return Map.empty
+    val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
+    val df = spark.read.schema(schema)
+      .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
+    val m = GraftCatalog.BloomBits
+    cols.flatMap { c =>
+      val positions = array((0 until GraftCatalog.BloomHashes).map(i =>
+        pmod(xxhash64(lit(i), col(c).cast("string")), lit(m.toLong)).cast("int")): _*)
+      df.select(input_file_name().as("__f"), explode(positions).as("__p"))
+        .groupBy(col("__f")).agg(collect_set(col("__p")).as("bits"))
+        .collect()
+        .flatMap { r =>
+          byBase.get(r.getString(0).split('/').last).map { rel =>
+            val bytes = new Array[Byte](m / 8)
+            r.getSeq[Int](1).foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
+            (rel, c, java.util.Base64.getEncoder.encodeToString(bytes))
+          }
+        }
+    }.groupBy(_._1).map { case (rel, xs) =>
+      rel -> xs.map(x => x._2 -> x._3).toMap
+    }
+  }
+
   /** Remove staged artifacts of an ABORTED commit attempt (conditional
     * replace lost its race, or CAS retries exhausted): without this the
     * staged data files and manifest are referenced by no version and
@@ -429,7 +478,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * any data is staged). */
   def commitAppend(ns: String, name: String, df: DataFrame,
                    sourceRegion: String = "local", maxRetries: Int = 5,
-                   commitId: Option[String] = None): Snapshot = {
+                   commitId: Option[String] = None,
+                   bloomCols: Seq[String] = Seq.empty): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     // idempotence fast path: a caller-supplied commitId that already
     // committed (streaming batch replay, retried RPC) must not re-append
@@ -448,7 +498,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val newManifest =
         if (entries.isEmpty) None
         else Some(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, df.schema)))
+          stagedFileStats(ns, name, entries, df.schema),
+          stagedFileBlooms(ns, name, entries, df.schema, bloomCols)))
       staged = newManifest.toSeq
       casCommit(ns, name, maxRetries) { parent =>
         // re-check inside the CAS closure: a concurrent duplicate that won
@@ -897,6 +948,48 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     residual.map(df.filter).getOrElse(df)
   }
 
+  /** Bloom- AND stats-pruned POINT lookup: `column = value`. Min/max
+    * prunes when the data is clustered by the column; the per-file Bloom
+    * (recorded by commitAppend(bloomCols = ...)) prunes when it is NOT —
+    * hash-distributed unique keys leave every file's [min, max] covering
+    * the probe, while the Bloom rejects every file but the (expected
+    * ~1 + fp·n) actually holding the key. Files without a bloom for the
+    * column are always read; the residual equality filter keeps the
+    * result exact either way. */
+  def readWhereEquals(ns: String, name: String, column: String, value: String): DataFrame = {
+    val snap = latest(ns, name).getOrElse(return spark.emptyDataFrame)
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+    val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
+    val positions = GraftCatalog.bloomPositions(value)
+    val entries = snap.manifests.flatMap(manifestEntriesFull(ns, name, _))
+    val kept = entries.filter { e =>
+      val boundsOk = e.stats.get(column) match {
+        case Some((mn, mx)) =>
+          def lt(a: String, b: String): Boolean =
+            if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+          try !lt(value, mn) && !lt(mx, value)
+          catch { case _: NumberFormatException => true }
+        case None => true
+      }
+      def bloomOk = e.blooms.get(column) match {
+        case Some(b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          positions.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+        case None => true
+      }
+      boundsOk && bloomOk
+    }
+    if (kept.isEmpty) {
+      return schema.map(st => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+        .getOrElse(spark.emptyDataFrame)
+    }
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
+    df.filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value)))
+  }
+
   /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */
   def readVersion(ns: String, name: String, seq: Long): DataFrame = {
     val snap = snapshots(ns, name).find(_.seq == seq)
@@ -1046,4 +1139,24 @@ object GraftCatalog {
   /** Main advanced past a branch's fork point, so a fast-forward merge
     * cannot publish the branch head without dropping main commits. */
   final class MergeConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Per-file Bloom sizing: 16384 bits (2 KB base64 per file per column)
+    * at 4 hashes holds ~1500 distinct values under 1% false positives;
+    * larger files saturate gracefully (more candidate reads, never a
+    * wrong result). */
+  private[catalog] val BloomBits = 16384
+  private[catalog] val BloomHashes = 4
+
+  /** The k bit positions of a probe value — EXACTLY the arithmetic the
+    * build side runs as a Spark projection: pmod(xxhash64(i, value),
+    * BloomBits) with xxhash64's default seed, evaluated here on the
+    * driver via the same Catalyst expression. */
+  private[catalog] def bloomPositions(value: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until BloomHashes).map { i =>
+      val h = XxHash64(Seq(Literal(i), Literal(value)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+  }
 }

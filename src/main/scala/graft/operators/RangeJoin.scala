@@ -38,4 +38,32 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join: all (left, right) row pairs with
+    * `lLo <= rHi AND rLo <= lHi` — the two-sided generalization of
+    * [[pointsInIntervals]], same bucket quantization, still no cartesian.
+    *
+    * Both sides explode onto their covering buckets; a pair overlapping
+    * across several shared buckets would match in each of them, so the
+    * pair is emitted only in its RESPONSIBLE bucket — the one containing
+    * max(lLo, rLo), the overlap's left edge, which both fragments cover
+    * by construction. Exactly-once emission is a cheap per-row condition,
+    * never a distinct() shuffle over the match set.
+    *
+    * Column names must be disjoint across the two inputs (rename before
+    * joining, as with every join here). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lLo: String, lHi: String, rLo: String, rHi: String,
+                          bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def frag(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+                         floor(col(hi) / bucketWidth).cast("long"))))
+    frag(left, lLo, lHi).join(frag(right, rLo, rHi), Seq("__bucket"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long")
+        === col("__bucket"))
+      .drop("__bucket")
+  }
 }

@@ -55,6 +55,12 @@ object CatalogQueries {
       cat.commitAppendToBranch("q", "branched", "dev", orders
         .filter(col("o_orderkey") % 5 === 1).select("o_orderkey", "o_totalprice"))
       cat.fastForwardMerge("q", "branched", "dev")
+      // hash-distributed layout + per-file key blooms: the point-lookup
+      // pruning case where min/max stats are useless
+      cat.createTable("q", "bloomed")
+      cat.commitAppend("q", "bloomed", orders
+        .select("o_orderkey", "o_totalprice").repartition(10),
+        bloomCols = Seq("o_orderkey"))
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -153,8 +159,23 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  /** Bloom-pruned point lookup on the hash-distributed fixture: the
+    * probe key is the table's min order key (a driver scalar both
+    * engines derive identically); CatalogSpec asserts the file-count
+    * reduction, this oracle proves the pruned read returns exactly the
+    * full-scan answer. */
+  private def bloomRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val key = Tables.orders(s, d).agg(min(col("o_orderkey"))).head().getLong(0)
+    cat.readWhereEquals("q", "bloomed", "o_orderkey", key.toString)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("key"))
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_branch_merge"     -> branchMerge,
+    "cat_bloom_read"       -> bloomRead,
     "cat_pruned_read"      -> prunedRead,
     "cat_zorder_read"      -> zorderRead,
     "cat_schema_evolution" -> schemaEvolution,
@@ -164,6 +185,11 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_bloom_read" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS key
+         FROM orders
+         WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
     "cat_branch_merge" ->
       """WITH m0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
               b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1)),

@@ -762,7 +762,53 @@ object Relational {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Interval×interval overlap join through the bucketed equi-join
+    * (RangeJoin.intervalOverlapJoin): purchase value-bands [v, v+2]
+    * against click value-bands [v, v+1] — no BroadcastNestedLoop, and
+    * each overlapping pair emits exactly once via the responsible-bucket
+    * condition (no distinct over the match set). */
+  private def intervalOverlapJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).filter(col("user_id") < 30)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("value").as("p_lo"),
+        (col("value") + 2).as("p_hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("value").as("c_lo"),
+        (col("value") + 1).as("c_hi"))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+        purchases, clicks, "p_lo", "p_hi", "c_lo", "c_hi", bucketWidth = 2.0)
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Per-type hourly volume anomalies: hours whose event count sits
+    * 2.5+ population-σ from the type's mean. Mean/variance come from
+    * exact integer sums (Σcnt, Σcnt²), so both engines evaluate the
+    * identical IEEE expression — no stddev aggregate numerics to
+    * reconcile. Stats are |types| rows, broadcast back into the hourly
+    * table; one shuffle for the hourly aggregate. */
+  private def anomalyZscore: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n_hours"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n_hours") - col("mean") * col("mean"))
+      .filter(col("variance") > 0)
+      .select(col("event_type"), col("mean"), sqrt(col("variance")).as("sigma"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("cnt").cast("double") - col("mean")) / col("sigma"), 4))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_type"), col("hour"), col("cnt"), col("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_interval_join"       -> intervalOverlapJoin,
+    "rel_anomaly_zscore"      -> anomalyZscore,
     "rel_asof_join"           -> asofLastPurchase,
     "rel_asof_join_exec"      -> asofLastPurchaseExec,
     "rel_asof_tolerance"      -> asofTolerance,
@@ -838,6 +884,34 @@ object Relational {
                 p.purchase_value AS asof_purchase_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY c.event_id""",
+    "rel_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, value AS p_lo, value + 2 AS p_hi
+                    FROM events WHERE event_type = 'purchase' AND user_id < 30),
+              c AS (SELECT event_id AS click_id, value AS c_lo, value + 1 AS c_hi
+                    FROM events WHERE event_type = 'click' AND user_id < 30)
+         SELECT purchase_id, click_id
+         FROM p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi
+         ORDER BY purchase_id, click_id""",
+    "rel_anomaly_zscore" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                                count(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+              stats AS (SELECT event_type, count(*) AS n_hours,
+                               sum(cnt) AS s1, sum(cnt * cnt) AS s2
+                        FROM hourly GROUP BY 1),
+              sd AS (SELECT event_type,
+                            CAST(s1 AS DOUBLE) / n_hours AS mean,
+                            CAST(s2 AS DOUBLE) / n_hours
+                              - (CAST(s1 AS DOUBLE) / n_hours) * (CAST(s1 AS DOUBLE) / n_hours)
+                              AS variance
+                     FROM stats),
+              sg AS (SELECT event_type, mean, sqrt(variance) AS sigma
+                     FROM sd WHERE variance > 0)
+         SELECT h.event_type, CAST(h.hour AS TIMESTAMP) AS hour, h.cnt,
+                round((CAST(h.cnt AS DOUBLE) - sg.mean) / sg.sigma, 4) AS z
+         FROM hourly h JOIN sg USING (event_type)
+         WHERE abs(round((CAST(h.cnt AS DOUBLE) - sg.mean) / sg.sigma, 4)) >= 2.5
+         ORDER BY h.event_type, hour""",
     "rel_asof_tolerance" ->
       """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                     FROM events WHERE event_type = 'click'),

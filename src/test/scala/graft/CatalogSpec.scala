@@ -355,6 +355,42 @@ class CatalogSpec extends SparkSpec {
       === snaps.last.fileCount - snaps(batches / 2).fileCount)
   }
 
+  test("per-file blooms prune point lookups on hash-distributed keys where min/max cannot") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    val df = (0L until 2000L).map(i => (i, s"row$i")).toDF("id", "payload").repartition(10)
+    cat.commitAppend("ns", "t", df, bloomCols = Seq("id"))
+    val all = cat.read("ns", "t").inputFiles.length
+    assert(all === 10)
+    // hash-distributed keys: every file's [min, max] covers the probe, so
+    // range pruning reads everything — exactly the case blooms exist for
+    val ranged = cat.readWhere("ns", "t", "id", Some("777"), Some("777"))
+    assert(ranged.inputFiles.length === all)
+    val point = cat.readWhereEquals("ns", "t", "id", "777")
+    assert(point.inputFiles.length <= 2,
+      s"bloom failed to prune: ${point.inputFiles.length} of $all files")
+    assert(point.as[(Long, String)].collect().toSeq === Seq((777L, "row777")))
+    // an absent key prunes everywhere (no file's bloom can claim it) and
+    // still returns a correctly-typed empty result
+    val missing = cat.readWhereEquals("ns", "t", "id", "999999")
+    assert(missing.count() === 0L)
+    // a bloom-less commit (foreign files) is never pruned away
+    val weird = cat.tablePath("ns", "t").resolve("data/foreign.parquet")
+    Seq((999999L, "foreign")).toDF("id", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(weird.getParent.resolve("tmp-foreign").toString)
+    val part = listOf(weird.getParent.resolve("tmp-foreign"))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, weird)
+    cat.commitFiles("ns", "t", Seq("data/foreign.parquet"), "local")
+    assert(cat.readWhereEquals("ns", "t", "id", "999999")
+      .as[(Long, String)].collect().toSeq === Seq((999999L, "foreign")))
+  }
+
+  private def listOf(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   test("branches: isolation, fast-forward merge, conflict detection, idempotent branch commits") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -117,6 +117,25 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("interval overlap join equals the naive inequality join; multi-bucket overlaps emit once") {
+    val r = new scala.util.Random(13)
+    def ivals(n: Int, seedCol: String, maxW: Double) = (1 to n).map { i =>
+      val lo = r.nextDouble() * 100
+      (i.toLong, lo, lo + r.nextDouble() * maxW)
+    }.toDF(seedCol, "lo", "hi")
+    val a = ivals(200, "aid", 8.0).withColumnRenamed("lo", "a_lo").withColumnRenamed("hi", "a_hi")
+    val b = ivals(200, "bid", 3.0).withColumnRenamed("lo", "b_lo").withColumnRenamed("hi", "b_hi")
+    val got = RangeJoin.intervalOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 2.0) // buckets much narrower than intervals: overlaps span many
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === naive)
+    assert(got.size === got.toSet.size, "a pair emitted in more than one bucket")
+    assert(got.nonEmpty)
+  }
+
   // ---------------- curation ----------------
 
   private val docs = Seq(

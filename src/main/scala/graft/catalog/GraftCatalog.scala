@@ -815,6 +815,58 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // ---- tags (immutable named refs — Nessie tags) ----
+  // "training-run-17 read exactly this snapshot": a tag pins a version
+  // under a stable name, so downstream lineage records a ref, not a
+  // number. Create-if-absent like every ref here; tags never move.
+
+  private def tagFile(ns: String, name: String, tag: String): Path =
+    metaDir(ns, name).resolve("tags").resolve(s"$tag.json")
+
+  def createTag(ns: String, name: String, tag: String,
+                atSeq: Option[Long] = None): Unit = {
+    requireBranchName(tag)
+    val snap = atSeq match {
+      case Some(sq) => snapshots(ns, name).find(_.seq == sq).getOrElse(
+        throw new IllegalArgumentException(s"no version $sq in $ns.$name"))
+      case None => latest(ns, name).getOrElse(
+        throw new IllegalStateException(s"cannot tag empty table $ns.$name"))
+    }
+    Files.createDirectories(tagFile(ns, name, tag).getParent)
+    val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
+    Files.write(tmp, s"""{"seq":${snap.seq},"commitId":${q(snap.commitId)}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(tagFile(ns, name, tag), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(s"tag '$tag' already exists on $ns.$name")
+    }
+    Files.deleteIfExists(tmp): Unit
+  }
+
+  def listTags(ns: String, name: String): Seq[String] = {
+    val td = metaDir(ns, name).resolve("tags")
+    if (!Files.isDirectory(td)) Seq.empty
+    else listDir(td).map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).sorted
+  }
+
+  def tagSeq(ns: String, name: String, tag: String): Long = {
+    val tf = tagFile(ns, name, tag)
+    require(Files.exists(tf), s"no tag '$tag' on $ns.$name")
+    jsonMapper.readTree(new String(Files.readAllBytes(tf), StandardCharsets.UTF_8))
+      .get("seq").asLong()
+  }
+
+  /** `VERSION AS OF <tag>` — time travel through the named ref. */
+  def readTag(ns: String, name: String, tag: String): DataFrame =
+    readVersion(ns, name, tagSeq(ns, name, tag))
+
+  def dropTag(ns: String, name: String, tag: String): Unit = {
+    requireBranchName(tag)
+    Files.deleteIfExists(tagFile(ns, name, tag)): Unit
+  }
+
   /** Delete the branch ref and its log. Branch-only data files become
     * unreachable (no main version references them) and are reclaimed by
     * the orphan sweep, exactly like files of expired versions. */

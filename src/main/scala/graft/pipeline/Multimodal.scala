@@ -199,6 +199,41 @@ object Multimodal {
         octet_length(col("frame")).as("frame_len"), col("frame"))
   }
 
+  /** dHash-style perceptual fingerprint over the payload bytes
+    * (difference hash, public algorithm): sample 33 evenly-spaced bytes
+    * and pack each "next sampled byte > current" comparison into a
+    * 32-bit fingerprint. Re-encodes that shift absolute byte values but
+    * preserve their relative ordering (the brightness/gain analogy of
+    * real perceptual hashing) collide onto the same fingerprint, so a
+    * plain GROUP BY yields perceptual-dup clusters with NO pairwise
+    * stage at all — ONE wide codegen'd projection (33 byte extracts + 32
+    * compares, all integer arithmetic) and ONE hash aggregate. The
+    * sampling grid normalizes payload length the way image dHash
+    * normalizes resolution: same content at different sizes still lines
+    * up its comparisons.
+    *
+    * Returns (idCol, dhash: long). Payloads shorter than 2 bytes
+    * fingerprint to 0 (every comparison false). */
+  def dhashFingerprint(media: DataFrame, idCol: String = "doc_id",
+                       bytesCol: String = "media"): DataFrame = {
+    val bits = 32
+    val span = greatest(octet_length(col(bytesCol)) - 1, lit(0))
+    // 1-based sample positions, then byte values: hex→int is binary-safe
+    // (ascii() would mangle non-UTF8 payloads)
+    val withPos = (0 to bits).foldLeft(media) { (df, i) =>
+      df.withColumn(s"__pos_$i",
+        (floor(lit(i) * span / lit(bits.toDouble)) + 1).cast("int"))
+    }
+    val withBytes = (0 to bits).foldLeft(withPos) { (df, i) =>
+      df.withColumn(s"__b_$i",
+        conv(hex(expr(s"substring($bytesCol, __pos_$i, 1)")), 16, 10).cast("long"))
+    }
+    val fp = (0 until bits).map(i =>
+        when(col(s"__b_${i + 1}") > col(s"__b_$i"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withBytes.select(col(idCol), fp.as("dhash"))
+  }
+
   /** A byte-level media transform (resize/transcode); one instance per
     * partition, same plumbing contract as MediaDecoder. */
   trait MediaTransform extends Serializable {

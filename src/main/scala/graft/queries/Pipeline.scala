@@ -820,6 +820,15 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** 32-bit dHash perceptual fingerprint per payload: byte-order-
+    * preserving variants collide, so dup clustering is a plain GROUP BY
+    * on this column — no pairwise stage (PipelineSpec proves the
+    * collision behavior on planted re-encodes). The oracle replays every
+    * document's sampling grid and comparison bits exactly. */
+  private def mmDhash: Q = (s, d) =>
+    Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+
   /** REAL image decode: deterministic per-doc pixels → actual PNG encode
     * (javax.imageio) → actual PNG decode → dimensions + exact sample sum.
     * PNG is lossless, so the decoded samples equal the planted
@@ -904,6 +913,7 @@ object Pipeline {
     "ann_int8_topk"        -> annInt8TopK,
     "ann_drift"            -> annDrift,
     "mm_media_stats"       -> mmMediaStats,
+    "mm_dhash"             -> mmDhash,
     "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -1878,6 +1888,22 @@ object Pipeline {
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
                 CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
          FROM documents ORDER BY doc_id""",
+    "mm_dhash" ->
+      """WITH b AS (SELECT doc_id, text,
+                           greatest(octet_length(encode(text)) - 1, 0) AS sp
+                    FROM documents),
+              s AS (SELECT doc_id,
+                           list_transform(range(0, 33),
+                             i -> unicode(substr(text,
+                                    CAST(floor(i * sp / 32.0) AS INT) + 1, 1))) AS sb
+                    FROM b),
+              f AS (SELECT doc_id,
+                           CAST(list_aggregate(list_transform(range(0, 32),
+                             i -> CASE WHEN sb[CAST(i AS INT) + 2] > sb[CAST(i AS INT) + 1]
+                                       THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+                             'sum') AS BIGINT) AS dhash
+                    FROM s)
+         SELECT doc_id, dhash FROM f ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
                            CASE WHEN doc_id % 3 = 0 THEN 'image/png'

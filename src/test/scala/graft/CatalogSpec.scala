@@ -452,6 +452,24 @@ class CatalogSpec extends SparkSpec {
     assert(mainRows === branchRows)
   }
 
+  test("tags pin versions immutably and read through the named ref") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a")).toDF("id", "v"))
+    cat.createTag("ns", "t", "run-1")
+    cat.commitAppend("ns", "t", Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.listTags("ns", "t") === Seq("run-1"))
+    // the tag still reads v0 after main moved — that is the point
+    assert(cat.readTag("ns", "t", "run-1").as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    intercept[IllegalStateException](cat.createTag("ns", "t", "run-1"))
+    intercept[IllegalArgumentException](cat.createTag("ns", "t", "bad/../name"))
+    cat.createTag("ns", "t", "run-2")
+    assert(cat.readTag("ns", "t", "run-2").count() === 2L)
+    cat.dropTag("ns", "t", "run-1")
+    assert(cat.listTags("ns", "t") === Seq("run-2"))
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

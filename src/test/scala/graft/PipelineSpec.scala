@@ -624,6 +624,27 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.ImageIoDecoder.decode("not an image".getBytes).isEmpty)
   }
 
+  test("dhash: gain-shifted payloads collide, reordered ones differ, non-ASCII bytes safe") {
+    import graft.pipeline.Multimodal
+    def b(xs: Seq[Int]) = xs.map(_.toByte).toArray
+    val base = (0 until 64).map(i => (i * 37) % 200)   // values in [0, 200)
+    val media = Seq(
+      (0L, b(base)),
+      (1L, b(base.map(_ + 55))),             // gain shift, no wrap: same comparisons
+      (2L, b(base.reverse))                  // same bytes, different order
+    ).toDF("doc_id", "media")
+    val fp = Multimodal.dhashFingerprint(media).as[(Long, Long)].collect().toMap
+    assert(fp(0L) === fp(1L), "order-preserving gain shift must collide")
+    assert(fp(0L) !== fp(2L), "reversed payload must not collide")
+    // fingerprints are 32-bit non-negative longs
+    assert(fp.values.forall(v => v >= 0L && v <= 0xFFFFFFFFL))
+    // empty and 1-byte payloads fingerprint to 0 (no comparison can fire)
+    val tiny = Seq((7L, Array.empty[Byte]), (8L, Array[Byte](42)))
+      .toDF("doc_id", "media")
+    val tf = Multimodal.dhashFingerprint(tiny).as[(Long, Long)].collect().toMap
+    assert(tf(7L) === 0L && tf(8L) === 0L)
+  }
+
   test("frameSample slices exact byte windows; resize keeps every stride-th byte") {
     import graft.pipeline.Multimodal
     implicit val s: org.apache.spark.sql.SparkSession = spark

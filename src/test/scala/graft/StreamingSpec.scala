@@ -499,4 +499,43 @@ class StreamingSpec extends SparkSpec {
         "expired-batch replay must not re-append")
     } finally query.stop()
   }
+
+  test("CMS merges across micro-batches by cell-wise addition: streamed sketch == batch sketch") {
+    import graft.pipeline.Sketches
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // the standing heavy-hitter monitor: per micro-batch, sketch ONLY the
+    // batch (O(batch) work) and fold the ≤ d·w cells into the running
+    // sketch — cell-wise addition IS the CMS merge, which is why the
+    // shape works as a streaming aggregate at 100 TB (fixed-size state,
+    // no keyspace-sized shuffle anywhere)
+    val merged = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    val input = MemoryStream[String]
+    val query = input.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.cmsBuild(batch, "k", depth = 4, width = 256)
+          .collect().foreach { r =>
+            val key = (r.getInt(0), r.getLong(1).toInt)
+            merged(key) = merged.getOrElse(key, 0L) + r.getLong(2)
+          }
+      }.start()
+    try {
+      val b1 = Seq.fill(5)("alpha") ++ Seq.fill(2)("beta")
+      val b2 = Seq.fill(3)("alpha") ++ Seq("gamma")
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val batchSketch = Sketches.cmsBuild((b1 ++ b2).toDF("k"), "k", depth = 4, width = 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+      assert(merged.toMap === batchSketch,
+        "cell-wise merged micro-batch sketches must equal the one-shot sketch")
+      // and the merged estimates behave: exact here, never undercounting
+      val probeDf = Seq("alpha", "beta", "gamma", "absent").toDF("k")
+      val sketchDf = merged.toSeq.map { case ((r, b), c) => (r, b.toLong, c) }
+        .toDF("row_id", "bucket", "cnt")
+      val estimates = Sketches.cmsEstimate(sketchDf, probeDf, "k", depth = 4, width = 256)
+        .as[(String, Long)].collect().toMap
+      assert(estimates("alpha") === 8L && estimates("beta") === 2L
+        && estimates("gamma") === 1L && estimates("absent") === 0L)
+    } finally query.stop()
+  }
 }

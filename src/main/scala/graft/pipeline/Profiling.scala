@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Deequ-style single-pass column profiling — the data-quality report a
+  * pipeline runs on every ingest batch before admitting it: null
+  * fractions, exact distinct counts, ranges and means per column, all
+  * from ONE scan of the table.
+  *
+  * Scale shape: every statistic is an aggregate expression in a single
+  * groupBy-less agg — one job, one pass, map-side partial combine; the
+  * multiple exact countDistincts expand the aggregate (Spark's Expand:
+  * rows × profiled columns), which is the standard cost of exact
+  * multi-column distincts — swap in approx_count_distinct per column
+  * when profiling runs on the 100 TB raw tier rather than a batch.
+  * The result is |columns| rows — metadata-scale — reshaped from the
+  * one-row aggregate with a stack() projection, never a driver collect.
+  */
+object Profiling {
+
+  /** One row per profiled column:
+    * (column, n_rows, n_nulls, n_distinct, min_num, max_num, mean,
+    * min_str, max_str) — numeric stats null for string columns and vice
+    * versa. Numeric stats round to 4 (engine-portable). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    columns.foreach(c => require(types.contains(c), s"no such column: $c"))
+
+    val aggs = columns.flatMap { c =>
+      val numeric = types(c).isInstanceOf[NumericType]
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"),
+        (if (numeric) round(min(col(c)).cast("double"), 4) else lit(null).cast("double"))
+          .as(s"__minn_$c"),
+        (if (numeric) round(max(col(c)).cast("double"), 4) else lit(null).cast("double"))
+          .as(s"__maxn_$c"),
+        (if (numeric) round(avg(col(c)), 4) else lit(null).cast("double"))
+          .as(s"__mean_$c"),
+        (if (numeric) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"__mins_$c"),
+        (if (numeric) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"__maxs_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.map { c =>
+      s"'$c', __rows_$c, __nulls_$c, __distinct_$c, __minn_$c, __maxn_$c, __mean_$c, __mins_$c, __maxs_$c"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${columns.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, mean, min_str, max_str)")
+  }
+
+  /** Drift report between two profiles of the SAME columns (yesterday's
+    * batch vs today's): per column, the null-fraction delta, the
+    * distinct-count ratio and the mean delta — the alert thresholds a
+    * data-quality monitor pages on. Joins two |columns|-row profiles —
+    * metadata-scale regardless of table size. */
+  def profileDrift(ref: DataFrame, cur: DataFrame, columns: Seq[String]): DataFrame = {
+    val a = profile(ref, columns).select(
+      col("col_name"), col("n_rows").as("ref_rows"), col("n_nulls").as("ref_nulls"),
+      col("n_distinct").as("ref_distinct"), col("mean").as("ref_mean"))
+    val b = profile(cur, columns).select(
+      col("col_name"), col("n_rows").as("cur_rows"), col("n_nulls").as("cur_nulls"),
+      col("n_distinct").as("cur_distinct"), col("mean").as("cur_mean"))
+    a.join(b, "col_name")
+      .select(col("col_name"),
+        round(col("cur_nulls").cast("double") / col("cur_rows")
+          - col("ref_nulls").cast("double") / col("ref_rows"), 6).as("null_frac_delta"),
+        round(col("cur_distinct").cast("double") / col("ref_distinct"), 4)
+          .as("distinct_ratio"),
+        round(col("cur_mean") - col("ref_mean"), 4).as("mean_delta"))
+  }
+}

@@ -806,7 +806,28 @@ object Relational {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Deequ-style single-pass column profile of the orders table — the
+    * per-batch data-quality report (nulls, exact distincts, ranges,
+    * means) from one scan, reshaped to |columns| rows with stack(). */
+  private def profileReport: Q = (s, d) =>
+    graft.pipeline.Profiling.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("col_name"))
+
+  /** Profile drift between the even- and odd-key halves of orders — the
+    * yesterday-vs-today monitor that pages when a feed breaks. Two
+    * single-pass profiles joined at metadata scale. */
+  private def profileDrift: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    graft.pipeline.Profiling.profileDrift(
+        o.filter(col("o_orderkey") % 2 === 0), o.filter(col("o_orderkey") % 2 === 1),
+        Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "rel_profile"             -> profileReport,
+    "rel_profile_drift"       -> profileDrift,
     "rel_interval_join"       -> intervalOverlapJoin,
     "rel_anomaly_zscore"      -> anomalyZscore,
     "rel_asof_join"           -> asofLastPurchase,
@@ -884,6 +905,57 @@ object Relational {
                 p.purchase_value AS asof_purchase_value
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
          ORDER BY c.event_id""",
+    "rel_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+                   round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+                   round(avg($c), 4) AS mean,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM orders"""
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT $c) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                   CAST(NULL AS DOUBLE) AS mean,
+                   CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+            FROM orders"""
+      Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+          str("o_orderstatus"), str("o_orderpriority"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+    "rel_profile_drift" -> {
+      def side(filter: String, tag: String) =
+        s"""SELECT col_name, n_rows AS ${tag}_rows, n_nulls AS ${tag}_nulls,
+                   n_distinct AS ${tag}_distinct, mean AS ${tag}_mean
+            FROM (
+              SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     count(DISTINCT o_custkey) AS n_distinct, round(avg(o_custkey), 4) AS mean
+              FROM orders WHERE $filter
+              UNION ALL
+              SELECT 'o_totalprice', count(*),
+                     CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT o_totalprice), round(avg(o_totalprice), 4)
+              FROM orders WHERE $filter
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     count(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE)
+              FROM orders WHERE $filter)"""
+      s"""WITH a AS (${side("o_orderkey % 2 = 0", "ref")}),
+              b AS (${side("o_orderkey % 2 = 1", "cur")})
+         SELECT a.col_name,
+                round(CAST(cur_nulls AS DOUBLE) / cur_rows
+                      - CAST(ref_nulls AS DOUBLE) / ref_rows, 6) AS null_frac_delta,
+                round(CAST(cur_distinct AS DOUBLE) / ref_distinct, 4) AS distinct_ratio,
+                round(cur_mean - ref_mean, 4) AS mean_delta
+         FROM a JOIN b ON a.col_name = b.col_name
+         ORDER BY a.col_name"""
+    },
     "rel_interval_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, value AS p_lo, value + 2 AS p_hi
                     FROM events WHERE event_type = 'purchase' AND user_id < 30),

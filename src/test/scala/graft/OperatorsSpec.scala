@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("profile: single-pass stats with planted nulls; drift report flags the broken feed") {
+    import graft.pipeline.Profiling
+    val ref = Seq((1L, Option(10.0), Option("a")), (2L, Option(20.0), Option("b")),
+      (3L, Option(30.0), Option("a"))).toDF("id", "v", "s")
+    val cur = Seq((4L, Option(40.0), Option.empty[String]),
+      (5L, Option.empty[Double], Option("c")), (6L, Option(60.0), Option("c")))
+      .toDF("id", "v", "s")
+    val p = Profiling.profile(cur, Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = p("v")
+    assert((v.getLong(1), v.getLong(2), v.getLong(3)) === ((3L, 1L, 2L)))
+    assert((v.getDouble(4), v.getDouble(5), v.getDouble(6)) === ((40.0, 60.0, 50.0)))
+    assert(v.isNullAt(7) && v.isNullAt(8))
+    val s = p("s")
+    assert((s.getLong(2), s.getLong(3)) === ((1L, 1L)))
+    assert(s.isNullAt(4) && s.isNullAt(6))
+    assert((s.getString(7), s.getString(8)) === (("c", "c")))
+
+    val drift = Profiling.profileDrift(ref, cur, Seq("v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dv = drift("v")
+    assert(dv.getDouble(1) === 0.333333)          // nulls appeared in the feed
+    assert(dv.getDouble(2) === 0.6667)            // 2 distinct vs 3
+    assert(dv.getDouble(3) === 30.0)              // mean moved 20 -> 50
+    assert(drift("s").isNullAt(3))                // no mean for strings
+  }
+
   test("SnapshotDiff added/removed are exact set differences") {
     val v1 = Seq("a", "b", "c").toDF("path")
     val v2 = Seq("b", "c", "d", "e").toDF("path")

@@ -317,6 +317,31 @@ class PlanSpec extends SparkSpec {
     assert(rows.map(r => r.getLong(r.fieldIndex("min_key"))).min < 0L)
   }
 
+  test("interval overlap join is a bucketed equi-join — no nested loop, no cartesian") {
+    val p = plan("rel_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+  }
+
+  test("gap fill runs as one window over one shuffle on user_id") {
+    // the AQE plan string appends an "== Initial Plan ==" section that
+    // would double-count operators — inspect the final plan only
+    val p = plan("rel_gap_fill").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator:\n$p")
+  }
+
+  test("dhash fingerprint is a pure projection — zero exchanges, zero joins") {
+    val df = Multimodal.dhashFingerprint(
+      Multimodal.mediaTable(Tables.documents(spark, sf())))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"dhash must be narrow column algebra:\n$p")
+  }
+
   test("sweep: no query plans an unlisted CartesianProduct") {
     // Documented exceptions — bounded fixtures (doc_id < 100 ngram pair
     // graph) or verifier-only brute legs whose quadratic side exists to

@@ -74,6 +74,61 @@ object AsOfJoin {
     matched.select(leftCols ++ asofCols: _*)
   }
 
+  /** Nearest-event join: each left row pairs with the right row whose
+    * time is CLOSEST in EITHER direction (pandas merge_asof
+    * direction='nearest'). Same union-scan shape as [[asOf]] — ONE
+    * shuffle on the key, then TWO frames over the same sorted partition
+    * stream (running last = at-or-before, running first = strictly
+    * after; both stream with O(1) state off one sort), and a per-row
+    * pick of the smaller |Δ|.
+    *
+    * Ties: equal |Δ| resolves to the at-or-before row. Multiple right
+    * rows on the same (key, time) resolve to the largest payload struct
+    * on the before side and the smallest on the after side (each
+    * window's deterministic pick). */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String], prefix: String = "nearest_"): DataFrame = {
+    val payload = (rightTime +: rightPayload.filterNot(_ == rightTime))
+    val keyCols = keys.map(col)
+    val taggedRight = right.select(
+      keyCols :+ col(rightTime).cast("timestamp").as("__t") :+
+        lit(1).as("__is_right") :+
+        struct(payload.map(col): _*).as("__r") :+
+        lit(null).cast(structType(left)).as("__l"): _*)
+      .where(col("__t").isNotNull)
+    val taggedLeft = left.select(
+      keyCols :+ col(leftTime).cast("timestamp").as("__t") :+
+        lit(0).as("__is_right") :+
+        lit(null).cast(taggedRight.schema("__r").dataType).as("__r") :+
+        struct(left.columns.map(col): _*).as("__l"): _*)
+
+    val order = Seq(col("__t").asc, col("__is_right").desc, col("__r").asc)
+    val wPrev = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val lt = unix_micros(col("__t"))
+    val dPrev = lt - unix_micros(col(s"__prev.$rightTime").cast("timestamp"))
+    val dNext = unix_micros(col(s"__next.$rightTime").cast("timestamp")) - lt
+    val takePrev = col("__next").isNull ||
+      (col("__prev").isNotNull && dPrev <= dNext)
+
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(wPrev))
+      // right rows at the SAME ts sort before the left row, so the
+      // forward frame sees only strictly-later rights — exact-ts matches
+      // are the backward window's (Δ = 0 wins every tie anyway)
+      .withColumn("__next", first(col("__r"), ignoreNulls = true).over(wNext))
+      .filter(col("__is_right") === 0)
+      .withColumn("__pick", when(takePrev, col("__prev")).otherwise(col("__next")))
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val nearestCols = payload.map(c => col(s"__pick.$c").as(s"$prefix$c"))
+    matched.select(leftCols ++ nearestCols: _*)
+  }
+
   /** [[asOf]] as a first-class Catalyst operator: builds the custom
     * AsOfJoinNode logical plan (plans/AsOfJoinPlan.scala) and lets the
     * injected AsOfJoinStrategy plan the physical sort-merge — two

@@ -234,6 +234,38 @@ object Multimodal {
     withBytes.select(col(idCol), fp.as("dhash"))
   }
 
+  /** Perceptual NEAR-dup pairs: hamming(dhash_a, dhash_b) <= maxHamming
+    * via pigeonhole banding (the simhashNearDupsExact argument, applied
+    * to the perceptual fingerprint): split the 32-bit fingerprint into
+    * `bands` equal bit slices — at most maxHamming flips touch at most
+    * maxHamming bands, so whenever bands > maxHamming some band matches
+    * EXACTLY and the band equi-join's candidate set is provably
+    * complete, not probabilistically recalled. Candidates verify with
+    * one codegen'd bit_count(xor). No cartesian anywhere.
+    *
+    * Expects (idCol, dhash) — [[dhashFingerprint]]'s output. Returns
+    * (id_a, id_b, hamming) with id_a < id_b. */
+  def dhashNearDups(fp: DataFrame, idCol: String = "doc_id",
+                    maxHamming: Int = 6, bands: Int = 8): DataFrame = {
+    require(bands > maxHamming, s"pigeonhole needs bands > maxHamming: $bands <= $maxHamming")
+    require(32 % bands == 0, s"bands must divide 32: $bands")
+    val w = 32 / bands
+    val banded = fp.select(col(idCol), col("dhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * w).bitwiseAND(lit((1L << w) - 1))): _*))
+        .as(Seq("band_id", "band_bits")))
+    val a = banded.select(col("band_id"), col("band_bits"),
+      col(idCol).as("id_a"), col("dhash").as("fp_a"))
+    val b = banded.select(col("band_id"), col("band_bits"),
+      col(idCol).as("id_b"), col("dhash").as("fp_b"))
+    a.join(b, Seq("band_id", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** A byte-level media transform (resize/transcode); one instance per
     * partition, same plumbing contract as MediaDecoder. */
   trait MediaTransform extends Serializable {

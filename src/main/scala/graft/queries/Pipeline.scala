@@ -829,6 +829,16 @@ object Pipeline {
     Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
       .orderBy(col("doc_id"))
 
+  /** Perceptual near-dup pairs at hamming ≤ 6 over the dHash
+    * fingerprints — pigeonhole-banded candidates (8 bands of 4 bits:
+    * complete for ≤ 6 flips by counting), bit_count verification. The
+    * oracle replays the full fingerprint arithmetic and the naive pair
+    * scan (bounded corpus); the engine plan has no cartesian. */
+  private def mmDhashNearDups: Q = (s, d) =>
+    Multimodal.dhashNearDups(
+        Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d))))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** REAL image decode: deterministic per-doc pixels → actual PNG encode
     * (javax.imageio) → actual PNG decode → dimensions + exact sample sum.
     * PNG is lossless, so the decoded samples equal the planted
@@ -914,6 +924,7 @@ object Pipeline {
     "ann_drift"            -> annDrift,
     "mm_media_stats"       -> mmMediaStats,
     "mm_dhash"             -> mmDhash,
+    "mm_dhash_neardups"    -> mmDhashNearDups,
     "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
     "mm_frame_sample"      -> mmFrameSample,
@@ -1904,6 +1915,26 @@ object Pipeline {
                              'sum') AS BIGINT) AS dhash
                     FROM s)
          SELECT doc_id, dhash FROM f ORDER BY doc_id""",
+    "mm_dhash_neardups" ->
+      """WITH b AS (SELECT doc_id, text,
+                           greatest(octet_length(encode(text)) - 1, 0) AS sp
+                    FROM documents),
+              s AS (SELECT doc_id,
+                           list_transform(range(0, 33),
+                             i -> unicode(substr(text,
+                                    CAST(floor(i * sp / 32.0) AS INT) + 1, 1))) AS sb
+                    FROM b),
+              f AS (SELECT doc_id,
+                           CAST(list_aggregate(list_transform(range(0, 32),
+                             i -> CASE WHEN sb[CAST(i AS INT) + 2] > sb[CAST(i AS INT) + 1]
+                                       THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END),
+                             'sum') AS BIGINT) AS dhash
+                    FROM s)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         ORDER BY id_a, id_b""",
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
                            CASE WHEN doc_id % 3 = 0 THEN 'image/png'

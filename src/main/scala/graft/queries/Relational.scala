@@ -745,6 +745,23 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-event join (merge_asof direction='nearest'): each click
+    * pairs with the user's closest purchase in either direction, ties
+    * to the at-or-before row. One shuffle; two streaming frames over
+    * one sorted partition stream (AsOfJoin.asOfNearest). */
+  private def asofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.asOfNearest(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightPayload = Seq("purchase_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("nearest_ts"), col("nearest_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: click values falling inside [purchase_value,
     * purchase_value + 2] — bucketed equi-join (operators/RangeJoin.scala),
     * not the BroadcastNestedLoop Spark would plan for a bare inequality
@@ -833,6 +850,7 @@ object Relational {
     "rel_asof_join"           -> asofLastPurchase,
     "rel_asof_join_exec"      -> asofLastPurchaseExec,
     "rel_asof_tolerance"      -> asofTolerance,
+    "rel_asof_nearest"        -> asofNearest,
     "rel_gap_fill"            -> gapFill,
     "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
@@ -984,6 +1002,26 @@ object Relational {
          FROM hourly h JOIN sg USING (event_type)
          WHERE abs(round((CAST(h.cnt AS DOUBLE) - sg.mean) / sg.sigma, 4)) >= 2.5
          ORDER BY h.event_type, hour""",
+    "rel_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+              p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+                           event_id AS purchase_id
+                    FROM events WHERE event_type = 'purchase'),
+              pairs AS (SELECT c.event_id, p.pts, p.purchase_id,
+                               abs(epoch_us(c.ts) - epoch_us(p.pts)) AS adiff,
+                               CASE WHEN p.pts <= c.ts THEN 0 ELSE 1 END AS side,
+                               CASE WHEN p.pts <= c.ts THEN -p.purchase_id
+                                    ELSE p.purchase_id END AS tiebreak
+                        FROM c JOIN p USING (user_id)),
+              best AS (SELECT event_id, pts, purchase_id,
+                              row_number() OVER (PARTITION BY event_id
+                                ORDER BY adiff, side, tiebreak) AS rn
+                       FROM pairs)
+         SELECT c.event_id, c.user_id, c.ts, b.pts AS nearest_ts,
+                b.purchase_id AS nearest_purchase_id
+         FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (event_id)
+         ORDER BY c.event_id""",
     "rel_asof_tolerance" ->
       """WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                     FROM events WHERE event_type = 'click'),

@@ -273,6 +273,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("asOfNearest picks the closer side, ties to before, exact-ts wins, no-match nulls") {
+    import graft.operators.AsOfJoin
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 1L, t("2024-01-01 00:10:00")),  // prev at 00:09 (60s), next at 00:12 (120s) -> prev
+      (2L, 1L, t("2024-01-01 00:11:00")),  // prev 00:09 (120s), next 00:12 (60s) -> next
+      (3L, 1L, t("2024-01-01 00:09:00")),  // exact-ts match -> that row, delta 0
+      (4L, 2L, t("2024-01-01 00:10:30")),  // equidistant 00:10/00:11 (30s both) -> before wins
+      (5L, 3L, t("2024-01-01 00:00:00")),  // only later rights -> forward match
+      (6L, 9L, t("2024-01-01 00:00:00"))   // user with no rights -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 00:09:00"), 100L),
+      (1L, t("2024-01-01 00:12:00"), 101L),
+      (2L, t("2024-01-01 00:10:00"), 200L),
+      (2L, t("2024-01-01 00:11:00"), 201L),
+      (3L, t("2024-01-01 01:00:00"), 300L)
+    ).toDF("user_id", "ts", "purchase_id")
+    val got = AsOfJoin.asOfNearest(left, right, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id"))
+      .select("event_id", "nearest_purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(101L), 3L -> Some(100L),
+      4L -> Some(200L), 5L -> Some(300L), 6L -> None))
+  }
+
   test("asOfExec rejects mismatched key/time types loudly (silent wrong hashing otherwise)") {
     import graft.operators.AsOfJoin
     val l = Seq((1, 1L, 10L)).toDF("k", "t", "v")                     // k: int

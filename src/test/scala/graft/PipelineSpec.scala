@@ -645,6 +645,25 @@ class PipelineSpec extends SparkSpec {
     assert(tf(7L) === 0L && tf(8L) === 0L)
   }
 
+  test("dhashNearDups: banded candidates are pigeonhole-complete up to the hamming bound") {
+    import graft.pipeline.Multimodal
+    val base = 0xA5C3F01EL & 0xFFFFFFFFL
+    // 6 flips spread across 6 DIFFERENT 4-bit bands — the worst case for
+    // banding: only 2 of 8 bands survive, and the pair must still surface
+    val spread6 = base ^ ((1L << 0) | (1L << 5) | (1L << 10) | (1L << 15) | (1L << 20) | (1L << 25))
+    val close2 = base ^ ((1L << 3) | (1L << 17))
+    val far7 = base ^ ((1L << 1) | (1L << 2) | (1L << 6) | (1L << 11) | (1L << 16) | (1L << 21) | (1L << 26))
+    val fp = Seq((0L, base), (1L, spread6), (2L, close2), (3L, far7))
+      .toDF("doc_id", "dhash")
+    val pairs = Multimodal.dhashNearDups(fp)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) === 6, "6 flips across 6 bands must still be found")
+    assert(pairs((0L, 2L)) === 2)
+    assert(!pairs.contains((0L, 3L)), "hamming 7 exceeds the bound")
+    // symmetric difference closes: 1 vs 2 differ by 8 bits -> absent
+    assert(!pairs.contains((1L, 2L)))
+  }
+
   test("frameSample slices exact byte windows; resize keeps every stride-th byte") {
     import graft.pipeline.Multimodal
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -61,6 +61,15 @@ object CatalogQueries {
       cat.commitAppend("q", "bloomed", orders
         .select("o_orderkey", "o_totalprice").repartition(10),
         bloomCols = Seq("o_orderkey"))
+      // CDC fixture: append, append, then a REPLACE that deletes every
+      // key divisible by 9 — exercises both changefeed paths
+      cat.createTable("q", "cdc")
+      cat.commitAppend("q", "cdc", orders.filter(col("o_orderkey") % 3 === 2)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitAppend("q", "cdc", orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitReplace("q", "cdc",
+        cat.read("q", "cdc").filter(col("o_orderkey") % 9 =!= 0))
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -173,7 +182,25 @@ object CatalogQueries {
         min(col("o_orderkey")).as("key"))
   }
 
+  /** Row-level change feed: the append range (0,1] surfaces inserts
+    * from the manifest diff alone (O(delta)); the replace range (1,2]
+    * falls back to the row-level diff and reports exactly the deleted
+    * keys. Aggregated per (stage, change_type) for the oracle. */
+  private def changefeed: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .withColumn("stage", lit(stage))
+    agg(cat.changesBetween("q", "cdc", 0, 1), "1_append_feed")
+      .unionByName(agg(cat.changesBetween("q", "cdc", 1, 2), "2_replace_feed"))
+      .select(col("stage"), col("_change_type"), col("cnt"), col("total_price"))
+      .orderBy(col("stage"), col("_change_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
     "cat_bloom_read"       -> bloomRead,
     "cat_pruned_read"      -> prunedRead,
@@ -185,6 +212,17 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_changefeed" ->
+      """WITH ins AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+              del AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 = 0),
+              s1 AS (SELECT '1_append_feed' AS stage, 'insert' AS _change_type,
+                            count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+                     FROM ins),
+              s2 AS (SELECT '2_replace_feed' AS stage, 'delete' AS _change_type,
+                            count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price
+                     FROM del)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage, _change_type""",
     "cat_bloom_read" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS key

@@ -452,6 +452,30 @@ class CatalogSpec extends SparkSpec {
     assert(mainRows === branchRows)
   }
 
+  test("changesBetween: append fast path, replace row-diff, schema-evolution alignment") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // v0
+    cat.commitAppend("ns", "t", Seq((3L, "c")).toDF("id", "v"))             // v1
+    // append range: inserts only, straight off the manifest diff
+    assert(cat.changesBetween("ns", "t", 0, 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+      === Set((3L, "insert")))
+    // replace drops id 2 and adds id 4 with a NEW column — the row diff
+    // must align schemas (old rows read score null) so unchanged rows
+    // cancel and only the true delta surfaces
+    cat.commitReplace("ns", "t",
+      Seq((1L, "a", Option.empty[Double]), (3L, "c", Option.empty[Double]),
+        (4L, "d", Option(1.5))).toDF("id", "v", "score"))                   // v2
+    assert(cat.changesBetween("ns", "t", 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+      === Set((2L, "delete"), (4L, "insert")))
+    // the full range crosses the replace -> row-diff semantics end to end
+    assert(cat.changesBetween("ns", "t", 0, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+      === Set((2L, "delete"), (3L, "insert"), (4L, "insert")))
+  }
+
   test("tags pin versions immutably and read through the named ref") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -500,6 +500,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of enrichment equals the batch as-of join on in-order feeds") {
+    import graft.streaming.StreamAsOf
+    import graft.streaming.StreamAsOf.In
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    // two users; refs and probes interleaved, incl. same-ts tie (two refs
+    // at one ts -> larger refId, the batch form's rule) and a pre-ref probe
+    val batch1 = Seq(
+      In(1L, isRef = true, t("2024-01-01 00:01:00"), 100L, 0L),
+      In(1L, isRef = false, t("2024-01-01 00:00:30"), 0L, 10L), // before any ref
+      In(1L, isRef = false, t("2024-01-01 00:02:00"), 0L, 11L),
+      In(2L, isRef = true, t("2024-01-01 00:01:00"), 200L, 0L),
+      In(2L, isRef = true, t("2024-01-01 00:01:00"), 201L, 0L)) // same-ts pair
+    val batch2 = Seq(
+      In(1L, isRef = true, t("2024-01-01 00:03:00"), 101L, 0L),
+      In(1L, isRef = false, t("2024-01-01 00:03:00"), 0L, 12L), // exact-ts match
+      In(2L, isRef = false, t("2024-01-01 00:05:00"), 0L, 20L))
+
+    val input = MemoryStream[In]
+    val query = StreamAsOf.enrich(input.toDS())
+      .writeStream.format("memory").queryName("streamasof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+      val streamed = spark.table("streamasof")
+        .select("probeId", "asofRefId")
+        .as[(Long, Option[Long])].collect().toMap
+
+      // batch dual over the same rows
+      val all = batch1 ++ batch2
+      val probes = all.filter(!_.isRef).map(r => (r.probeId, r.key, r.ts))
+        .toDF("probeId", "key", "ts")
+      val refs = all.filter(_.isRef).map(r => (r.key, r.ts, r.refId))
+        .toDF("key", "ts", "refId")
+      val batchDual = graft.operators.AsOfJoin
+        .asOf(probes, refs, Seq("key"), "ts", "ts", Seq("refId"))
+        .select("probeId", "asof_refId")
+        .as[(Long, Option[Long])].collect().toMap
+
+      assert(streamed === batchDual)
+      assert(streamed === Map(10L -> None, 11L -> Some(100L),
+        12L -> Some(101L), 20L -> Some(201L)))
+    } finally query.stop()
+  }
+
   test("CMS merges across micro-batches by cell-wise addition: streamed sketch == batch sketch") {
     import graft.pipeline.Sketches
     implicit val s = spark

@@ -1086,12 +1086,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def snapAt(sq: Long) = snaps.find(_.seq == sq).getOrElse(
       throw new IllegalArgumentException(s"no version $sq of $ns.$name"))
     val from = snapAt(fromSeq); val to = snapAt(toSeq)
-    val appendOnly = snaps
-      .filter(s => s.seq > fromSeq && s.seq <= toSeq)
-      .forall { s =>
-        val parent = snaps.find(_.seq == s.seq - 1)
-        parent.forall(p => p.manifests.forall(s.manifests.contains))
-      }
+    // a replace whose parent version was EXPIRED would slip past the
+    // per-commit check (parent unknown ⇒ vacuously append); appends
+    // never drop manifests, so `from ⊆ to` is the safety net that
+    // forces such ranges onto the row-diff path
+    val appendOnly = from.manifests.forall(to.manifests.contains) &&
+      snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
+        .forall { s =>
+          val parent = snaps.find(_.seq == s.seq - 1)
+          parent.forall(p => p.manifests.forall(s.manifests.contains))
+        }
     if (appendOnly)
       readIncremental(ns, name, fromSeq, toSeq)
         .withColumn("_change_type", lit("insert"))

@@ -103,11 +103,19 @@ object AsOfJoin {
         lit(null).cast(taggedRight.schema("__r").dataType).as("__r") :+
         struct(left.columns.map(col): _*).as("__l"): _*)
 
-    val order = Seq(col("__t").asc, col("__is_right").desc, col("__r").asc)
-    val wPrev = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    val wPrev = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__is_right").desc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(keyCols: _*).orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward carry is a running `last` over the DESCENDING sort —
+    // never a [currentRow, unboundedFollowing] frame, which Spark's
+    // WindowExec evaluates by rescanning to the partition end per row
+    // (O(n²) in a hot key group). Two sorts over ONE exchange instead.
+    // At an equal __t the left row sorts BEFORE rights here
+    // (__is_right asc), so same-ts rights stay out of the forward carry
+    // — they belong to the backward side (Δ = 0 wins every tie anyway).
+    val wNext = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").desc, col("__is_right").asc, col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val lt = unix_micros(col("__t"))
     val dPrev = lt - unix_micros(col(s"__prev.$rightTime").cast("timestamp"))
@@ -117,10 +125,7 @@ object AsOfJoin {
 
     val matched = taggedRight.unionByName(taggedLeft)
       .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(wPrev))
-      // right rows at the SAME ts sort before the left row, so the
-      // forward frame sees only strictly-later rights — exact-ts matches
-      // are the backward window's (Δ = 0 wins every tie anyway)
-      .withColumn("__next", first(col("__r"), ignoreNulls = true).over(wNext))
+      .withColumn("__next", last(col("__r"), ignoreNulls = true).over(wNext))
       .filter(col("__is_right") === 0)
       .withColumn("__pick", when(takePrev, col("__prev")).otherwise(col("__next")))
 

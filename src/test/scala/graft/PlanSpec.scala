@@ -342,6 +342,14 @@ class PlanSpec extends SparkSpec {
       s"dhash must be narrow column algebra:\n$p")
   }
 
+  test("nearest as-of: one hash exchange, two sorts, no unbounded-following frame") {
+    val p = plan("rel_asof_nearest").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+    // the O(n²)-per-group frame must never appear
+    assert(!p.contains("unboundedfollowing$()"), s"unbounded-following frame planned:\n$p")
+  }
+
   test("sweep: no query plans an unlisted CartesianProduct") {
     // Documented exceptions — bounded fixtures (doc_id < 100 ngram pair
     // graph) or verifier-only brute legs whose quadratic side exists to

@@ -1049,6 +1049,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     readSnapshot(ns, name, snap)
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest version committed at or
+    * before `asOfMs` (None when the table did not exist yet — or its
+    * then-current versions have been expired, which is the documented
+    * retention trade-off of every timestamp-travel implementation). */
+  def versionAsOfTimestamp(ns: String, name: String, asOfMs: Long): Option[Snapshot] =
+    snapshots(ns, name).filter(_.timestampMs <= asOfMs).lastOption
+
+  /** C1: `TIMESTAMP AS OF` time travel — resolves through
+    * [[versionAsOfTimestamp]] and reads that version's files + schema. */
+  def readAsOfTimestamp(ns: String, name: String, asOfMs: Long): DataFrame =
+    versionAsOfTimestamp(ns, name, asOfMs)
+      .map(readSnapshot(ns, name, _))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $ns.$name at or before $asOfMs"))
+
   /** Y14: incremental read — only rows in files ADDED in (fromSeq, toSeq].
     * A manifest-set diff: the added files are exactly the union of the
     * manifests `toSeq` carries beyond `fromSeq` (each file lives in ONE

@@ -476,6 +476,23 @@ class CatalogSpec extends SparkSpec {
       === Set((2L, "delete"), (3L, "insert"), (4L, "insert")))
   }
 
+  test("TIMESTAMP AS OF resolves the newest version at-or-before the instant") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    val v0 = cat.commitAppend("ns", "t", Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(5) // distinct commit timestamps (millisecond clock)
+    val v1 = cat.commitAppend("ns", "t", Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.versionAsOfTimestamp("ns", "t", v0.timestampMs).map(_.seq) === Some(0L))
+    // between the two commits -> still v0; at/after v1 -> v1
+    assert(cat.versionAsOfTimestamp("ns", "t", v1.timestampMs - 1).map(_.seq) === Some(0L))
+    assert(cat.versionAsOfTimestamp("ns", "t", v1.timestampMs).map(_.seq) === Some(1L))
+    assert(cat.readAsOfTimestamp("ns", "t", v0.timestampMs).count() === 1L)
+    assert(cat.readAsOfTimestamp("ns", "t", Long.MaxValue).count() === 2L)
+    // before the table had any version: loud, not empty
+    assert(cat.versionAsOfTimestamp("ns", "t", 0L).isEmpty)
+    intercept[IllegalArgumentException](cat.readAsOfTimestamp("ns", "t", 0L))
+  }
+
   test("tags pin versions immutably and read through the named ref") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.Tables
 import graft.catalog.GraftCatalog
+import graft.operators.MaterializedAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -199,7 +200,27 @@ object CatalogQueries {
       .orderBy(col("stage"), col("_change_type"))
   }
 
+  /** Incremental materialized-view maintenance: an aggregate view over
+    * `q.cdc` is initialized at v0 and then maintained PURELY from the
+    * row-level changefeeds (0,1] and (1,2] — O(delta) work per commit,
+    * never a base-table recompute. Measures are exact integer cents, so
+    * the twice-refreshed state must equal the full recompute bit-for-bit
+    * (CatalogSpec asserts that in-engine; the oracle proves it against
+    * DuckDB's direct aggregation of the surviving rows). */
+  private def mvRefresh: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def prep(df: DataFrame) = df
+      .withColumn("grp", col("o_orderkey") % 7)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val keys = Seq("grp"); val sums = Seq("cents")
+    val v0 = MaterializedAgg.init(prep(cat.readVersion("q", "cdc", 0)), keys, sums)
+    val v1 = MaterializedAgg.refresh(v0, prep(cat.changesBetween("q", "cdc", 0, 1)), keys, sums)
+    val v2 = MaterializedAgg.refresh(v1, prep(cat.changesBetween("q", "cdc", 1, 2)), keys, sums)
+    v2.orderBy(col("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
     "cat_bloom_read"       -> bloomRead,
@@ -212,6 +233,13 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_mv_refresh" ->
+      """WITH base AS (SELECT o_orderkey % 7 AS grp,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders
+                       WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0)
+         SELECT grp, count(*) AS cnt, sum(cents) AS sum_cents
+         FROM base GROUP BY grp ORDER BY grp""",
     "cat_changefeed" ->
       """WITH ins AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
               del AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -325,4 +325,46 @@ class OperatorsSpec extends SparkSpec {
     val ref = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts", Seq("purchase_id"))
     assert(out.collect().toSet == ref.collect().toSet)
   }
+
+  test("materialized agg: signed-delta refresh equals full recompute; emptied groups vanish") {
+    import graft.operators.MaterializedAgg
+    val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")
+    val state = MaterializedAgg.init(base, Seq("k"), Seq("v"))
+    // delta: insert into a, delete ONE b... then delete the last b and c
+    // entirely (group-vanish path), insert a brand-new group d
+    val changes = Seq(
+      ("a", 30L, "insert"), ("b", 5L, "delete"),
+      ("c", 7L, "delete"), ("d", 1L, "insert"),
+    ).toDF("k", "v", "_change_type")
+    val out = MaterializedAgg.refresh(state, changes, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 3L, 60L), ("d", 1L, 1L)))
+    // refreshed state == full recompute of the post-change base
+    val after = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("d", 1L)).toDF("k", "v")
+    val full = MaterializedAgg.init(after, Seq("k"), Seq("v"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === full.toSeq)
+  }
+
+  test("materialized agg over the live catalog changefeed equals full recompute at head") {
+    import graft.operators.MaterializedAgg
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark, java.nio.file.Files.createTempDirectory("mv-spec").toString)
+    val orders = Tables.orders(spark, sf())
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("grp", col("o_orderkey") % 5)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    cat.createTable("t", "mv")
+    cat.commitAppend("t", "mv", orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice"))
+    cat.commitAppend("t", "mv", orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice"))
+    cat.commitReplace("t", "mv", cat.read("t", "mv").filter(col("o_orderkey") % 11 =!= 0))
+    val keys = Seq("grp"); val sums = Seq("cents")
+    val mv0 = MaterializedAgg.init(prep(cat.readVersion("t", "mv", 0)), keys, sums)
+    val mv1 = MaterializedAgg.refresh(mv0, prep(cat.changesBetween("t", "mv", 0, 1)), keys, sums)
+    val mv2 = MaterializedAgg.refresh(mv1, prep(cat.changesBetween("t", "mv", 1, 2)), keys, sums)
+    val full = MaterializedAgg.init(prep(cat.read("t", "mv")), keys, sums)
+    assert(mv2.orderBy("grp").collect().toSeq === full.orderBy("grp").collect().toSeq)
+  }
 }

@@ -452,6 +452,35 @@ object Relational {
     s.read.parquet(loc)
   }
 
+  /** Customers written Hive-partitioned by nation key — the star-schema
+    * fact layout whose partition column is only constrained THROUGH a
+    * join (see dppJoin). Overwrite keeps re-runs idempotent. */
+  def partitionedCustomers(s: SparkSession, d: String): DataFrame = {
+    val loc = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-partitioned-cust").toString
+    Tables.customer(s, d)
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(loc)
+    s.read.parquet(loc)
+  }
+
+  /** Dynamic partition pruning: the fact side is partitioned by
+    * c_nationkey but the query's only filter sits on the DIM side
+    * (n_regionkey = 1), so static pruning can't fire. Spark broadcasts
+    * the filtered dim and re-uses that broadcast as a runtime partition
+    * filter on the fact scan (`dynamicpruningexpression` — PlanSpec
+    * asserts), reading only the ~1/5 of directories whose nation
+    * survives. At 100 TB this is THE star-join access path: without DPP
+    * a dim-filtered join scans the whole fact table. */
+  private def dppJoin: Q = (s, d) => {
+    val cust = partitionedCustomers(s, d)
+    val nat = Tables.nation(s, d).filter(col("n_regionkey") === 1)
+    cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Per-source quality stats for ONE language off the partitioned layout
     * — the scan touches only the `lang=en` directory. */
   private def partitionedScan: Q = (s, d) =>
@@ -896,6 +925,7 @@ object Relational {
     "rel_funnel"              -> funnelStages,
     "rel_retention_cohorts"   -> retentionCohorts,
     "rel_partitioned_scan"    -> partitionedScan,
+    "rel_dpp_join"            -> dppJoin,
     "rel_merge_upsert"        -> mergeUpsert,
     "rel_salted_skew_join"    -> saltedSkewJoin,
   )
@@ -1342,6 +1372,11 @@ object Relational {
                 round(avg(n_chars), 2) AS avg_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    "rel_dpp_join" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_regionkey = 1
+         GROUP BY n_name ORDER BY n_name""",
     "rel_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
               u AS (SELECT o_orderkey AS u_key, '0-MERGED' AS u_priority,

@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
       s"scan file list must be only lang=en: $files")
   }
 
+  test("dim-filtered star join prunes fact partitions at RUNTIME (DPP)") {
+    val df = SparkEntry.queries("rel_dpp_join")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition filter from the dim side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered dim must broadcast (DPP reuses that broadcast):\n$p")
+  }
+
   test("span-rewrite dedup shuffles exactly twice: span election + doc reassembly") {
     // the operator itself (the declared query adds a presentation orderBy);
     // its contract: ONE shuffle on the span value, ONE back on the doc id —

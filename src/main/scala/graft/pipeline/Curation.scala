@@ -192,6 +192,23 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Class-balanced downsampling: every class keeps exactly
+    * min-class-count members (its md5-ordered prefix), so the output is
+    * uniform over classes — the standard fix for label skew before
+    * training a classifier head on pipeline outputs. Cost: one count
+    * aggregation, a one-row broadcast back, and one per-class window —
+    * no corpus-wide sort. */
+  def balancedSample(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val minCnt = df.groupBy(col(classCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(min(col("__cnt")).as("__min"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("__rn") <= col("__min"))
+      .drop("__rn", "__min")
+  }
+
   /** Token-budget sampling (domain-mixing primitive): per stratum, admit
     * md5-ordered documents while the running token total stays within
     * `budget` — how a training mix takes "N tokens of source X" from an

@@ -431,6 +431,38 @@ object ControlPlane {
       .orderBy(col("event_type"))
   }
 
+  /** In-engine verifier for the approx-percentile path: per event_type,
+    * percentile_approx(accuracy=100) carries a deterministic rank
+    * guarantee — the returned value's rank lies within ±n/accuracy of
+    * the target rank q·n (Greenwald-Khanna summaries, not sampling). We
+    * recompute each approx value's true rank interval [rank_lo+1,
+    * rank_hi] with one extra pass and emit every (group, q) whose
+    * interval misses [floor((q−ε)·n), ceil((q+ε)·n)] — provably none,
+    * so the oracle is the typed empty set (slo_hll_check pattern). At
+    * 100 TB the sketch is the operator: fixed memory, mergeable
+    * map-side, no per-group sort. */
+  private def sloQuantileCheck: Q = (s, d) => {
+    val qs = Seq(0.5, 0.95)
+    val eps = 0.01 // = 1/accuracy
+    val ev = graft.Tables.events(s, d).select(col("event_type"), col("value"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(qs.map(lit): _*), lit(100)).as("qv"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("qv")).as(Seq("qi", "approx_val")))
+      .withColumn("q", element_at(array(qs.map(lit): _*), col("qi") + 1))
+      .drop("qi")
+    ev.join(approx, "event_type")
+      .groupBy(col("event_type"), col("q"), col("approx_val"), col("n"))
+      .agg(sum(when(col("value") < col("approx_val"), 1L).otherwise(0L)).as("rank_lo"),
+        sum(when(col("value") <= col("approx_val"), 1L).otherwise(0L)).as("rank_hi"))
+      .filter(col("rank_hi") < floor((col("q") - eps) * col("n")) ||
+        col("rank_lo") + 1 > ceil((col("q") + eps) * col("n")))
+      .select(col("event_type"), col("q"), col("approx_val"),
+        col("n"), col("rank_lo"), col("rank_hi"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** E6 SLO lag percentiles (exact interpolated percentile — the
     * approx_percentile path is the 100 TB variant, not oracle-checkable). */
   private def sloPercentiles: Q = (s, d) =>
@@ -478,6 +510,7 @@ object ControlPlane {
     "gc_exec_status"         -> gcExecStatus,
     "gc_compaction_plan"     -> compactionPlan,
     "slo_approx"             -> sloApprox,
+    "slo_quantile_check"     -> sloQuantileCheck,
     "slo_hll_check"          -> sloHllCheck,
     "slo_cms_check"          -> sloCmsCheck,
   )
@@ -769,5 +802,14 @@ object ControlPlane {
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
                 CAST(NULL AS BIGINT) AS exact_count,
                 CAST(NULL AS BIGINT) AS cms_estimate WHERE 1 = 0""",
+    // the GK summary's rank guarantee is deterministic, so violations
+    // are the typed empty set (slo_hll_check pattern)
+    "slo_quantile_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS DOUBLE) AS q,
+                CAST(NULL AS DOUBLE) AS approx_val,
+                CAST(NULL AS BIGINT) AS n,
+                CAST(NULL AS BIGINT) AS rank_lo,
+                CAST(NULL AS BIGINT) AS rank_hi WHERE 1 = 0""",
   )
 }

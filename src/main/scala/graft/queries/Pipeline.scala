@@ -640,6 +640,14 @@ object Pipeline {
       .orderBy(col("pass"), col("source"), col("doc_id"))
   }
 
+  /** Uniform-over-labels subset of the embedding corpus (min-class-count
+    * per label, md5-ordered prefix — exact cross-engine tie-break). */
+  private def sampleBalanced: Q = (s, d) =>
+    Curation.balancedSample(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "label", "vec_id")
+      .orderBy(col("vec_id"))
+
   private def sampleStratified: Q = (s, d) =>
     Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id", 10)
       .select(col("doc_id"), col("source"))
@@ -897,6 +905,7 @@ object Pipeline {
     "text_chunks"          -> textChunks,
     "dedup_substring_pairs" -> dedupSubstringPairs,
     "sample_stratified"    -> sampleStratified,
+    "sample_balanced"      -> sampleBalanced,
     "sample_interleave"    -> sampleInterleave,
     "sample_token_budget"  -> sampleTokenBudget,
     "pipeline_curation"    -> pipelineCuration,
@@ -1589,6 +1598,14 @@ object Pipeline {
                          FROM scored)
          SELECT doc_id, rank, tok, tf, df, round(tfidf, 4) AS tfidf
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "sample_balanced" ->
+      """WITH r AS (SELECT vec_id, label,
+                           row_number() OVER (PARTITION BY label
+                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM embeddings),
+              m AS (SELECT min(cnt) AS mn
+                    FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label))
+         SELECT vec_id, label FROM r, m WHERE rn <= mn ORDER BY vec_id""",
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, source,
                            row_number() OVER (PARTITION BY source

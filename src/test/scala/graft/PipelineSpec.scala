@@ -882,4 +882,22 @@ class PipelineSpec extends SparkSpec {
     // chain {0,1,2}: keeps 2 (rank 1) and 1 (rank 2); singleton 7 rank 1
     assert(r === Array((1L, 0L, 2), (2L, 0L, 1), (7L, 7L, 1)), r.mkString(","))
   }
+
+  test("balancedSample keeps exactly min-class-count per class, md5-prefix members") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "cls")
+    val out = graft.pipeline.Curation.balancedSample(df, "cls", "id")
+      .as[(Long, String)].collect()
+    val perClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perClass === Map("a" -> 1, "b" -> 1, "c" -> 1))
+    // class c's only member must survive
+    assert(out.exists(_._1 == 6L))
+    // kept member of each class is its md5-order minimum
+    val expected = df.as[(Long, String)].collect().groupBy(_._2).view
+      .mapValues(_.minBy { case (id, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      }._1).toMap
+    out.foreach { case (id, cls) => assert(id === expected(cls)) }
+  }
 }

@@ -266,6 +266,53 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Integer-quantized 8×8 DCT-II basis (×1024): B(x,u) =
+    * round(cos(π(2x+1)u/16)·1024). Quantizing the basis keeps every
+    * pHash coefficient in EXACT int64 arithmetic — no cosine ulps, no
+    * float summation order — so any engine replays the fingerprint
+    * bit-for-bit. */
+  private[graft] val dctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 8)((x, u) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 16.0) * 1024.0))
+
+  /** pHash-style DCT perceptual fingerprint (public algorithm family,
+    * same byte-domain adaptation as [[dhashFingerprint]]): sample 64
+    * evenly-spaced bytes as an 8×8 matrix, take its 2-D DCT with the
+    * integer-quantized basis, drop the DC term and pack "coefficient >
+    * median" into 63 bits. Where dHash captures local ordering, pHash
+    * captures the payload's low-frequency STRUCTURE: adding a constant
+    * to every byte (the uniform-brightness re-encode) moves only the DC
+    * coefficient, so shifted payloads collide (PipelineSpec proves it).
+    * One wide codegen'd projection; dup clustering is a plain GROUP BY.
+    * Returns (idCol, phash: long). */
+  def phashFingerprint(media: DataFrame, idCol: String = "doc_id",
+                       bytesCol: String = "media"): DataFrame = {
+    val n = 8; val dim = n * n
+    val span = greatest(octet_length(col(bytesCol)) - 1, lit(0))
+    val withPos = (0 until dim).foldLeft(media) { (df, i) =>
+      df.withColumn(s"__p_$i",
+        (floor(lit(i) * span / lit((dim - 1).toDouble)) + 1).cast("int"))
+    }
+    val withBytes = (0 until dim).foldLeft(withPos) { (df, i) =>
+      df.withColumn(s"__s_$i",
+        conv(hex(expr(s"substring($bytesCol, __p_$i, 1)")), 16, 10).cast("long"))
+    }
+    // K(u,v) = Σ_{r,c} s(8r+c) · B(r,u)·B(c,v); the basis product folds
+    // into one literal per term. |term| ≤ 255·1024² — int64-safe ×64.
+    def coeff(u: Int, v: Int) =
+      (0 until dim).map { k =>
+        col(s"__s_$k") * lit(dctBasis(k / n)(u) * dctBasis(k % n)(v))
+      }.reduce(_ + _)
+    val coeffs = for { u <- 0 until n; v <- 0 until n; if (u, v) != ((0, 0)) }
+      yield coeff(u, v)
+    val withK = withBytes.withColumn("__k", array(coeffs: _*))
+    val med = element_at(array_sort(col("__k")), 32)
+    val fp = (0 until 63).map(j =>
+        when(element_at(col("__k"), j + 1) > med, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withK.select(col(idCol), fp.as("phash"))
+  }
+
   /** A byte-level media transform (resize/transcode); one instance per
     * partition, same plumbing contract as MediaDecoder. */
   trait MediaTransform extends Serializable {

@@ -837,6 +837,15 @@ object Pipeline {
     Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
       .orderBy(col("doc_id"))
 
+  /** 63-bit pHash (integer-DCT) perceptual fingerprint per payload —
+    * the structural twin of mm_dhash: uniform byte shifts (brightness
+    * re-encodes) move only the dropped DC coefficient, so they collide.
+    * All arithmetic is exact int64 (quantized basis), so the oracle
+    * replays every document's DCT and median threshold bit-for-bit. */
+  private def mmPhash: Q = (s, d) =>
+    Multimodal.phashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+
   /** Perceptual near-dup pairs at hamming ≤ 6 over the dHash
     * fingerprints — pigeonhole-banded candidates (8 bands of 4 bits:
     * complete for ≤ 6 flips by counting), bit_count verification. The
@@ -933,6 +942,7 @@ object Pipeline {
     "ann_drift"            -> annDrift,
     "mm_media_stats"       -> mmMediaStats,
     "mm_dhash"             -> mmDhash,
+    "mm_phash"             -> mmPhash,
     "mm_dhash_neardups"    -> mmDhashNearDups,
     "mm_decode"            -> mmDecode,
     "mm_features"          -> mmFeatures,
@@ -1932,6 +1942,34 @@ object Pipeline {
                              'sum') AS BIGINT) AS dhash
                     FROM s)
          SELECT doc_id, dhash FROM f ORDER BY doc_id""",
+    // exact replay of the integer-DCT pHash: same 64-byte sampling grid,
+    // quantized basis (interpolated below from the one Scala definition),
+    // same DC-dropped median threshold — all int64 arithmetic
+    "mm_phash" ->
+      s"""WITH bs AS (SELECT [${graft.pipeline.Multimodal.dctBasis.flatten.mkString(", ")}] AS f),
+              b AS (SELECT doc_id, text,
+                           greatest(octet_length(encode(text)) - 1, 0) AS sp
+                    FROM documents),
+              smp AS (SELECT doc_id,
+                             list_transform(range(0, 64),
+                               i -> CAST(unicode(substr(text,
+                                      CAST(floor(i * sp / 63.0) AS INT) + 1, 1)) AS BIGINT)) AS sb
+                      FROM b),
+              k AS (SELECT doc_id,
+                           list_transform(range(0, 64), j ->
+                             list_aggregate(list_transform(range(0, 64), m ->
+                               sb[CAST(m AS INT) + 1]
+                                 * f[CAST(m // 8 * 8 + j // 8 AS INT) + 1]
+                                 * f[CAST((m % 8) * 8 + (j % 8) AS INT) + 1]), 'sum')) AS kk
+                    FROM smp, bs),
+              t AS (SELECT doc_id, kk, list_sort(kk[2:64])[32] AS med FROM k),
+              p AS (SELECT doc_id,
+                           CAST(list_aggregate(list_transform(range(1, 64),
+                             j -> CASE WHEN kk[CAST(j AS INT) + 1] > med
+                                       THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT))
+                                       ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS phash
+                    FROM t)
+         SELECT doc_id, phash FROM p ORDER BY doc_id""",
     "mm_dhash_neardups" ->
       """WITH b AS (SELECT doc_id, text,
                            greatest(octet_length(encode(text)) - 1, 0) AS sp

@@ -883,6 +883,23 @@ class PipelineSpec extends SparkSpec {
     assert(r === Array((1L, 0L, 2), (2L, 0L, 1), (7L, 7L, 1)), r.mkString(","))
   }
 
+  test("phash: uniform byte shift (brightness re-encode) collides; content change does not") {
+    import graft.pipeline.Multimodal
+    // the collision property needs every non-DC basis row to sum to 0
+    // even after quantization (pairwise cos symmetry survives rounding)
+    for (u <- 1 until 8)
+      assert((0 until 8).map(x => Multimodal.dctBasis(x)(u)).sum === 0L)
+    val base = Array.tabulate(200)(i => ((i * 37 + i * i % 11) % 200 + 20).toByte)
+    val shifted = base.map(b => (b + 10).toByte)       // uniform "brightness" shift
+    // index 41 (1-based 42) sits ON the 64-point sampling grid
+    // (floor(13·199/63)+1 = 42); an off-grid edit is invisible by design
+    val edited = base.clone(); edited(41) = (edited(41) + 90).toByte
+    val df = Seq((1L, base), (2L, shifted), (3L, edited)).toDF("doc_id", "media")
+    val fp = Multimodal.phashFingerprint(df).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L), "uniform shift must move only the dropped DC coefficient")
+    assert(fp(1L) !== fp(3L), "a real content edit must change the fingerprint")
+  }
+
   test("balancedSample keeps exactly min-class-count per class, md5-prefix members") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
       .toDF("id", "cls")

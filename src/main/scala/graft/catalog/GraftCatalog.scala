@@ -214,8 +214,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def writeManifest(ns: String, name: String,
                             entries: Seq[(String, Long)],
                             stats: Map[String, Map[String, (String, String)]] = Map.empty,
-                            blooms: Map[String, Map[String, String]] = Map.empty): String = {
-    val rel = s"_meta/manifests/m-${UUID.randomUUID()}.jsonl"
+                            blooms: Map[String, Map[String, String]] = Map.empty,
+                            prefix: String = "m"): String = {
+    val rel = s"_meta/manifests/$prefix-${UUID.randomUUID()}.jsonl"
     val body = entries.map { case (p, sz) =>
       val st = stats.getOrElse(p, Map.empty)
       val statsJson =
@@ -281,14 +282,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
     manifestEntriesFull(ns, name, rel).map(e => (e.path, e.sizeBytes))
 
-  /** (path, size) entries of a version — driver-side SCAN-PLANNING read
-    * (transient, per-version), not the metadata-query path; distributed
-    * consumers use [[filesTable]]. */
+  // Equality-DELETE manifests (merge-on-read row deletes) share the
+  // manifest machinery but carry a `d-` basename — the one naming
+  // convention splits every consumer (scan planning vs delete planning,
+  // append-only CDC detection) with no snapshot-format change, and
+  // expiry/orphan detection keep working unmodified because they walk
+  // `snap.manifests` generically.
+  private def isDeleteManifest(rel: String): Boolean =
+    rel.substring(rel.lastIndexOf('/') + 1).startsWith("d-")
+
+  /** (path, size) entries of a version's DATA files — driver-side
+    * SCAN-PLANNING read (transient, per-version), not the metadata-query
+    * path; distributed consumers use [[filesTable]]. Equality-delete
+    * files are excluded — see [[deleteFileEntries]]. */
   def dataFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
-    snap.manifests.flatMap(manifestEntries(ns, name, _))
+    snap.manifests.filterNot(isDeleteManifest).flatMap(manifestEntries(ns, name, _))
 
   def dataFiles(ns: String, name: String, snap: Snapshot): Seq[String] =
     dataFileEntries(ns, name, snap).map(_._1)
+
+  /** (path, size) entries of a version's equality-delete files (the
+    * merge-on-read delete set a scan must anti-join against). */
+  def deleteFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
+    snap.manifests.filter(isDeleteManifest).flatMap(manifestEntries(ns, name, _))
 
   /** Manifests ADDED by `snap` relative to its parent (the commit's
     * delta) — the manifest-granular form of Y14. */
@@ -567,6 +583,83 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
+    }
+  }
+
+  /** Merge-on-read equality DELETE (Iceberg v2 delete-file semantics):
+    * commit the KEYS to delete as a small delete file + `d-` manifest —
+    * O(matched keys) I/O, no data file is rewritten. Every read of this
+    * and later versions anti-joins the accumulated delete set back out;
+    * [[compact]] materializes the deletes and drops the delete files
+    * from the new version. Earlier versions time-travel to their own
+    * delete state (a v0 read still sees everything).
+    *
+    * `keys`' columns define the equality columns (they must exist in the
+    * table schema, and every delete commit of a table must use the same
+    * set so the scan-side anti-join stays a single join). Deleting a key
+    * that matches nothing is a no-op, which makes replayed deletes safe.
+    *
+    * At 100 TB this is THE row-deletion path: GDPR/TTL erasure over a
+    * petabyte table costs one small commit now and folds into the next
+    * scheduled compaction, instead of an immediate full rewrite. */
+  def commitDelete(ns: String, name: String, keys: DataFrame,
+                   sourceRegion: String = "local", maxRetries: Int = 5,
+                   commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val parent0 = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table $ns.$name"))
+    val tblFields = parent0.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType].fieldNames.toSet)
+      .getOrElse(Set.empty[String])
+    keys.columns.foreach(c => require(tblFields.isEmpty || tblFields.contains(c),
+      s"delete key column $c not in $ns.$name schema $tblFields"))
+    deleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+      val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
+      require(prior == keys.columns.toSet,
+        s"equality-delete columns ${keys.columns.toSet} differ from the table's existing $prior")
+    }
+    val entries = stageDataFiles(ns, name, keys)
+    var staged: Seq[String] = Seq.empty
+    try {
+      val newManifest =
+        if (entries.isEmpty) None
+        else Some(writeManifest(ns, name, entries, prefix = "d"))
+      staged = newManifest.toSeq
+      casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        val par = parent.getOrElse(
+          throw new IllegalStateException(s"table log for $ns.$name vanished mid-delete"))
+        Snapshot(par.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(par.commitId),
+          System.currentTimeMillis(),
+          par.manifests ++ newManifest,
+          sourceRegion,
+          par.fileCount + entries.size,
+          par.totalBytes + entries.map(_._2).sum,
+          par.schemaJson) // a delete never changes the table schema
+      }
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, staged); throw e
+    }
+  }
+
+  /** Scan-side merge-on-read: anti-join the version's accumulated
+    * equality-delete set out of `df`. The delete side is tiny relative
+    * to the table, so Spark broadcasts it under the scan — deletes cost
+    * a broadcast, never a table shuffle. */
+  private def applyDeletes(ns: String, name: String, snap: Snapshot, df: DataFrame): DataFrame = {
+    val dels = deleteFileEntries(ns, name, snap).map(_._1)
+    if (dels.isEmpty) df
+    else {
+      val delDf = spark.read.parquet(
+        dels.map(f => tableDir(ns, name).resolve(f).toString): _*)
+      df.join(delDf, delDf.columns.toSeq, "left_anti")
     }
   }
 
@@ -931,7 +1024,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // version's own shape, and post-evolution reads project older
       // files (missing columns read as null — standard additive merge)
       val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+      applyDeletes(ns, name, snap,
+        reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*))
     }
   }
 
@@ -969,7 +1063,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
 
-    val entries = snap.manifests.flatMap(manifestEntriesFull(ns, name, _))
+    val entries = snap.manifests.filterNot(isDeleteManifest)
+      .flatMap(manifestEntriesFull(ns, name, _))
     val kept = entries.filter { e =>
       preds.forall { case (column, lower, upper) =>
         val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
@@ -997,7 +1092,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       def bound(v: String) = dtOf(column).map(t => lit(v).cast(t)).getOrElse(lit(v))
       lower.map(l => col(column) >= bound(l)) ++ upper.map(u => col(column) <= bound(u))
     }.reduceOption(_ && _)
-    residual.map(df.filter).getOrElse(df)
+    applyDeletes(ns, name, snap, residual.map(df.filter).getOrElse(df))
   }
 
   /** Bloom- AND stats-pruned POINT lookup: `column = value`. Min/max
@@ -1014,7 +1109,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
     val positions = GraftCatalog.bloomPositions(value)
-    val entries = snap.manifests.flatMap(manifestEntriesFull(ns, name, _))
+    val entries = snap.manifests.filterNot(isDeleteManifest)
+      .flatMap(manifestEntriesFull(ns, name, _))
     val kept = entries.filter { e =>
       val boundsOk = e.stats.get(column) match {
         case Some((mn, mx)) =>
@@ -1039,7 +1135,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
-    df.filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value)))
+    applyDeletes(ns, name, snap,
+      df.filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value))))
   }
 
   /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */
@@ -1072,7 +1169,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val snaps = snapshots(ns, name)
     val fromManifests = snaps.find(_.seq == fromSeq).map(_.manifests.toSet).getOrElse(Set.empty)
     val toSnap = snaps.find(_.seq == toSeq)
-    val addedM = toSnap.map(_.manifests.filterNot(fromManifests)).getOrElse(Seq.empty)
+    // delete manifests never contribute rows to an incremental DATA read
+    val addedM = toSnap.map(_.manifests.filterNot(fromManifests))
+      .getOrElse(Seq.empty).filterNot(isDeleteManifest)
     val files = addedM.flatMap(manifestEntries(ns, name, _)).map(_._1)
     val schema = toSnap.flatMap(_.schemaJson).map(DataType.fromJson(_).asInstanceOf[StructType])
     if (files.isEmpty) spark.emptyDataFrame
@@ -1105,7 +1204,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // per-commit check (parent unknown ⇒ vacuously append); appends
     // never drop manifests, so `from ⊆ to` is the safety net that
     // forces such ranges onto the row-diff path
+    // a merge-on-read delete commit keeps every parent manifest (it only
+    // ADDS a d- manifest), so the subset test alone would misread it as
+    // an append — any new delete manifest in the range forces the
+    // row-diff path, which sees deletes because readSnapshot applies them
     val appendOnly = from.manifests.forall(to.manifests.contains) &&
+      !to.manifests.filterNot(from.manifests.toSet).exists(isDeleteManifest) &&
       snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
         .forall { s =>
           val parent = snaps.find(_.seq == s.seq - 1)

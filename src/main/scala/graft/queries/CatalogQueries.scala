@@ -71,6 +71,17 @@ object CatalogQueries {
         .select("o_orderkey", "o_totalprice"))
       cat.commitReplace("q", "cdc",
         cat.read("q", "cdc").filter(col("o_orderkey") % 9 =!= 0))
+      // merge-on-read fixture: one append, two stacked equality-delete
+      // commits (keys %3==0 then %5==0 — supersets of the table are fine,
+      // absent keys no-op), then compaction materializes the deletes
+      cat.createTable("q", "mor")
+      cat.commitAppend("q", "mor", orders.filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitDelete("q", "mor",
+        orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"))
+      cat.commitDelete("q", "mor",
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      cat.compact("q", "mor", targetFileBytes = 256L * 1024 * 1024)
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -219,7 +230,28 @@ object CatalogQueries {
     v2.orderBy(col("grp"))
   }
 
+  /** Merge-on-read equality deletes on the live log: v2 reads the base
+    * data minus BOTH stacked delete sets via the scan-side anti-join (no
+    * data file was rewritten — CatalogSpec asserts that); the compacted
+    * head must return the identical answer with zero delete files left.
+    * The oracle recomputes both stages from the raw parquet. */
+  private def morDelete: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.readVersion("q", "mor", 2), "1_mor_read")
+      .unionByName(agg(cat.read("q", "mor"), "2_compacted"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_mor_delete"       -> morDelete,
     "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
@@ -233,6 +265,16 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_mor_delete" ->
+      """WITH live AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 4 = 0
+                         AND o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0),
+              s AS (SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                    FROM live)
+         SELECT '1_mor_read' AS stage, * FROM s
+         UNION ALL SELECT '2_compacted' AS stage, * FROM s
+         ORDER BY stage""",
     "cat_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey % 7 AS grp,
                               CAST(round(o_totalprice * 100) AS BIGINT) AS cents

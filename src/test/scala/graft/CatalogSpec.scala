@@ -511,6 +511,47 @@ class CatalogSpec extends SparkSpec {
     assert(cat.listTags("ns", "t") === Seq("run-2"))
   }
 
+  test("merge-on-read deletes: no data rewrite, versioned reads, CDC, compaction materializes") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "mor")
+    cat.commitAppend("ns", "mor",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))      // v0
+    val v0Files = cat.dataFiles("ns", "mor", cat.snapshots("ns", "mor").last).toSet
+    cat.commitDelete("ns", "mor", Seq(2L, 9L).toDF("id"))                    // v1 (9 absent: no-op)
+    val v1 = cat.snapshots("ns", "mor").last
+    // delete commit rewrote NOTHING: same data files, one delete file added
+    assert(cat.dataFiles("ns", "mor", v1).toSet === v0Files)
+    assert(cat.deleteFileEntries("ns", "mor", v1).nonEmpty)
+    assert(cat.read("ns", "mor").select("id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+    // time travel: v0 still sees the deleted row
+    assert(cat.readVersion("ns", "mor", 0).count() === 4)
+    // CDC across the delete commit reports exactly the removed row
+    assert(cat.changesBetween("ns", "mor", 0, 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+      === Set((2L, "delete")))
+    // second delete with the SAME equality column stacks
+    cat.commitDelete("ns", "mor", Seq(4L).toDF("id"))                        // v2
+    assert(cat.read("ns", "mor").select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // a different equality-column set is rejected before any commit
+    val e = intercept[IllegalArgumentException] {
+      cat.commitDelete("ns", "mor", Seq("x").toDF("v"))
+    }
+    assert(e.getMessage.contains("equality-delete columns"))
+    // a column outside the schema is rejected too
+    val e2 = intercept[IllegalArgumentException] {
+      cat.commitDelete("ns", "mor", Seq(1L).toDF("nope"))
+    }
+    assert(e2.getMessage.contains("not in"))
+    // compaction folds the deletes in: same rows, zero delete files left
+    cat.compact("ns", "mor", targetFileBytes = 256L * 1024 * 1024)           // v3
+    val v3 = cat.snapshots("ns", "mor").last
+    assert(cat.deleteFileEntries("ns", "mor", v3).isEmpty)
+    assert(cat.read("ns", "mor").select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // the MOR versions still time-travel correctly after compaction
+    assert(cat.readVersion("ns", "mor", 1).select("id").as[Long].collect().toSet
+      === Set(1L, 3L, 4L))
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

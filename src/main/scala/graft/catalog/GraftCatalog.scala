@@ -649,18 +649,111 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Scan-side merge-on-read: anti-join the version's accumulated
-    * equality-delete set out of `df`. The delete side is tiny relative
-    * to the table, so Spark broadcasts it under the scan — deletes cost
-    * a broadcast, never a table shuffle. */
-  private def applyDeletes(ns: String, name: String, snap: Snapshot, df: DataFrame): DataFrame = {
-    val dels = deleteFileEntries(ns, name, snap).map(_._1)
-    if (dels.isEmpty) df
-    else {
-      val delDf = spark.read.parquet(
-        dels.map(f => tableDir(ns, name).resolve(f).toString): _*)
-      df.join(delDf, delDf.columns.toSeq, "left_anti")
+  /** Atomic MERGE/upsert: delete the incoming rows' keys and append the
+    * rows in ONE commit. The delete manifest is ordered BEFORE the data
+    * manifest in the snapshot's manifest list, so under [[morScan]]'s
+    * sequence rule it erases prior versions of the keys but never the
+    * rows landing with it — Iceberg v2's upsert-as-equality-delete
+    * pattern, atomic because a single CAS publishes both manifests.
+    *
+    * Unmatched keys simply delete nothing (INSERT); matched keys are
+    * replaced wholesale (UPDATE). Cost is O(|rows|) staging plus the
+    * scan-side anti-join — no data file is rewritten, which is what
+    * makes per-commit CDC ingest into a 100 TB table affordable. */
+  def commitUpsert(ns: String, name: String, rows: DataFrame, keyCols: Seq[String],
+                   sourceRegion: String = "local", maxRetries: Int = 5,
+                   commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    require(keyCols.nonEmpty && keyCols.forall(rows.columns.contains),
+      s"upsert key columns $keyCols must be a subset of ${rows.columns.toSeq}")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
     }
+    latest(ns, name) match {
+      case None => commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
+      case Some(parent0) =>
+        validatedSchemaJson(Some(parent0), rows.schema)
+        deleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+          val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
+          require(prior == keyCols.toSet,
+            s"upsert key columns ${keyCols.toSet} differ from the table's delete columns $prior")
+        }
+        val delEntries = stageDataFiles(ns, name, rows.select(keyCols.map(col): _*).distinct())
+        val dataEntries = stageDataFiles(ns, name, rows)
+        var staged: Seq[String] = Seq.empty
+        try {
+          val dManifest =
+            if (delEntries.isEmpty) None
+            else Some(writeManifest(ns, name, delEntries, prefix = "d"))
+          val mManifest =
+            if (dataEntries.isEmpty) None
+            else Some(writeManifest(ns, name, dataEntries,
+              stagedFileStats(ns, name, dataEntries, rows.schema)))
+          staged = dManifest.toSeq ++ mManifest.toSeq
+          casCommit(ns, name, maxRetries) { parent =>
+            commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+              throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+            }
+            val par = parent.getOrElse(
+              throw new IllegalStateException(s"table log for $ns.$name vanished mid-upsert"))
+            Snapshot(par.seq + 1,
+              commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+              Some(par.commitId),
+              System.currentTimeMillis(),
+              // delete BEFORE data: the incoming rows outlive their own key-purge
+              par.manifests ++ dManifest ++ mManifest,
+              sourceRegion,
+              par.fileCount + delEntries.size + dataEntries.size,
+              par.totalBytes + (delEntries ++ dataEntries).map(_._2).sum,
+              Some(validatedSchemaJson(Some(par), rows.schema)))
+          }
+        } catch { case e: Throwable =>
+          cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
+        }
+    }
+  }
+
+  /** The merge-on-read scan: group data manifests by the set of delete
+    * manifests committed AFTER them and anti-join exactly that set —
+    * Iceberg's sequence-number rule, realized through the snapshot's
+    * ORDERED manifest list (append-type commits only ever append to it,
+    * so list position IS commit order; replaces reset it and carry no
+    * deletes). A key re-appended after its delete therefore survives,
+    * and an upsert's own rows are never erased by the delete it ships
+    * with. `keep` prunes data entries (stats/bloom scan planning);
+    * delete files are always read in full. The delete side is small, so
+    * each epoch's anti-join broadcasts under the scan — deletes cost a
+    * broadcast, never a table shuffle. */
+  private def morScan(ns: String, name: String, snap: Snapshot,
+                      keep: ManifestEntry => Boolean): DataFrame = {
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    def emptyDf = schema.map(st => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
+      .getOrElse(spark.emptyDataFrame)
+    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    val indexed = snap.manifests.zipWithIndex
+    val delsOrdered = indexed.filter(p => isDeleteManifest(p._1))
+    def abs(rel: String) = tableDir(ns, name).resolve(rel).toString
+    val parts = indexed.filterNot(p => isDeleteManifest(p._1))
+      .map { case (m, i) => (m, delsOrdered.count(_._2 > i)) }
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (nAfter, mans) =>
+        val files = mans.map(_._1)
+          .flatMap(manifestEntriesFull(ns, name, _)).filter(keep).map(e => abs(e.path))
+        if (files.isEmpty) None
+        else {
+          val base = reader.parquet(files: _*)
+          val dFiles = delsOrdered.takeRight(nAfter).map(_._1)
+            .flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
+          Some(
+            if (dFiles.isEmpty) base
+            else {
+              val d = spark.read.parquet(dFiles: _*)
+              base.join(d, d.columns.toSeq, "left_anti")
+            })
+        }
+      }
+    if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
   }
 
   /** Bin-pack compaction (the reference docs' small-file control,
@@ -1012,22 +1105,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   // ---- reads ----
 
-  private def readSnapshot(ns: String, name: String, snap: Snapshot): DataFrame = {
-    val files = dataFiles(ns, name, snap)
-    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    if (files.isEmpty)
-      schema.map(st => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
-        .getOrElse(spark.emptyDataFrame)
-    else {
-      // the RECORDED schema governs the read: time travel sees each
-      // version's own shape, and post-evolution reads project older
-      // files (missing columns read as null — standard additive merge)
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      applyDeletes(ns, name, snap,
-        reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*))
-    }
-  }
+  // The RECORDED schema governs every read (morScan): time travel sees
+  // each version's own shape, post-evolution reads project older files
+  // (missing columns read as null — standard additive merge), and the
+  // version's equality-delete files anti-join out under the sequence rule.
+  private def readSnapshot(ns: String, name: String, snap: Snapshot): DataFrame =
+    morScan(ns, name, snap, _ => true)
 
   /** C2: current table state. */
   def read(ns: String, name: String): DataFrame =
@@ -1063,9 +1146,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
 
-    val entries = snap.manifests.filterNot(isDeleteManifest)
-      .flatMap(manifestEntriesFull(ns, name, _))
-    val kept = entries.filter { e =>
+    def keep(e: ManifestEntry): Boolean =
       preds.forall { case (column, lower, upper) =>
         val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
         def lt(a: String, b: String): Boolean =
@@ -1080,19 +1161,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           case None => true // no bounds recorded -> cannot prune, must read
         }
       }
-    }
-    if (kept.isEmpty) {
-      return schema.map(st => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
-        .getOrElse(spark.emptyDataFrame)
-    }
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
+    val df = morScan(ns, name, snap, keep)
     val residual = preds.flatMap { case (column, lower, upper) =>
       def bound(v: String) = dtOf(column).map(t => lit(v).cast(t)).getOrElse(lit(v))
       lower.map(l => col(column) >= bound(l)) ++ upper.map(u => col(column) <= bound(u))
     }.reduceOption(_ && _)
-    applyDeletes(ns, name, snap, residual.map(df.filter).getOrElse(df))
+    residual.map(df.filter).getOrElse(df)
   }
 
   /** Bloom- AND stats-pruned POINT lookup: `column = value`. Min/max
@@ -1109,9 +1183,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
     val positions = GraftCatalog.bloomPositions(value)
-    val entries = snap.manifests.filterNot(isDeleteManifest)
-      .flatMap(manifestEntriesFull(ns, name, _))
-    val kept = entries.filter { e =>
+    def keep(e: ManifestEntry): Boolean = {
       val boundsOk = e.stats.get(column) match {
         case Some((mn, mx)) =>
           def lt(a: String, b: String): Boolean =
@@ -1128,15 +1200,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       }
       boundsOk && bloomOk
     }
-    if (kept.isEmpty) {
-      return schema.map(st => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
-        .getOrElse(spark.emptyDataFrame)
-    }
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-    val df = reader.parquet(kept.map(e => tableDir(ns, name).resolve(e.path).toString): _*)
-    applyDeletes(ns, name, snap,
-      df.filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value))))
+    morScan(ns, name, snap, keep)
+      .filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value)))
   }
 
   /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */

@@ -82,6 +82,20 @@ object CatalogQueries {
       cat.commitDelete("q", "mor",
         orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
       cat.compact("q", "mor", targetFileBytes = 256L * 1024 * 1024)
+      // atomic-upsert fixture: base append, then ONE MERGE commit that
+      // doubles every %8 key's price (UPDATE) and inserts negated %7
+      // keys (INSERT) — the sequence rule keeps the incoming rows alive
+      // past the delete they ship with
+      cat.createTable("q", "upserted")
+      cat.commitAppend("q", "upserted", orders.filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitUpsert("q", "upserted",
+        orders.filter(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 2, 2).as("o_totalprice"))
+          .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+            .select((-col("o_orderkey")).as("o_orderkey"),
+              lit(1.0).as("o_totalprice"))),
+        Seq("o_orderkey"))
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -250,7 +264,19 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  /** MERGE INTO the live log: one atomic upsert commit (equality-delete
+    * + append manifests under one CAS) — matched keys replaced,
+    * unmatched inserted, nothing rewritten. The oracle recomputes the
+    * merged table from raw parquet. */
+  private def upsertRead: Q = (s, d) =>
+    fixture(s, d).read("q", "upserted")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
   val queries: Map[String, Q] = Map(
+    "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
     "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
@@ -265,6 +291,18 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+              up AS (SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice
+                     FROM orders WHERE o_orderkey % 8 = 0),
+              ins AS (SELECT -o_orderkey AS o_orderkey, CAST(1.0 AS DOUBLE) AS o_totalprice
+                      FROM orders WHERE o_orderkey % 7 = 0),
+              fin AS (SELECT * FROM base WHERE o_orderkey % 8 <> 0
+                      UNION ALL SELECT * FROM up
+                      UNION ALL SELECT * FROM ins)
+         SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM fin""",
     "cat_mor_delete" ->
       """WITH live AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 4 = 0

@@ -24,7 +24,27 @@ object CatalogStreamSink {
   /** Pass to `writeStream.foreachBatch(...)`. */
   def foreachBatchCommit(cat: GraftCatalog, ns: String, table: String,
                          queryTag: String = "stream"): (DataFrame, Long) => Unit =
-    (df, batchId) => {
+    guarded(cat, ns, table, _, _, queryTag,
+      (df, cid) => cat.commitAppend(ns, table, df, commitId = Some(cid)))
+
+  /** CDC-MERGE form of [[foreachBatchCommit]]: each micro-batch UPSERTS
+    * by `keyCols` — one atomic equality-delete+append commit per batch
+    * (GraftCatalog.commitUpsert), the sink that keeps a 100 TB mirror
+    * table current from a change stream without rewriting data files.
+    * Batches must carry at most one row per key (the standard MERGE
+    * contract — pre-aggregate with latest-row-wins upstream). Shares the
+    * append sink's two replay guards, so a crash-replayed batch is a
+    * no-op and racing replays cannot both land. */
+  def foreachBatchUpsert(cat: GraftCatalog, ns: String, table: String,
+                         keyCols: Seq[String],
+                         queryTag: String = "cdc"): (DataFrame, Long) => Unit =
+    guarded(cat, ns, table, _, _, queryTag,
+      (df, cid) => cat.commitUpsert(ns, table, df, keyCols, commitId = Some(cid)))
+
+  private def guarded(cat: GraftCatalog, ns: String, table: String,
+                      df: DataFrame, batchId: Long, queryTag: String,
+                      commit: (DataFrame, String) => Unit): Unit =
+    {
       import java.nio.charset.StandardCharsets.UTF_8
       import java.nio.file.{Files, StandardCopyOption}
       // replay guard #1 — monotonic high-water mark: batches commit in
@@ -48,7 +68,7 @@ object CatalogStreamSink {
         val cid = s"$prefix$batchId"
         // replay guard #2: the per-commitId check, re-validated inside
         // the commit's CAS closure for racing replays
-        try { cat.commitAppend(ns, table, df, commitId = Some(cid)); () }
+        try { commit(df, cid); () }
         catch { case _: GraftCatalog.DuplicateCommitException => () }
         // advance the durable mark (batchId > previous mark by the guard
         // above); tmp + atomic move so a crashed write can't corrupt it

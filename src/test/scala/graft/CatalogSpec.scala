@@ -552,6 +552,37 @@ class CatalogSpec extends SparkSpec {
       === Set(1L, 3L, 4L))
   }
 
+  test("MOR sequence rule: re-append resurrects a deleted key; upsert is one atomic commit") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "seq")
+    cat.commitAppend("ns", "seq", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // v0
+    cat.commitDelete("ns", "seq", Seq(2L).toDF("id"))                          // v1
+    assert(cat.read("ns", "seq").select("id").as[Long].collect().toSet === Set(1L))
+    // data committed AFTER the delete is outside its reach (Iceberg's
+    // sequence-number rule): key 2 comes back with its new value
+    cat.commitAppend("ns", "seq", Seq((2L, "b2")).toDF("id", "v"))             // v2
+    assert(cat.read("ns", "seq").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b2")))
+    // atomic upsert: UPDATE id 1, INSERT id 3 — ONE new version
+    val before = cat.snapshots("ns", "seq").last.seq
+    cat.commitUpsert("ns", "seq", Seq((1L, "a9"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(cat.snapshots("ns", "seq").last.seq === before + 1)
+    assert(cat.read("ns", "seq").as[(Long, String)].collect().toSet
+      === Set((1L, "a9"), (2L, "b2"), (3L, "c")))
+    // CDC across the upsert reports the replaced row + both inserts
+    assert(cat.changesBetween("ns", "seq", before, before + 1)
+      .select("id", "v", "_change_type").as[(Long, String, String)].collect().toSet
+      === Set((1L, "a", "delete"), (1L, "a9", "insert"), (3L, "c", "insert")))
+    // a second upsert of the SAME key wins again (stacked delete epochs)
+    cat.commitUpsert("ns", "seq", Seq((1L, "a10")).toDF("id", "v"), Seq("id"))
+    assert(cat.read("ns", "seq").as[(Long, String)].collect().toSet
+      === Set((1L, "a10"), (2L, "b2"), (3L, "c")))
+    // upsert into an empty table degrades to a plain append
+    cat.createTable("ns", "seq2")
+    cat.commitUpsert("ns", "seq2", Seq((9L, "z")).toDF("id", "v"), Seq("id"))
+    assert(cat.read("ns", "seq2").as[(Long, String)].collect().toSet === Set((9L, "z")))
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

@@ -500,6 +500,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("CDC-MERGE sink: per-batch upserts converge to last-write-wins; replay is a no-op") {
+    import graft.catalog.GraftCatalog
+    import graft.streaming.CatalogStreamSink
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdc-sink").toString)
+    cat.createTable("st", "mirror")
+
+    val input = MemoryStream[(Long, String)]
+    val sink = CatalogStreamSink.foreachBatchUpsert(cat, "st", "mirror", Seq("id"), "cdc")
+    val query = input.toDS().toDF("id", "payload")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); query.processAllAvailable()   // batch 0: inserts
+      input.addData((1L, "a2"), (3L, "c")); query.processAllAvailable()  // batch 1: update + insert
+      input.addData((2L, "b3")); query.processAllAvailable()             // batch 2: update again
+      assert(cat.read("st", "mirror").as[(Long, String)].collect().toSet
+        === Set((1L, "a2"), (2L, "b3"), (3L, "c")))
+      // one version per batch, no data file was ever rewritten
+      assert(cat.snapshots("st", "mirror").map(_.commitId)
+        === Seq("cdc-batch-0", "cdc-batch-1", "cdc-batch-2"))
+      // crash-replay of batch 1 must not fork a 4th version or undo batch 2
+      sink(Seq((1L, "a2"), (3L, "c")).toDF("id", "payload"), 1L)
+      assert(cat.snapshots("st", "mirror").size === 3)
+      assert(cat.read("st", "mirror").as[(Long, String)].collect().toSet
+        === Set((1L, "a2"), (2L, "b3"), (3L, "c")))
+      // compaction folds the accumulated delete files into plain data
+      cat.compact("st", "mirror", targetFileBytes = 256L * 1024 * 1024)
+      assert(cat.deleteFileEntries("st", "mirror",
+        cat.snapshots("st", "mirror").last).isEmpty)
+      assert(cat.read("st", "mirror").as[(Long, String)].collect().toSet
+        === Set((1L, "a2"), (2L, "b3"), (3L, "c")))
+    } finally query.stop()
+  }
+
   test("streaming as-of enrichment equals the batch as-of join on in-order feeds") {
     import graft.streaming.StreamAsOf
     import graft.streaming.StreamAsOf.In

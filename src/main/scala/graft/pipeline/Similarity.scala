@@ -65,6 +65,37 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Matryoshka (MRL-style) two-phase retrieval: score the whole corpus
+    * with only the first `prefixDims` dimensions — the cheap pass that
+    * motivates matryoshka embeddings: a d/prefixDims-fold cut in
+    * arithmetic AND scan bandwidth when the prefix is stored as its own
+    * column — keep a `shortlist`-sized pool per query (bounded-heap, no
+    * corpus shuffle), then re-rank ONLY the pool with full-dimension
+    * cosine. The pool join broadcasts (queries·shortlist rows), so the
+    * corpus is scanned exactly twice and never shuffled; at 100 TB the
+    * second scan disappears too if the full vectors are fetched by id
+    * from a point-lookup layout. Deterministic end to end — the gate
+    * oracle replays both phases exactly. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDims: Int, shortlist: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val pre = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(slice(col("vec"), 1, prefixDims),
+          slice(col("query_vec"), 1, prefixDims)), 4).as("score"))
+    val pool = TopKAggregator.topKPerGroup(pre, shortlist, corpus.schema(idCol).dataType)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = c.join(broadcast(pool), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(rescored, k, corpus.schema(idCol).dataType)
+  }
+
   /** kNN majority-vote classification: each query's `k` nearest corpus
     * vectors (exact cosine, same two-phase bounded-heap plan as
     * bruteForceTopK) vote with their label; the most common label wins,

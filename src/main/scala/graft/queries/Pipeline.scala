@@ -159,6 +159,16 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka two-phase retrieval: 16-dim prefix scan → 50-candidate
+    * pool → exact full-dim re-rank. The oracle replays BOTH phases, so
+    * the check is exact whatever the prefix's recall happens to be. */
+  private def annMatryoshka: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        prefixDims = 16, shortlist = 50)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Near-dup pairs via deterministic ball-cover candidate pruning — NO
     * row-level cartesian anywhere in the plan (PlanSpec-asserted): the
     * only quadratic object is the broadcast nlist² cell-pair table, and
@@ -885,6 +895,7 @@ object Pipeline {
     "text_langid"          -> textLangidConfusion,
     "text_fingerprints"    -> textFingerprints,
     "ann_topk"             -> annTopK,
+    "ann_matryoshka"       -> annMatryoshka,
     "ann_neardup_pairs"    -> annNearDupPairs,
     "semdedup_keepers"     -> semdedupKeepers,
     "ann_lsh_topk"         -> annLshTopK,
@@ -2056,6 +2067,39 @@ object Pipeline {
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
          FROM documents ORDER BY doc_id""",
     "ann_topk" -> bruteTopKSql,
+    // full replay of BOTH matryoshka phases: 16-dim prefix cosine pool
+    // cut (same rounding + id tie-break), then exact full-dim re-rank
+    "ann_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          pre AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_aggregate(list_transform(
+                       list_zip(e.embedding[1:16], q.qv[1:16]),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding[1:16],
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                      * sqrt(list_aggregate(list_transform(q.qv[1:16],
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+                     AS pre_score
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+          pool AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY pre_score DESC, neighbor_id) AS rn
+              FROM pre) WHERE rn <= 50),
+          scored AS (
+            SELECT p.query_id, p.neighbor_id, $cosineSql AS score
+            FROM pool p
+            JOIN embeddings e ON e.vec_id = p.neighbor_id
+            JOIN q ON q.query_id = p.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS "rank"
+            FROM scored)
+          SELECT query_id, neighbor_id, score, "rank" FROM ranked
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     // nprobe = nlist probes every cell ⇒ provably brute force
     "ann_ivf_exact" -> bruteTopKSql,
     // ADC pool ⊇ true top-k on this corpus (spec-asserted) ⇒ exact re-rank

@@ -883,6 +883,21 @@ class PipelineSpec extends SparkSpec {
     assert(r === Array((1L, 0L, 2), (2L, 0L, 1), (7L, 7L, 1)), r.mkString(","))
   }
 
+  test("matryoshka rerank with a full-corpus shortlist equals brute-force top-k") {
+    import graft.pipeline.Similarity
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val full = Similarity.matryoshkaTopK(emb, queries, 5, prefixDims = 16, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full === brute)
+    // the real config (small pool) still returns k ranked rows per query
+    val small = Similarity.matryoshkaTopK(emb, queries, 5, prefixDims = 16, shortlist = 50)
+    assert(small.groupBy("query_id").count().collect().forall(_.getLong(1) === 5L))
+  }
+
   test("phash: uniform byte shift (brightness re-encode) collides; content change does not") {
     import graft.pipeline.Multimodal
     // the collision property needs every non-DC basis row to sum to 0

@@ -75,4 +75,47 @@ object Profiling {
           .as("distinct_ratio"),
         round(col("cur_mean") - col("ref_mean"), 4).as("mean_delta"))
   }
+
+  /** Declarative data-quality EXPECTATIONS (Deequ check suite): each
+    * rule is (name, row predicate); a violation is a row where the
+    * predicate is false OR null (an unevaluable check fails closed).
+    * Every rule evaluates in ONE aggregation over ONE scan — adding a
+    * rule adds a sum(when) expression, not a pass — and the |rules|-row
+    * result reshapes from the single aggregate row, never via collect.
+    * Returns (rule, violations, checked). */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val aggs = rules.map { case (n, p) =>
+      sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__v_$n")
+    }
+    df.agg(count(lit(1)).as("__checked"), aggs: _*)
+      .select(explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("rule"), col(s"__v_$n").as("violations"),
+            col("__checked").as("checked"))
+        }: _*)).as("r"))
+      .select(col("r.rule"), col("r.violations"), col("r.checked"))
+  }
+
+  /** Uniqueness expectation (not row-local, so its own aggregation):
+    * violations = rows beyond the first of each duplicated key. */
+  def uniqueExpectation(df: DataFrame, cols: Seq[String],
+                        name: String): DataFrame =
+    df.agg(count(lit(1)).as("checked"),
+        count_distinct(struct(cols.map(col): _*)).as("__d"))
+      .select(lit(name).as("rule"),
+        (col("checked") - col("__d")).as("violations"), col("checked"))
+
+  /** Referential-integrity expectation: child rows whose key has no
+    * match in the parent (one anti-join; the parent key list broadcasts
+    * when dimension-sized). */
+  def fkExpectation(child: DataFrame, childCol: String,
+                    parent: DataFrame, parentCol: String,
+                    name: String): DataFrame = {
+    val total = child.select(count(lit(1)).as("checked"))
+    val orphans = child.join(parent.select(col(parentCol).as(childCol)).distinct(),
+        Seq(childCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    orphans.crossJoin(total)
+      .select(lit(name).as("rule"), col("violations"), col("checked"))
+  }
 }

@@ -871,7 +871,29 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** Declarative expectation suite over orders (Deequ check analog):
+    * five row-local rules in ONE scan, a uniqueness check, and a
+    * referential check against customer — the admission gate a pipeline
+    * runs per batch. Rules are chosen so some genuinely pass (0) and the
+    * planted ones count real rows; the oracle recomputes each count. */
+  private def dqExpectations: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val rowRules = graft.pipeline.Profiling.expectations(o, Seq(
+      "custkey_not_null" -> col("o_custkey").isNotNull,
+      "orderdate_in_range" -> col("o_orderdate").between("1990-01-01", "2000-12-31"),
+      "status_in_set" -> col("o_orderstatus").isin("O", "F", "P"),
+      "totalprice_positive" -> (col("o_totalprice") > 0),
+      "priority_well_formed" -> col("o_orderpriority").rlike("^[1-5]-")))
+    rowRules
+      .unionByName(graft.pipeline.Profiling.uniqueExpectation(
+        o, Seq("o_orderkey"), "orderkey_unique"))
+      .unionByName(graft.pipeline.Profiling.fkExpectation(
+        o, "o_custkey", Tables.customer(s, d), "c_custkey", "custkey_fk"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_expectations"         -> dqExpectations,
     "rel_profile"             -> profileReport,
     "rel_profile_drift"       -> profileDrift,
     "rel_interval_join"       -> intervalOverlapJoin,
@@ -1377,6 +1399,37 @@ object Relational {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE n_regionkey = 1
          GROUP BY n_name ORDER BY n_name""",
+    "dq_expectations" ->
+      """WITH n AS (SELECT count(*) AS checked FROM orders),
+              rows_r AS (
+                SELECT 'custkey_not_null' AS rule,
+                       count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+                UNION ALL
+                SELECT 'orderdate_in_range',
+                       count(*) FILTER (WHERE o_orderdate IS NULL
+                         OR o_orderdate < DATE '1990-01-01'
+                         OR o_orderdate > DATE '2000-12-31') FROM orders
+                UNION ALL
+                SELECT 'status_in_set',
+                       count(*) FILTER (WHERE o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+                UNION ALL
+                SELECT 'totalprice_positive',
+                       count(*) FILTER (WHERE o_totalprice IS NULL
+                         OR NOT (o_totalprice > 0)) FROM orders
+                UNION ALL
+                SELECT 'priority_well_formed',
+                       count(*) FILTER (WHERE o_orderpriority IS NULL
+                         OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders
+                UNION ALL
+                SELECT 'orderkey_unique',
+                       count(*) - count(DISTINCT o_orderkey) FROM orders
+                UNION ALL
+                SELECT 'custkey_fk',
+                       count(*) FILTER (WHERE o_custkey NOT IN
+                         (SELECT c_custkey FROM customer)) FROM orders)
+         SELECT rule, CAST(violations AS BIGINT) AS violations, checked
+         FROM rows_r, n ORDER BY rule""",
     "rel_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
               u AS (SELECT o_orderkey AS u_key, '0-MERGED' AS u_priority,

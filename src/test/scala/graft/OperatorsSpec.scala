@@ -326,6 +326,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.collect().toSet == ref.collect().toSet)
   }
 
+  test("expectations: null fails closed, unique counts extras, fk counts orphans") {
+    import graft.pipeline.Profiling
+    val df = Seq((1L, Option(5.0)), (2L, Option(-1.0)), (2L, Option.empty[Double]))
+      .toDF("id", "v")
+    val rows = Profiling.expectations(df, Seq(
+        "v_positive" -> (col("v") > 0), "id_small" -> (col("id") < 10)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // -1 fails, null v fails CLOSED -> 2 violations; ids all small -> 0
+    assert(rows === Map("v_positive" -> 2L, "id_small" -> 0L))
+    val u = Profiling.uniqueExpectation(df, Seq("id"), "id_unique").head()
+    assert((u.getString(0), u.getLong(1), u.getLong(2)) === (("id_unique", 1L, 3L)))
+    val parent = Seq(1L).toDF("pid")
+    val fk = Profiling.fkExpectation(df, "id", parent, "pid", "id_fk").head()
+    assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) === (("id_fk", 2L, 3L)))
+  }
+
   test("materialized agg: signed-delta refresh equals full recompute; emptied groups vanish") {
     import graft.operators.MaterializedAgg
     val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")

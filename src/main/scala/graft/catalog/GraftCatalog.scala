@@ -756,6 +756,33 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
   }
 
+  /** Rollback: publish a NEW version whose manifest list is exactly a
+    * prior version's (Iceberg `rollback_to_snapshot`). Pure metadata —
+    * no data file is read, written, or deleted, so rolling a 100 TB
+    * table back from a bad commit is O(1); the bad version stays in
+    * history (auditable, still time-travelable) until expiry reclaims
+    * whatever only it references. CAS-published like every commit, so a
+    * concurrent append either lands before (and is rolled back too) or
+    * retries on top of the rollback — never silently lost. */
+  def rollbackTo(ns: String, name: String, seq: Long,
+                 sourceRegion: String = "local", maxRetries: Int = 5): Snapshot = {
+    val target = snapshots(ns, name).find(_.seq == seq).getOrElse(
+      throw new IllegalArgumentException(s"no version $seq of $ns.$name to roll back to"))
+    casCommit(ns, name, maxRetries) { parent =>
+      val par = parent.getOrElse(
+        throw new IllegalStateException(s"table log for $ns.$name vanished mid-rollback"))
+      Snapshot(par.seq + 1,
+        s"commit-${UUID.randomUUID()}",
+        Some(par.commitId),
+        System.currentTimeMillis(),
+        target.manifests,
+        sourceRegion,
+        target.fileCount,
+        target.totalBytes,
+        target.schemaJson)
+    }
+  }
+
   /** Bin-pack compaction (the reference docs' small-file control,
     * 256MB–1GB targets; rewriteDataFiles in Iceberg terms): rewrite the
     * current version into ceil(totalBytes / targetBytes) files via one

@@ -96,6 +96,27 @@ object Similarity {
     topKPerQuery(rescored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Hard-negative mining for contrastive training: each query's `k`
+    * MOST similar corpus vectors carrying a DIFFERENT label — the
+    * near-boundary negatives that actually move an embedding model,
+    * mined corpus-wide. Same single-scan broadcast plan as
+    * [[bruteForceTopK]]: the label inequality composes into the scan
+    * filter, the heap stays bounded, the corpus never shuffles. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      col(labelCol).as("neg_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
   /** kNN majority-vote classification: each query's `k` nearest corpus
     * vectors (exact cosine, same two-phase bounded-heap plan as
     * bruteForceTopK) vote with their label; the most common label wins,

@@ -96,6 +96,13 @@ object CatalogQueries {
             .select((-col("o_orderkey")).as("o_orderkey"),
               lit(1.0).as("o_totalprice"))),
         Seq("o_orderkey"))
+      // rollback fixture: good append, bad append, O(1) metadata rollback
+      cat.createTable("q", "rolled")
+      cat.commitAppend("q", "rolled", orders.filter(col("o_orderkey") % 6 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitAppend("q", "rolled", orders.filter(col("o_orderkey") % 6 === 1)
+        .select("o_orderkey", "o_totalprice"))
+      cat.rollbackTo("q", "rolled", 0)
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -275,7 +282,26 @@ object CatalogQueries {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
 
+  /** O(1) metadata rollback on the live log: the head (v2) must equal
+    * v0 exactly, while the rolled-back bad commit (v1) stays fully
+    * time-travelable — both reads against one oracle recomputation. */
+  private def rollbackRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.readVersion("q", "rolled", 1), "1_bad_commit_view")
+      .unionByName(agg(cat.read("q", "rolled"), "2_rolled_back_head"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
     "cat_mv_refresh"       -> mvRefresh,
@@ -291,6 +317,17 @@ object CatalogQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cat_rollback" ->
+      """WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 6 = 0),
+              v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 6 IN (0, 1)),
+              s1 AS (SELECT '1_bad_commit_view' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM v1),
+              s2 AS (SELECT '2_rolled_back_head' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM v0)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
               up AS (SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice

@@ -159,6 +159,14 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard negatives (contrastive-training mining): top-5 most-similar
+    * OTHER-label vectors per query — exact cosine, full oracle replay. */
+  private def annHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Matryoshka two-phase retrieval: 16-dim prefix scan → 50-candidate
     * pool → exact full-dim re-rank. The oracle replays BOTH phases, so
     * the check is exact whatever the prefix's recall happens to be. */
@@ -896,6 +904,7 @@ object Pipeline {
     "text_fingerprints"    -> textFingerprints,
     "ann_topk"             -> annTopK,
     "ann_matryoshka"       -> annMatryoshka,
+    "ann_hard_negatives"   -> annHardNegatives,
     "ann_neardup_pairs"    -> annNearDupPairs,
     "semdedup_keepers"     -> semdedupKeepers,
     "ann_lsh_topk"         -> annLshTopK,
@@ -2067,6 +2076,20 @@ object Pipeline {
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
          FROM documents ORDER BY doc_id""",
     "ann_topk" -> bruteTopKSql,
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                     FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, $cosineSql AS score
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+          ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS "rank"
+            FROM scored)
+          SELECT query_id, neighbor_id, score, "rank" FROM ranked
+          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     // full replay of BOTH matryoshka phases: 16-dim prefix cosine pool
     // cut (same rounding + id tie-break), then exact full-dim re-rank
     "ann_matryoshka" ->

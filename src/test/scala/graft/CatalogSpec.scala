@@ -583,6 +583,28 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("ns", "seq2").as[(Long, String)].collect().toSet === Set((9L, "z")))
   }
 
+  test("rollback is metadata-only: no file I/O, history intact, CDC reports the undo") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "rb")
+    cat.commitAppend("ns", "rb", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // v0
+    cat.commitAppend("ns", "rb", Seq((3L, "bad")).toDF("id", "v"))           // v1
+    val v0Files = cat.dataFiles("ns", "rb", cat.snapshots("ns", "rb").head).toSet
+    cat.rollbackTo("ns", "rb", 0)                                            // v2
+    val v2 = cat.snapshots("ns", "rb").last
+    assert(v2.seq === 2)
+    assert(cat.dataFiles("ns", "rb", v2).toSet === v0Files, "rollback must reuse v0's files")
+    assert(cat.read("ns", "rb").select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the bad commit is still in history and still readable
+    assert(cat.readVersion("ns", "rb", 1).count() === 3)
+    // CDC across the rollback reports the undone row as a delete
+    assert(cat.changesBetween("ns", "rb", 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+      === Set((3L, "delete")))
+    // appending after a rollback continues normally from the restored state
+    cat.commitAppend("ns", "rb", Seq((4L, "d")).toDF("id", "v"))
+    assert(cat.read("ns", "rb").select("id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+  }
+
   test("orphan-manifest sweep removes only unreferenced manifests past the grace window") {
     import spark.implicits._
     val cat = freshCatalog()

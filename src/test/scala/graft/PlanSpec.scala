@@ -155,6 +155,41 @@ class PlanSpec extends SparkSpec {
       s"scan file list must be only lang=en: $files")
   }
 
+  test("AQE splits a planted hot key at runtime: sort-merge join marked skew=true") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> conf.getOption(k))
+    try {
+      // thresholds scaled to a unit-test corpus; the MECHANISM is the
+      // same one a 100 TB job relies on (AQE re-plans the oversized
+      // partition into parallel splits instead of one straggler task)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(40000)
+        .select(when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("pad"))
+      val right = spark.range(2000).select(col("id").as("k"), lit("r").as("rv"))
+      // the pad must survive INTO the shuffle (so the hot partition's
+      // bytes trip the threshold) and the post-join aggregate must not
+      // require the join's partitioning (a keyed agg would veto the
+      // split) — a global sum satisfies both
+      val out = left.join(right, "k").agg(sum(length(col("pad"))).as("bytes"))
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the hot-key partition (skew=true in the final plan):\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("dim-filtered star join prunes fact partitions at RUNTIME (DPP)") {
     val df = SparkEntry.queries("rel_dpp_join")(spark, sf())
     df.collect()

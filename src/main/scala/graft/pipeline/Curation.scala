@@ -192,6 +192,29 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Byte-pair-encoding APPLICATION with a fixed, ordered merge list —
+    * the tokenize step of a trained BPE vocabulary (public algorithm;
+    * merges are input, training them is `topNgrams`' job). Each word
+    * becomes a space-separated symbol sequence (" h e l l o "), then
+    * every merge rule rewrites all non-overlapping " a b " runs
+    * left-to-right via LITERAL replace — semantics any engine reproduces
+    * bit-for-bit, which is what makes the tokenizer oracle-checkable.
+    *
+    * Call it on the DISTINCT word set: encoding cost is vocabulary-scale
+    * and the corpus joins back by word — the standard trick that makes
+    * tokenizing 100 TB a broadcast join instead of per-row string work.
+    * Returns the input plus (encoded "pie|ces", n_pieces). */
+  def bpeEncode(words: DataFrame, wordCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spaced = concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1 "))
+    val mergedSym = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+    }
+    words
+      .withColumn("encoded", replace(trim(mergedSym), lit(" "), lit("|")))
+      .withColumn("n_pieces", size(split(col("encoded"), "\\|")))
+  }
+
   /** Class-balanced downsampling: every class keeps exactly
     * min-class-count members (its md5-ordered prefix), so the output is
     * uniform over classes — the standard fix for label skew before

@@ -159,6 +159,26 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Ordered BPE merge list for text_bpe_encode — interpolated into the
+    * oracle SQL from this ONE definition so both engines must replay the
+    * identical rewrite chain. */
+  private val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "a" -> "n", "s" -> "t",
+    "o" -> "r", "a" -> "t", "i" -> "n", "r" -> "o", "l" -> "o")
+
+  /** BPE tokenization of the corpus vocabulary: distinct words + corpus
+    * frequency, encoded through the fixed merge chain. The oracle
+    * replays the spaced-symbol rewrite literally. */
+  private def textBpeEncode: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+    Curation.bpeEncode(words, "word", bpeMerges)
+      .select(col("word"), col("n_occurrences"), col("encoded"), col("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** Hard negatives (contrastive-training mining): top-5 most-similar
     * OTHER-label vectors per query — exact cosine, full oracle replay. */
   private def annHardNegatives: Q = (s, d) => {
@@ -905,6 +925,7 @@ object Pipeline {
     "ann_topk"             -> annTopK,
     "ann_matryoshka"       -> annMatryoshka,
     "ann_hard_negatives"   -> annHardNegatives,
+    "text_bpe_encode"      -> textBpeEncode,
     "ann_neardup_pairs"    -> annNearDupPairs,
     "semdedup_keepers"     -> semdedupKeepers,
     "ann_lsh_topk"         -> annLshTopK,
@@ -2076,6 +2097,19 @@ object Pipeline {
          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
          FROM documents ORDER BY doc_id""",
     "ann_topk" -> bruteTopKSql,
+    "text_bpe_encode" -> {
+      val chain = bpeMerges.foldLeft(
+        """' ' || regexp_replace(word, '(.)', '\1 ', 'g')""") {
+        case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"""WITH w AS (SELECT word, count(*) AS n_occurrences FROM (
+                       SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+                     WHERE length(word) > 0 GROUP BY word),
+          m AS (SELECT word, n_occurrences, trim($chain) AS sym FROM w)
+          SELECT word, n_occurrences, replace(sym, ' ', '|') AS encoded,
+                 len(string_split(sym, ' ')) AS n_pieces
+          FROM m ORDER BY word"""
+    },
     "ann_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
                      FROM embeddings WHERE vec_id < 5),

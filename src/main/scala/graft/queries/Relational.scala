@@ -568,6 +568,38 @@ object Relational {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** SCD type-2 dimension build via gaps-and-islands: collapse each
+    * user's CONSECUTIVE runs of the same event_type into validity
+    * intervals (valid_from, valid_to, valid_to = next run's start, open
+    * run = null) — the classic "attribute history table" a warehouse
+    * derives from a change stream. The island id is the rn − rn_per_value
+    * difference trick: two window passes over ONE shuffle on user_id
+    * (both windows share the partitioning), then a run-level aggregate
+    * and one more lead over the runs — run-cardinality, not
+    * event-cardinality. */
+  private def scd2Islands: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    // event_type tie-break keeps the run sequence deterministic even if
+    // two runs of one user share a first-event timestamp
+    val runSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_type"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(runSeq))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
   /** Ordered conversion funnel: first signup, then the first view AFTER
     * it, first click after that view, first purchase after that click —
     * each stage's timestamp must strictly follow the previous stage's.
@@ -893,6 +925,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "rel_scd2_islands"        -> scd2Islands,
     "dq_expectations"         -> dqExpectations,
     "rel_profile"             -> profileReport,
     "rel_profile_drift"       -> profileDrift,
@@ -1399,6 +1432,24 @@ object Relational {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE n_regionkey = 1
          GROUP BY n_name ORDER BY n_name""",
+    "rel_scd2_islands" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                    FROM events WHERE user_id < 200),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+                         - row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS island
+                    FROM e),
+              runs AS (SELECT user_id, event_type, island,
+                              min(ts) AS valid_from, count(*) AS n_events
+                       FROM r GROUP BY user_id, event_type, island),
+              seq AS (SELECT user_id, event_type, valid_from, n_events,
+                             lead(valid_from) OVER (PARTITION BY user_id
+                               ORDER BY valid_from, event_type) AS valid_to
+                      FROM runs)
+         SELECT user_id, event_type, valid_from, valid_to, n_events
+         FROM seq ORDER BY user_id, valid_from, event_type""",
     "dq_expectations" ->
       """WITH n AS (SELECT count(*) AS checked FROM orders),
               rows_r AS (

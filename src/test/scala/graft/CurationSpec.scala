@@ -590,4 +590,21 @@ class CurationSpec extends SparkSpec {
         s"shard $s holds $mass tokens vs slice $shardTokens (+maxDoc $maxDoc)")
     }
   }
+
+  test("bpeEncode applies merges in order; runs merge left-to-right non-overlapping") {
+    import graft.pipeline.Curation
+    val words = Seq("the", "that", "lll", "x").toDF("word")
+    val out = Curation.bpeEncode(words, "word",
+        Seq("t" -> "h", "th" -> "e", "l" -> "l"))
+      .select("word", "encoded", "n_pieces")
+      .as[(String, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "the": t+h -> th, then th+e -> the (merge ORDER matters)
+    assert(out("the") === (("the", 1)))
+    // "that": th merges, but 'th a t' has no further rule
+    assert(out("that") === (("th|a|t", 3)))
+    // "lll": leftmost pair merges, the remaining l can't re-pair in the
+    // same pass (non-overlapping left-to-right scan)
+    assert(out("lll") === (("ll|l", 2)))
+    assert(out("x") === (("x", 1)))
+  }
 }

@@ -628,4 +628,49 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  // ---------- fuzzy record linkage (bounded edit distance) ----------
+
+  /** All 1-deletion variants of `s`, PLUS `s` itself (SymSpell-style
+    * deletion neighborhood). A codegen'd higher-order transform — one
+    * narrow projection, length+1 variants per string. */
+  def deletionNeighborhood(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), greatest(length(s), lit(1))),
+        i => concat(substring(s, lit(1), i - 1), substring(s, i + 1, length(s)))))
+
+  /** Record-linkage pairs at Levenshtein distance <= 1 via symmetric-
+    * deletion blocking (the SymSpell scheme): two strings within edit
+    * distance 1 ALWAYS share a member of each other's 1-deletion
+    * neighborhood — equal strings share the string itself; a
+    * substitution at position i shares the delete-at-i variant; an
+    * insert/delete pair shares the shorter string. So the equi-join on
+    * neighborhood members is a COMPLETE candidate generator by theorem
+    * (no probabilistic recall argument), and the exact `levenshtein`
+    * verify only ever discards false positives.
+    *
+    * Scale shape (the reason this beats a similarity cross join at
+    * 100 TB): the only shuffle is an equi-join on variant strings —
+    * candidates concentrate per-variant, so a hot variant (shared
+    * prefix boilerplate) is an AQE-splittable skew key, never a
+    * cartesian. Variant generation is a narrow codegen'd projection of
+    * length+1 rows per record. For edit distance d, delete-d
+    * neighborhoods generalize (variant count ~ len^d — practical for
+    * d <= 2 on short keys; beyond that, block on length bands + LSH).
+    *
+    * Output: (id_a, id_b, s_a, s_b, dist), id_a < id_b, dist <= 1. */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = df.select(
+        col(idCol).as("vid"), col(strCol).as("vs"),
+        explode(deletionNeighborhood(col(strCol))).as("variant"))
+    val cand = variants.select(col("vid").as("id_a"), col("vs").as("s_a"), col("variant"))
+      .join(variants.select(col("vid").as("id_b"), col("vs").as("s_b"), col("variant")),
+            Seq("variant"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b")
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -118,4 +118,23 @@ object Profiling {
     orphans.crossJoin(total)
       .select(lit(name).as("rule"), col("violations"), col("checked"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns: every equivalence
+    * class (distinct quasi-identifier combination) smaller than `k`
+    * re-identifies its members. Emits the violating classes with their
+    * sizes — the release gate is "this result is empty".
+    *
+    * Scale shape: one hash-aggregate on the quasi-identifier tuple
+    * (map-side combine collapses each class to one row per partition
+    * before the shuffle), then a size filter — no window, no join. The
+    * class count is bounded by the quasi-identifier domain product, not
+    * the row count, so the post-shuffle state stays small even at
+    * 100 TB. */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "no quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
 }

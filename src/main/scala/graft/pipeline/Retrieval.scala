@@ -142,4 +142,46 @@ object Retrieval {
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
   }
+
+  /** Inverted-index build: one posting-list row per distinct token —
+    * (token, df, postings) with postings the doc-id list sorted
+    * ascending. `maxDf` drops tokens appearing in more than that many
+    * documents (stop-term elision — the bound that keeps the largest
+    * posting row O(maxDf) instead of O(corpus); real engines skip-list
+    * such terms, a batch pipeline simply elides them and lets the
+    * serve path fall back to a scan for them).
+    *
+    * Scale shape: per-doc distinct tokens are a narrow projection
+    * (array_distinct before the explode, so a token repeated in a doc
+    * costs one row); the only shuffle is the groupBy(token) that builds
+    * each posting list, and collect_list groups are bounded by maxDf
+    * AFTER the having-filter (Spark evaluates the df count and the list
+    * in the same aggregate — a hot stop token still aggregates once,
+    * so pair the build with a stopword pre-filter when the corpus has
+    * known mega-terms). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = 1000000L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(split(lower(col(textCol)), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") <= maxDf)
+
+  /** Conjunctive (AND) query served FROM the index: intersect the query
+    * terms' posting lists. A doc qualifies iff it appears in all
+    * |terms| lists — explode the (few) matching posting rows and count.
+    * The scan side never touches the corpus: work is O(Σ df(term)),
+    * the classic reason an inverted index beats a table scan for
+    * selective conjunctions. Returns (doc_id) rows. */
+  def serveConjunctive(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val t = terms.map(_.toLowerCase).distinct
+    index.filter(col("token").isin(t: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === t.size)
+      .select(col("doc_id"))
+  }
 }

@@ -330,6 +330,34 @@ object Pipeline {
     Dedup.spanDedupRewrite(Tables.documents(s, d), "doc_id", "text", window = 3)
       .orderBy(col("doc_id"))
 
+  /** Inverted-index build over the corpus: one posting-list row per
+    * token, postings sorted ascending (Retrieval.invertedIndex). */
+  private def textInvertedIndex: Q = (s, d) =>
+    Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("token"))
+
+  /** Conjunctive query served FROM the inverted index — work is
+    * O(Σ df(term)), never a corpus scan; the oracle replays the same
+    * conjunction as a direct scan, proving index-serve ≡ scan. */
+  private def textIndexServe: Q = (s, d) => {
+    val idx = Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+    Retrieval.serveConjunctive(idx, Seq("spark", "vector", "merge"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy record-linkage join at edit distance <= 1 over supplier
+    * names: symmetric-deletion (SymSpell) blocking makes the candidate
+    * generator an equi-join that is COMPLETE by theorem — the exact
+    * levenshtein verify only discards false positives (see
+    * Dedup.editDistance1Pairs for the proof and the 100 TB shape). */
+  private def dedupFuzzyJoin: Q = (s, d) =>
+    Dedup.editDistance1Pairs(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** First-occurrence 3-gram novelty per document — the
     * boilerplate/template-spam signal pairwise dedup misses. */
   private def textNovelty: Q = (s, d) =>
@@ -954,6 +982,9 @@ object Pipeline {
     "text_bigram_lm"       -> textBigramLm,
     "text_chunks"          -> textChunks,
     "dedup_substring_pairs" -> dedupSubstringPairs,
+    "dedup_fuzzy_join"     -> dedupFuzzyJoin,
+    "text_inverted_index"  -> textInvertedIndex,
+    "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
     "sample_balanced"      -> sampleBalanced,
     "sample_interleave"    -> sampleInterleave,
@@ -2070,6 +2101,27 @@ object Pipeline {
     "dedup_exact_groups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS copies
          FROM documents GROUP BY text ORDER BY fp""",
+    // exact quadratic replay of the symmetric-deletion blocked join —
+    // blocking is complete by theorem, so the sets must match exactly
+    "text_inverted_index" ->
+      """SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
+         FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents)
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY token""",
+    "text_index_serve" ->
+      """SELECT doc_id FROM documents
+         WHERE list_contains(string_split(lower(text), ' '), 'spark')
+           AND list_contains(string_split(lower(text), ' '), 'vector')
+           AND list_contains(string_split(lower(text), ' '), 'merge')
+         ORDER BY doc_id""",
+    "dedup_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                a.s_name AS s_a, b.s_name AS s_b,
+                CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY id_a, id_b""",
     "text_token_stats" ->
       s"""SELECT doc_id,
           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

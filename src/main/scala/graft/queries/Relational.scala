@@ -924,9 +924,23 @@ object Relational {
       .orderBy(col("rule"))
   }
 
+  /** k-anonymity audit: customer equivalence classes over
+    * (nation, segment, 1000-wide balance band) smaller than k=5 —
+    * the privacy release gate a curation pipeline runs before
+    * publishing a slice keyed on quasi-identifiers. One
+    * hash-aggregate + filter (see Profiling.kAnonymityViolations). */
+  private def dqKAnonymity: Q = (s, d) =>
+    graft.pipeline.Profiling.kAnonymityViolations(
+        Tables.customer(s, d).select(
+          col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("balance_band")),
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("balance_band"))
+
   val queries: Map[String, Q] = Map(
     "rel_scd2_islands"        -> scd2Islands,
     "dq_expectations"         -> dqExpectations,
+    "dq_k_anonymity"          -> dqKAnonymity,
     "rel_profile"             -> profileReport,
     "rel_profile_drift"       -> profileDrift,
     "rel_interval_join"       -> intervalOverlapJoin,
@@ -1481,6 +1495,13 @@ object Relational {
                          (SELECT c_custkey FROM customer)) FROM orders)
          SELECT rule, CAST(violations AS BIGINT) AS violations, checked
          FROM rows_r, n ORDER BY rule""",
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS balance_band,
+                count(*) AS class_size
+         FROM customer
+         GROUP BY 1, 2, 3 HAVING count(*) < 5
+         ORDER BY c_nationkey, c_mktsegment, balance_band""",
     "rel_merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
               u AS (SELECT o_orderkey AS u_key, '0-MERGED' AS u_priority,

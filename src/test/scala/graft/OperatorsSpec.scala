@@ -342,6 +342,21 @@ class OperatorsSpec extends SparkSpec {
     assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) === (("id_fk", 2L, 3L)))
   }
 
+  test("kAnonymityViolations flags classes under k and only those") {
+    import graft.pipeline.Profiling
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"),   // class of 3 -> ok at k=3
+      ("US", "B"), ("US", "B"),                // class of 2 -> violation
+      ("DE", "A")                              // singleton  -> violation
+    ).toDF("country", "segment")
+    val v = Profiling.kAnonymityViolations(df, Seq("country", "segment"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v === Map(("US", "B") -> 2L, ("DE", "A") -> 1L))
+    assertThrows[IllegalArgumentException] {
+      Profiling.kAnonymityViolations(df, Seq.empty, k = 3)
+    }
+  }
+
   test("materialized agg: signed-delta refresh equals full recompute; emptied groups vanish") {
     import graft.operators.MaterializedAgg
     val base = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("c", 7L)).toDF("k", "v")

@@ -57,6 +57,28 @@ class PipelineSpec extends SparkSpec {
     assert(fwd === Seq((2L, 1), (4L, 2), (1L, 3)))
   }
 
+  test("editDistance1Pairs equals the brute-force levenshtein join (blocking is complete)") {
+    // substitution, deletion, insertion, equal-after-1, and far-apart cases
+    val names = Seq(
+      (1L, "alpha"), (2L, "alphb"),       // substitution at tail
+      (3L, "alph"),                       // deletion of 'a'
+      (4L, "alphaa"),                     // insertion
+      (5L, "beta"), (6L, "betta"),        // insertion mid-string
+      (7L, "gamma"), (8L, ""), (9L, "g")  // empty + single-char edges
+    ).toDF("id", "name")
+    val got = Dedup.editDistance1Pairs(names, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = names.select(col("id").as("ia"), col("name").as("na"))
+    val b = names.select(col("id").as("ib"), col("name").as("nb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+           got.contains((1L, 4L)) && got.contains((5L, 6L)) && got.contains((8L, 9L)))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L)) // gamma is isolated
+  }
+
   test("exactSubstringPairs finds anchor-gram overlaps; maxDf drops boilerplate grams") {
     // docs 0/1 identical (9 distinct 6-grams each), doc 2 differs only in
     // the last token (shares the 8 grams not touching it), doc 4 is a

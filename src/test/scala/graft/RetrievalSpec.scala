@@ -278,4 +278,35 @@ class RetrievalSpec extends SparkSpec {
     val violations = SparkEntry.queries("slo_cms_check")(spark, sf()).count()
     assert(violations === 0L)
   }
+
+  // ---------------- inverted index ----------------
+
+  test("invertedIndex postings are sorted per-doc-distinct; maxDf elides stop terms") {
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (3L, "the cat sat"), (1L, "the cat cat ran"), (2L, "the dog ran")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(idx("the") === ((3L, Seq(1L, 2L, 3L))))   // sorted despite arrival order
+    assert(idx("cat") === ((2L, Seq(1L, 3L))))       // in-doc repeat counts once
+    assert(idx("sat") === ((1L, Seq(3L))))
+    val elided = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(!elided.contains("the") && elided.contains("cat"))
+  }
+
+  test("serveConjunctive from the index equals a direct corpus scan") {
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (1L, "spark merge vector io"), (2L, "spark merge"), (3L, "vector merge spark"),
+      (4L, "spark vector"), (5L, "")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val served = Retrieval.serveConjunctive(idx, Seq("Spark", "vector", "MERGE", "spark"))
+      .as[Long].collect().toSet
+    assert(served === Set(1L, 3L))
+    // empty-result conjunction (one term absent from the corpus)
+    assert(Retrieval.serveConjunctive(idx, Seq("spark", "nosuchterm")).count() === 0L)
+  }
 }

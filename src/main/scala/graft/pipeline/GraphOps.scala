@@ -128,4 +128,51 @@ object GraphOps {
     nodes.select(col(idCol).as("id")).join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** k-core of an undirected graph: the maximal subgraph in which every
+    * vertex keeps degree >= k — the standard "dense community vs
+    * transitive accident" separator on a similarity graph (a borderline
+    * chain of near-dup matches dies in the first peel; a template
+    * family's clique survives).
+    *
+    * Iterative peeling to FIXPOINT: each round drops vertices whose
+    * current degree < k, which lowers neighbors' degrees, so the peel
+    * cascades. Per round: one degree hash-aggregate + two semi-joins
+    * (each edge endpoint against the surviving vertex set) — all
+    * shuffle-partitioned on the vertex key, no driver state beyond the
+    * edge count that detects the fixpoint. Edge/keep sets are
+    * localCheckpoint'ed per round (the clusterNearDups lineage
+    * discipline). Rounds are bounded by the peel DEPTH of the graph
+    * (≤ vertex count worst-case, tiny in practice); `maxRounds` turns a
+    * pathological input into a loud error instead of a silent partial
+    * core.
+    *
+    * Input `pairs`: canonical undirected edges (id_a < id_b), deduped.
+    * Output: (id, deg) for core members, deg = degree INSIDE the core. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var nEdges = edges.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val keep = degrees(edges).filter(col("deg") >= k)
+        .select(col("id")).localCheckpoint()
+      val next = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint()
+      val n = next.count()
+      converged = n == nEdges // edges only ever shrink; equal count = no peel
+      edges = next; nEdges = n; round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach a fixpoint in $maxRounds rounds; raise maxRounds")
+    degrees(edges)
+  }
 }

@@ -65,6 +65,26 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Recall@k of an approximate top-k against the exact top-k: for
+    * each query, |approx ∩ exact| / |exact| — the standard ANN quality
+    * gauge, computed in-engine so a recall regression (bad quantizer
+    * retrain, wrong nprobe) fails a release gate instead of silently
+    * degrading retrieval. Both inputs are (query_id, neighbor_id[,...])
+    * top-k tables; output (query_id, recall) — |queries| rows.
+    *
+    * Scale shape: one left join on (query_id, neighbor_id) + one
+    * aggregate, both bounded at queries×k rows — the evaluation costs
+    * nothing next to the retrievals themselves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)), 4).as("recall"))
+  }
+
   /** Matryoshka (MRL-style) two-phase retrieval: score the whole corpus
     * with only the first `prefixDims` dimensions — the cheap pass that
     * motivates matryoshka embeddings: a d/prefixDims-fold cut in

@@ -252,6 +252,40 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN recall CONTRACT, two legs over 50 queries at k=10, oracle =
+    * the TYPED EMPTY SET (the slo_hll_check pattern: quantizer cells
+    * are engine-defined, the accuracy contract is not):
+    *
+    *  - `ivf_exact_total`: recall of IVF at nprobe = nlist against
+    *    brute force must be EXACTLY 1.0 per query — a theorem (probing
+    *    every cell is a corpus scan), so any row here means the IVF
+    *    machinery itself (assignment, probe join, heap merge) broke;
+    *  - `ivf_pruned_avg`: MACRO-average recall of the pruned
+    *    production shape (nprobe=3 of nlist=8, ~3/8 of the corpus
+    *    scanned) must stay >= 0.55. This corpus is isotropic random —
+    *    the WORST case for cell pruning (no cluster structure, so
+    *    per-query recall is noisy: observed min 0.2-0.3, avg
+    *    0.63-0.67 across sf0.001/0.01/0.1) — which is why the pruned
+    *    leg contracts the average, not a per-query floor. Deterministic
+    *    (seeded quantizer), so a regression, not noise, is the only
+    *    thing that can emit a row. */
+  private def annRecallContract: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10).localCheckpoint()
+    val full = Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 8)
+    val pruned = Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 3)
+    val legA = Similarity.recallAtK(full, exact)
+      .filter(col("recall") < 1.0)
+      .select(lit("ivf_exact_total").as("check"), col("query_id"), col("recall"))
+    val legB = Similarity.recallAtK(pruned, exact)
+      .agg(round(avg(col("recall")), 4).as("recall"))
+      .filter(col("recall") < 0.55)
+      .select(lit("ivf_pruned_avg").as("check"),
+        lit(null).cast("long").as("query_id"), col("recall"))
+    legA.unionAll(legB).orderBy(col("check"), col("query_id"))
+  }
+
   /** PQ with exact re-rank: a high-fidelity quantizer (m=16 subspaces ×
     * ksub=128 — 4-dim subspaces, still a 16-code row) ADC-ranks a pool of
     * k·16 candidates, then exact cosine re-scores only the pool. This
@@ -505,6 +539,29 @@ object Pipeline {
     val nodes = Tables.documents(s, d).filter(col("doc_id") < 100)
       .select(col("doc_id").as("id"))
     GraphOps.triangleCounts(pairs, nodes).orderBy(col("id"))
+  }
+
+  /** 2-core of the user co-occurrence graph (users sharing an
+    * (event_type, minute) activity bucket) — peeled to FIXPOINT; the
+    * engine asserts convergence, and the oracle's 6 unrolled peel
+    * rounds exceed the 3 this corpus needs (extra rounds are no-ops at
+    * the fixpoint, so oracle == engine for any round count >= depth).
+    * The co-occurrence projection is an equi-join on the bucket key —
+    * per-bucket quadratic, bounded by per-minute activity, the standard
+    * shape for co-occurrence graphs (a hot bucket is an AQE skew key,
+    * not a cartesian). */
+  private def graphKcore: Q = (s, d) => {
+    val b = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("m"))
+      .distinct()
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.m") === col("b.m") &&
+        col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("id_a"), col("b.user_id").as("id_b"))
+      .distinct()
+    GraphOps.kCore(pairs, k = 2).orderBy(col("id"))
   }
 
   /** Per-label centroid drift between the even-id (reference) and
@@ -959,6 +1016,7 @@ object Pipeline {
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_ivf_exact"        -> annIvfExact,
+    "ann_recall_contract"  -> annRecallContract,
     "ann_pq_refined"       -> annPqRefined,
     "ann_pq_topk"          -> annPqTopK,
     "ann_ivfpq_topk"       -> annIvfPqTopK,
@@ -1008,6 +1066,7 @@ object Pipeline {
     "sample_quantile_filter" -> sampleQuantileFilter,
     "graph_pagerank"       -> graphPagerank,
     "graph_triangles"      -> graphTriangles,
+    "graph_kcore"          -> graphKcore,
     "dedup_containment_pairs" -> dedupContainmentPairs,
     "sample_leakage_split" -> sampleLeakageSplit,
     "ann_int8_topk"        -> annInt8TopK,
@@ -1203,6 +1262,33 @@ object Pipeline {
             ${iter("pr1", "pr2")},
             ${iter("pr2", "pr3")}
        SELECT id, pr FROM pr3 ORDER BY id"""
+  }
+
+  /** Unrolled k-core peeling (6 rounds; the corpus fixpoint is 3 —
+    * extra rounds are idempotent, so this equals the engine's
+    * run-to-fixpoint for any depth <= 6). Edge CTE MATERIALIZED so the
+    * co-occurrence join isn't inlined into every round. */
+  private val kcoreSql: String = {
+    val rounds = (1 to 6).map { i =>
+      val p = i - 1
+      s""",
+         k$p AS MATERIALIZED (
+             SELECT id FROM (SELECT u AS id FROM e$p UNION ALL SELECT v AS id FROM e$p)
+             GROUP BY id HAVING count(*) >= 2),
+         e$i AS MATERIALIZED (
+             SELECT u, v FROM e$p WHERE u IN (SELECT id FROM k$p)
+                                    AND v IN (SELECT id FROM k$p))"""
+    }.mkString
+    s"""WITH b AS MATERIALIZED (
+              SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+              FROM events),
+         e0 AS MATERIALIZED (
+              SELECT DISTINCT a.user_id AS u, c.user_id AS v
+              FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
+                               AND a.user_id < c.user_id)$rounds
+       SELECT id, count(*) AS deg
+       FROM (SELECT u AS id FROM e6 UNION ALL SELECT v AS id FROM e6)
+       GROUP BY id ORDER BY id"""
   }
 
   /** Exact cross-set Jaccard pairs (new batch = doc_id % 4 == 0 vs the
@@ -1612,6 +1698,13 @@ object Pipeline {
          FROM sc s JOIN thr USING (source) WHERE s.q >= thr.thr
          ORDER BY s.doc_id""",
     "graph_pagerank" -> pagerankSql,
+    "graph_kcore" -> kcoreSql,
+    // recall contract: quantizer cells are engine-defined, the accuracy
+    // floor is not — the oracle is the typed empty violation set
+    "ann_recall_contract" ->
+      """SELECT CAST(NULL AS VARCHAR) AS check,
+                CAST(NULL AS BIGINT) AS query_id,
+                CAST(NULL AS DOUBLE) AS recall WHERE 1 = 0""",
     "ann_drift" ->
       """WITH ex AS (SELECT vec_id, label, unnest(embedding) AS val,
                             unnest(range(0, len(embedding))) AS pos FROM embeddings),

@@ -79,6 +79,18 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L)) // gamma is isolated
   }
 
+  test("recallAtK: exact fraction per query; IVF recall contract holds on the corpus") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+                    (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (1L, 98L),
+                     (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact)
+      .as[(Long, Double)].collect().toMap
+    assert(r === Map(1L -> 0.5, 2L -> 1.0)) // extras in approx never help
+    val violations = SparkEntry.queries("ann_recall_contract")(spark, sf())
+    assert(violations.count() === 0L, "pruned IVF fell below the recall floor")
+  }
+
   test("exactSubstringPairs finds anchor-gram overlaps; maxDf drops boilerplate grams") {
     // docs 0/1 identical (9 distinct 6-grams each), doc 2 differs only in
     // the last token (shares the 8 grams not touching it), doc 4 is a

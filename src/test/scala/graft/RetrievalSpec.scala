@@ -232,6 +232,23 @@ class RetrievalSpec extends SparkSpec {
     assert(r4.values.toSeq === Seq(3L, 3L, 3L, 3L))
   }
 
+  test("kCore peels a chain into the triangle core across cascading rounds") {
+    // triangle {1,2,3} with a chain 3-4-5-6 hanging off: at k=2 the chain
+    // peels one vertex per round (6, then 5, then 4) — a 3-round cascade —
+    // leaving the triangle where everyone keeps degree 2
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val core = GraphOps.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: the triangle itself dies -> empty core (terminates cleanly)
+    assert(GraphOps.kCore(pairs, k = 3).count() === 0L)
+    // a cascade deeper than maxRounds fails LOUDLY, never a partial core
+    assertThrows[IllegalStateException] {
+      GraphOps.kCore(pairs, k = 2, maxRounds = 2).count()
+    }
+  }
+
   // ---------------- RRF fusion ----------------
 
   test("rrfFuse: both-list docs outrank single-list docs; missing ranks contribute 0") {

@@ -192,6 +192,48 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Neyman-allocation stratified sampling: a total budget of `totalN`
+    * rows is split across strata proportionally to N_h·σ_h (stratum
+    * size × stratum std-dev of `valueCol`) — the variance-optimal
+    * allocation for estimating the population mean (Neyman 1934,
+    * public statistics): high-variance strata get more samples, a
+    * constant stratum needs almost none. Within each stratum the
+    * allocated rows are chosen by md5 rank (the deterministic,
+    * engine-portable sampler used throughout).
+    *
+    * Determinism bridge (oracle parity): σ is rounded to 6 decimals
+    * before the share, the share to 9, and the allocation uses
+    * floor(x+0.5) — the cross-engine quantization ladder (the
+    * sample_temperature pattern) so double ulps can never move a
+    * whole row between strata. Constant or single-row strata carry
+    * weight 0 but still receive floor-rounding's minimum of 0 rows —
+    * callers who need representation floor it with a union of
+    * stratifiedSample(1).
+    *
+    * Scale shape: stratum stats are one hash-aggregate (|strata|
+    * rows, broadcast back); the rank window shuffles once on the
+    * stratum key — identical cost to stratifiedSample. */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+                   valueCol: String, totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be > 0: $totalN")
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"),
+        round(coalesce(stddev_pop(col(valueCol)), lit(0.0)), 6).as("__sd"))
+      .withColumn("__w", col("__n") * col("__sd"))
+    val totalW = stats.agg(sum(col("__w"))).head().getDouble(0)
+    require(totalW > 0.0,
+      s"Neyman weights are all zero (every stratum constant in $valueCol)")
+    val alloc = stats.select(col(stratumCol),
+      floor(lit(totalN.toDouble) * round(col("__w") / lit(totalW), 9) + 0.5)
+        .cast("long").as("__alloc"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(alloc), stratumCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__alloc"))
+      .drop("__rn", "__alloc")
+  }
+
   /** Byte-pair-encoding APPLICATION with a fixed, ordered merge list —
     * the tokenize step of a trained BPE vocabulary (public algorithm;
     * merges are input, training them is `topNgrams`' job). Each word

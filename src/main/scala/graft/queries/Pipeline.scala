@@ -776,6 +776,14 @@ object Pipeline {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Variance-optimal (Neyman) allocation of a 100-row budget across
+    * sources by N_h·σ_h of n_chars; md5-rank selection within strata. */
+  private def sampleNeyman: Q = (s, d) =>
+    Curation.neymanSample(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", totalN = 100)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def sampleTokenBudget: Q = (s, d) =>
     Curation.tokenBudgetSample(
         Tables.documents(s, d)
@@ -1044,6 +1052,7 @@ object Pipeline {
     "text_inverted_index"  -> textInvertedIndex,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
+    "sample_neyman"        -> sampleNeyman,
     "sample_balanced"      -> sampleBalanced,
     "sample_interleave"    -> sampleInterleave,
     "sample_token_budget"  -> sampleTokenBudget,
@@ -1787,6 +1796,28 @@ object Pipeline {
                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                     FROM documents)
          SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""",
+    // Neyman allocation replay: same 6/9-decimal + floor(x+0.5)
+    // quantization ladder as the engine
+    "sample_neyman" ->
+      """WITH stats AS (
+              SELECT source, count(*) AS n,
+                     round(coalesce(stddev_pop(n_chars), CAST(0 AS DOUBLE)), 6) AS sd
+              FROM documents GROUP BY source),
+            tw AS (SELECT sum(n * sd) AS w FROM stats),
+            alloc AS (
+              SELECT source,
+                     CAST(floor(CAST(100 AS DOUBLE)
+                                * round(n * sd / (SELECT w FROM tw), 9)
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS a
+              FROM stats),
+            ranked AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+         SELECT r.doc_id, r.source, r.n_chars
+         FROM ranked r JOIN alloc USING (source) WHERE rn <= a
+         ORDER BY doc_id""",
     "sample_token_budget" ->
       """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
               c AS (SELECT doc_id, source, n_tokens,

@@ -282,6 +282,45 @@ class CatalogSpec extends SparkSpec {
     assert(afterForeign.count() === 5, "stat-less foreign files must still be read")
   }
 
+  test("layout evolution: pruning stays exact across eras clustered by different columns") {
+    // The Iceberg hidden-partitioning property, on the stats-pruning
+    // design: clustering choice affects pruning EFFECTIVENESS only,
+    // never correctness — so a table can re-cluster mid-life (era 1 by
+    // id, era 2 by score) and every old reader keeps working. Predicates
+    // on id prune hard inside era 1 and degrade to scan-all inside
+    // era 2; contents stay exact either way.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("ns", "evo")
+    // era 1: ids 0..499 clustered by id (5 tight files)
+    cat.commitAppend("ns", "evo",
+      (0 until 500).map(i => (i.toLong, (i * 7 % 100).toLong)).toDF("id", "score")
+        .repartitionByRange(5, col("id")))
+    // era 2: ids 500..999 clustered by score (5 files, each spanning ALL ids)
+    cat.commitAppend("ns", "evo",
+      (500 until 1000).map(i => (i.toLong, (i * 7 % 100).toLong)).toDF("id", "score")
+        .repartitionByRange(5, col("score")))
+    assert(cat.read("ns", "evo").inputFiles.length === 10)
+
+    // id band inside era 2's span: every era-1 file is excluded by its id
+    // bounds, but NO era-2 file can be pruned (each score-clustered file
+    // spans nearly the whole 500..999 id range) — pruning quality tracks
+    // the clustering of the era that owns the data
+    val idBand = cat.readWhere("ns", "evo", "id", Some("600"), Some("699"))
+    assert(idBand.inputFiles.length === 5,
+      s"id band should read exactly the 5 era-2 files, got ${idBand.inputFiles.length}")
+    assert(idBand.select("id").as[Long].collect().sorted === (600L to 699L).toArray)
+
+    // score predicate: prunes era 2 hard, reads era 1 fully — the mirror
+    val scoreBand = cat.readWhere("ns", "evo", "score", Some("0"), Some("19"))
+    assert(scoreBand.inputFiles.length <= 5 + 1,
+      s"score band read ${scoreBand.inputFiles.length} files")
+    val expected = (0 until 1000).map(i => (i.toLong, (i * 7 % 100).toLong))
+      .filter { case (_, s) => s >= 0 && s <= 19 }.map(_._1).sorted
+    assert(scoreBand.select("id").as[Long].collect().sorted === expected.toArray)
+  }
+
   test("z-order clustering prunes files on BOTH dimensions from one layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

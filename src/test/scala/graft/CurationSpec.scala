@@ -607,4 +607,29 @@ class CurationSpec extends SparkSpec {
     assert(out("lll") === (("ll|l", 2)))
     assert(out("x") === (("x", 1)))
   }
+
+  test("neymanSample: variance-heavy strata get the budget; constant strata get none") {
+    import graft.pipeline.Curation
+    // stratum 'wild': values spread 0..90 (sd ~ 30); 'flat': constant
+    // (sd = 0); both size 10 -> all 6 samples land in 'wild'
+    val rows = (0 until 10).map(i => (i.toLong, "wild", i * 10L)) ++
+               (10 until 20).map(i => (i.toLong, "flat", 50L))
+    val df = rows.toDF("id", "stratum", "v")
+    val got = Curation.neymanSample(df, "stratum", "id", "v", totalN = 6)
+      .select("stratum").as[String].collect()
+    assert(got.length === 6 && got.forall(_ == "wild"))
+    // equal sizes and sds -> budget splits evenly
+    val balanced = (0 until 10).map(i => (i.toLong, "a", (i % 5) * 7L)) ++
+                   (10 until 20).map(i => (i.toLong, "b", (i % 5) * 7L))
+    val even = Curation.neymanSample(balanced.toDF("id", "stratum", "v"),
+        "stratum", "id", "v", totalN = 8)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(even === Map("a" -> 4L, "b" -> 4L))
+    // all-constant corpus fails loudly instead of sampling nothing
+    assertThrows[IllegalArgumentException] {
+      Curation.neymanSample(
+        Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "stratum", "v"),
+        "stratum", "id", "v", totalN = 2)
+    }
+  }
 }

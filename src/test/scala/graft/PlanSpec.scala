@@ -416,6 +416,41 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
   }
 
+  test("runtime bloom-filter join: selective dim filter injects a bloom probe on the fact scan") {
+    // The 100 TB shape this exercises: a selective dimension predicate
+    // (urgent orders) should cut the FACT side's shuffle before the join
+    // — Spark's runtime bloom filter builds a sketch from the filtered
+    // dim side and probes it on lineitem rows pre-shuffle. Size
+    // thresholds are production-tuned (10 GB application side), so the
+    // test lowers them to exercise the rewrite at fixture scale.
+    import org.apache.spark.sql.functions.{col, sum}
+    val conf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the fact side pre-aggregates by order — that shuffle below the
+      // join is what the bloom probe cuts (Spark only injects when the
+      // application side has a shuffle to save)
+      val li = Tables.lineitem(spark, sf())
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      val urgent = Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+        .agg(sum(col("qty")))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bm25: IDF side broadcasts, top-k is TakeOrderedAndProject, no cartesian") {
     val p = plan("text_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"), s"bm25 did a global sort:\n$p")

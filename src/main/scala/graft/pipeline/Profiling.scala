@@ -119,6 +119,28 @@ object Profiling {
       .select(lit(name).as("rule"), col("violations"), col("checked"))
   }
 
+  /** Quality-gate filter with ONE-PASS metrics via Spark's Observation
+    * API: the returned DataFrame filters on `pred`, and the returned
+    * Observation yields (rows_in, rows_kept) as a side product of
+    * whatever action the caller runs — no second counting pass over the
+    * corpus. At 100 TB this is the difference between "the gate report
+    * is free" and "the gate report doubles the read": observe() folds
+    * the metric aggregation into the same scan, executor-side, and
+    * ships one tiny row to the driver per action.
+    *
+    * The predicate is evaluated once per row for the metric and once
+    * for the filter — both codegen'd into the same stage, so the cost
+    * is an extra comparison, not an extra job. */
+  def observedGate(df: DataFrame, pred: org.apache.spark.sql.Column,
+                   name: String = "gate")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows_in"),
+      sum(when(pred.isNull || !pred, 0L).otherwise(1L)).as("rows_kept"))
+    (observed.filter(pred), obs)
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every equivalence
     * class (distinct quasi-identifier combination) smaller than `k`
     * re-identifies its members. Emits the violating classes with their

@@ -364,6 +364,25 @@ object Pipeline {
     Dedup.spanDedupRewrite(Tables.documents(s, d), "doc_id", "text", window = 3)
       .orderBy(col("doc_id"))
 
+  /** End-to-end entity resolution: fuzzy pairs (symmetric-deletion
+    * blocked edit-distance join) → connected components (pointer
+    * jumping) → one canonical record per entity cluster (min-id member,
+    * whose id IS the converged cluster label). The full ER pipeline a
+    * warehouse runs on customer/supplier master data, composed from the
+    * two proven stages so it inherits both scale arguments. */
+  private def dedupEntityResolution: Q = (s, d) => {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val pairs = Dedup.editDistance1Pairs(sup, "s_suppkey", "s_name")
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterNearDups(pairs, sup.select(col("s_suppkey")), idCol = "s_suppkey")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("members"))
+      .join(sup.select(col("s_suppkey").as("cluster"),
+        col("s_name").as("canonical_name")), "cluster")
+      .select(col("cluster"), col("members"), col("canonical_name"))
+      .orderBy(col("cluster"))
+  }
+
   /** Inverted-index build over the corpus: one posting-list row per
     * token, postings sorted ascending (Retrieval.invertedIndex). */
   private def textInvertedIndex: Q = (s, d) =>
@@ -1049,6 +1068,7 @@ object Pipeline {
     "text_chunks"          -> textChunks,
     "dedup_substring_pairs" -> dedupSubstringPairs,
     "dedup_fuzzy_join"     -> dedupFuzzyJoin,
+    "dedup_entity_resolution" -> dedupEntityResolution,
     "text_inverted_index"  -> textInvertedIndex,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -2239,6 +2259,23 @@ object Pipeline {
            AND list_contains(string_split(lower(text), ' '), 'vector')
            AND list_contains(string_split(lower(text), ' '), 'merge')
          ORDER BY doc_id""",
+    // recursive-CTE closure over the exact levenshtein graph: min-id
+    // component label == the engine's converged cluster label
+    "dedup_entity_resolution" ->
+      """WITH RECURSIVE ed AS MATERIALIZED (
+              SELECT a.s_suppkey AS u, b.s_suppkey AS v
+              FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+              WHERE levenshtein(a.s_name, b.s_name) <= 1),
+            edges AS (SELECT u AS src, v AS dst FROM ed
+                      UNION ALL SELECT v, u FROM ed),
+            reach AS (SELECT s_suppkey AS id, s_suppkey AS r FROM supplier
+                      UNION
+                      SELECT e.src, reach.r FROM edges e
+                      JOIN reach ON e.dst = reach.id),
+            lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         SELECT l.cluster, count(*) AS members, s.s_name AS canonical_name
+         FROM lab l JOIN supplier s ON s.s_suppkey = l.cluster
+         GROUP BY l.cluster, s.s_name ORDER BY l.cluster""",
     "dedup_fuzzy_join" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
                 a.s_name AS s_a, b.s_name AS s_b,

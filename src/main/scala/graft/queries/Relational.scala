@@ -727,6 +727,22 @@ object Relational {
   /** Correlated subquery through the SQL front end — Catalyst
     * decorrelates it into an aggregate + join; customers richer than
     * their nation's average. */
+  /** LATERAL correlated derived table — per-customer top-2 orders via a
+    * correlated ORDER BY ... LIMIT subquery in FROM. Catalyst rewrites
+    * the lateral into a ranked join (no per-row re-execution); the same
+    * query in DuckDB is the oracle. */
+  private def lateralTopOrders: Q = (s, d) => {
+    Tables.registerViews(s, d)
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey < 100
+      ORDER BY c.c_custkey, o.o_orderkey""")
+  }
+
   private def correlatedSubquery: Q = (s, d) => {
     Tables.registerViews(s, d)
     s.sql("""
@@ -952,6 +968,7 @@ object Relational {
     "rel_gap_fill"            -> gapFill,
     "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
+    "rel_lateral_join"        -> lateralTopOrders,
     "rel_scalar_subquery"     -> scalarSubquery,
     "rel_exists_subquery"     -> existsSubquery,
     "rel_window_leadlag"      -> windowLeadLag,
@@ -1161,6 +1178,14 @@ object Relational {
          FROM orders
          WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
          ORDER BY o_orderkey""",
+    "rel_lateral_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 100
+         ORDER BY c.c_custkey, o.o_orderkey""",
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt

@@ -342,6 +342,22 @@ class OperatorsSpec extends SparkSpec {
     assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) === (("id_fk", 2L, 3L)))
   }
 
+  test("observedGate: metrics ride the action's own scan and match recomputation") {
+    import graft.pipeline.Profiling
+    val docs = Tables.documents(spark, sf())
+    val pred = col("n_chars") > 250
+    val (gated, obs) = Profiling.observedGate(docs, pred)
+    val kept = gated.count() // the ONLY job — metrics are a side product
+    val m = obs.get
+    assert(m("rows_in") === docs.count())
+    assert(m("rows_kept") === kept)
+    // null predicate rows fail closed in the metric, same as the filter
+    val withNull = Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(50L)))
+      .toDF("id", "v")
+    val (g2, o2) = Profiling.observedGate(withNull, col("v") > 10, "g2")
+    assert(g2.count() === 1L && o2.get("rows_kept") === 1L && o2.get("rows_in") === 3L)
+  }
+
   test("kAnonymityViolations flags classes under k and only those") {
     import graft.pipeline.Profiling
     val df = Seq(

@@ -416,6 +416,24 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
   }
 
+  test("join strategy hints override the planner: SHUFFLE_HASH and MERGE both honored") {
+    // At 100 TB the planner's default isn't always right (a sort-merge
+    // join pays two sorts a shuffled-hash join skips when one side fits
+    // per-partition memory); hints are the escape hatch and must reach
+    // the physical plan.
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf()).select("o_orderkey")
+    def planOf(hint: String): String = {
+      val q = li.join(o.hint(hint), li("l_orderkey") === o("o_orderkey"))
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint ignored")
+    assert(planOf("MERGE").contains("SortMergeJoin"), "MERGE hint ignored")
+  }
+
   test("runtime bloom-filter join: selective dim filter injects a bloom probe on the fact scan") {
     // The 100 TB shape this exercises: a selective dimension predicate
     // (urgent orders) should cut the FACT side's shuffle before the join

@@ -800,6 +800,32 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       expectedParentSeq = Some(cur.seq))
   }
 
+  /** Sort-aware compaction (Iceberg's rewrite-with-sort-order): rewrite
+    * the table bin-packed to `targetFileBytes` AND range-clustered on
+    * `sortCols`, so every new file carries TIGHT min/max bounds on those
+    * columns. This is the maintenance op that restores stats-pruning
+    * after layout drift — a table whose eras were clustered by different
+    * columns (or not at all) prunes poorly until a sorted rewrite
+    * re-establishes one layout (see CatalogSpec "layout evolution").
+    *
+    * Same CAS-conditional replace as [[compact]]: a concurrent append
+    * aborts the rewrite rather than being dropped. At warehouse scale
+    * run it per partition/era, not table-at-once; the rewrite cost is
+    * one range-shuffle of the data it touches. */
+  def compactSorted(ns: String, name: String, targetFileBytes: Long,
+                    sortCols: Seq[String]): Snapshot = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val cur = latest(ns, name)
+      .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
+    val totalBytes = math.max(1L, cur.totalBytes)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    commitReplace(ns, name,
+      read(ns, name).repartitionByRange(parts, cols: _*)
+        .sortWithinPartitions(cols: _*),
+      expectedParentSeq = Some(cur.seq))
+  }
+
   /** Replica-side commit (sync DAG t6_cas_commit_replica): register files
     * that already landed under the table dir (copied by the sync engine)
     * as a new version — same CAS loop, no data write. `schemaJson`

@@ -103,6 +103,23 @@ object CatalogQueries {
       cat.commitAppend("q", "rolled", orders.filter(col("o_orderkey") % 6 === 1)
         .select("o_orderkey", "o_totalprice"))
       cat.rollbackTo("q", "rolled", 0)
+      // write-audit-publish fixture: seeded main, one clean WAP batch
+      // (publishes + drops its branch), one dirty batch (negated prices
+      // trip the audit and park on branch "wap-bad")
+      cat.createTable("q", "wapped")
+      cat.commitAppend("q", "wapped", orders.filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      val priceRule = Seq[(String, org.apache.spark.sql.Column)](
+        "price_positive" -> (col("o_totalprice") > 0))
+      graft.catalog.Wap.writeAuditPublish(cat, "q", "wapped",
+        orders.filter(col("o_orderkey") % 7 === 1)
+          .select("o_orderkey", "o_totalprice"),
+        priceRule, branch = "wap-ok")
+      graft.catalog.Wap.writeAuditPublish(cat, "q", "wapped",
+        orders.filter(col("o_orderkey") % 7 === 2)
+          .select(col("o_orderkey"),
+            round(-col("o_totalprice"), 2).as("o_totalprice")),
+        priceRule, branch = "wap-bad")
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -112,6 +129,25 @@ object CatalogQueries {
       cat.expireSnapshots("q", "compacted", retainLast = 1)
       cat
     })
+
+  /** Write-audit-publish outcome: main carries the seed + the ONE clean
+    * batch (the dirty batch never published); the dirty batch sits whole
+    * on its forensics branch. Proves the publish gate end-to-end through
+    * the real branch/merge machinery. */
+  private def wapOutcome: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.read("q", "wapped"), "1_published_main")
+      .unionByName(agg(cat.readBranch("q", "wapped", "wap-bad"), "2_parked_branch"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
 
   /** Post-evolution read: old files project the added column as null. */
   private def schemaEvolution: Q = (s, d) =>
@@ -307,6 +343,7 @@ object CatalogQueries {
     "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
+    "cat_wap"              -> wapOutcome,
     "cat_bloom_read"       -> bloomRead,
     "cat_pruned_read"      -> prunedRead,
     "cat_zorder_read"      -> zorderRead,
@@ -387,6 +424,20 @@ object CatalogQueries {
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM b)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
          ORDER BY stage""",
+    "cat_wap" ->
+      """WITH pub AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 7 IN (0, 1)),
+              park AS (SELECT o_orderkey, o_totalprice FROM pub
+                       UNION ALL
+                       SELECT o_orderkey, round(-o_totalprice, 2)
+                       FROM orders WHERE o_orderkey % 7 = 2),
+              s1 AS (SELECT '1_published_main' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM pub),
+              s2 AS (SELECT '2_parked_branch' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM park)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_pruned_read" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

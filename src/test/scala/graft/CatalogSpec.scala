@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
-import graft.catalog.GraftCatalog
+import graft.catalog.{GraftCatalog, Wap}
 import graft.operators.SnapshotDiff
 
 /** Catalog semantics: DDL, optimistic commits, time travel, incremental
@@ -319,6 +319,55 @@ class CatalogSpec extends SparkSpec {
     val expected = (0 until 1000).map(i => (i.toLong, (i * 7 % 100).toLong))
       .filter { case (_, s) => s >= 0 && s <= 19 }.map(_._1).sorted
     assert(scoreBand.select("id").as[Long].collect().sorted === expected.toArray)
+
+    // sorted compaction re-establishes ONE id-clustered layout: the same
+    // id band now prunes to ~1 of the rewritten files, contents unchanged
+    val bytes = cat.latest("ns", "evo").get.totalBytes
+    cat.compactSorted("ns", "evo", math.max(1L, bytes / 10), Seq("id"))
+    val after = cat.readWhere("ns", "evo", "id", Some("600"), Some("699"))
+    assert(after.inputFiles.length <= 2,
+      s"sorted rewrite should restore tight pruning, read ${after.inputFiles.length}")
+    assert(after.select("id").as[Long].collect().sorted === (600L to 699L).toArray)
+    assert(cat.read("ns", "evo").count() === 1000L)
+  }
+
+  test("write-audit-publish: clean batches publish atomically, dirty batches park on their branch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("ns", "wap")
+    cat.commitAppend("ns", "wap",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"))
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      "score_positive" -> (col("score") > 0),
+      "id_not_null" -> col("id").isNotNull)
+
+    // clean batch: publishes, main advances, the staging branch is gone
+    val ok = Wap.writeAuditPublish(cat, "ns", "wap",
+      Seq((3L, 30.0)).toDF("id", "score"), rules, uniqueCols = Some(Seq("id")))
+    assert(ok.isInstanceOf[Wap.Published])
+    assert(cat.read("ns", "wap").count() === 3L)
+    assert(cat.listBranches("ns", "wap").isEmpty)
+
+    // dirty batch: negative score AND a key that duplicates published
+    // data (the cross-batch check only the BRANCH state can see)
+    val bad = Wap.writeAuditPublish(cat, "ns", "wap",
+      Seq((2L, -5.0)).toDF("id", "score"), rules, uniqueCols = Some(Seq("id")))
+    val rej = bad.asInstanceOf[Wap.Rejected]
+    val byRule = rej.report.map(r => r._1 -> r._2).toMap
+    assert(byRule("score_positive") === 1L && byRule("unique_id") === 1L)
+    // main never saw the batch; the branch kept it for forensics
+    assert(cat.read("ns", "wap").count() === 3L)
+    assert(cat.readBranch("ns", "wap", rej.branch).count() === 4L)
+
+    // audit reads the branch, so a VALID batch staged while main moved
+    // underneath still refuses to publish (merge conflict, loud)
+    val conflictBranch = "wap-conflict"
+    cat.createBranch("ns", "wap", conflictBranch)
+    cat.commitAppend("ns", "wap", Seq((9L, 90.0)).toDF("id", "score"))
+    assertThrows[GraftCatalog.MergeConflictException] {
+      cat.fastForwardMerge("ns", "wap", conflictBranch)
+    }
   }
 
   test("z-order clustering prunes files on BOTH dimensions from one layout") {

@@ -246,6 +246,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("late data past the watermark is dropped AND surfaces in the progress metrics") {
+    // The observability half of watermarking: at 100 TB the difference
+    // between "we silently lost late events" and "the pipeline reports
+    // exactly how many rows the watermark dropped" is
+    // numRowsDroppedByWatermark in each progress report — assert the
+    // metric fires, not just the output-side effect.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("eventTime", "targetRegion")
+    val query = SyncEventStream.regionThroughput(events, watermark = "5 minutes", window_ = "1 minute")
+      .writeStream.format("memory").queryName("late_metrics")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 00:00:10"), "eu"))
+      query.processAllAvailable()
+      // push the watermark to ~00:55
+      input.addData((ts("2024-01-01 01:00:00"), "eu"))
+      query.processAllAvailable()
+      // two hopeless stragglers in DIFFERENT windows (map-side partial
+      // aggregation collapses same-window late rows into one pre-state
+      // row, and the metric counts rows entering the state store)
+      input.addData((ts("2024-01-01 00:01:00"), "late"), (ts("2024-01-01 00:03:30"), "late"))
+      query.processAllAvailable()
+      val dropped = query.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 2L, s"expected 2 watermark-dropped rows, metric says $dropped")
+      // and the dropped region never reaches the results
+      input.addData((ts("2024-01-01 02:00:00"), "eu"))
+      query.processAllAvailable()
+      val regions = spark.table("late_metrics")
+        .select("targetRegion").as[String].collect().toSet
+      assert(!regions.contains("late"), "late rows leaked into the output")
+    } finally query.stop()
+  }
+
   test("sliding-window trending: streaming counts equal the batch dual on the same events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

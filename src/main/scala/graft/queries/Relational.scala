@@ -743,6 +743,42 @@ object Relational {
       ORDER BY c.c_custkey, o.o_orderkey""")
   }
 
+  /** Wide-to-long UNPIVOT via stack(): three per-flag aggregate columns
+    * reshaped into (flag, metric, value) rows — the report/export shape.
+    * stack is a generator expression (no shuffle beyond the aggregate
+    * itself); the oracle is the UNION ALL dual. */
+  private def unpivotMetrics: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .select(col("l_returnflag"), expr(
+        """stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,
+                    'avg_disc', avg_disc) AS (metric, value)"""))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Malformed-tolerant JSON ingest: event props are deterministically
+    * corrupted for event_id % 17 == 0, parsed in PERMISSIVE mode with a
+    * corrupt-record column — bad rows are COUNTED and quarantined, never
+    * dropped silently and never failing the job (the 100 TB ingest
+    * reality: some fraction of upstream JSON is always broken). */
+  private def jsonCorrupt: Q = (s, d) => {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k long, _bad string")
+    val mangled = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("event_id") % 17 === 0, concat(lit("##"), col("props")))
+          .otherwise(col("props")).as("props"))
+      .select(col("event_type"), from_json(col("props"), schema,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")).as("p"))
+    mangled.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("p._bad").isNotNull, 1L).otherwise(0L)).as("corrupt_cnt"),
+        sum(col("p.k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
   private def correlatedSubquery: Q = (s, d) => {
     Tables.registerViews(s, d)
     s.sql("""
@@ -969,6 +1005,8 @@ object Relational {
     "rel_range_join"          -> rangeValueJoin,
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_lateral_join"        -> lateralTopOrders,
+    "rel_unpivot"             -> unpivotMetrics,
+    "rel_json_corrupt"        -> jsonCorrupt,
     "rel_scalar_subquery"     -> scalarSubquery,
     "rel_exists_subquery"     -> existsSubquery,
     "rel_window_leadlag"      -> windowLeadLag,
@@ -1186,6 +1224,26 @@ object Relational {
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          WHERE c.c_custkey < 100
          ORDER BY c.c_custkey, o.o_orderkey""",
+    "rel_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+                           round(sum(l_quantity), 2) AS sum_qty,
+                           round(sum(l_extendedprice), 2) AS sum_price,
+                           round(avg(l_discount), 4) AS avg_disc
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, metric, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM a
+           UNION ALL
+           SELECT l_returnflag, 'avg_disc', avg_disc FROM a)
+         ORDER BY l_returnflag, metric""",
+    "rel_json_corrupt" ->
+      """SELECT event_type, count(*) AS cnt,
+                count(*) FILTER (WHERE event_id % 17 = 0) AS corrupt_cnt,
+                sum(CASE WHEN event_id % 17 = 0 THEN NULL
+                         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt

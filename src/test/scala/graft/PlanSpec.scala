@@ -416,6 +416,16 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
   }
 
+  test("rank<=k window filter plans WindowGroupLimit (per-partition top-k, not full sort+filter)") {
+    // Spark's group-limit pushdown: a row_number()<=k filter becomes a
+    // WindowGroupLimit that keeps k rows per key on EACH map side before
+    // the window's shuffle — at 100 TB the exchange carries k rows per
+    // customer instead of every order. Assert the optimization actually
+    // fires for our top-k-per-group query shape.
+    val p = plan("rel_window_top3")
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown did not fire:\n$p")
+  }
+
   test("join strategy hints override the planner: SHUFFLE_HASH and MERGE both honored") {
     // At 100 TB the planner's default isn't always right (a sort-merge
     // join pays two sorts a shuffled-hash join skips when one side fits

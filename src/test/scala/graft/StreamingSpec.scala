@@ -246,6 +246,63 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("RocksDB state store: streaming dedup behaves identically to the in-memory provider") {
+    // The 100 TB streaming-state answer: HDFS-backed in-memory state
+    // caps at executor heap; RocksDB spills per-key state to local disk
+    // and changelogs to the checkpoint. Same query, same results —
+    // provider choice is pure configuration, and this pins that no
+    // dedup semantics leak through the provider boundary.
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, String)]
+      val docs = input.toDF().toDF("event_time", "doc_id", "text")
+      val query = StreamingDedup.dropBowDups(docs)
+        .writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          (ts("2024-01-01 00:00:01"), 1L, "the quick brown fox"),
+          (ts("2024-01-01 00:00:02"), 2L, "fox brown quick the"),
+          (ts("2024-01-01 00:00:03"), 3L, "something else"))
+        query.processAllAvailable()
+        // state survives across micro-batches inside RocksDB
+        input.addData((ts("2024-01-01 00:00:04"), 4L, "the quick brown fox"))
+        query.processAllAvailable()
+        val kept = spark.table("rocksdb_dedup").select("doc_id")
+          .as[Long].collect().sorted
+        assert(kept === Array(1L, 3L))
+      } finally query.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("Trigger.AvailableNow drains the backlog then terminates on its own") {
+    // The incremental-batch trigger: process everything available, then
+    // stop — the shape for a cron-scheduled catch-up job that shares
+    // code with the always-on stream (no separate batch path to drift).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    input.addData(
+      (ts("2024-01-01 00:00:01"), 1L, "alpha"),
+      (ts("2024-01-01 00:00:02"), 2L, "alpha"),
+      (ts("2024-01-01 00:00:03"), 3L, "beta"))
+    val query = graft.streaming.StreamingDedup.dropExactDups(
+        input.toDF().toDF("event_time", "doc_id", "text"))
+      .writeStream.format("memory").queryName("available_now")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(query.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val kept = spark.table("available_now").select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 3L))
+  }
+
   test("late data past the watermark is dropped AND surfaces in the progress metrics") {
     // The observability half of watermarking: at 100 TB the difference
     // between "we silently lost late events" and "the pipeline reports

@@ -398,6 +398,22 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source OOV rate under a deliberately tight top-16 vocabulary —
+    * the tokenizer-coverage report run before committing a vocab: a
+    * source whose OOV rate spikes will train as id-0 noise. Rides
+    * vocabEncode's per-doc rollup; one extra source join + aggregate. */
+  private def textOovRate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Curation.vocabEncode(docs, "doc_id", "text", vocabSize = 16)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"),
+        sum(col("n_oov")).as("oov"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_tokens")), 4)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Fuzzy record-linkage join at edit distance <= 1 over supplier
     * names: symmetric-deletion (SymSpell) blocking makes the candidate
     * generator an equi-join that is COMPLETE by theorem — the exact
@@ -1070,6 +1086,7 @@ object Pipeline {
     "dedup_fuzzy_join"     -> dedupFuzzyJoin,
     "dedup_entity_resolution" -> dedupEntityResolution,
     "text_inverted_index"  -> textInvertedIndex,
+    "text_oov_rate"        -> textOovRate,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
     "sample_neyman"        -> sampleNeyman,
@@ -1633,6 +1650,19 @@ object Pipeline {
                 list(COALESCE(vocab.token_id, 0) ORDER BY w.ord) AS ids
          FROM w LEFT JOIN vocab ON vocab.tok = w.tok
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "text_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+              $TOKSTREAM,
+              vc AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1
+                     ORDER BY cnt DESC, tok LIMIT 16),
+              per AS (SELECT w.doc_id, count(*) AS n_tokens,
+                             sum(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+                      FROM w LEFT JOIN vc ON vc.tok = w.tok
+                      GROUP BY w.doc_id)
+         SELECT d.source, sum(per.n_tokens) AS tokens, sum(per.n_oov) AS oov,
+                round(CAST(sum(per.n_oov) AS DOUBLE) / sum(per.n_tokens), 4) AS oov_rate
+         FROM per JOIN documents d ON d.doc_id = per.doc_id
+         GROUP BY d.source ORDER BY d.source""",
     "text_novelty_incr" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

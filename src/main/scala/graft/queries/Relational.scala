@@ -743,6 +743,49 @@ object Relational {
       ORDER BY c.c_custkey, o.o_orderkey""")
   }
 
+  /** TPC-H Q3 shape (shipping priority): 3-way join with date bands on
+    * both fact sides, revenue agg, top-10 — the canonical "filter
+    * early, broadcast the dim, one shuffle on the agg key" composite;
+    * rank ties break by key. */
+  private def tpchQ3: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < "1998-01-01")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= "1998-01-01")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    * per customer, top 20 — fact filter first, two dim broadcasts, one
+    * agg shuffle on the customer key. */
+  private def tpchQ10: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Wide-to-long UNPIVOT via stack(): three per-flag aggregate columns
     * reshaped into (flag, metric, value) rows — the report/export shape.
     * stack is a generator expression (no shuffle beyond the aggregate
@@ -1006,6 +1049,8 @@ object Relational {
     "rel_correlated_subquery" -> correlatedSubquery,
     "rel_lateral_join"        -> lateralTopOrders,
     "rel_unpivot"             -> unpivotMetrics,
+    "rel_tpch_q3"             -> tpchQ3,
+    "rel_tpch_q10"            -> tpchQ10,
     "rel_json_corrupt"        -> jsonCorrupt,
     "rel_scalar_subquery"     -> scalarSubquery,
     "rel_exists_subquery"     -> existsSubquery,
@@ -1224,6 +1269,28 @@ object Relational {
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          WHERE c.c_custkey < 100
          ORDER BY c.c_custkey, o.o_orderkey""",
+    "rel_tpch_q3" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+         GROUP BY o.o_orderkey, o.o_orderdate
+         ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+    "rel_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS lost_revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+         GROUP BY c.c_custkey, c.c_name, n.n_name
+         ORDER BY lost_revenue DESC, c.c_custkey LIMIT 20""",
     "rel_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
                            round(sum(l_quantity), 2) AS sum_qty,

@@ -416,6 +416,15 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
   }
 
+  test("TPC-H composites: dims broadcast, top-k is TakeOrderedAndProject, no cartesian") {
+    for (q <- Seq("rel_tpch_q3", "rel_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dim join not broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q did a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
   test("rank<=k window filter plans WindowGroupLimit (per-partition top-k, not full sort+filter)") {
     // Spark's group-limit pushdown: a row_number()<=k filter becomes a
     // WindowGroupLimit that keeps k rows per key on EACH map side before

@@ -42,7 +42,13 @@ object Wap {
                         branch: String = s"wap-${java.util.UUID.randomUUID()}")
       : Result = {
     cat.createBranch(ns, table, branch)
-    cat.commitAppendToBranch(ns, table, branch, batch)
+    // a failed STAGE write must not leave a dangling empty branch; a
+    // failed AUDIT keeps the branch by design (that's the forensics)
+    try cat.commitAppendToBranch(ns, table, branch, batch)
+    catch { case e: Throwable =>
+      try cat.dropBranch(ns, table, branch) catch { case _: Throwable => () }
+      throw e
+    }
     val staged = cat.readBranch(ns, table, branch)
     val audits =
       rowRules.headOption.map(_ =>

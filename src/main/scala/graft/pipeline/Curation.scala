@@ -220,7 +220,9 @@ object Curation {
       .agg(count(lit(1)).as("__n"),
         round(coalesce(stddev_pop(col(valueCol)), lit(0.0)), 6).as("__sd"))
       .withColumn("__w", col("__n") * col("__sd"))
-    val totalW = stats.agg(sum(col("__w"))).head().getDouble(0)
+    val totalRow = stats.agg(sum(col("__w"))).head()
+    require(!totalRow.isNullAt(0), "neymanSample: empty corpus")
+    val totalW = totalRow.getDouble(0)
     require(totalW > 0.0,
       s"Neyman weights are all zero (every stratum constant in $valueCol)")
     val alloc = stats.select(col(stratumCol),

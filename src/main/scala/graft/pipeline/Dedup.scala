@@ -640,6 +640,56 @@ object Dedup {
       transform(sequence(lit(1), greatest(length(s), lit(1))),
         i => concat(substring(s, lit(1), i - 1), substring(s, i + 1, length(s)))))
 
+  /** Suffix ranks by prefix doubling (Manber–Myers, public algorithm —
+    * the core of suffix-array text dedup à la "Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022): rank every
+    * suffix (doc, pos) of the corpus by its first `k` characters using
+    * ceil(log2 k) rounds, each round doubling the compared prefix:
+    * rank_{2h}(p) = dense_rank of (rank_h(p), rank_h(p+h)), with -1 for
+    * suffixes shorter than h+1 (so "shorter sorts first", matching
+    * plain lexicographic comparison of the truncated prefixes).
+    *
+    * Scale shape — the reason this is THE corpus-scale design:
+    *  - per round: ONE self-equi-join on (doc, pos+h) to fetch the
+    *    partner rank and ONE distributed dense-rank
+    *    (DistributedRank.denseRankBy: range shuffle + per-partition
+    *    window + P-row offset prefix sum — never a single global
+    *    window);
+    *  - rounds are log2(k), not data-dependent; each round's output is
+    *    localCheckpoint'ed (the clusterNearDups lineage discipline);
+    *  - total work O(n log k) rows shuffled, the textbook bound.
+    *
+    * Output: (doc_id, pos, rank) — rank is the 1-based dense rank of
+    * the suffix's k-char prefix over the whole corpus; positions are
+    * 1-based. Suffix classes (equal ranks) with members in >1 document
+    * are exactly the cross-document duplicated k-grams, feeding the
+    * same span-election rewrite as exactSubstringPairs. */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1 && (k & (k - 1)) == 0, s"k must be a power of two: $k")
+    val chars = docs.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "")))
+      .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("ch"))
+      .filter(length(col("ch")) > 0)
+    var ranked = graft.operators.DistributedRank
+      .denseRankBy(chars, Seq(col("ch")), "rank")
+      .select(col("doc"), col("pos"), col("rank"))
+      .localCheckpoint()
+    var h = 1
+    while (h < k) {
+      val partner = ranked.select(col("doc"),
+        (col("pos") - h).as("pos"), col("rank").as("__prank"))
+      val keyed = ranked.join(partner, Seq("doc", "pos"), "left")
+        .withColumn("__prank", coalesce(col("__prank"), lit(-1L)))
+      ranked = graft.operators.DistributedRank
+        .denseRankBy(keyed, Seq(col("rank"), col("__prank")), "__nrank")
+        .select(col("doc"), col("pos"), col("__nrank").as("rank"))
+        .localCheckpoint()
+      h *= 2
+    }
+    ranked.select(col("doc").as(idCol), col("pos"), col("rank"))
+  }
+
   /** Record-linkage pairs at Levenshtein distance <= 1 via symmetric-
     * deletion blocking (the SymSpell scheme): two strings within edit
     * distance 1 ALWAYS share a member of each other's 1-deletion

@@ -398,6 +398,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Suffix ranks by prefix doubling over the first 100 docs, k=8:
+    * three doubling rounds (each one equi-join + one DISTRIBUTED
+    * dense-rank — no global window) must reproduce exactly the dense
+    * rank DuckDB computes directly on the 8-char prefixes. The oracle
+    * therefore verifies the whole Manber–Myers ladder, not just the
+    * final reshape. */
+  private def dedupSuffixRanks: Q = (s, d) =>
+    Dedup.suffixRanks(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Per-source OOV rate under a deliberately tight top-16 vocabulary —
     * the tokenizer-coverage report run before committing a vocab: a
     * source whose OOV rate spikes will train as id-0 noise. Rides
@@ -1085,6 +1097,7 @@ object Pipeline {
     "dedup_substring_pairs" -> dedupSubstringPairs,
     "dedup_fuzzy_join"     -> dedupFuzzyJoin,
     "dedup_entity_resolution" -> dedupEntityResolution,
+    "dedup_suffix_ranks"   -> dedupSuffixRanks,
     "text_inverted_index"  -> textInvertedIndex,
     "text_oov_rate"        -> textOovRate,
     "text_index_serve"     -> textIndexServe,
@@ -2289,6 +2302,17 @@ object Pipeline {
            AND list_contains(string_split(lower(text), ' '), 'vector')
            AND list_contains(string_split(lower(text), ' '), 'merge')
          ORDER BY doc_id""",
+    // direct dense_rank over the 8-char prefixes == the engine's three
+    // prefix-doubling rounds (Manber-Myers invariant)
+    "dedup_suffix_ranks" ->
+      """WITH p AS (SELECT doc_id,
+                           CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS pos,
+                           text
+                    FROM documents WHERE doc_id < 100),
+            s AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 8) AS pre FROM p)
+         SELECT doc_id, pos,
+                CAST(dense_rank() OVER (ORDER BY pre) AS BIGINT) AS rank
+         FROM s ORDER BY doc_id, pos""",
     // recursive-CTE closure over the exact levenshtein graph: min-id
     // component label == the engine's converged cluster label
     "dedup_entity_resolution" ->

@@ -57,6 +57,46 @@ class PipelineSpec extends SparkSpec {
     assert(fwd === Seq((2L, 1), (4L, 2), (1L, 3)))
   }
 
+  test("denseRankBy equals a global dense_rank, for any input partitioning and tie shape") {
+    import graft.operators.DistributedRank
+    import org.apache.spark.sql.expressions.Window
+    val vals = Seq("m", "a", "z", "a", "k", "m", "m", "b", "", "z")
+    for (parts <- Seq(1, 3, 16)) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(parts)
+      val got = DistributedRank.denseRankBy(df, Seq(col("v")), "r", partitions = 4)
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val exp = vals.zipWithIndex.map { case (v, i) =>
+        i.toLong -> (vals.distinct.sorted.indexOf(v) + 1).toLong }.toMap
+      assert(got === exp, s"parts=$parts")
+    }
+    // the DATA-sized ranking window must be per-range-partition (keyed
+    // by __pid) — only the P-row offset prefix-sum may run single-
+    // partition (driver-scale by construction)
+    val p = DistributedRank.denseRankBy(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        Seq(col("v")), "r")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"ranking window is not per-partition:\n$p")
+    assert(!p.contains("dense_rank(v") || p.contains("windowspecdefinition(__pid"),
+      s"data-sized global dense_rank leaked into the plan:\n$p")
+  }
+
+  test("suffixRanks: prefix-doubling ranks equal brute-force k-prefix ranks (banana et al.)") {
+    val docs = Seq((1L, "banana"), (2L, "bandana"), (3L, "a")).toDF("doc_id", "text")
+    val got = Dedup.suffixRanks(docs, "doc_id", "text", k = 4)
+      .select("doc_id", "pos", "rank").as[(Long, Int, Long)].collect()
+      .map { case (d, p, r) => (d, p) -> r }.toMap
+    // brute force: rank every suffix by its first-4-chars prefix
+    val all = Seq((1L, "banana"), (2L, "bandana"), (3L, "a")).flatMap { case (d, t) =>
+      (1 to t.length).map(p => (d, p, t.substring(p - 1).take(4)))
+    }
+    val order = all.map(_._3).distinct.sorted
+    val exp = all.map { case (d, p, pre) => (d, p) -> (order.indexOf(pre) + 1).toLong }.toMap
+    assert(got === exp)
+  }
+
   test("editDistance1Pairs equals the brute-force levenshtein join (blocking is complete)") {
     // substitution, deletion, insertion, equal-after-1, and far-apart cases
     val names = Seq(

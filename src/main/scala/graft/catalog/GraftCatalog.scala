@@ -788,15 +788,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * current version into ceil(totalBytes / targetBytes) files via one
     * distributed repartition, committed as an overwrite. Old files stay
     * reachable from old versions until expireSnapshots reclaims them. */
-  def compact(ns: String, name: String, targetFileBytes: Long): Snapshot = {
+  def compact(ns: String, name: String, targetFileBytes: Long): Snapshot =
+    compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+
+  /** Shared compaction core: size the rewrite off the current version,
+    * let `layout` choose the clustering for the computed partition
+    * count, publish as a CAS-conditional replace — an append landing
+    * between the read and the publish aborts the compaction (caller
+    * retries) instead of being silently dropped by the replacing
+    * snapshot. */
+  private def compactWith(ns: String, name: String, targetFileBytes: Long,
+                          layout: (DataFrame, Int) => DataFrame)
+      : Snapshot = {
     val cur = latest(ns, name)
       .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
     val totalBytes = math.max(1L, cur.totalBytes)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // conditional on the version we read: an append landing between the
-    // read and the CAS publish aborts the compaction (caller retries)
-    // instead of being silently dropped by the replacing snapshot
-    commitReplace(ns, name, read(ns, name).repartition(parts),
+    commitReplace(ns, name, layout(read(ns, name), parts),
       expectedParentSeq = Some(cur.seq))
   }
 
@@ -815,15 +823,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def compactSorted(ns: String, name: String, targetFileBytes: Long,
                     sortCols: Seq[String]): Snapshot = {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
-    val cur = latest(ns, name)
-      .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
-    val totalBytes = math.max(1L, cur.totalBytes)
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    commitReplace(ns, name,
-      read(ns, name).repartitionByRange(parts, cols: _*)
-        .sortWithinPartitions(cols: _*),
-      expectedParentSeq = Some(cur.seq))
+    compactWith(ns, name, targetFileBytes, (df, parts) =>
+      df.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*))
   }
 
   /** Replica-side commit (sync DAG t6_cas_commit_replica): register files

@@ -41,6 +41,10 @@ object Wap {
                         uniqueCols: Option[Seq[String]] = None,
                         branch: String = s"wap-${java.util.UUID.randomUUID()}")
       : Result = {
+    // validate BEFORE any state is created — a no-rules call must not
+    // leak a staged branch per retry
+    require(rowRules.nonEmpty || uniqueCols.nonEmpty,
+      "writeAuditPublish needs at least one rule")
     cat.createBranch(ns, table, branch)
     // a failed STAGE write must not leave a dangling empty branch; a
     // failed AUDIT keeps the branch by design (that's the forensics)
@@ -56,7 +60,6 @@ object Wap {
       uniqueCols.map(cols =>
         graft.pipeline.Profiling.uniqueExpectation(staged, cols,
           s"unique_${cols.mkString("_")}"))
-    require(audits.nonEmpty, "writeAuditPublish needs at least one rule")
     val report = audits.reduce(_ unionByName _)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

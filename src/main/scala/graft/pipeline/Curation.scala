@@ -205,10 +205,13 @@ object Curation {
     * before the share, the share to 9, and the allocation uses
     * floor(x+0.5) — the cross-engine quantization ladder (the
     * sample_temperature pattern) so double ulps can never move a
-    * whole row between strata. Constant or single-row strata carry
-    * weight 0 but still receive floor-rounding's minimum of 0 rows —
-    * callers who need representation floor it with a union of
-    * stratifiedSample(1).
+    * whole row between strata. Because each stratum rounds
+    * INDEPENDENTLY (no largest-remainder pass), the realized total can
+    * deviate from `totalN` by up to ±strata/2 rows — the budget is a
+    * target, not an exact count; callers needing exactness apply a
+    * final global md5-rank trim. Constant or single-row strata carry
+    * weight 0 and receive 0 rows — callers who need representation
+    * floor it with a union of stratifiedSample(1).
     *
     * Scale shape: stratum stats are one hash-aggregate (|strata|
     * rows, broadcast back); the rank window shuffles once on the

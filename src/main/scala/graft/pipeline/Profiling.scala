@@ -137,7 +137,10 @@ object Profiling {
     val obs = org.apache.spark.sql.Observation(name)
     val observed = df.observe(obs,
       count(lit(1)).as("rows_in"),
-      sum(when(pred.isNull || !pred, 0L).otherwise(1L)).as("rows_kept"))
+      // coalesce: sum over ZERO rows is null — an empty source must
+      // report rows_kept 0, not a null that breaks Long readers
+      coalesce(sum(when(pred.isNull || !pred, 0L).otherwise(1L)), lit(0L))
+        .as("rows_kept"))
     (observed.filter(pred), obs)
   }
 

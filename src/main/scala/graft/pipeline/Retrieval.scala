@@ -147,9 +147,12 @@ object Retrieval {
     * (token, df, postings) with postings the doc-id list sorted
     * ascending. `maxDf` drops tokens appearing in more than that many
     * documents (stop-term elision — the bound that keeps the largest
-    * posting row O(maxDf) instead of O(corpus); real engines skip-list
-    * such terms, a batch pipeline simply elides them and lets the
-    * serve path fall back to a scan for them).
+    * posting row O(maxDf) instead of O(corpus)). Elided terms KEEP
+    * their (token, df) row with a NULL postings list — so a serve path
+    * can distinguish "term absent from the corpus" (empty result is
+    * correct) from "term elided" (a posting-list intersection would be
+    * silently wrong; serveConjunctive fails loudly and the caller
+    * falls back to a scan).
     *
     * Scale shape: per-doc distinct tokens are a narrow projection
     * (array_distinct before the explode, so a token repeated in a doc
@@ -166,7 +169,8 @@ object Retrieval {
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
-      .filter(col("df") <= maxDf)
+      .withColumn("postings",
+        when(col("df") <= maxDf, col("postings")).otherwise(lit(null)))
 
   /** Conjunctive (AND) query served FROM the index: intersect the query
     * terms' posting lists. A doc qualifies iff it appears in all
@@ -177,8 +181,17 @@ object Retrieval {
   def serveConjunctive(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val t = terms.map(_.toLowerCase).distinct
-    index.filter(col("token").isin(t: _*))
-      .select(explode(col("postings")).as("doc_id"))
+    val rows = index.filter(col("token").isin(t: _*))
+    // an ELIDED query term (df > maxDf at build time, postings null)
+    // makes the intersection unanswerable from the index — fail loudly
+    // so the caller scans instead of silently returning empty/wrong
+    val elided = rows.filter(col("postings").isNull)
+      .select(col("token")).limit(5).collect().map(_.getString(0))
+    if (elided.nonEmpty)
+      throw new IllegalArgumentException(
+        s"query terms were elided from the index (df > maxDf): " +
+        s"${elided.mkString(", ")} — serve this conjunction with a scan")
+    rows.select(explode(col("postings")).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__hits"))
       .filter(col("__hits") === t.size)

@@ -1323,12 +1323,14 @@ object Pipeline {
        SELECT id, pr FROM pr3 ORDER BY id"""
   }
 
-  /** Unrolled k-core peeling (6 rounds; the corpus fixpoint is 3 —
-    * extra rounds are idempotent, so this equals the engine's
-    * run-to-fixpoint for any depth <= 6). Edge CTE MATERIALIZED so the
-    * co-occurrence join isn't inlined into every round. */
+  /** Unrolled k-core peeling (8 rounds; the sf0.01 fixpoint is 3 and
+    * denser corpora converge FASTER, but the margin is cheap — every
+    * round CTE is MATERIALIZED, so extra rounds are O(core edges) no-ops
+    * and never inline exponentially. If a future fixture ever needs more
+    * depth the ENGINE side still converges (it runs to fixpoint); only
+    * this replay must grow with it. */
   private val kcoreSql: String = {
-    val rounds = (1 to 6).map { i =>
+    val rounds = (1 to 8).map { i =>
       val p = i - 1
       s""",
          k$p AS MATERIALIZED (
@@ -1346,7 +1348,7 @@ object Pipeline {
               FROM b a JOIN b c ON a.event_type = c.event_type AND a.m = c.m
                                AND a.user_id < c.user_id)$rounds
        SELECT id, count(*) AS deg
-       FROM (SELECT u AS id FROM e6 UNION ALL SELECT v AS id FROM e6)
+       FROM (SELECT u AS id FROM e8 UNION ALL SELECT v AS id FROM e8)
        GROUP BY id ORDER BY id"""
   }
 

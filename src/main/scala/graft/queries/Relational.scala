@@ -724,9 +724,6 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("o_year"))
 
-  /** Correlated subquery through the SQL front end — Catalyst
-    * decorrelates it into an aggregate + join; customers richer than
-    * their nation's average. */
   /** LATERAL correlated derived table — per-customer top-2 orders via a
     * correlated ORDER BY ... LIMIT subquery in FROM. Catalyst rewrites
     * the lateral into a ranked join (no per-row re-execution); the same
@@ -822,6 +819,9 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Correlated subquery through the SQL front end — Catalyst
+    * decorrelates it into an aggregate + join; customers richer than
+    * their nation's average. */
   private def correlatedSubquery: Q = (s, d) => {
     Tables.registerViews(s, d)
     s.sql("""

@@ -308,9 +308,12 @@ class RetrievalSpec extends SparkSpec {
     assert(idx("the") === ((3L, Seq(1L, 2L, 3L))))   // sorted despite arrival order
     assert(idx("cat") === ((2L, Seq(1L, 3L))))       // in-doc repeat counts once
     assert(idx("sat") === ((1L, Seq(3L))))
-    val elided = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = 2)
-      .collect().map(_.getString(0)).toSet
-    assert(!elided.contains("the") && elided.contains("cat"))
+    // elision keeps the (token, df) row but nulls the postings — the
+    // marker that lets a serve path distinguish elided from absent
+    val byTok = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.isNullAt(2)))).toMap
+    assert(byTok("the") === ((3L, true)), "stop term keeps df, loses postings")
+    assert(byTok("cat") === ((2L, false)))
   }
 
   test("serveConjunctive from the index equals a direct corpus scan") {
@@ -325,5 +328,12 @@ class RetrievalSpec extends SparkSpec {
     assert(served === Set(1L, 3L))
     // empty-result conjunction (one term absent from the corpus)
     assert(Retrieval.serveConjunctive(idx, Seq("spark", "nosuchterm")).count() === 0L)
+    // ... but a term ELIDED at build time must fail loudly, not return
+    // a silently wrong empty intersection
+    val tight = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.serveConjunctive(tight, Seq("spark", "vector")).count()
+    }
+    assert(ex.getMessage.contains("spark"), "error names the elided term")
   }
 }

@@ -368,27 +368,54 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def stagedFileStats(ns: String, name: String,
                               entries: Seq[(String, Long)],
                               schema: StructType): Map[String, Map[String, (String, String)]] = {
+    if (entries.isEmpty) return Map.empty
     val statFields = schema.fields.filter(f => GraftCatalog.prunableType(f.dataType))
-    if (statFields.isEmpty || entries.isEmpty) return Map.empty
     val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
-    val aggs = statFields.toSeq.flatMap(f => Seq(
+    // per-file ROW COUNT rides the same single stats job (zero extra
+    // IO), recorded under the reserved pseudo-column "__rows" so the
+    // manifest format is unchanged and old manifests (no entry) simply
+    // opt out of [[countFast]]. Never a real query column, so the
+    // pruning lookups ignore it.
+    val aggs = count(lit(1)).cast("string") +: statFields.toSeq.flatMap(f => Seq(
       min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.flatMap { r =>
       val base = r.getString(0).split('/').last
       byBase.get(base).map { rel =>
-        rel -> statFields.zipWithIndex.flatMap { case (f, i) =>
-          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))) match {
+        val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+          (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
             case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
             case _ => None
           }
         }.toMap
+        rel -> (colStats + (GraftCatalog.RowsStatKey -> ((r.getString(1), r.getString(1)))))
       }
     }.toMap
   }
+
+  /** Metadata-only COUNT(*): sum the per-file row counts the commit
+    * job recorded in the manifests — answers in O(manifest entries)
+    * with ZERO data-file reads (the Iceberg count pushdown). Falls back
+    * to a real scan when the version carries equality-delete manifests
+    * (their net effect is data-dependent) or any file lacks a recorded
+    * count (foreign commitFiles, pre-upgrade manifests). Empty table
+    * counts 0. */
+  def countFast(ns: String, name: String): Long =
+    latest(ns, name) match {
+      case None => 0L
+      case Some(snap) =>
+        if (snap.manifests.exists(isDeleteManifest)) read(ns, name).count()
+        else {
+          val entries = snap.manifests.filterNot(isDeleteManifest)
+            .flatMap(manifestEntriesFull(ns, name, _))
+          val counts = entries.map(_.stats.get(GraftCatalog.RowsStatKey))
+          if (counts.forall(_.isDefined)) counts.map(_.get._1.toLong).sum
+          else read(ns, name).count()
+        }
+    }
 
   /** Per-file Bloom filters for `bloomCols` over a freshly-staged batch —
     * one distributed job per column: the k bit positions are a codegen'd
@@ -1483,6 +1510,11 @@ object GraftCatalog {
     * wrong result). */
   private[catalog] val BloomBits = 16384
   private[catalog] val BloomHashes = 4
+
+  /** Reserved pseudo-column under which manifests record each file's
+    * row count (min==max==count) — powers [[GraftCatalog.countFast]]
+    * without a manifest-format change. Never matches a query column. */
+  private[catalog] val RowsStatKey = "__rows"
 
   /** The k bit positions of a probe value — EXACTLY the arithmetic the
     * build side runs as a Spark projection: pmod(xxhash64(i, value),

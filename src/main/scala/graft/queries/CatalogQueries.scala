@@ -130,6 +130,19 @@ object CatalogQueries {
       cat
     })
 
+  /** Metadata-only count vs scan count on the live fixture table — the
+    * Iceberg count-pushdown surface: cnt_meta sums per-file manifest
+    * row counts (zero data reads, proven destructively in CatalogSpec),
+    * cnt_scan is the real scan; the oracle pins both to the source. */
+  private def countFastQ: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val meta = cat.countFast("q", "orders")
+    cat.read("q", "orders")
+      .agg(count(lit(1)).as("cnt_scan"))
+      .withColumn("cnt_meta", lit(meta))
+      .select(col("cnt_meta"), col("cnt_scan"))
+  }
+
   /** Write-audit-publish outcome: main carries the seed + the ONE clean
     * batch (the dirty batch never published); the dirty batch sits whole
     * on its forensics branch. Proves the publish gate end-to-end through
@@ -344,6 +357,7 @@ object CatalogQueries {
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
     "cat_wap"              -> wapOutcome,
+    "cat_count_fast"       -> countFastQ,
     "cat_bloom_read"       -> bloomRead,
     "cat_pruned_read"      -> prunedRead,
     "cat_zorder_read"      -> zorderRead,
@@ -424,6 +438,9 @@ object CatalogQueries {
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM b)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
          ORDER BY stage""",
+    "cat_count_fast" ->
+      """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
     "cat_wap" ->
       """WITH pub AS (SELECT o_orderkey, o_totalprice FROM orders
                       WHERE o_orderkey % 7 IN (0, 1)),

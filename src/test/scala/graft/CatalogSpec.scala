@@ -331,6 +331,33 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("ns", "evo").count() === 1000L)
   }
 
+  test("countFast answers from manifests alone — survives data-file loss; deletes force a scan") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ns", "cnt")
+    cat.commitAppend("ns", "cnt", (1 to 123).map(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    cat.commitAppend("ns", "cnt", (124 to 200).map(i => (i.toLong, s"r$i")).toDF("id", "v"))
+    assert(cat.countFast("ns", "cnt") === 200L)
+    // the metadata-only PROOF: remove every data file; the count still
+    // answers (a scan would throw)
+    val dataDir = cat.tablePath("ns", "cnt").resolve("data")
+    Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (!java.nio.file.Files.isDirectory(p)) Files.delete(p))
+    assert(cat.countFast("ns", "cnt") === 200L)
+
+    // a version carrying equality-delete manifests cannot be counted
+    // from metadata (net effect is data-dependent) — falls back to the
+    // exact MOR scan
+    val cat2 = freshCatalog()
+    cat2.createTable("ns", "mor")
+    cat2.commitAppend("ns", "mor", (1 to 50).map(i => (i.toLong, i)).toDF("id", "v"))
+    cat2.commitDelete("ns", "mor", Seq(5L, 6L, 999L).toDF("id"))
+    assert(cat2.countFast("ns", "mor") === 48L)
+    // empty table counts 0 without error
+    cat2.createTable("ns", "empty")
+    assert(cat2.countFast("ns", "empty") === 0L)
+  }
+
   test("write-audit-publish: clean batches publish atomically, dirty batches park on their branch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -818,6 +818,37 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def compact(ns: String, name: String, targetFileBytes: Long): Snapshot =
     compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
 
+  /** Metadata-only MIN/MAX of a prunable column: fold the per-file
+    * bounds the commit job recorded — exact (file bounds ARE the file's
+    * min/max), zero data reads, same contract as [[countFast]]: None
+    * when the version has delete manifests, any file lacks bounds for
+    * the column (all-null file, foreign commit), or the column is not
+    * stat-recorded — callers fall back to a scan. Numeric columns
+    * compare numerically (bounds are stored as strings). */
+  def minMaxFast(ns: String, name: String, column: String): Option[(String, String)] =
+    latest(ns, name).flatMap { snap =>
+      if (snap.manifests.exists(isDeleteManifest)) None
+      else {
+        val entries = snap.manifests.filterNot(isDeleteManifest)
+          .flatMap(manifestEntriesFull(ns, name, _))
+        if (entries.isEmpty) None
+        else {
+          val bounds = entries.map(_.stats.get(column))
+          if (bounds.exists(_.isEmpty)) None
+          else {
+            val numeric = snap.schemaJson
+              .map(DataType.fromJson(_).asInstanceOf[StructType])
+              .flatMap(_.fields.find(_.name == column))
+              .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            implicit val ord: Ordering[String] =
+              if (numeric) Ordering.by((s: String) => BigDecimal(s))
+              else Ordering.String
+            Some((bounds.map(_.get._1).min, bounds.map(_.get._2).max))
+          }
+        }
+      }
+    }
+
   /** Shared compaction core: size the rewrite off the current version,
     * let `layout` choose the clustering for the computed partition
     * count, publish as a CAS-conditional replace — an append landing

@@ -1,0 +1,200 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DataSource-V2 catalog plugin over [[GraftCatalog]] — the SQL
+  * front door. Register once:
+  *
+  * {{{
+  *   spark.sql.catalog.graft            = graft.catalog.GraftSparkCatalog
+  *   spark.sql.catalog.graft.warehouse  = /path/to/warehouse
+  * }}}
+  *
+  * and every SQL user can read graft tables with standard syntax —
+  * including native time travel, which Spark routes to the dedicated
+  * loadTable overloads:
+  *
+  * {{{
+  *   SELECT * FROM graft.ns.t WHERE id > 5
+  *   SELECT * FROM graft.ns.t VERSION AS OF 2
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF '2024-06-01 00:00:00'
+  *   SHOW TABLES IN graft.ns
+  * }}}
+  *
+  * Read path: each table serves scans through the V1Scan bridge (the
+  * public connector API the JDBC source uses) wrapping the catalog's
+  * own DataFrame plan, with REQUIRED-COLUMN pruning and filter pushdown
+  * forwarded into that inner plan — so the parquet scans underneath
+  * still receive PushedFilters/ReadSchema exactly as the DataFrame API
+  * path does, merge-on-read deletes and schema evolution included.
+  * Pushed filters are also reported back as residuals (Spark re-applies
+  * them), so a partially-translatable predicate can never change
+  * results.
+  *
+  * Writes stay on the transactional Scala API (commitAppend/MERGE/WAP):
+  * the SQL surface is read-only by design — CREATE/DROP TABLE work (DDL
+  * maps 1:1), ALTER/RENAME and INSERT do not.
+  *
+  * Reference analog: the reference's query module resolves catalog
+  * tables server-side; this is that resolution expressed as the
+  * engine-native catalog plugin.
+  */
+class GraftSparkCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def cat: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must point at a graft warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def nsOf(ident: Identifier): String = {
+    require(ident.namespace().length == 1,
+      s"graft identifiers are <namespace>.<table>: $ident")
+    ident.namespace()(0)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 1) throw new NoSuchNamespaceException(namespace)
+    cat.listTables(namespace(0)).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (ns, t) = (nsOf(ident), ident.name())
+    if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    new GraftV2Table(s"$catalogName.$ns.$t", cat.read(ns, t))
+  }
+
+  /** VERSION AS OF <seq> */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (ns, t) = (nsOf(ident), ident.name())
+    if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    new GraftV2Table(s"$catalogName.$ns.$t@v$version",
+      cat.readVersion(ns, t, version.toLong))
+  }
+
+  /** TIMESTAMP AS OF <ts> — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (ns, t) = (nsOf(ident), ident.name())
+    if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros",
+      cat.readAsOfTimestamp(ns, t, timestampMicros / 1000L))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft tables cluster at write time, not via partition specs")
+    cat.createTable(nsOf(ident), ident.name())
+    new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolves through transactional commits (commitAppend with a wider schema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val (ns, t) = (nsOf(ident), ident.name())
+    if (!cat.tableExists(ns, t)) false
+    else { cat.dropTable(ns, t); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}
+
+/** A readable graft table: schema from the catalog's (version-correct)
+  * DataFrame plan; scans bridge through V1Scan with pruning/pushdown
+  * forwarded into that plan. */
+private[catalog] class GraftV2Table(tableName: String, df: DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(df)
+}
+
+private[catalog] class GraftScanBuilder(df: DataFrame)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = df.schema
+
+  /** Translatable filters are applied to the inner plan (reaching the
+    * parquet scan) but ALSO returned as residuals — Spark re-evaluates
+    * them above the scan, so partial translation is always safe. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val requiredNames = required.fieldNames.toSeq
+    val inner0 = pushed.foldLeft(df)((d, f) =>
+      GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
+    // a fully-pruned scan (count(*)) selects ZERO columns — legal: the
+    // rdd yields empty Rows, preserving only the row count
+    val inner = inner0.select(requiredNames.map(col): _*)
+    new V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = required
+          override def buildScan(): RDD[Row] = inner.rdd
+        }.asInstanceOf[T]
+    }
+  }
+}
+
+private[catalog] object GraftScanBuilder {
+  /** Partial Filter → Column translation: the common pruning-relevant
+    * shapes. None = untranslated (harmless: it stays a residual). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

@@ -143,6 +143,23 @@ object CatalogQueries {
       .select(col("cnt_meta"), col("cnt_scan"))
   }
 
+  /** Pure-SQL read through the DSv2 catalog plugin (GraftSparkCatalog):
+    * identifier resolution, native VERSION AS OF, filter + aggregate —
+    * the "a SQL user could switch" proof, oracle-replayed from the
+    * source table. Old-era rows project the evolved column as NULL. */
+  private def sqlRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    s.conf.set("spark.sql.catalog.graftq", "graft.catalog.GraftSparkCatalog")
+    s.conf.set("spark.sql.catalog.graftq.warehouse", cat.warehouse)
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS cnt,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM graftq.q.orders VERSION AS OF 1
+      WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus ASC NULLS FIRST""")
+  }
+
   /** Write-audit-publish outcome: main carries the seed + the ONE clean
     * batch (the dirty batch never published); the dirty batch sits whole
     * on its forensics branch. Proves the publish gate end-to-end through
@@ -358,6 +375,7 @@ object CatalogQueries {
     "cat_branch_merge"     -> branchMerge,
     "cat_wap"              -> wapOutcome,
     "cat_count_fast"       -> countFastQ,
+    "cat_sql_read"         -> sqlRead,
     "cat_bloom_read"       -> bloomRead,
     "cat_pruned_read"      -> prunedRead,
     "cat_zorder_read"      -> zorderRead,
@@ -441,6 +459,16 @@ object CatalogQueries {
     "cat_count_fast" ->
       """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+    "cat_sql_read" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+                           CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END
+                             AS o_orderstatus
+                    FROM orders WHERE o_orderkey % 3 IN (0, 1))
+         SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM t WHERE o_orderkey % 2 = 0
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS FIRST""",
     "cat_wap" ->
       """WITH pub AS (SELECT o_orderkey, o_totalprice FROM orders
                       WHERE o_orderkey % 7 IN (0, 1)),

@@ -358,6 +358,22 @@ class CatalogSpec extends SparkSpec {
     assert(cat2.countFast("ns", "empty") === 0L)
   }
 
+  test("minMaxFast folds manifest bounds: exact, numeric-aware, refuses deletes") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ns", "mm")
+    // two commits so bounds fold ACROSS manifests; ids 2..1000 —
+    // lexicographic min would be "10", numeric must say 2
+    cat.commitAppend("ns", "mm", Seq((2L, "b"), (1000L, "a")).toDF("id", "v"))
+    cat.commitAppend("ns", "mm", Seq((10L, "z"), (500L, "m")).toDF("id", "v"))
+    assert(cat.minMaxFast("ns", "mm", "id") === Some(("2", "1000")))
+    assert(cat.minMaxFast("ns", "mm", "v") === Some(("a", "z")))
+    assert(cat.minMaxFast("ns", "mm", "no_such_col") === None)
+    cat.commitDelete("ns", "mm", Seq(2L).toDF("id"))
+    assert(cat.minMaxFast("ns", "mm", "id") === None,
+      "delete manifests make metadata bounds unverifiable")
+  }
+
   test("write-audit-publish: clean batches publish atomically, dirty batches park on their branch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,9 +44,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * them), so a partially-translatable predicate can never change
   * results.
   *
-  * Writes stay on the transactional Scala API (commitAppend/MERGE/WAP):
-  * the SQL surface is read-only by design — CREATE/DROP TABLE work (DDL
-  * maps 1:1), ALTER/RENAME and INSERT do not.
+  * Write path: `INSERT INTO` bridges through V1Write onto ONE atomic
+  * commitAppend (a CAS-published version per statement); `INSERT
+  * OVERWRITE` is one commitReplace. CREATE/DROP TABLE map 1:1 to the
+  * catalog DDL. Row-level SQL (UPDATE/DELETE/MERGE) stays on the
+  * transactional Scala API (commitDelete/commitUpsert/WAP);
+  * ALTER/RENAME are unsupported.
   *
   * Reference analog: the reference's query module resolves catalog
   * tables server-side; this is that resolution expressed as the
@@ -79,10 +83,16 @@ class GraftSparkCatalog extends TableCatalog {
     cat.listTables(namespace(0)).map(t => Identifier.of(namespace, t)).toArray
   }
 
+  private def insertInto(ns: String, t: String): (DataFrame, Boolean) => Unit =
+    (data, overwrite) =>
+      if (overwrite) { cat.commitReplace(ns, t, data); () }
+      else { cat.commitAppend(ns, t, data); () }
+
   override def loadTable(ident: Identifier): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    new GraftV2Table(s"$catalogName.$ns.$t", cat.read(ns, t))
+    new GraftV2Table(s"$catalogName.$ns.$t", cat.read(ns, t),
+      insert = Some(insertInto(ns, t)))
   }
 
   /** VERSION AS OF <seq> */
@@ -107,7 +117,8 @@ class GraftSparkCatalog extends TableCatalog {
     require(partitions.isEmpty, "graft tables cluster at write time, not via partition specs")
     cat.createTable(nsOf(ident), ident.name())
     new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      insert = Some(insertInto(nsOf(ident), ident.name())))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -124,19 +135,45 @@ class GraftSparkCatalog extends TableCatalog {
     throw new UnsupportedOperationException("rename is not supported")
 }
 
-/** A readable graft table: schema from the catalog's (version-correct)
-  * DataFrame plan; scans bridge through V1Scan with pruning/pushdown
-  * forwarded into that plan. */
-private[catalog] class GraftV2Table(tableName: String, df: DataFrame)
-    extends Table with SupportsRead {
+/** A readable + insertable graft table: schema from the catalog's
+  * (version-correct) DataFrame plan; scans bridge through V1Scan with
+  * pruning/pushdown forwarded into that plan; INSERTs bridge through
+  * V1Write onto the TRANSACTIONAL commit path — `INSERT INTO` is one
+  * atomic commitAppend (a new CAS-published version), `INSERT
+  * OVERWRITE` one commitReplace. Time-travel tables are read-only
+  * (`writable = false`): inserting "into the past" would silently
+  * target the LATEST version. */
+private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
+                                    insert: Option[(DataFrame, Boolean) => Unit] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = df.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (insert.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(df)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        // alias: inside InsertableRelation the name `insert` is the
+        // method being defined, not the table's insert closure
+        private val doInsert = GraftV2Table.this.insert
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
+              doInsert.getOrElse(throw new UnsupportedOperationException(
+                s"$tableName is read-only (time travel)"))(data, overwrite)
+          }
+      }
+    }
 }
 
 private[catalog] class GraftScanBuilder(df: DataFrame)

@@ -173,12 +173,19 @@ class ExtensionsSpec extends SparkSpec {
     val shown = spark.sql("SHOW TABLES IN graft_sql.ns")
       .select("tableName").as[String].collect().toSet
     assert(shown === Set("t"))
-    // DDL round-trip + read-only write surface
+    // DDL round-trip + SQL INSERT onto the transactional commit path
     spark.sql("CREATE TABLE graft_sql.ns.t2 (x BIGINT)")
     assert(cat.tableExists("ns", "t2"))
-    intercept[Exception] {
-      spark.sql("INSERT INTO graft_sql.ns.t VALUES (9, 'z')")
-    }
+    spark.sql("INSERT INTO graft_sql.ns.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 4L)
+    // one atomic version per INSERT statement; history intact
+    assert(cat.latest("ns", "t").get.seq === 2L)
+    spark.sql("INSERT OVERWRITE graft_sql.ns.t VALUES (100, 'only')")
+    assert(spark.sql("SELECT id, v FROM graft_sql.ns.t").as[(Long, String)]
+      .collect().toSeq === Seq((100L, "only")))
+    // the overwritten data is still one time travel away
+    assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t VERSION AS OF 2")
+      .head().getLong(0) === 4L)
     spark.sql("DROP TABLE graft_sql.ns.t2")
     assert(!cat.tableExists("ns", "t2"))
     // missing table surfaces the standard analyzer error

@@ -88,11 +88,23 @@ class GraftSparkCatalog extends TableCatalog {
       if (overwrite) { cat.commitReplace(ns, t, data); () }
       else { cat.commitAppend(ns, t, data); () }
 
+  /** DELETE WHERE cond: re-read the CURRENT version at execution time,
+    * keep the non-matching rows (null-cond rows survive — they do not
+    * MATCH the predicate), publish as a replace CONDITIONAL on the
+    * version that was read — a concurrent commit aborts the delete. */
+  private def deleteWhereIn(ns: String, t: String): Column => Unit = cond => {
+    val c = cat
+    val cur = c.latest(ns, t).map(_.seq)
+    c.commitReplace(ns, t, c.read(ns, t).filter(!cond || cond.isNull),
+      expectedParentSeq = cur)
+    ()
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
     new GraftV2Table(s"$catalogName.$ns.$t", cat.read(ns, t),
-      insert = Some(insertInto(ns, t)))
+      insert = Some(insertInto(ns, t)), delete = Some(deleteWhereIn(ns, t)))
   }
 
   /** VERSION AS OF <seq> */
@@ -144,8 +156,27 @@ class GraftSparkCatalog extends TableCatalog {
   * (`writable = false`): inserting "into the past" would silently
   * target the LATEST version. */
 private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
-                                    insert: Option[(DataFrame, Boolean) => Unit] = None)
-    extends Table with SupportsRead with SupportsWrite {
+                                    insert: Option[(DataFrame, Boolean) => Unit] = None,
+                                    delete: Option[Column => Unit] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
+    * translates (canDeleteWhere — Spark raises an analysis error
+    * otherwise, never a partial delete), then executed by the catalog
+    * closure as ONE atomic CAS-conditional replace of the CURRENT
+    * version with the surviving rows: fully transactional, CDC-visible,
+    * time-travel-reversible, and a concurrent commit aborts the delete
+    * loudly instead of being silently dropped. An empty filter array is
+    * SQL TRUNCATE semantics — keep nothing. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    delete.isDefined && filters.forall(f => GraftScanBuilder.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(GraftScanBuilder.toColumn(_).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    delete.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is read-only (time travel)"))(cond)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = df.schema

@@ -188,6 +188,17 @@ class ExtensionsSpec extends SparkSpec {
       .head().getLong(0) === 4L)
     spark.sql("DROP TABLE graft_sql.ns.t2")
     assert(!cat.tableExists("ns", "t2"))
+    // SQL DELETE: one atomic conditional replace of the current version
+    spark.sql("INSERT INTO graft_sql.ns.t VALUES (101, 'x'), (102, 'y')")
+    spark.sql("DELETE FROM graft_sql.ns.t WHERE id >= 101 AND v = 'x'")
+    assert(spark.sql("SELECT id FROM graft_sql.ns.t ORDER BY id").as[Long]
+      .collect() === Array(100L, 102L))
+    // an untranslatable delete predicate is rejected whole at analysis —
+    // never a partial delete
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_sql.ns.t WHERE length(v) > 5")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 2L)
     // missing table surfaces the standard analyzer error
     intercept[Exception] { spark.sql("SELECT * FROM graft_sql.ns.nope").collect() }
   }

@@ -410,6 +410,30 @@ object Pipeline {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** End-to-end curation v2 — the fuzzy/span-level successor to
+    * pipeline_curation: Gopher rule gate → corpus-wide span-dedup
+    * REWRITE (first-occurrence 3-token spans; the dedup acts on the
+    * GATED corpus, so the oracle replays the same ordering) → domain
+    * mixture sampling over the REWRITTEN token counts. Every stage
+    * reuses an independently-oracled operator; this query pins their
+    * composition. */
+  private def pipelineCurationV2: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val gated = docs.join(
+      Curation.gopherRules(docs, "doc_id", "text", minWords = 50)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    val rewritten = Dedup.spanDedupRewrite(gated, "doc_id", "text", window = 3)
+    val tok = rewritten.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(split(col("clean_text"), " "))).cast("int").as("n_tokens"))
+    val mixture = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0)
+    Curation.mixtureSample(tok, "source", "doc_id", "n_tokens", mixture,
+        totalBudget = 5000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source OOV rate under a deliberately tight top-16 vocabulary —
     * the tokenizer-coverage report run before committing a vocab: a
     * source whose OOV rate spikes will train as id-0 noise. Rides
@@ -1100,6 +1124,7 @@ object Pipeline {
     "dedup_suffix_ranks"   -> dedupSuffixRanks,
     "text_inverted_index"  -> textInvertedIndex,
     "text_oov_rate"        -> textOovRate,
+    "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
     "sample_neyman"        -> sampleNeyman,
@@ -1665,6 +1690,59 @@ object Pipeline {
                 list(COALESCE(vocab.token_id, 0) ORDER BY w.ord) AS ids
          FROM w LEFT JOIN vocab ON vocab.tok = w.tok
          GROUP BY w.doc_id ORDER BY w.doc_id""",
+    // gate -> span-rewrite -> mixture, replayed stage by stage; the span
+    // election runs over the GATED corpus only (ordering matters)
+    "pipeline_curation_v2" ->
+      """WITH m0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              m AS (SELECT doc_id,
+                           CAST(len(toks) AS INT) AS n_words,
+                           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+                                 / len(toks), 4) AS mean_word_len,
+                           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                                 / len(toks), 4) AS alpha_ratio,
+                           CAST(len(list_filter(toks,
+                             x -> lower(x) IN ('the','a','and','of','to','in','is'))) AS INT) AS stop_hits
+                    FROM m0),
+              g AS (SELECT d.doc_id, d.text, d.source
+                    FROM documents d JOIN m USING (doc_id)
+                    WHERE (m.n_words BETWEEN 50 AND 100000)
+                      AND (m.mean_word_len BETWEEN 3.0 AND 10.0)
+                      AND m.alpha_ratio >= 0.8 AND m.stop_hits >= 2),
+              t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                           CAST((len(string_split(text, ' ')) + 2) // 3 AS INT) AS n_spans
+                    FROM g),
+              s AS (SELECT doc_id, toks,
+                           CAST(unnest(range(0, n_spans)) AS INT) AS span_idx
+                    FROM t),
+              sp AS (SELECT doc_id, span_idx,
+                            array_to_string(toks[span_idx*3+1 : span_idx*3+3], ' ') AS span
+                     FROM s),
+              kept AS (SELECT doc_id, span_idx, span,
+                              row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) AS rn
+                       FROM sp),
+              rebuilt AS (SELECT doc_id,
+                                 array_to_string(list(span ORDER BY span_idx), ' ') AS clean_text
+                          FROM kept WHERE rn = 1 GROUP BY doc_id),
+              tok AS (SELECT t.doc_id, t.source,
+                             CAST(CASE WHEN COALESCE(r.clean_text, '') = '' THEN 0
+                                       ELSE len(string_split(r.clean_text, ' ')) END AS INT)
+                               AS n_tokens
+                      FROM t LEFT JOIN rebuilt r USING (doc_id)),
+              wt AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                            CAST(floor(5000 * (CAST(i + 1 AS DOUBLE) / 210.0)) AS BIGINT)
+                              AS stratum_budget
+                     FROM range(0, 20) q(i)),
+              c AS (SELECT doc_id, source, n_tokens,
+                           CAST(sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                             AS cum_tokens
+                    FROM tok)
+         SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+         FROM c JOIN wt USING (source)
+         WHERE c.cum_tokens <= wt.stratum_budget
+         ORDER BY c.doc_id""",
     "text_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

@@ -168,4 +168,47 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("SymSpell completeness law: blocked ed<=1 join equals brute force on random short strings") {
+    import graft.pipeline.Dedup
+    // small alphabet + short lengths maximize accidental near-collisions
+    val strGen = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val setGen = Gen.listOfN(14, strGen)
+    samples(setGen, n = 10) { strs =>
+      val df = strs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+      val got = Dedup.editDistance1Pairs(df, "id", "s")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (a, i) <- strs.zipWithIndex; (b, j) <- strs.zipWithIndex
+        if i < j && levenshteinRef(a, b) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got === brute, s"strings=$strs")
+    }
+  }
+
+  test("denseRankBy law: equals in-memory dense rank on random keys, any partitioning") {
+    import graft.operators.DistributedRank
+    val keyGen = Gen.listOfN(60, Gen.choose(0, 15))
+    samples(Gen.zip(keyGen, Gen.choose(1, 7)), n = 10) { case (keys, parts) =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k").repartition(parts)
+      val got = DistributedRank.denseRankBy(df, Seq(col("k")), "r", partitions = 5)
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val rankOf = keys.distinct.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      keys.zipWithIndex.foreach { case (k, i) =>
+        assert(got(i.toLong) === rankOf(k), s"keys=$keys parts=$parts id=$i")
+      }
+    }
+  }
+
+  /** Textbook DP Levenshtein — the reference the blocked join is tested
+    * against (independent of both Spark's and the operator's code). */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

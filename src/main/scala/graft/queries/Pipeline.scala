@@ -434,6 +434,22 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Dataset datasheet: the one-row-per-source corpus report shipped
+    * alongside a training dataset — volume (docs, tokens), exact-dup
+    * rate (1 - distinct texts / docs), and mean quality. One scan, one
+    * aggregate; every column is an audit hook into a dedicated deeper
+    * query (dedup_exact_groups, text_quality_source, sample_mixture). */
+  private def textCorpusReport: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TA.tokenCount(col("text"))).as("tokens"),
+        round(lit(1.0) - countDistinct(col("text")).cast("double") / count(lit(1)), 4)
+          .as("exact_dup_rate"),
+        round(avg(TA.qualityScore(col("text"))), 4).as("avg_quality"))
+      .orderBy(col("source"))
+
   /** Per-source OOV rate under a deliberately tight top-16 vocabulary —
     * the tokenizer-coverage report run before committing a vocab: a
     * source whose OOV rate spikes will train as id-0 noise. Rides
@@ -1124,6 +1140,7 @@ object Pipeline {
     "dedup_suffix_ranks"   -> dedupSuffixRanks,
     "text_inverted_index"  -> textInvertedIndex,
     "text_oov_rate"        -> textOovRate,
+    "text_corpus_report"   -> textCorpusReport,
     "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -1743,6 +1760,14 @@ object Pipeline {
          FROM c JOIN wt USING (source)
          WHERE c.cum_tokens <= wt.stratum_budget
          ORDER BY c.doc_id""",
+    "text_corpus_report" ->
+      s"""SELECT source, count(*) AS docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                 round(CAST(1 AS DOUBLE)
+                       - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 4)
+                   AS exact_dup_rate,
+                 round(avg($qualitySql), 4) AS avg_quality
+          FROM documents GROUP BY source ORDER BY source""",
     "text_oov_rate" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

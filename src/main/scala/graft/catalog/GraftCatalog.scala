@@ -369,15 +369,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                               entries: Seq[(String, Long)],
                               schema: StructType): Map[String, Map[String, (String, String)]] = {
     if (entries.isEmpty) return Map.empty
+    // the reserved pseudo-column must stay reserved: a REAL column named
+    // __rows would have its bounds overwritten by the row count below and
+    // readWhere would then prune files on bogus bounds — reject loudly
+    require(!schema.fieldNames.contains(GraftCatalog.RowsStatKey),
+      s"column name '${GraftCatalog.RowsStatKey}' is reserved for manifest row counts")
     val statFields = schema.fields.filter(f => GraftCatalog.prunableType(f.dataType))
     val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
-    // per-file ROW COUNT rides the same single stats job (zero extra
-    // IO), recorded under the reserved pseudo-column "__rows" so the
-    // manifest format is unchanged and old manifests (no entry) simply
-    // opt out of [[countFast]]. Never a real query column, so the
-    // pruning lookups ignore it.
+    // per-file ROW COUNT rides the same single stats job (zero extra IO
+    // when the schema has prunable columns; a schema with NONE now pays
+    // one narrow count-by-file pass it used to skip — the price of
+    // countFast covering every table), recorded under the reserved
+    // pseudo-column "__rows" so the manifest format is unchanged and old
+    // manifests (no entry) simply opt out of [[countFast]].
     val aggs = count(lit(1)).cast("string") +: statFields.toSeq.flatMap(f => Seq(
       min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
     val rows = df.groupBy(input_file_name().as("__file"))
@@ -840,10 +846,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               .map(DataType.fromJson(_).asInstanceOf[StructType])
               .flatMap(_.fields.find(_.name == column))
               .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-            implicit val ord: Ordering[String] =
-              if (numeric) Ordering.by((s: String) => BigDecimal(s))
-              else Ordering.String
-            Some((bounds.map(_.get._1).min, bounds.map(_.get._2).max))
+            // a double column can record "NaN"/"Infinity" bounds (same
+            // guard readWhereAll carries) — metadata min/max is then
+            // ill-defined; answer None and let the caller scan
+            if (numeric && bounds.exists(b =>
+                  scala.util.Try(BigDecimal(b.get._1)).isFailure ||
+                  scala.util.Try(BigDecimal(b.get._2)).isFailure)) None
+            else {
+              implicit val ord: Ordering[String] =
+                if (numeric) Ordering.by((s: String) => BigDecimal(s))
+                else Ordering.String
+              Some((bounds.map(_.get._1).min, bounds.map(_.get._2).max))
+            }
           }
         }
       }

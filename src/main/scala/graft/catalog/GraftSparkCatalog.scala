@@ -61,7 +61,11 @@ class GraftSparkCatalog extends TableCatalog {
   private var warehouse: String = _
 
   private def spark: SparkSession = SparkSession.active
-  private def cat: GraftCatalog = new GraftCatalog(spark, warehouse)
+  // ONE catalog instance per plugin: the plugin is cached per session by
+  // Spark's CatalogManager, and the GraftCatalog's snapshot/manifest
+  // caches (immutable files) are the whole point — a fresh instance per
+  // statement would re-parse every version JSON per query
+  private lazy val cat: GraftCatalog = new GraftCatalog(spark, warehouse)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -72,9 +76,10 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  // the analyzer expects NoSuchTableException for unresolvable shapes
+  // (a require would abort analysis with an internal-style error)
   private def nsOf(ident: Identifier): String = {
-    require(ident.namespace().length == 1,
-      s"graft identifiers are <namespace>.<table>: $ident")
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     ident.namespace()(0)
   }
 
@@ -128,6 +133,11 @@ class GraftSparkCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty, "graft tables cluster at write time, not via partition specs")
     cat.createTable(nsOf(ident), ident.name())
+    // commit an EMPTY v0 carrying the declared schema — without it the
+    // table reads as zero columns until the first insert, breaking the
+    // canonical CREATE ... then INSERT/SELECT flow
+    cat.commitAppend(nsOf(ident), ident.name(),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
     new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
       insert = Some(insertInto(nsOf(ident), ident.name())))
@@ -263,6 +273,10 @@ private[catalog] object GraftScanBuilder {
     case sources.Or(l, r) =>
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case sources.Not(c) => toColumn(c).map(!_)
+    // a WHERE-less DELETE parses to condition TRUE -> AlwaysTrue; without
+    // this case plain `DELETE FROM t` would be rejected at analysis
+    case sources.AlwaysTrue()  => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
   }
 }

@@ -149,12 +149,19 @@ object CatalogQueries {
     * source table. Old-era rows project the evolved column as NULL. */
   private def sqlRead: Q = (s, d) => {
     val cat = fixture(s, d)
-    s.conf.set("spark.sql.catalog.graftq", "graft.catalog.GraftSparkCatalog")
-    s.conf.set("spark.sql.catalog.graftq.warehouse", cat.warehouse)
-    s.sql("""
+    // catalog plugins are CACHED by name per session after first use —
+    // one session touching several sf dirs (Bench warms at sf0.001 then
+    // times at sf0.1) would silently keep reading the first warehouse
+    // under a fixed name, so the name derives from the warehouse path
+    val cname = "graftq_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cat.warehouse.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    s.sql(s"""
       SELECT o_orderstatus, count(*) AS cnt,
              round(sum(o_totalprice), 2) AS total_price
-      FROM graftq.q.orders VERSION AS OF 1
+      FROM $cname.q.orders VERSION AS OF 1
       WHERE o_orderkey % 2 = 0
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus ASC NULLS FIRST""")

@@ -372,6 +372,14 @@ class CatalogSpec extends SparkSpec {
     cat.commitDelete("ns", "mm", Seq(2L).toDF("id"))
     assert(cat.minMaxFast("ns", "mm", "id") === None,
       "delete manifests make metadata bounds unverifiable")
+    // a double column whose bounds record "NaN" answers None, not a
+    // NumberFormatException (the readWhereAll guard, mirrored)
+    val cat3 = freshCatalog()
+    cat3.createTable("ns", "nan")
+    cat3.commitAppend("ns", "nan",
+      Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "x"))
+    assert(cat3.minMaxFast("ns", "nan", "x") === None)
+    assert(cat3.minMaxFast("ns", "nan", "id") === Some(("1", "2")))
   }
 
   test("write-audit-publish: clean batches publish atomically, dirty batches park on their branch") {

@@ -173,9 +173,13 @@ class ExtensionsSpec extends SparkSpec {
     val shown = spark.sql("SHOW TABLES IN graft_sql.ns")
       .select("tableName").as[String].collect().toSet
     assert(shown === Set("t"))
-    // DDL round-trip + SQL INSERT onto the transactional commit path
+    // DDL round-trip: CREATE records the schema (empty v0), so the
+    // canonical CREATE -> INSERT -> SELECT flow works cold
     spark.sql("CREATE TABLE graft_sql.ns.t2 (x BIGINT)")
     assert(cat.tableExists("ns", "t2"))
+    spark.sql("INSERT INTO graft_sql.ns.t2 VALUES (7), (8)")
+    assert(spark.sql("SELECT x FROM graft_sql.ns.t2 ORDER BY x").as[Long]
+      .collect() === Array(7L, 8L))
     spark.sql("INSERT INTO graft_sql.ns.t VALUES (9, 'z')")
     assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 4L)
     // one atomic version per INSERT statement; history intact
@@ -199,6 +203,9 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("DELETE FROM graft_sql.ns.t WHERE length(v) > 5")
     }
     assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 2L)
+    // WHERE-less DELETE = truncate semantics (AlwaysTrue filter)
+    spark.sql("DELETE FROM graft_sql.ns.t")
+    assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 0L)
     // missing table surfaces the standard analyzer error
     intercept[Exception] { spark.sql("SELECT * FROM graft_sql.ns.nope").collect() }
   }

@@ -239,6 +239,57 @@ object Curation {
       .drop("__rn", "__alloc")
   }
 
+  /** Multi-epoch sampling plan: when a source's token target exceeds
+    * its corpus size, the corpus REPEATS — full_epochs = target div
+    * corpus_tokens whole passes, plus a partial epoch of the remainder
+    * chosen by the deterministic md5-rank token-budget sampler (so the
+    * partial pass is the same reproducible subset on every run). The
+    * repetition plan of data-constrained pretraining (epoching à la
+    * Muennighoff et al. 2023, public result): per source —
+    * (corpus_tokens, target_tokens, full_epochs, partial_budget,
+    * partial_docs, partial_tokens).
+    *
+    * Scale shape: corpus masses are one aggregate; the only
+    * corpus-sized work is the partial-epoch prefix-sum window (same
+    * story as tokenBudgetSample); integer div/mod arithmetic
+    * throughout, so both engines agree exactly. */
+  def epochPlan(df: DataFrame, stratumCol: String, idCol: String,
+                tokenCol: String, mixture: Seq[(String, Double)],
+                totalBudget: Long): DataFrame = {
+    require(mixture.nonEmpty && mixture.forall(_._2 >= 0.0) &&
+      math.abs(mixture.map(_._2).sum - 1.0) < 1e-9,
+      s"mixture weights must be >= 0 and sum to 1: $mixture")
+    require(mixture.map(_._1).distinct.size == mixture.size,
+      s"mixture has duplicate sources: ${mixture.map(_._1)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = mixture.map { case (s, w) =>
+      (s, math.floor(totalBudget * w).toLong)
+    }.toDF(stratumCol, "target_tokens")
+    val base = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).as("corpus_tokens"))
+      .filter(col("corpus_tokens") > 0)
+      .join(broadcast(budgets), stratumCol)
+      .withColumn("full_epochs",
+        expr("target_tokens div corpus_tokens"))
+      .withColumn("partial_budget",
+        col("target_tokens") - col("full_epochs") * col("corpus_tokens"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = df
+      .join(broadcast(base.select(col(stratumCol), col("partial_budget"))), stratumCol)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= col("partial_budget"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("partial_docs"), sum(col(tokenCol)).as("partial_tokens"))
+    base.join(partial, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("corpus_tokens"), col("target_tokens"),
+        col("full_epochs"), col("partial_budget"),
+        coalesce(col("partial_docs"), lit(0L)).as("partial_docs"),
+        coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"))
+  }
+
   /** Byte-pair-encoding APPLICATION with a fixed, ordered merge list —
     * the tokenize step of a trained BPE vocabulary (public algorithm;
     * merges are input, training them is `topNgrams`' job). Each word

@@ -434,6 +434,18 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch plan at a 200k-token target over the 1..21/210 mixture: most
+    * sources repeat (full epochs) with a deterministic partial pass —
+    * the data-constrained pretraining repetition planner. */
+  private def sampleEpochs: Q = (s, d) => {
+    val mixture = (0 until 20).map(i => s"src$i" -> (i + 1) / 210.0)
+    Curation.epochPlan(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TA.tokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", mixture, totalBudget = 200000L)
+      .orderBy(col("source"))
+  }
+
   /** Dataset datasheet: the one-row-per-source corpus report shipped
     * alongside a training dataset — volume (docs, tokens), exact-dup
     * rate (1 - distinct texts / docs), and mean quality. One scan, one
@@ -1141,6 +1153,7 @@ object Pipeline {
     "text_inverted_index"  -> textInvertedIndex,
     "text_oov_rate"        -> textOovRate,
     "text_corpus_report"   -> textCorpusReport,
+    "sample_epochs"        -> sampleEpochs,
     "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -1760,6 +1773,39 @@ object Pipeline {
          FROM c JOIN wt USING (source)
          WHERE c.cum_tokens <= wt.stratum_budget
          ORDER BY c.doc_id""",
+    "sample_epochs" ->
+      """WITH wt AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                            CAST(floor(200000 * (CAST(i + 1 AS DOUBLE) / 210.0)) AS BIGINT)
+                              AS target_tokens
+                     FROM range(0, 20) q(i)),
+            d AS (SELECT doc_id, source,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+            base AS (SELECT d.source,
+                            CAST(sum(d.n_tokens) AS BIGINT) AS corpus_tokens,
+                            wt.target_tokens
+                     FROM d JOIN wt USING (source)
+                     GROUP BY d.source, wt.target_tokens
+                     HAVING sum(d.n_tokens) > 0),
+            b2 AS (SELECT source, corpus_tokens, target_tokens,
+                          target_tokens // corpus_tokens AS full_epochs,
+                          target_tokens - (target_tokens // corpus_tokens) * corpus_tokens
+                            AS partial_budget
+                   FROM base),
+            c AS (SELECT d.doc_id, d.source, d.n_tokens, b2.partial_budget,
+                         CAST(sum(d.n_tokens) OVER (PARTITION BY d.source
+                           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                           AS cum
+                  FROM d JOIN b2 USING (source)),
+            p AS (SELECT source, count(*) AS partial_docs,
+                         CAST(sum(n_tokens) AS BIGINT) AS partial_tokens
+                  FROM c WHERE cum <= partial_budget GROUP BY source)
+         SELECT b2.source, b2.corpus_tokens, b2.target_tokens,
+                b2.full_epochs, b2.partial_budget,
+                COALESCE(p.partial_docs, 0) AS partial_docs,
+                COALESCE(p.partial_tokens, 0) AS partial_tokens
+         FROM b2 LEFT JOIN p USING (source) ORDER BY b2.source""",
     "text_corpus_report" ->
       s"""SELECT source, count(*) AS docs,
                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,

@@ -608,6 +608,31 @@ class CurationSpec extends SparkSpec {
     assert(out("x") === (("x", 1)))
   }
 
+  test("epochPlan: full epochs by integer division; partial pass is the md5 token-budget prefix") {
+    import graft.pipeline.Curation
+    // source a: 10 tokens corpus, target 25 -> 2 full epochs + 5-token partial
+    // source b: 8 tokens corpus, target 25 -> 3 full epochs + 1-token partial
+    val docs = Seq(
+      (1L, "a", 4L), (2L, "a", 6L),
+      (3L, "b", 5L), (4L, "b", 3L)
+    ).toDF("id", "src", "toks")
+    val plan = Curation.epochPlan(docs, "src", "id", "toks",
+        Seq("a" -> 0.5, "b" -> 0.5), totalBudget = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(plan("a")._1 === 10L && plan("a")._3 === 2L && plan("a")._4 === 5L)
+    assert(plan("b")._1 === 8L && plan("b")._3 === 3L && plan("b")._4 === 1L)
+    // realized partial never exceeds its budget and matches the md5-rank
+    // prefix admission (docs too big for the remainder admit nothing)
+    assert(plan("a")._6 <= plan("a")._4 && plan("b")._6 <= plan("b")._4)
+    // a target below one epoch gives 0 full epochs and only a partial
+    val tiny = Curation.epochPlan(docs, "src", "id", "toks",
+        Seq("a" -> 1.0, "b" -> 0.0), totalBudget = 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(tiny("a") === 0L && !tiny.contains("b") || tiny.get("b").forall(_ == 0L))
+  }
+
   test("neymanSample: variance-heavy strata get the budget; constant strata get none") {
     import graft.pipeline.Curation
     // stratum 'wild': values spread 0..90 (sd ~ 30); 'flat': constant

@@ -409,17 +409,31 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * (their net effect is data-dependent) or any file lacks a recorded
     * count (foreign commitFiles, pre-upgrade manifests). Empty table
     * counts 0. */
+  /** The latest version's recorded schema, without touching any data
+    * file — what a metadata-only consumer (DSv2 table load, aggregate
+    * pushdown) needs. None for an empty table or a pre-schema log. */
+  def tableSchema(ns: String, name: String): Option[StructType] =
+    latest(ns, name).flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
   def countFast(ns: String, name: String): Long =
+    countFastOpt(ns, name).getOrElse(read(ns, name).count())
+
+  /** The metadata-only half of [[countFast]]: Some(count) when every
+    * file has a recorded row count and no delete manifests exist, None
+    * when only a scan can answer — the shape aggregate-pushdown needs
+    * (claim the pushdown only when metadata is authoritative). */
+  def countFastOpt(ns: String, name: String): Option[Long] =
     latest(ns, name) match {
-      case None => 0L
+      case None => Some(0L)
       case Some(snap) =>
-        if (snap.manifests.exists(isDeleteManifest)) read(ns, name).count()
+        if (snap.manifests.exists(isDeleteManifest)) None
         else {
           val entries = snap.manifests.filterNot(isDeleteManifest)
             .flatMap(manifestEntriesFull(ns, name, _))
           val counts = entries.map(_.stats.get(GraftCatalog.RowsStatKey))
-          if (counts.forall(_.isDefined)) counts.map(_.get._1.toLong).sum
-          else read(ns, name).count()
+          if (counts.forall(_.isDefined)) Some(counts.map(_.get._1.toLong).sum)
+          else None
         }
     }
 

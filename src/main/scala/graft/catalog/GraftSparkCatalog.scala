@@ -108,24 +108,32 @@ class GraftSparkCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    new GraftV2Table(s"$catalogName.$ns.$t", cat.read(ns, t),
-      insert = Some(insertInto(ns, t)), delete = Some(deleteWhereIn(ns, t)))
+    // schema from the commit log when recorded; the data-path-resolving
+    // read is DEFERRED so metadata-served statements (count/min/max
+    // pushdown, DDL) never touch a data file
+    val schema = cat.tableSchema(ns, t).getOrElse(cat.read(ns, t).schema)
+    new GraftV2Table(s"$catalogName.$ns.$t", () => cat.read(ns, t), schema,
+      insert = Some(insertInto(ns, t)), delete = Some(deleteWhereIn(ns, t)),
+      // metadata aggregates are only authoritative for the LATEST
+      // version — time-travel loads don't get them
+      meta = Some(GraftMetaAggs(
+        () => cat.countFastOpt(ns, t), c => cat.minMaxFast(ns, t, c))))
   }
 
   /** VERSION AS OF <seq> */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    new GraftV2Table(s"$catalogName.$ns.$t@v$version",
-      cat.readVersion(ns, t, version.toLong))
+    val df = cat.readVersion(ns, t, version.toLong)
+    new GraftV2Table(s"$catalogName.$ns.$t@v$version", () => df, df.schema)
   }
 
   /** TIMESTAMP AS OF <ts> — Spark passes MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros",
-      cat.readAsOfTimestamp(ns, t, timestampMicros / 1000L))
+    val df = cat.readAsOfTimestamp(ns, t, timestampMicros / 1000L)
+    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros", () => df, df.schema)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -139,7 +147,7 @@ class GraftSparkCatalog extends TableCatalog {
     cat.commitAppend(nsOf(ident), ident.name(),
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
     new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      () => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), schema,
       insert = Some(insertInto(nsOf(ident), ident.name())))
   }
 
@@ -165,9 +173,15 @@ class GraftSparkCatalog extends TableCatalog {
   * OVERWRITE` one commitReplace. Time-travel tables are read-only
   * (`writable = false`): inserting "into the past" would silently
   * target the LATEST version. */
-private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
+/** Driver-side metadata aggregate accessors for the pushdown path. */
+private[catalog] case class GraftMetaAggs(count: () => Option[Long],
+                                          minMax: String => Option[(String, String)])
+
+private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
+                                    tableSchema: StructType,
                                     insert: Option[(DataFrame, Boolean) => Unit] = None,
-                                    delete: Option[Column => Unit] = None)
+                                    delete: Option[Column => Unit] = None,
+                                    meta: Option[GraftMetaAggs] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
@@ -189,7 +203,7 @@ private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
   }
 
   override def name(): String = tableName
-  override def schema(): StructType = df.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     if (insert.isDefined)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -197,7 +211,7 @@ private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(df)
+    new GraftScanBuilder(dfThunk, tableSchema, meta)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -217,12 +231,66 @@ private[catalog] class GraftV2Table(tableName: String, df: DataFrame,
     }
 }
 
-private[catalog] class GraftScanBuilder(df: DataFrame)
+private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
+                                        tableSchema: StructType,
+                                        meta: Option[GraftMetaAggs] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // data paths resolve only when a REAL scan is built — metadata-served
+  // aggregates never touch this
+  private lazy val df: DataFrame = dfThunk()
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = df.schema
+  private var required: StructType = tableSchema
+  private var aggResult: Option[DataFrame] = None
+
+  /** COUNT(*)/MIN/MAX with no grouping and no filters answer from the
+    * MANIFESTS (countFastOpt/minMaxFast — zero data reads), the Iceberg
+    * aggregate pushdown. Claimed ONLY when metadata is authoritative:
+    * latest version, no delete manifests, every file stat-bearing, no
+    * pushed filters (metadata ignores them), bounds parseable. Complete
+    * pushdown — Spark consumes the single row as the final result. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryMetaAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryMetaAgg(agg) match {
+      case Some(result) =>
+        aggResult = Some(result); required = result.schema; true
+      case None => false
+    }
+
+  private def tryMetaAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    if (meta.isEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val m = meta.get
+    val cols: Seq[Option[Column]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => m.count().map(lit(_).as("cnt"))
+      case mn: Min => fieldOf(mn.column()).flatMap { f =>
+        val dt = tableSchema.fields.find(_.name == f).map(_.dataType)
+        m.minMax(f).flatMap(b => dt.map(t => lit(b._1).cast(t).as(s"min_$f")))
+      }
+      case mx: Max => fieldOf(mx.column()).flatMap { f =>
+        val dt = tableSchema.fields.find(_.name == f).map(_.dataType)
+        m.minMax(f).flatMap(b => dt.map(t => lit(b._2).cast(t).as(s"max_$f")))
+      }
+      case _ => None
+    }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) None
+    else Some(SparkSession.active.range(1).select(cols.map(_.get): _*))
+  }
 
   /** Translatable filters are applied to the inner plan (reaching the
     * parquet scan) but ALSO returned as residuals — Spark re-evaluates
@@ -233,15 +301,19 @@ private[catalog] class GraftScanBuilder(df: DataFrame)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (aggResult.isEmpty) required = requiredSchema
 
   override def build(): Scan = {
     val requiredNames = required.fieldNames.toSeq
-    val inner0 = pushed.foldLeft(df)((d, f) =>
-      GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
-    // a fully-pruned scan (count(*)) selects ZERO columns — legal: the
-    // rdd yields empty Rows, preserving only the row count
-    val inner = inner0.select(requiredNames.map(col): _*)
+    // the metadata-served branch must not force the lazy df (it would
+    // resolve data paths a metadata answer never needs)
+    val inner = aggResult.getOrElse {
+      val inner0 = pushed.foldLeft(df)((d, f) =>
+        GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
+      // a fully-pruned scan (count(*)) selects ZERO columns — legal: the
+      // rdd yields empty Rows, preserving only the row count
+      inner0.select(requiredNames.map(col): _*)
+    }
     new V1Scan {
       override def readSchema(): StructType = required
       override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -740,6 +740,27 @@ object Relational {
       ORDER BY c.c_custkey, o.o_orderkey""")
   }
 
+  /** Feed-gap detection: hourly buckets in each event type's ACTIVE
+    * range (min..max observed hour) with no events — the monitor that
+    * catches a dead upstream partition before a consumer notices. The
+    * expected-bucket sequence is generated per type (sequence() is a
+    * narrow projection off the 1-row-per-type bounds aggregate) and
+    * anti-joined against the observed hours: work is O(observed hours +
+    * expected hours), never a data rescan. */
+  private def missingBuckets: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val expected = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    expected.join(hourly.select(col("event_type"), col("hour")),
+        Seq("event_type", "hour"), "left_anti")
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** TPC-H Q3 shape (shipping priority): 3-way join with date bands on
     * both fact sides, revenue agg, top-10 — the canonical "filter
     * early, broadcast the dim, one shuffle on the agg key" composite;
@@ -1050,6 +1071,7 @@ object Relational {
     "rel_lateral_join"        -> lateralTopOrders,
     "rel_unpivot"             -> unpivotMetrics,
     "rel_tpch_q3"             -> tpchQ3,
+    "rel_missing_buckets"     -> missingBuckets,
     "rel_tpch_q10"            -> tpchQ10,
     "rel_json_corrupt"        -> jsonCorrupt,
     "rel_scalar_subquery"     -> scalarSubquery,
@@ -1269,6 +1291,18 @@ object Relational {
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
          WHERE c.c_custkey < 100
          ORDER BY c.c_custkey, o.o_orderkey""",
+    "rel_missing_buckets" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+                  FROM h GROUP BY event_type),
+            e AS (SELECT event_type,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                  FROM b)
+         SELECT e.event_type, e.hour
+         FROM e LEFT JOIN h ON h.event_type = e.event_type AND h.hour = e.hour
+         WHERE h.event_type IS NULL
+         ORDER BY e.event_type, e.hour""",
     "rel_tpch_q3" ->
       """SELECT o.o_orderkey, o.o_orderdate,
                 round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue

@@ -226,4 +226,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("GreaterThan"),
       s"no pushdown evidence in plan:\n$plan")
   }
+
+  test("DSv2 aggregate pushdown: count/min/max answer from manifests after the data files are gone") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh3").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "agg")
+    cat.commitAppend("ns", "agg",
+      (1 to 200).map(i => (i.toLong, i * 1.5)).toDF("id", "score"))
+    spark.conf.set("spark.sql.catalog.graft_sql3", "graft.catalog.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sql3.warehouse", wh)
+    // before the destructive proof: scanned paths still work
+    assert(math.abs(spark.sql("SELECT avg(score) FROM graft_sql3.ns.agg")
+      .head().getDouble(0) - 150.75) < 1e-9)
+    assert(spark.sql("SELECT count(*) FROM graft_sql3.ns.agg WHERE id > 100")
+      .head().getLong(0) === 100L)
+    // destroy every data file: from here only metadata can answer (the
+    // table load itself stays metadata-only — schema from the commit log,
+    // data paths resolved lazily per scan)
+    java.nio.file.Files.walk(cat.tablePath("ns", "agg").resolve("data"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => if (!java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.delete(p))
+    val r = spark.sql(
+      "SELECT count(*), min(id), max(id), max(score) FROM graft_sql3.ns.agg").head()
+    assert(r.getLong(0) === 200L && r.getLong(1) === 1L && r.getLong(2) === 200L)
+    assert(r.getDouble(3) === 300.0)
+    // unsupported aggregates (avg) honestly fall back to the scan — which
+    // the deleted files make fail, proving nothing fake was served
+    intercept[Exception] {
+      spark.sql("SELECT avg(score) FROM graft_sql3.ns.agg").collect()
+    }
+    // a filter disables the metadata path too (it would ignore the filter)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft_sql3.ns.agg WHERE id > 100").collect()
+    }
+  }
 }

@@ -55,7 +55,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables server-side; this is that resolution expressed as the
   * engine-native catalog plugin.
   */
-class GraftSparkCatalog extends TableCatalog {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -163,6 +163,61 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- namespaces: one directory level under the warehouse root ----
+
+  private def nsDir(ns: Array[String]) =
+    java.nio.file.Paths.get(warehouse, ns.mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(root)) return Array.empty
+    val it = java.nio.file.Files.list(root).iterator()
+    val out = Array.newBuilder[Array[String]]
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (java.nio.file.Files.isDirectory(p) && !n.startsWith(".") && !n.startsWith("_"))
+        out += Array(n)
+    }
+    out.result().sortBy(_.mkString)
+  }
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] =
+    if (parent.isEmpty) listNamespaces()
+    else if (namespaceExists(parent)) Array.empty // single-level namespaces
+    else throw new NoSuchNamespaceException(parent)
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.length == 1 && java.nio.file.Files.isDirectory(nsDir(ns))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    java.util.Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
+      nsDir(ns).toString)
+  }
+
+  override def createNamespace(ns: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(ns.length == 1, s"graft namespaces are single-level: ${ns.mkString(".")}")
+    java.nio.file.Files.createDirectories(nsDir(ns)): Unit
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace properties are not supported")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    val tables = cat.listTables(ns(0))
+    if (tables.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
+    tables.foreach(t => cat.dropTable(ns(0), t))
+    // remove the now-empty namespace dir (and any stray empties inside)
+    val d = nsDir(ns)
+    java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+    true
+  }
 }
 
 /** A readable + insertable graft table: schema from the catalog's

@@ -208,6 +208,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 0L)
     // missing table surfaces the standard analyzer error
     intercept[Exception] { spark.sql("SELECT * FROM graft_sql.ns.nope").collect() }
+    // namespace DDL: list, create, drop (non-empty requires CASCADE)
+    assert(spark.sql("SHOW NAMESPACES IN graft_sql").select("namespace")
+      .as[String].collect().toSet === Set("ns"))
+    spark.sql("CREATE NAMESPACE graft_sql.ns2")
+    spark.sql("CREATE TABLE graft_sql.ns2.x (a BIGINT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_sql.ns2") }
+    spark.sql("DROP NAMESPACE graft_sql.ns2 CASCADE")
+    assert(!cat.tableExists("ns2", "x"))
   }
 
   test("DSv2 scans push filters and prune columns into the inner parquet plan") {

@@ -65,6 +65,53 @@ object Similarity {
     topKPerQuery(scored, k, corpus.schema(idCol).dataType)
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal,
+    * Gonzalez 1985, public algorithm — the 2-approximation for the
+    * k-center objective): starting from the lowest-id vector, each
+    * round admits the point FARTHEST (cosine distance) from the
+    * selected set. The diversity sampler of embedding-space curation:
+    * where temperature/mixture samplers balance token MASS, k-center
+    * maximizes COVERAGE — every corpus point ends within the selected
+    * radius of a center.
+    *
+    * Scale shape: the per-point min-distance-to-selected column updates
+    * with ONE narrow broadcast comparison per round (the new center is
+    * a 1-row literal; no join, no shuffle), and the round's argmax is a
+    * 1-row aggregate — k rounds of O(corpus) map work, the same
+    * iterative discipline as kMeans/PCA here. localCheckpoint per
+    * round keeps lineage flat.
+    *
+    * Determinism: distances round to 6 decimals before the argmax, ties
+    * break to the LOWER id; output (rank, vec_id, covered_radius) where
+    * covered_radius is the max remaining min-distance BEFORE the pick —
+    * the coverage guarantee the selection certifies at each size. */
+  def kCenterSelect(corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val firstId = base.agg(min(col("id"))).head().getLong(0)
+    val firstVec = base.filter(col("id") === firstId).head().getSeq[Float](1)
+    var state = base
+      .withColumn("mind", round(lit(1.0) - cosine(col("vec"),
+        lit(firstVec.toArray)), 6))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer((1, firstId, 0.0))
+    for (r <- 2 to k) {
+      val far = state.filter(!col("id").isin(picks.toSeq.map(_._2): _*))
+        .orderBy(col("mind").desc, col("id")).limit(1)
+        .select(col("id"), col("vec"), col("mind")).head()
+      picks += ((r, far.getLong(0), far.getDouble(2)))
+      val newVec = far.getSeq[Float](1)
+      state = state
+        .withColumn("mind", least(col("mind"),
+          round(lit(1.0) - cosine(col("vec"), lit(newVec.toArray)), 6)))
+        .localCheckpoint()
+    }
+    picks.toSeq.toDF("rank", "vec_id", "covered_radius")
+  }
+
   /** Recall@k of an approximate top-k against the exact top-k: for
     * each query, |approx ∩ exact| / |exact| — the standard ANN quality
     * gauge, computed in-engine so a recall regression (bad quantizer

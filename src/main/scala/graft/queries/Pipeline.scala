@@ -434,6 +434,13 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Greedy k-center coreset (6 centers) over the embeddings corpus —
+    * the diversity-coverage sampler; oracle unrolls all six
+    * farthest-point rounds with materialized CTEs. */
+  private def annKcenter: Q = (s, d) =>
+    Similarity.kCenterSelect(Tables.embeddings(s, d), k = 6)
+      .orderBy(col("rank"))
+
   /** Epoch plan at a 200k-token target over the 1..21/210 mixture: most
     * sources repeat (full epochs) with a deterministic partial pass —
     * the data-constrained pretraining repetition planner. */
@@ -1154,6 +1161,7 @@ object Pipeline {
     "text_oov_rate"        -> textOovRate,
     "text_corpus_report"   -> textCorpusReport,
     "sample_epochs"        -> sampleEpochs,
+    "ann_kcenter"          -> annKcenter,
     "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -1376,6 +1384,54 @@ object Pipeline {
             ${iter("pr1", "pr2")},
             ${iter("pr2", "pr3")}
        SELECT id, pr FROM pr3 ORDER BY id"""
+  }
+
+  /** Unrolled greedy k-center (6 farthest-point rounds, MATERIALIZED
+    * per round — the kcore lesson). Cosine is computed UNROUNDED in
+    * double (both engines share IEEE), only the 1-cos distance
+    * quantizes to 6 decimals before each argmax, exactly as the
+    * engine does; ties to the lower id. */
+  private val kcenterSql: String = {
+    val cosRaw =
+      """(list_aggregate(list_transform(list_zip(e.embedding, c.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+          * sqrt(list_aggregate(list_transform(c.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))))"""
+    val rounds = (2 to 6).map { r =>
+      val p = r - 1
+      s""",
+        pick$r AS MATERIALIZED (
+            SELECT d$p.vec_id, d$p.mind FROM d$p
+            WHERE d$p.vec_id NOT IN (SELECT vec_id FROM sel$p)
+            ORDER BY d$p.mind DESC, d$p.vec_id LIMIT 1),
+        sel$r AS MATERIALIZED (
+            SELECT vec_id, rnk FROM sel$p
+            UNION ALL SELECT vec_id, $r FROM pick$r),
+        d$r AS MATERIALIZED (
+            SELECT e.vec_id,
+                   least(d$p.mind, round(1.0 - $cosRaw, 6)) AS mind
+            FROM emb e
+            JOIN d$p ON d$p.vec_id = e.vec_id
+            JOIN emb c ON c.vec_id = (SELECT vec_id FROM pick$r))"""
+    }.mkString
+    s"""WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        c1 AS MATERIALIZED (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 1),
+        sel1 AS MATERIALIZED (SELECT vec_id, 1 AS rnk FROM c1),
+        d1 AS MATERIALIZED (
+            SELECT e.vec_id, round(1.0 - $cosRaw, 6) AS mind
+            FROM emb e JOIN emb c ON c.vec_id = (SELECT vec_id FROM c1))$rounds
+       SELECT CAST(s.rnk AS INT) AS rank, s.vec_id,
+              CAST(CASE WHEN s.rnk = 1 THEN 0.0
+                   ELSE (SELECT p.mind FROM (
+                           SELECT vec_id, mind, 2 AS r FROM pick2
+                           UNION ALL SELECT vec_id, mind, 3 FROM pick3
+                           UNION ALL SELECT vec_id, mind, 4 FROM pick4
+                           UNION ALL SELECT vec_id, mind, 5 FROM pick5
+                           UNION ALL SELECT vec_id, mind, 6 FROM pick6) p
+                         WHERE p.r = s.rnk) END AS DOUBLE) AS covered_radius
+       FROM sel6 s ORDER BY rank"""
   }
 
   /** Unrolled k-core peeling (8 rounds; the sf0.01 fixpoint is 3 and
@@ -1922,6 +1978,7 @@ object Pipeline {
          ORDER BY s.doc_id""",
     "graph_pagerank" -> pagerankSql,
     "graph_kcore" -> kcoreSql,
+    "ann_kcenter" -> kcenterSql,
     // recall contract: quantizer cells are engine-defined, the accuracy
     // floor is not — the oracle is the typed empty violation set
     "ann_recall_contract" ->

@@ -118,6 +118,40 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L)) // gamma is isolated
   }
 
+  test("kCenterSelect: radii non-increasing, coverage certified, farthest-first on a planted line") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // colinear unit-ish vectors at angles 0°,10°,...,90°: farthest-first
+    // from id 0 must pick the 90° point first, then the middle
+    val vecs = (0 to 9).map { i =>
+      val a = math.toRadians(i * 10.0)
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.map(v => Row(v._1, v._2.toSeq))), schema)
+    val picks = Similarity.kCenterSelect(df, k = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(picks.map(_._2).take(2) === Array(0L, 9L), "seed then the 90-degree point")
+    // radii are non-increasing: each pick covers the worst remaining gap
+    assert(picks(1)._3 >= picks(2)._3)
+    // coverage law: every point is within the LAST pick's pre-pick
+    // radius of some selected center
+    val centers = picks.map(_._2).toSet
+    val worst = vecs.map { case (_, v) =>
+      centers.map { c =>
+        val cv = vecs(c.toInt)._2
+        val dot = v.zip(cv).map { case (a, b) => a.toDouble * b }.sum
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum) *
+          math.sqrt(cv.map(x => x.toDouble * x).sum)
+        1.0 - dot / n
+      }.min
+    }.max
+    assert(worst <= picks(2)._3 + 1e-6,
+      s"coverage radius violated: worst=$worst cert=${picks(2)._3}")
+  }
+
   test("recallAtK: exact fraction per query; IVF recall contract holds on the corpus") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
                     (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")

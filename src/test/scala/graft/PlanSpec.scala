@@ -416,6 +416,24 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unlisted cartesian products in: $offenders")
   }
 
+  test("AQE coalesces an over-partitioned shuffle down to the data's real size") {
+    // the 1000-executor reality: static shuffle.partitions is always
+    // wrong for SOME stage; AQE folding tiny post-shuffle partitions
+    // into few reads is what keeps small aggregates from paying 200
+    // task launches. Assert the mechanism actually engages.
+    import org.apache.spark.sql.functions.{col, sum}
+    val saved = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try {
+      val q = Tables.nation(spark, sf())
+        .groupBy(col("n_regionkey")).agg(sum(col("n_nationkey")))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"AQE did not coalesce the 200-partition shuffle:\n$p")
+    } finally saved.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+  }
+
   test("TPC-H composites: dims broadcast, top-k is TakeOrderedAndProject, no cartesian") {
     for (q <- Seq("rel_tpch_q3", "rel_tpch_q10")) {
       val p = plan(q)

@@ -246,6 +246,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: duplicates collapse inside the horizon, state then expires") {
+    // the built-in bounded-state dedup (Spark 3.5+): unlike plain
+    // dropDuplicates (state grows forever), the watermark bounds how
+    // long a key is remembered — the only dedup shape that survives an
+    // unbounded 100 TB stream. Semantics pinned: a duplicate arriving
+    // within the watermark window is dropped even though its OWN
+    // timestamp differs from the first occurrence's.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("text")
+    val query = docs.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L, "alpha"))
+      query.processAllAvailable()
+      // same text, 5 min later (inside horizon): dropped
+      input.addData((ts("2024-01-01 00:05:00"), 2L, "alpha"))
+      query.processAllAvailable()
+      // push the watermark far past alpha's expiry, then repeat it:
+      // the state is gone, so the reappearance is admitted as new
+      input.addData((ts("2024-01-01 01:00:00"), 3L, "beta"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 01:01:00"), 4L, "alpha"))
+      query.processAllAvailable()
+      val kept = spark.table("wm_dedup").select("doc_id").as[Long].collect().sorted
+      assert(kept === Array(1L, 3L, 4L),
+        "in-horizon dup dropped; post-expiry reappearance admitted")
+    } finally query.stop()
+  }
+
   test("RocksDB state store: streaming dedup behaves identically to the in-memory provider") {
     // The 100 TB streaming-state answer: HDFS-backed in-memory state
     // caps at executor heap; RocksDB spills per-key state to local disk

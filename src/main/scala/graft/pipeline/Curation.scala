@@ -239,6 +239,41 @@ object Curation {
       .drop("__rn", "__alloc")
   }
 
+  /** Per-domain KL divergence KL(P_source || P_corpus) between add-one
+    * smoothed unigram LMs — the "how distinctive is this domain"
+    * diagnostic that informs mixture design (a source with near-zero
+    * KL adds volume, not signal; a high-KL source is where mixture
+    * weights matter). Smoothing covers the FULL corpus vocabulary, so
+    * tokens absent from a source still contribute (p_s smoothed vs the
+    * corpus mass they hold).
+    *
+    * Scale shape: per-(source, token) and per-token counts are
+    * Zipf-bounded aggregates; the sources × vocab grid (the only join)
+    * is |sources|·|vocab| — metadata-scale next to the one corpus
+    * token scan that feeds it. KL rounds to 4 decimals (the lm-score
+    * quantization precedent). */
+  def domainKl(df: DataFrame, stratumCol: String, idCol: String,
+               textCol: String): DataFrame = {
+    val toks = tokenStream(df, idCol, textCol, lowercase = true)
+      .join(df.select(col(idCol), col(stratumCol)), idCol)
+    val perSrcTok = toks.groupBy(col(stratumCol), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val perTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val vocabSize = perTok.count()
+    val totals = toks.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val nTotal = toks.count()
+    val grid = totals.crossJoin(perTok) // |sources| x |vocab|
+      .join(perSrcTok, Seq(stratumCol, "tok"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+    grid.withColumn("p_s",
+        (col("c_st") + 1).cast("double") / (col("n_s") + vocabSize))
+      .withColumn("p_c",
+        (col("c_t") + 1).cast("double") / lit((nTotal + vocabSize).toDouble))
+      .groupBy(col(stratumCol))
+      .agg(round(sum(col("p_s") * log(col("p_s") / col("p_c"))), 4).as("kl"),
+        max(col("n_s")).as("tokens"))
+  }
+
   /** Multi-epoch sampling plan: when a source's token target exceeds
     * its corpus size, the corpus REPEATS — full_epochs = target div
     * corpus_tokens whole passes, plus a partial epoch of the remainder

@@ -453,6 +453,12 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Domain distinctiveness: KL(source LM || corpus LM) over add-one
+    * smoothed unigrams — which domains carry signal vs volume. */
+  private def textDomainKl: Q = (s, d) =>
+    Curation.domainKl(Tables.documents(s, d), "source", "doc_id", "text")
+      .orderBy(col("source"))
+
   /** Dataset datasheet: the one-row-per-source corpus report shipped
     * alongside a training dataset — volume (docs, tokens), exact-dup
     * rate (1 - distinct texts / docs), and mean quality. One scan, one
@@ -1162,6 +1168,7 @@ object Pipeline {
     "text_corpus_report"   -> textCorpusReport,
     "sample_epochs"        -> sampleEpochs,
     "ann_kcenter"          -> annKcenter,
+    "text_domain_kl"       -> textDomainKl,
     "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -1829,6 +1836,28 @@ object Pipeline {
          FROM c JOIN wt USING (source)
          WHERE c.cum_tokens <= wt.stratum_budget
          ORDER BY c.doc_id""",
+    "text_domain_kl" ->
+      """WITH toks AS MATERIALIZED (
+              SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS tok
+              FROM documents d),
+            pt AS MATERIALIZED (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+            v AS (SELECT count(*) AS vs FROM pt),
+            ns AS (SELECT source, count(*) AS n_s FROM toks GROUP BY source),
+            nt AS (SELECT count(*) AS n FROM toks),
+            st AS MATERIALIZED (
+              SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+            grid AS (SELECT ns.source, ns.n_s, pt.tok, pt.c_t,
+                            COALESCE(st.c_st, 0) AS c_st
+                     FROM ns CROSS JOIN pt
+                     LEFT JOIN st ON st.source = ns.source AND st.tok = pt.tok)
+         SELECT source,
+                round(sum(
+                  (CAST(c_st + 1 AS DOUBLE) / (n_s + (SELECT vs FROM v)))
+                  * ln((CAST(c_st + 1 AS DOUBLE) / (n_s + (SELECT vs FROM v)))
+                       / (CAST(c_t + 1 AS DOUBLE)
+                          / ((SELECT n FROM nt) + (SELECT vs FROM v))))), 4) AS kl,
+                max(n_s) AS tokens
+         FROM grid GROUP BY source ORDER BY source""",
     "sample_epochs" ->
       """WITH wt AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
                             CAST(floor(200000 * (CAST(i + 1 AS DOUBLE) / 210.0)) AS BIGINT)

@@ -608,6 +608,22 @@ class CurationSpec extends SparkSpec {
     assert(out("x") === (("x", 1)))
   }
 
+  test("domainKl: distinctive domains score high, corpus-like domains near zero, never negative") {
+    import graft.pipeline.Curation
+    val docs = Seq(
+      (1L, "mix", "alpha beta gamma delta"),
+      (2L, "mix", "beta gamma delta alpha"),
+      (3L, "same", "alpha beta gamma delta"),   // mirrors the corpus mix
+      (4L, "odd", "zzz zzz zzz zzz")            // vocabulary of its own
+    ).toDF("doc_id", "source", "text")
+    val kl = Curation.domainKl(docs, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(kl.values.forall(_ >= 0.0), s"KL must be non-negative: $kl")
+    assert(kl("odd") > kl("same"),
+      s"the own-vocabulary domain must out-diverge the corpus-like one: $kl")
+    assert(kl("odd") > kl("mix"))
+  }
+
   test("epochPlan: full epochs by integer division; partial pass is the md5 token-budget prefix") {
     import graft.pipeline.Curation
     // source a: 10 tokens corpus, target 25 -> 2 full epochs + 5-token partial

@@ -453,6 +453,25 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Span-dedup savings per source: tokens before vs after the
+    * corpus-wide first-occurrence rewrite — "which domains are made of
+    * boilerplate" (the report that justifies the dedup pass). */
+  private def textDedupSavings: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.spanDedupRewrite(docs, "doc_id", "text", window = 3)
+      .join(docs.select(col("doc_id"), col("source"),
+        TA.tokenCount(col("text")).as("n_before")), "doc_id")
+      .withColumn("n_after",
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(split(col("clean_text"), " "))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_before")).as("tokens_before"),
+        sum(col("n_after")).as("tokens_after"),
+        round(lit(1.0) - sum(col("n_after")).cast("double") / sum(col("n_before")), 4)
+          .as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Domain distinctiveness: KL(source LM || corpus LM) over add-one
     * smoothed unigrams — which domains carry signal vs volume. */
   private def textDomainKl: Q = (s, d) =>
@@ -1169,6 +1188,7 @@ object Pipeline {
     "sample_epochs"        -> sampleEpochs,
     "ann_kcenter"          -> annKcenter,
     "text_domain_kl"       -> textDomainKl,
+    "text_dedup_savings"   -> textDedupSavings,
     "pipeline_curation_v2" -> pipelineCurationV2,
     "text_index_serve"     -> textIndexServe,
     "sample_stratified"    -> sampleStratified,
@@ -1836,6 +1856,36 @@ object Pipeline {
          FROM c JOIN wt USING (source)
          WHERE c.cum_tokens <= wt.stratum_budget
          ORDER BY c.doc_id""",
+    "text_dedup_savings" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                           CAST((len(string_split(text, ' ')) + 2) // 3 AS INT) AS n_spans,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before
+                    FROM documents),
+            s AS (SELECT doc_id, toks,
+                         CAST(unnest(range(0, n_spans)) AS INT) AS span_idx
+                  FROM t),
+            sp AS (SELECT doc_id, span_idx,
+                          array_to_string(toks[span_idx*3+1 : span_idx*3+3], ' ') AS span
+                   FROM s),
+            kept AS (SELECT doc_id, span_idx, span,
+                            row_number() OVER (PARTITION BY span
+                              ORDER BY doc_id, span_idx) AS rn
+                     FROM sp),
+            rebuilt AS (SELECT doc_id,
+                               array_to_string(list(span ORDER BY span_idx), ' ') AS clean_text
+                        FROM kept WHERE rn = 1 GROUP BY doc_id),
+            per AS (SELECT t.doc_id, t.source, t.n_before,
+                           CAST(CASE WHEN COALESCE(r.clean_text, '') = '' THEN 0
+                                     ELSE len(string_split(r.clean_text, ' ')) END AS BIGINT)
+                             AS n_after
+                    FROM t LEFT JOIN rebuilt r USING (doc_id))
+         SELECT source,
+                CAST(sum(n_before) AS BIGINT) AS tokens_before,
+                CAST(sum(n_after) AS BIGINT) AS tokens_after,
+                round(CAST(1 AS DOUBLE)
+                      - CAST(sum(n_after) AS DOUBLE) / sum(n_before), 4)
+                  AS removed_frac
+         FROM per GROUP BY source ORDER BY source""",
     "text_domain_kl" ->
       """WITH toks AS MATERIALIZED (
               SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS tok

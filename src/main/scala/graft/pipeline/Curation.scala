@@ -262,7 +262,10 @@ object Curation {
     val vocabSize = perTok.count()
     val totals = toks.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
     val nTotal = toks.count()
-    val grid = totals.crossJoin(perTok) // |sources| x |vocab|
+    // |sources| x |vocab| grid — the vocab side is Zipf-bounded, so it
+    // BROADCASTS (a plain cross join would plan CartesianProduct; the
+    // repo-wide plan sweep bans those)
+    val grid = totals.crossJoin(broadcast(perTok))
       .join(perSrcTok, Seq(stratumCol, "tok"), "left")
       .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
     grid.withColumn("p_s",

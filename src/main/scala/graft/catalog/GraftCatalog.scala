@@ -306,6 +306,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def deleteFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
     snap.manifests.filter(isDeleteManifest).flatMap(manifestEntries(ns, name, _))
 
+  /** (relative manifest path -> full entries incl. stats/row counts) of a
+    * version's DATA manifests — manifest-granular export surface
+    * ([[IcebergExport]] maps each graft manifest to one Iceberg Avro
+    * manifest, preserving the added-by-snapshot attribution). */
+  private[catalog] def dataManifestsFull(ns: String, name: String, snap: Snapshot)
+      : Seq[(String, Seq[ManifestEntry])] =
+    snap.manifests.filterNot(isDeleteManifest)
+      .map(m => m -> manifestEntriesFull(ns, name, m))
+
+  private[catalog] def hasDeleteManifests(snap: Snapshot): Boolean =
+    snap.manifests.exists(isDeleteManifest)
+
   /** Manifests ADDED by `snap` relative to its parent (the commit's
     * delta) — the manifest-granular form of Y14. */
   def addedManifests(ns: String, name: String, snap: Snapshot): Seq[String] = {
@@ -375,6 +387,27 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(!schema.fieldNames.contains(GraftCatalog.RowsStatKey),
       s"column name '${GraftCatalog.RowsStatKey}' is reserved for manifest row counts")
     val statFields = schema.fields.filter(f => GraftCatalog.prunableType(f.dataType))
+    if (statFields.isEmpty) {
+      // no prunable column -> nothing to scan FOR: row counts come from
+      // the parquet FOOTERS (metadata-only, distributed over the file
+      // list), so such commits pay O(files) footer reads instead of a
+      // full read of the staged bytes
+      val paths = entries.map { case (p, _) =>
+        p -> tableDir(ns, name).resolve(p).toString }
+      val counts = spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+        .map { case (rel, abs) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(abs),
+            new org.apache.hadoop.conf.Configuration())
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rel -> r.getRecordCount finally r.close()
+        }.collect().toMap
+      return entries.map { case (p, _) =>
+        val n = counts(p).toString
+        p -> Map(GraftCatalog.RowsStatKey -> ((n, n)))
+      }.toMap
+    }
     val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)

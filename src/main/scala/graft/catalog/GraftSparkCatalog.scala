@@ -143,9 +143,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     cat.createTable(nsOf(ident), ident.name())
     // commit an EMPTY v0 carrying the declared schema — without it the
     // table reads as zero columns until the first insert, breaking the
-    // canonical CREATE ... then INSERT/SELECT flow
-    cat.commitAppend(nsOf(ident), ident.name(),
+    // canonical CREATE ... then INSERT/SELECT flow. All-or-nothing: a
+    // failed v0 commit drops the just-registered table, so SQL CREATE
+    // never leaves a schema-less half-created table behind
+    try cat.commitAppend(nsOf(ident), ident.name(),
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+    catch { case e: Throwable =>
+      try cat.dropTable(nsOf(ident), ident.name()) catch { case _: Throwable => () }
+      throw e
+    }
     new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
       () => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), schema,
       insert = Some(insertInto(nsOf(ident), ident.name())))

@@ -62,7 +62,11 @@ object Wap {
           s"unique_${cols.mkString("_")}"))
     val report = audits.reduce(_ unionByName _)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // defensive NULL->0: an all-NULL aggregate row (empty staged state)
+      // must publish cleanly, not NPE after the branch was created
+      .map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)))
       .toSeq
     if (report.forall(_._2 == 0L)) {
       val snap = cat.fastForwardMerge(ns, table, branch)

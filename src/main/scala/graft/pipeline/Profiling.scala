@@ -86,7 +86,9 @@ object Profiling {
   def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "no rules")
     val aggs = rules.map { case (n, p) =>
-      sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"__v_$n")
+      // coalesce: sum over ZERO rows is NULL, and an empty batch audited
+      // onto an empty table must report 0 violations, not NPE downstream
+      coalesce(sum(when(p.isNull || !p, 1L).otherwise(0L)), lit(0L)).as(s"__v_$n")
     }
     df.agg(count(lit(1)).as("__checked"), aggs: _*)
       .select(explode(array(rules.map { case (n, _) =>

@@ -90,7 +90,24 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // normalize to the (long id, array<float> vec) working types up
+    // front — integral ids and any numeric element type are accepted
+    // via cast; anything else fails HERE with a typed message instead
+    // of a ClassCastException mid-iteration
+    import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType,
+      LongType, NumericType, ShortType}
+    corpus.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"kCenterSelect: $idCol must be an integral id column, got $t")
+    }
+    corpus.schema(vecCol).dataType match {
+      case ArrayType(_: NumericType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"kCenterSelect: $vecCol must be a numeric array column, got $t")
+    }
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
     val firstId = base.agg(min(col("id"))).head().getLong(0)
     val firstVec = base.filter(col("id") === firstId).head().getSeq[Float](1)
     var state = base
@@ -732,8 +749,8 @@ object Similarity {
     val pqRows = cent.filter(_._1 == "pq")
     val m = pqRows.map(_._2).max + 1
     val ksub = pqRows.map(_._3).max + 1
-    val codebooks = Array.tabulate(m, ksub)((j, c) =>
-      pqRows.find(r => r._2 == j && r._3 == c).get._4.toArray)
+    val byKey = pqRows.map(r => (r._2, r._3) -> r._4).toMap
+    val codebooks = Array.tabulate(m, ksub)((j, c) => byKey((j, c)).toArray)
     val dsub = codebooks(0)(0).length
     (coarse, PqIndex(coded = null, codebooks = codebooks, m = m, ksub = ksub, dsub = dsub))
   }

@@ -316,7 +316,12 @@ object CatalogQueries {
     val cat = fixture(s, d)
     def prep(df: DataFrame) = df
       .withColumn("grp", col("o_orderkey") % 7)
-      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      // exact decimal cast, NOT round(x*100): the float round computes a
+      // different half-ulp integer than DuckDB's on some prices, which
+      // the driver's exact hash catches; the double -> DECIMAL(18,2)
+      // conversion is unambiguous for 2-decimal prices in both engines
+      .withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     val keys = Seq("grp"); val sums = Seq("cents")
     val v0 = MaterializedAgg.init(prep(cat.readVersion("q", "cdc", 0)), keys, sums)
     val v1 = MaterializedAgg.refresh(v0, prep(cat.changesBetween("q", "cdc", 0, 1)), keys, sums)
@@ -373,7 +378,35 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  // one Iceberg export per sf dir, shared across query re-runs
+  private val exports = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Iceberg-format interop (SURVEY north star "Spark native Iceberg
+    * read/write"; no Iceberg jars exist offline, so conformance is
+    * format-level): the fixture's branched table — two snapshots, one a
+    * fast-forward merge — exports as a REAL Iceberg v2 layout (metadata
+    * JSON, Avro manifest lists, Avro manifests with spec field ids,
+    * copied parquet), then the CURRENT snapshot is read back through
+    * ONLY the exported artifacts ([[graft.catalog.IcebergExport
+    * .readExported]] shares no state with the catalog). The oracle
+    * recomputes the aggregate from the raw source rows: green = the
+    * format round-trips the data exactly. */
+  private def icebergExportRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val dest = exports.getOrElseUpdate(d, {
+      val dir = Files.createTempDirectory("graft-iceberg-export").toString
+      graft.catalog.IcebergExport.exportTable(cat, "q", "branched", dir): Unit
+      dir
+    })
+    graft.catalog.IcebergExport.readExported(s, dest)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_iceberg_export"   -> icebergExportRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
@@ -428,10 +461,11 @@ object CatalogQueries {
          ORDER BY stage""",
     "cat_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey % 7 AS grp,
-                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                AS cents
                        FROM orders
                        WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0)
-         SELECT grp, count(*) AS cnt, sum(cents) AS sum_cents
+         SELECT grp, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM base GROUP BY grp ORDER BY grp""",
     "cat_changefeed" ->
       """WITH ins AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
@@ -449,6 +483,10 @@ object CatalogQueries {
                 min(o_orderkey) AS key
          FROM orders
          WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
+    "cat_iceberg_export" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
     "cat_branch_merge" ->
       """WITH m0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
               b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1)),

@@ -286,6 +286,69 @@ object Pipeline {
     legA.unionAll(legB).orderBy(col("check"), col("query_id"))
   }
 
+  /** LSH accuracy contract — typed-empty-set oracle (the
+    * ann_recall_contract pattern): two THEOREMS about lshTopK vs brute
+    * force at the same (queries, k), so any row is a machinery
+    * regression, never recall noise:
+    *  - `rank_dominance`: LSH candidates are a subset of the corpus,
+    *    scored by the same quantized cosine, so the LSH rank-r score can
+    *    never EXCEED the exact rank-r score (sorted-subset dominance);
+    *  - `score_parity`: every returned (query, neighbor) pair's score
+    *    equals the directly recomputed exact cosine — a bounded re-join
+    *    (|queries|·k rows against the corpus), free next to the search.
+    * This pins the previously rows-only ann_lsh_topk's machinery with a
+    * green driver row (the bucket CONTENTS stay engine-defined). */
+  private def annLshCheck: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 50)
+    val lsh = Similarity.lshTopK(emb, queries, 10, planes = 6).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+    val dominance = lsh
+      .select(col("query_id"), col("rank"), col("score").as("lsh_score"))
+      .join(exact.select(col("query_id"), col("rank"), col("score").as("exact_score")),
+        Seq("query_id", "rank"))
+      .filter(col("lsh_score") > col("exact_score"))
+      .select(lit("rank_dominance").as("check"), col("query_id"),
+        col("rank").cast("long").as("detail"))
+    val parity = lsh
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      .filter(round(Similarity.cosine(col("nv"), col("qv")), 4) =!= col("score"))
+      .select(lit("score_parity").as("check"), col("query_id"),
+        col("neighbor_id").cast("long").as("detail"))
+    dominance.unionAll(parity)
+      .orderBy(col("check"), col("query_id"), col("detail"))
+  }
+
+  /** ADC pool-containment contract for the rows-only PQ family (typed
+    * empty set): quantizer codebooks are engine-defined (no SQL oracle
+    * can replay seeded k-means), but the property that makes an ADC pool
+    * USEFUL is checkable — every exact top-5 neighbor must surface in
+    * the k·poolFactor ADC candidate pool at the declared quantizer shape
+    * (m=8, ksub=16), and identically for the IVF-PQ composition at FULL
+    * probe, where cell pruning provably removes nothing. Pool bound is
+    * measured with margin (see the spec/ROUND_NOTES measurement); a
+    * violation row means ADC scoring, the LUT join, or the heap merge
+    * broke — pinning ann_pq_topk / ann_ivfpq_topk with green rows. */
+  private def annPqCheck: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5).localCheckpoint()
+    def missing(pool: DataFrame, tag: String) =
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(pool.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .select(lit(tag).as("check"), col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopK(emb, queries, 80, m = 8, ksub = 16)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 80,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16)
+    missing(pq, "pq_pool_top5")
+      .unionAll(missing(ivfpq, "ivfpq_fullprobe_pool_top5"))
+      .orderBy(col("check"), col("query_id"), col("neighbor_id"))
+  }
+
   /** PQ with exact re-rank: a high-fidelity quantizer (m=16 subspaces ×
     * ksub=128 — 4-dim subspaces, still a 16-code row) ADC-ranks a pool of
     * k·16 candidates, then exact cosine re-scores only the pool. This
@@ -384,9 +447,15 @@ object Pipeline {
   }
 
   /** Inverted-index build over the corpus: one posting-list row per
-    * token, postings sorted ascending (Retrieval.invertedIndex). */
+    * token, postings sorted ascending (Retrieval.invertedIndex). The
+    * DECLARED output flattens the posting list to a space-joined string:
+    * the driver's comparator row-sorts via pandas, which cannot hash
+    * list cells — the typed array form stays the library surface
+    * (text_index_serve consumes it; RetrievalSpec pins it). */
   private def textInvertedIndex: Q = (s, d) =>
     Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("postings",
+        array_join(transform(col("postings"), x => x.cast("string")), " "))
       .orderBy(col("token"))
 
   /** Conjunctive query served FROM the inverted index — work is
@@ -505,7 +574,9 @@ object Pipeline {
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("tokens"),
         sum(col("n_oov")).as("oov"),
-        round(sum(col("n_oov")).cast("double") / sum(col("n_tokens")), 4)
+        // integer-scaled rounding for driver-exact float bits (see
+        // textBoilerplate's frac)
+        (round(sum(col("n_oov")) * 10000.0 / sum(col("n_tokens"))) / 10000.0)
           .as("oov_rate"))
       .orderBy(col("source"))
   }
@@ -547,7 +618,11 @@ object Pipeline {
       .filter(col("rn") === 1)
       .select(col("source"), col("prefix").as("top_prefix"),
         col("n_with_prefix"), col("n_docs"),
-        round(col("n_with_prefix").cast("double") / col("n_docs"), 4).as("frac"))
+        // integer-scaled rounding: scale to 1e4 BEFORE the scale-0 round
+        // so both engines round the same double (round(x,4) computes a
+        // different last-ulp double in Spark's BigDecimal path vs
+        // DuckDB's multiply-round-divide — the driver hashes exact bits)
+        (round(col("n_with_prefix") * 10000.0 / col("n_docs")) / 10000.0).as("frac"))
       .orderBy(col("source"))
   }
 
@@ -565,9 +640,14 @@ object Pipeline {
       .orderBy(col("keeper"))
 
   /** Vocabulary build (top-512 tokens) + integer encoding of every
-    * document — the step between curation and sequence packing. */
+    * document — the step between curation and sequence packing. The
+    * DECLARED output space-joins the id sequence (driver's pandas
+    * row-sort cannot hash list cells); CurationSpec keeps the typed
+    * array<int> contract. */
   private def textVocabEncode: Q = (s, d) =>
     Curation.vocabEncode(Tables.documents(s, d), "doc_id", "text", vocabSize = 512)
+      .withColumn("ids",
+        array_join(transform(col("ids"), x => x.cast("string")), " "))
       .orderBy(col("doc_id"))
 
   /** Incremental novelty of the doc_id % 4 == 0 batch against the
@@ -692,7 +772,10 @@ object Pipeline {
         col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("id_a"), col("b.user_id").as("id_b"))
       .distinct()
-    GraphOps.kCore(pairs, k = 2).orderBy(col("id"))
+    // maxRounds pinned to the oracle's unroll count: if a future fixture
+    // needs deeper peeling the ENGINE fails loudly here instead of
+    // silently diverging from the 8-round oracle replay
+    GraphOps.kCore(pairs, k = 2, maxRounds = KcoreOracleRounds).orderBy(col("id"))
   }
 
   /** Per-label centroid drift between the even-id (reference) and
@@ -738,14 +821,14 @@ object Pipeline {
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-replay")
     val topic = new FileTopic(dir.resolve("topic").toString, "docs", partitions = 2)
     val base = 1704067200000L // 2024-01-01T00:00:00Z
-    // one batched produce (a real producer batches too): a handful of
-    // segment files instead of one per record, so the file-stream source
-    // drains the topic in a few triggers
-    topic.appendBatch(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .orderBy("doc_id").collect().toSeq
-        .map(r => r.getLong(0).toString -> r.getString(1)),
-      base): Unit
+    // DISTRIBUTED produce — no driver collect: each task is the single
+    // writer for one topic partition and appends one segment, so the
+    // publish is O(corpus/partitions) per task at any scale (the
+    // driver-collect fixture this replaces was the one declared query
+    // that could not survive 100x)
+    FileTopic.produceDistributed(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      dir.resolve("topic").toString, "docs", partitions = 2, tsMs = base): Unit
     val cat = new GraftCatalog(s, dir.resolve("cat").toString)
     cat.createTable("cur", "docs")
     val gated = topic.streamDF(s)
@@ -1156,6 +1239,8 @@ object Pipeline {
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_ivf_exact"        -> annIvfExact,
     "ann_recall_contract"  -> annRecallContract,
+    "ann_lsh_check"        -> annLshCheck,
+    "ann_pq_check"         -> annPqCheck,
     "ann_pq_refined"       -> annPqRefined,
     "ann_pq_topk"          -> annPqTopK,
     "ann_ivfpq_topk"       -> annIvfPqTopK,
@@ -1461,14 +1546,20 @@ object Pipeline {
        FROM sel6 s ORDER BY rank"""
   }
 
+  /** Shared peel depth: the oracle unrolls exactly this many rounds and
+    * the engine query refuses to exceed it (see graphKcore). */
+  private val KcoreOracleRounds = 8
+
   /** Unrolled k-core peeling (8 rounds; the sf0.01 fixpoint is 3 and
     * denser corpora converge FASTER, but the margin is cheap — every
     * round CTE is MATERIALIZED, so extra rounds are O(core edges) no-ops
     * and never inline exponentially. If a future fixture ever needs more
     * depth the ENGINE side still converges (it runs to fixpoint); only
-    * this replay must grow with it. */
+    * this replay must grow with it — and the declared query pins the
+    * engine's maxRounds to THIS constant, so depth overflow fails the
+    * engine run loudly rather than silently diverging. */
   private val kcoreSql: String = {
-    val rounds = (1 to 8).map { i =>
+    val rounds = (1 to KcoreOracleRounds).map { i =>
       val p = i - 1
       s""",
          k$p AS MATERIALIZED (
@@ -1773,12 +1864,13 @@ object Pipeline {
               c AS (SELECT source, prefix, count(*) AS n_with_prefix
                     FROM p GROUP BY 1, 2),
               r AS (SELECT source, prefix, n_with_prefix,
-                           sum(n_with_prefix) OVER (PARTITION BY source) AS n_docs,
+                           CAST(sum(n_with_prefix) OVER (PARTITION BY source) AS BIGINT)
+                             AS n_docs,
                            row_number() OVER (PARTITION BY source
                              ORDER BY n_with_prefix DESC, prefix) AS rn
                     FROM c)
          SELECT source, prefix AS top_prefix, n_with_prefix, n_docs,
-                round(CAST(n_with_prefix AS DOUBLE) / n_docs, 4) AS frac
+                round(n_with_prefix * 10000.0 / n_docs) / 10000.0 AS frac
          FROM r WHERE rn = 1 ORDER BY source""",
     "dedup_norm_collisions" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
@@ -1799,8 +1891,9 @@ object Pipeline {
               vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
                                AS token_id FROM vc)
          SELECT w.doc_id, count(*) AS n_tokens,
-                sum(CASE WHEN vocab.token_id IS NULL THEN 1 ELSE 0 END) AS n_oov,
-                list(COALESCE(vocab.token_id, 0) ORDER BY w.ord) AS ids
+                count(*) FILTER (WHERE vocab.token_id IS NULL) AS n_oov,
+                array_to_string(list(COALESCE(vocab.token_id, 0) ORDER BY w.ord), ' ')
+                  AS ids
          FROM w LEFT JOIN vocab ON vocab.tok = w.tok
          GROUP BY w.doc_id ORDER BY w.doc_id""",
     // gate -> span-rewrite -> mixture, replayed stage by stage; the span
@@ -1958,8 +2051,9 @@ object Pipeline {
                              sum(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
                       FROM w LEFT JOIN vc ON vc.tok = w.tok
                       GROUP BY w.doc_id)
-         SELECT d.source, sum(per.n_tokens) AS tokens, sum(per.n_oov) AS oov,
-                round(CAST(sum(per.n_oov) AS DOUBLE) / sum(per.n_tokens), 4) AS oov_rate
+         SELECT d.source, CAST(sum(per.n_tokens) AS BIGINT) AS tokens,
+                CAST(sum(per.n_oov) AS BIGINT) AS oov,
+                round(sum(per.n_oov) * 10000.0 / sum(per.n_tokens)) / 10000.0 AS oov_rate
          FROM per JOIN documents d ON d.doc_id = per.doc_id
          GROUP BY d.source ORDER BY d.source""",
     "text_novelty_incr" ->
@@ -2064,6 +2158,17 @@ object Pipeline {
       """SELECT CAST(NULL AS VARCHAR) AS check,
                 CAST(NULL AS BIGINT) AS query_id,
                 CAST(NULL AS DOUBLE) AS recall WHERE 1 = 0""",
+    // both theorems (sorted-subset dominance; score parity) admit no
+    // violation rows — typed empty set
+    "ann_lsh_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS check,
+                CAST(NULL AS BIGINT) AS query_id,
+                CAST(NULL AS BIGINT) AS detail WHERE 1 = 0""",
+    // pool containment at the measured-with-margin bound — empty set
+    "ann_pq_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS check,
+                CAST(NULL AS BIGINT) AS query_id,
+                CAST(NULL AS BIGINT) AS neighbor_id WHERE 1 = 0""",
     "ann_drift" ->
       """WITH ex AS (SELECT vec_id, label, unnest(embedding) AS val,
                             unnest(range(0, len(embedding))) AS pos FROM embeddings),
@@ -2578,7 +2683,8 @@ object Pipeline {
     // exact quadratic replay of the symmetric-deletion blocked join —
     // blocking is complete by theorem, so the sets must match exactly
     "text_inverted_index" ->
-      """SELECT token, count(*) AS df, list_sort(list(doc_id)) AS postings
+      """SELECT token, count(*) AS df,
+                array_to_string(list_sort(list(doc_id)), ' ') AS postings
          FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
                FROM documents)
          WHERE length(token) > 0

@@ -1341,9 +1341,9 @@ object Relational {
     "rel_json_corrupt" ->
       """SELECT event_type, count(*) AS cnt,
                 count(*) FILTER (WHERE event_id % 17 = 0) AS corrupt_cnt,
-                sum(CASE WHEN event_id % 17 = 0 THEN NULL
+                CAST(sum(CASE WHEN event_id % 17 = 0 THEN NULL
                          ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
-                    END) AS sum_k
+                    END) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

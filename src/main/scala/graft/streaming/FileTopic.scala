@@ -180,3 +180,47 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
       .json(s"$root/$topic/part=*")
       .withColumn("eventTime", timestamp_millis(col("ts")))
 }
+
+object FileTopic {
+
+  /** Distributed produce: publish a whole DataFrame of (key, value)
+    * records into the topic WITHOUT collecting to the driver — the
+    * 100 TB producer path (on a real cluster `root` is shared storage;
+    * with a real broker each task holds a producer connection instead).
+    *
+    * Shape: the rows are hash-partitioned with the SAME key->partition
+    * function the single-record producer uses, such that each Spark task
+    * owns EXACTLY ONE topic partition — Kafka's single-writer-per-
+    * partition broker invariant — so base offsets need no cross-task
+    * coordination: each task recovers its partition's end offset from
+    * the log and appends one segment. Records are sorted by key within
+    * the task for deterministic replay. A task RETRY after a successful
+    * append fails loudly on the atomic create-link name collision rather
+    * than double-publishing (a real broker dedupes via producer epochs).
+    *
+    * `df` must have exactly two string-castable columns: key, value.
+    * Returns the number of records published. */
+  def produceDistributed(df: DataFrame, root: String, topic: String,
+                         partitions: Int, tsMs: Long): Long = {
+    val n = partitions
+    require(df.columns.length == 2, s"expect (key, value) columns: ${df.columns.toSeq}")
+    val Array(k0, v0) = df.columns
+    val keyed = df
+      .select(col(k0).cast("string").as("key"), col(v0).cast("string").as("value"))
+      .rdd
+      .map(r => (math.floorMod(r.getString(0).hashCode, n), (r.getString(0), r.getString(1))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = n
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    keyed.mapPartitionsWithIndex { (_, it) =>
+      val recs = it.map(_._2).toVector.sortBy(_._1)
+      if (recs.nonEmpty) {
+        // constructed inside the task: recovers this partition's end
+        // offset from the log; only (root, topic, n) cross the wire
+        new FileTopic(root, topic, n).appendBatch(recs, tsMs): Unit
+      }
+      Iterator.single(recs.size.toLong)
+    }.fold(0L)(_ + _)
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, IcebergExport}
+
+/** Spec-shape conformance of the Iceberg v2 export (no Iceberg jars in
+  * the offline build, so the format itself is the contract under test:
+  * iceberg.apache.org/spec — metadata JSON required fields, Avro
+  * manifest-list/manifest field names + ids, counts, and an independent
+  * read-back that consumes ONLY the exported artifacts). */
+class IcebergExportSpec extends SparkSpec {
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def freshCat(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("iceberg-export-spec").toString)
+
+  private def readAvro(uri: String): (Seq[GenericRecord], Map[String, String]) = {
+    val f = Paths.get(java.net.URI.create(uri)).toFile
+    val r = new DataFileReader[GenericRecord](f, new GenericDatumReader[GenericRecord]())
+    try {
+      val metaKeys = r.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro.")).map(k => k -> r.getMetaString(k)).toMap
+      (r.iterator().asScala.toList, metaKeys)
+    } finally r.close()
+  }
+
+  test("export emits spec-complete v2 metadata JSON, Avro manifests round-trip, " +
+       "and an artifacts-only reader reproduces the table") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    cat.createTable("ns", "t")
+    cat.commitAppend("ns", "t", orders.filter(col("o_orderkey") % 2 === 0))
+    cat.commitAppend("ns", "t", orders.filter(col("o_orderkey") % 2 === 1))
+
+    val dest = Files.createTempDirectory("iceberg-out").toString
+    val report = IcebergExport.exportTable(cat, "ns", "t", dest)
+    assert(report.snapshots === 2)
+    assert(!report.timestampInt96Risk)
+
+    // ---- metadata JSON: required v2 fields ----
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    assert(root.get("format-version").asInt() === 2)
+    for (k <- Seq("table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "current-schema-id", "schemas",
+        "default-spec-id", "partition-specs", "default-sort-order-id",
+        "sort-orders", "current-snapshot-id", "snapshots", "snapshot-log", "refs"))
+      assert(root.has(k), s"metadata missing required field $k")
+    val schemaF = root.get("schemas").get(0).get("fields")
+    assert(schemaF.size() === 3)
+    assert(schemaF.get(0).get("id").asInt() === 1)
+    assert(schemaF.get(0).get("name").asText() === "o_orderkey")
+    assert(schemaF.get(0).get("type").asText() === "long")
+    assert(schemaF.get(2).get("type").asText() === "double")
+    val snapsJ = root.get("snapshots").elements().asScala.toSeq
+    assert(snapsJ.map(_.get("sequence-number").asLong()) === Seq(1L, 2L))
+    assert(snapsJ.last.get("snapshot-id").asLong() ===
+      root.get("current-snapshot-id").asLong())
+    assert(root.get("refs").get("main").get("snapshot-id").asLong() ===
+      root.get("current-snapshot-id").asLong())
+    assert(snapsJ.last.get("parent-snapshot-id").asLong() ===
+      snapsJ.head.get("snapshot-id").asLong())
+    assert(snapsJ.forall(_.get("summary").get("operation").asText() == "append"))
+
+    // ---- manifest list Avro: spec field names, counts ----
+    val (listRecs, listMeta) = readAvro(snapsJ.last.get("manifest-list").asText())
+    assert(listMeta("format-version") === "2")
+    assert(listRecs.size === 2, "head manifest list must carry both commits' manifests")
+    val fieldNames = listRecs.head.getSchema.getFields.asScala.map(_.name()).toSet
+    for (f <- Seq("manifest_path", "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count", "deleted_files_count",
+        "added_rows_count", "existing_rows_count", "deleted_rows_count"))
+      assert(fieldNames.contains(f), s"manifest_file missing $f")
+    // exactly one manifest is ADDED by the head snapshot; the v1 manifest
+    // rides along as EXISTING with its original sequence number
+    val added = listRecs.filter(_.get("added_files_count").asInstanceOf[Int] > 0)
+    val existing = listRecs.filter(_.get("existing_files_count").asInstanceOf[Int] > 0)
+    assert(added.size === 1 && existing.size === 1)
+    assert(existing.head.get("sequence_number").asInstanceOf[Long] === 1L)
+    assert(added.head.get("sequence_number").asInstanceOf[Long] === 2L)
+
+    // ---- manifest Avro: entry shape + file metadata keys ----
+    val (entries, mMeta) = readAvro(listRecs.head.get("manifest_path").toString)
+    for (k <- Seq("schema", "partition-spec", "partition-spec-id",
+        "format-version", "content"))
+      assert(mMeta.contains(k), s"manifest avro metadata missing $k")
+    assert(entries.nonEmpty)
+    val df0 = entries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(df0.get("file_format").toString === "PARQUET")
+    assert(df0.get("record_count").asInstanceOf[Long] > 0L)
+    assert(df0.get("file_path").toString.startsWith("file:"))
+
+    // row counts in the manifest list must sum to the table's rows
+    val listedRows = listRecs.map(r =>
+      r.get("added_rows_count").asInstanceOf[Long] +
+        r.get("existing_rows_count").asInstanceOf[Long]).sum
+    assert(listedRows === orders.count())
+
+    // ---- independent read-back: artifacts only, must equal the source ----
+    val back = IcebergExport.readExported(spark, dest)
+    assert(back.count() === orders.count())
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
+  test("replace commits export as overwrite snapshots and the head read-back " +
+       "sees only live files") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    cat.createTable("ns", "r")
+    cat.commitAppend("ns", "r", orders.filter(col("o_orderkey") % 4 === 0))
+    cat.commitReplace("ns", "r", orders.filter(col("o_orderkey") % 4 === 1))
+
+    val dest = Files.createTempDirectory("iceberg-out-replace").toString
+    val report = IcebergExport.exportTable(cat, "ns", "r", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    val ops = root.get("snapshots").elements().asScala.toSeq
+      .map(_.get("summary").get("operation").asText())
+    assert(ops === Seq("append", "overwrite"))
+    val back = IcebergExport.readExported(spark, dest)
+    val expected = orders.filter(col("o_orderkey") % 4 === 1)
+    assert(back.count() === expected.count())
+    assert(back.filter(col("o_orderkey") % 4 === 0).count() === 0L)
+  }
+
+  test("delete-bearing snapshots refuse export with an actionable error") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    cat.createTable("ns", "d")
+    cat.commitAppend("ns", "d", orders.filter(col("o_orderkey") % 4 === 0))
+    cat.commitDelete("ns", "d",
+      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))
+    val e = intercept[IllegalStateException] {
+      IcebergExport.exportTable(cat, "ns", "d",
+        Files.createTempDirectory("iceberg-out-del").toString)
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("timestamp columns flag the INT96 interop risk in the report") {
+    val cat = freshCat()
+    val ev = Tables.events(spark, sf()).select("event_id", "ts").limit(100)
+    cat.createTable("ns", "ts")
+    cat.commitAppend("ns", "ts", ev)
+    val dest = Files.createTempDirectory("iceberg-out-ts").toString
+    val report = IcebergExport.exportTable(cat, "ns", "ts", dest)
+    assert(report.timestampInt96Risk)
+    // and the schema maps to timestamptz per spec
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    val types = root.get("schemas").get(0).get("fields").elements().asScala
+      .map(_.get("type").asText()).toSeq
+    assert(types.contains("timestamptz"))
+  }
+
+  test("array-of-primitive columns export with list element ids past the " +
+       "top-level ids") {
+    val cat = freshCat()
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").limit(50)
+    cat.createTable("ns", "v")
+    cat.commitAppend("ns", "v", emb)
+    val dest = Files.createTempDirectory("iceberg-out-vec").toString
+    val report = IcebergExport.exportTable(cat, "ns", "v", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    val f = root.get("schemas").get(0).get("fields").get(1)
+    assert(f.get("type").get("type").asText() === "list")
+    assert(f.get("type").get("element").asText() === "float")
+    assert(f.get("type").get("element-id").asInt() === 3) // 2 cols -> element id 3
+    assert(root.get("last-column-id").asInt() === 3)
+    assert(IcebergExport.readExported(spark, dest).count() === 50L)
+  }
+}

@@ -99,6 +99,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("distributed produce: single-writer-per-partition publish preserves the " +
+       "offset/partition invariants and composes with driver-side appends") {
+    import graft.streaming.FileTopic
+    val root = Files.createTempDirectory("graft-topic-dist").toString
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"payload-$i")).toDF("k", "v")
+      .repartition(7) // deliberately != topic partitions
+    val n = FileTopic.produceDistributed(docs, root, "bulk", partitions = 3,
+      tsMs = 1704067200000L)
+    assert(n === 200L)
+    val t = new FileTopic(root, "bulk", partitions = 3)
+    // dense offsets per partition, count conserved
+    val polled = (0 until 3).map(p => t.poll(p, 0L))
+    assert(polled.map(_.size).sum === 200)
+    polled.zipWithIndex.foreach { case (recs, p) =>
+      assert(recs.map(_.offset) === recs.indices.map(_.toLong),
+        s"partition $p offsets not dense from 0")
+      // every record landed on the partition its key hashes to (the
+      // same function the driver-side producer uses)
+      recs.foreach(r => assert(t.partitionFor(r.key) === p))
+    }
+    // a driver-side publish composes on top: it must append AFTER the
+    // distributed batch, not collide with its segment names
+    val (pp, off) = t.publish("k-extra", "tail", 1704067201000L)
+    assert(off === t.poll(pp, 0L).size - 1L)
+    assert(t.poll(pp, off).map(_.value) === Seq("tail"))
+  }
+
   test("Kafka-shaped FileTopic: durable offsets, consumer-group drain, and the lifecycle streams from it") {
     import graft.streaming.FileTopic
     implicit val s = spark

@@ -350,9 +350,45 @@ object IcebergExport {
 
   // ---- independent read-back (conformance proof without iceberg jars) ----
 
+  /** Spark type from an Iceberg primitive type string (spec §4 inverse
+    * of [[icebergPrimitive]]). */
+  private def sparkPrimitive(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case d if d.startsWith("decimal(") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
+  }
+
+  /** Spark schema from the metadata's current Iceberg schema — applied
+    * to the parquet read so SCHEMA-EVOLVED exports project correctly
+    * (files written before a column existed read it as null, the same
+    * fill a real Iceberg reader does by field id). */
+  private def sparkSchema(schemaNode: com.fasterxml.jackson.databind.JsonNode): StructType =
+    StructType(schemaNode.get("fields").elements().asScala.map { f =>
+      val dt = if (f.get("type").isTextual) sparkPrimitive(f.get("type").asText())
+      else {
+        val t = f.get("type")
+        require(t.get("type").asText() == "list", s"unsupported nested type $t")
+        ArrayType(sparkPrimitive(t.get("element").asText()),
+          containsNull = !t.get("element-required").asBoolean())
+      }
+      StructField(f.get("name").asText(), dt, nullable = !f.get("required").asBoolean())
+    }.toSeq)
+
   /** Read the CURRENT snapshot of an exported Iceberg table using ONLY
     * its spec artifacts: version-hint -> metadata JSON -> current
-    * snapshot's manifest list (Avro) -> manifests (Avro) -> parquet.
+    * snapshot's manifest list (Avro) -> manifests (Avro) -> parquet,
+    * projected through the metadata schema (schema evolution handled).
     * Deliberately shares no state with the export above — it must agree
     * with [[GraftCatalog.read]] through the format alone. */
   def readExported(spark: SparkSession, location: String): DataFrame = {
@@ -374,10 +410,15 @@ object IcebergExport {
         .map(r => r.get("data_file").asInstanceOf[GenericRecord]
           .get("file_path").toString)
     }
-    val schemaFields = root.get("schemas").get(0).get("fields").elements().asScala.toSeq
-    require(schemaFields.nonEmpty, "schema must have fields")
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(u => Paths.get(java.net.URI.create(u)).toString): _*)
+    val currentSchemaId = root.get("current-schema-id").asInt()
+    val schemaNode = root.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == currentSchemaId)
+      .getOrElse(throw new IllegalStateException(s"schema $currentSchemaId missing"))
+    val schema = sparkSchema(schemaNode)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map(u => Paths.get(java.net.URI.create(u)).toString): _*)
   }
 
   private def readAvro(p: Path): Seq[GenericRecord] = {

@@ -421,6 +421,27 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("WAP of an empty batch onto an empty table publishes cleanly " +
+       "(regression: NULL audit aggregates must read as 0 violations)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog()
+    cat.createTable("ns", "wap0")
+    // SQL CREATE TABLE's empty v0: zero rows, declared schema
+    cat.commitAppend("ns", "wap0", Seq.empty[(Long, Double)].toDF("id", "score"))
+    // empty batch onto the empty table: every audit aggregate sums zero
+    // rows — the r6 advisory NPE (getLong on NULL) crashed AFTER the
+    // branch was created, leaking it; now it must publish cleanly
+    val out = Wap.writeAuditPublish(cat, "ns", "wap0",
+      Seq.empty[(Long, Double)].toDF("id", "score"),
+      rowRules = Seq[(String, org.apache.spark.sql.Column)](
+        "score_positive" -> (col("score") > 0)),
+      uniqueCols = Some(Seq("id")))
+    assert(out.isInstanceOf[Wap.Published])
+    assert(cat.listBranches("ns", "wap0").isEmpty, "no leaked staging branch")
+    assert(cat.read("ns", "wap0").count() === 0L)
+  }
+
   test("z-order clustering prunes files on BOTH dimensions from one layout") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -161,6 +161,27 @@ class IcebergExportSpec extends SparkSpec {
     assert(types.contains("timestamptz"))
   }
 
+  test("schema-evolved tables read back with pre-evolution files null-filled") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf())
+    cat.createTable("ns", "e")
+    cat.commitAppend("ns", "e", orders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_totalprice"))
+    cat.commitAppend("ns", "e", orders.filter(col("o_orderkey") % 3 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val dest = Files.createTempDirectory("iceberg-out-evolve").toString
+    IcebergExport.exportTable(cat, "ns", "e", dest)
+    val back = IcebergExport.readExported(spark, dest)
+    // projection comes from the METADATA schema, so files written before
+    // the column existed read it as null (what a field-id reader does)
+    assert(back.columns.toSeq === Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val preEvolution = orders.filter(col("o_orderkey") % 3 === 0).count()
+    assert(back.filter(col("o_orderstatus").isNull).count() === preEvolution)
+    assert(back.count() ===
+      orders.filter(col("o_orderkey") % 3 === 0).count() +
+      orders.filter(col("o_orderkey") % 3 === 1).count())
+  }
+
   test("array-of-primitive columns export with list element ids past the " +
        "top-level ids") {
     val cat = freshCat()

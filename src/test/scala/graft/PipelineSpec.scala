@@ -118,6 +118,28 @@ class PipelineSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L)) // gamma is isolated
   }
 
+  test("kCenterSelect normalizes int ids / double vectors and rejects " +
+       "non-integral ids loudly (regression: hardcoded long/float casts)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", IntegerType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0, Seq(1.0, 0.0)), Row(1, Seq(0.0, 1.0)), Row(2, Seq(0.7, 0.7)))),
+      schema)
+    val picks = Similarity.kCenterSelect(df, k = 2)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(picks.map(_._2).toSeq === Seq(0L, 1L), "seed id 0, farthest is orthogonal id 1")
+
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", Seq(1.0)))),
+      StructType(Seq(StructField("vec_id", StringType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val e = intercept[IllegalArgumentException] { Similarity.kCenterSelect(bad, k = 1) }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("kCenterSelect: radii non-increasing, coverage certified, farthest-first on a planted line") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

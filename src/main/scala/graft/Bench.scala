@@ -28,6 +28,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val repeat = if (args.length > 1) args(1).toInt else 1
     (1 to repeat).foreach { i =>
+      // same inter-pass GC discipline as Bench: round-7 scale runs showed
+      // a consistent ~2.3x run-2 penalty from localCheckpoint blocks the
+      // ContextCleaner hadn't reclaimed yet — without this, run 2 measures
+      // accumulated block-manager state, not the query
+      if (i > 1) { System.gc(); Thread.sleep(500) }
       args(0).split(",").foreach { q =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, sfDir).count()

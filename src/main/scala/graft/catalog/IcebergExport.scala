@@ -85,7 +85,7 @@ object IcebergExport {
   /** Iceberg schema JSON with column ids 1..n assigned in field order;
     * list element ids follow after all top-level ids (spec: every field
     * and list element carries a unique id). Returns (json, lastColumnId). */
-  private def icebergSchemaJson(schema: StructType): (String, Int) = {
+  private[graft] def icebergSchemaJson(schema: StructType): (String, Int) = {
     var nextId = schema.fields.length
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       val id = i + 1
@@ -373,7 +373,7 @@ object IcebergExport {
     * to the parquet read so SCHEMA-EVOLVED exports project correctly
     * (files written before a column existed read it as null, the same
     * fill a real Iceberg reader does by field id). */
-  private def sparkSchema(schemaNode: com.fasterxml.jackson.databind.JsonNode): StructType =
+  private[graft] def sparkSchema(schemaNode: com.fasterxml.jackson.databind.JsonNode): StructType =
     StructType(schemaNode.get("fields").elements().asScala.map { f =>
       val dt = if (f.get("type").isTextual) sparkPrimitive(f.get("type").asText())
       else {

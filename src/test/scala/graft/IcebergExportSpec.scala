@@ -161,6 +161,103 @@ class IcebergExportSpec extends SparkSpec {
     assert(types.contains("timestamptz"))
   }
 
+  test("the read-back consumes a FOREIGN-written Iceberg layout: different id " +
+       "conventions, reordered avro fields, DELETED entries excluded") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    // independent writer: hand-authored artifacts, avro fields in a
+    // DIFFERENT order than IcebergExport emits (name-based resolution,
+    // not positional), random-looking snapshot ids, version-hint 3
+    val loc = Files.createTempDirectory("iceberg-foreign")
+    val meta = loc.resolve("metadata"); Files.createDirectories(meta)
+    val dataDir = loc.resolve("data"); Files.createDirectories(dataDir)
+    import spark.implicits._
+    val live = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    val dead = Seq((99L, "zz")).toDF("id", "name")
+    live.coalesce(1).write.parquet(dataDir.resolve("live").toString)
+    dead.coalesce(1).write.parquet(dataDir.resolve("dead").toString)
+    def onlyParquet(dir: java.nio.file.Path): String =
+      Files.list(dir).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.toUri.toString
+
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"content","type":"int","field-id":134}
+        ]},"field-id":2},
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1}
+      ]}""")
+    val manifestPath = meta.resolve("foreign-manifest.avro")
+    val mw = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+    mw.create(entrySchema, manifestPath.toFile)
+    def entry(uri: String, status: Int, rows: Long) = {
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("file_path", uri); df.put("record_count", Long.box(rows))
+      df.put("file_size_in_bytes", Long.box(1L)); df.put("file_format", "PARQUET")
+      df.put("content", Int.box(0))
+      val r = new GenericData.Record(entrySchema)
+      r.put("data_file", df); r.put("status", Int.box(status))
+      r.put("snapshot_id", Long.box(7700000001L))
+      r
+    }
+    mw.append(entry(onlyParquet(dataDir.resolve("live")), 1, 3L))
+    mw.append(entry(onlyParquet(dataDir.resolve("dead")), 2, 1L)) // DELETED
+    mw.close()
+
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"added_snapshot_id","type":"long","field-id":503},
+        {"name":"manifest_path","type":"string","field-id":500},
+        {"name":"manifest_length","type":"long","field-id":501},
+        {"name":"content","type":"int","field-id":517},
+        {"name":"partition_spec_id","type":"int","field-id":502},
+        {"name":"sequence_number","type":"long","field-id":515},
+        {"name":"min_sequence_number","type":"long","field-id":516}
+      ]}""")
+    val listPath = meta.resolve("snap-7700000001-foreign.avro")
+    val lw = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
+    lw.create(listSchema, listPath.toFile)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("added_snapshot_id", Long.box(7700000001L))
+    lr.put("manifest_path", manifestPath.toUri.toString)
+    lr.put("manifest_length", Long.box(Files.size(manifestPath)))
+    lr.put("content", Int.box(0)); lr.put("partition_spec_id", Int.box(0))
+    lr.put("sequence_number", Long.box(1L)); lr.put("min_sequence_number", Long.box(1L))
+    lw.append(lr); lw.close()
+
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"0000-foreign","location":"${loc.toUri}",
+          "last-sequence-number":1,"last-updated-ms":1,"last-column-id":2,
+          "current-schema-id":5,
+          "schemas":[{"type":"struct","schema-id":5,"fields":[
+            {"id":1,"name":"id","required":false,"type":"long"},
+            {"id":2,"name":"name","required":false,"type":"string"}]}],
+          "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+          "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+          "current-snapshot-id":7700000001,
+          "snapshots":[{"snapshot-id":7700000001,"sequence-number":1,"timestamp-ms":1,
+            "summary":{"operation":"append","foreign-extra":"ignored"},
+            "manifest-list":"${listPath.toUri}","schema-id":5}],
+          "snapshot-log":[],"metadata-log":[]}"""
+    Files.write(meta.resolve("v3.metadata.json"),
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(meta.resolve("version-hint.text"),
+      "3".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val back = IcebergExport.readExported(spark, loc.toString)
+    assert(back.columns.toSeq === Seq("id", "name"))
+    assert(back.count() === 3L, "DELETED entry must be excluded")
+    assert(back.agg(sum(col("id"))).head().getLong(0) === 6L)
+  }
+
   test("schema-evolved tables read back with pre-evolution files null-filled") {
     val cat = freshCat()
     val orders = Tables.orders(spark, sf())

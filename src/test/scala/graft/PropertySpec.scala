@@ -202,6 +202,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Iceberg schema mapping is a round trip over random flat schemas " +
+       "(spark -> iceberg JSON -> spark is the identity)") {
+    import org.apache.spark.sql.types._
+    val primGen: Gen[DataType] = Gen.oneOf(
+      BooleanType, IntegerType, LongType, FloatType, DoubleType, StringType,
+      BinaryType, DateType, TimestampType, TimestampNTZType,
+      DecimalType(18, 2), DecimalType(9, 4))
+    val fieldGen: Gen[StructField] = for {
+      name <- Gen.identifier.map(_.take(12))
+      nullable <- Gen.oneOf(true, false)
+      arr <- Gen.oneOf(true, false, false)
+      elemNull <- Gen.oneOf(true, false)
+      dt <- primGen
+    } yield StructField(name,
+      if (arr) ArrayType(dt, containsNull = elemNull) else dt, nullable)
+    val schemaGen: Gen[StructType] = for {
+      n <- Gen.choose(1, 8)
+      fs <- Gen.listOfN(n, fieldGen)
+    } yield StructType(fs.zipWithIndex.map { case (f, i) => f.copy(name = s"c${i}_${f.name}") })
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    samples(schemaGen, 20) { st =>
+      // IntegerType widens through Iceberg "int" back to IntegerType;
+      // Byte/Short would widen to Int (documented), so the generator
+      // sticks to representable types and the trip must be EXACT
+      val (json, lastId) = graft.catalog.IcebergExport.icebergSchemaJson(st)
+      val node = mapper.readTree(json)
+      val back = graft.catalog.IcebergExport.sparkSchema(node)
+      assert(back === st, s"round trip diverged for $st\njson=$json")
+      // ids must be unique and lastColumnId must cover them all
+      val ids = node.get("fields").elements().asScala.flatMap { f =>
+        val own = Seq(f.get("id").asInt())
+        if (f.get("type").isTextual) own
+        else own :+ f.get("type").get("element-id").asInt()
+      }.toSeq
+      assert(ids.distinct.size === ids.size, s"duplicate field ids in $json")
+      assert(ids.max === lastId)
+    }
+  }
+
   /** Textbook DP Levenshtein — the reference the blocked join is tested
     * against (independent of both Spark's and the operator's code). */
   private def levenshteinRef(a: String, b: String): Int = {

@@ -1011,6 +1011,56 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Files-based OVERWRITE commit: register already-landed files as the
+    * COMPLETE new version (the replace dual of [[commitFiles]] — same
+    * no-data-write contract, but prior manifests are dropped instead of
+    * extended). Used by Iceberg import to replay foreign `overwrite`
+    * snapshots: the live set may overlap the parent's (files an
+    * overwrite kept), so entries are re-manifested rather than deduped —
+    * a kept file referenced by two manifests stays reachable for expiry
+    * and the manifest-set diff correctly classifies the commit as a
+    * replace (changesBetween then takes the row-level path, exactly as
+    * it does for [[commitReplace]]). */
+  def commitFilesReplace(ns: String, name: String, liveFiles: Seq[String],
+                         sourceRegion: String, maxRetries: Int = 5,
+                         schemaJson: Option[String] = None,
+                         commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val landed = liveFiles.map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
+    val newManifest =
+      if (landed.isEmpty) Seq.empty
+      else Seq(writeManifest(ns, name, landed))
+    try {
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          newManifest,
+          sourceRegion,
+          landed.size,
+          landed.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+      }
+      latestFileSet.put((ns, name), (snap.commitId, landed.map(_._1).toSet))
+      snap
+    } catch { case e: Throwable =>
+      newManifest.foreach { m =>
+        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
+        manifestCache.remove(ap)
+        Files.deleteIfExists(ap): Unit
+      }
+      throw e
+    }
+  }
+
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
 
   // ---- branches (Nessie-style named refs) ----

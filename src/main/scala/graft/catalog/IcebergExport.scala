@@ -82,23 +82,55 @@ object IcebergExport {
         "array-of-primitive tables only)")
   }
 
+  /** Field-id assignment shared by EVERY schema version of one export:
+    * top-level ids 1..n by first appearance across the (additively
+    * evolving) version schemas, list element ids after all top-level ids
+    * (spec: ids are stable across schema versions — a column keeps its
+    * id for the table's life, so a v0 reader and a v2 reader resolve the
+    * same column to the same id). Type changes across versions refuse
+    * loudly (graft's additive validation prevents them natively; foreign
+    * states reach this only through replica commits). */
+  private def unionIdAssignment(schemas: Seq[StructType])
+      : (Map[String, Int], Map[String, Int], Int) = {
+    val union = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.fields.foreach { f =>
+      union.get(f.name) match {
+        case Some(prev) => require(prev.dataType == f.dataType,
+          s"column ${f.name} changes type across versions " +
+            s"(${prev.dataType} -> ${f.dataType}) — not exportable as one Iceberg table")
+        case None => union(f.name) = f
+      }
+    })
+    val fields = union.values.toSeq
+    val ids = fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    var nextId = fields.length
+    val elemIds = fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] => nextId += 1; f.name -> nextId
+    }.toMap
+    (ids, elemIds, nextId)
+  }
+
+  /** One Iceberg schema JSON under a shared id assignment. */
+  private def schemaJsonWithIds(schema: StructType, schemaId: Int,
+                                ids: Map[String, Int],
+                                elemIds: Map[String, Int]): String = {
+    val fields = schema.fields.map { f =>
+      val typeJson = f.dataType match {
+        case ArrayType(elem, containsNull) =>
+          s"""{"type":"list","element-id":${elemIds(f.name)},"element":"${icebergPrimitive(elem)}","element-required":${!containsNull}}"""
+        case dt => "\"" + icebergPrimitive(dt) + "\""
+      }
+      s"""{"id":${ids(f.name)},"name":${jstr(f.name)},"required":${!f.nullable},"type":$typeJson}"""
+    }
+    s"""{"type":"struct","schema-id":$schemaId,"identifier-field-ids":[],"fields":[${fields.mkString(",")}]}"""
+  }
+
   /** Iceberg schema JSON with column ids 1..n assigned in field order;
     * list element ids follow after all top-level ids (spec: every field
     * and list element carries a unique id). Returns (json, lastColumnId). */
   private[graft] def icebergSchemaJson(schema: StructType): (String, Int) = {
-    var nextId = schema.fields.length
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val id = i + 1
-      val typeJson = f.dataType match {
-        case ArrayType(elem, containsNull) =>
-          nextId += 1
-          s"""{"type":"list","element-id":$nextId,"element":"${icebergPrimitive(elem)}","element-required":${!containsNull}}"""
-        case dt => "\"" + icebergPrimitive(dt) + "\""
-      }
-      s"""{"id":$id,"name":${jstr(f.name)},"required":${!f.nullable},"type":$typeJson}"""
-    }
-    (s"""{"type":"struct","schema-id":0,"identifier-field-ids":[],"fields":[${fields.mkString(",")}]}""",
-      nextId)
+    val (ids, elemIds, lastId) = unionIdAssignment(Seq(schema))
+    (schemaJsonWithIds(schema, 0, ids, elemIds), lastId)
   }
 
   private def jstr(s: String): String = {
@@ -155,12 +187,21 @@ object IcebergExport {
         s"$ns.$name v${s.seq} carries merge-on-read delete manifests — " +
           "Iceberg encodes delete files differently; compact() first")
     }
-    val schema = snaps.last.schemaJson
+    // per-VERSION schemas under one shared id assignment, so schema
+    // evolution survives the round trip: each snapshot references its own
+    // schema-id and a column keeps its field id across versions
+    val verSchemas: Seq[StructType] = snaps.map(_.schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
-        s"$ns.$name records no schema; commit through commitAppend/commitReplace first"))
-    val (schemaJson, lastColumnId) = icebergSchemaJson(schema)
-    val int96Risk = schema.fields.exists(_.dataType == TimestampType)
+        s"$ns.$name records no schema; commit through commitAppend/commitReplace first")))
+    val (colIds, elemIds, lastColumnId) = unionIdAssignment(verSchemas)
+    val distinctSchemas = verSchemas.distinct
+    val schemaIdOf: Map[StructType, Int] = distinctSchemas.zipWithIndex.toMap
+    val schemasJson = distinctSchemas.zipWithIndex
+      .map { case (st, i) => schemaJsonWithIds(st, i, colIds, elemIds) }
+    val headSchemaId = schemaIdOf(verSchemas.last)
+    val schemaJson = schemasJson(headSchemaId)
+    val int96Risk = verSchemas.exists(_.fields.exists(_.dataType == TimestampType))
 
     val destPath = Paths.get(dest)
     val metaDir = destPath.resolve("metadata")
@@ -283,7 +324,8 @@ object IcebergExport {
         else "overwrite"
       s"""{"snapshot-id":${snapshotId(i)},$parent"sequence-number":${i + 1},""" +
         s""""timestamp-ms":${s.timestampMs},"summary":{"operation":"$op"},""" +
-        s""""manifest-list":${jstr(listPaths(i).toUri.toString)},"schema-id":0}"""
+        s""""manifest-list":${jstr(listPaths(i).toUri.toString)},""" +
+        s""""schema-id":${schemaIdOf(verSchemas(i))}}"""
     }
     val snapLog = snaps.zipWithIndex.map { case (s, i) =>
       s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${snapshotId(i)}}"""
@@ -297,8 +339,8 @@ object IcebergExport {
          |"last-sequence-number":${snaps.length},
          |"last-updated-ms":${snaps.last.timestampMs},
          |"last-column-id":$lastColumnId,
-         |"current-schema-id":0,
-         |"schemas":[$schemaJson],
+         |"current-schema-id":$headSchemaId,
+         |"schemas":[${schemasJson.mkString(",")}],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[]}],
          |"last-partition-id":999,
@@ -421,7 +463,7 @@ object IcebergExport {
       .parquet(files.map(u => Paths.get(java.net.URI.create(u)).toString): _*)
   }
 
-  private def readAvro(p: Path): Seq[GenericRecord] = {
+  private[graft] def readAvro(p: Path): Seq[GenericRecord] = {
     val r = new DataFileReader[GenericRecord](p.toFile,
       new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList finally r.close()

@@ -1,0 +1,228 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.types.StructType
+
+/** Apache-Iceberg-format IMPORT: replay a foreign Iceberg v2 table —
+  * metadata JSON, Avro manifest lists, Avro manifests, parquet data —
+  * into a GraftCatalog table, PRESERVING the main-branch snapshot
+  * history. This is the read side of the interop seam [[IcebergExport]]
+  * opened (reference premise: `iceberg-arch-geo-distributed-ha.md:233-241`
+  * replicates standard Iceberg metadata objects); together they close
+  * the "a real user with existing Iceberg tables hits this on day one"
+  * gap: export makes graft tables consumable by Iceberg runtimes, import
+  * makes Iceberg tables consumable by everything in this engine
+  * (time travel, incremental reads, changefeeds, GC, sync, SQL via the
+  * DSv2 catalog).
+  *
+  * Mapping (spec https://iceberg.apache.org/spec/, v2):
+  *  - the MAIN lineage is recovered by walking `parent-snapshot-id`
+  *    back from `current-snapshot-id` — the flat `snapshots` array may
+  *    carry other refs' snapshots, which a history replay must skip;
+  *  - each Iceberg snapshot's live file set (manifest-list -> manifests
+  *    -> entries with status EXISTING/ADDED; DELETED excluded) becomes
+  *    one graft commit: a superset of the parent's set replays as
+  *    [[GraftCatalog.commitFiles]] (append), anything else as
+  *    [[GraftCatalog.commitFilesReplace]] (overwrite) — so foreign
+  *    appends stay O(delta) incremental-readable and foreign overwrites
+  *    are classified exactly like native [[GraftCatalog.commitReplace]];
+  *  - per-snapshot `schema-id` maps through the metadata's `schemas`
+  *    list, so schema EVOLUTION replays version-accurate (old versions
+  *    time-travel to their own column set; pre-evolution parquet
+  *    null-fills on read, the same projection a real Iceberg reader
+  *    does by field id);
+  *  - data files are copied DISTRIBUTED (one Spark task per file batch,
+  *    the same shape as export/GC/replication copies), deduped across
+  *    snapshots by source URI so a file kept through many snapshots is
+  *    copied once;
+  *  - commitIds derive from the foreign snapshot ids, so a re-imported
+  *    snapshot is rejected by the catalog's idempotence fast path
+  *    instead of duplicating history.
+  *
+  * Scope and honesty (documented refusals, never silent wrong answers):
+  *  - delete manifests (manifest-list `content` != 0) and non-data
+  *    manifest entries refuse — merge-on-read deletes must be compacted
+  *    in the source engine first (the exact dual of export's refusal);
+  *  - column RENAME/TYPE-CHANGE across snapshots refuses: Iceberg
+  *    resolves columns by field id, graft by name, so a rename is not
+  *    representable without rewriting history (additive evolution — the
+  *    common case — imports exactly);
+  *  - partition-spec columns are not reconstructed (identity data is in
+  *    the files; graft re-derives pruning stats at its next compact).
+  */
+object IcebergImport {
+
+  /** What one import produced. `replays` counts graft commits created
+    * (= main-lineage snapshots), `replaces` how many were overwrites. */
+  case class ImportReport(table: String, replays: Int, replaces: Int,
+                          dataFiles: Int, rows: Long, schemas: Int)
+
+  private case class LiveFile(uri: String, rows: Long)
+
+  /** Import the main-branch history of the Iceberg v2 table at
+    * `location` into `ns.name` (created here; must not already exist). */
+  def importTable(cat: GraftCatalog, ns: String, name: String,
+                  location: String): ImportReport = {
+    require(!cat.tableExists(ns, name),
+      s"import target $ns.$name already exists — import creates the table")
+    val meta = Paths.get(location, "metadata")
+    val hint = new String(Files.readAllBytes(meta.resolve("version-hint.text")),
+      StandardCharsets.UTF_8).trim
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(meta.resolve(s"v$hint.metadata.json")))
+    require(root.get("format-version").asInt() == 2,
+      s"IcebergImport: format-version 2 required, got ${root.get("format-version")}")
+
+    // schemas by id, both as Spark schema and as (id -> name/type) for
+    // the rename/type-change refusal below
+    val schemaNodes: Map[Int, JsonNode] = root.get("schemas").elements().asScala
+      .map(n => n.get("schema-id").asInt() -> n).toMap
+    val sparkSchemas: Map[Int, StructType] =
+      schemaNodes.map { case (id, n) => id -> IcebergExport.sparkSchema(n) }
+    val currentSchemaId = root.get("current-schema-id").asInt()
+
+    // main lineage: parent-chain walk from current-snapshot-id
+    val currentId =
+      Option(root.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+    val byId: Map[Long, JsonNode] =
+      Option(root.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+        .map(n => n.get("snapshot-id").asLong() -> n).toMap
+    val lineage: Seq[JsonNode] = {
+      var chain = List.empty[JsonNode]
+      var cur = currentId
+      while (cur != -1L && byId.contains(cur)) {
+        val n = byId(cur)
+        chain = n :: chain
+        cur = Option(n.get("parent-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+      }
+      chain
+    }
+
+    cat.createTable(ns, name)
+    if (lineage.isEmpty) {
+      // empty table: one empty v0 carrying the current schema, so a
+      // cold SELECT resolves columns (same contract as SQL CREATE TABLE)
+      cat.commitFilesReplace(ns, name, Seq.empty, sourceRegion = "iceberg-import",
+        schemaJson = Some(sparkSchemas(currentSchemaId).json))
+      return ImportReport(s"$ns.$name", 0, 0, 0, 0L, 1)
+    }
+
+    // refuse renames/type changes across the schemas the lineage uses:
+    // (field id -> name:type) must agree wherever two schemas overlap
+    val usedSchemaIds = lineage.map(schemaIdOf(_, currentSchemaId)).distinct
+    val idSig: Map[Int, Map[Int, String]] = usedSchemaIds.map { sid =>
+      sid -> fieldSignatures(schemaNodes(sid))
+    }.toMap
+    for (a <- usedSchemaIds; b <- usedSchemaIds if a != b;
+         (fid, sig) <- idSig(a); other <- idSig(b).get(fid))
+      require(sig == other,
+        s"IcebergImport: field id $fid is '$sig' in schema $a but '$other' in " +
+          s"schema $b — renames/type changes are id-resolved in Iceberg and not " +
+          "representable in a name-resolved catalog; rewrite history first")
+
+    // per-snapshot live sets via the spec artifacts
+    val liveSets: Seq[(JsonNode, Seq[LiveFile])] = lineage.map { snap =>
+      val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
+      val files = IcebergExport.readAvro(listPath).flatMap { mf =>
+        val content = anyInt(mf.get("content"))
+        require(content == 0,
+          s"IcebergImport: snapshot ${snap.get("snapshot-id")} carries a DELETE " +
+            "manifest — compact merge-on-read deletes in the source engine first")
+        IcebergExport.readAvro(
+            Paths.get(java.net.URI.create(mf.get("manifest_path").toString)))
+          .filter(e => anyInt(e.get("status")) != 2) // DELETED excluded
+          .map { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            require(anyInt(df.get("content")) == 0,
+              "IcebergImport: delete file entries are not importable; compact first")
+            LiveFile(df.get("file_path").toString, anyLong(df.get("record_count")))
+          }
+      }
+      (snap, files)
+    }
+
+    // copy distinct data files DISTRIBUTED; dedup by source URI so a
+    // file kept across snapshots lands once. Relative names carry a
+    // URI-hash prefix — foreign basenames may collide across directories
+    val tableRoot = cat.tablePath(ns, name)
+    val relOf: Map[String, String] = liveSets.flatMap(_._2).map(_.uri).distinct
+      .map { uri =>
+        val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
+        uri -> s"data/imported-${md5_8(uri)}-$base"
+      }.toMap
+    val copies = relOf.toSeq.map { case (uri, rel) =>
+      (Paths.get(java.net.URI.create(uri)).toAbsolutePath.toString,
+        tableRoot.resolve(rel).toAbsolutePath.toString)
+    }
+    cat.spark.sparkContext
+      .parallelize(copies, math.max(1, math.min(copies.size, 32)))
+      .foreach { case (src, dst) =>
+        Files.copy(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+
+    // replay the lineage: superset -> append commit, anything else ->
+    // replace commit; schema rides each commit version-accurately
+    var prev = Set.empty[String]
+    var replaces = 0
+    liveSets.foreach { case (snap, files) =>
+      val live = files.map(f => relOf(f.uri)).toSet
+      val sid = snap.get("snapshot-id").asLong()
+      val schema = sparkSchemas(schemaIdOf(snap, currentSchemaId))
+      if (prev.subsetOf(live))
+        cat.commitFiles(ns, name, (live -- prev).toSeq.sorted,
+          sourceRegion = "iceberg-import", schemaJson = Some(schema.json),
+          commitId = Some(s"iceberg-$sid"))
+      else {
+        replaces += 1
+        cat.commitFilesReplace(ns, name, live.toSeq.sorted,
+          sourceRegion = "iceberg-import", schemaJson = Some(schema.json),
+          commitId = Some(s"iceberg-$sid"))
+      }
+      prev = live
+    }
+
+    ImportReport(s"$ns.$name", lineage.size, replaces, relOf.size,
+      liveSets.last._2.map(_.rows).sum, usedSchemaIds.size)
+  }
+
+  private def schemaIdOf(snap: JsonNode, fallback: Int): Int =
+    Option(snap.get("schema-id")).map(_.asInt()).getOrElse(fallback)
+
+  /** field-id -> "name:type" signature map of one Iceberg schema JSON
+    * (list element ids contribute their own "<elem>:type" signature). */
+  private def fieldSignatures(schemaNode: JsonNode): Map[Int, String] =
+    schemaNode.get("fields").elements().asScala.flatMap { f =>
+      val own = f.get("id").asInt() ->
+        s"${f.get("name").asText()}:${typeText(f.get("type"))}"
+      if (f.get("type").isTextual) Seq(own)
+      else Seq(own, f.get("type").get("element-id").asInt() ->
+        s"<elem>:${f.get("type").get("element").asText()}")
+    }.toMap
+
+  private def typeText(t: JsonNode): String =
+    if (t.isTextual) t.asText() else s"list<${t.get("element").asText()}>"
+
+  // Avro generic values arrive as java.lang boxes whose concrete width
+  // depends on the writer's declared type — normalize, don't cast
+  private def anyInt(v: AnyRef): Int = v match {
+    case null => 0
+    case n: java.lang.Number => n.intValue()
+    case other => other.toString.toInt
+  }
+  private def anyLong(v: AnyRef): Long = v match {
+    case null => 0L
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
+  }
+
+  private def md5_8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+}

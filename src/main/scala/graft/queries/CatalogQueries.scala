@@ -405,8 +405,43 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  // one export→import round trip per sf dir, shared across query re-runs
+  private val icebergImports = scala.collection.concurrent.TrieMap.empty[String, GraftCatalog]
+
+  /** Iceberg-format interop, read side: the fixture's cdc table —
+    * append, append, OVERWRITE — exports as a real Iceberg v2 layout,
+    * then [[graft.catalog.IcebergImport.importTable]] replays that
+    * layout's main lineage into a FRESH catalog (appends as file
+    * commits, the overwrite as a files-replace, per-version schemas).
+    * The query reads the imported head AND time-travels to the imported
+    * pre-overwrite version; the oracle recomputes both states from the
+    * raw source rows: green = foreign Iceberg history becomes native
+    * graft history exactly. */
+  private def icebergImportRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val imp = icebergImports.getOrElseUpdate(d, {
+      val dir = Files.createTempDirectory("graft-iceberg-import").toString
+      graft.catalog.IcebergExport.exportTable(cat, "q", "cdc", dir): Unit
+      val dst = new GraftCatalog(s, Files.createTempDirectory("graft-icat").toString)
+      graft.catalog.IcebergImport.importTable(dst, "q", "cdc", dir): Unit
+      dst
+    })
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(imp.read("q", "cdc"), "1_imported_head")
+      .unionByName(agg(imp.readVersion("q", "cdc", 1), "2_time_travel_v1"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_iceberg_export"   -> icebergExportRead,
+    "cat_iceberg_import"   -> icebergImportRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
@@ -487,6 +522,18 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
+    "cat_iceberg_import" ->
+      """WITH head AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0),
+              v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 3 IN (0, 2)),
+              s1 AS (SELECT '1_imported_head' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM head),
+              s2 AS (SELECT '2_time_travel_v1' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM v1)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_branch_merge" ->
       """WITH m0 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
               b AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 IN (0, 1)),

@@ -1546,18 +1546,26 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   // ---- G1: snapshot expiry ----
 
-  /** Shared expiry: manifest-granular reachability (each data file lives
-    * in exactly ONE manifest, so a manifest referenced only by expired
-    * versions is removable wholesale — no per-file set difference), then
-    * a DISTRIBUTED physical delete of the removable files. Returns the
-    * removed data-file paths. */
+  /** Shared expiry: manifest-granular candidate selection (a manifest
+    * referenced only by expired versions is removable), then a
+    * FILE-granular reachability guard before the distributed physical
+    * delete. The guard exists because [[commitFilesReplace]] re-manifests
+    * the files an overwrite KEEPS — so a live file can be referenced by
+    * both an expired-only manifest and a kept one, and deleting expired
+    * manifests wholesale would destroy it (caught by CatalogSpec's
+    * replace-then-expire case). Cost is O(kept live files) driver-side
+    * through the manifest cache — the same planner-scale read a table
+    * scan does. Returns the removed data-file paths. */
   private def expire(ns: String, name: String, keep: Snapshot => Boolean): Seq[String] = {
     val snaps = snapshots(ns, name)
     val (kept, expired) = snaps.partition(keep)
     if (expired.isEmpty) return Seq.empty
     val keptManifests = kept.flatMap(_.manifests).toSet
     val removableManifests = expired.flatMap(_.manifests).distinct.filterNot(keptManifests)
-    val removable = removableManifests.flatMap(manifestEntries(ns, name, _)).map(_._1).distinct
+    val keptFiles = keptManifests.toSeq
+      .flatMap(manifestEntries(ns, name, _)).map(_._1).toSet
+    val removable = removableManifests.flatMap(manifestEntries(ns, name, _))
+      .map(_._1).distinct.filterNot(keptFiles)
     if (removable.nonEmpty) {
       import spark.implicits._
       val base = tableDir(ns, name).toString

@@ -229,6 +229,51 @@ class CatalogSpec extends SparkSpec {
     assert(onDisk === referenced, "every CAS retry must drop its previous attempt's manifest")
   }
 
+  test("commitFilesReplace: kept files survive expiry though doubly-manifested, " +
+       "dropped files reclaim, post-replace dedup uses the replaced set, " +
+       "replayed commitIds reject, and races land linearly") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    val names = (1 to 3).map { i =>
+      val f = s"data/landed-$i.parquet"
+      Files.write(cat.tablePath("ns", "t").resolve(f), Array[Byte](i.toByte))
+      f
+    }
+    cat.commitFiles("ns", "t", Seq(names(0), names(1)), "r1") // v0: f1 f2
+    // replace keeps f2 (now referenced by TWO manifests), drops f1, adds f3
+    cat.commitFilesReplace("ns", "t", Seq(names(1), names(2)), "r1",
+      commitId = Some("rep-1"))                               // v1: f2 f3
+    assert(cat.dataFiles("ns", "t", cat.latest("ns", "t").get).toSet ===
+      Set(names(1), names(2)))
+    // a replayed snapshot id must not re-land
+    val e = intercept[GraftCatalog.DuplicateCommitException] {
+      cat.commitFilesReplace("ns", "t", Seq(names(0)), "r1", commitId = Some("rep-1"))
+    }
+    assert(e.commitId === "rep-1")
+    // commitFiles of an already-live file dedups against the REPLACED
+    // set (the latestFileSet cache must reflect the replace, not v0)
+    val v2 = cat.commitFiles("ns", "t", Seq(names(1)), "r1")
+    assert(v2.fileCount === 2L, "kept file must not double-register")
+    assert(cat.dataFiles("ns", "t", v2).toSet === Set(names(1), names(2)))
+    // expiry: f1 is unreachable from kept v1/v2; f2 survives even though
+    // two manifests reference it
+    val removed = cat.expireSnapshots("ns", "t", retainLast = 2)
+    assert(removed.toSet === Set(names(0)))
+    assert(Files.exists(cat.tablePath("ns", "t").resolve(names(1))))
+    // race: replaces and appends interleave via CAS onto distinct versions
+    val threads = Seq(
+      new Thread(() => { cat.commitFilesReplace("ns", "t", Seq(names(2)), "r1"): Unit }),
+      new Thread(() => { cat.commitFiles("ns", "t", Seq(names(1)), "r1"): Unit }),
+      new Thread(() => { cat.commitFilesReplace("ns", "t", Seq(names(1), names(2)), "r1"): Unit }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val snaps = cat.snapshots("ns", "t")
+    assert(snaps.map(_.seq) === (snaps.head.seq to snaps.last.seq),
+      "every racer must land on its own consecutive version")
+    val byId = snaps.map(s => s.commitId -> s).toMap
+    snaps.tail.foreach(s => assert(byId(s.parentId.get).seq === s.seq - 1,
+      "parent chain must stay linear under the race"))
+  }
+
   test("expireSnapshots removes only files unreachable from kept versions (G1/G2)") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -394,14 +394,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // full read of the staged bytes
       val paths = entries.map { case (p, _) =>
         p -> tableDir(ns, name).resolve(p).toString }
+      // ship the SESSION hadoop conf to the executors (same pattern as
+      // expire/GcExecutor): a bare new Configuration() would resolve the
+      // wrong filesystem wherever warehouse access needs session conf
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       val counts = spark.sparkContext
         .parallelize(paths, math.max(1, math.min(paths.size, 32)))
         .map { case (rel, abs) =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(abs),
-            new org.apache.hadoop.conf.Configuration())
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try rel -> r.getRecordCount finally r.close()
+          rel -> GraftCatalog.parquetFooterRowCount(abs, confSer.value)
         }.collect().toMap
       return entries.map { case (p, _) =>
         val n = counts(p).toString
@@ -1029,7 +1030,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
       throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
     }
-    val landed = liveFiles.map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
+    // intra-batch dedup: a repeated path would manifest twice and the
+    // scan would silently double that file's rows
+    val landed = liveFiles.distinct
+      .map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
     val newManifest =
       if (landed.isEmpty) Seq.empty
       else Seq(writeManifest(ns, name, landed))
@@ -1665,6 +1669,17 @@ object GraftCatalog {
     * row count (min==max==count) — powers [[GraftCatalog.countFast]]
     * without a manifest-format change. Never matches a query column. */
   private[catalog] val RowsStatKey = "__rows"
+
+  /** Metadata-only row count from a parquet footer. Shared by the
+    * no-prunable-columns commit path (executor-side, with the shipped
+    * session conf) and [[IcebergExport]]'s stat-less-manifest fallback. */
+  private[catalog] def parquetFooterRowCount(
+      abs: String, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 
   /** The k bit positions of a probe value — EXACTLY the arithmetic the
     * build side runs as a Spark projection: pmod(xxhash64(i, value),

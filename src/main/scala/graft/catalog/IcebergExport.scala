@@ -254,7 +254,7 @@ object IcebergExport {
           w.create(ManifestEntrySchema, file.toFile)
           var rows = 0L
           entries.foreach { e =>
-            val nRows = rowCountOf(e.stats, tableRoot.resolve(e.path))
+            val nRows = rowCountOf(cat)(e.stats, tableRoot.resolve(e.path))
             rows += nRows
             val df = new GenericData.Record(
               ManifestEntrySchema.getField("data_file").schema())
@@ -295,7 +295,6 @@ object IcebergExport {
       s.manifests.foreach { rel =>
         val (path, nFiles, nRows, len) = manifestMeta(rel)
         val add = addedBy(rel)
-        val addedHere = add.id == sid
         val rec = new GenericData.Record(ManifestListSchema)
         rec.put("manifest_path", Paths.get(path).toUri.toString)
         rec.put("manifest_length", Long.box(len))
@@ -304,11 +303,17 @@ object IcebergExport {
         rec.put("sequence_number", Long.box(add.seq))
         rec.put("min_sequence_number", Long.box(add.seq))
         rec.put("added_snapshot_id", Long.box(add.id))
-        rec.put("added_files_count", Int.box(if (addedHere) nFiles else 0))
-        rec.put("existing_files_count", Int.box(if (addedHere) 0 else nFiles))
+        // the counts describe the manifest FILE's entry statuses (spec
+        // field 504: "entries with status ADDED"), so a manifest reused
+        // by later manifest lists keeps its ORIGINAL counts — every
+        // entry in our shared manifests is ADDED with the adding
+        // snapshot's id; readers attribute them via added_snapshot_id /
+        // sequence_number, not via per-list count flips
+        rec.put("added_files_count", Int.box(nFiles))
+        rec.put("existing_files_count", Int.box(0))
         rec.put("deleted_files_count", Int.box(0))
-        rec.put("added_rows_count", Long.box(if (addedHere) nRows else 0L))
-        rec.put("existing_rows_count", Long.box(if (addedHere) 0L else nRows))
+        rec.put("added_rows_count", Long.box(nRows))
+        rec.put("existing_rows_count", Long.box(0L))
         rec.put("deleted_rows_count", Long.box(0L))
         w.append(rec)
       }
@@ -359,7 +364,9 @@ object IcebergExport {
     Files.write(metaDir.resolve("version-hint.text"),
       "1".getBytes(StandardCharsets.UTF_8))
 
-    val headRows = manifestRowTotal(cat)(ns, name, snaps.last, tableRoot)
+    // head row count from the per-manifest sums step 2 already derived —
+    // no second round of footer reads for stat-less manifests
+    val headRows = snaps.last.manifests.map(manifestMeta(_)._3).sum
     ExportReport(metaFile.toAbsolutePath.toString, snaps.length,
       manifestMeta.size, allRel.size, headRows, int96Risk)
   }
@@ -370,25 +377,26 @@ object IcebergExport {
     * deterministic ids keep re-exports diffable). */
   private def snapshotId(i: Int): Long = 1000L + i
 
-  /** `data/<stagingId>/<part>.parquet` -> flat unique basename. */
-  private def flatName(rel: String): String =
-    rel.stripPrefix("data/").replace('/', '-')
-
-  private def manifestRowTotal(cat: GraftCatalog)(ns: String, name: String,
-                               snap: cat.Snapshot, tableRoot: Path): Long =
-    cat.dataManifestsFull(ns, name, snap)
-      .flatMap(_._2).map(e => rowCountOf(e.stats, tableRoot.resolve(e.path))).sum
+  /** `data/<stagingId>/<part>.parquet` -> flat unique basename. The
+    * hash prefix keys on the FULL relative path: plain '/'->'-'
+    * flattening lets distinct rel paths collide (`a/b-c` vs `a-b/c`)
+    * and the REPLACE_EXISTING copy would silently overwrite one file
+    * with another. */
+  private def flatName(rel: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(rel.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    s"$h-${rel.stripPrefix("data/").replace('/', '-')}"
+  }
 
   /** Row count from the manifest's recorded `__rows` stat; parquet-footer
-    * fallback for pre-upgrade manifests (metadata-only either way). */
-  private def rowCountOf(stats: Map[String, (String, String)], abs: Path): Long =
-    stats.get(GraftCatalog.RowsStatKey).map(_._1.toLong).getOrElse {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(abs.toString),
-        new org.apache.hadoop.conf.Configuration())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }
+    * fallback for pre-upgrade manifests (metadata-only either way, read
+    * under the session's hadoop conf). */
+  private def rowCountOf(cat: GraftCatalog)(stats: Map[String, (String, String)],
+                                            abs: Path): Long =
+    stats.get(GraftCatalog.RowsStatKey).map(_._1.toLong).getOrElse(
+      GraftCatalog.parquetFooterRowCount(abs.toString,
+        cat.spark.sparkContext.hadoopConfiguration))
 
   // ---- independent read-back (conformance proof without iceberg jars) ----
 

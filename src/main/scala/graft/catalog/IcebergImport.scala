@@ -95,8 +95,12 @@ object IcebergImport {
         .map(n => n.get("snapshot-id").asLong() -> n).toMap
     val lineage: Seq[JsonNode] = {
       var chain = List.empty[JsonNode]
+      val visited = scala.collection.mutable.Set.empty[Long]
       var cur = currentId
       while (cur != -1L && byId.contains(cur)) {
+        require(visited.add(cur),
+          s"IcebergImport: parent-snapshot-id cycle at snapshot $cur — " +
+            "corrupt metadata, refusing")
         val n = byId(cur)
         chain = n :: chain
         cur = Option(n.get("parent-snapshot-id")).map(_.asLong()).getOrElse(-1L)

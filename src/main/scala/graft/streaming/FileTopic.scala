@@ -208,7 +208,15 @@ object FileTopic {
     val keyed = df
       .select(col(k0).cast("string").as("key"), col(v0).cast("string").as("value"))
       .rdd
-      .map(r => (math.floorMod(r.getString(0).hashCode, n), (r.getString(0), r.getString(1))))
+      .map { r =>
+        // typed contract failure instead of an opaque executor NPE from
+        // null.hashCode (partial segments may already be on disk; the
+        // caller sees WHICH contract broke)
+        val key = r.getString(0)
+        require(key != null,
+          s"FileTopic.produceDistributed($topic): null key in (${k0}, ${v0})")
+        (math.floorMod(key.hashCode, n), (key, r.getString(1)))
+      }
       .partitionBy(new org.apache.spark.Partitioner {
         def numPartitions: Int = n
         def getPartition(key: Any): Int = key.asInstanceOf[Int]

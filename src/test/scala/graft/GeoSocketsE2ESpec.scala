@@ -65,10 +65,23 @@ class GeoSocketsE2ESpec extends SparkSpec {
         catA.commitAppend("geo", "t", df, sourceRegion = "us",
           commitId = Some(commitId))
 
-        // agent: sees the commit point, copies the files, wire-commits to eu
-        val out = scala.io.Source.fromInputStream(child.getInputStream).mkString
-        assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
-          s"agent hung:\n$out")
+        // agent: sees the commit point, copies the files, wire-commits to
+        // eu. Drain stdout on a DAEMON thread: a synchronous mkString
+        // before waitFor would block forever on a wedged child and make
+        // the 120 s hang-guard below unreachable
+        val outBuf = new java.lang.StringBuilder
+        val drain = new Thread(() => {
+          val src = scala.io.Source.fromInputStream(child.getInputStream)
+          try src.getLines().foreach { l =>
+            outBuf.synchronized { outBuf.append(l).append('\n'): Unit }
+          } finally src.close()
+        })
+        drain.setDaemon(true); drain.start()
+        def out = outBuf.synchronized(outBuf.toString)
+        val finished = child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) child.destroyForcibly(): Unit
+        drain.join(5000)
+        assert(finished, s"agent hung:\n$out")
         assert(child.exitValue() === 0, s"agent failed:\n${out.takeRight(4000)}")
         assert(out.contains("AGENT-VOTED eu"), s"no vote marker:\n$out")
         assert(out.contains(s"AGENT-DONE eu $commitId"), s"no done marker:\n$out")

@@ -80,13 +80,16 @@ class IcebergExportSpec extends SparkSpec {
         "added_files_count", "existing_files_count", "deleted_files_count",
         "added_rows_count", "existing_rows_count", "deleted_rows_count"))
       assert(fieldNames.contains(f), s"manifest_file missing $f")
-    // exactly one manifest is ADDED by the head snapshot; the v1 manifest
-    // rides along as EXISTING with its original sequence number
-    val added = listRecs.filter(_.get("added_files_count").asInstanceOf[Int] > 0)
-    val existing = listRecs.filter(_.get("existing_files_count").asInstanceOf[Int] > 0)
-    assert(added.size === 1 && existing.size === 1)
-    assert(existing.head.get("sequence_number").asInstanceOf[Long] === 1L)
-    assert(added.head.get("sequence_number").asInstanceOf[Long] === 2L)
+    // the counts describe each manifest FILE's entry statuses (spec
+    // field 504: entries with status ADDED) — every entry in a shared
+    // manifest is ADDED, so a manifest reused by later lists keeps its
+    // original counts; snapshots attribute manifests via
+    // added_snapshot_id / sequence_number, which must differ here
+    assert(listRecs.forall(_.get("added_files_count").asInstanceOf[Int] > 0))
+    assert(listRecs.forall(_.get("existing_files_count").asInstanceOf[Int] === 0))
+    assert(listRecs.map(_.get("sequence_number").asInstanceOf[Long]).toSet ===
+      Set(1L, 2L))
+    assert(listRecs.map(_.get("added_snapshot_id").asInstanceOf[Long]).distinct.size === 2)
 
     // ---- manifest Avro: entry shape + file metadata keys ----
     val (entries, mMeta) = readAvro(listRecs.head.get("manifest_path").toString)
@@ -99,10 +102,8 @@ class IcebergExportSpec extends SparkSpec {
     assert(df0.get("record_count").asInstanceOf[Long] > 0L)
     assert(df0.get("file_path").toString.startsWith("file:"))
 
-    // row counts in the manifest list must sum to the table's rows
-    val listedRows = listRecs.map(r =>
-      r.get("added_rows_count").asInstanceOf[Long] +
-        r.get("existing_rows_count").asInstanceOf[Long]).sum
+    // per-manifest added row counts must sum to the table's rows
+    val listedRows = listRecs.map(_.get("added_rows_count").asInstanceOf[Long]).sum
     assert(listedRows === orders.count())
 
     // ---- independent read-back: artifacts only, must equal the source ----

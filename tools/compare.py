@@ -133,14 +133,18 @@ def main(sf_dir, out_dir, tolerance_only=False):
         if kind_bad:
             failures.append((name, "DTYPE-KIND: " + "; ".join(kind_bad)))
             continue
+        # driver's pandas sort crashes on list-typed output columns —
+        # detect from the SCHEMA, not the first row (a null or empty
+        # first row would slip a list column past a value-based probe)
+        listy = [c for c in ecols
+                 if arrow_kind(exp.schema.field(c).type) == "list"
+                 or arrow_kind(got.schema.field(c).type) == "list"]
+        if listy:
+            failures.append((name, "HARNESS-UNSAFE: list-typed output column "
+                                   f"{listy} (driver pandas sort crashes on ndarray)"))
+            continue
         erows = [tuple(r[c] for c in ecols) for r in exp.to_pylist()]
         grows = [tuple(r[c] for c in gcols) for r in got.to_pylist()]
-        # driver's pandas sort crashes on list-typed output columns
-        if any(isinstance(c, list) for r in grows[:1] for c in r) or \
-           any(isinstance(c, list) for r in erows[:1] for c in r):
-            failures.append((name, "HARNESS-UNSAFE: list-typed output column "
-                                   "(driver pandas sort crashes on ndarray)"))
-            continue
         ok, why = rows_match(erows, grows, exact=False)
         if ok:
             passed += 1

@@ -71,11 +71,22 @@ def scale_embeddings(src, dest, factor):
     labels = t.column("label").to_numpy()
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     n, dim = vecs.shape
+    # distinct NONZERO shifts per replica: a zero or repeated shift makes
+    # a replica a bit-exact copy of another and explodes the cross-slice
+    # duplicate density the scaling evidence relies on. A stride coprime
+    # with dim-1 walks 1..dim-1 without repeats, so distinctness is
+    # guaranteed for factor <= dim (asserted as a backstop).
+    from math import gcd
+    assert factor <= dim, f"only {dim - 1} distinct cyclic shifts exist"
+    stride = next(s for s in range(7, 7 + dim) if gcd(s, dim - 1) == 1)
+    shifts = [1 + ((k - 1) * stride) % (dim - 1) for k in range(1, factor)]
+    assert len(set(shifts)) == len(shifts) and 0 not in shifts, (
+        f"replica shifts collide for factor={factor}, dim={dim}: {shifts}")
     all_ids, all_vecs, all_labels = [], [], []
     for k in range(factor):
         # cyclic dim shift: orthogonal, so slice-internal cosines are
         # bit-exactly the originals; cross-slice cosine is ~random
-        v = np.roll(vecs, (k * 7) % dim, axis=1) if k > 0 else vecs
+        v = np.roll(vecs, shifts[k - 1], axis=1) if k > 0 else vecs
         all_ids.append(ids + k * (ids.max() + 1))
         all_vecs.append(v)
         all_labels.append(labels)

@@ -1,0 +1,130 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for the DSv2 catalog plugin — Spark 4's native
+  * `CALL` surface (the analyzer's ResolveProcedures/InvokeProcedures
+  * path, the same mechanism Iceberg exposes its maintenance actions
+  * through), so a SQL-only user can run the table-maintenance and
+  * interop actions without touching the Scala API:
+  *
+  * {{{
+  *   CALL graft.system.compact('ns', 't', 134217728)
+  *   CALL graft.system.expire_snapshots('ns', 't', 2)
+  *   CALL graft.system.rollback('ns', 't', 3)
+  *   CALL graft.system.iceberg_export('ns', 't', '/path/dest')
+  *   CALL graft.system.iceberg_import('ns', 't2', '/path/dest')
+  * }}}
+  *
+  * Each call runs the SAME transactional catalog operation the Scala
+  * API runs (one CAS commit; concurrent-append aborts surface as
+  * errors) and returns its report as a one-row result via LocalScan —
+  * driver-side metadata, never a data scan. Procedures live under the
+  * `system` namespace (Iceberg's convention); the bare-namespace form
+  * `CALL graft.compact(...)` also resolves. */
+object GraftProcedures {
+
+  private val Names = Seq("compact", "expire_snapshots", "rollback",
+    "iceberg_export", "iceberg_import")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  def load(cat: GraftCatalog, ident: Identifier): Option[UnboundProcedure] = {
+    if (ident.namespace().nonEmpty && !ident.namespace().sameElements(Array("system")))
+      return None
+    ident.name() match {
+      case "compact" => Some(proc("compact",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "target_file_bytes" -> LongType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("file_count", LongType), StructField("total_bytes", LongType))),
+        { case Seq(ns: String, t: String, target: java.lang.Long) =>
+          val s = cat.compact(ns, t, target)
+          Seq(Seq(s.seq, s.fileCount, s.totalBytes)) }))
+      case "expire_snapshots" => Some(proc("expire_snapshots",
+        Seq("ns" -> StringType, "tbl" -> StringType, "retain_last" -> LongType),
+        StructType(Seq(StructField("removed_files", LongType),
+          StructField("live_versions", LongType))),
+        { case Seq(ns: String, t: String, keep: java.lang.Long) =>
+          val removed = cat.expireSnapshots(ns, t, keep.toInt)
+          Seq(Seq(removed.size.toLong, cat.snapshots(ns, t).size.toLong)) }))
+      case "rollback" => Some(proc("rollback",
+        Seq("ns" -> StringType, "tbl" -> StringType, "seq" -> LongType),
+        StructType(Seq(StructField("head_seq", LongType),
+          StructField("restored_seq", LongType))),
+        { case Seq(ns: String, t: String, seq: java.lang.Long) =>
+          val s = cat.rollbackTo(ns, t, seq.longValue())
+          Seq(Seq(s.seq, seq.longValue())) }))
+      case "iceberg_export" => Some(proc("iceberg_export",
+        Seq("ns" -> StringType, "tbl" -> StringType, "dest" -> StringType),
+        StructType(Seq(StructField("metadata_file", StringType),
+          StructField("snapshots", LongType), StructField("manifests", LongType),
+          StructField("data_files", LongType), StructField("rows", LongType),
+          StructField("timestamp_int96_risk", BooleanType))),
+        { case Seq(ns: String, t: String, dest: String) =>
+          val r = IcebergExport.exportTable(cat, ns, t, dest)
+          Seq(Seq(r.metadataFile, r.snapshots.toLong, r.manifests.toLong,
+            r.dataFiles.toLong, r.rows, r.timestampInt96Risk)) }))
+      case "iceberg_import" => Some(proc("iceberg_import",
+        Seq("ns" -> StringType, "tbl" -> StringType, "location" -> StringType),
+        StructType(Seq(StructField("table", StringType),
+          StructField("replays", LongType), StructField("replaces", LongType),
+          StructField("data_files", LongType), StructField("rows", LongType))),
+        { case Seq(ns: String, t: String, loc: String) =>
+          val r = IcebergImport.importTable(cat, ns, t, loc)
+          Seq(Seq(r.table, r.replays.toLong, r.replaces.toLong,
+            r.dataFiles.toLong, r.rows)) }))
+      case _ => None
+    }
+  }
+
+  /** One IN-parameter procedure: binds as itself, extracts arguments by
+    * the declared parameter types, runs the action on the DRIVER (these
+    * are metadata/commit operations; any heavy lifting inside them is
+    * already distributed by the catalog), and returns the report rows
+    * through a LocalScan. */
+  private def proc(procName: String, params: Seq[(String, DataType)],
+                   outSchema: StructType,
+                   run: PartialFunction[Seq[Any], Seq[Seq[Any]]]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] =
+        params.map { case (n, dt) => ProcedureParameter.in(n, dt).build() }.toArray
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val args: Seq[Any] = params.zipWithIndex.map { case ((n, dt), i) =>
+          require(!input.isNullAt(i), s"$procName: argument $n must not be null")
+          dt match {
+            case StringType => input.getUTF8String(i).toString
+            case LongType => java.lang.Long.valueOf(input.getLong(i))
+            case other => throw new IllegalArgumentException(
+              s"$procName: unsupported parameter type $other")
+          }
+        }
+        val out = run.applyOrElse(args, (a: Seq[Any]) =>
+          throw new IllegalArgumentException(s"$procName: bad arguments $a"))
+        val rowArr = out.map { vals =>
+          new GenericInternalRow(vals.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other.asInstanceOf[AnyRef]
+          }.toArray[Any]): InternalRow
+        }.toArray
+        val scan: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = rowArr
+          override def readSchema(): StructType = outSchema
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+}

@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * tables server-side; this is that resolution expressed as the
   * engine-native catalog plugin.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -169,6 +170,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- stored procedures: CALL graft.system.<proc>(...) ----
+  // (GraftProcedures — compact / expire_snapshots / rollback /
+  // iceberg_export / iceberg_import, each one transactional catalog op)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(cat, ident).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
+          s"available: ${GraftProcedures.list(Array("system")).map(_.name()).mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   // ---- namespaces: one directory level under the warehouse root ----
 

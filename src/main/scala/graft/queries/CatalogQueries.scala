@@ -439,9 +439,39 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  // the CALL-driven export→import runs once per sf dir; the declared
+  // query then reads the imported table through plain SQL
+  private val sqlProcCatalogs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
+    * ProcedureCatalog): `CALL graft.system.iceberg_export` writes the
+    * fixture's branched table as an Iceberg v2 layout, `CALL
+    * graft.system.iceberg_import` replays it into a new catalog table,
+    * and the declared output is a plain SQL aggregate over that
+    * imported table — the whole maintenance/interop loop without one
+    * line of Scala. Oracle = the same aggregate from the raw source. */
+  private def sqlProcedures: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val cname = sqlProcCatalogs.getOrElseUpdate(d, {
+      val n = "graftq_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(cat.warehouse.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      s.conf.set(s"spark.sql.catalog.$n", "graft.catalog.GraftSparkCatalog")
+      s.conf.set(s"spark.sql.catalog.$n.warehouse", cat.warehouse)
+      val dest = Files.createTempDirectory("graft-sqlproc").toString
+      s.sql(s"CALL $n.system.iceberg_export('q', 'branched', '$dest')").collect(): Unit
+      s.sql(s"CALL $n.system.iceberg_import('q', 'branched_sql', '$dest')").collect(): Unit
+      n
+    })
+    s.sql(s"""SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              FROM $cname.q.branched_sql""")
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_iceberg_export"   -> icebergExportRead,
     "cat_iceberg_import"   -> icebergImportRead,
+    "cat_sql_procedures"   -> sqlProcedures,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
@@ -519,6 +549,10 @@ object CatalogQueries {
          FROM orders
          WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""",
     "cat_iceberg_export" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
+    "cat_sql_procedures" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)""",

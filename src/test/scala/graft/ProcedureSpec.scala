@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+
+/** SQL stored procedures (Spark 4 DSv2 ProcedureCatalog → `CALL`): the
+  * maintenance and Iceberg-interop actions a SQL-only user runs without
+  * the Scala API. Each CALL must execute the real transactional catalog
+  * operation and return its report row. */
+class ProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(): (GraftCatalog, String) = {
+    val wh = Files.createTempDirectory("graft-proc").toString
+    val cname = "graftp_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(wh.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    (new GraftCatalog(spark, wh), cname)
+  }
+
+  test("CALL compact bin-packs to one file and reports the new version; " +
+       "expire_snapshots reclaims and reports; rollback restores") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    (1 to 3).foreach(i => cat.commitAppend("m", "t",
+      Seq((i.toLong, i * 1.5)).toDF("id", "v").repartition(2)))
+
+    val comp = spark.sql(s"CALL $c.system.compact('m', 't', ${256L * 1024 * 1024})")
+    assert(comp.columns.toSeq === Seq("version", "file_count", "total_bytes"))
+    val compRow = comp.head()
+    assert(compRow.getLong(0) === 3L)
+    assert(compRow.getLong(1) === 1L, "everything fits one target-size file")
+    assert(spark.sql(s"SELECT sum(id) FROM $c.m.t").head().getLong(0) === 6L)
+
+    val exp = spark.sql(s"CALL $c.system.expire_snapshots('m', 't', 1)").head()
+    assert(exp.getLong(0) > 0L, "pre-compaction files must be reclaimed")
+    assert(exp.getLong(1) === 1L, "one live version remains")
+
+    // fresh history for rollback (expiry above dropped the old versions)
+    cat.commitAppend("m", "t", Seq((99L, 0.0)).toDF("id", "v"))
+    val headBefore = cat.latest("m", "t").get.seq
+    val rb = spark.sql(s"CALL $c.system.rollback('m', 't', ${headBefore - 1})").head()
+    assert(rb.getLong(0) === headBefore + 1, "rollback publishes a NEW head")
+    assert(spark.sql(s"SELECT sum(id) FROM $c.m.t").head().getLong(0) === 6L,
+      "the bad append must be gone from the head")
+  }
+
+  test("CALL iceberg_export then iceberg_import round-trips a table " +
+       "through the Iceberg v2 format entirely in SQL") {
+    val (cat, c) = register()
+    cat.createTable("m", "src")
+    cat.commitAppend("m", "src", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.commitAppend("m", "src", Seq((3L, "c")).toDF("id", "name"))
+    val dest = Files.createTempDirectory("graft-proc-ice").toString
+
+    val er = spark.sql(s"CALL $c.system.iceberg_export('m', 'src', '$dest')").head()
+    assert(er.getLong(1) === 2L, "two snapshots exported")
+    assert(er.getLong(4) === 3L, "head rows")
+    assert(Files.exists(java.nio.file.Paths.get(er.getString(0))))
+
+    val ir = spark.sql(s"CALL $c.system.iceberg_import('m', 'back', '$dest')").head()
+    assert(ir.getString(0) === "m.back")
+    assert(ir.getLong(1) === 2L, "both snapshots replayed")
+    assert(ir.getLong(2) === 0L, "appends only")
+    // the imported table is immediately a first-class SQL table:
+    // reads, time travel, the lot
+    assert(spark.sql(s"SELECT * FROM $c.m.back ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.sql(s"SELECT count(*) FROM $c.m.back VERSION AS OF 0")
+      .head().getLong(0) === 2L)
+  }
+
+  test("an unknown procedure fails with the available list in the message") {
+    val (_, c) = register()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.system.vacuum('m', 't')").collect()
+    }
+    // Spark wraps the plugin error in FAILED_TO_LOAD_ROUTINE; our
+    // available-procedures message rides the cause chain
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE"))
+    assert(messages.contains("iceberg_export"),
+      s"error should list available procedures, got:\n$messages")
+  }
+}

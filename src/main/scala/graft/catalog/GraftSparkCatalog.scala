@@ -107,6 +107,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `SELECT * FROM graft.ns.t.history`
+    // resolves here as namespace [ns, t] + name "history" — read-only
+    // views over the commit log / manifests, no data files touched
+    if (ident.namespace().length == 2) {
+      val Array(mns, mt) = ident.namespace()
+      if (cat.tableExists(mns, mt)) {
+        val dfOpt: Option[() => DataFrame] = ident.name() match {
+          case "history" | "snapshots" => Some(() => cat.history(mns, mt))
+          case "files" => Some(() =>
+            cat.latest(mns, mt).map(s => cat.filesTable(mns, mt, s.seq))
+              .getOrElse(cat.filesTable(mns, mt, -1L)))
+          case _ => None
+        }
+        dfOpt.foreach { thunk =>
+          val df = thunk()
+          return new GraftV2Table(
+            s"$catalogName.$mns.$mt.${ident.name()}", thunk, df.schema)
+        }
+      }
+    }
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
     // schema from the commit log when recorded; the data-path-resolving

@@ -74,6 +74,28 @@ class ProcedureSpec extends SparkSpec {
       .head().getLong(0) === 2L)
   }
 
+  test("metadata tables: graft.ns.t.history and .files serve the commit " +
+       "log / manifest list as read-only SQL tables") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    cat.commitAppend("m", "t", Seq((1L, "a")).toDF("id", "v"))
+    cat.commitAppend("m", "t", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    val h = spark.sql(s"SELECT seq, file_cnt FROM $c.m.t.history ORDER BY seq")
+      .as[(Long, Long)].collect().toSeq
+    assert(h.map(_._1) === Seq(0L, 1L))
+    assert(h.last._2 === cat.latest("m", "t").get.fileCount)
+    assert(spark.sql(s"SELECT * FROM $c.m.t.snapshots").count() === 2L)
+    val files = spark.sql(s"SELECT path, size_bytes FROM $c.m.t.files")
+      .as[(String, Long)].collect()
+    assert(files.length.toLong === cat.latest("m", "t").get.fileCount)
+    assert(files.forall(_._2 > 0L))
+    // a metadata name on a MISSING table still resolves nothing
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.m.nope.history").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("an unknown procedure fails with the available list in the message") {
     val (_, c) = register()
     val e = intercept[Exception] {

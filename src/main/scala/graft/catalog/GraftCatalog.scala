@@ -1598,6 +1598,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** G1: retain the newest `retainLast` versions; drop the rest plus any
     * data files (and manifests) unreachable from a kept version. */
   def expireSnapshots(ns: String, name: String, retainLast: Int): Seq[String] = {
+    // retainLast 0 (or negative) would expire EVERY version and delete
+    // all the table's data — never a sane request, always a bug upstream
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val keepSeqs = snapshots(ns, name).takeRight(retainLast).map(_.seq).toSet
     expire(ns, name, s => keepSeqs.contains(s.seq))
   }

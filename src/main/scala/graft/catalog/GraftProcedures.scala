@@ -48,6 +48,10 @@ object GraftProcedures {
         StructType(Seq(StructField("version", LongType),
           StructField("file_count", LongType), StructField("total_bytes", LongType))),
         { case Seq(ns: String, t: String, target: java.lang.Long) =>
+          // a zero/negative target would plan ceil(x/0.0)=Int.MaxValue
+          // shuffle partitions — fail the SQL user with an argument
+          // error, not a hung driver
+          require(target > 0L, s"compact: target_file_bytes must be > 0, got $target")
           val s = cat.compact(ns, t, target)
           Seq(Seq(s.seq, s.fileCount, s.totalBytes)) }))
       case "expire_snapshots" => Some(proc("expire_snapshots",
@@ -55,6 +59,11 @@ object GraftProcedures {
         StructType(Seq(StructField("removed_files", LongType),
           StructField("live_versions", LongType))),
         { case Seq(ns: String, t: String, keep: java.lang.Long) =>
+          // guard BEFORE the int narrowing: retain_last 2^32 would
+          // truncate to 0 and expire EVERY snapshot — data destruction
+          // from a plausible SQL typo
+          require(keep >= 1L && keep <= Int.MaxValue,
+            s"expire_snapshots: retain_last must be in [1, ${Int.MaxValue}], got $keep")
           val removed = cat.expireSnapshots(ns, t, keep.toInt)
           Seq(Seq(removed.size.toLong, cat.snapshots(ns, t).size.toLong)) }))
       case "rollback" => Some(proc("rollback",

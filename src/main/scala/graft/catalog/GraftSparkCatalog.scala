@@ -109,21 +109,36 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `SELECT * FROM graft.ns.t.history`
     // resolves here as namespace [ns, t] + name "history" — read-only
-    // views over the commit log / manifests, no data files touched
+    // views over the commit log / manifests, no data files touched.
+    // Schemas are STATIC (declared below, thunk stays lazy): resolving
+    // .files must not list manifests at analysis time just for a schema
     if (ident.namespace().length == 2) {
       val Array(mns, mt) = ident.namespace()
       if (cat.tableExists(mns, mt)) {
-        val dfOpt: Option[() => DataFrame] = ident.name() match {
-          case "history" | "snapshots" => Some(() => cat.history(mns, mt))
-          case "files" => Some(() =>
-            cat.latest(mns, mt).map(s => cat.filesTable(mns, mt, s.seq))
-              .getOrElse(cat.filesTable(mns, mt, -1L)))
+        val entry: Option[(StructType, () => DataFrame)] = ident.name() match {
+          case "history" | "snapshots" =>
+            Some((GraftSparkCatalog.HistorySchema, () => cat.history(mns, mt)))
+          case "files" =>
+            // unlike the raw manifest union, the exposed table CARRIES
+            // the content kind — a merge-on-read head lists its
+            // equality-delete files as 'deletes', never disguised as
+            // data (a storage-reconciling user must not double-count)
+            Some((GraftSparkCatalog.FilesSchema, () => {
+              val rows = cat.latest(mns, mt).toSeq.flatMap { snap =>
+                cat.dataFileEntries(mns, mt, snap)
+                  .map { case (p, sz) => Row(p, sz, "data") } ++
+                cat.deleteFileEntries(mns, mt, snap)
+                  .map { case (p, sz) => Row(p, sz, "deletes") }
+              }
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1),
+                GraftSparkCatalog.FilesSchema)
+            }))
           case _ => None
         }
-        dfOpt.foreach { thunk =>
-          val df = thunk()
+        entry.foreach { case (schema, thunk) =>
           return new GraftV2Table(
-            s"$catalogName.$mns.$mt.${ident.name()}", thunk, df.schema)
+            s"$catalogName.$mns.$mt.${ident.name()}", thunk, schema)
         }
       }
     }
@@ -202,8 +217,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
           s"available: ${GraftProcedures.list(Array("system")).map(_.name()).mkString(", ")}"))
 
-  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    // contract parity with listTables: an unknown namespace is an
+    // error, not an empty listing that masks a typo
+    if (namespace.nonEmpty && !namespace.sameElements(Array("system")))
+      throw new NoSuchNamespaceException(namespace)
     GraftProcedures.list(namespace)
+  }
 
   // ---- namespaces: one directory level under the warehouse root ----
 
@@ -420,6 +440,35 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
           override def buildScan(): RDD[Row] = inner.rdd
         }.asInstanceOf[T]
     }
+  }
+}
+
+object GraftSparkCatalog {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Static schemas of the metadata tables (resolution must not touch
+    * the log or the manifests just to answer DESCRIBE). */
+  private[catalog] val HistorySchema = StructType(Seq(
+    StructField("seq", LongType), StructField("commit_id", StringType),
+    StructField("parent_id", StringType), StructField("timestamp_ms", LongType),
+    StructField("file_cnt", LongType), StructField("source_region", StringType)))
+  private[catalog] val FilesSchema = StructType(Seq(
+    StructField("path", StringType), StructField("size_bytes", LongType),
+    StructField("content", StringType)))
+
+  /** Register (idempotently) a session catalog over `warehouse` and
+    * return its name. The name derives from the warehouse path because
+    * catalog plugins are CACHED by name per session — a fixed name
+    * would silently keep serving the first warehouse it saw. Call this
+    * on EVERY use, not once: the conf is per-SparkSession, so a second
+    * session in the same JVM needs its own registration. */
+  def registerSqlCatalog(spark: SparkSession, warehouse: String): String = {
+    val name = "graftq_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(warehouse.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    name
   }
 }
 

@@ -149,15 +149,9 @@ object CatalogQueries {
     * source table. Old-era rows project the evolved column as NULL. */
   private def sqlRead: Q = (s, d) => {
     val cat = fixture(s, d)
-    // catalog plugins are CACHED by name per session after first use —
-    // one session touching several sf dirs (Bench warms at sf0.001 then
-    // times at sf0.1) would silently keep reading the first warehouse
-    // under a fixed name, so the name derives from the warehouse path
-    val cname = "graftq_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(cat.warehouse.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    s.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.GraftSparkCatalog")
-    s.conf.set(s"spark.sql.catalog.$cname.warehouse", cat.warehouse)
+    // warehouse-derived name + per-call registration (see
+    // GraftSparkCatalog.registerSqlCatalog for why both matter)
+    val cname = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, cat.warehouse)
     s.sql(s"""
       SELECT o_orderstatus, count(*) AS cnt,
              round(sum(o_totalprice), 2) AS total_price
@@ -439,9 +433,11 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
-  // the CALL-driven export→import runs once per sf dir; the declared
-  // query then reads the imported table through plain SQL
-  private val sqlProcCatalogs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // the CALL-driven export→import runs once per sf dir, into a FRESH
+  // warehouse each attempt — a transient failure mid-import must not
+  // leave a half-created table that poisons every retry (the map only
+  // records a warehouse once the whole round trip succeeded)
+  private val sqlProcWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
     * ProcedureCatalog): `CALL graft.system.iceberg_export` writes the
@@ -449,20 +445,21 @@ object CatalogQueries {
     * graft.system.iceberg_import` replays it into a new catalog table,
     * and the declared output is a plain SQL aggregate over that
     * imported table — the whole maintenance/interop loop without one
-    * line of Scala. Oracle = the same aggregate from the raw source. */
+    * line of Scala. Oracle = the same aggregate from the raw source.
+    * Catalog registration happens on EVERY call (per-session conf; the
+    * memo only caches the imported warehouse path). */
   private def sqlProcedures: Q = (s, d) => {
     val cat = fixture(s, d)
-    val cname = sqlProcCatalogs.getOrElseUpdate(d, {
-      val n = "graftq_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(cat.warehouse.getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      s.conf.set(s"spark.sql.catalog.$n", "graft.catalog.GraftSparkCatalog")
-      s.conf.set(s"spark.sql.catalog.$n.warehouse", cat.warehouse)
+    val wh = sqlProcWarehouses.getOrElseUpdate(d, {
+      val srcName = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, cat.warehouse)
+      val destWh = Files.createTempDirectory("graft-sqlproc-wh").toString
+      val destName = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, destWh)
       val dest = Files.createTempDirectory("graft-sqlproc").toString
-      s.sql(s"CALL $n.system.iceberg_export('q', 'branched', '$dest')").collect(): Unit
-      s.sql(s"CALL $n.system.iceberg_import('q', 'branched_sql', '$dest')").collect(): Unit
-      n
+      s.sql(s"CALL $srcName.system.iceberg_export('q', 'branched', '$dest')").collect(): Unit
+      s.sql(s"CALL $destName.system.iceberg_import('q', 'branched_sql', '$dest')").collect(): Unit
+      destWh
     })
+    val cname = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
     s.sql(s"""SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
               FROM $cname.q.branched_sql""")

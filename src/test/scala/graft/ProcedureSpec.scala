@@ -15,11 +15,8 @@ class ProcedureSpec extends SparkSpec {
 
   private def register(): (GraftCatalog, String) = {
     val wh = Files.createTempDirectory("graft-proc").toString
-    val cname = "graftp_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(wh.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    spark.conf.set(s"spark.sql.catalog.$cname", "graft.catalog.GraftSparkCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
-    (new GraftCatalog(spark, wh), cname)
+    (new GraftCatalog(spark, wh),
+      graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh))
   }
 
   test("CALL compact bin-packs to one file and reports the new version; " +
@@ -85,15 +82,42 @@ class ProcedureSpec extends SparkSpec {
     assert(h.map(_._1) === Seq(0L, 1L))
     assert(h.last._2 === cat.latest("m", "t").get.fileCount)
     assert(spark.sql(s"SELECT * FROM $c.m.t.snapshots").count() === 2L)
-    val files = spark.sql(s"SELECT path, size_bytes FROM $c.m.t.files")
-      .as[(String, Long)].collect()
+    val files = spark.sql(s"SELECT path, size_bytes, content FROM $c.m.t.files")
+      .as[(String, Long, String)].collect()
     assert(files.length.toLong === cat.latest("m", "t").get.fileCount)
     assert(files.forall(_._2 > 0L))
+    assert(files.forall(_._3 == "data"))
+    // merge-on-read head: the delete file appears AS a delete, never
+    // disguised as data
+    cat.commitDelete("m", "t", Seq(1L).toDF("id"))
+    val byContent = spark.sql(s"SELECT content, count(*) FROM $c.m.t.files GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(byContent("deletes") === 1L)
+    assert(byContent("data") === files.length.toLong)
     // a metadata name on a MISSING table still resolves nothing
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $c.m.nope.history").collect()
     }
     assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("destructive-argument guards: retain_last 0 and 2^32 (int-truncates " +
+       "to 0) refuse before touching the log; compact target 0 refuses") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    cat.commitAppend("m", "t", Seq((1L, "a")).toDF("id", "v"))
+    for (bad <- Seq("0", "-1", (1L << 32).toString)) {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.expire_snapshots('m', 't', $bad)").collect()
+      }
+      assert(e.getMessage.contains("retain_last"), s"for $bad got: ${e.getMessage}")
+    }
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $c.system.compact('m', 't', 0)").collect()
+    }
+    assert(e2.getMessage.contains("target_file_bytes"))
+    // nothing was expired or rewritten by the refused calls
+    assert(cat.snapshots("m", "t").map(_.seq) === Seq(0L))
   }
 
   test("an unknown procedure fails with the available list in the message") {

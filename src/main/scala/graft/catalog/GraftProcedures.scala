@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   private val Names = Seq("compact", "expire_snapshots", "rollback",
-    "iceberg_export", "iceberg_import")
+    "iceberg_export", "iceberg_import",
+    "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -92,6 +93,34 @@ object GraftProcedures {
           val r = IcebergImport.importTable(cat, ns, t, loc)
           Seq(Seq(r.table, r.replays.toLong, r.replaces.toLong,
             r.dataFiles.toLong, r.rows)) }))
+      case "create_branch" => Some(proc("create_branch",
+        Seq("ns" -> StringType, "tbl" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("branch", StringType),
+          StructField("fork_seq", LongType))),
+        { case Seq(ns: String, t: String, branch: String) =>
+          cat.createBranch(ns, t, branch)
+          Seq(Seq(branch, cat.branchFork(ns, t, branch)._1)) }))
+      case "fast_forward" => Some(proc("fast_forward",
+        Seq("ns" -> StringType, "tbl" -> StringType, "branch" -> StringType),
+        StructType(Seq(StructField("merged_seq", LongType),
+          StructField("commit_id", StringType))),
+        { case Seq(ns: String, t: String, branch: String) =>
+          val s = cat.fastForwardMerge(ns, t, branch)
+          Seq(Seq(s.seq, s.commitId)) }))
+      case "create_tag" => Some(proc("create_tag",
+        Seq("ns" -> StringType, "tbl" -> StringType, "tag" -> StringType,
+          "seq" -> LongType),
+        StructType(Seq(StructField("tag", StringType),
+          StructField("tagged_seq", LongType))),
+        { case Seq(ns: String, t: String, tag: String, seq: java.lang.Long) =>
+          cat.createTag(ns, t, tag, Some(seq.longValue()))
+          Seq(Seq(tag, seq.longValue())) }))
+      case "sweep_orphan_manifests" => Some(proc("sweep_orphan_manifests",
+        Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),
+        StructType(Seq(StructField("removed", LongType))),
+        { case Seq(ns: String, t: String, grace: java.lang.Long) =>
+          require(grace >= 0L, s"sweep_orphan_manifests: grace_ms must be >= 0, got $grace")
+          Seq(Seq(cat.sweepOrphanManifests(ns, t, grace.longValue()).size.toLong)) }))
       case _ => None
     }
   }

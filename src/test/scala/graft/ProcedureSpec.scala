@@ -101,6 +101,25 @@ class ProcedureSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("CALL create_branch / fast_forward / create_tag / " +
+       "sweep_orphan_manifests run the real ref machinery") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    cat.commitAppend("m", "t", Seq((1L, "a")).toDF("id", "v"))
+    val cb = spark.sql(s"CALL $c.system.create_branch('m', 't', 'dev')").head()
+    assert((cb.getString(0), cb.getLong(1)) === ("dev", 0L))
+    cat.commitAppendToBranch("m", "t", "dev", Seq((2L, "b")).toDF("id", "v"))
+    val ff = spark.sql(s"CALL $c.system.fast_forward('m', 't', 'dev')").head()
+    assert(ff.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT sum(id) FROM $c.m.t").head().getLong(0) === 3L)
+    val tg = spark.sql(s"CALL $c.system.create_tag('m', 't', 'v0', 0)").head()
+    assert((tg.getString(0), tg.getLong(1)) === ("v0", 0L))
+    assert(cat.readTag("m", "t", "v0").count() === 1L)
+    // a freshly-committed table has no orphans; grace 0 sweeps nothing
+    assert(spark.sql(s"CALL $c.system.sweep_orphan_manifests('m', 't', 0)")
+      .head().getLong(0) === 0L)
+  }
+
   test("destructive-argument guards: retain_last 0 and 2^32 (int-truncates " +
        "to 0) refuse before touching the log; compact target 0 refuses") {
     val (cat, c) = register()

@@ -62,6 +62,42 @@ class IcebergImportSpec extends SparkSpec {
     assert(dst.snapshots("imp", "t").forall(_.sourceRegion == "iceberg-import"))
   }
 
+  test("property: export -> import round-trips RANDOM commit histories — " +
+       "every version of every replayed table reads identically") {
+    import org.apache.spark.sql.DataFrame
+    val base = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") <= 600)
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val src = freshCat()
+      src.createTable("p", "t")
+      src.commitAppend("p", "t", base.filter(col("o_orderkey") % 3 === 0))
+      val nOps = 2 + rnd.nextInt(3)
+      (0 until nOps).foreach { _ =>
+        val m = 2 + rnd.nextInt(7)
+        if (rnd.nextInt(4) == 0)
+          // overwrite: keep a keyed subset of the current state
+          src.commitReplace("p", "t",
+            src.read("p", "t").filter(col("o_orderkey") % m =!= 0))
+        else
+          src.commitAppend("p", "t", base
+            .filter(col("o_orderkey") % 3 === 1)
+            .filter(col("o_orderkey") % m === 0))
+      }
+      val dest = Files.createTempDirectory(s"iceberg-prop-$seed").toString
+      IcebergExport.exportTable(src, "p", "t", dest): Unit
+      val dst = freshCat()
+      val report = IcebergImport.importTable(dst, "p", "t", dest)
+      val versions = src.snapshots("p", "t").map(_.seq)
+      assert(report.replays === versions.size, s"seed $seed")
+      versions.foreach { v =>
+        assert(rows(dst.readVersion("p", "t", v)) ===
+          rows(src.readVersion("p", "t", v)),
+          s"seed $seed version $v diverged")
+      }
+    }
+  }
+
   test("re-importing a snapshot id is rejected by commit idempotence; " +
        "import into an existing table refuses") {
     val src = freshCat()

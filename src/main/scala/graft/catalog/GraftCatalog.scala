@@ -471,6 +471,63 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         }
     }
 
+  /** Metadata-only STATS BACKFILL: rewrite the head version's data
+    * manifests that lack recorded row counts (commitFiles-registered
+    * files — replica sync, Iceberg import — carry none) with the same
+    * per-file bounds + row counts commitAppend records, and publish a
+    * new version over the SAME file set. After it, [[countFast]]
+    * answers from metadata and [[readWhere]] prunes on the recorded
+    * bounds — the step that makes an IMPORTED table plan like a native
+    * one. One distributed single-pass stats job per rewritten manifest
+    * (the commit path's own aggregate); delete manifests and already
+    * stat-bearing manifests are carried unchanged, so a second call is
+    * a no-op (returns the head and 0). The publish is CONDITIONAL on
+    * the inspected head: a concurrent commit aborts the backfill
+    * loudly instead of being silently dropped. Returns (new head,
+    * manifests rewritten). */
+  def backfillStats(ns: String, name: String, maxRetries: Int = 5): (Snapshot, Int) = {
+    val head = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"$ns.$name has no committed versions"))
+    val schema = tableSchema(ns, name).getOrElse(
+      throw new IllegalStateException(
+        s"$ns.$name records no schema — nothing to compute stats against"))
+    val replaced: Map[String, String] = head.manifests
+      .filterNot(isDeleteManifest)
+      .flatMap { m =>
+        val entries = manifestEntriesFull(ns, name, m)
+        if (entries.isEmpty ||
+            entries.forall(_.stats.contains(GraftCatalog.RowsStatKey))) None
+        else {
+          // files written before a schema evolution null-fill the added
+          // columns under the head schema: their count stays exact and
+          // all-null columns simply record no bound (never pruned)
+          val pairs = entries.map(e => (e.path, e.sizeBytes))
+          Some(m -> writeManifest(ns, name, pairs,
+            stagedFileStats(ns, name, pairs, schema)))
+        }
+      }.toMap
+    if (replaced.isEmpty) return (head, 0)
+    try {
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        if (!parent.map(_.commitId).contains(head.commitId))
+          throw new java.util.ConcurrentModificationException(
+            s"stats backfill of $ns.$name inspected ${head.commitId} but the head moved")
+        Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}", Some(head.commitId),
+          System.currentTimeMillis(),
+          head.manifests.map(m => replaced.getOrElse(m, m)),
+          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson)
+      }
+      (snap, replaced.size)
+    } catch { case e: Throwable =>
+      replaced.values.foreach { m =>
+        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
+        manifestCache.remove(ap)
+        Files.deleteIfExists(ap): Unit
+      }
+      throw e
+    }
+  }
+
   /** Per-file Bloom filters for `bloomCols` over a freshly-staged batch —
     * one distributed job per column: the k bit positions are a codegen'd
     * projection, exploded and collapsed to ≤ BloomBits distinct ints per

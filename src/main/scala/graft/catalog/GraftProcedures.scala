@@ -32,7 +32,8 @@ object GraftProcedures {
 
   private val Names = Seq("compact", "expire_snapshots", "rollback",
     "iceberg_export", "iceberg_import",
-    "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests")
+    "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
+    "backfill_stats")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -115,6 +116,13 @@ object GraftProcedures {
         { case Seq(ns: String, t: String, tag: String, seq: java.lang.Long) =>
           cat.createTag(ns, t, tag, Some(seq.longValue()))
           Seq(Seq(tag, seq.longValue())) }))
+      case "backfill_stats" => Some(proc("backfill_stats",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("rewritten_manifests", LongType))),
+        { case Seq(ns: String, t: String) =>
+          val (snap, n) = cat.backfillStats(ns, t)
+          Seq(Seq(snap.seq, n.toLong)) }))
       case "sweep_orphan_manifests" => Some(proc("sweep_orphan_manifests",
         Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),
         StructType(Seq(StructField("removed", LongType))),

@@ -411,15 +411,19 @@ object CatalogQueries {
     * pre-overwrite version; the oracle recomputes both states from the
     * raw source rows: green = foreign Iceberg history becomes native
     * graft history exactly. */
-  private def icebergImportRead: Q = (s, d) => {
+  private def importedCatalog(s: SparkSession, d: String): GraftCatalog = {
     val cat = fixture(s, d)
-    val imp = icebergImports.getOrElseUpdate(d, {
+    icebergImports.getOrElseUpdate(d, {
       val dir = Files.createTempDirectory("graft-iceberg-import").toString
       graft.catalog.IcebergExport.exportTable(cat, "q", "cdc", dir): Unit
       val dst = new GraftCatalog(s, Files.createTempDirectory("graft-icat").toString)
       graft.catalog.IcebergImport.importTable(dst, "q", "cdc", dir): Unit
       dst
     })
+  }
+
+  private def icebergImportRead: Q = (s, d) => {
+    val imp = importedCatalog(s, d)
     def agg(df: DataFrame, stage: String) =
       df.agg(count(lit(1)).as("cnt"),
           round(sum(col("o_totalprice")), 2).as("total_price"),
@@ -431,6 +435,28 @@ object CatalogQueries {
       .select(col("stage"), col("cnt"), col("total_price"),
         col("min_key"), col("max_key"))
       .orderBy(col("stage"))
+  }
+
+  // one backfill per imported warehouse (idempotent anyway — memo only
+  // avoids re-publishing the no-op check per query run)
+  private val backfilled = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Stats backfill on the IMPORTED table: files registered by the
+    * Iceberg import carry no manifest stats, so the metadata count
+    * refuses (falls back to a scan). One metadata-only backfill commit
+    * later, countFast answers from the manifests alone and must equal
+    * the real scan — the step that makes an imported table plan like a
+    * native one. The oracle recomputes both counts and the sum from
+    * the raw source rows. */
+  private def backfillStatsRead: Q = (s, d) => {
+    val imp = importedCatalog(s, d)
+    backfilled.getOrElseUpdate(d, { imp.backfillStats("q", "cdc"): Unit; true })
+    val meta = imp.countFastOpt("q", "cdc")
+    imp.read("q", "cdc")
+      .agg(count(lit(1)).as("cnt_scan"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .withColumn("cnt_meta", lit(meta.getOrElse(-1L)))
+      .select(col("cnt_meta"), col("cnt_scan"), col("total_price"))
   }
 
   // the CALL-driven export→import runs once per sf dir, into a FRESH
@@ -469,6 +495,7 @@ object CatalogQueries {
     "cat_iceberg_export"   -> icebergExportRead,
     "cat_iceberg_import"   -> icebergImportRead,
     "cat_sql_procedures"   -> sqlProcedures,
+    "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
@@ -553,6 +580,10 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
+    "cat_backfill_stats" ->
+      """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0""",
     "cat_iceberg_import" ->
       """WITH head AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0),

@@ -143,6 +143,40 @@ class IcebergImportSpec extends SparkSpec {
     assert(head.count() === src.read("ns", "ev").count())
   }
 
+  test("backfillStats makes an imported table plan like a native one: " +
+       "countFast answers from metadata and reads prune on bounds") {
+    import spark.implicits._
+    val src = freshCat()
+    src.createTable("ns", "t")
+    src.commitAppend("ns", "t",
+      (0 until 1000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+        .repartitionByRange(10, col("id")))
+    val dest = Files.createTempDirectory("iceberg-backfill").toString
+    IcebergExport.exportTable(src, "ns", "t", dest): Unit
+    val dst = freshCat()
+    IcebergImport.importTable(dst, "p", "t", dest): Unit
+
+    // imported files carry no stats: count falls back, nothing prunes
+    assert(dst.countFastOpt("p", "t").isEmpty)
+    assert(dst.readWhere("p", "t", "id", Some("150"), Some("249"))
+      .inputFiles.length === 10, "stat-less files must all be read")
+
+    val (snap, rewritten) = dst.backfillStats("p", "t")
+    assert(rewritten === 1, "the one imported manifest gets stats")
+    assert(dst.countFastOpt("p", "t") === Some(1000L))
+    val pruned = dst.readWhere("p", "t", "id", Some("150"), Some("249"))
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 files read post-backfill, got ${pruned.inputFiles.length}")
+    assert(pruned.select("id").as[Long].collect().sorted === (150L to 249L).toArray)
+
+    // idempotent: a second call rewrites nothing and publishes nothing
+    val (snap2, rewritten2) = dst.backfillStats("p", "t")
+    assert(rewritten2 === 0)
+    assert(snap2.seq === snap.seq)
+    // the pre-backfill version stays time-travelable and identical
+    assert(dst.readVersion("p", "t", 0).count() === 1000L)
+  }
+
   test("a rename across the lineage's schemas refuses loudly (id-resolved " +
        "evolution is not representable name-resolved)") {
     val loc = Files.createTempDirectory("iceberg-rename")

@@ -120,6 +120,28 @@ class ProcedureSpec extends SparkSpec {
       .head().getLong(0) === 0L)
   }
 
+  test("CALL backfill_stats turns a files-registered table metadata-countable") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    val staged = Files.createDirectories(cat.tablePath("m", "t").resolve("data/landed"))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val files = java.nio.file.Files.list(staged).iterator()
+    val rel = new scala.collection.mutable.ArrayBuffer[String]
+    while (files.hasNext) {
+      val f = files.next().getFileName.toString
+      if (f.endsWith(".parquet")) rel += s"data/landed/$f"
+    }
+    cat.commitFiles("m", "t", rel.toSeq, sourceRegion = "remote",
+      schemaJson = Some(Seq((1L, "a")).toDF("id", "v").schema.json))
+    assert(cat.countFastOpt("m", "t").isEmpty, "files-registered: no stats yet")
+    val r = spark.sql(s"CALL $c.system.backfill_stats('m', 't')").head()
+    assert(r.getLong(1) === 1L)
+    assert(cat.countFastOpt("m", "t") === Some(3L))
+    // second call is a no-op at the same version
+    assert(spark.sql(s"CALL $c.system.backfill_stats('m', 't')").head().getLong(1) === 0L)
+  }
+
   test("destructive-argument guards: retain_last 0 and 2^32 (int-truncates " +
        "to 0) refuse before touching the log; compact target 0 refuses") {
     val (cat, c) = register()

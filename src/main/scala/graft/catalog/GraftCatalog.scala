@@ -244,6 +244,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Path, Seq[ManifestEntry]]()
 
+  /** Drop an UNPUBLISHED manifest (failed/retried commit attempt):
+    * cache invalidation and physical delete must always travel
+    * together — one shared site instead of a copy per commit path. */
+  private def dropManifest(ns: String, name: String, rel: String): Unit = {
+    val ap = tableDir(ns, name).resolve(rel).toAbsolutePath
+    manifestCache.remove(ap)
+    Files.deleteIfExists(ap): Unit
+  }
+
   // Latest file set per table, keyed by the commit it reflects: lets
   // commitFiles dedup each commit against its parent in O(new files)
   // amortized instead of re-materializing the full 50k+-entry set per
@@ -409,7 +418,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         p -> Map(GraftCatalog.RowsStatKey -> ((n, n)))
       }.toMap
     }
-    val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
+    // key the join back by FULL absolute path, not basename: the commit
+    // path's one-staging-dir layout makes basenames unique, but
+    // backfillStats feeds arbitrary registered manifests through here,
+    // where data/a/part-0.parquet and data/b/part-0.parquet coexist —
+    // a basename map would hand one file the other's bounds and
+    // readWhere would then prune REAL rows away on bogus stats
+    val byAbs = entries.map { case (p, _) =>
+      tableDir(ns, name).resolve(p).toAbsolutePath.toString -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
     // per-file ROW COUNT rides the same single stats job (zero extra IO
@@ -422,9 +438,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    rows.flatMap { r =>
-      val base = r.getString(0).split('/').last
-      byBase.get(base).map { rel =>
+    val scanned = rows.flatMap { r =>
+      val abs = new HPath(r.getString(0)).toUri.getPath
+      byAbs.get(abs).map { rel =>
         val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
           (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
             case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
@@ -433,6 +449,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         }.toMap
         rel -> (colStats + (GraftCatalog.RowsStatKey -> ((r.getString(1), r.getString(1)))))
       }
+    }.toMap
+    // a ZERO-ROW file never groups, so it would get no __rows and
+    // countFast (and backfill's idempotence check) would see it as
+    // stat-less forever — record it explicitly as count 0, no bounds
+    entries.map { case (p, _) =>
+      p -> scanned.getOrElse(p, Map(GraftCatalog.RowsStatKey -> (("0", "0"))))
     }.toMap
   }
 
@@ -491,22 +513,32 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = tableSchema(ns, name).getOrElse(
       throw new IllegalStateException(
         s"$ns.$name records no schema — nothing to compute stats against"))
-    val replaced: Map[String, String] = head.manifests
+    val statless: Seq[(String, Seq[ManifestEntry])] = head.manifests
       .filterNot(isDeleteManifest)
       .flatMap { m =>
         val entries = manifestEntriesFull(ns, name, m)
         if (entries.isEmpty ||
             entries.forall(_.stats.contains(GraftCatalog.RowsStatKey))) None
-        else {
-          // files written before a schema evolution null-fill the added
-          // columns under the head schema: their count stays exact and
-          // all-null columns simply record no bound (never pruned)
-          val pairs = entries.map(e => (e.path, e.sizeBytes))
-          Some(m -> writeManifest(ns, name, pairs,
-            stagedFileStats(ns, name, pairs, schema)))
-        }
-      }.toMap
-    if (replaced.isEmpty) return (head, 0)
+        else Some(m -> entries)
+      }
+    if (statless.isEmpty) return (head, 0)
+    // ONE distributed stats job over every stat-less file (a replica-
+    // synced table can hold hundreds of single-file manifests — one job
+    // per manifest would pay scheduling overhead hundreds of times),
+    // split back per source manifest afterwards. Files written before a
+    // schema evolution null-fill the added columns under the head
+    // schema: their count stays exact and all-null columns simply
+    // record no bound (never pruned). Existing per-file BLOOMS are
+    // carried over — a rewrite must never destroy published secondary
+    // stats.
+    val allStats = stagedFileStats(ns, name,
+      statless.flatMap(_._2).map(e => (e.path, e.sizeBytes)), schema)
+    val replaced: Map[String, String] = statless.map { case (m, entries) =>
+      val pairs = entries.map(e => (e.path, e.sizeBytes))
+      m -> writeManifest(ns, name, pairs,
+        pairs.flatMap { case (p, _) => allStats.get(p).map(p -> _) }.toMap,
+        entries.filter(_.blooms.nonEmpty).map(e => e.path -> e.blooms).toMap)
+    }.toMap
     try {
       val snap = casCommit(ns, name, maxRetries) { parent =>
         if (!parent.map(_.commitId).contains(head.commitId))
@@ -519,11 +551,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       }
       (snap, replaced.size)
     } catch { case e: Throwable =>
-      replaced.values.foreach { m =>
-        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
-        manifestCache.remove(ap)
-        Files.deleteIfExists(ap): Unit
-      }
+      replaced.values.foreach(dropManifest(ns, name, _))
       throw e
     }
   }
@@ -1025,11 +1053,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // manifest first, or every lost CAS race orphans one manifest file
     var attemptManifest: Option[String] = None
     def dropAttemptManifest(): Unit = {
-      attemptManifest.foreach { m =>
-        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
-        manifestCache.remove(ap)
-        Files.deleteIfExists(ap): Unit
-      }
+      attemptManifest.foreach(dropManifest(ns, name, _))
       attemptManifest = None
     }
     var committedSet: Set[String] = Set.empty
@@ -1113,11 +1137,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       latestFileSet.put((ns, name), (snap.commitId, landed.map(_._1).toSet))
       snap
     } catch { case e: Throwable =>
-      newManifest.foreach { m =>
-        val ap = tableDir(ns, name).resolve(m).toAbsolutePath
-        manifestCache.remove(ap)
-        Files.deleteIfExists(ap): Unit
-      }
+      newManifest.foreach(dropManifest(ns, name, _))
       throw e
     }
   }

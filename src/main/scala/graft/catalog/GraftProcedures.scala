@@ -127,7 +127,12 @@ object GraftProcedures {
         Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),
         StructType(Seq(StructField("removed", LongType))),
         { case Seq(ns: String, t: String, grace: java.lang.Long) =>
-          require(grace >= 0L, s"sweep_orphan_manifests: grace_ms must be >= 0, got $grace")
+          // every commit path writes its manifest BEFORE the CAS
+          // publish — a sub-minute grace would reap an in-flight
+          // commit's manifest and corrupt the snapshot it publishes
+          require(grace >= 60000L,
+            s"sweep_orphan_manifests: grace_ms must be >= 60000 (1 min) — " +
+              s"a shorter window reaps in-flight commits' manifests; got $grace")
           Seq(Seq(cat.sweepOrphanManifests(ns, t, grace.longValue()).size.toLong)) }))
       case _ => None
     }

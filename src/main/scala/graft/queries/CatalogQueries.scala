@@ -450,7 +450,15 @@ object CatalogQueries {
     * the raw source rows. */
   private def backfillStatsRead: Q = (s, d) => {
     val imp = importedCatalog(s, d)
-    backfilled.getOrElseUpdate(d, { imp.backfillStats("q", "cdc"): Unit; true })
+    // synchronized, not bare getOrElseUpdate: TrieMap may evaluate the
+    // thunk in two racing first callers, and the loser's conditional
+    // backfill would abort on the moved head
+    backfilled.synchronized {
+      if (!backfilled.contains(d)) {
+        imp.backfillStats("q", "cdc"): Unit
+        backfilled.put(d, true): Unit
+      }
+    }
     val meta = imp.countFastOpt("q", "cdc")
     imp.read("q", "cdc")
       .agg(count(lit(1)).as("cnt_scan"),

@@ -274,6 +274,57 @@ class CatalogSpec extends SparkSpec {
       "parent chain must stay linear under the race"))
   }
 
+  test("backfillStats: same-basename files across directories get their OWN " +
+       "bounds, and zero-row files record count 0 so the second call is a no-op") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "t")
+    // two registered files with the SAME basename in different dirs and
+    // DISJOINT id ranges — a basename-keyed stats join would hand one
+    // file the other's bounds and pruning would drop real rows
+    def land(dir: String, ids: Range): String = {
+      val staged = Files.createDirectories(cat.tablePath("ns", "t").resolve(s"data/$dir"))
+      val tmp = Files.createTempDirectory("bf-stage")
+      ids.map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, staged.resolve("part.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s"data/$dir/part.parquet"
+    }
+    val fa = land("a", 0 until 100)
+    val fb = land("b", 1000 until 1100)
+    val schemaJson = Seq((1L, "x")).toDF("id", "v").schema.json
+    cat.commitFiles("ns", "t", Seq(fa, fb), "remote", schemaJson = Some(schemaJson))
+    val (_, rewritten) = cat.backfillStats("ns", "t")
+    assert(rewritten === 1)
+    assert(cat.countFastOpt("ns", "t") === Some(200L))
+    val pruned = cat.readWhere("ns", "t", "id", Some("0"), Some("99"))
+    assert(pruned.inputFiles.length === 1,
+      "the disjoint-range file must be pruned away on ITS OWN bounds")
+    assert(pruned.select("id").as[Long].collect().sorted === (0L until 100L).toArray)
+
+    // zero-row file: records __rows 0 (no bounds), stays countable and
+    // does NOT break idempotence
+    val empty = {
+      val staged = Files.createDirectories(cat.tablePath("ns", "t").resolve("data/e"))
+      val tmp = Files.createTempDirectory("bf-empty")
+      Seq.empty[(Long, String)].toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, staged.resolve("empty.parquet"))
+      "data/e/empty.parquet"
+    }
+    cat.commitFiles("ns", "t", Seq(empty), "remote")
+    val (snapA, r2) = cat.backfillStats("ns", "t")
+    assert(r2 === 1, "the empty file's manifest gets its zero count")
+    assert(cat.countFastOpt("ns", "t") === Some(200L))
+    val (snapB, r3) = cat.backfillStats("ns", "t")
+    assert(r3 === 0, "second call must be a no-op even with a zero-row file")
+    assert(snapB.seq === snapA.seq)
+  }
+
   test("expireSnapshots removes only files unreachable from kept versions (G1/G2)") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -115,9 +115,14 @@ class ProcedureSpec extends SparkSpec {
     val tg = spark.sql(s"CALL $c.system.create_tag('m', 't', 'v0', 0)").head()
     assert((tg.getString(0), tg.getLong(1)) === ("v0", 0L))
     assert(cat.readTag("m", "t", "v0").count() === 1L)
-    // a freshly-committed table has no orphans; grace 0 sweeps nothing
-    assert(spark.sql(s"CALL $c.system.sweep_orphan_manifests('m', 't', 0)")
+    // a freshly-committed table has no orphans; sub-minute grace would
+    // reap in-flight commits' manifests and must refuse
+    assert(spark.sql(s"CALL $c.system.sweep_orphan_manifests('m', 't', 3600000)")
       .head().getLong(0) === 0L)
+    val eg = intercept[Exception] {
+      spark.sql(s"CALL $c.system.sweep_orphan_manifests('m', 't', 0)").collect()
+    }
+    assert(eg.getMessage.contains("grace_ms"))
   }
 
   test("CALL backfill_stats turns a files-registered table metadata-countable") {

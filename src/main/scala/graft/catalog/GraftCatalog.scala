@@ -438,17 +438,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val scanned = rows.flatMap { r =>
+    val scanned = rows.map { r =>
       val abs = new HPath(r.getString(0)).toUri.getPath
-      byAbs.get(abs).map { rel =>
-        val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
-          (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
-            case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
-            case _ => None
-          }
-        }.toMap
-        rel -> (colStats + (GraftCatalog.RowsStatKey -> ((r.getString(1), r.getString(1)))))
-      }
+      // a scanned group that matches no staged entry means the
+      // input_file_name -> path round-trip broke (URI-encodable chars,
+      // scheme mismatch) — defaulting its rows to 0 would silently
+      // corrupt countFast/backfill metadata, so fail loudly instead
+      val rel = byAbs.getOrElse(abs, throw new IllegalStateException(
+        s"stagedFileStats($ns.$name): scanned file '$abs' matches no staged " +
+          s"entry (${byAbs.keys.take(3).mkString(", ")}...) — path round-trip " +
+          "broke; refusing to record its rows as 0"))
+      val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+        (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
+          case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
+      rel -> (colStats + (GraftCatalog.RowsStatKey -> ((r.getString(1), r.getString(1)))))
     }.toMap
     // a ZERO-ROW file never groups, so it would get no __rows and
     // countFast (and backfill's idempotence check) would see it as

@@ -20,7 +20,16 @@ object CatalogQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  // one fixture warehouse per sf dir (Verify/Bench run many queries per JVM)
+  // one fixture warehouse per (sf dir, SparkSession) — a GraftCatalog is
+  // bound to the session that built it, so a SECOND session in the same
+  // JVM (a later bench/verify run after the first session stopped) must
+  // rebuild rather than receive DataFrames against a stopped session.
+  // Path-valued memos (exports, sqlProcWarehouses) stay keyed by sf dir
+  // alone: their artifacts are plain files re-read through the CURRENT
+  // session on every query run.
+  private[queries] def sessionKey(s: SparkSession, d: String): String =
+    d + "#" + java.lang.System.identityHashCode(s).toHexString
+
   private val fixtures = scala.collection.concurrent.TrieMap.empty[String, GraftCatalog]
 
   /** q.orders: v0 = keys ≡0 (mod 3) with 3 columns; v1 = keys ≡1 with an
@@ -28,7 +37,7 @@ object CatalogQueries {
     * q.compacted: two appends (keys ≡2 then ≡0), bin-pack compacted
     * (conditional replace) and expired down to the single live version. */
   private def fixture(s: SparkSession, d: String): GraftCatalog =
-    fixtures.getOrElseUpdate(d, {
+    fixtures.getOrElseUpdate(sessionKey(s, d), {
       val cat = new GraftCatalog(s, Files.createTempDirectory("graft-qcat").toString)
       val orders = Tables.orders(s, d)
       cat.createTable("q", "orders")
@@ -399,7 +408,8 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
-  // one export→import round trip per sf dir, shared across query re-runs
+  // one export→import round trip per (sf dir, session) — the imported
+  // catalog value is session-bound (see sessionKey)
   private val icebergImports = scala.collection.concurrent.TrieMap.empty[String, GraftCatalog]
 
   /** Iceberg-format interop, read side: the fixture's cdc table —
@@ -413,7 +423,7 @@ object CatalogQueries {
     * graft history exactly. */
   private def importedCatalog(s: SparkSession, d: String): GraftCatalog = {
     val cat = fixture(s, d)
-    icebergImports.getOrElseUpdate(d, {
+    icebergImports.getOrElseUpdate(sessionKey(s, d), {
       val dir = Files.createTempDirectory("graft-iceberg-import").toString
       graft.catalog.IcebergExport.exportTable(cat, "q", "cdc", dir): Unit
       val dst = new GraftCatalog(s, Files.createTempDirectory("graft-icat").toString)
@@ -437,8 +447,9 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
-  // one backfill per imported warehouse (idempotent anyway — memo only
-  // avoids re-publishing the no-op check per query run)
+  // one backfill per imported WAREHOUSE (not sf dir: a rebuilt import in
+  // a later session is a fresh warehouse that needs its own backfill;
+  // idempotent anyway — memo only avoids re-publishing the no-op check)
   private val backfilled = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Stats backfill on the IMPORTED table: files registered by the
@@ -454,9 +465,9 @@ object CatalogQueries {
     // thunk in two racing first callers, and the loser's conditional
     // backfill would abort on the moved head
     backfilled.synchronized {
-      if (!backfilled.contains(d)) {
+      if (!backfilled.contains(imp.warehouse)) {
         imp.backfillStats("q", "cdc"): Unit
-        backfilled.put(d, true): Unit
+        backfilled.put(imp.warehouse, true): Unit
       }
     }
     val meta = imp.countFastOpt("q", "cdc")

@@ -905,17 +905,19 @@ object Pipeline {
     * dedup_incremental_pairs, so the verified output equals the exact
     * cross-set Jaccard pair set — the two queries share one oracle. */
   // the built index is a PERSISTED fixture (catalog tables on disk) —
-  // one build per sf dir, like CatalogQueries.fixtures: the operator's
-  // contract is "corpus indexed ONCE, each ingest pays O(batch)", so
-  // the declared query times the serve path, not a per-run rebuild
-  // (the rebuild cost itself is what dedup_incremental_pairs measures)
+  // one build per (sf dir, session), like CatalogQueries.fixtures: the
+  // operator's contract is "corpus indexed ONCE, each ingest pays
+  // O(batch)", so the declared query times the serve path, not a
+  // per-run rebuild (the rebuild cost itself is what
+  // dedup_incremental_pairs measures). Session-keyed because the
+  // catalog value is bound to the session that built it (ADVICE r7).
   private val lshIndexCats =
     scala.collection.concurrent.TrieMap.empty[String, graft.catalog.GraftCatalog]
 
   private def dedupLshIndex: Q = (s, d) => {
     import graft.catalog.GraftCatalog
     val docs = Tables.documents(s, d)
-    val cat = lshIndexCats.getOrElseUpdate(d, {
+    val cat = lshIndexCats.getOrElseUpdate(CatalogQueries.sessionKey(s, d), {
       val c = new GraftCatalog(s,
         java.nio.file.Files.createTempDirectory("graft-lshix").toString)
       Dedup.buildLshIndexTables(c, "dd", "ix", docs.filter(col("doc_id") % 4 =!= 0),

@@ -42,8 +42,7 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
   // file's name carries its base offset and record count)
   private val nextOffset: Array[AtomicLong] = Array.tabulate(partitions) { p =>
     new AtomicLong(segmentFiles(p).lastOption.map { f =>
-      val Array(base, n) = f.getFileName.toString.stripPrefix("segment-")
-        .stripSuffix(".jsonl").split("-").map(_.toLong)
+      val (base, n) = FileTopic.segmentSpan(f)
       base + n
     }.getOrElse(0L))
   }
@@ -101,6 +100,39 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
     out.toSeq
   }
 
+  /** Idempotent single-partition append for the DISTRIBUTED producer:
+    * the segment is TAGGED with a deterministic batch id, and the append
+    * is skipped when a segment carrying that tag already exists — so a
+    * Spark task RETRY after a successful append (which would recover the
+    * now-advanced end offset and otherwise silently double-publish)
+    * becomes a no-op. One directory listing serves BOTH guards: a
+    * sequential retry sees the earlier attempt's tagged segment and
+    * skips; a truly concurrent duplicate (speculative task) that listed
+    * before the first attempt landed recovers the SAME base offset and
+    * dies loudly on the atomic create-link collision. Either way the
+    * partition's log carries the batch exactly once.
+    * Returns the number of records appended (0 = duplicate skipped). */
+  private[graft] def appendPartitionIdempotent(p: Int,
+      recs: Seq[(String, String)], tsMs: Long, bid: String): Long = {
+    val segs = segmentFiles(p)
+    if (segs.exists(_.getFileName.toString.endsWith(s"-$bid.jsonl"))) 0L
+    else {
+      val base = segs.lastOption.map { f =>
+        val (b, n) = FileTopic.segmentSpan(f); b + n
+      }.getOrElse(0L)
+      val lines = recs.zipWithIndex.map { case ((k, v), i) =>
+        s"""{"partition":$p,"offset":${base + i},"ts":$tsMs,"key":"${esc(k)}","value":"${esc(v)}"}"""
+      }
+      val seg = partDir(p).resolve(s"segment-$base-${recs.size}-$bid.jsonl")
+      val tmp = partDir(p).resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.createLink(seg, tmp)
+      Files.delete(tmp)
+      nextOffset(p).set(math.max(nextOffset(p).get(), base + recs.size))
+      recs.size.toLong
+    }
+  }
+
   /** EventBus-surface publish: event type is the record key (so one
     * type's events are totally ordered, like a keyed Kafka producer). */
   def publish(eventType: String, payload: String, tsMs: Long): (Int, Long) =
@@ -122,8 +154,7 @@ final class FileTopic(root: String, topic: String, val partitions: Int = 4) {
   /** Read records of one partition from `fromOffset` (inclusive). */
   def poll(partition: Int, fromOffset: Long, max: Int = Int.MaxValue): Seq[Record] =
     segmentFiles(partition).iterator.flatMap { f =>
-      val Array(base, n) = f.getFileName.toString.stripPrefix("segment-")
-        .stripSuffix(".jsonl").split("-").map(_.toLong)
+      val (base, n) = FileTopic.segmentSpan(f)
       if (base + n <= fromOffset) Iterator.empty
       else Files.readAllLines(f).asScala.iterator.map(parse(_, f))
         .filter(_.offset >= fromOffset)
@@ -194,9 +225,11 @@ object FileTopic {
     * partition broker invariant — so base offsets need no cross-task
     * coordination: each task recovers its partition's end offset from
     * the log and appends one segment. Records are sorted by key within
-    * the task for deterministic replay. A task RETRY after a successful
-    * append fails loudly on the atomic create-link name collision rather
-    * than double-publishing (a real broker dedupes via producer epochs).
+    * the task for deterministic replay, and the segment is tagged with a
+    * content-derived batch id, so a task RETRY after a successful append
+    * skips (idempotent — the broker-epoch dedup a real producer does)
+    * while a concurrent speculative duplicate dies loudly on the atomic
+    * create-link collision (see [[appendPartitionIdempotent]]).
     *
     * `df` must have exactly two string-castable columns: key, value.
     * Returns the number of records published. */
@@ -221,14 +254,33 @@ object FileTopic {
         def numPartitions: Int = n
         def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
-    keyed.mapPartitionsWithIndex { (_, it) =>
-      val recs = it.map(_._2).toVector.sortBy(_._1)
+    keyed.mapPartitionsWithIndex { (p, it) =>
+      val recs = it.map(_._2).toVector.sortBy(r => (r._1, r._2))
       if (recs.nonEmpty) {
+        // deterministic batch id: the sorted content + event timestamp —
+        // identical across task attempts, so the idempotence tag is
+        // stable without any driver-side coordination
+        val bid = md5_8(s"$tsMs|" + recs.map { case (k, v) => s"$k\u0000$v" }
+          .mkString("\u0001"))
         // constructed inside the task: recovers this partition's end
         // offset from the log; only (root, topic, n) cross the wire
-        new FileTopic(root, topic, n).appendBatch(recs, tsMs): Unit
+        new FileTopic(root, topic, n).appendPartitionIdempotent(p, recs, tsMs, bid): Unit
       }
       Iterator.single(recs.size.toLong)
     }.fold(0L)(_ + _)
   }
+
+  /** (base offset, record count) parsed from a segment file name —
+    * `segment-<base>-<n>[-<batchTag>].jsonl`; the optional tag is the
+    * distributed producer's idempotence key and never offset-relevant. */
+  private[streaming] def segmentSpan(f: Path): (Long, Long) = {
+    val parts = f.getFileName.toString.stripPrefix("segment-")
+      .stripSuffix(".jsonl").split("-")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  private def md5_8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
 }

@@ -127,6 +127,39 @@ class StreamingSpec extends SparkSpec {
     assert(t.poll(pp, off).map(_.value) === Seq("tail"))
   }
 
+  test("distributed produce is idempotent under task retry: a re-run of the " +
+       "same batch (same content + event time) publishes nothing new") {
+    import graft.streaming.FileTopic
+    val root = Files.createTempDirectory("graft-topic-idem").toString
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"payload-$i")).toDF("k", "v")
+    FileTopic.produceDistributed(docs, root, "bulk", partitions = 3,
+      tsMs = 1704067200000L): Unit
+    // a retried/speculative task re-runs AFTER the first attempt's
+    // append landed — whole-batch re-run simulates that for every
+    // partition at once: the batch-id tag must make each a no-op
+    FileTopic.produceDistributed(docs, root, "bulk", partitions = 3,
+      tsMs = 1704067200000L): Unit
+    val t = new FileTopic(root, "bulk", partitions = 3)
+    val polled = (0 until 3).map(p => t.poll(p, 0L))
+    assert(polled.map(_.size).sum === 60, "retry double-published records")
+    polled.foreach { recs =>
+      assert(recs.map(_.offset) === recs.indices.map(_.toLong))
+      assert(recs.map(_.key).distinct.size === recs.size)
+    }
+    // the single-partition guard directly: same bid appends once
+    val n1 = t.appendPartitionIdempotent(0, Seq("a" -> "1", "b" -> "2"),
+      1704067201000L, "feedbeef")
+    val n2 = t.appendPartitionIdempotent(0, Seq("a" -> "1", "b" -> "2"),
+      1704067201000L, "feedbeef")
+    assert((n1, n2) === ((2L, 0L)))
+    // a DIFFERENT batch (new bid) still appends and offsets stay dense
+    val n3 = t.appendPartitionIdempotent(0, Seq("c" -> "3"), 1704067202000L, "0badf00d")
+    assert(n3 === 1L)
+    val p0 = t.poll(0, 0L)
+    assert(p0.map(_.offset) === p0.indices.map(_.toLong))
+  }
+
   test("Kafka-shaped FileTopic: durable offsets, consumer-group drain, and the lifecycle streams from it") {
     import graft.streaming.FileTopic
     implicit val s = spark

@@ -372,10 +372,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** Stage `df` as data files and return their (relative path, size)
     * entries — distributed executor writes, driver lists ONLY this
     * commit's staging dir (O(batch), never O(table)). */
+  /** Run `body` with parquet timestamps forced to INT64 micros — the
+    * physical type the Iceberg spec mandates (Spark's default is the
+    * non-standard INT96), so every data file the CATALOG lands is
+    * spec-exportable without rewrite ([[IcebergExport]] verifies the
+    * footers physically). Scoped to catalog writes rather than set at
+    * session bootstrap because the driver's correctness harness
+    * hash-compares Verify's RESULT dumps as naive INT96 timestamps —
+    * a session-wide flip would change the dump dtype, not the data.
+    * Ref-counted: commits may stage concurrently (CAS contention), so
+    * the conf holds while any stager is active and restores after the
+    * last. */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    GraftCatalog.microsLock.synchronized {
+      if (GraftCatalog.microsDepth == 0)
+        GraftCatalog.microsPrev = spark.conf.get(key)
+      GraftCatalog.microsDepth += 1
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+    }
+    try body finally GraftCatalog.microsLock.synchronized {
+      GraftCatalog.microsDepth -= 1
+      if (GraftCatalog.microsDepth == 0) spark.conf.set(key, GraftCatalog.microsPrev)
+    }
+  }
+
   private def stageDataFiles(ns: String, name: String, df: DataFrame): Seq[(String, Long)] = {
     val stagingId = UUID.randomUUID().toString.take(8)
     val outDir = dataDir(ns, name).resolve(stagingId)
-    df.write.parquet(outDir.toString)
+    withMicrosTimestamps { df.write.parquet(outDir.toString) }
     listDir(outDir)
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
       .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
@@ -1724,6 +1749,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 }
 
 object GraftCatalog {
+
+  // withMicrosTimestamps ref-count (JVM-global: the conf is per-session
+  // but tests share one session across many catalogs; prev is the
+  // INT96 default everywhere in practice)
+  private[catalog] val microsLock = new Object
+  private[catalog] var microsDepth: Int = 0
+  private[catalog] var microsPrev: String = "INT96"
   /** Column types whose manifest bounds support pruning: atomic and
     * totally ordered with an order-preserving string form (numerics are
     * re-parsed before comparison). Timestamps are deliberately EXCLUDED:

@@ -147,19 +147,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.getMessage.contains("compact"))
   }
 
-  test("timestamp columns flag the INT96 interop risk in the report") {
+  test("timestamp exports are physically INT64 micros (bootstrap conf) and the " +
+       "INT96 flag only fires for a physically INT96 foreign file") {
+    def primitiveTypes(dir: String): Seq[(String, String)] = {
+      val files = Files.list(Paths.get(dir, "data")).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      files.flatMap { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFileMetaData.getSchema.getColumns.asScala.map { c =>
+          (c.getPath.mkString("."),
+            c.getPrimitiveType.getPrimitiveTypeName.toString)
+        }.toSeq
+        finally r.close()
+      }
+    }
     val cat = freshCat()
     val ev = Tables.events(spark, sf()).select("event_id", "ts").limit(100)
     cat.createTable("ns", "ts")
     cat.commitAppend("ns", "ts", ev)
     val dest = Files.createTempDirectory("iceberg-out-ts").toString
     val report = IcebergExport.exportTable(cat, "ns", "ts", dest)
-    assert(report.timestampInt96Risk)
+    // bootstrap forces TIMESTAMP_MICROS, so the risk is structurally
+    // false AND the exported files are physically INT64
+    assert(!report.timestampInt96Risk)
+    val tsTypes = primitiveTypes(dest).filter(_._1 == "ts").map(_._2).distinct
+    assert(tsTypes === Seq("INT64"), s"ts column not INT64: $tsTypes")
     // and the schema maps to timestamptz per spec
     val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
     val types = root.get("schemas").get(0).get("fields").elements().asScala
       .map(_.get("type").asText()).toSeq
     assert(types.contains("timestamptz"))
+
+    // the verdict is PHYSICAL, not schema-derived: a file a FOREIGN
+    // writer landed as INT96 and registered via commitFiles (bypassing
+    // the catalog's micros-forcing staging path) must flip the flag
+    // even though the table schema is identical
+    val cat96 = freshCat()
+    cat96.createTable("ns", "ts96")
+    val foreign = Files.createTempDirectory("foreign-int96")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      ev.coalesce(1).write.mode("overwrite").parquet(foreign.toString)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val dataDir = cat96.tablePath("ns", "ts96").resolve("data/foreign")
+    Files.createDirectories(dataDir)
+    val rels = Files.list(foreign).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet")).map { p =>
+        Files.copy(p, dataDir.resolve(p.getFileName)): Unit
+        s"data/foreign/${p.getFileName}"
+      }
+    cat96.commitFiles("ns", "ts96", rels, sourceRegion = "test",
+      schemaJson = Some(ev.schema.json))
+    val report96 = IcebergExport.exportTable(cat96, "ns", "ts96",
+      Files.createTempDirectory("iceberg-out-ts96").toString)
+    assert(report96.timestampInt96Risk)
   }
 
   test("the read-back consumes a FOREIGN-written Iceberg layout: different id " +

@@ -327,6 +327,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private[catalog] def hasDeleteManifests(snap: Snapshot): Boolean =
     snap.manifests.exists(isDeleteManifest)
 
+  /** ALL of a version's manifests in LIST ORDER — (relative path,
+    * isDelete, full entries). The export surface for merge-on-read
+    * versions: list position is graft's commit-order rule, which
+    * [[IcebergExport]] maps onto Iceberg's sequence-number rule. */
+  private[catalog] def manifestsFull(ns: String, name: String, snap: Snapshot)
+      : Seq[(String, Boolean, Seq[ManifestEntry])] =
+    snap.manifests.map(m => (m, isDeleteManifest(m), manifestEntriesFull(ns, name, m)))
+
   /** Manifests ADDED by `snap` relative to its parent (the commit's
     * delta) — the manifest-granular form of Y14. */
   def addedManifests(ns: String, name: String, snap: Snapshot): Seq[String] = {

@@ -1181,6 +1181,97 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** MoR-aware files APPEND: register already-landed files as new
+    * manifests appended to the parent's list in the GIVEN unit order —
+    * each `(files, isDelete)` unit becomes one manifest (delete units
+    * carry the `d-` prefix [[morScan]]'s positional sequence rule keys
+    * on). The Iceberg-import replay surface: a foreign delete/upsert
+    * snapshot arrives as ordered units whose list position must encode
+    * the spec's sequence-number rule — deletes of one commit BEFORE its
+    * data, everything after the parent's manifests. No parent dedup
+    * (units are exact deltas); idempotent via `commitId` like every
+    * commit path. */
+  def commitFilesMor(ns: String, name: String, units: Seq[(Seq[String], Boolean)],
+                     sourceRegion: String, maxRetries: Int = 5,
+                     schemaJson: Option[String] = None,
+                     commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, isDel) =>
+      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), isDel)
+    }
+    val newManifests = landedUnits.map { case (landed, isDel) =>
+      writeManifest(ns, name, landed, prefix = if (isDel) "d" else "m")
+    }
+    try {
+      casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        val allLanded = landedUnits.flatMap(_._1)
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifests,
+          sourceRegion,
+          parent.map(_.fileCount).getOrElse(0L) + allLanded.size,
+          parent.map(_.totalBytes).getOrElse(0L) + allLanded.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+      }
+    } catch { case e: Throwable =>
+      newManifests.foreach(dropManifest(ns, name, _))
+      throw e
+    }
+  }
+
+  /** MoR-aware files OVERWRITE: the given ordered units are the COMPLETE
+    * new version ([[commitFilesReplace]]'s dual of [[commitFilesMor]]).
+    * Used by Iceberg import for foreign replace snapshots whose live
+    * state still carries delete files (e.g. a data-file rewrite that
+    * kept its applicable deletes). */
+  def commitFilesReplaceMor(ns: String, name: String,
+                            units: Seq[(Seq[String], Boolean)],
+                            sourceRegion: String, maxRetries: Int = 5,
+                            schemaJson: Option[String] = None,
+                            commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, isDel) =>
+      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), isDel)
+    }
+    val newManifests = landedUnits.map { case (landed, isDel) =>
+      writeManifest(ns, name, landed, prefix = if (isDel) "d" else "m")
+    }
+    try {
+      val allLanded = landedUnits.flatMap(_._1)
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          newManifests,
+          sourceRegion,
+          allLanded.size,
+          allLanded.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+      }
+      snap
+    } catch { case e: Throwable =>
+      newManifests.foreach(dropManifest(ns, name, _))
+      throw e
+    }
+  }
+
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
 
   // ---- branches (Nessie-style named refs) ----

@@ -37,12 +37,22 @@ import org.apache.spark.sql.types._
   *    task per file batch, same shape as the GC executor / replication
   *    copy paths; on a real cluster both ends are shared storage).
   *
+  * Merge-on-read deletes: graft's equality-delete manifests (the `d-`
+  * prefixed manifests [[GraftCatalog.commitDelete]] / commitUpsert
+  * publish) export as Iceberg v2 EQUALITY DELETE files — manifest-list
+  * `content=1`, entry `content=2`, `equality_ids` (field 135) naming the
+  * key columns by field id. Graft's list-position rule ("a delete erases
+  * data manifests earlier in the list") maps exactly onto the spec's
+  * sequence-number rule ("an equality delete applies to data files whose
+  * data sequence number is STRICTLY LESS than the delete's"): manifests
+  * take the adding snapshot's sequence number, graft only ever orders
+  * same-commit deletes BEFORE same-commit data (commitUpsert), and
+  * strictly-less keeps an upsert's own rows alive past the delete they
+  * ship with — the same survival rule morScan implements positionally.
+  * (Reference file model: `legacy/modules/domain/.../ContentType.java:2`
+  * has the same DATA / POSITION_DELETE / EQUALITY_DELETE split.)
+  *
   * Scope and honesty:
-  *  - snapshots carrying merge-on-read equality-delete manifests cannot
-  *    be exported as-is (Iceberg encodes delete files differently);
-  *    export REFUSES loudly — run [[GraftCatalog.compact]] first, which
-  *    materializes deletes and leaves a clean head. Documented gap, not
-  *    a silent wrong answer.
   *  - the Iceberg spec mandates INT64-micros timestamps; the catalog
   *    stages every data file with `spark.sql.parquet.
   *    outputTimestampType=TIMESTAMP_MICROS` (GraftCatalog.
@@ -60,9 +70,13 @@ import org.apache.spark.sql.types._
   */
 object IcebergExport {
 
-  /** What one export produced (paths are absolute). */
+  /** What one export produced (paths are absolute). `dataFiles` counts
+    * parquet data files, `deleteFiles` equality-delete files; `rows` is
+    * the head's PHYSICAL data-file row count (pre-delete-apply — the
+    * number a manifest reader sums, not the post-MoR live count). */
   case class ExportReport(metadataFile: String, snapshots: Int, manifests: Int,
-                          dataFiles: Int, rows: Long, timestampInt96Risk: Boolean)
+                          dataFiles: Int, rows: Long, timestampInt96Risk: Boolean,
+                          deleteFiles: Int = 0)
 
   // ---- Iceberg schema (JSON) from a Spark schema ----
 
@@ -174,7 +188,8 @@ object IcebergExport {
         {"name":"file_format","type":"string","field-id":101},
         {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
         {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
+        {"name":"file_size_in_bytes","type":"long","field-id":104},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
       ]},"field-id":2}
     ]}""")
 
@@ -186,11 +201,6 @@ object IcebergExport {
     val spark = cat.spark
     val snaps = cat.snapshots(ns, name)
     require(snaps.nonEmpty, s"nothing to export: $ns.$name has no committed versions")
-    snaps.filter(cat.hasDeleteManifests).foreach { s =>
-      throw new IllegalStateException(
-        s"$ns.$name v${s.seq} carries merge-on-read delete manifests — " +
-          "Iceberg encodes delete files differently; compact() first")
-    }
     // per-VERSION schemas under one shared id assignment, so schema
     // evolution survives the round trip: each snapshot references its own
     // schema-id and a column keeps its field id across versions
@@ -217,12 +227,16 @@ object IcebergExport {
     //    still reference them). When the table carries timestamp columns,
     //    each copy task also checks its file's parquet footer for the
     //    INT96 physical type the Iceberg spec forbids — a PHYSICAL
-    //    verdict, not a schema guess: engine bootstrap forces
-    //    TIMESTAMP_MICROS (INT64), so this is structurally false for
-    //    natively-written files and can only fire for files a foreign /
-    //    pre-bootstrap writer landed.
+    //    verdict, not a schema guess: the catalog's STAGING path forces
+    //    TIMESTAMP_MICROS (GraftCatalog.withMicrosTimestamps), so this is
+    //    structurally false for catalog-staged files and can only fire
+    //    for files a foreign / non-staging writer landed.
     val tableRoot = Paths.get(cat.warehouse, ns, name)
-    val allRel = snaps.flatMap(s => cat.dataFileEntries(ns, name, s).map(_._1)).distinct
+    // every file any snapshot references — data AND equality-delete files
+    // (delete files are ordinary parquet objects under data/, exactly how
+    // Iceberg stores them)
+    val allRel = snaps.flatMap(s =>
+      cat.manifestsFull(ns, name, s).flatMap(_._3.map(_.path))).distinct
     val copies = allRel.map { rel =>
       (tableRoot.resolve(rel).toAbsolutePath.toString,
         dataDir.resolve(flatName(rel)).toAbsolutePath.toString)
@@ -253,10 +267,29 @@ object IcebergExport {
       m.toMap
     }
 
+    // equality-delete manifests name their key columns by FIELD ID
+    // (spec field 135); the key set is the delete parquet's own columns
+    // (what morScan anti-joins on), resolved through the shared id
+    // assignment. Footer read per delete manifest — delete files are the
+    // small side by construction.
+    def equalityIdsOf(entries: Seq[cat.ManifestEntry]): Seq[Int] = {
+      val cols = parquetColumnNames(
+        tableRoot.resolve(entries.head.path).toString,
+        spark.sparkContext.hadoopConfiguration)
+      cols.map(c => colIds.getOrElse(c,
+        throw new IllegalStateException(
+          s"delete file ${entries.head.path} keys on column '$c' which no " +
+            "schema version of this table declares")))
+    }
+
+    val isDeleteM = scala.collection.mutable.Map.empty[String, Boolean]
     snaps.foreach { s =>
-      cat.dataManifestsFull(ns, name, s).foreach { case (rel, entries) =>
+      cat.manifestsFull(ns, name, s).foreach { case (rel, isDelete, entries) =>
         if (!manifestMeta.contains(rel)) {
+          isDeleteM(rel) = isDelete
           val add = addedBy(rel)
+          val eqIds =
+            if (isDelete && entries.nonEmpty) equalityIdsOf(entries) else Seq.empty
           val file = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
@@ -264,7 +297,7 @@ object IcebergExport {
           w.setMeta("partition-spec", "[]")
           w.setMeta("partition-spec-id", "0")
           w.setMeta("format-version", "2")
-          w.setMeta("content", "data")
+          w.setMeta("content", if (isDelete) "deletes" else "data")
           w.create(ManifestEntrySchema, file.toFile)
           var rows = 0L
           entries.foreach { e =>
@@ -272,7 +305,7 @@ object IcebergExport {
             rows += nRows
             val df = new GenericData.Record(
               ManifestEntrySchema.getField("data_file").schema())
-            df.put("content", Int.box(0))
+            df.put("content", Int.box(if (isDelete) 2 else 0)) // 2 = EQUALITY_DELETES
             df.put("file_path",
               dataDir.resolve(flatName(e.path)).toUri.toString)
             df.put("file_format", "PARQUET")
@@ -280,6 +313,8 @@ object IcebergExport {
               new GenericData.Record(df.getSchema.getField("partition").schema()))
             df.put("record_count", Long.box(nRows))
             df.put("file_size_in_bytes", Long.box(e.sizeBytes))
+            if (isDelete)
+              df.put("equality_ids", eqIds.map(Int.box).asJava)
             val rec = new GenericData.Record(ManifestEntrySchema)
             rec.put("status", Int.box(1)) // ADDED relative to its snapshot
             rec.put("snapshot_id", Long.box(add.id))
@@ -313,7 +348,7 @@ object IcebergExport {
         rec.put("manifest_path", Paths.get(path).toUri.toString)
         rec.put("manifest_length", Long.box(len))
         rec.put("partition_spec_id", Int.box(0))
-        rec.put("content", Int.box(0)) // data
+        rec.put("content", Int.box(if (isDeleteM(rel)) 1 else 0)) // 0 data / 1 deletes
         rec.put("sequence_number", Long.box(add.seq))
         rec.put("min_sequence_number", Long.box(add.seq))
         rec.put("added_snapshot_id", Long.box(add.id))
@@ -338,9 +373,19 @@ object IcebergExport {
     // 4. table metadata JSON + version hint
     val snapJsons = snaps.zipWithIndex.map { case (s, i) =>
       val parent = if (i == 0) "" else s""""parent-snapshot-id":${snapshotId(i - 1)},"""
+      // spec summary operations: append = only data added; delete = only
+      // delete files added; overwrite = both (upsert) or a rewrite
+      val added =
+        if (i == 0) s.manifests
+        else s.manifests.filterNot(snaps(i - 1).manifests.contains)
       val op =
-        if (i == 0 || snaps(i - 1).manifests.forall(s.manifests.contains)) "append"
-        else "overwrite"
+        if (i > 0 && !snaps(i - 1).manifests.forall(s.manifests.contains)) "overwrite"
+        else (added.count(m => isDeleteM.getOrElse(m, false)),
+              added.count(m => !isDeleteM.getOrElse(m, false))) match {
+          case (0, _) => "append"
+          case (_, 0) => "delete"
+          case _      => "overwrite"
+        }
       s"""{"snapshot-id":${snapshotId(i)},$parent"sequence-number":${i + 1},""" +
         s""""timestamp-ms":${s.timestampMs},"summary":{"operation":"$op"},""" +
         s""""manifest-list":${jstr(listPaths(i).toUri.toString)},""" +
@@ -379,10 +424,16 @@ object IcebergExport {
       "1".getBytes(StandardCharsets.UTF_8))
 
     // head row count from the per-manifest sums step 2 already derived —
-    // no second round of footer reads for stat-less manifests
-    val headRows = snaps.last.manifests.map(manifestMeta(_)._3).sum
+    // no second round of footer reads for stat-less manifests (data
+    // manifests only: physical rows, pre-delete-apply)
+    val headRows = snaps.last.manifests
+      .filterNot(m => isDeleteM.getOrElse(m, false))
+      .map(manifestMeta(_)._3).sum
+    val deleteRels = snaps.flatMap(s => cat.manifestsFull(ns, name, s)
+      .filter(_._2).flatMap(_._3.map(_.path))).distinct.toSet
     ExportReport(metaFile.toAbsolutePath.toString, snaps.length,
-      manifestMeta.size, allRel.size, headRows, int96Risk)
+      manifestMeta.size, allRel.count(!deleteRels(_)), headRows, int96Risk,
+      deleteRels.size)
   }
 
   private case class Snapshot0(id: Long, seq: Long, tsMs: Long)
@@ -415,6 +466,18 @@ object IcebergExport {
     try r.getFileMetaData.getSchema.getColumns.asScala.exists(
       _.getPrimitiveType.getPrimitiveTypeName ==
         org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+    finally r.close()
+  }
+
+  /** Top-level column names of a parquet file's footer schema, in file
+    * order (footer-only driver read — used to derive an equality-delete
+    * manifest's key set, and on import to verify it). */
+  private[graft] def parquetColumnNames(
+      abs: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
     finally r.close()
   }
 
@@ -468,36 +531,116 @@ object IcebergExport {
     * its spec artifacts: version-hint -> metadata JSON -> current
     * snapshot's manifest list (Avro) -> manifests (Avro) -> parquet,
     * projected through the metadata schema (schema evolution handled).
-    * Deliberately shares no state with the export above — it must agree
-    * with [[GraftCatalog.read]] through the format alone. */
-  def readExported(spark: SparkSession, location: String): DataFrame = {
+    * Merge-on-read equality deletes are APPLIED per the spec's sequence
+    * rule. Deliberately shares no state with the export above — it must
+    * agree with [[GraftCatalog.read]] through the format alone. */
+  def readExported(spark: SparkSession, location: String): DataFrame =
+    readExportedAt(spark, location, snapshotId = None)
+
+  /** [[readExported]] addressed at one snapshot id (time travel through
+    * the exported artifacts alone; export's ids are deterministic —
+    * [[exportedSnapshotId]]). Equality-delete files are applied to data
+    * files whose data sequence number is STRICTLY LESS than the
+    * delete's (spec: equality deletes never erase rows committed with
+    * or after them), anti-joined on the `equality_ids`-resolved
+    * columns — the same broadcast-small-side shape as
+    * [[GraftCatalog]]'s morScan, via the format alone. */
+  def readExportedAt(spark: SparkSession, location: String,
+                     snapshotId: Option[Long]): DataFrame = {
     val meta = Paths.get(location, "metadata")
     val hint = new String(Files.readAllBytes(meta.resolve("version-hint.text")),
       StandardCharsets.UTF_8).trim
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.readTree(Files.readAllBytes(meta.resolve(s"v$hint.metadata.json")))
     require(root.get("format-version").asInt() == 2, "expect format-version 2")
-    val currentId = root.get("current-snapshot-id").asLong()
+    val wantedId = snapshotId.getOrElse(root.get("current-snapshot-id").asLong())
     val snap = root.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == currentId)
-      .getOrElse(throw new IllegalStateException(s"snapshot $currentId missing"))
+      .find(_.get("snapshot-id").asLong() == wantedId)
+      .getOrElse(throw new IllegalStateException(s"snapshot $wantedId missing"))
     val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
-    val manifests = readAvro(listPath).map(_.get("manifest_path").toString)
-    val files = manifests.flatMap { mp =>
-      readAvro(Paths.get(java.net.URI.create(mp)))
-        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
-        .map(r => r.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
+
+    // (path, file sequence number) per live data file; (path, seq,
+    // equality ids) per live equality-delete file
+    val dataFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val deleteFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[Int])]
+    readAvro(listPath).foreach { mf =>
+      val mSeq = anyLongOr(getOpt(mf, "sequence_number"), 0L)
+      readAvro(Paths.get(java.net.URI.create(mf.get("manifest_path").toString)))
+        .filter(e => anyIntOr(getOpt(e, "status"), 1) != 2) // not DELETED
+        .foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val seq = anyLongOr(getOpt(e, "sequence_number"), mSeq)
+          val path = Paths.get(java.net.URI.create(
+            df.get("file_path").toString)).toString
+          anyIntOr(getOpt(df, "content"), 0) match {
+            case 0 => dataFiles += ((path, seq))
+            case 2 =>
+              val ids = Option(getOpt(df, "equality_ids"))
+                .map(_.asInstanceOf[java.util.List[_]].asScala
+                  .map(x => anyIntOr(x.asInstanceOf[AnyRef], -1)).toSeq)
+                .getOrElse(Seq.empty)
+              require(ids.nonEmpty,
+                s"equality-delete file $path carries no equality_ids")
+              deleteFiles += ((path, seq, ids))
+            case 1 => throw new IllegalStateException(
+              s"position-delete file $path — readExported supports data + " +
+                "equality deletes (graft's export never emits position deletes)")
+            case other => throw new IllegalStateException(
+              s"unknown data_file content $other for $path")
+          }
+        }
     }
-    val currentSchemaId = root.get("current-schema-id").asInt()
+
+    val schemaIdUsed = Option(snap.get("schema-id")).map(_.asInt())
+      .getOrElse(root.get("current-schema-id").asInt())
     val schemaNode = root.get("schemas").elements().asScala
-      .find(_.get("schema-id").asInt() == currentSchemaId)
-      .getOrElse(throw new IllegalStateException(s"schema $currentSchemaId missing"))
+      .find(_.get("schema-id").asInt() == schemaIdUsed)
+      .getOrElse(throw new IllegalStateException(s"schema $schemaIdUsed missing"))
     val schema = sparkSchema(schemaNode)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(files.map(u => Paths.get(java.net.URI.create(u)).toString): _*)
+    val nameOfId: Map[Int, String] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+
+    if (dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    // group data files by their sequence number, apply every delete with
+    // a strictly greater sequence (one anti-join per equality-column set
+    // per group — the delete side is small, so each join broadcasts)
+    val parts = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      val base = spark.read.schema(schema).parquet(fs.map(_._1).toSeq: _*)
+      deleteFiles.filter(_._2 > seq).groupBy(_._3).foldLeft(base) {
+        case (acc, (eqIds, dels)) =>
+          val cols = eqIds.map(id => nameOfId.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality id $id resolves to no column of schema $schemaIdUsed")))
+          val d = spark.read.parquet(dels.map(_._1).toSeq: _*)
+            .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          acc.join(d, cols, "left_anti")
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The deterministic snapshot id [[exportTable]] assigns to the i-th
+    * exported version (0-based) — lets a caller time-travel an export it
+    * just produced without re-parsing the metadata JSON. */
+  def exportedSnapshotId(i: Int): Long = snapshotId(i)
+
+  /** GenericRecord.get THROWS on a name the writer schema lacks — a
+    * foreign layout may omit optional fields entirely. */
+  private[graft] def getOpt(r: GenericRecord, field: String): AnyRef =
+    if (r.getSchema.getField(field) == null) null else r.get(field)
+
+  private def anyIntOr(v: AnyRef, dflt: Int): Int = v match {
+    case null => dflt
+    case n: java.lang.Number => n.intValue()
+    case other => other.toString.toInt
+  }
+  private def anyLongOr(v: AnyRef, dflt: Long): Long = v match {
+    case null => dflt
+    case n: java.lang.Number => n.longValue()
+    case other => other.toString.toLong
   }
 
   private[graft] def readAvro(p: Path): Seq[GenericRecord] = {

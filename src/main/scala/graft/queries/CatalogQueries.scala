@@ -478,6 +478,54 @@ object CatalogQueries {
       .select(col("cnt_meta"), col("cnt_scan"), col("total_price"))
   }
 
+  // one MoR export per sf dir (path-valued) and one import per
+  // (sf dir, session) — same memo discipline as the clean-history pair
+  private val morExports = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val morImports = scala.collection.concurrent.TrieMap.empty[String, GraftCatalog]
+
+  private def morExportDir(s: SparkSession, d: String): String =
+    morExports.getOrElseUpdate(d, {
+      val dir = Files.createTempDirectory("graft-iceberg-mor").toString
+      graft.catalog.IcebergExport.exportTable(fixture(s, d), "q", "mor", dir): Unit
+      dir
+    })
+
+  /** Merge-on-read interop round trip: the fixture's mor table — append,
+    * two stacked equality-delete commits, compaction — exports with REAL
+    * Iceberg v2 delete manifests (manifest-list content=1, entry
+    * content=2 + equality_ids), then the pre-compaction version is read
+    * back two independent ways: (1) straight from the exported artifacts
+    * ([[graft.catalog.IcebergExport.readExportedAt]] applies the spec's
+    * strictly-less sequence rule with an anti-join), and (2) after
+    * [[graft.catalog.IcebergImport.importTable]] replays the foreign
+    * history into a fresh catalog — the delete commits land as MoR
+    * append commits and time travel applies them through morScan. The
+    * imported compacted head is the third stage. One oracle recomputes
+    * the live set from the raw source rows: green = merge-on-read
+    * history survives the format round trip with deletes applied at the
+    * right snapshots. */
+  private def icebergMorRoundtrip: Q = (s, d) => {
+    val dir = morExportDir(s, d)
+    val imp = morImports.getOrElseUpdate(sessionKey(s, d), {
+      val dst = new GraftCatalog(s, Files.createTempDirectory("graft-mcat").toString)
+      graft.catalog.IcebergImport.importTable(dst, "q", "mor", dir): Unit
+      dst
+    })
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(graft.catalog.IcebergExport.readExportedAt(s, dir,
+        Some(graft.catalog.IcebergExport.exportedSnapshotId(2))), "1_format_v2")
+      .unionByName(agg(imp.readVersion("q", "mor", 2), "2_imported_v2"))
+      .unionByName(agg(imp.read("q", "mor"), "3_imported_head"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   // the CALL-driven export→import runs once per sf dir, into a FRESH
   // warehouse each attempt — a transient failure mid-import must not
   // leave a half-created table that poisons every retry (the map only
@@ -513,6 +561,7 @@ object CatalogQueries {
   val queries: Map[String, Q] = Map(
     "cat_iceberg_export"   -> icebergExportRead,
     "cat_iceberg_import"   -> icebergImportRead,
+    "cat_iceberg_mor_roundtrip" -> icebergMorRoundtrip,
     "cat_sql_procedures"   -> sqlProcedures,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
@@ -603,6 +652,17 @@ object CatalogQueries {
       """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan,
                 round(sum(o_totalprice), 2) AS total_price
          FROM orders WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0""",
+    "cat_iceberg_mor_roundtrip" ->
+      """WITH live AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 4 = 0
+                         AND o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0),
+              s AS (SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                    FROM live)
+         SELECT '1_format_v2' AS stage, * FROM s
+         UNION ALL SELECT '2_imported_v2' AS stage, * FROM s
+         UNION ALL SELECT '3_imported_head' AS stage, * FROM s
+         ORDER BY stage""",
     "cat_iceberg_import" ->
       """WITH head AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 9 <> 0),

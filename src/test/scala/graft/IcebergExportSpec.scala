@@ -133,18 +133,63 @@ class IcebergExportSpec extends SparkSpec {
     assert(back.filter(col("o_orderkey") % 4 === 0).count() === 0L)
   }
 
-  test("delete-bearing snapshots refuse export with an actionable error") {
+  test("merge-on-read equality deletes export as v2 delete manifests and the " +
+       "artifacts-only reader applies them per the sequence rule") {
     val cat = freshCat()
     val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 4 === 0)
     cat.createTable("ns", "d")
-    cat.commitAppend("ns", "d", orders.filter(col("o_orderkey") % 4 === 0))
+    cat.commitAppend("ns", "d", base)                                     // seq 1
     cat.commitDelete("ns", "d",
-      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))
-    val e = intercept[IllegalStateException] {
-      IcebergExport.exportTable(cat, "ns", "d",
-        Files.createTempDirectory("iceberg-out-del").toString)
+      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))    // seq 2
+    // re-add previously-deleted keys: the seq-2 delete must NOT erase
+    // seq-3 data (strictly-less rule)
+    cat.commitAppend("ns", "d", base.filter(col("o_orderkey") % 8 === 0)) // seq 3
+    // upsert: the delete it ships with must not erase its own rows
+    cat.commitUpsert("ns", "d",
+      base.filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 2, 2).as("o_totalprice")),
+      Seq("o_orderkey"))                                                  // seq 4
+
+    val dest = Files.createTempDirectory("iceberg-out-mor").toString
+    val report = IcebergExport.exportTable(cat, "ns", "d", dest)
+    assert(report.deleteFiles > 0)
+
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    val snapsJ = root.get("snapshots").elements().asScala.toSeq
+    assert(snapsJ.map(_.get("summary").get("operation").asText()) ===
+      Seq("append", "delete", "append", "overwrite"))
+
+    // the delete manifest is content=1 in the list; its entries are
+    // content=2 with equality_ids naming the key column by field id
+    val (l1, _) = readAvro(snapsJ(1).get("manifest-list").asText())
+    val delMf = l1.filter(_.get("content").asInstanceOf[Int] == 1)
+    assert(delMf.size === 1)
+    assert(l1.count(_.get("content").asInstanceOf[Int] == 0) === 1)
+    val (delEntries, delMeta) = readAvro(delMf.head.get("manifest_path").toString)
+    assert(delMeta("content") === "deletes")
+    val ddf = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(ddf.get("content").asInstanceOf[Int] === 2)
+    assert(ddf.get("equality_ids").asInstanceOf[java.util.List[Integer]]
+      .asScala.map(_.intValue).toSeq === Seq(1)) // o_orderkey is field id 1
+
+    // catalog view and artifacts-only reader must agree ROW-FOR-ROW at
+    // every version (both read the same physical files, so exceptAll is
+    // bit-exact)
+    for (seq <- 0 to 3) {
+      val viaCat = cat.readVersion("ns", "d", seq.toLong)
+      val viaFmt = IcebergExport.readExportedAt(spark, dest,
+        Some(IcebergExport.exportedSnapshotId(seq)))
+      assert(viaFmt.count() === viaCat.count(), s"row count diverges at v$seq")
+      assert(viaFmt.exceptAll(viaCat).count() === 0L, s"rows diverge at v$seq")
+      assert(viaCat.exceptAll(viaFmt).count() === 0L, s"rows diverge at v$seq")
     }
-    assert(e.getMessage.contains("compact"))
+    // sequence-rule survival: re-added keys and the upsert's own rows live
+    val head = IcebergExport.readExported(spark, dest)
+    assert(head.count() === base.count())
+    assert(head.filter(col("o_orderkey") % 8 === 0).count() ===
+      base.filter(col("o_orderkey") % 8 === 0).count())
   }
 
   test("timestamp exports are physically INT64 micros (bootstrap conf) and the " +

@@ -98,6 +98,198 @@ class IcebergImportSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read history round-trips: deletes applied at the right " +
+       "snapshots, delete commits replay as appends, upsert rows survive") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 4 === 0)
+    src.createTable("ns", "m")
+    src.commitAppend("ns", "m", base)                                     // v0
+    src.commitDelete("ns", "m",
+      orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"))    // v1
+    src.commitAppend("ns", "m", base.filter(col("o_orderkey") % 3 === 0)) // v2 re-add
+    src.commitUpsert("ns", "m",
+      base.filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 2, 2).as("o_totalprice")),
+      Seq("o_orderkey"))                                                  // v3
+    src.compact("ns", "m", targetFileBytes = 256L * 1024 * 1024)          // v4
+
+    val dest = Files.createTempDirectory("iceberg-mor-rt").toString
+    val exp = IcebergExport.exportTable(src, "ns", "m", dest)
+    assert(exp.deleteFiles === 2) // the standalone delete + the upsert's
+
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "m", dest)
+    assert(report.replays === 5)
+    assert(report.replaces === 1, "only the compaction replays as a replace")
+    assert(report.deleteFiles === 2)
+
+    (0 to 4).foreach { v =>
+      assert(rows(dst.readVersion("imp", "m", v.toLong)) ===
+        rows(src.readVersion("ns", "m", v.toLong)), s"version $v diverged")
+    }
+    // the delete replayed as a MoR commit, not a rewrite: v1 keeps v0's
+    // data manifests and carries a live delete-file set; the compacted
+    // head is clean (deletes materialized by the replayed replace)
+    val v1snap = dst.snapshots("imp", "m").find(_.seq == 1L).get
+    assert(dst.deleteFileEntries("imp", "m", v1snap).nonEmpty)
+    assert(dst.deleteFileEntries("imp", "m",
+      dst.latest("imp", "m").get).isEmpty)
+    val v1 = v1snap
+    val v0 = dst.snapshots("imp", "m").find(_.seq == 0L).get
+    assert(v0.manifests.forall(v1.manifests.contains),
+      "the delete commit must keep the parent's manifests (append-shaped)")
+  }
+
+  test("property: random MoR histories (append/delete/upsert/replace) " +
+       "round-trip version-exact") {
+    val base = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") <= 600)
+    for (seed <- 10 until 14) {
+      val rnd = new scala.util.Random(seed)
+      val src = freshCat()
+      src.createTable("p", "m")
+      src.commitAppend("p", "m", base.filter(col("o_orderkey") % 3 === 0))
+      val nOps = 2 + rnd.nextInt(3)
+      (0 until nOps).foreach { _ =>
+        val m = 2 + rnd.nextInt(7)
+        rnd.nextInt(4) match {
+          case 0 =>
+            src.commitDelete("p", "m",
+              base.filter(col("o_orderkey") % m === 0).select("o_orderkey"))
+          case 1 =>
+            src.commitUpsert("p", "m",
+              base.filter(col("o_orderkey") % m === 0)
+                .select(col("o_orderkey"),
+                  round(col("o_totalprice") + 1, 2).as("o_totalprice")),
+              Seq("o_orderkey"))
+          case 2 =>
+            src.commitReplace("p", "m",
+              src.read("p", "m").filter(col("o_orderkey") % m =!= 0))
+          case _ =>
+            src.commitAppend("p", "m", base
+              .filter(col("o_orderkey") % 3 === 1)
+              .filter(col("o_orderkey") % m === 0))
+        }
+      }
+      val dest = Files.createTempDirectory(s"iceberg-mor-prop-$seed").toString
+      IcebergExport.exportTable(src, "p", "m", dest): Unit
+      val dst = freshCat()
+      val report = IcebergImport.importTable(dst, "p", "m", dest)
+      val versions = src.snapshots("p", "m").map(_.seq)
+      assert(report.replays === versions.size, s"seed $seed")
+      versions.foreach { v =>
+        assert(rows(dst.readVersion("p", "m", v)) ===
+          rows(src.readVersion("p", "m", v)),
+          s"seed $seed version $v diverged")
+      }
+    }
+  }
+
+  test("import is failure-atomic: a mid-copy crash leaves NO half-created " +
+       "table and the retry succeeds") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "t")
+    src.commitAppend("ns", "t", orders.filter(col("o_orderkey") % 5 === 0))
+    src.commitAppend("ns", "t", orders.filter(col("o_orderkey") % 5 === 1))
+    val dest = Files.createTempDirectory("iceberg-atomic").toString
+    IcebergExport.exportTable(src, "ns", "t", dest): Unit
+
+    // crash injection: remove one exported data file — the distributed
+    // copy task must throw mid-import
+    import scala.jdk.CollectionConverters._
+    val dataDir = Paths.get(dest, "data")
+    val victim = Files.list(dataDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val stash = Files.readAllBytes(victim)
+    Files.delete(victim)
+
+    val dst = freshCat()
+    intercept[Exception] {
+      IcebergImport.importTable(dst, "imp", "t", dest)
+    }
+    assert(!dst.tableExists("imp", "t"),
+      "a failed import must not leave a half-created table behind")
+
+    // heal the layout: the SAME call that just failed now succeeds —
+    // no manual dropTable needed
+    Files.write(victim, stash)
+    val report = IcebergImport.importTable(dst, "imp", "t", dest)
+    assert(report.replays === 2)
+    assert(rows(dst.read("imp", "t")) === rows(src.read("ns", "t")))
+  }
+
+  test("position-delete files refuse BEFORE the target table is created") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val loc = Files.createTempDirectory("iceberg-posdel")
+    val meta = loc.resolve("metadata"); Files.createDirectories(meta)
+
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"record_count","type":"long","field-id":103}
+        ]},"field-id":2}
+      ]}""")
+    val mPath = meta.resolve("posdel-manifest.avro")
+    val mw = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+    mw.create(entrySchema, mPath.toFile)
+    val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+    df.put("content", Int.box(1)) // POSITION_DELETES
+    df.put("file_path", s"${loc.toUri}data/pd.parquet")
+    df.put("record_count", Long.box(1L))
+    val rec = new GenericData.Record(entrySchema)
+    rec.put("status", Int.box(1)); rec.put("data_file", df)
+    mw.append(rec); mw.close()
+
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string","field-id":500},
+        {"name":"content","type":"int","field-id":517},
+        {"name":"sequence_number","type":"long","field-id":515}
+      ]}""")
+    val lPath = meta.resolve("snap-21-posdel.avro")
+    val lw = new DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new GenericDatumWriter[org.apache.avro.generic.GenericRecord](listSchema))
+    lw.create(listSchema, lPath.toFile)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("manifest_path", mPath.toUri.toString)
+    lr.put("content", Int.box(1)); lr.put("sequence_number", Long.box(1L))
+    lw.append(lr); lw.close()
+
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"x","location":"${loc.toUri}",
+          "last-sequence-number":1,"last-updated-ms":1,"last-column-id":1,
+          "current-schema-id":0,
+          "schemas":[{"type":"struct","schema-id":0,"fields":[
+            {"id":1,"name":"k","required":false,"type":"long"}]}],
+          "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+          "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+          "current-snapshot-id":21,
+          "snapshots":[{"snapshot-id":21,"sequence-number":1,"timestamp-ms":1,
+            "schema-id":0,"summary":{"operation":"overwrite"},
+            "manifest-list":"${lPath.toUri}"}],
+          "snapshot-log":[],"metadata-log":[]}"""
+    Files.write(meta.resolve("v1.metadata.json"),
+      metadataJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes(StandardCharsets.UTF_8))
+
+    val dst = freshCat()
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(dst, "imp", "pd", loc.toString)
+    }
+    assert(e.getMessage.contains("POSITION"))
+    assert(!dst.tableExists("imp", "pd"),
+      "refusals must run before the table is created")
+  }
+
   test("re-importing a snapshot id is rejected by commit idempotence; " +
        "import into an existing table refuses") {
     val src = freshCat()

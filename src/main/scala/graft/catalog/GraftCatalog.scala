@@ -388,20 +388,26 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * session bootstrap because the driver's correctness harness
     * hash-compares Verify's RESULT dumps as naive INT96 timestamps —
     * a session-wide flip would change the dump dtype, not the data.
-    * Ref-counted: commits may stage concurrently (CAS contention), so
-    * the conf holds while any stager is active and restores after the
-    * last. */
+    * Ref-counted PER SESSION (spark.conf is session-scoped, and one JVM
+    * may run catalogs on several sessions — a global count would let the
+    * first-exiting session skip its restore): commits may stage
+    * concurrently (CAS contention), so the conf holds while any stager
+    * of THAT session is active and restores after its last. */
   private def withMicrosTimestamps[T](body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     GraftCatalog.microsLock.synchronized {
-      if (GraftCatalog.microsDepth == 0)
-        GraftCatalog.microsPrev = spark.conf.get(key)
-      GraftCatalog.microsDepth += 1
+      val st = GraftCatalog.microsBySession.computeIfAbsent(spark,
+        s => new GraftCatalog.MicrosState(s.conf.get(key))) // fresh at depth 0
+      st.depth += 1
       spark.conf.set(key, "TIMESTAMP_MICROS")
     }
     try body finally GraftCatalog.microsLock.synchronized {
-      GraftCatalog.microsDepth -= 1
-      if (GraftCatalog.microsDepth == 0) spark.conf.set(key, GraftCatalog.microsPrev)
+      val st = GraftCatalog.microsBySession.get(spark)
+      st.depth -= 1
+      if (st.depth == 0) {
+        spark.conf.set(key, st.prev)
+        GraftCatalog.microsBySession.remove(spark): Unit
+      }
     }
   }
 
@@ -1852,9 +1858,14 @@ object GraftCatalog {
   // withMicrosTimestamps ref-count (JVM-global: the conf is per-session
   // but tests share one session across many catalogs; prev is the
   // INT96 default everywhere in practice)
+  // per-session staging ref count for withMicrosTimestamps (identity
+  // keys: sessions hash by content-free default object identity; a
+  // WeakHashMap would also work but sessions are few and short-lived
+  // entries self-remove at depth 0)
+  private[catalog] final class MicrosState(var prev: String) { var depth: Int = 0 }
   private[catalog] val microsLock = new Object
-  private[catalog] var microsDepth: Int = 0
-  private[catalog] var microsPrev: String = "INT96"
+  private[catalog] val microsBySession =
+    new java.util.IdentityHashMap[SparkSession, MicrosState]()
   /** Column types whose manifest bounds support pruning: atomic and
     * totally ordered with an order-preserving string form (numerics are
     * re-parsed before comparison). Timestamps are deliberately EXCLUDED:

@@ -134,6 +134,49 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
                 spark.sparkContext.parallelize(rows, 1),
                 GraftSparkCatalog.FilesSchema)
             }))
+          case "manifests" =>
+            // one row per manifest of the HEAD version (Iceberg's
+            // `.manifests` habit): content kind, entry/size rollups, and
+            // the seq that first published it (= added it — manifests
+            // are immutable, so first appearance is authorship)
+            Some((GraftSparkCatalog.ManifestsSchema, () => {
+              val snaps = cat.snapshots(mns, mt)
+              val addedAt: Map[String, Long] = {
+                val m = scala.collection.mutable.Map.empty[String, Long]
+                snaps.foreach(s => s.manifests.foreach(r =>
+                  if (!m.contains(r)) m(r) = s.seq))
+                m.toMap
+              }
+              val rows = snaps.lastOption.toSeq.flatMap { head =>
+                cat.manifestsFull(mns, mt, head).map { case (rel, isDel, entries) =>
+                  Row(rel, if (isDel) "deletes" else "data",
+                    entries.size.toLong, entries.map(_.sizeBytes).sum,
+                    addedAt(rel))
+                }
+              }
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1),
+                GraftSparkCatalog.ManifestsSchema)
+            }))
+          case "refs" =>
+            // every named ref (Iceberg's `.refs`): main, branches, tags
+            Some((GraftSparkCatalog.RefsSchema, () => {
+              val main = cat.latest(mns, mt).toSeq.map(s =>
+                Row("main", "branch", s.seq, s.commitId))
+              val branches = cat.listBranches(mns, mt).map { b =>
+                val h = cat.branchHead(mns, mt, b)
+                Row(b, "branch", h.seq, h.commitId)
+              }
+              val tags = cat.listTags(mns, mt).map { t0 =>
+                val seq = cat.tagSeq(mns, mt, t0)
+                Row(t0, "tag", seq,
+                  cat.snapshots(mns, mt).find(_.seq == seq)
+                    .map(_.commitId).orNull)
+              }
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(main ++ branches ++ tags, 1),
+                GraftSparkCatalog.RefsSchema)
+            }))
           case _ => None
         }
         entry.foreach { case (schema, thunk) =>
@@ -455,6 +498,13 @@ object GraftSparkCatalog {
   private[catalog] val FilesSchema = StructType(Seq(
     StructField("path", StringType), StructField("size_bytes", LongType),
     StructField("content", StringType)))
+  private[catalog] val ManifestsSchema = StructType(Seq(
+    StructField("path", StringType), StructField("content", StringType),
+    StructField("file_cnt", LongType), StructField("total_size_bytes", LongType),
+    StructField("added_at_seq", LongType)))
+  private[catalog] val RefsSchema = StructType(Seq(
+    StructField("name", StringType), StructField("type", StringType),
+    StructField("seq", LongType), StructField("commit_id", StringType)))
 
   /** Register (idempotently) a session catalog over `warehouse` and
     * return its name. The name derives from the warehouse path because

@@ -232,7 +232,11 @@ object FileTopic {
     * create-link collision (see [[appendPartitionIdempotent]]).
     *
     * `df` must have exactly two string-castable columns: key, value.
-    * Returns the number of records published. */
+    * Returns the number of records ACTUALLY APPENDED — a fully-deduped
+    * replay (retry of an already-landed batch) returns 0. Note the
+    * dedup-by-design consequence: re-publishing byte-identical content
+    * at the same event timestamp IS the retry case and is skipped; a
+    * legitimate re-publish must carry a new `tsMs`. */
   def produceDistributed(df: DataFrame, root: String, topic: String,
                          partitions: Int, tsMs: Long): Long = {
     val n = partitions
@@ -256,17 +260,23 @@ object FileTopic {
       })
     keyed.mapPartitionsWithIndex { (p, it) =>
       val recs = it.map(_._2).toVector.sortBy(r => (r._1, r._2))
-      if (recs.nonEmpty) {
-        // deterministic batch id: the sorted content + event timestamp —
-        // identical across task attempts, so the idempotence tag is
-        // stable without any driver-side coordination
-        val bid = md5_8(s"$tsMs|" + recs.map { case (k, v) => s"$k\u0000$v" }
-          .mkString("\u0001"))
-        // constructed inside the task: recovers this partition's end
-        // offset from the log; only (root, topic, n) cross the wire
-        new FileTopic(root, topic, n).appendPartitionIdempotent(p, recs, tsMs, bid): Unit
-      }
-      Iterator.single(recs.size.toLong)
+      val appended =
+        if (recs.isEmpty) 0L
+        else {
+          // deterministic batch id: FULL 128-bit MD5 of the sorted
+          // content + event timestamp — identical across task attempts
+          // (a stable idempotence tag without driver-side coordination),
+          // and wide enough that a collision between two DISTINCT
+          // batches (which would silently skip one — the failure
+          // appendBatch's loud collision guard exists to prevent) needs
+          // ~2^64 batches per partition, not the ~2^16 a 32-bit tag gave
+          val bid = md5Hex(s"$tsMs|" + recs.map { case (k, v) => s"$k\u0000$v" }
+            .mkString("\u0001"))
+          // constructed inside the task: recovers this partition's end
+          // offset from the log; only (root, topic, n) cross the wire
+          new FileTopic(root, topic, n).appendPartitionIdempotent(p, recs, tsMs, bid)
+        }
+      Iterator.single(appended)
     }.fold(0L)(_ + _)
   }
 
@@ -279,8 +289,8 @@ object FileTopic {
     (parts(0).toLong, parts(1).toLong)
   }
 
-  private def md5_8(s: String): String =
+  private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
-      .take(4).map("%02x".format(_)).mkString
+      .map("%02x".format(_)).mkString
 }

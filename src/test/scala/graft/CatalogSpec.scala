@@ -877,4 +877,38 @@ class CatalogSpec extends SparkSpec {
     assert(cat.read("ns", "t").count() === 1)
     assert(cat.sweepOrphanManifests("ns", "t", graceMs = -1L) === Seq.empty)
   }
+
+  test("the staging micros conf is ref-counted PER SESSION: concurrent commits " +
+       "on two sessions each restore their own prior value") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val key = "spark.sql.parquet.outputTimestampType"
+    val s1 = spark.newSession(); s1.conf.set(key, "INT96")
+    val s2 = spark.newSession(); s2.conf.set(key, "TIMESTAMP_MILLIS")
+    val cat1 = new GraftCatalog(s1, Files.createTempDirectory("micros-s1").toString)
+    val cat2 = new GraftCatalog(s2, Files.createTempDirectory("micros-s2").toString)
+    cat1.createTable("ns", "t"); cat2.createTable("ns", "t")
+    def df(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      (0 until 50).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 50}%02d")))
+        .toDF("id", "ts")
+    }
+    // interleave: both sessions stage at the same time — a JVM-global
+    // ref count would let the first-exiting session skip its restore
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val f1 = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); (0 until 3).foreach(_ => cat1.commitAppend("ns", "t", df(s1))) } })
+    val f2 = pool.submit(new Runnable { def run(): Unit = {
+      start.await(); (0 until 3).foreach(_ => cat2.commitAppend("ns", "t", df(s2))) } })
+    start.countDown()
+    f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(s1.conf.get(key) === "INT96",
+      "session 1 must get ITS OWN prior value back")
+    assert(s2.conf.get(key) === "TIMESTAMP_MILLIS",
+      "session 2 must get ITS OWN prior value back")
+    // and the staged files are still spec-physical INT64 micros
+    assert(cat1.read("ns", "t").count() === 150L)
+  }
 }

@@ -94,6 +94,28 @@ class ProcedureSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(byContent("deletes") === 1L)
     assert(byContent("data") === files.length.toLong)
+    // .manifests: one row per HEAD manifest — content kind, entry/size
+    // rollups, and the seq that first published it
+    val mans = spark.sql(s"SELECT path, content, file_cnt, total_size_bytes, " +
+        s"added_at_seq FROM $c.m.t.manifests")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(mans.length === 3, "two data manifests + one delete manifest")
+    assert(mans.count(_._2 == "deletes") === 1)
+    assert(mans.filter(_._2 == "data").map(_._3).sum === files.length.toLong)
+    assert(mans.map(_._5).sorted.toSeq === Seq(0L, 1L, 2L),
+      "each manifest is attributed to the commit that published it")
+    assert(mans.forall(_._4 > 0L))
+    // .refs: main + branches + tags with their head seq / commit id
+    cat.createBranch("m", "t", "dev")
+    cat.createTag("m", "t", "rel-1", atSeq = Some(1L))
+    val refs = spark.sql(s"SELECT name, type, seq, commit_id FROM $c.m.t.refs " +
+        "ORDER BY name")
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(refs.map(r => (r._1, r._2)) ===
+      Seq(("dev", "branch"), ("main", "branch"), ("rel-1", "tag")))
+    assert(refs.find(_._1 == "main").get._3 === cat.latest("m", "t").get.seq)
+    assert(refs.find(_._1 == "main").get._4 === cat.latest("m", "t").get.commitId)
+    assert(refs.find(_._1 == "rel-1").get._3 === 1L)
     // a metadata name on a MISSING table still resolves nothing
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $c.m.nope.history").collect()

@@ -137,9 +137,11 @@ class StreamingSpec extends SparkSpec {
       tsMs = 1704067200000L): Unit
     // a retried/speculative task re-runs AFTER the first attempt's
     // append landed — whole-batch re-run simulates that for every
-    // partition at once: the batch-id tag must make each a no-op
-    FileTopic.produceDistributed(docs, root, "bulk", partitions = 3,
-      tsMs = 1704067200000L): Unit
+    // partition at once: the batch-id tag must make each a no-op, and
+    // the return value must say so (0 records actually appended)
+    val again = FileTopic.produceDistributed(docs, root, "bulk", partitions = 3,
+      tsMs = 1704067200000L)
+    assert(again === 0L, "a fully-deduped replay must report 0 appended")
     val t = new FileTopic(root, "bulk", partitions = 3)
     val polled = (0 until 3).map(p => t.poll(p, 0L))
     assert(polled.map(_.size).sum === 60, "retry double-published records")

@@ -46,7 +46,27 @@ import org.apache.spark.sql.types.StructType
   *    list, so schema EVOLUTION replays version-accurate (old versions
   *    time-travel to their own column set; pre-evolution parquet
   *    null-fills on read, the same projection a real Iceberg reader
-  *    does by field id);
+  *    does by field id). When the table's CURRENT schema differs from
+  *    the last snapshot's (a rename/promotion published after the last
+  *    write — ALTER TABLE creates no snapshot), one extra metadata-only
+  *    graft commit carries it, so the imported head reads under the
+  *    same schema a live Iceberg reader would use;
+  *  - column RENAMES import as schema ERAS: Iceberg resolves columns by
+  *    field id, graft by name, so at each point in history where a
+  *    field id's name changes, the importer starts a new era and
+  *    replays the first post-rename snapshot as an overwrite whose data
+  *    files are REWRITTEN once with the era's column names (driver-
+  *    orchestrated, one small Spark job per straddling file). Within an
+  *    era everything is a plain copy. This materializes what an
+  *    id-resolving reader does lazily — the honest price of a
+  *    name-resolved catalog, paid once at import (renames are rare;
+  *    only files straddling the rename are duplicated, and old eras
+  *    stay time-travel-exact under their own names);
+  *  - TYPE CHANGES import when they follow the spec's promotion lattice
+  *    (int→long, float→double, decimal precision widening at fixed
+  *    scale): each version keeps its declared type and Spark's parquet
+  *    reader serves the widening read natively (a long-schema scan over
+  *    int32 pages). Narrowing or lateral changes refuse;
   *  - data AND equality-delete files are copied DISTRIBUTED (one Spark
   *    task per file batch, the same shape as export/GC/replication
   *    copies), deduped across snapshots by source URI so a file kept
@@ -68,15 +88,14 @@ import org.apache.spark.sql.types.StructType
   *    pairs, which a name-keyed anti-join cannot express — compact them
   *    in the source engine first. Equality deletes (content=2) import
   *    exactly;
-  *  - equality-delete files must key on ONE column set per table (the
+  *  - equality-delete files must key on ONE field-id set per table (the
   *    same constraint [[GraftCatalog.commitDelete]] enforces natively —
   *    morScan's per-epoch anti-join is a single join) and must carry
   *    exactly their equality columns (the layout the spec recommends
   *    and every graft export produces);
-  *  - column RENAME/TYPE-CHANGE across snapshots refuses: Iceberg
-  *    resolves columns by field id, graft by name, so a rename is not
-  *    representable without rewriting history (additive evolution — the
-  *    common case — imports exactly);
+  *  - a column NAME reused for a different field id across the table's
+  *    life (rename a→b, then a NEW column named a) makes footer-name
+  *    resolution ambiguous and refuses;
   *  - partition-spec columns are not reconstructed (identity data is in
   *    the files; graft re-derives pruning stats at its next compact or
   *    [[GraftCatalog.backfillStats]]).
@@ -84,16 +103,24 @@ import org.apache.spark.sql.types.StructType
 object IcebergImport {
 
   /** What one import produced. `replays` counts graft commits created
-    * (= main-lineage snapshots), `replaces` how many were overwrites;
-    * `rows` is the head's physical data-file row count (pre-MoR). */
+    * (main-lineage snapshots, +1 when a current-schema step is
+    * synthesized), `replaces` how many were overwrites; `rows` is the
+    * head's physical data-file row count (pre-MoR); `rewrittenFiles`
+    * counts per-era rename rewrites (0 for rename-free histories). */
   case class ImportReport(table: String, replays: Int, replaces: Int,
                           dataFiles: Int, rows: Long, schemas: Int,
-                          deleteFiles: Int = 0)
+                          deleteFiles: Int = 0, rewrittenFiles: Int = 0)
 
   /** One live manifest entry of one snapshot: source URI, recorded row
     * count, delete-ness, data sequence number, equality ids (deletes). */
   private case class Entry0(uri: String, rows: Long, isDelete: Boolean,
                             seq: Long, eqIds: Seq[Int])
+
+  /** One replay step: the snapshot-derived commit id, its entries, its
+    * schema id, and its rename era. `commitId` is synthetic for the
+    * current-schema step. */
+  private case class Step(commitId: String, entries: Seq[Entry0],
+                          schemaId: Int, era: Int)
 
   /** Import the main-branch history of the Iceberg v2 table at
     * `location` into `ns.name` (created here; must not already exist). */
@@ -109,8 +136,6 @@ object IcebergImport {
     require(root.get("format-version").asInt() == 2,
       s"IcebergImport: format-version 2 required, got ${root.get("format-version")}")
 
-    // schemas by id, both as Spark schema and as (id -> name/type) for
-    // the rename/type-change refusal below
     val schemaNodes: Map[Int, JsonNode] = root.get("schemas").elements().asScala
       .map(n => n.get("schema-id").asInt() -> n).toMap
     val sparkSchemas: Map[Int, StructType] =
@@ -140,26 +165,76 @@ object IcebergImport {
 
     // ---- EVERY refusal runs before createTable (failure atomicity) ----
 
-    // refuse renames/type changes across the schemas the lineage uses:
-    // (field id -> name:type) must agree wherever two schemas overlap
-    val usedSchemaIds =
+    // schema-id sequence the replay walks: per-snapshot ids, plus the
+    // CURRENT schema as a final metadata-only step when a rename/
+    // promotion was published after the last write (ALTER TABLE creates
+    // no snapshot, but a live Iceberg reader uses current-schema-id)
+    val lineageSchemaIds = lineage.map(schemaIdOf(_, currentSchemaId))
+    val stepSchemaIds =
       if (lineage.isEmpty) Seq(currentSchemaId)
-      else lineage.map(schemaIdOf(_, currentSchemaId)).distinct
-    val idSig: Map[Int, Map[Int, String]] = usedSchemaIds.map { sid =>
-      sid -> fieldSignatures(schemaNodes(sid))
-    }.toMap
-    for (a <- usedSchemaIds; b <- usedSchemaIds if a != b;
-         (fid, sig) <- idSig(a); other <- idSig(b).get(fid))
-      require(sig == other,
-        s"IcebergImport: field id $fid is '$sig' in schema $a but '$other' in " +
-          s"schema $b — renames/type changes are id-resolved in Iceberg and not " +
-          "representable in a name-resolved catalog; rewrite history first")
+      else if (lineageSchemaIds.last != currentSchemaId)
+        lineageSchemaIds :+ currentSchemaId
+      else lineageSchemaIds
+    val usedSchemaIds = stepSchemaIds.distinct
+    usedSchemaIds.foreach(sid => require(schemaNodes.contains(sid),
+      s"IcebergImport: schema $sid is referenced but not declared"))
+
+    // TYPE rule: along the step order, a field id's type may only stay
+    // or follow the spec's promotion lattice (widening reads are served
+    // natively by Spark's parquet reader — a long-schema scan over
+    // int32 pages); anything else refuses
+    val typeMaps: Map[Int, Map[Int, String]] =
+      usedSchemaIds.map(sid => sid -> typeMapOf(schemaNodes(sid))).toMap
+    locally {
+      var cur = Map.empty[Int, String]
+      stepSchemaIds.foreach { sid =>
+        typeMaps(sid).foreach { case (fid, t) =>
+          cur.get(fid).foreach(prev => require(promotes(prev, t),
+            s"IcebergImport: field id $fid changes type '$prev' -> '$t' — " +
+              "only the spec's promotions (int->long, float->double, decimal " +
+              "precision widening) are importable; rewrite history first"))
+          cur += fid -> t
+        }
+      }
+    }
+
+    // RENAME eras: a new era starts whenever a schema names a known
+    // field id differently than the accumulated era map; each era's
+    // full id->name map is what files read under that era must carry
+    val nameMaps: Map[Int, Map[Int, String]] =
+      usedSchemaIds.map(sid => sid -> nameMapOf(schemaNodes(sid))).toMap
+    val (stepEras, eraMaps) = {
+      val eras = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val maps = scala.collection.mutable.ArrayBuffer.empty[Map[Int, String]]
+      var acc = Map.empty[Int, String]
+      var era = -1
+      stepSchemaIds.foreach { sid =>
+        val nm = nameMaps(sid)
+        val conflict = era < 0 || nm.exists { case (id, n) => acc.get(id).exists(_ != n) }
+        if (conflict) { era += 1; acc = nm; maps += acc }
+        else { acc ++= nm; maps(era) = acc }
+        eras += era
+      }
+      (eras.toSeq, maps.toSeq)
+    }
+    val multiEra = eraMaps.size > 1
+
+    // footer-name -> field id, unioned across the table's life; a name
+    // reused for a DIFFERENT id is ambiguous and refuses on use
+    val idOfName = scala.collection.mutable.Map.empty[String, Int]
+    val ambiguousNames = scala.collection.mutable.Set.empty[String]
+    usedSchemaIds.foreach(sid => nameMaps(sid).foreach { case (id, n) =>
+      idOfName.get(n) match {
+        case Some(other) if other != id => ambiguousNames += n
+        case _ => idOfName(n) = id
+      }
+    })
 
     // per-snapshot live entries via the spec artifacts (data + equality
     // deletes; position deletes refuse)
-    val liveSets: Seq[(JsonNode, Seq[Entry0])] = lineage.map { snap =>
+    val liveSets: Seq[Seq[Entry0]] = lineage.map { snap =>
       val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
-      val entries = IcebergExport.readAvro(listPath).flatMap { mf =>
+      IcebergExport.readAvro(listPath).flatMap { mf =>
         val mContent = anyInt(IcebergExport.getOpt(mf, "content"))
         require(mContent == 0 || mContent == 1,
           s"IcebergImport: unknown manifest content $mContent")
@@ -194,32 +269,89 @@ object IcebergImport {
             }
           }
       }
-      (snap, entries)
     }
 
-    // one equality-column set per table (commitDelete's native
+    // replay steps: one per lineage snapshot (+ the current-schema step,
+    // re-publishing the head's entries under the current schema)
+    val steps: Seq[Step] = {
+      val snapSteps = lineage.zip(liveSets).zip(stepEras).map {
+        case ((snap, entries), era) =>
+          Step(s"iceberg-${snap.get("snapshot-id").asLong()}", entries,
+            schemaIdOf(snap, currentSchemaId), era)
+      }
+      if (stepSchemaIds.size > lineage.size)
+        snapSteps :+ Step(s"iceberg-current-schema-$currentId",
+          liveSets.lastOption.getOrElse(Seq.empty), currentSchemaId,
+          stepEras.last)
+      else snapSteps
+    }
+
+    // driver-side footer-schema cache (one read per distinct file)
+    val footerCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def footerCols(uri: String): Seq[String] =
+      footerCache.getOrElseUpdate(uri, IcebergExport.parquetColumnNames(
+        Paths.get(java.net.URI.create(uri)).toString,
+        cat.spark.sparkContext.hadoopConfiguration))
+    def fieldIdOf(uri: String, col0: String): Int = {
+      require(!ambiguousNames(col0),
+        s"IcebergImport: column name '$col0' (in $uri) was reused for " +
+          "different field ids across this table's schemas — footer-name " +
+          "resolution is ambiguous; rewrite history first")
+      idOfName.getOrElse(col0, throw new IllegalArgumentException(
+        s"IcebergImport: file $uri carries column '$col0' that no schema " +
+          "of this table declares"))
+    }
+
+    // one equality-column FIELD-ID set per table (commitDelete's native
     // constraint — morScan anti-joins each epoch in a single join), and
-    // each delete parquet must carry exactly those columns
-    val eqIdSets = liveSets.flatMap(_._2).filter(_.isDelete).map(_.eqIds.sorted).distinct
+    // each delete parquet must carry exactly those columns (id-resolved:
+    // pre-rename delete files legitimately carry era-old names)
+    val eqIdSets = liveSets.flatten.filter(_.isDelete).map(_.eqIds.sorted).distinct
     require(eqIdSets.size <= 1,
       s"IcebergImport: equality-delete files key on ${eqIdSets.size} different " +
         "column sets — graft tables key merge-on-read deletes on one set; " +
         "compact in the source engine first")
-    val nameOfId: Map[Int, String] = schemaNodes(currentSchemaId)
-      .get("fields").elements().asScala
-      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    val eqCols: Seq[String] = eqIdSets.headOption.getOrElse(Seq.empty)
-      .map(id => nameOfId.getOrElse(id, throw new IllegalArgumentException(
-        s"IcebergImport: equality id $id resolves to no current-schema column")))
-    liveSets.flatMap(_._2).filter(_.isDelete).map(_.uri).distinct.foreach { uri =>
-      val cols = IcebergExport.parquetColumnNames(
-        Paths.get(java.net.URI.create(uri)).toString,
-        cat.spark.sparkContext.hadoopConfiguration)
-      require(cols.toSet == eqCols.toSet,
-        s"IcebergImport: equality-delete file $uri carries columns $cols but " +
-          s"its equality_ids resolve to $eqCols — delete files must hold exactly " +
+    val eqIdSet = eqIdSets.headOption.getOrElse(Seq.empty).toSet
+    liveSets.flatten.filter(_.isDelete).map(_.uri).distinct.foreach { uri =>
+      val ids = footerCols(uri).map(c => fieldIdOf(uri, c)).toSet
+      require(ids == eqIdSet,
+        s"IcebergImport: equality-delete file $uri carries field ids $ids but " +
+          s"its equality_ids resolve to $eqIdSet — delete files must hold exactly " +
           "their equality columns (rewrite in the source engine first)")
     }
+
+    // era-aware rel resolution: within one era a file is a plain copy;
+    // a file read under an era that names its columns differently is
+    // REWRITTEN once per distinct target-name vector
+    val baseRelOf = scala.collection.mutable.Map.empty[String, String]
+    // (uri, target names) -> rel
+    val rewriteOf = scala.collection.mutable.Map.empty[(String, Seq[String]), String]
+    def baseRel(uri: String): String =
+      baseRelOf.getOrElseUpdate(uri, {
+        val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
+        s"data/imported-${md5_8(uri)}-$base"
+      })
+    def relFor(uri: String, era: Int): String =
+      if (!multiEra) baseRel(uri)
+      else {
+        val cols = footerCols(uri)
+        val target = cols.map(c => eraMaps(era).getOrElse(fieldIdOf(uri, c), c))
+        if (target == cols) baseRel(uri)
+        else rewriteOf.getOrElseUpdate((uri, target), {
+          val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
+          s"data/imported-rw-${md5_8(uri + "|" + target.mkString(","))}-$base"
+        })
+      }
+
+    // ordered units per step (resolving every rel also surfaces every
+    // ambiguity/unknown-column refusal BEFORE the table exists)
+    def unitsOf(step: Step): Seq[(Seq[String], Boolean, Long)] =
+      step.entries.groupBy(e => (e.seq, e.isDelete)).toSeq
+        .sortBy { case ((seq, isDel), _) => (seq, if (isDel) 0 else 1) }
+        .map { case ((seq, isDel), es) =>
+          (es.map(e => relFor(e.uri, step.era)).distinct.sorted, isDel, seq)
+        }
+    val stepUnits: Seq[Seq[(Seq[String], Boolean, Long)]] = steps.map(unitsOf)
 
     // ---- all checks passed: create, then copy + replay atomically ----
 
@@ -233,65 +365,76 @@ object IcebergImport {
         return ImportReport(s"$ns.$name", 0, 0, 0, 0L, 1)
       }
 
-      // copy distinct files DISTRIBUTED; dedup by source URI so a file
-      // kept across snapshots lands once. Relative names carry a
-      // URI-hash prefix — foreign basenames may collide across
-      // directories
+      // plain copies DISTRIBUTED, deduped by source URI so a file kept
+      // across snapshots lands once. Relative names carry a URI-hash
+      // prefix — foreign basenames may collide across directories
       val tableRoot = cat.tablePath(ns, name)
-      val relOf: Map[String, String] = liveSets.flatMap(_._2).map(_.uri).distinct
-        .map { uri =>
-          val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
-          uri -> s"data/imported-${md5_8(uri)}-$base"
-        }.toMap
-      val copies = relOf.toSeq.map { case (uri, rel) =>
+      val copies = baseRelOf.toSeq.map { case (uri, rel) =>
         (Paths.get(java.net.URI.create(uri)).toAbsolutePath.toString,
           tableRoot.resolve(rel).toAbsolutePath.toString)
       }
-      cat.spark.sparkContext
-        .parallelize(copies, math.max(1, math.min(copies.size, 32)))
-        .foreach { case (src, dst) =>
-          Files.copy(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING): Unit
-        }
-
-      // ordered units per snapshot: group by (sequence, delete-ness),
-      // ascending sequence, deletes FIRST within a sequence (see the
-      // mapping note in the scaladoc)
-      def unitsOf(entries: Seq[Entry0]): Seq[(Seq[String], Boolean, Long)] =
-        entries.groupBy(e => (e.seq, e.isDelete)).toSeq
-          .sortBy { case ((seq, isDel), _) => (seq, if (isDel) 0 else 1) }
-          .map { case ((seq, isDel), es) =>
-            (es.map(e => relOf(e.uri)).distinct.sorted, isDel, seq)
+      if (copies.nonEmpty)
+        cat.spark.sparkContext
+          .parallelize(copies, math.max(1, math.min(copies.size, 32)))
+          .foreach { case (src, dst) =>
+            Files.copy(Paths.get(src), Paths.get(dst),
+              StandardCopyOption.REPLACE_EXISTING): Unit
           }
 
-      // replay the lineage: parent units a prefix -> MoR append commit,
-      // anything else -> MoR replace; schema rides each commit
-      // version-accurately
+      // rename rewrites: one small Spark job per straddling file —
+      // driver-orchestrated because each output must stay 1:1 with its
+      // source for per-era unit identity (renames are rare; a
+      // production migration compacts right after import anyway)
+      rewriteOf.foreach { case ((uri, target), rel) =>
+        val src = Paths.get(java.net.URI.create(uri)).toString
+        val df = cat.spark.read.parquet(src)
+        val renameMap = df.columns.zip(
+          df.columns.map(c => eraTargetFor(footerCols(uri), target, c)))
+          .filter(p => p._1 != p._2).toMap
+        val renamed = df.withColumnsRenamed(renameMap)
+        val tmp = Files.createTempDirectory("graft-import-rw")
+        renamed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val s = Files.list(tmp)
+          try s.iterator().asScala.find(_.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"rewrite of $uri produced no parquet output"))
+          finally s.close()
+        }
+        Files.move(part, tableRoot.resolve(rel),
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+
+      // replay: same era + parent units a prefix -> MoR append commit,
+      // anything else (true overwrite OR an era boundary, whose units
+      // reference the era's rewritten rels) -> MoR replace; schema rides
+      // each commit version-accurately
       var prev = Seq.empty[(Seq[String], Boolean, Long)]
+      var prevEra = steps.headOption.map(_.era).getOrElse(0)
       var replaces = 0
-      liveSets.foreach { case (snap, entries) =>
-        val units = unitsOf(entries)
-        val sid = snap.get("snapshot-id").asLong()
-        val schema = sparkSchemas(schemaIdOf(snap, currentSchemaId))
-        if (units.startsWith(prev))
+      steps.zip(stepUnits).foreach { case (step, units) =>
+        val schema = sparkSchemas(step.schemaId)
+        if (step.era == prevEra && units.startsWith(prev))
           cat.commitFilesMor(ns, name,
             units.drop(prev.size).map(u => (u._1, u._2)),
             sourceRegion = "iceberg-import", schemaJson = Some(schema.json),
-            commitId = Some(s"iceberg-$sid"))
+            commitId = Some(step.commitId))
         else {
           replaces += 1
           cat.commitFilesReplaceMor(ns, name, units.map(u => (u._1, u._2)),
             sourceRegion = "iceberg-import", schemaJson = Some(schema.json),
-            commitId = Some(s"iceberg-$sid"))
+            commitId = Some(step.commitId))
         }
-        prev = units
+        prev = units; prevEra = step.era
       }
 
-      val allEntries = liveSets.flatMap(_._2)
-      ImportReport(s"$ns.$name", lineage.size, replaces,
+      val allEntries = liveSets.flatten
+      ImportReport(s"$ns.$name", steps.size, replaces,
         allEntries.filterNot(_.isDelete).map(_.uri).distinct.size,
-        liveSets.last._2.filterNot(_.isDelete).map(_.rows).sum,
+        steps.last.entries.filterNot(_.isDelete).map(_.rows).sum,
         usedSchemaIds.size,
-        allEntries.filter(_.isDelete).map(_.uri).distinct.size)
+        allEntries.filter(_.isDelete).map(_.uri).distinct.size,
+        rewriteOf.size)
     } catch { case e: Throwable =>
       // failure atomicity: never leave a half-created table behind — the
       // retry must pass the tableExists precondition
@@ -302,22 +445,48 @@ object IcebergImport {
     }
   }
 
+  /** Target name of column `c` given the parallel (sourceCols ->
+    * targetCols) vectors computed at rel-resolution time. */
+  private def eraTargetFor(sourceCols: Seq[String], targetCols: Seq[String],
+                           c: String): String = {
+    val i = sourceCols.indexOf(c)
+    if (i < 0) c else targetCols(i)
+  }
+
   private def schemaIdOf(snap: JsonNode, fallback: Int): Int =
     Option(snap.get("schema-id")).map(_.asInt()).getOrElse(fallback)
 
-  /** field-id -> "name:type" signature map of one Iceberg schema JSON
-    * (list element ids contribute their own "<elem>:type" signature). */
-  private def fieldSignatures(schemaNode: JsonNode): Map[Int, String] =
+  /** field-id -> name map of one Iceberg schema JSON (top-level fields —
+    * list element ids carry no name). */
+  private def nameMapOf(schemaNode: JsonNode): Map[Int, String] =
+    schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+
+  /** field-id -> type-text map of one Iceberg schema JSON (list element
+    * ids contribute their own entries so element-type changes are also
+    * checked). */
+  private def typeMapOf(schemaNode: JsonNode): Map[Int, String] =
     schemaNode.get("fields").elements().asScala.flatMap { f =>
-      val own = f.get("id").asInt() ->
-        s"${f.get("name").asText()}:${typeText(f.get("type"))}"
+      val own = f.get("id").asInt() -> typeText(f.get("type"))
       if (f.get("type").isTextual) Seq(own)
       else Seq(own, f.get("type").get("element-id").asInt() ->
-        s"<elem>:${f.get("type").get("element").asText()}")
+        f.get("type").get("element").asText())
     }.toMap
 
   private def typeText(t: JsonNode): String =
     if (t.isTextual) t.asText() else s"list<${t.get("element").asText()}>"
+
+  /** Spec §Schema Evolution: legal primitive promotions. */
+  private def promotes(from: String, to: String): Boolean =
+    from == to ||
+      (from == "int" && to == "long") ||
+      (from == "float" && to == "double") || {
+        val D = """decimal\((\d+),\s*(\d+)\)""".r
+        (from, to) match {
+          case (D(p1, s1), D(p2, s2)) => s1 == s2 && p2.toInt >= p1.toInt
+          case _ => false
+        }
+      }
 
   // Avro generic values arrive as java.lang boxes whose concrete width
   // depends on the writer's declared type — normalize, don't cast

@@ -369,38 +369,207 @@ class IcebergImportSpec extends SparkSpec {
     assert(dst.readVersion("p", "t", 0).count() === 1000L)
   }
 
-  test("a rename across the lineage's schemas refuses loudly (id-resolved " +
-       "evolution is not representable name-resolved)") {
-    val loc = Files.createTempDirectory("iceberg-rename")
-    val meta = loc.resolve("metadata"); Files.createDirectories(meta)
-    // two schemas: field id 1 is "a" in schema 0 but "renamed_a" in schema 1
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"x","location":"${loc.toUri}",
-          "last-sequence-number":2,"last-updated-ms":1,"last-column-id":2,
-          "current-schema-id":1,
-          "schemas":[
-            {"type":"struct","schema-id":0,"fields":[
-              {"id":1,"name":"a","required":false,"type":"long"}]},
-            {"type":"struct","schema-id":1,"fields":[
-              {"id":1,"name":"renamed_a","required":false,"type":"long"}]}],
-          "default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
-          "default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
-          "current-snapshot-id":11,
-          "snapshots":[
-            {"snapshot-id":10,"sequence-number":1,"timestamp-ms":1,"schema-id":0,
-             "summary":{"operation":"append"},"manifest-list":"${loc.toUri}m1.avro"},
-            {"snapshot-id":11,"parent-snapshot-id":10,"sequence-number":2,
-             "timestamp-ms":2,"schema-id":1,
-             "summary":{"operation":"append"},"manifest-list":"${loc.toUri}m2.avro"}],
-          "snapshot-log":[],"metadata-log":[]}"""
-    Files.write(meta.resolve("v1.metadata.json"),
-      metadataJson.getBytes(StandardCharsets.UTF_8))
-    Files.write(meta.resolve("version-hint.text"), "1".getBytes(StandardCharsets.UTF_8))
+  // ---- rename / type-promotion fixtures: a real export whose metadata
+  //      JSON is then edited the way a foreign ALTER TABLE would ----
+
+  private def editMetadata(dest: String)(
+      f: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val mp = Paths.get(dest, "metadata", "v1.metadata.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(Files.readAllBytes(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    f(root)
+    Files.write(mp, m.writeValueAsBytes(root)): Unit
+  }
+
+  /** Clone schema 0 as `newId`, renaming / retyping the named fields. */
+  private def addEvolvedSchema(root: com.fasterxml.jackson.databind.node.ObjectNode,
+                               newId: Int, renames: Map[String, String],
+                               retypes: Map[String, String] = Map.empty): Unit = {
+    val schemas = root.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val s = schemas.get(0)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    s.put("schema-id", newId)
+    s.get("fields").forEach { fn =>
+      val fo = fn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val orig = fo.get("name").asText()
+      retypes.get(orig).foreach(t => fo.put("name", orig).put("type", t): Unit)
+      renames.get(orig).foreach(n => fo.put("name", n): Unit)
+    }
+    schemas.add(s): Unit
+  }
+
+  test("a rename published AFTER the last write (ALTER TABLE, no snapshot) " +
+       "imports: history keeps old names, the head reads the renamed schema") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "rn")
+    src.commitAppend("ns", "rn", orders.filter(col("o_orderkey") % 3 === 0))
+    src.commitAppend("ns", "rn", orders.filter(col("o_orderkey") % 3 === 1))
+    val dest = Files.createTempDirectory("iceberg-rn").toString
+    IcebergExport.exportTable(src, "ns", "rn", dest): Unit
+    editMetadata(dest) { root =>
+      addEvolvedSchema(root, 1, renames = Map("o_orderkey" -> "order_id"))
+      root.put("current-schema-id", 1): Unit
+    }
+
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "rn", dest)
+    assert(report.replays === 3, "2 snapshots + the current-schema step")
+    assert(report.replaces === 1, "the rename step is an era-boundary replace")
+    assert(report.rewrittenFiles > 0, "straddling files are rewritten once")
+
+    // pre-rename versions time-travel under their OWN names
+    (0 to 1).foreach { v =>
+      assert(dst.readVersion("imp", "rn", v.toLong).columns.toSeq ===
+        Seq("o_orderkey", "o_totalprice"), s"v$v names")
+      assert(rows(dst.readVersion("imp", "rn", v.toLong)) ===
+        rows(src.readVersion("ns", "rn", v.toLong)), s"v$v rows")
+    }
+    // the head reads what a live Iceberg reader reads: the renamed schema
+    val head = dst.read("imp", "rn")
+    assert(head.columns.toSeq === Seq("order_id", "o_totalprice"))
+    assert(head.select(col("order_id").as("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ===
+      rows(src.read("ns", "rn")))
+  }
+
+  test("a mid-history rename imports as an era boundary: old versions keep " +
+       "old names, post-rename versions read rewritten files") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "rm")
+    src.commitAppend("ns", "rm", orders.filter(col("o_orderkey") % 3 === 0))
+    src.commitAppend("ns", "rm", orders.filter(col("o_orderkey") % 3 === 1))
+    src.commitAppend("ns", "rm", orders.filter(col("o_orderkey") % 3 === 2))
+    val dest = Files.createTempDirectory("iceberg-rm").toString
+    IcebergExport.exportTable(src, "ns", "rm", dest): Unit
+    editMetadata(dest) { root =>
+      addEvolvedSchema(root, 1, renames = Map("o_orderkey" -> "order_id"))
+      root.put("current-schema-id", 1): Unit
+      // the THIRD snapshot was written under the renamed schema
+      root.get("snapshots")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].get(2)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("schema-id", 1): Unit
+    }
+
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "rm", dest)
+    assert(report.replays === 3)
+    assert(report.replaces === 1, "the era boundary replays as a replace")
+    (0 to 1).foreach { v =>
+      assert(dst.readVersion("imp", "rm", v.toLong).columns.head === "o_orderkey")
+      assert(rows(dst.readVersion("imp", "rm", v.toLong)) ===
+        rows(src.readVersion("ns", "rm", v.toLong)), s"v$v rows")
+    }
+    val v2 = dst.readVersion("imp", "rm", 2L)
+    assert(v2.columns.toSeq === Seq("order_id", "o_totalprice"))
+    assert(v2.select(col("order_id").as("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ===
+      rows(src.readVersion("ns", "rm", 2L)))
+  }
+
+  test("rename composes with merge-on-read: delete files' key columns rename " +
+       "too and the renamed head still applies them") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "rd")
+    src.commitAppend("ns", "rd", orders.filter(col("o_orderkey") % 4 === 0))
+    src.commitDelete("ns", "rd",
+      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))
+    val dest = Files.createTempDirectory("iceberg-rd").toString
+    IcebergExport.exportTable(src, "ns", "rd", dest): Unit
+    editMetadata(dest) { root =>
+      addEvolvedSchema(root, 1, renames = Map("o_orderkey" -> "order_id"))
+      root.put("current-schema-id", 1): Unit
+    }
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "rd", dest)
+    assert(report.deleteFiles === 1)
+    assert(report.rewrittenFiles > 0)
+    // pre-rename MoR version: old names, delete applied
+    assert(rows(dst.readVersion("imp", "rd", 1L)) ===
+      rows(src.readVersion("ns", "rd", 1L)))
+    // renamed head: the rewritten delete file anti-joins on the NEW name
+    val head = dst.read("imp", "rd")
+    assert(head.columns.toSeq === Seq("order_id", "o_totalprice"))
+    val expected = orders.filter(col("o_orderkey") % 4 === 0)
+      .filter(col("o_orderkey") % 8 =!= 0)
+    assert(head.count() === expected.count())
+    assert(head.select(col("order_id").as("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted ===
+      rows(expected))
+  }
+
+  test("int->long promotion imports (widening parquet read); narrowing refuses") {
+    import spark.implicits._
+    val src = freshCat()
+    src.createTable("ns", "pr")
+    src.commitAppend("ns", "pr", Seq((7, "a"), (9, "b")).toDF("k", "v"))
+    val dest = Files.createTempDirectory("iceberg-pr").toString
+    IcebergExport.exportTable(src, "ns", "pr", dest): Unit
+    editMetadata(dest) { root =>
+      addEvolvedSchema(root, 1, renames = Map.empty,
+        retypes = Map("k" -> "long"))
+      root.put("current-schema-id", 1): Unit
+    }
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "pr", dest)
+    assert(report.replays === 2)
+    assert(report.rewrittenFiles === 0, "a promotion rewrites nothing")
+    // v0 keeps its declared int; the head serves long over int32 pages
+    assert(dst.readVersion("imp", "pr", 0L).schema("k").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val head = dst.read("imp", "pr")
+    assert(head.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(head.select("k").as[Long].collect().sorted.toSeq === Seq(7L, 9L))
+
+    // the reverse direction (long -> int) is not a spec promotion
+    val dest2 = Files.createTempDirectory("iceberg-pr2").toString
+    val src2 = freshCat()
+    src2.createTable("ns", "pn")
+    src2.commitAppend("ns", "pn", Seq((7L, "a")).toDF("k", "v"))
+    IcebergExport.exportTable(src2, "ns", "pn", dest2): Unit
+    editMetadata(dest2) { root =>
+      addEvolvedSchema(root, 1, renames = Map.empty, retypes = Map("k" -> "int"))
+      root.put("current-schema-id", 1): Unit
+    }
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(dst, "imp", "pn", dest2)
+    }
+    assert(e.getMessage.contains("changes type"))
+    assert(!dst.tableExists("imp", "pn"))
+  }
+
+  test("a column name REUSED for a different field id refuses (ambiguous " +
+       "footer resolution), before the table is created") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "am")
+    src.commitAppend("ns", "am", orders.limit(50))
+    val dest = Files.createTempDirectory("iceberg-am").toString
+    IcebergExport.exportTable(src, "ns", "am", dest): Unit
+    editMetadata(dest) { root =>
+      // rename o_orderkey -> order_id AND add a NEW field named o_orderkey
+      addEvolvedSchema(root, 1, renames = Map("o_orderkey" -> "order_id"))
+      val s1 = root.get("schemas")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].get(1)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val f = s1.get("fields")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      f.put("id", 99).put("name", "o_orderkey").put("required", false)
+        .put("type", "string"): Unit
+      root.put("current-schema-id", 1): Unit
+      root.put("last-column-id", 99): Unit
+    }
     val dst = freshCat()
     val e = intercept[IllegalArgumentException] {
-      IcebergImport.importTable(dst, "imp", "bad", loc.toString)
+      IcebergImport.importTable(dst, "imp", "am", dest)
     }
-    assert(e.getMessage.contains("field id 1"))
+    assert(e.getMessage.contains("ambiguous"))
+    assert(!dst.tableExists("imp", "am"))
   }
 
   test("empty table (no current snapshot) imports as an empty v0 carrying " +

@@ -863,6 +863,42 @@ object Pipeline {
     cat.read("cur", "docs").select("text").distinct().orderBy("text")
   }
 
+  /** The SOCKET-TRANSPORT sibling of [[streamIngestReplay]]: the same
+    * gate → watermark dedup → exactly-once catalog sink loop, but the
+    * corpus is produced THROUGH the TCP broker twin
+    * ([[graft.streaming.TopicServer]]) — each Spark task holds one
+    * producer connection and an idempotent batch id (producer-epoch
+    * dedup), the broker owns the log and serializes same-partition
+    * appends server-side. Green = the ingest loop runs end-to-end over
+    * the wire seam a real deployment has, with the identical oracle. */
+  private def streamIngestSocket: Q = (s, d) => {
+    import graft.streaming.{CatalogStreamSink, FileTopic, StreamingDedup, TopicClient, TopicServer}
+    import graft.catalog.GraftCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-socket")
+    val topic = new FileTopic(dir.resolve("topic").toString, "docs", partitions = 2)
+    val server = new TopicServer(topic)
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    try {
+      TopicClient.produceDistributed(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "127.0.0.1", server.boundPort, tsMs = base): Unit
+      val cat = new GraftCatalog(s, dir.resolve("cat").toString)
+      cat.createTable("cur", "docs")
+      val gated = topic.streamDF(s)
+        .select(col("key").cast("long").as("doc_id"), col("value").as("text"),
+          col("eventTime"))
+        .filter(graft.pipeline.TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val q = StreamingDedup.dropExactDups(gated, timeCol = "eventTime")
+        .select("doc_id", "text")
+        .writeStream
+        .foreachBatch(CatalogStreamSink.foreachBatchCommit(cat, "cur", "docs", "ing"))
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      cat.read("cur", "docs").select("text").distinct().orderBy("text")
+    } finally server.stop()
+  }
+
   /** Corpus domain clustering: 2 deterministic Lloyd iterations, k=8,
     * over the embeddings table (the SemDeDup / mixture-balancing
     * preprocessing stage); oracle replays both unrolled iterations. */
@@ -1281,6 +1317,7 @@ object Pipeline {
     "text_classifier_score" -> textClassifierScore,
     "text_classifier_trained" -> textClassifierTrained,
     "stream_ingest_replay" -> streamIngestReplay,
+    "stream_ingest_socket" -> streamIngestSocket,
     "dedup_span_rewrite"   -> dedupSpanRewrite,
     "ann_knn_classify"     -> annKnnClassify,
     "ann_kmeans_assign"    -> annKmeansAssign,
@@ -2778,6 +2815,9 @@ object Pipeline {
     // replay of the streaming ingest loop: the admitted corpus is the
     // quality-gated distinct-text set, independent of arrival order
     "stream_ingest_replay" ->
+      s"""SELECT DISTINCT text FROM (SELECT text, $qualitySql AS q FROM documents) t
+          WHERE q >= 0.5 ORDER BY text""",
+    "stream_ingest_socket" ->
       s"""SELECT DISTINCT text FROM (SELECT text, $qualitySql AS q FROM documents) t
           WHERE q >= 0.5 ORDER BY text""",
     "text_langid" ->

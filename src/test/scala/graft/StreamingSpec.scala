@@ -812,4 +812,82 @@ class StreamingSpec extends SparkSpec {
         && estimates("gamma") === 1L && estimates("absent") === 0L)
     } finally query.stop()
   }
+
+  test("topic broker over TCP: publish/produce/poll/consumer-group round-trip, " +
+       "idempotent batch produce, distributed produce through the wire") {
+    import graft.streaming.{FileTopic, TopicClient, TopicServer}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-topic-srv").toString
+    val topic = new FileTopic(root, "wire", partitions = 3)
+    val server = new TopicServer(topic)
+    val c = new TopicClient("127.0.0.1", server.boundPort)
+    try {
+      assert(c.ping())
+      assert(c.partitions() === 3)
+      // single publish lands where the embedded topic would put it
+      val (p0, o0) = c.publish("k-1", "v-1", 1704067200000L)
+      assert(p0 === topic.partitionFor("k-1") && o0 === 0L)
+      // idempotent batch produce: a re-sent batch id appends nothing
+      val recs = (0 until 40).map(i => (s"bk-$i", s"bv-$i"))
+      val n1 = c.produce(recs, 1704067201000L, batchId = Some("epoch-7"))
+      val n2 = c.produce(recs, 1704067201000L, batchId = Some("epoch-7"))
+      assert(n1 === 40L)
+      assert(n2 === 0L, "a client retry after a lost ACK must not double-publish")
+      // polled records agree with the embedded log, offsets dense
+      (0 until 3).foreach { p =>
+        val viaWire = c.poll(p, 0L)
+        val direct = topic.poll(p, 0L)
+        assert(viaWire.map(r => (r._2, r._4, r._5)) ===
+          direct.map(r => (r.offset, r.key, r.value)), s"partition $p diverges")
+        assert(viaWire.map(_._2) === viaWire.indices.map(_.toLong))
+        assert(c.endOffset(p) === direct.size.toLong)
+      }
+      // consumer-group offsets over the wire
+      assert(c.committedOffset("g1", 0) === 0L)
+      c.commitOffset("g1", 0, 5L)
+      assert(c.committedOffset("g1", 0) === 5L)
+      assert(topic.committedOffset("g1", 0) === 5L)
+      // distributed produce THROUGH the broker: every Spark task holds a
+      // producer connection; totals conserved, replay appends nothing
+      val docs = (0L until 120L).map(i => (i, s"payload-$i")).toDF("k", "v")
+        .repartition(5)
+      val port = server.boundPort
+      val sent = TopicClient.produceDistributed(docs, "127.0.0.1", port,
+        tsMs = 1704067202000L)
+      assert(sent === 120L)
+      val again = TopicClient.produceDistributed(docs, "127.0.0.1", port,
+        tsMs = 1704067202000L)
+      assert(again === 0L, "a replayed distributed produce must append nothing")
+      val total = (0 until 3).map(p => topic.poll(p, 0L).size).sum
+      assert(total === 1 + 40 + 120)
+    } finally { c.close(); server.stop() }
+  }
+
+  test("topic broker from a SECOND JVM: a foreign-process producer lands its " +
+       "batch exactly once (retry deduped by producer-epoch batch id)") {
+    import graft.streaming.{FileTopic, TopicServer}
+    val root = Files.createTempDirectory("graft-topic-2jvm").toString
+    val topic = new FileTopic(root, "wire2", partitions = 2)
+    val server = new TopicServer(topic)
+    try {
+      val classpath = System.getProperty("java.class.path")
+      val cmd = Seq(s"${System.getProperty("java.home")}/bin/java",
+        "-cp", classpath, "graft.tools.TopicProducerAgent",
+        server.boundPort.toString, "30", "1704067200000", "epoch-x1")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val outLines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      assert(rc === 0, s"agent failed: rc=$rc out=${outLines.mkString("; ")}")
+      val line = outLines.find(_.startsWith("AGENT_APPENDED")).getOrElse(
+        fail(s"no AGENT_APPENDED line in: ${outLines.mkString("; ")}"))
+      assert(line === "AGENT_APPENDED 30 0",
+        "the foreign producer's first send lands fully, its retry not at all")
+      val total = (0 until 2).map(p => topic.poll(p, 0L).size).sum
+      assert(total === 30)
+      assert((0 until 2).forall(p =>
+        topic.poll(p, 0L).map(_.offset) == topic.poll(p, 0L).indices.map(_.toLong)))
+    } finally server.stop()
+  }
 }

@@ -415,6 +415,48 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** SemDeDup's WITHIN-CLUSTER near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — the published recipe: k-means the embedding
+    * corpus, then compare pairs only INSIDE each cluster): assign every
+    * vector to its nearest of `nlist` centroids and emit pairs with
+    * cosine >= threshold whose BOTH sides share a cell. One shuffle by
+    * cell, O(Σ cell²) scored pairs — with nlist sized to a fixed target
+    * cell population (nlist ∝ n) the total is O(n·cellSize), the shape
+    * that makes corpus-level semantic dedup affordable at 100 TB.
+    *
+    * By-design approximation, stated loudly: a qualifying pair whose
+    * members land in different cells is NOT emitted (the paper accepts
+    * exactly this recall loss; duplicates are near-identical vectors,
+    * which co-assign except at cell boundaries). The EXACT dual is
+    * [[nearDupPairsBallCover]] — complete by theorem, but on isotropic
+    * corpora its triangle-inequality prune cannot discard cell pairs
+    * and it degenerates to ~all-pairs scans (its own scaladoc); this is
+    * the bounded-cost production variant, that is the oracle-grade
+    * exact one. At nlist=1 the two coincide (single cell = all pairs),
+    * which the spec pins. */
+  def semDeDupPairsWithinCells(corpus: DataFrame, threshold: Double,
+                               nlist: Int = 16, seed: Long = 42L,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val c = withNormalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
+    val sample = collectSample(c, "_nvec", 4096)
+    val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
+    val assigned = c.select(col("neighbor_id"), col("vec"),
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers).as("cell"))
+      .localCheckpoint()
+    val a = assigned.select(col("neighbor_id").as("id_a"),
+      col("vec").as("vec_a"), col("cell"))
+    val b = assigned.select(col("neighbor_id").as("id_b"),
+      col("vec").as("vec_b"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+
   /** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
     * long. Plane components are deterministic pseudo-randoms from
     * xxhash64(plane, dim) — reproducible across runs and cluster sizes.

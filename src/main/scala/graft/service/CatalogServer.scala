@@ -224,12 +224,14 @@ final class CatalogClient(host: String, port: Int) extends AutoCloseable {
   }
 
   def commitFiles(ns: String, table: String, region: String, files: Seq[String],
-                  commitId: Option[String] = None): Long =
+                  commitId: Option[String] = None,
+                  schemaJson: Option[String] = None): Long =
     tableReq("commit_files", ns, table) { r =>
       r.put("region", region)
       val arr = r.putArray("files")
       files.foreach(arr.add)
       commitId.foreach(r.put("commit_id", _))
+      schemaJson.foreach(r.put("schema_json", _))
     }.get("seq").asLong()
 
   def createBranch(ns: String, table: String, branch: String,

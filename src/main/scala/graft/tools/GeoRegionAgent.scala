@@ -65,8 +65,11 @@ object GeoRegionAgent {
       val cat = new graft.service.CatalogClient("127.0.0.1", catPort.toInt)
       try {
         if (!cat.tableExists(ns, table)) cat.createTable(ns, table)
+        // the schema rides the wire commit: a replica registered without
+        // it cannot serve schema-dependent paths (Iceberg export, SQL
+        // DDL resolution) even though its data files are byte-identical
         val seq = cat.commitFiles(ns, table, region, entries.map(_._1),
-          commitId = Some(commitId))
+          commitId = Some(commitId), schemaJson = sA.schemaJson)
         println(s"AGENT-DONE $region $commitId seq=$seq files=${entries.size}")
       } finally cat.close()
     } finally spark.stop()

@@ -105,6 +105,22 @@ class GeoSocketsE2ESpec extends SparkSpec {
           .agg(count(lit(1)), round(sum(col("o_totalprice")), 2)).head()
         assert(routed === agg(catA))
 
+        // INTEROP COMPOSED (iceberg-arch-geo-distributed-ha.md:233-241 —
+        // replicated metadata objects ARE standard Iceberg): the table
+        // the second JVM registered over the wire exports as a real
+        // Iceberg v2 layout FROM THE REPLICA, replays into a fresh
+        // catalog back on the primary side, and the imported rows are
+        // byte-identical to the primary's — the full
+        // geo-replicate -> export -> import loop in one scenario
+        val interopDest = Files.createTempDirectory("geo-iceberg").toString
+        graft.catalog.IcebergExport.exportTable(catB, "geo", "t", interopDest): Unit
+        val catC = new GraftCatalog(spark,
+          Files.createTempDirectory("geo-sock-c").toString)
+        graft.catalog.IcebergImport.importTable(catC, "geo", "t", interopDest): Unit
+        assert(agg(catC) === agg(catA))
+        assert(catC.read("geo", "t").exceptAll(catA.read("geo", "t")).count() === 0L)
+        assert(catA.read("geo", "t").exceptAll(catC.read("geo", "t")).count() === 0L)
+
         // idempotence across the wire: re-registering the same commitId
         // must raise, not double-commit
         val dup = intercept[Exception] {

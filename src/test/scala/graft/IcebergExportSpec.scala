@@ -192,6 +192,42 @@ class IcebergExportSpec extends SparkSpec {
       base.filter(col("o_orderkey") % 8 === 0).count())
   }
 
+  test("a crashed export re-runs to completion on the same dest: copies are " +
+       "idempotent, metadata is rewritten fresh") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    cat.createTable("ns", "cx")
+    cat.commitAppend("ns", "cx", orders.filter(col("o_orderkey") % 3 === 0))
+    cat.commitAppend("ns", "cx", orders.filter(col("o_orderkey") % 3 === 1))
+    val dest = Files.createTempDirectory("iceberg-crash").toString
+    val first = IcebergExport.exportTable(cat, "ns", "cx", dest)
+
+    // simulate a kill between export steps: the metadata JSON, the
+    // version hint, one manifest-list Avro and one copied data file are
+    // gone — the partial layout a crash mid-write leaves behind
+    Files.delete(Paths.get(first.metadataFile))
+    Files.delete(Paths.get(dest, "metadata", "version-hint.text"))
+    val metaDir = Paths.get(dest, "metadata")
+    Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("snap-")).foreach(Files.delete)
+    Files.list(Paths.get(dest, "data")).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).foreach(Files.delete)
+
+    // the SAME call completes the export: deterministic flat names make
+    // data copies idempotent (REPLACE_EXISTING), metadata and manifests
+    // are rewritten whole — stale avro from the dead attempt is inert
+    // garbage the fresh metadata never references
+    val second = IcebergExport.exportTable(cat, "ns", "cx", dest)
+    assert(second.snapshots === first.snapshots)
+    assert(second.dataFiles === first.dataFiles)
+    assert(second.rows === first.rows)
+    val back = IcebergExport.readExported(spark, dest)
+    val expected = orders.filter(col("o_orderkey") % 3 <= 1)
+    assert(back.count() === expected.count())
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      expected.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
   test("timestamp exports are physically INT64 micros (bootstrap conf) and the " +
        "INT96 flag only fires for a physically INT96 foreign file") {
     def primitiveTypes(dir: String): Seq[(String, String)] = {

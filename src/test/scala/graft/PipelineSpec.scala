@@ -450,6 +450,41 @@ class PipelineSpec extends SparkSpec {
     assert(cover === exact)
   }
 
+  test("SemDeDup within-cell pairs: subset of exact at any nlist, EQUAL at " +
+       "nlist=1, and tight planted duplicates always co-assign") {
+    val emb = Tables.embeddings(spark, sf())
+    val exact = Similarity.nearDupPairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // nlist=1: one cell = all pairs — the within-cell form must coincide
+    val single = Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(single === exact)
+    // general nlist: every emitted pair is a true pair (no false
+    // positives — cosine is computed on raw vectors either way); the
+    // paper's recall loss is only ever cross-cell OMISSION
+    val cells = Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cells.subsetOf(exact))
+    // near-identical vectors co-assign: a planted jittered duplicate
+    // pair must survive any cell boundary (this is the regime SemDeDup
+    // runs at — duplicates are tight, thresholds high)
+    val rnd = new scala.util.Random(11)
+    def unit(dims: Int): Array[Float] = {
+      val v = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 40).map(_ => unit(32))
+    val planted = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => (x * 1.0001f))
+      Seq((i * 2L) -> v, (i * 2L + 1L) -> twin)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.semDeDupPairsWithinCells(planted, 0.99, nlist = 6)
+      .as[(Long, Long, Double)].collect()
+    val twins = pairs.filter(p => p._1 / 2 == p._2 / 2)
+    assert(twins.length === 40, "every planted twin pair must be found in-cell")
+  }
+
   test("semantic dedup: planted embedding clusters collapse to min-id keepers") {
     // an explicit 3-vector ARC so 0↔2 is connected ONLY through 1:
     // adjacent points sit 18° apart (cos 0.951 > 0.9) while the endpoints

@@ -6,9 +6,9 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /** Versioned-table catalog over Parquet — the Spark-native reproduction of
   * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
@@ -291,14 +291,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def manifestEntries(ns: String, name: String, rel: String): Seq[(String, Long)] =
     manifestEntriesFull(ns, name, rel).map(e => (e.path, e.sizeBytes))
 
-  // Equality-DELETE manifests (merge-on-read row deletes) share the
-  // manifest machinery but carry a `d-` basename — the one naming
-  // convention splits every consumer (scan planning vs delete planning,
-  // append-only CDC detection) with no snapshot-format change, and
-  // expiry/orphan detection keep working unmodified because they walk
-  // `snap.manifests` generically.
-  private def isDeleteManifest(rel: String): Boolean =
-    rel.substring(rel.lastIndexOf('/') + 1).startsWith("d-")
+  // DELETE manifests (merge-on-read row deletes) share the manifest
+  // machinery but carry a kind-bearing basename — `d-` for EQUALITY
+  // deletes (key-valued parquet, commitDelete/commitUpsert), `p-` for
+  // POSITION deletes ((file_path, pos) parquet, commitDeletePositions;
+  // the reference file model's POSITION_DELETE content type,
+  // ContentType.java:2). The naming convention splits every consumer
+  // (scan planning vs delete planning, append-only CDC detection) with
+  // no snapshot-format change, and expiry/orphan detection keep working
+  // unmodified because they walk `snap.manifests` generically.
+  private def isDeleteManifest(rel: String): Boolean = {
+    val base = rel.substring(rel.lastIndexOf('/') + 1)
+    base.startsWith("d-") || base.startsWith("p-")
+  }
+  private[catalog] def isPosDeleteManifest(rel: String): Boolean =
+    rel.substring(rel.lastIndexOf('/') + 1).startsWith("p-")
 
   /** (path, size) entries of a version's DATA files — driver-side
     * SCAN-PLANNING read (transient, per-version), not the metadata-query
@@ -310,10 +317,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def dataFiles(ns: String, name: String, snap: Snapshot): Seq[String] =
     dataFileEntries(ns, name, snap).map(_._1)
 
-  /** (path, size) entries of a version's equality-delete files (the
-    * merge-on-read delete set a scan must anti-join against). */
+  /** (path, size) entries of a version's delete files, BOTH kinds (the
+    * merge-on-read delete set a scan must apply). */
   def deleteFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
     snap.manifests.filter(isDeleteManifest).flatMap(manifestEntries(ns, name, _))
+
+  /** (path, size) entries of a version's EQUALITY-delete files only —
+    * what the key-set consistency checks of commitDelete/commitUpsert
+    * read (a position-delete file's (file_path, pos) columns are not a
+    * key set). */
+  def equalityDeleteFileEntries(ns: String, name: String, snap: Snapshot): Seq[(String, Long)] =
+    snap.manifests.filter(m => isDeleteManifest(m) && !isPosDeleteManifest(m))
+      .flatMap(manifestEntries(ns, name, _))
 
   /** (relative manifest path -> full entries incl. stats/row counts) of a
     * version's DATA manifests — manifest-granular export surface
@@ -827,7 +842,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .getOrElse(Set.empty[String])
     keys.columns.foreach(c => require(tblFields.isEmpty || tblFields.contains(c),
       s"delete key column $c not in $ns.$name schema $tblFields"))
-    deleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+    equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
       val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
       require(prior == keys.columns.toSet,
         s"equality-delete columns ${keys.columns.toSet} differ from the table's existing $prior")
@@ -860,6 +875,91 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** MoR POSITION delete (Iceberg v2's second delete-file kind; the
+    * reference file model's POSITION_DELETE content type,
+    * `ContentType.java:2`): erase specific PHYSICAL ROWS — (data file,
+    * row ordinal) pairs — without rewriting any data file. `positions`
+    * must have exactly the spec's two columns: `file_path` (the
+    * table-RELATIVE data file path) and `pos` (0-based row ordinal
+    * within that file). The scan side resolves ordinals from Spark's
+    * own `_metadata.row_index`, so no row-id column is ever
+    * materialized.
+    *
+    * Position deletes complement equality deletes where the target is a
+    * physical row, not a key: redacting an individual bad record among
+    * key-duplicates, applying an external audit's (file, offset)
+    * findings, or replaying a foreign Iceberg position-delete file.
+    * Use [[positionsWhere]] to derive positions from a predicate.
+    *
+    * The `p-` manifest is appended AFTER every parent manifest, so
+    * under [[morScan]]'s positional rule it applies to all data
+    * committed at or before it — Iceberg's position rule (data
+    * sequence <= delete sequence), which differs from equality's
+    * strictly-less: a position delete CAN name rows of its own commit's
+    * files when composed manually, and later appends are never
+    * affected. Referencing a file that is not live in the parent
+    * version refuses loudly (a stale position set silently erasing
+    * nothing is how audit replays rot). */
+  def commitDeletePositions(ns: String, name: String, positions: DataFrame,
+                            sourceRegion: String = "local", maxRetries: Int = 5,
+                            commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    require(positions.columns.toSeq.sorted == Seq("file_path", "pos"),
+      s"position deletes carry exactly (file_path, pos); got ${positions.columns.toSeq}")
+    val parent0 = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table $ns.$name"))
+    val live = dataFiles(ns, name, parent0).toSet
+    val referenced = positions.select("file_path").distinct()
+      .collect().map(_.getString(0))
+    val stale = referenced.filterNot(live)
+    require(stale.isEmpty,
+      s"position delete references files not live in $ns.$name v${parent0.seq}: " +
+        stale.take(3).mkString(", "))
+    val entries = stageDataFiles(ns, name,
+      positions.select(col("file_path"), col("pos").cast("long").as("pos")))
+    var staged: Seq[String] = Seq.empty
+    try {
+      val newManifest =
+        if (entries.isEmpty) None
+        else Some(writeManifest(ns, name, entries, prefix = "p"))
+      staged = newManifest.toSeq
+      casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        val par = parent.getOrElse(
+          throw new IllegalStateException(s"table log for $ns.$name vanished mid-delete"))
+        Snapshot(par.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(par.commitId),
+          System.currentTimeMillis(),
+          par.manifests ++ newManifest,
+          sourceRegion,
+          par.fileCount + entries.size,
+          par.totalBytes + entries.map(_._2).sum,
+          par.schemaJson) // a delete never changes the table schema
+      }
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, staged); throw e
+    }
+  }
+
+  /** (file_path, pos) of every CURRENT-version row matching `cond` —
+    * the predicate-to-positions bridge for [[commitDeletePositions]]
+    * (read with Spark's `_metadata` columns; file paths come back
+    * table-relative, ready to commit). The scan applies existing
+    * deletes first, so already-erased rows are never re-targeted. */
+  def positionsWhere(ns: String, name: String, cond: Column): DataFrame = {
+    val snap = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"$ns.$name has no committed versions"))
+    morScan(ns, name, snap, _ => true, carryPosition = true)
+      .filter(cond)
+      .select(col("__graft_file").as("file_path"), col("__graft_pos").as("pos"))
+  }
+
   /** Atomic MERGE/upsert: delete the incoming rows' keys and append the
     * rows in ONE commit. The delete manifest is ordered BEFORE the data
     * manifest in the snapshot's manifest list, so under [[morScan]]'s
@@ -884,7 +984,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case None => commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
       case Some(parent0) =>
         validatedSchemaJson(Some(parent0), rows.schema)
-        deleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+        equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
           val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
           require(prior == keyCols.toSet,
             s"upsert key columns ${keyCols.toSet} differ from the table's delete columns $prior")
@@ -931,20 +1031,42 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * so list position IS commit order; replaces reset it and carry no
     * deletes). A key re-appended after its delete therefore survives,
     * and an upsert's own rows are never erased by the delete it ships
-    * with. `keep` prunes data entries (stats/bloom scan planning);
-    * delete files are always read in full. The delete side is small, so
-    * each epoch's anti-join broadcasts under the scan — deletes cost a
-    * broadcast, never a table shuffle. */
+    * with. POSITION deletes ((file_path, pos) rows, `p-` manifests)
+    * ride the same positional rule — a `p-` manifest is placed AFTER
+    * the data manifests of its own commit, so "applies to earlier list
+    * positions" realizes Iceberg's position rule (data sequence <=
+    * delete sequence: position deletes CAN target rows committed with
+    * them). The positional anti-join keys on the scan's own
+    * `_metadata.file_path`/`row_index` columns — no data rewrite, no
+    * row-id column materialized in the files. `keep` prunes data
+    * entries (stats/bloom scan planning); delete files are always read
+    * in full. The delete side is small, so each epoch's anti-joins
+    * broadcast under the scan — deletes cost a broadcast, never a
+    * table shuffle. */
   private def morScan(ns: String, name: String, snap: Snapshot,
-                      keep: ManifestEntry => Boolean): DataFrame = {
+                      keep: ManifestEntry => Boolean,
+                      carryPosition: Boolean = false): DataFrame = {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    def emptyDf = schema.map(st => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st))
-      .getOrElse(spark.emptyDataFrame)
+    def emptySchema = schema.getOrElse(StructType(Seq.empty))
+    def emptyDf = {
+      val st =
+        if (!carryPosition) emptySchema
+        else StructType(emptySchema.fields.toSeq :+
+          StructField("__graft_file", StringType) :+ StructField("__graft_pos", LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
     val reader = schema.map(spark.read.schema).getOrElse(spark.read)
     val indexed = snap.manifests.zipWithIndex
     val delsOrdered = indexed.filter(p => isDeleteManifest(p._1))
     def abs(rel: String) = tableDir(ns, name).resolve(rel).toString
+    // scan-side relative path: the table dir's absolute path appears
+    // exactly once in _metadata.file_path regardless of URI scheme.
+    // `_metadata` resolves only on the scan relation itself, so the
+    // (file_path, pos) columns are materialized AT the scan and carried
+    // through the joins — both for the positional anti-join and for
+    // carryPosition output (positionsWhere)
+    val dirToken = tableDir(ns, name).toAbsolutePath.toString + "/"
+    val needsPos = carryPosition || delsOrdered.exists(p => isPosDeleteManifest(p._1))
     val parts = indexed.filterNot(p => isDeleteManifest(p._1))
       .map { case (m, i) => (m, delsOrdered.count(_._2 > i)) }
       .groupBy(_._2).toSeq.sortBy(_._1)
@@ -953,15 +1075,34 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           .flatMap(manifestEntriesFull(ns, name, _)).filter(keep).map(e => abs(e.path))
         if (files.isEmpty) None
         else {
-          val base = reader.parquet(files: _*)
-          val dFiles = delsOrdered.takeRight(nAfter).map(_._1)
-            .flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
-          Some(
-            if (dFiles.isEmpty) base
+          val scan = reader.parquet(files: _*)
+          // reserved names: a user table may legitimately carry columns
+          // called file_path/pos (inventory fixtures do)
+          val base =
+            if (!needsPos) scan
+            else scan
+              .withColumn("__graft_file",
+                substring_index(col("_metadata.file_path"), dirToken, -1))
+              .withColumn("__graft_pos", col("_metadata.row_index"))
+          val (posMans, eqMans) = delsOrdered.takeRight(nAfter).map(_._1)
+            .partition(isPosDeleteManifest)
+          val eqFiles = eqMans.flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
+          val posFiles = posMans.flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
+          val afterPos =
+            if (posFiles.isEmpty) base
+            else base.join(spark.read.parquet(posFiles: _*)
+                .select(col("file_path").as("__graft_file"),
+                  col("pos").as("__graft_pos")),
+              Seq("__graft_file", "__graft_pos"), "left_anti")
+          val applied =
+            if (eqFiles.isEmpty) afterPos
             else {
-              val d = spark.read.parquet(dFiles: _*)
-              base.join(d, d.columns.toSeq, "left_anti")
-            })
+              val d = spark.read.parquet(eqFiles: _*)
+              afterPos.join(d, d.columns.toSeq, "left_anti")
+            }
+          Some(if (needsPos && !carryPosition)
+                 applied.drop("__graft_file", "__graft_pos")
+               else applied)
         }
       }
     if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
@@ -1189,15 +1330,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** MoR-aware files APPEND: register already-landed files as new
     * manifests appended to the parent's list in the GIVEN unit order —
-    * each `(files, isDelete)` unit becomes one manifest (delete units
-    * carry the `d-` prefix [[morScan]]'s positional sequence rule keys
-    * on). The Iceberg-import replay surface: a foreign delete/upsert
-    * snapshot arrives as ordered units whose list position must encode
-    * the spec's sequence-number rule — deletes of one commit BEFORE its
-    * data, everything after the parent's manifests. No parent dedup
-    * (units are exact deltas); idempotent via `commitId` like every
-    * commit path. */
-  def commitFilesMor(ns: String, name: String, units: Seq[(Seq[String], Boolean)],
+    * each `(files, kind)` unit becomes one manifest, `kind` one of
+    * [[GraftCatalog.UnitData]] / [[GraftCatalog.UnitEqDelete]] /
+    * [[GraftCatalog.UnitPosDelete]] (delete units carry the `d-`/`p-`
+    * prefixes [[morScan]]'s positional sequence rule keys on). The
+    * Iceberg-import replay surface: a foreign delete/upsert snapshot
+    * arrives as ordered units whose list position must encode the
+    * spec's sequence-number rules — equality deletes of one commit
+    * BEFORE its data, position deletes AFTER it, everything after the
+    * parent's manifests. No parent dedup (units are exact deltas);
+    * idempotent via `commitId` like every commit path. */
+  def commitFilesMor(ns: String, name: String, units: Seq[(Seq[String], String)],
                      sourceRegion: String, maxRetries: Int = 5,
                      schemaJson: Option[String] = None,
                      commitId: Option[String] = None): Snapshot = {
@@ -1205,11 +1348,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
       throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
     }
-    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, isDel) =>
-      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), isDel)
+    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, kind) =>
+      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), kind)
     }
-    val newManifests = landedUnits.map { case (landed, isDel) =>
-      writeManifest(ns, name, landed, prefix = if (isDel) "d" else "m")
+    val newManifests = landedUnits.map { case (landed, kind) =>
+      writeManifest(ns, name, landed, prefix = GraftCatalog.unitPrefix(kind))
     }
     try {
       casCommit(ns, name, maxRetries) { parent =>
@@ -1240,7 +1383,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * state still carries delete files (e.g. a data-file rewrite that
     * kept its applicable deletes). */
   def commitFilesReplaceMor(ns: String, name: String,
-                            units: Seq[(Seq[String], Boolean)],
+                            units: Seq[(Seq[String], String)],
                             sourceRegion: String, maxRetries: Int = 5,
                             schemaJson: Option[String] = None,
                             commitId: Option[String] = None): Snapshot = {
@@ -1248,11 +1391,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
       throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
     }
-    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, isDel) =>
-      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), isDel)
+    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, kind) =>
+      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), kind)
     }
-    val newManifests = landedUnits.map { case (landed, isDel) =>
-      writeManifest(ns, name, landed, prefix = if (isDel) "d" else "m")
+    val newManifests = landedUnits.map { case (landed, kind) =>
+      writeManifest(ns, name, landed, prefix = GraftCatalog.unitPrefix(kind))
     }
     try {
       val allLanded = landedUnits.flatMap(_._1)
@@ -1854,6 +1997,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 }
 
 object GraftCatalog {
+
+  /** Manifest-unit kinds for [[GraftCatalog.commitFilesMor]] /
+    * commitFilesReplaceMor — mapped onto the manifest-name prefixes the
+    * scan keys on. */
+  val UnitData = "data"
+  val UnitEqDelete = "eqdelete"
+  val UnitPosDelete = "posdelete"
+  private[catalog] def unitPrefix(kind: String): String = kind match {
+    case UnitData => "m"
+    case UnitEqDelete => "d"
+    case UnitPosDelete => "p"
+    case other => throw new IllegalArgumentException(s"unknown manifest-unit kind $other")
+  }
 
   // withMicrosTimestamps ref-count (JVM-global: the conf is per-session
   // but tests share one session across many catalogs; prev is the

@@ -232,12 +232,20 @@ object IcebergExport {
     //    structurally false for catalog-staged files and can only fire
     //    for files a foreign / non-staging writer landed.
     val tableRoot = Paths.get(cat.warehouse, ns, name)
-    // every file any snapshot references — data AND equality-delete files
-    // (delete files are ordinary parquet objects under data/, exactly how
-    // Iceberg stores them)
+    // every file any snapshot references — data AND delete files (delete
+    // files are ordinary parquet objects under data/, exactly how
+    // Iceberg stores them). POSITION-delete files are REWRITTEN rather
+    // than copied: graft stores table-relative data-file paths in them,
+    // the spec stores the full URI of the exported data file (reserved
+    // field file_path = 2147483546).
+    val manifestsByRel = snaps.flatMap(cat.manifestsFull(ns, name, _))
+      .map(m => m._1 -> m).toMap
+    val posDeleteRels: Set[String] = manifestsByRel.values
+      .filter(m => cat.isPosDeleteManifest(m._1))
+      .flatMap(_._3.map(_.path)).toSet
     val allRel = snaps.flatMap(s =>
       cat.manifestsFull(ns, name, s).flatMap(_._3.map(_.path))).distinct
-    val copies = allRel.map { rel =>
+    val copies = allRel.filterNot(posDeleteRels).map { rel =>
       (tableRoot.resolve(rel).toAbsolutePath.toString,
         dataDir.resolve(flatName(rel)).toAbsolutePath.toString)
     }
@@ -251,6 +259,36 @@ object IcebergExport {
         Files.copy(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING): Unit
         checkTs && hasInt96Column(src, confSer.value)
       }.fold(false)(_ || _)
+
+    // 1b. rewrite position-delete files: map each table-relative
+    //     file_path to its exported flat URI (driver-side — delete files
+    //     are the small side by contract), sorted for diffable re-exports
+    val posRelSize = scala.collection.mutable.Map.empty[String, Long]
+    if (posDeleteRels.nonEmpty) {
+      val uriOf: Map[String, String] = allRel.filterNot(posDeleteRels)
+        .map(r => r -> dataDir.resolve(flatName(r)).toUri.toString).toMap
+      import spark.implicits._
+      posDeleteRels.toSeq.sorted.foreach { rel =>
+        val rows = spark.read.parquet(tableRoot.resolve(rel).toString)
+          .select("file_path", "pos").as[(String, Long)].collect()
+          .map { case (fp, pos) =>
+            (uriOf.getOrElse(fp, throw new IllegalStateException(
+              s"position-delete file $rel references $fp, which no exported " +
+                "snapshot carries")), pos)
+          }.sortBy(identity).toSeq
+        val tmp = Files.createTempDirectory("iceberg-posdel")
+        rows.toDF("file_path", "pos").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val st = Files.list(tmp)
+          try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          finally st.close()
+        }
+        val target = dataDir.resolve(flatName(rel))
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING): Unit
+        posRelSize(rel) = Files.size(target)
+      }
+    }
 
     // 2. one Avro manifest per graft manifest, written once and shared by
     //    every manifest list that references it
@@ -287,9 +325,11 @@ object IcebergExport {
       cat.manifestsFull(ns, name, s).foreach { case (rel, isDelete, entries) =>
         if (!manifestMeta.contains(rel)) {
           isDeleteM(rel) = isDelete
+          val isPos = cat.isPosDeleteManifest(rel)
           val add = addedBy(rel)
           val eqIds =
-            if (isDelete && entries.nonEmpty) equalityIdsOf(entries) else Seq.empty
+            if (isDelete && !isPos && entries.nonEmpty) equalityIdsOf(entries)
+            else Seq.empty
           val file = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
@@ -305,15 +345,19 @@ object IcebergExport {
             rows += nRows
             val df = new GenericData.Record(
               ManifestEntrySchema.getField("data_file").schema())
-            df.put("content", Int.box(if (isDelete) 2 else 0)) // 2 = EQUALITY_DELETES
+            // 0 = DATA, 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+            df.put("content", Int.box(if (isPos) 1 else if (isDelete) 2 else 0))
             df.put("file_path",
               dataDir.resolve(flatName(e.path)).toUri.toString)
             df.put("file_format", "PARQUET")
             df.put("partition",
               new GenericData.Record(df.getSchema.getField("partition").schema()))
             df.put("record_count", Long.box(nRows))
-            df.put("file_size_in_bytes", Long.box(e.sizeBytes))
-            if (isDelete)
+            // position-delete files were rewritten (rel paths -> exported
+            // URIs), so their exported size differs from the source entry
+            df.put("file_size_in_bytes",
+              Long.box(posRelSize.getOrElse(e.path, e.sizeBytes)))
+            if (isDelete && !isPos)
               df.put("equality_ids", eqIds.map(Int.box).asJava)
             val rec = new GenericData.Record(ManifestEntrySchema)
             rec.put("status", Int.box(1)) // ADDED relative to its snapshot
@@ -560,9 +604,11 @@ object IcebergExport {
     val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
 
     // (path, file sequence number) per live data file; (path, seq,
-    // equality ids) per live equality-delete file
+    // equality ids) per live equality-delete file; (path, seq) per live
+    // position-delete file
     val dataFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val deleteFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Seq[Int])]
+    val posDeleteFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     readAvro(listPath).foreach { mf =>
       val mSeq = anyLongOr(getOpt(mf, "sequence_number"), 0L)
       readAvro(Paths.get(java.net.URI.create(mf.get("manifest_path").toString)))
@@ -582,9 +628,7 @@ object IcebergExport {
               require(ids.nonEmpty,
                 s"equality-delete file $path carries no equality_ids")
               deleteFiles += ((path, seq, ids))
-            case 1 => throw new IllegalStateException(
-              s"position-delete file $path — readExported supports data + " +
-                "equality deletes (graft's export never emits position deletes)")
+            case 1 => posDeleteFiles += ((path, seq))
             case other => throw new IllegalStateException(
               s"unknown data_file content $other for $path")
           }
@@ -604,12 +648,30 @@ object IcebergExport {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    // group data files by their sequence number, apply every delete with
-    // a strictly greater sequence (one anti-join per equality-column set
-    // per group — the delete side is small, so each join broadcasts)
+    // group data files by their sequence number; apply equality deletes
+    // with STRICTLY greater sequence and position deletes with greater-
+    // OR-EQUAL sequence (the spec's two rules). Each join's delete side
+    // is small, so it broadcasts. Positional identity keys on the file's
+    // path relative to the layout's data dir + Spark's own row_index.
+    import org.apache.spark.sql.functions.{col => fcol, substring_index}
+    val dataToken = Paths.get(location, "data").toAbsolutePath.toString + "/"
     val parts = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
-      val base = spark.read.schema(schema).parquet(fs.map(_._1).toSeq: _*)
-      deleteFiles.filter(_._2 > seq).groupBy(_._3).foldLeft(base) {
+      val base0 = spark.read.schema(schema).parquet(fs.map(_._1).toSeq: _*)
+      val posDels = posDeleteFiles.filter(_._2 >= seq)
+      val afterPos =
+        if (posDels.isEmpty) base0
+        else {
+          val dp = spark.read.parquet(posDels.map(_._1).toSeq: _*)
+            .select(substring_index(fcol("file_path"), dataToken, -1).as("__f"),
+              fcol("pos").as("__p"))
+          base0
+            .withColumn("__f",
+              substring_index(fcol("_metadata.file_path"), dataToken, -1))
+            .withColumn("__p", fcol("_metadata.row_index"))
+            .join(dp, Seq("__f", "__p"), "left_anti")
+            .drop("__f", "__p")
+        }
+      deleteFiles.filter(_._2 > seq).groupBy(_._3).foldLeft(afterPos) {
         case (acc, (eqIds, dels)) =>
           val cols = eqIds.map(id => nameOfId.getOrElse(id,
             throw new IllegalStateException(

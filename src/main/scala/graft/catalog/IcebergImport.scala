@@ -81,13 +81,19 @@ import org.apache.spark.sql.types.StructType
   * a half-created table that poisons the retry's tableExists
   * precondition.
   *
+  * POSITION deletes (data_file content=1) import exactly: the delete
+  * parquet's foreign data-file URIs rewrite to the imported files'
+  * graft-relative paths (one small driver job per delete file), the
+  * unit order places them AFTER their sequence's data (the spec's
+  * less-or-equal rule under morScan's positional rule), and the scan
+  * applies them via [[GraftCatalog.commitDeletePositions]]'s machinery
+  * (`_metadata` row ordinals — row order is preserved by the plain
+  * file copy).
+  *
   * Scope and honesty (documented refusals, never silent wrong answers):
-  *  - POSITION deletes (data_file content=1) refuse — graft's
-  *    merge-on-read model is equality-keyed ([[GraftCatalog
-  *    .commitDelete]]); a position delete names (file, row ordinal)
-  *    pairs, which a name-keyed anti-join cannot express — compact them
-  *    in the source engine first. Equality deletes (content=2) import
-  *    exactly;
+  *  - position deletes COMBINED WITH column renames refuse: replaying a
+  *    rename rewrites data files, which would orphan the (file, row
+  *    ordinal) identities — compact in the source engine first;
   *  - equality-delete files must key on ONE field-id set per table (the
   *    same constraint [[GraftCatalog.commitDelete]] enforces natively —
   *    morScan's per-epoch anti-join is a single join) and must carry
@@ -112,9 +118,13 @@ object IcebergImport {
                           deleteFiles: Int = 0, rewrittenFiles: Int = 0)
 
   /** One live manifest entry of one snapshot: source URI, recorded row
-    * count, delete-ness, data sequence number, equality ids (deletes). */
-  private case class Entry0(uri: String, rows: Long, isDelete: Boolean,
-                            seq: Long, eqIds: Seq[Int])
+    * count, kind (GraftCatalog.UnitData/UnitEqDelete/UnitPosDelete),
+    * data sequence number, equality ids (equality deletes only). */
+  private case class Entry0(uri: String, rows: Long, kind: String,
+                            seq: Long, eqIds: Seq[Int]) {
+    def isDelete: Boolean = kind != GraftCatalog.UnitData
+    def isPos: Boolean = kind == GraftCatalog.UnitPosDelete
+  }
 
   /** One replay step: the snapshot-derived commit id, its entries, its
     * schema id, and its rename era. `commitId` is synthetic for the
@@ -249,7 +259,7 @@ object IcebergImport {
               case 0 =>
                 Entry0(df.get("file_path").toString,
                   anyLong(IcebergExport.getOpt(df, "record_count")),
-                  isDelete = false, seq, Seq.empty)
+                  GraftCatalog.UnitData, seq, Seq.empty)
               case 2 =>
                 val ids = Option(IcebergExport.getOpt(df, "equality_ids"))
                   .map(_.asInstanceOf[java.util.List[_]].asScala
@@ -259,11 +269,11 @@ object IcebergImport {
                   s"${df.get("file_path")} carries no equality_ids")
                 Entry0(df.get("file_path").toString,
                   anyLong(IcebergExport.getOpt(df, "record_count")),
-                  isDelete = true, seq, ids)
-              case 1 => throw new IllegalArgumentException(
-                s"IcebergImport: snapshot ${snap.get("snapshot-id")} carries a " +
-                  "POSITION delete file — graft's merge-on-read model is " +
-                  "equality-keyed; compact position deletes in the source engine first")
+                  GraftCatalog.UnitEqDelete, seq, ids)
+              case 1 =>
+                Entry0(df.get("file_path").toString,
+                  anyLong(IcebergExport.getOpt(df, "record_count")),
+                  GraftCatalog.UnitPosDelete, seq, Seq.empty)
               case other => throw new IllegalArgumentException(
                 s"IcebergImport: unknown data_file content $other")
             }
@@ -306,19 +316,30 @@ object IcebergImport {
     // constraint — morScan anti-joins each epoch in a single join), and
     // each delete parquet must carry exactly those columns (id-resolved:
     // pre-rename delete files legitimately carry era-old names)
-    val eqIdSets = liveSets.flatten.filter(_.isDelete).map(_.eqIds.sorted).distinct
+    val eqIdSets = liveSets.flatten
+      .filter(e => e.isDelete && !e.isPos).map(_.eqIds.sorted).distinct
     require(eqIdSets.size <= 1,
       s"IcebergImport: equality-delete files key on ${eqIdSets.size} different " +
         "column sets — graft tables key merge-on-read deletes on one set; " +
         "compact in the source engine first")
     val eqIdSet = eqIdSets.headOption.getOrElse(Seq.empty).toSet
-    liveSets.flatten.filter(_.isDelete).map(_.uri).distinct.foreach { uri =>
+    liveSets.flatten.filter(e => e.isDelete && !e.isPos)
+      .map(_.uri).distinct.foreach { uri =>
       val ids = footerCols(uri).map(c => fieldIdOf(uri, c)).toSet
       require(ids == eqIdSet,
         s"IcebergImport: equality-delete file $uri carries field ids $ids but " +
           s"its equality_ids resolve to $eqIdSet — delete files must hold exactly " +
           "their equality columns (rewrite in the source engine first)")
     }
+    // position deletes name (data file, row ordinal) pairs; a rename-era
+    // data rewrite would invalidate the file identity the ordinals hang
+    // off — the composition is refused rather than silently mis-applied
+    val posDeleteUris = liveSets.flatten.filter(_.isPos).map(_.uri).distinct
+    require(posDeleteUris.isEmpty || !multiEra,
+      "IcebergImport: this table carries BOTH column renames and position-" +
+        "delete files; replaying renames rewrites data files, which would " +
+        "orphan the (file, ordinal) identities — compact the deletes in the " +
+        "source engine first")
 
     // era-aware rel resolution: within one era a file is a plain copy;
     // a file read under an era that names its columns differently is
@@ -342,16 +363,36 @@ object IcebergImport {
           s"data/imported-rw-${md5_8(uri + "|" + target.mkString(","))}-$base"
         })
       }
+    // position-delete files are never plain-copied: their file_path
+    // column holds FOREIGN data-file URIs, which the import rewrites to
+    // the graft-relative paths of the copied files (the spec's reserved
+    // columns file_path/pos are not table fields, so the rename-era
+    // machinery never touches them)
+    val pdRelOf: Map[String, String] = posDeleteUris.map { uri =>
+      val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
+      uri -> s"data/imported-pd-${md5_8(uri)}-$base"
+    }.toMap
 
     // ordered units per step (resolving every rel also surfaces every
-    // ambiguity/unknown-column refusal BEFORE the table exists)
-    def unitsOf(step: Step): Seq[(Seq[String], Boolean, Long)] =
-      step.entries.groupBy(e => (e.seq, e.isDelete)).toSeq
-        .sortBy { case ((seq, isDel), _) => (seq, if (isDel) 0 else 1) }
-        .map { case ((seq, isDel), es) =>
-          (es.map(e => relFor(e.uri, step.era)).distinct.sorted, isDel, seq)
+    // ambiguity/unknown-column refusal BEFORE the table exists). Kind
+    // order within one sequence realizes both spec rules positionally:
+    // equality deletes BEFORE the sequence's data (strictly-less rule),
+    // position deletes AFTER it (less-or-equal rule)
+    def kindOrder(kind: String): Int = kind match {
+      case GraftCatalog.UnitEqDelete => 0
+      case GraftCatalog.UnitData => 1
+      case _ => 2
+    }
+    def unitsOf(step: Step): Seq[(Seq[String], String, Long)] =
+      step.entries.groupBy(e => (e.seq, e.kind)).toSeq
+        .sortBy { case ((seq, kind), _) => (seq, kindOrder(kind)) }
+        .map { case ((seq, kind), es) =>
+          val rels = es.map { e =>
+            if (e.isPos) pdRelOf(e.uri) else relFor(e.uri, step.era)
+          }
+          (rels.distinct.sorted, kind, seq)
         }
-    val stepUnits: Seq[Seq[(Seq[String], Boolean, Long)]] = steps.map(unitsOf)
+    val stepUnits: Seq[Seq[(Seq[String], String, Long)]] = steps.map(unitsOf)
 
     // ---- all checks passed: create, then copy + replay atomically ----
 
@@ -405,11 +446,39 @@ object IcebergImport {
           StandardCopyOption.REPLACE_EXISTING): Unit
       }
 
+      // position-delete rewrites: map each foreign data-file URI in the
+      // delete parquet to its imported graft-relative path (driver-side
+      // — delete files are the small side by contract), sorted for
+      // deterministic replays
+      if (posDeleteUris.nonEmpty) {
+        import cat.spark.implicits._
+        posDeleteUris.sorted.foreach { uri =>
+          val rows = cat.spark.read
+            .parquet(Paths.get(java.net.URI.create(uri)).toString)
+            .select("file_path", "pos").as[(String, Long)].collect()
+            .map { case (fp, pos) =>
+              (baseRelOf.getOrElse(fp, throw new IllegalStateException(
+                s"position-delete file $uri references $fp, which no imported " +
+                  "snapshot carries")), pos)
+            }.sortBy(identity).toSeq
+          val tmp = Files.createTempDirectory("graft-import-pd")
+          rows.toDF("file_path", "pos").coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = {
+            val st = Files.list(tmp)
+            try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+            finally st.close()
+          }
+          Files.move(part, tableRoot.resolve(pdRelOf(uri)),
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+
       // replay: same era + parent units a prefix -> MoR append commit,
       // anything else (true overwrite OR an era boundary, whose units
       // reference the era's rewritten rels) -> MoR replace; schema rides
       // each commit version-accurately
-      var prev = Seq.empty[(Seq[String], Boolean, Long)]
+      var prev = Seq.empty[(Seq[String], String, Long)]
       var prevEra = steps.headOption.map(_.era).getOrElse(0)
       var replaces = 0
       steps.zip(stepUnits).foreach { case (step, units) =>

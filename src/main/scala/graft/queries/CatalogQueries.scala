@@ -91,6 +91,16 @@ object CatalogQueries {
       cat.commitDelete("q", "mor",
         orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
       cat.compact("q", "mor", targetFileBytes = 256L * 1024 * 1024)
+      // position-delete fixture: erase PHYSICAL ROWS matching a predicate
+      // through the positionsWhere bridge (no data rewrite), then a
+      // later append that the positional delete must not reach
+      cat.createTable("q", "pmor")
+      cat.commitAppend("q", "pmor", orders.filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_totalprice"))
+      cat.commitDeletePositions("q", "pmor",
+        cat.positionsWhere("q", "pmor", col("o_orderkey") % 3 === 0))
+      cat.commitAppend("q", "pmor", orders.filter(col("o_orderkey") % 4 === 2)
+        .select("o_orderkey", "o_totalprice"))
       // atomic-upsert fixture: base append, then ONE MERGE commit that
       // doubles every %8 key's price (UPDATE) and inserts negated %7
       // keys (INSERT) — the sequence rule keeps the incoming rows alive
@@ -352,6 +362,29 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  /** POSITION deletes on the live log (Iceberg v2's second delete-file
+    * kind; reference ContentType.java:2 POSITION_DELETE): v1 erased the
+    * physical rows whose key divides 3 via the positionsWhere bridge —
+    * no data file rewritten, the scan anti-joins on Spark's own
+    * `_metadata` (file, row ordinal) — and v2 appended rows the earlier
+    * positional delete must not reach. The oracle recomputes both
+    * states from the raw source rows: green = positional erasure lands
+    * exactly the predicate's rows and respects the sequence rule. */
+  private def morPositions: Q = (s, d) => {
+    val cat = fixture(s, d)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.readVersion("q", "pmor", 1), "1_pos_deleted")
+      .unionByName(agg(cat.read("q", "pmor"), "2_after_append"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   /** MERGE INTO the live log: one atomic upsert commit (equality-delete
     * + append manifests under one CAS) — matched keys replaced,
     * unmatched inserted, nothing rewritten. The oracle recomputes the
@@ -567,6 +600,7 @@ object CatalogQueries {
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
+    "cat_mor_positions"    -> morPositions,
     "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
@@ -606,6 +640,20 @@ object CatalogQueries {
          SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM fin""",
+    "cat_mor_positions" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0),
+              head AS (SELECT * FROM v1
+                       UNION ALL
+                       SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 4 = 2),
+              s1 AS (SELECT '1_pos_deleted' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM v1),
+              s2 AS (SELECT '2_after_append' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM head)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_mor_delete" ->
       """WITH live AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 4 = 0

@@ -808,6 +808,71 @@ class CatalogSpec extends SparkSpec {
       === Set(1L, 3L, 4L))
   }
 
+  test("POSITION deletes: physical-row erasure without rewrite, duplicate " +
+       "redaction, later appends untouched, compaction materializes") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "pmor")
+    // duplicate key 2 on purpose: an equality delete could only kill BOTH
+    cat.commitAppend("ns", "pmor",
+      Seq((1L, "a"), (2L, "b"), (2L, "b-dup"), (3L, "c")).toDF("id", "v"))  // v0
+    val v0Files = cat.dataFiles("ns", "pmor", cat.snapshots("ns", "pmor").last).toSet
+
+    // positionsWhere -> commitDeletePositions: erase exactly the one
+    // bad copy among the key-duplicates
+    val pos = cat.positionsWhere("ns", "pmor", org.apache.spark.sql.functions.col("v") === "b-dup")
+    assert(pos.count() === 1L)
+    cat.commitDeletePositions("ns", "pmor", pos)                             // v1
+    val v1 = cat.snapshots("ns", "pmor").last
+    assert(cat.dataFiles("ns", "pmor", v1).toSet === v0Files, "no data rewrite")
+    assert(cat.deleteFileEntries("ns", "pmor", v1).nonEmpty)
+    assert(cat.equalityDeleteFileEntries("ns", "pmor", v1).isEmpty,
+      "a position delete is not an equality delete")
+    assert(cat.read("ns", "pmor").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: v0 still sees the redacted row
+    assert(cat.readVersion("ns", "pmor", 0).count() === 4)
+
+    // data appended AFTER the position delete is outside its reach
+    cat.commitAppend("ns", "pmor", Seq((4L, "d")).toDF("id", "v"))           // v2
+    assert(cat.read("ns", "pmor").count() === 4)
+
+    // positionsWhere never re-targets an erased row; a second positional
+    // round stacks with the first
+    val pos2 = cat.positionsWhere("ns", "pmor", org.apache.spark.sql.functions.col("id") === 2L)
+    assert(pos2.count() === 1L, "the erased duplicate must not be re-offered")
+    cat.commitDeletePositions("ns", "pmor", pos2)                            // v3
+    assert(cat.read("ns", "pmor").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c"), (4L, "d")))
+
+    // equality + position deletes compose on one table
+    cat.commitDelete("ns", "pmor", Seq(3L).toDF("id"))                       // v4
+    assert(cat.read("ns", "pmor").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (4L, "d")))
+
+    // metadata count refuses on a delete-bearing head (either kind)
+    assert(cat.countFastOpt("ns", "pmor").isEmpty)
+
+    // compaction materializes BOTH kinds and the history stays exact
+    cat.compact("ns", "pmor", targetFileBytes = 256L * 1024 * 1024)          // v5
+    val v5 = cat.snapshots("ns", "pmor").last
+    assert(cat.deleteFileEntries("ns", "pmor", v5).isEmpty)
+    assert(cat.read("ns", "pmor").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (4L, "d")))
+    assert(cat.readVersion("ns", "pmor", 1).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // refusals: wrong shape, stale file reference
+    val e1 = intercept[IllegalArgumentException] {
+      cat.commitDeletePositions("ns", "pmor", Seq((1L, 2L)).toDF("a", "b"))
+    }
+    assert(e1.getMessage.contains("file_path"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.commitDeletePositions("ns", "pmor",
+        Seq(("data/not-a-live-file.parquet", 0L)).toDF("file_path", "pos"))
+    }
+    assert(e2.getMessage.contains("not live"))
+  }
+
   test("MOR sequence rule: re-append resurrects a deleted key; upsert is one atomic commit") {
     val cat = freshCatalog()
     cat.createTable("ns", "seq")

@@ -154,7 +154,7 @@ class IcebergImportSpec extends SparkSpec {
       val nOps = 2 + rnd.nextInt(3)
       (0 until nOps).foreach { _ =>
         val m = 2 + rnd.nextInt(7)
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 =>
             src.commitDelete("p", "m",
               base.filter(col("o_orderkey") % m === 0).select("o_orderkey"))
@@ -167,6 +167,9 @@ class IcebergImportSpec extends SparkSpec {
           case 2 =>
             src.commitReplace("p", "m",
               src.read("p", "m").filter(col("o_orderkey") % m =!= 0))
+          case 3 =>
+            src.commitDeletePositions("p", "m",
+              src.positionsWhere("p", "m", col("o_orderkey") % m === 0))
           case _ =>
             src.commitAppend("p", "m", base
               .filter(col("o_orderkey") % 3 === 1)
@@ -221,7 +224,78 @@ class IcebergImportSpec extends SparkSpec {
     assert(rows(dst.read("imp", "t")) === rows(src.read("ns", "t")))
   }
 
-  test("position-delete files refuse BEFORE the target table is created") {
+  test("position-delete history round-trips: content=1 delete files rewrite " +
+       "to imported paths and apply at the right snapshots") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "pd")
+    src.commitAppend("ns", "pd", orders.filter(col("o_orderkey") % 4 === 0)) // v0
+    src.commitDeletePositions("ns", "pd",
+      src.positionsWhere("ns", "pd", col("o_orderkey") % 3 === 0))           // v1
+    src.commitAppend("ns", "pd", orders.filter(col("o_orderkey") % 4 === 2)) // v2
+    val dest = Files.createTempDirectory("iceberg-pd-rt").toString
+    val exp = IcebergExport.exportTable(src, "ns", "pd", dest)
+    assert(exp.deleteFiles === 1)
+
+    // the exported position-delete file holds EXPORTED data-file URIs
+    // (spec reserved columns), not graft-relative paths
+    import scala.jdk.CollectionConverters._
+    val delFile = java.nio.file.Files.list(Paths.get(dest, "data"))
+      .iterator().asScala.map(_.toString)
+      .flatMap { f =>
+        val cols = spark.read.parquet(f).columns.toSeq
+        if (cols == Seq("file_path", "pos")) Some(f) else None
+      }.toSeq
+    assert(delFile.size === 1)
+    val refs = spark.read.parquet(delFile.head)
+      .select("file_path").distinct().collect().map(_.getString(0))
+    assert(refs.forall(_.startsWith("file:")), s"expected URIs, got ${refs.head}")
+
+    // format-only read-back agrees with the catalog at every version
+    (0 to 2).foreach { v =>
+      val viaCat = src.readVersion("ns", "pd", v.toLong)
+      val viaFmt = IcebergExport.readExportedAt(spark, dest,
+        Some(IcebergExport.exportedSnapshotId(v)))
+      assert(viaFmt.count() === viaCat.count(), s"count diverges at v$v")
+      assert(viaFmt.exceptAll(viaCat).count() === 0L, s"rows diverge at v$v")
+    }
+
+    // and the import replays it: position deletes land as p- manifests
+    // applied through the scan's row ordinals
+    val dst = freshCat()
+    val report = IcebergImport.importTable(dst, "imp", "pd", dest)
+    assert(report.replays === 3)
+    assert(report.deleteFiles === 1)
+    (0 to 2).foreach { v =>
+      assert(rows(dst.readVersion("imp", "pd", v.toLong)) ===
+        rows(src.readVersion("ns", "pd", v.toLong)), s"version $v diverged")
+    }
+  }
+
+  test("position deletes COMBINED with a rename refuse BEFORE the target " +
+       "table is created (ordinals would orphan under the era rewrite)") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "pdr")
+    src.commitAppend("ns", "pdr", orders.limit(60))
+    src.commitDeletePositions("ns", "pdr",
+      src.positionsWhere("ns", "pdr", col("o_orderkey") % 2 === 0))
+    val dest = Files.createTempDirectory("iceberg-pdr").toString
+    IcebergExport.exportTable(src, "ns", "pdr", dest): Unit
+    editMetadata(dest) { root =>
+      addEvolvedSchema(root, 1, renames = Map("o_orderkey" -> "order_id"))
+      root.put("current-schema-id", 1): Unit
+    }
+    val dst = freshCat()
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(dst, "imp", "pdr", dest)
+    }
+    assert(e.getMessage.contains("position"))
+    assert(!dst.tableExists("imp", "pdr"))
+  }
+
+  test("a hand-authored foreign layout with an unreadable position-delete " +
+       "file fails ATOMICALLY (no table residue)") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
@@ -282,12 +356,14 @@ class IcebergImportSpec extends SparkSpec {
     Files.write(meta.resolve("version-hint.text"), "1".getBytes(StandardCharsets.UTF_8))
 
     val dst = freshCat()
-    val e = intercept[IllegalArgumentException] {
-      IcebergImport.importTable(dst, "imp", "pd", loc.toString)
+    // the layout parses (position deletes are importable now) but the
+    // delete file itself is missing — the failure must drop the
+    // just-created table so a retry passes the exists precondition
+    intercept[Exception] {
+      IcebergImport.importTable(dst, "imp", "pdx", loc.toString)
     }
-    assert(e.getMessage.contains("POSITION"))
-    assert(!dst.tableExists("imp", "pd"),
-      "refusals must run before the table is created")
+    assert(!dst.tableExists("imp", "pdx"),
+      "a failed import must leave no table residue")
   }
 
   test("re-importing a snapshot id is rejected by commit idempotence; " +

@@ -330,18 +330,6 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     snap.manifests.filter(m => isDeleteManifest(m) && !isPosDeleteManifest(m))
       .flatMap(manifestEntries(ns, name, _))
 
-  /** (relative manifest path -> full entries incl. stats/row counts) of a
-    * version's DATA manifests — manifest-granular export surface
-    * ([[IcebergExport]] maps each graft manifest to one Iceberg Avro
-    * manifest, preserving the added-by-snapshot attribution). */
-  private[catalog] def dataManifestsFull(ns: String, name: String, snap: Snapshot)
-      : Seq[(String, Seq[ManifestEntry])] =
-    snap.manifests.filterNot(isDeleteManifest)
-      .map(m => m -> manifestEntriesFull(ns, name, m))
-
-  private[catalog] def hasDeleteManifests(snap: Snapshot): Boolean =
-    snap.manifests.exists(isDeleteManifest)
-
   /** ALL of a version's manifests in LIST ORDER — (relative path,
     * isDelete, full entries). The export surface for merge-on-read
     * versions: list position is graft's commit-order rule, which
@@ -493,7 +481,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val scanned = rows.map { r =>
-      val abs = new HPath(r.getString(0)).toUri.getPath
+      // input_file_name returns a PERCENT-ENCODED URI (space -> %20);
+      // java.net.URI decodes it back to the raw filesystem path the
+      // staged entries carry. Hadoop Path does NOT decode — using it
+      // here broke every stats commit under an encodable warehouse path
+      // (caught by the fail-loud guard below)
+      val raw0 = r.getString(0)
+      val abs = try new java.net.URI(raw0).getPath
+                catch { case _: Exception => new HPath(raw0).toUri.getPath }
       // a scanned group that matches no staged entry means the
       // input_file_name -> path round-trip broke (URI-encodable chars,
       // scheme mismatch) — defaulting its rows to 0 would silently
@@ -640,7 +635,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .groupBy(col("__f")).agg(collect_set(col("__p")).as("bits"))
         .collect()
         .flatMap { r =>
-          byBase.get(r.getString(0).split('/').last).map { rel =>
+          // decode the percent-encoded URI before the basename match —
+          // an encoded warehouse path would otherwise silently skip
+          // every bloom (a pruning loss, not a wrong answer, but still)
+          val base = (try new java.net.URI(r.getString(0)).getPath
+                      catch { case _: Exception => r.getString(0) })
+            .split('/').last
+          byBase.get(base).map { rel =>
             val bytes = new Array[Byte](m / 8)
             r.getSeq[Int](1).foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
             (rel, c, java.util.Base64.getEncoder.encodeToString(bytes))
@@ -909,15 +910,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     require(positions.columns.toSeq.sorted == Seq("file_path", "pos"),
       s"position deletes carry exactly (file_path, pos); got ${positions.columns.toSeq}")
-    val parent0 = latest(ns, name).getOrElse(
-      throw new IllegalStateException(s"cannot delete from empty table $ns.$name"))
-    val live = dataFiles(ns, name, parent0).toSet
+    require(latest(ns, name).isDefined,
+      s"cannot delete from empty table $ns.$name")
     val referenced = positions.select("file_path").distinct()
       .collect().map(_.getString(0))
-    val stale = referenced.filterNot(live)
-    require(stale.isEmpty,
-      s"position delete references files not live in $ns.$name v${parent0.seq}: " +
-        stale.take(3).mkString(", "))
     val entries = stageDataFiles(ns, name,
       positions.select(col("file_path"), col("pos").cast("long").as("pos")))
     var staged: Seq[String] = Seq.empty
@@ -932,6 +928,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         }
         val par = parent.getOrElse(
           throw new IllegalStateException(s"table log for $ns.$name vanished mid-delete"))
+        // liveness is validated INSIDE the CAS closure, against the
+        // parent this commit actually lands on: a concurrent replace/
+        // compaction that rewrote the referenced files must abort the
+        // delete loudly, never publish ordinals over dead files (the
+        // silent rot this guard exists to prevent)
+        val live = dataFiles(ns, name, par).toSet
+        val stale = referenced.filterNot(live)
+        if (stale.nonEmpty) throw new IllegalArgumentException(
+          s"position delete references files not live in $ns.$name v${par.seq}: " +
+            stale.take(3).mkString(", "))
         Snapshot(par.seq + 1,
           commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
           Some(par.commitId),
@@ -1059,13 +1065,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val indexed = snap.manifests.zipWithIndex
     val delsOrdered = indexed.filter(p => isDeleteManifest(p._1))
     def abs(rel: String) = tableDir(ns, name).resolve(rel).toString
-    // scan-side relative path: the table dir's absolute path appears
-    // exactly once in _metadata.file_path regardless of URI scheme.
-    // `_metadata` resolves only on the scan relation itself, so the
-    // (file_path, pos) columns are materialized AT the scan and carried
-    // through the joins — both for the positional anti-join and for
-    // carryPosition output (positionsWhere)
-    val dirToken = tableDir(ns, name).toAbsolutePath.toString + "/"
+    // scan-side relative path: _metadata.file_path is URI-ENCODED
+    // (space -> %20, verified empirically), so the match token must be
+    // the table dir's ENCODED URI path, and the extracted rel is
+    // decoded back to the raw form manifests store ('+' is literal in
+    // URIs but URLDecoder would eat it — escape first). `_metadata`
+    // resolves only on the scan relation itself, so the (file, pos)
+    // columns are materialized AT the scan and carried through the
+    // joins — both for the positional anti-join and for carryPosition
+    // output (positionsWhere)
+    val dirToken = {
+      val t = tableDir(ns, name).toAbsolutePath.toUri.getRawPath
+      if (t.endsWith("/")) t else t + "/"
+    }
     val needsPos = carryPosition || delsOrdered.exists(p => isPosDeleteManifest(p._1))
     val parts = indexed.filterNot(p => isDeleteManifest(p._1))
       .map { case (m, i) => (m, delsOrdered.count(_._2 > i)) }
@@ -1082,7 +1094,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             if (!needsPos) scan
             else scan
               .withColumn("__graft_file",
-                substring_index(col("_metadata.file_path"), dirToken, -1))
+                url_decode(regexp_replace(
+                  substring_index(col("_metadata.file_path"), dirToken, -1),
+                  "\\+", "%2B")))
               .withColumn("__graft_pos", col("_metadata.row_index"))
           val (posMans, eqMans) = delsOrdered.takeRight(nAfter).map(_._1)
             .partition(isPosDeleteManifest)
@@ -1343,7 +1357,53 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def commitFilesMor(ns: String, name: String, units: Seq[(Seq[String], String)],
                      sourceRegion: String, maxRetries: Int = 5,
                      schemaJson: Option[String] = None,
-                     commitId: Option[String] = None): Snapshot = {
+                     commitId: Option[String] = None): Snapshot =
+    commitMorUnits(ns, name, units, maxRetries, commitId) {
+      (parent, newManifests, allLanded) =>
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifests,
+          sourceRegion,
+          parent.map(_.fileCount).getOrElse(0L) + allLanded.size,
+          parent.map(_.totalBytes).getOrElse(0L) + allLanded.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+    }
+
+  /** MoR-aware files OVERWRITE: the given ordered units are the COMPLETE
+    * new version ([[commitFilesReplace]]'s dual of [[commitFilesMor]]).
+    * Used by Iceberg import for foreign replace snapshots whose live
+    * state still carries delete files (e.g. a data-file rewrite that
+    * kept its applicable deletes). */
+  def commitFilesReplaceMor(ns: String, name: String,
+                            units: Seq[(Seq[String], String)],
+                            sourceRegion: String, maxRetries: Int = 5,
+                            schemaJson: Option[String] = None,
+                            commitId: Option[String] = None): Snapshot =
+    commitMorUnits(ns, name, units, maxRetries, commitId) {
+      (parent, newManifests, allLanded) =>
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          newManifests,
+          sourceRegion,
+          allLanded.size,
+          allLanded.map(_._2).sum,
+          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+    }
+
+  /** Shared staging/CAS/cleanup envelope of the two MoR unit commits —
+    * only the Snapshot each builds differs (append extends the parent's
+    * manifest list, replace IS the list). */
+  private def commitMorUnits(ns: String, name: String,
+                             units: Seq[(Seq[String], String)],
+                             maxRetries: Int, commitId: Option[String])(
+      build: (Option[Snapshot], Seq[String], Seq[(String, Long)]) => Snapshot)
+      : Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
       throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
@@ -1359,17 +1419,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
           throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
         }
-        val allLanded = landedUnits.flatMap(_._1)
-        Snapshot(
-          parent.map(_.seq + 1).getOrElse(0L),
-          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
-          parent.map(_.commitId),
-          System.currentTimeMillis(),
-          parent.map(_.manifests).getOrElse(Seq.empty) ++ newManifests,
-          sourceRegion,
-          parent.map(_.fileCount).getOrElse(0L) + allLanded.size,
-          parent.map(_.totalBytes).getOrElse(0L) + allLanded.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+        build(parent, newManifests, landedUnits.flatMap(_._1))
       }
     } catch { case e: Throwable =>
       newManifests.foreach(dropManifest(ns, name, _))
@@ -1377,49 +1427,6 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** MoR-aware files OVERWRITE: the given ordered units are the COMPLETE
-    * new version ([[commitFilesReplace]]'s dual of [[commitFilesMor]]).
-    * Used by Iceberg import for foreign replace snapshots whose live
-    * state still carries delete files (e.g. a data-file rewrite that
-    * kept its applicable deletes). */
-  def commitFilesReplaceMor(ns: String, name: String,
-                            units: Seq[(Seq[String], String)],
-                            sourceRegion: String, maxRetries: Int = 5,
-                            schemaJson: Option[String] = None,
-                            commitId: Option[String] = None): Snapshot = {
-    require(tableExists(ns, name), s"no such table $ns.$name")
-    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
-      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
-    }
-    val landedUnits = units.filter(_._1.nonEmpty).map { case (fs, kind) =>
-      (fs.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f))), kind)
-    }
-    val newManifests = landedUnits.map { case (landed, kind) =>
-      writeManifest(ns, name, landed, prefix = GraftCatalog.unitPrefix(kind))
-    }
-    try {
-      val allLanded = landedUnits.flatMap(_._1)
-      val snap = casCommit(ns, name, maxRetries) { parent =>
-        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
-          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
-        }
-        Snapshot(
-          parent.map(_.seq + 1).getOrElse(0L),
-          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
-          parent.map(_.commitId),
-          System.currentTimeMillis(),
-          newManifests,
-          sourceRegion,
-          allLanded.size,
-          allLanded.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
-      }
-      snap
-    } catch { case e: Throwable =>
-      newManifests.foreach(dropManifest(ns, name, _))
-      throw e
-    }
-  }
 
   def tablePath(ns: String, name: String): Path = tableDir(ns, name)
 

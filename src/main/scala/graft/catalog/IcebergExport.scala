@@ -276,17 +276,8 @@ object IcebergExport {
               s"position-delete file $rel references $fp, which no exported " +
                 "snapshot carries")), pos)
           }.sortBy(identity).toSeq
-        val tmp = Files.createTempDirectory("iceberg-posdel")
-        rows.toDF("file_path", "pos").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val st = Files.list(tmp)
-          try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          finally st.close()
-        }
-        val target = dataDir.resolve(flatName(rel))
-        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING): Unit
-        posRelSize(rel) = Files.size(target)
+        posRelSize(rel) = writeSingleParquet(
+          rows.toDF("file_path", "pos"), dataDir.resolve(flatName(rel)))
       }
     }
 
@@ -321,6 +312,29 @@ object IcebergExport {
     }
 
     val isDeleteM = scala.collection.mutable.Map.empty[String, Boolean]
+    // one Iceberg sequence number per commit can only express the
+    // CANONICAL intra-commit manifest order — equality deletes, then
+    // data, then position deletes (exactly what every native commit
+    // path produces: commitUpsert's [d, m], commitDeletePositions' [p]).
+    // A foreign-replayed commit that interleaves otherwise (the
+    // commitFilesMor unit packing of a multi-sequence foreign snapshot)
+    // would CHANGE MEANING under the spec's strictly-less /
+    // less-or-equal rules — deleted rows would silently resurrect in
+    // the exported table. Refuse loudly instead.
+    val kindRank: Map[String, Int] = snaps.flatMap(cat.manifestsFull(ns, name, _))
+      .map { case (rel, isDel, _) =>
+        rel -> (if (!isDel) 1 else if (cat.isPosDeleteManifest(rel)) 2 else 0)
+      }.toMap
+    snaps.zipWithIndex.foreach { case (sn, i) =>
+      val parentM = if (i == 0) Set.empty[String] else snaps(i - 1).manifests.toSet
+      val ranks = sn.manifests.filterNot(parentM).map(kindRank)
+      require(ranks == ranks.sorted,
+        s"$ns.$name v${sn.seq} adds manifests in a non-canonical order (data " +
+          "interleaved with delete manifests inside one commit — a replayed " +
+          "multi-sequence foreign snapshot); one Iceberg sequence number per " +
+          "snapshot cannot express it. compact() first, then export")
+    }
+
     snaps.foreach { s =>
       cat.manifestsFull(ns, name, s).foreach { case (rel, isDelete, entries) =>
         if (!manifestMeta.contains(rel)) {
@@ -498,6 +512,34 @@ object IcebergExport {
     s"$h-${rel.stripPrefix("data/").replace('/', '-')}"
   }
 
+  /** Write `df` as exactly ONE parquet file at `target` — the rewrite
+    * plumbing for position-delete / rename-era files (1:1 outputs). The
+    * temp write dir is removed whole, _SUCCESS/checksum litter included.
+    * Returns the written file's size. */
+  private[graft] def writeSingleParquet(df: DataFrame,
+                                          target: Path): Long = {
+    val tmp = Files.createTempDirectory("graft-single-parquet")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"single-file write to $tmp produced no parquet output"))
+        finally st.close()
+      }
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.size(target)
+    } finally {
+      if (Files.isDirectory(tmp)) {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.toList.foreach(f => Files.deleteIfExists(f): Unit)
+        finally st.close()
+        Files.deleteIfExists(tmp): Unit
+      }
+    }
+  }
+
   /** True iff any column in the parquet file's footer schema has the
     * INT96 physical type (the pre-standard timestamp encoding the
     * Iceberg spec rejects — spec §Parquet: timestamps are INT64 micros).
@@ -653,8 +695,18 @@ object IcebergExport {
     // OR-EQUAL sequence (the spec's two rules). Each join's delete side
     // is small, so it broadcasts. Positional identity keys on the file's
     // path relative to the layout's data dir + Spark's own row_index.
-    import org.apache.spark.sql.functions.{col => fcol, substring_index}
-    val dataToken = Paths.get(location, "data").toAbsolutePath.toString + "/"
+    import org.apache.spark.sql.functions.{col => fcol, regexp_replace, substring_index, url_decode}
+    // both sides are URI strings but with potentially different percent-
+    // encodings (java URI in the delete file, Spark's metadata column on
+    // the scan): match on the ENCODED data-dir token, then DECODE both
+    // to one canonical relative form ('+' is literal in URIs — escape it
+    // before URLDecoder's form-decoding would eat it)
+    val dataToken = {
+      val t = Paths.get(location, "data").toAbsolutePath.toUri.getRawPath
+      if (t.endsWith("/")) t else t + "/"
+    }
+    def relOfUri(c: org.apache.spark.sql.Column) =
+      url_decode(regexp_replace(substring_index(c, dataToken, -1), "\\+", "%2B"))
     val parts = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
       val base0 = spark.read.schema(schema).parquet(fs.map(_._1).toSeq: _*)
       val posDels = posDeleteFiles.filter(_._2 >= seq)
@@ -662,11 +714,9 @@ object IcebergExport {
         if (posDels.isEmpty) base0
         else {
           val dp = spark.read.parquet(posDels.map(_._1).toSeq: _*)
-            .select(substring_index(fcol("file_path"), dataToken, -1).as("__f"),
-              fcol("pos").as("__p"))
+            .select(relOfUri(fcol("file_path")).as("__f"), fcol("pos").as("__p"))
           base0
-            .withColumn("__f",
-              substring_index(fcol("_metadata.file_path"), dataToken, -1))
+            .withColumn("__f", relOfUri(fcol("_metadata.file_path")))
             .withColumn("__p", fcol("_metadata.row_index"))
             .join(dp, Seq("__f", "__p"), "left_anti")
             .drop("__f", "__p")

@@ -432,18 +432,8 @@ object IcebergImport {
         val renameMap = df.columns.zip(
           df.columns.map(c => eraTargetFor(footerCols(uri), target, c)))
           .filter(p => p._1 != p._2).toMap
-        val renamed = df.withColumnsRenamed(renameMap)
-        val tmp = Files.createTempDirectory("graft-import-rw")
-        renamed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val s = Files.list(tmp)
-          try s.iterator().asScala.find(_.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(
-              s"rewrite of $uri produced no parquet output"))
-          finally s.close()
-        }
-        Files.move(part, tableRoot.resolve(rel),
-          StandardCopyOption.REPLACE_EXISTING): Unit
+        IcebergExport.writeSingleParquet(
+          df.withColumnsRenamed(renameMap), tableRoot.resolve(rel)): Unit
       }
 
       // position-delete rewrites: map each foreign data-file URI in the
@@ -461,16 +451,8 @@ object IcebergImport {
                 s"position-delete file $uri references $fp, which no imported " +
                   "snapshot carries")), pos)
             }.sortBy(identity).toSeq
-          val tmp = Files.createTempDirectory("graft-import-pd")
-          rows.toDF("file_path", "pos").coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          val part = {
-            val st = Files.list(tmp)
-            try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-            finally st.close()
-          }
-          Files.move(part, tableRoot.resolve(pdRelOf(uri)),
-            StandardCopyOption.REPLACE_EXISTING): Unit
+          IcebergExport.writeSingleParquet(
+            rows.toDF("file_path", "pos"), tableRoot.resolve(pdRelOf(uri))): Unit
         }
       }
 

@@ -289,7 +289,7 @@ object FileTopic {
     (parts(0).toLong, parts(1).toLong)
   }
 
-  private def md5Hex(s: String): String =
+  private[streaming] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

@@ -2,7 +2,6 @@ package graft.streaming
 
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.net.{ServerSocket, Socket}
-import java.nio.charset.StandardCharsets
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -175,10 +174,9 @@ final class TopicServer(topic: FileTopic, port: Int = 0) {
 }
 
 object TopicServer {
-  private[streaming] def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  // one tag-derivation implementation for producer and broker — a
+  // divergence would silently split their dedup key spaces
+  private[streaming] def md5Hex(s: String): String = FileTopic.md5Hex(s)
 }
 
 /** Blocking line-protocol client for [[TopicServer]] — what a remote

@@ -873,6 +873,26 @@ class CatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("not live"))
   }
 
+  test("position deletes survive a warehouse path needing URI encoding " +
+       "(space): _metadata matching is encoding-aware") {
+    // _metadata.file_path is URI-encoded (space -> %20); a raw-path token
+    // would never match and the anti-join would silently drop nothing
+    val wh = Files.createTempDirectory("graft wh enc").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "enc")
+    // with per-file blooms: the stats AND bloom jobs join scanned
+    // input_file_name URIs (percent-encoded) back to raw staged paths
+    cat.commitAppend("ns", "enc", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      bloomCols = Seq("id"))
+    assert(cat.countFastOpt("ns", "enc") === Some(3L),
+      "stats must record under the encoded path")
+    val pos = cat.positionsWhere("ns", "enc",
+      org.apache.spark.sql.functions.col("id") === 2L)
+    assert(pos.count() === 1L, "positionsWhere must resolve under the encoded path")
+    cat.commitDeletePositions("ns", "enc", pos)
+    assert(cat.read("ns", "enc").select("id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("MOR sequence rule: re-append resurrects a deleted key; upsert is one atomic commit") {
     val cat = freshCatalog()
     cat.createTable("ns", "seq")

@@ -192,6 +192,40 @@ class IcebergExportSpec extends SparkSpec {
       base.filter(col("o_orderkey") % 8 === 0).count())
   }
 
+  test("a commit whose manifests interleave data around a delete (replayed " +
+       "multi-sequence foreign snapshot) refuses export — one sequence number " +
+       "cannot express it") {
+    import spark.implicits._
+    val cat = freshCat()
+    cat.createTable("ns", "nc")
+    // land three files by hand: data f1, an equality-delete keyed on id,
+    // data f2 — then pack them NON-canonically (data, delete, data) into
+    // one commit via the MoR unit API. Graft's positional rule reads this
+    // fine (the delete erases only f1's key), but a single Iceberg
+    // sequence number per commit cannot say that.
+    def land(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val target = cat.tablePath("ns", "nc").resolve(rel)
+      IcebergExport.writeSingleParquet(df, target): Unit
+    }
+    land("data/f1.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    land("data/del1.parquet", Seq(Tuple1(1L)).toDF("id"))
+    land("data/f2.parquet", Seq((1L, "a2")).toDF("id", "v"))
+    cat.commitFilesMor("ns", "nc", Seq(
+        (Seq("data/f1.parquet"), graft.catalog.GraftCatalog.UnitData),
+        (Seq("data/del1.parquet"), graft.catalog.GraftCatalog.UnitEqDelete),
+        (Seq("data/f2.parquet"), graft.catalog.GraftCatalog.UnitData)),
+      sourceRegion = "test",
+      schemaJson = Some(Seq((1L, "a")).toDF("id", "v").schema.json))
+    // graft itself reads it correctly: f1's id=1 erased, f2's survives
+    assert(cat.read("ns", "nc").as[(Long, String)].collect().toSet ===
+      Set((2L, "b"), (1L, "a2")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.exportTable(cat, "ns", "nc",
+        Files.createTempDirectory("iceberg-nc").toString)
+    }
+    assert(e.getMessage.contains("non-canonical"))
+  }
+
   test("a crashed export re-runs to completion on the same dest: copies are " +
        "idempotent, metadata is rewritten fresh") {
     val cat = freshCat()

@@ -562,6 +562,81 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * the inspected head: a concurrent commit aborts the backfill
     * loudly instead of being silently dropped. Returns (new head,
     * manifests rewritten). */
+  /** Manifest CONSOLIDATION (Iceberg's `rewrite_manifests`): publish a
+    * new version whose data manifests are merged into ~`targetEntries`-
+    * sized ones while the FILE SET — and every file's stats and blooms —
+    * stays bit-identical. Pure metadata, no data IO. Scan planning reads
+    * one manifest per commit, so a long-lived append-heavy table (50k
+    * appends = 50k manifest opens per plan) needs this the way data
+    * files need compaction; after it the planner touches
+    * ceil(files / targetEntries) manifests.
+    *
+    * Merge-on-read correctness: a delete manifest's MEANING is its list
+    * position (morScan's sequence rule), so consolidation happens only
+    * WITHIN runs of adjacent data manifests between delete manifests —
+    * each file keeps exactly its set of applicable deletes. The publish
+    * is CAS-conditional on the inspected head (a concurrent commit
+    * aborts loudly); a second call is a no-op (returns manifests merged
+    * = 0). Returns (new head or current head, manifests eliminated). */
+  def rewriteManifests(ns: String, name: String, targetEntries: Int = 10000,
+                       maxRetries: Int = 5): (Snapshot, Int) = {
+    require(targetEntries >= 1, s"targetEntries=$targetEntries")
+    val head = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"$ns.$name has no committed versions"))
+    // split the ordered list into runs of data manifests separated by
+    // delete manifests (which are preserved in place)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Either[String, Seq[String]]]
+    head.manifests.foreach { m =>
+      if (isDeleteManifest(m)) runs += Left(m)
+      else runs.lastOption match {
+        case Some(Right(run)) => runs(runs.size - 1) = Right(run :+ m)
+        case _ => runs += Right(Seq(m))
+      }
+    }
+    val newList = scala.collection.mutable.ArrayBuffer.empty[String]
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    var eliminated = 0
+    runs.foreach {
+      case Left(del) => newList += del
+      case Right(run) =>
+        val entries = run.map(m => m -> manifestEntriesFull(ns, name, m))
+        val total = entries.map(_._2.size).sum
+        val wantManifests = math.max(1, (total + targetEntries - 1) / targetEntries)
+        if (wantManifests >= run.size) newList ++= run // already consolidated
+        else {
+          val flat = entries.flatMap(_._2)
+          val chunkSize = math.max(1, (total + wantManifests - 1) / wantManifests)
+          flat.grouped(chunkSize).foreach { chunk =>
+            val rel = writeManifest(ns, name,
+              chunk.map(e => (e.path, e.sizeBytes)),
+              chunk.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap,
+              chunk.filter(_.blooms.nonEmpty).map(e => e.path -> e.blooms).toMap)
+            written += rel
+            newList += rel
+          }
+          eliminated += run.size - math.min(wantManifests, run.size)
+        }
+    }
+    if (eliminated == 0) {
+      written.foreach(dropManifest(ns, name, _))
+      return (head, 0)
+    }
+    try {
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        if (!parent.map(_.commitId).contains(head.commitId))
+          throw new java.util.ConcurrentModificationException(
+            s"rewriteManifests of $ns.$name inspected ${head.commitId} but the head moved")
+        Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}", Some(head.commitId),
+          System.currentTimeMillis(), newList.toSeq,
+          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson)
+      }
+      (snap, eliminated)
+    } catch { case e: Throwable =>
+      written.foreach(dropManifest(ns, name, _))
+      throw e
+    }
+  }
+
   def backfillStats(ns: String, name: String, maxRetries: Int = 5): (Snapshot, Int) = {
     val head = latest(ns, name).getOrElse(
       throw new IllegalStateException(s"$ns.$name has no committed versions"))

@@ -33,7 +33,7 @@ object GraftProcedures {
   private val Names = Seq("compact", "expire_snapshots", "rollback",
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
-    "backfill_stats")
+    "backfill_stats", "rewrite_manifests")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -122,6 +122,13 @@ object GraftProcedures {
           StructField("rewritten_manifests", LongType))),
         { case Seq(ns: String, t: String) =>
           val (snap, n) = cat.backfillStats(ns, t)
+          Seq(Seq(snap.seq, n.toLong)) }))
+      case "rewrite_manifests" => Some(proc("rewrite_manifests",
+        Seq("ns" -> StringType, "tbl" -> StringType, "target_entries" -> LongType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("eliminated_manifests", LongType))),
+        { case Seq(ns: String, t: String, target: java.lang.Long) =>
+          val (snap, n) = cat.rewriteManifests(ns, t, target.intValue())
           Seq(Seq(snap.seq, n.toLong)) }))
       case "sweep_orphan_manifests" => Some(proc("sweep_orphan_manifests",
         Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),

@@ -139,6 +139,14 @@ object CatalogQueries {
           .select(col("o_orderkey"),
             round(-col("o_totalprice"), 2).as("o_totalprice")),
         priceRule, branch = "wap-bad")
+      // manifest-consolidation fixture: three appends = three manifests,
+      // one metadata-only rewrite folds them into one (the planning-cost
+      // control; the data and its stats are untouched)
+      cat.createTable("q", "manifested")
+      (0 to 2).foreach(i => cat.commitAppend("q", "manifested",
+        orders.filter(col("o_orderkey") % 11 === i)
+          .select("o_orderkey", "o_totalprice")))
+      cat.rewriteManifests("q", "manifested"): Unit
       cat.createTable("q", "compacted")
       cat.commitAppend("q", "compacted", orders.filter(col("o_orderkey") % 3 === 2)
         .select("o_orderkey", "o_totalprice").repartition(8))
@@ -360,6 +368,29 @@ object CatalogQueries {
       .select(col("stage"), col("cnt"), col("total_price"),
         col("min_key"), col("max_key"))
       .orderBy(col("stage"))
+  }
+
+  /** Manifest consolidation (Iceberg's rewrite_manifests): three append
+    * commits leave three manifests; one METADATA-ONLY rewrite folds them
+    * into one while the file set, stats and data stay bit-identical —
+    * the driver-planning-cost control a 50k-commit table needs. The
+    * manifest counts are deterministic by construction (3 appends -> 1
+    * consolidated), so the oracle pins them as literals plus the
+    * recomputed aggregate: green = consolidation changed NOTHING about
+    * the data. */
+  private def rewriteManifestsRead: Q = (s, d) => {
+    val cat = fixture(s, d)
+    val before = cat.snapshots("q", "manifested").find(_.seq == 2L).get
+    val head = cat.latest("q", "manifested").get
+    cat.read("q", "manifested")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .withColumn("manifests_before", lit(before.manifests.size.toLong))
+      .withColumn("manifests_after", lit(head.manifests.size.toLong))
+      .select(col("manifests_before"), col("manifests_after"), col("cnt"),
+        col("total_price"), col("min_key"), col("max_key"))
   }
 
   /** POSITION deletes on the live log (Iceberg v2's second delete-file
@@ -601,6 +632,7 @@ object CatalogQueries {
     "cat_upsert"           -> upsertRead,
     "cat_mor_delete"       -> morDelete,
     "cat_mor_positions"    -> morPositions,
+    "cat_rewrite_manifests" -> rewriteManifestsRead,
     "cat_mv_refresh"       -> mvRefresh,
     "cat_changefeed"       -> changefeed,
     "cat_branch_merge"     -> branchMerge,
@@ -640,6 +672,12 @@ object CatalogQueries {
          SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM fin""",
+    "cat_rewrite_manifests" ->
+      """SELECT CAST(3 AS BIGINT) AS manifests_before,
+                CAST(1 AS BIGINT) AS manifests_after,
+                count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 11 IN (0, 1, 2)""",
     "cat_mor_positions" ->
       """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
                      WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0),

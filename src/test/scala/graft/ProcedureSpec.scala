@@ -169,6 +169,24 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.sql(s"CALL $c.system.backfill_stats('m', 't')").head().getLong(1) === 0L)
   }
 
+  test("CALL rewrite_manifests consolidates planning metadata without " +
+       "touching data") {
+    val (cat, c) = register()
+    cat.createTable("m", "rm")
+    (1 to 5).foreach(i => cat.commitAppend("m", "rm",
+      Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(cat.latest("m", "rm").get.manifests.size === 5)
+    val r = spark.sql(s"CALL $c.system.rewrite_manifests('m', 'rm', 10000)").head()
+    assert(r.getLong(1) === 4L, "5 manifests fold into 1")
+    assert(cat.latest("m", "rm").get.manifests.size === 1)
+    assert(spark.sql(s"SELECT count(*) FROM $c.m.rm").head().getLong(0) === 5L)
+    // stats survived the consolidation: metadata count still answers
+    assert(cat.countFastOpt("m", "rm") === Some(5L))
+    // no-op second call
+    assert(spark.sql(s"CALL $c.system.rewrite_manifests('m', 'rm', 10000)")
+      .head().getLong(1) === 0L)
+  }
+
   test("destructive-argument guards: retain_last 0 and 2^32 (int-truncates " +
        "to 0) refuse before touching the log; compact target 0 refuses") {
     val (cat, c) = register()

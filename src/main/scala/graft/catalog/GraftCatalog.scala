@@ -572,23 +572,31 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * ceil(files / targetEntries) manifests.
     *
     * Merge-on-read correctness: a delete manifest's MEANING is its list
-    * position (morScan's sequence rule), so consolidation happens only
-    * WITHIN runs of adjacent data manifests between delete manifests —
-    * each file keeps exactly its set of applicable deletes. The publish
-    * is CAS-conditional on the inspected head (a concurrent commit
-    * aborts loudly); a second call is a no-op (returns manifests merged
-    * = 0). Returns (new head or current head, manifests eliminated). */
+    * position (morScan's sequence rule), so only data manifests AFTER
+    * the last delete manifest consolidate; runs preceding a live delete
+    * are left untouched. (Not merely positional caution: a consolidated
+    * manifest is NEW, so [[IcebergExport]] attributes it the rewrite
+    * snapshot's sequence number — re-manifesting pre-delete data would
+    * advance it past the delete's sequence and the exported table would
+    * resurrect deleted rows; the export guard would refuse the whole
+    * table. compact() clears deletes and unlocks full consolidation.)
+    * The publish is CAS-conditional on the inspected head (a concurrent
+    * commit aborts loudly); a second call is a no-op (returns manifests
+    * merged = 0). Returns (new head or current head, manifests
+    * eliminated). */
   def rewriteManifests(ns: String, name: String, targetEntries: Int = 10000,
                        maxRetries: Int = 5): (Snapshot, Int) = {
     require(targetEntries >= 1, s"targetEntries=$targetEntries")
     val head = latest(ns, name).getOrElse(
       throw new IllegalStateException(s"$ns.$name has no committed versions"))
-    // split the ordered list into runs of data manifests separated by
-    // delete manifests (which are preserved in place)
+    // everything up to (and including) the last delete manifest is
+    // preserved verbatim; only the trailing data run consolidates
+    val lastDelete = head.manifests.lastIndexWhere(isDeleteManifest)
+    val (frozen, tail) = head.manifests.splitAt(lastDelete + 1)
     val runs = scala.collection.mutable.ArrayBuffer.empty[Either[String, Seq[String]]]
-    head.manifests.foreach { m =>
-      if (isDeleteManifest(m)) runs += Left(m)
-      else runs.lastOption match {
+    frozen.foreach(m => runs += Left(m))
+    tail.foreach { m =>
+      runs.lastOption match {
         case Some(Right(run)) => runs(runs.size - 1) = Right(run :+ m)
         case _ => runs += Right(Seq(m))
       }

@@ -128,6 +128,11 @@ object GraftProcedures {
         StructType(Seq(StructField("version", LongType),
           StructField("eliminated_manifests", LongType))),
         { case Seq(ns: String, t: String, target: java.lang.Long) =>
+          // guard the Long->Int narrowing BEFORE it truncates (2^32+k
+          // would silently become k; 2^32 exactly would become 0) —
+          // same convention as expire_snapshots' retain_last
+          require(target >= 1L && target <= Int.MaxValue.toLong,
+            s"rewrite_manifests: target_entries out of range [1, 2^31-1]: $target")
           val (snap, n) = cat.rewriteManifests(ns, t, target.intValue())
           Seq(Seq(snap.seq, n.toLong)) }))
       case "sweep_orphan_manifests" => Some(proc("sweep_orphan_manifests",

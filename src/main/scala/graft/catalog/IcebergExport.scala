@@ -312,27 +312,45 @@ object IcebergExport {
     }
 
     val isDeleteM = scala.collection.mutable.Map.empty[String, Boolean]
-    // one Iceberg sequence number per commit can only express the
-    // CANONICAL intra-commit manifest order — equality deletes, then
-    // data, then position deletes (exactly what every native commit
-    // path produces: commitUpsert's [d, m], commitDeletePositions' [p]).
-    // A foreign-replayed commit that interleaves otherwise (the
-    // commitFilesMor unit packing of a multi-sequence foreign snapshot)
-    // would CHANGE MEANING under the spec's strictly-less /
-    // less-or-equal rules — deleted rows would silently resurrect in
-    // the exported table. Refuse loudly instead.
-    val kindRank: Map[String, Int] = snaps.flatMap(cat.manifestsFull(ns, name, _))
-      .map { case (rel, isDel, _) =>
-        rel -> (if (!isDel) 1 else if (cat.isPosDeleteManifest(rel)) 2 else 0)
+    // REPRESENTABILITY GUARD: graft applies deletes POSITIONALLY (a
+    // delete manifest reaches data manifests earlier in the list),
+    // Iceberg applies them by SEQUENCE NUMBER (strictly-less for
+    // equality deletes, less-or-equal for position deletes), and export
+    // attributes each manifest the sequence of its FIRST-carrying
+    // snapshot. The two semantics agree iff, in every exported
+    // snapshot's list, positional applicability matches the sequence
+    // rule for every (data, delete) manifest pair. Histories every
+    // native commit path builds always pass; what fails — loudly, never
+    // silently — is a list whose positions contradict its sequences:
+    // a commitFilesMor replay that packs a multi-sequence foreign
+    // snapshot into one commit with data around a delete, or a
+    // consolidation that re-manifests pre-delete data at a post-delete
+    // sequence (rewriteManifests refuses to create those, but a foreign
+    // state could arrive committed). Deleted rows would otherwise
+    // resurrect in the exported table.
+    locally {
+      val kindOf: Map[String, Int] = manifestsByRel.map { case (rel, m) =>
+        rel -> (if (!m._2) 1 else if (cat.isPosDeleteManifest(rel)) 2 else 0)
       }.toMap
-    snaps.zipWithIndex.foreach { case (sn, i) =>
-      val parentM = if (i == 0) Set.empty[String] else snaps(i - 1).manifests.toSet
-      val ranks = sn.manifests.filterNot(parentM).map(kindRank)
-      require(ranks == ranks.sorted,
-        s"$ns.$name v${sn.seq} adds manifests in a non-canonical order (data " +
-          "interleaved with delete manifests inside one commit — a replayed " +
-          "multi-sequence foreign snapshot); one Iceberg sequence number per " +
-          "snapshot cannot express it. compact() first, then export")
+      snaps.foreach { sn =>
+        val indexed = sn.manifests.zipWithIndex
+        for {
+          (d, dp) <- indexed if kindOf(d) != 1
+          (m, mp) <- indexed if kindOf(m) == 1
+        } {
+          val positional = mp < dp
+          val seqM = addedBy(m).seq
+          val seqD = addedBy(d).seq
+          val bySequence =
+            if (kindOf(d) == 2) seqM <= seqD else seqM < seqD
+          require(positional == bySequence,
+            s"$ns.$name v${sn.seq}: the positional delete semantics of this " +
+              s"manifest list cannot be expressed with Iceberg sequence numbers " +
+              s"(data manifest $m @pos $mp seq $seqM vs delete manifest $d " +
+              s"@pos $dp seq $seqD) — exporting would change which rows are " +
+              "deleted. compact() first, then export")
+        }
+      }
     }
 
     snaps.foreach { s =>
@@ -531,12 +549,17 @@ object IcebergExport {
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
       Files.size(target)
     } finally {
-      if (Files.isDirectory(tmp)) {
-        val st = Files.list(tmp)
-        try st.iterator().asScala.toList.foreach(f => Files.deleteIfExists(f): Unit)
-        finally st.close()
-        Files.deleteIfExists(tmp): Unit
+      // recursive, throw-safe cleanup: a failed Spark write can leave
+      // _temporary/ SUBDIRS behind, and an exception here must never
+      // mask the original failure the caller needs to see
+      def rm(px: Path): Unit = {
+        if (Files.isDirectory(px)) {
+          val st = Files.list(px)
+          try st.iterator().asScala.toList.foreach(rm) finally st.close()
+        }
+        Files.deleteIfExists(px): Unit
       }
+      try rm(tmp) catch { case _: Exception => () }
     }
   }
 

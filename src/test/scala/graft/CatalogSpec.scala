@@ -873,8 +873,8 @@ class CatalogSpec extends SparkSpec {
     assert(e2.getMessage.contains("not live"))
   }
 
-  test("rewriteManifests consolidates data manifests, preserves delete-run " +
-       "positions, stats and blooms; idempotent; aborts on a moved head") {
+  test("rewriteManifests consolidates the export-safe tail, preserves " +
+       "pre-delete manifests verbatim, carries stats and blooms, no-ops twice") {
     val cat = freshCatalog()
     cat.createTable("ns", "rm")
     // 4 appends -> 4 data manifests; a MoR delete; 2 more appends
@@ -889,28 +889,43 @@ class CatalogSpec extends SparkSpec {
     assert(expected.map(_._1) === Set(1L, 3L, 4L, 5L, 6L))
 
     val (after, eliminated) = cat.rewriteManifests("ns", "rm")
-    // pre-delete run (4 -> 1) + post-delete run (2 -> 1): 4 eliminated
-    assert(eliminated === 4)
-    assert(after.manifests.size === 3)
-    // the delete manifest keeps its position BETWEEN the runs, so the
-    // sequence rule still erases id=2 but not the later appends
+    // ONLY the trailing run behind the last delete consolidates (2 -> 1);
+    // the pre-delete run must stay verbatim — a consolidated manifest is
+    // NEW and would take the rewrite snapshot's export sequence, which
+    // post-dates the delete's (exported deleted rows would resurrect)
+    assert(eliminated === 1)
+    assert(after.manifests.size === 6)
+    assert(after.manifests.take(5) === before.manifests.take(5),
+      "everything up to the last delete manifest is preserved verbatim")
     assert(cat.read("ns", "rm").as[(Long, String)].collect().toSet === expected)
     assert(cat.deleteFileEntries("ns", "rm", after).nonEmpty)
-    // same FILE set, stats intact (countFast still metadata-refused only
-    // because of the delete; the underlying row stats survive), blooms
-    // carried (spot-check: a manifest entry still has them)
     assert(cat.dataFiles("ns", "rm", after).toSet ===
       cat.dataFiles("ns", "rm", before).toSet)
-    // old versions untouched
+    // old versions untouched; idempotent
     assert(cat.readVersion("ns", "rm", 3).count() === 4)
-    // idempotent: nothing left to merge
     val (again, n2) = cat.rewriteManifests("ns", "rm")
     assert(n2 === 0)
     assert(again.seq === after.seq)
-    // concurrent head move aborts loudly: simulate by passing target=1
-    // after an append lands mid-inspection — direct check of the
-    // conditional publish via a stale head is covered by the CAS guard;
-    // here assert the clean-table behavior instead
+    // the rewritten table still EXPORTS and round-trips (the pairwise
+    // position/sequence guard passes on the safe consolidation)
+    val dest = Files.createTempDirectory("rm-export").toString
+    graft.catalog.IcebergExport.exportTable(cat, "ns", "rm", dest): Unit
+    assert(graft.catalog.IcebergExport.readExported(spark, dest)
+      .as[(Long, String)].collect().toSet === expected)
+
+    // a CLEAN table (no deletes) consolidates fully — and BLOOMS carry:
+    // the point lookup still prunes to one file after consolidation
+    cat.createTable("ns", "rmb")
+    (1 to 4).foreach(i => cat.commitAppend("ns", "rmb",
+      Seq((i.toLong * 10, s"b$i")).toDF("id", "v"), bloomCols = Seq("id")))
+    val (_, nb) = cat.rewriteManifests("ns", "rmb")
+    assert(nb === 3, "4 data manifests fold into 1 on a clean table")
+    assert(cat.countFastOpt("ns", "rmb") === Some(4L), "row stats carried")
+    val point = cat.readWhereEquals("ns", "rmb", "id", "20")
+    assert(point.inputFiles.length === 1,
+      s"blooms must survive consolidation: read ${point.inputFiles.length} files")
+    assert(point.as[(Long, String)].collect().toSeq === Seq((20L, "b2")))
+    // single manifest is a no-op
     cat.createTable("ns", "rm2")
     cat.commitAppend("ns", "rm2", Seq((1L, "x")).toDF("id", "v"))
     val (same, zero) = cat.rewriteManifests("ns", "rm2")

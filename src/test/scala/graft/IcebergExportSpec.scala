@@ -223,7 +223,29 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.exportTable(cat, "ns", "nc",
         Files.createTempDirectory("iceberg-nc").toString)
     }
-    assert(e.getMessage.contains("non-canonical"))
+    assert(e.getMessage.contains("sequence numbers"))
+  }
+
+  test("a rollback past a replace re-exports cleanly: the position/sequence " +
+       "guard keys on FIRST-carrying snapshots, not the immediate parent") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    cat.createTable("ns", "rb")
+    cat.commitAppend("ns", "rb", orders.filter(col("o_orderkey") % 6 === 0)) // v0
+    cat.commitDelete("ns", "rb",
+      orders.filter(col("o_orderkey") % 12 === 0).select("o_orderkey"))      // v1
+    cat.commitAppend("ns", "rb", orders.filter(col("o_orderkey") % 6 === 1)) // v2
+    cat.compact("ns", "rb", targetFileBytes = 256L * 1024 * 1024)            // v3
+    cat.rollbackTo("ns", "rb", 2L)                                           // v4 = v2's list
+    val dest = Files.createTempDirectory("iceberg-rb").toString
+    // the rolled-back head re-lists manifests its immediate parent (the
+    // compacted v3) does not carry — a parent-diff guard would refuse a
+    // perfectly expressible table here
+    IcebergExport.exportTable(cat, "ns", "rb", dest): Unit
+    val back = IcebergExport.readExported(spark, dest)
+    val viaCat = cat.read("ns", "rb")
+    assert(back.count() === viaCat.count())
+    assert(back.exceptAll(viaCat).count() === 0L)
   }
 
   test("a crashed export re-runs to completion on the same dest: copies are " +

@@ -645,6 +645,128 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** File-granular COPY-ON-WRITE commit — the publish half of a SQL
+    * row-level operation (UPDATE / MERGE / subquery DELETE): atomically
+    * swap `removed` data files for already-landed `added` files in ONE
+    * new version. Every untouched manifest is carried verbatim (stats
+    * and blooms intact); a manifest that loses entries is re-written
+    * with its SURVIVING entries in the same list position, so
+    * merge-on-read delete semantics are preserved — survivors keep
+    * exactly their applicable deletes, and the added manifest lands
+    * LAST, after every delete manifest, so no historical delete applies
+    * to freshly-rewritten rows (which were scanned WITH deletes
+    * applied). Position-delete entries naming a removed file become
+    * inert (they match nothing), reclaimed by the next compact.
+    *
+    * Concurrency: conditional on `expectedHeadCommitId` — the head the
+    * operation's scan planned against. Any interleaved commit aborts
+    * loudly ([[java.util.ConcurrentModificationException]]); the caller
+    * re-plans (re-scan, re-write) rather than publishing lost updates.
+    * At 100 TB this is the Iceberg COW contract: an UPDATE touching k
+    * files costs O(k) file rewrites + O(manifests) metadata, never a
+    * table rewrite. */
+  def commitRewriteFiles(ns: String, name: String,
+                         expectedHeadCommitId: String,
+                         removed: Set[String],
+                         added: Seq[(String, Long)],
+                         addedStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                         sourceRegion: String = "local",
+                         commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    val dup = added.map(_._1).diff(added.map(_._1).distinct)
+    require(dup.isEmpty, s"duplicate added paths: ${dup.take(3).mkString(", ")}")
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      var committedSet: Set[String] = Set.empty
+      // ONE attempt: the expectedHead condition is the whole retry
+      // policy — a lost race means the scanned rows are stale and only
+      // the CALLER can re-derive them
+      val snap = casCommit(ns, name, maxRetries = 1) { parent =>
+        val p = parent.getOrElse(throw new IllegalStateException(
+          s"$ns.$name has no committed versions"))
+        if (p.commitId != expectedHeadCommitId)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level operation on $ns.$name planned against commit " +
+              s"$expectedHeadCommitId but the head is ${p.commitId} " +
+              s"(v${p.seq}) — re-run the operation")
+        val parentData = dataFiles(ns, name, p).toSet
+        val missing = removed.diff(parentData)
+        require(missing.isEmpty, s"commitRewriteFiles($ns.$name): removed " +
+          s"files not in head: ${missing.take(3).mkString(", ")}")
+        var removedBytes = 0L
+        val rebuilt = p.manifests.flatMap { m =>
+          if (isDeleteManifest(m)) Some(m)
+          else {
+            val entries = manifestEntriesFull(ns, name, m)
+            val (gone, kept) = entries.partition(e => removed(e.path))
+            if (gone.isEmpty) Some(m)
+            else {
+              removedBytes += gone.map(_.sizeBytes).sum
+              if (kept.isEmpty) None
+              else {
+                val rel = writeManifest(ns, name,
+                  kept.map(e => (e.path, e.sizeBytes)),
+                  kept.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap,
+                  kept.filter(_.blooms.nonEmpty).map(e => e.path -> e.blooms).toMap)
+                written += rel
+                Some(rel)
+              }
+            }
+          }
+        }
+        val newManifest =
+          if (added.isEmpty) None
+          else {
+            val rel = writeManifest(ns, name, added, addedStats)
+            written += rel
+            Some(rel)
+          }
+        committedSet = (parentData -- removed) ++ added.map(_._1)
+        Snapshot(p.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(p.commitId), System.currentTimeMillis(),
+          rebuilt ++ newManifest, sourceRegion,
+          p.fileCount - removed.size + added.size,
+          p.totalBytes - removedBytes + added.map(_._2).sum,
+          p.schemaJson)
+      }
+      latestFileSet.put((ns, name), (snap.commitId, committedSet))
+      snap
+    } catch { case e: Throwable =>
+      written.foreach(dropManifest(ns, name, _))
+      throw e
+    }
+  }
+
+  /** Merge-on-read scan RESTRICTED to a data-file subset: `files` are
+    * read with exactly their applicable delete files applied (list-
+    * position rule, same as a full read). The read half of a COW
+    * row-level operation — the candidate files, deletes applied, whose
+    * rewritten rows [[commitRewriteFiles]] then swaps in. */
+  private[catalog] def readFilesMor(ns: String, name: String, snap: Snapshot,
+                                    files: Set[String]): DataFrame =
+    morScan(ns, name, snap, e => files(e.path))
+
+  /** [[readFilesMor]] carrying row LINEAGE — `_file` (manifest-relative
+    * data file) and `_pos` (ordinal within it) columns, the Iceberg
+    * metadata-column habit. What a row-level operation's scan reads:
+    * the lineage uniquely identifies each scanned row (MERGE's
+    * cardinality check, future delta writes). */
+  private[catalog] def readFilesMorLineage(ns: String, name: String, snap: Snapshot,
+                                           files: Set[String]): DataFrame =
+    morScan(ns, name, snap, e => files(e.path), carryPosition = true)
+      .withColumnRenamed("__graft_file", "_file")
+      .withColumnRenamed("__graft_pos", "_pos")
+
+  /** The LATEST version with lineage columns — serves `SELECT _file,
+    * _pos FROM t` through the SQL catalog's metadata-column surface. */
+  private[catalog] def readWithLineage(ns: String, name: String): DataFrame =
+    latest(ns, name) match {
+      case Some(s) => readFilesMorLineage(ns, name, s,
+        dataFiles(ns, name, s).toSet)
+      case None => spark.emptyDataFrame
+    }
+
   def backfillStats(ns: String, name: String, maxRetries: Int = 5): (Snapshot, Int) = {
     val head = latest(ns, name).getOrElse(
       throw new IllegalStateException(s"$ns.$name has no committed versions"))

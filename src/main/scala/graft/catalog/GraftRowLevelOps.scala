@@ -1,0 +1,372 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL row-level operations (UPDATE / MERGE INTO / subquery DELETE) for
+  * graft tables — Spark's `SupportsRowLevelOperations` contract,
+  * implemented GROUP-BASED (copy-on-write) at FILE granularity, the
+  * public Iceberg-Spark COW design:
+  *
+  *  1. the operation's SCAN receives the command's condition as pushed
+  *     filters and uses them for FILE pruning ONLY (manifest min/max
+  *     bounds + blooms — never row filtering: a matched file's
+  *     non-matching rows must flow through the rewrite unchanged);
+  *     candidate files are read merge-on-read (deletes applied);
+  *  2. Spark's rewrite plan computes the replacement rows (updated +
+  *     untouched for UPDATE, survivors for DELETE, merged + inserted
+  *     for MERGE) and hands them to the WRITE, whose tasks stage
+  *     parquet directly via [[RowParquetWriter]] — per-file manifest
+  *     stats tracked in-line, zero post-hoc stats job;
+  *  3. commit is ONE atomic [[GraftCatalog.commitRewriteFiles]]
+  *     conditional on the head the scan planned against — a concurrent
+  *     commit aborts the statement loudly instead of losing updates.
+  *
+  * At 100 TB: an UPDATE whose predicate the manifests can bound (data
+  * clustered on the predicate column, or bloom-indexed keys) rewrites
+  * only the k files that might match — O(k) data IO, one metadata
+  * commit, never a table rewrite. Reference basis: the reference's
+  * catalog commits whole-file units (FileAction in
+  * legacy/modules/domain); this is that unit model driving Spark's
+  * row-level SQL. */
+private[catalog] final class GraftRowLevelContext(val cat: GraftCatalog,
+                                                  val ns: String,
+                                                  val name: String) {
+  def spark: SparkSession = cat.spark
+  def tableDirAbs: String =
+    java.nio.file.Paths.get(cat.warehouse, ns, name).toAbsolutePath.toString
+}
+
+private[catalog] final class GraftCowOperationBuilder(ctx: GraftRowLevelContext,
+                                                      info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation = new GraftCowOperation(ctx, info.command())
+}
+
+/** One SQL statement's operation instance — Spark shares it between the
+  * scan and the write, which is exactly the channel the candidate file
+  * set and the planned-against head travel through. */
+private[catalog] final class GraftCowOperation(ctx: GraftRowLevelContext,
+                                               cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Set at scan build: (head commitId planned against — None for a
+    * version-less table — and the candidate data-file set). */
+  @volatile private[catalog] var planned: Option[(Option[String], Set[String])] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftCow[$cmd ${ctx.ns}.${ctx.name}]"
+
+  /** Row lineage — CRITICAL beyond its uses (MERGE cardinality check):
+    * with no metadata attributes Spark's ReplaceDataExec takes the
+    * plain writing task, which hands writers the UNPROJECTED rewrite
+    * rows (leading `__row_operation` column included). Declaring
+    * lineage forces the projecting task, so the writer receives clean
+    * table rows and the (nullified-on-update) lineage separately. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(ctx, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftCowWrite(ctx, GraftCowOperation.this, info.schema())
+    }
+}
+
+/** The operation's read side. Filters prune FILES (conservatively, via
+  * the same manifest bounds/bloom arithmetic as readWhereAll /
+  * readWhereEquals); they are reported fully pushed and NEVER applied
+  * to rows — the group-based rewrite's own projection re-evaluates the
+  * condition, and a row filter here would silently drop a matched
+  * file's unmatched rows from the rewrite (data loss). */
+private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
+                                                 op: GraftCowOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val snap = ctx.cat.latest(ctx.ns, ctx.name)
+  private val tableSchema: StructType =
+    snap.flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(StructType(Seq.empty))
+
+  private var filters: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    Array.empty // fully consumed — as GROUP filters, see class doc
+  }
+  override def pushedFilters(): Array[Filter] = filters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val dtOf: String => Option[DataType] =
+      c => tableSchema.fields.find(_.name == c).map(_.dataType)
+    val cands: Set[String] = snap match {
+      case None => Set.empty
+      case Some(s) =>
+        ctx.cat.manifestsFull(ctx.ns, ctx.name, s).iterator
+          .filterNot(_._2) // data manifests only
+          .flatMap(_._3)
+          .filter(e => filters.forall(f => CowPruning.mightMatch(e, f, dtOf)))
+          .map(_.path).toSet
+    }
+    op.planned = Some((snap.map(_.commitId), cands))
+    val requiredNames = required.fieldNames.toSeq
+    val sn = snap
+    new GraftCowScan(required, () => sn match {
+      case Some(s) =>
+        ctx.cat.readFilesMorLineage(ctx.ns, ctx.name, s, cands)
+          .select(requiredNames.map(col): _*)
+      case None =>
+        ctx.spark.createDataFrame(
+          ctx.spark.sparkContext.emptyRDD[Row], required)
+    })
+  }
+}
+
+/** The COW read as a LOGICAL plan carrier. Spark plans row-level
+  * operation scans straight to `BatchScanExec` (no V1 bridge), but the
+  * read we want is the catalog's own merge-on-read DataFrame plan —
+  * parquet scans + positional delete anti-joins, whole-stage-codegen'd
+  * and AQE-planned like any native read. So this Scan never executes:
+  * [[GraftCowScanSubstitution]] splices `inner`'s analyzed plan in
+  * during optimization (rooted onto the relation's attribute ids). */
+private[catalog] final class GraftCowScan(required: StructType,
+                                          inner: () => org.apache.spark.sql.DataFrame)
+    extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = "GraftCowScan"
+  // the OPTIMIZED plan: the substitution batch runs after the main
+  // optimizer, so an analyzed subtree would keep RuntimeReplaceable
+  // expressions (url_decode in the lineage scan) that physical planning
+  // cannot execute — optimizing the fragment independently runs the
+  // full rule set over it exactly once
+  private[graft] def innerPlan(): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    inner().queryExecution.optimizedPlan
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalStateException(
+      "GraftCowScan executed directly — the GraftCowScanSubstitution " +
+        "optimizer rule is not installed in this session (it is added by " +
+        "GraftSparkCatalog.initialize; re-register the catalog)")
+}
+
+/** Late optimizer rule: replace every [[GraftCowScan]] relation with its
+  * inner merge-on-read logical plan, re-rooted onto the relation's
+  * output attribute ids. Installed idempotently into
+  * `spark.experimental.extraOptimizations` by GraftSparkCatalog — that
+  * batch runs AFTER the row-level scan-planning rule created the
+  * relation, and before physical planning. */
+private[graft] object GraftCowScanSubstitution
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case rel: DataSourceV2ScanRelation if rel.scan.isInstanceOf[GraftCowScan] =>
+      val inner = rel.scan.asInstanceOf[GraftCowScan].innerPlan()
+      require(inner.output.size == rel.output.size,
+        s"GraftCowScan arity mismatch: ${inner.output.size} vs ${rel.output.size}")
+      // position-aligned by construction (the scan selected readSchema's
+      // columns in order); reusing the relation's exprIds keeps every
+      // reference above resolved
+      Project(rel.output.zip(inner.output).map { case (o, i) =>
+        Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, inner)
+  }
+}
+
+/** Conservative file-level predicate evaluation over a manifest entry:
+  * true = the file MIGHT hold a matching row (must be read/rewritten),
+  * false = provably cannot. Untranslatable shapes and missing stats
+  * always keep the file; bounds/bloom arithmetic mirrors readWhereAll /
+  * readWhereEquals (cast-to-string forms, numeric re-parse). */
+private[catalog] object CowPruning {
+
+  def mightMatch(e: GraftCatalog#ManifestEntry, f: Filter,
+                 dtOf: String => Option[DataType]): Boolean = {
+    def numeric(c: String) = dtOf(c).exists(_.isInstanceOf[NumericType])
+    def lt(c: String)(a: String, b: String): Boolean =
+      if (numeric(c)) BigDecimal(a) < BigDecimal(b) else a < b
+
+    // bounds verdicts — true on any doubt (no stats, unparseable)
+    def bounds(c: String)(keep: (String, String) => Boolean): Boolean =
+      e.stats.get(c) match {
+        case Some((mn, mx)) =>
+          try keep(mn, mx) catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    def point(c: String, v: Any): Boolean = {
+      if (v == null) return false // = NULL matches no row (ternary logic)
+      val s = v.toString
+      val boundsOk = bounds(c)((mn, mx) => !lt(c)(s, mn) && !lt(c)(mx, s))
+      def bloomOk = e.blooms.get(c) match {
+        case Some(b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          GraftCatalog.bloomPositions(s)
+            .forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+        case None => true
+      }
+      boundsOk && bloomOk
+    }
+    def cmpV(v: Any)(keep: (String, String, String) => Boolean)(c: String): Boolean =
+      if (v == null) false
+      else bounds(c)((mn, mx) => keep(v.toString, mn, mx))
+
+    f match {
+      case sources.EqualTo(a, v)       => point(a, v)
+      case sources.EqualNullSafe(a, v) => if (v == null) true else point(a, v)
+      // keep iff some row can be strictly above/below the probe
+      case sources.GreaterThan(a, v)        => cmpV(v)((s, _, mx) => lt(a)(s, mx))(a)
+      case sources.GreaterThanOrEqual(a, v) => cmpV(v)((s, _, mx) => !lt(a)(mx, s))(a)
+      case sources.LessThan(a, v)           => cmpV(v)((s, mn, _) => lt(a)(mn, s))(a)
+      case sources.LessThanOrEqual(a, v)    => cmpV(v)((s, mn, _) => !lt(a)(s, mn))(a)
+      case sources.In(a, vs) => vs.nonEmpty && vs.exists(v => point(a, v))
+      case sources.StringStartsWith(a, p) if dtOf(a).contains(StringType) =>
+        // ASCII-only guard: manifest bounds compare as Java strings
+        // (UTF-16) while Spark orders UTF-8 bytes — identical on ASCII,
+        // not beyond, so only prune when everything involved is ASCII
+        e.stats.get(a) match {
+          case Some((mn, mx)) if isAscii(p) && isAscii(mn) && isAscii(mx) =>
+            val upper = // least string above every p-prefixed string
+              if (p.isEmpty) None
+              else Some(p.init + (p.last + 1).toChar)
+            !(mx < p) && upper.forall(u => mn < u)
+          case _ => true
+        }
+      case sources.And(l, r) => mightMatch(e, l, dtOf) && mightMatch(e, r, dtOf)
+      case sources.Or(l, r)  => mightMatch(e, l, dtOf) || mightMatch(e, r, dtOf)
+      case sources.AlwaysFalse() => false
+      case _ => true // IsNull/IsNotNull/Not/unknown: cannot prune
+    }
+  }
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+}
+
+/** Per-task staged files: (manifest-relative path, size bytes, manifest
+  * stats incl. the reserved `__rows` count). */
+private[catalog] case class GraftCowFilesMessage(
+    files: Seq[(String, Long, Map[String, (String, String)])])
+  extends WriterCommitMessage
+
+/** The operation's write side: stage replacement files, then ONE
+  * conditional metadata commit. */
+private[catalog] final class GraftCowWrite(ctx: GraftRowLevelContext,
+                                           op: GraftCowOperation,
+                                           writeSchema: StructType)
+    extends Write with BatchWrite {
+
+  override def description(): String = op.description()
+  override def toBatch: BatchWrite = this
+
+  // one staging dir per statement — the same layout commitAppend's
+  // staging uses, so gc/orphan heuristics treat aborted leftovers
+  // identically
+  private val stagingRel = s"data/cow-${UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val tableSchema = ctx.cat.tableSchema(ctx.ns, ctx.name)
+    // catalogString = names + types, nullability-insensitive
+    require(tableSchema.forall(t => writeSchema.catalogString == t.catalogString),
+      s"row-level write schema ${writeSchema.simpleString} does not match " +
+        s"table schema ${tableSchema.map(_.simpleString).getOrElse("<none>")}")
+    new GraftCowWriterFactory(ctx.tableDirAbs, stagingRel, writeSchema.json,
+      new SerializableConfiguration(ctx.spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (head, cands) = op.planned.getOrElse(throw new IllegalStateException(
+      s"${op.description()}: write committed without a planned scan"))
+    val files = messages.toSeq
+      .collect { case m: GraftCowFilesMessage => m.files }.flatten
+    if (cands.isEmpty && files.isEmpty) return // matched nothing: no version
+    head match {
+      case Some(h) =>
+        ctx.cat.commitRewriteFiles(ctx.ns, ctx.name, h, cands,
+          files.map(f => (f._1, f._2)),
+          files.map(f => f._1 -> f._3).toMap): Unit
+      case None =>
+        // version-less table (pre-SQL legacy): nothing to remove, the
+        // inserted rows append as a first files-commit
+        require(cands.isEmpty, "no head but candidates present")
+        ctx.cat.commitFiles(ctx.ns, ctx.name, files.map(_._1), "local",
+          schemaJson = Some(writeSchema.json)): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(ctx.tableDirAbs)
+      .getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${ctx.tableDirAbs}/$stagingRel"),
+      true): Unit
+  }
+}
+
+private[catalog] final class GraftCowWriterFactory(tableDirAbs: String,
+                                                   stagingRel: String,
+                                                   schemaJson: String,
+                                                   conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftCowDataWriter(tableDirAbs, stagingRel, partitionId, taskId,
+      schemaJson, conf)
+}
+
+/** One task's writer: lazily opens a single parquet file on the first
+  * row, so the (common at scale) empty partitions of a sparse rewrite
+  * cost nothing. Task-attempt isolation comes from the taskId in the
+  * file name + Spark's output commit coordinator; files from attempts
+  * that never reached commit are unreferenced and fall to the orphan
+  * sweep. */
+private[catalog] final class GraftCowDataWriter(tableDirAbs: String,
+                                                stagingRel: String,
+                                                partitionId: Int,
+                                                taskId: Long,
+                                                schemaJson: String,
+                                                conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+
+  private lazy val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private var rel: String = _
+  private var w: RowParquetWriter = _
+
+  override def write(row: InternalRow): Unit = {
+    if (w == null) {
+      rel = s"$stagingRel/part-$partitionId-$taskId.parquet"
+      w = new RowParquetWriter(s"$tableDirAbs/$rel", schema, conf.value)
+    }
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (w == null) GraftCowFilesMessage(Nil)
+    else {
+      val (size, _, stats) = w.close()
+      w = null
+      GraftCowFilesMessage(Seq((rel, size, stats)))
+    }
+
+  override def abort(): Unit = if (w != null) { w.abort(); w = null }
+  override def close(): Unit = ()
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -73,6 +73,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     warehouse = options.get("warehouse")
     require(warehouse != null,
       s"spark.sql.catalog.$name.warehouse must point at a graft warehouse")
+    // row-level SQL (UPDATE/MERGE/subquery DELETE) needs the COW scan
+    // substitution rule in the session's optimizer — idempotent (one
+    // shared rule object), and experimental.extraOptimizations is the
+    // one injection point that still works on an already-built session
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(GraftCowScanSubstitution))
+        exp.extraOptimizations = exp.extraOptimizations :+ GraftCowScanSubstitution
+    }
   }
 
   override def name(): String = catalogName
@@ -191,12 +200,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // read is DEFERRED so metadata-served statements (count/min/max
     // pushdown, DDL) never touch a data file
     val schema = cat.tableSchema(ns, t).getOrElse(cat.read(ns, t).schema)
-    new GraftV2Table(s"$catalogName.$ns.$t", () => cat.read(ns, t), schema,
+    new GraftRowLevelTable(s"$catalogName.$ns.$t", () => cat.read(ns, t), schema,
       insert = Some(insertInto(ns, t)), delete = Some(deleteWhereIn(ns, t)),
       // metadata aggregates are only authoritative for the LATEST
       // version — time-travel loads don't get them
       meta = Some(GraftMetaAggs(
-        () => cat.countFastOpt(ns, t), c => cat.minMaxFast(ns, t, c))))
+        () => cat.countFastOpt(ns, t), c => cat.minMaxFast(ns, t, c))),
+      rowLevel = new GraftRowLevelContext(cat, ns, t))
   }
 
   /** VERSION AS OF <seq> */
@@ -340,7 +350,8 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
                                     tableSchema: StructType,
                                     insert: Option[(DataFrame, Boolean) => Unit] = None,
                                     delete: Option[Column => Unit] = None,
-                                    meta: Option[GraftMetaAggs] = None)
+                                    meta: Option[GraftMetaAggs] = None,
+                                    metaThunk: Option[() => DataFrame] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
@@ -370,7 +381,7 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dfThunk, tableSchema, meta)
+    new GraftScanBuilder(dfThunk, tableSchema, meta, metaThunk)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -390,9 +401,54 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
     }
 }
 
+/** The latest-version writable table, which additionally speaks Spark's
+  * row-level SQL (UPDATE / MERGE INTO / subquery DELETE) — group-based
+  * copy-on-write at file granularity, see [[GraftCowOperation]]. A
+  * SEPARATE subclass rather than a capability flag because advertising
+  * `SupportsRowLevelOperations` changes how the analyzer routes DELETE
+  * for every instance — time-travel and metadata tables must keep
+  * their plain read-only analysis errors. (Simple DELETEs still take
+  * the metadata path: Spark's optimizer converts a rewrite back to
+  * `deleteWhere` when every filter translates.) */
+private[catalog] final class GraftRowLevelTable(
+    tableName: String, dfThunk: () => DataFrame, tableSchema: StructType,
+    insert: Option[(DataFrame, Boolean) => Unit],
+    delete: Option[Column => Unit],
+    meta: Option[GraftMetaAggs],
+    rowLevel: GraftRowLevelContext)
+  extends GraftV2Table(tableName, dfThunk, tableSchema, insert, delete, meta,
+    metaThunk = Some(() =>
+      rowLevel.cat.readWithLineage(rowLevel.ns, rowLevel.name)))
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new GraftCowOperationBuilder(rowLevel, info)
+
+  /** Row lineage, the Iceberg `_file`/`_pos` habit — served by the
+    * scan's lineage thunk for plain SELECTs and REQUIRED by the COW
+    * operation (see GraftCowOperation.requiredMetadataAttributes). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    GraftMetaColumn("_file", org.apache.spark.sql.types.StringType,
+      "manifest-relative data file holding the row"),
+    GraftMetaColumn("_pos", org.apache.spark.sql.types.LongType,
+      "row ordinal within _file"))
+}
+
+private[catalog] case class GraftMetaColumn(colName: String,
+                                            colType: org.apache.spark.sql.types.DataType,
+                                            colComment: String)
+    extends MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): org.apache.spark.sql.types.DataType = colType
+  override def isNullable: Boolean = true // nullified on UPDATE/INSERT rows
+  override def comment(): String = colComment
+}
+
 private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
                                         tableSchema: StructType,
-                                        meta: Option[GraftMetaAggs] = None)
+                                        meta: Option[GraftMetaAggs] = None,
+                                        metaThunk: Option[() => DataFrame] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -467,7 +523,13 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
     // the metadata-served branch must not force the lazy df (it would
     // resolve data paths a metadata answer never needs)
     val inner = aggResult.getOrElse {
-      val inner0 = pushed.foldLeft(df)((d, f) =>
+      // a scan referencing the lineage metadata columns reads through
+      // the lineage thunk (position-carrying MoR scan) instead
+      val base =
+        if (requiredNames.exists(n => n == "_file" || n == "_pos"))
+          metaThunk.map(_()).getOrElse(df)
+        else df
+      val inner0 = pushed.foldLeft(base)((d, f) =>
         GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
       // a fully-pruned scan (count(*)) selects ZERO columns — legal: the
       // rdd yields empty Rows, preserving only the row count

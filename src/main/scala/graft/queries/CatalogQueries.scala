@@ -595,6 +595,50 @@ object CatalogQueries {
   // leave a half-created table that poisons every retry (the map only
   // records a warehouse once the whole round trip succeeded)
   private val sqlProcWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sqlRowLevelWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** SQL row-level operations end-to-end: UPDATE, MERGE INTO (matched
+    * update + not-matched insert), and a subquery DELETE — each one
+    * atomic copy-on-write version through SupportsRowLevelOperations —
+    * then read the final state back. The mutations run ONCE per sf dir
+    * (the warehouse memo is path-valued, so later sessions re-read the
+    * committed files); the oracle recomputes the same final state
+    * declaratively from the raw parquet. */
+  private def sqlRowLevel: Q = (s, d) => {
+    val wh = sqlRowLevelWarehouses.getOrElseUpdate(d, {
+      val w = Files.createTempDirectory("graft-sqlrl-wh").toString
+      val cat = new GraftCatalog(s, w)
+      val orders = Tables.orders(s, d)
+      cat.createTable("q", "rl")
+      cat.commitAppend("q", "rl", orders.filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey")))
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+      s.sql(s"UPDATE $c.q.rl SET o_totalprice = o_totalprice + 100 " +
+        "WHERE o_orderkey % 3 = 0").collect(): Unit
+      orders.filter((col("o_orderkey") % 4).isin(0L, 2L) &&
+          col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), lit(50.0).as("delta"))
+        .createOrReplaceTempView("rl_src")
+      s.sql(
+        s"""MERGE INTO $c.q.rl t USING rl_src s ON t.o_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.delta
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+           |  VALUES (s.k, s.delta)
+           |""".stripMargin).collect(): Unit
+      orders.filter(col("o_orderkey") % 8 === 4)
+        .select(col("o_orderkey").as("bad"))
+        .createOrReplaceTempView("rl_bad")
+      s.sql(s"DELETE FROM $c.q.rl WHERE o_orderkey IN " +
+        "(SELECT bad FROM rl_bad)").collect(): Unit
+      w
+    })
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    s.sql(s"""SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total_price,
+                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              FROM $c.q.rl GROUP BY o_orderkey % 7 ORDER BY bucket""")
+  }
 
   /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
     * ProcedureCatalog): `CALL graft.system.iceberg_export` writes the
@@ -627,6 +671,7 @@ object CatalogQueries {
     "cat_iceberg_import"   -> icebergImportRead,
     "cat_iceberg_mor_roundtrip" -> icebergMorRoundtrip,
     "cat_sql_procedures"   -> sqlProcedures,
+    "cat_sql_rowlevel"     -> sqlRowLevel,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
@@ -778,6 +823,31 @@ object CatalogQueries {
     "cat_count_fast" ->
       """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+    "cat_sql_rowlevel" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 4 = 0),
+              upd AS (SELECT o_orderkey,
+                             CASE WHEN o_orderkey % 3 = 0
+                                  THEN o_totalprice + 100
+                                  ELSE o_totalprice END AS p
+                      FROM base),
+              src AS (SELECT o_orderkey AS k, CAST(50.0 AS DOUBLE) AS delta
+                      FROM orders
+                      WHERE o_orderkey % 4 IN (0, 2) AND o_orderkey % 5 = 0),
+              merged AS (
+                SELECT u.o_orderkey,
+                       CASE WHEN s.k IS NOT NULL THEN u.p + s.delta
+                            ELSE u.p END AS p
+                FROM upd u LEFT JOIN src s ON u.o_orderkey = s.k
+                UNION ALL
+                SELECT s.k AS o_orderkey, s.delta AS p
+                FROM src s LEFT JOIN upd u ON u.o_orderkey = s.k
+                WHERE u.o_orderkey IS NULL),
+              fin AS (SELECT * FROM merged WHERE o_orderkey % 8 <> 4)
+         SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
+                round(sum(p), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM fin GROUP BY 1 ORDER BY 1""",
     "cat_sql_read" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice,
                            CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END

@@ -197,12 +197,17 @@ class ExtensionsSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_sql.ns.t WHERE id >= 101 AND v = 'x'")
     assert(spark.sql("SELECT id FROM graft_sql.ns.t ORDER BY id").as[Long]
       .collect() === Array(100L, 102L))
-    // an untranslatable delete predicate is rejected whole at analysis —
-    // never a partial delete
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_sql.ns.t WHERE length(v) > 5")
-    }
+    // an untranslatable delete predicate is NO LONGER rejected: it
+    // routes through the row-level copy-on-write rewrite
+    // (SupportsRowLevelOperations) — unpushable, so every candidate
+    // file rewrites (one new version), but every row survives exactly
+    spark.sql("DELETE FROM graft_sql.ns.t WHERE length(v) > 5")
     assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 2L)
+    // and a MATCHING untranslatable predicate deletes exactly its rows
+    spark.sql("DELETE FROM graft_sql.ns.t WHERE length(v) = 1 AND id > 100")
+    assert(spark.sql("SELECT id FROM graft_sql.ns.t ORDER BY id").as[Long]
+      .collect() === Array(100L))
+    spark.sql("INSERT INTO graft_sql.ns.t VALUES (102, 'y')")
     // WHERE-less DELETE = truncate semantics (AlwaysTrue filter)
     spark.sql("DELETE FROM graft_sql.ns.t")
     assert(spark.sql("SELECT count(*) FROM graft_sql.ns.t").head().getLong(0) === 0L)

@@ -1,0 +1,331 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+
+/** SQL row-level operations (UPDATE / MERGE INTO / subquery DELETE) via
+  * SupportsRowLevelOperations — group-based copy-on-write at FILE
+  * granularity. The contract under test: statements are transactional
+  * (one new version, CAS-conditional on the planned head), file-granular
+  * (files whose manifest bounds exclude the predicate are carried
+  * VERBATIM — same path, stats, blooms), and row-preserving (unmatched
+  * rows of matched files survive the rewrite bit-for-bit). */
+class RowLevelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(): (GraftCatalog, String) = {
+    val wh = Files.createTempDirectory("graft-rlo").toString
+    (new GraftCatalog(spark, wh),
+      graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh))
+  }
+
+  test("UPDATE rewrites only the files whose bounds admit the predicate; " +
+       "unmatched rows of a matched file survive; history is intact") {
+    val (cat, c) = register()
+    cat.createTable("m", "t")
+    // three id-clustered files: bounds [1,3] [11,13] [21,23]
+    cat.commitAppend("m", "t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v").coalesce(1))
+    cat.commitAppend("m", "t",
+      Seq((11L, 110.0), (12L, 120.0), (13L, 130.0)).toDF("id", "v").coalesce(1))
+    cat.commitAppend("m", "t",
+      Seq((21L, 210.0), (22L, 220.0), (23L, 230.0)).toDF("id", "v").coalesce(1))
+    val before = cat.latest("m", "t").get
+    val filesBefore = cat.dataFiles("m", "t", before).toSet
+    assert(filesBefore.size === 3)
+
+    spark.sql(s"UPDATE $c.m.t SET v = v * 2 WHERE id = 12")
+
+    val after = cat.latest("m", "t").get
+    assert(after.seq === before.seq + 1, "one new version per statement")
+    assert(spark.sql(s"SELECT id, v FROM $c.m.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0),
+          (11L, 110.0), (12L, 240.0), (13L, 130.0),
+          (21L, 210.0), (22L, 220.0), (23L, 230.0)))
+
+    // FILE GRANULARITY: files 1 and 3 carried verbatim, file 2 swapped
+    val filesAfter = cat.dataFiles("m", "t", after).toSet
+    assert((filesBefore intersect filesAfter).size === 2,
+      s"two untouched files must keep their paths: $filesBefore vs $filesAfter")
+    assert((filesAfter -- filesBefore).size === 1, "one replacement file")
+
+    // the new file carries commit-grade stats: countFast stays
+    // metadata-served and bounds prune (id=12 reads one file)
+    assert(cat.countFastOpt("m", "t") === Some(9L))
+    val probe = cat.readWhere("m", "t", "id", Some("12"), Some("12"))
+    assert(probe.inputFiles.length === 1, "rewritten file must carry bounds")
+    assert(probe.as[(Long, Double)].collect().toSeq === Seq((12L, 240.0)))
+
+    // time travel unaffected
+    assert(spark.sql(s"SELECT v FROM $c.m.t VERSION AS OF ${before.seq} WHERE id = 12")
+      .head().getDouble(0) === 120.0)
+  }
+
+  test("UPDATE matching nothing publishes NO new version") {
+    val (cat, c) = register()
+    cat.createTable("m", "noop")
+    cat.commitAppend("m", "noop", Seq((1L, "a")).toDF("id", "s"))
+    val before = cat.latest("m", "noop").get.seq
+    spark.sql(s"UPDATE $c.m.noop SET s = 'x' WHERE id = 999")
+    assert(cat.latest("m", "noop").get.seq === before,
+      "a no-match statement must not burn a version")
+    assert(spark.sql(s"SELECT s FROM $c.m.noop").head().getString(0) === "a")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert in one atomic " +
+       "version; a target-only ON conjunct prunes files statically") {
+    val (cat, c) = register()
+    cat.createTable("m", "tgt")
+    cat.commitAppend("m", "tgt",
+      Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "tgt",
+      Seq((50L, 500.0), (60L, 600.0)).toDF("id", "amt").coalesce(1))
+    val before = cat.latest("m", "tgt").get
+    val filesBefore = cat.dataFiles("m", "tgt", before).toSet
+
+    Seq((2L, 9.0), (3L, 33.0)).toDF("id", "amt").createOrReplaceTempView("src")
+    // the target-only conjunct (t.id < 10) bounds the candidate set; the
+    // join itself is source-dependent, so without it a MERGE rewrites
+    // every candidate file (runtime group filtering is a follow-up)
+    spark.sql(
+      s"""MERGE INTO $c.m.tgt t USING src s ON t.id = s.id AND t.id < 10
+         |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt
+         |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)
+         |""".stripMargin)
+
+    val after = cat.latest("m", "tgt").get
+    assert(after.seq === before.seq + 1, "MERGE is one atomic version")
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.tgt ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 100.0), (2L, 209.0), (3L, 33.0), (50L, 500.0), (60L, 600.0)))
+    // the [50,60] file's bounds exclude the target-only conjunct —
+    // carried verbatim IF Spark pushed it; never rewritten INCORRECTLY
+    // either way (the strong assertion is the row content above)
+    val filesAfter = cat.dataFiles("m", "tgt", after).toSet
+    assert((filesBefore -- filesAfter).nonEmpty, "matched file rewritten")
+    // time travel: pre-merge state intact
+    assert(spark.sql(s"SELECT sum(amt) FROM $c.m.tgt VERSION AS OF ${before.seq}")
+      .head().getDouble(0) === 1400.0)
+  }
+
+  test("MERGE cardinality violation (one target row, two source matches) " +
+       "fails loudly and publishes nothing") {
+    val (cat, c) = register()
+    cat.createTable("m", "card")
+    cat.commitAppend("m", "card", Seq((1L, 1.0)).toDF("id", "amt"))
+    val before = cat.latest("m", "card").get.seq
+    Seq((1L, 2.0), (1L, 3.0)).toDF("id", "amt").createOrReplaceTempView("dupsrc")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $c.m.card t USING dupsrc s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET amt = s.amt
+           |""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("merge") ||
+           e.getMessage.toLowerCase.contains("cardinality"),
+      s"unexpected error: ${e.getMessage}")
+    assert(cat.latest("m", "card").get.seq === before, "nothing published")
+    assert(spark.sql(s"SELECT amt FROM $c.m.card").head().getDouble(0) === 1.0)
+  }
+
+  test("DELETE with a subquery predicate routes through the COW rewrite " +
+       "(not metadata deleteWhere) and is transactional") {
+    val (cat, c) = register()
+    cat.createTable("m", "dsub")
+    cat.commitAppend("m", "dsub",
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "s"))
+    Seq(2L).toDF("bad_id").createOrReplaceTempView("bad")
+    spark.sql(s"DELETE FROM $c.m.dsub WHERE id IN (SELECT bad_id FROM bad)")
+    assert(spark.sql(s"SELECT id FROM $c.m.dsub ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("UPDATE on a merge-on-read table applies live deletes before the " +
+       "rewrite and keeps them for untouched files") {
+    val (cat, c) = register()
+    cat.createTable("m", "mor")
+    cat.commitAppend("m", "mor",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v").coalesce(1))
+    cat.commitAppend("m", "mor",
+      Seq((11L, 110.0), (12L, 120.0)).toDF("id", "v").coalesce(1))
+    // MoR equality delete of id=2 (applies to file 1)
+    cat.commitDelete("m", "mor", Seq(2L).toDF("id"))
+
+    // rewrite file 1 (bounds [1,3]): the scan must see id=2 already gone
+    spark.sql(s"UPDATE $c.m.mor SET v = 0.0 WHERE id <= 3")
+    assert(spark.sql(s"SELECT id, v FROM $c.m.mor ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 0.0), (3L, 0.0), (11L, 110.0), (12L, 120.0)),
+      "deleted row must not resurrect through the rewrite")
+
+    // and an UPDATE of the OTHER file leaves the delete semantics alone
+    spark.sql(s"UPDATE $c.m.mor SET v = 1.0 WHERE id = 11")
+    assert(spark.sql(s"SELECT id FROM $c.m.mor ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 11L, 12L))
+  }
+
+  test("lineage metadata columns: SELECT _file, _pos serve the Iceberg " +
+       "habit and identify each row's physical location") {
+    val (cat, c) = register()
+    cat.createTable("m", "lin")
+    cat.commitAppend("m", "lin",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "lin", Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    val rows = spark.sql(
+      s"SELECT id, _file, _pos FROM $c.m.lin ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    val files = cat.dataFiles("m", "lin", cat.latest("m", "lin").get).toSet
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L))
+    assert(rows.forall(r => files.contains(r._2)),
+      s"_file must be the manifest-relative path: $rows vs $files")
+    assert(rows.map(r => (r._2, r._3)).distinct.size === 3,
+      "(_file, _pos) uniquely identifies each row")
+    assert(rows.take(2).map(_._3) === Seq(0L, 1L), "ordinals within the file")
+    // SELECT * does NOT leak metadata columns
+    assert(spark.sql(s"SELECT * FROM $c.m.lin").columns.toSeq === Seq("id", "s"))
+  }
+
+  test("UPDATE with a bloom-indexed point predicate rewrites one file even " +
+       "though every file's range covers the key") {
+    val (cat, c) = register()
+    cat.createTable("m", "bl")
+    // interleaved keys: min/max of each file covers the other's keys,
+    // so only the bloom can prune
+    cat.commitAppend("m", "bl",
+      Seq((1L, "a"), (100L, "b")).toDF("id", "s").coalesce(1),
+      bloomCols = Seq("id"))
+    cat.commitAppend("m", "bl",
+      Seq((2L, "c"), (99L, "d")).toDF("id", "s").coalesce(1),
+      bloomCols = Seq("id"))
+    val before = cat.latest("m", "bl").get
+    val filesBefore = cat.dataFiles("m", "bl", before).toSet
+    spark.sql(s"UPDATE $c.m.bl SET s = 'X' WHERE id = 99")
+    val after = cat.latest("m", "bl").get
+    val filesAfter = cat.dataFiles("m", "bl", after).toSet
+    assert((filesBefore intersect filesAfter).size === 1,
+      s"bloom must keep the non-holding file: $filesBefore vs $filesAfter")
+    assert(spark.sql(s"SELECT s FROM $c.m.bl WHERE id = 99").head().getString(0) === "X")
+    assert(spark.sql(s"SELECT count(*) FROM $c.m.bl").head().getLong(0) === 4L)
+  }
+
+  test("a failing row-level statement publishes nothing and leaves no " +
+       "staged cow files behind (abort cleanup)") {
+    val (cat, c) = register()
+    cat.createTable("m", "boom")
+    cat.commitAppend("m", "boom", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val before = cat.latest("m", "boom").get.seq
+    spark.udf.register("graft_boom",
+      (s: String) => (sys.error("boom " + s): String))
+    intercept[Exception] {
+      spark.sql(s"UPDATE $c.m.boom SET s = graft_boom(s) WHERE id >= 1")
+    }
+    assert(cat.latest("m", "boom").get.seq === before, "nothing published")
+    assert(spark.sql(s"SELECT id, s FROM $c.m.boom ORDER BY id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // the write's staging dir (data/cow-*) must be gone
+    val dataDir = java.nio.file.Paths.get(cat.warehouse, "m", "boom", "data")
+    val leftovers = Files.list(dataDir).iterator()
+    val cowDirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) {
+      val p = leftovers.next().getFileName.toString
+      if (p.startsWith("cow-")) cowDirs += p
+    }
+    assert(cowDirs.isEmpty, s"aborted staging must be cleaned: $cowDirs")
+  }
+
+  test("RowParquetWriter round-trips every common type byte-compatibly " +
+       "with Spark's reader, records exact cast-to-string stats, and " +
+       "writes INT64-micros timestamps") {
+    import org.apache.spark.sql.types._
+    val df = spark.sql(
+      """SELECT id,
+                CAST(id AS INT) AS i,
+                CASE WHEN id = 1 THEN NULL ELSE concat('s', id) END AS s,
+                CAST(id AS DOUBLE) / 4 AS dbl,
+                id % 2 = 0 AS b,
+                DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d,
+                TIMESTAMP'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+                CAST(id AS DECIMAL(12,2)) * 7 AS dec,
+                array(id, id + 1) AS arr,
+                named_struct('x', id, 'y', concat('n', id)) AS st,
+                map(concat('k', id), id) AS mp
+         FROM range(0, 5)""")
+    val schema = df.schema
+    val out = Files.createTempDirectory("rpw").resolve("f.parquet").toString
+    val w = new graft.catalog.RowParquetWriter(out, schema,
+      spark.sparkContext.hadoopConfiguration)
+    // copy: collect() on a codegen'd local plan yields REUSED UnsafeRow
+    // references (the real write path consumes each row before reuse)
+    df.queryExecution.toRdd.map(_.copy()).collect().foreach(w.write)
+    val (size, rows, stats) = w.close()
+    assert(rows === 5L && size > 0L)
+
+    // byte-level read-back equality via Spark's own reader
+    val back = spark.read.parquet(out)
+    // catalogString = names + types, nullability-insensitive (the
+    // reader infers nullable containers)
+    assert(back.schema.catalogString === schema.catalogString)
+    // set ops refuse MAP columns — compare via a canonical string form
+    def canon(x: org.apache.spark.sql.DataFrame): Seq[String] =
+      x.selectExpr("to_json(struct(*)) AS j").as[String].collect().toSeq.sorted
+    assert(canon(back) === canon(df))
+
+    // stats: exactly the commit job's cast-to-string forms, prunable
+    // columns only, plus the reserved __rows count
+    val expected = df.agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("dbl"))
+        .cast("string"),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("dbl"))
+        .cast("string"),
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("s"))
+        .cast("string"),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("s"))
+        .cast("string")).head()
+    assert(stats("dbl") === ((expected.getString(0), expected.getString(1))))
+    assert(stats("s") === ((expected.getString(2), expected.getString(3))))
+    assert(stats("__rows") === (("5", "5")))
+    assert(stats("d") === (("2024-01-01", "2024-01-05")))
+    assert(stats("b") === (("false", "true")))
+    assert(stats("dec") === (("0.00", "28.00")))
+    assert(!stats.contains("ts") && !stats.contains("arr") &&
+      !stats.contains("st") && !stats.contains("mp"),
+      "non-prunable types record no bounds")
+
+    // physical timestamp type is INT64 (micros), the export-safe form
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out), spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tsCol = r.getFileMetaData.getSchema.getColumns.asScala
+        .find(_.getPath.mkString(".") == "ts").get
+      assert(tsCol.getPrimitiveType.getPrimitiveTypeName.toString === "INT64")
+    } finally r.close()
+  }
+
+  test("a concurrent commit between scan planning and publish aborts the " +
+       "statement loudly (no lost update), and a retry succeeds") {
+    val (cat, _) = register()
+    cat.createTable("m", "race")
+    cat.commitAppend("m", "race", Seq((1L, "a")).toDF("id", "s"))
+    val head = cat.latest("m", "race").get
+    // simulate: a row-level commit planned against `head`, but another
+    // writer lands first
+    cat.commitAppend("m", "race", Seq((2L, "b")).toDF("id", "s"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      cat.commitRewriteFiles("m", "race", head.commitId,
+        cat.dataFiles("m", "race", head).toSet, Seq.empty)
+    }
+    assert(e.getMessage.contains("re-run"))
+    // with the CURRENT head it works
+    val cur = cat.latest("m", "race").get
+    val snap = cat.commitRewriteFiles("m", "race", cur.commitId,
+      cat.dataFiles("m", "race", cur).toSet, Seq.empty)
+    assert(snap.seq === cur.seq + 1)
+    assert(cat.read("m", "race").count() === 0L)
+  }
+}

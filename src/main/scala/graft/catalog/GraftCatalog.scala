@@ -738,6 +738,67 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Merge-on-read DELTA commit — the publish half of a MoR row-level
+    * operation (`spark.graft.rowlevel.mode=merge-on-read`): append
+    * already-landed NEW data files plus POSITION-DELETE files naming
+    * the deleted/rewritten rows of EXISTING files, as ONE version. No
+    * data file is rewritten: an UPDATE touching k rows costs O(k)
+    * delta bytes, the merge-on-read write amplification contract.
+    * Manifest order is data first, then `p-` — the positional
+    * less-or-equal rule ([[commitDeletePositions]]'s convention): the
+    * new deletes could positionally reach the new data but name only
+    * pre-existing files. Conditional on `expectedHeadCommitId` exactly
+    * like [[commitRewriteFiles]] (strict serializable statements — a
+    * concurrent commit may have changed which rows match, so only the
+    * caller can re-derive the delta); `referenced` (the files the
+    * position deletes name) is additionally validated live. */
+  def commitDeltaFiles(ns: String, name: String,
+                       expectedHeadCommitId: String,
+                       newData: Seq[(String, Long)],
+                       dataStats: Map[String, Map[String, (String, String)]],
+                       posDeleteFiles: Seq[(String, Long)],
+                       referenced: Set[String],
+                       sourceRegion: String = "local",
+                       commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val snap = casCommit(ns, name, maxRetries = 1) { parent =>
+        val p = parent.getOrElse(throw new IllegalStateException(
+          s"$ns.$name has no committed versions"))
+        if (p.commitId != expectedHeadCommitId)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level delta on $ns.$name planned against commit " +
+              s"$expectedHeadCommitId but the head is ${p.commitId} " +
+              s"(v${p.seq}) — re-run the operation")
+        val live = dataFiles(ns, name, p).toSet
+        val stale = referenced.diff(live)
+        require(stale.isEmpty, s"commitDeltaFiles($ns.$name): position " +
+          s"deletes reference files not live in v${p.seq}: " +
+          stale.take(3).mkString(", "))
+        val dataManifest =
+          if (newData.isEmpty) None
+          else { val r = writeManifest(ns, name, newData, dataStats)
+                 written += r; Some(r) }
+        val posManifest =
+          if (posDeleteFiles.isEmpty) None
+          else { val r = writeManifest(ns, name, posDeleteFiles, prefix = "p")
+                 written += r; Some(r) }
+        Snapshot(p.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(p.commitId), System.currentTimeMillis(),
+          p.manifests ++ dataManifest ++ posManifest, sourceRegion,
+          p.fileCount + newData.size + posDeleteFiles.size,
+          p.totalBytes + (newData ++ posDeleteFiles).map(_._2).sum,
+          p.schemaJson)
+      }
+      latestFileSet.remove((ns, name)): Unit
+      snap
+    } catch { case e: Throwable =>
+      written.foreach(dropManifest(ns, name, _))
+      throw e
+    }
+  }
   /** Merge-on-read scan RESTRICTED to a data-file subset: `files` are
     * read with exactly their applicable delete files applied (list-
     * position rule, same as a full read). The read half of a COW

@@ -48,10 +48,31 @@ private[catalog] final class GraftRowLevelContext(val cat: GraftCatalog,
     java.nio.file.Paths.get(cat.warehouse, ns, name).toAbsolutePath.toString
 }
 
+/** Mode dispatch: `spark.graft.rowlevel.mode` selects how UPDATE /
+  * MERGE / rewrite-DELETE statements materialize —
+  * `copy-on-write` (default): affected files are rewritten whole, reads
+  * stay delete-free; `merge-on-read`: the statement appends only a
+  * DELTA (new data files + position-delete files), O(changed rows)
+  * write amplification, reads pay the positional anti-join until the
+  * next compact. The same knob Iceberg exposes per-table
+  * (write.update.mode etc.), session-scoped here. */
 private[catalog] final class GraftCowOperationBuilder(ctx: GraftRowLevelContext,
                                                       info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation = new GraftCowOperation(ctx, info.command())
+  override def build(): RowLevelOperation =
+    ctx.spark.conf.get("spark.graft.rowlevel.mode", "copy-on-write") match {
+      case "copy-on-write"  => new GraftCowOperation(ctx, info.command())
+      case "merge-on-read"  => new GraftDeltaOperation(ctx, info.command())
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.rowlevel.mode must be copy-on-write or merge-on-read, got '$other'")
+    }
+}
+
+/** The scan↔write channel both operation kinds share: set at scan
+  * build — (head commitId planned against, None for a version-less
+  * table; the candidate data-file set). */
+private[catalog] trait GraftPlannedOperation {
+  @volatile private[catalog] var planned: Option[(Option[String], Set[String])] = None
 }
 
 /** One SQL statement's operation instance — Spark shares it between the
@@ -59,11 +80,7 @@ private[catalog] final class GraftCowOperationBuilder(ctx: GraftRowLevelContext,
   * set and the planned-against head travel through. */
 private[catalog] final class GraftCowOperation(ctx: GraftRowLevelContext,
                                                cmd: RowLevelOperation.Command)
-    extends RowLevelOperation {
-
-  /** Set at scan build: (head commitId planned against — None for a
-    * version-less table — and the candidate data-file set). */
-  @volatile private[catalog] var planned: Option[(Option[String], Set[String])] = None
+    extends RowLevelOperation with GraftPlannedOperation {
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftCow[$cmd ${ctx.ns}.${ctx.name}]"
@@ -80,7 +97,7 @@ private[catalog] final class GraftCowOperation(ctx: GraftRowLevelContext,
       org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCowScanBuilder(ctx, this)
+    new GraftCowScanBuilder(ctx, this, rowFilter = false)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -89,14 +106,55 @@ private[catalog] final class GraftCowOperation(ctx: GraftRowLevelContext,
     }
 }
 
+/** Merge-on-read row-level operation: the write is a DELTA — inserted/
+  * updated rows land as new data files, deleted/rewritten source rows
+  * as position-delete files keyed by the lineage rowId (`_file`,
+  * `_pos`) — exactly the (file_path, pos) model commitDeletePositions
+  * established, so the result is indistinguishable from a native
+  * position delete (export/import interop included). UPDATE splits
+  * into delete+insert ([[SupportsDelta.representUpdateAsDeleteAndInsert]]),
+  * mapping 1:1 onto the delta commit's two manifest units. Unlike the
+  * COW scan, the delta scan may row-filter: Spark re-derives matched
+  * rows itself, so filters are reported as residuals and also applied
+  * inside the inner plan (normal pushdown). */
+private[catalog] final class GraftDeltaOperation(ctx: GraftRowLevelContext,
+                                                 cmd: RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta
+    with GraftPlannedOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDelta[$cmd ${ctx.ns}.${ctx.name}]"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(ctx, this, rowFilter = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(ctx, GraftDeltaOperation.this, info.schema())
+    }
+}
+
 /** The operation's read side. Filters prune FILES (conservatively, via
   * the same manifest bounds/bloom arithmetic as readWhereAll /
-  * readWhereEquals); they are reported fully pushed and NEVER applied
-  * to rows — the group-based rewrite's own projection re-evaluates the
-  * condition, and a row filter here would silently drop a matched
-  * file's unmatched rows from the rewrite (data loss). */
+  * readWhereEquals). Row handling differs by mode:
+  * `rowFilter = false` (group-based COW): filters are reported fully
+  * pushed and NEVER applied to rows — the rewrite's own projection
+  * re-evaluates the condition, and a row filter here would silently
+  * drop a matched file's unmatched rows from the rewrite (data loss).
+  * `rowFilter = true` (delta): translated filters also apply inside
+  * the inner plan (normal pushdown) AND are reported as residuals, so
+  * Spark re-evaluates them — always safe. */
 private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
-                                                 op: GraftCowOperation)
+                                                 op: GraftPlannedOperation,
+                                                 rowFilter: Boolean)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -111,7 +169,9 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
-    Array.empty // fully consumed — as GROUP filters, see class doc
+    // COW: fully consumed as GROUP filters (see class doc); delta:
+    // all residual, Spark re-evaluates above the (row-filtered) scan
+    if (rowFilter) fs else Array.empty
   }
   override def pushedFilters(): Array[Filter] = filters
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -134,8 +194,12 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
     val sn = snap
     new GraftCowScan(required, () => sn match {
       case Some(s) =>
-        ctx.cat.readFilesMorLineage(ctx.ns, ctx.name, s, cands)
-          .select(requiredNames.map(col): _*)
+        val base = ctx.cat.readFilesMorLineage(ctx.ns, ctx.name, s, cands)
+        val filtered =
+          if (!rowFilter) base
+          else filters.foldLeft(base)((d, f) =>
+            GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
+        filtered.select(requiredNames.map(col): _*)
       case None =>
         ctx.spark.createDataFrame(
           ctx.spark.sparkContext.emptyRDD[Row], required)
@@ -321,6 +385,151 @@ private[catalog] final class GraftCowWrite(ctx: GraftRowLevelContext,
     fs.delete(new org.apache.hadoop.fs.Path(s"${ctx.tableDirAbs}/$stagingRel"),
       true): Unit
   }
+}
+
+/** Per-task MoR delta: new data files with in-line stats + position-
+  * delete files + the distinct data files the deletes reference. */
+private[catalog] case class GraftDeltaFilesMessage(
+    dataFiles: Seq[(String, Long, Map[String, (String, String)])],
+    posDeleteFiles: Seq[(String, Long)],
+    referenced: Set[String])
+  extends WriterCommitMessage
+
+/** The merge-on-read write: stage delta files, then ONE conditional
+  * [[GraftCatalog.commitDeltaFiles]]. */
+private[catalog] final class GraftDeltaWrite(ctx: GraftRowLevelContext,
+                                             op: GraftDeltaOperation,
+                                             rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def description(): String = op.description()
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  private val stagingRel = s"data/mor-${UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val tableSchema = ctx.cat.tableSchema(ctx.ns, ctx.name)
+    // a delete-only delta may carry an empty row schema
+    require(rowSchema.isEmpty ||
+        tableSchema.forall(t => rowSchema.catalogString == t.catalogString),
+      s"delta row schema ${rowSchema.simpleString} does not match table " +
+        s"schema ${tableSchema.map(_.simpleString).getOrElse("<none>")}")
+    val writeSchema = tableSchema.getOrElse(rowSchema)
+    new GraftDeltaWriterFactory(ctx.tableDirAbs, stagingRel, writeSchema.json,
+      new SerializableConfiguration(ctx.spark.sparkContext.hadoopConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (head, _) = op.planned.getOrElse(throw new IllegalStateException(
+      s"${op.description()}: delta write committed without a planned scan"))
+    val ms = messages.toSeq.collect { case m: GraftDeltaFilesMessage => m }
+    val data = ms.flatMap(_.dataFiles)
+    val dels = ms.flatMap(_.posDeleteFiles)
+    val referenced = ms.flatMap(_.referenced).toSet
+    if (data.isEmpty && dels.isEmpty) return // matched nothing: no version
+    head match {
+      case Some(h) =>
+        ctx.cat.commitDeltaFiles(ctx.ns, ctx.name, h,
+          data.map(f => (f._1, f._2)), data.map(f => f._1 -> f._3).toMap,
+          dels, referenced): Unit
+      case None =>
+        require(dels.isEmpty, "no head but position deletes present")
+        ctx.cat.commitFiles(ctx.ns, ctx.name, data.map(_._1), "local",
+          schemaJson = ctx.cat.tableSchema(ctx.ns, ctx.name).map(_.json)): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(ctx.tableDirAbs)
+      .getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${ctx.tableDirAbs}/$stagingRel"),
+      true): Unit
+  }
+}
+
+private[catalog] final class GraftDeltaWriterFactory(tableDirAbs: String,
+                                                     stagingRel: String,
+                                                     schemaJson: String,
+                                                     conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaDataWriter(tableDirAbs, stagingRel, partitionId, taskId,
+      schemaJson, conf)
+}
+
+/** One task's delta writer: up to two lazily-opened parquet files —
+  * inserted rows (table schema) and position deletes ((file_path, pos),
+  * the commitDeletePositions file model). UPDATE arrives pre-split as
+  * delete+insert. Deletes within a task are written in arrival order
+  * (unsorted — graft's positional anti-join is order-insensitive; the
+  * Iceberg spec's sort recommendation is an export-time nicety). */
+private[catalog] final class GraftDeltaDataWriter(tableDirAbs: String,
+                                                  stagingRel: String,
+                                                  partitionId: Int,
+                                                  taskId: Long,
+                                                  schemaJson: String,
+                                                  conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  private lazy val rowSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  private val delSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  private var dataRel: String = _
+  private var dataW: RowParquetWriter = _
+  private var delRel: String = _
+  private var delW: RowParquetWriter = _
+  private val referenced = scala.collection.mutable.Set.empty[String]
+  private val delRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataW == null) {
+      dataRel = s"$stagingRel/part-$partitionId-$taskId.parquet"
+      dataW = new RowParquetWriter(s"$tableDirAbs/$dataRel", rowSchema, conf.value)
+    }
+    dataW.write(row)
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (delW == null) {
+      delRel = s"$stagingRel/del-$partitionId-$taskId.parquet"
+      delW = new RowParquetWriter(s"$tableDirAbs/$delRel", delSchema, conf.value)
+    }
+    val file = id.getUTF8String(0)
+    require(file != null && !id.isNullAt(1),
+      "delta delete with null lineage — the scanned rowId must be intact")
+    referenced += file.toString
+    delRow.update(0, file)
+    delRow.update(1, id.getLong(1))
+    delW.write(delRow)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def commit(): WriterCommitMessage = {
+    val data =
+      if (dataW == null) Nil
+      else { val (size, _, stats) = dataW.close(); dataW = null
+             Seq((dataRel, size, stats)) }
+    val dels =
+      if (delW == null) Nil
+      else { val (size, _, _) = delW.close(); delW = null
+             Seq((delRel, size)) }
+    GraftDeltaFilesMessage(data, dels, referenced.toSet)
+  }
+
+  override def abort(): Unit = {
+    if (dataW != null) { dataW.abort(); dataW = null }
+    if (delW != null) { delW.abort(); delW = null }
+  }
+  override def close(): Unit = ()
 }
 
 private[catalog] final class GraftCowWriterFactory(tableDirAbs: String,

@@ -441,8 +441,15 @@ private[catalog] case class GraftMetaColumn(colName: String,
     extends MetadataColumn {
   override def name(): String = colName
   override def dataType(): org.apache.spark.sql.types.DataType = colType
-  override def isNullable: Boolean = true // nullified on UPDATE/INSERT rows
+  // NON-nullable: delta-mode row IDs must be (NULLABLE_ROW_ID check);
+  // declared preserved on update/delete so the rewrites never nullify
+  // lineage (the writers don't read it back, but the plan must not
+  // assign null into a non-nullable attribute)
+  override def isNullable: Boolean = false
   override def comment(): String = colComment
+  override def metadataInJSON(): String =
+    s"""{"${MetadataColumn.PRESERVE_ON_UPDATE}": true,
+       | "${MetadataColumn.PRESERVE_ON_DELETE}": true}""".stripMargin
 }
 
 private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,

@@ -604,8 +604,27 @@ object CatalogQueries {
     * (the warehouse memo is path-valued, so later sessions re-read the
     * committed files); the oracle recomputes the same final state
     * declaratively from the raw parquet. */
-  private def sqlRowLevel: Q = (s, d) => {
-    val wh = sqlRowLevelWarehouses.getOrElseUpdate(d, {
+  private def sqlRowLevel: Q = sqlRowLevelIn("copy-on-write")
+  /** Same statements, same ORACLE — but every mutation materializes as
+    * a merge-on-read DELTA (position deletes + appended data). The two
+    * driver rows hash-matching one DuckDB recomputation pins
+    * copy-on-write ≡ merge-on-read ≡ the declarative truth. */
+  private def sqlRowLevelMor: Q = sqlRowLevelIn("merge-on-read")
+
+  private def sqlRowLevelIn(mode: String): Q = (s, d) => {
+    val wh = sqlRowLevelWarehouses.getOrElseUpdate(mode + "@" + d, {
+      s.conf.set("spark.graft.rowlevel.mode", mode)
+      try buildRowLevelWarehouse(s, d)
+      finally s.conf.unset("spark.graft.rowlevel.mode")
+    })
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    s.sql(s"""SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total_price,
+                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              FROM $c.q.rl GROUP BY o_orderkey % 7 ORDER BY bucket""")
+  }
+
+  private def buildRowLevelWarehouse(s: SparkSession, d: String): String = {
       val w = Files.createTempDirectory("graft-sqlrl-wh").toString
       val cat = new GraftCatalog(s, w)
       val orders = Tables.orders(s, d)
@@ -632,12 +651,6 @@ object CatalogQueries {
       s.sql(s"DELETE FROM $c.q.rl WHERE o_orderkey IN " +
         "(SELECT bad FROM rl_bad)").collect(): Unit
       w
-    })
-    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
-    s.sql(s"""SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
-                     round(sum(o_totalprice), 2) AS total_price,
-                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-              FROM $c.q.rl GROUP BY o_orderkey % 7 ORDER BY bucket""")
   }
 
   /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
@@ -672,6 +685,7 @@ object CatalogQueries {
     "cat_iceberg_mor_roundtrip" -> icebergMorRoundtrip,
     "cat_sql_procedures"   -> sqlProcedures,
     "cat_sql_rowlevel"     -> sqlRowLevel,
+    "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
@@ -823,7 +837,12 @@ object CatalogQueries {
     "cat_count_fast" ->
       """SELECT count(*) AS cnt_meta, count(*) AS cnt_scan
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
-    "cat_sql_rowlevel" ->
+    "cat_sql_rowlevel" -> RowLevelOracleSql,
+    // merge-on-read mode must land on the IDENTICAL declarative truth
+    "cat_sql_rowlevel_mor" -> RowLevelOracleSql,
+  ) ++ oraclesTail
+
+  private lazy val RowLevelOracleSql: String =
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 4 = 0),
               upd AS (SELECT o_orderkey,
@@ -847,7 +866,9 @@ object CatalogQueries {
          SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
                 round(sum(p), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         FROM fin GROUP BY 1 ORDER BY 1""",
+         FROM fin GROUP BY 1 ORDER BY 1"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "cat_sql_read" ->
       """WITH t AS (SELECT o_orderkey, o_totalprice,
                            CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END

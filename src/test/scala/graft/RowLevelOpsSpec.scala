@@ -307,6 +307,111 @@ class RowLevelOpsSpec extends SparkSpec {
     } finally r.close()
   }
 
+  private def inMorMode[T](body: => T): T = {
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    try body finally spark.conf.unset("spark.graft.rowlevel.mode")
+  }
+
+  test("merge-on-read mode: UPDATE appends a delta (new data + position " +
+       "deletes) without rewriting any data file") {
+    val (cat, c) = register()
+    cat.createTable("m", "du")
+    cat.commitAppend("m", "du",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v").coalesce(1))
+    cat.commitAppend("m", "du",
+      Seq((11L, 110.0), (12L, 120.0)).toDF("id", "v").coalesce(1))
+    val before = cat.latest("m", "du").get
+    val filesBefore = cat.dataFiles("m", "du", before).toSet
+
+    inMorMode { spark.sql(s"UPDATE $c.m.du SET v = v * 2 WHERE id = 2") }
+
+    val after = cat.latest("m", "du").get
+    assert(after.seq === before.seq + 1)
+    // EVERY original data file survives untouched; the delta appended
+    // one small data file and one position-delete file
+    val filesAfter = cat.dataFiles("m", "du", after).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      s"MoR must not rewrite data files: $filesBefore vs $filesAfter")
+    assert((filesAfter -- filesBefore).size === 1, "one delta data file")
+    assert(cat.deleteFileEntries("m", "du", after).size === 1 &&
+      cat.deleteFileEntries("m", "du", before).isEmpty,
+      "one position-delete file appended")
+    assert(spark.sql(s"SELECT id, v FROM $c.m.du ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 40.0), (3L, 30.0), (11L, 110.0), (12L, 120.0)))
+    // time travel: the pre-update row is one version away
+    assert(spark.sql(s"SELECT v FROM $c.m.du VERSION AS OF ${before.seq} WHERE id = 2")
+      .head().getDouble(0) === 20.0)
+    // compact() folds the delta back to a clean table
+    cat.compact("m", "du", targetFileBytes = 256L * 1024 * 1024)
+    assert(cat.deleteFileEntries("m", "du", cat.latest("m", "du").get).isEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM $c.m.du").head().getDouble(0) === 310.0)
+  }
+
+  test("merge-on-read mode: DELETE writes only position deletes; MERGE " +
+       "splits into delete+insert units; interop round-trips the result") {
+    val (cat, c) = register()
+    cat.createTable("m", "dm")
+    cat.commitAppend("m", "dm",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s").coalesce(1))
+    val v0Files = cat.dataFiles("m", "dm", cat.latest("m", "dm").get).toSet
+
+    // subquery DELETE → pure position-delete commit (no data file at all)
+    Seq(3L).toDF("k").createOrReplaceTempView("dm_del")
+    inMorMode {
+      spark.sql(s"DELETE FROM $c.m.dm WHERE id IN (SELECT k FROM dm_del)")
+    }
+    val v1 = cat.latest("m", "dm").get
+    assert(cat.dataFiles("m", "dm", v1).toSet === v0Files, "no data file added")
+    assert(cat.deleteFileEntries("m", "dm", v1).size === 1)
+    assert(spark.sql(s"SELECT id FROM $c.m.dm ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+
+    // MERGE: matched update (delete+insert) + not-matched insert
+    Seq((2L, "B"), (9L, "I")).toDF("id", "s").createOrReplaceTempView("dm_src")
+    inMorMode {
+      spark.sql(
+        s"""MERGE INTO $c.m.dm t USING dm_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET s = s.s
+           |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)
+           |""".stripMargin)
+    }
+    val v2 = cat.latest("m", "dm").get
+    assert(v0Files.subsetOf(cat.dataFiles("m", "dm", v2).toSet),
+      "original files still never rewritten")
+    assert(spark.sql(s"SELECT id, s FROM $c.m.dm ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")))
+
+    // the delta history is a FIRST-CLASS MoR table: position deletes
+    // export/import through the Iceberg v2 surface like native ones
+    val dest = Files.createTempDirectory("rlo-mor-export").toString
+    graft.catalog.IcebergExport.exportTable(cat, "m", "dm", dest): Unit
+    val back = graft.catalog.IcebergExport.readExported(spark, dest)
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")))
+  }
+
+  test("merge-on-read mode: a stale planned head aborts the delta commit " +
+       "loudly (commitDeltaFiles contract)") {
+    val (cat, _) = register()
+    cat.createTable("m", "dr")
+    cat.commitAppend("m", "dr", Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    val head = cat.latest("m", "dr").get
+    val f = cat.dataFiles("m", "dr", head).head
+    cat.commitAppend("m", "dr", Seq((2L, "b")).toDF("id", "s"))
+    intercept[java.util.ConcurrentModificationException] {
+      cat.commitDeltaFiles("m", "dr", head.commitId, Seq.empty, Map.empty,
+        Seq.empty, Set(f))
+    }
+    // and referencing a dead file aborts even with the right head
+    val cur = cat.latest("m", "dr").get
+    intercept[IllegalArgumentException] {
+      cat.commitDeltaFiles("m", "dr", cur.commitId, Seq.empty, Map.empty,
+        Seq.empty, Set("data/nope/gone.parquet"))
+    }
+  }
+
   test("a concurrent commit between scan planning and publish aborts the " +
        "statement loudly (no lost update), and a retry succeeds") {
     val (cat, _) = register()

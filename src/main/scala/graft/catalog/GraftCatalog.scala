@@ -675,6 +675,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(tableExists(ns, name), s"no such table $ns.$name")
     val dup = added.map(_._1).diff(added.map(_._1).distinct)
     require(dup.isEmpty, s"duplicate added paths: ${dup.take(3).mkString(", ")}")
+    // BLOOM CARRIAGE: replacement files must keep the point-lookup
+    // pruning the files they replace had, or repeated rewrites silently
+    // degrade a bloom-indexed table to unprunable. Recompute blooms for
+    // the added files over the UNION of bloom columns recorded on the
+    // removed entries (one distributed pass per column, the commit
+    // path's own builder). Computed against the expected head — a CAS
+    // mismatch aborts below anyway, so a wasted job is the worst case.
+    val addedBlooms: Map[String, Map[String, String]] = {
+      val headNow = latest(ns, name)
+      val bloomCols = headNow match {
+        case Some(h) if h.commitId == expectedHeadCommitId && added.nonEmpty =>
+          h.manifests.filterNot(isDeleteManifest)
+            .flatMap(manifestEntriesFull(ns, name, _))
+            .filter(e => removed(e.path)).flatMap(_.blooms.keys).distinct
+        case _ => Seq.empty
+      }
+      if (bloomCols.isEmpty) Map.empty
+      else headNow.get.schemaJson match {
+        case Some(j) => stagedFileBlooms(ns, name, added,
+          DataType.fromJson(j).asInstanceOf[StructType], bloomCols)
+        case None => Map.empty
+      }
+    }
     val written = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       var committedSet: Set[String] = Set.empty
@@ -717,7 +740,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         val newManifest =
           if (added.isEmpty) None
           else {
-            val rel = writeManifest(ns, name, added, addedStats)
+            val rel = writeManifest(ns, name, added, addedStats, addedBlooms)
             written += rel
             Some(rel)
           }
@@ -821,11 +844,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** The LATEST version with lineage columns — serves `SELECT _file,
     * _pos FROM t` through the SQL catalog's metadata-column surface. */
-  private[catalog] def readWithLineage(ns: String, name: String): DataFrame =
+  private[graft] def readWithLineage(ns: String, name: String): DataFrame =
     latest(ns, name) match {
       case Some(s) => readFilesMorLineage(ns, name, s,
         dataFiles(ns, name, s).toSet)
-      case None => spark.emptyDataFrame
+      case None =>
+        // schema-correct empty frame INCLUDING the lineage columns — a
+        // created-but-never-committed table must answer `SELECT _file`
+        // with zero rows, not an unresolved column
+        val base = tableSchema(ns, name).map(_.fields.toSeq).getOrElse(Seq.empty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(base :+ StructField("_file", StringType) :+
+            StructField("_pos", LongType)))
     }
 
   def backfillStats(ns: String, name: String, maxRetries: Int = 5): (Snapshot, Int) = {
@@ -2007,7 +2037,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       preds.forall { case (column, lower, upper) =>
         val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
         def lt(a: String, b: String): Boolean =
-          if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+          GraftCatalog.boundsLt(numeric)(a, b)
         e.stats.get(column) match {
           case Some((mn, mx)) =>
             // unparseable bounds (a double column recorded "NaN"/"Infinity",
@@ -2044,15 +2074,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val boundsOk = e.stats.get(column) match {
         case Some((mn, mx)) =>
           def lt(a: String, b: String): Boolean =
-            if (numeric) BigDecimal(a) < BigDecimal(b) else a < b
+            GraftCatalog.boundsLt(numeric)(a, b)
           try !lt(value, mn) && !lt(mx, value)
           catch { case _: NumberFormatException => true }
         case None => true
       }
       def bloomOk = e.blooms.get(column) match {
-        case Some(b64) =>
-          val bytes = java.util.Base64.getDecoder.decode(b64)
-          positions.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+        case Some(b64) => GraftCatalog.bloomHit(b64, positions)
         case None => true
       }
       boundsOk && bloomOk
@@ -2336,6 +2364,26 @@ object GraftCatalog {
       new org.apache.hadoop.fs.Path(abs), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
+  }
+
+  /** Bound comparison in the ORDER THE BUILD SIDE USED: numeric columns
+    * re-parse (string order breaks on negatives/widths); everything
+    * else compares as UTF-8 BYTES — Spark's min/max over strings is
+    * UTF8String (binary/code-point) order, while Java String compare is
+    * UTF-16 code-unit order, and the two DISAGREE above the BMP
+    * (supplementary characters sort below U+E000.. in UTF-16). A reader
+    * comparing in the wrong order prunes files that hold matching rows
+    * — for a row-level operation that means silently LOSING updates, so
+    * every bounds consumer must come through here. */
+  private[catalog] def boundsLt(numeric: Boolean)(a: String, b: String): Boolean =
+    if (numeric) BigDecimal(a) < BigDecimal(b)
+    else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Probe a recorded base64 bloom: true = possibly present. */
+  private[catalog] def bloomHit(b64: String, positions: Seq[Int]): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    positions.forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
   }
 
   /** The k bit positions of a probe value — EXACTLY the arithmetic the

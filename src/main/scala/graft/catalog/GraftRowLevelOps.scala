@@ -59,13 +59,22 @@ private[catalog] final class GraftRowLevelContext(val cat: GraftCatalog,
 private[catalog] final class GraftCowOperationBuilder(ctx: GraftRowLevelContext,
                                                       info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
+  override def build(): RowLevelOperation = {
+    // lineage names are the operation's rowId/metadata channel: a DATA
+    // column called _file/_pos would resolve instead of the lineage and
+    // corrupt the rewrite — refuse at planning, loudly
+    val clash = ctx.cat.tableSchema(ctx.ns, ctx.name).toSeq
+      .flatMap(_.fieldNames).filter(n => n == "_file" || n == "_pos")
+    if (clash.nonEmpty) throw new UnsupportedOperationException(
+      s"${ctx.ns}.${ctx.name}: row-level SQL needs the reserved lineage " +
+        s"columns ${clash.mkString(", ")}; rename the data column(s)")
     ctx.spark.conf.get("spark.graft.rowlevel.mode", "copy-on-write") match {
       case "copy-on-write"  => new GraftCowOperation(ctx, info.command())
       case "merge-on-read"  => new GraftDeltaOperation(ctx, info.command())
       case other => throw new IllegalArgumentException(
         s"spark.graft.rowlevel.mode must be copy-on-write or merge-on-read, got '$other'")
     }
+  }
 }
 
 /** The scan↔write channel both operation kinds share: set at scan
@@ -183,10 +192,11 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
     val cands: Set[String] = snap match {
       case None => Set.empty
       case Some(s) =>
+        val compiled = filters.map(CowPruning.compile(_, dtOf))
         ctx.cat.manifestsFull(ctx.ns, ctx.name, s).iterator
           .filterNot(_._2) // data manifests only
           .flatMap(_._3)
-          .filter(e => filters.forall(f => CowPruning.mightMatch(e, f, dtOf)))
+          .filter(e => compiled.forall(_(e)))
           .map(_.path).toSet
     }
     op.planned = Some((snap.map(_.commitId), cands))
@@ -260,72 +270,94 @@ private[graft] object GraftCowScanSubstitution
   }
 }
 
-/** Conservative file-level predicate evaluation over a manifest entry:
-  * true = the file MIGHT hold a matching row (must be read/rewritten),
-  * false = provably cannot. Untranslatable shapes and missing stats
-  * always keep the file; bounds/bloom arithmetic mirrors readWhereAll /
-  * readWhereEquals (cast-to-string forms, numeric re-parse). */
+/** Conservative file-level predicate COMPILER: each pushed Filter
+  * becomes one `ManifestEntry => Boolean` (true = the file MIGHT hold a
+  * matching row and must be read/rewritten; false = provably cannot).
+  * Per-filter work (value stringification, bloom probe positions) runs
+  * ONCE at compile, not once per manifest entry — a point UPDATE over
+  * 100k files hashes the probe 4 times, not 400k. Untranslatable
+  * shapes and missing stats always keep the file; bounds compare via
+  * [[GraftCatalog.boundsLt]] (UTF-8 order for strings — the build
+  * side's order; Java-string order would mis-prune above the BMP and a
+  * mis-pruned row-level operation LOSES updates). Blooms are probed
+  * only for types whose filter-value `toString` provably equals the
+  * build side's cast-to-string form (integrals, floats, strings,
+  * booleans, dates) — e.g. a timestamp probe renders '…00.0' vs the
+  * build's '…00', and a decimal drops trailing scale zeros; probing
+  * those would prune every file and silently match nothing. */
 private[catalog] object CowPruning {
+  private type Entry = GraftCatalog#ManifestEntry
 
-  def mightMatch(e: GraftCatalog#ManifestEntry, f: Filter,
-                 dtOf: String => Option[DataType]): Boolean = {
+  def compile(f: Filter, dtOf: String => Option[DataType]): Entry => Boolean = {
     def numeric(c: String) = dtOf(c).exists(_.isInstanceOf[NumericType])
     def lt(c: String)(a: String, b: String): Boolean =
-      if (numeric(c)) BigDecimal(a) < BigDecimal(b) else a < b
-
+      GraftCatalog.boundsLt(numeric(c))(a, b)
+    def bloomSafe(c: String): Boolean = dtOf(c).exists {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
     // bounds verdicts — true on any doubt (no stats, unparseable)
-    def bounds(c: String)(keep: (String, String) => Boolean): Boolean =
-      e.stats.get(c) match {
+    def bounds(c: String)(keep: (String, String) => Boolean): Entry => Boolean =
+      e => e.stats.get(c) match {
         case Some((mn, mx)) =>
           try keep(mn, mx) catch { case _: NumberFormatException => true }
         case None => true
       }
-    def point(c: String, v: Any): Boolean = {
-      if (v == null) return false // = NULL matches no row (ternary logic)
+    def point(c: String, v: Any): Entry => Boolean = {
+      if (v == null) return _ => false // = NULL matches no row
       val s = v.toString
       val boundsOk = bounds(c)((mn, mx) => !lt(c)(s, mn) && !lt(c)(mx, s))
-      def bloomOk = e.blooms.get(c) match {
-        case Some(b64) =>
-          val bytes = java.util.Base64.getDecoder.decode(b64)
-          GraftCatalog.bloomPositions(s)
-            .forall(p => (bytes(p >> 3) & (1 << (p & 7))) != 0)
+      val positions =
+        if (bloomSafe(c)) Some(GraftCatalog.bloomPositions(s)) else None
+      e => boundsOk(e) && (positions match {
+        case Some(pos) => e.blooms.get(c) match {
+          case Some(b64) => GraftCatalog.bloomHit(b64, pos)
+          case None => true
+        }
         case None => true
-      }
-      boundsOk && bloomOk
+      })
     }
-    def cmpV(v: Any)(keep: (String, String, String) => Boolean)(c: String): Boolean =
-      if (v == null) false
-      else bounds(c)((mn, mx) => keep(v.toString, mn, mx))
+    def cmpV(c: String, v: Any)(keep: (String, String, String) => Boolean)
+        : Entry => Boolean =
+      if (v == null) _ => false
+      else { val s = v.toString; bounds(c)((mn, mx) => keep(s, mn, mx)) }
 
     f match {
       case sources.EqualTo(a, v)       => point(a, v)
-      case sources.EqualNullSafe(a, v) => if (v == null) true else point(a, v)
+      case sources.EqualNullSafe(a, v) => if (v == null) _ => true else point(a, v)
       // keep iff some row can be strictly above/below the probe
-      case sources.GreaterThan(a, v)        => cmpV(v)((s, _, mx) => lt(a)(s, mx))(a)
-      case sources.GreaterThanOrEqual(a, v) => cmpV(v)((s, _, mx) => !lt(a)(mx, s))(a)
-      case sources.LessThan(a, v)           => cmpV(v)((s, mn, _) => lt(a)(mn, s))(a)
-      case sources.LessThanOrEqual(a, v)    => cmpV(v)((s, mn, _) => !lt(a)(s, mn))(a)
-      case sources.In(a, vs) => vs.nonEmpty && vs.exists(v => point(a, v))
+      case sources.GreaterThan(a, v)        => cmpV(a, v)((s, _, mx) => lt(a)(s, mx))
+      case sources.GreaterThanOrEqual(a, v) => cmpV(a, v)((s, _, mx) => !lt(a)(mx, s))
+      case sources.LessThan(a, v)           => cmpV(a, v)((s, mn, _) => lt(a)(mn, s))
+      case sources.LessThanOrEqual(a, v)    => cmpV(a, v)((s, mn, _) => !lt(a)(s, mn))
+      case sources.In(a, vs) =>
+        if (vs.isEmpty) _ => false
+        else { val ps = vs.toSeq.map(v => point(a, v)); e => ps.exists(_(e)) }
       case sources.StringStartsWith(a, p) if dtOf(a).contains(StringType) =>
-        // ASCII-only guard: manifest bounds compare as Java strings
-        // (UTF-16) while Spark orders UTF-8 bytes — identical on ASCII,
-        // not beyond, so only prune when everything involved is ASCII
-        e.stats.get(a) match {
-          case Some((mn, mx)) if isAscii(p) && isAscii(mn) && isAscii(mx) =>
-            val upper = // least string above every p-prefixed string
-              if (p.isEmpty) None
-              else Some(p.init + (p.last + 1).toChar)
-            !(mx < p) && upper.forall(u => mn < u)
-          case _ => true
+        // prefix bounds in UTF-8 order; the upper probe increments the
+        // last char, which is only a sound least-upper-bound when the
+        // increment stays inside ASCII — otherwise keep the file
+        bounds(a) { (mn, mx) =>
+          val ltS = GraftCatalog.boundsLt(numeric = false) _
+          // p-prefixed strings all sit in [p, p.init :+ (p.last+1)): prune
+          // when mx < p, or when mn is at/above the (ASCII-incrementable)
+          // least upper bound
+          val upperOk =
+            p.isEmpty || p.last >= 0x7f || ltS(mn, p.init + (p.last + 1).toChar)
+          !ltS(mx, p) && upperOk
         }
-      case sources.And(l, r) => mightMatch(e, l, dtOf) && mightMatch(e, r, dtOf)
-      case sources.Or(l, r)  => mightMatch(e, l, dtOf) || mightMatch(e, r, dtOf)
-      case sources.AlwaysFalse() => false
-      case _ => true // IsNull/IsNotNull/Not/unknown: cannot prune
+      case sources.And(l, r) =>
+        val (cl, cr) = (compile(l, dtOf), compile(r, dtOf)); e => cl(e) && cr(e)
+      case sources.Or(l, r) =>
+        val (cl, cr) = (compile(l, dtOf), compile(r, dtOf)); e => cl(e) || cr(e)
+      case sources.AlwaysFalse() => _ => false
+      case _ => _ => true // IsNull/IsNotNull/Not/unknown: cannot prune
     }
   }
-
-  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
 }
 
 /** Per-task staged files: (manifest-relative path, size bytes, manifest

@@ -427,12 +427,16 @@ private[catalog] final class GraftRowLevelTable(
 
   /** Row lineage, the Iceberg `_file`/`_pos` habit — served by the
     * scan's lineage thunk for plain SELECTs and REQUIRED by the COW
-    * operation (see GraftCowOperation.requiredMetadataAttributes). */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
+    * operation (see GraftCowOperation.requiredMetadataAttributes).
+    * A table whose DATA schema already uses a lineage name keeps its
+    * own column (the metadata twin is not advertised — row-level ops
+    * on such a table refuse at planning, see GraftCowOperationBuilder). */
+  override def metadataColumns(): Array[MetadataColumn] = Array[MetadataColumn](
     GraftMetaColumn("_file", org.apache.spark.sql.types.StringType,
       "manifest-relative data file holding the row"),
     GraftMetaColumn("_pos", org.apache.spark.sql.types.LongType,
       "row ordinal within _file"))
+    .filterNot(m => tableSchema.fieldNames.contains(m.name()))
 }
 
 private[catalog] case class GraftMetaColumn(colName: String,
@@ -530,10 +534,14 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
     // the metadata-served branch must not force the lazy df (it would
     // resolve data paths a metadata answer never needs)
     val inner = aggResult.getOrElse {
-      // a scan referencing the lineage metadata columns reads through
-      // the lineage thunk (position-carrying MoR scan) instead
+      // a scan referencing the lineage METADATA columns reads through
+      // the lineage thunk (position-carrying MoR scan) instead — but a
+      // DATA column that happens to be named _file/_pos stays on the
+      // plain path (the lineage twin is not advertised for it, and the
+      // rename inside the thunk would collide)
       val base =
-        if (requiredNames.exists(n => n == "_file" || n == "_pos"))
+        if (requiredNames.exists(n =>
+              (n == "_file" || n == "_pos") && !tableSchema.fieldNames.contains(n)))
           metaThunk.map(_()).getOrElse(df)
         else df
       val inner0 = pushed.foldLeft(base)((d, f) =>

@@ -612,11 +612,17 @@ object CatalogQueries {
   private def sqlRowLevelMor: Q = sqlRowLevelIn("merge-on-read")
 
   private def sqlRowLevelIn(mode: String): Q = (s, d) => {
-    val wh = sqlRowLevelWarehouses.getOrElseUpdate(mode + "@" + d, {
-      s.conf.set("spark.graft.rowlevel.mode", mode)
-      try buildRowLevelWarehouse(s, d)
-      finally s.conf.unset("spark.graft.rowlevel.mode")
-    })
+    // SYNCHRONIZED: the builder mutates the session-global rowlevel.mode
+    // conf — a concurrent COW/MoR pair interleaving set/unset would
+    // silently build the MoR warehouse in copy-on-write mode (and bare
+    // TrieMap.getOrElseUpdate may run the builder twice)
+    val wh = sqlRowLevelWarehouses.synchronized {
+      sqlRowLevelWarehouses.getOrElseUpdate(mode + "@" + d, {
+        s.conf.set("spark.graft.rowlevel.mode", mode)
+        try buildRowLevelWarehouse(s, d)
+        finally s.conf.unset("spark.graft.rowlevel.mode")
+      })
+    }
     val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
     s.sql(s"""SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
                      round(sum(o_totalprice), 2) AS total_price,

@@ -307,6 +307,72 @@ class RowLevelOpsSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("candidate pruning compares string bounds in UTF-8 order: a " +
+       "supplementary-plane max bound must not hide a BMP probe") {
+    val (cat, c) = register()
+    cat.createTable("m", "u8")
+    // UTF-16 code-unit order puts the emoji (surrogates 0xD83D..) BELOW
+    // u''; UTF-8/code-point order puts it ABOVE — a Java-string
+    // compare would conclude max < probe and prune the file, silently
+    // losing the update
+    cat.commitAppend("m", "u8",
+      Seq((1L, ""), (2L, "😀")).toDF("id", "s").coalesce(1))
+    spark.sql(s"UPDATE $c.m.u8 SET id = 99 WHERE s = ''")
+    assert(spark.sql(s"SELECT id FROM $c.m.u8 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 99L), "the update must land")
+  }
+
+  test("blooms on a type whose probe string diverges from the build form " +
+       "(timestamp) are skipped, not mis-probed: the update still lands") {
+    val (cat, c) = register()
+    cat.createTable("m", "tsb")
+    val df = spark.sql(
+      """SELECT id, TIMESTAMP'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts
+         FROM range(0, 3)""")
+    cat.commitAppend("m", "tsb", df.coalesce(1), bloomCols = Seq("ts"))
+    spark.sql(s"UPDATE $c.m.tsb SET id = 99 " +
+      "WHERE ts = TIMESTAMP'2024-06-01 12:00:01'")
+    assert(spark.sql(s"SELECT id FROM $c.m.tsb ORDER BY id")
+      .as[Long].collect().toSeq === Seq(0L, 2L, 99L),
+      "a java-toString bloom probe ('…01.0') would prune every file")
+  }
+
+  test("a COW rewrite carries bloom filters onto the replacement file") {
+    val (cat, c) = register()
+    cat.createTable("m", "blc")
+    cat.commitAppend("m", "blc",
+      Seq((1L, "a"), (100L, "b")).toDF("id", "s").coalesce(1), bloomCols = Seq("id"))
+    cat.commitAppend("m", "blc",
+      Seq((2L, "c"), (99L, "d")).toDF("id", "s").coalesce(1), bloomCols = Seq("id"))
+    spark.sql(s"UPDATE $c.m.blc SET s = 'X' WHERE id = 99")
+    // both files' ranges cover an ABSENT key; only blooms can prove it
+    // away — if the rewrite dropped the bloom, the replacement file
+    // would be read
+    val probe = cat.readWhereEquals("m", "blc", "id", "3")
+    assert(probe.inputFiles.isEmpty,
+      s"replacement file must keep its bloom: read ${probe.inputFiles.length} files")
+    assert(cat.readWhereEquals("m", "blc", "id", "99").as[(Long, String)]
+      .collect().toSeq === Seq((99L, "X")))
+  }
+
+  test("a data column named _file keeps working (no lineage twin is " +
+       "advertised); row-level SQL on such a table refuses loudly") {
+    val (cat, c) = register()
+    cat.createTable("m", "clash")
+    cat.commitAppend("m", "clash",
+      Seq((1L, "userfile-a")).toDF("id", "_file"))
+    assert(spark.sql(s"SELECT _file FROM $c.m.clash").head().getString(0)
+      === "userfile-a", "the DATA column must resolve, not the lineage")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $c.m.clash SET id = 2 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("reserved lineage"), e.getMessage)
+    // and a version-less legacy table answers lineage with zero rows
+    cat.createTable("m", "bare")
+    val lin = cat.readWithLineage("m", "bare")
+    assert(lin.columns.toSeq === Seq("_file", "_pos") && lin.count() === 0L)
+  }
+
   private def inMorMode[T](body: => T): T = {
     spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
     try body finally spark.conf.unset("spark.graft.rowlevel.mode")

@@ -148,6 +148,76 @@ object ServeBench {
           .count()
       })
     }
+    if (groups("rowlevel")) {
+      // SQL row-level operations at scale. The claim under test is the
+      // WRITE-AMPLIFICATION contract, not raw wall-clock: a point UPDATE
+      // rewrites O(1) files (bounds+bloom static pruning), a join-only
+      // MERGE rewrites only the files that hold matching keys (runtime
+      // group filtering — its matching-files subquery is a column-pruned
+      // O(n) scan, the only corpus-proportional cost), and a
+      // merge-on-read DELETE appends O(changed rows) of position deltas.
+      // `rows` in the emitted JSON = FILES REWRITTEN for the COW ops
+      // (the flat-at-scale claim), positions written for the MoR delete.
+      val li = Tables.lineitem(spark, sfDir)
+      // unique-key target (lineitem repeats l_orderkey; MERGE needs a
+      // key): one row per order, range-clustered into fixed-size files
+      // so the file count GROWS with the corpus
+      val target = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("price"),
+          count(lit(1)).cast("double").as("lines"))
+      val nKeys = target.count()
+      val nFiles = math.max(8, (nKeys / 15000L).toInt)
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+      time("rl_build", 1) {
+        cat.createTable("sb", "rl")
+        cat.commitAppend("sb", "rl",
+          target.repartitionByRange(nFiles, col("l_orderkey")),
+          bloomCols = Seq("l_orderkey"))
+        nKeys
+      }
+      def liveFiles() =
+        cat.dataFiles("sb", "rl", cat.latest("sb", "rl").get).toSet
+      (1 to repeat).foreach(i => time("rl_update_point", i) {
+        val before = liveFiles()
+        spark.sql(s"UPDATE $c.sb.rl SET price = price + 1 WHERE l_orderkey = 1")
+          .collect()
+        (liveFiles() -- before).size.toLong
+      })
+      // fixed-size MERGE batch: 1x-slice keys (present at every factor,
+      // clustered in the low-key files) + per-run synthetic inserts
+      val mergeKeys = target.filter(col("l_orderkey") < 2000 &&
+        col("l_orderkey") % 7 === 0).select(col("l_orderkey").as("k"))
+      (1 to repeat).foreach { i =>
+        mergeKeys.union(spark.range(i * 1000000L, i * 1000000L + 50)
+            .select((-col("id") - 1).as("k")))
+          .createOrReplaceTempView("rl_src")
+        time("rl_merge_join", i) {
+          val before = liveFiles()
+          spark.sql(
+            s"""MERGE INTO $c.sb.rl t USING rl_src s ON t.l_orderkey = s.k
+               |WHEN MATCHED THEN UPDATE SET price = t.price + 1
+               |WHEN NOT MATCHED THEN INSERT (l_orderkey, price, lines)
+               |  VALUES (s.k, 0.0, 0.0)
+               |""".stripMargin).collect()
+          (liveFiles() -- before).size.toLong
+        }
+      }
+      (1 to repeat).foreach { i =>
+        time("rl_delete_mor", i) {
+          spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+          try {
+            val nBefore = spark.sql(s"SELECT count(*) FROM $c.sb.rl")
+              .head().getLong(0)
+            // untranslatable predicate (modulo): forces the row-level
+            // path; a fresh remainder each run keeps the delete live
+            spark.sql(s"DELETE FROM $c.sb.rl " +
+              s"WHERE l_orderkey % 997 = $i AND l_orderkey > 0").collect()
+            nBefore - spark.sql(s"SELECT count(*) FROM $c.sb.rl")
+              .head().getLong(0)
+          } finally spark.conf.unset("spark.graft.rowlevel.mode")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -202,18 +202,19 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
     op.planned = Some((snap.map(_.commitId), cands))
     val requiredNames = required.fieldNames.toSeq
     val sn = snap
-    new GraftCowScan(required, () => sn match {
-      case Some(s) =>
-        val base = ctx.cat.readFilesMorLineage(ctx.ns, ctx.name, s, cands)
-        val filtered =
-          if (!rowFilter) base
-          else filters.foldLeft(base)((d, f) =>
-            GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
-        filtered.select(requiredNames.map(col): _*)
-      case None =>
-        ctx.spark.createDataFrame(
-          ctx.spark.sparkContext.emptyRDD[Row], required)
-    })
+    new GraftCowScan(required, op, sn.map(_.commitId), cands, rowFilter,
+      ctx.spark, cs => sn match {
+        case Some(s) =>
+          val base = ctx.cat.readFilesMorLineage(ctx.ns, ctx.name, s, cs)
+          val filtered =
+            if (!rowFilter) base
+            else filters.foldLeft(base)((d, f) =>
+              GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
+          filtered.select(requiredNames.map(col): _*)
+        case None =>
+          ctx.spark.createDataFrame(
+            ctx.spark.sparkContext.emptyRDD[Row], required)
+      })
   }
 }
 
@@ -223,10 +224,56 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
   * parquet scans + positional delete anti-joins, whole-stage-codegen'd
   * and AQE-planned like any native read. So this Scan never executes:
   * [[GraftCowScanSubstitution]] splices `inner`'s analyzed plan in
-  * during optimization (rooted onto the relation's attribute ids). */
+  * during optimization (rooted onto the relation's attribute ids).
+  *
+  * Declares [[SupportsRuntimeV2Filtering]] on `_file` so Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` rule plans a matching-files
+  * subquery for conditions static pruning can't see (MERGE's
+  * join-dependent ON, untranslatable UPDATE predicates). The
+  * substitution rule — not BatchScanExec, which never exists here —
+  * executes that subquery and calls [[narrowTo]]: the candidate set is
+  * BOTH the read scope and the commit's removed-file set, so the two
+  * narrow together (narrowing only one would lose rows). */
 private[catalog] final class GraftCowScan(required: StructType,
-                                          inner: () => org.apache.spark.sql.DataFrame)
-    extends Scan {
+                                          op: GraftPlannedOperation,
+                                          headId: Option[String],
+                                          initialCands: Set[String],
+                                          private[catalog] val rowFilter: Boolean,
+                                          private[catalog] val session: SparkSession,
+                                          innerFor: Set[String] => org.apache.spark.sql.DataFrame)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  @volatile private var cands: Set[String] = initialCands
+
+  /** Restrict the statement to `files` (∩ current candidates): files
+    * provably holding no matching row are neither read nor removed —
+    * their manifest entries ride through the commit verbatim. */
+  private[catalog] def narrowTo(files: Set[String]): Unit = {
+    cands = cands.intersect(files)
+    op.planned = Some((headId, cands))
+  }
+  private[catalog] def candidates: Set[String] = cands
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  /** Contract completeness only: runtime filters reach a scan through
+    * BatchScanExec, which this scan never becomes (toBatch throws) —
+    * the substitution rule performs the narrowing instead. Best-effort
+    * per the interface: narrow on IN/= over `_file`, ignore the rest. */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      val refsFile = p.references().exists(_.fieldNames().sameElements(Array("_file")))
+      if (refsFile && (p.name() == "IN" || p.name() == "=")) {
+        val vs = p.children().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType() == StringType => l.value().toString
+        }
+        if (vs.nonEmpty) narrowTo(vs.toSet)
+      }
+    }
+
   override def readSchema(): StructType = required
   override def description(): String = "GraftCowScan"
   // the OPTIMIZED plan: the substitution batch runs after the main
@@ -235,7 +282,7 @@ private[catalog] final class GraftCowScan(required: StructType,
   // cannot execute — optimizing the fragment independently runs the
   // full rule set over it exactly once
   private[graft] def innerPlan(): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    inner().queryExecution.optimizedPlan
+    innerFor(cands).queryExecution.optimizedPlan
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     throw new IllegalStateException(
       "GraftCowScan executed directly — the GraftCowScanSubstitution " +
@@ -248,25 +295,80 @@ private[catalog] final class GraftCowScan(required: StructType,
   * output attribute ids. Installed idempotently into
   * `spark.experimental.extraOptimizations` by GraftSparkCatalog — that
   * batch runs AFTER the row-level scan-planning rule created the
-  * relation, and before physical planning. */
+  * relation, and before physical planning.
+  *
+  * RUNTIME GROUP FILTERING: when Spark's
+  * `RowLevelOperationRuntimeGroupFiltering` rule (fires earlier, in the
+  * PartitionPruning batch, because the scan declares
+  * SupportsRuntimeV2Filtering on `_file`) has wrapped the relation in
+  * `Filter(DynamicPruningExpression(InSubquery(_file, matching-files
+  * subquery)), rel)`, this rule executes that subquery ONCE on the
+  * driver (the DPP trade: one small semi-join job buys file-exact
+  * pruning) and narrows the scan — candidate READ set and commit
+  * REMOVED set together, which is the data-safety invariant: a
+  * row-level `_file IN (...)` filter left above a group-based scan
+  * would silently drop non-matching files' rows from the rewrite while
+  * the commit still removed those files. The Filter is consumed here
+  * precisely so that can never happen; after file-level narrowing the
+  * predicate is a tautology. At 100 TB this is the difference between
+  * a join-keyed MERGE rewriting every candidate file and rewriting
+  * only the files that provably hold matches. */
 private[graft] object GraftCowScanSubstitution
     extends org.apache.spark.sql.catalyst.rules.Rule[
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.Alias
-  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, DynamicPruningExpression, Expression, InSubquery, ListQuery}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, rel: DataSourceV2ScanRelation)
+        if rel.scan.isInstanceOf[GraftCowScan] &&
+           splitConjunctivePredicates(cond)
+             .exists(_.isInstanceOf[DynamicPruningExpression]) =>
+      val scan = rel.scan.asInstanceOf[GraftCowScan]
+      val (dyn, rest) = splitConjunctivePredicates(cond)
+        .partition(_.isInstanceOf[DynamicPruningExpression])
+      dyn.foreach {
+        case DynamicPruningExpression(InSubquery(Seq(key: Attribute), lq: ListQuery))
+            if key.name == "_file" && rel.output.exists(_.exprId == key.exprId) &&
+               lq.plan.output.size == 1 &&
+               lq.plan.output.head.dataType == StringType =>
+          val matched = org.apache.spark.sql.graftbridge.ColumnBridge
+            .ofRows(scan.session, lq.plan)
+            .collect().iterator
+            .collect { case r if !r.isNullAt(0) => r.getString(0) }
+            .toSet
+          scan.narrowTo(matched)
+        case other =>
+          // unexpected shape: dropping a dynamic PRUNING filter is always
+          // safe (the statement just rewrites the full candidate set, the
+          // pre-narrowing semantics) — keeping it as a row filter is not
+          logWarning(s"GraftCowScan: un-executable dynamic pruning filter " +
+            s"dropped (full candidate set retained): $other")
+      }
+      val sub = substituted(rel)
+      // residual static conjuncts (none are produced for group scans —
+      // every pushed filter is consumed as a group filter — but a delta
+      // scan's residuals re-apply above, and preserving unknown shapes
+      // is behavior-identical to the pre-narrowing plan)
+      rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        .map(Filter(_, sub)).getOrElse(sub)
+
     case rel: DataSourceV2ScanRelation if rel.scan.isInstanceOf[GraftCowScan] =>
-      val inner = rel.scan.asInstanceOf[GraftCowScan].innerPlan()
-      require(inner.output.size == rel.output.size,
-        s"GraftCowScan arity mismatch: ${inner.output.size} vs ${rel.output.size}")
-      // position-aligned by construction (the scan selected readSchema's
-      // columns in order); reusing the relation's exprIds keeps every
-      // reference above resolved
-      Project(rel.output.zip(inner.output).map { case (o, i) =>
-        Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-      }, inner)
+      substituted(rel)
+  }
+
+  private def substituted(rel: DataSourceV2ScanRelation): LogicalPlan = {
+    val inner = rel.scan.asInstanceOf[GraftCowScan].innerPlan()
+    require(inner.output.size == rel.output.size,
+      s"GraftCowScan arity mismatch: ${inner.output.size} vs ${rel.output.size}")
+    // position-aligned by construction (the scan selected readSchema's
+    // columns in order); reusing the relation's exprIds keeps every
+    // reference above resolved
+    Project(rel.output.zip(inner.output).map { case (o, i) =>
+      Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, inner)
   }
 }
 

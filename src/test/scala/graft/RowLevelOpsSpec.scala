@@ -88,9 +88,9 @@ class RowLevelOpsSpec extends SparkSpec {
     val filesBefore = cat.dataFiles("m", "tgt", before).toSet
 
     Seq((2L, 9.0), (3L, 33.0)).toDF("id", "amt").createOrReplaceTempView("src")
-    // the target-only conjunct (t.id < 10) bounds the candidate set; the
-    // join itself is source-dependent, so without it a MERGE rewrites
-    // every candidate file (runtime group filtering is a follow-up)
+    // the target-only conjunct (t.id < 10) bounds the candidate set
+    // STATICALLY (manifest arithmetic, no job); the join itself is
+    // source-dependent and narrows at runtime (tests below)
     spark.sql(
       s"""MERGE INTO $c.m.tgt t USING src s ON t.id = s.id AND t.id < 10
          |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt
@@ -110,6 +110,145 @@ class RowLevelOpsSpec extends SparkSpec {
     // time travel: pre-merge state intact
     assert(spark.sql(s"SELECT sum(amt) FROM $c.m.tgt VERSION AS OF ${before.seq}")
       .head().getDouble(0) === 1400.0)
+  }
+
+  test("MERGE with a join-only ON condition rewrites ONLY the files " +
+       "holding matching keys (runtime group filtering)") {
+    val (cat, c) = register()
+    cat.createTable("m", "rgf")
+    // three id-clustered files; no target-only conjunct anywhere, so
+    // static pruning keeps all three — only the matching-files subquery
+    // (Spark's RowLevelOperationRuntimeGroupFiltering through the COW
+    // scan's SupportsRuntimeV2Filtering surface) can narrow
+    cat.commitAppend("m", "rgf",
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "rgf",
+      Seq((11L, 110.0), (12L, 120.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "rgf",
+      Seq((21L, 210.0), (22L, 220.0)).toDF("id", "amt").coalesce(1))
+    val before = cat.latest("m", "rgf").get
+    val filesBefore = cat.dataFiles("m", "rgf", before).toSet
+    assert(filesBefore.size === 3)
+
+    Seq((12L, 1.0), (99L, 999.0)).toDF("id", "amt")
+      .createOrReplaceTempView("rgf_src")
+    spark.sql(
+      s"""MERGE INTO $c.m.rgf t USING rgf_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt
+         |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)
+         |""".stripMargin)
+
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.rgf ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (11L, 110.0), (12L, 121.0),
+          (21L, 210.0), (22L, 220.0), (99L, 999.0)))
+
+    // FILE GRANULARITY despite the join-dependent condition: the [1,2]
+    // and [21,22] files hold no matching key — carried verbatim
+    val after = cat.latest("m", "rgf").get
+    val filesAfter = cat.dataFiles("m", "rgf", after).toSet
+    assert((filesBefore intersect filesAfter).size === 2,
+      s"non-matching files must keep their paths: $filesBefore vs $filesAfter")
+    // unmatched rows of the matched file survived (11 above), and the
+    // pre-merge state is reachable
+    assert(spark.sql(s"SELECT sum(amt) FROM $c.m.rgf VERSION AS OF ${before.seq}")
+      .head().getDouble(0) === 690.0)
+  }
+
+  test("MERGE matching NO file: runtime narrowing empties the rewrite, " +
+       "inserts still land in one version") {
+    val (cat, c) = register()
+    cat.createTable("m", "rgfe")
+    cat.commitAppend("m", "rgfe",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "amt").coalesce(1))
+    val before = cat.latest("m", "rgfe").get
+    val filesBefore = cat.dataFiles("m", "rgfe", before).toSet
+    Seq((500L, 5.0)).toDF("id", "amt").createOrReplaceTempView("rgfe_src")
+    spark.sql(
+      s"""MERGE INTO $c.m.rgfe t USING rgfe_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)
+         |""".stripMargin)
+    val after = cat.latest("m", "rgfe").get
+    assert(after.seq === before.seq + 1)
+    assert(filesBefore.subsetOf(cat.dataFiles("m", "rgfe", after).toSet),
+      "no existing file may be rewritten when nothing matches")
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.rgfe ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (500L, 5.0)))
+  }
+
+  test("runtime group filter disabled by conf: every candidate file is " +
+       "rewritten, result identical") {
+    val (cat, c) = register()
+    cat.createTable("m", "rgfd")
+    cat.commitAppend("m", "rgfd",
+      Seq((1L, 1.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "rgfd",
+      Seq((11L, 11.0)).toDF("id", "amt").coalesce(1))
+    val filesBefore = cat.dataFiles("m", "rgfd", cat.latest("m", "rgfd").get).toSet
+    Seq((11L, 1.0)).toDF("id", "amt").createOrReplaceTempView("rgfd_src")
+    val key = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      spark.sql(
+        s"""MERGE INTO $c.m.rgfd t USING rgfd_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt
+           |""".stripMargin)
+    } finally spark.conf.set(key, prev)
+    val filesAfter = cat.dataFiles("m", "rgfd", cat.latest("m", "rgfd").get).toSet
+    assert((filesBefore intersect filesAfter).isEmpty,
+      "with the group filter off, a join-only MERGE rewrites all candidates")
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.rgfd ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((1L, 1.0), (11L, 12.0)))
+  }
+
+  test("UPDATE with an untranslatable predicate narrows through the " +
+       "matching-files subquery instead of rewriting every file") {
+    val (cat, c) = register()
+    cat.createTable("m", "rgfu")
+    cat.commitAppend("m", "rgfu",
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "rgfu",
+      Seq((3L, "midway"), (4L, "gamma")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "rgfu",
+      Seq((5L, "delta"), (6L, "omega")).toDF("id", "s").coalesce(1))
+    val before = cat.latest("m", "rgfu").get
+    val filesBefore = cat.dataFiles("m", "rgfu", before).toSet
+    // '%mid%' translates to StringContains, which manifest bounds cannot
+    // evaluate (static pruning keeps all three files) — the runtime
+    // matching-files subquery pins the one file that actually matches
+    spark.sql(s"UPDATE $c.m.rgfu SET s = 'MID' WHERE s LIKE '%mid%'")
+    val after = cat.latest("m", "rgfu").get
+    val filesAfter = cat.dataFiles("m", "rgfu", after).toSet
+    assert((filesBefore intersect filesAfter).size === 2,
+      s"only the matching file may be rewritten: $filesBefore vs $filesAfter")
+    assert(spark.sql(s"SELECT s FROM $c.m.rgfu ORDER BY id").as[String]
+      .collect().toSeq === Seq("alpha", "beta", "MID", "gamma", "delta", "omega"))
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE delete stays row-correct " +
+       "(group filtering must not hide unmatched target rows)") {
+    val (cat, c) = register()
+    cat.createTable("m", "rgfs")
+    cat.commitAppend("m", "rgfs",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "rgfs",
+      Seq((11L, 11.0), (12L, 12.0)).toDF("id", "amt").coalesce(1))
+    Seq((2L, 20.0)).toDF("id", "amt").createOrReplaceTempView("rgfs_src")
+    // every target row changes or is re-kept: matched → update, not
+    // matched by source → delete; a file-granular group filter keyed on
+    // the join alone would silently KEEP rows 11/12 — Spark must (and
+    // does) widen or skip the filter for this shape; the contract under
+    // test is the final row set
+    spark.sql(
+      s"""MERGE INTO $c.m.rgfs t USING rgfs_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET amt = s.amt
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.rgfs ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((2L, 20.0)))
   }
 
   test("MERGE cardinality violation (one target row, two source matches) " +

@@ -1999,6 +1999,44 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def readSnapshot(ns: String, name: String, snap: Snapshot): DataFrame =
     morScan(ns, name, snap, _ => true)
 
+  /** Manifest-pruned MoR read for the SQL scan path: the pushed Filter
+    * array compiles to the same conservative per-file predicates the
+    * row-level operations prune with ([[CowPruning]] — bounds compared
+    * in UTF-8 order, blooms probed only for toString-safe types), so
+    * `SELECT ... WHERE id = 5` skips every file whose recorded stats
+    * provably exclude a match BEFORE Spark plans a single task. The
+    * pushed filters also re-apply as row filters above, so results are
+    * exact regardless — pruning only shrinks IO. `carryPosition` serves
+    * the lineage (`_file`/`_pos` metadata column) read the same way,
+    * which makes the row-level matching-files subquery itself
+    * stats-pruned when its condition allows.
+    *
+    * At 100 TB this closes the gap between the programmatic
+    * [[readWhere]] family and SQL: both now plan the same file set. */
+  private[graft] def readFilteredSnapshot(ns: String, name: String, snap: Snapshot,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      carryPosition: Boolean = false): DataFrame = {
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val dtOf: String => Option[DataType] =
+      c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+    val compiled = filters.map(CowPruning.compile(_, dtOf))
+    val scan = morScan(ns, name, snap, e => compiled.forall(_(e)), carryPosition)
+    if (carryPosition)
+      scan.withColumnRenamed("__graft_file", "_file")
+        .withColumnRenamed("__graft_pos", "_pos")
+    else scan
+  }
+
+  /** [[readFilteredSnapshot]] against the LATEST version; a table with
+    * no committed version falls back to the schema-correct empty read. */
+  private[graft] def readFilteredLatest(ns: String, name: String,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      carryPosition: Boolean): DataFrame =
+    latest(ns, name) match {
+      case Some(s) => readFilteredSnapshot(ns, name, s, filters, carryPosition)
+      case None => if (carryPosition) readWithLineage(ns, name) else read(ns, name)
+    }
+
   /** C2: current table state. */
   def read(ns: String, name: String): DataFrame =
     latest(ns, name).map(readSnapshot(ns, name, _)).getOrElse(spark.emptyDataFrame)

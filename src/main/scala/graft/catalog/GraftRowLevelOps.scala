@@ -329,7 +329,13 @@ private[graft] object GraftCowScanSubstitution
       val scan = rel.scan.asInstanceOf[GraftCowScan]
       val (dyn, rest) = splitConjunctivePredicates(cond)
         .partition(_.isInstanceOf[DynamicPruningExpression])
-      dyn.foreach {
+      // skip the subquery only when static pruning already emptied the
+      // candidate set — there is nothing left to narrow. (It is NOT a
+      // full-table scan otherwise: the matching plan's own filters
+      // stats-prune through readFilteredLatest, so a point UPDATE's
+      // subquery reads just the statically-narrowed files and can still
+      // narrow them to zero — e.g. a bloom false positive.)
+      if (scan.candidates.nonEmpty) dyn.foreach {
         case DynamicPruningExpression(InSubquery(Seq(key: Attribute), lq: ListQuery))
             if key.name == "_file" && rel.output.exists(_.exprId == key.exprId) &&
                lq.plan.output.size == 1 &&
@@ -402,9 +408,27 @@ private[catalog] object CowPruning {
            org.apache.spark.sql.types.DateType => true
       case _ => false
     }
-    // bounds verdicts — true on any doubt (no stats, unparseable)
+    // Bounds may be consulted only when the probe's `v.toString` is
+    // commensurable with the build side's cast-to-string stats: NUMERIC
+    // types compare parsed (toString-form differences are absorbed by
+    // the parse), and string/boolean/date toString IS the cast form.
+    // Everything else — timestamps above all — must keep the file: a
+    // java.sql.Timestamp prints '... 00:00:00.0' while the stat reads
+    // '... 00:00:00', so a probe AT a file's max bound compares above
+    // it lexicographically and the mis-prune LOSES the row's update
+    // (same failure class as the bloom toString-divergence, which is
+    // why bloomSafe already whitelists; bounds needed the numeric
+    // extension of that whitelist).
+    def boundsSafe(c: String): Boolean = numeric(c) || dtOf(c).exists {
+      case StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    // bounds verdicts — true on any doubt (no stats, unparseable,
+    // incommensurable probe form)
     def bounds(c: String)(keep: (String, String) => Boolean): Entry => Boolean =
-      e => e.stats.get(c) match {
+      if (!boundsSafe(c)) _ => true
+      else e => e.stats.get(c) match {
         case Some((mn, mx)) =>
           try keep(mn, mx) catch { case _: NumberFormatException => true }
         case None => true

@@ -214,7 +214,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
     val df = cat.readVersion(ns, t, version.toLong)
-    new GraftV2Table(s"$catalogName.$ns.$t@v$version", () => df, df.schema)
+    val snap = cat.snapshots(ns, t).find(_.seq == version.toLong)
+    new GraftV2Table(s"$catalogName.$ns.$t@v$version", () => df, df.schema,
+      pruned = snap.map(s =>
+        (fs: Array[Filter], _: Boolean) => cat.readFilteredSnapshot(ns, t, s, fs)))
   }
 
   /** TIMESTAMP AS OF <ts> — Spark passes MICROseconds since epoch. */
@@ -222,7 +225,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
     val df = cat.readAsOfTimestamp(ns, t, timestampMicros / 1000L)
-    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros", () => df, df.schema)
+    val snap = cat.versionAsOfTimestamp(ns, t, timestampMicros / 1000L)
+    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros", () => df, df.schema,
+      pruned = snap.map(s =>
+        (fs: Array[Filter], _: Boolean) => cat.readFilteredSnapshot(ns, t, s, fs)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -351,7 +357,7 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
                                     insert: Option[(DataFrame, Boolean) => Unit] = None,
                                     delete: Option[Column => Unit] = None,
                                     meta: Option[GraftMetaAggs] = None,
-                                    metaThunk: Option[() => DataFrame] = None)
+                                    pruned: Option[(Array[Filter], Boolean) => DataFrame] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
@@ -381,7 +387,7 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dfThunk, tableSchema, meta, metaThunk)
+    new GraftScanBuilder(dfThunk, tableSchema, meta, pruned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -417,13 +423,29 @@ private[catalog] final class GraftRowLevelTable(
     meta: Option[GraftMetaAggs],
     rowLevel: GraftRowLevelContext)
   extends GraftV2Table(tableName, dfThunk, tableSchema, insert, delete, meta,
-    metaThunk = Some(() =>
-      rowLevel.cat.readWithLineage(rowLevel.ns, rowLevel.name)))
+    // one read closure serves BOTH the plain filtered scan and the
+    // lineage (metadata-column) scan: stats-pruned by the pushed
+    // filters, full when none pushed — see GraftScanBuilder.build
+    pruned = Some((fs, lineage) =>
+      rowLevel.cat.readFilteredLatest(rowLevel.ns, rowLevel.name, fs, lineage)))
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new GraftCowOperationBuilder(rowLevel, info)
+
+  /** Conditional DELETEs route through the ROW-LEVEL machinery —
+    * file-granular copy-on-write (or O(changed rows) merge-on-read
+    * deltas), stats-pruned and runtime-group-filtered — by refusing the
+    * metadata path here: the metadata closure's one implementation is a
+    * whole-table conditional REPLACE, which at 100 TB is exactly the
+    * rewrite the row-level path exists to avoid (and in merge-on-read
+    * mode it would break the mode's O(changed rows) contract). The
+    * metadata path keeps only the shape it serves without reading data:
+    * the WHERE-less truncate (AlwaysTrue). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    super.canDeleteWhere(filters) &&
+      filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue())
 
   /** Row lineage, the Iceberg `_file`/`_pos` habit — served by the
     * scan's lineage thunk for plain SELECTs and REQUIRED by the COW
@@ -459,7 +481,7 @@ private[catalog] case class GraftMetaColumn(colName: String,
 private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
                                         tableSchema: StructType,
                                         meta: Option[GraftMetaAggs] = None,
-                                        metaThunk: Option[() => DataFrame] = None)
+                                        pruned: Option[(Array[Filter], Boolean) => DataFrame] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -468,6 +490,10 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
   // aggregates never touch this
   private lazy val df: DataFrame = dfThunk()
   private var pushed: Array[Filter] = Array.empty
+  // ALL pushed filters, translatable or not — the manifest-stats file
+  // pruner (`pruned`) evaluates shapes the Column translation can't
+  // and stays conservative on the rest
+  private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggResult: Option[DataFrame] = None
 
@@ -522,6 +548,7 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
     * parquet scan) but ALSO returned as residuals — Spark re-evaluates
     * them above the scan, so partial translation is always safe. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
     filters
   }
@@ -538,11 +565,16 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
       // the lineage thunk (position-carrying MoR scan) instead — but a
       // DATA column that happens to be named _file/_pos stays on the
       // plain path (the lineage twin is not advertised for it, and the
-      // rename inside the thunk would collide)
+      // rename inside the thunk would collide). Filtered scans route
+      // through the manifest-stats file pruner when the table provides
+      // one — same file set the readWhere family would plan.
+      val lineageRead = requiredNames.exists(n =>
+        (n == "_file" || n == "_pos") && !tableSchema.fieldNames.contains(n))
       val base =
-        if (requiredNames.exists(n =>
-              (n == "_file" || n == "_pos") && !tableSchema.fieldNames.contains(n)))
-          metaThunk.map(_()).getOrElse(df)
+        if (lineageRead)
+          pruned.map(_(allFilters, true)).getOrElse(sys.error(
+            s"lineage columns required but the table serves no lineage read"))
+        else if (allFilters.nonEmpty && pruned.isDefined) pruned.get(allFilters, false)
         else df
       val inner0 = pushed.foldLeft(base)((d, f) =>
         GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))

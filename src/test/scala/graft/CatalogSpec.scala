@@ -14,6 +14,58 @@ class CatalogSpec extends SparkSpec {
   private def freshCatalog(): GraftCatalog =
     new GraftCatalog(spark, Files.createTempDirectory("graft-wh").toString)
 
+  test("SQL reads plan the same manifest-pruned file set as readWhere: " +
+       "point/range/lineage prune, incommensurable probes keep all files") {
+    import org.apache.spark.sql.sources
+    val cat = freshCatalog()
+    graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    cat.createTable("ns", "sqlp")
+    // three id-clustered files; ts shares ONE second across files so an
+    // exact-bound timestamp probe is only correct if bounds are skipped
+    def df(lo: Long) = (lo until lo + 3)
+      .map(i => (i, s"s$i", java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("id", "s", "ts").coalesce(1)
+    cat.commitAppend("ns", "sqlp", df(1), bloomCols = Seq("id"))
+    cat.commitAppend("ns", "sqlp", df(11), bloomCols = Seq("id"))
+    cat.commitAppend("ns", "sqlp", df(21), bloomCols = Seq("id"))
+
+    // the SQL scan path's pruner: point probe -> 1 file
+    assert(cat.readFilteredLatest("ns", "sqlp",
+      Array[sources.Filter](sources.EqualTo("id", 12L)), carryPosition = false)
+      .inputFiles.length === 1)
+    // range straddling two files -> 2
+    assert(cat.readFilteredLatest("ns", "sqlp",
+      Array[sources.Filter](sources.GreaterThan("id", 12L),
+        sources.LessThanOrEqual("id", 22L)), carryPosition = false)
+      .inputFiles.length === 2)
+    // untranslatable-for-stats shape keeps everything (conservative)
+    assert(cat.readFilteredLatest("ns", "sqlp",
+      Array[sources.Filter](sources.StringContains("s", "1")), carryPosition = false)
+      .inputFiles.length === 3)
+    // a timestamp probe's toString diverges from the stat's cast form:
+    // bounds must be SKIPPED (keep all), never compared lexicographically
+    assert(cat.readFilteredLatest("ns", "sqlp",
+      Array[sources.Filter](sources.EqualTo("ts",
+        java.sql.Timestamp.valueOf("2024-05-01 10:00:00"))), carryPosition = false)
+      .inputFiles.length === 3)
+    // the lineage (metadata-column) read prunes identically and still
+    // carries _file/_pos
+    val lin = cat.readFilteredLatest("ns", "sqlp",
+      Array[sources.Filter](sources.GreaterThanOrEqual("id", 21L)),
+      carryPosition = true)
+    assert(lin.inputFiles.length === 1)
+    assert(lin.columns.toSeq === Seq("id", "s", "ts", "_file", "_pos"))
+
+    // end-to-end SQL: boundary-inclusive results stay exact through the
+    // pruned scan (residual row filters still apply above)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    assert(spark.sql(s"SELECT id FROM $c.ns.sqlp WHERE id >= 3 AND id <= 11 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(3L, 11L))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $c.ns.sqlp WHERE ts = TIMESTAMP'2024-05-01 10:00:00'")
+      .head().getLong(0) === 9L)
+  }
+
   test("create/exists/list/drop") {
     val cat = freshCatalog()
     cat.createTable("analytics", "user_events")

@@ -112,6 +112,29 @@ class RowLevelOpsSpec extends SparkSpec {
       .head().getDouble(0) === 1400.0)
   }
 
+  test("UPDATE keyed on a timestamp AT a file's max bound lands: " +
+       "incommensurable probe forms must skip bounds, not mis-prune") {
+    val (cat, c) = register()
+    cat.createTable("m", "tsb")
+    // file 1's ts max IS the probed value — a lexicographic compare of
+    // java.sql.Timestamp.toString ('...00.0') vs the cast-form stat
+    // ('...00') reads the probe as ABOVE the max and silently drops the
+    // file from the candidate set (the UPDATE no-ops = data loss)
+    cat.commitAppend("m", "tsb", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-05-01 09:00:00"), 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), 0.0))
+      .toDF("id", "ts", "v").coalesce(1))
+    cat.commitAppend("m", "tsb", Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-05-02 09:00:00"), 0.0))
+      .toDF("id", "ts", "v").coalesce(1))
+    spark.sql(s"UPDATE $c.m.tsb SET v = 1.0 " +
+      "WHERE ts = TIMESTAMP'2024-05-01 10:00:00'")
+    assert(spark.sql(s"SELECT id, v FROM $c.m.tsb ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 0.0), (2L, 1.0), (3L, 0.0)),
+      "the max-bound row must update — a silent no-op means bounds mis-pruned")
+  }
+
   test("MERGE with a join-only ON condition rewrites ONLY the files " +
        "holding matching keys (runtime group filtering)") {
     val (cat, c) = register()
@@ -269,6 +292,51 @@ class RowLevelOpsSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
     assert(cat.latest("m", "card").get.seq === before, "nothing published")
     assert(spark.sql(s"SELECT amt FROM $c.m.card").head().getDouble(0) === 1.0)
+  }
+
+  test("translatable conditional DELETE is FILE-GRANULAR: it routes " +
+       "row-level (not the metadata path's whole-table replace)") {
+    val (cat, c) = register()
+    cat.createTable("m", "dtr")
+    cat.commitAppend("m", "dtr",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "dtr",
+      Seq((11L, "c"), (12L, "d")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "dtr",
+      Seq((21L, "e"), (22L, "f")).toDF("id", "s").coalesce(1))
+    val before = cat.latest("m", "dtr").get
+    val filesBefore = cat.dataFiles("m", "dtr", before).toSet
+    spark.sql(s"DELETE FROM $c.m.dtr WHERE id = 12")
+    val after = cat.latest("m", "dtr").get
+    assert(after.seq === before.seq + 1, "one atomic version")
+    assert(spark.sql(s"SELECT id FROM $c.m.dtr ORDER BY id").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 11L, 21L, 22L))
+    val filesAfter = cat.dataFiles("m", "dtr", after).toSet
+    assert((filesBefore intersect filesAfter).size === 2,
+      s"the two non-matching files must keep their paths (a whole-table " +
+        s"replace keeps none): $filesBefore vs $filesAfter")
+  }
+
+  test("merge-on-read mode: translatable conditional DELETE appends " +
+       "position deltas — no data file rewritten, O(changed rows)") {
+    val (cat, c) = register()
+    cat.createTable("m", "dtm")
+    cat.commitAppend("m", "dtm",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1))
+    cat.commitAppend("m", "dtm",
+      Seq((11L, "d"), (12L, "e")).toDF("id", "s").coalesce(1))
+    val before = cat.latest("m", "dtm").get
+    val filesBefore = cat.dataFiles("m", "dtm", before).toSet
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $c.m.dtm WHERE id <= 2")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val after = cat.latest("m", "dtm").get
+    assert(cat.dataFiles("m", "dtm", after).toSet === filesBefore,
+      "merge-on-read DELETE must not rewrite or drop any data file")
+    assert(cat.deleteFileEntries("m", "dtm", after).nonEmpty,
+      "the delta must materialize as position-delete files")
+    assert(spark.sql(s"SELECT id FROM $c.m.dtm ORDER BY id").as[Long]
+      .collect().toSeq === Seq(3L, 11L, 12L))
   }
 
   test("DELETE with a subquery predicate routes through the COW rewrite " +

@@ -156,8 +156,10 @@ object ServeBench {
       // group filtering — its matching-files subquery is a column-pruned
       // O(n) scan, the only corpus-proportional cost), and a
       // merge-on-read DELETE appends O(changed rows) of position deltas.
-      // `rows` in the emitted JSON = FILES REWRITTEN for the COW ops
-      // (the flat-at-scale claim), positions written for the MoR delete.
+      // `rows` in the emitted JSON = FILES REMOVED by the commit for
+      // the COW ops (= candidate files actually rewritten — added-file
+      // counts would also include the NOT MATCHED insert tasks' files),
+      // rows deleted for the MoR delete.
       val li = Tables.lineitem(spark, sfDir)
       // unique-key target (lineitem repeats l_orderkey; MERGE needs a
       // key): one row per order, range-clustered into fixed-size files
@@ -181,7 +183,7 @@ object ServeBench {
         val before = liveFiles()
         spark.sql(s"UPDATE $c.sb.rl SET price = price + 1 WHERE l_orderkey = 1")
           .collect()
-        (liveFiles() -- before).size.toLong
+        (before -- liveFiles()).size.toLong
       })
       // fixed-size MERGE batch: 1x-slice keys (present at every factor,
       // clustered in the low-key files) + per-run synthetic inserts
@@ -199,7 +201,7 @@ object ServeBench {
                |WHEN NOT MATCHED THEN INSERT (l_orderkey, price, lines)
                |  VALUES (s.k, 0.0, 0.0)
                |""".stripMargin).collect()
-          (liveFiles() -- before).size.toLong
+          (before -- liveFiles()).size.toLong
         }
       }
       (1 to repeat).foreach { i =>

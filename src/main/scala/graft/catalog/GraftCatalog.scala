@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /** Versioned-table catalog over Parquet — the Spark-native reproduction of
   * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
@@ -359,24 +359,34 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** Additive schema validation: every column of the current schema must
     * survive with its type; new columns may appear (evolution). Returns
     * the schema JSON to record. */
-  private def validatedSchemaJson(parent: Option[Snapshot], schema: StructType): String = {
-    parent.flatMap(_.schemaJson).foreach { pj =>
-      val prev = DataType.fromJson(pj).asInstanceOf[StructType]
-      prev.fields.foreach { pf =>
-        schema.fields.find(_.name == pf.name) match {
-          case None => throw new IllegalArgumentException(
-            s"schema mismatch: column '${pf.name}' (${pf.dataType.simpleString}) " +
-              "is missing from the appended data")
-          case Some(nf) if nf.dataType != pf.dataType =>
-            throw new IllegalArgumentException(
-              s"schema mismatch: column '${pf.name}' changed " +
-                s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
-          case _ =>
+  private def validatedSchemaJson(parent: Option[Snapshot], schema: StructType): String =
+    parent.flatMap(_.schemaJson) match {
+      case None => schema.json
+      case Some(pj) =>
+        val prev = DataType.fromJson(pj).asInstanceOf[StructType]
+        prev.fields.foreach { pf =>
+          schema.fields.find(_.name == pf.name) match {
+            case None => throw new IllegalArgumentException(
+              s"schema mismatch: column '${pf.name}' (${pf.dataType.simpleString}) " +
+                "is missing from the appended data")
+            case Some(nf) if nf.dataType != pf.dataType =>
+              throw new IllegalArgumentException(
+                s"schema mismatch: column '${pf.name}' changed " +
+                  s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
+            case _ =>
+          }
         }
-      }
+        // a batch must never TIGHTEN nullability the table already
+        // grants: an all-non-null INSERT right after ADD COLUMN would
+        // otherwise record the column non-nullable, and the pre-alter
+        // files' nulls then break every read's row re-encoding
+        StructType(schema.fields.map { nf =>
+          prev.fields.find(_.name == nf.name) match {
+            case Some(pf) if pf.nullable && !nf.nullable => nf.copy(nullable = true)
+            case _ => nf
+          }
+        }).json
     }
-    schema.json
-  }
 
   // ---- commits ----
 
@@ -838,7 +848,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * cardinality check, future delta writes). */
   private[catalog] def readFilesMorLineage(ns: String, name: String, snap: Snapshot,
                                            files: Set[String]): DataFrame =
-    morScan(ns, name, snap, e => files(e.path), carryPosition = true)
+    morScanLineage(ns, name, snap, e => files(e.path))
+
+  /** The one place the internal `__graft_*` position columns become the
+    * public `_file`/`_pos` lineage names. */
+  private def morScanLineage(ns: String, name: String, snap: Snapshot,
+                             keep: ManifestEntry => Boolean): DataFrame =
+    morScan(ns, name, snap, keep, carryPosition = true)
       .withColumnRenamed("__graft_file", "_file")
       .withColumnRenamed("__graft_pos", "_pos")
 
@@ -1589,6 +1605,63 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** ALTER TABLE's metadata-only schema commit: publish ONE new version
+    * whose schema is `newSchema`, touching no data file — committed
+    * files keep serving reads because every legal change is one the
+    * parquet reader absorbs natively under the new read schema:
+    *
+    *  - ADDED columns read as null from pre-alter files;
+    *  - DROPPED columns simply leave the read schema (the bytes stay in
+    *    the files; stats keys for them ride along harmlessly). Refused
+    *    while live EQUALITY-delete files exist — their anti-join
+    *    re-reads the delete file's own columns against the data scan,
+    *    and a dropped column there would break (or worse, silently
+    *    change) every subsequent read; `compact()` materializes the
+    *    deletes and unlocks the drop. Position deletes key on
+    *    (file, pos) and are unaffected;
+    *  - TYPE changes must follow the Iceberg spec's promotion lattice
+    *    (int→long, float→double, decimal precision widening at fixed
+    *    scale) — the same rule [[IcebergImport]] enforces, because the
+    *    parquet reader serves exactly those widening reads natively
+    *    (verified empirically there). Anything else would make
+    *    committed files unreadable and is refused.
+    *
+    * Validation is ALTER-grade — the append-path validatedSchemaJson
+    * rejects drops/retypes by design (an INSERT must not evolve the
+    * schema as a side effect); this is the deliberate front door. */
+  def commitSchemaEvolution(ns: String, name: String, newSchema: StructType): Snapshot = {
+    val prev = tableSchema(ns, name).getOrElse(
+      throw new IllegalStateException(
+        s"$ns.$name records no schema to evolve — commit data first"))
+    def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        a.scale == b.scale && b.precision >= a.precision
+      case _ => false
+    }
+    val dropped = prev.fields.filter(pf => !newSchema.fieldNames.contains(pf.name))
+    if (dropped.nonEmpty) {
+      val hasEqDeletes = latest(ns, name).exists(_.manifests.exists(m =>
+        isDeleteManifest(m) && !isPosDeleteManifest(m)))
+      require(!hasEqDeletes,
+        s"$ns.$name: cannot drop column(s) ${dropped.map(_.name).mkString(", ")} " +
+          "while live equality-delete files may reference them — run compact() " +
+          "to materialize the deletes first")
+    }
+    prev.fields.foreach { pf =>
+      newSchema.fields.find(_.name == pf.name).foreach { nf =>
+        require(promotes(pf.dataType, nf.dataType),
+          s"$ns.$name: illegal type change for '${pf.name}': " +
+            s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString} is not " +
+            "on the promotion lattice (int->long, float->double, decimal " +
+            "precision widening); committed files could not serve the read")
+      }
+    }
+    commitFiles(ns, name, Seq.empty, "local", schemaJson = Some(newSchema.json))
+  }
+
   /** Files-based OVERWRITE commit: register already-landed files as the
     * COMPLETE new version (the replace dual of [[commitFiles]] — same
     * no-data-write contract, but prior manifests are dropped instead of
@@ -2020,11 +2093,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val dtOf: String => Option[DataType] =
       c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val compiled = filters.map(CowPruning.compile(_, dtOf))
-    val scan = morScan(ns, name, snap, e => compiled.forall(_(e)), carryPosition)
-    if (carryPosition)
-      scan.withColumnRenamed("__graft_file", "_file")
-        .withColumnRenamed("__graft_pos", "_pos")
-    else scan
+    val keep = (e: ManifestEntry) => compiled.forall(_(e))
+    if (carryPosition) morScanLineage(ns, name, snap, keep)
+    else morScan(ns, name, snap, keep)
   }
 
   /** [[readFilteredSnapshot]] against the LATEST version; a table with

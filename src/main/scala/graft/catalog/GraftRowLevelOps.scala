@@ -253,6 +253,15 @@ private[catalog] final class GraftCowScan(required: StructType,
   }
   private[catalog] def candidates: Set[String] = cands
 
+  /** Execute-once memo for the matching-files subquery: re-optimizing
+    * the same statement (the substitution batch is fixed-point; a plan
+    * may be visited more than once) must not re-run the job — narrowing
+    * is idempotent, the job is not free. Keyed by the subquery's
+    * semantic hash so distinct pruning subqueries still all apply. */
+  private val narrowedKeys = scala.collection.mutable.Set.empty[Int]
+  private[catalog] def narrowOnce(key: Int, compute: => Set[String]): Unit =
+    synchronized { if (narrowedKeys.add(key)) narrowTo(compute) }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
@@ -317,11 +326,42 @@ private[graft] object GraftCowScanSubstitution
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, DynamicPruningExpression, Expression, InSubquery, ListQuery}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, DynamicPruning, DynamicPruningExpression, InSubquery, ListQuery}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DATA-SAFETY PRE-CHECK: a dynamic pruning predicate over a
+    // group-based scan is consumable ONLY in the exact
+    // Filter-directly-above-the-relation shape Spark emits today. In
+    // any other placement (a Project in between, a DynamicPruningSubquery
+    // instead of the planned expression) the bare-relation case below
+    // would substitute the scan while the predicate survives as a ROW
+    // filter — rows of non-matching files vanish from the rewrite while
+    // the commit still removes those files: silent row loss. Turn that
+    // latent corruption into a loud planning failure.
+    val groupScanIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      plan.collect {
+        case rel: DataSourceV2ScanRelation
+            if rel.scan.isInstanceOf[GraftCowScan] &&
+               !rel.scan.asInstanceOf[GraftCowScan].rowFilter =>
+          rel.output.map(_.exprId)
+      }.flatten.toSet
+    if (groupScanIds.nonEmpty) plan.foreach {
+      case Filter(_, rel: DataSourceV2ScanRelation)
+          if rel.scan.isInstanceOf[GraftCowScan] => () // the consumable shape
+      case node => node.expressions.foreach(_.foreach {
+        case d: DynamicPruning if d.references.exists(a => groupScanIds(a.exprId)) =>
+          throw new IllegalStateException(
+            s"unconsumable dynamic pruning predicate over a group-based " +
+              s"row-level scan (node ${node.nodeName}) — refusing to plan: " +
+              s"left in place it would row-filter a scan whose commit " +
+              s"removes whole files")
+        case _ => ()
+      })
+      case _ => ()
+    }
+    plan.transform {
     case Filter(cond, rel: DataSourceV2ScanRelation)
         if rel.scan.isInstanceOf[GraftCowScan] &&
            splitConjunctivePredicates(cond)
@@ -335,17 +375,26 @@ private[graft] object GraftCowScanSubstitution
       // stats-prune through readFilteredLatest, so a point UPDATE's
       // subquery reads just the statically-narrowed files and can still
       // narrow them to zero — e.g. a bloom false positive.)
+      //
+      // The subquery runs HERE, at optimization — the trade AQE also
+      // makes when it replans mid-query: planning a row-level statement
+      // is allowed to cost a job. Consequence worth knowing: EXPLAIN of
+      // such a statement executes the matching subquery too (and prints
+      // the narrowed plan — the plan that would actually run). The
+      // per-scan memo keeps any re-optimization of the same statement
+      // from re-running it.
       if (scan.candidates.nonEmpty) dyn.foreach {
         case DynamicPruningExpression(InSubquery(Seq(key: Attribute), lq: ListQuery))
             if key.name == "_file" && rel.output.exists(_.exprId == key.exprId) &&
                lq.plan.output.size == 1 &&
                lq.plan.output.head.dataType == StringType =>
-          val matched = org.apache.spark.sql.graftbridge.ColumnBridge
-            .ofRows(scan.session, lq.plan)
-            .collect().iterator
-            .collect { case r if !r.isNullAt(0) => r.getString(0) }
-            .toSet
-          scan.narrowTo(matched)
+          scan.narrowOnce(lq.plan.semanticHash(), {
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .ofRows(scan.session, lq.plan)
+              .collect().iterator
+              .collect { case r if !r.isNullAt(0) => r.getString(0) }
+              .toSet
+          })
         case other =>
           // unexpected shape: dropping a dynamic PRUNING filter is always
           // safe (the statement just rewrites the full candidate set, the
@@ -363,6 +412,7 @@ private[graft] object GraftCowScanSubstitution
 
     case rel: DataSourceV2ScanRelation if rel.scan.isInstanceOf[GraftCowScan] =>
       substituted(rel)
+    }
   }
 
   private def substituted(rel: DataSourceV2ScanRelation): LogicalPlan = {
@@ -411,19 +461,14 @@ private[catalog] object CowPruning {
     // Bounds may be consulted only when the probe's `v.toString` is
     // commensurable with the build side's cast-to-string stats: NUMERIC
     // types compare parsed (toString-form differences are absorbed by
-    // the parse), and string/boolean/date toString IS the cast form.
-    // Everything else — timestamps above all — must keep the file: a
-    // java.sql.Timestamp prints '... 00:00:00.0' while the stat reads
-    // '... 00:00:00', so a probe AT a file's max bound compares above
-    // it lexicographically and the mis-prune LOSES the row's update
-    // (same failure class as the bloom toString-divergence, which is
-    // why bloomSafe already whitelists; bounds needed the numeric
-    // extension of that whitelist).
-    def boundsSafe(c: String): Boolean = numeric(c) || dtOf(c).exists {
-      case StringType | org.apache.spark.sql.types.BooleanType |
-           org.apache.spark.sql.types.DateType => true
-      case _ => false
-    }
+    // the parse, and Decimal joins the safe set that way), and
+    // bloomSafe's whitelist is exactly the types whose toString IS the
+    // cast form. Everything else — timestamps above all — must keep the
+    // file: a java.sql.Timestamp prints '... 00:00:00.0' while the stat
+    // reads '... 00:00:00', so a probe AT a file's max bound compares
+    // above it lexicographically and the mis-prune LOSES the row's
+    // update (same failure class as the bloom toString-divergence).
+    def boundsSafe(c: String): Boolean = numeric(c) || bloomSafe(c)
     // bounds verdicts — true on any doubt (no stats, unparseable,
     // incommensurable probe form)
     def bounds(c: String)(keep: (String, String) => Boolean): Entry => Boolean =

@@ -213,22 +213,30 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    val df = cat.readVersion(ns, t, version.toLong)
     val snap = cat.snapshots(ns, t).find(_.seq == version.toLong)
-    new GraftV2Table(s"$catalogName.$ns.$t@v$version", () => df, df.schema,
-      pruned = snap.map(s =>
-        (fs: Array[Filter], _: Boolean) => cat.readFilteredSnapshot(ns, t, s, fs)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version $version of $ns.$t"))
+    timeTravelTable(ns, t, s"$catalogName.$ns.$t@v$version", snap)
   }
 
   /** TIMESTAMP AS OF <ts> — Spark passes MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    val df = cat.readAsOfTimestamp(ns, t, timestampMicros / 1000L)
     val snap = cat.versionAsOfTimestamp(ns, t, timestampMicros / 1000L)
-    new GraftV2Table(s"$catalogName.$ns.$t@$timestampMicros", () => df, df.schema,
-      pruned = snap.map(s =>
-        (fs: Array[Filter], _: Boolean) => cat.readFilteredSnapshot(ns, t, s, fs)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $ns.$t at or before $timestampMicros"))
+    timeTravelTable(ns, t, s"$catalogName.$ns.$t@$timestampMicros", snap)
+  }
+
+  /** Read-only table pinned to one snapshot, filtered scans stats-pruned
+    * against THAT snapshot's manifests. */
+  private def timeTravelTable(ns: String, t: String, name: String,
+                              snap: cat.Snapshot): Table = {
+    val df = cat.readVersion(ns, t, snap.seq)
+    new GraftV2Table(name, () => df, df.schema,
+      pruned = Some((fs: Array[Filter], _: Boolean) =>
+        cat.readFilteredSnapshot(ns, t, snap, fs)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -252,9 +260,73 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       insert = Some(insertInto(nsOf(ident), ident.name())))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolves through transactional commits (commitAppend with a wider schema)")
+  /** ALTER TABLE as ONE metadata-only schema-evolution commit (a new
+    * CAS-published version; time travel reads the pre-alter schema).
+    * Supported: ADD COLUMN(S) (top-level, nullable — position honored),
+    * DROP COLUMN (guarded against live equality deletes), ALTER COLUMN
+    * TYPE along the Iceberg promotion lattice, and nullability
+    * loosening. RENAME is refused: this engine reads parquet by NAME
+    * (no field-id indirection), so a metadata-only rename would orphan
+    * every committed file — rewrite via compactSorted with a select, or
+    * round-trip through iceberg_export/import, which replays renames as
+    * schema eras. Comments/properties aren't modeled; refused loudly
+    * rather than silently dropped. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (ns, t) = (nsOf(ident), ident.name())
+    if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    val prev = cat.tableSchema(ns, t).getOrElse(throw new IllegalStateException(
+      s"$ns.$t records no schema to alter — insert data first"))
+    var fields: Vector[org.apache.spark.sql.types.StructField] = prev.fields.toVector
+    def idx(name: Array[String]): Int = {
+      require(name.length == 1,
+        s"nested column ${name.mkString(".")}: graft schemas are flat")
+      val i = fields.indexWhere(_.name == name(0))
+      require(i >= 0, s"no such column ${name(0)} in $ns.$t")
+      i
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested column ${a.fieldNames().mkString(".")}: graft schemas are flat")
+        require(a.isNullable,
+          s"new column ${a.fieldNames()(0)} must be nullable — existing rows " +
+            "cannot supply a value")
+        val f = org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+        require(!fields.exists(_.name == f.name), s"column ${f.name} already exists")
+        val at = a.position() match {
+          case null => fields.size
+          case _: TableChange.First => 0
+          case after: TableChange.After => idx(Array(after.column())) + 1
+          case other => throw new UnsupportedOperationException(
+            s"unsupported column position $other")
+        }
+        fields = (fields.take(at) :+ f) ++ fields.drop(at)
+      case d: TableChange.DeleteColumn =>
+        fields = fields.patch(idx(d.fieldNames()), Nil, 1)
+      case u: TableChange.UpdateColumnType =>
+        val i = idx(u.fieldNames())
+        fields = fields.updated(i, fields(i).copy(dataType = u.newDataType()))
+      case n: TableChange.UpdateColumnNullability =>
+        require(n.nullable(),
+          s"cannot tighten ${n.fieldNames()(0)} to NOT NULL: existing files " +
+            "are not re-validated")
+        val i = idx(n.fieldNames())
+        fields = fields.updated(i, fields(i).copy(nullable = true))
+      case r: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"RENAME COLUMN ${r.fieldNames()(0)}: this engine reads parquet by " +
+            "name (no field-id indirection) — a metadata-only rename would " +
+            "orphan committed files. Rewrite via compactSorted, or export/" +
+            "import (renames replay as schema eras there).")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change $other: graft models schema only " +
+            "(no comments/properties)")
+    }
+    cat.commitSchemaEvolution(ns, t, StructType(fields))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val (ns, t) = (nsOf(ident), ident.name())

@@ -659,6 +659,44 @@ object CatalogQueries {
       w
   }
 
+  private val sqlAlterWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** ALTER TABLE end-to-end IN SQL: CREATE → INSERT → ADD COLUMNS
+    * (pre-alter rows read null) → INSERT with the new column → ALTER
+    * COLUMN TYPE int→bigint (committed int files serve the widened
+    * read natively) → INSERT bigint keys — every ALTER one metadata-only
+    * version, no data file touched. The oracle recomputes the final
+    * state declaratively from the raw parquet. */
+  private def sqlAlter: Q = (s, d) => {
+    val wh = sqlAlterWarehouses.synchronized {
+      sqlAlterWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-sqlalter-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.al (o_orderkey INT, o_totalprice DOUBLE)")
+        Tables.orders(s, d).createOrReplaceTempView("alter_src")
+        s.sql(s"""INSERT INTO $c.q.al
+                  SELECT CAST(o_orderkey AS INT), o_totalprice
+                  FROM alter_src WHERE o_orderkey % 3 = 0""").collect(): Unit
+        s.sql(s"ALTER TABLE $c.q.al ADD COLUMNS (tier STRING)").collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.al
+                  SELECT CAST(o_orderkey AS INT), o_totalprice,
+                         CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+                  FROM alter_src WHERE o_orderkey % 3 = 1""").collect(): Unit
+        s.sql(s"ALTER TABLE $c.q.al ALTER COLUMN o_orderkey TYPE BIGINT")
+          .collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.al
+                  SELECT o_orderkey, o_totalprice, 'late'
+                  FROM alter_src WHERE o_orderkey % 3 = 2""").collect(): Unit
+        w
+      })
+    }
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    s.sql(s"""SELECT tier, count(*) AS cnt,
+                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                     round(sum(o_totalprice), 2) AS total_price
+              FROM $c.q.al GROUP BY tier ORDER BY tier ASC NULLS FIRST""")
+  }
+
   /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
     * ProcedureCatalog): `CALL graft.system.iceberg_export` writes the
     * fixture's branched table as an Iceberg v2 layout, `CALL
@@ -692,6 +730,7 @@ object CatalogQueries {
     "cat_sql_procedures"   -> sqlProcedures,
     "cat_sql_rowlevel"     -> sqlRowLevel,
     "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
+    "cat_sql_alter"        -> sqlAlter,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
@@ -846,6 +885,21 @@ object CatalogQueries {
     "cat_sql_rowlevel" -> RowLevelOracleSql,
     // merge-on-read mode must land on the IDENTICAL declarative truth
     "cat_sql_rowlevel_mor" -> RowLevelOracleSql,
+    "cat_sql_alter" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tier
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice,
+                  CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+           FROM orders WHERE o_orderkey % 3 = 1
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'late'
+           FROM orders WHERE o_orderkey % 3 = 2)
+         SELECT tier, count(*) AS cnt,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM u GROUP BY tier ORDER BY tier ASC NULLS FIRST""",
   ) ++ oraclesTail
 
   private lazy val RowLevelOracleSql: String =

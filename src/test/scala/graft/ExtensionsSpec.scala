@@ -223,6 +223,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(!cat.tableExists("ns2", "x"))
   }
 
+  test("ALTER TABLE: add/drop/type-promote as metadata-only versions; " +
+       "rename and narrowing refuse loudly; time travel keeps old schema") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-alterwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.a (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.ns.a VALUES (1, 'x'), (2, 'y')")
+    val dataFilesBefore =
+      cat.dataFiles("ns", "a", cat.latest("ns", "a").get).toSet
+    val seqBefore = cat.latest("ns", "a").get.seq
+
+    // ADD COLUMN: one metadata version; pre-alter rows read null
+    spark.sql(s"ALTER TABLE $c.ns.a ADD COLUMNS (w DOUBLE)")
+    assert(cat.latest("ns", "a").get.seq === seqBefore + 1)
+    assert(cat.dataFiles("ns", "a", cat.latest("ns", "a").get).toSet ===
+      dataFilesBefore, "ALTER must touch no data file")
+    spark.sql(s"INSERT INTO $c.ns.a VALUES (3, 'z', 0.5)")
+    assert(spark.sql(s"SELECT id, w FROM $c.ns.a ORDER BY id")
+      .as[(Int, Option[Double])].collect().toSeq ===
+      Seq((1, None), (2, None), (3, Some(0.5))))
+
+    // TYPE PROMOTION int -> bigint: committed int files serve the
+    // widened read natively
+    spark.sql(s"ALTER TABLE $c.ns.a ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(id) FROM $c.ns.a").head().getLong(0) === 6L)
+    // narrowing refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.a ALTER COLUMN id TYPE INT")
+    }
+    // rename refuses with the documented rationale
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN v TO label")
+    }
+    assert(e.getMessage.contains("by name") || e.getMessage.contains("rename"),
+      s"unexpected: ${e.getMessage}")
+
+    // DROP COLUMN: metadata-only; the bytes stay, the schema shrinks
+    spark.sql(s"ALTER TABLE $c.ns.a DROP COLUMN w")
+    assert(spark.sql(s"SELECT * FROM $c.ns.a").columns.toSeq === Seq("id", "v"))
+
+    // time travel reads the PRE-ALTER schema of its version
+    assert(spark.sql(s"SELECT * FROM $c.ns.a VERSION AS OF $seqBefore")
+      .columns.toSeq === Seq("id", "v"))
+
+    // DROP guarded against live equality deletes
+    cat.createTable("ns", "g")
+    cat.commitAppend("ns", "g", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    cat.commitDelete("ns", "g", Seq(2L).toDF("id"))
+    val g = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.g DROP COLUMN s")
+    }
+    assert(g.getMessage.contains("equality-delete"), s"unexpected: ${g.getMessage}")
+    // compaction materializes the deletes and unlocks the drop
+    cat.compact("ns", "g", 128L * 1024 * 1024)
+    spark.sql(s"ALTER TABLE $c.ns.g DROP COLUMN s")
+    assert(spark.sql(s"SELECT * FROM $c.ns.g ORDER BY id").columns.toSeq === Seq("id"))
+    assert(spark.sql(s"SELECT id FROM $c.ns.g").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("DSv2 scans push filters and prune columns into the inner parquet plan") {
     import graft.catalog.GraftCatalog
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh2").toString

@@ -2108,6 +2108,27 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case None => if (carryPosition) readWithLineage(ns, name) else read(ns, name)
     }
 
+  /** Planner statistics from the manifests: total bytes of the data
+    * files that survive the same conservative stats/bloom pruning the
+    * filtered read plans — what the SQL scan will actually touch. Fed
+    * to Catalyst as the relation's sizeInBytes so joins against graft
+    * tables get COST-BASED treatment (a dim table, or a fact table
+    * pruned to one file, broadcasts instead of defaulting to the
+    * never-broadcast `defaultSizeInBytes`). Metadata-only: the cached
+    * manifests answer, no file is opened. */
+  private[graft] def estimateScanBytes(ns: String, name: String, snap: Snapshot,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    val dtOf: String => Option[DataType] =
+      c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+    val compiled = filters.map(CowPruning.compile(_, dtOf))
+    manifestsFull(ns, name, snap).iterator
+      .filterNot(_._2) // data manifests; the delete side is small
+      .flatMap(_._3)
+      .filter(e => compiled.forall(_(e)))
+      .map(_.sizeBytes).sum
+  }
+
   /** C2: current table state. */
   def read(ns: String, name: String): DataFrame =
     latest(ns, name).map(readSnapshot(ns, name, _)).getOrElse(spark.emptyDataFrame)

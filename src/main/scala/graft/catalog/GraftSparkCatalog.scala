@@ -47,9 +47,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Write path: `INSERT INTO` bridges through V1Write onto ONE atomic
   * commitAppend (a CAS-published version per statement); `INSERT
   * OVERWRITE` is one commitReplace. CREATE/DROP TABLE map 1:1 to the
-  * catalog DDL. Row-level SQL (UPDATE/DELETE/MERGE) stays on the
-  * transactional Scala API (commitDelete/commitUpsert/WAP);
-  * ALTER/RENAME are unsupported.
+  * catalog DDL; ALTER TABLE publishes a metadata-only schema-evolution
+  * version (add/drop/type-promote — see alterTable). Row-level SQL
+  * (UPDATE/DELETE/MERGE) runs through SupportsRowLevelOperations
+  * (GraftRowLevelOps); table RENAME is unsupported.
   *
   * Reference analog: the reference's query module resolves catalog
   * tables server-side; this is that resolution expressed as the
@@ -81,6 +82,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     exp.synchronized {
       if (!exp.extraOptimizations.contains(GraftCowScanSubstitution))
         exp.extraOptimizations = exp.extraOptimizations :+ GraftCowScanSubstitution
+      // planner statistics for V1-bridged scans (see GraftStatsRelation)
+      if (!exp.extraOptimizations.contains(GraftStatsInjection))
+        exp.extraOptimizations = exp.extraOptimizations :+ GraftStatsInjection
+      if (!exp.extraStrategies.contains(GraftStatsStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ GraftStatsStrategy
     }
   }
 
@@ -236,7 +242,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val df = cat.readVersion(ns, t, snap.seq)
     new GraftV2Table(name, () => df, df.schema,
       pruned = Some((fs: Array[Filter], _: Boolean) =>
-        cat.readFilteredSnapshot(ns, t, snap, fs)))
+        cat.readFilteredSnapshot(ns, t, snap, fs)),
+      estimate = Some((fs: Array[Filter]) =>
+        cat.estimateScanBytes(ns, t, snap, fs)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -429,7 +437,8 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
                                     insert: Option[(DataFrame, Boolean) => Unit] = None,
                                     delete: Option[Column => Unit] = None,
                                     meta: Option[GraftMetaAggs] = None,
-                                    pruned: Option[(Array[Filter], Boolean) => DataFrame] = None)
+                                    pruned: Option[(Array[Filter], Boolean) => DataFrame] = None,
+                                    estimate: Option[Array[Filter] => Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
@@ -459,7 +468,7 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dfThunk, tableSchema, meta, pruned)
+    new GraftScanBuilder(dfThunk, tableSchema, meta, pruned, estimate)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -499,7 +508,10 @@ private[catalog] final class GraftRowLevelTable(
     // lineage (metadata-column) scan: stats-pruned by the pushed
     // filters, full when none pushed — see GraftScanBuilder.build
     pruned = Some((fs, lineage) =>
-      rowLevel.cat.readFilteredLatest(rowLevel.ns, rowLevel.name, fs, lineage)))
+      rowLevel.cat.readFilteredLatest(rowLevel.ns, rowLevel.name, fs, lineage)),
+    estimate = Some(fs => rowLevel.cat.latest(rowLevel.ns, rowLevel.name)
+      .map(s => rowLevel.cat.estimateScanBytes(rowLevel.ns, rowLevel.name, s, fs))
+      .getOrElse(0L)))
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def newRowLevelOperationBuilder(
@@ -553,7 +565,8 @@ private[catalog] case class GraftMetaColumn(colName: String,
 private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
                                         tableSchema: StructType,
                                         meta: Option[GraftMetaAggs] = None,
-                                        pruned: Option[(Array[Filter], Boolean) => DataFrame] = None)
+                                        pruned: Option[(Array[Filter], Boolean) => DataFrame] = None,
+                                        estimate: Option[Array[Filter] => Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -654,16 +667,111 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
       // rdd yields empty Rows, preserving only the row count
       inner0.select(requiredNames.map(col): _*)
     }
-    new V1Scan {
+    // planner statistics (SupportsReportStatistics — the hook V2 scan
+    // relations actually read at optimization): the manifests know
+    // exactly how many bytes the stats-pruned scan will touch. Reported
+    // instead of Spark's never-broadcast defaultSizeInBytes, so a dim
+    // table — or a fact side pruned to one file — gets cost-based join
+    // treatment (broadcast under the threshold). Row count rides along
+    // when metadata is authoritative and no filter distorts it.
+    // Metadata-only: cached manifests answer, no file opened.
+    val estBytes: Option[Long] =
+      if (aggResult.isDefined) Some(1024L) else estimate.map(_(allFilters))
+    val estRows: Option[Long] =
+      if (aggResult.isDefined) Some(1L)
+      else if (allFilters.isEmpty) meta.flatMap(_.count())
+      else None
+    new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            estBytes.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+          override def numRows(): java.util.OptionalLong =
+            estRows.map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+        }
       override def readSchema(): StructType = required
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
         new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
           override def schema: StructType = required
+          override def sizeInBytes: Long =
+            estBytes.getOrElse(super.sizeInBytes)
           override def buildScan(): RDD[Row] = inner.rdd
         }.asInstanceOf[T]
     }
+  }
+}
+
+/** Planner-statistics carrier for the V1 scan bridge. Spark's
+  * `V1ScanWrapper` drops `SupportsReportStatistics` on the floor
+  * (DataSourceV2ScanRelation.computeStats checks the WRAPPER, which
+  * never implements it), so every V1-bridged graft read would plan
+  * with the never-broadcast `defaultSizeInBytes`. This leaf re-attaches
+  * the manifest-derived (stats-pruned) size so JoinSelection makes
+  * cost-based choices; [[GraftStatsStrategy]] plans it straight back
+  * to the wrapped relation — zero execution footprint. */
+private[graft] case class GraftStatsRelation(
+    relation: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    bytes: BigInt, rows: Option[BigInt])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    relation.output
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = bytes, rowCount = rows)
+}
+
+/** Late optimizer rule (installed with GraftCowScanSubstitution): wrap
+  * every V1-bridged graft scan whose underlying scan reports statistics
+  * in a [[GraftStatsRelation]]. Runs in the last optimizer batch — after
+  * pruning/pushdown fixed the scan, before physical planning reads the
+  * stats. The relation rides INSIDE the leaf (not as a child), so the
+  * rule is trivially idempotent. */
+private[graft] object GraftStatsInjection
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // command TABLE slots must stay verbatim relations —
+    // DataSourceV2Strategy pattern-matches them (a wrapped
+    // DeleteFromTable target is an internal error); stats only matter
+    // in query subtrees anyway
+    val held = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: DeleteFromTable => held.add(d.table): Unit
+      case _ => ()
+    }
+    plan.transform {
+      case rel: DataSourceV2ScanRelation
+          if !held.contains(rel) && rel.scan.isInstanceOf[V1ScanWrapper] =>
+        rel.scan.asInstanceOf[V1ScanWrapper].v1Scan match {
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            val st = s.estimateStatistics()
+            if (st.sizeInBytes.isPresent)
+              GraftStatsRelation(rel, BigInt(st.sizeInBytes.getAsLong),
+                if (st.numRows().isPresent) Some(BigInt(st.numRows().getAsLong))
+                else None)
+            else rel
+          case _ => rel
+        }
+    }
+  }
+}
+
+/** Plans [[GraftStatsRelation]] back to its wrapped relation. */
+private[graft] object GraftStatsStrategy
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.SparkPlan
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftStatsRelation(rel, _, _) => Seq(planLater(rel))
+    case _ => Nil
   }
 }
 

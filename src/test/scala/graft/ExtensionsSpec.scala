@@ -283,6 +283,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $c.ns.g").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("manifest-derived planner statistics: a small (or file-pruned) " +
+       "graft table broadcasts in SQL joins; an over-threshold one does not") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-statwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    cat.createTable("ns", "st")
+    // three id-clustered files, each a few KB
+    def slab(lo: Long) = (lo until lo + 200)
+      .map(i => (i, "x" * 64)).toDF("id", "pad").coalesce(1)
+    cat.commitAppend("ns", "st", slab(0))
+    cat.commitAppend("ns", "st", slab(1000))
+    cat.commitAppend("ns", "st", slab(2000))
+    val oneFile = cat.dataFileEntries("ns", "st", cat.latest("ns", "st").get)
+      .map(_._2).min
+    val total = cat.dataFileEntries("ns", "st", cat.latest("ns", "st").get)
+      .map(_._2).sum
+    spark.range(0, 5000).select(col("id"), col("id").cast("string").as("s"))
+      .createOrReplaceTempView("stats_probe")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      // threshold between one file and the full table: static planning
+      // can only broadcast when the estimate reflects actual pruned bytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((oneFile + total) / 2).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def planOf(sql: String): String =
+        spark.sql(sql).queryExecution.executedPlan.toString
+      val pruned = planOf(
+        s"""SELECT count(*) FROM stats_probe p
+            JOIN $c.ns.st t ON p.id = t.id WHERE t.id < 500""")
+      assert(pruned.contains("BroadcastHashJoin"),
+        s"a one-file pruned side must broadcast:\n$pruned")
+      val full = planOf(
+        s"SELECT count(*) FROM stats_probe p JOIN $c.ns.st t ON p.id = t.id")
+      assert(!full.contains("BroadcastHashJoin") || total <= (oneFile + total) / 2,
+        s"the full table exceeds the threshold and must not broadcast:\n$full")
+      // results stay exact either way
+      assert(spark.sql(
+        s"""SELECT count(*) FROM stats_probe p
+            JOIN $c.ns.st t ON p.id = t.id WHERE t.id < 500""")
+        .head().getLong(0) === 200L)
+    } finally confs.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("DSv2 scans push filters and prune columns into the inner parquet plan") {
     import graft.catalog.GraftCatalog
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh2").toString

@@ -359,10 +359,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   /** Additive schema validation: every column of the current schema must
     * survive with its type; new columns may appear (evolution). Returns
     * the schema JSON to record. */
-  private def validatedSchemaJson(parent: Option[Snapshot], schema: StructType): String =
-    parent.flatMap(_.schemaJson) match {
+  private def validatedSchemaJson(ns: String, name: String,
+                                  parent: Option[Snapshot], schema: StructType,
+                                  replacesAll: Boolean = false): String =
+    parent.flatMap(p => p.schemaJson.map((p, _))) match {
       case None => schema.json
-      case Some(pj) =>
+      case Some((par, pj)) =>
         val prev = DataType.fromJson(pj).asInstanceOf[StructType]
         prev.fields.foreach { pf =>
           schema.fields.find(_.name == pf.name) match {
@@ -376,6 +378,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             case _ =>
           }
         }
+        // widening appends may introduce columns, but never one whose
+        // name previously existed while its era's files are still live
+        // (same resurrection hazard as ALTER ADD — see the guard). An
+        // OVERWRITE discards every parent file, so the hazard vanishes
+        if (!replacesAll)
+          assertNoColumnResurrection(ns, name, par,
+            schema.fields.map(_.name).filterNot(prev.fieldNames.contains).toSeq)
         // a batch must never TIGHTEN nullability the table already
         // grants: an all-non-null INSERT right after ADD COLUMN would
         // otherwise record the column non-nullable, and the pre-alter
@@ -1043,7 +1052,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     // fail fast on an incompatible schema before staging any data; the
     // CAS loop re-validates against the re-read parent on every attempt
-    validatedSchemaJson(latest(ns, name), df.schema)
+    validatedSchemaJson(ns, name, latest(ns, name), df.schema)
     val entries = stageDataFiles(ns, name, df)
     // the stats aggregate and manifest write sit INSIDE the cleanup
     // scope: a failure there (executor loss mid-stats, disk error) must
@@ -1071,7 +1080,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           parent.map(_.fileCount).getOrElse(0L) + entries.size,
           parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
-          Some(validatedSchemaJson(parent, df.schema)))
+          Some(validatedSchemaJson(ns, name, parent, df.schema)))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1090,7 +1099,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                     sourceRegion: String = "local", maxRetries: Int = 5,
                     expectedParentSeq: Option[Long] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
-    validatedSchemaJson(latest(ns, name), df.schema)
+    validatedSchemaJson(ns, name, latest(ns, name), df.schema, replacesAll = true)
     val entries = stageDataFiles(ns, name, df)
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version.
@@ -1118,7 +1127,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           entries.size,
           entries.map(_._2).sum,
-          Some(validatedSchemaJson(parent, df.schema)))
+          Some(validatedSchemaJson(ns, name, parent, df.schema, replacesAll = true)))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1301,7 +1310,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     latest(ns, name) match {
       case None => commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
       case Some(parent0) =>
-        validatedSchemaJson(Some(parent0), rows.schema)
+        validatedSchemaJson(ns, name, Some(parent0), rows.schema)
         equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
           val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
           require(prior == keyCols.toSet,
@@ -1334,7 +1343,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               sourceRegion,
               par.fileCount + delEntries.size + dataEntries.size,
               par.totalBytes + (delEntries ++ dataEntries).map(_._2).sum,
-              Some(validatedSchemaJson(Some(par), rows.schema)))
+              Some(validatedSchemaJson(ns, name, Some(par), rows.schema)))
           }
         } catch { case e: Throwable =>
           cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
@@ -1628,38 +1637,110 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     *
     * Validation is ALTER-grade — the append-path validatedSchemaJson
     * rejects drops/retypes by design (an INSERT must not evolve the
-    * schema as a side effect); this is the deliberate front door. */
-  def commitSchemaEvolution(ns: String, name: String, newSchema: StructType): Snapshot = {
-    val prev = tableSchema(ns, name).getOrElse(
-      throw new IllegalStateException(
+    * schema as a side effect); this is the deliberate front door. Every
+    * check runs INSIDE the CAS closure against the freshly-read parent,
+    * and `expectedPrev` (the schema the caller derived its change from)
+    * aborts the statement loudly when a concurrent schema change slid
+    * in — two racing ALTERs can never silently drop each other's
+    * columns. Nullability can only loosen, new columns must be
+    * nullable, and re-introducing a previously-dropped name is refused
+    * while live files still carry its bytes (see
+    * [[assertNoColumnResurrection]]). */
+  def commitSchemaEvolution(ns: String, name: String, newSchema: StructType,
+                            expectedPrev: Option[StructType] = None): Snapshot =
+    casCommit(ns, name, 5) { parentOpt =>
+      // EVERYTHING validates against the freshly-read parent INSIDE the
+      // CAS closure: a concurrent equality delete must re-trip the drop
+      // guard, and a concurrent schema change must abort THIS statement
+      // (its changes were derived against a schema that no longer
+      // exists) — never be silently overwritten
+      val parent = parentOpt.getOrElse(throw new IllegalStateException(
         s"$ns.$name records no schema to evolve — commit data first"))
-    def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (a, b) if a == b => true
-      case (IntegerType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (a: DecimalType, b: DecimalType) =>
-        a.scale == b.scale && b.precision >= a.precision
-      case _ => false
+      val prev = parent.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"$ns.$name records no schema to evolve — commit data first"))
+      def shape(st: StructType) = st.fields.toSeq.map(f =>
+        (f.name, f.dataType, f.nullable))
+      expectedPrev.foreach(e => require(shape(e) == shape(prev),
+        s"$ns.$name: concurrent schema change — the ALTER was derived " +
+          s"against ${e.simpleString} but the table is now " +
+          s"${prev.simpleString}; re-derive and retry"))
+      def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (a, b) if a == b => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          a.scale == b.scale && b.precision >= a.precision
+        case _ => false
+      }
+      val dropped = prev.fields.filter(pf => !newSchema.fieldNames.contains(pf.name))
+      if (dropped.nonEmpty) {
+        val hasEqDeletes = parent.manifests.exists(m =>
+          isDeleteManifest(m) && !isPosDeleteManifest(m))
+        require(!hasEqDeletes,
+          s"$ns.$name: cannot drop column(s) ${dropped.map(_.name).mkString(", ")} " +
+            "while live equality-delete files may reference them — run compact() " +
+            "to materialize the deletes first")
+      }
+      prev.fields.foreach { pf =>
+        newSchema.fields.find(_.name == pf.name).foreach { nf =>
+          require(promotes(pf.dataType, nf.dataType),
+            s"$ns.$name: illegal type change for '${pf.name}': " +
+              s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString} is not " +
+              "on the promotion lattice (int->long, float->double, decimal " +
+              "precision widening); committed files could not serve the read")
+          require(!pf.nullable || nf.nullable,
+            s"$ns.$name: cannot tighten '${pf.name}' to NOT NULL — existing " +
+              "files are not re-validated and may hold nulls")
+        }
+      }
+      val added = newSchema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+      added.foreach(f => require(f.nullable,
+        s"$ns.$name: new column '${f.name}' must be nullable — existing rows " +
+          "cannot supply a value"))
+      assertNoColumnResurrection(ns, name, parent, added.map(_.name).toSeq)
+      Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
+        Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
+        "local", parent.fileCount, parent.totalBytes, Some(newSchema.json))
     }
-    val dropped = prev.fields.filter(pf => !newSchema.fieldNames.contains(pf.name))
-    if (dropped.nonEmpty) {
-      val hasEqDeletes = latest(ns, name).exists(_.manifests.exists(m =>
-        isDeleteManifest(m) && !isPosDeleteManifest(m)))
-      require(!hasEqDeletes,
-        s"$ns.$name: cannot drop column(s) ${dropped.map(_.name).mkString(", ")} " +
-          "while live equality-delete files may reference them — run compact() " +
-          "to materialize the deletes first")
+
+  /** Guard for RE-INTRODUCING a column name: files written while the
+    * name previously existed still carry its BYTES — re-adding the name
+    * would silently resurrect dropped values (same type) or poison every
+    * read (parquet refuses the by-name type conversion). Refused while
+    * any LIVE data manifest predates the last schema version that
+    * carried the name; `compact()` rewrites files under the current
+    * schema (physically shedding the dropped column) and unlocks the
+    * re-add. No-op when nothing was added — the common append. */
+  private def assertNoColumnResurrection(ns: String, name: String,
+      parent: Snapshot, added: Seq[String]): Unit = {
+    if (added.isEmpty) return
+    val snaps = snapshots(ns, name).filter(_.seq <= parent.seq)
+    lazy val namesOf: Map[Long, Set[String]] = snaps.map(s => s.seq ->
+      s.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]
+        .fieldNames.toSet).getOrElse(Set.empty[String])).toMap
+    lazy val manifestAddedAt: Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      snaps.foreach(s => s.manifests.foreach(r =>
+        if (!m.contains(r)) m(r) = s.seq))
+      m.toMap
     }
-    prev.fields.foreach { pf =>
-      newSchema.fields.find(_.name == pf.name).foreach { nf =>
-        require(promotes(pf.dataType, nf.dataType),
-          s"$ns.$name: illegal type change for '${pf.name}': " +
-            s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString} is not " +
-            "on the promotion lattice (int->long, float->double, decimal " +
-            "precision widening); committed files could not serve the read")
+    lazy val liveData = parent.manifests.filterNot(isDeleteManifest)
+    added.foreach { c =>
+      val lastWith = namesOf.collect { case (seq, ns0) if ns0(c) => seq }
+        .maxOption
+      lastWith.foreach { lw =>
+        val tainted = liveData.exists(m =>
+          manifestAddedAt.getOrElse(m, Long.MaxValue) <= lw)
+        require(!tainted,
+          s"$ns.$name: column '$c' previously existed (last in version $lw) " +
+            "and live files from that era still carry its bytes — re-adding " +
+            "the name would resurrect dropped data or break the read; " +
+            "compact() rewrites live files under the current schema and " +
+            "unlocks the re-add")
       }
     }
-    commitFiles(ns, name, Seq.empty, "local", schemaJson = Some(newSchema.json))
   }
 
   /** Files-based OVERWRITE commit: register already-landed files as the
@@ -1899,7 +1980,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
       }
     dup()
-    validatedSchemaJson(Some(branchHead(ns, name, branch)), df.schema)
+    validatedSchemaJson(ns, name, Some(branchHead(ns, name, branch)), df.schema)
     val entries = stageDataFiles(ns, name, df)
     var staged: Seq[String] = Seq.empty
     try {
@@ -1922,7 +2003,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           p.fileCount + entries.size,
           p.totalBytes + entries.map(_._2).sum,
-          Some(validatedSchemaJson(Some(p), df.schema)))
+          Some(validatedSchemaJson(ns, name, Some(p), df.schema)))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -2089,13 +2170,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private[graft] def readFilteredSnapshot(ns: String, name: String, snap: Snapshot,
       filters: Array[org.apache.spark.sql.sources.Filter],
       carryPosition: Boolean = false): DataFrame = {
+    val kept = prunedDataEntries(ns, name, snap, filters).map(_.path).toSet
+    if (carryPosition) morScanLineage(ns, name, snap, e => kept(e.path))
+    else morScan(ns, name, snap, e => kept(e.path))
+  }
+
+  /** THE conservative pruned-manifest walk — one implementation behind
+    * the filtered SQL read, the planner size estimate, and the
+    * row-level candidate computation, so the file set the planner
+    * prices, the scan reads, and a rewrite removes can never drift. */
+  private[graft] def prunedDataEntries(ns: String, name: String, snap: Snapshot,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Iterator[ManifestEntry] = {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val dtOf: String => Option[DataType] =
       c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val compiled = filters.map(CowPruning.compile(_, dtOf))
-    val keep = (e: ManifestEntry) => compiled.forall(_(e))
-    if (carryPosition) morScanLineage(ns, name, snap, keep)
-    else morScan(ns, name, snap, keep)
+    manifestsFull(ns, name, snap).iterator
+      .filterNot(_._2) // data manifests; the delete side is small
+      .flatMap(_._3)
+      .filter(e => compiled.forall(_(e)))
   }
 
   /** [[readFilteredSnapshot]] against the LATEST version; a table with
@@ -2117,17 +2210,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * never-broadcast `defaultSizeInBytes`). Metadata-only: the cached
     * manifests answer, no file is opened. */
   private[graft] def estimateScanBytes(ns: String, name: String, snap: Snapshot,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
-    val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
-    val dtOf: String => Option[DataType] =
-      c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-    val compiled = filters.map(CowPruning.compile(_, dtOf))
-    manifestsFull(ns, name, snap).iterator
-      .filterNot(_._2) // data manifests; the delete side is small
-      .flatMap(_._3)
-      .filter(e => compiled.forall(_(e)))
-      .map(_.sizeBytes).sum
-  }
+      filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+    prunedDataEntries(ns, name, snap, filters).map(_.sizeBytes).sum
+
 
   /** C2: current table state. */
   def read(ns: String, name: String): DataFrame =

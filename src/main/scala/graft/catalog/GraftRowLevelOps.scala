@@ -187,17 +187,10 @@ private[catalog] final class GraftCowScanBuilder(ctx: GraftRowLevelContext,
     required = requiredSchema
 
   override def build(): Scan = {
-    val dtOf: String => Option[DataType] =
-      c => tableSchema.fields.find(_.name == c).map(_.dataType)
     val cands: Set[String] = snap match {
       case None => Set.empty
       case Some(s) =>
-        val compiled = filters.map(CowPruning.compile(_, dtOf))
-        ctx.cat.manifestsFull(ctx.ns, ctx.name, s).iterator
-          .filterNot(_._2) // data manifests only
-          .flatMap(_._3)
-          .filter(e => compiled.forall(_(e)))
-          .map(_.path).toSet
+        ctx.cat.prunedDataEntries(ctx.ns, ctx.name, s, filters).map(_.path).toSet
     }
     op.planned = Some((snap.map(_.commitId), cands))
     val requiredNames = required.fieldNames.toSeq

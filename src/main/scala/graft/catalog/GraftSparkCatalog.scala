@@ -273,11 +273,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * Supported: ADD COLUMN(S) (top-level, nullable — position honored),
     * DROP COLUMN (guarded against live equality deletes), ALTER COLUMN
     * TYPE along the Iceberg promotion lattice, and nullability
-    * loosening. RENAME is refused: this engine reads parquet by NAME
+    * loosening, column comments (ADD ... COMMENT / ALTER ... COMMENT —
+    * StructField models them natively). RENAME is refused: this engine
+    * reads parquet by NAME
     * (no field-id indirection), so a metadata-only rename would orphan
     * every committed file — rewrite via compactSorted with a select, or
     * round-trip through iceberg_export/import, which replays renames as
-    * schema eras. Comments/properties aren't modeled; refused loudly
+    * schema eras. Table properties aren't modeled; refused loudly
     * rather than silently dropped. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
@@ -299,8 +301,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"new column ${a.fieldNames()(0)} must be nullable — existing rows " +
             "cannot supply a value")
-        val f = org.apache.spark.sql.types.StructField(
+        val f0 = org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+        // a comment riding on the ADD is schema metadata — keep it
+        // (StructField models comments natively), never drop silently
+        val f = Option(a.comment()).map(f0.withComment).getOrElse(f0)
         require(!fields.exists(_.name == f.name), s"column ${f.name} already exists")
         val at = a.position() match {
           case null => fields.size
@@ -321,6 +326,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             "are not re-validated")
         val i = idx(n.fieldNames())
         fields = fields.updated(i, fields(i).copy(nullable = true))
+      case cm: TableChange.UpdateColumnComment =>
+        val i = idx(cm.fieldNames())
+        fields = fields.updated(i, fields(i).withComment(cm.newComment()))
       case r: TableChange.RenameColumn =>
         throw new UnsupportedOperationException(
           s"RENAME COLUMN ${r.fieldNames()(0)}: this engine reads parquet by " +
@@ -329,10 +337,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             "import (renames replay as schema eras there).")
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER TABLE change $other: graft models schema only " +
-            "(no comments/properties)")
+          s"unsupported ALTER TABLE change $other: graft models schema " +
+            "(incl. column comments) only — no table properties")
     }
-    cat.commitSchemaEvolution(ns, t, StructType(fields))
+    // expectedPrev: a concurrent schema change aborts THIS statement
+    // loudly instead of being overwritten (validated inside the CAS)
+    cat.commitSchemaEvolution(ns, t, StructType(fields), expectedPrev = Some(prev))
     loadTable(ident)
   }
 

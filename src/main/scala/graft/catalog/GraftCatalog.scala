@@ -2359,28 +2359,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * a rewrite has no cheaper exact form without row lineage ids).
     * Schemas align by name across additive evolution (absent columns
     * read null). */
+  /** True iff every commit in (fromSeq, toSeq] is a pure APPEND — the
+    * precondition for the O(delta) manifest-diff incremental read.
+    * A replace whose parent version was EXPIRED would slip past the
+    * per-commit check (parent unknown ⇒ vacuously append); appends
+    * never drop manifests, so `from ⊆ to` is the safety net. A
+    * merge-on-read delete commit keeps every parent manifest (it only
+    * ADDS a d-/p- manifest), so the subset test alone would misread it
+    * as an append — any new delete manifest in the range disqualifies. */
+  def isAppendOnlyRange(ns: String, name: String, fromSeq: Long, toSeq: Long): Boolean = {
+    val snaps = snapshots(ns, name)
+    (snaps.find(_.seq == fromSeq), snaps.find(_.seq == toSeq)) match {
+      case (Some(from), Some(to)) =>
+        from.manifests.forall(to.manifests.contains) &&
+          !to.manifests.filterNot(from.manifests.toSet).exists(isDeleteManifest) &&
+          snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
+            .forall { s =>
+              val parent = snaps.find(_.seq == s.seq - 1)
+              parent.forall(p => p.manifests.forall(s.manifests.contains))
+            }
+      case _ => false
+    }
+  }
+
   def changesBetween(ns: String, name: String, fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
     val snaps = snapshots(ns, name)
     def snapAt(sq: Long) = snaps.find(_.seq == sq).getOrElse(
       throw new IllegalArgumentException(s"no version $sq of $ns.$name"))
     val from = snapAt(fromSeq); val to = snapAt(toSeq)
-    // a replace whose parent version was EXPIRED would slip past the
-    // per-commit check (parent unknown ⇒ vacuously append); appends
-    // never drop manifests, so `from ⊆ to` is the safety net that
-    // forces such ranges onto the row-diff path
-    // a merge-on-read delete commit keeps every parent manifest (it only
-    // ADDS a d- manifest), so the subset test alone would misread it as
-    // an append — any new delete manifest in the range forces the
-    // row-diff path, which sees deletes because readSnapshot applies them
-    val appendOnly = from.manifests.forall(to.manifests.contains) &&
-      !to.manifests.filterNot(from.manifests.toSet).exists(isDeleteManifest) &&
-      snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
-        .forall { s =>
-          val parent = snaps.find(_.seq == s.seq - 1)
-          parent.forall(p => p.manifests.forall(s.manifests.contains))
-        }
-    if (appendOnly)
+    if (isAppendOnlyRange(ns, name, fromSeq, toSeq))
       readIncremental(ns, name, fromSeq, toSeq)
         .withColumn("_change_type", lit("insert"))
     else {

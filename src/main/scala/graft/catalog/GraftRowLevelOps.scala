@@ -352,7 +352,6 @@ private[graft] object GraftCowScanSubstitution
               s"removes whole files")
         case _ => ()
       })
-      case _ => ()
     }
     plan.transform {
     case Filter(cond, rel: DataSourceV2ScanRelation)

@@ -697,6 +697,50 @@ object CatalogQueries {
               FROM $c.q.al GROUP BY tier ORDER BY tier ASC NULLS FIRST""")
   }
 
+  private val streamSrcOut = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Streaming READ of a catalog table end-to-end: two committed
+    * versions stream out as micro-batches (offsets = snapshot seqs,
+    * starting-seq=earliest) through a real Structured Streaming query
+    * (Trigger.AvailableNow) into a parquet sink; the declared output
+    * aggregates the sunk rows. Oracle recomputes the same aggregate from
+    * the raw parquet — rows lost or duplicated by the source would
+    * hash-mismatch. The stream runs ONCE per sf dir (path-valued memo);
+    * the timed read is the serve path. */
+  private def streamTableSource: Q = (s, d) => {
+    val out = streamSrcOut.synchronized {
+      streamSrcOut.getOrElseUpdate(d, {
+        val wh = Files.createTempDirectory("graft-ssrc-wh").toString
+        val cat = new GraftCatalog(s, wh)
+        cat.createTable("q", "sfeed")
+        val orders = Tables.orders(s, d)
+        cat.commitAppend("q", "sfeed", orders
+          .filter(col("o_orderkey") % 5 === 0)
+          .select("o_orderkey", "o_totalprice"))
+        cat.commitAppend("q", "sfeed", orders
+          .filter(col("o_orderkey") % 5 === 1)
+          .select("o_orderkey", "o_totalprice"))
+        val outDir = Files.createTempDirectory("graft-ssrc-out").toString
+        s.readStream.format("graft.streaming.GraftTableSourceProvider")
+          .option("warehouse", wh).option("table", "q.sfeed")
+          .option("starting-seq", "earliest").load()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-ssrc-ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        outDir
+      })
+    }
+    s.read.parquet(out)
+      .groupBy((col("o_orderkey") % 5).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("bucket"))
+  }
+
   /** Stored-procedure surface end-to-end IN SQL (Spark 4 DSv2
     * ProcedureCatalog): `CALL graft.system.iceberg_export` writes the
     * fixture's branched table as an Iceberg v2 layout, `CALL
@@ -731,6 +775,7 @@ object CatalogQueries {
     "cat_sql_rowlevel"     -> sqlRowLevel,
     "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
     "cat_sql_alter"        -> sqlAlter,
+    "stream_table_source"  -> streamTableSource,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
@@ -885,6 +930,12 @@ object CatalogQueries {
     "cat_sql_rowlevel" -> RowLevelOracleSql,
     // merge-on-read mode must land on the IDENTICAL declarative truth
     "cat_sql_rowlevel_mor" -> RowLevelOracleSql,
+    "stream_table_source" ->
+      """SELECT o_orderkey % 5 AS bucket, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 5 IN (0, 1)
+         GROUP BY 1 ORDER BY bucket""",
     "cat_sql_alter" ->
       """WITH u AS (
            SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tier

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.catalog.GraftCatalog
+
+/** Structured-Streaming READ of a catalog table — the Iceberg/Delta
+  * streaming-source habit, closing the loop with [[CatalogStreamSink]]
+  * (the write twin landed round 6):
+  *
+  * {{{
+  *   spark.readStream
+  *     .format("graft.streaming.GraftTableSourceProvider")
+  *     .option("warehouse", wh).option("table", "ns.t")
+  *     .load()
+  * }}}
+  *
+  * OFFSETS ARE SNAPSHOT SEQS: each micro-batch covers the commit range
+  * (fromSeq, toSeq] and reads it via the catalog's manifest-set diff —
+  * O(delta) I/O, no row comparison, and deterministic under replay
+  * (manifests are immutable), which is what makes checkpoint recovery
+  * exactly-once end-to-end: a replayed batch re-reads exactly the same
+  * added files.
+  *
+  * Modes (`mode` option):
+  *  - `appends` (default): rows of files ADDED in the range
+  *    ([[GraftCatalog.readIncremental]]). A non-append commit in the
+  *    range (replace/compaction/delete) FAILS the stream loudly — the
+  *    manifest diff cannot represent it, and silently emitting partial
+  *    rows would corrupt the consumer. (Iceberg's streaming read has
+  *    the same append-only contract.)
+  *  - `cdc`: [[GraftCatalog.changesBetween]] — every row carries
+  *    `_change_type` ('insert' | 'delete'); non-append ranges take the
+  *    documented row-level diff instead of failing.
+  *
+  * `starting-seq`: `latest` (default — only commits AFTER stream
+  * start), `earliest` (first batch = the full current table, then
+  * increments), or an explicit seq (exclusive lower bound).
+  *
+  * Retention interacts with offsets exactly as in Iceberg: if
+  * expireSnapshots removed the checkpointed seq, the source fails
+  * loudly instead of silently re-reading the world as duplicates.
+  *
+  * Implementation note: this is the V1 `Source` contract (the public
+  * `StreamSourceProvider` extension point) because its getBatch returns
+  * a DataFrame — which lets the catalog's existing manifest-diff read
+  * BE the batch, Catalyst-planned like any other scan. The DSv2
+  * MicroBatchStream contract would require hand-built partition
+  * readers for data parquet already reads better. */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def cfg(parameters: Map[String, String]): (String, String, String) = {
+    val wh = parameters.getOrElse("warehouse",
+      throw new IllegalArgumentException("option 'warehouse' is required"))
+    val Array(ns, t) = parameters.getOrElse("table",
+      throw new IllegalArgumentException("option 'table' is required (ns.table)"))
+      .split("\\.", 2)
+    (wh, ns, t)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (wh, ns, t) = cfg(parameters)
+    val cat = new GraftCatalog(sqlContext.sparkSession, wh)
+    val base = cat.tableSchema(ns, t).getOrElse(throw new IllegalStateException(
+      s"$ns.$t records no schema — commit data before streaming from it"))
+    val st =
+      if (parameters.getOrElse("mode", "appends") == "cdc")
+        StructType(base.fields.toSeq :+ StructField("_change_type", StringType))
+      else base
+    (shortName(), schema.getOrElse(st))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val (wh, ns, t) = cfg(parameters)
+    val cat = new GraftCatalog(sqlContext.sparkSession, wh)
+    val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val mode = parameters.getOrElse("mode", "appends")
+    require(mode == "appends" || mode == "cdc",
+      s"mode must be 'appends' or 'cdc', got '$mode'")
+    // the EXCLUSIVE lower bound of the first batch; -1 = before v0
+    val startSeq: Long = parameters.getOrElse("starting-seq", "latest") match {
+      case "latest"   => cat.latest(ns, t).map(_.seq).getOrElse(-1L)
+      case "earliest" => -1L
+      case n          => n.toLong
+    }
+    new GraftTableSource(cat, ns, t, declared, mode, startSeq)
+  }
+}
+
+private[streaming] class GraftTableSource(cat: GraftCatalog,
+                                          ns: String, t: String,
+                                          declared: StructType,
+                                          mode: String,
+                                          startSeq: Long) extends Source {
+  private def spark = cat.spark
+
+  override def schema: StructType = declared
+
+  /** Always the TABLE's latest seq — never filtered by startSeq: on a
+    * checkpoint recovery the engine compares this against the last
+    * committed offset itself, and a startSeq re-resolved at restart
+    * would hide every commit made while the stream was down. startSeq
+    * only anchors getBatch's FIRST (checkpoint-less) lower bound; a
+    * fresh stream with nothing new simply runs one empty batch. */
+  override def getOffset: Option[Offset] =
+    cat.latest(ns, t).map(s => LongOffset(s.seq))
+
+  // LongOffset.json is the seq; restarts hand back SerializedOffset with
+  // the same json — one decoder covers both
+  private def seqOf(o: Offset): Long = o.json.trim.toLong
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared)
+
+  /** Align a batch to the DECLARED schema by name. Additive evolution
+    * mid-stream keeps the stream's contract (new columns are simply not
+    * emitted until a restart re-declares the schema); a DEGENERATE
+    * frame — the schema-less empty result of a range that added no data
+    * files, e.g. a metadata-only ALTER — becomes a schema-correct empty
+    * batch instead of a resolution error. */
+  private def aligned(df: DataFrame): DataFrame =
+    if (declared.fieldNames.forall(df.columns.contains))
+      df.select(declared.fields.toSeq.map(f => col(f.name)): _*)
+    else emptyBatch
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(batchDf(start, end))
+
+  private def batchDf(start: Option[Offset], end: Offset): DataFrame = {
+    val fromSeq = start.map(seqOf).getOrElse(startSeq)
+    val toSeq = seqOf(end)
+    if (fromSeq >= toSeq) return emptyBatch
+    // a checkpointed offset that retention expired must fail loudly —
+    // treating it as 'missing' would silently re-read the whole table
+    // into the sink as duplicates
+    require(fromSeq == -1L || cat.snapshots(ns, t).exists(_.seq == fromSeq),
+      s"stream offset $fromSeq of $ns.$t no longer exists (expired by " +
+        "retention) — restart the stream with a fresh checkpoint")
+    mode match {
+      case "cdc" if fromSeq == -1L =>
+        // earliest: changesBetween needs two existing endpoints, so the
+        // first batch is the first snapshot's rows + changes since it
+        val first = cat.snapshots(ns, t).headOption.map(_.seq)
+          .getOrElse(return emptyBatch)
+        val seed = aligned(cat.readVersion(ns, t, first)
+          .withColumn("_change_type", lit("insert")))
+        if (first == toSeq) seed
+        else seed.unionByName(aligned(cat.changesBetween(ns, t, first, toSeq)))
+      case "cdc" =>
+        aligned(cat.changesBetween(ns, t, fromSeq, toSeq))
+      case _ =>
+        require(fromSeq == -1L || cat.isAppendOnlyRange(ns, t, fromSeq, toSeq),
+          s"commits ($fromSeq, $toSeq] of $ns.$t include a non-append " +
+            "(replace/compaction/delete) — the appends stream cannot " +
+            "represent it; use mode=cdc or restart from the current seq")
+        aligned(cat.readIncremental(ns, t, fromSeq, toSeq))
+    }
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftTableSource[$ns.$t mode=$mode]"
+}

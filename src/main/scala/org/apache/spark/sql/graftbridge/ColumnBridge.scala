@@ -30,4 +30,14 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-root a batch DataFrame as a STREAMING-flagged plan — what a V1
+    * streaming Source's getBatch must return (the engine asserts
+    * isStreaming). Physical planning of the batch plan is preserved
+    * verbatim through its InternalRow RDD. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ofRows(df.sparkSession, org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true))
+  }
 }

@@ -15,6 +15,98 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("catalog stream SOURCE (appends): commits arrive as micro-batches, " +
+       "checkpoint restart is exactly-once, non-append commits fail loudly") {
+    val wh = Files.createTempDirectory("graft-src-wh").toString
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-src-out").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    cat.createTable("s", "feed")
+    cat.commitAppend("s", "feed", Seq((1L, "pre")).toDF("id", "v"))
+
+    // parquet sink: the fault-tolerant kind a checkpoint can recover
+    // (memory sinks refuse recovery by design)
+    def startStream() = spark.readStream
+      .format("graft.streaming.GraftTableSourceProvider")
+      .option("warehouse", wh).option("table", "s.feed")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    def sunk(): Seq[Long] = {
+      val files = new java.io.File(outDir).listFiles()
+      if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Seq.empty
+      else spark.read.parquet(outDir).select("id").as[Long].collect().toSeq.sorted
+    }
+
+    val q1 = startStream()
+    try {
+      // starting-seq defaults to LATEST: the pre-existing row never arrives
+      cat.commitAppend("s", "feed", Seq((2L, "a"), (3L, "b")).toDF("id", "v"))
+      cat.commitAppend("s", "feed", Seq((4L, "c")).toDF("id", "v"))
+      q1.processAllAvailable()
+      assert(sunk() === Seq(2L, 3L, 4L))
+    } finally q1.stop()
+
+    // RESTART from the checkpoint: no duplicates, only new commits
+    cat.commitAppend("s", "feed", Seq((5L, "d")).toDF("id", "v"))
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() === Seq(2L, 3L, 4L, 5L),
+        "a restarted stream resumes, never replays")
+      // a REPLACE cannot be represented by the appends stream — loud failure
+      cat.commitReplace("s", "feed", Seq((9L, "z")).toDF("id", "v"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("non-append") ||
+             Option(e.getCause).exists(_.getMessage.contains("non-append")),
+        s"unexpected: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
+  test("catalog stream SOURCE: earliest starts with the full table; cdc " +
+       "mode carries _change_type through a merge-on-read delete") {
+    val wh = Files.createTempDirectory("graft-src2-wh").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    cat.createTable("s", "cfeed")
+    cat.commitAppend("s", "cfeed", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // earliest + appends: batch 0 is the current table
+    val qe = spark.readStream
+      .format("graft.streaming.GraftTableSourceProvider")
+      .option("warehouse", wh).option("table", "s.cfeed")
+      .option("starting-seq", "earliest")
+      .load()
+      .writeStream.format("memory").queryName("cfeed_all")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-src2-ck1").toString).start()
+    try {
+      qe.processAllAvailable()
+      assert(spark.sql("SELECT id FROM cfeed_all ORDER BY id").as[Long]
+        .collect().toSeq === Seq(1L, 2L))
+    } finally qe.stop()
+
+    // cdc: an equality delete arrives as a _change_type='delete' row
+    val qc = spark.readStream
+      .format("graft.streaming.GraftTableSourceProvider")
+      .option("warehouse", wh).option("table", "s.cfeed")
+      .option("mode", "cdc")
+      .load()
+      .writeStream.format("memory").queryName("cfeed_cdc")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-src2-ck2").toString).start()
+    try {
+      cat.commitAppend("s", "cfeed", Seq((3L, "c")).toDF("id", "v"))
+      cat.commitDelete("s", "cfeed", Seq(1L).toDF("id"))
+      qc.processAllAvailable()
+      val rows = spark.sql("SELECT id, _change_type FROM cfeed_cdc ORDER BY id, _change_type")
+        .as[(Long, String)].collect().toSeq
+      assert(rows === Seq((1L, "delete"), (3L, "insert")),
+        s"cdc must carry the delete: $rows")
+    } finally qc.stop()
+  }
+
   test("event lifecycle state machine enforces reference transitions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

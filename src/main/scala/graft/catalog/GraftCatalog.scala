@@ -2370,17 +2370,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def isAppendOnlyRange(ns: String, name: String, fromSeq: Long, toSeq: Long): Boolean = {
     val snaps = snapshots(ns, name)
     (snaps.find(_.seq == fromSeq), snaps.find(_.seq == toSeq)) match {
-      case (Some(from), Some(to)) =>
-        from.manifests.forall(to.manifests.contains) &&
-          !to.manifests.filterNot(from.manifests.toSet).exists(isDeleteManifest) &&
-          snaps.filter(s => s.seq > fromSeq && s.seq <= toSeq)
-            .forall { s =>
-              val parent = snaps.find(_.seq == s.seq - 1)
-              parent.forall(p => p.manifests.forall(s.manifests.contains))
-            }
+      case (Some(from), Some(to)) => appendOnly(snaps, from, to)
       case _ => false
     }
   }
+
+  // resolved-endpoint core (changesBetween already holds snaps/from/to —
+  // no second history scan per call)
+  private def appendOnly(snaps: Seq[Snapshot], from: Snapshot, to: Snapshot): Boolean =
+    from.manifests.forall(to.manifests.contains) &&
+      !to.manifests.filterNot(from.manifests.toSet).exists(isDeleteManifest) &&
+      snaps.filter(s => s.seq > from.seq && s.seq <= to.seq)
+        .forall { s =>
+          val parent = snaps.find(_.seq == s.seq - 1)
+          parent.forall(p => p.manifests.forall(s.manifests.contains))
+        }
 
   def changesBetween(ns: String, name: String, fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq <= toSeq, s"fromSeq $fromSeq > toSeq $toSeq")
@@ -2388,7 +2392,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def snapAt(sq: Long) = snaps.find(_.seq == sq).getOrElse(
       throw new IllegalArgumentException(s"no version $sq of $ns.$name"))
     val from = snapAt(fromSeq); val to = snapAt(toSeq)
-    if (isAppendOnlyRange(ns, name, fromSeq, toSeq))
+    if (appendOnly(snaps, from, to))
       readIncremental(ns, name, fromSeq, toSeq)
         .withColumn("_change_type", lit("insert"))
     else {

@@ -25,7 +25,10 @@ import graft.catalog.GraftCatalog
   * O(delta) I/O, no row comparison, and deterministic under replay
   * (manifests are immutable), which is what makes checkpoint recovery
   * exactly-once end-to-end: a replayed batch re-reads exactly the same
-  * added files.
+  * files. The resolved starting seq is PERSISTED under the source's
+  * checkpoint metadata dir — re-resolving `latest` on a crash-recovery
+  * restart would replay the first batch against a later anchor and
+  * silently lose its rows.
   *
   * Modes (`mode` option):
   *  - `appends` (default): rows of files ADDED in the range
@@ -39,12 +42,17 @@ import graft.catalog.GraftCatalog
   *    documented row-level diff instead of failing.
   *
   * `starting-seq`: `latest` (default — only commits AFTER stream
-  * start), `earliest` (first batch = the full current table, then
-  * increments), or an explicit seq (exclusive lower bound).
+  * start), `earliest`, or an explicit seq (exclusive lower bound).
+  * With `earliest`, the FIRST batch is the proper SNAPSHOT read of the
+  * batch's end version — deletes applied, replaces resolved (cdc tags
+  * it all 'insert': initial-state-then-changes semantics) — never the
+  * raw union of historical data files, which would resurrect
+  * merge-on-read-deleted rows.
   *
   * Retention interacts with offsets exactly as in Iceberg: if
-  * expireSnapshots removed the checkpointed seq, the source fails
-  * loudly instead of silently re-reading the world as duplicates.
+  * expireSnapshots removed a checkpointed BOUND of an in-flight batch
+  * (either end), the source fails loudly instead of silently replaying
+  * it empty or re-reading the world.
   *
   * Implementation note: this is the V1 `Source` contract (the public
   * `StreamSourceProvider` extension point) because its getBatch returns
@@ -59,10 +67,12 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
   private def cfg(parameters: Map[String, String]): (String, String, String) = {
     val wh = parameters.getOrElse("warehouse",
       throw new IllegalArgumentException("option 'warehouse' is required"))
-    val Array(ns, t) = parameters.getOrElse("table",
+    val parts = parameters.getOrElse("table",
       throw new IllegalArgumentException("option 'table' is required (ns.table)"))
       .split("\\.", 2)
-    (wh, ns, t)
+    require(parts.length == 2 && parts.forall(_.nonEmpty),
+      s"option 'table' must be ns.table, got '${parts.mkString(".")}'")
+    (wh, parts(0), parts(1))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -86,22 +96,53 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
                             providerName: String,
                             parameters: Map[String, String]): Source = {
     val (wh, ns, t) = cfg(parameters)
-    val cat = new GraftCatalog(sqlContext.sparkSession, wh)
+    val spark = sqlContext.sparkSession
+    val cat = new GraftCatalog(spark, wh)
     val declared = sourceSchema(sqlContext, schema, providerName, parameters)._2
     val mode = parameters.getOrElse("mode", "appends")
     require(mode == "appends" || mode == "cdc",
       s"mode must be 'appends' or 'cdc', got '$mode'")
-    // the EXCLUSIVE lower bound of the first batch; -1 = before v0
-    val startSeq: Long = parameters.getOrElse("starting-seq", "latest") match {
-      case "latest"   => cat.latest(ns, t).map(_.seq).getOrElse(-1L)
-      case "earliest" => -1L
-      case n          => n.toLong
+    // the EXCLUSIVE lower bound of the first batch; -1 = before v0.
+    // PERSISTED on first resolution: `latest` re-resolved on a restart
+    // would anchor the replayed first batch past its own rows
+    val startSeq: Long = {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(metadataPath)
+      val fs = dir.getFileSystem(hconf)
+      val f = new org.apache.hadoop.fs.Path(dir, "graft-start-seq")
+      if (fs.exists(f)) {
+        val in = fs.open(f)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else {
+        val resolved = parameters.getOrElse("starting-seq", "latest") match {
+          case "latest"   => cat.latest(ns, t).map(_.seq).getOrElse(-1L)
+          case "earliest" => -1L
+          case n          => n.toLong
+        }
+        fs.mkdirs(dir)
+        // create(overwrite=false): a concurrent restart racing here loses
+        // and re-reads the winner's value
+        try {
+          val out = fs.create(f, false)
+          try out.write(resolved.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          resolved
+        } catch { case _: java.io.IOException =>
+          val in = fs.open(f)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      }
     }
     new GraftTableSource(cat, ns, t, declared, mode, startSeq)
   }
 }
 
-private[streaming] class GraftTableSource(cat: GraftCatalog,
+private[graft] class GraftTableSource(cat: GraftCatalog,
                                           ns: String, t: String,
                                           declared: StructType,
                                           mode: String,
@@ -112,10 +153,10 @@ private[streaming] class GraftTableSource(cat: GraftCatalog,
 
   /** Always the TABLE's latest seq — never filtered by startSeq: on a
     * checkpoint recovery the engine compares this against the last
-    * committed offset itself, and a startSeq re-resolved at restart
-    * would hide every commit made while the stream was down. startSeq
-    * only anchors getBatch's FIRST (checkpoint-less) lower bound; a
-    * fresh stream with nothing new simply runs one empty batch. */
+    * committed offset itself, and a startSeq-based filter would hide
+    * commits made while the stream was down. startSeq only anchors
+    * getBatch's FIRST (checkpoint-less) lower bound; a fresh stream
+    * with nothing new simply runs one empty batch. */
   override def getOffset: Option[Offset] =
     cat.latest(ns, t).map(s => LongOffset(s.seq))
 
@@ -129,41 +170,55 @@ private[streaming] class GraftTableSource(cat: GraftCatalog,
   /** Align a batch to the DECLARED schema by name. Additive evolution
     * mid-stream keeps the stream's contract (new columns are simply not
     * emitted until a restart re-declares the schema); a DEGENERATE
-    * frame — the schema-less empty result of a range that added no data
+    * frame — the zero-column empty result of a range that added no data
     * files, e.g. a metadata-only ALTER — becomes a schema-correct empty
-    * batch instead of a resolution error. */
+    * batch. A NON-degenerate frame missing a declared column means the
+    * schema changed incompatibly mid-stream (DROP COLUMN): fail loudly —
+    * emitting an empty batch would silently drop the range's rows while
+    * the offset still commits. */
   private def aligned(df: DataFrame): DataFrame =
-    if (declared.fieldNames.forall(df.columns.contains))
+    if (df.columns.isEmpty) emptyBatch
+    else {
+      val missing = declared.fieldNames.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"stream batch of $ns.$t lost column(s) ${missing.mkString(", ")} — " +
+          "the table's schema changed incompatibly mid-stream; restart the " +
+          "stream to re-declare its schema")
       df.select(declared.fields.toSeq.map(f => col(f.name)): _*)
-    else emptyBatch
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(batchDf(start, end))
 
-  private def batchDf(start: Option[Offset], end: Offset): DataFrame = {
+  private[graft] def batchDf(start: Option[Offset], end: Offset): DataFrame = {
     val fromSeq = start.map(seqOf).getOrElse(startSeq)
     val toSeq = seqOf(end)
     if (fromSeq >= toSeq) return emptyBatch
-    // a checkpointed offset that retention expired must fail loudly —
-    // treating it as 'missing' would silently re-read the whole table
-    // into the sink as duplicates
-    require(fromSeq == -1L || cat.snapshots(ns, t).exists(_.seq == fromSeq),
+    // a checkpointed BOUND that retention expired must fail loudly —
+    // treating the start as 'missing' would re-read the whole table as
+    // duplicates, and a missing END would replay an in-flight batch as
+    // silently EMPTY (rows lost with the offset still committing)
+    val snaps = cat.snapshots(ns, t)
+    require(fromSeq == -1L || snaps.exists(_.seq == fromSeq),
       s"stream offset $fromSeq of $ns.$t no longer exists (expired by " +
         "retention) — restart the stream with a fresh checkpoint")
+    require(snaps.exists(_.seq == toSeq),
+      s"stream end offset $toSeq of $ns.$t no longer exists (expired by " +
+        "retention) — restart the stream with a fresh checkpoint")
+    if (fromSeq == -1L) {
+      // the FIRST earliest batch is the SNAPSHOT at toSeq — deletes
+      // applied, replaces resolved — never the raw union of historical
+      // data files (which would resurrect merge-on-read-deleted rows)
+      val state = cat.readVersion(ns, t, toSeq)
+      return aligned(
+        if (mode == "cdc") state.withColumn("_change_type", lit("insert"))
+        else state)
+    }
     mode match {
-      case "cdc" if fromSeq == -1L =>
-        // earliest: changesBetween needs two existing endpoints, so the
-        // first batch is the first snapshot's rows + changes since it
-        val first = cat.snapshots(ns, t).headOption.map(_.seq)
-          .getOrElse(return emptyBatch)
-        val seed = aligned(cat.readVersion(ns, t, first)
-          .withColumn("_change_type", lit("insert")))
-        if (first == toSeq) seed
-        else seed.unionByName(aligned(cat.changesBetween(ns, t, first, toSeq)))
       case "cdc" =>
         aligned(cat.changesBetween(ns, t, fromSeq, toSeq))
       case _ =>
-        require(fromSeq == -1L || cat.isAppendOnlyRange(ns, t, fromSeq, toSeq),
+        require(cat.isAppendOnlyRange(ns, t, fromSeq, toSeq),
           s"commits ($fromSeq, $toSeq] of $ns.$t include a non-append " +
             "(replace/compaction/delete) — the appends stream cannot " +
             "represent it; use mode=cdc or restart from the current seq")

@@ -107,6 +107,87 @@ class StreamingSpec extends SparkSpec {
     } finally qc.stop()
   }
 
+  test("catalog stream SOURCE hardening: earliest applies MoR deletes, " +
+       "start seq persists across restarts, expired/dropped batches fail loudly") {
+    val wh = Files.createTempDirectory("graft-src3-wh").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    cat.createTable("s", "hfeed")
+    cat.commitAppend("s", "hfeed", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    cat.commitDelete("s", "hfeed", Seq(1L).toDF("id")) // MoR equality delete
+
+    // EARLIEST first batch = the SNAPSHOT (delete applied) — never the
+    // raw union of historical files, which would resurrect id=1
+    val qe = spark.readStream
+      .format("graft.streaming.GraftTableSourceProvider")
+      .option("warehouse", wh).option("table", "s.hfeed")
+      .option("starting-seq", "earliest")
+      .load()
+      .writeStream.format("memory").queryName("hfeed_all")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-src3-ck").toString).start()
+    try {
+      qe.processAllAvailable()
+      assert(spark.sql("SELECT id FROM hfeed_all ORDER BY id").as[Long]
+        .collect().toSeq === Seq(2L),
+        "a merge-on-read-deleted row must NOT stream as a ghost insert")
+    } finally qe.stop()
+
+    // START SEQ PERSISTENCE (the crash-recovery window): a second
+    // createSource against the SAME metadata dir must anchor at the
+    // FIRST resolution of 'latest', not re-resolve past missed commits
+    val prov = new graft.streaming.GraftTableSourceProvider()
+    val meta = Files.createTempDirectory("graft-src3-meta").toString
+    val params = Map("warehouse" -> wh, "table" -> "s.hfeed")
+    val src1 = prov.createSource(spark.sqlContext, meta, None, "x", params)
+    cat.commitAppend("s", "hfeed", Seq((5L, "e")).toDF("id", "v"))
+    val head = cat.latest("s", "hfeed").get.seq
+    val src2 = prov.createSource(spark.sqlContext, meta, None, "x", params)
+      .asInstanceOf[graft.streaming.GraftTableSource]
+    // batchDf = getBatch minus the streaming re-rooting (collectable here)
+    val replay = src2.batchDf(None,
+      new org.apache.spark.sql.execution.streaming.runtime.LongOffset(head))
+    assert(replay.select("id").as[Long].collect().toSeq === Seq(5L),
+      "the replayed first batch must cover commits made after the ORIGINAL " +
+        "start anchor — a re-resolved 'latest' would lose them")
+    src1.stop(); src2.stop()
+
+    // an in-flight batch whose END version was expired must fail loudly,
+    // never replay silently empty
+    val e = intercept[IllegalArgumentException] {
+      src2.batchDf(None,
+        new org.apache.spark.sql.execution.streaming.runtime.LongOffset(head + 50))
+    }
+    assert(e.getMessage.contains("no longer exists"), s"unexpected: ${e.getMessage}")
+
+    // a batch that LOST a declared column (DROP COLUMN mid-stream) must
+    // fail loudly — an empty batch would silently drop the range's rows.
+    // The source is created BEFORE the drop (its declared schema still
+    // carries v), then reads a post-drop appended file
+    val src3 = prov.createSource(spark.sqlContext,
+      Files.createTempDirectory("graft-src3-meta2").toString, None, "x", params)
+      .asInstanceOf[graft.streaming.GraftTableSource]
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    cat.compact("s", "hfeed", 128L * 1024 * 1024) // materialize the delete
+    spark.sql(s"ALTER TABLE $c.s.hfeed DROP COLUMN v")
+    cat.commitAppend("s", "hfeed", Seq(Tuple1(7L)).toDF("id"))
+    val d = intercept[IllegalArgumentException] {
+      src3.batchDf(
+        Some(new org.apache.spark.sql.execution.streaming.runtime.LongOffset(head + 2)),
+        new org.apache.spark.sql.execution.streaming.runtime.LongOffset(head + 3))
+    }
+    assert(d.getMessage.contains("lost column"), s"unexpected: ${d.getMessage}")
+    src3.stop()
+
+    // a table option without the ns.table shape is a CONFIG error, not a
+    // MatchError
+    val m = intercept[IllegalArgumentException] {
+      prov.createSource(spark.sqlContext,
+        Files.createTempDirectory("graft-src3-meta3").toString, None, "x",
+        Map("warehouse" -> wh, "table" -> "hfeed"))
+    }
+    assert(m.getMessage.contains("ns.table"), s"unexpected: ${m.getMessage}")
+  }
+
   test("event lifecycle state machine enforces reference transitions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

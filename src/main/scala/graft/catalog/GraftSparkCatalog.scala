@@ -216,13 +216,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** VERSION AS OF <seq> */
+  /** `VERSION AS OF x` — x is a SEQ number, a BRANCH name (reads the
+    * branch head, the Iceberg branch-identifier habit), or a TAG name
+    * (reads the tagged main version). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
-    val snap = cat.snapshots(ns, t).find(_.seq == version.toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no version $version of $ns.$t"))
-    timeTravelTable(ns, t, s"$catalogName.$ns.$t@v$version", snap)
+    val snap =
+      if (version.nonEmpty && version.forall(_.isDigit))
+        cat.snapshots(ns, t).find(_.seq == version.toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version $version of $ns.$t"))
+      else if (cat.listBranches(ns, t).contains(version))
+        cat.branchHead(ns, t, version)
+      else if (cat.listTags(ns, t).contains(version))
+        cat.snapshots(ns, t).find(_.seq == cat.tagSeq(ns, t, version))
+          .getOrElse(throw new IllegalArgumentException(
+            s"tag '$version' of $ns.$t points at an expired version"))
+      else throw new IllegalArgumentException(
+        s"no version, branch or tag '$version' on $ns.$t")
+    timeTravelTable(ns, t, s"$catalogName.$ns.$t@$version", snap)
   }
 
   /** TIMESTAMP AS OF <ts> — Spark passes MICROseconds since epoch. */
@@ -239,7 +252,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * against THAT snapshot's manifests. */
   private def timeTravelTable(ns: String, t: String, name: String,
                               snap: cat.Snapshot): Table = {
-    val df = cat.readVersion(ns, t, snap.seq)
+    // read the SNAPSHOT itself, never resolve by seq again: a branch
+    // head lives on the branch log, where a main-lineage seq lookup
+    // would miss it (or worse, hit an unrelated main version)
+    val df = cat.readFilteredSnapshot(ns, t, snap, Array.empty)
     new GraftV2Table(name, () => df, df.schema,
       pruned = Some((fs: Array[Filter], _: Boolean) =>
         cat.readFilteredSnapshot(ns, t, snap, fs)),

@@ -283,6 +283,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $c.ns.g").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("VERSION AS OF accepts branch and tag names (Iceberg ref habit), " +
+       "reads the right lineage, and unknown refs error clearly") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-refwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    cat.createTable("ns", "reft")
+    cat.commitAppend("ns", "reft", Seq((1L, "m0")).toDF("id", "v"))
+    cat.createTag("ns", "reft", "launch")
+    cat.createBranch("ns", "reft", "dev")
+    cat.commitAppendToBranch("ns", "reft", "dev",
+      Seq((2L, "dev-only")).toDF("id", "v"))
+    cat.commitAppend("ns", "reft", Seq((3L, "m1")).toDF("id", "v"))
+
+    // branch head = fork + branch commits, NEVER main's later rows
+    assert(spark.sql(s"SELECT id FROM $c.ns.reft VERSION AS OF 'dev' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // tag pins the tagged main version
+    assert(spark.sql(s"SELECT id FROM $c.ns.reft VERSION AS OF 'launch'")
+      .as[Long].collect().toSeq === Seq(1L))
+    // numeric versions unchanged; main head has both main rows
+    assert(spark.sql(s"SELECT id FROM $c.ns.reft ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L))
+    // stats pruning works against the branch snapshot's own manifests
+    assert(spark.sql(
+      s"SELECT count(*) FROM $c.ns.reft VERSION AS OF 'dev' WHERE id = 2")
+      .head().getLong(0) === 1L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.ns.reft VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("no version, branch or tag"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("schema evolution hardening: re-adding a dropped column refuses " +
        "until compact; stale ALTERs and nullability tightening abort; " +
        "ADD ... COMMENT is preserved") {

@@ -55,11 +55,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   /** One table version. `manifests` are relative paths of the immutable
     * manifest files whose union is the version's file set; `fileCount` /
-    * `totalBytes` are O(1) summary stats recorded at commit time. */
+    * `totalBytes` are O(1) summary stats recorded at commit time.
+    * `propsJson` is the version's TBLPROPERTIES map as a JSON object —
+    * versioned exactly like the schema (each commit carries the
+    * parent's forward; SET/UNSET publish a new metadata-only version,
+    * time travel reads each version's own properties). Absent on
+    * pre-upgrade logs (reads as empty). */
   case class Snapshot(seq: Long, commitId: String, parentId: Option[String],
                       timestampMs: Long, manifests: Seq[String], sourceRegion: String,
                       fileCount: Long, totalBytes: Long,
-                      schemaJson: Option[String] = None)
+                      schemaJson: Option[String] = None,
+                      propsJson: Option[String] = None) {
+    /** The version's TBLPROPERTIES. */
+    def properties: Map[String, String] = propsJson
+      .map(j => GraftCatalog.propsMapper.readTree(j).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+  }
 
   private def tableDir(ns: String, name: String): Path = Paths.get(warehouse, ns, name)
   private def metaDir(ns: String, name: String): Path = tableDir(ns, name).resolve("_meta")
@@ -148,6 +160,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       s""""timestampMs":${s.timestampMs},"sourceRegion":${q(s.sourceRegion)},""" +
       s""""fileCount":${s.fileCount},"totalBytes":${s.totalBytes},""" +
       s""""schemaJson":${s.schemaJson.map(q).getOrElse("null")},""" +
+      s""""propsJson":${s.propsJson.map(q).getOrElse("null")},""" +
       s""""manifests":[${s.manifests.map(q).mkString(",")}]}"""
 
   // Real JSON parsing (Jackson, already on Spark's classpath) — the
@@ -166,7 +179,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       Option(n.get("sourceRegion")).map(_.asText()).getOrElse(""),
       n.get("fileCount").asLong(),
       n.get("totalBytes").asLong(),
-      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText()))
+      Option(n.get("schemaJson")).filterNot(_.isNull).map(_.asText()),
+      // absent on pre-upgrade version files — reads as no properties
+      Option(n.get("propsJson")).filterNot(_.isNull).map(_.asText()))
   }
 
   // Published version files are immutable (hard-link create-if-absent), so
@@ -378,24 +393,70 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             case _ =>
           }
         }
+        val introduced =
+          schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+        // an introduced column whose name is another column's PHYSICAL
+        // name would collide in the written files (two logical columns,
+        // one parquet column) — only reachable after a rename; refuse
+        val claimed = prev.fields.map(GraftCatalog.physicalName).toSet
+        introduced.foreach(f => require(!claimed(f.name),
+          s"new column '${f.name}' collides with the physical (parquet) " +
+            s"name of a renamed column of $ns.$name — add it via ALTER " +
+            "TABLE ADD COLUMN, which assigns it a fresh physical name"))
         // widening appends may introduce columns, but never one whose
         // name previously existed while its era's files are still live
         // (same resurrection hazard as ALTER ADD — see the guard). An
         // OVERWRITE discards every parent file, so the hazard vanishes
         if (!replacesAll)
-          assertNoColumnResurrection(ns, name, par,
-            schema.fields.map(_.name).filterNot(prev.fieldNames.contains).toSeq)
+          assertNoColumnResurrection(ns, name, par, introduced.map(_.name).toSeq)
         // a batch must never TIGHTEN nullability the table already
         // grants: an all-non-null INSERT right after ADD COLUMN would
         // otherwise record the column non-nullable, and the pre-alter
-        // files' nulls then break every read's row re-encoding
+        // files' nulls then break every read's row re-encoding.
+        // Schema METADATA the incoming frame cannot know is carried over
+        // from the recorded field: the physical column mapping MUST
+        // survive (losing it would orphan every pre-rename file) and
+        // comments should (an INSERT must not strip documentation)
         StructType(schema.fields.map { nf =>
-          prev.fields.find(_.name == nf.name) match {
+          val widened = prev.fields.find(_.name == nf.name) match {
             case Some(pf) if pf.nullable && !nf.nullable => nf.copy(nullable = true)
             case _ => nf
           }
+          prev.fields.find(_.name == nf.name) match {
+            case Some(pf) if pf.metadata != org.apache.spark.sql.types.Metadata.empty
+                && widened.metadata == org.apache.spark.sql.types.Metadata.empty =>
+              widened.copy(metadata = pf.metadata)
+            case Some(pf) if pf.metadata.contains(GraftCatalog.PhysicalKey) =>
+              GraftCatalog.withPhysical(widened, GraftCatalog.physicalName(pf))
+            case _ => widened
+          }
         }).json
     }
+
+  // ---- column mapping plumbing ----
+
+  /** Rename `df`'s columns to their PHYSICAL names under the table's
+    * current mapping — identity (df returned untouched, no plan node)
+    * for the overwhelmingly common never-renamed table. Columns not in
+    * the table schema (additive evolution) keep their names: a brand-new
+    * column's physical name IS its logical name. */
+  private def toPhysicalDf(df: DataFrame, schemaOpt: Option[StructType]): DataFrame =
+    schemaOpt.map(GraftCatalog.physicalMap).filter(_.nonEmpty) match {
+      case Some(m) =>
+        df.select(df.columns.toSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
+      case None => df
+    }
+
+  /** logical → physical stat/bloom key under `snap`'s schema (identity
+    * when nothing was renamed) — manifest stats key on PHYSICAL names,
+    * uniform across every era of the table's files. */
+  private[catalog] def physKeyOf(snap: Snapshot): String => String = {
+    val m = snap.schemaJson
+      .map(j => GraftCatalog.physicalMap(
+        DataType.fromJson(j).asInstanceOf[StructType]))
+      .getOrElse(Map.empty)
+    if (m.isEmpty) identity else c => m.getOrElse(c, c)
+  }
 
   // ---- commits ----
 
@@ -655,7 +716,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             s"rewriteManifests of $ns.$name inspected ${head.commitId} but the head moved")
         Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}", Some(head.commitId),
           System.currentTimeMillis(), newList.toSeq,
-          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson)
+          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson,
+          head.propsJson)
       }
       (snap, eliminated)
     } catch { case e: Throwable =>
@@ -770,7 +832,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           rebuilt ++ newManifest, sourceRegion,
           p.fileCount - removed.size + added.size,
           p.totalBytes - removedBytes + added.map(_._2).sum,
-          p.schemaJson)
+          p.schemaJson, p.propsJson)
       }
       latestFileSet.put((ns, name), (snap.commitId, committedSet))
       snap
@@ -832,7 +894,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           p.manifests ++ dataManifest ++ posManifest, sourceRegion,
           p.fileCount + newData.size + posDeleteFiles.size,
           p.totalBytes + (newData ++ posDeleteFiles).map(_._2).sum,
-          p.schemaJson)
+          p.schemaJson, p.propsJson)
       }
       latestFileSet.remove((ns, name)): Unit
       snap
@@ -908,7 +970,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // carried over — a rewrite must never destroy published secondary
     // stats.
     val allStats = stagedFileStats(ns, name,
-      statless.flatMap(_._2).map(e => (e.path, e.sizeBytes)), schema)
+      statless.flatMap(_._2).map(e => (e.path, e.sizeBytes)),
+      // files spell columns physically; stats key on physical names
+      GraftCatalog.physicalSchema(schema))
     val replaced: Map[String, String] = statless.map { case (m, entries) =>
       val pairs = entries.map(e => (e.path, e.sizeBytes))
       m -> writeManifest(ns, name, pairs,
@@ -923,7 +987,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}", Some(head.commitId),
           System.currentTimeMillis(),
           head.manifests.map(m => replaced.getOrElse(m, m)),
-          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson)
+          head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson,
+          head.propsJson)
       }
       (snap, replaced.size)
     } catch { case e: Throwable =>
@@ -1052,8 +1117,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     // fail fast on an incompatible schema before staging any data; the
     // CAS loop re-validates against the re-read parent on every attempt
-    validatedSchemaJson(ns, name, latest(ns, name), df.schema)
-    val entries = stageDataFiles(ns, name, df)
+    val parentSchema0 = latest(ns, name)
+    validatedSchemaJson(ns, name, parentSchema0, df.schema)
+    // files are written under PHYSICAL column names (stats/blooms key on
+    // them too) — identity unless a column was renamed
+    val curSchema = parentSchema0.flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pdf = toPhysicalDf(df, curSchema)
+    val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+    val entries = stageDataFiles(ns, name, pdf)
     // the stats aggregate and manifest write sit INSIDE the cleanup
     // scope: a failure there (executor loss mid-stats, disk error) must
     // reclaim the staged data dir too, not only a failed CAS
@@ -1062,8 +1134,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val newManifest =
         if (entries.isEmpty) None
         else Some(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, df.schema),
-          stagedFileBlooms(ns, name, entries, df.schema, bloomCols)))
+          stagedFileStats(ns, name, entries, pdf.schema),
+          stagedFileBlooms(ns, name, entries, pdf.schema,
+            bloomCols.map(c => pm.getOrElse(c, c)))))
       staged = newManifest.toSeq
       casCommit(ns, name, maxRetries) { parent =>
         // re-check inside the CAS closure: a concurrent duplicate that won
@@ -1080,7 +1153,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           parent.map(_.fileCount).getOrElse(0L) + entries.size,
           parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
-          Some(validatedSchemaJson(ns, name, parent, df.schema)))
+          Some(validatedSchemaJson(ns, name, parent, df.schema)),
+          parent.flatMap(_.propsJson))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1100,7 +1174,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                     expectedParentSeq: Option[Long] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     validatedSchemaJson(ns, name, latest(ns, name), df.schema, replacesAll = true)
-    val entries = stageDataFiles(ns, name, df)
+    // even a full overwrite keeps the physical mapping: the recorded
+    // schema carries it forward, and normalizing here would desynchronize
+    // a COW statement's kept files from the rewrite's (per-file eras —
+    // exactly the complexity the stable physical name exists to avoid)
+    val pdf = toPhysicalDf(df, tableSchema(ns, name))
+    val entries = stageDataFiles(ns, name, pdf)
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version.
     // The stats/manifest steps sit inside the cleanup scope too: a
@@ -1110,7 +1189,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val manifest =
         if (entries.isEmpty) Seq.empty
         else Seq(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, df.schema)))
+          stagedFileStats(ns, name, entries, pdf.schema)))
       staged = manifest
       casCommit(ns, name, maxRetries) { parent =>
         expectedParentSeq.foreach { exp =>
@@ -1127,7 +1206,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           entries.size,
           entries.map(_._2).sum,
-          Some(validatedSchemaJson(ns, name, parent, df.schema, replacesAll = true)))
+          Some(validatedSchemaJson(ns, name, parent, df.schema, replacesAll = true)),
+          parent.flatMap(_.propsJson))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1164,12 +1244,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .getOrElse(Set.empty[String])
     keys.columns.foreach(c => require(tblFields.isEmpty || tblFields.contains(c),
       s"delete key column $c not in $ns.$name schema $tblFields"))
+    // delete files live in PHYSICAL column names (they anti-join the raw
+    // scan): map the incoming keys, and compare against prior delete
+    // files in physical terms too
+    val curSchema = parent0.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pkeys = toPhysicalDf(keys, curSchema)
     equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
       val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
-      require(prior == keys.columns.toSet,
-        s"equality-delete columns ${keys.columns.toSet} differ from the table's existing $prior")
+      require(prior == pkeys.columns.toSet,
+        s"equality-delete columns ${pkeys.columns.toSet} differ from the table's existing $prior")
     }
-    val entries = stageDataFiles(ns, name, keys)
+    val entries = stageDataFiles(ns, name, pkeys)
     var staged: Seq[String] = Seq.empty
     try {
       val newManifest =
@@ -1190,7 +1276,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           par.fileCount + entries.size,
           par.totalBytes + entries.map(_._2).sum,
-          par.schemaJson) // a delete never changes the table schema
+          par.schemaJson, // a delete never changes the schema
+          par.propsJson)
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1267,7 +1354,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           par.fileCount + entries.size,
           par.totalBytes + entries.map(_._2).sum,
-          par.schemaJson) // a delete never changes the table schema
+          par.schemaJson, // a delete never changes the schema
+          par.propsJson)
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1311,13 +1399,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case None => commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
       case Some(parent0) =>
         validatedSchemaJson(ns, name, Some(parent0), rows.schema)
+        val curSchema = parent0.schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+        val pKeyCols = keyCols.map(c => pm.getOrElse(c, c))
         equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
           val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
-          require(prior == keyCols.toSet,
-            s"upsert key columns ${keyCols.toSet} differ from the table's delete columns $prior")
+          require(prior == pKeyCols.toSet,
+            s"upsert key columns ${pKeyCols.toSet} differ from the table's delete columns $prior")
         }
-        val delEntries = stageDataFiles(ns, name, rows.select(keyCols.map(col): _*).distinct())
-        val dataEntries = stageDataFiles(ns, name, rows)
+        val prows = toPhysicalDf(rows, curSchema)
+        val delEntries = stageDataFiles(ns, name,
+          prows.select(pKeyCols.map(col): _*).distinct())
+        val dataEntries = stageDataFiles(ns, name, prows)
         var staged: Seq[String] = Seq.empty
         try {
           val dManifest =
@@ -1326,7 +1420,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           val mManifest =
             if (dataEntries.isEmpty) None
             else Some(writeManifest(ns, name, dataEntries,
-              stagedFileStats(ns, name, dataEntries, rows.schema)))
+              stagedFileStats(ns, name, dataEntries, prows.schema)))
           staged = dManifest.toSeq ++ mManifest.toSeq
           casCommit(ns, name, maxRetries) { parent =>
             commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
@@ -1343,7 +1437,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               sourceRegion,
               par.fileCount + delEntries.size + dataEntries.size,
               par.totalBytes + (delEntries ++ dataEntries).map(_._2).sum,
-              Some(validatedSchemaJson(ns, name, Some(par), rows.schema)))
+              Some(validatedSchemaJson(ns, name, Some(par), rows.schema)),
+              par.propsJson)
           }
         } catch { case e: Throwable =>
           cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
@@ -1382,7 +1477,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           StructField("__graft_file", StringType) :+ StructField("__graft_pos", LongType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
-    val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+    // the scan (and the delete-file anti-joins below) runs in PHYSICAL
+    // column names — what every era's files actually spell; the one
+    // alias back to THIS snapshot's logical names happens at the end,
+    // which is what makes RENAME COLUMN metadata-only and lets time
+    // travel read each version under its own names
+    val reader = schema.map(st => spark.read.schema(GraftCatalog.physicalSchema(st)))
+      .getOrElse(spark.read)
     val indexed = snap.manifests.zipWithIndex
     val delsOrdered = indexed.filter(p => isDeleteManifest(p._1))
     def abs(rel: String) = tableDir(ns, name).resolve(rel).toString
@@ -1440,7 +1541,20 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                else applied)
         }
       }
-    if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
+    if (parts.isEmpty) emptyDf
+    else {
+      val raw = parts.reduce(_ unionByName _)
+      schema.filter(GraftCatalog.hasColumnMapping) match {
+        case Some(st) =>
+          val dataCols = st.fields.toSeq
+            .map(f => col(GraftCatalog.physicalName(f)).as(f.name))
+          val extra =
+            if (carryPosition) Seq(col("__graft_file"), col("__graft_pos"))
+            else Seq.empty
+          raw.select(dataCols ++ extra: _*)
+        case None => raw
+      }
+    }
   }
 
   /** Rollback: publish a NEW version whose manifest list is exactly a
@@ -1466,7 +1580,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         sourceRegion,
         target.fileCount,
         target.totalBytes,
-        target.schemaJson)
+        target.schemaJson,
+        target.propsJson)
     }
   }
 
@@ -1477,6 +1592,28 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * reachable from old versions until expireSnapshots reclaims them. */
   def compact(ns: String, name: String, targetFileBytes: Long): Snapshot =
     compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+
+  /** [[compact]] sized by the table's own `write.target-file-size-bytes`
+    * TBLPROPERTY (the Iceberg knob name), default 512 MiB — the
+    * maintenance-job form: one scheduled `compact(ns, t)` per table,
+    * each table's target riding its own metadata instead of job
+    * arguments. */
+  def compact(ns: String, name: String): Snapshot =
+    compact(ns, name, targetFileSizeBytes(ns, name))
+
+  /** The table's `write.target-file-size-bytes` property (512 MiB when
+    * unset); malformed values refuse loudly rather than silently
+    * compacting to a default. */
+  def targetFileSizeBytes(ns: String, name: String): Long =
+    tableProperties(ns, name).get(GraftCatalog.TargetFileSizeProp) match {
+      case Some(v) =>
+        val n = try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$ns.$name: ${GraftCatalog.TargetFileSizeProp} = '$v' is not a byte count") }
+        require(n > 0, s"$ns.$name: ${GraftCatalog.TargetFileSizeProp} must be positive, got $n")
+        n
+      case None => 512L * 1024 * 1024
+    }
 
   /** Metadata-only MIN/MAX of a prunable column: fold the per-file
     * bounds the commit job recorded — exact (file bounds ARE the file's
@@ -1489,11 +1626,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     latest(ns, name).flatMap { snap =>
       if (snap.manifests.exists(isDeleteManifest)) None
       else {
+        // a recorded-zero-row file (SQL CREATE TABLE's empty v0 part,
+        // an empty replace) constrains no bound — requiring stats of it
+        // would silence minMaxFast for every SQL-created table
         val entries = snap.manifests.filterNot(isDeleteManifest)
           .flatMap(manifestEntriesFull(ns, name, _))
+          .filterNot(_.stats.get(GraftCatalog.RowsStatKey).exists(_._1 == "0"))
         if (entries.isEmpty) None
         else {
-          val bounds = entries.map(_.stats.get(column))
+          val bounds = entries.map(_.stats.get(physKeyOf(snap)(column)))
           if (bounds.exists(_.isEmpty)) None
           else {
             val numeric = snap.schemaJson
@@ -1605,7 +1746,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           parent.map(_.fileCount).getOrElse(0L) + landed.size,
           parent.map(_.totalBytes).getOrElse(0L) + landed.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+          schemaJson.orElse(parent.flatMap(_.schemaJson)),
+          parent.flatMap(_.propsJson))
       }
       latestFileSet.put((ns, name), (snap.commitId, committedSet))
       snap
@@ -1660,8 +1802,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .map(DataType.fromJson(_).asInstanceOf[StructType])
         .getOrElse(throw new IllegalStateException(
           s"$ns.$name records no schema to evolve — commit data first"))
+      // comments participate: two racing comment-bearing ALTERs must not
+      // silently drop each other's — the whole point of expectedPrev
       def shape(st: StructType) = st.fields.toSeq.map(f =>
-        (f.name, f.dataType, f.nullable))
+        (f.name, f.dataType, f.nullable, f.getComment()))
       expectedPrev.foreach(e => require(shape(e) == shape(prev),
         s"$ns.$name: concurrent schema change — the ALTER was derived " +
           s"against ${e.simpleString} but the table is now " +
@@ -1674,7 +1818,20 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           a.scale == b.scale && b.precision >= a.precision
         case _ => false
       }
-      val dropped = prev.fields.filter(pf => !newSchema.fieldNames.contains(pf.name))
+      // old and new fields pair by PHYSICAL identity — the stable id the
+      // column-mapping layer gives every field. A RENAME keeps the
+      // physical name, so it pairs here (and is validated as the same
+      // column, nullability and type intact) instead of misreading as
+      // drop+add; logical-name pairing alone cannot tell the two apart.
+      def physOf(f: StructField) = GraftCatalog.physicalName(f)
+      val newByPhys: Map[String, StructField] =
+        newSchema.fields.map(f => physOf(f) -> f).toMap
+      require(newByPhys.size == newSchema.fields.length,
+        s"$ns.$name: duplicate physical column names in " +
+          newSchema.fields.map(f => s"${f.name}(${physOf(f)})").mkString(", "))
+      require(newSchema.fieldNames.distinct.length == newSchema.fields.length,
+        s"$ns.$name: duplicate column names in ${newSchema.simpleString}")
+      val dropped = prev.fields.filter(pf => !newByPhys.contains(physOf(pf)))
       if (dropped.nonEmpty) {
         val hasEqDeletes = parent.manifests.exists(m =>
           isDeleteManifest(m) && !isPosDeleteManifest(m))
@@ -1684,7 +1841,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             "to materialize the deletes first")
       }
       prev.fields.foreach { pf =>
-        newSchema.fields.find(_.name == pf.name).foreach { nf =>
+        newByPhys.get(physOf(pf)).foreach { nf =>
           require(promotes(pf.dataType, nf.dataType),
             s"$ns.$name: illegal type change for '${pf.name}': " +
               s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString} is not " +
@@ -1695,15 +1852,75 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               "files are not re-validated and may hold nulls")
         }
       }
-      val added = newSchema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+      val prevPhys = prev.fields.map(physOf).toSet
+      val added = newSchema.fields.filterNot(f => prevPhys.contains(physOf(f)))
       added.foreach(f => require(f.nullable,
         s"$ns.$name: new column '${f.name}' must be nullable — existing rows " +
           "cannot supply a value"))
-      assertNoColumnResurrection(ns, name, parent, added.map(_.name).toSeq)
+      // bytes in committed files live under PHYSICAL names — the
+      // resurrection hazard is physical
+      assertNoColumnResurrection(ns, name, parent, added.map(physOf).toSeq)
       Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
         Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
-        "local", parent.fileCount, parent.totalBytes, Some(newSchema.json))
+        "local", parent.fileCount, parent.totalBytes, Some(newSchema.json),
+        parent.propsJson)
     }
+
+  /** SET / UNSET TBLPROPERTIES as ONE metadata-only CAS commit — a new
+    * version whose `propsJson` is the parent's map with `set` applied
+    * then `unset` removed, manifests/schema untouched. Versioned like
+    * the schema: time travel reads each version's own properties, and
+    * two racing property ALTERs serialize through the CAS (the second
+    * re-reads the first's map — last-writer-wins PER KEY, never a lost
+    * whole-map overwrite). Keys are free-form; the engine consults
+    * `write.target-file-size-bytes` ([[compact]]) and
+    * `write.bloom-columns` (the SQL INSERT path's bloom indexing). */
+  def commitProperties(ns: String, name: String, set: Map[String, String],
+                       unset: Seq[String] = Seq.empty,
+                       maxRetries: Int = 5): Snapshot = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
+    casCommit(ns, name, maxRetries) { parentOpt =>
+      val parent = parentOpt.getOrElse(throw new IllegalStateException(
+        s"$ns.$name has no committed version to carry properties — commit " +
+          "data (or CREATE TABLE via SQL, which commits v0) first"))
+      val next = (parent.properties ++ set) -- unset
+      // TreeMap: deterministic key order, so identical maps serialize
+      // identically (diffable logs, stable export)
+      val json =
+        if (next.isEmpty) None
+        else {
+          val tm = new java.util.TreeMap[String, String]()
+          next.foreach { case (k, v) => tm.put(k, v) }
+          Some(GraftCatalog.propsMapper.writeValueAsString(tm))
+        }
+      Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
+        Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
+        "local", parent.fileCount, parent.totalBytes, parent.schemaJson, json)
+    }
+  }
+
+  /** The LATEST version's TBLPROPERTIES (empty for bare tables). */
+  def tableProperties(ns: String, name: String): Map[String, String] =
+    latest(ns, name).map(_.properties).getOrElse(Map.empty)
+
+  /** The snapshot history along `parent`'s ACTUAL lineage, ending at
+    * `parent`: main's prefix when the parent sits on main; the main
+    * prefix up to the fork plus the branch's own commits when it sits on
+    * a branch (commitAppendToBranch validates against a branch head —
+    * main-only history would leave branch manifests and schema eras
+    * invisible to the resurrection guard). */
+  private def lineageTo(ns: String, name: String, parent: Snapshot): Seq[Snapshot] = {
+    val main = snapshots(ns, name)
+    if (main.exists(_.commitId == parent.commitId))
+      main.filter(_.seq <= parent.seq)
+    else listBranches(ns, name).iterator.flatMap { b =>
+      val bs = branchSnapshots(ns, name, b)
+      if (bs.exists(_.commitId == parent.commitId)) {
+        val (forkSeq, _) = branchFork(ns, name, b)
+        Some(main.filter(_.seq <= forkSeq) ++ bs.filter(_.seq <= parent.seq))
+      } else None
+    }.nextOption().getOrElse(main.filter(_.seq <= parent.seq))
+  }
 
   /** Guard for RE-INTRODUCING a column name: files written while the
     * name previously existed still carry its BYTES — re-adding the name
@@ -1716,10 +1933,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def assertNoColumnResurrection(ns: String, name: String,
       parent: Snapshot, added: Seq[String]): Unit = {
     if (added.isEmpty) return
-    val snaps = snapshots(ns, name).filter(_.seq <= parent.seq)
+    val snaps = lineageTo(ns, name, parent)
+    // history is consulted in PHYSICAL names — the names committed files
+    // actually spell their bytes under (renamed columns keep occupying
+    // their original physical name, never freeing it)
     lazy val namesOf: Map[Long, Set[String]] = snaps.map(s => s.seq ->
-      s.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]
-        .fieldNames.toSet).getOrElse(Set.empty[String])).toMap
+      s.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]
+        .fields.map(GraftCatalog.physicalName).toSet)
+        .getOrElse(Set.empty[String])).toMap
     lazy val manifestAddedAt: Map[String, Long] = {
       val m = scala.collection.mutable.Map.empty[String, Long]
       snaps.foreach(s => s.manifests.foreach(r =>
@@ -1782,7 +2003,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           landed.size,
           landed.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+          schemaJson.orElse(parent.flatMap(_.schemaJson)),
+          parent.flatMap(_.propsJson))
       }
       latestFileSet.put((ns, name), (snap.commitId, landed.map(_._1).toSet))
       snap
@@ -1819,7 +2041,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           parent.map(_.fileCount).getOrElse(0L) + allLanded.size,
           parent.map(_.totalBytes).getOrElse(0L) + allLanded.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+          schemaJson.orElse(parent.flatMap(_.schemaJson)),
+          parent.flatMap(_.propsJson))
     }
 
   /** MoR-aware files OVERWRITE: the given ordered units are the COMPLETE
@@ -1843,7 +2066,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           allLanded.size,
           allLanded.map(_._2).sum,
-          schemaJson.orElse(parent.flatMap(_.schemaJson)))
+          schemaJson.orElse(parent.flatMap(_.schemaJson)),
+          parent.flatMap(_.propsJson))
     }
 
   /** Shared staging/CAS/cleanup envelope of the two MoR unit commits —
@@ -1980,14 +2204,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
       }
     dup()
-    validatedSchemaJson(ns, name, Some(branchHead(ns, name, branch)), df.schema)
-    val entries = stageDataFiles(ns, name, df)
+    val head0 = branchHead(ns, name, branch)
+    validatedSchemaJson(ns, name, Some(head0), df.schema)
+    val pdf = toPhysicalDf(df,
+      head0.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType]))
+    val entries = stageDataFiles(ns, name, pdf)
     var staged: Seq[String] = Seq.empty
     try {
       val newManifest =
         if (entries.isEmpty) None
         else Some(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, df.schema)))
+          stagedFileStats(ns, name, entries, pdf.schema)))
       staged = newManifest.toSeq
       casCommitAt(ns, name, maxRetries,
           () => Some(branchHead(ns, name, branch)),
@@ -2003,7 +2230,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           sourceRegion,
           p.fileCount + entries.size,
           p.totalBytes + entries.map(_._2).sum,
-          Some(validatedSchemaJson(ns, name, Some(p), df.schema)))
+          Some(validatedSchemaJson(ns, name, Some(p), df.schema)),
+          p.propsJson)
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -2038,7 +2266,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         head.sourceRegion,
         head.fileCount,
         head.totalBytes,
-        head.schemaJson.orElse(parent.flatMap(_.schemaJson)))
+        head.schemaJson.orElse(parent.flatMap(_.schemaJson)),
+        head.propsJson.orElse(parent.flatMap(_.propsJson)))
     }
   }
 
@@ -2184,7 +2413,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val dtOf: String => Option[DataType] =
       c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-    val compiled = filters.map(CowPruning.compile(_, dtOf))
+    val compiled = filters.map(CowPruning.compile(_, dtOf, physKeyOf(snap)))
     manifestsFull(ns, name, snap).iterator
       .filterNot(_._2) // data manifests; the delete side is small
       .flatMap(_._3)
@@ -2247,13 +2476,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val snap = latest(ns, name).getOrElse(return spark.emptyDataFrame)
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
+    val statKey = physKeyOf(snap)
 
     def keep(e: ManifestEntry): Boolean =
       preds.forall { case (column, lower, upper) =>
         val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
         def lt(a: String, b: String): Boolean =
           GraftCatalog.boundsLt(numeric)(a, b)
-        e.stats.get(column) match {
+        e.stats.get(statKey(column)) match {
           case Some((mn, mx)) =>
             // unparseable bounds (a double column recorded "NaN"/"Infinity",
             // a caller-supplied bound that isn't a number) must mean "keep
@@ -2285,8 +2515,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
     val positions = GraftCatalog.bloomPositions(value)
+    val statKey = physKeyOf(snap)
     def keep(e: ManifestEntry): Boolean = {
-      val boundsOk = e.stats.get(column) match {
+      val boundsOk = e.stats.get(statKey(column)) match {
         case Some((mn, mx)) =>
           def lt(a: String, b: String): Boolean =
             GraftCatalog.boundsLt(numeric)(a, b)
@@ -2294,7 +2525,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           catch { case _: NumberFormatException => true }
         case None => true
       }
-      def bloomOk = e.blooms.get(column) match {
+      def bloomOk = e.blooms.get(statKey(column)) match {
         case Some(b64) => GraftCatalog.bloomHit(b64, positions)
         case None => true
       }
@@ -2341,8 +2572,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = toSnap.flatMap(_.schemaJson).map(DataType.fromJson(_).asInstanceOf[StructType])
     if (files.isEmpty) spark.emptyDataFrame
     else {
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+      // files spell PHYSICAL names; emit the end snapshot's logical ones
+      val reader = schema.map(st => spark.read.schema(GraftCatalog.physicalSchema(st)))
+        .getOrElse(spark.read)
+      val raw = reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
+      schema.filter(GraftCatalog.hasColumnMapping) match {
+        case Some(st) => raw.select(st.fields.toSeq
+          .map(f => col(GraftCatalog.physicalName(f)).as(f.name)): _*)
+        case None => raw
+      }
     }
   }
 
@@ -2581,6 +2819,54 @@ object GraftCatalog {
     * row count (min==max==count) — powers [[GraftCatalog.countFast]]
     * without a manifest-format change. Never matches a query column. */
   private[catalog] val RowsStatKey = "__rows"
+
+  // shared mapper for the per-version TBLPROPERTIES JSON (thread-safe)
+  private[catalog] val propsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Engine-consulted property keys (Iceberg's names, so a migrating
+    * user's runbooks keep working). */
+  val TargetFileSizeProp = "write.target-file-size-bytes"
+  /** Comma-separated column list the SQL INSERT path bloom-indexes. */
+  val BloomColumnsProp = "write.bloom-columns"
+
+  // ---- column mapping (metadata-only RENAME COLUMN) ----
+  // Delta-style column mapping: every field owns a stable PHYSICAL
+  // (parquet) column name, recorded in StructField metadata under
+  // PhysicalKey only when it differs from the logical name. RENAME
+  // COLUMN changes the logical name and pins the physical one, so every
+  // committed file — old era and new — keeps serving reads unrewritten;
+  // at 100 TB a rename is one metadata commit, never a table rewrite.
+  // The physical name NEVER changes once assigned (compaction included):
+  // manifest stats, bloom indexes, and equality-delete files all key on
+  // it, and per-file eras would be needed the moment two live files
+  // disagreed. (Iceberg gets the same effect from field-ids; parquet
+  // written by name needs the name itself to be the stable id.)
+  private[graft] val PhysicalKey = "graft.physical"
+
+  /** The field's physical (parquet) column name. */
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[graft] def hasColumnMapping(st: StructType): Boolean =
+    st.fields.exists(f => physicalName(f) != f.name)
+
+  /** The schema as the parquet files spell it (logical → physical). */
+  private[graft] def physicalSchema(st: StructType): StructType =
+    StructType(st.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** logical → physical name map; empty when no column was ever
+    * renamed, so every mapped path stays zero-cost for ordinary
+    * tables. */
+  private[graft] def physicalMap(st: StructType): Map[String, String] =
+    st.fields.iterator
+      .filter(f => physicalName(f) != f.name)
+      .map(f => f.name -> physicalName(f)).toMap
+
+  /** Pin `name` as the field's physical name (the RENAME primitive). */
+  private[graft] def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
 
   /** Metadata-only row count from a parquet footer. Shared by the
     * no-prunable-columns commit path (executor-side, with the shipped

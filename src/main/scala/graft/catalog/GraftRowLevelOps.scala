@@ -438,7 +438,11 @@ private[graft] object GraftCowScanSubstitution
 private[catalog] object CowPruning {
   private type Entry = GraftCatalog#ManifestEntry
 
-  def compile(f: Filter, dtOf: String => Option[DataType]): Entry => Boolean = {
+  /** `statKey` maps a filter's LOGICAL column name to the PHYSICAL name
+    * the manifest stats/blooms key on — identity except after a RENAME
+    * COLUMN (the column-mapping layer, [[GraftCatalog.physicalName]]). */
+  def compile(f: Filter, dtOf: String => Option[DataType],
+              statKey: String => String = identity): Entry => Boolean = {
     def numeric(c: String) = dtOf(c).exists(_.isInstanceOf[NumericType])
     def lt(c: String)(a: String, b: String): Boolean =
       GraftCatalog.boundsLt(numeric(c))(a, b)
@@ -465,19 +469,20 @@ private[catalog] object CowPruning {
     // incommensurable probe form)
     def bounds(c: String)(keep: (String, String) => Boolean): Entry => Boolean =
       if (!boundsSafe(c)) _ => true
-      else e => e.stats.get(c) match {
+      else { val k = statKey(c); e => e.stats.get(k) match {
         case Some((mn, mx)) =>
           try keep(mn, mx) catch { case _: NumberFormatException => true }
         case None => true
-      }
+      } }
     def point(c: String, v: Any): Entry => Boolean = {
       if (v == null) return _ => false // = NULL matches no row
       val s = v.toString
       val boundsOk = bounds(c)((mn, mx) => !lt(c)(s, mn) && !lt(c)(mx, s))
       val positions =
         if (bloomSafe(c)) Some(GraftCatalog.bloomPositions(s)) else None
+      val bk = statKey(c)
       e => boundsOk(e) && (positions match {
-        case Some(pos) => e.blooms.get(c) match {
+        case Some(pos) => e.blooms.get(bk) match {
           case Some(b64) => GraftCatalog.bloomHit(b64, pos)
           case None => true
         }
@@ -514,9 +519,11 @@ private[catalog] object CowPruning {
           !ltS(mx, p) && upperOk
         }
       case sources.And(l, r) =>
-        val (cl, cr) = (compile(l, dtOf), compile(r, dtOf)); e => cl(e) && cr(e)
+        val (cl, cr) = (compile(l, dtOf, statKey), compile(r, dtOf, statKey))
+        e => cl(e) && cr(e)
       case sources.Or(l, r) =>
-        val (cl, cr) = (compile(l, dtOf), compile(r, dtOf)); e => cl(e) || cr(e)
+        val (cl, cr) = (compile(l, dtOf, statKey), compile(r, dtOf, statKey))
+        e => cl(e) || cr(e)
       case sources.AlwaysFalse() => _ => false
       case _ => _ => true // IsNull/IsNotNull/Not/unknown: cannot prune
     }
@@ -550,7 +557,12 @@ private[catalog] final class GraftCowWrite(ctx: GraftRowLevelContext,
     require(tableSchema.forall(t => writeSchema.catalogString == t.catalogString),
       s"row-level write schema ${writeSchema.simpleString} does not match " +
         s"table schema ${tableSchema.map(_.simpleString).getOrElse("<none>")}")
-    new GraftCowWriterFactory(ctx.tableDirAbs, stagingRel, writeSchema.json,
+    // files are written (and their in-line stats keyed) under PHYSICAL
+    // column names — same field order/types, so the InternalRows flow
+    // through unchanged
+    val physJson = tableSchema.map(GraftCatalog.physicalSchema)
+      .getOrElse(writeSchema).json
+    new GraftCowWriterFactory(ctx.tableDirAbs, stagingRel, physJson,
       new SerializableConfiguration(ctx.spark.sparkContext.hadoopConfiguration))
   }
 
@@ -612,7 +624,9 @@ private[catalog] final class GraftDeltaWrite(ctx: GraftRowLevelContext,
       s"delta row schema ${rowSchema.simpleString} does not match table " +
         s"schema ${tableSchema.map(_.simpleString).getOrElse("<none>")}")
     val writeSchema = tableSchema.getOrElse(rowSchema)
-    new GraftDeltaWriterFactory(ctx.tableDirAbs, stagingRel, writeSchema.json,
+    // physical column names in the staged files (see GraftCowWrite)
+    new GraftDeltaWriterFactory(ctx.tableDirAbs, stagingRel,
+      GraftCatalog.physicalSchema(writeSchema).json,
       new SerializableConfiguration(ctx.spark.sparkContext.hadoopConfiguration))
   }
 

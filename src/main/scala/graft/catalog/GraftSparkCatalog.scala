@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
@@ -107,7 +109,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def insertInto(ns: String, t: String): (DataFrame, Boolean) => Unit =
     (data, overwrite) =>
       if (overwrite) { cat.commitReplace(ns, t, data); () }
-      else { cat.commitAppend(ns, t, data); () }
+      else {
+        // `write.bloom-columns` TBLPROPERTY: the SQL INSERT path records
+        // per-file blooms on the listed columns (point-lookup pruning on
+        // hash-distributed keys) — the knob rides the table's metadata,
+        // not the writing job
+        val bloomCols = cat.tableProperties(ns, t)
+          .get(GraftCatalog.BloomColumnsProp)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        cat.commitAppend(ns, t, data, bloomCols = bloomCols); ()
+      }
 
   /** DELETE WHERE cond: re-read the CURRENT version at execution time,
     * keep the non-matching rows (null-cond rows survive — they do not
@@ -222,19 +234,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    // resolution order: an all-digit string is FIRST a main-lineage seq
+    // (numeric seqs shadow a branch/tag of the same name), but a MISSING
+    // numeric seq falls back to the branch/tag lookup rather than
+    // refusing a branch legitimately named '2024'
+    def byRef: Option[cat.Snapshot] =
+      if (cat.listBranches(ns, t).contains(version))
+        Some(cat.branchHead(ns, t, version))
+      else if (cat.listTags(ns, t).contains(version))
+        Some(cat.snapshots(ns, t).find(_.seq == cat.tagSeq(ns, t, version))
+          .getOrElse(throw new IllegalArgumentException(
+            s"tag '$version' of $ns.$t points at an expired version")))
+      else None
     val snap =
       if (version.nonEmpty && version.forall(_.isDigit))
         cat.snapshots(ns, t).find(_.seq == version.toLong)
+          .orElse(byRef)
           .getOrElse(throw new IllegalArgumentException(
-            s"no version $version of $ns.$t"))
-      else if (cat.listBranches(ns, t).contains(version))
-        cat.branchHead(ns, t, version)
-      else if (cat.listTags(ns, t).contains(version))
-        cat.snapshots(ns, t).find(_.seq == cat.tagSeq(ns, t, version))
-          .getOrElse(throw new IllegalArgumentException(
-            s"tag '$version' of $ns.$t points at an expired version"))
-      else throw new IllegalArgumentException(
-        s"no version, branch or tag '$version' on $ns.$t")
+            s"no version, branch or tag '$version' on $ns.$t (numeric " +
+              "names resolve as version seqs first, then branches/tags)"))
+      else byRef.getOrElse(throw new IllegalArgumentException(
+        s"no version, branch or tag '$version' on $ns.$t"))
     timeTravelTable(ns, t, s"$catalogName.$ns.$t@$version", snap)
   }
 
@@ -260,7 +280,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       pruned = Some((fs: Array[Filter], _: Boolean) =>
         cat.readFilteredSnapshot(ns, t, snap, fs)),
       estimate = Some((fs: Array[Filter]) =>
-        cat.estimateScanBytes(ns, t, snap, fs)))
+        cat.estimateScanBytes(ns, t, snap, fs)),
+      // time travel reads the VERSION'S OWN properties, like its schema
+      props = snap.properties)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -273,33 +295,62 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // canonical CREATE ... then INSERT/SELECT flow. All-or-nothing: a
     // failed v0 commit drops the just-registered table, so SQL CREATE
     // never leaves a schema-less half-created table behind
-    try cat.commitAppend(nsOf(ident), ident.name(),
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
-    catch { case e: Throwable =>
+    try {
+      cat.commitAppend(nsOf(ident), ident.name(),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      // CREATE TABLE ... TBLPROPERTIES: persist the USER's keys as a
+      // second metadata commit (Spark rides reserved engine keys —
+      // provider/location/owner/... — on the same map; those describe
+      // the catalog, not the table, and are not table state)
+      val userProps = properties.asScala.toMap --
+        GraftSparkCatalog.ReservedTableProps
+      if (userProps.nonEmpty)
+        cat.commitProperties(nsOf(ident), ident.name(), userProps): Unit
+    } catch { case e: Throwable =>
       try cat.dropTable(nsOf(ident), ident.name()) catch { case _: Throwable => () }
       throw e
     }
     new GraftV2Table(s"$catalogName.${nsOf(ident)}.${ident.name()}",
       () => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), schema,
-      insert = Some(insertInto(nsOf(ident), ident.name())))
+      insert = Some(insertInto(nsOf(ident), ident.name())),
+      props = cat.tableProperties(nsOf(ident), ident.name()))
   }
 
   /** ALTER TABLE as ONE metadata-only schema-evolution commit (a new
     * CAS-published version; time travel reads the pre-alter schema).
     * Supported: ADD COLUMN(S) (top-level, nullable — position honored),
     * DROP COLUMN (guarded against live equality deletes), ALTER COLUMN
-    * TYPE along the Iceberg promotion lattice, and nullability
-    * loosening, column comments (ADD ... COMMENT / ALTER ... COMMENT —
-    * StructField models them natively). RENAME is refused: this engine
-    * reads parquet by NAME
-    * (no field-id indirection), so a metadata-only rename would orphan
-    * every committed file — rewrite via compactSorted with a select, or
-    * round-trip through iceberg_export/import, which replays renames as
-    * schema eras. Table properties aren't modeled; refused loudly
-    * rather than silently dropped. */
+    * TYPE along the Iceberg promotion lattice, nullability loosening,
+    * column comments (ADD ... COMMENT / ALTER ... COMMENT — StructField
+    * models them natively), and RENAME COLUMN — metadata-only via the
+    * column-mapping layer: the field keeps its stable PHYSICAL (parquet)
+    * name ([[GraftCatalog.PhysicalKey]] StructField metadata) and only
+    * the logical name changes, so no committed file is rewritten and
+    * time travel reads each version under its own names (the same trick
+    * Delta's column-mapping mode plays; Iceberg gets it from field-ids).
+    * An ADD COLUMN whose name is the parked physical name of a renamed
+    * sibling gets a FRESH physical name — the logical namespace stays
+    * free while the physical bytes stay owned. SET/UNSET TBLPROPERTIES
+    * commit through [[GraftCatalog.commitProperties]] — versioned like
+    * the schema, consulted by compact() and the INSERT bloom path. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (ns, t) = (nsOf(ident), ident.name())
     if (!cat.tableExists(ns, t)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES: one metadata-only properties commit,
+    // versioned like the schema. Spark sends a pure-property ALTER as
+    // property changes only, so the schema path below is untouched
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val sets = propChanges.collect {
+        case sp: TableChange.SetProperty => sp.property() -> sp.value() }.toMap
+      val unsets = propChanges.collect {
+        case rp: TableChange.RemoveProperty => rp.property() }
+      cat.commitProperties(ns, t, sets, unsets): Unit
+    }
+    if (schemaChanges.isEmpty) return loadTable(ident)
     val prev = cat.tableSchema(ns, t).getOrElse(throw new IllegalStateException(
       s"$ns.$t records no schema to alter — insert data first"))
     var fields: Vector[org.apache.spark.sql.types.StructField] = prev.fields.toVector
@@ -310,7 +361,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       require(i >= 0, s"no such column ${name(0)} in $ns.$t")
       i
     }
-    changes.foreach {
+    schemaChanges.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           s"nested column ${a.fieldNames().mkString(".")}: graft schemas are flat")
@@ -321,7 +372,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           a.fieldNames()(0), a.dataType(), nullable = true)
         // a comment riding on the ADD is schema metadata — keep it
         // (StructField models comments natively), never drop silently
-        val f = Option(a.comment()).map(f0.withComment).getOrElse(f0)
+        val f1 = Option(a.comment()).map(f0.withComment).getOrElse(f0)
+        // the logical name may be free while its PHYSICAL name is still
+        // owned (a renamed sibling parked there, or a dropped column's
+        // bytes are live) — park the NEW column under a fresh physical
+        // name so old files simply read it as null
+        val ownedPhys = fields.map(GraftCatalog.physicalName).toSet
+        val f =
+          if (ownedPhys(f1.name))
+            GraftCatalog.withPhysical(f1,
+              s"${f1.name}_${java.util.UUID.randomUUID().toString.take(8)}")
+          else f1
         require(!fields.exists(_.name == f.name), s"column ${f.name} already exists")
         val at = a.position() match {
           case null => fields.size
@@ -346,15 +407,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         val i = idx(cm.fieldNames())
         fields = fields.updated(i, fields(i).withComment(cm.newComment()))
       case r: TableChange.RenameColumn =>
-        throw new UnsupportedOperationException(
-          s"RENAME COLUMN ${r.fieldNames()(0)}: this engine reads parquet by " +
-            "name (no field-id indirection) — a metadata-only rename would " +
-            "orphan committed files. Rewrite via compactSorted, or export/" +
-            "import (renames replay as schema eras there).")
+        val i = idx(r.fieldNames())
+        val f = fields(i)
+        require(!fields.exists(_.name == r.newName()),
+          s"column ${r.newName()} already exists in $ns.$t")
+        // pin the CURRENT physical name (a first rename pins the original
+        // name; a re-rename keeps the original pin) — committed files
+        // keep serving reads unrewritten
+        fields = fields.updated(i,
+          GraftCatalog.withPhysical(f, GraftCatalog.physicalName(f))
+            .copy(name = r.newName()))
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change $other: graft models schema " +
-            "(incl. column comments) only — no table properties")
+            "(incl. column comments, renames) and TBLPROPERTIES only")
     }
     // expectedPrev: a concurrent schema change aborts THIS statement
     // loudly instead of being overwritten (validated inside the CAS)
@@ -464,8 +530,17 @@ private[catalog] class GraftV2Table(tableName: String, dfThunk: () => DataFrame,
                                     delete: Option[Column => Unit] = None,
                                     meta: Option[GraftMetaAggs] = None,
                                     pruned: Option[(Array[Filter], Boolean) => DataFrame] = None,
-                                    estimate: Option[Array[Filter] => Long] = None)
+                                    estimate: Option[Array[Filter] => Long] = None,
+                                    props: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** TBLPROPERTIES from the commit log (SHOW TBLPROPERTIES / DESCRIBE
+    * EXTENDED read this). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** `DELETE FROM ... WHERE <cond>`: accepted only when every filter
     * translates (canDeleteWhere — Spark raises an analysis error
@@ -537,7 +612,8 @@ private[catalog] final class GraftRowLevelTable(
       rowLevel.cat.readFilteredLatest(rowLevel.ns, rowLevel.name, fs, lineage)),
     estimate = Some(fs => rowLevel.cat.latest(rowLevel.ns, rowLevel.name)
       .map(s => rowLevel.cat.estimateScanBytes(rowLevel.ns, rowLevel.name, s, fs))
-      .getOrElse(0L)))
+      .getOrElse(0L)),
+    props = rowLevel.cat.tableProperties(rowLevel.ns, rowLevel.name))
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def newRowLevelOperationBuilder(
@@ -803,6 +879,13 @@ private[graft] object GraftStatsStrategy
 
 object GraftSparkCatalog {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  /** Spark rides engine-reserved keys on the CREATE TABLE properties
+    * map; they describe the catalog entry, not versioned table state. */
+  private[catalog] val ReservedTableProps: Set[String] =
+    Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION)
 
   /** Static schemas of the metadata tables (resolution must not touch
     * the log or the manifests just to answer DESCRIBE). */

@@ -110,20 +110,27 @@ object IcebergExport {
     * states reach this only through replica commits). */
   private def unionIdAssignment(schemas: Seq[StructType])
       : (Map[String, Int], Map[String, Int], Int) = {
+    // keyed by PHYSICAL name — the stable per-column id of the
+    // column-mapping layer. A RENAMEd column keeps its physical name
+    // across versions, so it keeps ONE field id here (Iceberg's native
+    // rename representation: same id, different name per schema
+    // version); logical keying would mint a fresh id and misread the
+    // rename as drop+add
     val union = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     schemas.foreach(_.fields.foreach { f =>
-      union.get(f.name) match {
+      val k = GraftCatalog.physicalName(f)
+      union.get(k) match {
         case Some(prev) => require(prev.dataType == f.dataType,
           s"column ${f.name} changes type across versions " +
             s"(${prev.dataType} -> ${f.dataType}) — not exportable as one Iceberg table")
-        case None => union(f.name) = f
+        case None => union(k) = f
       }
     })
-    val fields = union.values.toSeq
-    val ids = fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap
+    val fields = union.toSeq
+    val ids = fields.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
     var nextId = fields.length
     val elemIds = fields.collect {
-      case f if f.dataType.isInstanceOf[ArrayType] => nextId += 1; f.name -> nextId
+      case (k, f) if f.dataType.isInstanceOf[ArrayType] => nextId += 1; k -> nextId
     }.toMap
     (ids, elemIds, nextId)
   }
@@ -133,12 +140,15 @@ object IcebergExport {
                                 ids: Map[String, Int],
                                 elemIds: Map[String, Int]): String = {
     val fields = schema.fields.map { f =>
+      // ids resolve by the stable PHYSICAL name; the emitted name is the
+      // version's LOGICAL one (renames = same id, new name — spec-native)
+      val k = GraftCatalog.physicalName(f)
       val typeJson = f.dataType match {
         case ArrayType(elem, containsNull) =>
-          s"""{"type":"list","element-id":${elemIds(f.name)},"element":"${icebergPrimitive(elem)}","element-required":${!containsNull}}"""
+          s"""{"type":"list","element-id":${elemIds(k)},"element":"${icebergPrimitive(elem)}","element-required":${!containsNull}}"""
         case dt => "\"" + icebergPrimitive(dt) + "\""
       }
-      s"""{"id":${ids(f.name)},"name":${jstr(f.name)},"required":${!f.nullable},"type":$typeJson}"""
+      s"""{"id":${ids(k)},"name":${jstr(f.name)},"required":${!f.nullable},"type":$typeJson}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"identifier-field-ids":[],"fields":[${fields.mkString(",")}]}"""
   }
@@ -471,6 +481,18 @@ object IcebergExport {
       s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${snapshotId(i)}}"""
     }
     val currentId = snapshotId(snaps.length - 1)
+    // data parquet spells columns by their PHYSICAL names and carries no
+    // embedded field-ids — when any version renamed a column (logical ≠
+    // physical), emit the spec's name-mapping property so Iceberg
+    // readers resolve the physical parquet names to the right ids.
+    // Rename-free exports stay byte-stable (diffable re-exports).
+    val nameMappingProp =
+      if (!verSchemas.exists(GraftCatalog.hasColumnMapping)) ""
+      else {
+        val entries = colIds.toSeq.sortBy(_._2)
+          .map { case (phys, id) => s"""{"field-id":$id,"names":[${jstr(phys)}]}""" }
+        s""","schema.name-mapping.default":${jstr(s"[${entries.mkString(",")}]")}"""
+      }
     val metadata =
       s"""{
          |"format-version":2,
@@ -486,7 +508,7 @@ object IcebergExport {
          |"last-partition-id":999,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"write.format.default":"parquet"},
+         |"properties":{"write.format.default":"parquet"$nameMappingProp},
          |"current-snapshot-id":$currentId,
          |"refs":{"main":{"snapshot-id":$currentId,"type":"branch"}},
          |"snapshots":[${snapJsons.mkString(",")}],
@@ -708,6 +730,28 @@ object IcebergExport {
     val schema = sparkSchema(schemaNode)
     val nameOfId: Map[Int, String] = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val fieldIds: Seq[Int] = schemaNode.get("fields").elements().asScala
+      .map(_.get("id").asInt()).toSeq
+
+    // the spec's name-mapping property: data parquet without embedded
+    // field-ids spells columns by these names (a renamed table's files
+    // keep their original spelling) — a compliant reader scans by the
+    // MAPPED name and serves the schema's (possibly renamed) name
+    val physOfId: Map[Int, String] =
+      Option(root.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default")))
+        .map(_.asText()).map { j =>
+          m.readTree(j).elements().asScala.flatMap { e =>
+            e.get("names").elements().asScala.take(1)
+              .map(n => e.get("field-id").asInt() -> n.asText())
+          }.toMap
+        }.getOrElse(Map.empty)
+    def scanName(id: Int): String = physOfId.getOrElse(id, nameOfId(id))
+    val scanSchema = StructType(schema.fields.toSeq.zip(fieldIds).map {
+      case (f, id) => f.copy(name = scanName(id))
+    })
+    val mapped = schema.fields.toSeq.zip(fieldIds)
+      .exists { case (f, id) => scanName(id) != f.name }
 
     if (dataFiles.isEmpty)
       return spark.createDataFrame(
@@ -730,8 +774,11 @@ object IcebergExport {
     }
     def relOfUri(c: org.apache.spark.sql.Column) =
       url_decode(regexp_replace(substring_index(c, dataToken, -1), "\\+", "%2B"))
+    // scans and delete-file joins run in the SCAN (mapped/physical)
+    // names; the alias to the snapshot schema's names happens once at
+    // the end — identical to how a field-id reader resolves
     val parts = dataFiles.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
-      val base0 = spark.read.schema(schema).parquet(fs.map(_._1).toSeq: _*)
+      val base0 = spark.read.schema(scanSchema).parquet(fs.map(_._1).toSeq: _*)
       val posDels = posDeleteFiles.filter(_._2 >= seq)
       val afterPos =
         if (posDels.isEmpty) base0
@@ -746,15 +793,21 @@ object IcebergExport {
         }
       deleteFiles.filter(_._2 > seq).groupBy(_._3).foldLeft(afterPos) {
         case (acc, (eqIds, dels)) =>
-          val cols = eqIds.map(id => nameOfId.getOrElse(id,
-            throw new IllegalStateException(
-              s"equality id $id resolves to no column of schema $schemaIdUsed")))
+          val cols = eqIds.map { id =>
+            if (!nameOfId.contains(id) && !physOfId.contains(id))
+              throw new IllegalStateException(
+                s"equality id $id resolves to no column of schema $schemaIdUsed")
+            scanName(id)
+          }
           val d = spark.read.parquet(dels.map(_._1).toSeq: _*)
             .select(cols.map(org.apache.spark.sql.functions.col): _*)
           acc.join(d, cols, "left_anti")
       }
     }
-    parts.reduce(_ unionByName _)
+    val raw = parts.reduce(_ unionByName _)
+    if (!mapped) raw
+    else raw.select(schema.fields.toSeq.zip(fieldIds).map { case (f, id) =>
+      fcol(scanName(id)).as(f.name) }: _*)
   }
 
   /** The deterministic snapshot id [[exportTable]] assigns to the i-th

@@ -239,6 +239,20 @@ object IcebergImport {
         case _ => idOfName(n) = id
       }
     })
+    // the spec's `schema.name-mapping.default` property (emitted by
+    // engines whose data files carry no embedded field-ids — including
+    // [[IcebergExport]] for renamed tables): an AUTHORITATIVE
+    // footer-name -> field-id map that wins over (and disambiguates)
+    // the schema-derived union above
+    val nameMapping: Map[String, Int] =
+      Option(root.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default")))
+        .map(_.asText()).map { j =>
+          mapper.readTree(j).elements().asScala.flatMap { e =>
+            val fid = e.get("field-id").asInt()
+            e.get("names").elements().asScala.map(_.asText() -> fid)
+          }.toMap
+        }.getOrElse(Map.empty)
 
     // per-snapshot live entries via the spec artifacts (data + equality
     // deletes; position deletes refuse)
@@ -302,15 +316,16 @@ object IcebergImport {
       footerCache.getOrElseUpdate(uri, IcebergExport.parquetColumnNames(
         Paths.get(java.net.URI.create(uri)).toString,
         cat.spark.sparkContext.hadoopConfiguration))
-    def fieldIdOf(uri: String, col0: String): Int = {
-      require(!ambiguousNames(col0),
-        s"IcebergImport: column name '$col0' (in $uri) was reused for " +
-          "different field ids across this table's schemas — footer-name " +
-          "resolution is ambiguous; rewrite history first")
-      idOfName.getOrElse(col0, throw new IllegalArgumentException(
-        s"IcebergImport: file $uri carries column '$col0' that no schema " +
-          "of this table declares"))
-    }
+    def fieldIdOf(uri: String, col0: String): Int =
+      nameMapping.getOrElse(col0, {
+        require(!ambiguousNames(col0),
+          s"IcebergImport: column name '$col0' (in $uri) was reused for " +
+            "different field ids across this table's schemas — footer-name " +
+            "resolution is ambiguous; rewrite history first")
+        idOfName.getOrElse(col0, throw new IllegalArgumentException(
+          s"IcebergImport: file $uri carries column '$col0' that no schema " +
+            "of this table declares (and no name-mapping resolves it)"))
+      })
 
     // one equality-column FIELD-ID set per table (commitDelete's native
     // constraint — morScan anti-joins each epoch in a single join), and

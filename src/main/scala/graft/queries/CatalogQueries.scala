@@ -697,6 +697,50 @@ object CatalogQueries {
               FROM $c.q.al GROUP BY tier ORDER BY tier ASC NULLS FIRST""")
   }
 
+  private val sqlRenameWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** RENAME COLUMN end-to-end IN SQL: CREATE → INSERT → RENAME (one
+    * metadata-only version via the column-mapping layer — no data file
+    * touched) → INSERT under the new name (files keep the stable
+    * physical spelling) → row-level DELETE across the rename. The
+    * declared output certifies BOTH eras: stage 1 time-travels to the
+    * pre-rename version and aggregates under the ORIGINAL column name,
+    * stage 2 reads the head under the renamed one. Oracle recomputes
+    * declaratively from the raw parquet. */
+  private def sqlRename: Q = (s, d) => {
+    val wh = sqlRenameWarehouses.synchronized {
+      sqlRenameWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-sqlren-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.rn (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        Tables.orders(s, d).createOrReplaceTempView("ren_src")
+        s.sql(s"""INSERT INTO $c.q.rn
+                  SELECT o_orderkey, o_totalprice
+                  FROM ren_src WHERE o_orderkey % 3 = 0""").collect(): Unit
+        s.sql(s"ALTER TABLE $c.q.rn RENAME COLUMN o_totalprice TO price")
+          .collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.rn
+                  SELECT o_orderkey, o_totalprice
+                  FROM ren_src WHERE o_orderkey % 3 = 1""").collect(): Unit
+        s.sql(s"DELETE FROM $c.q.rn WHERE o_orderkey % 9 = 0").collect(): Unit
+        w
+      })
+    }
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    s.sql(s"""WITH s1 AS (SELECT '1_pre_rename' AS stage, count(*) AS cnt,
+                                 round(sum(o_totalprice), 2) AS total_price,
+                                 min(o_orderkey) AS min_key,
+                                 max(o_orderkey) AS max_key
+                          FROM $c.q.rn VERSION AS OF 1
+                          WHERE o_totalprice > 1000),
+                   s2 AS (SELECT '2_head_renamed' AS stage, count(*) AS cnt,
+                                 round(sum(price), 2) AS total_price,
+                                 min(o_orderkey) AS min_key,
+                                 max(o_orderkey) AS max_key
+                          FROM $c.q.rn WHERE price > 1000)
+              SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""")
+  }
+
   private val streamSrcOut = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Streaming READ of a catalog table end-to-end: two committed
@@ -775,6 +819,7 @@ object CatalogQueries {
     "cat_sql_rowlevel"     -> sqlRowLevel,
     "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
     "cat_sql_alter"        -> sqlAlter,
+    "cat_sql_rename"       -> sqlRename,
     "stream_table_source"  -> streamTableSource,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
@@ -936,6 +981,20 @@ object CatalogQueries {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)
          GROUP BY 1 ORDER BY bucket""",
+    "cat_sql_rename" ->
+      """WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 3 = 0),
+              head AS (SELECT o_orderkey, o_totalprice AS price FROM orders
+                       WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0),
+              s1 AS (SELECT '1_pre_rename' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                     FROM pre WHERE o_totalprice > 1000),
+              s2 AS (SELECT '2_head_renamed' AS stage, count(*) AS cnt,
+                            round(sum(price), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+                     FROM head WHERE price > 1000)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_sql_alter" ->
       """WITH u AS (
            SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tier

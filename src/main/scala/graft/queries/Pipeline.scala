@@ -235,6 +235,57 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** The PRODUCTION SemDeDup shape (Abbas et al. 2023's published
+    * recipe): k-means cells, pairs scored only WITHIN a cell —
+    * O(n·cellSize) scored pairs, the measured-sublinear path a 100 TB
+    * deployment actually runs (SCALE_r09/r10), vs the exact ball-cover
+    * form above whose completeness theorem costs ~all-pairs on
+    * isotropic corpora. Cell assignment is engine-defined (seeded
+    * k-means) ⇒ rows-only; the machinery is pinned by
+    * [[semdedupCellsCheck]]'s green contract row. */
+  private def semdedupCellsKeepers: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Dedup.clusterNearDups(
+        Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 16)
+          .select(col("id_a"), col("id_b")),
+        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 24)
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Contract row pinning the production SemDeDup shape (typed empty
+    * set, the ann_lsh_check pattern) — two THEOREMS on a bounded
+    * 400-vector sample, so any row is a machinery regression:
+    *  - `subset_of_exact`: every within-cells pair must appear in the
+    *    sample's exact all-pairs set at the same threshold (both filter
+    *    the same exact cosine; a violation means the cell join scored a
+    *    pair wrong);
+    *  - `equal_at_nlist1`: at nlist=1 (single cell = all pairs) the
+    *    within-cells output must EQUAL the exact set — symmetric
+    *    difference, both directions. */
+  private def semdedupCellsCheck: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 400)
+    def exactPairs: DataFrame = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+    }
+    val exact = exactPairs.localCheckpoint()
+    val cells = Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 4)
+      .select(col("id_a"), col("id_b"))
+    val subset = cells.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .select(lit("subset_of_exact").as("check"), col("id_a"), col("id_b"))
+    val one = Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 1)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val symdiff = one.join(exact, Seq("id_a", "id_b"), "left_anti")
+      .unionAll(exact.join(one, Seq("id_a", "id_b"), "left_anti"))
+      .select(lit("equal_at_nlist1").as("check"), col("id_a"), col("id_b"))
+    subset.unionAll(symdiff).orderBy(col("check"), col("id_a"), col("id_b"))
+  }
+
   private def annIvfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 3)
@@ -1302,6 +1353,8 @@ object Pipeline {
     "text_bpe_encode"      -> textBpeEncode,
     "ann_neardup_pairs"    -> annNearDupPairs,
     "semdedup_keepers"     -> semdedupKeepers,
+    "semdedup_cells_keepers" -> semdedupCellsKeepers,
+    "semdedup_cells_check" -> semdedupCellsCheck,
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
     "ann_ivf_exact"        -> annIvfExact,
@@ -2226,6 +2279,13 @@ object Pipeline {
       """SELECT CAST(NULL AS VARCHAR) AS check,
                 CAST(NULL AS BIGINT) AS query_id,
                 CAST(NULL AS DOUBLE) AS recall WHERE 1 = 0""",
+    // subset-of-exact and equal-at-nlist=1 are theorems — typed empty
+    // set (semdedup_cells_keepers itself stays rows-only: cell contents
+    // are engine-defined, this row pins the machinery)
+    "semdedup_cells_check" ->
+      """SELECT CAST(NULL AS VARCHAR) AS check,
+                CAST(NULL AS BIGINT) AS id_a,
+                CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0""",
     // both theorems (sorted-subset dominance; score parity) admit no
     // violation rows — typed empty set
     "ann_lsh_check" ->

@@ -110,33 +110,41 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       val dir = new org.apache.hadoop.fs.Path(metadataPath)
       val fs = dir.getFileSystem(hconf)
       val f = new org.apache.hadoop.fs.Path(dir, "graft-start-seq")
-      if (fs.exists(f)) {
-        val in = fs.open(f)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } else {
+      // a crash mid-write could leave an empty/truncated anchor; treat
+      // unparseable content as ABSENT so the stream self-heals by
+      // re-resolving instead of failing every restart forever
+      def readValid(): Option[Long] =
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          val s = try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          scala.util.Try(s.toLong).toOption
+        }
+      def resolveAnchor(attempt: Int): Long = readValid().getOrElse {
+        require(attempt < 5,
+          s"could not publish stream start anchor $f after $attempt attempts")
+        if (fs.exists(f)) fs.delete(f, false) // corrupt anchor — replace it
         val resolved = parameters.getOrElse("starting-seq", "latest") match {
           case "latest"   => cat.latest(ns, t).map(_.seq).getOrElse(-1L)
           case "earliest" => -1L
           case n          => n.toLong
         }
         fs.mkdirs(dir)
-        // create(overwrite=false): a concurrent restart racing here loses
-        // and re-reads the winner's value
-        try {
-          val out = fs.create(f, false)
-          try out.write(resolved.toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          resolved
-        } catch { case _: java.io.IOException =>
-          val in = fs.open(f)
-          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+        // atomic publish: write a temp file, rename into place. A rename
+        // that loses to a concurrent restart re-reads the winner's value.
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s"graft-start-seq.tmp-${java.util.UUID.randomUUID}")
+        val out = fs.create(tmp, true)
+        try out.write(resolved.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, f)) resolved
+        else { fs.delete(tmp, false); resolveAnchor(attempt + 1) }
       }
+      resolveAnchor(0)
     }
     new GraftTableSource(cat, ns, t, declared, mode, startSeq)
   }
@@ -184,6 +192,20 @@ private[graft] class GraftTableSource(cat: GraftCatalog,
         s"stream batch of $ns.$t lost column(s) ${missing.mkString(", ")} — " +
           "the table's schema changed incompatibly mid-stream; restart the " +
           "stream to re-declare its schema")
+      // name alone isn't enough: a mid-stream ALTER COLUMN TYPE keeps the
+      // name but changes the type, which would otherwise surface as an
+      // opaque engine-internal assertion at batch substitution time
+      val retyped = declared.fields.toSeq.flatMap { fld =>
+        df.schema.fields.find(_.name == fld.name)
+          .filter(_.dataType != fld.dataType)
+          .map(got => s"${fld.name} (stream declared ${fld.dataType.sql}, " +
+            s"batch has ${got.dataType.sql})")
+      }
+      require(retyped.isEmpty,
+        s"stream batch of $ns.$t changed column type(s) " +
+          s"${retyped.mkString("; ")} — the table's schema changed " +
+          "incompatibly mid-stream; restart the stream to re-declare its " +
+          "schema")
       df.select(declared.fields.toSeq.map(f => col(f.name)): _*)
     }
 

@@ -253,20 +253,36 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $c.ns.a ALTER COLUMN id TYPE INT")
     }
-    // rename refuses with the documented rationale
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN v TO label")
+    // RENAME COLUMN: metadata-only via the column-mapping layer — no
+    // data file is touched, committed rows read under the new name
+    val filesBeforeRename =
+      cat.dataFiles("ns", "a", cat.latest("ns", "a").get).toSet
+    spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN v TO label")
+    assert(cat.dataFiles("ns", "a", cat.latest("ns", "a").get).toSet ===
+      filesBeforeRename, "RENAME must touch no data file")
+    assert(spark.sql(s"SELECT id, label FROM $c.ns.a ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    // renaming back is legal too (the physical pin is the original name)
+    spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN label TO v")
+    assert(spark.sql(s"SELECT v FROM $c.ns.a WHERE id = 1").as[String]
+      .collect().toSeq === Seq("x"))
+    spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN v TO label")
+    // renaming onto an existing column refuses
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.a RENAME COLUMN label TO id")
     }
-    assert(e.getMessage.contains("by name") || e.getMessage.contains("rename"),
-      s"unexpected: ${e.getMessage}")
 
     // DROP COLUMN: metadata-only; the bytes stay, the schema shrinks
     spark.sql(s"ALTER TABLE $c.ns.a DROP COLUMN w")
-    assert(spark.sql(s"SELECT * FROM $c.ns.a").columns.toSeq === Seq("id", "v"))
+    assert(spark.sql(s"SELECT * FROM $c.ns.a").columns.toSeq === Seq("id", "label"))
 
-    // time travel reads the PRE-ALTER schema of its version
+    // time travel reads the PRE-ALTER schema of its version — including
+    // the PRE-RENAME column name
     assert(spark.sql(s"SELECT * FROM $c.ns.a VERSION AS OF $seqBefore")
       .columns.toSeq === Seq("id", "v"))
+    assert(spark.sql(s"SELECT v FROM $c.ns.a VERSION AS OF $seqBefore ORDER BY id")
+      .as[String].collect().toSeq === Seq("x", "y"))
 
     // DROP guarded against live equality deletes
     cat.createTable("ns", "g")
@@ -281,6 +297,143 @@ class ExtensionsSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $c.ns.g DROP COLUMN s")
     assert(spark.sql(s"SELECT * FROM $c.ns.g ORDER BY id").columns.toSeq === Seq("id"))
     assert(spark.sql(s"SELECT id FROM $c.ns.g").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("RENAME COLUMN deep roundtrip: inserts, stats pruning, MoR " +
+       "deletes, upsert, row-level UPDATE and parked-physical ADD all " +
+       "work across the rename") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-renwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.rn (k BIGINT, qty BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.ns.rn VALUES (1, 10, 'a'), (2, 20, 'b')")
+    spark.sql(s"ALTER TABLE $c.ns.rn RENAME COLUMN qty TO quantity")
+
+    // INSERT after the rename writes files under the PHYSICAL name, so
+    // old and new files union in one scan
+    spark.sql(s"INSERT INTO $c.ns.rn VALUES (3, 30, 'c')")
+    assert(spark.sql(s"SELECT sum(quantity) FROM $c.ns.rn").head().getLong(0) === 60L)
+    // the physical pin: new files spell the ORIGINAL parquet name
+    val latestFiles = cat.dataFiles("ns", "rn", cat.latest("ns", "rn").get)
+    val newest = latestFiles.map(f => java.nio.file.Paths.get(wh, "ns", "rn", f))
+      .maxBy(java.nio.file.Files.getLastModifiedTime(_))
+    assert(spark.read.parquet(newest.toString).columns.contains("qty"),
+      s"new files must keep the physical name; got ${spark.read.parquet(newest.toString).columns.toSeq}")
+
+    // stats pruning consults the PHYSICAL stat key for the renamed column
+    assert(cat.readWhere("ns", "rn", "quantity", Some("25"), None)
+      .select("k").as[Long].collect().toSeq === Seq(3L))
+    assert(cat.minMaxFast("ns", "rn", "quantity") === Some(("10", "30")))
+
+    // SQL filter pushdown prunes by the renamed column too (wrong key
+    // would read everything — still correct — but a BAD mapping that
+    // pruned wrongly would LOSE rows; assert exactness both ways)
+    assert(spark.sql(s"SELECT k FROM $c.ns.rn WHERE quantity = 20").as[Long]
+      .collect().toSeq === Seq(2L))
+
+    // MoR equality delete keyed on a RENAMED column name
+    cat.commitDelete("ns", "rn", Seq(10L).toDF("quantity"))
+    assert(spark.sql(s"SELECT k FROM $c.ns.rn ORDER BY k").as[Long]
+      .collect().toSeq === Seq(2L, 3L))
+    // upsert across the rename (same delete columns, logical spelling):
+    // key values 20 (replaces k=2's row) and 40 (matches nothing, insert)
+    cat.commitUpsert("ns", "rn",
+      Seq((2L, 20L, "b2"), (4L, 40L, "d")).toDF("k", "quantity", "tag"),
+      keyCols = Seq("quantity"))
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.rn").head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT tag FROM $c.ns.rn WHERE quantity = 20").as[String]
+      .collect().toSeq === Seq("b2"), "the upsert must replace the old key row")
+    assert(spark.sql(s"SELECT sum(quantity) FROM $c.ns.rn").head().getLong(0) ===
+      (20L + 30L + 40L))
+
+    // row-level UPDATE flows through the COW writer under physical names
+    spark.sql(s"UPDATE $c.ns.rn SET quantity = quantity + 1 WHERE k = 3")
+    assert(spark.sql(s"SELECT quantity FROM $c.ns.rn WHERE k = 3").as[Long]
+      .collect().toSeq === Seq(31L))
+
+    // ADD COLUMN named like the PARKED physical name: legal, fresh
+    // physical id, old files read it as null (never qty's bytes)
+    spark.sql(s"ALTER TABLE $c.ns.rn ADD COLUMNS (qty STRING)")
+    assert(spark.sql(s"SELECT qty FROM $c.ns.rn WHERE k = 3").as[Option[String]]
+      .collect().toSeq === Seq(None),
+      "the re-added name must NOT resurrect the renamed column's bytes")
+    spark.sql(s"INSERT INTO $c.ns.rn VALUES (5, 50, 'e', 'fresh')")
+    assert(spark.sql(s"SELECT qty FROM $c.ns.rn WHERE k = 5").as[String]
+      .collect().toSeq === Seq("fresh"))
+    assert(spark.sql(s"SELECT quantity FROM $c.ns.rn WHERE k = 5").as[Long]
+      .collect().toSeq === Seq(50L))
+
+    // compaction rewrites fine under the mapping and keeps every value
+    cat.compact("ns", "rn", 128L * 1024 * 1024)
+    assert(spark.sql(s"SELECT sum(quantity) FROM $c.ns.rn").head().getLong(0) ===
+      (20L + 31L + 40L + 50L))
+
+    // CDC across the rename range reads under the END version's names
+    val changes = cat.changesBetween("ns", "rn", 0L, cat.latest("ns", "rn").get.seq)
+    assert(changes.columns.contains("quantity") && !changes.columns.contains("v"))
+  }
+
+  test("TBLPROPERTIES: SET/UNSET/SHOW roundtrip, versioned like the " +
+       "schema; compact() honors write.target-file-size-bytes; the SQL " +
+       "INSERT path bloom-indexes write.bloom-columns") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-propwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+
+    // CREATE ... TBLPROPERTIES persists the user keys
+    spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.bloom-columns' = 'id', 'owner.team' = 'data')")
+    val shown0 = spark.sql(s"SHOW TBLPROPERTIES $c.ns.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown0.get("write.bloom-columns") === Some("id"))
+    assert(shown0.get("owner.team") === Some("data"))
+
+    // the INSERT path reads write.bloom-columns and records per-file blooms
+    spark.sql(s"INSERT INTO $c.ns.p SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 1000)")
+    val snap = cat.latest("ns", "p").get
+    val manifestTexts = snap.manifests.map(m => new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(wh, "ns", "p", m))))
+    assert(manifestTexts.exists(t => t.contains("\"blooms\"") && t.contains("\"id\"")),
+      "INSERT must bloom-index the property's columns")
+
+    // SET adds/overwrites; UNSET removes; both are versioned commits
+    val seqBefore = cat.latest("ns", "p").get.seq
+    spark.sql(s"ALTER TABLE $c.ns.p SET TBLPROPERTIES (" +
+      "'write.target-file-size-bytes' = '1024', 'owner.team' = 'ml')")
+    assert(cat.latest("ns", "p").get.seq === seqBefore + 1)
+    assert(cat.tableProperties("ns", "p").get("owner.team") === Some("ml"))
+    spark.sql(s"ALTER TABLE $c.ns.p UNSET TBLPROPERTIES ('owner.team')")
+    assert(!cat.tableProperties("ns", "p").contains("owner.team"))
+    val shown1 = spark.sql(s"SHOW TBLPROPERTIES $c.ns.p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown1.get("write.target-file-size-bytes") === Some("1024"))
+
+    // time travel reads the VERSION'S OWN properties
+    assert(cat.snapshots("ns", "p").find(_.seq == seqBefore).get
+      .properties.get("owner.team") === Some("data"))
+
+    // compact() with no explicit target honors the 1 KiB property:
+    // ~64 KiB of data must split into MANY files (a 512 MiB default
+    // would produce exactly one)
+    cat.compact("ns", "p")
+    val files = cat.dataFiles("ns", "p", cat.latest("ns", "p").get)
+    assert(files.size > 10,
+      s"compact must honor write.target-file-size-bytes=1024; got ${files.size} file(s)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.p").head().getLong(0) === 1000L)
+
+    // properties survive ordinary commits (carried like the schema)
+    spark.sql(s"INSERT INTO $c.ns.p VALUES (2000, 'x')")
+    assert(cat.tableProperties("ns", "p")
+      .get("write.target-file-size-bytes") === Some("1024"))
+
+    // malformed target refuses loudly
+    spark.sql(s"ALTER TABLE $c.ns.p SET TBLPROPERTIES " +
+      "('write.target-file-size-bytes' = 'huge')")
+    val e = intercept[Exception] { cat.compact("ns", "p") }
+    assert(e.getMessage.contains("byte count"), s"unexpected: ${e.getMessage}")
   }
 
   test("VERSION AS OF accepts branch and tag names (Iceberg ref habit), " +

@@ -462,6 +462,61 @@ class IcebergExportSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 3 === 1).count())
   }
 
+  test("RENAMED tables export as one field id with per-version names + " +
+       "a name-mapping property, and round-trip through import") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-ren-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.rt (id BIGINT, qty BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.rt VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $c.ns.rt RENAME COLUMN qty TO quantity")
+    spark.sql(s"INSERT INTO $c.ns.rt VALUES (3, 30)")
+
+    val dest = Files.createTempDirectory("iceberg-out-ren").toString
+    val report = IcebergExport.exportTable(cat, "ns", "rt", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+
+    // the RENAME is one field id whose name differs per schema version —
+    // the spec-native representation (never drop+add of a fresh id)
+    val schemas = root.get("schemas").elements().asScala.toSeq
+    def idOf(s: com.fasterxml.jackson.databind.JsonNode, n: String): Option[Int] =
+      s.get("fields").elements().asScala.find(_.get("name").asText() == n)
+        .map(_.get("id").asInt())
+    val preIds = schemas.flatMap(idOf(_, "qty"))
+    val postIds = schemas.flatMap(idOf(_, "quantity"))
+    assert(preIds.nonEmpty && postIds.nonEmpty)
+    assert((preIds ++ postIds).distinct.size === 1,
+      s"qty/quantity must share ONE field id, got pre=$preIds post=$postIds")
+
+    // the name-mapping property resolves the PHYSICAL parquet names
+    val nm = root.get("properties").get("schema.name-mapping.default")
+    assert(nm != null, "renamed export must emit schema.name-mapping.default")
+    val nmEntries = mapper.readTree(nm.asText()).elements().asScala.toSeq
+    assert(nmEntries.exists(e =>
+      e.get("names").elements().asScala.exists(_.asText() == "qty") &&
+        e.get("field-id").asInt() === postIds.head))
+
+    // the artifacts-only reader sees the HEAD names
+    val back = IcebergExport.readExported(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "quantity"))
+    assert(back.agg(sum("quantity")).head().getLong(0) === 60L)
+
+    // full import roundtrip into a fresh catalog
+    val cat2 = new GraftCatalog(spark,
+      Files.createTempDirectory("iceberg-ren-dst").toString)
+    graft.catalog.IcebergImport.importTable(cat2, "ns", "rt", dest)
+    val got = cat2.read("ns", "rt")
+    assert(got.columns.toSeq === Seq("id", "quantity"))
+    assert(got.select("id", "quantity").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // some imported version still reads the PRE-rename name
+    val eras = cat2.snapshots("ns", "rt").flatMap(_.schemaJson)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+    assert(eras.exists(_.contains("qty")) && eras.last.contains("quantity"))
+  }
+
   test("array-of-primitive columns export with list element ids past the " +
        "top-level ids") {
     val cat = freshCat()

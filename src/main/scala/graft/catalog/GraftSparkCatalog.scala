@@ -741,7 +741,16 @@ private[catalog] class GraftScanBuilder(dfThunk: () => DataFrame,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (aggResult.isEmpty) required = requiredSchema
+    if (aggResult.isEmpty) {
+      // Spark 4 prunes NESTED fields too (`SELECT meta._2` arrives as
+      // meta: struct<_2>); the V1 row bridge re-encodes the inner plan's
+      // FULL struct values against readSchema, so a nested-pruned field
+      // widens back to its declared type — this scan prunes TOP-LEVEL
+      // columns only (metadata lineage columns keep their pushed shape)
+      required = StructType(requiredSchema.fields.map { f =>
+        tableSchema.fields.find(_.name == f.name).getOrElse(f)
+      })
+    }
 
   override def build(): Scan = {
     val requiredNames = required.fieldNames.toSeq

@@ -80,9 +80,7 @@ object IcebergExport {
 
   // ---- Iceberg schema (JSON) from a Spark schema ----
 
-  /** Map a Spark type to an Iceberg primitive type string (spec §4).
-    * Nested struct/map columns are out of scope (no graft table uses
-    * them) and fail loudly. */
+  /** Map a Spark type to an Iceberg primitive type string (spec §4). */
   private def icebergPrimitive(dt: DataType): String = dt match {
     case BooleanType => "boolean"
     case ByteType | ShortType | IntegerType => "int"
@@ -96,8 +94,47 @@ object IcebergExport {
     case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new IllegalArgumentException(
-      s"IcebergExport: unsupported column type $other (flat primitive / " +
-        "array-of-primitive tables only)")
+      s"IcebergExport: unsupported primitive column type $other")
+  }
+
+  /** Count of NESTED field ids a type consumes (its own id excluded) —
+    * the spec gives every struct field, list element, and map key/value
+    * its own id. Allocation order is the canonical DFS
+    * [[typeJsonWithIds]] walks, so a shared per-top-level-field base id
+    * yields identical nested ids across every schema version (nested
+    * types are equality-checked across versions by unionIdAssignment). */
+  private def nestedIdCount(dt: DataType): Int = dt match {
+    case st: StructType => st.fields.map(f => 1 + nestedIdCount(f.dataType)).sum
+    case ArrayType(e, _) => 1 + nestedIdCount(e)
+    case MapType(k, v, _) => 2 + nestedIdCount(k) + nestedIdCount(v)
+    case _ => 0
+  }
+
+  /** Iceberg type JSON for one (possibly nested) Spark type, consuming
+    * nested ids from `nextId` in DFS order: struct fields each take
+    * (own id, then their nested ids); a list takes (element id, element
+    * nested); a map takes (key id, key nested, value id, value nested).
+    * Spec: map keys are required. */
+  private def typeJsonWithIds(dt: DataType, nextId: () => Int): String = dt match {
+    case st: StructType =>
+      val fs = st.fields.map { f =>
+        val fid = nextId()
+        s"""{"id":$fid,"name":${jstr(f.name)},"required":${!f.nullable},""" +
+          s""""type":${typeJsonWithIds(f.dataType, nextId)}}"""
+      }
+      s"""{"type":"struct","fields":[${fs.mkString(",")}]}"""
+    case ArrayType(e, containsNull) =>
+      val eid = nextId()
+      s"""{"type":"list","element-id":$eid,""" +
+        s""""element":${typeJsonWithIds(e, nextId)},"element-required":${!containsNull}}"""
+    case MapType(k, v, valueContainsNull) =>
+      val kid = nextId()
+      val kj = typeJsonWithIds(k, nextId)
+      val vid = nextId()
+      val vj = typeJsonWithIds(v, nextId)
+      s"""{"type":"map","key-id":$kid,"key":$kj,""" +
+        s""""value-id":$vid,"value":$vj,"value-required":${!valueContainsNull}}"""
+    case other => "\"" + icebergPrimitive(other) + "\""
   }
 
   /** Field-id assignment shared by EVERY schema version of one export:
@@ -128,37 +165,43 @@ object IcebergExport {
     })
     val fields = union.toSeq
     val ids = fields.zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    // nested ids (struct fields, list elements, map keys/values) follow
+    // after all top-level ids, allocated per top-level field in union
+    // order — DFS inside each field, so every schema version (nested
+    // types are equality-pinned above) reproduces the same ids from the
+    // shared base
     var nextId = fields.length
-    val elemIds = fields.collect {
-      case (k, f) if f.dataType.isInstanceOf[ArrayType] => nextId += 1; k -> nextId
+    val nestedBase = fields.map { case (k, f) =>
+      val base = nextId + 1
+      nextId += nestedIdCount(f.dataType)
+      k -> base
     }.toMap
-    (ids, elemIds, nextId)
+    (ids, nestedBase, nextId)
   }
 
   /** One Iceberg schema JSON under a shared id assignment. */
   private def schemaJsonWithIds(schema: StructType, schemaId: Int,
                                 ids: Map[String, Int],
-                                elemIds: Map[String, Int]): String = {
+                                nestedBase: Map[String, Int]): String = {
     val fields = schema.fields.map { f =>
       // ids resolve by the stable PHYSICAL name; the emitted name is the
       // version's LOGICAL one (renames = same id, new name — spec-native)
       val k = GraftCatalog.physicalName(f)
-      val typeJson = f.dataType match {
-        case ArrayType(elem, containsNull) =>
-          s"""{"type":"list","element-id":${elemIds(k)},"element":"${icebergPrimitive(elem)}","element-required":${!containsNull}}"""
-        case dt => "\"" + icebergPrimitive(dt) + "\""
-      }
-      s"""{"id":${ids(k)},"name":${jstr(f.name)},"required":${!f.nullable},"type":$typeJson}"""
+      var cur = nestedBase.getOrElse(k, 0) - 1
+      val next = () => { cur += 1; cur }
+      s"""{"id":${ids(k)},"name":${jstr(f.name)},"required":${!f.nullable},""" +
+        s""""type":${typeJsonWithIds(f.dataType, next)}}"""
     }
     s"""{"type":"struct","schema-id":$schemaId,"identifier-field-ids":[],"fields":[${fields.mkString(",")}]}"""
   }
 
   /** Iceberg schema JSON with column ids 1..n assigned in field order;
-    * list element ids follow after all top-level ids (spec: every field
-    * and list element carries a unique id). Returns (json, lastColumnId). */
+    * nested ids follow after all top-level ids (spec: every field, list
+    * element and map key/value carries a unique id). Returns
+    * (json, lastColumnId). */
   private[graft] def icebergSchemaJson(schema: StructType): (String, Int) = {
-    val (ids, elemIds, lastId) = unionIdAssignment(Seq(schema))
-    (schemaJsonWithIds(schema, 0, ids, elemIds), lastId)
+    val (ids, nestedBase, lastId) = unionIdAssignment(Seq(schema))
+    (schemaJsonWithIds(schema, 0, ids, nestedBase), lastId)
   }
 
   private def jstr(s: String): String = {
@@ -642,20 +685,35 @@ object IcebergExport {
     case other => throw new IllegalArgumentException(s"unsupported Iceberg type $other")
   }
 
+  /** Spark type from an Iceberg type node — primitive text, or the
+    * struct/list/map object forms (spec §Schemas), recursively. */
+  private[graft] def sparkType(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (t.isTextual) sparkPrimitive(t.asText())
+    else t.get("type").asText() match {
+      case "list" =>
+        ArrayType(sparkType(t.get("element")),
+          containsNull = !t.get("element-required").asBoolean())
+      case "struct" =>
+        StructType(t.get("fields").elements().asScala.map { f =>
+          StructField(f.get("name").asText(), sparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean())
+        }.toSeq)
+      case "map" =>
+        org.apache.spark.sql.types.MapType(sparkType(t.get("key")),
+          sparkType(t.get("value")),
+          valueContainsNull = !t.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(
+        s"unsupported nested Iceberg type $other")
+    }
+
   /** Spark schema from the metadata's current Iceberg schema — applied
     * to the parquet read so SCHEMA-EVOLVED exports project correctly
     * (files written before a column existed read it as null, the same
     * fill a real Iceberg reader does by field id). */
   private[graft] def sparkSchema(schemaNode: com.fasterxml.jackson.databind.JsonNode): StructType =
     StructType(schemaNode.get("fields").elements().asScala.map { f =>
-      val dt = if (f.get("type").isTextual) sparkPrimitive(f.get("type").asText())
-      else {
-        val t = f.get("type")
-        require(t.get("type").asText() == "list", s"unsupported nested type $t")
-        ArrayType(sparkPrimitive(t.get("element").asText()),
-          containsNull = !t.get("element-required").asBoolean())
-      }
-      StructField(f.get("name").asText(), dt, nullable = !f.get("required").asBoolean())
+      StructField(f.get("name").asText(), sparkType(f.get("type")),
+        nullable = !f.get("required").asBoolean())
     }.toSeq)
 
   /** Read the CURRENT snapshot of an exported Iceberg table using ONLY

@@ -208,12 +208,37 @@ object IcebergImport {
       }
     }
 
+    // the spec's `schema.name-mapping.default` property (emitted by
+    // engines whose data files carry no embedded field-ids — including
+    // [[IcebergExport]] for renamed tables): an AUTHORITATIVE
+    // footer-name -> field-id map. When present, EVERY data file of
+    // every era spells the mapping's names, so the import needs no
+    // rename-era rewrites at all — files plain-copy and the destination
+    // schemas carry the mapping natively (graft's column-mapping layer,
+    // [[GraftCatalog.PhysicalKey]]); position deletes stay valid because
+    // file identities are preserved.
+    val nameMapping: Map[String, Int] =
+      Option(root.get("properties"))
+        .flatMap(p => Option(p.get("schema.name-mapping.default")))
+        .map(_.asText()).map { j =>
+          mapper.readTree(j).elements().asScala.flatMap { e =>
+            val fid = e.get("field-id").asInt()
+            e.get("names").elements().asScala.map(_.asText() -> fid)
+          }.toMap
+        }.getOrElse(Map.empty)
+    val physOfId: Map[Int, String] =
+      nameMapping.groupBy(_._2).map { case (id, m) => id -> m.keys.min }
+
     // RENAME eras: a new era starts whenever a schema names a known
     // field id differently than the accumulated era map; each era's
-    // full id->name map is what files read under that era must carry
+    // full id->name map is what files read under that era must carry.
+    // A name-mapped table has ONE physical era by construction — files
+    // never change spelling across renames
     val nameMaps: Map[Int, Map[Int, String]] =
       usedSchemaIds.map(sid => sid -> nameMapOf(schemaNodes(sid))).toMap
-    val (stepEras, eraMaps) = {
+    val (stepEras, eraMaps) = if (nameMapping.nonEmpty)
+      (stepSchemaIds.map(_ => 0), Seq(Map.empty[Int, String]))
+    else {
       val eras = scala.collection.mutable.ArrayBuffer.empty[Int]
       val maps = scala.collection.mutable.ArrayBuffer.empty[Map[Int, String]]
       var acc = Map.empty[Int, String]
@@ -239,20 +264,8 @@ object IcebergImport {
         case _ => idOfName(n) = id
       }
     })
-    // the spec's `schema.name-mapping.default` property (emitted by
-    // engines whose data files carry no embedded field-ids — including
-    // [[IcebergExport]] for renamed tables): an AUTHORITATIVE
-    // footer-name -> field-id map that wins over (and disambiguates)
-    // the schema-derived union above
-    val nameMapping: Map[String, Int] =
-      Option(root.get("properties"))
-        .flatMap(p => Option(p.get("schema.name-mapping.default")))
-        .map(_.asText()).map { j =>
-          mapper.readTree(j).elements().asScala.flatMap { e =>
-            val fid = e.get("field-id").asInt()
-            e.get("names").elements().asScala.map(_.asText() -> fid)
-          }.toMap
-        }.getOrElse(Map.empty)
+    // (nameMapping defined above, before the era computation — it wins
+    // over, and disambiguates, the schema-derived union here)
 
     // per-snapshot live entries via the spec artifacts (data + equality
     // deletes; position deletes refuse)
@@ -348,13 +361,16 @@ object IcebergImport {
     }
     // position deletes name (data file, row ordinal) pairs; a rename-era
     // data rewrite would invalidate the file identity the ordinals hang
-    // off — the composition is refused rather than silently mis-applied
+    // off — the composition is refused rather than silently mis-applied.
+    // A NAME-MAPPED table never rewrites (multiEra is structurally false
+    // above): renames × position deletes import fine there
     val posDeleteUris = liveSets.flatten.filter(_.isPos).map(_.uri).distinct
     require(posDeleteUris.isEmpty || !multiEra,
       "IcebergImport: this table carries BOTH column renames and position-" +
         "delete files; replaying renames rewrites data files, which would " +
         "orphan the (file, ordinal) identities — compact the deletes in the " +
-        "source engine first")
+        "source engine first (tables with schema.name-mapping.default " +
+        "import without rewrites and are exempt)")
 
     // era-aware rel resolution: within one era a file is a plain copy;
     // a file read under an era that names its columns differently is
@@ -409,6 +425,23 @@ object IcebergImport {
         }
     val stepUnits: Seq[Seq[(Seq[String], String, Long)]] = steps.map(unitsOf)
 
+    // destination schemas carry the name-mapping as graft's native
+    // column mapping: each field whose mapping (physical/parquet) name
+    // differs from its logical name gets the PhysicalKey metadata, so
+    // the imported table reads the plain-copied files directly and
+    // every later rename/read keeps working on the same machinery
+    def schemaWithMapping(sid: Int): StructType =
+      if (nameMapping.isEmpty) sparkSchemas(sid)
+      else {
+        val idOfLogical = nameMapOf(schemaNodes(sid)).map(_.swap)
+        StructType(sparkSchemas(sid).fields.map { f =>
+          idOfLogical.get(f.name).flatMap(physOfId.get)
+            .filter(_ != f.name)
+            .map(p => GraftCatalog.withPhysical(f, p))
+            .getOrElse(f)
+        })
+      }
+
     // ---- all checks passed: create, then copy + replay atomically ----
 
     cat.createTable(ns, name)
@@ -417,7 +450,7 @@ object IcebergImport {
         // empty table: one empty v0 carrying the current schema, so a
         // cold SELECT resolves columns (same contract as SQL CREATE TABLE)
         cat.commitFilesReplace(ns, name, Seq.empty, sourceRegion = "iceberg-import",
-          schemaJson = Some(sparkSchemas(currentSchemaId).json))
+          schemaJson = Some(schemaWithMapping(currentSchemaId).json))
         return ImportReport(s"$ns.$name", 0, 0, 0, 0L, 1)
       }
 
@@ -479,7 +512,7 @@ object IcebergImport {
       var prevEra = steps.headOption.map(_.era).getOrElse(0)
       var replaces = 0
       steps.zip(stepUnits).foreach { case (step, units) =>
-        val schema = sparkSchemas(step.schemaId)
+        val schema = schemaWithMapping(step.schemaId)
         if (step.era == prevEra && units.startsWith(prev))
           cat.commitFilesMor(ns, name,
             units.drop(prev.size).map(u => (u._1, u._2)),
@@ -534,13 +567,30 @@ object IcebergImport {
   private def typeMapOf(schemaNode: JsonNode): Map[Int, String] =
     schemaNode.get("fields").elements().asScala.flatMap { f =>
       val own = f.get("id").asInt() -> typeText(f.get("type"))
-      if (f.get("type").isTextual) Seq(own)
-      else Seq(own, f.get("type").get("element-id").asInt() ->
-        f.get("type").get("element").asText())
+      val t = f.get("type")
+      // a primitive LIST element keeps its own promotable entry (list<int>
+      // -> list<long> is spec-legal element promotion); deeper nested
+      // types are equality-pinned through the canonical own-entry text
+      if (!t.isTextual && t.get("type").asText() == "list" &&
+          t.get("element").isTextual)
+        Seq(own, t.get("element-id").asInt() -> t.get("element").asText())
+      else Seq(own)
     }.toMap
 
+  /** Canonical type text for cross-version comparison — recursive for
+    * the nested struct/list/map forms (nested types must stay EQUAL
+    * across versions; only top-level and list-element primitives ride
+    * the promotion lattice). */
   private def typeText(t: JsonNode): String =
-    if (t.isTextual) t.asText() else s"list<${t.get("element").asText()}>"
+    if (t.isTextual) t.asText()
+    else t.get("type").asText() match {
+      case "list" => s"list<${typeText(t.get("element"))}>"
+      case "struct" => "struct<" + t.get("fields").elements().asScala
+        .map(f => s"${f.get("name").asText()}:${typeText(f.get("type"))}")
+        .mkString(",") + ">"
+      case "map" => s"map<${typeText(t.get("key"))},${typeText(t.get("value"))}>"
+      case other => s"?$other"
+    }
 
   /** Spec §Schema Evolution: legal primitive promotions. */
   private def promotes(from: String, to: String): Boolean =

@@ -741,6 +741,42 @@ object CatalogQueries {
               SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""")
   }
 
+  private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** NESTED columns end-to-end: a catalog table carrying struct, map
+    * and array columns — committed, MoR-deleted, and read back through
+    * struct-field access, map element access and array indexing. The
+    * declared output is flat (aggregates THROUGH the nested values), so
+    * DuckDB replays it from the raw parquet declaratively while the
+    * engine side proves the whole nested write→manifest→MoR→read path. */
+  private def nestedStructRead: Q = (s, d) => {
+    val wh = nestedWarehouses.synchronized {
+      nestedWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-nested-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "nested")
+        val orders = Tables.orders(s, d)
+        cat.commitAppend("q", "nested", orders.select(
+          col("o_orderkey"),
+          struct(col("o_custkey"), col("o_totalprice")).as("meta"),
+          map(lit("m7"), col("o_orderkey") % 7).as("attrs"),
+          array(col("o_orderkey") % 3, col("o_orderkey") % 5).as("tags")))
+        // MoR equality delete on the flat key — nested columns ride along
+        cat.commitDelete("q", "nested",
+          orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+        w
+      })
+    }
+    val cat = new GraftCatalog(s, wh)
+    cat.read("q", "nested")
+      .groupBy((col("meta.o_custkey") % 5).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("meta.o_totalprice")), 2).as("total_price"),
+        sum(col("attrs")("m7")).as("sum_m7"),
+        sum(element_at(col("tags"), 1)).as("sum_tag1"))
+      .orderBy(col("bucket"))
+  }
+
   private val streamSrcOut = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Streaming READ of a catalog table end-to-end: two committed
@@ -820,6 +856,7 @@ object CatalogQueries {
     "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
     "cat_sql_alter"        -> sqlAlter,
     "cat_sql_rename"       -> sqlRename,
+    "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
@@ -981,6 +1018,14 @@ object CatalogQueries {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)
          GROUP BY 1 ORDER BY bucket""",
+    "cat_nested_struct" ->
+      """WITH live AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 11 <> 0)
+         SELECT o_custkey % 5 AS bucket, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                CAST(sum(o_orderkey % 7) AS BIGINT) AS sum_m7,
+                CAST(sum(o_orderkey % 3) AS BIGINT) AS sum_tag1
+         FROM live GROUP BY 1 ORDER BY bucket""",
     "cat_sql_rename" ->
       """WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
                       WHERE o_orderkey % 3 = 0),

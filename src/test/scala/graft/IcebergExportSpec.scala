@@ -517,6 +517,45 @@ class IcebergExportSpec extends SparkSpec {
     assert(eras.exists(_.contains("qty")) && eras.last.contains("quantity"))
   }
 
+  test("renames x position deletes round-trip through a name-mapped " +
+       "export: files plain-copy (no rewrite), ordinals stay valid, and " +
+       "the imported table carries the column mapping natively") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-renpd-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.rp (id BIGINT, qty BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.rp VALUES (1, 10), (2, 20), (3, 30)")
+    // position-delete one physical row of the pre-rename file
+    cat.commitDeletePositions("ns", "rp",
+      cat.positionsWhere("ns", "rp", col("id") === 2L))
+    spark.sql(s"ALTER TABLE $c.ns.rp RENAME COLUMN qty TO quantity")
+    spark.sql(s"INSERT INTO $c.ns.rp VALUES (4, 40)")
+    assert(spark.sql(s"SELECT sum(quantity) FROM $c.ns.rp").head().getLong(0) === 80L)
+
+    val dest = Files.createTempDirectory("iceberg-out-renpd").toString
+    val report = IcebergExport.exportTable(cat, "ns", "rp", dest)
+    // the artifacts-only reader agrees (position rule through the format)
+    assert(IcebergExport.readExported(spark, dest)
+      .agg(sum("quantity")).head().getLong(0) === 80L)
+
+    // import: NO rename rewrites (name-mapped → single physical era)
+    val cat2 = new GraftCatalog(spark,
+      Files.createTempDirectory("iceberg-renpd-dst").toString)
+    val rep = graft.catalog.IcebergImport.importTable(cat2, "ns", "rp", dest)
+    assert(rep.rewrittenFiles === 0,
+      s"name-mapped import must plain-copy, rewrote ${rep.rewrittenFiles}")
+    val got = cat2.read("ns", "rp")
+    assert(got.columns.toSeq === Seq("id", "quantity"))
+    assert(got.select("id", "quantity").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    // the mapping is native in the destination: a FURTHER rename works
+    val c2 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat2.warehouse)
+    spark.sql(s"ALTER TABLE $c2.ns.rp RENAME COLUMN quantity TO amount")
+    assert(spark.sql(s"SELECT sum(amount) FROM $c2.ns.rp").head().getLong(0) === 80L)
+    assert(report.snapshots >= 3)
+  }
+
   test("array-of-primitive columns export with list element ids past the " +
        "top-level ids") {
     val cat = freshCat()

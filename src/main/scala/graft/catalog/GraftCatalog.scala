@@ -1446,6 +1446,85 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** CDC-batch apply — the replica-side MERGE of a change feed: ONE
+    * atomic commit that equality-deletes (`deleteKeys` ∪ the incoming
+    * rows' keys) and appends `rows`. An UPDATE arrives as
+    * delete(old)+insert(new) on the same key and resolves correctly
+    * because the delete manifest orders BEFORE the data manifest
+    * ([[commitUpsert]]'s positional rule); a pure DELETE erases its key;
+    * a pure INSERT upserts. Single CAS publish ⇒ a replayed batch is
+    * all-or-nothing, idempotent via `commitId`. Cost O(|batch|) — no
+    * data file rewritten, which is what keeps a 100 TB replica current
+    * from a change stream. */
+  def commitCdcApply(ns: String, name: String, rows: DataFrame,
+                     deleteKeys: DataFrame, keyCols: Seq[String],
+                     sourceRegion: String = "local", maxRetries: Int = 5,
+                     commitId: Option[String] = None): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    require(keyCols.nonEmpty && keyCols.forall(rows.columns.contains),
+      s"cdc key columns $keyCols must be a subset of ${rows.columns.toSeq}")
+    require(deleteKeys.columns.toSeq.sorted == keyCols.sorted,
+      s"deleteKeys must carry exactly $keyCols, got ${deleteKeys.columns.toSeq}")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    latest(ns, name) match {
+      case None =>
+        require(deleteKeys.isEmpty,
+          s"cdc apply on empty $ns.$name cannot start with deletes")
+        commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
+      case Some(parent0) =>
+        validatedSchemaJson(ns, name, Some(parent0), rows.schema)
+        val curSchema = parent0.schemaJson
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+        val pKeyCols = keyCols.map(c => pm.getOrElse(c, c))
+        equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+          val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString).columns.toSet
+          require(prior == pKeyCols.toSet,
+            s"cdc key columns ${pKeyCols.toSet} differ from the table's delete columns $prior")
+        }
+        val prows = toPhysicalDf(rows, curSchema)
+        val allKeys = prows.select(pKeyCols.map(col): _*)
+          .unionByName(toPhysicalDf(deleteKeys, curSchema)
+            .select(pKeyCols.map(col): _*))
+          .distinct()
+        val delEntries = stageDataFiles(ns, name, allKeys)
+        val dataEntries = stageDataFiles(ns, name, prows)
+        var staged: Seq[String] = Seq.empty
+        try {
+          val dManifest =
+            if (delEntries.isEmpty) None
+            else Some(writeManifest(ns, name, delEntries, prefix = "d"))
+          val mManifest =
+            if (dataEntries.isEmpty) None
+            else Some(writeManifest(ns, name, dataEntries,
+              stagedFileStats(ns, name, dataEntries, prows.schema)))
+          staged = dManifest.toSeq ++ mManifest.toSeq
+          casCommit(ns, name, maxRetries) { parent =>
+            commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+              throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+            }
+            val par = parent.getOrElse(
+              throw new IllegalStateException(s"table log for $ns.$name vanished mid-cdc"))
+            Snapshot(par.seq + 1,
+              commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+              Some(par.commitId),
+              System.currentTimeMillis(),
+              // delete BEFORE data: incoming rows outlive their key-purge
+              par.manifests ++ dManifest ++ mManifest,
+              sourceRegion,
+              par.fileCount + delEntries.size + dataEntries.size,
+              par.totalBytes + (delEntries ++ dataEntries).map(_._2).sum,
+              Some(validatedSchemaJson(ns, name, Some(par), rows.schema)),
+              par.propsJson)
+          }
+        } catch { case e: Throwable =>
+          cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
+        }
+    }
+  }
+
   /** The merge-on-read scan: group data manifests by the set of delete
     * manifests committed AFTER them and anti-join exactly that set —
     * Iceberg's sequence-number rule, realized through the snapshot's

@@ -536,6 +536,13 @@ object IcebergExport {
           .map { case (phys, id) => s"""{"field-id":$id,"names":[${jstr(phys)}]}""" }
         s""","schema.name-mapping.default":${jstr(s"[${entries.mkString(",")}]")}"""
       }
+    // the HEAD version's TBLPROPERTIES ride the metadata properties map
+    // (Iceberg's own home for them), sorted for byte-stable re-exports;
+    // engine keys above win on collision
+    val userProps = snaps.last.properties.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) =>
+        k == "write.format.default" || k == "schema.name-mapping.default" }
+      .map { case (k, v) => s",${jstr(k)}:${jstr(v)}" }.mkString
     val metadata =
       s"""{
          |"format-version":2,
@@ -551,7 +558,7 @@ object IcebergExport {
          |"last-partition-id":999,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"write.format.default":"parquet"$nameMappingProp},
+         |"properties":{"write.format.default":"parquet"$nameMappingProp$userProps},
          |"current-snapshot-id":$currentId,
          |"refs":{"main":{"snapshot-id":$currentId,"type":"branch"}},
          |"snapshots":[${snapJsons.mkString(",")}],

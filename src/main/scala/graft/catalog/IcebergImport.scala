@@ -527,6 +527,17 @@ object IcebergImport {
         prev = units; prevEra = step.era
       }
 
+      // restore the source's TBLPROPERTIES (minus the engine keys the
+      // import consumed) as one final metadata-only commit — an Iceberg
+      // user's write.target-file-size-bytes etc. keep working here
+      val srcProps = Option(root.get("properties")).toSeq
+        .flatMap(_.properties().asScala)
+        .map(e => e.getKey -> e.getValue.asText())
+        .filterNot { case (k, _) =>
+          k == "write.format.default" || k == "schema.name-mapping.default" }
+        .toMap
+      if (srcProps.nonEmpty) cat.commitProperties(ns, name, srcProps): Unit
+
       val allEntries = liveSets.flatten
       ImportReport(s"$ns.$name", steps.size, replaces,
         allEntries.filterNot(_.isDelete).map(_.uri).distinct.size,

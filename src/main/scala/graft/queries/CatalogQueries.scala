@@ -777,6 +777,64 @@ object CatalogQueries {
       .orderBy(col("bucket"))
   }
 
+  private val syncDagWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The reference's sync DAG (t1→t6) as ONE exactly-once streaming
+    * job: cdc catalog source (manifest-diff offsets) → PathLocalizer
+    * (t5, codegen'd when-chain) → atomic per-batch replica commits
+    * (t6, commitCdcApply). The fixture replays appends AND a replace
+    * (compaction with a row update) through the stream; the declared
+    * output aggregates the REPLICA — rows lost, duplicated, or left
+    * un-localized by the pipeline all hash-mismatch. Oracle recomputes
+    * the final state declaratively from the raw parquet. */
+  private def streamSyncDag: Q = (s, d) => {
+    val replicaWh = syncDagWarehouses.synchronized {
+      syncDagWarehouses.getOrElseUpdate(d, {
+        val pWh = Files.createTempDirectory("graft-dagq-primary").toString
+        val rWh = Files.createTempDirectory("graft-dagq-replica").toString
+        val primary = new GraftCatalog(s, pWh)
+        val replica = new GraftCatalog(s, rWh)
+        primary.createTable("q", "dagfiles")
+        replica.createTable("q", "dagfiles")
+        val orders = Tables.orders(s, d)
+        def rows(pred: org.apache.spark.sql.Column) = orders.filter(pred).select(
+          col("o_orderkey"),
+          concat(lit("s3://us-east/"), col("o_orderkey"), lit(".parquet")).as("url"),
+          col("o_totalprice"))
+        primary.commitAppend("q", "dagfiles", rows(col("o_orderkey") % 3 === 0))
+        primary.commitAppend("q", "dagfiles", rows(col("o_orderkey") % 3 === 1))
+        // compaction-shaped replace: drop every %9==0 row, keep the rest
+        primary.commitReplace("q", "dagfiles",
+          rows((col("o_orderkey") % 3).isin(0L, 1L) && col("o_orderkey") % 9 =!= 0))
+        val ckpt = Files.createTempDirectory("graft-dagq-ckpt").toString
+        val q = s.readStream
+          .format("graft.streaming.GraftTableSourceProvider")
+          .option("warehouse", pWh).option("table", "q.dagfiles")
+          .option("mode", "cdc").option("starting-seq", "earliest")
+          .load()
+          .withColumn("url", graft.operators.PathLocalizer.localize(col("url"),
+            Seq("s3://us-east/" -> "s3://eu-west/")))
+          .writeStream
+          .foreachBatch(graft.streaming.CatalogStreamSink.foreachBatchApplyCdc(
+            replica, "q", "dagfiles", keyCols = Seq("o_orderkey")))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        rWh
+      })
+    }
+    new GraftCatalog(s, replicaWh).read("q", "dagfiles")
+      .groupBy((col("o_orderkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(when(col("url").startsWith("s3://eu-west/"), 1L).otherwise(0L))
+          .as("localized_cnt"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("bucket"))
+  }
+
   private val streamSrcOut = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Streaming READ of a catalog table end-to-end: two committed
@@ -858,6 +916,7 @@ object CatalogQueries {
     "cat_sql_rename"       -> sqlRename,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
+    "stream_sync_dag"      -> streamSyncDag,
     "cat_backfill_stats"   -> backfillStatsRead,
     "cat_rollback"         -> rollbackRead,
     "cat_upsert"           -> upsertRead,
@@ -1018,6 +1077,14 @@ object CatalogQueries {
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)
          GROUP BY 1 ORDER BY bucket""",
+    "stream_sync_dag" ->
+      """WITH live AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
+         SELECT o_orderkey % 7 AS bucket, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                CAST(count(*) AS BIGINT) AS localized_cnt,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM live GROUP BY 1 ORDER BY bucket""",
     "cat_nested_struct" ->
       """WITH live AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                        WHERE o_orderkey % 11 <> 0)

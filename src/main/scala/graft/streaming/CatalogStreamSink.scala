@@ -41,6 +41,34 @@ object CatalogStreamSink {
     guarded(cat, ns, table, _, _, queryTag,
       (df, cid) => cat.commitUpsert(ns, table, df, keyCols, commitId = Some(cid)))
 
+  /** CHANGE-FEED apply form — the sink half of the reference's sync DAG
+    * (`iceberg-arch-geo-distributed-ha.md:1314-1367`, t6_cas_commit_
+    * replica) run as ONE streaming job: each micro-batch of cdc rows
+    * (`_change_type` ∈ insert|delete — what [[GraftTableSourceProvider]]
+    * emits in cdc mode) applies to the replica table as ONE atomic
+    * commit ([[GraftCatalog.commitCdcApply]]): deleted keys erase,
+    * inserted rows upsert. Shares both replay guards, so checkpoint
+    * recovery across a source replace/compaction stays exactly-once. */
+  def foreachBatchApplyCdc(cat: GraftCatalog, ns: String, table: String,
+                           keyCols: Seq[String],
+                           queryTag: String = "cdcapply"): (DataFrame, Long) => Unit =
+    (df0, batchId) => {
+      import org.apache.spark.sql.functions.col
+      // the batch feeds two legs (inserts + delete keys): pin it so the
+      // incremental read underneath runs once, not per leg
+      val df = df0.localCheckpoint()
+      guarded(cat, ns, table, df, batchId, queryTag, (d, cid) =>
+        // an empty range (idle tick) must not pollute the replica's
+        // history with no-op versions
+        if (!d.isEmpty) {
+          val ins = d.filter(col("_change_type") === "insert").drop("_change_type")
+          val delKeys = d.filter(col("_change_type") === "delete")
+            .select(keyCols.map(col): _*).distinct()
+          cat.commitCdcApply(ns, table, ins, delKeys, keyCols,
+            commitId = Some(cid)): Unit
+        })
+    }
+
   private def guarded(cat: GraftCatalog, ns: String, table: String,
                       df: DataFrame, batchId: Long, queryTag: String,
                       commit: (DataFrame, String) => Unit): Unit =

@@ -556,6 +556,29 @@ class IcebergExportSpec extends SparkSpec {
     assert(report.snapshots >= 3)
   }
 
+  test("TBLPROPERTIES survive the export->import roundtrip (Iceberg's " +
+       "metadata properties map)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-prop-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "pp")
+    cat.commitAppend("ns", "pp", Seq((1L, "a")).toDF("id", "v"))
+    cat.commitProperties("ns", "pp", Map(
+      "write.target-file-size-bytes" -> "268435456", "owner.team" -> "data"))
+    val dest = Files.createTempDirectory("iceberg-out-prop").toString
+    val report = IcebergExport.exportTable(cat, "ns", "pp", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    assert(root.get("properties").get("owner.team").asText() === "data")
+    assert(root.get("properties").get("write.target-file-size-bytes")
+      .asText() === "268435456")
+    val cat2 = new GraftCatalog(spark,
+      Files.createTempDirectory("iceberg-prop-dst").toString)
+    graft.catalog.IcebergImport.importTable(cat2, "ns", "pp", dest)
+    assert(cat2.tableProperties("ns", "pp") === Map(
+      "write.target-file-size-bytes" -> "268435456", "owner.team" -> "data"))
+    assert(cat2.targetFileSizeBytes("ns", "pp") === 268435456L)
+  }
+
   test("array-of-primitive columns export with list element ids past the " +
        "top-level ids") {
     val cat = freshCat()

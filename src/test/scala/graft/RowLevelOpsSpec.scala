@@ -274,6 +274,37 @@ class RowLevelOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq === Seq((2L, 20.0)))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE in merge-on-read mode: delta " +
+       "write stays row-correct (unmatched target rows delete via " +
+       "position-delete files, no data file rewritten)") {
+    val (cat, c) = register()
+    cat.createTable("m", "nms")
+    cat.commitAppend("m", "nms",
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "amt").coalesce(1))
+    cat.commitAppend("m", "nms",
+      Seq((11L, 11.0), (12L, 12.0)).toDF("id", "amt").coalesce(1))
+    val dataFilesBefore = cat.dataFiles("m", "nms", cat.latest("m", "nms").get)
+      .filterNot(_.contains("del")).toSet
+    Seq((2L, 20.0), (5L, 5.0)).toDF("id", "amt")
+      .createOrReplaceTempView("nms_src")
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    try
+      spark.sql(
+        s"""MERGE INTO $c.m.nms t USING nms_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET amt = s.amt
+           |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE
+           |""".stripMargin)
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    assert(spark.sql(s"SELECT id, amt FROM $c.m.nms ORDER BY id")
+      .as[(Long, Double)].collect().toSeq === Seq((2L, 20.0), (5L, 5.0)))
+    // MoR contract: the original data files are still live (the delta
+    // added position-delete + new data files, rewrote nothing)
+    val dataFilesAfter = cat.dataFiles("m", "nms", cat.latest("m", "nms").get).toSet
+    assert(dataFilesBefore.subsetOf(dataFilesAfter),
+      s"MoR merge must keep original files live; before=$dataFilesBefore after=$dataFilesAfter")
+  }
+
   test("MERGE cardinality violation (one target row, two source matches) " +
        "fails loudly and publishes nothing") {
     val (cat, c) = register()

@@ -1063,4 +1063,76 @@ class StreamingSpec extends SparkSpec {
         topic.poll(p, 0L).map(_.offset) == topic.poll(p, 0L).indices.map(_.toLong)))
     } finally server.stop()
   }
+
+  test("the reference sync DAG as ONE exactly-once streaming job: " +
+       "catalog cdc source -> path localization -> atomic replica " +
+       "commits; checkpoint restart across a replace converges") {
+    // t1..t6 of iceberg-arch-geo-distributed-ha.md:1314-1367 composed
+    // as a single Structured Streaming query: the manifest-diff cdc
+    // source IS t1 (list added)/t2 (plan), the stream transform runs t5
+    // (metadata path localization, codegen'd when-chain), and the
+    // foreachBatch sink is t6 (one CAS commit per batch on the replica,
+    // idempotent under replay). t3/t4 (physical copy + verify) are the
+    // row payload itself here - the rows ARE the replicated state.
+    val primaryWh = Files.createTempDirectory("graft-dag-primary").toString
+    val replicaWh = Files.createTempDirectory("graft-dag-replica").toString
+    val ckpt = Files.createTempDirectory("graft-dag-ckpt").toString
+    val primary = new graft.catalog.GraftCatalog(spark, primaryWh)
+    val replica = new graft.catalog.GraftCatalog(spark, replicaWh)
+    primary.createTable("g", "files")
+    replica.createTable("g", "files")
+    val mappings = Seq("s3://us-east/" -> "s3://eu-west/")
+
+    primary.commitAppend("g", "files", Seq(
+      (1L, "s3://us-east/a.parquet", 100L),
+      (2L, "s3://us-east/b.parquet", 200L)).toDF("file_id", "url", "bytes"))
+    primary.commitAppend("g", "files",
+      Seq((3L, "s3://us-east/c.parquet", 300L)).toDF("file_id", "url", "bytes"))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.streaming.GraftTableSourceProvider")
+        .option("warehouse", primaryWh).option("table", "g.files")
+        .option("mode", "cdc").option("starting-seq", "earliest")
+        .load()
+        .withColumn("url",
+          graft.operators.PathLocalizer.localize(col("url"), mappings))
+        .writeStream
+        .foreachBatch(graft.streaming.CatalogStreamSink.foreachBatchApplyCdc(
+          replica, "g", "files", keyCols = Seq("file_id")))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(replica.read("g", "files").select("file_id", "url", "bytes")
+      .as[(Long, String, Long)].collect().toSet === Set(
+        (1L, "s3://eu-west/a.parquet", 100L),
+        (2L, "s3://eu-west/b.parquet", 200L),
+        (3L, "s3://eu-west/c.parquet", 300L)),
+      "replica must hold the LOCALIZED state after the first run")
+
+    // a REPLACE on the primary (compaction dropping file 2, updating 3)
+    // streams as the documented row-level cdc diff across restart
+    primary.commitReplace("g", "files", Seq(
+      (1L, "s3://us-east/a.parquet", 100L),
+      (3L, "s3://us-east/c.parquet", 333L)).toDF("file_id", "url", "bytes"))
+    primary.commitAppend("g", "files",
+      Seq((4L, "s3://us-east/d.parquet", 400L)).toDF("file_id", "url", "bytes"))
+    runOnce()
+    assert(replica.read("g", "files").select("file_id", "url", "bytes")
+      .as[(Long, String, Long)].collect().toSet === Set(
+        (1L, "s3://eu-west/a.parquet", 100L),
+        (3L, "s3://eu-west/c.parquet", 333L),
+        (4L, "s3://eu-west/d.parquet", 400L)),
+      "the replace must converge: file 2 erased, file 3 updated, 4 added")
+
+    // replay with nothing new: exactly-once means NO new replica version
+    val vBefore = replica.latest("g", "files").get.seq
+    runOnce()
+    assert(replica.latest("g", "files").get.seq === vBefore,
+      "an idle restart must not publish no-op versions")
+  }
 }

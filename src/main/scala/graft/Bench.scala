@@ -220,6 +220,39 @@ object ServeBench {
         }
       }
     }
+    if (groups("morchurn")) {
+      // MoR READ-PATH guard: accumulated position-delete files degrade
+      // reads (one broadcast anti-join per delete epoch under morScan's
+      // positional grouping). Measure read cost vs delete-commit count,
+      // then consolidate with rewritePositionDeletes and measure again —
+      // the guard holds if the post-rewrite read returns to ~the clean
+      // baseline. `rows` = the read's row count (erasures visible).
+      val orders = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice")
+      cat.createTable("sb", "churn")
+      cat.commitAppend("sb", "churn",
+        orders.repartitionByRange(16, col("o_orderkey")))
+      def readCount() = cat.read("sb", "churn").count()
+      (1 to repeat).foreach(i => time("morread_churn0", i)(readCount()))
+      var churned = 0
+      def churnTo(n: Int): Unit = {
+        while (churned < n) {
+          churned += 1
+          cat.commitDeletePositions("sb", "churn",
+            cat.positionsWhere("sb", "churn",
+              col("o_orderkey") === churned.toLong))
+        }
+      }
+      Seq(16, 48, 96).foreach { n =>
+        churnTo(n)
+        (1 to repeat).foreach(i => time(s"morread_churn$n", i)(readCount()))
+      }
+      time("morread_rewrite", 1) {
+        val (_, eliminated) = cat.rewritePositionDeletes("sb", "churn")
+        eliminated.toLong
+      }
+      (1 to repeat).foreach(i => time("morread_postrewrite", i)(readCount()))
+    }
     spark.stop()
   }
 }

@@ -108,10 +108,43 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def tableExists(ns: String, name: String): Boolean =
     Files.isDirectory(metaDir(ns, name))
 
+  /** Table RENAME (C4's missing half; `ALTER TABLE ... RENAME TO`): one
+    * atomic directory move. Everything a table owns — commit log,
+    * manifests, data, branch/tag refs — lives UNDER its directory and
+    * references files by RELATIVE path, so the move carries the whole
+    * versioned state with zero rewrites at any size. Same-namespace or
+    * cross-namespace (the target namespace directory is created).
+    *
+    * Single-DDL-writer contract (the same one dropTable has): a commit
+    * racing the move can land on the old path after the move staged it —
+    * coordinate renames like any other DDL. Registry entries and sync
+    * events hold storage PATHS, which a rename changes deliberately:
+    * the new name is a new replication subject (re-register it), the
+    * old path's history stays addressable until expiry. */
+  def renameTable(ns: String, name: String, toNs: String, toName: String): Unit = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    require(!(ns == toNs && name == toName), "rename to the same name")
+    require(!tableExists(toNs, toName),
+      s"rename target $toNs.$toName already exists")
+    Files.createDirectories(Paths.get(warehouse, toNs))
+    Files.move(tableDir(ns, name), tableDir(toNs, toName),
+      StandardCopyOption.ATOMIC_MOVE)
+    // caches key by absolute path / (ns, name) — drop the old identity
+    val prefix = metaDir(ns, name).toAbsolutePath
+    snapshotCache.keySet.removeIf(_.startsWith(prefix))
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
+    latestFileSet.remove((ns, name)): Unit
+  }
+
   def listTables(ns: String): Seq[String] = {
     val p = Paths.get(warehouse, ns)
     if (!Files.isDirectory(p)) Seq.empty
-    else listDir(p).map(_.getFileName.toString).sorted
+    // tables are DIRECTORIES; sidecar files (namespace properties) and
+    // dot/underscore names are namespace plumbing, not tables
+    else listDir(p).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sorted
   }
 
   /** C7: offset/limit pagination over the (sorted) namespace listing. */
@@ -723,6 +756,73 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     } catch { case e: Throwable =>
       written.foreach(dropManifest(ns, name, _))
       throw e
+    }
+  }
+
+  /** Position-delete COMPACTION (Iceberg's rewrite_position_delete_files
+    * action): consolidate every live `p-` file into a handful of sorted
+    * position-delete files (+ ONE manifest), dropping entries that
+    * reference files no longer live — the inert leftovers a COW rewrite
+    * or replace strands ("reclaimed by the next compact", morScan's
+    * contract). No data file is touched; the write is one small
+    * distributed job over the delete side, sized by the table's
+    * `write.target-file-size-bytes`.
+    *
+    * Moving ALL position deletes to the END of the manifest list is
+    * sound: (file, pos) identity is PATH-scoped, and every data file
+    * committed after the original delete carries a fresh staging path a
+    * stale ordinal can never name — so widening a delete's positional
+    * scope to "everything" erases exactly the same rows. (Equality
+    * deletes have no such property — their scope IS the sequence rule —
+    * and are left untouched.)
+    *
+    * This is the MoR read-cost guard at 100 TB: a churn-heavy table
+    * accumulates one p-file per mutation and every read pays one
+    * broadcast anti-join PER DELETE EPOCH; after consolidation it pays
+    * exactly one. Returns (head-or-new-version, delete files
+    * eliminated). CAS-conditional on the inspected head. */
+  def rewritePositionDeletes(ns: String, name: String, maxRetries: Int = 5)
+      : (Snapshot, Int) = {
+    val head = latest(ns, name).getOrElse(
+      throw new IllegalStateException(s"$ns.$name has no committed versions"))
+    val posMans = head.manifests.filter(isPosDeleteManifest)
+    val posEntries = posMans.flatMap(manifestEntries(ns, name, _))
+    if (posEntries.size <= 1 && posMans.size <= 1) return (head, 0)
+    import spark.implicits._
+    val liveDf = dataFiles(ns, name, head).toDF("file_path")
+    val parts = math.max(1, math.ceil(
+      posEntries.map(_._2).sum.toDouble / targetFileSizeBytes(ns, name)).toInt)
+    val consolidated = spark.read
+      .parquet(posEntries.map(e => tableDir(ns, name).resolve(e._1).toString): _*)
+      .select(col("file_path"), col("pos").cast("long").as("pos"))
+      .distinct()
+      .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+      .repartitionByRange(parts, col("file_path"), col("pos"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+    val entries = stageDataFiles(ns, name, consolidated)
+    var staged: Seq[String] = Seq.empty
+    try {
+      val newManifest =
+        if (entries.isEmpty) None
+        else Some(writeManifest(ns, name, entries, prefix = "p"))
+      staged = newManifest.toSeq
+      val snap = casCommit(ns, name, maxRetries) { parent =>
+        if (!parent.map(_.commitId).contains(head.commitId))
+          throw new java.util.ConcurrentModificationException(
+            s"rewritePositionDeletes of $ns.$name inspected ${head.commitId} " +
+              "but the head moved")
+        Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}",
+          Some(head.commitId), System.currentTimeMillis(),
+          head.manifests.filterNot(isPosDeleteManifest) ++ newManifest,
+          head.sourceRegion,
+          head.fileCount - posEntries.size + entries.size,
+          head.totalBytes - posEntries.map(_._2).sum + entries.map(_._2).sum,
+          head.schemaJson, head.propsJson)
+      }
+      (snap, posEntries.size - entries.size)
+    } catch { case e: Throwable =>
+      staged.foreach(dropManifest(ns, name, _))
+      cleanupStaged(ns, name, entries, Seq.empty); throw e
     }
   }
 

@@ -33,7 +33,7 @@ object GraftProcedures {
   private val Names = Seq("compact", "expire_snapshots", "rollback",
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
-    "backfill_stats", "rewrite_manifests")
+    "backfill_stats", "rewrite_manifests", "rewrite_position_deletes")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -134,6 +134,13 @@ object GraftProcedures {
           require(target >= 1L && target <= Int.MaxValue.toLong,
             s"rewrite_manifests: target_entries out of range [1, 2^31-1]: $target")
           val (snap, n) = cat.rewriteManifests(ns, t, target.intValue())
+          Seq(Seq(snap.seq, n.toLong)) }))
+      case "rewrite_position_deletes" => Some(proc("rewrite_position_deletes",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(StructField("version", LongType),
+          StructField("eliminated_delete_files", LongType))),
+        { case Seq(ns: String, t: String) =>
+          val (snap, n) = cat.rewritePositionDeletes(ns, t)
           Seq(Seq(snap.seq, n.toLong)) }))
       case "sweep_orphan_manifests" => Some(proc("sweep_orphan_manifests",
         Seq("ns" -> StringType, "tbl" -> StringType, "grace_ms" -> LongType),

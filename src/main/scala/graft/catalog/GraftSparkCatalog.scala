@@ -434,8 +434,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     else { cat.dropTable(ns, t); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  /** `ALTER TABLE ... RENAME TO ...` — one atomic directory move (the
+    * table's whole versioned state is self-contained under its
+    * directory; see [[GraftCatalog.renameTable]]). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!cat.tableExists(nsOf(oldIdent), oldIdent.name()))
+      throw new NoSuchTableException(oldIdent)
+    cat.renameTable(nsOf(oldIdent), oldIdent.name(),
+      nsOf(newIdent), newIdent.name())
+  }
 
   // ---- stored procedures: CALL graft.system.<proc>(...) ----
   // (GraftProcedures — compact / expire_snapshots / rollback /
@@ -483,20 +490,66 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(ns: Array[String]): Boolean =
     ns.length == 1 && java.nio.file.Files.isDirectory(nsDir(ns))
 
+  // namespace properties persist in a sidecar JSON under the namespace
+  // dir (underscore-prefixed: never a table name — listTables filters
+  // non-directories and _-names). Writes go tmp + ATOMIC_MOVE; two
+  // racing property ALTERs are last-writer-wins at map granularity —
+  // namespace properties are operator configuration, not versioned
+  // table state (those ride the commit log, commitProperties)
+  private def nsPropsFile(ns: Array[String]) =
+    nsDir(ns).resolve("_ns_properties.json")
+
+  private def readNsProps(ns: Array[String]): Map[String, String] = {
+    val f = nsPropsFile(ns)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else GraftCatalog.propsMapper
+      .readTree(java.nio.file.Files.readAllBytes(f))
+      .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def writeNsProps(ns: Array[String], props: Map[String, String]): Unit = {
+    val f = nsPropsFile(ns)
+    if (props.isEmpty) { java.nio.file.Files.deleteIfExists(f); () }
+    else {
+      val tm = new java.util.TreeMap[String, String]()
+      props.foreach { case (k, v) => tm.put(k, v) }
+      val tmp = f.resolveSibling(s".tmp-nsprops-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp,
+        GraftCatalog.propsMapper.writeValueAsBytes(tm))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+  }
+
   override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
-    java.util.Collections.singletonMap(SupportsNamespaces.PROP_LOCATION,
-      nsDir(ns).toString)
+    val m = new util.HashMap[String, String]()
+    readNsProps(ns).foreach { case (k, v) => m.put(k, v) }
+    m.put(SupportsNamespaces.PROP_LOCATION, nsDir(ns).toString)
+    m
   }
 
   override def createNamespace(ns: Array[String],
                                metadata: util.Map[String, String]): Unit = {
     require(ns.length == 1, s"graft namespaces are single-level: ${ns.mkString(".")}")
     java.nio.file.Files.createDirectories(nsDir(ns)): Unit
+    // location is derived (the directory itself); everything else —
+    // comment, owner, user keys — persists
+    val user = metadata.asScala.toMap - SupportsNamespaces.PROP_LOCATION
+    if (user.nonEmpty) writeNsProps(ns, user)
   }
 
-  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("namespace properties are not supported")
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val next = changes.foldLeft(readNsProps(ns)) {
+      case (m, sp: NamespaceChange.SetProperty) => m + (sp.property() -> sp.value())
+      case (m, rp: NamespaceChange.RemoveProperty) => m - rp.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported namespace change $other")
+    }
+    writeNsProps(ns, next - SupportsNamespaces.PROP_LOCATION)
+  }
 
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(ns)) return false

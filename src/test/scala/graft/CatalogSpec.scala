@@ -1107,4 +1107,57 @@ class CatalogSpec extends SparkSpec {
     // and the staged files are still spec-physical INT64 micros
     assert(cat1.read("ns", "t").count() === 150L)
   }
+
+  test("rewrite_position_deletes: churned p-files consolidate to one " +
+       "sorted set, inert entries (COW-rewritten files) drop, reads are " +
+       "value-identical before and after") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-rpd").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "rpd")
+    // several single-file commits so positions target distinct files
+    (0 until 4).foreach { i =>
+      cat.commitAppend("ns", "rpd",
+        (i * 10 until i * 10 + 10).map(k => (k.toLong, s"v$k"))
+          .toDF("id", "v").coalesce(1))
+    }
+    // churn: one position-delete commit per erased row (4 p-files)
+    Seq(1L, 11L, 21L, 31L).foreach { id =>
+      cat.commitDeletePositions("ns", "rpd",
+        cat.positionsWhere("ns", "rpd", org.apache.spark.sql.functions.col("id") === id))
+    }
+    val before = cat.read("ns", "rpd").select("id").as[Long].collect().sorted.toSeq
+    assert(before.size === 36 && !before.contains(21L))
+    val posFilesBefore = cat.deleteFileEntries("ns", "rpd",
+      cat.latest("ns", "rpd").get).size
+    assert(posFilesBefore >= 4) // one commit per erased row, maybe multi-part
+
+    // a COW UPDATE rewrites the file holding id=35: its p-entries (none)
+    // plus strand nothing; to make INERT entries, rewrite the file that
+    // position-delete 31 targeted
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"UPDATE $c.ns.rpd SET v = 'u' WHERE id = 35") // rewrites file 4
+    val mid = cat.read("ns", "rpd").select("id").as[Long].collect().sorted.toSeq
+    assert(mid === before, "COW rewrite must not change the row set (v changed only)")
+
+    val (snap, eliminated) = cat.rewritePositionDeletes("ns", "rpd")
+    assert(eliminated >= 2, s"4 single-row p-files must consolidate; got $eliminated")
+    val after = cat.read("ns", "rpd").select("id").as[Long].collect().sorted.toSeq
+    assert(after === before, "consolidation must be value-identical")
+    // exactly one p-manifest remains, at the END of the list
+    val pms = snap.manifests.filter(_.startsWith("_meta/manifests/p"))
+    assert(pms.size === 1 && snap.manifests.last === pms.head)
+    // idempotent: a second run is a no-op
+    val (snap2, n2) = cat.rewritePositionDeletes("ns", "rpd")
+    assert(n2 === 0 && snap2.seq === snap.seq)
+    // old versions still time-travel to their own delete state
+    assert(cat.readVersion("ns", "rpd", 3).count() === 40L)
+    // SQL procedure surface
+    cat.commitDeletePositions("ns", "rpd",
+      cat.positionsWhere("ns", "rpd", org.apache.spark.sql.functions.col("id") === 2L))
+    val r = spark.sql(
+      s"CALL $c.system.rewrite_position_deletes('ns', 'rpd')").head()
+    assert(r.getLong(1) >= 1L)
+    assert(cat.read("ns", "rpd").count() === (before.size - 1).toLong)
+  }
 }

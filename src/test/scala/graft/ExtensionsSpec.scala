@@ -436,6 +436,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("byte count"), s"unexpected: ${e.getMessage}")
   }
 
+  test("table RENAME: one atomic directory move carries the whole " +
+       "versioned state — history, tags, branches, properties — to the " +
+       "new identity; the old name is gone") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-trenwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.told (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $c.ns.told VALUES (1, 'a')")
+    cat.createTag("ns", "told", "first")
+    spark.sql(s"INSERT INTO $c.ns.told VALUES (2, 'b')")
+    spark.sql(s"ALTER TABLE $c.ns.told SET TBLPROPERTIES ('owner.team' = 'x')")
+
+    spark.sql(s"ALTER TABLE $c.ns.told RENAME TO ns.tnew")
+    assert(!cat.tableExists("ns", "told"))
+    assert(spark.sql(s"SELECT id FROM $c.ns.tnew ORDER BY id").as[Long]
+      .collect().toSeq === Seq(1L, 2L))
+    // full state moved: history, tag time travel, properties
+    assert(cat.snapshots("ns", "tnew").size >= 3)
+    assert(spark.sql(s"SELECT id FROM $c.ns.tnew VERSION AS OF 'first'")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(cat.tableProperties("ns", "tnew").get("owner.team") === Some("x"))
+    // writes keep working under the new identity
+    spark.sql(s"INSERT INTO $c.ns.tnew VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.tnew").head().getLong(0) === 3L)
+    // the old name errors like any missing table; rename onto an
+    // existing table refuses
+    intercept[Exception] { spark.sql(s"SELECT * FROM $c.ns.told").collect() }
+    spark.sql(s"CREATE TABLE $c.ns.other (id BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.tnew RENAME TO ns.other")
+    }
+    // cross-namespace rename creates the target namespace dir
+    cat.renameTable("ns", "tnew", "ns2", "moved")
+    assert(cat.read("ns2", "moved").count() === 3L)
+  }
+
+  test("namespace properties: CREATE ... WITH PROPERTIES persists, ALTER " +
+       "SET/UNSET roundtrips, and the sidecar never lists as a table") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-nspwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE NAMESPACE $c.nsp WITH PROPERTIES ('team' = 'ml')")
+    spark.sql(s"ALTER NAMESPACE $c.nsp SET PROPERTIES ('tier' = 'gold')")
+    val desc = spark.sql(s"DESCRIBE NAMESPACE EXTENDED $c.nsp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = desc.getOrElse("Properties", "")
+    assert(props.contains("team") && props.contains("ml") &&
+      props.contains("tier") && props.contains("gold"), s"got: $desc")
+    spark.sql(s"ALTER NAMESPACE $c.nsp UNSET PROPERTIES ('team')")
+    val props2 = spark.sql(s"DESCRIBE NAMESPACE EXTENDED $c.nsp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("Properties", "")
+    assert(!props2.contains("team") && props2.contains("gold"))
+    // the sidecar file is namespace plumbing, never a table
+    spark.sql(s"CREATE TABLE $c.nsp.t1 (id BIGINT)")
+    assert(cat.listTables("nsp") === Seq("t1"))
+    assert(spark.sql(s"SHOW TABLES IN $c.nsp").select("tableName")
+      .collect().map(_.getString(0)).toSeq === Seq("t1"))
+  }
+
   test("VERSION AS OF accepts branch and tag names (Iceberg ref habit), " +
        "reads the right lineage, and unknown refs error clearly") {
     import graft.catalog.GraftCatalog

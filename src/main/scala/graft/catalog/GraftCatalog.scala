@@ -408,8 +408,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * survive with its type; new columns may appear (evolution). Returns
     * the schema JSON to record. */
   private def validatedSchemaJson(ns: String, name: String,
-                                  parent: Option[Snapshot], schema: StructType,
-                                  replacesAll: Boolean = false): String =
+                                  parent: Option[Snapshot], schema0: StructType,
+                                  replacesAll: Boolean = false): String = {
+    // the incoming frame may be another table's read output, whose
+    // fields still carry THAT table's PhysicalKey — the mapping is
+    // per-table commit-log state and only ever enters a recorded schema
+    // from the PARENT's field (merged below) or commitSchemaEvolution
+    val schema = StructType(schema0.fields.map(GraftCatalog.withoutPhysical))
     parent.flatMap(p => p.schemaJson.map((p, _))) match {
       case None => schema.json
       case Some((par, pj)) =>
@@ -419,7 +424,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             case None => throw new IllegalArgumentException(
               s"schema mismatch: column '${pf.name}' (${pf.dataType.simpleString}) " +
                 "is missing from the appended data")
-            case Some(nf) if nf.dataType != pf.dataType =>
+            // NESTED nullability is insignificant for the match (an
+            // INSERT VALUES literal struct arrives with non-nullable
+            // inner fields) — catalogString erases nullability at every
+            // depth; the recorded type keeps the previously-granted
+            // (wider) one below
+            case Some(nf) if nf.dataType.catalogString != pf.dataType.catalogString =>
               throw new IllegalArgumentException(
                 s"schema mismatch: column '${pf.name}' changed " +
                   s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString}")
@@ -450,7 +460,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // from the recorded field: the physical column mapping MUST
         // survive (losing it would orphan every pre-rename file) and
         // comments should (an INSERT must not strip documentation)
-        StructType(schema.fields.map { nf =>
+        StructType(schema.fields.map { nf0 =>
+          // nested nullability the table already grants must not tighten
+          // either: keep the previously-recorded TYPE when only
+          // nullability differs (catalogString-equal, checked above)
+          val nf = prev.fields.find(_.name == nf0.name) match {
+            case Some(pf) if pf.dataType != nf0.dataType =>
+              nf0.copy(dataType = pf.dataType)
+            case _ => nf0
+          }
           val widened = prev.fields.find(_.name == nf.name) match {
             case Some(pf) if pf.nullable && !nf.nullable => nf.copy(nullable = true)
             case _ => nf
@@ -465,6 +483,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           }
         }).json
     }
+  }
 
   // ---- column mapping plumbing ----
 
@@ -787,9 +806,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       throw new IllegalStateException(s"$ns.$name has no committed versions"))
     val posMans = head.manifests.filter(isPosDeleteManifest)
     val posEntries = posMans.flatMap(manifestEntries(ns, name, _))
-    if (posEntries.size <= 1 && posMans.size <= 1) return (head, 0)
+    if (posEntries.isEmpty) return (head, 0)
     import spark.implicits._
-    val liveDf = dataFiles(ns, name, head).toDF("file_path")
+    val live = dataFiles(ns, name, head)
+    // already-consolidated fast path — but a SINGLE delete file can
+    // still be pure dead weight (every referenced file COW-rewritten):
+    // only a provably all-live single file is a no-op, so repeated
+    // maintenance calls stay idempotent without stranding inert files
+    if (posEntries.size == 1 && posMans.size == 1) {
+      val liveSet = live.toSet
+      val refs = spark.read
+        .parquet(tableDir(ns, name).resolve(posEntries.head._1).toString)
+        .select("file_path").distinct().collect().map(_.getString(0))
+      if (refs.nonEmpty && refs.forall(liveSet)) return (head, 0)
+    }
+    val liveDf = live.toDF("file_path")
     val parts = math.max(1, math.ceil(
       posEntries.map(_._2).sum.toDouble / targetFileSizeBytes(ns, name)).toInt)
     val consolidated = spark.read
@@ -1271,14 +1302,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * compact-vs-append race). */
   def commitReplace(ns: String, name: String, df: DataFrame,
                     sourceRegion: String = "local", maxRetries: Int = 5,
-                    expectedParentSeq: Option[Long] = None): Snapshot = {
+                    expectedParentSeq: Option[Long] = None,
+                    bloomCols: Seq[String] = Seq.empty): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     validatedSchemaJson(ns, name, latest(ns, name), df.schema, replacesAll = true)
     // even a full overwrite keeps the physical mapping: the recorded
     // schema carries it forward, and normalizing here would desynchronize
     // a COW statement's kept files from the rewrite's (per-file eras —
     // exactly the complexity the stable physical name exists to avoid)
-    val pdf = toPhysicalDf(df, tableSchema(ns, name))
+    val curSchema = tableSchema(ns, name)
+    val pdf = toPhysicalDf(df, curSchema)
+    val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
     val entries = stageDataFiles(ns, name, pdf)
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version.
@@ -1289,7 +1323,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val manifest =
         if (entries.isEmpty) Seq.empty
         else Seq(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, pdf.schema)))
+          stagedFileStats(ns, name, entries, pdf.schema),
+          stagedFileBlooms(ns, name, entries, pdf.schema,
+            bloomCols.map(c => pm.getOrElse(c, c)))))
       staged = manifest
       casCommit(ns, name, maxRetries) { parent =>
         expectedParentSeq.foreach { exp =>
@@ -1570,8 +1606,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
     latest(ns, name) match {
       case None =>
-        require(deleteKeys.isEmpty,
-          s"cdc apply on empty $ns.$name cannot start with deletes")
+        // deletes against an EMPTY replica erase nothing by definition
+        // (an update's delete(old) half targets a row this replica
+        // never held) — refusing would deadlock the stream on replay
+        // of its own first batch
         commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
       case Some(parent0) =>
         validatedSchemaJson(ns, name, Some(parent0), rows.schema)
@@ -1725,8 +1763,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val raw = parts.reduce(_ unionByName _)
       schema.filter(GraftCatalog.hasColumnMapping) match {
         case Some(st) =>
-          val dataCols = st.fields.toSeq
-            .map(f => col(GraftCatalog.physicalName(f)).as(f.name))
+          // the PhysicalKey stays in the COMMIT LOG, never in read
+          // output — a result written into another table must not
+          // smuggle this table's parquet spellings along
+          val dataCols = st.fields.toSeq.map(f =>
+            col(GraftCatalog.physicalName(f))
+              .as(f.name, GraftCatalog.withoutPhysical(f).metadata))
           val extra =
             if (carryPosition) Seq(col("__graft_file"), col("__graft_pos"))
             else Seq.empty
@@ -1813,7 +1855,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           .filterNot(_.stats.get(GraftCatalog.RowsStatKey).exists(_._1 == "0"))
         if (entries.isEmpty) None
         else {
-          val bounds = entries.map(_.stats.get(physKeyOf(snap)(column)))
+          // hoisted: physKeyOf parses the schema JSON — once, not per entry
+          val statKey = physKeyOf(snap)(column)
+          val bounds = entries.map(_.stats.get(statKey))
           if (bounds.exists(_.isEmpty)) None
           else {
             val numeric = snap.schemaJson
@@ -2756,8 +2800,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .getOrElse(spark.read)
       val raw = reader.parquet(files.map(f => tableDir(ns, name).resolve(f).toString): _*)
       schema.filter(GraftCatalog.hasColumnMapping) match {
-        case Some(st) => raw.select(st.fields.toSeq
-          .map(f => col(GraftCatalog.physicalName(f)).as(f.name)): _*)
+        case Some(st) => raw.select(st.fields.toSeq.map(f =>
+          col(GraftCatalog.physicalName(f))
+            .as(f.name, GraftCatalog.withoutPhysical(f).metadata)): _*)
         case None => raw
       }
     }
@@ -3046,6 +3091,23 @@ object GraftCatalog {
   private[graft] def withPhysical(f: StructField, phys: String): StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+
+  /** Drop the PhysicalKey from a field's metadata — what read OUTPUTS
+    * and incoming WRITE schemas get: the mapping belongs to ONE table's
+    * commit log, and a `cat.read(t1)` result written into t2 must not
+    * smuggle t1's parquet spellings into t2's recorded schema (t2's
+    * files are written under t2's mapping; a foreign PhysicalKey would
+    * make every read of them silently NULL the column). */
+  private[graft] def withoutPhysical(f: StructField): StructField =
+    if (!f.metadata.contains(PhysicalKey)) f
+    else {
+      // MetadataBuilder has no removal API; the JSON form does
+      val node = propsMapper.readTree(f.metadata.json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.remove(PhysicalKey): Unit
+      f.copy(metadata =
+        org.apache.spark.sql.types.Metadata.fromJson(node.toString))
+    }
 
   /** Metadata-only row count from a parquet footer. Shared by the
     * no-prunable-columns commit path (executor-side, with the shipped

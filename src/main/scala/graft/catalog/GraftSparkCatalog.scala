@@ -107,19 +107,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def insertInto(ns: String, t: String): (DataFrame, Boolean) => Unit =
-    (data, overwrite) =>
-      if (overwrite) { cat.commitReplace(ns, t, data); () }
-      else {
-        // `write.bloom-columns` TBLPROPERTY: the SQL INSERT path records
-        // per-file blooms on the listed columns (point-lookup pruning on
-        // hash-distributed keys) — the knob rides the table's metadata,
-        // not the writing job
-        val bloomCols = cat.tableProperties(ns, t)
-          .get(GraftCatalog.BloomColumnsProp)
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty)
-        cat.commitAppend(ns, t, data, bloomCols = bloomCols); ()
-      }
+    (data, overwrite) => {
+      // `write.bloom-columns` TBLPROPERTY: the SQL INSERT path records
+      // per-file blooms on the listed columns (point-lookup pruning on
+      // hash-distributed keys) — the knob rides the table's metadata,
+      // not the writing job. INSERT OVERWRITE honors it too, or one
+      // rewrite would silently de-index the table
+      val bloomCols = cat.tableProperties(ns, t)
+        .get(GraftCatalog.BloomColumnsProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      if (overwrite) cat.commitReplace(ns, t, data, bloomCols = bloomCols): Unit
+      else cat.commitAppend(ns, t, data, bloomCols = bloomCols): Unit
+    }
 
   /** DELETE WHERE cond: re-read the CURRENT version at execution time,
     * keep the non-matching rows (null-cond rows survive — they do not

@@ -532,8 +532,43 @@ object IcebergExport {
     val nameMappingProp =
       if (!verSchemas.exists(GraftCatalog.hasColumnMapping)) ""
       else {
-        val entries = colIds.toSeq.sortBy(_._2)
-          .map { case (phys, id) => s"""{"field-id":$id,"names":[${jstr(phys)}]}""" }
+        // nested fields need their own mapping entries (spec: unmapped
+        // nested fields resolve to null for files without embedded ids)
+        // — same DFS id allocation as the schema JSON; list elements
+        // and map key/value take the spec's positional names
+        def nested(dt: DataType, nextId: () => Int): String = dt match {
+          case st: StructType => st.fields.map { f =>
+            val fid = nextId()
+            val kids = nested(f.dataType, nextId)
+            s"""{"field-id":$fid,"names":[${jstr(f.name)}]""" +
+              (if (kids.isEmpty) "}" else s""","fields":[$kids]}""")
+          }.mkString(",")
+          case ArrayType(e, _) =>
+            val eid = nextId()
+            val kids = nested(e, nextId)
+            s"""{"field-id":$eid,"names":["element"]""" +
+              (if (kids.isEmpty) "}" else s""","fields":[$kids]}""")
+          case MapType(k, v, _) =>
+            val kid = nextId()
+            val kk = nested(k, nextId)
+            val kEntry = s"""{"field-id":$kid,"names":["key"]""" +
+              (if (kk.isEmpty) "}" else s""","fields":[$kk]}""")
+            val vid = nextId()
+            val vk = nested(v, nextId)
+            val vEntry = s"""{"field-id":$vid,"names":["value"]""" +
+              (if (vk.isEmpty) "}" else s""","fields":[$vk]}""")
+            s"$kEntry,$vEntry"
+          case _ => ""
+        }
+        val typeOfPhys: Map[String, DataType] = verSchemas.flatMap(_.fields)
+          .map(f => GraftCatalog.physicalName(f) -> f.dataType).toMap
+        val entries = colIds.toSeq.sortBy(_._2).map { case (phys, id) =>
+          var cur = elemIds.getOrElse(phys, 0) - 1
+          val next = () => { cur += 1; cur }
+          val kids = typeOfPhys.get(phys).map(nested(_, next)).getOrElse("")
+          s"""{"field-id":$id,"names":[${jstr(phys)}]""" +
+            (if (kids.isEmpty) "}" else s""","fields":[$kids]}""")
+        }
         s""","schema.name-mapping.default":${jstr(s"[${entries.mkString(",")}]")}"""
       }
     // the HEAD version's TBLPROPERTIES ride the metadata properties map

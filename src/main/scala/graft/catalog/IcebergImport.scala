@@ -227,7 +227,17 @@ object IcebergImport {
           }.toMap
         }.getOrElse(Map.empty)
     val physOfId: Map[Int, String] =
-      nameMapping.groupBy(_._2).map { case (id, m) => id -> m.keys.min }
+      nameMapping.groupBy(_._2).map { case (id, m) =>
+        // a multi-name entry (legacy alias + current spelling) leaves
+        // the files' ACTUAL spelling ambiguous — picking one and being
+        // wrong reads the whole column as silent NULLs; refuse loudly
+        require(m.size == 1,
+          s"IcebergImport: name-mapping entry for field id $id carries " +
+            s"${m.size} names (${m.keys.mkString(", ")}) — the physical " +
+            "spelling is ambiguous; rewrite or simplify the mapping in " +
+            "the source engine first")
+        id -> m.keys.head
+      }
 
     // RENAME eras: a new era starts whenever a schema names a known
     // field id differently than the accumulated era map; each era's

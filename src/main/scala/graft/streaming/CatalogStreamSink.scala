@@ -52,12 +52,14 @@ object CatalogStreamSink {
   def foreachBatchApplyCdc(cat: GraftCatalog, ns: String, table: String,
                            keyCols: Seq[String],
                            queryTag: String = "cdcapply"): (DataFrame, Long) => Unit =
-    (df0, batchId) => {
-      import org.apache.spark.sql.functions.col
-      // the batch feeds two legs (inserts + delete keys): pin it so the
-      // incremental read underneath runs once, not per leg
-      val df = df0.localCheckpoint()
-      guarded(cat, ns, table, df, batchId, queryTag, (d, cid) =>
+    (df0, batchId) =>
+      guarded(cat, ns, table, df0, batchId, queryTag, (d0, cid) => {
+        import org.apache.spark.sql.functions.col
+        // the batch feeds two legs (inserts + delete keys): pin it so
+        // the incremental read underneath runs once, not per leg — and
+        // only INSIDE the commit closure, so a replayed batch the
+        // high-water mark skips never materializes its cdc diff at all
+        val d = d0.localCheckpoint()
         // an empty range (idle tick) must not pollute the replica's
         // history with no-op versions
         if (!d.isEmpty) {
@@ -66,8 +68,8 @@ object CatalogStreamSink {
             .select(keyCols.map(col): _*).distinct()
           cat.commitCdcApply(ns, table, ins, delKeys, keyCols,
             commitId = Some(cid)): Unit
-        })
-    }
+        }
+      })
 
   private def guarded(cat: GraftCatalog, ns: String, table: String,
                       df: DataFrame, batchId: Long, queryTag: String,

@@ -123,26 +123,40 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
           finally in.close()
           scala.util.Try(s.toLong).toOption
         }
-      def resolveAnchor(attempt: Int): Long = readValid().getOrElse {
-        require(attempt < 5,
-          s"could not publish stream start anchor $f after $attempt attempts")
-        if (fs.exists(f)) fs.delete(f, false) // corrupt anchor — replace it
+      def claim(attempt: Int): Long = {
         val resolved = parameters.getOrElse("starting-seq", "latest") match {
           case "latest"   => cat.latest(ns, t).map(_.seq).getOrElse(-1L)
           case "earliest" => -1L
           case n          => n.toLong
         }
         fs.mkdirs(dir)
-        // atomic publish: write a temp file, rename into place. A rename
-        // that loses to a concurrent restart re-reads the winner's value.
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s"graft-start-seq.tmp-${java.util.UUID.randomUUID}")
-        val out = fs.create(tmp, true)
-        try out.write(resolved.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.rename(tmp, f)) resolved
-        else { fs.delete(tmp, false); resolveAnchor(attempt + 1) }
+        // publish via create(overwrite=false) — the ATOMIC CLAIM (a
+        // rename would silently OVERWRITE an existing destination on
+        // the local fs, letting a racing loser replace the winner's
+        // anchor). A crash mid-write can leave a truncated file, which
+        // readValid treats as absent — the next restart self-heals.
+        try {
+          val out = fs.create(f, false)
+          try out.write(resolved.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          resolved
+        } catch { case _: java.io.IOException =>
+          // lost the claim race — re-read the winner's value
+          resolveAnchor(attempt + 1)
+        }
+      }
+      def resolveAnchor(attempt: Int): Long = readValid().getOrElse {
+        require(attempt < 5,
+          s"could not publish stream start anchor $f after $attempt attempts")
+        if (!fs.exists(f)) claim(attempt)
+        else {
+          // unparseable + exists: either a crash's truncated leftover or
+          // a CONCURRENT writer mid-flush — give the writer a beat
+          // before declaring it corrupt and reclaiming
+          Thread.sleep(50L * (attempt + 1))
+          readValid().getOrElse { fs.delete(f, false); claim(attempt) }
+        }
       }
       resolveAnchor(0)
     }

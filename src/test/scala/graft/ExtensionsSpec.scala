@@ -372,6 +372,21 @@ class ExtensionsSpec extends SparkSpec {
     // CDC across the rename range reads under the END version's names
     val changes = cat.changesBetween("ns", "rn", 0L, cat.latest("ns", "rn").get.seq)
     assert(changes.columns.contains("quantity") && !changes.columns.contains("v"))
+
+    // CROSS-TABLE metadata hygiene: writing THIS table's read output
+    // into another table must not smuggle the physical mapping along —
+    // t2's files are written under t2's (empty) mapping, and a leaked
+    // PhysicalKey would make every read of them silently NULL
+    cat.createTable("ns", "rn2")
+    cat.commitAppend("ns", "rn2",
+      cat.read("ns", "rn").select("k", "quantity"))
+    val t2Schema = cat.tableSchema("ns", "rn2").get
+    assert(!t2Schema.fields.exists(_.metadata.contains("graft.physical")),
+      s"foreign mapping leaked into rn2's recorded schema: ${t2Schema.json}")
+    assert(spark.sql(
+      s"SELECT sum(quantity) FROM $c.ns.rn2").head().getLong(0) ===
+      spark.sql(s"SELECT sum(quantity) FROM $c.ns.rn").head().getLong(0),
+      "rn2 must read back the copied values, never nulls")
   }
 
   test("TBLPROPERTIES: SET/UNSET/SHOW roundtrip, versioned like the " +

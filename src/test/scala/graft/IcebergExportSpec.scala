@@ -556,6 +556,44 @@ class IcebergExportSpec extends SparkSpec {
     assert(report.snapshots >= 3)
   }
 
+  test("a renamed table WITH nested columns emits nested name-mapping " +
+       "entries (spec: unmapped nested fields read null) and round-trips") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-rennest-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.rn (id BIGINT, qty BIGINT, " +
+      "meta STRUCT<tag: STRING, w: DOUBLE>)")
+    spark.sql(s"INSERT INTO $c.ns.rn VALUES (1, 10, named_struct('tag', 'a', 'w', 0.5))")
+    spark.sql(s"ALTER TABLE $c.ns.rn RENAME COLUMN qty TO quantity")
+    spark.sql(s"INSERT INTO $c.ns.rn VALUES (2, 20, named_struct('tag', 'b', 'w', 1.5))")
+    val dest = Files.createTempDirectory("iceberg-out-rennest").toString
+    val report = IcebergExport.exportTable(cat, "ns", "rn", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    val nm = mapper.readTree(
+      root.get("properties").get("schema.name-mapping.default").asText())
+    val metaEntry = nm.elements().asScala
+      .find(e => e.get("names").elements().asScala.exists(_.asText() == "meta"))
+      .getOrElse(fail("no mapping entry for the struct column"))
+    val nestedNames = metaEntry.get("fields").elements().asScala
+      .flatMap(_.get("names").elements().asScala.map(_.asText())).toSet
+    assert(nestedNames === Set("tag", "w"),
+      s"nested mapping entries must cover the struct fields, got $nestedNames")
+    // artifacts-only reader resolves BOTH the renamed flat column and
+    // the nested values through the mapping
+    val back = IcebergExport.readExported(spark, dest)
+    assert(back.select(col("quantity")).as[Long].collect().sorted.toSeq ===
+      Seq(10L, 20L))
+    assert(back.select(col("meta.w")).as[Double].collect().sorted.toSeq ===
+      Seq(0.5, 1.5))
+    // and the full import
+    val cat2 = new GraftCatalog(spark,
+      Files.createTempDirectory("iceberg-rennest-dst").toString)
+    graft.catalog.IcebergImport.importTable(cat2, "ns", "rn", dest)
+    assert(cat2.read("ns", "rn").select(col("meta.tag")).as[String]
+      .collect().sorted.toSeq === Seq("a", "b"))
+  }
+
   test("TBLPROPERTIES survive the export->import roundtrip (Iceberg's " +
        "metadata properties map)") {
     import spark.implicits._

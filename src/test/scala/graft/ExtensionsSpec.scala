@@ -672,6 +672,45 @@ class ExtensionsSpec extends SparkSpec {
       s"no pushdown evidence in plan:\n$plan")
   }
 
+  test("pushdown survives RENAME COLUMN: a filter on the renamed logical " +
+       "name reaches the parquet scan as the PHYSICAL column, and " +
+       "manifest stats prune files by the physical key") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-renpush").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.rp (id BIGINT, qty BIGINT)")
+    // range-clustered files so bounds pruning has something to skip
+    cat.commitAppend("ns", "rp", (1 to 1000).map(i => (i.toLong, i.toLong))
+      .toDF("id", "qty").repartitionByRange(8,
+        org.apache.spark.sql.functions.col("qty")))
+    spark.sql(s"ALTER TABLE $c.ns.rp RENAME COLUMN qty TO quantity")
+    val q = spark.sql(s"SELECT id FROM $c.ns.rp WHERE quantity = 999")
+    assert(q.as[Long].collect().toSeq === Seq(999L))
+    // the bridge receives the filter (logical spelling at this level;
+    // the alias inside the inner plan carries it to the parquet scan as
+    // the physical column — proven by the byte-level pruning below,
+    // which only works if the stats lookup translated to 'qty')
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(quantity,999"),
+      s"filter must be pushed into the scan:\n$plan")
+    // manifest-stats file pruning keys physically: the pruned entry set
+    // for quantity=999 is a strict subset of the 8 range files
+    val snap = cat.latest("ns", "rp").get
+    val kept = cat.readFilteredSnapshot("ns", "rp", snap,
+      Array(org.apache.spark.sql.sources.EqualTo("quantity", 999L)))
+    // file pruning only (the SQL layer reapplies the row filter): the
+    // surviving set is ~one range file, not the whole table
+    assert(kept.count() <= 300L,
+      s"expected ~1 of 8 range files to survive, got ${kept.count()} rows")
+    val total = cat.dataFiles("ns", "rp", snap).size
+    val prunedBytes = cat.estimateScanBytes("ns", "rp", snap,
+      Array(org.apache.spark.sql.sources.EqualTo("quantity", 999L)))
+    val allBytes = cat.estimateScanBytes("ns", "rp", snap, Array.empty)
+    assert(total >= 8 && prunedBytes < allBytes,
+      s"stats pruning must shrink the planned scan: $prunedBytes vs $allBytes over $total files")
+  }
+
   test("DSv2 aggregate pushdown: count/min/max answer from manifests after the data files are gone") {
     import graft.catalog.GraftCatalog
     val wh = java.nio.file.Files.createTempDirectory("graft-sqlwh3").toString

@@ -153,13 +153,29 @@ object IcebergExport {
     // rename representation: same id, different name per schema
     // version); logical keying would mint a fresh id and misread the
     // rename as drop+add
+    // the spec's promotion lattice is legal ACROSS versions under one
+    // field id (ALTER COLUMN TYPE int→long must stay exportable — each
+    // version's schema JSON carries its own type); anything off the
+    // lattice refuses. The union keeps the WIDEST type seen.
+    def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType | ShortType | ByteType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        a.scale == b.scale && b.precision >= a.precision
+      case _ => false
+    }
     val union = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     schemas.foreach(_.fields.foreach { f =>
       val k = GraftCatalog.physicalName(f)
       union.get(k) match {
-        case Some(prev) => require(prev.dataType == f.dataType,
+        case Some(prev) if prev.dataType == f.dataType => ()
+        case Some(prev) if promotes(prev.dataType, f.dataType) => union(k) = f
+        case Some(prev) if promotes(f.dataType, prev.dataType) => ()
+        case Some(prev) => throw new IllegalArgumentException(
           s"column ${f.name} changes type across versions " +
-            s"(${prev.dataType} -> ${f.dataType}) — not exportable as one Iceberg table")
+            s"(${prev.dataType} -> ${f.dataType}) off the promotion lattice " +
+            "— not exportable as one Iceberg table")
         case None => union(k) = f
       }
     })

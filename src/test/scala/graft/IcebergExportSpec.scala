@@ -594,6 +594,41 @@ class IcebergExportSpec extends SparkSpec {
       .collect().sorted.toSeq === Seq("a", "b"))
   }
 
+  test("ALTER COLUMN TYPE promotions stay exportable: one field id, " +
+       "per-version types, int32 pages read under the widened schema") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-promo-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.pm (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $c.ns.pm VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $c.ns.pm ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"INSERT INTO $c.ns.pm VALUES (2147483648, 'b')") // needs 64 bits
+    val dest = Files.createTempDirectory("iceberg-out-promo").toString
+    val report = IcebergExport.exportTable(cat, "ns", "pm", dest)
+    val root = mapper.readTree(Files.readAllBytes(Paths.get(report.metadataFile)))
+    // one field id for 'id' across versions; each schema its own type
+    val types = root.get("schemas").elements().asScala.toSeq.flatMap { s =>
+      s.get("fields").elements().asScala
+        .filter(_.get("name").asText() == "id")
+        .map(f => (f.get("id").asInt(), f.get("type").asText()))
+    }
+    assert(types.map(_._1).distinct.size === 1,
+      s"'id' must keep ONE field id across versions, got $types")
+    assert(types.map(_._2).toSet === Set("int", "long"), s"got $types")
+    // the read-back widens int32 pages natively
+    assert(IcebergExport.readExported(spark, dest)
+      .agg(sum("id")).head().getLong(0) === 2147483649L)
+    // and the import replays the promotion
+    val cat2 = new GraftCatalog(spark,
+      Files.createTempDirectory("iceberg-promo-dst").toString)
+    graft.catalog.IcebergImport.importTable(cat2, "ns", "pm", dest)
+    assert(cat2.tableSchema("ns", "pm").get.fields
+      .find(_.name == "id").get.dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(cat2.read("ns", "pm").agg(sum("id")).head().getLong(0) === 2147483649L)
+  }
+
   test("TBLPROPERTIES survive the export->import roundtrip (Iceberg's " +
        "metadata properties map)") {
     import spark.implicits._

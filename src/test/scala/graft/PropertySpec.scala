@@ -251,4 +251,60 @@ class PropertySpec extends SparkSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("column-mapping equivalence law: a random op sequence with " +
+       "interleaved RENAMEs lands on the same data as its rename-free " +
+       "twin (values identical under a fixed final naming)") {
+    import graft.catalog.GraftCatalog
+    // op alphabet: append a batch / rename the value column / MoR-delete
+    // some keys / compact. The renamed table cycles the value column
+    // through fresh names; the twin never renames. After each sequence
+    // both tables must hold identical (k, value) sets, and the renamed
+    // table's stats pruning must still answer point lookups exactly.
+    val opGen = Gen.listOfN(8, Gen.oneOf("append", "rename", "delete", "compact"))
+    var case_ = 0
+    samples(opGen, n = 6) { ops =>
+      case_ += 1
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-maplaw$case_").toString
+      val cat = new GraftCatalog(spark, wh)
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+      spark.sql(s"CREATE TABLE $c.law.renamed (k BIGINT, v0 BIGINT)")
+      spark.sql(s"CREATE TABLE $c.law.plain (k BIGINT, v0 BIGINT)")
+      var gen = 0      // current value-column name index on the renamed table
+      var nextKey = 0L
+      ops.foreach {
+        case "append" =>
+          val batch = (nextKey until nextKey + 20L).map(k => (k, k * 7L))
+          nextKey += 20L
+          cat.commitAppend("law", "renamed",
+            batch.toDF("k", s"v$gen"))
+          cat.commitAppend("law", "plain", batch.toDF("k", "v0"))
+        case "rename" =>
+          spark.sql(s"ALTER TABLE $c.law.renamed RENAME COLUMN v$gen TO v${gen + 1}")
+          gen += 1
+        case "delete" if nextKey > 0 =>
+          val keys = (0L until nextKey by 7L).toDF("k")
+          cat.commitDelete("law", "renamed", keys)
+          cat.commitDelete("law", "plain", keys)
+        case "compact" if nextKey > 0 =>
+          cat.compact("law", "renamed", 128L * 1024 * 1024)
+          cat.compact("law", "plain", 128L * 1024 * 1024)
+        case _ => () // delete/compact before any data: no-op
+      }
+      val a = cat.read("law", "renamed")
+        .select(col("k"), col(s"v$gen").as("v")).as[(Long, Long)].collect().toSet
+      val b = cat.read("law", "plain")
+        .select(col("k"), col("v0").as("v")).as[(Long, Long)].collect().toSet
+      assert(a === b, s"ops=$ops: renamed table diverged from its twin")
+      // stats-pruned point lookup through the final logical name is exact
+      if (nextKey > 0) {
+        val probe = nextKey - 1
+        assert(cat.readWhere("law", "renamed", s"v$gen",
+            Some((probe * 7).toString), Some((probe * 7).toString))
+          .select("k").as[Long].collect().toSet ===
+          b.filter(_._2 == probe * 7).map(_._1),
+          s"ops=$ops: pruned lookup diverged")
+      }
+    }
+  }
 }

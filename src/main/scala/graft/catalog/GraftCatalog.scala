@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Versioned-table catalog over Parquet — the Spark-native reproduction of
   * the reference's catalog/commit surface (SURVEY §2.1: C1-C14).
@@ -461,19 +461,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // survive (losing it would orphan every pre-rename file) and
         // comments should (an INSERT must not strip documentation)
         StructType(schema.fields.map { nf0 =>
-          // nested nullability the table already grants must not tighten
-          // either: keep the previously-recorded TYPE when only
-          // nullability differs (catalogString-equal, checked above)
-          val nf = prev.fields.find(_.name == nf0.name) match {
+          // one lookup serves all three merge concerns below
+          val pfOpt = prev.fields.find(_.name == nf0.name)
+          // nested nullability may only ever WIDEN, in both directions:
+          // the recorded type is the nullability UNION of granted and
+          // incoming (catalogString-equal, checked above) — keeping the
+          // narrow side in EITHER direction is unsound (recorded
+          // non-nullable over files holding nulls breaks reads; recorded
+          // nullable over non-null files is merely loose)
+          val nf = pfOpt match {
             case Some(pf) if pf.dataType != nf0.dataType =>
-              nf0.copy(dataType = pf.dataType)
+              nf0.copy(dataType =
+                GraftCatalog.unionNullability(pf.dataType, nf0.dataType))
             case _ => nf0
           }
-          val widened = prev.fields.find(_.name == nf.name) match {
+          val widened = pfOpt match {
             case Some(pf) if pf.nullable && !nf.nullable => nf.copy(nullable = true)
             case _ => nf
           }
-          prev.fields.find(_.name == nf.name) match {
+          pfOpt match {
             case Some(pf) if pf.metadata != org.apache.spark.sql.types.Metadata.empty
                 && widened.metadata == org.apache.spark.sql.types.Metadata.empty =>
               widened.copy(metadata = pf.metadata)
@@ -818,6 +824,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val refs = spark.read
         .parquet(tableDir(ns, name).resolve(posEntries.head._1).toString)
         .select("file_path").distinct().collect().map(_.getString(0))
+      // all-live single file: already consolidated, nothing to do.
+      // (An all-DEAD single file falls through and the empty
+      // consolidation below drops its manifest — converging, because
+      // entries.isEmpty then commits no replacement p-file.)
       if (refs.nonEmpty && refs.forall(liveSet)) return (head, 0)
     }
     val liveDf = live.toDF("file_path")
@@ -830,7 +840,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .join(broadcast(liveDf), Seq("file_path"), "left_semi")
       .repartitionByRange(parts, col("file_path"), col("pos"))
       .sortWithinPartitions(col("file_path"), col("pos"))
-    val entries = stageDataFiles(ns, name, consolidated)
+    // an entirely-inert delete set consolidates to NOTHING — staging the
+    // empty frame would land a zero-row p-file the fast path can never
+    // call live, and every maintenance call would churn a new no-op
+    // version forever instead of converging
+    val entries =
+      if (consolidated.isEmpty) Seq.empty
+      else stageDataFiles(ns, name, consolidated)
     var staged: Seq[String] = Seq.empty
     try {
       val newManifest =
@@ -2033,14 +2049,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         s"$ns.$name: concurrent schema change — the ALTER was derived " +
           s"against ${e.simpleString} but the table is now " +
           s"${prev.simpleString}; re-derive and retry"))
-      def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
-        case (a, b) if a == b => true
-        case (IntegerType, LongType) => true
-        case (FloatType, DoubleType) => true
-        case (a: DecimalType, b: DecimalType) =>
-          a.scale == b.scale && b.precision >= a.precision
-        case _ => false
-      }
+      // the ONE shared lattice (export's cross-version check uses it too
+      // — the two must never drift or a legal ALTER kills exportability)
+      def promotes(from: DataType, to: DataType): Boolean =
+        GraftCatalog.promotes(from, to)
       // old and new fields pair by PHYSICAL identity — the stable id the
       // column-mapping layer gives every field. A RENAME keeps the
       // physical name, so it pairs here (and is validated as the same
@@ -3091,6 +3103,39 @@ object GraftCatalog {
   private[graft] def withPhysical(f: StructField, phys: String): StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+
+  /** Recursive nullability UNION of two catalogString-equal types —
+    * nullable wherever EITHER side is, at every depth. The only sound
+    * recorded type when batches disagree on nested nullability: the
+    * narrow side over files holding nulls breaks reads. */
+  private[graft] def unionNullability(a: DataType, b: DataType): DataType =
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        StructType(x.fields.zip(y.fields).map { case (fa, fb) =>
+          fa.copy(dataType = unionNullability(fa.dataType, fb.dataType),
+            nullable = fa.nullable || fb.nullable)
+        })
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        ArrayType(unionNullability(ea, eb), na || nb)
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        MapType(unionNullability(ka, kb), unionNullability(va, vb), na || nb)
+      case _ => a
+    }
+
+  /** The Iceberg spec's type-promotion lattice — ONE definition shared
+    * by ALTER COLUMN TYPE validation and the export's cross-version
+    * check (the import's string form adapts to it). Byte/short are
+    * stored as int32 pages, so widening them to long is served natively
+    * like int. */
+  private[graft] def promotes(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        a.scale == b.scale && b.precision >= a.precision
+      case _ => false
+    }
 
   /** Drop the PhysicalKey from a field's metadata — what read OUTPUTS
     * and incoming WRITE schemas get: the mapping belongs to ONE table's

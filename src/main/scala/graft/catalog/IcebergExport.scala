@@ -156,15 +156,11 @@ object IcebergExport {
     // the spec's promotion lattice is legal ACROSS versions under one
     // field id (ALTER COLUMN TYPE int→long must stay exportable — each
     // version's schema JSON carries its own type); anything off the
-    // lattice refuses. The union keeps the WIDEST type seen.
-    def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (a, b) if a == b => true
-      case (IntegerType | ShortType | ByteType, LongType) => true
-      case (FloatType, DoubleType) => true
-      case (a: DecimalType, b: DecimalType) =>
-        a.scale == b.scale && b.precision >= a.precision
-      case _ => false
-    }
+    // lattice refuses. The union keeps the WIDEST type seen. ONE shared
+    // lattice with the ALTER path (GraftCatalog.promotes) — drift would
+    // make a legal ALTER kill exportability or vice versa.
+    def promotes(from: DataType, to: DataType): Boolean =
+      GraftCatalog.promotes(from, to)
     val union = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     schemas.foreach(_.fields.foreach { f =>
       val k = GraftCatalog.physicalName(f)

@@ -140,7 +140,12 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
           try out.write(resolved.toString
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          resolved
+          // the local fs's create(overwrite=false) is check-then-create
+          // (no O_EXCL) and the corrupt-reclaim branch can replace a
+          // mid-write claim — so the FILE, not the local variable, is
+          // the source of truth: re-read after close and adopt whatever
+          // survived (both racers converge on the same anchor)
+          readValid().getOrElse(resolveAnchor(attempt + 1))
         } catch { case _: java.io.IOException =>
           // lost the claim race — re-read the winner's value
           resolveAnchor(attempt + 1)

@@ -1159,5 +1159,24 @@ class CatalogSpec extends SparkSpec {
       s"CALL $c.system.rewrite_position_deletes('ns', 'rpd')").head()
     assert(r.getLong(1) >= 1L)
     assert(cat.read("ns", "rpd").count() === (before.size - 1).toLong)
+
+    // CONVERGENCE with an all-dead delete set: compact() materializes
+    // everything (fresh files), then a position delete whose target is
+    // COW-rewritten leaves ONE fully-inert p-file — the rewrite must
+    // DROP it (no zero-row replacement) and the next call must no-op,
+    // never churn no-op versions forever
+    cat.compact("ns", "rpd", 128L * 1024 * 1024)
+    val nRows = cat.read("ns", "rpd").count()
+    cat.commitDeletePositions("ns", "rpd",
+      cat.positionsWhere("ns", "rpd", org.apache.spark.sql.functions.col("id") === 3L))
+    spark.sql(s"UPDATE $c.ns.rpd SET v = 'z' WHERE id = 4") // rewrites 3's file too
+    val (s1, e1) = cat.rewritePositionDeletes("ns", "rpd")
+    assert(e1 >= 1, "the inert delete file must be eliminated")
+    assert(!s1.manifests.exists(_.startsWith("_meta/manifests/p")),
+      "no replacement p-manifest for an all-dead set")
+    val (s2, e2) = cat.rewritePositionDeletes("ns", "rpd")
+    assert(e2 === 0 && s2.seq === s1.seq, "second call must be a no-op")
+    // the COW rewrite already materialized the erasure of id=3
+    assert(cat.read("ns", "rpd").count() === nRows - 1)
   }
 }

@@ -107,4 +107,37 @@ class NestedTypesSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(2L, 4L, 5L, 6L))
     assert(got.count() === 3L)
   }
+
+  test("nested nullability only ever WIDENS: a nullable batch after a " +
+       "non-nullable typed first commit records the union and reads " +
+       "its nulls back") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("graft-nestnull").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "nn")
+    // typed encoders mark tuple struct inner fields NON-nullable
+    cat.commitAppend("ns", "nn", Seq((1L, ("a", 1.0))).toDF("id", "meta"))
+    val rec0 = cat.tableSchema("ns", "nn").get("meta").dataType
+      .asInstanceOf[StructType]
+    assert(!rec0.fields.forall(_.nullable)) // at least one non-nullable inner
+    // a source whose inner field is nullable AND holds a null
+    val nullableMeta = StructType(Seq(StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("_1", StringType, nullable = true),
+        StructField("_2", DoubleType, nullable = true))))))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(null, 2.0)))),
+      nullableMeta)
+    cat.commitAppend("ns", "nn", batch)
+    // recorded type widened; the null survives the read
+    val rec1 = cat.tableSchema("ns", "nn").get("meta").dataType
+      .asInstanceOf[StructType]
+    assert(rec1.fields.forall(_.nullable),
+      s"nested nullability must WIDEN to the union, got ${rec1.simpleString}")
+    assert(cat.read("ns", "nn").filter(org.apache.spark.sql.functions
+      .col("meta._1").isNull).count() === 1L,
+      "the nullable batch's null must read back (a narrow recorded type loses it)")
+  }
 }

@@ -1834,9 +1834,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * TBLPROPERTY (the Iceberg knob name), default 512 MiB — the
     * maintenance-job form: one scheduled `compact(ns, t)` per table,
     * each table's target riding its own metadata instead of job
-    * arguments. */
+    * arguments. When `write.sort-columns` is set the rewrite
+    * range-clusters on those columns ([[compactSorted]]), restoring
+    * tight per-file bounds in the same pass. */
   def compact(ns: String, name: String): Snapshot =
-    compact(ns, name, targetFileSizeBytes(ns, name))
+    sortColumns(ns, name) match {
+      case cols if cols.nonEmpty =>
+        compactSorted(ns, name, targetFileSizeBytes(ns, name), cols)
+      case _ => compact(ns, name, targetFileSizeBytes(ns, name))
+    }
+
+  /** The table's `write.sort-columns` property as a validated column
+    * list (empty when unset; unknown columns refuse loudly — a typo'd
+    * clustering knob silently doing nothing is how pruning rots).
+    * Property values are LOGICAL names: after RENAME COLUMN the stale
+    * property refuses the next INSERT with the column list in the
+    * message — update the property (Iceberg tracks sort orders by
+    * field-id and survives renames; a name-keyed property that silently
+    * stopped clustering would be worse than the loud stop). */
+  def sortColumns(ns: String, name: String): Seq[String] =
+    tableProperties(ns, name).get(GraftCatalog.SortColumnsProp) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = tableSchema(ns, name).map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val bad = cols.filterNot(known)
+        require(bad.isEmpty,
+          s"$ns.$name: ${GraftCatalog.SortColumnsProp} names unknown column(s) " +
+            s"${bad.mkString(", ")} (schema: ${known.mkString(", ")})")
+        cols
+    }
 
   /** The table's `write.target-file-size-bytes` property (512 MiB when
     * unset); malformed values refuse loudly rather than silently
@@ -3064,6 +3091,11 @@ object GraftCatalog {
   val TargetFileSizeProp = "write.target-file-size-bytes"
   /** Comma-separated column list the SQL INSERT path bloom-indexes. */
   val BloomColumnsProp = "write.bloom-columns"
+  /** Comma-separated column list the SQL INSERT path range-clusters by
+    * (and the no-target [[GraftCatalog.compact]] sorts by) — the knob
+    * that makes manifest-bounds pruning work for a SQL-only user: files
+    * written clustered carry TIGHT min/max on these columns. */
+  val SortColumnsProp = "write.sort-columns"
 
   // ---- column mapping (metadata-only RENAME COLUMN) ----
   // Delta-style column mapping: every field owns a stable PHYSICAL

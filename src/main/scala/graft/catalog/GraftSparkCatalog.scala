@@ -117,8 +117,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .get(GraftCatalog.BloomColumnsProp)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-      if (overwrite) cat.commitReplace(ns, t, data, bloomCols = bloomCols): Unit
-      else cat.commitAppend(ns, t, data, bloomCols = bloomCols): Unit
+      // `write.sort-columns`: range-cluster the batch so its files carry
+      // TIGHT min/max bounds on the listed columns — the knob that makes
+      // manifest pruning work for a SQL-only writer (Iceberg's
+      // write.distribution-mode=range habit). Partition count follows
+      // the session's shuffle setting; compact() later re-bins to the
+      // target file size, re-sorted by the same property.
+      val sortCols = cat.sortColumns(ns, t)
+      val shaped =
+        if (sortCols.isEmpty) data
+        else data.repartitionByRange(sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      if (overwrite) cat.commitReplace(ns, t, shaped, bloomCols = bloomCols): Unit
+      else cat.commitAppend(ns, t, shaped, bloomCols = bloomCols): Unit
     }
 
   /** DELETE WHERE cond: re-read the CURRENT version at execution time,

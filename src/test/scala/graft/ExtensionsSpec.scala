@@ -451,6 +451,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("byte count"), s"unexpected: ${e.getMessage}")
   }
 
+  test("write.sort-columns: SQL-only writers get range-clustered files " +
+       "with tight bounds (manifest pruning works without any Scala), " +
+       "and the no-arg compact() re-sorts by the same property") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-sortwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.sc (id BIGINT, v BIGINT) TBLPROPERTIES (" +
+      "'write.sort-columns' = 'id', 'write.target-file-size-bytes' = '4096')")
+    spark.sql(s"INSERT INTO $c.ns.sc SELECT id, id * 3 FROM range(0, 10000)")
+    def prunedVsAll(): (Long, Long) = {
+      val snap = cat.latest("ns", "sc").get
+      (cat.estimateScanBytes("ns", "sc", snap,
+        Array(org.apache.spark.sql.sources.EqualTo("id", 9999L))),
+        cat.estimateScanBytes("ns", "sc", snap, Array.empty))
+    }
+    // (a single small INSERT may AQE-coalesce to one file — size-based,
+    // exactly right at scale — so the pruning proof runs post-compact)
+    assert(spark.sql(s"SELECT v FROM $c.ns.sc WHERE id = 9999").as[Long]
+      .collect().toSeq === Seq(29997L))
+    // append a SECOND clustered batch (overlapping ranges), then the
+    // no-arg compact() re-establishes one tight layout at the 4 KiB
+    // target — still pruned after the rewrite
+    spark.sql(s"INSERT INTO $c.ns.sc SELECT id, id * 3 FROM range(10000, 20000)")
+    cat.compact("ns", "sc")
+    val (pruned2, all2) = prunedVsAll()
+    assert(pruned2 * 2 < all2,
+      s"compact() must keep the sorted layout: $pruned2 vs $all2")
+    assert(cat.dataFiles("ns", "sc", cat.latest("ns", "sc").get).size > 4,
+      "the 4 KiB target must split the rewrite into many files")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.sc").head().getLong(0) === 20000L)
+    // a typo'd clustering column refuses loudly (silent no-op rots pruning)
+    spark.sql(s"ALTER TABLE $c.ns.sc SET TBLPROPERTIES ('write.sort-columns' = 'nope')")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ns.sc VALUES (99999, 1)")
+    }
+    assert(e.getMessage.contains("unknown column"), s"unexpected: ${e.getMessage}")
+  }
+
   test("table RENAME: one atomic directory move carries the whole " +
        "versioned state — history, tags, branches, properties — to the " +
        "new identity; the old name is gone") {

@@ -815,38 +815,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     if (posEntries.isEmpty) return (head, 0)
     import spark.implicits._
     val live = dataFiles(ns, name, head)
-    // already-consolidated fast path — but a SINGLE delete file can
-    // still be pure dead weight (every referenced file COW-rewritten):
-    // only a provably all-live single file is a no-op, so repeated
-    // maintenance calls stay idempotent without stranding inert files
-    if (posEntries.size == 1 && posMans.size == 1) {
-      val liveSet = live.toSet
-      val refs = spark.read
-        .parquet(tableDir(ns, name).resolve(posEntries.head._1).toString)
-        .select("file_path").distinct().collect().map(_.getString(0))
-      // all-live single file: already consolidated, nothing to do.
-      // (An all-DEAD single file falls through and the empty
-      // consolidation below drops its manifest — converging, because
-      // entries.isEmpty then commits no replacement p-file.)
-      if (refs.nonEmpty && refs.forall(liveSet)) return (head, 0)
-    }
-    val liveDf = live.toDF("file_path")
+    val liveSet = live.toSet
+    // ONE small job over the delete side answers both decisions below:
+    // the distinct files every position delete references
+    val refs = spark.read
+      .parquet(posEntries.map(e => tableDir(ns, name).resolve(e._1).toString): _*)
+      .select("file_path").distinct().collect().map(_.getString(0))
     val parts = math.max(1, math.ceil(
       posEntries.map(_._2).sum.toDouble / targetFileSizeBytes(ns, name)).toInt)
-    val consolidated = spark.read
-      .parquet(posEntries.map(e => tableDir(ns, name).resolve(e._1).toString): _*)
-      .select(col("file_path"), col("pos").cast("long").as("pos"))
-      .distinct()
-      .join(broadcast(liveDf), Seq("file_path"), "left_semi")
-      .repartitionByRange(parts, col("file_path"), col("pos"))
-      .sortWithinPartitions(col("file_path"), col("pos"))
-    // an entirely-inert delete set consolidates to NOTHING — staging the
-    // empty frame would land a zero-row p-file the fast path can never
-    // call live, and every maintenance call would churn a new no-op
-    // version forever instead of converging
+    // already-consolidated fast path: ONE all-live p-manifest already at
+    // (or under) the target file count is a no-op, so repeated
+    // maintenance calls converge instead of committing a fresh version
+    // each run. (An all-dead set falls through — pure dead weight.)
+    if (posMans.size == 1 && posEntries.size <= parts &&
+        refs.nonEmpty && refs.forall(liveSet)) return (head, 0)
     val entries =
-      if (consolidated.isEmpty) Seq.empty
-      else stageDataFiles(ns, name, consolidated)
+      if (!refs.exists(liveSet))
+        // entirely-inert delete set: consolidates to NOTHING — staging
+        // the empty frame would land a zero-row p-file the fast path
+        // could never call live, churning no-op versions forever
+        Seq.empty
+      else {
+        val liveDf = live.toDF("file_path")
+        stageDataFiles(ns, name, spark.read
+          .parquet(posEntries.map(e => tableDir(ns, name).resolve(e._1).toString): _*)
+          .select(col("file_path"), col("pos").cast("long").as("pos"))
+          .distinct()
+          .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+          .repartitionByRange(parts, col("file_path"), col("pos"))
+          .sortWithinPartitions(col("file_path"), col("pos")))
+      }
     var staged: Seq[String] = Seq.empty
     try {
       val newManifest =
@@ -1828,21 +1826,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * distributed repartition, committed as an overwrite. Old files stay
     * reachable from old versions until expireSnapshots reclaims them. */
   def compact(ns: String, name: String, targetFileBytes: Long): Snapshot =
-    compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+    // EVERY compaction honors `write.sort-columns` — the property is
+    // table state, and an unsorted rewrite would silently destroy the
+    // clustering (full-range bounds on every new file = pruning dead);
+    // this is also what the SQL CALL system.compact path reaches
+    sortColumns(ns, name) match {
+      case cols if cols.nonEmpty => compactSorted(ns, name, targetFileBytes, cols)
+      case _ =>
+        compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+    }
 
   /** [[compact]] sized by the table's own `write.target-file-size-bytes`
     * TBLPROPERTY (the Iceberg knob name), default 512 MiB — the
     * maintenance-job form: one scheduled `compact(ns, t)` per table,
     * each table's target riding its own metadata instead of job
-    * arguments. When `write.sort-columns` is set the rewrite
-    * range-clusters on those columns ([[compactSorted]]), restoring
-    * tight per-file bounds in the same pass. */
+    * arguments. `write.sort-columns` applies like on every compaction. */
   def compact(ns: String, name: String): Snapshot =
-    sortColumns(ns, name) match {
-      case cols if cols.nonEmpty =>
-        compactSorted(ns, name, targetFileSizeBytes(ns, name), cols)
-      case _ => compact(ns, name, targetFileSizeBytes(ns, name))
-    }
+    compact(ns, name, targetFileSizeBytes(ns, name))
 
   /** The table's `write.sort-columns` property as a validated column
     * list (empty when unset; unknown columns refuse loudly — a typo'd
@@ -1852,18 +1852,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * message — update the property (Iceberg tracks sort orders by
     * field-id and survives renames; a name-keyed property that silently
     * stopped clustering would be worse than the loud stop). */
-  def sortColumns(ns: String, name: String): Seq[String] =
-    tableProperties(ns, name).get(GraftCatalog.SortColumnsProp) match {
-      case None => Seq.empty
-      case Some(v) =>
-        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val known = tableSchema(ns, name).map(_.fieldNames.toSet).getOrElse(Set.empty)
-        val bad = cols.filterNot(known)
-        require(bad.isEmpty,
-          s"$ns.$name: ${GraftCatalog.SortColumnsProp} names unknown column(s) " +
-            s"${bad.mkString(", ")} (schema: ${known.mkString(", ")})")
-        cols
-    }
+  def sortColumns(ns: String, name: String): Seq[String] = {
+    val snap = latest(ns, name)
+    GraftCatalog.validatedSortColumns(s"$ns.$name",
+      snap.map(_.properties).getOrElse(Map.empty),
+      snap.flatMap(_.schemaJson)
+        .map(DataType.fromJson(_).asInstanceOf[StructType]))
+  }
 
   /** The table's `write.target-file-size-bytes` property (512 MiB when
     * unset); malformed values refuse loudly rather than silently
@@ -2107,8 +2102,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           require(promotes(pf.dataType, nf.dataType),
             s"$ns.$name: illegal type change for '${pf.name}': " +
               s"${pf.dataType.simpleString} -> ${nf.dataType.simpleString} is not " +
-              "on the promotion lattice (int->long, float->double, decimal " +
-              "precision widening); committed files could not serve the read")
+              "on the promotion lattice (integral widening byte->short->int" +
+              "->long, float->double, decimal precision widening); committed " +
+              "files could not serve the read")
           require(!pf.nullable || nf.nullable,
             s"$ns.$name: cannot tighten '${pf.name}' to NOT NULL — existing " +
               "files are not re-validated and may hold nulls")
@@ -3136,6 +3132,35 @@ object GraftCatalog {
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
 
+  /** [[GraftCatalog.sortColumns]]'s core against an ALREADY-LOADED
+    * snapshot state (the SQL INSERT path reads the head once and derives
+    * bloom + sort + schema from the same version — three separate head
+    * reads could even observe different versions under a concurrent
+    * ALTER). Columns must exist AND be prunable/orderable: a map-typed
+    * sort column would fail the INSERT with an opaque engine error, and
+    * a non-prunable one would cluster files that record no bounds —
+    * both refused HERE, attributably. */
+  private[catalog] def validatedSortColumns(table: String,
+      props: Map[String, String], schema: Option[StructType]): Seq[String] =
+    props.get(SortColumnsProp) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val fields = schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+        val known = fields.map(_.name).toSet
+        val bad = cols.filterNot(known)
+        require(bad.isEmpty,
+          s"$table: $SortColumnsProp names unknown column(s) " +
+            s"${bad.mkString(", ")} (schema: ${known.mkString(", ")})")
+        val unprunable = cols.filter(c =>
+          !fields.find(_.name == c).forall(f => prunableType(f.dataType)))
+        require(unprunable.isEmpty,
+          s"$table: $SortColumnsProp column(s) ${unprunable.mkString(", ")} " +
+            "are not orderable/prunable types — clustering them records no " +
+            "bounds (and non-orderable types fail the write)")
+        cols
+    }
+
   /** Recursive nullability UNION of two catalogString-equal types —
     * nullable wherever EITHER side is, at every depth. The only sound
     * recorded type when batches disagree on nested nullability: the
@@ -3159,15 +3184,25 @@ object GraftCatalog {
     * check (the import's string form adapts to it). Byte/short are
     * stored as int32 pages, so widening them to long is served natively
     * like int. */
-  private[graft] def promotes(from: DataType, to: DataType): Boolean =
+  private[graft] def promotes(from: DataType, to: DataType): Boolean = {
+    // integral widening in ANY step (byte→short→int→long): all four are
+    // stored as int32 pages (long as int64), every widening read is
+    // served natively — allowing byte→long but refusing byte→int would
+    // be an arbitrary hole
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => 0
+    }
     (from, to) match {
       case (a, b) if a == b => true
-      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (a, b) if rank(a) > 0 && rank(b) > 0 => rank(a) <= rank(b)
       case (FloatType, DoubleType) => true
       case (a: DecimalType, b: DecimalType) =>
         a.scale == b.scale && b.precision >= a.precision
       case _ => false
     }
+  }
 
   /** Drop the PhysicalKey from a field's metadata — what read OUTPUTS
     * and incoming WRITE schemas get: the mapping belongs to ONE table's

@@ -113,8 +113,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // hash-distributed keys) — the knob rides the table's metadata,
       // not the writing job. INSERT OVERWRITE honors it too, or one
       // rewrite would silently de-index the table
-      val bloomCols = cat.tableProperties(ns, t)
-        .get(GraftCatalog.BloomColumnsProp)
+      // ONE head read serves every property (bloom + sort + schema from
+      // the SAME version — separate reads could observe different
+      // versions under a concurrent ALTER)
+      val head = cat.latest(ns, t)
+      val props = head.map(_.properties).getOrElse(Map.empty)
+      val bloomCols = props.get(GraftCatalog.BloomColumnsProp)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
       // `write.sort-columns`: range-cluster the batch so its files carry
@@ -123,7 +127,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // write.distribution-mode=range habit). Partition count follows
       // the session's shuffle setting; compact() later re-bins to the
       // target file size, re-sorted by the same property.
-      val sortCols = cat.sortColumns(ns, t)
+      val sortCols = GraftCatalog.validatedSortColumns(s"$ns.$t", props,
+        head.flatMap(_.schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]))
       val shaped =
         if (sortCols.isEmpty) data
         else data.repartitionByRange(sortCols.map(col): _*)

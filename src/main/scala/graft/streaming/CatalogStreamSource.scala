@@ -113,6 +113,13 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       // a crash mid-write could leave an empty/truncated anchor; treat
       // unparseable content as ABSENT so the stream self-heals by
       // re-resolving instead of failing every restart forever
+      // anchor format `<seq>;<seq>` — the duplicated value is an
+      // integrity check: two NON-atomic racing writers interleaving at
+      // offset 0 can produce a byte mix that PARSES as a long (e.g.
+      // "3" over "-1" → "31"), but a mix of two different `x;x` strings
+      // can never reproduce the self-matching shape, so a chimera value
+      // reads as corrupt (→ reclaimed) instead of anchoring the stream
+      // at a seq nobody resolved
       def readValid(): Option[Long] =
         if (!fs.exists(f)) None
         else {
@@ -121,7 +128,10 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
             org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
             java.nio.charset.StandardCharsets.UTF_8).trim
           finally in.close()
-          scala.util.Try(s.toLong).toOption
+          s.split(";") match {
+            case Array(a, b) if a == b => scala.util.Try(a.toLong).toOption
+            case _ => None
+          }
         }
       def claim(attempt: Int): Long = {
         val resolved = parameters.getOrElse("starting-seq", "latest") match {
@@ -137,7 +147,7 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
         // readValid treats as absent — the next restart self-heals.
         try {
           val out = fs.create(f, false)
-          try out.write(resolved.toString
+          try out.write(s"$resolved;$resolved"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           // the local fs's create(overwrite=false) is check-then-create

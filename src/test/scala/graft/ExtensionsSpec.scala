@@ -451,6 +451,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("byte count"), s"unexpected: ${e.getMessage}")
   }
 
+  test("integral widening byte->short->int->long: ALTER promotes at any " +
+       "step, byte-era files serve the widened read natively, and the " +
+       "promoted table stays Iceberg-exportable") {
+    import graft.catalog.GraftCatalog
+    val wh = java.nio.file.Files.createTempDirectory("graft-intwid").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.iw (k TINYINT, v STRING)")
+    spark.sql(s"INSERT INTO $c.ns.iw VALUES (CAST(7 AS TINYINT), 'a')")
+    spark.sql(s"ALTER TABLE $c.ns.iw ALTER COLUMN k TYPE INT") // byte->int
+    spark.sql(s"INSERT INTO $c.ns.iw VALUES (70000, 'b')")
+    spark.sql(s"ALTER TABLE $c.ns.iw ALTER COLUMN k TYPE BIGINT") // int->long
+    spark.sql(s"INSERT INTO $c.ns.iw VALUES (7000000000, 'c')")
+    // every era's files serve the widened read
+    assert(spark.sql(s"SELECT sum(k) FROM $c.ns.iw").head().getLong(0) ===
+      7L + 70000L + 7000000000L)
+    // narrowing refuses loudly — Spark's analyzer catches long->int
+    // before our lattice even sees it; direct catalog narrowing hits
+    // the lattice message
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.iw ALTER COLUMN k TYPE INT")
+    }
+    val prev = cat.tableSchema("ns", "iw").get
+    val e = intercept[Exception] {
+      cat.commitSchemaEvolution("ns", "iw", org.apache.spark.sql.types.StructType(
+        prev.fields.map(f => if (f.name == "k")
+          f.copy(dataType = org.apache.spark.sql.types.IntegerType) else f)))
+    }
+    assert(e.getMessage.contains("byte->short->int->long"),
+      s"unexpected: ${e.getMessage}")
+    // the multi-promotion history exports as one field id and reads back
+    val dest = java.nio.file.Files.createTempDirectory("iceberg-out-iw").toString
+    graft.catalog.IcebergExport.exportTable(cat, "ns", "iw", dest)
+    assert(graft.catalog.IcebergExport.readExported(spark, dest)
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) ===
+      7L + 70000L + 7000000000L)
+  }
+
   test("write.sort-columns: SQL-only writers get range-clustered files " +
        "with tight bounds (manifest pruning works without any Scala), " +
        "and the no-arg compact() re-sorts by the same property") {

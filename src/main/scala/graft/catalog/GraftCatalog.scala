@@ -87,7 +87,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
 
   // ---- DDL (C4, C5, C6) ----
 
+  /** Names match the LISTING contract: listTables/listNamespaces filter
+    * dot/underscore-prefixed entries as catalog plumbing (sidecar files,
+    * staging dirs), so a table CREATED under such a name would be
+    * readable yet invisible to SHOW TABLES, pagination, and every
+    * sweep/maintenance job driven off listings — refuse at the front
+    * door instead. Path separators would silently nest directories. */
+  private def requireIdentifier(kind: String, n: String): Unit = {
+    require(n.nonEmpty, s"$kind name must be non-empty")
+    require(!n.startsWith(".") && !n.startsWith("_"),
+      s"illegal $kind name '$n': leading '.'/'_' names are reserved for " +
+        "catalog plumbing (listings filter them — the table would be " +
+        "invisible to SHOW TABLES and maintenance sweeps)")
+    require(!n.exists(c => c == '/' || c == '\\'),
+      s"illegal $kind name '$n': path separators are not allowed")
+  }
+
   def createTable(ns: String, name: String): Unit = {
+    requireIdentifier("namespace", ns)
+    requireIdentifier("table", name)
     Files.createDirectories(manifestDir(ns, name))
     Files.createDirectories(dataDir(ns, name))
   }
@@ -122,6 +140,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * the new name is a new replication subject (re-register it), the
     * old path's history stays addressable until expiry. */
   def renameTable(ns: String, name: String, toNs: String, toName: String): Unit = {
+    requireIdentifier("namespace", toNs)
+    requireIdentifier("table", toName)
     require(tableExists(ns, name), s"no such table $ns.$name")
     require(!(ns == toNs && name == toName), "rename to the same name")
     require(!tableExists(toNs, toName),
@@ -2050,7 +2070,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * while live files still carry its bytes (see
     * [[assertNoColumnResurrection]]). */
   def commitSchemaEvolution(ns: String, name: String, newSchema: StructType,
-                            expectedPrev: Option[StructType] = None): Snapshot =
+                            expectedPrev: Option[StructType] = None,
+                            propsSet: Map[String, String] = Map.empty,
+                            propsUnset: Seq[String] = Seq.empty): Snapshot =
     casCommit(ns, name, 5) { parentOpt =>
       // EVERYTHING validates against the freshly-read parent INSIDE the
       // CAS closure: a concurrent equality delete must re-trip the drop
@@ -2118,10 +2140,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // bytes in committed files live under PHYSICAL names — the
       // resurrection hazard is physical
       assertNoColumnResurrection(ns, name, parent, added.map(physOf).toSeq)
+      // property changes riding the SAME ALTER statement land in the
+      // SAME commit — a DSv2 TableChange batch mixing schema and
+      // properties must be one atomic version (a failed schema half
+      // must never leave the property half already published)
+      val props =
+        if (propsSet.isEmpty && propsUnset.isEmpty) parent.propsJson
+        else {
+          val next = (parent.properties ++ propsSet) -- propsUnset
+          if (next.isEmpty) None
+          else {
+            val tm = new java.util.TreeMap[String, String]()
+            next.foreach { case (k, v) => tm.put(k, v) }
+            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
+          }
+        }
       Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
         Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
         "local", parent.fileCount, parent.totalBytes, Some(newSchema.json),
-        parent.propsJson)
+        props)
     }
 
   /** SET / UNSET TBLPROPERTIES as ONE metadata-only CAS commit — a new
@@ -3160,6 +3197,19 @@ object GraftCatalog {
             "bounds (and non-orderable types fail the write)")
         cols
     }
+
+  /** The type with EVERY nullability flag (at every depth) forced true —
+    * the normal form for nullability-INSENSITIVE type comparison
+    * (Spark's `DataType.sameType` is private[sql]). Two types are "the
+    * same column type" iff their erased forms are equal. */
+  private[graft] def erasedNullability(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = erasedNullability(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(erasedNullability(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(erasedNullability(k), erasedNullability(v), valueContainsNull = true)
+    case other => other
+  }
 
   /** Recursive nullability UNION of two catalogString-equal types —
     * nullable wherever EITHER side is, at every depth. The only sound

@@ -361,14 +361,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
-    if (propChanges.nonEmpty) {
-      val sets = propChanges.collect {
-        case sp: TableChange.SetProperty => sp.property() -> sp.value() }.toMap
-      val unsets = propChanges.collect {
-        case rp: TableChange.RemoveProperty => rp.property() }
-      cat.commitProperties(ns, t, sets, unsets): Unit
+    val sets = propChanges.collect {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value() }.toMap
+    val unsets = propChanges.collect {
+      case rp: TableChange.RemoveProperty => rp.property() }
+    // a pure-property ALTER is one properties commit; a MIXED batch
+    // (schema + properties — reachable via the DSv2 API) folds the
+    // property changes into the schema-evolution CAS below, so one
+    // ALTER is ONE version and a failed schema half never leaves the
+    // property half already published
+    if (schemaChanges.isEmpty) {
+      if (propChanges.nonEmpty) cat.commitProperties(ns, t, sets, unsets): Unit
+      return loadTable(ident)
     }
-    if (schemaChanges.isEmpty) return loadTable(ident)
     val prev = cat.tableSchema(ns, t).getOrElse(throw new IllegalStateException(
       s"$ns.$t records no schema to alter — insert data first"))
     var fields: Vector[org.apache.spark.sql.types.StructField] = prev.fields.toVector
@@ -442,7 +447,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
     // expectedPrev: a concurrent schema change aborts THIS statement
     // loudly instead of being overwritten (validated inside the CAS)
-    cat.commitSchemaEvolution(ns, t, StructType(fields), expectedPrev = Some(prev))
+    cat.commitSchemaEvolution(ns, t, StructType(fields), expectedPrev = Some(prev),
+      propsSet = sets, propsUnset = unsets)
     loadTable(ident)
   }
 

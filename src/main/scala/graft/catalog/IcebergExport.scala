@@ -165,7 +165,19 @@ object IcebergExport {
     schemas.foreach(_.fields.foreach { f =>
       val k = GraftCatalog.physicalName(f)
       union.get(k) match {
-        case Some(prev) if prev.dataType == f.dataType => ()
+        // NULLABILITY-ERASED comparison (sameType): nested nullability
+        // legitimately differs across versions — commitAppend's
+        // unionNullability records the WIDENED form when a later batch
+        // loosens an inner field, and that is a legal history, not a
+        // type change. Structure (hence nested-id layout) is identical
+        // under sameType; each version's schema JSON still emits its
+        // OWN required flags (required→optional is spec-legal
+        // evolution), so only the union entry needs the nullability
+        // union here.
+        case Some(prev) if GraftCatalog.erasedNullability(prev.dataType) ==
+            GraftCatalog.erasedNullability(f.dataType) =>
+          union(k) = prev.copy(dataType =
+            GraftCatalog.unionNullability(prev.dataType, f.dataType))
         case Some(prev) if promotes(prev.dataType, f.dataType) => union(k) = f
         case Some(prev) if promotes(f.dataType, prev.dataType) => ()
         case Some(prev) => throw new IllegalArgumentException(

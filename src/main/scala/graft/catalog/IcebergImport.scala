@@ -217,15 +217,28 @@ object IcebergImport {
     // schemas carry the mapping natively (graft's column-mapping layer,
     // [[GraftCatalog.PhysicalKey]]); position deletes stay valid because
     // file identities are preserved.
-    val nameMapping: Map[String, Int] =
-      Option(root.get("properties"))
+    val nameMapping: Map[String, Int] = {
+      val pairs: Seq[(String, Int)] = Option(root.get("properties"))
         .flatMap(p => Option(p.get("schema.name-mapping.default")))
         .map(_.asText()).map { j =>
           mapper.readTree(j).elements().asScala.flatMap { e =>
             val fid = e.get("field-id").asInt()
             e.get("names").elements().asScala.map(_.asText() -> fid)
-          }.toMap
-        }.getOrElse(Map.empty)
+          }.toSeq
+        }.getOrElse(Seq.empty)
+      // a (spec-invalid) mapping binding ONE name to two different field
+      // ids would silently last-wins here, and fieldIdOf would then
+      // resolve footer columns to the wrong id — the silent-NULL-column
+      // class; refuse loudly, same style as the multi-names-per-id
+      // guard below
+      val dup = pairs.groupBy(_._1)
+        .collect { case (n, vs) if vs.map(_._2).distinct.size > 1 => n }
+      require(dup.isEmpty,
+        s"IcebergImport: name-mapping binds name(s) ${dup.mkString(", ")} " +
+          "to multiple field ids — footer-name resolution would be " +
+          "ambiguous; fix the mapping in the source engine first")
+      pairs.toMap
+    }
     val physOfId: Map[Int, String] =
       nameMapping.groupBy(_._2).map { case (id, m) =>
         // a multi-name entry (legacy alias + current spelling) leaves

@@ -162,15 +162,28 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
         }
       }
       def resolveAnchor(attempt: Int): Long = readValid().getOrElse {
-        require(attempt < 5,
+        require(attempt < 60,
           s"could not publish stream start anchor $f after $attempt attempts")
         if (!fs.exists(f)) claim(attempt)
         else {
           // unparseable + exists: either a crash's truncated leftover or
-          // a CONCURRENT writer mid-flush — give the writer a beat
-          // before declaring it corrupt and reclaiming
-          Thread.sleep(50L * (attempt + 1))
-          readValid().getOrElse { fs.delete(f, false); claim(attempt) }
+          // a CONCURRENT writer mid-flush. Reclaim ONLY a provably-
+          // abandoned corpse (mtime older than the grace window): a live
+          // racer completes create→write→close within milliseconds, so
+          // deleting a YOUNG invalid file could remove an anchor that
+          // became valid between our read and the delete — its writer
+          // would adopt it while we publish a different value, anchoring
+          // two restarts at different seqs. An OLD invalid file's writer
+          // crashed mid-write and adopted nothing, so removal is safe.
+          Thread.sleep(100L)
+          readValid().getOrElse {
+            val stale =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(f).getModificationTime >= 2000L
+              catch { case _: java.io.FileNotFoundException => true }
+            if (stale) { fs.delete(f, false); claim(attempt) }
+            else resolveAnchor(attempt + 1) // writer may still be live — wait
+          }
         }
       }
       resolveAnchor(0)

@@ -66,6 +66,54 @@ class CatalogSpec extends SparkSpec {
       .head().getLong(0) === 9L)
   }
 
+  test("table/namespace names matching the listing filter refuse at " +
+       "create/rename: a '_'/'.'-prefixed table would be readable yet " +
+       "invisible to SHOW TABLES and every sweep driven off listings") {
+    val cat = freshCatalog()
+    intercept[IllegalArgumentException](cat.createTable("ns", "_hidden"))
+    intercept[IllegalArgumentException](cat.createTable("ns", ".hidden"))
+    intercept[IllegalArgumentException](cat.createTable("_ns", "t"))
+    intercept[IllegalArgumentException](cat.createTable("ns", "a/b"))
+    cat.createTable("ns", "vis")
+    intercept[IllegalArgumentException](
+      cat.renameTable("ns", "vis", "ns", "_hidden"))
+    intercept[IllegalArgumentException](
+      cat.renameTable("ns", "vis", ".ns", "vis"))
+    assert(cat.listTables("ns") === Seq("vis"))
+  }
+
+  test("a MIXED DSv2 alterTable batch (schema + properties) is ONE atomic " +
+       "version — a failed schema half must never leave the property half " +
+       "published") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = freshCatalog()
+    cat.createTable("ns", "mix")
+    cat.commitAppend("ns", "mix", Seq((1L, "a")).toDF("id", "s"))
+    val v1 = cat.latest("ns", "mix").get.seq
+    val plugin = new graft.catalog.GraftSparkCatalog
+    plugin.initialize("mixcat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", cat.warehouse)))
+    val ident = Identifier.of(Array("ns"), "mix")
+    // happy path: one batch, one version, both halves visible
+    plugin.alterTable(ident,
+      TableChange.setProperty("owner.team", "curation"),
+      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.StringType))
+    assert(cat.latest("ns", "mix").get.seq === v1 + 1, "one ALTER = one version")
+    assert(cat.tableProperties("ns", "mix").get("owner.team").contains("curation"))
+    assert(cat.tableSchema("ns", "mix").get.fieldNames.contains("extra"))
+    // failing schema half: the property half must NOT publish
+    val v2 = cat.latest("ns", "mix").get.seq
+    intercept[Exception] {
+      plugin.alterTable(ident,
+        TableChange.setProperty("leak", "no"),
+        TableChange.addColumn(Array("extra"), // duplicate name -> refused
+          org.apache.spark.sql.types.StringType))
+    }
+    assert(cat.latest("ns", "mix").get.seq === v2, "failed ALTER published a version")
+    assert(!cat.tableProperties("ns", "mix").contains("leak"),
+      "property half of a failed mixed ALTER leaked")
+  }
+
   test("create/exists/list/drop") {
     val cat = freshCatalog()
     cat.createTable("analytics", "user_events")

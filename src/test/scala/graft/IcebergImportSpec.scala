@@ -648,6 +648,30 @@ class IcebergImportSpec extends SparkSpec {
     assert(!dst.tableExists("imp", "am"))
   }
 
+  test("a name-mapping binding ONE name to two different field ids refuses " +
+       "loudly (last-wins would resolve footers to the wrong id — silent " +
+       "NULL columns), before the table is created") {
+    val src = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    src.createTable("ns", "dm")
+    src.commitAppend("ns", "dm", orders.limit(50))
+    val dest = Files.createTempDirectory("iceberg-dm").toString
+    IcebergExport.exportTable(src, "ns", "dm", dest): Unit
+    editMetadata(dest) { root =>
+      val props = root.get("properties")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      props.put("schema.name-mapping.default",
+        """[{"field-id":1,"names":["o_orderkey"]},""" +
+          """{"field-id":2,"names":["o_orderkey"]}]"""): Unit
+    }
+    val dst = freshCat()
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(dst, "imp", "dm", dest)
+    }
+    assert(e.getMessage.contains("multiple field ids"))
+    assert(!dst.tableExists("imp", "dm"))
+  }
+
   test("empty table (no current snapshot) imports as an empty v0 carrying " +
        "the schema, so a cold read resolves columns") {
     val loc = Files.createTempDirectory("iceberg-empty")

@@ -139,5 +139,16 @@ class NestedTypesSpec extends SparkSpec {
     assert(cat.read("ns", "nn").filter(org.apache.spark.sql.functions
       .col("meta._1").isNull).count() === 1L,
       "the nullable batch's null must read back (a narrow recorded type loses it)")
+    // regression: this legal history (nested nullability differing ACROSS
+    // versions) must stay EXPORTABLE — unionIdAssignment compares types
+    // nullability-erased; strict equality misread the widening as a type
+    // change off the promotion lattice and refused the whole table
+    val dest = java.nio.file.Files.createTempDirectory("graft-nestnull-exp").toString
+    val rep = IcebergExport.exportTable(cat, "ns", "nn", dest)
+    assert(rep.snapshots === 2)
+    val back = IcebergExport.readExported(spark, dest)
+    assert(back.count() === 2L)
+    assert(back.filter(org.apache.spark.sql.functions
+      .col("meta._1").isNull).count() === 1L)
   }
 }

@@ -95,7 +95,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * door instead. Path separators would silently nest directories. */
   private def requireIdentifier(kind: String, n: String): Unit = {
     require(n.nonEmpty, s"$kind name must be non-empty")
-    require(!n.startsWith(".") && !n.startsWith("_"),
+    // '_system' is the ONE designated plumbing namespace — the
+    // replication service's event/registry logs live there and are
+    // invisible to SHOW TABLES BY DESIGN (they are infrastructure, not
+    // user tables). Every other '.'/'_' prefix refuses: a USER table
+    // under such a name would be readable yet skipped by listings and
+    // every maintenance sweep driven off them — silent rot.
+    require((kind == "namespace" && n == "_system") ||
+        (!n.startsWith(".") && !n.startsWith("_")),
       s"illegal $kind name '$n': leading '.'/'_' names are reserved for " +
         "catalog plumbing (listings filter them — the table would be " +
         "invisible to SHOW TABLES and maintenance sweeps)")
@@ -572,13 +579,46 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  private def stageDataFiles(ns: String, name: String, df: DataFrame): Seq[(String, Long)] = {
+  private def stageDataFiles(ns: String, name: String, df: DataFrame,
+                             alignCols: Seq[Column] = Seq.empty): Seq[(String, Long)] = {
     val stagingId = UUID.randomUUID().toString.take(8)
     val outDir = dataDir(ns, name).resolve(stagingId)
-    withMicrosTimestamps { df.write.parquet(outDir.toString) }
-    listDir(outDir)
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
-      .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
+    if (alignCols.isEmpty) {
+      withMicrosTimestamps { df.write.parquet(outDir.toString) }
+      listDir(outDir)
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+        .map(f => s"data/$stagingId/$f" -> Files.size(outDir.resolve(f)))
+    } else {
+      // partition-ALIGNED staging (spec'd tables, property-honoring
+      // writers): each data file holds exactly ONE partition tuple, by
+      // construction — `partitionBy` on temporary transform-value
+      // columns splits every task's output at tuple boundaries, which
+      // no amount of range clustering can guarantee (a range boundary
+      // sampled mid-value straddles it). The temp columns become
+      // directory keys and are STRIPPED from the files, so the data
+      // schema is untouched; manifests list leaf files explicitly, so
+      // the dirs are cosmetic (reads never partition-infer: they open
+      // leaf files). This is what makes per-file day bounds exact and
+      // bucket derived stats single-valued (min == max), i.e. what the
+      // Iceberg export derives provable partition tuples from.
+      val tmp = alignCols.indices.map(i => s"__ptw_$i")
+      require(!df.schema.fieldNames.exists(_.startsWith("__ptw_")),
+        "column names starting with '__ptw_' are reserved for partition-" +
+          "aligned staging")
+      val aug = tmp.zip(alignCols).foldLeft(df) { case (d, (n, c)) =>
+        d.withColumn(n, c) }
+      withMicrosTimestamps {
+        aug.write.partitionBy(tmp: _*).parquet(outDir.toString)
+      }
+      val s = Files.walk(outDir)
+      val leaves = try {
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p)).toList
+      } finally s.close()
+      leaves.map(p => s"data/$stagingId/${outDir.relativize(p)}")
+        .sorted.map(rel =>
+          rel -> Files.size(tableDir(ns, name).resolve(rel)))
+    }
   }
 
   /** Per-file column bounds for a freshly-staged batch — ONE distributed
@@ -588,7 +628,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * pruned. All-null columns in a file record no bound (same effect). */
   private def stagedFileStats(ns: String, name: String,
                               entries: Seq[(String, Long)],
-                              schema: StructType): Map[String, Map[String, (String, String)]] = {
+                              schema: StructType,
+                              derived: Seq[(String, Column)] = Seq.empty)
+      : Map[String, Map[String, (String, String)]] = {
     if (entries.isEmpty) return Map.empty
     // the reserved pseudo-column must stay reserved: a REAL column named
     // __rows would have its bounds overwritten by the row count below and
@@ -596,7 +638,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(!schema.fieldNames.contains(GraftCatalog.RowsStatKey),
       s"column name '${GraftCatalog.RowsStatKey}' is reserved for manifest row counts")
     val statFields = schema.fields.filter(f => GraftCatalog.prunableType(f.dataType))
-    if (statFields.isEmpty) {
+    if (statFields.isEmpty && derived.isEmpty) {
       // no prunable column -> nothing to scan FOR: row counts come from
       // the parquet FOOTERS (metadata-only, distributed over the file
       // list), so such commits pay O(files) footer reads instead of a
@@ -634,8 +676,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // countFast covering every table), recorded under the reserved
     // pseudo-column "__rows" so the manifest format is unchanged and old
     // manifests (no entry) simply opt out of [[countFast]].
-    val aggs = count(lit(1)).cast("string") +: statFields.toSeq.flatMap(f => Seq(
-      min(col(f.name)).cast("string"), max(col(f.name)).cast("string")))
+    // derived stats (partition-transform values, e.g. per-file bucket)
+    // ride the SAME single aggregate — zero extra IO over the stats scan.
+    // Timestamp bounds record as epoch MICROS (unix_micros) — tz-stable,
+    // unlike cast-to-string; consumers compare them numerically
+    // ([[GraftCatalog.statNumeric]]/[[GraftCatalog.statForm]])
+    def statCol(f: StructField): Column =
+      if (f.dataType == TimestampType) unix_micros(col(f.name))
+      else col(f.name)
+    val aggs = count(lit(1)).cast("string") +:
+      (statFields.toSeq.flatMap(f => Seq(
+        min(statCol(f)).cast("string"), max(statCol(f)).cast("string"))) ++
+       derived.flatMap { case (_, e) => Seq(
+         min(e).cast("string"), max(e).cast("string")) })
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val scanned = rows.map { r =>
@@ -655,9 +708,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         s"stagedFileStats($ns.$name): scanned file '$abs' matches no staged " +
           s"entry (${byAbs.keys.take(3).mkString(", ")}...) — path round-trip " +
           "broke; refusing to record its rows as 0"))
-      val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+      val keys = statFields.map(_.name) ++ derived.map(_._1)
+      val colStats = keys.zipWithIndex.flatMap { case (k, i) =>
         (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))) match {
-          case (Some(mn), Some(mx)) => Some(f.name -> (mn, mx))
+          case (Some(mn), Some(mx)) => Some(k -> (mn, mx))
           case _ => None
         }
       }.toMap
@@ -1273,7 +1327,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def commitAppend(ns: String, name: String, df: DataFrame,
                    sourceRegion: String = "local", maxRetries: Int = 5,
                    commitId: Option[String] = None,
-                   bloomCols: Seq[String] = Seq.empty): Snapshot = {
+                   bloomCols: Seq[String] = Seq.empty,
+                   alignSpec: Boolean = false): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     // idempotence fast path: a caller-supplied commitId that already
     // committed (streaming batch replay, retried RPC) must not re-append
@@ -1290,7 +1345,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .map(DataType.fromJson(_).asInstanceOf[StructType])
     val pdf = toPhysicalDf(df, curSchema)
     val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
-    val entries = stageDataFiles(ns, name, pdf)
+    val props = parentSchema0.map(_.properties).getOrElse(Map.empty)
+    // property-honoring writers (SQL INSERT, compact) align files to
+    // partition tuples; raw commitAppend keeps the caller's layout
+    val entries = stageDataFiles(ns, name, pdf,
+      if (alignSpec)
+        GraftCatalog.partitionAlignColumns(s"$ns.$name", props, curSchema)
+      else Seq.empty)
+    // partitioned tables record the per-file bucket value as a derived
+    // stat (what the Iceberg export derives partition tuples from)
+    val derived = GraftCatalog.partitionDerivedStats(s"$ns.$name",
+      props, curSchema)
     // the stats aggregate and manifest write sit INSIDE the cleanup
     // scope: a failure there (executor loss mid-stats, disk error) must
     // reclaim the staged data dir too, not only a failed CAS
@@ -1299,7 +1364,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val newManifest =
         if (entries.isEmpty) None
         else Some(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, pdf.schema),
+          stagedFileStats(ns, name, entries, pdf.schema, derived),
           stagedFileBlooms(ns, name, entries, pdf.schema,
             bloomCols.map(c => pm.getOrElse(c, c)))))
       staged = newManifest.toSeq
@@ -1337,17 +1402,26 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def commitReplace(ns: String, name: String, df: DataFrame,
                     sourceRegion: String = "local", maxRetries: Int = 5,
                     expectedParentSeq: Option[Long] = None,
-                    bloomCols: Seq[String] = Seq.empty): Snapshot = {
+                    bloomCols: Seq[String] = Seq.empty,
+                    alignSpec: Boolean = false): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
-    validatedSchemaJson(ns, name, latest(ns, name), df.schema, replacesAll = true)
+    val parent0 = latest(ns, name)
+    validatedSchemaJson(ns, name, parent0, df.schema, replacesAll = true)
     // even a full overwrite keeps the physical mapping: the recorded
     // schema carries it forward, and normalizing here would desynchronize
     // a COW statement's kept files from the rewrite's (per-file eras —
     // exactly the complexity the stable physical name exists to avoid)
-    val curSchema = tableSchema(ns, name)
+    val curSchema = parent0.flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
     val pdf = toPhysicalDf(df, curSchema)
     val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
-    val entries = stageDataFiles(ns, name, pdf)
+    val props = parent0.map(_.properties).getOrElse(Map.empty)
+    val entries = stageDataFiles(ns, name, pdf,
+      if (alignSpec)
+        GraftCatalog.partitionAlignColumns(s"$ns.$name", props, curSchema)
+      else Seq.empty)
+    val derived = GraftCatalog.partitionDerivedStats(s"$ns.$name",
+      props, curSchema)
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version.
     // The stats/manifest steps sit inside the cleanup scope too: a
@@ -1357,7 +1431,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       val manifest =
         if (entries.isEmpty) Seq.empty
         else Seq(writeManifest(ns, name, entries,
-          stagedFileStats(ns, name, entries, pdf.schema),
+          stagedFileStats(ns, name, entries, pdf.schema, derived),
           stagedFileBlooms(ns, name, entries, pdf.schema,
             bloomCols.map(c => pm.getOrElse(c, c)))))
       staged = manifest
@@ -1845,16 +1919,27 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * current version into ceil(totalBytes / targetBytes) files via one
     * distributed repartition, committed as an overwrite. Old files stay
     * reachable from old versions until expireSnapshots reclaims them. */
-  def compact(ns: String, name: String, targetFileBytes: Long): Snapshot =
-    // EVERY compaction honors `write.sort-columns` — the property is
-    // table state, and an unsorted rewrite would silently destroy the
-    // clustering (full-range bounds on every new file = pruning dead);
-    // this is also what the SQL CALL system.compact path reaches
-    sortColumns(ns, name) match {
-      case cols if cols.nonEmpty => compactSorted(ns, name, targetFileBytes, cols)
-      case _ =>
-        compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
-    }
+  def compact(ns: String, name: String, targetFileBytes: Long): Snapshot = {
+    // EVERY compaction honors the table's declared layout — the
+    // partition spec's clustering columns first, then
+    // `write.sort-columns` — because an unclustered rewrite would
+    // silently destroy it (full-range bounds on every new file =
+    // pruning dead); this is also what the SQL CALL system.compact
+    // path reaches. ONE head read serves spec + sort + schema.
+    val snap = latest(ns, name)
+    val props = snap.map(_.properties).getOrElse(Map.empty)
+    val schema = snap.flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, schema)
+    val exprs = pspec.map(GraftCatalog.partitionClusterColumn(_)) ++
+      GraftCatalog.validatedSortColumns(s"$ns.$name", props, schema).map(col)
+    if (exprs.nonEmpty)
+      compactWith(ns, name, targetFileBytes, (df, parts) =>
+        df.repartitionByRange(parts, exprs: _*).sortWithinPartitions(exprs: _*),
+        alignSpec = pspec.nonEmpty)
+    else
+      compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+  }
 
   /** [[compact]] sized by the table's own `write.target-file-size-bytes`
     * TBLPROPERTY (the Iceberg knob name), default 512 MiB — the
@@ -1946,14 +2031,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * retries) instead of being silently dropped by the replacing
     * snapshot. */
   private def compactWith(ns: String, name: String, targetFileBytes: Long,
-                          layout: (DataFrame, Int) => DataFrame)
+                          layout: (DataFrame, Int) => DataFrame,
+                          alignSpec: Boolean = false)
       : Snapshot = {
     val cur = latest(ns, name)
       .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
     val totalBytes = math.max(1L, cur.totalBytes)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // bloom carriage, property-driven: a compaction of a table whose
+    // TBLPROPERTIES declare bloom columns (or whose partition spec
+    // buckets a column) must re-index the rewritten files, or every
+    // scheduled compact silently de-indexes point-lookup pruning —
+    // the same invariant INSERT OVERWRITE already keeps
+    val bloomCols = GraftCatalog.writeBloomColumns(s"$ns.$name",
+      cur.properties, cur.schemaJson
+        .map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitReplace(ns, name, layout(read(ns, name), parts),
-      expectedParentSeq = Some(cur.seq))
+      expectedParentSeq = Some(cur.seq), bloomCols = bloomCols,
+      alignSpec = alignSpec)
   }
 
   /** Sort-aware compaction (Iceberg's rewrite-with-sort-order): rewrite
@@ -2773,9 +2868,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val statKey = physKeyOf(snap)
 
+    // caller bounds converted ONCE to the recorded stat form (timestamp
+    // columns: epoch micros, see statForm) — not per manifest entry
+    val forms = preds.map { case (column, lower, upper) =>
+      val dt = dtOf(column)
+      def f(v: String) = dt.map(GraftCatalog.statForm(_, v)).getOrElse(v)
+      (column, lower.map(f), upper.map(f))
+    }
     def keep(e: ManifestEntry): Boolean =
-      preds.forall { case (column, lower, upper) =>
-        val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
+      forms.forall { case (column, lower, upper) =>
+        val numeric = dtOf(column).exists(GraftCatalog.statNumeric)
         def lt(a: String, b: String): Boolean =
           GraftCatalog.boundsLt(numeric)(a, b)
         e.stats.get(statKey(column)) match {
@@ -2808,22 +2910,29 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val snap = latest(ns, name).getOrElse(return spark.emptyDataFrame)
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-    val numeric = dtOf(column).exists(_.isInstanceOf[NumericType])
+    val dt = dtOf(column)
+    val numeric = dt.exists(GraftCatalog.statNumeric)
+    // probe in the recorded stat form (timestamps: epoch micros)
+    val probe = dt.map(GraftCatalog.statForm(_, value)).getOrElse(value)
     val positions = GraftCatalog.bloomPositions(value)
+    // blooms hash the build side's cast-to-string form; a timestamp
+    // probe string renders differently (micros / caller spelling), so
+    // probing would misprune — bounds alone prune timestamp columns
+    val bloomSafe = !dt.contains(TimestampType)
     val statKey = physKeyOf(snap)
     def keep(e: ManifestEntry): Boolean = {
       val boundsOk = e.stats.get(statKey(column)) match {
         case Some((mn, mx)) =>
           def lt(a: String, b: String): Boolean =
             GraftCatalog.boundsLt(numeric)(a, b)
-          try !lt(value, mn) && !lt(mx, value)
+          try !lt(probe, mn) && !lt(mx, probe)
           catch { case _: NumberFormatException => true }
         case None => true
       }
-      def bloomOk = e.blooms.get(statKey(column)) match {
+      def bloomOk = !bloomSafe || (e.blooms.get(statKey(column)) match {
         case Some(b64) => GraftCatalog.bloomHit(b64, positions)
         case None => true
-      }
+      })
       boundsOk && bloomOk
     }
     morScan(ns, name, snap, keep)
@@ -3091,9 +3200,47 @@ object GraftCatalog {
     * so a reader in another zone would prune against shifted bounds and
     * silently drop files — dates are calendar values and stay safe. */
   private[catalog] def prunableType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | BooleanType | DateType => true
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType => true
     case _ => false
   }
+
+  /** Stat-string compare mode for `dt`: timestamps JOIN the numeric
+    * path because their bounds are recorded TZ-STABLY as epoch MICROS
+    * (a cast-to-string bound depends on the writer session's time zone;
+    * a reader in another zone would misprune — for a row-level
+    * operation that silently LOSES updates, the same failure class the
+    * UTF-8-order rule on [[boundsLt]] guards against). */
+  private[catalog] def statNumeric(dt: DataType): Boolean =
+    dt.isInstanceOf[NumericType] || dt == TimestampType
+
+  /** A probe value rendered in the RECORDED stat form of `dt`:
+    * timestamp probes (java.sql.Timestamp / java.time.Instant from
+    * pushed filters, or caller strings `yyyy-MM-dd[ HH:mm:ss[.f…]]`
+    * read as UTC — the engine's pinned session zone) become epoch-
+    * micros strings; everything else keeps its toString, which the
+    * numeric parse / UTF-8 compare of [[boundsLt]] already absorbs.
+    * Unparseable caller strings throw — a bound that silently stopped
+    * pruning would be worse than the loud stop. */
+  private[catalog] def statForm(dt: DataType, v: Any): String =
+    if (dt != TimestampType) v.toString
+    else v match {
+      case t: java.sql.Timestamp =>
+        (Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          (t.getNanos % 1000000000L) / 1000L).toString
+      case i: java.time.Instant =>
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L).toString
+      case s: String =>
+        val s0 = s.trim
+        val ldt =
+          if (s0.length <= 10) java.time.LocalDate.parse(s0).atStartOfDay()
+          else java.time.LocalDateTime.parse(s0.replace(' ', 'T'))
+        Math.addExact(Math.multiplyExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          ldt.getNano / 1000L).toString
+      case other => other.toString
+    }
 
   /** A caller-supplied commitId already exists in the log — the append
     * was a replay; `seq` is the version the original commit created. */
@@ -3129,6 +3276,198 @@ object GraftCatalog {
     * that makes manifest-bounds pruning work for a SQL-only user: files
     * written clustered carry TIGHT min/max on these columns. */
   val SortColumnsProp = "write.sort-columns"
+
+  // ---- partition transforms (PARTITIONED BY) ----
+  // Graft has no hive-style directory partitions — the table DESIGN is
+  // write-time clustering + manifest bounds/bloom pruning. PARTITIONED
+  // BY (identity / bucket(n, c) / years|months|days|hours(ts) /
+  // truncate(w, c)) maps onto exactly that machinery instead of a
+  // parallel layout system:
+  //  - every transform except bucket is MONOTONE in its source column,
+  //    so range-clustering the batch by the SOURCE gives each file
+  //    bounds at least as tight as one-partition-per-file — the
+  //    existing stats pruner then serves source-column predicates
+  //    (which is what SQL filters actually say: `ts >= X`, never
+  //    `days(ts) = d`);
+  //  - bucket(n, c) clusters by the Iceberg-spec bucket VALUE
+  //    ([[graft.functions.IcebergBucket]] — bit-compatible with foreign
+  //    engines) and bloom-indexes the source column, so point lookups
+  //    prune via the bloom path; the per-file bucket value is also
+  //    recorded as a derived manifest stat (`__pt_bucket_*`), which is
+  //    what lets [[IcebergExport]] emit REAL per-file partition tuples
+  //    a foreign engine prunes on.
+  // The spec is TBLPROPERTIES-versioned like sort-columns, in LOGICAL
+  // names (after RENAME COLUMN the stale property refuses the next
+  // write loudly — same contract as write.sort-columns).
+  val PartitionSpecProp = "graft.partition-spec"
+
+  /** One `PARTITIONED BY` field: `transform` ∈ identity | bucket |
+    * truncate | year | month | day | hour; `n` is the bucket count /
+    * truncate width (0 otherwise). */
+  case class PartitionField(transform: String, source: String, n: Int = 0)
+
+  private[graft] def partitionSpecJson(fields: Seq[PartitionField]): String = {
+    val arr = propsMapper.createArrayNode()
+    fields.foreach { f =>
+      val o = arr.addObject()
+      o.put("transform", f.transform): Unit
+      o.put("source", f.source): Unit
+      if (f.n != 0) o.put("n", f.n): Unit
+    }
+    propsMapper.writeValueAsString(arr)
+  }
+
+  /** Prefix of the reserved derived-stat keys partitioned commits record
+    * (bucket values per file); a REAL column under it would collide. */
+  private[catalog] val DerivedStatPrefix = "__pt_"
+  private[graft] def bucketStatKey(n: Int, physSource: String): String =
+    s"${DerivedStatPrefix}bucket_${n}_$physSource"
+
+  /** Parse + validate the table's partition spec (empty when unset).
+    * Sources must exist in the schema with a transform-legal type;
+    * refusals are loud — a typo'd spec silently clustering nothing is
+    * how pruning rots (same stance as [[validatedSortColumns]]). */
+  private[graft] def validatedPartitionSpec(table: String,
+      props: Map[String, String], schema: Option[StructType]): Seq[PartitionField] =
+    props.get(PartitionSpecProp) match {
+      case None => Seq.empty
+      case Some(j) =>
+        val fields = schema.map(_.fields.toSeq).getOrElse(Seq.empty)
+        def typeOf(c: String): Option[DataType] =
+          fields.find(_.name == c).map(_.dataType)
+        val parsed = try {
+          propsMapper.readTree(j).elements().asScala.map { e =>
+            PartitionField(e.get("transform").asText(), e.get("source").asText(),
+              Option(e.get("n")).map(_.asInt()).getOrElse(0))
+          }.toSeq
+        } catch { case ex: Exception =>
+          throw new IllegalArgumentException(
+            s"$table: $PartitionSpecProp is not a valid spec JSON: $j", ex)
+        }
+        parsed.foreach { f =>
+          val dt = typeOf(f.source).getOrElse(throw new IllegalArgumentException(
+            s"$table: $PartitionSpecProp names unknown column '${f.source}' " +
+              s"(schema: ${fields.map(_.name).mkString(", ")})"))
+          f.transform match {
+            case "identity" => require(prunableType(dt),
+              s"$table: identity partition source '${f.source}' has " +
+                s"non-prunable type ${dt.simpleString}")
+            case "year" | "month" | "day" =>
+              require(dt == DateType || dt == TimestampType,
+                s"$table: ${f.transform}(${f.source}) needs a date/timestamp " +
+                  s"source, got ${dt.simpleString}")
+            case "hour" => require(dt == TimestampType,
+              s"$table: hour(${f.source}) needs a timestamp source, got " +
+                dt.simpleString)
+            case "bucket" =>
+              require(f.n > 0, s"$table: bucket(${f.source}) needs a positive " +
+                s"bucket count, got ${f.n}")
+              require(Seq(ByteType, ShortType, IntegerType, LongType, DateType,
+                TimestampType, StringType).contains(dt),
+                s"$table: bucket(${f.n}, ${f.source}) does not support type " +
+                  dt.simpleString)
+            case "truncate" =>
+              require(f.n > 0, s"$table: truncate(${f.source}) needs a " +
+                s"positive width, got ${f.n}")
+              require(Seq(IntegerType, LongType, StringType).contains(dt),
+                s"$table: truncate(${f.n}, ${f.source}) supports int/long/" +
+                  s"string sources, got ${dt.simpleString}")
+            case other => throw new IllegalArgumentException(
+              s"$table: unknown partition transform '$other' in $PartitionSpecProp")
+          }
+        }
+        // derived stats ride reserved __pt_* keys next to the real
+        // column bounds — a REAL column there would collide
+        val clash = fields.map(f => physicalName(f))
+          .filter(_.startsWith(DerivedStatPrefix))
+        require(clash.isEmpty,
+          s"$table: column name(s) ${clash.mkString(", ")} collide with the " +
+            s"reserved $DerivedStatPrefix derived-stat namespace of " +
+            "partitioned tables")
+        parsed
+    }
+
+  /** The columns a property-honoring WRITE bloom-indexes: the
+    * `write.bloom-columns` list plus every bucket-transform source of
+    * the partition spec (bucket pruning IS the bloom path — point
+    * lookups on hash-distributed keys, where bounds are useless). Used
+    * by the SQL INSERT path and by compaction (which must re-index or
+    * every scheduled compact silently de-indexes the table). */
+  private[graft] def writeBloomColumns(table: String,
+      props: Map[String, String], schema: Option[StructType]): Seq[String] = {
+    val fromProp = props.get(BloomColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val bucketSources = validatedPartitionSpec(table, props, schema)
+      .filter(_.transform == "bucket").map(_.source)
+    (fromProp ++ bucketSources).distinct
+  }
+
+  /** The write-time CLUSTERING column of one partition field (see the
+    * design note on [[PartitionSpecProp]]): the source itself for every
+    * monotone transform, the spec bucket value for bucket. `resolve`
+    * maps logical → physical names when shaping an already-physical
+    * frame. */
+  private[graft] def partitionClusterColumn(f: PartitionField,
+      resolve: String => String = identity): Column = f.transform match {
+    case "bucket" =>
+      graft.functions.PartitionFunctions.icebergBucket(col(resolve(f.source)), f.n)
+    case _ => col(resolve(f.source))
+  }
+
+  /** The partition-VALUE expression of one spec field — rows with equal
+    * value belong to the same partition, rows with different values to
+    * different ones (the grouping key partition-aligned staging splits
+    * files on). Monotone temporal transforms group via date_format in
+    * the session zone: grouping only needs an equivalence, and the
+    * export independently derives spec-exact tuples from recorded
+    * bounds (never from these directory keys). */
+  private[graft] def partitionValueColumn(f: PartitionField, dt: DataType,
+      resolve: String => String = identity): Column = {
+    val c = col(resolve(f.source))
+    f.transform match {
+      case "identity" => c
+      case "year" => year(c)
+      case "month" => date_format(c, "yyyy-MM")
+      case "day" => to_date(c)
+      case "hour" => date_format(c, "yyyy-MM-dd-HH")
+      case "bucket" =>
+        graft.functions.PartitionFunctions.icebergBucket(c, f.n)
+      case "truncate" => dt match {
+        case StringType => substring(c, 1, f.n)
+        // floorDiv(v, w) * w, kept integral: v - pmod(v, w)
+        case _ => (c - pmod(c, lit(f.n))).cast(dt)
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform $other")
+    }
+  }
+
+  /** The partition-aligned staging columns of a table (empty when
+    * spec-less): transform values over the PHYSICAL frame. */
+  private[catalog] def partitionAlignColumns(table: String,
+      props: Map[String, String], schema: Option[StructType]): Seq[Column] =
+    validatedPartitionSpec(table, props, schema).map { f =>
+      val field = schema.flatMap(_.fields.find(_.name == f.source))
+      partitionValueColumn(f, field.map(_.dataType).getOrElse(StringType),
+        s => field.map(physicalName).getOrElse(s))
+    }
+
+  /** Derived per-file stats a partitioned commit records (keys are
+    * manifest stat keys, exprs run over the PHYSICAL frame): one
+    * `__pt_bucket_n_<physSource>` min/max per bucket field — the stat
+    * the export derives per-file partition tuples from (a file fully
+    * inside one bucket has min == max). Empty for spec-less tables, so
+    * the ordinary commit path is untouched. */
+  private[catalog] def partitionDerivedStats(table: String,
+      props: Map[String, String], schema: Option[StructType]): Seq[(String, Column)] =
+    validatedPartitionSpec(table, props, schema)
+      .filter(_.transform == "bucket").map { f =>
+        val phys = schema.flatMap(_.fields.find(_.name == f.source))
+          .map(physicalName).getOrElse(f.source)
+        bucketStatKey(f.n, phys) ->
+          graft.functions.PartitionFunctions.icebergBucket(col(phys), f.n)
+      }
 
   // ---- column mapping (metadata-only RENAME COLUMN) ----
   // Delta-style column mapping: every field owns a stable PHYSICAL

@@ -429,12 +429,14 @@ private[graft] object GraftCowScanSubstitution
   * shapes and missing stats always keep the file; bounds compare via
   * [[GraftCatalog.boundsLt]] (UTF-8 order for strings — the build
   * side's order; Java-string order would mis-prune above the BMP and a
-  * mis-pruned row-level operation LOSES updates). Blooms are probed
-  * only for types whose filter-value `toString` provably equals the
-  * build side's cast-to-string form (integrals, floats, strings,
-  * booleans, dates) — e.g. a timestamp probe renders '…00.0' vs the
-  * build's '…00', and a decimal drops trailing scale zeros; probing
-  * those would prune every file and silently match nothing. */
+  * mis-pruned row-level operation LOSES updates; timestamps compare
+  * numerically against their recorded epoch-micros form via
+  * [[GraftCatalog.statForm]]). Blooms are probed only for types whose
+  * filter-value `toString` provably equals the build side's
+  * cast-to-string form (integrals, floats, strings, booleans, dates) —
+  * e.g. a timestamp probe renders '…00.0' vs the build's '…00', and a
+  * decimal drops trailing scale zeros; probing those would prune every
+  * file and silently match nothing. */
 private[catalog] object CowPruning {
   private type Entry = GraftCatalog#ManifestEntry
 
@@ -443,9 +445,14 @@ private[catalog] object CowPruning {
     * COLUMN (the column-mapping layer, [[GraftCatalog.physicalName]]). */
   def compile(f: Filter, dtOf: String => Option[DataType],
               statKey: String => String = identity): Entry => Boolean = {
-    def numeric(c: String) = dtOf(c).exists(_.isInstanceOf[NumericType])
+    def numeric(c: String) = dtOf(c).exists(GraftCatalog.statNumeric)
     def lt(c: String)(a: String, b: String): Boolean =
       GraftCatalog.boundsLt(numeric(c))(a, b)
+    // probe values rendered in the RECORDED stat form: timestamp stats
+    // are tz-stable epoch micros, so Timestamp/Instant probes convert
+    // (GraftCatalog.statForm) instead of being excluded wholesale
+    def form(c: String, v: Any): String =
+      dtOf(c).map(GraftCatalog.statForm(_, v)).getOrElse(v.toString)
     def bloomSafe(c: String): Boolean = dtOf(c).exists {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -454,16 +461,15 @@ private[catalog] object CowPruning {
            org.apache.spark.sql.types.DateType => true
       case _ => false
     }
-    // Bounds may be consulted only when the probe's `v.toString` is
-    // commensurable with the build side's cast-to-string stats: NUMERIC
-    // types compare parsed (toString-form differences are absorbed by
-    // the parse, and Decimal joins the safe set that way), and
-    // bloomSafe's whitelist is exactly the types whose toString IS the
-    // cast form. Everything else — timestamps above all — must keep the
-    // file: a java.sql.Timestamp prints '... 00:00:00.0' while the stat
-    // reads '... 00:00:00', so a probe AT a file's max bound compares
-    // above it lexicographically and the mis-prune LOSES the row's
-    // update (same failure class as the bloom toString-divergence).
+    // Bounds may be consulted only when the probe's stat form is
+    // commensurable with the build side's recorded stats: NUMERIC types
+    // compare parsed (toString-form differences are absorbed by the
+    // parse, and Decimal joins the safe set that way), TIMESTAMPS
+    // compare as epoch micros (the recorded form — `form` converts the
+    // probe), and bloomSafe's whitelist is exactly the types whose
+    // toString IS the cast form. Everything else must keep the file: a
+    // form mismatch AT a file's max bound compares above it and the
+    // mis-prune LOSES the row's update.
     def boundsSafe(c: String): Boolean = numeric(c) || bloomSafe(c)
     // bounds verdicts — true on any doubt (no stats, unparseable,
     // incommensurable probe form)
@@ -476,7 +482,7 @@ private[catalog] object CowPruning {
       } }
     def point(c: String, v: Any): Entry => Boolean = {
       if (v == null) return _ => false // = NULL matches no row
-      val s = v.toString
+      val s = form(c, v)
       val boundsOk = bounds(c)((mn, mx) => !lt(c)(s, mn) && !lt(c)(mx, s))
       val positions =
         if (bloomSafe(c)) Some(GraftCatalog.bloomPositions(s)) else None
@@ -492,7 +498,7 @@ private[catalog] object CowPruning {
     def cmpV(c: String, v: Any)(keep: (String, String, String) => Boolean)
         : Entry => Boolean =
       if (v == null) _ => false
-      else { val s = v.toString; bounds(c)((mn, mx) => keep(s, mn, mx)) }
+      else { val s = form(c, v); bounds(c)((mn, mx) => keep(s, mn, mx)) }
 
     f match {
       case sources.EqualTo(a, v)       => point(a, v)

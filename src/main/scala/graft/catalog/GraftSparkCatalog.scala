@@ -118,25 +118,35 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // versions under a concurrent ALTER)
       val head = cat.latest(ns, t)
       val props = head.map(_.properties).getOrElse(Map.empty)
-      val bloomCols = props.get(GraftCatalog.BloomColumnsProp)
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-      // `write.sort-columns`: range-cluster the batch so its files carry
-      // TIGHT min/max bounds on the listed columns — the knob that makes
-      // manifest pruning work for a SQL-only writer (Iceberg's
-      // write.distribution-mode=range habit). Partition count follows
-      // the session's shuffle setting; compact() later re-bins to the
-      // target file size, re-sorted by the same property.
-      val sortCols = GraftCatalog.validatedSortColumns(s"$ns.$t", props,
-        head.flatMap(_.schemaJson).map(j =>
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[StructType]))
+      val schema = head.flatMap(_.schemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+      // bucket-transform sources of the partition spec bloom-index
+      // automatically — bucket pruning IS the bloom path
+      val bloomCols = GraftCatalog.writeBloomColumns(s"$ns.$t", props, schema)
+      // layout: the PARTITION SPEC's clustering columns first (identity/
+      // temporal/truncate cluster by their monotone source; bucket by
+      // the Iceberg-spec bucket value), then `write.sort-columns` —
+      // files carry TIGHT min/max bounds on the spec sources and the
+      // sort columns (Iceberg's write.distribution-mode=range habit).
+      // Partition count follows the session's shuffle setting;
+      // compact() later re-bins to the target file size, re-clustered
+      // by the same properties.
+      val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$t", props, schema)
+      val clusterCols =
+        pspec.map(GraftCatalog.partitionClusterColumn(_)) ++
+        GraftCatalog.validatedSortColumns(s"$ns.$t", props, schema).map(col)
       val shaped =
-        if (sortCols.isEmpty) data
-        else data.repartitionByRange(sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      if (overwrite) cat.commitReplace(ns, t, shaped, bloomCols = bloomCols): Unit
-      else cat.commitAppend(ns, t, shaped, bloomCols = bloomCols): Unit
+        if (clusterCols.isEmpty) data
+        else data.repartitionByRange(clusterCols: _*)
+          .sortWithinPartitions(clusterCols: _*)
+      // spec'd tables stage partition-ALIGNED (each file = one tuple);
+      // the range clustering above keeps each task's tuples contiguous
+      // so alignment splits, not fragments, the output
+      if (overwrite) cat.commitReplace(ns, t, shaped, bloomCols = bloomCols,
+        alignSpec = pspec.nonEmpty): Unit
+      else cat.commitAppend(ns, t, shaped, bloomCols = bloomCols,
+        alignSpec = pspec.nonEmpty): Unit
     }
 
   /** DELETE WHERE cond: re-read the CURRENT version at execution time,
@@ -303,10 +313,77 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       props = snap.properties)
   }
 
+  /** One SQL `PARTITIONED BY` transform → the catalog's canonical
+    * partition field. Connector shapes accepted: identity references,
+    * years/months/days/hours(col), bucket(n, col), truncate(w, col) —
+    * width and column in either order (both spellings exist in the
+    * wild). Anything else refuses with the supported list. */
+  private def parsePartitionField(t: Transform,
+      table: String): GraftCatalog.PartitionField = {
+    import org.apache.spark.sql.connector.expressions.{Literal => CLiteral, NamedReference}
+    def refOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference =>
+          require(nr.fieldNames().length == 1,
+            s"$table: nested partition source ${nr.fieldNames().mkString(".")} " +
+              "is not supported — partition on a top-level column")
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    def intOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case l: CLiteral[_] => Some(l.value().toString.toInt)
+        case _ => None
+      }
+    val args = t.arguments().toSeq
+    def oneRef: String = args.flatMap(refOf).headOption.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$table: partition transform ${t.describe()} names no column"))
+    t.name() match {
+      case "identity" => GraftCatalog.PartitionField("identity", oneRef)
+      case "years" | "year" => GraftCatalog.PartitionField("year", oneRef)
+      case "months" | "month" => GraftCatalog.PartitionField("month", oneRef)
+      case "days" | "day" => GraftCatalog.PartitionField("day", oneRef)
+      case "hours" | "hour" => GraftCatalog.PartitionField("hour", oneRef)
+      case "bucket" | "truncate" =>
+        val canonical = if (t.name() == "bucket") "bucket" else "truncate"
+        val n = args.flatMap(intOf).headOption.getOrElse(
+          throw new UnsupportedOperationException(
+            s"$table: ${t.describe()} needs an integer " +
+              (if (canonical == "bucket") "bucket count" else "width")))
+        GraftCatalog.PartitionField(canonical, oneRef, n)
+      case other => throw new UnsupportedOperationException(
+        s"$table: unsupported partition transform '$other' — supported: " +
+          "identity, bucket(n, col), truncate(w, col), years/months/days/" +
+          "hours(col)")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft tables cluster at write time, not via partition specs")
+    // PARTITIONED BY persists as the graft.partition-spec TBLPROPERTY
+    // (versioned table state, honored by INSERT clustering, bloom
+    // indexing, compact, and the Iceberg export's real partition spec)
+    val specProps: Map[String, String] =
+      if (partitions.isEmpty) Map.empty
+      else {
+        require(!properties.containsKey(GraftCatalog.PartitionSpecProp),
+          s"declare partitioning via PARTITIONED BY or the " +
+            s"${GraftCatalog.PartitionSpecProp} property, not both")
+        val fields = partitions.toSeq.map(
+          parsePartitionField(_, s"${nsOf(ident)}.${ident.name()}"))
+        val dup = fields.map(_.source).diff(fields.map(_.source).distinct)
+        require(dup.isEmpty,
+          s"PARTITIONED BY references column(s) ${dup.distinct.mkString(", ")} " +
+            "more than once")
+        Map(GraftCatalog.PartitionSpecProp ->
+          GraftCatalog.partitionSpecJson(fields))
+      }
+    // validate transform/type legality against the DECLARED schema NOW —
+    // a bad DDL must refuse at CREATE, not at the first INSERT
+    GraftCatalog.validatedPartitionSpec(s"${nsOf(ident)}.${ident.name()}",
+      specProps ++ properties.asScala, Some(schema)): Unit
     cat.createTable(nsOf(ident), ident.name())
     // commit an EMPTY v0 carrying the declared schema — without it the
     // table reads as zero columns until the first insert, breaking the
@@ -320,8 +397,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // second metadata commit (Spark rides reserved engine keys —
       // provider/location/owner/... — on the same map; those describe
       // the catalog, not the table, and are not table state)
-      val userProps = properties.asScala.toMap --
-        GraftSparkCatalog.ReservedTableProps
+      val userProps = (properties.asScala.toMap --
+        GraftSparkCatalog.ReservedTableProps) ++ specProps
       if (userProps.nonEmpty)
         cat.commitProperties(nsOf(ident), ident.name(), userProps): Unit
     } catch { case e: Throwable =>

@@ -253,22 +253,149 @@ object IcebergExport {
       {"name":"deleted_rows_count","type":"long","field-id":514}
     ]}""")
 
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int","field-id":0},
-      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-        {"name":"content","type":"int","field-id":134},
-        {"name":"file_path","type":"string","field-id":100},
-        {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-        {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104},
-        {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
-      ]},"field-id":2}
-    ]}""")
+  /** Manifest-entry schema with the given partition-record fields JSON
+    * (spec: the `partition` struct, field-id 102, is TYPED per the
+    * manifest's partition spec — empty for unpartitioned manifests). */
+  private def manifestEntrySchemaWith(partitionFieldsJson: String): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","field-id":134},
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","type":{"type":"record","name":"r102","fields":[$partitionFieldsJson]},"field-id":102},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+        ]},"field-id":2}
+      ]}""")
+
+  private val ManifestEntrySchema: Schema = manifestEntrySchemaWith("")
+
+  // ---- partition-spec export (PARTITIONED BY interop) ----
+
+  /** One exported partition-spec field: graft transform + the derived
+    * Iceberg spellings (spec §Partition Specs / §Appendix C). */
+  private case class SpecField(pf: GraftCatalog.PartitionField,
+                               name: String, transform: String,
+                               sourceId: Int, fieldId: Int,
+                               avroType: String, sourceType: DataType,
+                               physSource: String)
+
+  private def specFieldsOf(pspec: Seq[GraftCatalog.PartitionField],
+                           headSchema: StructType,
+                           colIds: Map[String, Int]): Seq[SpecField] =
+    pspec.zipWithIndex.map { case (pf, i) =>
+      val field = headSchema.fields.find(_.name == pf.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source ${pf.source} missing from the head schema"))
+      val phys = GraftCatalog.physicalName(field)
+      val (nm, tr, avro) = pf.transform match {
+        case "identity" => (pf.source, "identity", field.dataType match {
+          case ByteType | ShortType | IntegerType => "\"int\""
+          case LongType => "\"long\""
+          case StringType => "\"string\""
+          case DateType => """{"type":"int","logicalType":"date"}"""
+          case TimestampType =>
+            """{"type":"long","logicalType":"timestamp-micros"}"""
+          case other => throw new IllegalArgumentException(
+            s"identity partition on ${other.simpleString} is not exportable")
+        })
+        case "bucket" => (s"${pf.source}_bucket", s"bucket[${pf.n}]", "\"int\"")
+        case "truncate" => (s"${pf.source}_trunc", s"truncate[${pf.n}]",
+          field.dataType match {
+            case StringType => "\"string\""
+            case LongType => "\"long\""
+            case _ => "\"int\""
+          })
+        case t @ ("year" | "month" | "hour") => (s"${pf.source}_$t", t, "\"int\"")
+        case "day" =>
+          (s"${pf.source}_day", "day", """{"type":"int","logicalType":"date"}""")
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform $other")
+      }
+      SpecField(pf, nm, tr, colIds(phys), 1000 + i, avro, field.dataType, phys)
+    }
+
+  /** Derive one spec field's partition VALUE for a file from its
+    * recorded manifest stats — Some(avro value) only when the bounds
+    * PROVE the whole file sits in one partition (transform(min) ==
+    * transform(max)); None means the file straddles partitions (or
+    * carries no usable bounds) and exports under the unpartitioned
+    * spec instead — best-effort, never a wrong tuple.
+    *
+    * Timestamp-sourced fields derive from the recorded epoch-MICROS
+    * bounds (tz-stable by construction — GraftCatalog.statForm), which
+    * is exactly the domain the spec defines its temporal transforms
+    * on. */
+  private def partitionValueOf(f: SpecField,
+      stats: Map[String, (String, String)]): Option[AnyRef] = {
+    def trunc(s: String, w: Int): String =
+      if (s.codePointCount(0, s.length) <= w) s
+      else s.substring(0, s.offsetByCodePoints(0, w))
+    val statKey = f.pf.transform match {
+      case "bucket" => GraftCatalog.bucketStatKey(f.pf.n, f.physSource)
+      case _ => f.physSource
+    }
+    stats.get(statKey).flatMap { case (mn, mx) =>
+      try {
+        (f.pf.transform, f.sourceType) match {
+          case ("bucket", _) =>
+            if (mn == mx) Some(Int.box(mn.toInt)) else None
+          case ("identity", ByteType | ShortType | IntegerType) =>
+            if (mn.toLong == mx.toLong) Some(Int.box(mn.toInt)) else None
+          case ("identity", LongType) =>
+            if (mn.toLong == mx.toLong) Some(Long.box(mn.toLong)) else None
+          case ("identity", StringType) =>
+            if (mn == mx) Some(mn) else None
+          case ("identity", DateType) =>
+            val (a, b) = (java.time.LocalDate.parse(mn), java.time.LocalDate.parse(mx))
+            if (a == b) Some(Int.box(a.toEpochDay.toInt)) else None
+          case (t @ ("year" | "month" | "day"), DateType) =>
+            val (a, b) = (java.time.LocalDate.parse(mn), java.time.LocalDate.parse(mx))
+            def v(d: java.time.LocalDate): Int = t match {
+              case "year" => d.getYear - 1970
+              case "month" => (d.getYear - 1970) * 12 + d.getMonthValue - 1
+              case _ => d.toEpochDay.toInt
+            }
+            if (v(a) == v(b)) Some(Int.box(v(a))) else None
+          case ("identity", TimestampType) =>
+            if (mn.toLong == mx.toLong) Some(Long.box(mn.toLong)) else None
+          case (t @ ("year" | "month" | "day" | "hour"), TimestampType) =>
+            // bounds are UTC epoch micros — the spec's transform domain
+            def v(us: Long): Int = {
+              val days = Math.floorDiv(us, 86400000000L)
+              t match {
+                case "day" => days.toInt
+                case "hour" => Math.floorDiv(us, 3600000000L).toInt
+                case "year" =>
+                  java.time.LocalDate.ofEpochDay(days).getYear - 1970
+                case _ =>
+                  val d = java.time.LocalDate.ofEpochDay(days)
+                  (d.getYear - 1970) * 12 + d.getMonthValue - 1
+              }
+            }
+            if (v(mn.toLong) == v(mx.toLong)) Some(Int.box(v(mn.toLong)))
+            else None
+          case ("truncate", StringType) =>
+            val (a, b) = (trunc(mn, f.pf.n), trunc(mx, f.pf.n))
+            if (a == b) Some(a) else None
+          case ("truncate", IntegerType | LongType) =>
+            def v(s: String): Long =
+              Math.floorDiv(s.toLong, f.pf.n.toLong) * f.pf.n
+            if (v(mn) == v(mx)) {
+              if (f.sourceType == LongType) Some(Long.box(v(mn)))
+              else Some(Int.box(v(mn).toInt))
+            } else None
+          case _ => None // timestamp-sourced and anything else: documented skip
+        }
+      } catch { case _: RuntimeException => None } // unparseable bounds: keep honest
+    }
+  }
 
   // ---- export ----
 
@@ -358,10 +485,33 @@ object IcebergExport {
       }
     }
 
-    // 2. one Avro manifest per graft manifest, written once and shared by
-    //    every manifest list that references it
-    //    rel graft manifest -> (avro path, entry count, row count, length)
-    val manifestMeta = scala.collection.mutable.Map.empty[String, (String, Int, Long, Long)]
+    // partition spec (PARTITIONED BY interop): the head's declared spec
+    // exports as a REAL Iceberg partition spec — spec-id 1, default —
+    // and every data file whose recorded stats PROVE a single partition
+    // value exports with its tuple under it, so foreign engines prune.
+    // Files that straddle partitions (range clustering guarantees
+    // bounds, not file-per-partition) export under the empty spec-id 0
+    // — spec-legal (multi-spec tables are ordinary Iceberg) and never a
+    // wrong tuple. Spec-less tables keep today's byte-stable output.
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name",
+      snaps.last.properties, Some(verSchemas.last))
+    val specFields = specFieldsOf(pspec, verSchemas.last, colIds)
+    val specEntrySchema: Option[Schema] =
+      if (specFields.isEmpty) None
+      else Some(manifestEntrySchemaWith(specFields.map(f =>
+        s"""{"name":${jstr(f.name)},"type":["null",${f.avroType}],""" +
+          s""""default":null,"field-id":${f.fieldId}}""").mkString(",")))
+    val specFieldsJson = specFields.map(f =>
+      s"""{"name":${jstr(f.name)},"transform":"${f.transform}",""" +
+        s""""source-id":${f.sourceId},"field-id":${f.fieldId}}""").mkString(",")
+
+    // 2. one Avro manifest per graft manifest — TWO when a partitioned
+    //    manifest mixes tuple-provable and straddling entries — written
+    //    once and shared by every manifest list that references it.
+    //    rel graft manifest -> per-avro-manifest
+    //    (path, entry count, row count, length, partition-spec-id)
+    val manifestMeta =
+      scala.collection.mutable.Map.empty[String, Seq[(String, Int, Long, Long, Int)]]
     // which snapshot first carries each graft manifest (= added it)
     val addedBy: Map[String, Snapshot0] = {
       val m = scala.collection.mutable.Map.empty[String, Snapshot0]
@@ -439,46 +589,70 @@ object IcebergExport {
           val eqIds =
             if (isDelete && !isPos && entries.nonEmpty) equalityIdsOf(entries)
             else Seq.empty
-          val file = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
-          val w = new DataFileWriter[GenericRecord](
-            new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
-          w.setMeta("schema", schemaJson)
-          w.setMeta("partition-spec", "[]")
-          w.setMeta("partition-spec-id", "0")
-          w.setMeta("format-version", "2")
-          w.setMeta("content", if (isDelete) "deletes" else "data")
-          w.create(ManifestEntrySchema, file.toFile)
-          var rows = 0L
-          entries.foreach { e =>
-            val nRows = rowCountOf(cat)(e.stats, tableRoot.resolve(e.path))
-            rows += nRows
-            val df = new GenericData.Record(
-              ManifestEntrySchema.getField("data_file").schema())
-            // 0 = DATA, 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
-            df.put("content", Int.box(if (isPos) 1 else if (isDelete) 2 else 0))
-            df.put("file_path",
-              dataDir.resolve(flatName(e.path)).toUri.toString)
-            df.put("file_format", "PARQUET")
-            df.put("partition",
-              new GenericData.Record(df.getSchema.getField("partition").schema()))
-            df.put("record_count", Long.box(nRows))
-            // position-delete files were rewritten (rel paths -> exported
-            // URIs), so their exported size differs from the source entry
-            df.put("file_size_in_bytes",
-              Long.box(posRelSize.getOrElse(e.path, e.sizeBytes)))
-            if (isDelete && !isPos)
-              df.put("equality_ids", eqIds.map(Int.box).asJava)
-            val rec = new GenericData.Record(ManifestEntrySchema)
-            rec.put("status", Int.box(1)) // ADDED relative to its snapshot
-            rec.put("snapshot_id", Long.box(add.id))
-            rec.put("sequence_number", Long.box(add.seq))
-            rec.put("file_sequence_number", Long.box(add.seq))
-            rec.put("data_file", df)
-            w.append(rec)
+          // per-entry partition tuple where the stats prove one (data
+          // manifests of a partitioned table only); None = spec-0
+          def tupleOf(e: cat.ManifestEntry): Option[Seq[AnyRef]] =
+            if (isDelete || specFields.isEmpty) None
+            else {
+              val vals = specFields.map(f => partitionValueOf(f, e.stats))
+              if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+            }
+          def writeOne(schema: Schema, specId: Int,
+                       es: Seq[(cat.ManifestEntry, Option[Seq[AnyRef]])])
+              : (String, Int, Long, Long, Int) = {
+            val file = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
+            val w = new DataFileWriter[GenericRecord](
+              new GenericDatumWriter[GenericRecord](schema))
+            w.setMeta("schema", schemaJson)
+            w.setMeta("partition-spec",
+              if (specId == 0) "[]" else s"[$specFieldsJson]")
+            w.setMeta("partition-spec-id", specId.toString)
+            w.setMeta("format-version", "2")
+            w.setMeta("content", if (isDelete) "deletes" else "data")
+            w.create(schema, file.toFile)
+            var rows = 0L
+            es.foreach { case (e, tuple) =>
+              val nRows = rowCountOf(cat)(e.stats, tableRoot.resolve(e.path))
+              rows += nRows
+              val df = new GenericData.Record(
+                schema.getField("data_file").schema())
+              // 0 = DATA, 1 = POSITION_DELETES, 2 = EQUALITY_DELETES
+              df.put("content", Int.box(if (isPos) 1 else if (isDelete) 2 else 0))
+              df.put("file_path",
+                dataDir.resolve(flatName(e.path)).toUri.toString)
+              df.put("file_format", "PARQUET")
+              val part = new GenericData.Record(
+                df.getSchema.getField("partition").schema())
+              tuple.foreach(_.zip(specFields).foreach { case (v, f) =>
+                part.put(f.name, v) })
+              df.put("partition", part)
+              df.put("record_count", Long.box(nRows))
+              // position-delete files were rewritten (rel paths -> exported
+              // URIs), so their exported size differs from the source entry
+              df.put("file_size_in_bytes",
+                Long.box(posRelSize.getOrElse(e.path, e.sizeBytes)))
+              if (isDelete && !isPos)
+                df.put("equality_ids", eqIds.map(Int.box).asJava)
+              val rec = new GenericData.Record(schema)
+              rec.put("status", Int.box(1)) // ADDED relative to its snapshot
+              rec.put("snapshot_id", Long.box(add.id))
+              rec.put("sequence_number", Long.box(add.seq))
+              rec.put("file_sequence_number", Long.box(add.seq))
+              rec.put("data_file", df)
+              w.append(rec)
+            }
+            w.close()
+            (file.toAbsolutePath.toString, es.size, rows, Files.size(file), specId)
           }
-          w.close()
-          manifestMeta(rel) = (file.toAbsolutePath.toString, entries.size, rows,
-            Files.size(file))
+          val tagged = entries.map(e => (e, tupleOf(e)))
+          val (tupled, plain) = tagged.partition(_._2.isDefined)
+          val written =
+            (if (tupled.nonEmpty) Seq(writeOne(specEntrySchema.get, 1, tupled))
+             else Seq.empty) ++
+            (if (plain.nonEmpty || tupled.isEmpty)
+               Seq(writeOne(ManifestEntrySchema, 0, plain))
+             else Seq.empty)
+          manifestMeta(rel) = written
         }
       }
     }
@@ -495,29 +669,30 @@ object IcebergExport {
       if (i > 0) w.setMeta("parent-snapshot-id", snapshotId(i - 1).toString)
       w.create(ManifestListSchema, file.toFile)
       s.manifests.foreach { rel =>
-        val (path, nFiles, nRows, len) = manifestMeta(rel)
         val add = addedBy(rel)
-        val rec = new GenericData.Record(ManifestListSchema)
-        rec.put("manifest_path", Paths.get(path).toUri.toString)
-        rec.put("manifest_length", Long.box(len))
-        rec.put("partition_spec_id", Int.box(0))
-        rec.put("content", Int.box(if (isDeleteM(rel)) 1 else 0)) // 0 data / 1 deletes
-        rec.put("sequence_number", Long.box(add.seq))
-        rec.put("min_sequence_number", Long.box(add.seq))
-        rec.put("added_snapshot_id", Long.box(add.id))
-        // the counts describe the manifest FILE's entry statuses (spec
-        // field 504: "entries with status ADDED"), so a manifest reused
-        // by later manifest lists keeps its ORIGINAL counts — every
-        // entry in our shared manifests is ADDED with the adding
-        // snapshot's id; readers attribute them via added_snapshot_id /
-        // sequence_number, not via per-list count flips
-        rec.put("added_files_count", Int.box(nFiles))
-        rec.put("existing_files_count", Int.box(0))
-        rec.put("deleted_files_count", Int.box(0))
-        rec.put("added_rows_count", Long.box(nRows))
-        rec.put("existing_rows_count", Long.box(0L))
-        rec.put("deleted_rows_count", Long.box(0L))
-        w.append(rec)
+        manifestMeta(rel).foreach { case (path, nFiles, nRows, len, specId) =>
+          val rec = new GenericData.Record(ManifestListSchema)
+          rec.put("manifest_path", Paths.get(path).toUri.toString)
+          rec.put("manifest_length", Long.box(len))
+          rec.put("partition_spec_id", Int.box(specId))
+          rec.put("content", Int.box(if (isDeleteM(rel)) 1 else 0)) // 0 data / 1 deletes
+          rec.put("sequence_number", Long.box(add.seq))
+          rec.put("min_sequence_number", Long.box(add.seq))
+          rec.put("added_snapshot_id", Long.box(add.id))
+          // the counts describe the manifest FILE's entry statuses (spec
+          // field 504: "entries with status ADDED"), so a manifest reused
+          // by later manifest lists keeps its ORIGINAL counts — every
+          // entry in our shared manifests is ADDED with the adding
+          // snapshot's id; readers attribute them via added_snapshot_id /
+          // sequence_number, not via per-list count flips
+          rec.put("added_files_count", Int.box(nFiles))
+          rec.put("existing_files_count", Int.box(0))
+          rec.put("deleted_files_count", Int.box(0))
+          rec.put("added_rows_count", Long.box(nRows))
+          rec.put("existing_rows_count", Long.box(0L))
+          rec.put("deleted_rows_count", Long.box(0L))
+          w.append(rec)
+        }
       }
       w.close()
       file.toAbsolutePath
@@ -612,9 +787,11 @@ object IcebergExport {
          |"last-column-id":$lastColumnId,
          |"current-schema-id":$headSchemaId,
          |"schemas":[${schemasJson.mkString(",")}],
-         |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,
+         |"default-spec-id":${if (specFields.isEmpty) 0 else 1},
+         |"partition-specs":[{"spec-id":0,"fields":[]}${
+           if (specFields.isEmpty) ""
+           else s""",{"spec-id":1,"fields":[$specFieldsJson]}"""}],
+         |"last-partition-id":${999 + specFields.size},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"write.format.default":"parquet"$nameMappingProp$userProps},
@@ -635,12 +812,12 @@ object IcebergExport {
     // manifests only: physical rows, pre-delete-apply)
     val headRows = snaps.last.manifests
       .filterNot(m => isDeleteM.getOrElse(m, false))
-      .map(manifestMeta(_)._3).sum
+      .map(manifestMeta(_).map(_._3).sum).sum
     val deleteRels = snaps.flatMap(s => cat.manifestsFull(ns, name, s)
       .filter(_._2).flatMap(_._3.map(_.path))).distinct.toSet
     ExportReport(metaFile.toAbsolutePath.toString, snaps.length,
-      manifestMeta.size, allRel.count(!deleteRels(_)), headRows, int96Risk,
-      deleteRels.size)
+      manifestMeta.values.map(_.size).sum, allRel.count(!deleteRels(_)),
+      headRows, int96Risk, deleteRels.size)
   }
 
   private case class Snapshot0(id: Long, seq: Long, tsMs: Long)

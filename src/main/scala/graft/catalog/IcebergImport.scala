@@ -291,7 +291,11 @@ object IcebergImport {
     // over, and disambiguates, the schema-derived union here)
 
     // per-snapshot live entries via the spec artifacts (data + equality
-    // deletes; position deletes refuse)
+    // deletes; position deletes refuse). Each data manifest's
+    // partition-spec-id and first data file are captured for the
+    // identity-omission guard below.
+    val identityProbes =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
     val liveSets: Seq[Seq[Entry0]] = lineage.map { snap =>
       val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
       IcebergExport.readAvro(listPath).flatMap { mf =>
@@ -299,9 +303,19 @@ object IcebergImport {
         require(mContent == 0 || mContent == 1,
           s"IcebergImport: unknown manifest content $mContent")
         val mSeq = anyLong(IcebergExport.getOpt(mf, "sequence_number"))
+        val mPath = mf.get("manifest_path").toString
+        val mSpecId = anyInt(IcebergExport.getOpt(mf, "partition_spec_id"))
         IcebergExport.readAvro(
-            Paths.get(java.net.URI.create(mf.get("manifest_path").toString)))
+            Paths.get(java.net.URI.create(mPath)))
           .filter(e => anyInt(IcebergExport.getOpt(e, "status")) != 2) // DELETED excluded
+          .map { e =>
+            if (!identityProbes.contains(mPath) && mContent == 0) {
+              val df0 = e.get("data_file").asInstanceOf[GenericRecord]
+              if (anyInt(IcebergExport.getOpt(df0, "content")) == 0)
+                identityProbes(mPath) = (mSpecId, df0.get("file_path").toString)
+            }
+            e
+          }
           .map { e =>
             val df = e.get("data_file").asInstanceOf[GenericRecord]
             val seq = anyLongOr(IcebergExport.getOpt(e, "sequence_number"), mSeq)
@@ -362,6 +376,46 @@ object IcebergImport {
           s"IcebergImport: file $uri carries column '$col0' that no schema " +
             "of this table declares (and no name-mapping resolves it)"))
       })
+
+    // ---- partition specs ----
+    // transform/source-id fields per declared spec (the flat JSON form)
+    val specFieldsById: Map[Int, Seq[(String, Int)]] =
+      Option(root.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala).map { sp =>
+          sp.get("spec-id").asInt() ->
+            sp.get("fields").elements().asScala.map(f =>
+              f.get("transform").asText() -> f.get("source-id").asInt()).toSeq
+        }.toMap
+
+    // IDENTITY-OMISSION GUARD: the spec allows writers to OMIT identity
+    // source columns from data files — readers must reconstitute the
+    // value from the manifest's partition tuple. Graft plain-copies
+    // files and resolves columns by footer name, so such a file would
+    // read the column as silent NULLs. Probe ONE data-file footer per
+    // manifest whose spec has identity fields (driver-cheap — the same
+    // footer cache the equality-delete check uses): if the identity
+    // source resolves to no footer column, refuse loudly with guidance
+    // instead of importing wrong data. (A file that merely PREDATES the
+    // column legitimately null-fills — but those are written under a
+    // pre-identity spec; a file committed UNDER an identity spec
+    // without its source column is the omission case.)
+    identityProbes.foreach { case (mPath, (specId, uri)) =>
+      val identitySources = specFieldsById.getOrElse(specId, Seq.empty)
+        .collect { case ("identity", srcId) => srcId }
+      identitySources.foreach { srcId =>
+        val present = footerCols(uri).exists(c =>
+          nameMapping.get(c).contains(srcId) ||
+            (nameMapping.isEmpty && !ambiguousNames(c) &&
+              idOfName.get(c).contains(srcId)))
+        require(present,
+          s"IcebergImport: data file $uri (manifest $mPath, partition spec " +
+            s"$specId) omits its identity partition source column (field id " +
+            s"$srcId) — the writer relied on readers filling it from " +
+            "partition metadata, which a plain-copy import cannot do; " +
+            "rewrite the table with the column materialized in the data " +
+            "files (e.g. Iceberg rewrite_data_files) first")
+      }
+    }
 
     // one equality-column FIELD-ID set per table (commitDelete's native
     // constraint — morScan anti-joins each epoch in a single join), and
@@ -559,7 +613,47 @@ object IcebergImport {
         .filterNot { case (k, _) =>
           k == "write.format.default" || k == "schema.name-mapping.default" }
         .toMap
-      if (srcProps.nonEmpty) cat.commitProperties(ns, name, srcProps): Unit
+      // map the DEFAULT partition spec onto graft's own partition model
+      // (graft.partition-spec), so the imported table keeps clustering,
+      // bucket-blooming and re-exporting under the source's layout.
+      // Best-effort layout METADATA, never correctness: an unmappable
+      // spec (void/unknown transform, unresolvable source, type the
+      // graft model refuses) imports the data fine and just skips the
+      // property.
+      val mappedSpec: Option[String] = {
+        val defaultSpecId = Option(root.get("default-spec-id"))
+          .map(_.asInt()).getOrElse(0)
+        val curNames = nameMapOf(schemaNodes(currentSchemaId))
+        val B = """bucket\[(\d+)\]""".r
+        val T = """truncate\[(\d+)\]""".r
+        val fields: Option[Seq[GraftCatalog.PartitionField]] =
+          specFieldsById.get(defaultSpecId).filter(_.nonEmpty).flatMap { fs =>
+            val mapped = fs.map { case (tr, srcId) =>
+              curNames.get(srcId).flatMap { src =>
+                tr match {
+                  case "identity" => Some(GraftCatalog.PartitionField("identity", src))
+                  case B(n) => Some(GraftCatalog.PartitionField("bucket", src, n.toInt))
+                  case T(w) => Some(GraftCatalog.PartitionField("truncate", src, w.toInt))
+                  case "year" | "years" => Some(GraftCatalog.PartitionField("year", src))
+                  case "month" | "months" => Some(GraftCatalog.PartitionField("month", src))
+                  case "day" | "days" => Some(GraftCatalog.PartitionField("day", src))
+                  case "hour" | "hours" => Some(GraftCatalog.PartitionField("hour", src))
+                  case _ => None
+                }
+              }
+            }
+            if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+          }
+        fields.map(GraftCatalog.partitionSpecJson).filter { j =>
+          scala.util.Try(GraftCatalog.validatedPartitionSpec(s"$ns.$name",
+            Map(GraftCatalog.PartitionSpecProp -> j),
+            Some(schemaWithMapping(currentSchemaId)))).isSuccess
+        }
+      }
+      val finalProps = srcProps ++
+        (if (srcProps.contains(GraftCatalog.PartitionSpecProp)) None
+         else mappedSpec.map(GraftCatalog.PartitionSpecProp -> _))
+      if (finalProps.nonEmpty) cat.commitProperties(ns, name, finalProps): Unit
 
       val allEntries = liveSets.flatten
       ImportReport(s"$ns.$name", steps.size, replaces,

@@ -96,8 +96,12 @@ private[graft] final class RowParquetWriter(absPath: String,
     writer.close()
     val p = new HPath(absPath)
     val size = p.getFileSystem(conf).getFileStatus(p).getLen
-    def str(v: Any, dt: DataType): String =
-      Cast(Literal(v, dt), StringType, Some("UTC")).eval(null).toString
+    def str(v: Any, dt: DataType): String = dt match {
+      // timestamps record tz-stable epoch MICROS — the catalyst value
+      // itself — matching the staged-stats job's unix_micros form
+      case org.apache.spark.sql.types.TimestampType => v.toString
+      case _ => Cast(Literal(v, dt), StringType, Some("UTC")).eval(null).toString
+    }
     val bounds = statFields.zipWithIndex.flatMap { case ((_, f), j) =>
       if (mins(j) == null) None
       else Some(f.name -> ((str(mins(j), f.dataType), str(maxs(j), f.dataType))))

@@ -741,6 +741,57 @@ object CatalogQueries {
               SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""")
   }
 
+  private val partitionedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** PARTITIONED BY as a first-class surface: SQL DDL with years() +
+    * bucket() transforms, one INSERT through the partition-ALIGNED
+    * staging path (each data file = one partition tuple), then scans
+    * that must PRUNE on both axes — the temporal axis via per-file
+    * bounds (year-aligned files), the bucket axis via the auto-recorded
+    * bloom on the bucket source. The file-skip assertion folds into a
+    * `pruned` contract column: the engine emits the MEASURED boolean
+    * (year-slice files < total AND point-probe files < total over a
+    * multi-file table), the oracle declares it true, so a layout/
+    * pruning regression flips the row red. The aggregates prove the
+    * pruned scans return exactly the full answer. */
+  private def partitionedDdl: Q = (s, d) => {
+    val wh = partitionedWarehouses.synchronized {
+      partitionedWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-part-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(
+          s"""CREATE TABLE $c.q.pt
+             |(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP)
+             |PARTITIONED BY (years(o_orderdate), bucket(8, o_orderkey))""".stripMargin)
+        Tables.orders(s, d).createOrReplaceTempView("pt_src")
+        s.sql(s"""INSERT INTO $c.q.pt
+                  SELECT o_orderkey, o_totalprice, o_orderdate
+                  FROM pt_src""").collect(): Unit
+        w
+      })
+    }
+    val cat = new GraftCatalog(s, wh)
+    val total = cat.read("q", "pt").inputFiles.length
+    val yearSlice = cat.readWhere("q", "pt", "o_orderdate",
+      Some("1995-01-01"), Some("1995-12-31"))
+    val pointProbe = cat.readWhereEquals("q", "pt", "o_orderkey", "1")
+    val pruned = total > 1 &&
+      yearSlice.inputFiles.length < total &&
+      pointProbe.inputFiles.length < total
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(yearSlice, "1_year_slice")
+      .unionByName(agg(pointProbe, "2_point_lookup"))
+      .withColumn("pruned", lit(pruned))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"), col("pruned"))
+      .orderBy(col("stage"))
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -914,6 +965,7 @@ object CatalogQueries {
     "cat_sql_rowlevel_mor" -> sqlRowLevelMor,
     "cat_sql_alter"        -> sqlAlter,
     "cat_sql_rename"       -> sqlRename,
+    "cat_partitioned_ddl"  -> partitionedDdl,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1106,6 +1158,20 @@ object CatalogQueries {
                             round(sum(price), 2) AS total_price,
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
                      FROM head WHERE price > 1000)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
+    "cat_partitioned_ddl" ->
+      """WITH s1 AS (SELECT '1_year_slice' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                            TRUE AS pruned
+                     FROM orders
+                     WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                           AND TIMESTAMP '1995-12-31 00:00:00'),
+              s2 AS (SELECT '2_point_lookup' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                            TRUE AS pruned
+                     FROM orders WHERE o_orderkey = 1)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_sql_alter" ->
       """WITH u AS (

@@ -529,9 +529,18 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(stats("d") === (("2024-01-01", "2024-01-05")))
     assert(stats("b") === (("false", "true")))
     assert(stats("dec") === (("0.00", "28.00")))
-    assert(!stats.contains("ts") && !stats.contains("arr") &&
-      !stats.contains("st") && !stats.contains("mp"),
-      "non-prunable types record no bounds")
+    // timestamps record TZ-STABLE epoch-micros bounds (the staged-stats
+    // job's unix_micros form — NOT cast-to-string, which is session-tz)
+    val tsExp = df.agg(
+      org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts"))).cast("string"),
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts"))).cast("string")).head()
+    assert(stats("ts") === ((tsExp.getString(0), tsExp.getString(1))))
+    assert(!stats.contains("arr") && !stats.contains("st") &&
+      !stats.contains("mp"), "non-prunable types record no bounds")
 
     // physical timestamp type is INT64 (micros), the export-safe form
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

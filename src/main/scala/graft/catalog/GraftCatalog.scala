@@ -113,6 +113,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def createTable(ns: String, name: String): Unit = {
     requireIdentifier("namespace", ns)
     requireIdentifier("table", name)
+    require(!viewExists(ns, name),
+      s"cannot create table $ns.$name: a view with that name exists")
     Files.createDirectories(manifestDir(ns, name))
     Files.createDirectories(dataDir(ns, name))
   }
@@ -151,7 +153,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     requireIdentifier("table", toName)
     require(tableExists(ns, name), s"no such table $ns.$name")
     require(!(ns == toNs && name == toName), "rename to the same name")
-    require(!tableExists(toNs, toName),
+    require(!tableExists(toNs, toName) && !viewExists(toNs, toName),
       s"rename target $toNs.$toName already exists")
     Files.createDirectories(Paths.get(warehouse, toNs))
     Files.move(tableDir(ns, name), tableDir(toNs, toName),
@@ -187,6 +189,108 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val p = Paths.get(warehouse, ns)
     if (!Files.isDirectory(p)) Iterator.empty
     else listDir(p).map(_.getFileName.toString).iterator
+  }
+
+  // ---- persistent views ----
+  // CREATE VIEW survives the session: definitions live as VERSIONED
+  // sidecar JSON under `<ns>/_views/<name>/v<seq>.json` — the '_views'
+  // directory rides the listing contract's plumbing filter (underscore
+  // prefix), so table listings never see it, while views get the same
+  // durability + atomic-publish story as table versions (write temp,
+  // ATOMIC_MOVE to the next seq; the move fails if a racer took it).
+  // The JSON payload is opaque here (the Spark layer records SQL text,
+  // schema, column lineage, properties); this layer owns existence,
+  // versioning, rename and the table/view name-collision guard.
+
+  private def viewDir(ns: String, name: String): Path =
+    Paths.get(warehouse, ns, "_views", name)
+
+  private def viewVersions(ns: String, name: String): Seq[(Long, Path)] = {
+    val d = viewDir(ns, name)
+    if (!Files.isDirectory(d)) Seq.empty
+    else listDir(d).flatMap { p =>
+      val f = p.getFileName.toString
+      if (f.startsWith("v") && f.endsWith(".json"))
+        scala.util.Try(f.stripPrefix("v").stripSuffix(".json").toLong)
+          .toOption.map(_ -> p)
+      else None
+    }.sortBy(_._1)
+  }
+
+  def viewExists(ns: String, name: String): Boolean =
+    viewVersions(ns, name).nonEmpty
+
+  /** Publish `defJson` as the next version of the view. `replace=false`
+    * refuses an existing view (CREATE VIEW); `replace=true` appends a
+    * new version (CREATE OR REPLACE / ALTER). Tables and views share
+    * one name space — a view may never shadow a table. */
+  def createView(ns: String, name: String, defJson: String,
+                 replace: Boolean): Unit = {
+    requireIdentifier("namespace", ns)
+    requireIdentifier("view", name)
+    require(!tableExists(ns, name),
+      s"cannot create view $ns.$name: a table with that name exists")
+    if (!replace) require(!viewExists(ns, name),
+      s"view $ns.$name already exists")
+    val d = viewDir(ns, name)
+    Files.createDirectories(d)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val next = viewVersions(ns, name).lastOption.map(_._1 + 1).getOrElse(0L)
+      if (!replace && next > 0)
+        throw new IllegalStateException(s"view $ns.$name already exists")
+      val tmp = Files.createTempFile(d, ".stage-", ".json")
+      Files.writeString(tmp, defJson)
+      try { Files.move(tmp, d.resolve(f"v$next%09d.json"),
+        StandardCopyOption.ATOMIC_MOVE); done = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp): Unit // racer took the seq — re-derive
+        attempt += 1
+        require(attempt < 50, s"view $ns.$name: CAS publish starved")
+      }
+    }
+  }
+
+  /** Current definition JSON (latest version), None when absent. */
+  def loadViewJson(ns: String, name: String): Option[String] =
+    viewVersions(ns, name).lastOption.map(v => Files.readString(v._2))
+
+  /** All versions oldest-first — the TBLPROPERTIES-style history. */
+  def viewHistory(ns: String, name: String): Seq[(Long, String)] =
+    viewVersions(ns, name).map { case (s, p) => (s, Files.readString(p)) }
+
+  def listViews(ns: String): Seq[String] = {
+    val d = Paths.get(warehouse, ns, "_views")
+    if (!Files.isDirectory(d)) Seq.empty
+    else listDir(d).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(n => viewExists(ns, n)).sorted
+  }
+
+  def dropView(ns: String, name: String): Boolean = {
+    val d = viewDir(ns, name)
+    if (!Files.isDirectory(d)) false
+    else {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) listDir(p).foreach(rm)
+        Files.deleteIfExists(p): Unit
+      }
+      rm(d); true
+    }
+  }
+
+  /** View RENAME: one atomic directory move (the whole version history
+    * travels), same single-DDL-writer contract as table RENAME. */
+  def renameView(ns: String, name: String, toNs: String, toName: String): Unit = {
+    requireIdentifier("namespace", toNs)
+    requireIdentifier("view", toName)
+    require(viewExists(ns, name), s"no such view $ns.$name")
+    require(!tableExists(toNs, toName) && !viewExists(toNs, toName),
+      s"rename target $toNs.$toName already exists")
+    Files.createDirectories(Paths.get(warehouse, toNs, "_views"))
+    Files.move(viewDir(ns, name), viewDir(toNs, toName),
+      StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   // jittered exponential backoff between CAS retries (the reference's

@@ -59,7 +59,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * engine-native catalog plugin.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -664,6 +664,97 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
     true
   }
+
+  // ---- persistent views (ViewCatalog) ----
+  // CREATE/ALTER/DROP/SHOW VIEW against this catalog PERSIST in the
+  // warehouse (GraftCatalog.createView — versioned sidecar JSON under
+  // <ns>/_views/), so a view OUTLIVES the session that created it: a
+  // fresh session or another process mounting the same warehouse
+  // resolves and reads it like any engine view. The stored definition
+  // carries the SQL text plus the full resolution context Spark's
+  // analyzer replays (defining catalog + namespace, declared schema,
+  // query column names, aliases, comments, properties).
+  //
+  // Reference basis: the design docs query inventories through engine
+  // views (iceberg-arch-geo-distributed-ha.md:1206-1222 — Athena/
+  // BigQuery view DDL over the control-plane tables).
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  private def nsOfView(ident: Identifier): String = {
+    if (ident.namespace().length != 1) throw new NoSuchViewException(ident)
+    ident.namespace()(0)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.length != 1)
+      throw new NoSuchNamespaceException(namespace.toArray)
+    cat.listViews(namespace.head)
+      .map(Identifier.of(namespace.toArray, _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 &&
+      cat.viewExists(ident.namespace()(0), ident.name())
+
+  override def loadView(ident: Identifier): View = {
+    val ns = nsOfView(ident)
+    val json = cat.loadViewJson(ns, ident.name())
+      .getOrElse(throw new NoSuchViewException(ident))
+    GraftSparkCatalog.parseView(ident.name(), json)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ns = nsOfView(info.ident)
+    if (cat.viewExists(ns, info.ident.name()))
+      throw new ViewAlreadyExistsException(info.ident)
+    cat.createView(ns, info.ident.name(),
+      GraftSparkCatalog.viewJson(info), replace = false)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ns = nsOfView(info.ident)
+    if (!orCreate && !cat.viewExists(ns, info.ident.name()))
+      throw new NoSuchViewException(info.ident)
+    // one new VERSION of the same view (atomic publish) — never the
+    // default drop-then-create, whose failure window loses the view
+    cat.createView(ns, info.ident.name(),
+      GraftSparkCatalog.viewJson(info), replace = true)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = nsOfView(ident)
+    val cur = cat.loadViewJson(ns, ident.name())
+      .getOrElse(throw new NoSuchViewException(ident))
+    val next = changes.foldLeft(cur) { (j, ch) =>
+      ch match {
+        case s: ViewChange.SetProperty =>
+          GraftSparkCatalog.viewJsonWithProps(j, _ + (s.property -> s.value))
+        case r: ViewChange.RemoveProperty =>
+          GraftSparkCatalog.viewJsonWithProps(j, _ - r.property)
+        case other => throw new IllegalArgumentException(
+          s"unsupported view change $other")
+      }
+    }
+    cat.createView(ns, ident.name(), next, replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace().length == 1 &&
+      cat.dropView(ident.namespace()(0), ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (ons, nns) = (nsOfView(oldIdent), nsOfView(newIdent))
+    if (!cat.viewExists(ons, oldIdent.name()))
+      throw new NoSuchViewException(oldIdent)
+    if (cat.viewExists(nns, newIdent.name()) ||
+        cat.tableExists(nns, newIdent.name()))
+      throw new ViewAlreadyExistsException(newIdent)
+    cat.renameView(ons, oldIdent.name(), nns, newIdent.name())
+  }
 }
 
 /** A readable + insertable graft table: schema from the catalog's
@@ -1043,6 +1134,60 @@ private[graft] object GraftStatsStrategy
 object GraftSparkCatalog {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
+  // ---- view definition (de)serialization ----
+
+  private val viewMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[catalog] def viewJson(info: org.apache.spark.sql.connector.catalog.ViewInfo): String = {
+    val o = viewMapper.createObjectNode()
+    o.put("sql", info.sql): Unit
+    o.put("currentCatalog", info.currentCatalog): Unit
+    o.put("schemaJson", info.schema.json): Unit
+    def arr(k: String, vs: Array[String]): Unit = {
+      val a = o.putArray(k)
+      vs.foreach(v => if (v == null) a.addNull(): Unit else a.add(v): Unit)
+    }
+    arr("currentNamespace", info.currentNamespace)
+    arr("queryColumnNames", info.queryColumnNames)
+    arr("columnAliases", info.columnAliases)
+    arr("columnComments", info.columnComments)
+    val p = o.putObject("properties")
+    info.properties.asScala.foreach { case (k, v) => p.put(k, v): Unit }
+    viewMapper.writeValueAsString(o)
+  }
+
+  /** Rewrite only the `properties` object of a stored view JSON. */
+  private[catalog] def viewJsonWithProps(json: String,
+      f: Map[String, String] => Map[String, String]): String = {
+    val o = viewMapper.readTree(json)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cur = Option(o.get("properties")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    val p = o.putObject("properties")
+    f(cur).foreach { case (k, v) => p.put(k, v): Unit }
+    viewMapper.writeValueAsString(o)
+  }
+
+  private[catalog] def parseView(viewName: String, json: String)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val o = viewMapper.readTree(json)
+    def arr(k: String): Array[String] =
+      Option(o.get(k)).map(_.elements().asScala.map(n =>
+        if (n.isNull) null else n.asText()).toArray).getOrElse(Array.empty)
+    new GraftView(
+      viewName,
+      o.get("sql").asText(),
+      o.get("currentCatalog").asText(),
+      arr("currentNamespace"),
+      org.apache.spark.sql.types.DataType.fromJson(
+        o.get("schemaJson").asText()).asInstanceOf[StructType],
+      arr("queryColumnNames"),
+      arr("columnAliases"),
+      arr("columnComments"),
+      Option(o.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+  }
+
   /** Spark rides engine-reserved keys on the CREATE TABLE properties
     * map; they describe the catalog entry, not versioned table state. */
   private[catalog] val ReservedTableProps: Set[String] =
@@ -1106,5 +1251,34 @@ private[catalog] object GraftScanBuilder {
     case sources.AlwaysTrue()  => Some(lit(true))
     case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+}
+
+/** A persisted graft view — the stored definition handed back to
+  * Spark's analyzer, which re-parses `query` under the recorded
+  * catalog/namespace context and validates it against the recorded
+  * schema/column lineage. */
+private[catalog] class GraftView(
+    viewName: String,
+    viewQuery: String,
+    cat0: String,
+    ns0: Array[String],
+    viewSchema: org.apache.spark.sql.types.StructType,
+    qCols: Array[String],
+    aliases: Array[String],
+    comments: Array[String],
+    props: Map[String, String])
+  extends org.apache.spark.sql.connector.catalog.View {
+  override def name(): String = viewName
+  override def query(): String = viewQuery
+  override def currentCatalog(): String = cat0
+  override def currentNamespace(): Array[String] = ns0
+  override def schema(): org.apache.spark.sql.types.StructType = viewSchema
+  override def queryColumnNames(): Array[String] = qCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
   }
 }

@@ -1,0 +1,320 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Persistent-view SQL support for graft catalogs.
+  *
+  * Spark 4.1 ships the DSv2 [[ViewCatalog]] INTERFACE but wires no
+  * analyzer rule to it — `ResolveSessionCatalog` unconditionally throws
+  * MISSING_CATALOG_ABILITY.VIEWS for any view DDL addressed at a
+  * non-session catalog, and relation resolution never consults
+  * `loadView`. So, exactly like Iceberg's Spark runtime does for its
+  * own view support, graft ships the wiring in its session extensions:
+  *
+  *  - a PARSER post-processor ([[GraftViewSqlParser]]) that rewrites
+  *    freshly-parsed view DDL (CREATE/ALTER/DROP/SHOW VIEWS, ALTER ...
+  *    RENAME, SHOW TBLPROPERTIES on a view) addressed at a graft
+  *    catalog into runnable commands over the catalog's [[ViewCatalog]]
+  *    implementation — everything else passes through untouched, so
+  *    session-catalog views keep their stock behavior;
+  *  - a RESOLUTION rule ([[GraftViewSubstitution]]) that expands a
+  *    `SELECT ... FROM <graftCatalog>.<ns>.<view>` reference by parsing
+  *    the stored SQL, re-qualifying its relation references under the
+  *    view's DEFINING catalog + namespace (recorded at CREATE time),
+  *    and re-applying the declared column aliases.
+  *
+  * Binding semantics: definitions re-resolve at READ time (Spark's
+  * schema-evolution mode for views) — a view over an ALTERed table sees
+  * the table's current shape; the schema recorded at CREATE serves
+  * DESCRIBE, not enforcement. Temp-view references inside a persisted
+  * view fail at read time (the qualified name does not exist) — the
+  * same contract Spark enforces for its own persisted views, checked
+  * lazily here. Cyclic view definitions fail loudly at the analyzer's
+  * iteration limit. */
+private[graft] object GraftViewSql {
+
+  /** The [[GraftSparkCatalog]] registered under `catName`, if any. */
+  def graftPlugin(session: SparkSession, catName: String): Option[GraftSparkCatalog] =
+    if (!session.conf.getOption(s"spark.sql.catalog.$catName")
+        .contains(classOf[GraftSparkCatalog].getName)) None
+    else session.sessionState.catalogManager.catalog(catName) match {
+      case g: GraftSparkCatalog => Some(g)
+      case _ => None
+    }
+
+  /** `catalog.ns.name` parts addressed at a graft catalog. */
+  def viewTarget(session: SparkSession, parts: Seq[String])
+      : Option[(GraftSparkCatalog, Identifier)] =
+    if (parts.length != 3) None
+    else graftPlugin(session, parts.head)
+      .map(g => (g, Identifier.of(Array(parts(1)), parts(2))))
+}
+
+/** Parser wrapper: delegates everything, then rewrites parsed view DDL
+  * addressed at graft catalogs (see [[GraftViewSql]]). */
+class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = {
+    val session = SparkSession.active
+    def target(parts: Seq[String]) = GraftViewSql.viewTarget(session, parts)
+    plan match {
+      case cv: CreateView => cv.child match {
+        case UnresolvedIdentifier(parts, _) if target(parts).isDefined =>
+          require(cv.collation.isEmpty,
+            "DEFAULT COLLATION on graft views is not supported")
+          GraftCreateViewCommand(parts, cv.userSpecifiedColumns, cv.comment,
+            cv.properties, cv.originalText, cv.query, cv.allowExisting,
+            cv.replace)
+        case _ => cv
+      }
+      case av: AlterViewAs => av.child match {
+        case UnresolvedView(parts, _, _, _) if target(parts).isDefined =>
+          GraftAlterViewAsCommand(parts, av.originalText, av.query)
+        case _ => av
+      }
+      case dv: DropView => dv.child match {
+        case UnresolvedIdentifier(parts, _) if target(parts).isDefined =>
+          GraftDropViewCommand(parts, dv.ifExists)
+        case _ => dv
+      }
+      case sv: ShowViews => sv.child match {
+        case UnresolvedNamespace(parts, _)
+            if parts.length == 2 &&
+              GraftViewSql.graftPlugin(session, parts.head).isDefined =>
+          GraftShowViewsCommand(parts, sv.pattern, sv.output)
+        case _ => sv
+      }
+      case sp: SetViewProperties => sp.child match {
+        case UnresolvedView(parts, _, _, _) if target(parts).isDefined =>
+          GraftAlterViewPropsCommand(parts, sp.properties, Seq.empty)
+        case _ => sp
+      }
+      case up: UnsetViewProperties => up.child match {
+        case UnresolvedView(parts, _, _, _) if target(parts).isDefined =>
+          GraftAlterViewPropsCommand(parts, Map.empty, up.propertyKeys)
+        case _ => up
+      }
+      // ALTER VIEW ... RENAME TO parses as RenameTable(isView = true)
+      case rt: RenameTable if rt.isView => rt.child match {
+        case UnresolvedTableOrView(parts, _, _) if target(parts).isDefined =>
+          GraftRenameViewCommand(parts, rt.newName)
+        case _ => rt
+      }
+      // SHOW TBLPROPERTIES names a table OR a view — reroute only when
+      // the identifier IS an existing graft view (tables keep their path)
+      case st: ShowTableProperties => st.child match {
+        case UnresolvedTableOrView(parts, _, _) =>
+          target(parts) match {
+            case Some((g, ident)) if g.viewExists(ident) =>
+              GraftShowViewPropsCommand(parts, st.propertyKey, st.output)
+            case _ => st
+          }
+        case _ => st
+      }
+      case other => other
+    }
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Read-side substitution: `FROM <graftCatalog>.<ns>.<view>` expands to
+  * the stored definition (see [[GraftViewSql]] scaladoc for binding
+  * semantics). Runs as an extended resolution rule — relations the
+  * stock resolver already bound are never touched. */
+case class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperatorsUp {
+    case u @ UnresolvedRelation(parts, _, false) =>
+      GraftViewSql.viewTarget(session, parts) match {
+        case Some((g, ident)) if g.viewExists(ident) =>
+          expand(g.loadView(ident))
+        case _ => u
+      }
+  }
+
+  private def expand(view: View): LogicalPlan = {
+    val parsed = session.sessionState.sqlParser.parsePlan(view.query)
+    // names bound by CTE definitions inside the view body must NOT be
+    // re-qualified into catalog tables
+    val cteNames = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1)
+    }.flatten.toSet
+    val qualified = parsed transform {
+      case r @ UnresolvedRelation(ps, _, false)
+          if ps.length < 3 && !(ps.length == 1 && cteNames(ps.head)) =>
+        val full =
+          if (ps.length == 1) view.currentCatalog +:
+            (view.currentNamespace.toSeq :+ ps.head)
+          else view.currentCatalog +: ps
+        r.copy(multipartIdentifier = full)
+    }
+    val aliased =
+      if (view.columnAliases.isEmpty ||
+          view.columnAliases.sameElements(view.queryColumnNames)) qualified
+      else Project(view.queryColumnNames.zip(view.columnAliases).toSeq
+        .map { case (q, a) => Alias(UnresolvedAttribute.quoted(q), a)() },
+        qualified)
+    SubqueryAlias(view.name(), aliased)
+  }
+}
+
+private[catalog] case class GraftCreateViewCommand(
+    parts: Seq[String],
+    userCols: Seq[(String, Option[String])],
+    comment: Option[String],
+    props: Map[String, String],
+    originalText: Option[String],
+    viewQuery: LogicalPlan,
+    allowExisting: Boolean,
+    replace: Boolean) extends LeafRunnableCommand {
+
+  // the query is NOT a child (children of commands re-analyze per rule
+  // batch); it is analyzed once in run() under the session's CURRENT
+  // catalog/namespace — the context the stored definition records
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(viewQuery)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    if (g.viewExists(ident)) {
+      if (allowExisting && !replace) return Seq.empty // IF NOT EXISTS
+      if (!replace) throw new ViewAlreadyExistsException(ident)
+    }
+    val sqlText = originalText.getOrElse(throw new IllegalArgumentException(
+      s"CREATE VIEW ${parts.mkString(".")}: no query text recorded"))
+    val analyzed = session.sessionState.executePlan(viewQuery).analyzed
+    val qNames = analyzed.output.map(_.name)
+    if (userCols.nonEmpty) require(userCols.length == qNames.length,
+      s"CREATE VIEW ${parts.mkString(".")}: ${userCols.length} declared " +
+        s"column(s) but the query produces ${qNames.length}")
+    val aliases = if (userCols.nonEmpty) userCols.map(_._1) else qNames
+    val comments: Seq[String] =
+      if (userCols.nonEmpty) userCols.map(_._2.orNull) else qNames.map(_ => null)
+    val schema = StructType(analyzed.output.zip(aliases).map { case (a0, nm) =>
+      StructField(nm, a0.dataType, a0.nullable) })
+    val cm = session.sessionState.catalogManager
+    val allProps = props ++ comment.map(ViewCatalog.PROP_COMMENT -> _)
+    val info = new ViewInfo(ident, sqlText, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, qNames.toArray, aliases.toArray,
+      comments.toArray, allProps.asJava)
+    if (replace) g.replaceView(info, true) else g.createView(info): Unit
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftAlterViewAsCommand(
+    parts: Seq[String],
+    originalText: String,
+    viewQuery: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(viewQuery)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val old = g.loadView(ident) // throws NoSuchViewException when absent
+    val analyzed = session.sessionState.executePlan(viewQuery).analyzed
+    val qNames = analyzed.output.map(_.name)
+    val schema = StructType(analyzed.output.map(a0 =>
+      StructField(a0.name, a0.dataType, a0.nullable)))
+    val cm = session.sessionState.catalogManager
+    // ALTER ... AS replaces the QUERY; existing properties carry over
+    val info = new ViewInfo(ident, originalText, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, qNames.toArray, qNames.toArray,
+      qNames.map(_ => null: String).toArray, old.properties())
+    g.replaceView(info, false): Unit
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftDropViewCommand(parts: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    if (!g.dropView(ident) && !ifExists) throw new NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftRenameViewCommand(parts: Seq[String],
+    newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val to = newName match {
+      case Seq(n) => Identifier.of(ident.namespace(), n)
+      case Seq(ns, n) => Identifier.of(Array(ns), n)
+      case other => throw new IllegalArgumentException(
+        s"rename target ${other.mkString(".")} must be [ns.]name")
+    }
+    g.renameView(ident, to)
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftAlterViewPropsCommand(parts: Seq[String],
+    set: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val changes = set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+      unset.map(ViewChange.removeProperty)
+    g.alterView(ident, changes: _*): Unit
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftShowViewsCommand(nsParts: Seq[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val g = GraftViewSql.graftPlugin(session, nsParts.head).get
+    g.listViews(nsParts(1))
+      .filter(i => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(i.name()), p).nonEmpty))
+      .map(i => Row(nsParts(1), i.name(), false)).toSeq
+  }
+}
+
+private[catalog] case class GraftShowViewPropsCommand(parts: Seq[String],
+    propertyKey: Option[String], override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val props = g.loadView(ident).properties().asScala
+    propertyKey match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table ${parts.mkString(".")} does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}

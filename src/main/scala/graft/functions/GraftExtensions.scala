@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner strategy: AsOfJoinNode → physical sort-merge as-of join
     // (see plans/AsOfJoinPlan.scala)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // persistent views on graft catalogs: Spark 4.1 ships the DSv2
+    // ViewCatalog interface UNWIRED (no analyzer rule consults it), so
+    // graft wires it here — parser post-processor for view DDL, and a
+    // resolution rule expanding reads through stored definitions
+    // (see catalog/GraftViewSupport.scala)
+    ext.injectParser((_, delegate) =>
+      new graft.catalog.GraftViewSqlParser(delegate))
+    ext.injectResolutionRule(graft.catalog.GraftViewSubstitution(_))
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

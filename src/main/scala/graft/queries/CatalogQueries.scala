@@ -792,6 +792,40 @@ object CatalogQueries {
       .orderBy(col("stage"))
   }
 
+  private val viewWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** PERSISTENT views: CREATE VIEW against the graft catalog persists
+    * the definition in the warehouse (versioned sidecar); the declared
+    * read goes through a SECOND catalog alias mounting the same
+    * warehouse — a fresh plugin + fresh GraftCatalog instance, the
+    * in-process analogue of a session restart — so the row certifies
+    * that the view definition itself (SQL text, defining-catalog
+    * context, column aliases) round-trips through storage, not just
+    * through the creating session's memory. */
+  private def viewRead: Q = (s, d) => {
+    val wh = viewWarehouses.synchronized {
+      viewWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-view-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.vt (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        Tables.orders(s, d).createOrReplaceTempView("view_src")
+        s.sql(s"""INSERT INTO $c.q.vt
+                  SELECT o_orderkey, o_totalprice FROM view_src""").collect(): Unit
+        s.sql(s"""CREATE VIEW $c.q.pricey (key, price_k) AS
+                  SELECT o_orderkey, round(o_totalprice / 1000, 3)
+                  FROM $c.q.vt WHERE o_totalprice > 100000""").collect(): Unit
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_reread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"""SELECT count(*) AS cnt, round(sum(price_k), 2) AS total_k,
+                     min(key) AS min_key, max(key) AS max_key
+              FROM $c2.q.pricey""")
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -966,6 +1000,7 @@ object CatalogQueries {
     "cat_sql_alter"        -> sqlAlter,
     "cat_sql_rename"       -> sqlRename,
     "cat_partitioned_ddl"  -> partitionedDdl,
+    "cat_view_read"        -> viewRead,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1159,6 +1194,10 @@ object CatalogQueries {
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
                      FROM head WHERE price > 1000)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
+    "cat_view_read" ->
+      """SELECT count(*) AS cnt, round(sum(round(o_totalprice / 1000, 3)), 2) AS total_k,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_totalprice > 100000""",
     "cat_partitioned_ddl" ->
       """WITH s1 AS (SELECT '1_year_slice' AS stage, count(*) AS cnt,
                             round(sum(o_totalprice), 2) AS total_price,

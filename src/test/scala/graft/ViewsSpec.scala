@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+
+/** Persistent views: CREATE VIEW against the graft catalog persists the
+  * definition in the WAREHOUSE (versioned sidecar JSON), so views
+  * outlive the session that created them — a fresh catalog instance
+  * mounting the same warehouse resolves and reads them. */
+class ViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("graft-views").toString
+
+  private def seed(c: String): Unit = {
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("id", "v").createOrReplaceTempView("views_src")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT * FROM views_src").collect(): Unit
+  }
+
+  test("SQL view lifecycle: CREATE VIEW persists, SELECT reads through " +
+       "it, SHOW VIEWS lists it, REPLACE updates it, DROP removes it") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    spark.sql(s"CREATE VIEW $c.ns.big AS SELECT id, v FROM $c.ns.t WHERE id > 2")
+    assert(spark.sql(s"SELECT sum(id) FROM $c.ns.big").head().getLong(0) === 7L)
+    // listed
+    val shown = spark.sql(s"SHOW VIEWS IN $c.ns").collect().map(_.getString(1))
+    assert(shown.contains("big"))
+    // view and table names share one namespace
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $c.ns.big (x INT)"))
+    intercept[Exception](
+      spark.sql(s"CREATE VIEW $c.ns.t AS SELECT 1 AS one"))
+    // CREATE OR REPLACE publishes a NEW VERSION (history retained)
+    spark.sql(s"CREATE OR REPLACE VIEW $c.ns.big AS " +
+      s"SELECT id, v FROM $c.ns.t WHERE id > 3")
+    assert(spark.sql(s"SELECT sum(id) FROM $c.ns.big").head().getLong(0) === 4L)
+    val cat = new GraftCatalog(spark, w)
+    assert(cat.viewHistory("ns", "big").size === 2,
+      "replace must version, not overwrite")
+    // ALTER VIEW SET/UNSET TBLPROPERTIES round-trips
+    spark.sql(s"ALTER VIEW $c.ns.big SET TBLPROPERTIES ('owner.note'='x1')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $c.ns.big").collect()
+      .exists(r => r.getString(0) == "owner.note" && r.getString(1) == "x1"))
+    spark.sql(s"ALTER VIEW $c.ns.big UNSET TBLPROPERTIES ('owner.note')")
+    assert(!spark.sql(s"SHOW TBLPROPERTIES $c.ns.big").collect()
+      .exists(_.getString(0) == "owner.note"))
+    // DROP
+    spark.sql(s"DROP VIEW $c.ns.big")
+    assert(!new GraftCatalog(spark, w).viewExists("ns", "big"))
+    intercept[Exception](spark.sql(s"SELECT * FROM $c.ns.big").collect())
+  }
+
+  test("a view OUTLIVES its defining session: a fresh catalog instance " +
+       "mounting the same warehouse resolves and reads it (and the " +
+       "definition references resolve against the DEFINING catalog)") {
+    val w = freshWarehouse()
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c1)
+    spark.sql(s"CREATE VIEW $c1.ns.evens AS " +
+      s"SELECT id, v * 10 AS v10 FROM $c1.ns.t WHERE id % 2 = 0")
+    // a SECOND registration under a DIFFERENT alias = a fresh
+    // GraftSparkCatalog instance with its own GraftCatalog (fresh
+    // caches) mounting the same warehouse — the in-session analogue of
+    // a new process / restarted session
+    val c2 = s"${c1}_second"
+    spark.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c2.warehouse", w)
+    assert(c2 != c1)
+    val rows = spark.sql(s"SELECT id, v10 FROM $c2.ns.evens ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows === Seq((2L, 20.0), (4L, 40.0)))
+    // rename moves the whole version history atomically
+    spark.sql(s"ALTER VIEW $c2.ns.evens RENAME TO ns.pairs")
+    assert(spark.sql(s"SELECT count(*) FROM $c2.ns.pairs").head().getLong(0) === 2L)
+    assert(!new GraftCatalog(spark, w).viewExists("ns", "evens"))
+  }
+
+  test("view reads compose with catalog features through the underlying " +
+       "table: new INSERTs are visible (views are definitions, not " +
+       "materializations), and pruning still reaches the scan") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    spark.sql(s"CREATE VIEW $c.ns.live AS SELECT id FROM $c.ns.t WHERE id >= 3")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.live").head().getLong(0) === 2L)
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (9, 9.0)").collect(): Unit
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.live").head().getLong(0) === 3L)
+    // the view body's filter reaches the parquet scan as a pushed filter
+    val plan = spark.sql(s"SELECT * FROM $c.ns.live")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,3)"), s"no pushdown in:\n$plan")
+  }
+
+  test("listings stay honest: _views plumbing is invisible to SHOW " +
+       "TABLES / listTables / pagination, and view names refuse the " +
+       "same reserved prefixes as tables") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    spark.sql(s"CREATE VIEW $c.ns.v1 AS SELECT id FROM $c.ns.t")
+    val cat = new GraftCatalog(spark, w)
+    assert(cat.listTables("ns") === Seq("t"))
+    assert(spark.sql(s"SHOW TABLES IN $c.ns").collect().map(_.getString(1))
+      .toSeq === Seq("t"))
+    intercept[Exception](cat.createView("ns", "_hidden", "{}", replace = false))
+    intercept[Exception](cat.createView("ns", ".dot", "{}", replace = false))
+  }
+}

@@ -3043,6 +3043,43 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value)))
   }
 
+  /** mergeSchema-style append (Delta's `mergeSchema=true` shape), the
+    * documented DECISION for schema-merging writes:
+    *
+    *  - columns the batch has and the table lacks WIDEN the schema in
+    *    the SAME CAS commit as the data (plain [[commitAppend]] already
+    *    grants this — schema + files publish atomically, never an
+    *    evolve-then-append window where a concurrent reader sees the
+    *    column with no data);
+    *  - columns the table has and the batch lacks are NULL-FILLED here
+    *    (typed nulls, nullable by definition) — the convenience plain
+    *    commitAppend deliberately refuses, because silently null-filling
+    *    a MISTYPED frame loses data; this entry point is the explicit
+    *    opt-in;
+    *  - type changes still refuse (ALTER COLUMN TYPE is a deliberate,
+    *    promotion-lattice-checked act, not a write side effect).
+    *
+    * SQL `INSERT` cannot reach either half — Spark validates INSERT
+    * column lists against the table schema at analysis — so this is the
+    * programmatic by-name ingestion surface (streaming sinks, sync
+    * replays). */
+  def commitAppendMerge(ns: String, name: String, df: DataFrame,
+                        sourceRegion: String = "local",
+                        commitId: Option[String] = None,
+                        bloomCols: Seq[String] = Seq.empty): Snapshot = {
+    val cur = tableSchema(ns, name).map(_.fields.toSeq).getOrElse(Seq.empty)
+    // SELECT-* stability: recorded order stays table-columns-first (in
+    // table order), freshly-introduced columns append after, in batch
+    // order — Delta's mergeSchema ordering
+    val tableCols = cur.map(f =>
+      if (df.schema.fieldNames.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name))
+    val newCols = df.schema.fieldNames.toSeq
+      .filterNot(n => cur.exists(_.name == n)).map(col)
+    commitAppend(ns, name, df.select(tableCols ++ newCols: _*),
+      sourceRegion = sourceRegion, commitId = commitId, bloomCols = bloomCols)
+  }
+
   /** C1: `VERSION AS OF seq` time travel — files AND schema of `seq`. */
   def readVersion(ns: String, name: String, seq: Long): DataFrame = {
     val snap = snapshots(ns, name).find(_.seq == seq)
@@ -3247,6 +3284,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     expire(ns, name, s => floor.contains(s.seq) || s.timestampMs >= olderThanMs)
   }
 
+  /** Property-driven [[expireOlderThan]] — the maintenance-job form
+    * (one scheduled `expireSnapshots(ns, t)` per table, the policy
+    * riding the table's own metadata instead of job arguments, exactly
+    * like the no-arg [[compact]]): Iceberg's retention knobs
+    * `history.expire.max-snapshot-age-ms` (default 5 days) and
+    * `history.expire.min-snapshots-to-keep` (default 1). Malformed
+    * values refuse loudly rather than silently expiring on defaults —
+    * a typo'd retention policy that quietly shortens history is how
+    * time travel (and in-flight readers) die. */
+  def expireSnapshots(ns: String, name: String): Seq[String] = {
+    val props = tableProperties(ns, name)
+    def longProp(k: String, dflt: Long): Long = props.get(k) match {
+      case Some(v) =>
+        try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$ns.$name: table property $k must be an integer, got '$v'") }
+      case None => dflt
+    }
+    val maxAgeMs = longProp(GraftCatalog.MaxSnapshotAgeMsProp, 5L * 24 * 3600 * 1000)
+    val minKeep = longProp(GraftCatalog.MinSnapshotsToKeepProp, 1L)
+    require(maxAgeMs > 0,
+      s"$ns.$name: ${GraftCatalog.MaxSnapshotAgeMsProp} must be > 0, got $maxAgeMs")
+    require(minKeep >= 1 && minKeep <= Int.MaxValue,
+      s"$ns.$name: ${GraftCatalog.MinSnapshotsToKeepProp} must be in " +
+        s"[1, ${Int.MaxValue}], got $minKeep")
+    expireOlderThan(ns, name, System.currentTimeMillis() - maxAgeMs,
+      minKeep.toInt)
+  }
+
   /** G6 completeness for the metadata plane: manifests referenced by NO
     * version (a crash between writeManifest and the CAS publish — the
     * in-process abort paths already clean up after themselves) are
@@ -3380,6 +3446,10 @@ object GraftCatalog {
     * that makes manifest-bounds pruning work for a SQL-only user: files
     * written clustered carry TIGHT min/max on these columns. */
   val SortColumnsProp = "write.sort-columns"
+  /** Retention policy consulted by the no-arg
+    * [[GraftCatalog.expireSnapshots]] (Iceberg's knob names). */
+  val MaxSnapshotAgeMsProp = "history.expire.max-snapshot-age-ms"
+  val MinSnapshotsToKeepProp = "history.expire.min-snapshots-to-keep"
 
   // ---- partition transforms (PARTITIONED BY) ----
   // Graft has no hive-style directory partitions — the table DESIGN is

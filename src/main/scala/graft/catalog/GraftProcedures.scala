@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `CALL graft.compact(...)` also resolves. */
 object GraftProcedures {
 
-  private val Names = Seq("compact", "expire_snapshots", "rollback",
+  private val Names = Seq("compact", "expire_snapshots",
+    "expire_snapshots_auto", "rollback",
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
     "backfill_stats", "rewrite_manifests", "rewrite_position_deletes")
@@ -67,6 +68,17 @@ object GraftProcedures {
           require(keep >= 1L && keep <= Int.MaxValue,
             s"expire_snapshots: retain_last must be in [1, ${Int.MaxValue}], got $keep")
           val removed = cat.expireSnapshots(ns, t, keep.toInt)
+          Seq(Seq(removed.size.toLong, cat.snapshots(ns, t).size.toLong)) }))
+      // property-driven retention: policy rides the table's OWN
+      // history.expire.* TBLPROPERTIES (max-snapshot-age-ms +
+      // min-snapshots-to-keep) — the scheduled-maintenance form, same
+      // shape as the no-target compact
+      case "expire_snapshots_auto" => Some(proc("expire_snapshots_auto",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(StructField("removed_files", LongType),
+          StructField("live_versions", LongType))),
+        { case Seq(ns: String, t: String) =>
+          val removed = cat.expireSnapshots(ns, t)
           Seq(Seq(removed.size.toLong, cat.snapshots(ns, t).size.toLong)) }))
       case "rollback" => Some(proc("rollback",
         Seq("ns" -> StringType, "tbl" -> StringType, "seq" -> LongType),

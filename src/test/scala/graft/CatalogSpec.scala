@@ -1227,4 +1227,43 @@ class CatalogSpec extends SparkSpec {
     // the COW rewrite already materialized the erasure of id=3
     assert(cat.read("ns", "rpd").count() === nRows - 1)
   }
+
+  test("mergeSchema appends — the documented decision: extra columns " +
+       "WIDEN the schema in the same CAS commit (plain commitAppend), " +
+       "missing columns refuse there but NULL-FILL via the explicit " +
+       "commitAppendMerge; type changes refuse either way") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ns", "ms")
+    cat.commitAppend("ns", "ms", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+
+    // widen: one commit carries BOTH the new column and its data
+    val v1 = cat.commitAppend("ns", "ms",
+      Seq((3L, "c", 9.5)).toDF("id", "s", "score"))
+    assert(cat.tableSchema("ns", "ms").get.fieldNames.toSeq ===
+      Seq("id", "s", "score"))
+    assert(v1.seq === 1L, "widening must NOT spend an extra version")
+    // pre-widen rows read the new column as null
+    assert(cat.read("ns", "ms").filter("score IS NULL").count() === 2L)
+
+    // missing column: plain append refuses loudly...
+    val e = intercept[IllegalArgumentException](
+      cat.commitAppend("ns", "ms", Seq((4L, "d")).toDF("id", "s")))
+    assert(e.getMessage.contains("missing from the appended data"))
+    // ...the explicit merge form null-fills it
+    cat.commitAppendMerge("ns", "ms", Seq((4L, "d")).toDF("id", "s"))
+    assert(cat.read("ns", "ms").count() === 4L)
+    assert(cat.read("ns", "ms").filter("id = 4 AND score IS NULL").count() === 1L)
+
+    // merge also widens (both directions in one batch)
+    cat.commitAppendMerge("ns", "ms", Seq((5L, 7.0, true)).toDF("id", "score", "flag"))
+    assert(cat.tableSchema("ns", "ms").get.fieldNames.toSeq ===
+      Seq("id", "s", "score", "flag"))
+    assert(cat.read("ns", "ms").filter("flag").count() === 1L)
+
+    // a type change is never a write side effect
+    val e2 = intercept[IllegalArgumentException](
+      cat.commitAppendMerge("ns", "ms", Seq(("x", "y")).toDF("id", "s")))
+    assert(e2.getMessage.contains("changed"))
+  }
 }

@@ -219,4 +219,38 @@ class ProcedureSpec extends SparkSpec {
     assert(messages.contains("iceberg_export"),
       s"error should list available procedures, got:\n$messages")
   }
+
+  test("property-driven retention: expire_snapshots_auto honors the " +
+       "table's OWN history.expire.* TBLPROPERTIES — age cutoff with a " +
+       "min-snapshots floor; malformed values refuse loudly; defaults " +
+       "(5 days / keep 1) expire nothing fresh") {
+    val (cat, c) = register()
+    cat.createTable("m", "ret")
+    (1 to 4).foreach(i => cat.commitAppend("m", "ret",
+      Seq((i.toLong, i * 1.0)).toDF("id", "v").coalesce(1)))
+    assert(cat.snapshots("m", "ret").size === 4)
+
+    // defaults: everything is seconds old, far inside 5 days → no-op
+    val noop = spark.sql(s"CALL $c.system.expire_snapshots_auto('m', 'ret')").head()
+    assert(noop.getLong(0) === 0L && noop.getLong(1) === 4L)
+
+    // aggressive age + floor of 2: every version is older than 1 ms,
+    // the floor keeps exactly the newest two
+    Thread.sleep(20)
+    spark.sql(s"""ALTER TABLE $c.m.ret SET TBLPROPERTIES (
+      '${GraftCatalog.MaxSnapshotAgeMsProp}'='1',
+      '${GraftCatalog.MinSnapshotsToKeepProp}'='2')""")
+    Thread.sleep(20)
+    // the property commit itself is now the head; floor 2 keeps it + one
+    val out = spark.sql(s"CALL $c.system.expire_snapshots_auto('m', 'ret')").head()
+    assert(out.getLong(1) === 2L, s"floor must keep 2, kept ${out.getLong(1)}")
+    // the table still reads exactly (latest data intact)
+    assert(spark.sql(s"SELECT sum(id) FROM $c.m.ret").head().getLong(0) === 10L)
+
+    // malformed policy refuses loudly instead of expiring on defaults
+    spark.sql(s"""ALTER TABLE $c.m.ret SET TBLPROPERTIES (
+      '${GraftCatalog.MaxSnapshotAgeMsProp}'='five days')""")
+    val e = intercept[Exception](cat.expireSnapshots("m", "ret"))
+    assert(e.getMessage.contains(GraftCatalog.MaxSnapshotAgeMsProp))
+  }
 }

@@ -148,6 +148,80 @@ object ServeBench {
           .count()
       })
     }
+    if (groups("suffix")) {
+      // suffix-array ranks (Manber–Myers doubling, k=8) over the FULL
+      // scaled documents table — character positions scale linearly
+      // with the corpus, so the curve isolates the rank machinery
+      // (range shuffle + per-partition prefix sums, 8 doubling rounds)
+      (1 to repeat).foreach(i => time("suffix_ranks", i) {
+        Dedup.suffixRanks(docs, "doc_id", "text", k = 8).count()
+      })
+    }
+    if (groups("graph")) {
+      import graft.pipeline.GraphOps
+      // deterministic lineitem-key graph with SCALE-FLAT density: per
+      // 5-block of order keys, a star to the block base plus a ring
+      // edge — triangles ∝ nodes, so 10x data means 10x triangles,
+      // never 100x. Keys come from l_orderkey, which gen_scale offsets
+      // per replica slice, so the scaled graph is N DISJOINT copies of
+      // the 1x graph: the shape that measures ENGINE scaling, not
+      // density drift.
+      val keys = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("k")).distinct().localCheckpoint()
+      val star = keys.filter(col("k") % 5 =!= 0)
+        .select(col("k").as("id_a"), (col("k") - col("k") % 5).as("id_b"))
+      val ring = keys.filter(col("k") % 5 =!= 4)
+        .select(col("k").as("id_a"), (col("k") + 1).as("id_b"))
+      // chord (k%5==1 → k+2): gives each block a NONEMPTY 3-core
+      // reached after one real peel round (node k+4 drops) — k-core
+      // does ∝ nodes of actual peeling work instead of none
+      val chord = keys.filter(col("k") % 5 === 1)
+        .select(col("k").as("id_a"), (col("k") + 2).as("id_b"))
+      val pairs = star.unionAll(ring).unionAll(chord)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct().localCheckpoint()
+      val nodes = keys.select(col("k").as("id"))
+      (1 to repeat).foreach(i => time("graph_pagerank3", i) {
+        GraphOps.pageRank(GraphOps.symmetrize(pairs, "id_a", "id_b"),
+          nodes, iters = 3).count()
+      })
+      (1 to repeat).foreach(i => time("graph_triangles", i) {
+        GraphOps.triangleCounts(pairs, nodes).count()
+      })
+      (1 to repeat).foreach(i => time("graph_kcore3", i) {
+        GraphOps.kCore(pairs, k = 3).count()
+      })
+    }
+    if (groups("joins")) {
+      // interval/range joins whose VALUE DOMAIN scales with the data
+      // (values derive from l_orderkey, which gen_scale offsets per
+      // slice): matches per interval stay constant, output ∝ inputs —
+      // density-flat, so the curve measures the bucketed join itself
+      val li = Tables.lineitem(spark, sfDir)
+      val points = li.select(
+        (col("l_orderkey") + col("l_linenumber") / 10.0).as("value"),
+        col("l_orderkey").as("pk"))
+      val keys = li.select(col("l_orderkey").as("k")).distinct().localCheckpoint()
+      val intervals = keys.filter(col("k") % 10 === 0)
+        .select(col("k").as("iid"), (col("k") - 3.0).as("lo"),
+          (col("k") + 3.0).as("hi"))
+      (1 to repeat).foreach(i => time("join_points_in_intervals", i) {
+        graft.operators.RangeJoin.pointsInIntervals(points, intervals,
+          "value", "lo", "hi", bucketWidth = 8.0).count()
+      })
+      val ivA = keys.filter(col("k") % 10 === 0)
+        .select(col("k").as("a_id"), col("k").cast("double").as("a_lo"),
+          (col("k") + 4.0).as("a_hi"))
+      val ivB = keys.filter(col("k") % 10 === 5)
+        .select(col("k").as("b_id"), (col("k") - 2.0).as("b_lo"),
+          (col("k") + 2.0).as("b_hi"))
+      (1 to repeat).foreach(i => time("join_interval_overlap", i) {
+        graft.operators.RangeJoin.intervalOverlapJoin(ivA, ivB,
+          "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 8.0).count()
+      })
+    }
     if (groups("rowlevel")) {
       // SQL row-level operations at scale. The claim under test is the
       // WRITE-AMPLIFICATION contract, not raw wall-clock: a point UPDATE

@@ -2378,6 +2378,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         s"$ns.$name has no committed version to carry properties — commit " +
           "data (or CREATE TABLE via SQL, which commits v0) first"))
       val next = (parent.properties ++ set) -- unset
+      // partition-spec EVOLUTION via ALTER ... SET TBLPROPERTIES is
+      // legal (new writes cluster by the new spec; committed files keep
+      // their recorded layout, exactly Iceberg's spec-evolution model)
+      // — but a malformed/ill-typed spec must refuse AT THE ALTER, not
+      // at the next INSERT, or the table is bricked for SQL writers
+      if (set.contains(GraftCatalog.PartitionSpecProp))
+        GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
+          parent.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])): Unit
       // TreeMap: deterministic key order, so identical maps serialize
       // identically (diffable logs, stable export)
       val json =

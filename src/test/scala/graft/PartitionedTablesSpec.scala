@@ -330,6 +330,46 @@ class PartitionedTablesSpec extends SparkSpec {
     assert(IcebergExport.readExported(spark, dest).count() === 50L)
   }
 
+  test("partition-spec EVOLUTION via ALTER SET TBLPROPERTIES: the new " +
+       "spec drives subsequent writes (Iceberg's evolution model — " +
+       "committed files keep their layout); a malformed spec refuses AT " +
+       "the ALTER, not at the next INSERT") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(s"CREATE TABLE $c.ns.ev (id BIGINT, d DATE)")
+    val src = (0 until 400).map { i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 8, 1 + i % 4)))
+    }.toDF("id", "d")
+    src.createOrReplaceTempView("ev_src")
+    spark.sql(s"INSERT INTO $c.ns.ev SELECT * FROM ev_src WHERE id < 200").collect(): Unit
+    // evolve: declare the spec post-hoc
+    spark.sql(s"""ALTER TABLE $c.ns.ev SET TBLPROPERTIES (
+      '${GraftCatalog.PartitionSpecProp}'=
+      '[{"transform":"day","source":"d"},{"transform":"bucket","source":"id","n":2}]')""")
+    spark.sql(s"INSERT INTO $c.ns.ev SELECT * FROM ev_src WHERE id >= 200").collect(): Unit
+    // the post-evolution files are tuple-aligned: the bucket derived
+    // stat is recorded (pre-evolution files simply lack it — honest)
+    val head = cat.latest("ns", "ev").get
+    val entries = cat.prunedDataEntries("ns", "ev", head, Array.empty).toSeq
+      .filterNot(_.stats.get("__rows").exists(_._1 == "0"))
+    val tagged = entries.count(_.stats.contains(GraftCatalog.bucketStatKey(2, "id")))
+    assert(tagged > 0 && tagged < entries.size,
+      s"expected a mixed-era layout, got $tagged/${entries.size} tagged files")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.ev").head().getLong(0) === 400L)
+
+    // malformed specs refuse at the ALTER itself
+    intercept[Exception](spark.sql(
+      s"""ALTER TABLE $c.ns.ev SET TBLPROPERTIES (
+         '${GraftCatalog.PartitionSpecProp}'='[{"transform":"day","source":"nope"}]')"""))
+    intercept[Exception](spark.sql(
+      s"""ALTER TABLE $c.ns.ev SET TBLPROPERTIES (
+         '${GraftCatalog.PartitionSpecProp}'='[{"transform":"hour","source":"d"}]')"""))
+    // and the table still writes under the LAST VALID spec
+    spark.sql(s"INSERT INTO $c.ns.ev VALUES (9999, DATE'2024-08-02')").collect(): Unit
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.ev").head().getLong(0) === 401L)
+  }
+
   test("identity-omission guard: a foreign table whose data files OMIT an " +
        "identity partition source column refuses loudly instead of reading " +
        "silent NULLs; the same table with the column present imports fine") {

@@ -826,6 +826,45 @@ object CatalogQueries {
               FROM $c2.q.pricey""")
   }
 
+  // one REST server per sf dir, kept alive for the session (daemon
+  // threads; port captured with the warehouse)
+  private val restFixtures = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Iceberg REST-catalog read surface: the declared read performs a
+    * real HTTP REST-client walk (GET LoadTableResult against the live
+    * shim) and reads the served metadata tree through the exported-
+    * artifacts reader — the end-to-end path a foreign engine's
+    * `type=rest` catalog client takes. Oracle recomputes from the raw
+    * parquet. */
+  private def restRead: Q = (s, d) => {
+    val port = restFixtures.synchronized {
+      restFixtures.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-rest-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "rest")
+        cat.commitAppend("q", "rest", Tables.orders(s, d)
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-rest-exp").toString).boundPort
+      })
+    }
+    val url = java.net.URI.create(
+      s"http://127.0.0.1:$port/v1/namespaces/q/tables/rest").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    val loc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body).get("metadata-location").asText()
+    // metadata-location -> the export tree root the artifact reader mounts
+    val dest = java.nio.file.Paths.get(java.net.URI.create(loc))
+      .getParent.getParent.toString
+    graft.catalog.IcebergExport.readExported(s, dest)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -1001,6 +1040,7 @@ object CatalogQueries {
     "cat_sql_rename"       -> sqlRename,
     "cat_partitioned_ddl"  -> partitionedDdl,
     "cat_view_read"        -> viewRead,
+    "cat_rest_read"        -> restRead,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1194,6 +1234,10 @@ object CatalogQueries {
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
                      FROM head WHERE price > 1000)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
+    "cat_rest_read" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 5 = 0""",
     "cat_view_read" ->
       """SELECT count(*) AS cnt, round(sum(round(o_totalprice / 1000, 3)), 2) AS total_k,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

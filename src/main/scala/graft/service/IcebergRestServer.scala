@@ -1,0 +1,180 @@
+package graft.service
+
+import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.net.{ServerSocket, Socket, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.catalog.{GraftCatalog, IcebergExport}
+
+/** Read-only Iceberg REST-catalog shim over a graft warehouse — the
+  * endpoint surface a foreign engine's `type=rest` catalog client
+  * mounts (published spec: apache/iceberg
+  * open-api/rest-catalog-open-api.yaml; the reference's architecture
+  * doc assumes exactly this read path for cross-engine consumers,
+  * iceberg-arch-geo-distributed-ha.md — Athena/BigQuery reading the
+  * control-plane tables). GET-only by design: writes go through graft
+  * commits; foreign engines READ.
+  *
+  *   GET  /v1/config                            -> {defaults, overrides}
+  *   GET  /v1/namespaces                        -> {namespaces: [[ns]..]}
+  *   GET  /v1/namespaces/{ns}                   -> {namespace, properties}
+  *   GET  /v1/namespaces/{ns}/tables            -> {identifiers: [...]}
+  *   GET  /v1/namespaces/{ns}/tables/{t}        -> LoadTableResult
+  *   HEAD /v1/namespaces/{ns}/tables/{t}        -> 204 / 404
+  *
+  * LoadTableResult serves a REAL spec-compliant metadata tree: the
+  * table is exported through [[IcebergExport]] ON DEMAND, memoized by
+  * head commit id — a GET after a new graft commit re-exports and
+  * returns a NEW metadata-location (the snapshot the foreign engine
+  * pins), while repeated GETs of an unchanged table are free. Errors
+  * use the spec's ErrorModel envelope; a protocol error surfaces to
+  * the caller and never kills the server (same contract as
+  * TopicServer/CatalogServer). */
+final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
+                              port: Int = 0) {
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+  private val mapper = new ObjectMapper()
+  @volatile private var running = true
+  // (ns, table) -> (head commitId, metadata-location)
+  private val exported =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: Exception => /* closed during stop() */ }
+    }
+  }, "iceberg-rest-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = { running = false; server.close() }
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val reqLine = in.readLine()
+      if (reqLine == null) return
+      // drain headers (Connection: close responses need no body read)
+      while ({ val l = in.readLine(); l != null && l.nonEmpty }) ()
+      val parts = reqLine.split(" ")
+      val (method, rawPath) =
+        (parts.headOption.getOrElse(""), parts.lift(1).getOrElse("/"))
+      val path = rawPath.split("\\?")(0).split("/").filter(_.nonEmpty)
+        .map(URLDecoder.decode(_, UTF_8)).toSeq
+      val out = sock.getOutputStream
+      try route(method, path, out)
+      catch { case e: Exception =>
+        reply(out, 500, err(500, "InternalServerError",
+          Option(e.getMessage).getOrElse(e.getClass.getName)))
+      }
+    } catch { case _: Exception => () }
+    finally { try sock.close() catch { case _: Exception => () } }
+  }
+
+  private def route(method: String, path: Seq[String], out: OutputStream): Unit =
+    (method, path.toList) match {
+      case ("GET", "v1" :: "config" :: Nil) =>
+        reply(out, 200, """{"defaults":{},"overrides":{}}""")
+      case ("GET", "v1" :: "namespaces" :: Nil) =>
+        val nss = namespaces().map(n => s"""["${esc(n)}"]""")
+        reply(out, 200, s"""{"namespaces":[${nss.mkString(",")}]}""")
+      case ("GET", "v1" :: "namespaces" :: ns :: Nil) =>
+        if (!namespaces().contains(ns))
+          reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
+        else reply(out, 200, s"""{"namespace":["${esc(ns)}"],""" +
+          s""""properties":{"location":"${esc(
+            Paths.get(cat.warehouse, ns).toString)}"}}""")
+      case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
+        val ids = cat.listTables(ns).map(t =>
+          s"""{"namespace":["${esc(ns)}"],"name":"${esc(t)}"}""")
+        reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+      case ("HEAD", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if (cat.tableExists(ns, t)) replyHead(out, 204) else replyHead(out, 404)
+      case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if (!cat.tableExists(ns, t))
+          reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
+        else reply(out, 200, loadTableResult(ns, t))
+      case _ =>
+        reply(out, 404, err(404, "NotFoundException",
+          s"$method /${path.mkString("/")}"))
+    }
+
+  // single-level namespaces = the warehouse's non-plumbing directories
+  // (same contract as the catalog plugin's listNamespaces)
+  private def namespaces(): Seq[String] = {
+    val root = Paths.get(cat.warehouse)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Export-on-demand, memoized by head commit id (one export per
+    * graft version actually read, never per request). */
+  private def loadTableResult(ns: String, t: String): String = {
+    val head = cat.latest(ns, t).map(_.commitId).getOrElse("v0-empty")
+    val loc = exported.compute((ns, t), (_, cur) =>
+      if (cur != null && cur._1 == head) cur
+      else {
+        val dest = Paths.get(exportRoot, ns, t,
+          java.util.UUID.randomUUID().toString.take(8))
+        Files.createDirectories(dest)
+        val report = IcebergExport.exportTable(cat, ns, t, dest.toString)
+        (head, report.metadataFile)
+      })._2
+    val metadataJson = new String(Files.readAllBytes(Paths.get(loc)), UTF_8)
+    val o = mapper.createObjectNode()
+    o.put("metadata-location", Paths.get(loc).toUri.toString): Unit
+    // NB: set[T] infers its return from the expected type — an `: Unit`
+    // ascription makes Jackson cast the node to BoxedUnit and throw
+    o.set[com.fasterxml.jackson.databind.JsonNode](
+      "metadata", mapper.readTree(metadataJson))
+    o.set[com.fasterxml.jackson.databind.JsonNode](
+      "config", mapper.createObjectNode())
+    mapper.writeValueAsString(o)
+  }
+
+  private def err(code: Int, typ: String, msg: String): String =
+    s"""{"error":{"message":"${esc(msg)}","type":"$typ","code":$code}}"""
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def reply(out: OutputStream, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    val status = code match {
+      case 200 => "200 OK"; case 404 => "404 Not Found"
+      case 500 => "500 Internal Server Error"; case other => s"$other Error"
+    }
+    out.write((s"HTTP/1.1 $status\r\n" +
+      "Content-Type: application/json\r\n" +
+      s"Content-Length: ${bytes.length}\r\n" +
+      "Connection: close\r\n\r\n").getBytes(UTF_8))
+    out.write(bytes)
+    out.flush()
+  }
+
+  private def replyHead(out: OutputStream, code: Int): Unit = {
+    val status = if (code == 204) "204 No Content" else "404 Not Found"
+    out.write((s"HTTP/1.1 $status\r\nContent-Length: 0\r\n" +
+      "Connection: close\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, IcebergExport}
+import graft.service.IcebergRestServer
+
+/** Iceberg REST-catalog read shim: a foreign engine's `type=rest`
+  * client walk — config, namespace/table discovery, LoadTableResult —
+  * over real HTTP against a live graft warehouse, ending in the
+  * exported parquet matching the source table exactly. */
+class IcebergRestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def httpGet(port: Int, path: String): (Int, String) = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(in.readAllBytes(), "UTF-8")
+    in.close()
+    (code, body)
+  }
+
+  private def httpHead(port: Int, path: String): Int = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("HEAD")
+    conn.getResponseCode
+  }
+
+  test("a REST-client walk mounts a live graft table: discovery endpoints " +
+       "are spec-shaped, LoadTableResult serves a real metadata tree with " +
+       "the table's PARTITION SPEC, the data files read back exactly, a " +
+       "new graft commit surfaces as a NEW metadata-location, and an " +
+       "unchanged table re-serves the memoized one") {
+    val wh = Files.createTempDirectory("graft-rest-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"""CREATE TABLE $c.ns.rt (id BIGINT, v DOUBLE, d DATE)
+                  PARTITIONED BY (days(d))""")
+    val src = (0 until 300).map { i =>
+      (i.toLong, i / 10.0, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 9, 1 + i % 3)))
+    }.toDF("id", "v", "d")
+    src.createOrReplaceTempView("rt_src")
+    spark.sql(s"INSERT INTO $c.ns.rt SELECT * FROM rt_src").collect(): Unit
+
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-exp").toString)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+      assert(httpGet(p, "/v1/config")._2.contains("\"defaults\""))
+      val (nsCode, nsBody) = httpGet(p, "/v1/namespaces")
+      assert(nsCode === 200 && nsBody.contains("[\"ns\"]"))
+      val (_, tBody) = httpGet(p, "/v1/namespaces/ns/tables")
+      assert(mapper.readTree(tBody).get("identifiers").elements().asScala
+        .exists(_.get("name").asText() == "rt"))
+      assert(httpHead(p, "/v1/namespaces/ns/tables/rt") === 204)
+      assert(httpHead(p, "/v1/namespaces/ns/tables/nope") === 404)
+      val (code404, err404) = httpGet(p, "/v1/namespaces/ns/tables/nope")
+      assert(code404 === 404 &&
+        mapper.readTree(err404).get("error").get("type").asText()
+          == "NoSuchTableException")
+
+      // LoadTableResult: inline metadata + location, spec declared
+      val (code, body) = httpGet(p, "/v1/namespaces/ns/tables/rt")
+      assert(code === 200, body)
+      val load1 = mapper.readTree(body)
+      val meta = load1.get("metadata")
+      assert(meta.get("format-version").asInt() === 2)
+      assert(meta.get("default-spec-id").asInt() === 1,
+        "the partition spec must survive to the REST surface")
+      val loc1 = load1.get("metadata-location").asText()
+      assert(Files.exists(Paths.get(java.net.URI.create(loc1))))
+
+      // walk like a foreign engine: current snapshot -> manifest list ->
+      // manifests -> data files -> read -> exact equality
+      val curId = meta.get("current-snapshot-id").asLong()
+      val snap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).get
+      val files = IcebergExport.readAvro(Paths.get(java.net.URI.create(
+          snap.get("manifest-list").asText())))
+        .flatMap(mf => IcebergExport.readAvro(Paths.get(java.net.URI.create(
+          mf.get("manifest_path").toString))))
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .filter(_.get("record_count").asInstanceOf[Long] > 0L)
+        .map(df0 => Paths.get(java.net.URI.create(
+          df0.get("file_path").toString)).toString)
+      assert(files.nonEmpty)
+      val served = spark.read.parquet(files: _*)
+      assert(served.count() === 300L)
+      assert(served.agg(sum("id")).head().getLong(0) ===
+        cat.read("ns", "rt").agg(sum("id")).head().getLong(0))
+
+      // unchanged table -> memoized location; new commit -> new location
+      val loc1b = mapper.readTree(httpGet(p, "/v1/namespaces/ns/tables/rt")._2)
+        .get("metadata-location").asText()
+      assert(loc1b === loc1, "unchanged head must re-serve the memoized export")
+      spark.sql(s"INSERT INTO $c.ns.rt VALUES (9999, 1.0, DATE'2024-09-02')")
+        .collect(): Unit
+      val load2 = mapper.readTree(httpGet(p, "/v1/namespaces/ns/tables/rt")._2)
+      assert(load2.get("metadata-location").asText() !== loc1,
+        "a new graft commit must surface as a new metadata tree")
+      assert(load2.get("metadata").get("snapshots").size() >
+        meta.get("snapshots").size())
+    } finally server.stop()
+  }
+}

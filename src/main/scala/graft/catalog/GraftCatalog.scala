@@ -242,13 +242,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         throw new IllegalStateException(s"view $ns.$name already exists")
       val tmp = Files.createTempFile(d, ".stage-", ".json")
       Files.writeString(tmp, defJson)
-      try { Files.move(tmp, d.resolve(f"v$next%09d.json"),
-        StandardCopyOption.ATOMIC_MOVE); done = true }
+      // createLink, NOT move: POSIX rename(2) silently REPLACES an
+      // existing target, so two racing publishes would both "win" and
+      // one definition would be destroyed — link(2) fails loudly on an
+      // existing target, the same CAS primitive the table commit log
+      // uses (versionFile publish)
+      try { Files.createLink(d.resolve(f"v$next%09d.json"), tmp); done = true }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp): Unit // racer took the seq — re-derive
         attempt += 1
         require(attempt < 50, s"view $ns.$name: CAS publish starved")
-      }
+      } finally Files.deleteIfExists(tmp): Unit
     }
   }
 
@@ -1450,16 +1453,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val pdf = toPhysicalDf(df, curSchema)
     val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
     val props = parentSchema0.map(_.properties).getOrElse(Map.empty)
+    // ONE spec parse+validation per statement, threaded through align +
+    // derived-stat derivation
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, curSchema)
     // property-honoring writers (SQL INSERT, compact) align files to
     // partition tuples; raw commitAppend keeps the caller's layout
     val entries = stageDataFiles(ns, name, pdf,
-      if (alignSpec)
-        GraftCatalog.partitionAlignColumns(s"$ns.$name", props, curSchema)
+      if (alignSpec) GraftCatalog.partitionAlignColumnsOf(pspec, curSchema)
       else Seq.empty)
     // partitioned tables record the per-file bucket value as a derived
     // stat (what the Iceberg export derives partition tuples from)
-    val derived = GraftCatalog.partitionDerivedStats(s"$ns.$name",
-      props, curSchema)
+    val derived = GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)
     // the stats aggregate and manifest write sit INSIDE the cleanup
     // scope: a failure there (executor loss mid-stats, disk error) must
     // reclaim the staged data dir too, not only a failed CAS
@@ -1520,12 +1524,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val pdf = toPhysicalDf(df, curSchema)
     val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
     val props = parent0.map(_.properties).getOrElse(Map.empty)
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, curSchema)
     val entries = stageDataFiles(ns, name, pdf,
-      if (alignSpec)
-        GraftCatalog.partitionAlignColumns(s"$ns.$name", props, curSchema)
+      if (alignSpec) GraftCatalog.partitionAlignColumnsOf(pspec, curSchema)
       else Seq.empty)
-    val derived = GraftCatalog.partitionDerivedStats(s"$ns.$name",
-      props, curSchema)
+    val derived = GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)
     // an aborted conditional replace (or exhausted CAS) must not orphan
     // its staged data + manifest — they are reachable from no version.
     // The stats/manifest steps sit inside the cleanup scope too: a
@@ -2347,6 +2350,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         if (propsSet.isEmpty && propsUnset.isEmpty) parent.propsJson
         else {
           val next = (parent.properties ++ propsSet) -- propsUnset
+          // the same refuse-at-the-ALTER guard commitProperties has: a
+          // malformed partition spec riding a MIXED schema+props batch
+          // must not publish and brick every later write. Validates
+          // against the NEW schema — the batch may add the spec's
+          // source column in the same statement.
+          if (propsSet.contains(GraftCatalog.PartitionSpecProp))
+            GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
+              Some(newSchema)): Unit
           if (next.isEmpty) None
           else {
             val tm = new java.util.TreeMap[String, String]()
@@ -3559,12 +3570,16 @@ object GraftCatalog {
           }
         }
         // derived stats ride reserved __pt_* keys next to the real
-        // column bounds — a REAL column there would collide
+        // column bounds, and aligned staging reserves __ptw_* directory
+        // keys — a REAL column under either prefix would collide. Both
+        // refuse HERE (the DDL/ALTER front door), not at the first
+        // INSERT: a table that creates fine and bricks on write is the
+        // failure mode this validator exists to prevent.
         val clash = fields.map(f => physicalName(f))
-          .filter(_.startsWith(DerivedStatPrefix))
+          .filter(n => n.startsWith(DerivedStatPrefix) || n.startsWith("__ptw_"))
         require(clash.isEmpty,
           s"$table: column name(s) ${clash.mkString(", ")} collide with the " +
-            s"reserved $DerivedStatPrefix derived-stat namespace of " +
+            s"reserved $DerivedStatPrefix/__ptw_ namespaces of " +
             "partitioned tables")
         parsed
     }
@@ -3576,13 +3591,19 @@ object GraftCatalog {
     * by the SQL INSERT path and by compaction (which must re-index or
     * every scheduled compact silently de-indexes the table). */
   private[graft] def writeBloomColumns(table: String,
-      props: Map[String, String], schema: Option[StructType]): Seq[String] = {
+      props: Map[String, String], schema: Option[StructType]): Seq[String] =
+    writeBloomColumnsOf(props,
+      validatedPartitionSpec(table, props, schema))
+
+  /** [[writeBloomColumns]] over an ALREADY-PARSED spec — the write
+    * paths validate the spec exactly once per statement and thread the
+    * parsed fields through bloom/align/derived-stat derivation. */
+  private[graft] def writeBloomColumnsOf(props: Map[String, String],
+      spec: Seq[PartitionField]): Seq[String] = {
     val fromProp = props.get(BloomColumnsProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
-    val bucketSources = validatedPartitionSpec(table, props, schema)
-      .filter(_.transform == "bucket").map(_.source)
-    (fromProp ++ bucketSources).distinct
+    (fromProp ++ spec.filter(_.transform == "bucket").map(_.source)).distinct
   }
 
   /** The write-time CLUSTERING column of one partition field (see the
@@ -3625,11 +3646,11 @@ object GraftCatalog {
     }
   }
 
-  /** The partition-aligned staging columns of a table (empty when
-    * spec-less): transform values over the PHYSICAL frame. */
-  private[catalog] def partitionAlignColumns(table: String,
-      props: Map[String, String], schema: Option[StructType]): Seq[Column] =
-    validatedPartitionSpec(table, props, schema).map { f =>
+  /** The partition-aligned staging columns of an ALREADY-PARSED spec
+    * (empty when spec-less): transform values over the PHYSICAL frame. */
+  private[catalog] def partitionAlignColumnsOf(spec: Seq[PartitionField],
+      schema: Option[StructType]): Seq[Column] =
+    spec.map { f =>
       val field = schema.flatMap(_.fields.find(_.name == f.source))
       partitionValueColumn(f, field.map(_.dataType).getOrElse(StringType),
         s => field.map(physicalName).getOrElse(s))
@@ -3641,15 +3662,14 @@ object GraftCatalog {
     * the export derives per-file partition tuples from (a file fully
     * inside one bucket has min == max). Empty for spec-less tables, so
     * the ordinary commit path is untouched. */
-  private[catalog] def partitionDerivedStats(table: String,
-      props: Map[String, String], schema: Option[StructType]): Seq[(String, Column)] =
-    validatedPartitionSpec(table, props, schema)
-      .filter(_.transform == "bucket").map { f =>
-        val phys = schema.flatMap(_.fields.find(_.name == f.source))
-          .map(physicalName).getOrElse(f.source)
-        bucketStatKey(f.n, phys) ->
-          graft.functions.PartitionFunctions.icebergBucket(col(phys), f.n)
-      }
+  private[catalog] def partitionDerivedStatsOf(spec: Seq[PartitionField],
+      schema: Option[StructType]): Seq[(String, Column)] =
+    spec.filter(_.transform == "bucket").map { f =>
+      val phys = schema.flatMap(_.fields.find(_.name == f.source))
+        .map(physicalName).getOrElse(f.source)
+      bucketStatKey(f.n, phys) ->
+        graft.functions.PartitionFunctions.icebergBucket(col(phys), f.n)
+    }
 
   // ---- column mapping (metadata-only RENAME COLUMN) ----
   // Delta-style column mapping: every field owns a stable PHYSICAL

@@ -121,9 +121,6 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val schema = head.flatMap(_.schemaJson).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType])
-      // bucket-transform sources of the partition spec bloom-index
-      // automatically — bucket pruning IS the bloom path
-      val bloomCols = GraftCatalog.writeBloomColumns(s"$ns.$t", props, schema)
       // layout: the PARTITION SPEC's clustering columns first (identity/
       // temporal/truncate cluster by their monotone source; bucket by
       // the Iceberg-spec bucket value), then `write.sort-columns` —
@@ -133,6 +130,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       // compact() later re-bins to the target file size, re-clustered
       // by the same properties.
       val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$t", props, schema)
+      // bucket-transform sources of the partition spec bloom-index
+      // automatically — bucket pruning IS the bloom path
+      val bloomCols = GraftCatalog.writeBloomColumnsOf(props, pspec)
       val clusterCols =
         pspec.map(GraftCatalog.partitionClusterColumn(_)) ++
         GraftCatalog.validatedSortColumns(s"$ns.$t", props, schema).map(col)

@@ -59,6 +59,72 @@ private[graft] object GraftViewSql {
     if (parts.length != 3) None
     else graftPlugin(session, parts.head)
       .map(g => (g, Identifier.of(Array(parts(1)), parts(2))))
+
+  /** Rewrite every under-qualified relation reference in `plan` through
+    * `full`, CTE-SCOPE-AWARE and descending into expression subqueries:
+    * a name bound by an enclosing WITH stays untouched (each CTE body
+    * sees the CTEs defined before it; the main child sees them all),
+    * while a same-named relation OUTSIDE that scope still qualifies —
+    * scope-blind exclusion would leave it resolving against the
+    * READER's context instead of the view's defining one. */
+  def qualifyRelations(plan: LogicalPlan,
+                       full: Seq[String] => Seq[String]): LogicalPlan = {
+    def go(p: LogicalPlan, bound: Set[String]): LogicalPlan = p match {
+      case w: UnresolvedWith =>
+        var seen = bound
+        val rels = w.cteRelations.map { case (n, rel, o) =>
+          val q = go(rel, seen).asInstanceOf[SubqueryAlias]
+          seen += n.toLowerCase
+          (n, q, o)
+        }
+        w.copy(child = go(w.child, seen), cteRelations = rels)
+      case r @ UnresolvedRelation(ps, _, false)
+          if ps.length < 3 && !(ps.length == 1 && bound(ps.head.toLowerCase)) =>
+        r.copy(multipartIdentifier = full(ps))
+      case other =>
+        other.mapChildren(go(_, bound)).transformExpressionsUp {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            s.withNewPlan(go(s.plan, bound))
+        }
+    }
+    go(plan, Set.empty)
+  }
+
+  /** Refuse persisted definitions over TEMPORARY views — stock Spark's
+    * rule for its own persisted views, enforced here at CREATE/ALTER
+    * time: a temp reference either vanishes at read time or, worse,
+    * silently REBINDS to a same-named catalog table (the definition
+    * was validated against data it will never read again). CTE-bound
+    * names are excluded scope-aware. */
+  def assertNoTempRefs(session: SparkSession, plan: LogicalPlan,
+                       what: String): Unit = {
+    val cata = session.sessionState.catalog
+    def go(p: LogicalPlan, bound: Set[String]): Unit = p match {
+      case w: UnresolvedWith =>
+        var seen = bound
+        w.cteRelations.foreach { case (n, rel, _) =>
+          go(rel, seen); seen += n.toLowerCase }
+        go(w.child, seen)
+      case r: UnresolvedRelation =>
+        val ps = r.multipartIdentifier
+        val isTemp = ps.length match {
+          case 1 => !bound(ps.head.toLowerCase) && cata.isTempView(ps)
+          case 2 => cata.isTempView(ps) // incl. global_temp.<name>
+          case _ => false
+        }
+        require(!isTemp,
+          s"$what cannot reference the temporary view ${ps.mkString(".")} — " +
+            "persisted definitions must reference catalog objects")
+      case other =>
+        other.children.foreach(go(_, bound))
+        other.expressions.foreach(_.foreach {
+          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            go(s.plan, bound)
+          case _ => ()
+        })
+    }
+    go(plan, Set.empty)
+  }
 }
 
 /** Parser wrapper: delegates everything, then rewrites parsed view DDL
@@ -164,20 +230,17 @@ case class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan
 
   private def expand(view: View): LogicalPlan = {
     val parsed = session.sessionState.sqlParser.parsePlan(view.query)
-    // names bound by CTE definitions inside the view body must NOT be
-    // re-qualified into catalog tables
-    val cteNames = parsed.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1)
-    }.flatten.toSet
-    val qualified = parsed transform {
-      case r @ UnresolvedRelation(ps, _, false)
-          if ps.length < 3 && !(ps.length == 1 && cteNames(ps.head)) =>
-        val full =
-          if (ps.length == 1) view.currentCatalog +:
-            (view.currentNamespace.toSeq :+ ps.head)
-          else view.currentCatalog +: ps
-        r.copy(multipartIdentifier = full)
-    }
+    val qualified0 = GraftViewSql.qualifyRelations(parsed, ps =>
+      if (ps.length == 1) view.currentCatalog +:
+        (view.currentNamespace.toSeq :+ ps.head)
+      else view.currentCatalog +: ps)
+    // this rule runs in the RESOLUTION batch — the Substitution batch
+    // (where CTESubstitution lives) already ran and will not run again,
+    // so a WITH inside the freshly-injected body would survive to the
+    // planner unsubstituted (or, worse, its references would resolve
+    // against same-named temp views). Substitute here.
+    val qualified =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified0)
     val aliased =
       if (view.columnAliases.isEmpty ||
           view.columnAliases.sameElements(view.queryColumnNames)) qualified
@@ -212,6 +275,8 @@ private[catalog] case class GraftCreateViewCommand(
     }
     val sqlText = originalText.getOrElse(throw new IllegalArgumentException(
       s"CREATE VIEW ${parts.mkString(".")}: no query text recorded"))
+    GraftViewSql.assertNoTempRefs(session, viewQuery,
+      s"CREATE VIEW ${parts.mkString(".")}")
     val analyzed = session.sessionState.executePlan(viewQuery).analyzed
     val qNames = analyzed.output.map(_.name)
     if (userCols.nonEmpty) require(userCols.length == qNames.length,
@@ -243,6 +308,8 @@ private[catalog] case class GraftAlterViewAsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val (g, ident) = GraftViewSql.viewTarget(session, parts).get
     val old = g.loadView(ident) // throws NoSuchViewException when absent
+    GraftViewSql.assertNoTempRefs(session, viewQuery,
+      s"ALTER VIEW ${parts.mkString(".")} AS")
     val analyzed = session.sessionState.executePlan(viewQuery).analyzed
     val qNames = analyzed.output.map(_.name)
     val schema = StructType(analyzed.output.map(a0 =>

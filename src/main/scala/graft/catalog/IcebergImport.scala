@@ -403,9 +403,13 @@ object IcebergImport {
       val identitySources = specFieldsById.getOrElse(specId, Seq.empty)
         .collect { case ("identity", srcId) => srcId }
       identitySources.foreach { srcId =>
+        // mirrors fieldIdOf's PER-NAME fallback: a name absent from the
+        // mapping resolves via the schema index — a partial mapping
+        // (legacy aliases only) must not falsely refuse a table whose
+        // files DO carry the column under its current name
         val present = footerCols(uri).exists(c =>
           nameMapping.get(c).contains(srcId) ||
-            (nameMapping.isEmpty && !ambiguousNames(c) &&
+            (!nameMapping.contains(c) && !ambiguousNames(c) &&
               idOfName.get(c).contains(srcId)))
         require(present,
           s"IcebergImport: data file $uri (manifest $mPath, partition spec " +

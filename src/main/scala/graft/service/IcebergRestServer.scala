@@ -41,9 +41,10 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
   def boundPort: Int = server.getLocalPort
   private val mapper = new ObjectMapper()
   @volatile private var running = true
-  // (ns, table) -> (head commitId, metadata-location)
+  // (ns, table) -> (head commitId, metadata-location, superseded location)
   private val exported =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), (String, String, Option[String])]()
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -127,7 +128,11 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
   }
 
   /** Export-on-demand, memoized by head commit id (one export per
-    * graft version actually read, never per request). */
+    * graft version actually read, never per request). Retention = a
+    * SERVING WINDOW of two trees: the new export plus the immediately
+    * superseded one (a client pinned to the last served location
+    * finishes its read); anything older is deleted — without this,
+    * every served commit leaks a full table copy on disk. */
   private def loadTableResult(ns: String, t: String): String = {
     val head = cat.latest(ns, t).map(_.commitId).getOrElse("v0-empty")
     val loc = exported.compute((ns, t), (_, cur) =>
@@ -137,7 +142,13 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
           java.util.UUID.randomUUID().toString.take(8))
         Files.createDirectories(dest)
         val report = IcebergExport.exportTable(cat, ns, t, dest.toString)
-        (head, report.metadataFile)
+        cur match {
+          case null => (head, report.metadataFile, None)
+          case (_, prevLoc, older) =>
+            older.foreach(o =>
+              deleteTree(Paths.get(o).getParent.getParent))
+            (head, report.metadataFile, Some(prevLoc))
+        }
       })._2
     val metadataJson = new String(Files.readAllBytes(Paths.get(loc)), UTF_8)
     val o = mapper.createObjectNode()
@@ -150,6 +161,14 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       "config", mapper.createObjectNode())
     mapper.writeValueAsString(o)
   }
+
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(p => Files.deleteIfExists(p): Unit)
+      finally s.close()
+    } catch { case _: Exception => () } // reclamation is best-effort
 
   private def err(code: Int, typ: String, msg: String): String =
     s"""{"error":{"message":"${esc(msg)}","type":"$typ","code":$code}}"""

@@ -112,6 +112,25 @@ class IcebergRestSpec extends SparkSpec {
         "a new graft commit must surface as a new metadata tree")
       assert(load2.get("metadata").get("snapshots").size() >
         meta.get("snapshots").size())
+
+      // serving-window retention: repeated commits + reads keep at most
+      // TWO export trees (current + immediately superseded) — without
+      // reclamation every served commit would leak a full table copy
+      (0 until 3).foreach { i =>
+        spark.sql(s"INSERT INTO $c.ns.rt VALUES (${10000 + i}, 1.0, " +
+          "DATE'2024-09-03')").collect(): Unit
+        assert(httpGet(p, "/v1/namespaces/ns/tables/rt")._1 === 200)
+      }
+      val tableExpRoot = Paths.get(java.net.URI.create(
+        load2.get("metadata-location").asText())).getParent.getParent.getParent
+      val trees = Files.list(tableExpRoot).iterator().asScala.toList
+      assert(trees.size <= 2,
+        s"export trees must be reclaimed past the serving window, " +
+          s"found ${trees.size}")
+      // and the CURRENT location still reads
+      val cur = mapper.readTree(httpGet(p, "/v1/namespaces/ns/tables/rt")._2)
+      assert(Files.exists(Paths.get(java.net.URI.create(
+        cur.get("metadata-location").asText()))))
     } finally server.stop()
   }
 }

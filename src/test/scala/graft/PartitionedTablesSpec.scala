@@ -141,7 +141,27 @@ class PartitionedTablesSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"""CREATE TABLE $c.ns.bad (id BIGINT) PARTITIONED BY (bucket(4, id))
          |TBLPROPERTIES ('${GraftCatalog.PartitionSpecProp}'='[]')""".stripMargin))
+    // reserved staging/stat prefixes refuse at DDL time, not first INSERT
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.ns.bad (id BIGINT, __ptw_0 INT) PARTITIONED BY (bucket(4, id))"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $c.ns.bad (id BIGINT, __pt_x INT) PARTITIONED BY (bucket(4, id))"))
     assert(!cat.tableExists("ns", "bad"))
+    // a malformed spec riding a MIXED schema+props DSv2 ALTER batch
+    // refuses atomically too — same guard as the pure-property path
+    cat.createTable("ns", "mixed")
+    import spark.implicits._
+    cat.commitAppend("ns", "mixed", Seq((1L, "a")).toDF("id", "s"))
+    val before = cat.latest("ns", "mixed").get.seq
+    intercept[Exception](cat.commitSchemaEvolution("ns", "mixed",
+      org.apache.spark.sql.types.StructType(
+        cat.tableSchema("ns", "mixed").get.fields :+
+          org.apache.spark.sql.types.StructField("extra",
+            org.apache.spark.sql.types.IntegerType)),
+      propsSet = Map(GraftCatalog.PartitionSpecProp ->
+        """[{"transform":"day","source":"nope"}]""")))
+    assert(cat.latest("ns", "mixed").get.seq === before,
+      "the mixed batch must refuse atomically — nothing published")
   }
 
   test("export declares the REAL partition spec and derives per-file tuples " +

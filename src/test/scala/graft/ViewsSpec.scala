@@ -100,6 +100,60 @@ class ViewsSpec extends SparkSpec {
       plan.contains("GreaterThanOrEqual(id,3)"), s"no pushdown in:\n$plan")
   }
 
+  test("persisted definitions REFUSE temporary views at CREATE/ALTER " +
+       "time (a temp reference would vanish — or silently REBIND to a " +
+       "same-named catalog table — at read time), while CTE names that " +
+       "shadow a temp view stay legal") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    Seq((99L, 9.9)).toDF("id", "v").createOrReplaceTempView("views_tmp")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE VIEW $c.ns.bad AS SELECT * FROM views_tmp"))
+    assert(e.getMessage.contains("temporary view"))
+    assert(!new GraftCatalog(spark, w).viewExists("ns", "bad"))
+    // nested in a subquery too
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE VIEW $c.ns.bad AS SELECT * FROM $c.ns.t " +
+        "WHERE id IN (SELECT id FROM views_tmp)"))
+    assert(e2.getMessage.contains("temporary view"))
+    // a CTE named like the temp view BINDS the name — legal, and reads
+    // through the CTE (never the temp view) after a restart analogue
+    spark.sql(s"""CREATE VIEW $c.ns.ok AS
+      WITH views_tmp AS (SELECT id, v FROM $c.ns.t WHERE id >= 3)
+      SELECT sum(id) AS s FROM views_tmp""")
+    assert(spark.sql(s"SELECT s FROM $c.ns.ok").head().getLong(0) === 7L)
+    // ALTER ... AS gets the same guard
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER VIEW $c.ns.ok AS SELECT * FROM views_tmp"))
+    assert(e3.getMessage.contains("temporary view"))
+  }
+
+  test("view-body qualification is CTE-SCOPE-AWARE: a subquery's CTE " +
+       "name does not exempt a same-named OUTER table from resolving " +
+       "against the view's defining catalog") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    // a second table named like the subquery's CTE
+    spark.sql(s"CREATE TABLE $c.ns.x (id BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.x VALUES (100), (200)").collect(): Unit
+    // create under the defining context (what makes unqualified names
+    // meaningful — the recorded currentCatalog/currentNamespace)
+    spark.sql(s"USE $c.ns")
+    try {
+      // outer `x` = the catalog table (must qualify against the
+      // defining catalog); inner `x` = the CTE (must stay untouched)
+      spark.sql(s"""CREATE VIEW $c.ns.scoped AS
+        SELECT (SELECT sum(o.id) FROM x o) AS outer_sum,
+               (SELECT a FROM (WITH x AS (SELECT 7 AS a) SELECT a FROM x) q)
+                 AS cte_val""")
+    } finally spark.sql("USE spark_catalog.default")
+    val r = spark.sql(s"SELECT outer_sum, cte_val FROM $c.ns.scoped").head()
+    assert(r.getLong(0) === 300L, "outer x must be the defining catalog's table")
+    assert(r.getInt(1) === 7, "inner x must stay the CTE")
+  }
+
   test("listings stay honest: _views plumbing is invisible to SHOW " +
        "TABLES / listTables / pagination, and view names refuse the " +
        "same reserved prefixes as tables") {

@@ -3492,6 +3492,15 @@ object GraftCatalog {
   // The spec is TBLPROPERTIES-versioned like sort-columns, in LOGICAL
   // names (after RENAME COLUMN the stale property refuses the next
   // write loudly — same contract as write.sort-columns).
+  //
+  // Row-level COW rewrites (UPDATE/MERGE) intentionally do NOT
+  // re-derive the bucket stat or re-align: the rewrite is file-granular
+  // (a rewritten file holds one source file's surviving rows, so
+  // alignment degrades only when the statement moved rows across
+  // tuples), bounds and bloom carriage keep source-column pruning
+  // intact, and the export honestly serves such files under spec-0.
+  // The next property-driven compact() restores full alignment — the
+  // same self-healing contract sort-columns clustering has.
   val PartitionSpecProp = "graft.partition-spec"
 
   /** One `PARTITIONED BY` field: `transform` ∈ identity | bucket |

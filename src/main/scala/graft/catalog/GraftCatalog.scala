@@ -1336,7 +1336,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                                bloomCols: Seq[String]): Map[String, Map[String, String]] = {
     val cols = bloomCols.filter(c => schema.fieldNames.contains(c))
     if (cols.isEmpty || entries.isEmpty) return Map.empty
-    val byBase = entries.map { case (p, _) => p.split('/').last -> p }.toMap
+    // FULL-path matching, exactly like stagedFileStats' byAbs:
+    // partition-ALIGNED staging writes the same task's output into
+    // several __ptw_* directories with IDENTICAL part-file basenames
+    // (data/s/__ptw_0=a/part-0.parquet and .../__ptw_0=b/part-0.parquet
+    // from one task) — a basename map silently keeps ONE of them and
+    // drops every colliding file's bloom (pruning rots, no error)
+    val byAbs = entries.map { case (p, _) =>
+      tableDir(ns, name).resolve(p).toAbsolutePath.toString -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
     val m = GraftCatalog.BloomBits
@@ -1347,13 +1354,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .groupBy(col("__f")).agg(collect_set(col("__p")).as("bits"))
         .collect()
         .flatMap { r =>
-          // decode the percent-encoded URI before the basename match —
-          // an encoded warehouse path would otherwise silently skip
+          // decode the percent-encoded URI before the match — an
+          // encoded warehouse path would otherwise silently skip
           // every bloom (a pruning loss, not a wrong answer, but still)
-          val base = (try new java.net.URI(r.getString(0)).getPath
-                      catch { case _: Exception => r.getString(0) })
-            .split('/').last
-          byBase.get(base).map { rel =>
+          val raw0 = r.getString(0)
+          val abs = try new java.net.URI(raw0).getPath
+                    catch { case _: Exception => raw0 }
+          byAbs.get(abs).map { rel =>
             val bytes = new Array[Byte](m / 8)
             r.getSeq[Int](1).foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
             (rel, c, java.util.Base64.getEncoder.encodeToString(bytes))
@@ -1843,7 +1850,18 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
             .select(pKeyCols.map(col): _*))
           .distinct()
         val delEntries = stageDataFiles(ns, name, allKeys)
-        val dataEntries = stageDataFiles(ns, name, prows)
+        // the streaming cdc sink is a PROPERTY-HONORING writer like the
+        // SQL INSERT path: a partitioned/bloom-indexed replica keeps its
+        // declared layout batch over batch (aligned files, derived
+        // bucket stats, blooms) instead of rotting until the next
+        // compact — layout is table state, not a writer courtesy
+        val props = parent0.properties
+        val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name",
+          props, curSchema)
+        val bloomCols = GraftCatalog.writeBloomColumnsOf(props, pspec)
+          .map(c => pm.getOrElse(c, c))
+        val dataEntries = stageDataFiles(ns, name, prows,
+          GraftCatalog.partitionAlignColumnsOf(pspec, curSchema))
         var staged: Seq[String] = Seq.empty
         try {
           val dManifest =
@@ -1852,7 +1870,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           val mManifest =
             if (dataEntries.isEmpty) None
             else Some(writeManifest(ns, name, dataEntries,
-              stagedFileStats(ns, name, dataEntries, prows.schema)))
+              stagedFileStats(ns, name, dataEntries, prows.schema,
+                GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)),
+              stagedFileBlooms(ns, name, dataEntries, prows.schema,
+                bloomCols)))
           staged = dManifest.toSeq ++ mManifest.toSeq
           casCommit(ns, name, maxRetries) { parent =>
             commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>

@@ -390,6 +390,40 @@ class PartitionedTablesSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $c.ns.ev").head().getLong(0) === 401L)
   }
 
+  test("the streaming cdc sink is a property-honoring writer: a " +
+       "partitioned replica keeps aligned files, derived bucket stats " +
+       "and blooms batch over batch (layout is table state, not a " +
+       "writer courtesy)") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(
+      s"""CREATE TABLE $c.ns.rep (id BIGINT, d DATE)
+         |PARTITIONED BY (days(d), bucket(2, id))""".stripMargin)
+    // batch 1 through the cdc-apply commit (what foreachBatchApplyCdc
+    // issues), spanning 2 days x 2 buckets
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 10, 1 + i % 2)))).toDF("id", "d")
+    cat.commitCdcApply("ns", "rep", batch(0, 40),
+      Seq.empty[Long].toDF("id"), keyCols = Seq("id")): Unit
+    cat.commitCdcApply("ns", "rep", batch(40, 80),
+      Seq(Tuple1(3L)).toDF("id"), keyCols = Seq("id")): Unit
+    assert(cat.read("ns", "rep").count() === 79L) // 80 upserted - 1 deleted
+    val head = cat.latest("ns", "rep").get
+    val dataEntries = cat.prunedDataEntries("ns", "rep", head, Array.empty)
+      .toSeq.filterNot(_.stats.get("__rows").exists(_._1 == "0"))
+    assert(dataEntries.nonEmpty)
+    // every row-bearing cdc data file is tuple-aligned: single day
+    // (min == max) and single bucket (derived stat present, min == max)
+    dataEntries.foreach { e =>
+      val (dMin, dMax) = e.stats("d")
+      assert(dMin === dMax, s"${e.path} straddles days [$dMin, $dMax]")
+      val (bMin, bMax) = e.stats(GraftCatalog.bucketStatKey(2, "id"))
+      assert(bMin === bMax, s"${e.path} straddles buckets [$bMin, $bMax]")
+      assert(e.blooms.contains("id"), s"${e.path} lost the bucket bloom")
+    }
+  }
+
   test("identity-omission guard: a foreign table whose data files OMIT an " +
        "identity partition source column refuses loudly instead of reading " +
        "silent NULLs; the same table with the column present imports fine") {

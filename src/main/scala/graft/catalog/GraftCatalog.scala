@@ -2367,22 +2367,23 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // SAME commit — a DSv2 TableChange batch mixing schema and
       // properties must be one atomic version (a failed schema half
       // must never leave the property half already published)
+      val nextProps = (parent.properties ++ propsSet) -- propsUnset
+      // refuse-at-the-ALTER guard (same as commitProperties): the
+      // RESULTING spec must stay valid against the RESULTING schema —
+      // covers a malformed spec riding a mixed batch, a pure-schema
+      // ALTER that adds a reserved __pt_*/__ptw_* column to a
+      // partitioned table, and a DROP COLUMN that orphans a spec
+      // source. Publishing any of those would brick every later write.
+      if (nextProps.contains(GraftCatalog.PartitionSpecProp))
+        GraftCatalog.validatedPartitionSpec(s"$ns.$name", nextProps,
+          Some(newSchema)): Unit
       val props =
         if (propsSet.isEmpty && propsUnset.isEmpty) parent.propsJson
         else {
-          val next = (parent.properties ++ propsSet) -- propsUnset
-          // the same refuse-at-the-ALTER guard commitProperties has: a
-          // malformed partition spec riding a MIXED schema+props batch
-          // must not publish and brick every later write. Validates
-          // against the NEW schema — the batch may add the spec's
-          // source column in the same statement.
-          if (propsSet.contains(GraftCatalog.PartitionSpecProp))
-            GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
-              Some(newSchema)): Unit
-          if (next.isEmpty) None
+          if (nextProps.isEmpty) None
           else {
             val tm = new java.util.TreeMap[String, String]()
-            next.foreach { case (k, v) => tm.put(k, v) }
+            nextProps.foreach { case (k, v) => tm.put(k, v) }
             Some(GraftCatalog.propsMapper.writeValueAsString(tm))
           }
         }

@@ -60,26 +60,48 @@ private[graft] object GraftViewSql {
     else graftPlugin(session, parts.head)
       .map(g => (g, Identifier.of(Array(parts(1)), parts(2))))
 
+  /** Name normalization for CTE-scope matching: identifier resolution
+    * is case-insensitive unless spark.sql.caseSensitive says otherwise
+    * — a hardcoded lowercase under caseSensitive=true would let a CTE
+    * named `x` wrongly capture a DISTINCT table `X`. */
+  private def norm(session: SparkSession)(n: String): String =
+    if (session.sessionState.conf.caseSensitiveAnalysis) n else n.toLowerCase
+
+  /** Each WITH's names in scope for one of its CTE bodies: the
+    * previously-defined CTEs always; the CTE's OWN name too when the
+    * WITH is RECURSIVE (a self-reference must never qualify into a
+    * catalog table of the same name). */
+  private def cteScopes(w: UnresolvedWith, bound: Set[String],
+                        nm: String => String): (Seq[Set[String]], Set[String]) = {
+    var seen = bound
+    val perBody = w.cteRelations.map { case (n, _, _) =>
+      val s = if (w.allowRecursion) seen + nm(n) else seen
+      seen += nm(n)
+      s
+    }
+    (perBody, seen)
+  }
+
   /** Rewrite every under-qualified relation reference in `plan` through
     * `full`, CTE-SCOPE-AWARE and descending into expression subqueries:
     * a name bound by an enclosing WITH stays untouched (each CTE body
-    * sees the CTEs defined before it; the main child sees them all),
-    * while a same-named relation OUTSIDE that scope still qualifies —
-    * scope-blind exclusion would leave it resolving against the
-    * READER's context instead of the view's defining one. */
-  def qualifyRelations(plan: LogicalPlan,
+    * sees the CTEs defined before it — plus itself under RECURSIVE; the
+    * main child sees them all), while a same-named relation OUTSIDE
+    * that scope still qualifies — scope-blind exclusion would leave it
+    * resolving against the READER's context instead of the view's
+    * defining one. */
+  def qualifyRelations(session: SparkSession, plan: LogicalPlan,
                        full: Seq[String] => Seq[String]): LogicalPlan = {
+    val nm = norm(session) _
     def go(p: LogicalPlan, bound: Set[String]): LogicalPlan = p match {
       case w: UnresolvedWith =>
-        var seen = bound
-        val rels = w.cteRelations.map { case (n, rel, o) =>
-          val q = go(rel, seen).asInstanceOf[SubqueryAlias]
-          seen += n.toLowerCase
-          (n, q, o)
+        val (perBody, all) = cteScopes(w, bound, nm)
+        val rels = w.cteRelations.zip(perBody).map { case ((n, rel, o), s) =>
+          (n, go(rel, s).asInstanceOf[SubqueryAlias], o)
         }
-        w.copy(child = go(w.child, seen), cteRelations = rels)
+        w.copy(child = go(w.child, all), cteRelations = rels)
       case r @ UnresolvedRelation(ps, _, false)
-          if ps.length < 3 && !(ps.length == 1 && bound(ps.head.toLowerCase)) =>
+          if ps.length < 3 && !(ps.length == 1 && bound(nm(ps.head))) =>
         r.copy(multipartIdentifier = full(ps))
       case other =>
         other.mapChildren(go(_, bound)).transformExpressionsUp {
@@ -90,25 +112,40 @@ private[graft] object GraftViewSql {
     go(plan, Set.empty)
   }
 
-  /** Refuse persisted definitions over TEMPORARY views — stock Spark's
-    * rule for its own persisted views, enforced here at CREATE/ALTER
-    * time: a temp reference either vanishes at read time or, worse,
-    * silently REBINDS to a same-named catalog table (the definition
-    * was validated against data it will never read again). CTE-bound
-    * names are excluded scope-aware. */
+  /** Refuse persisted definitions over TEMPORARY objects — stock
+    * Spark's rule for its own persisted views (its
+    * verifyTemporaryObjectsNotExists), enforced here at CREATE/ALTER
+    * time: a temp VIEW reference either vanishes at read time or,
+    * worse, silently REBINDS to a same-named catalog table, and a temp
+    * FUNCTION vanishes with the session. CTE-bound names are excluded
+    * scope-aware (recursion included). */
   def assertNoTempRefs(session: SparkSession, plan: LogicalPlan,
                        what: String): Unit = {
+    val nm = norm(session) _
     val cata = session.sessionState.catalog
+    def checkExpr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                  bound: Set[String]): Unit = e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        go(s.plan, bound)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            cata.isTemporaryFunction(
+              org.apache.spark.sql.catalyst.FunctionIdentifier(f.nameParts.head)) =>
+        throw new IllegalArgumentException(
+          s"$what cannot reference the temporary function " +
+            s"${f.nameParts.head} — persisted definitions must reference " +
+            "catalog objects")
+      case _ => ()
+    }
     def go(p: LogicalPlan, bound: Set[String]): Unit = p match {
       case w: UnresolvedWith =>
-        var seen = bound
-        w.cteRelations.foreach { case (n, rel, _) =>
-          go(rel, seen); seen += n.toLowerCase }
-        go(w.child, seen)
+        val (perBody, all) = cteScopes(w, bound, nm)
+        w.cteRelations.zip(perBody).foreach { case ((_, rel, _), s) => go(rel, s) }
+        go(w.child, all)
       case r: UnresolvedRelation =>
         val ps = r.multipartIdentifier
         val isTemp = ps.length match {
-          case 1 => !bound(ps.head.toLowerCase) && cata.isTempView(ps)
+          case 1 => !bound(nm(ps.head)) && cata.isTempView(ps)
           case 2 => cata.isTempView(ps) // incl. global_temp.<name>
           case _ => false
         }
@@ -117,11 +154,7 @@ private[graft] object GraftViewSql {
             "persisted definitions must reference catalog objects")
       case other =>
         other.children.foreach(go(_, bound))
-        other.expressions.foreach(_.foreach {
-          case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            go(s.plan, bound)
-          case _ => ()
-        })
+        other.expressions.foreach(checkExpr(_, bound))
     }
     go(plan, Set.empty)
   }
@@ -230,7 +263,7 @@ case class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan
 
   private def expand(view: View): LogicalPlan = {
     val parsed = session.sessionState.sqlParser.parsePlan(view.query)
-    val qualified0 = GraftViewSql.qualifyRelations(parsed, ps =>
+    val qualified0 = GraftViewSql.qualifyRelations(session, parsed, ps =>
       if (ps.length == 1) view.currentCatalog +:
         (view.currentNamespace.toSeq :+ ps.head)
       else view.currentCatalog +: ps)

@@ -41,10 +41,16 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
   def boundPort: Int = server.getLocalPort
   private val mapper = new ObjectMapper()
   @volatile private var running = true
-  // (ns, table) -> (head commitId, metadata-location, superseded location)
+  // per-table export memo; the MEMO OBJECT is the table's export lock
+  // (a multi-second Spark export must never run inside the map's
+  // compute(), whose bin lock would block unrelated same-bin tables)
+  private final class Memo {
+    var head: String = _ // commit id the current export serves
+    var loc: String = _ // metadata-location of the current export
+    var prev: Option[String] = None // immediately superseded location
+  }
   private val exported =
-    new java.util.concurrent.ConcurrentHashMap[
-      (String, String), (String, String, Option[String])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -53,7 +59,14 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         val t = new Thread(() => handle(sock))
         t.setDaemon(true)
         t.start()
-      } catch { case _: Exception => /* closed during stop() */ }
+      } catch { case e: Exception =>
+        // expected when stop() closes the socket; any OTHER persistent
+        // accept failure (fd exhaustion) must not hot-spin the acceptor
+        if (running) {
+          System.err.println(s"[iceberg-rest] accept failed: ${e.getMessage}")
+          Thread.sleep(100)
+        }
+      }
     }
   }, "iceberg-rest-acceptor")
   acceptor.setDaemon(true)
@@ -97,9 +110,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
           s""""properties":{"location":"${esc(
             Paths.get(cat.warehouse, ns).toString)}"}}""")
       case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
-        val ids = cat.listTables(ns).map(t =>
-          s"""{"namespace":["${esc(ns)}"],"name":"${esc(t)}"}""")
-        reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+        // spec: listing a MISSING namespace is NoSuchNamespaceException,
+        // never an empty page (a client cannot tell empty from absent)
+        if (!namespaces().contains(ns))
+          reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
+        else {
+          val ids = cat.listTables(ns).map(t =>
+            s"""{"namespace":["${esc(ns)}"],"name":"${esc(t)}"}""")
+          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+        }
       case ("HEAD", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         if (cat.tableExists(ns, t)) replyHead(out, 204) else replyHead(out, 404)
       case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -134,22 +153,32 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * finishes its read); anything older is deleted — without this,
     * every served commit leaks a full table copy on disk. */
   private def loadTableResult(ns: String, t: String): String = {
-    val head = cat.latest(ns, t).map(_.commitId).getOrElse("v0-empty")
-    val loc = exported.compute((ns, t), (_, cur) =>
-      if (cur != null && cur._1 == head) cur
-      else {
+    val headSnap = cat.latest(ns, t)
+    val head = headSnap.map(_.commitId).getOrElse("v0-empty")
+    val memo = exported.computeIfAbsent((ns, t), _ => new Memo)
+    val loc = memo.synchronized {
+      if (memo.head != head) {
         val dest = Paths.get(exportRoot, ns, t,
           java.util.UUID.randomUUID().toString.take(8))
-        Files.createDirectories(dest)
-        val report = IcebergExport.exportTable(cat, ns, t, dest.toString)
-        cur match {
-          case null => (head, report.metadataFile, None)
-          case (_, prevLoc, older) =>
-            older.foreach(o =>
-              deleteTree(Paths.get(o).getParent.getParent))
-            (head, report.metadataFile, Some(prevLoc))
+        Files.createDirectories(dest.resolve("metadata"))
+        val newLoc = headSnap match {
+          case Some(_) =>
+            IcebergExport.exportTable(cat, ns, t, dest.toString).metadataFile
+          case None =>
+            // created-but-never-committed: a REST client that just
+            // LISTED the table must get valid metadata, not a 500 —
+            // serve the spec's empty-table shape (no snapshots)
+            val f = dest.resolve("metadata").resolve("v0.metadata.json")
+            Files.writeString(f, emptyMetadataJson(ns, t))
+            f.toAbsolutePath.toString
         }
-      })._2
+        memo.prev.foreach(o => deleteTree(Paths.get(o).getParent.getParent))
+        memo.prev = Option(memo.loc)
+        memo.loc = newLoc
+        memo.head = head
+      }
+      memo.loc
+    }
     val metadataJson = new String(Files.readAllBytes(Paths.get(loc)), UTF_8)
     val o = mapper.createObjectNode()
     o.put("metadata-location", Paths.get(loc).toUri.toString): Unit
@@ -160,6 +189,24 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     o.set[com.fasterxml.jackson.databind.JsonNode](
       "config", mapper.createObjectNode())
     mapper.writeValueAsString(o)
+  }
+
+  /** Spec-shaped metadata for a table with NO committed versions: empty
+    * schema-0, empty spec-0, no snapshots — what a freshly-created
+    * Iceberg table's metadata looks like before its first append. */
+  private def emptyMetadataJson(ns: String, t: String): String = {
+    val uuid = java.util.UUID.nameUUIDFromBytes(s"$ns.$t".getBytes(UTF_8))
+    s"""{"format-version":2,"table-uuid":"$uuid",
+       |"location":"${esc(Paths.get(cat.warehouse, ns, t).toUri.toString)}",
+       |"last-sequence-number":0,
+       |"last-updated-ms":${System.currentTimeMillis()},
+       |"last-column-id":0,"current-schema-id":0,
+       |"schemas":[{"schema-id":0,"type":"struct","fields":[]}],
+       |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+       |"last-partition-id":999,"default-sort-order-id":0,
+       |"sort-orders":[{"order-id":0,"fields":[]}],
+       |"properties":{},"snapshots":[],"snapshot-log":[],"metadata-log":[]}
+       |""".stripMargin.replace("\n", "")
   }
 
   private def deleteTree(root: java.nio.file.Path): Unit =
@@ -174,7 +221,18 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     s"""{"error":{"message":"${esc(msg)}","type":"$typ","code":$code}}"""
 
   private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      // remaining control chars (Spark exception messages span lines and
+      // carry them) would make the ErrorModel body invalid JSON, masking
+      // the real error behind the client's parse failure
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def reply(out: OutputStream, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)

@@ -65,6 +65,16 @@ class IcebergRestSpec extends SparkSpec {
         .exists(_.get("name").asText() == "rt"))
       assert(httpHead(p, "/v1/namespaces/ns/tables/rt") === 204)
       assert(httpHead(p, "/v1/namespaces/ns/tables/nope") === 404)
+      // missing NAMESPACE listing is 404 per spec, never an empty page
+      assert(httpGet(p, "/v1/namespaces/typo/tables")._1 === 404)
+      // a created-but-never-committed table serves VALID empty metadata
+      // (a client that just listed it must not get a 500)
+      cat.createTable("ns", "bare")
+      val (bc, bb) = httpGet(p, "/v1/namespaces/ns/tables/bare")
+      assert(bc === 200, bb)
+      val bareMeta = mapper.readTree(bb).get("metadata")
+      assert(bareMeta.get("format-version").asInt() === 2)
+      assert(bareMeta.get("snapshots").size() === 0)
       val (code404, err404) = httpGet(p, "/v1/namespaces/ns/tables/nope")
       assert(code404 === 404 &&
         mapper.readTree(err404).get("error").get("type").asText()

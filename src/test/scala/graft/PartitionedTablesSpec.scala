@@ -164,6 +164,26 @@ class PartitionedTablesSpec extends SparkSpec {
       "the mixed batch must refuse atomically — nothing published")
   }
 
+  test("pure-schema ALTERs on a partitioned table keep the spec valid: " +
+       "adding a reserved-prefix column or dropping a spec source " +
+       "refuses AT the ALTER (publishing either would brick every " +
+       "later write)") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(
+      s"""CREATE TABLE $c.ns.pa (id BIGINT, v DOUBLE, d DATE)
+         |PARTITIONED BY (days(d))""".stripMargin)
+    spark.sql(s"INSERT INTO $c.ns.pa VALUES (1, 1.0, DATE'2024-11-01')").collect(): Unit
+    intercept[Exception](spark.sql(s"ALTER TABLE $c.ns.pa ADD COLUMN __ptw_0 INT"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $c.ns.pa DROP COLUMN d"))
+    // the table still writes — nothing half-published
+    spark.sql(s"INSERT INTO $c.ns.pa VALUES (2, 2.0, DATE'2024-11-02')").collect(): Unit
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.pa").head().getLong(0) === 2L)
+    // a legal ADD still works
+    spark.sql(s"ALTER TABLE $c.ns.pa ADD COLUMN note STRING")
+    assert(cat.tableSchema("ns", "pa").get.fieldNames.contains("note"))
+  }
+
   test("export declares the REAL partition spec and derives per-file tuples " +
        "a foreign engine can prune on: tuple-pruned file reads == the " +
        "filtered table, straddling files honestly export unpartitioned") {

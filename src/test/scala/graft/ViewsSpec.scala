@@ -154,6 +154,29 @@ class ViewsSpec extends SparkSpec {
     assert(r.getInt(1) === 7, "inner x must stay the CTE")
   }
 
+  test("RECURSIVE view bodies work: the CTE's self-reference is scope-" +
+       "bound (never qualified into a catalog table), and a temporary " +
+       "FUNCTION reference refuses like a temp view") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    // a catalog table named like the recursive CTE — the trap: a
+    // bind-after-body scope would qualify the self-reference into it
+    spark.sql(s"CREATE TABLE $c.ns.r (n INT)")
+    spark.sql(s"INSERT INTO $c.ns.r VALUES (999)").collect(): Unit
+    spark.sql(s"""CREATE VIEW $c.ns.rec AS
+      WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 5)
+      SELECT sum(n) AS s FROM r""")
+    assert(spark.sql(s"SELECT s FROM $c.ns.rec").head().getLong(0) === 15L,
+      "the self-reference must stay the CTE, never the catalog table")
+    // temp functions vanish with the session — refuse at CREATE
+    spark.udf.register("views_tmp_fn", (x: Long) => x * 2)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE VIEW $c.ns.badfn AS SELECT views_tmp_fn(id) AS d FROM $c.ns.t"))
+    assert(e.getMessage.contains("temporary function"))
+    assert(!new GraftCatalog(spark, w).viewExists("ns", "badfn"))
+  }
+
   test("listings stay honest: _views plumbing is invisible to SHOW " +
        "TABLES / listTables / pagination, and view names refuse the " +
        "same reserved prefixes as tables") {

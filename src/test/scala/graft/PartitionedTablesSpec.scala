@@ -87,6 +87,12 @@ class PartitionedTablesSpec extends SparkSpec {
       .head().getLong(0) === 100L)
     assert(spark.sql(s"SELECT v FROM $c.ns.pt WHERE id = 777").head().getDouble(0)
       === 77.7)
+    // the SQL scan path prunes too (pushed filters reach the manifest
+    // pruner through the DSv2 bridge, not only the programmatic API)
+    assert(spark.sql(s"SELECT * FROM $c.ns.pt WHERE d = DATE'2024-01-03'")
+      .inputFiles.length < total, "SQL day probe did not prune")
+    assert(spark.sql(s"SELECT * FROM $c.ns.pt WHERE id = 777")
+      .inputFiles.length < total, "SQL point probe did not prune")
     // per-file derived bucket stat recorded under the reserved key
     val head = cat.latest("ns", "pt").get
     val stats = cat.prunedDataEntries("ns", "pt", head, Array.empty).toSeq
@@ -338,6 +344,55 @@ class PartitionedTablesSpec extends SparkSpec {
     assert(plainRows === 0L, "every row-bearing file must derive its tuple")
     assert(dayVals === (0 until 4).map(d =>
       java.time.LocalDate.of(2024, 5, 1 + d).toEpochDay.toInt).toSet)
+  }
+
+  test("identity and truncate transforms derive export tuples from " +
+       "recorded bounds: per-category files carry the exact string/" +
+       "prefix values a foreign engine prunes on") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(
+      s"""CREATE TABLE $c.ns.it (k BIGINT, category STRING, sku STRING)
+         |PARTITIONED BY (category, truncate(3, sku))""".stripMargin)
+    val src = (0 until 120).map { i =>
+      (i.toLong, if (i % 2 == 0) "web" else "app",
+        f"SKU${i % 3}%d-${i}%04d")
+    }.toDF("k", "category", "sku")
+    src.createOrReplaceTempView("it_src")
+    spark.sql(s"INSERT INTO $c.ns.it SELECT * FROM it_src").collect(): Unit
+    val dest = Files.createTempDirectory("graft-it-export").toString
+    IcebergExport.exportTable(cat, "ns", "it", dest): Unit
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(
+      java.nio.file.Paths.get(dest, "metadata", "v1.metadata.json")))
+    val spec1 = root.get("partition-specs").elements().asScala
+      .find(_.get("spec-id").asInt() == 1).get
+    assert(spec1.get("fields").elements().asScala
+      .map(_.get("transform").asText()).toSeq === Seq("identity", "truncate[3]"))
+    val curId = root.get("current-snapshot-id").asLong()
+    val snap = root.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+    var tuples = Set.empty[(String, String)]
+    var plainRows = 0L
+    IcebergExport.readAvro(java.nio.file.Paths.get(
+      java.net.URI.create(snap.get("manifest-list").asText()))).foreach { mf =>
+      val specId = mf.get("partition_spec_id").asInstanceOf[Int]
+      IcebergExport.readAvro(java.nio.file.Paths.get(
+        java.net.URI.create(mf.get("manifest_path").toString))).foreach { e =>
+        val df0 = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (specId == 1) {
+          val part = df0.get("partition")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          tuples += ((part.get("category").toString,
+            part.get("sku_trunc").toString))
+        } else plainRows += df0.get("record_count").asInstanceOf[Long]
+      }
+    }
+    assert(plainRows === 0L, "every row-bearing file must derive its tuple")
+    // SKU prefixes: "SKU" for every sku (3 chars) — so truncate yields
+    // one value, identity two; 2 tuples, proving BOTH transform kinds
+    assert(tuples === Set(("web", "SKU"), ("app", "SKU")))
   }
 
   test("a STRADDLING file (bounds spanning several days) exports under the " +

@@ -1329,7 +1329,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * file by collect_set (bounded however many rows the file has), then
     * packed into a base64 bitset on the driver. Membership is over the
     * column's CAST-TO-STRING form (type-stable across engines/sessions;
-    * pruning only — the residual filter keeps reads exact). */
+    * pruning only — the residual filter keeps reads exact) — EXCEPT
+    * timestamps, which hash their epoch-MICROS string (unix_micros):
+    * cast-to-string depends on the writer session's timezone, so a
+    * reader in another zone would probe shifted values and silently
+    * prune files that hold the key. The probe sides (readWhereEquals,
+    * CowPruning) render timestamp probes through [[GraftCatalog
+    * .statForm]] — the SAME micros form — which is what makes
+    * bucket(n, timestampCol)'s declared "bucket pruning IS the bloom
+    * path" contract actually hold for timestamp sources. */
   private def stagedFileBlooms(ns: String, name: String,
                                entries: Seq[(String, Long)],
                                schema: StructType,
@@ -1348,8 +1356,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
     val m = GraftCatalog.BloomBits
     cols.flatMap { c =>
+      // timestamp membership hashes the tz-stable micros form (doc above)
+      val hashed =
+        if (schema.fields.exists(f => f.name == c && f.dataType == TimestampType))
+          unix_micros(col(c)).cast("string")
+        else col(c).cast("string")
       val positions = array((0 until GraftCatalog.BloomHashes).map(i =>
-        pmod(xxhash64(lit(i), col(c).cast("string")), lit(m.toLong)).cast("int")): _*)
+        pmod(xxhash64(lit(i), hashed), lit(m.toLong)).cast("int")): _*)
       df.select(input_file_name().as("__f"), explode(positions).as("__p"))
         .groupBy(col("__f")).agg(collect_set(col("__p")).as("bits"))
         .collect()
@@ -2061,12 +2074,20 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, schema)
     val exprs = pspec.map(GraftCatalog.partitionClusterColumn(_)) ++
       GraftCatalog.validatedSortColumns(s"$ns.$name", props, schema).map(col)
+    // thread THIS head into compactWith: deriving the layout from one
+    // read and CAS-ing against a SECOND would let a spec/sort
+    // TBLPROPERTIES change landing between the reads commit a rewrite
+    // clustered under the stale layout (the CAS, keyed on the newer
+    // read, would still succeed) — anchoring expectedParentSeq on the
+    // layout-defining snapshot makes the concurrent change abort the
+    // rewrite instead
     if (exprs.nonEmpty)
       compactWith(ns, name, targetFileBytes, (df, parts) =>
         df.repartitionByRange(parts, exprs: _*).sortWithinPartitions(exprs: _*),
-        alignSpec = pspec.nonEmpty)
+        alignSpec = pspec.nonEmpty, head = snap)
     else
-      compactWith(ns, name, targetFileBytes, (df, parts) => df.repartition(parts))
+      compactWith(ns, name, targetFileBytes,
+        (df, parts) => df.repartition(parts), head = snap)
   }
 
   /** [[compact]] sized by the table's own `write.target-file-size-bytes`
@@ -2160,9 +2181,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * snapshot. */
   private def compactWith(ns: String, name: String, targetFileBytes: Long,
                           layout: (DataFrame, Int) => DataFrame,
-                          alignSpec: Boolean = false)
+                          alignSpec: Boolean = false,
+                          head: Option[Snapshot] = None)
       : Snapshot = {
-    val cur = latest(ns, name)
+    // `head` = the snapshot the CALLER derived its layout from; the CAS
+    // below anchors on it so a layout change racing the rewrite aborts
+    val cur = head.orElse(latest(ns, name))
       .getOrElse(throw new IllegalStateException(s"nothing to compact in $ns.$name"))
     val totalBytes = math.max(1L, cur.totalBytes)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -3057,13 +3081,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def dtOf(c: String) = schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
     val dt = dtOf(column)
     val numeric = dt.exists(GraftCatalog.statNumeric)
-    // probe in the recorded stat form (timestamps: epoch micros)
+    // probe in the recorded stat form (timestamps: epoch micros) — the
+    // bloom build side hashes the SAME form (timestamps via unix_micros,
+    // everything else cast-to-string == toString), so blooms probe every
+    // recorded type, timestamps included
     val probe = dt.map(GraftCatalog.statForm(_, value)).getOrElse(value)
-    val positions = GraftCatalog.bloomPositions(value)
-    // blooms hash the build side's cast-to-string form; a timestamp
-    // probe string renders differently (micros / caller spelling), so
-    // probing would misprune — bounds alone prune timestamp columns
-    val bloomSafe = !dt.contains(TimestampType)
+    val positions = GraftCatalog.bloomPositions(probe)
+    // same whitelist as CowPruning: types whose probe form provably
+    // equals the recorded form (decimal drops trailing scale zeros —
+    // probing it would prune files that HOLD the key and lose rows)
+    val bloomSafe = dt.exists {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType => true
+      case _ => false
+    }
     val statKey = physKeyOf(snap)
     def keep(e: ManifestEntry): Boolean = {
       val boundsOk = e.stats.get(statKey(column)) match {
@@ -3109,14 +3141,25 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                         commitId: Option[String] = None,
                         bloomCols: Seq[String] = Seq.empty): Snapshot = {
     val cur = tableSchema(ns, name).map(_.fields.toSeq).getOrElse(Seq.empty)
+    // name matching honors spark.sql.caseSensitive (Spark analysis is
+    // case-INsensitive by default): an exact-case match here would treat
+    // a batch column 'ID' against table column 'id' as NEW — null-fill
+    // 'id' and widen with a duplicate 'ID', silently misplacing the
+    // batch's data, the exact failure class this method exists to refuse
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     // SELECT-* stability: recorded order stays table-columns-first (in
     // table order), freshly-introduced columns append after, in batch
-    // order — Delta's mergeSchema ordering
+    // order — Delta's mergeSchema ordering. Matched batch columns are
+    // re-aliased to the TABLE's spelling (the canonical name).
     val tableCols = cur.map(f =>
-      if (df.schema.fieldNames.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name))
+      df.schema.fieldNames.find(sameName(_, f.name)) match {
+        case Some(bn) => col(bn).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      })
     val newCols = df.schema.fieldNames.toSeq
-      .filterNot(n => cur.exists(_.name == n)).map(col)
+      .filterNot(n => cur.exists(f => sameName(f.name, n))).map(col)
     commitAppend(ns, name, df.select(tableCols ++ newCols: _*),
       sourceRegion = sourceRegion, commitId = commitId, bloomCols = bloomCols)
   }
@@ -3573,9 +3616,20 @@ object GraftCatalog {
             s"$table: $PartitionSpecProp names unknown column '${f.source}' " +
               s"(schema: ${fields.map(_.name).mkString(", ")})"))
           f.transform match {
-            case "identity" => require(prunableType(dt),
-              s"$table: identity partition source '${f.source}' has " +
-                s"non-prunable type ${dt.simpleString}")
+            // identity sources are restricted to the EXPORTABLE set (the
+            // types the Iceberg export can spell a partition tuple for,
+            // IcebergExport.specFieldsOf) — a wider gate here would let a
+            // table CREATE fine and then brick iceberg_export AND the
+            // REST shim's LoadTableResult (permanent 500) on a legally
+            // created table. Iceberg itself forbids float/double
+            // partition sources; decimal/boolean identity adds nothing
+            // bucket/truncate can't do on a supported type.
+            case "identity" => require(Seq(ByteType, ShortType, IntegerType,
+              LongType, StringType, DateType, TimestampType).contains(dt),
+              s"$table: identity partition source '${f.source}' has type " +
+                s"${dt.simpleString} — identity partitioning supports " +
+                "int/long/string/date/timestamp sources (spec-exportable " +
+                "set); use bucket(n, col) for other types")
             case "year" | "month" | "day" =>
               require(dt == DateType || dt == TimestampType,
                 s"$table: ${f.transform}(${f.source}) needs a date/timestamp " +

@@ -432,11 +432,11 @@ private[graft] object GraftCowScanSubstitution
   * mis-pruned row-level operation LOSES updates; timestamps compare
   * numerically against their recorded epoch-micros form via
   * [[GraftCatalog.statForm]]). Blooms are probed only for types whose
-  * filter-value `toString` provably equals the build side's
-  * cast-to-string form (integrals, floats, strings, booleans, dates) —
-  * e.g. a timestamp probe renders '…00.0' vs the build's '…00', and a
-  * decimal drops trailing scale zeros; probing those would prune every
-  * file and silently match nothing. */
+  * probe form provably equals the build side's recorded form: integrals,
+  * floats, strings, booleans, dates (toString == cast-to-string) and
+  * timestamps (both sides use the tz-stable epoch-micros form). A
+  * decimal drops trailing scale zeros in toString; probing it would
+  * prune every file and silently match nothing, so it stays excluded. */
 private[catalog] object CowPruning {
   private type Entry = GraftCatalog#ManifestEntry
 
@@ -453,12 +453,16 @@ private[catalog] object CowPruning {
     // (GraftCatalog.statForm) instead of being excluded wholesale
     def form(c: String, v: Any): String =
       dtOf(c).map(GraftCatalog.statForm(_, v)).getOrElse(v.toString)
+    // timestamps are bloom-safe since the build side hashes the epoch-
+    // micros form (GraftCatalog.stagedFileBlooms) — `form` renders the
+    // probe identically, so bucket(n, timestampCol) point lookups prune
     def bloomSafe(c: String): Boolean = dtOf(c).exists {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
            StringType | org.apache.spark.sql.types.BooleanType |
-           org.apache.spark.sql.types.DateType => true
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }
     // Bounds may be consulted only when the probe's stat form is

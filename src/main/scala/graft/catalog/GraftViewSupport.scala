@@ -53,12 +53,27 @@ private[graft] object GraftViewSql {
       case _ => None
     }
 
-  /** `catalog.ns.name` parts addressed at a graft catalog. */
+  /** Identifier parts addressed at a graft catalog, qualified against
+    * the session's CURRENT catalog/namespace when under-specified —
+    * `USE <graftcat>.<ns>` followed by `CREATE VIEW v` / `SELECT * FROM
+    * v` must hit the graft view support exactly like the 3-part
+    * spelling does (stock resolution applies the same completion). When
+    * the current catalog is not a graft catalog, 1/2-part names resolve
+    * to None and every stock path keeps its behavior. */
   def viewTarget(session: SparkSession, parts: Seq[String])
-      : Option[(GraftSparkCatalog, Identifier)] =
-    if (parts.length != 3) None
-    else graftPlugin(session, parts.head)
-      .map(g => (g, Identifier.of(Array(parts(1)), parts(2))))
+      : Option[(GraftSparkCatalog, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    val full = parts.length match {
+      case 3 => parts
+      case 2 => cm.currentCatalog.name() +: parts
+      case 1 => (cm.currentCatalog.name() +: cm.currentNamespace.toSeq) :+
+        parts.head
+      case _ => return None
+    }
+    if (full.length != 3) None
+    else graftPlugin(session, full.head)
+      .map(g => (g, Identifier.of(Array(full(1)), full(2))))
+  }
 
   /** Name normalization for CTE-scope matching: identifier resolution
     * is case-insensitive unless spark.sql.caseSensitive says otherwise
@@ -253,7 +268,13 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
 case class GraftViewSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperatorsUp {
-    case u @ UnresolvedRelation(parts, _, false) =>
+    // temp views KEEP their stock precedence: viewTarget completes 1/2-
+    // part names through the current catalog/namespace (so `USE g.ns;
+    // SELECT * FROM v` reads the graft view), but a same-named session
+    // temp view must still win — this rule shares the Resolution batch
+    // with the stock temp-view binding and could otherwise fire first
+    case u @ UnresolvedRelation(parts, _, false)
+        if !session.sessionState.catalog.isTempView(parts) =>
       GraftViewSql.viewTarget(session, parts) match {
         case Some((g, ident)) if g.viewExists(ident) =>
           expand(g.loadView(ident))

@@ -1265,5 +1265,15 @@ class CatalogSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       cat.commitAppendMerge("ns", "ms", Seq(("x", "y")).toDF("id", "s")))
     assert(e2.getMessage.contains("changed"))
+
+    // name matching honors the session's (default: case-INsensitive)
+    // resolution: a batch spelling 'ID'/'S' lands in id/s — an
+    // exact-case match would null-fill them and widen with duplicates,
+    // silently misplacing the batch's data
+    cat.commitAppendMerge("ns", "ms", Seq((6L, "f")).toDF("ID", "S"))
+    assert(cat.tableSchema("ns", "ms").get.fieldNames.toSeq ===
+      Seq("id", "s", "score", "flag"),
+      "a case-variant batch must not widen the schema")
+    assert(cat.read("ns", "ms").filter("id = 6 AND s = 'f'").count() === 1L)
   }
 }

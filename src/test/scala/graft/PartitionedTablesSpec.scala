@@ -102,6 +102,39 @@ class PartitionedTablesSpec extends SparkSpec {
       "partitioned commits must record the per-file bucket stat")
   }
 
+  test("bucket(n, timestampCol): the auto-recorded bloom is built AND probed " +
+       "in the tz-stable epoch-micros form, so point lookups on a " +
+       "timestamp bucket source actually prune") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(
+      s"""CREATE TABLE $c.ns.tsb (ts TIMESTAMP, v BIGINT)
+         |PARTITIONED BY (bucket(8, ts))""".stripMargin)
+    // 400 distinct second-spaced timestamps; bucket clustering spreads
+    // them hash-wise, so every file's [min, max] covers most probes —
+    // only the bloom can prune a point lookup
+    val src = (0 until 400).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 6, 1, 12, 0, 0).plusSeconds(i.toLong)), i.toLong)
+    }.toDF("ts", "v")
+    src.createOrReplaceTempView("tsb_src")
+    spark.sql(s"INSERT INTO $c.ns.tsb SELECT * FROM tsb_src").collect(): Unit
+    val total = cat.read("ns", "tsb").inputFiles.length
+    assert(total > 1, "fixture must span multiple files for pruning to show")
+    // SQL point probe: pushed EqualTo(ts) reaches the manifest pruner;
+    // the micros-form bloom rejects the non-matching bucket files
+    val probe = spark.sql(
+      s"SELECT v FROM $c.ns.tsb WHERE ts = TIMESTAMP'2024-06-01 12:03:17'")
+    assert(probe.inputFiles.length < total,
+      s"timestamp point probe read ${probe.inputFiles.length}/$total files " +
+        "— the bucket bloom on a timestamp source is dead")
+    assert(probe.as[Long].collect().toSeq === Seq(197L))
+    // programmatic path too (readWhereEquals probes the same form)
+    val rwe = cat.readWhereEquals("ns", "tsb", "ts", "2024-06-01 12:03:17")
+    assert(rwe.inputFiles.length < total)
+    assert(rwe.count() === 1L)
+  }
+
   test("compact preserves the partitioned layout: clustering AND the bucket " +
        "bloom survive the rewrite (a compaction that de-indexes would rot " +
        "pruning silently)") {
@@ -144,6 +177,9 @@ class PartitionedTablesSpec extends SparkSpec {
     intercept[Exception](spark.sql(ddl("hours(d)")))      // hour needs timestamp
     intercept[Exception](spark.sql(ddl("bucket(0, id)")))
     intercept[Exception](spark.sql(ddl("truncate(4, d)"))) // truncate: int/long/string
+    // identity restricts to the spec-EXPORTABLE set: a double source
+    // would create fine and then brick iceberg_export + the REST shim
+    intercept[Exception](spark.sql(ddl("v")))
     intercept[Exception](spark.sql(
       s"""CREATE TABLE $c.ns.bad (id BIGINT) PARTITIONED BY (bucket(4, id))
          |TBLPROPERTIES ('${GraftCatalog.PartitionSpecProp}'='[]')""".stripMargin))

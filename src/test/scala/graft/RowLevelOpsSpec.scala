@@ -570,7 +570,8 @@ class RowLevelOpsSpec extends SparkSpec {
   }
 
   test("blooms on a type whose probe string diverges from the build form " +
-       "(timestamp) are skipped, not mis-probed: the update still lands") {
+       "(timestamp) probe in the recorded epoch-micros form: the update " +
+       "lands AND an absent in-range key prunes") {
     val (cat, c) = register()
     cat.createTable("m", "tsb")
     val df = spark.sql(
@@ -582,6 +583,16 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $c.m.tsb ORDER BY id")
       .as[Long].collect().toSeq === Seq(0L, 2L, 99L),
       "a java-toString bloom probe ('…01.0') would prune every file")
+    // the bloom is PROBED, not skipped: an absent key INSIDE the file's
+    // [min, max] (12:00:01.5 between :01 and :02) can only be proven
+    // away by the micros-form bloom — bounds cover it
+    val miss = cat.readWhereEquals("m", "tsb", "ts", "2024-06-01 12:00:01.5")
+    assert(miss.inputFiles.isEmpty,
+      s"micros-form timestamp bloom must prune the covering file: read " +
+        s"${miss.inputFiles.length} files")
+    // and a PRESENT key still reads through (no false prune)
+    assert(cat.readWhereEquals("m", "tsb", "ts", "2024-06-01 12:00:02")
+      .count() === 1L)
   }
 
   test("a COW rewrite carries bloom filters onto the replacement file") {

@@ -58,6 +58,31 @@ class ViewsSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"SELECT * FROM $c.ns.big").collect())
   }
 
+  test("USE-scoped names work: under `USE <cat>.<ns>`, 1-part CREATE " +
+       "VIEW / SELECT / DROP resolve through the current catalog+" +
+       "namespace, and a same-named TEMP view keeps its stock precedence") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    try {
+      spark.sql(s"USE $c.ns")
+      spark.sql("CREATE VIEW uv AS SELECT id FROM t WHERE id >= 3")
+      assert(spark.sql("SELECT sum(id) FROM uv").head().getLong(0) === 7L)
+      // 2-part spelling resolves through the current CATALOG
+      assert(spark.sql(s"SELECT sum(id) FROM ns.uv").head().getLong(0) === 7L)
+      // persisted where the 3-part spelling finds it
+      assert(spark.sql(s"SELECT count(*) FROM $c.ns.uv").head().getLong(0) === 2L)
+      // a session TEMP view of the same name WINS over the graft view
+      // (stock precedence) and is never silently shadowed
+      Seq(100L).toDF("id").createOrReplaceTempView("uv")
+      assert(spark.sql("SELECT sum(id) FROM uv").head().getLong(0) === 100L)
+      spark.catalog.dropTempView("uv")
+      assert(spark.sql("SELECT sum(id) FROM uv").head().getLong(0) === 7L)
+      spark.sql("DROP VIEW uv")
+      assert(!new GraftCatalog(spark, w).viewExists("ns", "uv"))
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("a view OUTLIVES its defining session: a fresh catalog instance " +
        "mounting the same warehouse resolves and reads it (and the " +
        "definition references resolve against the DEFINING catalog)") {

@@ -2284,6 +2284,80 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** REST-commit landing ([[graft.service.IcebergRestServer]]'s
+    * commitTable): register externally-WRITTEN parquet files already
+    * copied under the table dir as ONE new version, conditionally on
+    * `expectedParentSeq` — the graft version the foreign client's
+    * `assert-ref-snapshot-id` requirement resolved to. A concurrent
+    * graft commit aborts with ConcurrentModificationException (the REST
+    * spec's 409), never an append on top of state the client hasn't
+    * seen. Unlike the sync-replica [[commitFiles]] (whose files carry
+    * manifests from their SOURCE region), these files are new to every
+    * graft region: stats + blooms are computed here like a property-
+    * honoring writer, so REST-committed files prune like native ones.
+    * Refused on column-mapped (renamed) tables: foreign files spell the
+    * LOGICAL names while stats/reads key on physical ones — a silent
+    * null-read, not an error, is what the refusal prevents. */
+  def commitLandedFiles(ns: String, name: String, newFiles: Seq[String],
+                        sourceRegion: String,
+                        expectedParentSeq: Option[Long] = None,
+                        commitId: Option[String] = None,
+                        maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val parent0 = latest(ns, name)
+    val curSchema = parent0.flatMap(_.schemaJson)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+    require(pm.forall { case (l, p) => l == p },
+      s"$ns.$name carries renamed (column-mapped) columns — externally-" +
+        "written files resolve by LOGICAL name and would silently read " +
+        "the renamed column as null; compact() re-materializes the " +
+        "physical names first")
+    val props = parent0.map(_.properties).getOrElse(Map.empty)
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, curSchema)
+    val bloomCols = GraftCatalog.writeBloomColumnsOf(props, pspec)
+    val entries = newFiles.distinct.map(f =>
+      f -> Files.size(tableDir(ns, name).resolve(f)))
+    var staged: Seq[String] = Seq.empty
+    try {
+      val manifest = (entries.nonEmpty, curSchema) match {
+        case (false, _) => None
+        case (true, Some(s)) => Some(writeManifest(ns, name, entries,
+          stagedFileStats(ns, name, entries, s,
+            GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)),
+          stagedFileBlooms(ns, name, entries, s, bloomCols)))
+        case (true, None) => Some(writeManifest(ns, name, entries))
+      }
+      staged = manifest.toSeq
+      casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        expectedParentSeq.foreach { exp =>
+          val cur = parent.map(_.seq).getOrElse(-1L)
+          if (cur != exp) throw new java.util.ConcurrentModificationException(
+            s"conditional commit of $ns.$name expected parent v$exp but found v$cur")
+        }
+        Snapshot(
+          parent.map(_.seq + 1).getOrElse(0L),
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          parent.map(_.commitId),
+          System.currentTimeMillis(),
+          parent.map(_.manifests).getOrElse(Seq.empty) ++ manifest,
+          sourceRegion,
+          parent.map(_.fileCount).getOrElse(0L) + entries.size,
+          parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
+          parent.flatMap(_.schemaJson),
+          parent.flatMap(_.propsJson))
+      }
+    } catch { case e: Throwable =>
+      staged.foreach(dropManifest(ns, name, _)); throw e
+    }
+  }
+
   /** ALTER TABLE's metadata-only schema commit: publish ONE new version
     * whose schema is `newSchema`, touching no data file — committed
     * files keep serving reads because every legal change is one the

@@ -180,7 +180,12 @@ private[graft] object GraftViewSql {
 class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    // partition-evolution DDL has no stock grammar (Iceberg ships it as
+    // an ANTLR extension) — intercept the TEXT for graft targets before
+    // the delegate parser rejects the syntax
+    GraftPartitionDdl.parse(sqlText, SparkSession.active,
+        delegate.parseMultipartIdentifier)
+      .getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = {
     val session = SparkSession.active
@@ -238,6 +243,18 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
             case _ => st
           }
         case _ => st
+      }
+      // SHOW CREATE TABLE is also the spelling for views (stock Spark
+      // renders CREATE VIEW DDL for session-catalog views through it) —
+      // reroute only when the identifier IS an existing graft view
+      case sc: ShowCreateTable => sc.child match {
+        case UnresolvedTableOrView(parts, _, _) =>
+          target(parts) match {
+            case Some((g, ident)) if g.viewExists(ident) =>
+              GraftShowCreateViewCommand(parts, sc.output)
+            case _ => sc
+          }
+        case _ => sc
       }
       case other => other
     }
@@ -423,6 +440,41 @@ private[catalog] case class GraftShowViewsCommand(nsParts: Seq[String],
         org.apache.spark.sql.catalyst.util.StringUtils
           .filterPattern(Seq(i.name()), p).nonEmpty))
       .map(i => Row(nsParts(1), i.name(), false)).toSeq
+  }
+}
+
+/** Reconstructable DDL for a persisted view: declared columns (with
+  * comments), view comment, user TBLPROPERTIES, and the stored query
+  * text — running the emitted statement in the defining catalog/
+  * namespace recreates the view. */
+private[catalog] case class GraftShowCreateViewCommand(parts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val v = g.loadView(ident)
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val cols = v.columnAliases().zip(v.columnComments()).map {
+      case (c, null) => s"  $c"
+      case (c, cm) => s"  $c COMMENT ${q(cm)}"
+    }.mkString("(\n", ",\n", ")")
+    val props = v.properties().asScala.toMap
+    val comment = props.get(ViewCatalog.PROP_COMMENT)
+      .map(c => s"\nCOMMENT ${q(c)}").getOrElse("")
+    val userProps = (props -- ViewCatalog.RESERVED_PROPERTIES.asScala)
+      .toSeq.sortBy(_._1)
+    val tbl =
+      if (userProps.isEmpty) ""
+      else userProps.map { case (k, v0) => s"${q(k)} = ${q(v0)}" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    // the name must spell the catalog the view LIVES in — NOT
+    // v.currentCatalog(), which records the session's current catalog
+    // at CREATE time (the defining context for 1-part references)
+    val catName =
+      if (parts.length == 3) parts.head
+      else session.sessionState.catalogManager.currentCatalog.name()
+    val fullName = (catName +: ident.namespace() :+ ident.name())
+      .mkString(".")
+    Seq(Row(s"CREATE VIEW $fullName $cols$comment$tbl AS\n${v.query}\n"))
   }
 }
 

@@ -865,6 +865,48 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  private val restCommitWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Iceberg REST-catalog COMMIT surface: a foreign client (its own
+    * parquet, its own spec-shaped Avro manifests — graft.tools
+    * .RestClient) CREATEs a bucket-partitioned table over HTTP and
+    * appends a batch through the spec's commitTable protocol
+    * (assert-ref-snapshot-id → CAS, add-snapshot → landed files). The
+    * declared read mounts the GRAFT table the commit landed in; the
+    * oracle recomputes from the raw parquet — a hash match proves the
+    * whole HTTP→manifest-walk→copy→conditional-commit path preserves
+    * the data exactly. */
+  private def restCommit: Q = (s, d) => {
+    val wh = restCommitWarehouses.synchronized {
+      restCommitWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-restc-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "nsseed") // materializes the namespace dir
+        val server = new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-restc-exp").toString)
+        val port = server.boundPort
+        val (cc, cb) = graft.tools.RestClient.createViaRest(port, "q", "restc",
+          Seq("o_orderkey" -> "long", "o_totalprice" -> "double"),
+          spec = Seq("o_orderkey" -> "bucket[4]"))
+        require(cc == 200, s"REST create failed: $cc $cb")
+        val batch = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val (ac, ab) = graft.tools.RestClient.appendViaRest(s, port,
+          "q", "restc", batch, snapshotId = 880001L,
+          workDir = Files.createTempDirectory("graft-restc-work").toString)
+        require(ac == 200, s"REST commit failed: $ac $ab")
+        w
+      })
+    }
+    new GraftCatalog(s, wh).read("q", "restc")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -1041,6 +1083,7 @@ object CatalogQueries {
     "cat_partitioned_ddl"  -> partitionedDdl,
     "cat_view_read"        -> viewRead,
     "cat_rest_read"        -> restRead,
+    "cat_rest_commit"      -> restCommit,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1238,6 +1281,10 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 = 0""",
+    "cat_rest_commit" ->
+      """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 7 = 0""",
     "cat_view_read" ->
       """SELECT count(*) AS cnt, round(sum(round(o_totalprice / 1000, 3)), 2) AS total_k,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -1,31 +1,53 @@
 package graft.service
 
-import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.io.{BufferedInputStream, InputStream, OutputStream}
 import java.net.{ServerSocket, Socket, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
 
 import graft.catalog.{GraftCatalog, IcebergExport}
 
-/** Read-only Iceberg REST-catalog shim over a graft warehouse — the
-  * endpoint surface a foreign engine's `type=rest` catalog client
-  * mounts (published spec: apache/iceberg
-  * open-api/rest-catalog-open-api.yaml; the reference's architecture
-  * doc assumes exactly this read path for cross-engine consumers,
-  * iceberg-arch-geo-distributed-ha.md — Athena/BigQuery reading the
-  * control-plane tables). GET-only by design: writes go through graft
-  * commits; foreign engines READ.
+/** Iceberg REST-catalog shim over a graft warehouse — the endpoint
+  * surface a foreign engine's `type=rest` catalog client mounts
+  * (published spec: apache/iceberg open-api/rest-catalog-open-api.yaml;
+  * the reference's architecture doc assumes exactly this protocol for
+  * cross-engine consumers AND for the geo commit gate's CAS semantics,
+  * iceberg-arch-geo-distributed-ha.md:233-241).
   *
+  * READ surface (round 11):
   *   GET  /v1/config                            -> {defaults, overrides}
   *   GET  /v1/namespaces                        -> {namespaces: [[ns]..]}
   *   GET  /v1/namespaces/{ns}                   -> {namespace, properties}
   *   GET  /v1/namespaces/{ns}/tables            -> {identifiers: [...]}
   *   GET  /v1/namespaces/{ns}/tables/{t}        -> LoadTableResult
   *   HEAD /v1/namespaces/{ns}/tables/{t}        -> 204 / 404
+  *
+  * WRITE surface (round 12 — the spec's commit protocol):
+  *   POST /v1/namespaces/{ns}/tables            -> create table
+  *   POST /v1/namespaces/{ns}/tables/{t}        -> commitTable
+  *
+  * commitTable maps the spec's optimistic protocol onto graft's CAS:
+  * `assert-ref-snapshot-id` is checked against the SERVED export's
+  * current-snapshot-id and the commit itself is anchored on the graft
+  * version that export was built from ([[GraftCatalog
+  * .commitLandedFiles]]'s expectedParentSeq) — a concurrent graft (or
+  * REST) commit returns the spec's 409 CommitFailedException, never an
+  * append on top of state the client hasn't seen. `add-snapshot`'s new
+  * manifests are walked (real Avro, spec layout), the ADDED parquet
+  * files are copied into the warehouse, footer-validated against the
+  * table schema, and land as ONE graft version with native stats +
+  * blooms. Supported update kinds: add-snapshot + set-snapshot-ref
+  * (appends), set-properties / remove-properties (metadata). The server
+  * NORMALIZES the commit (the spec allows this): the landed graft
+  * version re-exports with a server-assigned snapshot id; the response
+  * metadata is the post-commit state the client must refresh to.
   *
   * LoadTableResult serves a REAL spec-compliant metadata tree: the
   * table is exported through [[IcebergExport]] ON DEMAND, memoized by
@@ -46,6 +68,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
   // compute(), whose bin lock would block unrelated same-bin tables)
   private final class Memo {
     var head: String = _ // commit id the current export serves
+    var seq: Long = -1L // graft version of that commit (CAS anchor)
     var loc: String = _ // metadata-location of the current export
     var prev: Option[String] = None // immediately superseded location
   }
@@ -74,29 +97,67 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
 
   def stop(): Unit = { running = false; server.close() }
 
+  /** Typed protocol refusal: `code` + the spec ErrorModel `type`. */
+  private final class RestError(val code: Int, val typ: String, msg: String)
+    extends RuntimeException(msg)
+  private def bad(msg: String): Nothing =
+    throw new RestError(400, "BadRequestException", msg)
+  private def conflict(msg: String): Nothing =
+    throw new RestError(409, "CommitFailedException", msg)
+
   private def handle(sock: Socket): Unit = {
     try {
-      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-      val reqLine = in.readLine()
+      val in = new BufferedInputStream(sock.getInputStream)
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        if (c == -1) return null
+        while (c != -1 && c != '\n') {
+          if (c != '\r') sb.append(c.toChar); c = in.read()
+        }
+        sb.toString
+      }
+      val reqLine = readLine()
       if (reqLine == null) return
-      // drain headers (Connection: close responses need no body read)
-      while ({ val l = in.readLine(); l != null && l.nonEmpty }) ()
+      var contentLength = 0
+      var l = readLine()
+      while (l != null && l.nonEmpty) {
+        val i = l.indexOf(':')
+        if (i > 0 && l.substring(0, i).trim.equalsIgnoreCase("content-length"))
+          contentLength = l.substring(i + 1).trim.toInt
+        l = readLine()
+      }
+      val body = readFully(in, contentLength)
       val parts = reqLine.split(" ")
       val (method, rawPath) =
         (parts.headOption.getOrElse(""), parts.lift(1).getOrElse("/"))
       val path = rawPath.split("\\?")(0).split("/").filter(_.nonEmpty)
         .map(URLDecoder.decode(_, UTF_8)).toSeq
       val out = sock.getOutputStream
-      try route(method, path, out)
-      catch { case e: Exception =>
-        reply(out, 500, err(500, "InternalServerError",
-          Option(e.getMessage).getOrElse(e.getClass.getName)))
+      try route(method, path, new String(body, UTF_8), out)
+      catch {
+        case e: RestError => reply(out, e.code, err(e.code, e.typ, e.getMessage))
+        case e: Exception =>
+          reply(out, 500, err(500, "InternalServerError",
+            Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     } catch { case _: Exception => () }
     finally { try sock.close() catch { case _: Exception => () } }
   }
 
-  private def route(method: String, path: Seq[String], out: OutputStream): Unit =
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new java.io.EOFException("truncated request body")
+      off += r
+    }
+    buf
+  }
+
+  private def route(method: String, path: Seq[String], body: String,
+                    out: OutputStream): Unit =
     (method, path.toList) match {
       case ("GET", "v1" :: "config" :: Nil) =>
         reply(out, 200, """{"defaults":{},"overrides":{}}""")
@@ -125,10 +186,276 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         if (!cat.tableExists(ns, t))
           reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
         else reply(out, 200, loadTableResult(ns, t))
+      case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
+        createTable(ns, body, out)
+      case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        commitTable(ns, t, body, out)
       case _ =>
         reply(out, 404, err(404, "NotFoundException",
           s"$method /${path.mkString("/")}"))
     }
+
+  // ---- create (spec CreateTableRequest -> graft CREATE + empty v0) ----
+
+  private def createTable(ns: String, body: String, out: OutputStream): Unit = {
+    if (!namespaces().contains(ns))
+      return reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
+    val req = parseJson(body)
+    val name = Option(req.get("name")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(bad("CreateTableRequest.name is required"))
+    if (Option(req.get("stage-create")).exists(_.asBoolean(false)))
+      bad("stage-create (transactional create) is not supported — create, " +
+        "then commit")
+    if (cat.tableExists(ns, name))
+      throw new RestError(409, "AlreadyExistsException", s"table $ns.$name")
+    val schemaNode = Option(req.get("schema"))
+      .getOrElse(bad("CreateTableRequest.schema is required"))
+    val schema: StructType =
+      try IcebergExport.sparkSchema(schemaNode)
+      catch { case e: Exception => bad(s"unsupported schema: ${e.getMessage}") }
+    // top-level field-id -> name (partition sources must be top-level)
+    val idName: Map[Int, String] = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val specFields: Seq[GraftCatalog.PartitionField] =
+      Option(req.get("partition-spec")).map(_.get("fields")).filter(_ != null)
+        .toSeq.flatMap(_.elements().asScala).map { f =>
+          val src = idName.getOrElse(f.get("source-id").asInt(),
+            bad(s"partition field ${f.get("name")} names source-id " +
+              s"${f.get("source-id")} which is not a top-level column"))
+          parseTransform(f.get("transform").asText(), src)
+        }
+    val userProps: Map[String, String] =
+      Option(req.get("properties")).toSeq.flatMap(_.fields().asScala)
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    if (userProps.contains(GraftCatalog.PartitionSpecProp))
+      bad(s"declare partitioning via partition-spec, not the " +
+        s"${GraftCatalog.PartitionSpecProp} property")
+    val allProps = userProps ++ (if (specFields.isEmpty) Map.empty
+      else Map(GraftCatalog.PartitionSpecProp ->
+        GraftCatalog.partitionSpecJson(specFields)))
+    // transform/type legality refuses HERE (400), not at first commit
+    try GraftCatalog.validatedPartitionSpec(s"$ns.$name", allProps,
+      Some(schema)): Unit
+    catch { case e: Exception => bad(e.getMessage) }
+    cat.createTable(ns, name)
+    // empty v0 carrying the declared schema, then properties — same
+    // all-or-nothing contract as the SQL CREATE path
+    try {
+      cat.commitAppend(ns, name, cat.spark.createDataFrame(
+        cat.spark.sparkContext.emptyRDD[Row], schema), sourceRegion = "rest")
+      if (allProps.nonEmpty)
+        cat.commitProperties(ns, name, allProps): Unit
+    } catch { case e: Throwable =>
+      try cat.dropTable(ns, name) catch { case _: Exception => () }
+      throw e
+    }
+    reply(out, 200, loadTableResult(ns, name))
+  }
+
+  private def parseTransform(t: String, src: String): GraftCatalog.PartitionField = {
+    val Bucket = """bucket\[(\d+)\]""".r
+    val Trunc = """truncate\[(\d+)\]""".r
+    t match {
+      case "identity" => GraftCatalog.PartitionField("identity", src)
+      case "year" | "month" | "day" | "hour" =>
+        GraftCatalog.PartitionField(t, src)
+      case Bucket(n) => GraftCatalog.PartitionField("bucket", src, n.toInt)
+      case Trunc(w) => GraftCatalog.PartitionField("truncate", src, w.toInt)
+      case other => bad(s"unsupported partition transform '$other'")
+    }
+  }
+
+  // ---- commit (spec CommitTableRequest -> conditional graft commit) ----
+
+  private def commitTable(ns: String, t: String, body: String,
+                          out: OutputStream): Unit = {
+    if (!cat.tableExists(ns, t))
+      return reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
+    val req = parseJson(body)
+    // the export the requirements are judged against — refreshed to the
+    // CURRENT graft head (memo hit when unchanged); its seq anchors the
+    // conditional commit below, closing the check-then-commit window
+    val (loc, servedSeq) = servedExport(ns, t)
+    val meta = mapper.readTree(Files.readAllBytes(Paths.get(loc)))
+    val currentSnapId = Option(meta.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).filter(_ >= 0)
+
+    Option(req.get("requirements")).toSeq.flatMap(_.elements().asScala)
+      .foreach { r =>
+        r.get("type").asText() match {
+          case "assert-create" =>
+            conflict(s"table $ns.$t already exists")
+          case "assert-table-uuid" =>
+            val want = r.get("uuid").asText()
+            val have = meta.get("table-uuid").asText()
+            if (want != have)
+              conflict(s"table uuid changed: expected $want, found $have")
+          case "assert-ref-snapshot-id" =>
+            val ref = Option(r.get("ref")).map(_.asText()).getOrElse("main")
+            if (ref != "main")
+              bad(s"only the main branch is served over REST, got ref '$ref'")
+            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong())
+            if (want != currentSnapId)
+              conflict(s"branch main: expected snapshot " +
+                s"${want.getOrElse("<absent>")}, found " +
+                s"${currentSnapId.getOrElse("<absent>")}")
+          case other => bad(s"unsupported requirement type '$other'")
+        }
+      }
+
+    var setProps = Map.empty[String, String]
+    var unsetProps = Seq.empty[String]
+    var addSnapshots = Seq.empty[JsonNode]
+    var setRefs = Seq.empty[JsonNode]
+    Option(req.get("updates")).toSeq.flatMap(_.elements().asScala).foreach { u =>
+      u.get("action").asText() match {
+        case "add-snapshot" => addSnapshots :+= u.get("snapshot")
+        case "set-snapshot-ref" => setRefs :+= u
+        case "set-properties" =>
+          setProps ++= u.get("updates").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText())
+        case "remove-properties" =>
+          unsetProps ++= u.get("removals").elements().asScala.map(_.asText())
+        case other => bad(s"unsupported update action '$other' — this shim " +
+          "commits appends (add-snapshot + set-snapshot-ref) and table " +
+          "properties; schema/spec evolution goes through graft ALTER")
+      }
+    }
+    if (addSnapshots.size > 1) bad("at most one add-snapshot per commit")
+    setRefs.foreach { sr =>
+      val refName = Option(sr.get("ref-name")).map(_.asText()).getOrElse("main")
+      if (refName != "main") bad(s"only the main branch accepts commits, " +
+        s"got ref '$refName'")
+      val sid = sr.get("snapshot-id").asLong()
+      if (addSnapshots.isEmpty)
+        bad("set-snapshot-ref without add-snapshot (rollback over REST) " +
+          "is not supported — use graft rollbackTo")
+      val added = addSnapshots.head.get("snapshot-id").asLong()
+      if (sid != added)
+        bad(s"set-snapshot-ref names snapshot $sid but the commit adds $added")
+    }
+    if (addSnapshots.nonEmpty && (setProps.nonEmpty || unsetProps.nonEmpty))
+      bad("mixed snapshot + property commits are not supported — " +
+        "commit them separately")
+    if (addSnapshots.isEmpty && setProps.isEmpty && unsetProps.isEmpty)
+      bad("commit carries no supported updates")
+
+    addSnapshots.headOption match {
+      case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq)
+      case None =>
+        try cat.commitProperties(ns, t, setProps, unsetProps): Unit
+        catch { case e: IllegalArgumentException => bad(e.getMessage) }
+    }
+    reply(out, 200, loadTableResult(ns, t))
+  }
+
+  /** Walk the client's snapshot (manifest-list avro -> NEW manifest
+    * avros -> ADDED parquet), copy the files into the warehouse,
+    * footer-validate, and land them as one conditional graft commit. */
+  private def commitSnapshot(ns: String, t: String, snap: JsonNode,
+                             servedMeta: JsonNode, servedSeq: Long): Unit = {
+    val snapId = snap.get("snapshot-id").asLong()
+    val listUri = Option(snap.get("manifest-list")).map(_.asText())
+      .getOrElse(bad("add-snapshot.snapshot.manifest-list is required"))
+    // manifests already serving the CURRENT snapshot are the export's
+    // own — only manifests beyond that set carry this commit's files
+    val priorManifests: Set[String] =
+      Option(servedMeta.get("current-snapshot-id")).map(_.asLong(-1L))
+        .filter(_ >= 0).flatMap { cur =>
+          Option(servedMeta.get("snapshots")).toSeq
+            .flatMap(_.elements().asScala)
+            .find(_.get("snapshot-id").asLong() == cur)
+            .map(_.get("manifest-list").asText())
+        }.toSeq.flatMap(ml => readAvroAt(ml)
+          .map(_.get("manifest_path").toString)).toSet
+    val clientList = readAvroAt(listUri)
+    val newManifests = clientList
+      .filterNot(m => priorManifests.contains(m.get("manifest_path").toString))
+    newManifests.foreach { m =>
+      if (IcebergExport.getOpt(m, "content") != null &&
+          m.get("content").asInstanceOf[Number].intValue() != 0)
+        bad("delete manifests cannot commit over REST (append-only " +
+          "surface) — row-level changes go through graft SQL")
+    }
+    val dataFiles: Seq[(String, Long)] = newManifests.flatMap { m =>
+      readAvroAt(m.get("manifest_path").toString).map { e =>
+        val status = e.get("status").asInstanceOf[Number].intValue()
+        if (status != 1)
+          bad(s"manifest entry status $status in a new manifest — only " +
+            "ADDED (1) entries commit over REST")
+        val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        if (df.get("content").asInstanceOf[Number].intValue() != 0)
+          bad("delete files cannot commit over REST")
+        val fmt = df.get("file_format").toString
+        if (!fmt.equalsIgnoreCase("parquet"))
+          bad(s"file format $fmt is not supported (parquet only)")
+        (df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Number].longValue())
+      }
+    }
+    if (dataFiles.isEmpty)
+      bad(s"snapshot $snapId adds no new data files")
+
+    // copy into the warehouse under one commit-scoped staging dir; the
+    // footer probe refuses files that do not carry the table's columns
+    // (they would silently read as null) BEFORE anything commits
+    val schema = cat.tableSchema(ns, t).getOrElse(
+      bad(s"$ns.$t has no committed schema to validate against"))
+    val stageId = java.util.UUID.randomUUID().toString.take(8)
+    val tableRoot = Paths.get(cat.warehouse, ns, t)
+    val stageDir = tableRoot.resolve("data").resolve(s"rest-$stageId")
+    Files.createDirectories(stageDir)
+    def cleanup(): Unit = deleteTree(stageDir)
+    try {
+      val rels = dataFiles.zipWithIndex.map { case ((uri, _), i) =>
+        val src = pathOf(uri)
+        if (!Files.isRegularFile(src))
+          bad(s"data file $uri does not exist or is not readable")
+        val cols = IcebergExport.parquetColumnNames(src.toString,
+          cat.spark.sparkContext.hadoopConfiguration).toSet
+        val missing = schema.fieldNames.filterNot(cols.contains)
+        if (missing.nonEmpty)
+          bad(s"data file $uri omits table column(s) " +
+            s"${missing.mkString(", ")} — they would silently read as null")
+        val dest = stageDir.resolve(s"$i-${src.getFileName}")
+        Files.copy(src, dest)
+        s"data/rest-$stageId/$i-${src.getFileName}"
+      }
+      try cat.commitLandedFiles(ns, t, rels, sourceRegion = "rest",
+        expectedParentSeq = Some(servedSeq),
+        commitId = Some(s"rest-snap-$snapId")): Unit
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          cleanup(); conflict(e.getMessage)
+        case e: GraftCatalog.DuplicateCommitException =>
+          cleanup(); conflict(s"snapshot $snapId already committed: ${e.getMessage}")
+        case e: IllegalArgumentException => cleanup(); bad(e.getMessage)
+      }
+    } catch { case e: Throwable =>
+      // a refusal above the commit call (footer probe, missing file)
+      // must not leak half a staging dir
+      if (Files.isDirectory(stageDir) &&
+          !cat.latest(ns, t).exists(_.commitId == s"rest-snap-$snapId"))
+        cleanup()
+      throw e
+    }
+  }
+
+  private def parseJson(body: String): JsonNode =
+    try mapper.readTree(body)
+    catch { case e: Exception => bad(s"invalid JSON body: ${e.getMessage}") }
+
+  private def pathOf(uri: String): Path =
+    if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri))
+    else Paths.get(uri)
+
+  private def readAvroAt(uri: String): Seq[org.apache.avro.generic.GenericRecord] = {
+    val p = pathOf(uri)
+    if (!Files.isRegularFile(p)) bad(s"avro file $uri does not exist")
+    try IcebergExport.readAvro(p)
+    catch { case e: Exception => bad(s"cannot read avro $uri: ${e.getMessage}") }
+  }
 
   // single-level namespaces = the warehouse's non-plumbing directories
   // (same contract as the catalog plugin's listNamespaces)
@@ -146,17 +473,19 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     }
   }
 
-  /** Export-on-demand, memoized by head commit id (one export per
-    * graft version actually read, never per request). Retention = a
-    * SERVING WINDOW of two trees: the new export plus the immediately
-    * superseded one (a client pinned to the last served location
-    * finishes its read); anything older is deleted — without this,
-    * every served commit leaks a full table copy on disk. */
-  private def loadTableResult(ns: String, t: String): String = {
+  /** Export-on-demand, memoized by head commit id (one export per graft
+    * version actually read, never per request) — returns the metadata
+    * location AND the graft version it serves (the commit protocol's
+    * CAS anchor). Retention = a SERVING WINDOW of two trees: the new
+    * export plus the immediately superseded one (a client pinned to the
+    * last served location finishes its read); anything older is deleted
+    * — without this, every served commit leaks a full table copy on
+    * disk. */
+  private def servedExport(ns: String, t: String): (String, Long) = {
     val headSnap = cat.latest(ns, t)
     val head = headSnap.map(_.commitId).getOrElse("v0-empty")
     val memo = exported.computeIfAbsent((ns, t), _ => new Memo)
-    val loc = memo.synchronized {
+    memo.synchronized {
       if (memo.head != head) {
         val dest = Paths.get(exportRoot, ns, t,
           java.util.UUID.randomUUID().toString.take(8))
@@ -176,9 +505,14 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         memo.prev = Option(memo.loc)
         memo.loc = newLoc
         memo.head = head
+        memo.seq = headSnap.map(_.seq).getOrElse(-1L)
       }
-      memo.loc
+      (memo.loc, memo.seq)
     }
+  }
+
+  private def loadTableResult(ns: String, t: String): String = {
+    val (loc, _) = servedExport(ns, t)
     val metadataJson = new String(Files.readAllBytes(Paths.get(loc)), UTF_8)
     val o = mapper.createObjectNode()
     o.put("metadata-location", Paths.get(loc).toUri.toString): Unit
@@ -237,7 +571,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
   private def reply(out: OutputStream, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
     val status = code match {
-      case 200 => "200 OK"; case 404 => "404 Not Found"
+      case 200 => "200 OK"; case 400 => "400 Bad Request"
+      case 404 => "404 Not Found"; case 409 => "409 Conflict"
       case 500 => "500 Internal Server Error"; case other => s"$other Error"
     }
     out.write((s"HTTP/1.1 $status\r\n" +

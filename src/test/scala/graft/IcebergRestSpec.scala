@@ -143,4 +143,119 @@ class IcebergRestSpec extends SparkSpec {
         cur.get("metadata-location").asText()))))
     } finally server.stop()
   }
+
+  test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
+       "table, appends its own parquet via add-snapshot (real Avro " +
+       "manifests, real HTTP), the files land as a graft version with " +
+       "native stats/blooms, a second append chains, a STALE " +
+       "assert-ref-snapshot-id gets the spec's 409, and property " +
+       "commits round-trip") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-restc-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("seedns", "seed") // materializes the namespace dir
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-restc-exp").toString)
+    try {
+      val p = server.boundPort
+
+      // CREATE with schema + bucket spec + a user property
+      val (cc, cb) = RestClient.createViaRest(p, "seedns", "ct",
+        Seq("id" -> "long", "v" -> "double"),
+        spec = Seq("id" -> "bucket[4]"),
+        properties = Map("owner.team" -> "interop"))
+      assert(cc === 200, cb)
+      val created = RestClient.json(cb).get("metadata")
+      assert(created.get("default-spec-id").asInt() === 1,
+        "the created table's partition spec must serve back")
+      assert(cat.tableExists("seedns", "ct"))
+      assert(cat.tableSchema("seedns", "ct").get.fieldNames.toSeq ===
+        Seq("id", "v"))
+      assert(cat.tableProperties("seedns", "ct")("owner.team") === "interop")
+      // duplicate create → 409 AlreadyExists
+      assert(RestClient.createViaRest(p, "seedns", "ct",
+        Seq("id" -> "long"))._1 === 409)
+      // missing namespace → 404
+      assert(RestClient.createViaRest(p, "nope", "x",
+        Seq("id" -> "long"))._1 === 404)
+
+      // foreign append #1
+      val batch1 = (0 until 500).map(i => (i.toLong, i / 10.0)).toDF("id", "v")
+      val (a1, b1) = RestClient.appendViaRest(spark, p, "seedns", "ct",
+        batch1, snapshotId = 777001L,
+        workDir = Files.createTempDirectory("restc-w1").toString)
+      assert(a1 === 200, b1)
+      assert(cat.read("seedns", "ct").count() === 500L)
+      assert(cat.read("seedns", "ct").agg(sum("id")).head().getLong(0)
+        === (0 until 500).map(_.toLong).sum)
+      // the landed files carry native stats + the bucket bloom: a point
+      // lookup prunes (bucket(4, id) auto-indexes id)
+      val total = cat.read("seedns", "ct").inputFiles.length
+      val hit = cat.readWhereEquals("seedns", "ct", "id", "137")
+      assert(hit.count() === 1L)
+      if (total > 1)
+        assert(hit.inputFiles.length < total,
+          "REST-landed files must prune like native commits")
+      // the commit response already carries the NEW snapshot
+      assert(RestClient.json(b1).get("metadata")
+        .get("current-snapshot-id").asLong(-1L) >= 0)
+
+      // append #2 chains on the refreshed state
+      val batch2 = (500 until 600).map(i => (i.toLong, i / 10.0)).toDF("id", "v")
+      val (a2, _) = RestClient.appendViaRest(spark, p, "seedns", "ct",
+        batch2, snapshotId = 777002L,
+        workDir = Files.createTempDirectory("restc-w2").toString)
+      assert(a2 === 200)
+      assert(cat.read("seedns", "ct").count() === 600L)
+
+      // STALE assertion: replay append #2's view of the world (its
+      // asserted snapshot is no longer current) → 409, and the table
+      // is untouched
+      val vBefore = cat.latest("seedns", "ct").get.seq
+      val work3 = Files.createTempDirectory("restc-w3").toString
+      // hand-build the stale request: assert the snapshot BEFORE the
+      // last append (read from append #1's response)
+      val staleId = RestClient.json(b1).get("metadata")
+        .get("current-snapshot-id").asLong()
+      val (g3, gb3) = RestClient.get(p, "/v1/namespaces/seedns/tables/ct")
+      assert(g3 === 200, gb3)
+      val conflictBody =
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":$staleId}],"updates":[]}"""
+          .stripMargin.replace("\n", "")
+      val (c409, b409) = RestClient.post(p,
+        "/v1/namespaces/seedns/tables/ct", conflictBody)
+      assert(c409 === 409, b409)
+      assert(RestClient.json(b409).get("error").get("type").asText()
+        === "CommitFailedException")
+      assert(cat.latest("seedns", "ct").get.seq === vBefore)
+      assert(Files.isDirectory(Paths.get(work3)) || true) // workdir unused
+
+      // property commit round-trips (and an invalid one refuses with 400)
+      val (pc, pb) = RestClient.post(p, "/v1/namespaces/seedns/tables/ct",
+        """{"requirements":[],"updates":[
+          {"action":"set-properties","updates":{"write.note":"via-rest"}}]}""")
+      assert(pc === 200, pb)
+      assert(cat.tableProperties("seedns", "ct")("write.note") === "via-rest")
+      val (bc2, _) = RestClient.post(p, "/v1/namespaces/seedns/tables/ct",
+        """{"requirements":[],"updates":[
+          {"action":"set-location","location":"/elsewhere"}]}""")
+      assert(bc2 === 400, "unsupported update kinds must refuse loudly")
+
+      // a data file omitting a table column refuses with 400 (it would
+      // silently read as null) and nothing lands
+      val narrow = (0 until 10).map(i => Tuple1(i.toLong)).toDF("id")
+      val (nc, nb) = RestClient.appendViaRest(spark, p, "seedns", "ct",
+        narrow, snapshotId = 777003L,
+        workDir = Files.createTempDirectory("restc-w4").toString)
+      assert(nc === 400, nb)
+      assert(nb.contains("omits table column"), nb)
+      assert(cat.read("seedns", "ct").count() === 600L)
+
+      // SQL reads the REST-committed table through the graft catalog
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+      assert(spark.sql(s"SELECT count(*) FROM $c.seedns.ct WHERE id < 100")
+        .head().getLong(0) === 100L)
+    } finally server.stop()
+  }
 }

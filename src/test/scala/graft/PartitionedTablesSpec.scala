@@ -501,6 +501,79 @@ class PartitionedTablesSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $c.ns.ev").head().getLong(0) === 401L)
   }
 
+  test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD — Iceberg's native " +
+       "evolution DDL: spec changes publish as validated property " +
+       "commits, REPLACE is atomic, refusals are loud, and writes after " +
+       "each change cluster by the then-current spec") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(s"""CREATE TABLE $c.ns.pd (id BIGINT, s STRING, d DATE)
+                  PARTITIONED BY (days(d))""")
+    def spec(): Seq[GraftCatalog.PartitionField] =
+      GraftCatalog.validatedPartitionSpec("ns.pd",
+        cat.tableProperties("ns", "pd"), cat.tableSchema("ns", "pd"))
+
+    spark.sql(s"ALTER TABLE $c.ns.pd ADD PARTITION FIELD bucket(4, id)")
+    assert(spec() === Seq(GraftCatalog.PartitionField("day", "d"),
+      GraftCatalog.PartitionField("bucket", "id", 4)))
+    // writes under the evolved spec record the bucket derived stat
+    val src = (0 until 200).map { i =>
+      (i.toLong, s"s$i", java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 8, 1 + i % 3)))
+    }.toDF("id", "s", "d")
+    src.createOrReplaceTempView("pd_src")
+    spark.sql(s"INSERT INTO $c.ns.pd SELECT * FROM pd_src").collect(): Unit
+    val head = cat.latest("ns", "pd").get
+    val entries = cat.prunedDataEntries("ns", "pd", head, Array.empty).toSeq
+      .filterNot(_.stats.get("__rows").exists(_._1 == "0"))
+    assert(entries.nonEmpty &&
+      entries.forall(_.stats.contains(GraftCatalog.bucketStatKey(4, "id"))))
+
+    // DROP by exact transform; bare column spells identity only
+    spark.sql(s"ALTER TABLE $c.ns.pd DROP PARTITION FIELD days(d)")
+    assert(spec() === Seq(GraftCatalog.PartitionField("bucket", "id", 4)))
+    // REPLACE publishes drop+add as ONE commit (no fieldless window)
+    val vBefore = cat.latest("ns", "pd").get.seq
+    spark.sql(s"ALTER TABLE $c.ns.pd REPLACE PARTITION FIELD " +
+      "bucket(4, id) WITH truncate(100, id)")
+    assert(spec() === Seq(GraftCatalog.PartitionField("truncate", "id", 100)))
+    assert(cat.latest("ns", "pd").get.seq === vBefore + 1,
+      "REPLACE must publish exactly one version")
+    // time travel reads each version's own spec
+    assert(GraftCatalog.validatedPartitionSpec("ns.pd",
+      cat.snapshots("ns", "pd").find(_.seq == vBefore).get.properties,
+      cat.tableSchema("ns", "pd"))
+      === Seq(GraftCatalog.PartitionField("bucket", "id", 4)))
+
+    // refusals: unmatched drop, duplicate source, unknown column, bad
+    // type — all loud, none publish
+    val v = cat.latest("ns", "pd").get.seq
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.pd DROP PARTITION FIELD bucket(8, id)"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.pd ADD PARTITION FIELD days(id)")) // wrong type
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.pd ADD PARTITION FIELD bucket(4, nope)"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.pd ADD PARTITION FIELD truncate(10, id)")) // dup source
+    assert(cat.latest("ns", "pd").get.seq === v, "refusals must not publish")
+
+    // identity via bare column; drop down to unpartitioned removes the
+    // property entirely
+    spark.sql(s"ALTER TABLE $c.ns.pd ADD PARTITION FIELD s")
+    assert(spec().contains(GraftCatalog.PartitionField("identity", "s")))
+    spark.sql(s"ALTER TABLE $c.ns.pd DROP PARTITION FIELD s")
+    spark.sql(s"ALTER TABLE $c.ns.pd DROP PARTITION FIELD truncate(100, id)")
+    assert(!cat.tableProperties("ns", "pd")
+      .contains(GraftCatalog.PartitionSpecProp))
+    // a non-graft target keeps the stock parse error (no silent no-op)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE spark_catalog.default.nope ADD PARTITION FIELD bucket(4, x)"))
+    // data intact through the whole evolution
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $c.ns.pd").head()
+      === org.apache.spark.sql.Row(200L, (0 until 200).map(_.toLong).sum))
+  }
+
   test("the streaming cdc sink is a property-honoring writer: a " +
        "partitioned replica keeps aligned files, derived bucket stats " +
        "and blooms batch over batch (layout is table state, not a " +

@@ -108,6 +108,56 @@ class ViewsSpec extends SparkSpec {
     assert(!new GraftCatalog(spark, w).viewExists("ns", "evens"))
   }
 
+  test("view depth: ALTER VIEW ... AS redefines (new version, history " +
+       "kept), SHOW CREATE TABLE emits re-runnable CREATE VIEW DDL, and " +
+       "a view-over-view chain re-resolves through an ALTERed base") {
+    val w = freshWarehouse()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, w)
+    seed(c)
+    spark.sql(s"CREATE VIEW $c.ns.base (key, val) " +
+      s"COMMENT 'layer 1' TBLPROPERTIES ('tier'='bronze') AS " +
+      s"SELECT id, v FROM $c.ns.t WHERE id > 1")
+    spark.sql(s"CREATE VIEW $c.ns.top AS " +
+      s"SELECT sum(val) AS total, count(*) AS cnt FROM $c.ns.base")
+    assert(spark.sql(s"SELECT total, cnt FROM $c.ns.top").head()
+      === org.apache.spark.sql.Row(9.0, 3L))
+
+    // ALTER VIEW ... AS replaces the query (a new version; properties
+    // carry over) and the view STACK sees the change on the next read
+    spark.sql(s"ALTER VIEW $c.ns.base AS SELECT id AS key, v AS val " +
+      s"FROM $c.ns.t WHERE id > 3")
+    assert(spark.sql(s"SELECT total, cnt FROM $c.ns.top").head()
+      === org.apache.spark.sql.Row(4.0, 1L))
+    val cat = new GraftCatalog(spark, w)
+    assert(cat.viewHistory("ns", "base").size === 2)
+    assert(spark.sql(s"SHOW TBLPROPERTIES $c.ns.base").collect()
+      .exists(r => r.getString(0) == "tier" && r.getString(1) == "bronze"),
+      "ALTER ... AS must carry existing properties over")
+
+    // an ALTERed base TABLE flows through the whole stack (views
+    // re-resolve at read time — Spark's schema-evolution binding)
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (10, 10.0)")
+    assert(spark.sql(s"SELECT total, cnt FROM $c.ns.top").head()
+      === org.apache.spark.sql.Row(14.0, 2L))
+
+    // SHOW CREATE TABLE on the view: DDL round-trips — drop the view,
+    // re-run the emitted statement, the rebuilt view answers identically
+    val ddl = spark.sql(s"SHOW CREATE TABLE $c.ns.base").head().getString(0)
+    assert(ddl.contains("CREATE VIEW") && ddl.contains("TBLPROPERTIES"),
+      ddl)
+    spark.sql(s"DROP VIEW $c.ns.base")
+    spark.sql(ddl)
+    assert(spark.sql(s"SELECT total, cnt FROM $c.ns.top").head()
+      === org.apache.spark.sql.Row(14.0, 2L))
+    assert(spark.sql(s"SHOW TBLPROPERTIES $c.ns.base").collect()
+      .exists(r => r.getString(0) == "tier" && r.getString(1) == "bronze"),
+      "the emitted DDL must carry user properties")
+    // SHOW CREATE TABLE on a graft TABLE keeps its stock path (no
+    // view reroute)
+    assert(!spark.sql(s"SHOW CREATE TABLE $c.ns.t").head().getString(0)
+      .contains("CREATE VIEW"))
+  }
+
   test("view reads compose with catalog features through the underlying " +
        "table: new INSERTs are visible (views are definitions, not " +
        "materializations), and pruning still reaches the scan") {

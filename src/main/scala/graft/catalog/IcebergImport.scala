@@ -291,11 +291,12 @@ object IcebergImport {
     // over, and disambiguates, the schema-derived union here)
 
     // per-snapshot live entries via the spec artifacts (data + equality
-    // deletes; position deletes refuse). Each data manifest's
-    // partition-spec-id and first data file are captured for the
-    // identity-omission guard below.
-    val identityProbes =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    // deletes; position deletes refuse). Each data file's manifest,
+    // partition-spec-id and PARTITION TUPLE are captured for the
+    // identity-omission reconstruction below (the tuple is what fills
+    // an omitted identity source column — spec §Column Projection).
+    val dataFilePartitions = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Int, Option[GenericRecord])]
     val liveSets: Seq[Seq[Entry0]] = lineage.map { snap =>
       val listPath = Paths.get(java.net.URI.create(snap.get("manifest-list").asText()))
       IcebergExport.readAvro(listPath).flatMap { mf =>
@@ -309,10 +310,15 @@ object IcebergImport {
             Paths.get(java.net.URI.create(mPath)))
           .filter(e => anyInt(IcebergExport.getOpt(e, "status")) != 2) // DELETED excluded
           .map { e =>
-            if (!identityProbes.contains(mPath) && mContent == 0) {
+            if (mContent == 0) {
               val df0 = e.get("data_file").asInstanceOf[GenericRecord]
-              if (anyInt(IcebergExport.getOpt(df0, "content")) == 0)
-                identityProbes(mPath) = (mSpecId, df0.get("file_path").toString)
+              if (anyInt(IcebergExport.getOpt(df0, "content")) == 0) {
+                val uri0 = df0.get("file_path").toString
+                if (!dataFilePartitions.contains(uri0))
+                  dataFilePartitions(uri0) = (mPath, mSpecId,
+                    Option(IcebergExport.getOpt(df0, "partition"))
+                      .collect { case r: GenericRecord => r })
+              }
             }
             e
           }
@@ -378,48 +384,76 @@ object IcebergImport {
       })
 
     // ---- partition specs ----
-    // transform/source-id fields per declared spec (the flat JSON form)
-    val specFieldsById: Map[Int, Seq[(String, Int)]] =
+    // (transform, source-id, field name) per declared spec (flat JSON);
+    // the NAME is how a manifest's partition tuple is addressed
+    val specFieldsById: Map[Int, Seq[(String, Int, String)]] =
       Option(root.get("partition-specs")).toSeq
         .flatMap(_.elements().asScala).map { sp =>
           sp.get("spec-id").asInt() ->
             sp.get("fields").elements().asScala.map(f =>
-              f.get("transform").asText() -> f.get("source-id").asInt()).toSeq
+              (f.get("transform").asText(), f.get("source-id").asInt(),
+                f.get("name").asText())).toSeq
         }.toMap
 
-    // IDENTITY-OMISSION GUARD: the spec allows writers to OMIT identity
-    // source columns from data files — readers must reconstitute the
-    // value from the manifest's partition tuple. Graft plain-copies
-    // files and resolves columns by footer name, so such a file would
-    // read the column as silent NULLs. Probe ONE data-file footer per
-    // manifest whose spec has identity fields (driver-cheap — the same
-    // footer cache the equality-delete check uses): if the identity
-    // source resolves to no footer column, refuse loudly with guidance
-    // instead of importing wrong data. (A file that merely PREDATES the
-    // column legitimately null-fills — but those are written under a
-    // pre-identity spec; a file committed UNDER an identity spec
-    // without its source column is the omission case.)
-    identityProbes.foreach { case (mPath, (specId, uri)) =>
+    // IDENTITY-OMISSION RECONSTRUCTION: the spec allows writers to OMIT
+    // identity source columns from data files — the REQUIRED reader
+    // behavior (spec §Column Projection) is to produce the value from
+    // the manifest's partition tuple. Graft plain-copies files and
+    // resolves columns by footer name, so an omitted column would read
+    // as silent NULLs; instead, such a file is rewritten ONCE at import
+    // with the constant materialized from its tuple. Refusal remains
+    // only for the genuinely unreconstructible shapes: no tuple
+    // recorded, a non-literal-able source type, or rename eras (whose
+    // per-era rewrite identity the fill would have to compose with).
+    // Footer probes are per-FILE but driver-cheap (the same footer
+    // cache the equality-delete check uses; metadata-only reads).
+    val currentTypeOf: Map[Int, String] = typeMapOf(schemaNodes(currentSchemaId))
+    val currentNameOf: Map[Int, String] = nameMapOf(schemaNodes(currentSchemaId))
+    // uri -> (fill column name, type text, avro partition value)
+    val idFillOf = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(String, String, AnyRef)]]
+    dataFilePartitions.foreach { case (uri, (mPath, specId, partRec)) =>
       val identitySources = specFieldsById.getOrElse(specId, Seq.empty)
-        .collect { case ("identity", srcId) => srcId }
-      identitySources.foreach { srcId =>
+        .collect { case ("identity", srcId, fieldName) => (srcId, fieldName) }
+      val missing = identitySources.filterNot { case (srcId, _) =>
         // mirrors fieldIdOf's PER-NAME fallback: a name absent from the
         // mapping resolves via the schema index — a partial mapping
         // (legacy aliases only) must not falsely refuse a table whose
         // files DO carry the column under its current name
-        val present = footerCols(uri).exists(c =>
+        footerCols(uri).exists(c =>
           nameMapping.get(c).contains(srcId) ||
             (!nameMapping.contains(c) && !ambiguousNames(c) &&
               idOfName.get(c).contains(srcId)))
-        require(present,
+      }
+      if (missing.nonEmpty) {
+        def refuse(why: String): Nothing = throw new IllegalArgumentException(
           s"IcebergImport: data file $uri (manifest $mPath, partition spec " +
-            s"$specId) omits its identity partition source column (field id " +
-            s"$srcId) — the writer relied on readers filling it from " +
-            "partition metadata, which a plain-copy import cannot do; " +
-            "rewrite the table with the column materialized in the data " +
+            s"$specId) omits its identity partition source column and $why " +
+            "— rewrite the table with the column materialized in the data " +
             "files (e.g. Iceberg rewrite_data_files) first")
+        if (multiEra) refuse("the table also carries column-rename eras " +
+          "(the fill cannot compose with per-era rewrite identity)")
+        val part = partRec.getOrElse(
+          refuse("its manifest records no partition tuple to fill it from"))
+        val fills = missing.map { case (srcId, fieldName) =>
+          if (part.getSchema.getField(fieldName) == null)
+            refuse(s"its partition tuple carries no field '$fieldName'")
+          val tpe = currentTypeOf.getOrElse(srcId,
+            refuse(s"field id $srcId is not in the current schema"))
+          if (!Seq("int", "long", "string", "date", "timestamp",
+              "timestamptz").contains(tpe))
+            refuse(s"source type '$tpe' is not reconstructible")
+          val name = physOfId.getOrElse(srcId, currentNameOf.getOrElse(srcId,
+            refuse(s"field id $srcId has no current name")))
+          (name, tpe, part.get(fieldName))
+        }
+        idFillOf(uri) = fills
       }
     }
+    val idFillRelOf: Map[String, String] = idFillOf.keys.map { uri =>
+      val base = Paths.get(java.net.URI.create(uri)).getFileName.toString
+      uri -> s"data/imported-idf-${md5_8(uri)}-$base"
+    }.toMap
 
     // one equality-column FIELD-ID set per table (commitDelete's native
     // constraint — morScan anti-joins each epoch in a single join), and
@@ -452,6 +486,23 @@ object IcebergImport {
         "orphan the (file, ordinal) identities — compact the deletes in the " +
         "source engine first (tables with schema.name-mapping.default " +
         "import without rewrites and are exempt)")
+    // same (file, ordinal)-identity rule for identity-fill rewrites: a
+    // pos-deleted file that ALSO omits its identity source would need
+    // its fill rewrite to provably preserve row order — refuse rather
+    // than rely on it
+    if (posDeleteUris.nonEmpty && idFillOf.nonEmpty) {
+      val targets = posDeleteUris.flatMap { uri =>
+        cat.spark.read.parquet(Paths.get(java.net.URI.create(uri)).toString)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0))
+      }.toSet
+      val clash = idFillOf.keys.filter(targets)
+      require(clash.isEmpty,
+        s"IcebergImport: position-delete files reference data file(s) " +
+          s"${clash.mkString(", ")} whose omitted identity column requires " +
+          "a rewrite — the (file, ordinal) identities would not survive; " +
+          "compact the deletes in the source engine first")
+    }
 
     // era-aware rel resolution: within one era a file is a plain copy;
     // a file read under an era that names its columns differently is
@@ -465,7 +516,10 @@ object IcebergImport {
         s"data/imported-${md5_8(uri)}-$base"
       })
     def relFor(uri: String, era: Int): String =
-      if (!multiEra) baseRel(uri)
+      // identity-fill rewrites supersede the plain copy (never coexist
+      // with rename eras — the planner refuses that composition)
+      if (idFillRelOf.contains(uri)) idFillRelOf(uri)
+      else if (!multiEra) baseRel(uri)
       else {
         val cols = footerCols(uri)
         val target = cols.map(c => eraMaps(era).getOrElse(fieldIdOf(uri, c), c))
@@ -565,6 +619,21 @@ object IcebergImport {
           df.withColumnsRenamed(renameMap), tableRoot.resolve(rel)): Unit
       }
 
+      // identity-fill rewrites: materialize each omitted identity source
+      // as the typed CONSTANT from the file's manifest partition tuple —
+      // one small job per file, 1:1 with its source (same shape as the
+      // rename rewrites; omissions are rare and a production migration
+      // compacts right after import anyway)
+      idFillOf.foreach { case (uri, fills) =>
+        val src = Paths.get(java.net.URI.create(uri)).toString
+        val filled = fills.foldLeft(cat.spark.read.parquet(src)) {
+          case (df, (colName, tpe, v)) =>
+            df.withColumn(colName, identityLiteral(tpe, v))
+        }
+        IcebergExport.writeSingleParquet(
+          filled, tableRoot.resolve(idFillRelOf(uri))): Unit
+      }
+
       // position-delete rewrites: map each foreign data-file URI in the
       // delete parquet to its imported graft-relative path (driver-side
       // — delete files are the small side by contract), sorted for
@@ -632,7 +701,7 @@ object IcebergImport {
         val T = """truncate\[(\d+)\]""".r
         val fields: Option[Seq[GraftCatalog.PartitionField]] =
           specFieldsById.get(defaultSpecId).filter(_.nonEmpty).flatMap { fs =>
-            val mapped = fs.map { case (tr, srcId) =>
+            val mapped = fs.map { case (tr, srcId, _) =>
               curNames.get(srcId).flatMap { src =>
                 tr match {
                   case "identity" => Some(GraftCatalog.PartitionField("identity", src))
@@ -665,7 +734,7 @@ object IcebergImport {
         steps.last.entries.filterNot(_.isDelete).map(_.rows).sum,
         usedSchemaIds.size,
         allEntries.filter(_.isDelete).map(_.uri).distinct.size,
-        rewriteOf.size)
+        rewriteOf.size + idFillOf.size)
     } catch { case e: Throwable =>
       // failure atomicity: never leave a half-created table behind — the
       // retry must pass the tableExists precondition
@@ -673,6 +742,35 @@ object IcebergImport {
         e.addSuppressed(cleanup)
       }
       throw e
+    }
+  }
+
+  /** Typed Spark literal for one identity partition value from a
+    * manifest tuple (spec avro forms: int/long/string(Utf8)/date(epoch
+    * days as int)/timestamp(epoch micros as long)); null stays a typed
+    * null (a file in the null partition). */
+  private def identityLiteral(tpe: String, v: AnyRef)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    val dt: DataType = tpe match {
+      case "int" => IntegerType
+      case "long" => LongType
+      case "string" => StringType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case other => throw new IllegalArgumentException(
+        s"IcebergImport: identity fill on type '$other' is not supported")
+    }
+    if (v == null) return lit(null).cast(dt)
+    dt match {
+      case IntegerType => lit(anyInt(v))
+      case LongType => lit(anyLong(v))
+      case StringType => lit(v.toString)
+      case DateType => lit(java.time.LocalDate.ofEpochDay(anyInt(v).toLong))
+      case TimestampType => lit(java.time.Instant.EPOCH.plus(
+        anyLong(v), java.time.temporal.ChronoUnit.MICROS))
+      case _ => throw new IllegalStateException("unreachable")
     }
   }
 

@@ -144,6 +144,62 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("the REST shim serves MoR + partitioned tables: a table with live " +
+       "equality AND position deletes under a partitioned layout loads " +
+       "over HTTP and the artifacts-only reader reproduces the exact " +
+       "MoR-resolved rows (delete manifests survive to the REST surface)") {
+    val wh = Files.createTempDirectory("graft-rest-mor-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"""CREATE TABLE $c.ns.mor (id BIGINT, region STRING, v DOUBLE)
+                  PARTITIONED BY (region, bucket(2, id))""")
+    val src = (0 until 300).map(i =>
+      (i.toLong, Seq("e", "a")(i % 2), i / 10.0)).toDF("id", "region", "v")
+    src.createOrReplaceTempView("mor_src")
+    spark.sql(s"INSERT INTO $c.ns.mor SELECT * FROM mor_src").collect(): Unit
+    // live EQUALITY deletes (id % 7 == 0) ...
+    spark.sql(s"DELETE FROM $c.ns.mor WHERE id % 7 = 0")
+    // ... and live POSITION deletes (row-level MoR path)
+    cat.commitDeletePositions("ns", "mor",
+      cat.positionsWhere("ns", "mor", col("id") === 11L || col("id") === 13L))
+    val expected = cat.read("ns", "mor")
+    assert(expected.count() < 300L)
+
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-mor-exp").toString)
+    try {
+      val p = server.boundPort
+      val (code, body) = httpGet(p, "/v1/namespaces/ns/tables/mor")
+      assert(code === 200, body)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val load = mapper.readTree(body)
+      val meta = load.get("metadata")
+      assert(meta.get("default-spec-id").asInt() >= 1,
+        "the partitioned layout must survive to the REST surface")
+      // the served tree carries DELETE manifests on the current snapshot
+      val curId = meta.get("current-snapshot-id").asLong()
+      val snap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).get
+      val manifests = IcebergExport.readAvro(Paths.get(java.net.URI.create(
+        snap.get("manifest-list").asText())))
+      assert(manifests.exists(m =>
+        IcebergExport.getOpt(m, "content").asInstanceOf[Number].intValue() == 1),
+        "delete manifests must serve over REST")
+      // artifacts-only read (the foreign-engine path: metadata tree ->
+      // manifest avros -> parquet + delete files) == the MoR-resolved table
+      val dest = Paths.get(java.net.URI.create(
+        load.get("metadata-location").asText())).getParent.getParent.toString
+      val got = IcebergExport.readExported(spark, dest)
+      assert(got.count() === expected.count())
+      assert(got.agg(sum("id")).head().getLong(0) ===
+        expected.agg(sum("id")).head().getLong(0))
+      assert(got.filter(col("id") % 7 === 0).count() === 0L,
+        "equality deletes must apply through the served tree")
+      assert(got.filter(col("id").isin(11L, 13L)).count() === 0L,
+        "position deletes must apply through the served tree")
+    } finally server.stop()
+  }
+
   test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
        "table, appends its own parquet via add-snapshot (real Avro " +
        "manifests, real HTTP), the files land as a graft version with " +

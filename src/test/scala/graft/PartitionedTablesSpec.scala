@@ -658,6 +658,62 @@ class PartitionedTablesSpec extends SparkSpec {
       IcebergImport.importTable(bad, "imp", "io2", dest)
     }
     assert(e.getMessage.contains("identity partition source"))
+    assert(e.getMessage.contains("partition tuple"),
+      "the doctored spec's manifests carry an EMPTY tuple — the refusal " +
+        "must say reconstruction had nothing to fill from")
     assert(!bad.tableExists("imp", "io2"))
+  }
+
+  test("identity-omission RECONSTRUCTION: when the manifests DO record " +
+       "partition tuples, an omitted identity source column imports by " +
+       "rewriting each file once with the constant from its tuple — the " +
+       "spec's required reader behavior, not a refusal") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    // identity-partitioned table -> aligned files -> the export derives
+    // PROVABLE per-file tuples (round-11 machinery)
+    spark.sql(s"""CREATE TABLE $c.ns.idr (region STRING, id BIGINT, d DATE)
+                  PARTITIONED BY (region)""")
+    val src = (0 until 90).map { i =>
+      (Seq("emea", "apac", "amer")(i % 3), i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 7, 1 + i % 5)))
+    }.toDF("region", "id", "d")
+    src.createOrReplaceTempView("idr_src")
+    spark.sql(s"INSERT INTO $c.ns.idr SELECT * FROM idr_src").collect(): Unit
+    val expect = spark.sql(
+      s"SELECT region, count(*) AS cnt, sum(id) AS s FROM $c.ns.idr " +
+        "GROUP BY region ORDER BY region").collect().toSeq
+
+    val dest = Files.createTempDirectory("graft-idr-export").toString
+    IcebergExport.exportTable(cat, "ns", "idr", dest): Unit
+    // a spec-reliant foreign writer: strip the identity source column
+    // from EVERY data file (readers must fill it from the tuple)
+    val dataDir = java.nio.file.Paths.get(dest, "data")
+    val files = Files.list(dataDir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toList
+    assert(files.size >= 3, "fixture must have at least one file per region")
+    // the empty-v0 zero-row file rides a spec-0 (unpartitioned) manifest
+    // and never needs a fill — only row-carrying files count
+    val filled = files.count(p => spark.read.parquet(p.toString).count() > 0)
+    files.foreach { p =>
+      val stripped = spark.read.parquet(p.toString).drop("region")
+      val tmp = Files.createTempDirectory("idr-strip")
+      stripped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+
+    val imp = freshCatalog()
+    val report = IcebergImport.importTable(imp, "imp", "idr", dest)
+    assert(report.rewrittenFiles === filled,
+      s"every stripped row-carrying file must rewrite once, got " +
+        s"${report.rewrittenFiles} of $filled")
+    // the reconstructed column equals the original data exactly
+    val got = imp.read("imp", "idr")
+      .groupBy(col("region")).agg(count(lit(1)).as("cnt"), sum("id").as("s"))
+      .orderBy(col("region")).collect().toSeq
+    assert(got === expect, s"reconstructed values must match: $got vs $expect")
+    assert(imp.read("imp", "idr").filter(col("region").isNull).count() === 0L)
   }
 }

@@ -1531,7 +1531,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                     sourceRegion: String = "local", maxRetries: Int = 5,
                     expectedParentSeq: Option[Long] = None,
                     bloomCols: Seq[String] = Seq.empty,
-                    alignSpec: Boolean = false): Snapshot = {
+                    alignSpec: Boolean = false,
+                    propsSet: Map[String, String] = Map.empty): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     val parent0 = latest(ns, name)
     validatedSchemaJson(ns, name, parent0, df.schema, replacesAll = true)
@@ -1578,7 +1579,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           entries.size,
           entries.map(_._2).sum,
           Some(validatedSchemaJson(ns, name, parent, df.schema, replacesAll = true)),
-          parent.flatMap(_.propsJson))
+          // propsSet rides the SAME snapshot as the data (a materialized
+          // view's refresh watermark must never be a second commit — a
+          // crash between the two would double-apply the next delta)
+          if (propsSet.isEmpty) parent.flatMap(_.propsJson)
+          else {
+            val next = parent.map(_.properties).getOrElse(Map.empty) ++ propsSet
+            val tm = new java.util.TreeMap[String, String]()
+            next.foreach { case (k, v) => tm.put(k, v) }
+            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
+          })
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e

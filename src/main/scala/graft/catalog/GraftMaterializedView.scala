@@ -1,0 +1,316 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Multiply, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit, sum, when}
+
+/** SQL materialized views over graft tables:
+  *
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv AS <query>
+  *   REFRESH MATERIALIZED VIEW mv
+  *   DROP MATERIALIZED VIEW [IF EXISTS] mv
+  *
+  * (no stock grammar — same text-level intercept as
+  * [[GraftPartitionDdl]]; a non-graft target falls through to the stock
+  * parser's own error.)
+  *
+  * The view is an ordinary graft TABLE holding the query result, plus
+  * TBLPROPERTIES metadata: the definition (`graft.mv.query` + defining
+  * catalog/namespace, recorded like persisted views), the maintenance
+  * MODE, and — for incremental views — the base table and the base
+  * VERSION the state reflects (`graft.mv.base-seq`, the staleness
+  * watermark a reader compares against the base's head).
+  *
+  * REFRESH picks the cheapest correct path:
+  *
+  *  - **incremental** (mode recorded at CREATE): queries of the shape
+  *    `SELECT keys..., count(*) AS c, sum(e) AS s... FROM base [chain
+  *    of WHERE/projections] GROUP BY keys` maintain by SIGNED DELTA —
+  *    the base's row-level changefeed ([[GraftCatalog.changesBetween]]
+  *    from the recorded watermark) is pushed through the query's OWN
+  *    plan with `count(*) -> sum(_sign)` and `sum(e) -> sum(e * _sign)`
+  *    (deletes weigh −1), then merged with the current state by one
+  *    group-key aggregation. Cost O(changed groups) compute, never a
+  *    base rescan — the reference recomputes derived tables per sync
+  *    cycle, which a 100 TB base cannot afford. Groups whose count
+  *    reaches zero vanish. Falls back to a full rebuild when the
+  *    changefeed window has been expired.
+  *  - **full** (everything else — joins, AVG/MIN/MAX, subqueries,
+  *    DISTINCT): re-run the stored definition and replace the state.
+  *
+  * State + watermark publish as ONE snapshot (commitReplace propsSet) —
+  * a crash can never leave a new state with an old watermark, which
+  * would double-apply the next delta. */
+private[graft] object GraftMaterializedView {
+
+  val QueryProp = "graft.mv.query"
+  val CatalogProp = "graft.mv.catalog"
+  val NamespaceProp = "graft.mv.namespace"
+  val ModeProp = "graft.mv.mode" // incremental | full
+  val BaseProp = "graft.mv.base" // ns.table, incremental only
+  val BaseSeqProp = "graft.mv.base-seq" // staleness watermark
+  val AggColsProp = "graft.mv.agg-cols" // SELECT positions of aggregates
+  val CountColProp = "graft.mv.count-col" // zero-group removal column
+
+  private val Create =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """([\w.`]+)\s+AS\s+(.+?)\s*;?\s*""").r
+  private val DropR =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([\w.`]+)\s*;?\s*""".r
+  private val RefreshR =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s*;?\s*""".r
+
+  def parse(sqlText: String, session: SparkSession,
+            parseIdent: String => Seq[String]): Option[LogicalPlan] = {
+    def target(raw: String): Option[Seq[String]] = {
+      val parts = try parseIdent(raw) catch { case _: Exception => return None }
+      GraftViewSql.viewTarget(session, parts).map(_ => parts)
+    }
+    sqlText match {
+      case Create(ine, t, q) =>
+        target(t).map(GraftCreateMvCommand(_, ine != null, q.trim))
+      case DropR(ie, t) => target(t).map(GraftDropMvCommand(_, ie != null))
+      case RefreshR(t) => target(t).map(GraftRefreshMvCommand(_))
+      case _ => None
+    }
+  }
+
+  /** The incrementally-maintainable shape of a PARSED (unresolved)
+    * query, when it has one: the single base relation's name parts, the
+    * SELECT positions that are aggregates, the positions that are
+    * count(*) items, and a rebuild of the plan over a substitute
+    * relation with the aggregates SIGNED. None -> maintain by full
+    * rebuild. */
+  private[catalog] case class MvShape(
+      baseParts: Seq[String], aggPositions: Seq[Int], countPositions: Seq[Int],
+      signedPlanOver: String => LogicalPlan)
+
+  private[catalog] def incrementalShape(parsed: LogicalPlan): Option[MvShape] =
+    parsed match {
+      case agg @ Aggregate(group, aggExprs, child, _) =>
+        // exactly one base relation under a chain of row-level nodes
+        // (WHERE / projections / aliases) — those commute with signed
+        // deltas; anything else (joins, set ops, windows) does not
+        var baseParts: Option[Seq[String]] = None
+        def swap(p: LogicalPlan, sub: LogicalPlan): Option[LogicalPlan] = p match {
+          case r: UnresolvedRelation if baseParts.isEmpty =>
+            baseParts = Some(r.multipartIdentifier); Some(sub)
+          case pj: Project => swap(pj.child, sub).map(n => pj.copy(child = n))
+          case f: Filter => swap(f.child, sub).map(n => f.copy(child = n))
+          case sa: SubqueryAlias => swap(sa.child, sub).map(n => sa.copy(child = n))
+          case _ => None
+        }
+        if (agg.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+          return None
+        val groupSqls = group.map(_.sql).toSet
+        def isAgg(f: UnresolvedFunction, nm: String): Boolean =
+          f.nameParts.map(_.toLowerCase) == Seq(nm) && !f.isDistinct &&
+            f.filter.isEmpty
+        def sumOf(e: Expression): Expression =
+          UnresolvedFunction(Seq("sum"), Seq(e), isDistinct = false)
+        val aggPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val cntPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var maintainable = true
+        val signed: Seq[Expression] = aggExprs.zipWithIndex.map {
+          case (Alias(f: UnresolvedFunction, name), i) if isAgg(f, "count") =>
+            aggPos += i; cntPos += i
+            Alias(sumOf(UnresolvedAttribute("_sign")), name)()
+          case (Alias(f: UnresolvedFunction, name), i)
+              if isAgg(f, "sum") && f.arguments.size == 1 &&
+                !f.arguments.head.exists(_.isInstanceOf[UnresolvedFunction]) =>
+            aggPos += i
+            Alias(sumOf(Multiply(f.arguments.head,
+              UnresolvedAttribute("_sign"))), name)()
+          case (e, _) if groupSqls.contains(stripAlias(e).sql) => e
+          case _ => maintainable = false; null
+        }
+        if (!maintainable || cntPos.isEmpty) None
+        else {
+          val probe = swap(child, UnresolvedRelation(Seq("__probe__")))
+          probe.flatMap(_ => baseParts).map { parts =>
+            MvShape(parts, aggPos.toSeq, cntPos.toSeq, deltaView => {
+              baseParts = None // reset for the real swap
+              agg.copy(aggregateExpressions =
+                  signed.map(_.asInstanceOf[org.apache.spark.sql.catalyst
+                    .expressions.NamedExpression]),
+                child = swap(child, UnresolvedRelation(Seq(deltaView))).get)
+            })
+          }
+        }
+      case _ => None
+    }
+
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _) => c
+    case other => other
+  }
+
+  /** Parse + qualify the stored definition under its DEFINING
+    * catalog/namespace (same binding rule as persisted views). */
+  private[catalog] def qualifiedDefinition(session: SparkSession,
+      props: Map[String, String]): LogicalPlan = {
+    val sql = props.getOrElse(QueryProp, throw new IllegalArgumentException(
+      "not a materialized view (no graft.mv.query property)"))
+    val cat0 = props.getOrElse(CatalogProp, session.sessionState
+      .catalogManager.currentCatalog.name())
+    val ns0 = props.get(NamespaceProp).toSeq.flatMap(_.split(" "))
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    GraftViewSql.qualifyRelations(session, parsed, ps =>
+      if (ps.length == 1) cat0 +: (ns0 :+ ps.head) else cat0 +: ps)
+  }
+
+  private[catalog] def run(session: SparkSession, plan: LogicalPlan) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, plan)
+}
+
+private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
+    ifNotExists: Boolean, queryText: String) extends LeafRunnableCommand {
+  import GraftMaterializedView._
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val ns = ident.namespace()(0); val name = ident.name()
+    if (g.cat.tableExists(ns, name) || g.viewExists(ident)) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"materialized view target ${parts.mkString(".")} already exists")
+    }
+    val parsed = session.sessionState.sqlParser.parsePlan(queryText)
+    GraftViewSql.assertNoTempRefs(session, parsed,
+      s"CREATE MATERIALIZED VIEW ${parts.mkString(".")}")
+    val cm = session.sessionState.catalogManager
+    val qualified = GraftViewSql.qualifyRelations(session, parsed, ps =>
+      if (ps.length == 1)
+        cm.currentCatalog.name() +: (cm.currentNamespace.toSeq :+ ps.head)
+      else cm.currentCatalog.name() +: ps)
+    val df = GraftMaterializedView.run(session, qualified)
+
+    // maintenance mode decided (and pinned) at CREATE: incremental when
+    // the shape qualifies AND the base is a graft table of THIS catalog
+    val shape = incrementalShape(parsed).filter { s =>
+      GraftViewSql.viewTarget(session, s.baseParts).exists { case (bg, bid) =>
+        bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name())
+      }
+    }
+    val baseProps: Map[String, String] = shape match {
+      case Some(s) =>
+        val (_, bid) = GraftViewSql.viewTarget(session, s.baseParts).get
+        val bSeq = g.cat.latest(bid.namespace()(0), bid.name())
+          .map(_.seq).getOrElse(-1L)
+        Map(ModeProp -> "incremental",
+          BaseProp -> s"${bid.namespace()(0)} ${bid.name()}",
+          BaseSeqProp -> bSeq.toString,
+          AggColsProp -> s.aggPositions.mkString(","),
+          CountColProp -> s.countPositions.head.toString)
+      case None => Map(ModeProp -> "full")
+    }
+    val props = baseProps ++ Map(
+      QueryProp -> queryText,
+      CatalogProp -> cm.currentCatalog.name(),
+      NamespaceProp -> cm.currentNamespace.mkString(" "))
+    g.cat.createTable(ns, name)
+    try g.cat.commitReplace(ns, name, df, sourceRegion = "mv",
+      propsSet = props): Unit
+    catch { case e: Throwable =>
+      try g.cat.dropTable(ns, name) catch { case c: Throwable =>
+        e.addSuppressed(c) }
+      throw e
+    }
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftRefreshMvCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+  import GraftMaterializedView._
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val cat = g.cat
+    val ns = ident.namespace()(0); val name = ident.name()
+    require(cat.tableExists(ns, name),
+      s"no such materialized view ${parts.mkString(".")}")
+    val props = cat.tableProperties(ns, name)
+    require(props.contains(QueryProp),
+      s"${parts.mkString(".")} is a plain table, not a materialized view")
+
+    def fullRebuild(): Unit = {
+      val df = GraftMaterializedView.run(session,
+        qualifiedDefinition(session, props))
+      val wm = props.get(BaseProp).map { b =>
+        val Array(bns, bt) = b.split(" ")
+        BaseSeqProp -> cat.latest(bns, bt).map(_.seq).getOrElse(-1L).toString
+      }
+      cat.commitReplace(ns, name, df, sourceRegion = "mv",
+        propsSet = wm.toMap): Unit
+    }
+
+    if (props.get(ModeProp).contains("incremental")) {
+      val Array(bns, bt) = props(BaseProp).split(" ")
+      val fromSeq = props(BaseSeqProp).toLong
+      val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+      if (headSeq == fromSeq) return Seq.empty // fresh — nothing to do
+      // re-derive the signed plan from the STORED definition (the shape
+      // was pinned at CREATE; a definition that stopped qualifying is a
+      // bug worth hearing about, not silently rebuilding over)
+      val parsed = session.sessionState.sqlParser.parsePlan(props(QueryProp))
+      val shape = incrementalShape(parsed).getOrElse(
+        throw new IllegalStateException(s"${parts.mkString(".")}: stored " +
+          "definition no longer parses as incrementally maintainable"))
+      val changes =
+        try cat.changesBetween(bns, bt, fromSeq, headSeq)
+        catch { case _: Exception => fullRebuild(); return Seq.empty }
+      val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
+      changes.withColumn("_sign",
+          when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
+        .createOrReplaceTempView(deltaView)
+      try {
+        val delta = GraftMaterializedView.run(session,
+          shape.signedPlanOver(deltaView))
+        val state = cat.read(ns, name)
+        val schema = state.schema
+        val aggIdx = shape.aggPositions.toSet
+        val keyCols = schema.fieldNames.zipWithIndex
+          .collect { case (n, i) if !aggIdx(i) => n }.toSeq
+        val cntName = schema.fieldNames(shape.countPositions.head)
+        // one group-key aggregation of state ∪ delta; aggregate columns
+        // re-cast to the view's recorded types (sum-of-sum widening must
+        // not drift the schema refresh over refresh)
+        val aggCols = shape.aggPositions.map { i =>
+          val n = schema.fieldNames(i)
+          sum(col(n)).cast(schema.fields(i).dataType).as(n)
+        }
+        val merged = state.unionByName(delta.select(schema.fieldNames
+            .map(col).toSeq: _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .filter(col(cntName) > 0)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        cat.commitReplace(ns, name, merged, sourceRegion = "mv",
+          propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
+      } finally session.catalog.dropTempView(deltaView): Unit
+    } else fullRebuild()
+    Seq.empty
+  }
+}
+
+private[catalog] case class GraftDropMvCommand(parts: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  import GraftMaterializedView._
+  override def run(session: SparkSession): Seq[Row] = {
+    val (g, ident) = GraftViewSql.viewTarget(session, parts).get
+    val ns = ident.namespace()(0); val name = ident.name()
+    if (!g.cat.tableExists(ns, name)) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"no such materialized view ${parts.mkString(".")}")
+    }
+    require(g.cat.tableProperties(ns, name).contains(QueryProp),
+      s"${parts.mkString(".")} is a plain table — use DROP TABLE")
+    g.cat.dropTable(ns, name)
+    Seq.empty
+  }
+}

@@ -69,7 +69,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // Spark's CatalogManager, and the GraftCatalog's snapshot/manifest
   // caches (immutable files) are the whole point — a fresh instance per
   // statement would re-parse every version JSON per query
-  private lazy val cat: GraftCatalog = new GraftCatalog(spark, warehouse)
+  // exposed to the package's DDL commands (materialized views commit
+  // state + watermark through the catalog directly)
+  private[graft] lazy val cat: GraftCatalog = new GraftCatalog(spark, warehouse)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -185,6 +185,8 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the delegate parser rejects the syntax
     GraftPartitionDdl.parse(sqlText, SparkSession.active,
         delegate.parseMultipartIdentifier)
+      .orElse(GraftMaterializedView.parse(sqlText, SparkSession.active,
+        delegate.parseMultipartIdentifier))
       .getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = {

@@ -826,6 +826,86 @@ object CatalogQueries {
               FROM $c2.q.pricey""")
   }
 
+  private val viewStackWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** A VIEW STACK over an evolving base: view-over-view (filter layer,
+    * then an aggregating layer) reading through a base table that was
+    * ALTERed (column added) and re-inserted AFTER the views were
+    * defined — views are definitions that re-resolve at read time, so
+    * the whole stack must see the post-ALTER rows. Oracle recomputes
+    * the same two-layer pipeline declaratively. */
+  private def viewStack: Q = (s, d) => {
+    val wh = viewStackWarehouses.synchronized {
+      viewStackWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-viewstack-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.vsb (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        Tables.orders(s, d).createOrReplaceTempView("view_stack_src")
+        s.sql(s"""INSERT INTO $c.q.vsb SELECT o_orderkey, o_totalprice
+                  FROM view_stack_src WHERE o_orderkey % 4 = 0""").collect(): Unit
+        s.sql(s"""CREATE VIEW $c.q.vs1 (key, price) AS
+                  SELECT o_orderkey, o_totalprice FROM $c.q.vsb
+                  WHERE o_totalprice > 50000""").collect(): Unit
+        s.sql(s"""CREATE VIEW $c.q.vs2 AS
+                  SELECT key % 7 AS grp, count(*) AS cnt,
+                         round(sum(price), 2) AS total
+                  FROM $c.q.vs1 GROUP BY key % 7""").collect(): Unit
+        // evolve the base UNDER the stack: widen the schema + more rows
+        s.sql(s"ALTER TABLE $c.q.vsb ADD COLUMNS (note STRING)").collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.vsb SELECT o_orderkey, o_totalprice, 'late'
+                  FROM view_stack_src WHERE o_orderkey % 4 = 1""").collect(): Unit
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_vsreread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"SELECT grp, cnt, total FROM $c2.q.vs2 ORDER BY grp")
+  }
+
+  private val mvSqlWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The SQL materialized-view surface end-to-end: CREATE MATERIALIZED
+    * VIEW pins the incremental shape, the base then takes an INSERT and
+    * a row-level DELETE, and ONE `REFRESH MATERIALIZED VIEW` statement
+    * applies both as a signed changefeed delta (never a base rescan).
+    * The declared read is the refreshed VIEW TABLE; the oracle
+    * recomputes the post-churn aggregate from the raw parquet — a hash
+    * match proves the delta path reproduces the full recompute. */
+  private def mvSql: Q = (s, d) => {
+    val wh = mvSqlWarehouses.synchronized {
+      mvSqlWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-mvsql-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.mvb (o_orderkey BIGINT, cents BIGINT)")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .createOrReplaceTempView("mv_sql_src")
+        s.sql(s"""INSERT INTO $c.q.mvb SELECT * FROM mv_sql_src
+                  WHERE o_orderkey % 3 = 0""").collect(): Unit
+        s.sql(s"""CREATE MATERIALIZED VIEW $c.q.mvagg AS
+                  SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                         sum(cents) AS sum_cents
+                  FROM $c.q.mvb GROUP BY o_orderkey % 7""").collect(): Unit
+        // churn the base, then ONE incremental refresh
+        s.sql(s"""INSERT INTO $c.q.mvb SELECT * FROM mv_sql_src
+                  WHERE o_orderkey % 3 = 1""").collect(): Unit
+        s.sql(s"DELETE FROM $c.q.mvb WHERE o_orderkey % 9 = 0").collect(): Unit
+        s.sql(s"REFRESH MATERIALIZED VIEW $c.q.mvagg").collect(): Unit
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_mvreread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents
+              FROM $c2.q.mvagg ORDER BY grp""")
+  }
+
   // one REST server per sf dir, kept alive for the session (daemon
   // threads; port captured with the warehouse)
   private val restFixtures = scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -1082,6 +1162,8 @@ object CatalogQueries {
     "cat_sql_rename"       -> sqlRename,
     "cat_partitioned_ddl"  -> partitionedDdl,
     "cat_view_read"        -> viewRead,
+    "cat_view_stack"       -> viewStack,
+    "cat_mv_sql"           -> mvSql,
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
     "cat_nested_struct"    -> nestedStructRead,
@@ -1162,6 +1244,22 @@ object CatalogQueries {
          SELECT '1_mor_read' AS stage, * FROM s
          UNION ALL SELECT '2_compacted' AS stage, * FROM s
          ORDER BY stage""",
+    "cat_view_stack" ->
+      """WITH base AS (SELECT o_orderkey AS key, o_totalprice AS price
+                       FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+              v1 AS (SELECT key, price FROM base WHERE price > 50000)
+         SELECT key % 7 AS grp, count(*) AS cnt,
+                round(sum(price), 2) AS total
+         FROM v1 GROUP BY key % 7 ORDER BY grp""",
+    "cat_mv_sql" ->
+      """WITH base AS (SELECT o_orderkey,
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                AS cents
+                       FROM orders
+                       WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
+         SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
     "cat_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey % 7 AS grp,
                               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+
+/** SQL materialized views: CREATE materializes the query into a graft
+  * table with the definition + staleness watermark in TBLPROPERTIES;
+  * REFRESH maintains it — by signed changefeed delta for the
+  * count/sum GROUP BY shape (O(changed groups), never a base rescan),
+  * by full rebuild for everything else. */
+class MaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): (GraftCatalog, String) = {
+    val cat = new GraftCatalog(spark,
+      Files.createTempDirectory("graft-mv").toString)
+    (cat, graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse))
+  }
+
+  test("incremental MV lifecycle: CREATE pins the shape + watermark, " +
+       "REFRESH applies inserts AND deletes as signed deltas (zero-count " +
+       "groups vanish), a fresh view no-ops, and the result always " +
+       "equals the full recompute") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.base (id BIGINT, grp BIGINT, cents BIGINT)")
+    val src = (0 until 300).map(i => (i.toLong, (i % 5).toLong, i.toLong * 7))
+      .toDF("id", "grp", "cents")
+    src.createOrReplaceTempView("mv_src")
+    spark.sql(s"INSERT INTO $c.ns.base SELECT * FROM mv_src").collect(): Unit
+
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.stats AS " +
+      s"SELECT grp, count(*) AS cnt, sum(cents) AS total " +
+      s"FROM $c.ns.base GROUP BY grp")
+    def expect() = spark.sql(
+      s"SELECT grp, count(*) AS cnt, sum(cents) AS total FROM $c.ns.base " +
+        "GROUP BY grp ORDER BY grp").collect().toSeq
+    def got() = spark.sql(s"SELECT grp, cnt, total FROM $c.ns.stats " +
+      "ORDER BY grp").collect().toSeq
+    assert(got() === expect())
+    val props0 = cat.tableProperties("ns", "stats")
+    assert(props0("graft.mv.mode") === "incremental")
+    assert(props0("graft.mv.base") === "ns base")
+    val wm0 = props0("graft.mv.base-seq").toLong
+
+    // a fresh view refreshes as a NO-OP (no new version)
+    val vFresh = cat.latest("ns", "stats").get.seq
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.stats")
+    assert(cat.latest("ns", "stats").get.seq === vFresh)
+
+    // inserts + MoR deletes on the base -> one signed-delta refresh
+    spark.sql(s"INSERT INTO $c.ns.base VALUES (1000, 1, 999), (1001, 9, 5)")
+    spark.sql(s"DELETE FROM $c.ns.base WHERE grp = 2") // whole group gone
+    spark.sql(s"DELETE FROM $c.ns.base WHERE id = 3")  // partial group
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.stats")
+    assert(got() === expect(), "refreshed state must equal full recompute")
+    assert(!got().exists(_.getLong(0) == 2L), "zero-count group must vanish")
+    assert(got().exists(_.getLong(0) == 9L), "new group must appear")
+    val props1 = cat.tableProperties("ns", "stats")
+    assert(props1("graft.mv.base-seq").toLong > wm0,
+      "the staleness watermark must advance with the refresh")
+    // watermark rides the SAME snapshot as the state (crash-atomic)
+    assert(cat.latest("ns", "stats").get.properties("graft.mv.base-seq")
+      === props1("graft.mv.base-seq"))
+
+    // second wave, including an expression-valued refresh path
+    spark.sql(s"INSERT INTO $c.ns.base SELECT id + 2000, grp, cents * 2 " +
+      s"FROM $c.ns.base WHERE grp = 1")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.stats")
+    assert(got() === expect())
+
+    // DROP removes it; a plain table refuses the MV spelling
+    spark.sql(s"DROP MATERIALIZED VIEW $c.ns.stats")
+    assert(!cat.tableExists("ns", "stats"))
+    val e = intercept[Exception](
+      spark.sql(s"DROP MATERIALIZED VIEW $c.ns.base"))
+    assert(e.getMessage.contains("plain table"))
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $c.ns.stats") // no-op
+  }
+
+  test("incremental shape tolerates WHERE + expression keys; non-" +
+       "maintainable queries (joins, avg) pin mode=full and refresh by " +
+       "rebuild; duplicate CREATE refuses unless IF NOT EXISTS") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("mv_src2")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT * FROM mv_src2").collect(): Unit
+
+    // WHERE + expression key stays incremental
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m1 AS " +
+      s"SELECT k % 7 AS bucket, count(*) AS cnt, sum(v) AS s " +
+      s"FROM $c.ns.t WHERE v > 10 GROUP BY k % 7")
+    assert(cat.tableProperties("ns", "m1")("graft.mv.mode") === "incremental")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (200, 500), (201, 2)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.m1")
+    assert(spark.sql(s"SELECT * FROM $c.ns.m1 ORDER BY bucket").collect().toSeq
+      === spark.sql(s"SELECT k % 7 AS bucket, count(*) AS cnt, sum(v) AS s " +
+        s"FROM $c.ns.t WHERE v > 10 GROUP BY k % 7 ORDER BY bucket")
+        .collect().toSeq)
+
+    // avg -> full mode, still correct through rebuilds
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m2 AS " +
+      s"SELECT k % 3 AS g, avg(v) AS a FROM $c.ns.t GROUP BY k % 3")
+    assert(cat.tableProperties("ns", "m2")("graft.mv.mode") === "full")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (300, 300)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.m2")
+    assert(spark.sql(s"SELECT * FROM $c.ns.m2 ORDER BY g").collect().toSeq
+      === spark.sql(s"SELECT k % 3 AS g, avg(v) AS a FROM $c.ns.t " +
+        "GROUP BY k % 3 ORDER BY g").collect().toSeq)
+
+    // duplicate CREATE refuses; IF NOT EXISTS no-ops
+    intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW $c.ns.m1 AS SELECT 1 AS one"))
+    spark.sql(s"CREATE MATERIALIZED VIEW IF NOT EXISTS $c.ns.m1 AS " +
+      "SELECT 1 AS one")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.m1").head().getLong(0) > 1L,
+      "IF NOT EXISTS must keep the original definition")
+
+    // a temp-view reference refuses at CREATE (persisted definition)
+    Seq(1L).toDF("x").createOrReplaceTempView("mv_tmp")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW $c.ns.m3 AS SELECT count(*) AS c FROM mv_tmp"))
+    assert(e.getMessage.contains("temporary"))
+  }
+
+  test("the MV survives its defining session's catalog instance and an " +
+       "expired changefeed window falls back to a full rebuild") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.b (g BIGINT, v BIGINT)")
+    (0 until 60).map(i => ((i % 3).toLong, i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("mv_src3")
+    spark.sql(s"INSERT INTO $c.ns.b SELECT * FROM mv_src3").collect(): Unit
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.mv AS " +
+      s"SELECT g, count(*) AS cnt, sum(v) AS s FROM $c.ns.b GROUP BY g")
+
+    // churn the base past the retention window, expire the old versions
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $c.ns.b VALUES ($i, ${1000 + i})")
+    }
+    cat.expireSnapshots("ns", "b", retainLast = 1): Unit
+    // the recorded watermark's version is gone -> changefeed unavailable
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.mv")
+    assert(spark.sql(s"SELECT * FROM $c.ns.mv ORDER BY g").collect().toSeq
+      === spark.sql(s"SELECT g, count(*) AS cnt, sum(v) AS s FROM $c.ns.b " +
+        "GROUP BY g ORDER BY g").collect().toSeq,
+      "an expired window must rebuild, never half-apply")
+    // a fresh catalog instance (new session mount) still refreshes
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (2, 7777)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.mv")
+    assert(spark.sql(s"SELECT s FROM $c.ns.mv WHERE g = 2").head().getLong(0)
+      === spark.sql(s"SELECT sum(v) FROM $c.ns.b WHERE g = 2")
+        .head().getLong(0))
+  }
+}

@@ -327,6 +327,82 @@ object ServeBench {
       }
       (1 to repeat).foreach(i => time("morread_postrewrite", i)(readCount()))
     }
+    if (groups("partwrite")) {
+      // PARTITIONED WRITE path at scale (round-12 sweep): the claims
+      // under test are (a) aligned-staging INSERT cost ∝ corpus with
+      // BOUNDED file counts (files ∝ partitions, not tasks×partitions
+      // runaway), (b) cdc-apply onto a partitioned replica is O(batch)
+      // — flat across corpus factors (fixed-size batch from the
+      // 1x-stable key range), (c) point/day probes prune to O(1) files
+      // regardless of corpus size, (d) per-batch aligned files ACCRETE
+      // (the documented small-file debt) and one property-honoring
+      // compact repays it with pruning intact. Layout lines
+      // ({"op":"partwrite_layout",...}) report files vs live partition
+      // tuples; probe `rows` = files READ (prune effectiveness).
+      import org.apache.spark.sql.sources
+      val li = Tables.lineitem(spark, sfDir)
+      val rows = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_extendedprice").as("price"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("l_orderkey") % 30).cast("int")).as("d"))
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+      spark.sql(s"""CREATE TABLE $c.sb.pw (pk BIGINT, price DOUBLE, d DATE)
+                    PARTITIONED BY (days(d), bucket(4, pk))""")
+      rows.createOrReplaceTempView("pw_src")
+      time("partwrite_insert", 1) {
+        spark.sql(s"INSERT INTO $c.sb.pw SELECT * FROM pw_src").collect()
+        cat.latest("sb", "pw").get.fileCount
+      }
+      def layout(tag: String): Unit = {
+        val head = cat.latest("sb", "pw").get
+        val entries = cat.prunedDataEntries("sb", "pw", head, Array.empty).toSeq
+        val byPart = entries.groupBy(e =>
+          (e.stats.get("d").map(_._1),
+            e.stats.get(graft.catalog.GraftCatalog.bucketStatKey(4, "pk"))
+              .map(_._1)))
+        println(s"""{"op":"partwrite_layout","tag":"$tag","files":${entries.size},""" +
+          s""""partitions":${byPart.size},"maxFilesPerPartition":${
+            if (byPart.isEmpty) 0 else byPart.values.map(_.size).max}}""")
+      }
+      layout("post_insert")
+      def probe(op: String, i: Int): Unit = {
+        time(op + "_point", i) {
+          cat.readFilteredLatest("sb", "pw",
+            Array[sources.Filter](sources.EqualTo("pk", 10235L)),
+            carryPosition = false).inputFiles.length.toLong
+        }
+        time(op + "_day", i) {
+          cat.readFilteredLatest("sb", "pw",
+            Array[sources.Filter](sources.EqualTo("d",
+              java.sql.Date.valueOf("2024-01-08"))),
+            carryPosition = false).inputFiles.length.toLong
+        }
+      }
+      (1 to repeat).foreach(probe("partwrite_probe", _))
+      // fixed-size cdc batches over the 1x-stable key range (gen_scale
+      // offsets l_orderkey per slice, so these keys exist at every
+      // factor): upserts + deletes, layout-honoring replica commits
+      val batch = rows.filter(col("pk") < 40000 && col("pk") % 2 === 0)
+        .localCheckpoint()
+      val delKeys = rows.filter(col("pk") < 40000 && col("pk") % 17 === 0)
+        .select(col("pk")).localCheckpoint()
+      (1 to math.max(repeat, 3)).foreach { i =>
+        time("partwrite_cdc_apply", i) {
+          cat.commitCdcApply("sb", "pw",
+            batch.withColumn("price", col("price") + i),
+            delKeys, keyCols = Seq("pk"))
+          batch.count()
+        }
+      }
+      layout("post_churn")
+      (1 to repeat).foreach(probe("partwrite_churned_probe", _))
+      time("partwrite_compact", 1) {
+        cat.compact("sb", "pw", 128L * 1024 * 1024).fileCount
+      }
+      layout("post_compact")
+      (1 to repeat).foreach(probe("partwrite_compacted_probe", _))
+    }
     spark.stop()
   }
 }

@@ -3056,7 +3056,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     val schema = snap.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     val dtOf: String => Option[DataType] =
       c => schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)
-    val compiled = filters.map(CowPruning.compile(_, dtOf, physKeyOf(snap)))
+    // bucket-transform sources prune equality probes via the per-file
+    // derived bucket stat (saturation-proof — see CowPruning.compile).
+    // Try(): the read path must not brick on a foreign/legacy property
+    // the write-side validator never saw
+    val spec = scala.util.Try(GraftCatalog.validatedPartitionSpec(
+      s"$ns.$name", snap.properties, schema)).getOrElse(Seq.empty)
+    val bucketOf: String => Option[Int] = c => spec.collectFirst {
+      case GraftCatalog.PartitionField("bucket", src, n) if src == c => n
+    }
+    val compiled =
+      filters.map(CowPruning.compile(_, dtOf, physKeyOf(snap), bucketOf))
     manifestsFull(ns, name, snap).iterator
       .filterNot(_._2) // data manifests; the delete side is small
       .flatMap(_._3)
@@ -3181,6 +3191,26 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case _ => false
     }
     val statKey = physKeyOf(snap)
+    // spec-bucket stat check, same as CowPruning.point (saturation-proof
+    // complement to the bloom)
+    val bucketCheck: ManifestEntry => Boolean = {
+      val spec = scala.util.Try(GraftCatalog.validatedPartitionSpec(
+        s"$ns.$name", snap.properties, schema)).getOrElse(Seq.empty)
+      spec.collectFirst {
+        case GraftCatalog.PartitionField("bucket", src, n) if src == column => n
+      }.flatMap(n => GraftCatalog.icebergBucketValueOf(dt, value, n)
+        .map(b => (n, b))) match {
+        case Some((n, b)) =>
+          val key = GraftCatalog.bucketStatKey(n, statKey(column))
+          e => e.stats.get(key) match {
+            case Some((mn, mx)) =>
+              try b >= mn.toInt && b <= mx.toInt
+              catch { case _: NumberFormatException => true }
+            case None => true
+          }
+        case None => _ => true
+      }
+    }
     def keep(e: ManifestEntry): Boolean = {
       val boundsOk = e.stats.get(statKey(column)) match {
         case Some((mn, mx)) =>
@@ -3194,7 +3224,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case Some(b64) => GraftCatalog.bloomHit(b64, positions)
         case None => true
       })
-      boundsOk && bloomOk
+      boundsOk && bucketCheck(e) && bloomOk
     }
     morScan(ns, name, snap, keep)
       .filter(col(column) === dtOf(column).map(t => lit(value).cast(t)).getOrElse(lit(value)))
@@ -3666,6 +3696,47 @@ object GraftCatalog {
       if (f.n != 0) o.put("n", f.n): Unit
     }
     propsMapper.writeValueAsString(arr)
+  }
+
+  /** Driver-side spec bucket value of an equality probe — the same
+    * published murmur3 per-type recipe [[graft.functions.IcebergBucket]]
+    * evaluates distributed (ints/longs/dates-as-days/timestamps-as-
+    * micros hash as longs, strings as UTF-8 bytes). None when the probe
+    * can't be mapped to the hashed form — the consumer then keeps the
+    * file. This is what makes bucket pruning SATURATION-PROOF: a
+    * fixed-size per-file bloom goes all-ones past ~BloomBits distinct
+    * keys (measured in SCALE_r12 at 10× corpus), while the recorded
+    * per-file bucket stat compares exactly at any file size. */
+  private[graft] def icebergBucketValueOf(dt: Option[DataType], v: Any,
+                                          n: Int): Option[Int] = {
+    import graft.functions.IcebergHash
+    def longOf(x: Any): Option[Long] = x match {
+      case num: java.lang.Number => Some(num.longValue())
+      case s: String => scala.util.Try(s.trim.toLong).toOption
+      case _ => None
+    }
+    if (v == null) return None
+    dt match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        longOf(v).map(IcebergHash.bucketLong(_, n))
+      case Some(StringType) =>
+        Some(IcebergHash.bucketBytes(
+          v.toString.getBytes(StandardCharsets.UTF_8), n))
+      case Some(DateType) =>
+        val days: Option[Long] = v match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case s: String =>
+            scala.util.Try(java.time.LocalDate.parse(s.trim).toEpochDay).toOption
+          case other => longOf(other)
+        }
+        days.map(IcebergHash.bucketLong(_, n))
+      case Some(TimestampType) =>
+        // statForm renders every accepted probe spelling as epoch micros
+        scala.util.Try(statForm(TimestampType, v).toLong).toOption
+          .map(IcebergHash.bucketLong(_, n))
+      case _ => None
+    }
   }
 
   /** Prefix of the reserved derived-stat keys partitioned commits record

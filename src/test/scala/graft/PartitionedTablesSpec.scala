@@ -135,6 +135,42 @@ class PartitionedTablesSpec extends SparkSpec {
     assert(rwe.count() === 1L)
   }
 
+  test("bucket point pruning is SATURATION-PROOF: past ~BloomBits distinct " +
+       "keys per file the bloom goes all-ones, but the per-file derived " +
+       "bucket stat still prunes equality probes exactly (the 100 TB " +
+       "file-size regime, measured in SCALE_r12)") {
+    val cat = freshCatalog()
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+    spark.sql(s"""CREATE TABLE $c.ns.sat (pk BIGINT, v DOUBLE)
+                  PARTITIONED BY (bucket(4, pk))""")
+    // 160k distinct keys over 4 bucket files = ~40k keys/file — 2.4×
+    // the 16384-bit bloom capacity, saturating every filter
+    val src = (0 until 160000).map(i => (i.toLong, i / 10.0)).toDF("pk", "v")
+    src.createOrReplaceTempView("sat_src")
+    spark.sql(s"INSERT INTO $c.ns.sat SELECT * FROM sat_src").collect(): Unit
+    val total = cat.read("ns", "sat").inputFiles.length
+    assert(total >= 4, s"expected one file per bucket, got $total")
+    import org.apache.spark.sql.sources
+    val probe = cat.readFilteredLatest("ns", "sat",
+      Array[sources.Filter](sources.EqualTo("pk", 12345L)),
+      carryPosition = false)
+    assert(probe.inputFiles.length < total,
+      s"point probe read ${probe.inputFiles.length}/$total files — bucket " +
+        "pruning must survive bloom saturation via the derived stat")
+    // exactness through the pruned SQL scan (readFilteredLatest prunes
+    // FILES; the residual filter is the consumer's)
+    assert(spark.sql(s"SELECT v FROM $c.ns.sat WHERE pk = 12345")
+      .head().getDouble(0) === 1234.5)
+    assert(spark.sql(s"SELECT * FROM $c.ns.sat WHERE pk = 12345")
+      .inputFiles.length < total, "the SQL scan path must prune too")
+    // programmatic path prunes identically
+    val rwe = cat.readWhereEquals("ns", "sat", "pk", "12345")
+    assert(rwe.inputFiles.length < total && rwe.count() === 1L)
+    // and an ABSENT key inside the bucket's range still returns empty
+    // (the residual filter keeps exactness; pruning is never the answer)
+    assert(cat.readWhereEquals("ns", "sat", "pk", "9999999").count() === 0L)
+  }
+
   test("compact preserves the partitioned layout: clustering AND the bucket " +
        "bloom survive the rewrite (a compaction that de-indexes would rot " +
        "pruning silently)") {

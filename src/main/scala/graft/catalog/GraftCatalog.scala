@@ -1095,7 +1095,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case Some(h) if h.commitId == expectedHeadCommitId && added.nonEmpty =>
           h.manifests.filterNot(isDeleteManifest)
             .flatMap(manifestEntriesFull(ns, name, _))
-            .filter(e => removed(e.path)).flatMap(_.blooms.keys).distinct
+            .filter(e => removed(e.path)).flatMap(_.blooms.keys)
+            // recorded keys -> columns (timestamp blooms key __tsb_<col>)
+            .map(GraftCatalog.bloomColOf).distinct
         case _ => Seq.empty
       }
       if (bloomCols.isEmpty) Map.empty
@@ -1354,13 +1356,22 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       tableDir(ns, name).resolve(p).toAbsolutePath.toString -> p }.toMap
     val df = spark.read.schema(schema)
       .parquet(entries.map { case (p, _) => tableDir(ns, name).resolve(p).toString }: _*)
+    // versioned key namespace for micros-form timestamp blooms (see
+    // GraftCatalog.bloomKeyOf); a REAL column under it would alias a
+    // timestamp's bloom and mis-prune — refuse loudly like __pt_/__ptw_
+    require(!schema.fieldNames.exists(_.startsWith("__tsb_")),
+      "column names starting with '__tsb_' are reserved for timestamp " +
+        "bloom keys")
     val m = GraftCatalog.BloomBits
     cols.flatMap { c =>
       // timestamp membership hashes the tz-stable micros form (doc above)
+      val isTs = schema.fields.exists(f =>
+        f.name == c && f.dataType == TimestampType)
       val hashed =
-        if (schema.fields.exists(f => f.name == c && f.dataType == TimestampType))
-          unix_micros(col(c)).cast("string")
+        if (isTs) unix_micros(col(c)).cast("string")
         else col(c).cast("string")
+      val recordKey =
+        GraftCatalog.bloomKeyOf(if (isTs) Some(TimestampType) else None, c)
       val positions = array((0 until GraftCatalog.BloomHashes).map(i =>
         pmod(xxhash64(lit(i), hashed), lit(m.toLong)).cast("int")): _*)
       df.select(input_file_name().as("__f"), explode(positions).as("__p"))
@@ -1376,7 +1387,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           byAbs.get(abs).map { rel =>
             val bytes = new Array[Byte](m / 8)
             r.getSeq[Int](1).foreach(p => bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
-            (rel, c, java.util.Base64.getEncoder.encodeToString(bytes))
+            (rel, recordKey, java.util.Base64.getEncoder.encodeToString(bytes))
           }
         }
     }.groupBy(_._1).map { case (rel, xs) =>
@@ -2512,12 +2523,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * `write.bloom-columns` (the SQL INSERT path's bloom indexing). */
   def commitProperties(ns: String, name: String, set: Map[String, String],
                        unset: Seq[String] = Seq.empty,
-                       maxRetries: Int = 5): Snapshot = {
+                       maxRetries: Int = 5,
+                       expectedParentSeq: Option[Long] = None): Snapshot = {
     require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
     casCommit(ns, name, maxRetries) { parentOpt =>
       val parent = parentOpt.getOrElse(throw new IllegalStateException(
         s"$ns.$name has no committed version to carry properties — commit " +
           "data (or CREATE TABLE via SQL, which commits v0) first"))
+      // conditional form for READ-MODIFY-WRITE callers (ADD/DROP/REPLACE
+      // PARTITION FIELD computes the NEXT spec from a prior read): a
+      // value derived from a stale read must abort, not blindly
+      // re-apply over whatever parent the retry loop sees — per-key
+      // last-writer-wins only holds for values that don't ENCODE the
+      // prior map
+      expectedParentSeq.foreach { exp =>
+        if (parent.seq != exp) throw new java.util.ConcurrentModificationException(
+          s"conditional property commit of $ns.$name expected parent " +
+            s"v$exp but found v${parent.seq}")
+      }
       val next = (parent.properties ++ set) -- unset
       // partition-spec EVOLUTION via ALTER ... SET TBLPROPERTIES is
       // legal (new writes cluster by the new spec; committed files keep
@@ -3025,6 +3048,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def readSnapshot(ns: String, name: String, snap: Snapshot): DataFrame =
     morScan(ns, name, snap, _ => true)
 
+  /** [[readSnapshot]] for package consumers that already hold the
+    * snapshot (the MV refresh reads exactly the version its CAS anchors
+    * on — "latest at execution time" would race a concurrent commit). */
+  private[graft] def readSnapshotPublic(ns: String, name: String,
+                                        snap: Snapshot): DataFrame =
+    readSnapshot(ns, name, snap)
+
   /** Manifest-pruned MoR read for the SQL scan path: the pushed Filter
     * array compiles to the same conservative per-file predicates the
     * row-level operations prune with ([[CowPruning]] — bounds compared
@@ -3062,11 +3092,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // the write-side validator never saw
     val spec = scala.util.Try(GraftCatalog.validatedPartitionSpec(
       s"$ns.$name", snap.properties, schema)).getOrElse(Seq.empty)
-    val bucketOf: String => Option[Int] = c => spec.collectFirst {
-      case GraftCatalog.PartitionField("bucket", src, n) if src == c => n
-    }
     val compiled =
-      filters.map(CowPruning.compile(_, dtOf, physKeyOf(snap), bucketOf))
+      filters.map(CowPruning.compile(_, dtOf, physKeyOf(snap), spec))
     manifestsFull(ns, name, snap).iterator
       .filterNot(_._2) // data manifests; the delete side is small
       .flatMap(_._3)
@@ -3191,23 +3218,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       case _ => false
     }
     val statKey = physKeyOf(snap)
-    // spec-bucket stat check, same as CowPruning.point (saturation-proof
-    // complement to the bloom)
+    // spec-bucket stat check, shared with CowPruning.point (the
+    // saturation-proof complement to the bloom)
     val bucketCheck: ManifestEntry => Boolean = {
       val spec = scala.util.Try(GraftCatalog.validatedPartitionSpec(
         s"$ns.$name", snap.properties, schema)).getOrElse(Seq.empty)
-      spec.collectFirst {
-        case GraftCatalog.PartitionField("bucket", src, n) if src == column => n
-      }.flatMap(n => GraftCatalog.icebergBucketValueOf(dt, value, n)
-        .map(b => (n, b))) match {
-        case Some((n, b)) =>
-          val key = GraftCatalog.bucketStatKey(n, statKey(column))
-          e => e.stats.get(key) match {
-            case Some((mn, mx)) =>
-              try b >= mn.toInt && b <= mx.toInt
-              catch { case _: NumberFormatException => true }
-            case None => true
-          }
+      GraftCatalog.bucketProbeOf(spec, column, dt, value,
+          statKey(column)) match {
+        case Some((key, b)) =>
+          e => GraftCatalog.bucketStatKeeps(e.stats, key, b)
         case None => _ => true
       }
     }
@@ -3220,10 +3239,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           catch { case _: NumberFormatException => true }
         case None => true
       }
-      def bloomOk = !bloomSafe || (e.blooms.get(statKey(column)) match {
-        case Some(b64) => GraftCatalog.bloomHit(b64, positions)
-        case None => true
-      })
+      def bloomOk = !bloomSafe ||
+        (e.blooms.get(GraftCatalog.bloomKeyOf(dt, statKey(column))) match {
+          case Some(b64) => GraftCatalog.bloomHit(b64, positions)
+          case None => true
+        })
       boundsOk && bucketCheck(e) && bloomOk
     }
     morScan(ns, name, snap, keep)
@@ -3697,6 +3717,47 @@ object GraftCatalog {
     }
     propsMapper.writeValueAsString(arr)
   }
+
+  /** The (derived-stat key, probe bucket value) of an equality probe on
+    * a bucket-transform source — None when the spec doesn't bucket the
+    * column or the probe can't be hashed. ONE implementation shared by
+    * [[CowPruning]] and [[GraftCatalog.readWhereEquals]] so the two
+    * pruning paths can never drift. */
+  private[graft] def bucketProbeOf(spec: Seq[PartitionField], column: String,
+      dt: Option[DataType], v: Any, physKey: String): Option[(String, Int)] =
+    spec.collectFirst {
+      case PartitionField("bucket", src, n) if src == column => n
+    }.flatMap(n => icebergBucketValueOf(dt, v, n)
+      .map(b => (bucketStatKey(n, physKey), b)))
+
+  /** Keep/prune verdict of one file's recorded bucket stat against a
+    * probe bucket value — keep on any doubt (no stat, unparseable). */
+  private[graft] def bucketStatKeeps(stats: Map[String, (String, String)],
+                                     key: String, b: Int): Boolean =
+    stats.get(key) match {
+      case Some((mn, mx)) =>
+        try b >= mn.toInt && b <= mx.toInt
+        catch { case _: NumberFormatException => true }
+      case None => true
+    }
+
+  /** Manifest bloom key of a column: timestamp blooms are recorded (and
+    * probed) under a reserved `__tsb_` key because their hashed FORM
+    * changed from session-zone cast-to-string to tz-stable epoch micros
+    * — a micros probe against a legacy string-form bloom would be a
+    * near-guaranteed miss, i.e. files PRUNED that hold the key (lost
+    * rows/updates). Under the versioned key, legacy manifests simply
+    * have no timestamp bloom to probe (files kept — pruning loss only),
+    * and freshly-written ones prune correctly. */
+  private[graft] def bloomKeyOf(dt: Option[DataType], physKey: String): String =
+    if (dt.contains(TimestampType)) s"__tsb_$physKey" else physKey
+
+  /** Inverse of [[bloomKeyOf]]: the COLUMN a recorded bloom key indexes
+    * (bloom carriage derives the columns to re-index from the replaced
+    * entries' recorded keys). */
+  private[graft] def bloomColOf(recordedKey: String): String =
+    if (recordedKey.startsWith("__tsb_")) recordedKey.stripPrefix("__tsb_")
+    else recordedKey
 
   /** Driver-side spec bucket value of an equality probe — the same
     * published murmur3 per-type recipe [[graft.functions.IcebergBucket]]

@@ -90,15 +90,23 @@ private[graft] object GraftMaterializedView {
 
   private[catalog] def incrementalShape(parsed: LogicalPlan): Option[MvShape] =
     parsed match {
-      case agg @ Aggregate(group, aggExprs, child, _) =>
+      case agg @ Aggregate(group, aggExprs, child, _)
+          // a GLOBAL aggregate is NOT signed-maintainable: deleting the
+          // last row must yield the one-row (0, NULL) shape SQL defines,
+          // while the merge's zero-count filter would yield zero rows
+          if group.nonEmpty =>
         // exactly one base relation under a chain of row-level nodes
         // (WHERE / projections / aliases) — those commute with signed
-        // deltas; anything else (joins, set ops, windows) does not
+        // deltas; anything else (joins, set ops, windows) does not.
+        // Projections must CARRY _sign through (they prune columns),
+        // so swap() appends it to every Project on the path.
         var baseParts: Option[Seq[String]] = None
         def swap(p: LogicalPlan, sub: LogicalPlan): Option[LogicalPlan] = p match {
           case r: UnresolvedRelation if baseParts.isEmpty =>
             baseParts = Some(r.multipartIdentifier); Some(sub)
-          case pj: Project => swap(pj.child, sub).map(n => pj.copy(child = n))
+          case pj: Project => swap(pj.child, sub).map(n => pj.copy(
+            projectList = pj.projectList :+ UnresolvedAttribute("_sign"),
+            child = n))
           case f: Filter => swap(f.child, sub).map(n => f.copy(child = n))
           case sa: SubqueryAlias => swap(sa.child, sub).map(n => sa.copy(child = n))
           case _ => None
@@ -109,13 +117,24 @@ private[graft] object GraftMaterializedView {
         def isAgg(f: UnresolvedFunction, nm: String): Boolean =
           f.nameParts.map(_.toLowerCase) == Seq(nm) && !f.isDistinct &&
             f.filter.isEmpty
+        // count(*) / count(1) ONLY: count(expr) skips NULL arguments,
+        // which sum(_sign) cannot see — treating it as row count would
+        // silently drift the view on every NULL-bearing delta
+        def isCountStar(f: UnresolvedFunction): Boolean =
+          isAgg(f, "count") && (f.arguments match {
+            case Seq() => true
+            case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
+            case Seq(org.apache.spark.sql.catalyst.expressions
+              .Literal(v, _)) => v != null
+            case _ => false
+          })
         def sumOf(e: Expression): Expression =
           UnresolvedFunction(Seq("sum"), Seq(e), isDistinct = false)
         val aggPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         val cntPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         var maintainable = true
         val signed: Seq[Expression] = aggExprs.zipWithIndex.map {
-          case (Alias(f: UnresolvedFunction, name), i) if isAgg(f, "count") =>
+          case (Alias(f: UnresolvedFunction, name), i) if isCountStar(f) =>
             aggPos += i; cntPos += i
             Alias(sumOf(UnresolvedAttribute("_sign")), name)()
           case (Alias(f: UnresolvedFunction, name), i)
@@ -164,6 +183,20 @@ private[graft] object GraftMaterializedView {
 
   private[catalog] def run(session: SparkSession, plan: LogicalPlan) =
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, plan)
+
+  /** Pin every relation of an incremental MV's (single-relation) plan
+    * to `VERSION AS OF seq` — the defining query is LAZY and otherwise
+    * executes inside the commit, so a base commit racing the refresh
+    * would make the state NEWER than the recorded watermark and the
+    * next delta would double-apply. Skipped for seq < 0 (a base with no
+    * committed version has nothing to pin). */
+  private[catalog] def pinBaseVersion(plan: LogicalPlan, seq: Long): LogicalPlan =
+    if (seq < 0) plan
+    else plan.transformUp {
+      case r: UnresolvedRelation =>
+        org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          r, None, Some(seq.toString))
+    }
 }
 
 private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
@@ -186,7 +219,6 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
       if (ps.length == 1)
         cm.currentCatalog.name() +: (cm.currentNamespace.toSeq :+ ps.head)
       else cm.currentCatalog.name() +: ps)
-    val df = GraftMaterializedView.run(session, qualified)
 
     // maintenance mode decided (and pinned) at CREATE: incremental when
     // the shape qualifies AND the base is a graft table of THIS catalog
@@ -195,17 +227,23 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
         bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name())
       }
     }
-    val baseProps: Map[String, String] = shape match {
+    val (baseProps, df) = shape match {
       case Some(s) =>
         val (_, bid) = GraftViewSql.viewTarget(session, s.baseParts).get
         val bSeq = g.cat.latest(bid.namespace()(0), bid.name())
           .map(_.seq).getOrElse(-1L)
-        Map(ModeProp -> "incremental",
+        // the query is lazy (it executes inside the commit below) —
+        // pin it to THIS version or a racing base commit would make the
+        // state newer than the watermark and double-apply the next delta
+        (Map(ModeProp -> "incremental",
           BaseProp -> s"${bid.namespace()(0)} ${bid.name()}",
           BaseSeqProp -> bSeq.toString,
           AggColsProp -> s.aggPositions.mkString(","),
-          CountColProp -> s.countPositions.head.toString)
-      case None => Map(ModeProp -> "full")
+          CountColProp -> s.countPositions.head.toString),
+          GraftMaterializedView.run(session, pinBaseVersion(qualified, bSeq)))
+      case None =>
+        (Map(ModeProp -> "full"),
+          GraftMaterializedView.run(session, qualified))
     }
     val props = baseProps ++ Map(
       QueryProp -> queryText,
@@ -233,19 +271,31 @@ private[catalog] case class GraftRefreshMvCommand(parts: Seq[String])
     val ns = ident.namespace()(0); val name = ident.name()
     require(cat.tableExists(ns, name),
       s"no such materialized view ${parts.mkString(".")}")
-    val props = cat.tableProperties(ns, name)
+    // ONE head read anchors the whole refresh: the state it reads, the
+    // watermark it trusts, and the CAS it publishes under — a CONCURRENT
+    // refresh (or any other MV commit) aborts loudly on the conditional
+    // commit instead of merging an already-applied delta a second time
+    val mvSnap = cat.latest(ns, name).getOrElse(throw new IllegalStateException(
+      s"${parts.mkString(".")} has no committed version"))
+    val props = mvSnap.properties
     require(props.contains(QueryProp),
       s"${parts.mkString(".")} is a plain table, not a materialized view")
 
     def fullRebuild(): Unit = {
-      val df = GraftMaterializedView.run(session,
-        qualifiedDefinition(session, props))
-      val wm = props.get(BaseProp).map { b =>
-        val Array(bns, bt) = b.split(" ")
-        BaseSeqProp -> cat.latest(bns, bt).map(_.seq).getOrElse(-1L).toString
+      val (wm, plan) = props.get(BaseProp) match {
+        case Some(b) =>
+          val Array(bns, bt) = b.split(" ")
+          val head = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+          // pin the lazy rebuild read to the version the new watermark
+          // names (same race as CREATE)
+          (Map(BaseSeqProp -> head.toString),
+            pinBaseVersion(qualifiedDefinition(session, props), head))
+        case None =>
+          (Map.empty[String, String], qualifiedDefinition(session, props))
       }
-      cat.commitReplace(ns, name, df, sourceRegion = "mv",
-        propsSet = wm.toMap): Unit
+      cat.commitReplace(ns, name,
+        GraftMaterializedView.run(session, plan), sourceRegion = "mv",
+        expectedParentSeq = Some(mvSnap.seq), propsSet = wm): Unit
     }
 
     if (props.get(ModeProp).contains("incremental")) {
@@ -270,7 +320,9 @@ private[catalog] case class GraftRefreshMvCommand(parts: Seq[String])
       try {
         val delta = GraftMaterializedView.run(session,
           shape.signedPlanOver(deltaView))
-        val state = cat.read(ns, name)
+        // the state the merge reads is the SNAPSHOT the CAS anchors on,
+        // never "latest at execution time"
+        val state = cat.readSnapshotPublic(ns, name, mvSnap)
         val schema = state.schema
         val aggIdx = shape.aggPositions.toSet
         val keyCols = schema.fieldNames.zipWithIndex
@@ -290,6 +342,7 @@ private[catalog] case class GraftRefreshMvCommand(parts: Seq[String])
           .filter(col(cntName) > 0)
           .select(schema.fieldNames.map(col).toSeq: _*)
         cat.commitReplace(ns, name, merged, sourceRegion = "mv",
+          expectedParentSeq = Some(mvSnap.seq),
           propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
       } finally session.catalog.dropTempView(deltaView): Unit
     } else fullRebuild()

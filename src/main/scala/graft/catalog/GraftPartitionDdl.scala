@@ -4,7 +4,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.connector.catalog.TableChange
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
 /** Iceberg's native partition-evolution DDL over graft tables:
@@ -103,10 +102,18 @@ private[catalog] case class GraftAlterPartitionFieldCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val (g, ident) = GraftViewSql.viewTarget(session, parts).get
-    val table = g.loadTable(ident)
     val name = parts.mkString(".")
-    val props = table.properties().asScala.toMap
-    val schema = Some(table.schema())
+    val ns = ident.namespace()(0); val t = ident.name()
+    // ONE head read serves the spec this statement evolves AND anchors
+    // the commit: the next spec is computed FROM the current one, so a
+    // concurrent spec change must abort the statement (same rule as
+    // compact's layout threading), never be silently overwritten by a
+    // stale full-spec JSON
+    val snap = g.cat.latest(ns, t).getOrElse(throw new IllegalStateException(
+      s"$name has no committed version"))
+    val props = snap.properties
+    val schema = snap.schemaJson.map(org.apache.spark.sql.types.DataType
+      .fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
     val cur = GraftCatalog.validatedPartitionSpec(name, props, schema)
     val cs = session.sessionState.conf.caseSensitiveAnalysis
     def sameCol(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
@@ -134,16 +141,18 @@ private[catalog] case class GraftAlterPartitionFieldCommand(
         }
         spec :+ a
       }
-    // route through the catalog's property ALTER: validation (types,
-    // reserved prefixes) and the CAS commit live there — and time travel
-    // reads each version's own spec like any other property
-    val json = GraftCatalog.partitionSpecJson(next)
+    // route through the catalog's property commit (validation — types,
+    // reserved prefixes — lives there; time travel reads each version's
+    // own spec), CONDITIONAL on the head this statement derived from
     if (next.isEmpty)
-      g.alterTable(ident,
-        TableChange.removeProperty(GraftCatalog.PartitionSpecProp)): Unit
+      g.cat.commitProperties(ns, t, Map.empty,
+        unset = Seq(GraftCatalog.PartitionSpecProp),
+        expectedParentSeq = Some(snap.seq)): Unit
     else
-      g.alterTable(ident,
-        TableChange.setProperty(GraftCatalog.PartitionSpecProp, json)): Unit
+      g.cat.commitProperties(ns, t,
+        Map(GraftCatalog.PartitionSpecProp ->
+          GraftCatalog.partitionSpecJson(next)),
+        expectedParentSeq = Some(snap.seq)): Unit
     Seq.empty
   }
 }

@@ -443,16 +443,17 @@ private[catalog] object CowPruning {
   /** `statKey` maps a filter's LOGICAL column name to the PHYSICAL name
     * the manifest stats/blooms key on — identity except after a RENAME
     * COLUMN (the column-mapping layer, [[GraftCatalog.physicalName]]). */
-  /** `bucketOf` maps a LOGICAL column to its bucket count when the
-    * table's partition spec buckets it — equality probes then also
-    * compare the probe's spec bucket value against the per-file derived
-    * bucket stat. This is the saturation-proof half of point pruning:
-    * the fixed-size bloom goes all-ones past ~BloomBits distinct keys
-    * per file, while the bucket stat (min==max on aligned files)
-    * compares exactly at any file size. */
+  /** `spec` is the table's validated partition spec — equality probes
+    * on bucket-transform sources then also compare the probe's spec
+    * bucket value against the per-file derived bucket stat
+    * ([[GraftCatalog.bucketProbeOf]]). This is the saturation-proof
+    * half of point pruning: the fixed-size bloom goes all-ones past
+    * ~BloomBits distinct keys per file, while the bucket stat (min==max
+    * on aligned files) compares exactly at any file size. */
   def compile(f: Filter, dtOf: String => Option[DataType],
               statKey: String => String = identity,
-              bucketOf: String => Option[Int] = _ => None): Entry => Boolean = {
+              spec: Seq[GraftCatalog.PartitionField] = Seq.empty)
+      : Entry => Boolean = {
     def numeric(c: String) = dtOf(c).exists(GraftCatalog.statNumeric)
     def lt(c: String)(a: String, b: String): Boolean =
       GraftCatalog.boundsLt(numeric(c))(a, b)
@@ -501,21 +502,16 @@ private[catalog] object CowPruning {
       val bk = statKey(c)
       // spec-bucket pruning: files recording a bucket range that cannot
       // contain the probe's bucket are out — exact at any file size
-      val bucketOk: Entry => Boolean = bucketOf(c)
-        .flatMap(n => GraftCatalog.icebergBucketValueOf(dtOf(c), v, n)
-          .map(b => (n, b))) match {
-        case Some((n, b)) =>
-          val key = GraftCatalog.bucketStatKey(n, bk)
-          e => e.stats.get(key) match {
-            case Some((mn, mx)) =>
-              try b >= mn.toInt && b <= mx.toInt
-              catch { case _: NumberFormatException => true }
-            case None => true
-          }
-        case None => _ => true
-      }
+      val bucketOk: Entry => Boolean =
+        GraftCatalog.bucketProbeOf(spec, c, dtOf(c), v, bk) match {
+          case Some((key, b)) => e => GraftCatalog.bucketStatKeeps(e.stats, key, b)
+          case None => _ => true
+        }
+      // versioned key for timestamp blooms (micros form) — legacy
+      // string-form blooms are never probed (see GraftCatalog.bloomKeyOf)
+      val bloomKey = GraftCatalog.bloomKeyOf(dtOf(c), bk)
       e => boundsOk(e) && bucketOk(e) && (positions match {
-        case Some(pos) => e.blooms.get(bk) match {
+        case Some(pos) => e.blooms.get(bloomKey) match {
           case Some(b64) => GraftCatalog.bloomHit(b64, pos)
           case None => true
         }

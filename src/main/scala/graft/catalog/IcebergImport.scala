@@ -290,8 +290,24 @@ object IcebergImport {
     // (nameMapping defined above, before the era computation — it wins
     // over, and disambiguates, the schema-derived union here)
 
+    // ---- partition specs ----
+    // (transform, source-id, field name) per declared spec (flat JSON);
+    // the NAME is how a manifest's partition tuple is addressed
+    val specFieldsById: Map[Int, Seq[(String, Int, String)]] =
+      Option(root.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala).map { sp =>
+          sp.get("spec-id").asInt() ->
+            sp.get("fields").elements().asScala.map(f =>
+              (f.get("transform").asText(), f.get("source-id").asInt(),
+                f.get("name").asText())).toSeq
+        }.toMap
+    def specHasIdentity(specId: Int): Boolean =
+      specFieldsById.getOrElse(specId, Seq.empty).exists(_._1 == "identity")
+
     // per-snapshot live entries via the spec artifacts (data + equality
-    // deletes; position deletes refuse). Each data file's manifest,
+    // deletes; position deletes refuse). For manifests whose spec has
+    // IDENTITY fields (and only those — ordinary imports stay
+    // O(manifests) on the driver), each data file's manifest,
     // partition-spec-id and PARTITION TUPLE are captured for the
     // identity-omission reconstruction below (the tuple is what fills
     // an omitted identity source column — spec §Column Projection).
@@ -310,7 +326,7 @@ object IcebergImport {
             Paths.get(java.net.URI.create(mPath)))
           .filter(e => anyInt(IcebergExport.getOpt(e, "status")) != 2) // DELETED excluded
           .map { e =>
-            if (mContent == 0) {
+            if (mContent == 0 && specHasIdentity(mSpecId)) {
               val df0 = e.get("data_file").asInstanceOf[GenericRecord]
               if (anyInt(IcebergExport.getOpt(df0, "content")) == 0) {
                 val uri0 = df0.get("file_path").toString
@@ -382,18 +398,6 @@ object IcebergImport {
           s"IcebergImport: file $uri carries column '$col0' that no schema " +
             "of this table declares (and no name-mapping resolves it)"))
       })
-
-    // ---- partition specs ----
-    // (transform, source-id, field name) per declared spec (flat JSON);
-    // the NAME is how a manifest's partition tuple is addressed
-    val specFieldsById: Map[Int, Seq[(String, Int, String)]] =
-      Option(root.get("partition-specs")).toSeq
-        .flatMap(_.elements().asScala).map { sp =>
-          sp.get("spec-id").asInt() ->
-            sp.get("fields").elements().asScala.map(f =>
-              (f.get("transform").asText(), f.get("source-id").asInt(),
-                f.get("name").asText())).toSeq
-        }.toMap
 
     // IDENTITY-OMISSION RECONSTRUCTION: the spec allows writers to OMIT
     // identity source columns from data files — the REQUIRED reader

@@ -119,21 +119,35 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       }
       val reqLine = readLine()
       if (reqLine == null) return
-      var contentLength = 0
+      val out = sock.getOutputStream
+      var contentLength: Option[Int] = Some(0)
       var l = readLine()
       while (l != null && l.nonEmpty) {
         val i = l.indexOf(':')
         if (i > 0 && l.substring(0, i).trim.equalsIgnoreCase("content-length"))
-          contentLength = l.substring(i + 1).trim.toInt
+          contentLength = l.substring(i + 1).trim.toIntOption
         l = readLine()
       }
-      val body = readFully(in, contentLength)
+      // a malformed or hostile length replies 400/413 — never a silent
+      // connection drop (the outer catch has no response channel) and
+      // never an attacker-sized buffer on this thread-per-connection
+      // server. 64 MiB bounds any legitimate CommitTableRequest.
+      val MaxBody = 64 * 1024 * 1024
+      val length = contentLength match {
+        case Some(n) if n >= 0 && n <= MaxBody => n
+        case Some(n) =>
+          reply(out, 400, err(400, "BadRequestException",
+            s"Content-Length $n exceeds the $MaxBody-byte limit")); return
+        case None =>
+          reply(out, 400, err(400, "BadRequestException",
+            "malformed Content-Length header")); return
+      }
+      val body = readFully(in, length)
       val parts = reqLine.split(" ")
       val (method, rawPath) =
         (parts.headOption.getOrElse(""), parts.lift(1).getOrElse("/"))
       val path = rawPath.split("\\?")(0).split("/").filter(_.nonEmpty)
         .map(URLDecoder.decode(_, UTF_8)).toSeq
-      val out = sock.getOutputStream
       try route(method, path, new String(body, UTF_8), out)
       catch {
         case e: RestError => reply(out, e.code, err(e.code, e.typ, e.getMessage))
@@ -238,14 +252,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       Some(schema)): Unit
     catch { case e: Exception => bad(e.getMessage) }
     cat.createTable(ns, name)
-    // empty v0 carrying the declared schema, then properties — same
-    // all-or-nothing contract as the SQL CREATE path
-    try {
-      cat.commitAppend(ns, name, cat.spark.createDataFrame(
-        cat.spark.sparkContext.emptyRDD[Row], schema), sourceRegion = "rest")
-      if (allProps.nonEmpty)
-        cat.commitProperties(ns, name, allProps): Unit
-    } catch { case e: Throwable =>
+    // empty v0 carrying schema AND spec/properties in ONE snapshot: a
+    // crash after a schema-only v0 would leave a created-but-
+    // unpartitioned table the retrying client cannot repair (its retry
+    // gets 409 AlreadyExists) and whose writes would silently cluster
+    // nothing. The in-process cleanup below covers in-process failures.
+    try cat.commitReplace(ns, name, cat.spark.createDataFrame(
+        cat.spark.sparkContext.emptyRDD[Row], schema),
+      sourceRegion = "rest", propsSet = allProps): Unit
+    catch { case e: Throwable =>
       try cat.dropTable(ns, name) catch { case _: Exception => () }
       throw e
     }

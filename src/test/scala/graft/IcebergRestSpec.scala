@@ -228,6 +228,21 @@ class IcebergRestSpec extends SparkSpec {
       assert(cat.tableSchema("seedns", "ct").get.fieldNames.toSeq ===
         Seq("id", "v"))
       assert(cat.tableProperties("seedns", "ct")("owner.team") === "interop")
+      // schema + spec + props publish as ONE snapshot: a crash after a
+      // schema-only v0 would leave an unrepairable unpartitioned table
+      assert(cat.snapshots("seedns", "ct").size === 1,
+        "REST create must be a single commit")
+      // protocol hardening: malformed Content-Length is a 400, not a
+      // silent connection drop
+      val sock = new java.net.Socket("127.0.0.1", p)
+      try {
+        val os = sock.getOutputStream
+        os.write(("POST /v1/namespaces/seedns/tables HTTP/1.1\r\n" +
+          "Content-Length: abc\r\n\r\n").getBytes("UTF-8"))
+        os.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(resp.startsWith("HTTP/1.1 400"), resp.take(80))
+      } finally sock.close()
       // duplicate create → 409 AlreadyExists
       assert(RestClient.createViaRest(p, "seedns", "ct",
         Seq("id" -> "long"))._1 === 409)

@@ -127,6 +127,66 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("temporary"))
   }
 
+  test("shape guardrails: count(expr) (NULL-skipping) and GLOBAL " +
+       "aggregates pin mode=full — signed deltas would drift them; a " +
+       "subquery-projection shape stays incremental (_sign carried " +
+       "through the projection) and refreshes correctly") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, p DOUBLE)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 1.0), (2, CAST(NULL AS DOUBLE))," +
+      " (3, 3.0), (4, 4.0)").collect(): Unit
+
+    // count(p) skips NULLs — sum(_sign) cannot; must be FULL mode
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.g1 AS " +
+      s"SELECT k % 2 AS g, count(p) AS c FROM $c.ns.t GROUP BY k % 2")
+    assert(cat.tableProperties("ns", "g1")("graft.mv.mode") === "full")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (5, CAST(NULL AS DOUBLE))")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.g1")
+    assert(spark.sql(s"SELECT * FROM $c.ns.g1 ORDER BY g").collect().toSeq
+      === spark.sql(s"SELECT k % 2 AS g, count(p) AS c FROM $c.ns.t " +
+        "GROUP BY k % 2 ORDER BY g").collect().toSeq)
+
+    // global aggregate: deleting every row must keep SQL's one-row
+    // (0, NULL) shape — only a rebuild preserves that
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.g2 AS " +
+      s"SELECT count(*) AS c, sum(p) AS s FROM $c.ns.t")
+    assert(cat.tableProperties("ns", "g2")("graft.mv.mode") === "full")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k > 0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.g2")
+    assert(spark.sql(s"SELECT * FROM $c.ns.g2").collect().toSeq
+      === Seq(Row(0L, null)))
+
+    // subquery projection: the signed plan must thread _sign through
+    // the Project or every refresh dies unresolved
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (10, 1.0), (11, 2.0), (17, 3.0)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.g3 AS " +
+      s"SELECT grp, count(*) AS c FROM " +
+      s"(SELECT k % 7 AS grp FROM $c.ns.t) GROUP BY grp")
+    assert(cat.tableProperties("ns", "g3")("graft.mv.mode") === "incremental")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (24, 9.0)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.g3")
+    assert(spark.sql(s"SELECT * FROM $c.ns.g3 ORDER BY grp").collect().toSeq
+      === spark.sql(s"SELECT k % 7 AS grp, count(*) AS c FROM $c.ns.t " +
+        "GROUP BY k % 7 ORDER BY grp").collect().toSeq)
+  }
+
+  test("refreshes are CAS-anchored: a conditional property commit with a " +
+       "stale expected parent aborts loudly (the primitive REFRESH and " +
+       "ADD/DROP PARTITION FIELD anchor on)") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.a (k BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.a VALUES (1)")
+    val seq = cat.latest("ns", "a").get.seq
+    spark.sql(s"INSERT INTO $c.ns.a VALUES (2)") // someone else commits
+    intercept[java.util.ConcurrentModificationException](
+      cat.commitProperties("ns", "a", Map("x" -> "y"),
+        expectedParentSeq = Some(seq)))
+    // the fresh head still works
+    cat.commitProperties("ns", "a", Map("x" -> "y"),
+      expectedParentSeq = Some(cat.latest("ns", "a").get.seq)): Unit
+    assert(cat.tableProperties("ns", "a")("x") === "y")
+  }
+
   test("the MV survives its defining session's catalog instance and an " +
        "expired changefeed window falls back to a full rebuild") {
     val (cat, c) = fresh()

@@ -184,6 +184,94 @@ private[graft] object GraftMaterializedView {
   private[catalog] def run(session: SparkSession, plan: LogicalPlan) =
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, plan)
 
+  /** The REFRESH entry point, shared by the `REFRESH MATERIALIZED VIEW`
+    * statement and `CALL graft.system.refresh_mv`. Returns the path
+    * taken: "noop" (watermark already at the base head), "incremental"
+    * (signed changefeed delta) or "full" (definition re-run).
+    *
+    * ONE head read anchors the whole refresh: the state it reads, the
+    * watermark it trusts, and the CAS it publishes under — a CONCURRENT
+    * refresh (or any other MV commit) aborts loudly on the conditional
+    * commit instead of merging an already-applied delta a second time. */
+  private[graft] def refresh(session: SparkSession, cat: GraftCatalog,
+                             ns: String, name: String,
+                             label: String): String = {
+    require(cat.tableExists(ns, name), s"no such materialized view $label")
+    val mvSnap = cat.latest(ns, name).getOrElse(throw new IllegalStateException(
+      s"$label has no committed version"))
+    val props = mvSnap.properties
+    require(props.contains(QueryProp),
+      s"$label is a plain table, not a materialized view")
+
+    def fullRebuild(): String = {
+      val (wm, plan) = props.get(BaseProp) match {
+        case Some(b) =>
+          val Array(bns, bt) = b.split(" ")
+          val head = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+          // pin the lazy rebuild read to the version the new watermark
+          // names (same race as CREATE)
+          (Map(BaseSeqProp -> head.toString),
+            pinBaseVersion(qualifiedDefinition(session, props), head))
+        case None =>
+          (Map.empty[String, String], qualifiedDefinition(session, props))
+      }
+      cat.commitReplace(ns, name,
+        GraftMaterializedView.run(session, plan), sourceRegion = "mv",
+        expectedParentSeq = Some(mvSnap.seq), propsSet = wm): Unit
+      "full"
+    }
+
+    if (props.get(ModeProp).contains("incremental")) {
+      val Array(bns, bt) = props(BaseProp).split(" ")
+      val fromSeq = props(BaseSeqProp).toLong
+      val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+      if (headSeq == fromSeq) return "noop" // fresh — nothing to do
+      // re-derive the signed plan from the STORED definition (the shape
+      // was pinned at CREATE; a definition that stopped qualifying is a
+      // bug worth hearing about, not silently rebuilding over)
+      val parsed = session.sessionState.sqlParser.parsePlan(props(QueryProp))
+      val shape = incrementalShape(parsed).getOrElse(
+        throw new IllegalStateException(s"$label: stored " +
+          "definition no longer parses as incrementally maintainable"))
+      val changes =
+        try cat.changesBetween(bns, bt, fromSeq, headSeq)
+        catch { case _: Exception => return fullRebuild() }
+      val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
+      changes.withColumn("_sign",
+          when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
+        .createOrReplaceTempView(deltaView)
+      try {
+        val delta = GraftMaterializedView.run(session,
+          shape.signedPlanOver(deltaView))
+        // the state the merge reads is the SNAPSHOT the CAS anchors on,
+        // never "latest at execution time"
+        val state = cat.readSnapshotPublic(ns, name, mvSnap)
+        val schema = state.schema
+        val aggIdx = shape.aggPositions.toSet
+        val keyCols = schema.fieldNames.zipWithIndex
+          .collect { case (n, i) if !aggIdx(i) => n }.toSeq
+        val cntName = schema.fieldNames(shape.countPositions.head)
+        // one group-key aggregation of state ∪ delta; aggregate columns
+        // re-cast to the view's recorded types (sum-of-sum widening must
+        // not drift the schema refresh over refresh)
+        val aggCols = shape.aggPositions.map { i =>
+          val n = schema.fieldNames(i)
+          sum(col(n)).cast(schema.fields(i).dataType).as(n)
+        }
+        val merged = state.unionByName(delta.select(schema.fieldNames
+            .map(col).toSeq: _*))
+          .groupBy(keyCols.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .filter(col(cntName) > 0)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        cat.commitReplace(ns, name, merged, sourceRegion = "mv",
+          expectedParentSeq = Some(mvSnap.seq),
+          propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
+        "incremental"
+      } finally session.catalog.dropTempView(deltaView): Unit
+    } else fullRebuild()
+  }
+
   /** Pin every relation of an incremental MV's (single-relation) plan
     * to `VERSION AS OF seq` — the defining query is LAZY and otherwise
     * executes inside the commit, so a base commit racing the refresh
@@ -263,89 +351,10 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
 
 private[catalog] case class GraftRefreshMvCommand(parts: Seq[String])
   extends LeafRunnableCommand {
-  import GraftMaterializedView._
-
   override def run(session: SparkSession): Seq[Row] = {
     val (g, ident) = GraftViewSql.viewTarget(session, parts).get
-    val cat = g.cat
-    val ns = ident.namespace()(0); val name = ident.name()
-    require(cat.tableExists(ns, name),
-      s"no such materialized view ${parts.mkString(".")}")
-    // ONE head read anchors the whole refresh: the state it reads, the
-    // watermark it trusts, and the CAS it publishes under — a CONCURRENT
-    // refresh (or any other MV commit) aborts loudly on the conditional
-    // commit instead of merging an already-applied delta a second time
-    val mvSnap = cat.latest(ns, name).getOrElse(throw new IllegalStateException(
-      s"${parts.mkString(".")} has no committed version"))
-    val props = mvSnap.properties
-    require(props.contains(QueryProp),
-      s"${parts.mkString(".")} is a plain table, not a materialized view")
-
-    def fullRebuild(): Unit = {
-      val (wm, plan) = props.get(BaseProp) match {
-        case Some(b) =>
-          val Array(bns, bt) = b.split(" ")
-          val head = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
-          // pin the lazy rebuild read to the version the new watermark
-          // names (same race as CREATE)
-          (Map(BaseSeqProp -> head.toString),
-            pinBaseVersion(qualifiedDefinition(session, props), head))
-        case None =>
-          (Map.empty[String, String], qualifiedDefinition(session, props))
-      }
-      cat.commitReplace(ns, name,
-        GraftMaterializedView.run(session, plan), sourceRegion = "mv",
-        expectedParentSeq = Some(mvSnap.seq), propsSet = wm): Unit
-    }
-
-    if (props.get(ModeProp).contains("incremental")) {
-      val Array(bns, bt) = props(BaseProp).split(" ")
-      val fromSeq = props(BaseSeqProp).toLong
-      val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
-      if (headSeq == fromSeq) return Seq.empty // fresh — nothing to do
-      // re-derive the signed plan from the STORED definition (the shape
-      // was pinned at CREATE; a definition that stopped qualifying is a
-      // bug worth hearing about, not silently rebuilding over)
-      val parsed = session.sessionState.sqlParser.parsePlan(props(QueryProp))
-      val shape = incrementalShape(parsed).getOrElse(
-        throw new IllegalStateException(s"${parts.mkString(".")}: stored " +
-          "definition no longer parses as incrementally maintainable"))
-      val changes =
-        try cat.changesBetween(bns, bt, fromSeq, headSeq)
-        catch { case _: Exception => fullRebuild(); return Seq.empty }
-      val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
-      changes.withColumn("_sign",
-          when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
-        .createOrReplaceTempView(deltaView)
-      try {
-        val delta = GraftMaterializedView.run(session,
-          shape.signedPlanOver(deltaView))
-        // the state the merge reads is the SNAPSHOT the CAS anchors on,
-        // never "latest at execution time"
-        val state = cat.readSnapshotPublic(ns, name, mvSnap)
-        val schema = state.schema
-        val aggIdx = shape.aggPositions.toSet
-        val keyCols = schema.fieldNames.zipWithIndex
-          .collect { case (n, i) if !aggIdx(i) => n }.toSeq
-        val cntName = schema.fieldNames(shape.countPositions.head)
-        // one group-key aggregation of state ∪ delta; aggregate columns
-        // re-cast to the view's recorded types (sum-of-sum widening must
-        // not drift the schema refresh over refresh)
-        val aggCols = shape.aggPositions.map { i =>
-          val n = schema.fieldNames(i)
-          sum(col(n)).cast(schema.fields(i).dataType).as(n)
-        }
-        val merged = state.unionByName(delta.select(schema.fieldNames
-            .map(col).toSeq: _*))
-          .groupBy(keyCols.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-          .filter(col(cntName) > 0)
-          .select(schema.fieldNames.map(col).toSeq: _*)
-        cat.commitReplace(ns, name, merged, sourceRegion = "mv",
-          expectedParentSeq = Some(mvSnap.seq),
-          propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
-      } finally session.catalog.dropTempView(deltaView): Unit
-    } else fullRebuild()
+    GraftMaterializedView.refresh(session, g.cat,
+      ident.namespace()(0), ident.name(), parts.mkString(".")): Unit
     Seq.empty
   }
 }

@@ -34,7 +34,8 @@ object GraftProcedures {
     "expire_snapshots_auto", "rollback",
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
-    "backfill_stats", "rewrite_manifests", "rewrite_position_deletes")
+    "backfill_stats", "rewrite_manifests", "rewrite_position_deletes",
+    "refresh_mv")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -80,6 +81,19 @@ object GraftProcedures {
         { case Seq(ns: String, t: String) =>
           val removed = cat.expireSnapshots(ns, t)
           Seq(Seq(removed.size.toLong, cat.snapshots(ns, t).size.toLong)) }))
+      // the scheduled-maintenance spelling of REFRESH MATERIALIZED VIEW
+      // (same shared entry point; reports which path the refresh took
+      // and the post-refresh staleness watermark)
+      case "refresh_mv" => Some(proc("refresh_mv",
+        Seq("ns" -> StringType, "tbl" -> StringType),
+        StructType(Seq(StructField("mode", StringType),
+          StructField("base_seq", LongType))),
+        { case Seq(ns: String, t: String) =>
+          val mode = GraftMaterializedView.refresh(
+            org.apache.spark.sql.SparkSession.active, cat, ns, t, s"$ns.$t")
+          val wm = cat.tableProperties(ns, t)
+            .get(GraftMaterializedView.BaseSeqProp).map(_.toLong).getOrElse(-1L)
+          Seq(Seq(mode, wm)) }))
       case "rollback" => Some(proc("rollback",
         Seq("ns" -> StringType, "tbl" -> StringType, "seq" -> LongType),
         StructType(Seq(StructField("head_seq", LongType),

@@ -200,14 +200,58 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         if (!cat.tableExists(ns, t))
           reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
         else reply(out, 200, loadTableResult(ns, t))
+      case ("POST", "v1" :: "namespaces" :: Nil) =>
+        createNamespace(body, out)
+      case ("DELETE", "v1" :: "namespaces" :: ns :: Nil) =>
+        if (!namespaces().contains(ns))
+          reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
+        else if (cat.listTables(ns).nonEmpty)
+          reply(out, 409, err(409, "NamespaceNotEmptyException",
+            s"namespace $ns holds tables"))
+        else {
+          deleteTree(Paths.get(cat.warehouse, ns))
+          replyHead(out, 204)
+        }
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
         createTable(ns, body, out)
+      case ("DELETE", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if (!cat.tableExists(ns, t))
+          reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
+        else {
+          cat.dropTable(ns, t)
+          // reclaim the serving memo + any export trees the table owned
+          Option(exported.remove((ns, t))).foreach { m =>
+            (Option(m.loc) ++ m.prev).foreach(l =>
+              deleteTree(Paths.get(l).getParent.getParent))
+          }
+          replyHead(out, 204)
+        }
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         commitTable(ns, t, body, out)
       case _ =>
         reply(out, 404, err(404, "NotFoundException",
           s"$method /${path.mkString("/")}"))
     }
+
+  /** Spec CreateNamespaceRequest — single-level namespaces (the graft
+    * warehouse model); the namespace is a warehouse directory. */
+  private def createNamespace(body: String, out: OutputStream): Unit = {
+    val req = parseJson(body)
+    val levels = Option(req.get("namespace")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText()).toList
+    levels match {
+      case ns :: Nil =>
+        if (ns.isEmpty || ns.startsWith(".") || ns.startsWith("_"))
+          bad(s"invalid namespace '$ns'")
+        if (namespaces().contains(ns))
+          throw new RestError(409, "AlreadyExistsException", s"namespace $ns")
+        Files.createDirectories(Paths.get(cat.warehouse, ns)): Unit
+        reply(out, 200,
+          s"""{"namespace":["${esc(ns)}"],"properties":{}}""")
+      case other => bad(s"graft serves single-level namespaces, got " +
+        s"[${other.mkString(", ")}]")
+    }
+  }
 
   // ---- create (spec CreateTableRequest -> graft CREATE + empty v0) ----
 

@@ -327,6 +327,38 @@ class IcebergRestSpec extends SparkSpec {
       val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
       assert(spark.sql(s"SELECT count(*) FROM $c.seedns.ct WHERE id < 100")
         .head().getLong(0) === 100L)
+
+      // namespace + table CRUD completes the management surface:
+      // create namespace (single-level), duplicate -> 409, create a
+      // table in it, DELETE table -> 204 + gone, non-empty namespace
+      // delete -> 409, empty -> 204
+      val (nc1, _) = RestClient.post(p, "/v1/namespaces",
+        """{"namespace":["fresh"],"properties":{}}""")
+      assert(nc1 === 200)
+      assert(RestClient.get(p, "/v1/namespaces")._2.contains("[\"fresh\"]"))
+      assert(RestClient.post(p, "/v1/namespaces",
+        """{"namespace":["fresh"]}""")._1 === 409)
+      assert(RestClient.post(p, "/v1/namespaces",
+        """{"namespace":["a","b"]}""")._1 === 400, "multi-level refuses")
+      assert(RestClient.createViaRest(p, "fresh", "tt",
+        Seq("x" -> "long"))._1 === 200)
+      val delNs = java.net.URI.create(
+        s"http://127.0.0.1:$p/v1/namespaces/fresh").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      delNs.setRequestMethod("DELETE")
+      assert(delNs.getResponseCode === 409, "non-empty namespace must refuse")
+      val delT = java.net.URI.create(
+        s"http://127.0.0.1:$p/v1/namespaces/fresh/tables/tt").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      delT.setRequestMethod("DELETE")
+      assert(delT.getResponseCode === 204)
+      assert(!cat.tableExists("fresh", "tt"))
+      val delNs2 = java.net.URI.create(
+        s"http://127.0.0.1:$p/v1/namespaces/fresh").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      delNs2.setRequestMethod("DELETE")
+      assert(delNs2.getResponseCode === 204)
+      assert(!RestClient.get(p, "/v1/namespaces")._2.contains("[\"fresh\"]"))
     } finally server.stop()
   }
 }

@@ -170,6 +170,26 @@ class MaterializedViewSpec extends SparkSpec {
         "GROUP BY k % 7 ORDER BY grp").collect().toSeq)
   }
 
+  test("CALL graft.system.refresh_mv is the scheduled-maintenance " +
+       "spelling: same shared refresh, reports the path taken and the " +
+       "post-refresh watermark") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.b (g BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 10), (2, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m AS " +
+      s"SELECT g, count(*) AS cnt, sum(v) AS s FROM $c.ns.b GROUP BY g")
+    // fresh -> noop
+    val r0 = spark.sql(s"CALL $c.system.refresh_mv('ns', 'm')").head()
+    assert(r0.getString(0) === "noop")
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 5)")
+    val r1 = spark.sql(s"CALL $c.system.refresh_mv('ns', 'm')").head()
+    assert(r1.getString(0) === "incremental")
+    assert(r1.getLong(1) === cat.latest("ns", "b").get.seq,
+      "reported watermark must be the base head")
+    assert(spark.sql(s"SELECT s FROM $c.ns.m WHERE g = 1").head().getLong(0)
+      === 15L)
+  }
+
   test("refreshes are CAS-anchored: a conditional property commit with a " +
        "stale expected parent aborts loudly (the primitive REFRESH and " +
        "ADD/DROP PARTITION FIELD anchor on)") {

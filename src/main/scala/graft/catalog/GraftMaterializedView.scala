@@ -146,7 +146,17 @@ private[graft] object GraftMaterializedView {
           case (e, _) if groupSqls.contains(stripAlias(e).sql) => e
           case _ => maintainable = false; null
         }
-        if (!maintainable || cntPos.isEmpty) None
+        // EVERY grouping expression must also be SELECTED: the refresh
+        // merge re-groups by the view's own non-aggregate columns, so a
+        // grouping expr absent from the SELECT list (GROUP BY k, j with
+        // only k selected) would collapse distinct j-groups into one row
+        // on the first incremental refresh — silent corruption
+        val keySqls = aggExprs.zipWithIndex.collect {
+          case (e, i) if maintainable && !aggPos.contains(i) =>
+            stripAlias(e).sql
+        }.toSet
+        if (!maintainable || cntPos.isEmpty ||
+            !groupSqls.subsetOf(keySqls)) None
         else {
           val probe = swap(child, UnresolvedRelation(Seq("__probe__")))
           probe.flatMap(_ => baseParts).map { parts =>
@@ -203,7 +213,7 @@ private[graft] object GraftMaterializedView {
     require(props.contains(QueryProp),
       s"$label is a plain table, not a materialized view")
 
-    def fullRebuild(): String = {
+    def fullRebuild(extraProps: Map[String, String] = Map.empty): String = {
       val (wm, plan) = props.get(BaseProp) match {
         case Some(b) =>
           val Array(bns, bt) = b.split(" ")
@@ -217,7 +227,8 @@ private[graft] object GraftMaterializedView {
       }
       cat.commitReplace(ns, name,
         GraftMaterializedView.run(session, plan), sourceRegion = "mv",
-        expectedParentSeq = Some(mvSnap.seq), propsSet = wm): Unit
+        expectedParentSeq = Some(mvSnap.seq),
+        propsSet = wm ++ extraProps): Unit
       "full"
     }
 
@@ -226,13 +237,16 @@ private[graft] object GraftMaterializedView {
       val fromSeq = props(BaseSeqProp).toLong
       val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
       if (headSeq == fromSeq) return "noop" // fresh — nothing to do
-      // re-derive the signed plan from the STORED definition (the shape
-      // was pinned at CREATE; a definition that stopped qualifying is a
-      // bug worth hearing about, not silently rebuilding over)
+      // re-derive the signed plan from the STORED definition. A view
+      // pinned incremental by an EARLIER (laxer) shape detector must
+      // stay serviceable: rebuild it and DOWNGRADE the recorded mode so
+      // later refreshes stop re-deriving — never a permanent refusal
+      // whose only exit is DROP + recreate
       val parsed = session.sessionState.sqlParser.parsePlan(props(QueryProp))
-      val shape = incrementalShape(parsed).getOrElse(
-        throw new IllegalStateException(s"$label: stored " +
-          "definition no longer parses as incrementally maintainable"))
+      val shape = incrementalShape(parsed) match {
+        case Some(s) => s
+        case None => return fullRebuild(Map(ModeProp -> "full"))
+      }
       val changes =
         try cat.changesBetween(bns, bt, fromSeq, headSeq)
         catch { case _: Exception => return fullRebuild() }

@@ -547,11 +547,16 @@ private[catalog] object CowPruning {
             p.isEmpty || p.last >= 0x7f || ltS(mn, p.init + (p.last + 1).toChar)
           !ltS(mx, p) && upperOk
         }
+      // spec threads through the recursion: an equality probe nested in
+      // a compound filter must keep its bucket-stat pruning (on a
+      // bloom-saturated file that stat is the ONLY pruning signal left)
       case sources.And(l, r) =>
-        val (cl, cr) = (compile(l, dtOf, statKey), compile(r, dtOf, statKey))
+        val (cl, cr) = (compile(l, dtOf, statKey, spec),
+          compile(r, dtOf, statKey, spec))
         e => cl(e) && cr(e)
       case sources.Or(l, r) =>
-        val (cl, cr) = (compile(l, dtOf, statKey), compile(r, dtOf, statKey))
+        val (cl, cr) = (compile(l, dtOf, statKey, spec),
+          compile(r, dtOf, statKey, spec))
         e => cl(e) || cr(e)
       case sources.AlwaysFalse() => _ => false
       case _ => _ => true // IsNull/IsNotNull/Not/unknown: cannot prune

@@ -203,6 +203,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case ("POST", "v1" :: "namespaces" :: Nil) =>
         createNamespace(body, out)
       case ("DELETE", "v1" :: "namespaces" :: ns :: Nil) =>
+        if (ns.exists(c => c == '/' || c == '\\')) bad(s"invalid namespace '$ns'")
         if (!namespaces().contains(ns))
           reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
         else if (cat.listTables(ns).nonEmpty)
@@ -215,14 +216,21 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
         createTable(ns, body, out)
       case ("DELETE", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if ((ns + t).exists(c => c == '/' || c == '\\'))
+          bad(s"invalid identifier '$ns.$t'")
         if (!cat.tableExists(ns, t))
           reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
         else {
           cat.dropTable(ns, t)
           // reclaim the serving memo + any export trees the table owned
+          // — UNDER the memo lock (an in-flight servedExport holds it;
+          // reading loc/prev bare would tear down dirs under its feet)
           Option(exported.remove((ns, t))).foreach { m =>
-            (Option(m.loc) ++ m.prev).foreach(l =>
-              deleteTree(Paths.get(l).getParent.getParent))
+            m.synchronized {
+              (Option(m.loc) ++ m.prev).foreach(l =>
+                deleteTree(Paths.get(l).getParent.getParent))
+              m.loc = null; m.prev = None; m.head = null
+            }
           }
           replyHead(out, 204)
         }
@@ -241,7 +249,11 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       .flatMap(_.elements().asScala).map(_.asText()).toList
     levels match {
       case ns :: Nil =>
-        if (ns.isEmpty || ns.startsWith(".") || ns.startsWith("_"))
+        // same identifier rules the catalog enforces — notably NO path
+        // separators: 'x/../../evil' would otherwise createDirectories
+        // OUTSIDE the warehouse (remote path traversal)
+        if (ns.isEmpty || ns.startsWith(".") || ns.startsWith("_") ||
+            ns.exists(c => c == '/' || c == '\\'))
           bad(s"invalid namespace '$ns'")
         if (namespaces().contains(ns))
           throw new RestError(409, "AlreadyExistsException", s"namespace $ns")
@@ -545,6 +557,13 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     val head = headSnap.map(_.commitId).getOrElse("v0-empty")
     val memo = exported.computeIfAbsent((ns, t), _ => new Memo)
     memo.synchronized {
+      // re-check under the lock: a DELETE racing this GET (which passed
+      // the route's exists check) must yield 404, never resurrect a
+      // memo + export tree for a dropped table that nothing reclaims
+      if (!cat.tableExists(ns, t)) {
+        exported.remove((ns, t), memo): Unit
+        throw new RestError(404, "NoSuchTableException", s"table $ns.$t")
+      }
       if (memo.head != head) {
         val dest = Paths.get(exportRoot, ns, t,
           java.util.UUID.randomUUID().toString.take(8))

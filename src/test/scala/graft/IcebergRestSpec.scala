@@ -340,6 +340,12 @@ class IcebergRestSpec extends SparkSpec {
         """{"namespace":["fresh"]}""")._1 === 409)
       assert(RestClient.post(p, "/v1/namespaces",
         """{"namespace":["a","b"]}""")._1 === 400, "multi-level refuses")
+      // path traversal refuses (createDirectories would otherwise land
+      // OUTSIDE the warehouse)
+      assert(RestClient.post(p, "/v1/namespaces",
+        """{"namespace":["x/../../evil"]}""")._1 === 400)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh).getParent.resolve("evil")))
       assert(RestClient.createViaRest(p, "fresh", "tt",
         Seq("x" -> "long"))._1 === 200)
       val delNs = java.net.URI.create(

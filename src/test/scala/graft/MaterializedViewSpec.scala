@@ -170,6 +170,42 @@ class MaterializedViewSpec extends SparkSpec {
         "GROUP BY k % 7 ORDER BY grp").collect().toSeq)
   }
 
+  test("more shape guardrails: a grouping expr absent from the SELECT " +
+       "list pins mode=full (the merge re-groups by the view's own " +
+       "columns — it would collapse the hidden group); a view pinned " +
+       "incremental by an earlier laxer detector DOWNGRADES to full on " +
+       "refresh instead of refusing forever") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, j BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 1, 10), (1, 2, 20), (2, 1, 30)")
+
+    // GROUP BY k, j but only k selected: two j-groups share each k row
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.h1 AS " +
+      s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k, j")
+    assert(cat.tableProperties("ns", "h1")("graft.mv.mode") === "full")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 2, 5)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.h1")
+    assert(spark.sql(s"SELECT * FROM $c.ns.h1 ORDER BY k, c").collect().toSeq
+      === spark.sql(s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k, j " +
+        "ORDER BY k, c").collect().toSeq)
+
+    // legacy-pinned incremental whose stored definition the CURRENT
+    // detector rejects: refresh rebuilds AND records mode=full
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.h2 AS " +
+      s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "h2")("graft.mv.mode") === "incremental")
+    cat.commitProperties("ns", "h2", Map(
+      "graft.mv.query" -> s"SELECT k, count(v) AS c FROM $c.ns.t GROUP BY k")):
+      Unit // count(expr): the old detector accepted this, the new refuses
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (3, 1, 7)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.h2") // must not throw
+    assert(cat.tableProperties("ns", "h2")("graft.mv.mode") === "full",
+      "the un-maintainable view must downgrade, not refuse forever")
+    assert(spark.sql(s"SELECT * FROM $c.ns.h2 ORDER BY k").collect().toSeq
+      === spark.sql(s"SELECT k, count(v) AS c FROM $c.ns.t GROUP BY k " +
+        "ORDER BY k").collect().toSeq)
+  }
+
   test("CALL graft.system.refresh_mv is the scheduled-maintenance " +
        "spelling: same shared refresh, reports the path taken and the " +
        "post-refresh watermark") {

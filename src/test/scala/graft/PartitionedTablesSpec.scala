@@ -166,6 +166,15 @@ class PartitionedTablesSpec extends SparkSpec {
     // programmatic path prunes identically
     val rwe = cat.readWhereEquals("ns", "sat", "pk", "12345")
     assert(rwe.inputFiles.length < total && rwe.count() === 1L)
+    // the bucket stat prunes through COMPOUND filters too (an equality
+    // probe nested under AND must keep its spec threading)
+    val compound = cat.readFilteredLatest("ns", "sat",
+      Array[sources.Filter](sources.And(
+        sources.EqualTo("pk", 12345L), sources.GreaterThan("v", 0.0))),
+      carryPosition = false)
+    assert(compound.inputFiles.length < total,
+      s"AND-nested point probe read ${compound.inputFiles.length}/$total " +
+        "files — the spec must thread through compile's recursion")
     // and an ABSENT key inside the bucket's range still returns empty
     // (the residual filter keeps exactness; pruning is never the answer)
     assert(cat.readWhereEquals("ns", "sat", "pk", "9999999").count() === 0L)

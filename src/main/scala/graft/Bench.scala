@@ -327,6 +327,60 @@ object ServeBench {
       }
       (1 to repeat).foreach(i => time("morread_postrewrite", i)(readCount()))
     }
+    if (groups("mv")) {
+      // MATERIALIZED-VIEW maintenance at scale (round-12): the claim is
+      // O(changed groups) — an incremental REFRESH after a FIXED-SIZE
+      // base churn costs the delta read + a state-sized merge (group
+      // cardinality is corpus-independent here: k % 1000), never a base
+      // rescan. Expect: mv_create ∝ corpus (one full aggregation),
+      // mv_refresh FLAT across 1x/10x/30x.
+      val li = Tables.lineitem(spark, sfDir)
+      val base = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        (col("l_orderkey") % 1000).as("grp"),
+        (col("l_extendedprice") * 100).cast("long").as("cents"))
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+      // RANGE-cluster the key (write.sort-columns): the changefeed's
+      // erased-rows candidate scan then prunes by pk bounds — the
+      // O(delta) regime, since the fixed churn keys are a contiguous
+      // low range. (Hash-bucketing cannot help here: scattered delete
+      // keys touch every bucket by construction; locality is the
+      // property that bounds delete cost, exactly as in any LSM/MoR
+      // system.) Un-clustered bases pay one scan + broadcast semi-join
+      // — still never the two-snapshot shuffle diff.
+      spark.sql(s"""CREATE TABLE $c.sb.mvb (pk BIGINT, grp BIGINT, cents BIGINT)
+                    TBLPROPERTIES ('write.sort-columns'='pk')""")
+      base.createOrReplaceTempView("mvb_src")
+      time("mv_base_insert", 1) {
+        spark.sql(s"INSERT INTO $c.sb.mvb SELECT * FROM mvb_src").collect()
+        cat.latest("sb", "mvb").get.fileCount
+      }
+      time("mv_create", 1) {
+        spark.sql(s"""CREATE MATERIALIZED VIEW $c.sb.mvagg AS
+          SELECT grp, count(*) AS cnt, sum(cents) AS total
+          FROM $c.sb.mvb GROUP BY grp""").collect()
+        spark.sql(s"SELECT count(*) FROM $c.sb.mvagg").head().getLong(0)
+      }
+      // fixed-size churn from the 1x-stable key range: upserts + deletes
+      val batch = base.filter(col("pk") < 40000 && col("pk") % 2 === 0)
+        .localCheckpoint()
+      val delKeys = base.filter(col("pk") < 40000 && col("pk") % 17 === 0)
+        .select(col("pk")).localCheckpoint()
+      (1 to math.max(repeat, 3)).foreach { i =>
+        cat.commitCdcApply("sb", "mvb",
+          batch.withColumn("cents", col("cents") + i), delKeys,
+          keyCols = Seq("pk"))
+        time("mv_refresh_incr", i) {
+          spark.sql(s"CALL $c.system.refresh_mv('sb', 'mvagg')").collect()
+          spark.sql(s"SELECT count(*) FROM $c.sb.mvagg").head().getLong(0)
+        }
+      }
+      // control: the full rebuild the signed delta avoids
+      time("mv_rebuild_full", 1) {
+        spark.sql(s"""SELECT grp, count(*) AS cnt, sum(cents) AS total
+          FROM $c.sb.mvb GROUP BY grp""").count()
+      }
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with

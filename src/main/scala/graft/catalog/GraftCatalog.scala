@@ -3394,12 +3394,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     def snapAt(sq: Long) = snaps.find(_.seq == sq).getOrElse(
       throw new IllegalArgumentException(s"no version $sq of $ns.$name"))
     val from = snapAt(fromSeq); val to = snapAt(toSeq)
-    if (appendOnly(snaps, from, to))
-      readIncremental(ns, name, fromSeq, toSeq)
-        .withColumn("_change_type", lit("insert"))
-    else {
-      val a = readSnapshot(ns, name, from)
-      val b = readSnapshot(ns, name, to)
+    def diff(b: DataFrame, a: DataFrame): DataFrame = {
       val cols = (b.columns ++ a.columns.filterNot(b.columns.contains)).toSeq
       def typeOf(c: String) =
         b.schema.fields.find(_.name == c).orElse(a.schema.fields.find(_.name == c)).get.dataType
@@ -3409,6 +3404,149 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .unionByName(
           aligned(a).exceptAll(aligned(b)).withColumn("_change_type", lit("delete")))
     }
+    if (appendOnly(snaps, from, to))
+      readIncremental(ns, name, fromSeq, toSeq)
+        .withColumn("_change_type", lit("insert"))
+    else if (to.manifests.startsWith(from.manifests)) {
+      // MoR-ADDITIVE range (appends + delete commits + cdc upserts —
+      // anything that only APPENDS manifests): b = (a − D) + N, so
+      // b∖a = N∖D and a∖b = D∖N with N = range-added rows as `to`
+      // serves them and D = the from-rows the range's delete units
+      // erase. Both sides are DELTA-sized — the O(2×corpus) exceptAll
+      // of two full snapshots below is reserved for true overwrites
+      // (compaction/replace rewrite the manifest list and break the
+      // prefix invariant). At 100 TB this is THE changefeed shape: a
+      // replica/materialized view following a cdc-churned base pays
+      // O(batch), never a base rescan per refresh.
+      val (n, d) = morAdditiveDelta(ns, name, from, to)
+      diff(n, d)
+    } else
+      diff(readSnapshot(ns, name, to), readSnapshot(ns, name, from))
+  }
+
+  /** The (added rows N, erased rows D) of a MoR-additive version range
+    * — see [[changesBetween]]. N = the range-added data files scanned
+    * under `to` (its positional rule erases rows added-then-deleted
+    * within the range). D = C − apply(C, range deletes) where C is the
+    * candidate subset of `from`: position deletes name their files
+    * explicitly; equality keys prune candidate files through the same
+    * stats/bloom/bucket machinery point lookups use (collected
+    * driver-side — delete files are the small side by the format's
+    * contract, capped: past 10k distinct keys the scan keeps every
+    * file, one full pass + broadcast semi-join, still far under the
+    * two-scan shuffle diff). Conservative pruning stays EXACT: extra
+    * candidates survive the apply step and cancel in C − survivors. */
+  private def morAdditiveDelta(ns: String, name: String,
+                               from: Snapshot, to: Snapshot)
+      : (DataFrame, DataFrame) = {
+    val added = to.manifests.drop(from.manifests.size)
+    val newDataPaths = added.filterNot(isDeleteManifest)
+      .flatMap(manifestEntries(ns, name, _)).map(_._1).toSet
+    val n = morScan(ns, name, to, e => newDataPaths(e.path))
+
+    val (posM, eqM) = added.filter(isDeleteManifest)
+      .partition(isPosDeleteManifest)
+    def abs(rel: String) = tableDir(ns, name).resolve(rel).toString
+    val eqFiles = eqM.flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
+    val posFiles = posM.flatMap(manifestEntries(ns, name, _)).map(e => abs(e._1))
+    if (eqFiles.isEmpty && posFiles.isEmpty)
+      return (n, readSnapshot(ns, name, from).limit(0))
+
+    val fromSchema = from.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val statKey = physKeyOf(from)
+    // files position deletes reference, by name
+    val posRefs: Set[String] =
+      if (posFiles.isEmpty) Set.empty
+      else spark.read.parquet(posFiles: _*).select("file_path")
+        .distinct().collect().map(_.getString(0)).toSet
+    val eqDf = if (eqFiles.isEmpty) None
+      else Some(spark.read.parquet(eqFiles: _*))
+    // equality-candidate pruning on the FIRST delete column (delete
+    // files carry PHYSICAL spellings; stats key on them directly)
+    val keepEq: ManifestEntry => Boolean = eqDf match {
+      case None => _ => false
+      case Some(d) =>
+        val c0 = d.columns.head
+        val dt = fromSchema.flatMap(st => st.fields
+          .find(f => GraftCatalog.physicalName(f) == c0)).map(_.dataType)
+        val vals = d.select(c0).distinct().limit(10001).collect()
+          .map(_.get(0)).filter(_ != null)
+        if (vals.length > 10000) { _ => true } // cap: keep every file
+        else {
+          val numeric = dt.exists(GraftCatalog.statNumeric)
+          val probes = vals.map(v =>
+            dt.map(GraftCatalog.statForm(_, v)).getOrElse(v.toString))
+          val posSets = probes.map(GraftCatalog.bloomPositions(_))
+          val spec = scala.util.Try(GraftCatalog.validatedPartitionSpec(
+            s"$ns.$name", from.properties, fromSchema)).getOrElse(Seq.empty)
+          val bucketProbes: Option[(String, Set[Int])] = spec.collectFirst {
+            case GraftCatalog.PartitionField("bucket", src, nb)
+                if statKey(src) == c0 || src == c0 =>
+              (GraftCatalog.bucketStatKey(nb, c0),
+                vals.flatMap(v => GraftCatalog.icebergBucketValueOf(dt, v, nb))
+                  .toSet)
+          }
+          val bloomK = GraftCatalog.bloomKeyOf(dt, c0)
+          e => {
+            val boundsOk = e.stats.get(c0) match {
+              case Some((mn, mx)) =>
+                try probes.exists(p =>
+                  !GraftCatalog.boundsLt(numeric)(p, mn) &&
+                    !GraftCatalog.boundsLt(numeric)(mx, p))
+                catch { case _: NumberFormatException => true }
+              case None => true
+            }
+            def bucketOk = bucketProbes match {
+              case Some((key, bs)) => e.stats.get(key) match {
+                case Some((mn, mx)) =>
+                  try bs.exists(b => b >= mn.toInt && b <= mx.toInt)
+                  catch { case _: NumberFormatException => true }
+                case None => true
+              }
+              case None => true
+            }
+            def bloomOk = e.blooms.get(bloomK) match {
+              case Some(b64) =>
+                posSets.exists(GraftCatalog.bloomHit(b64, _))
+              case None => true
+            }
+            boundsOk && bucketOk && bloomOk
+          }
+        }
+    }
+    // delete parquet spells PHYSICAL names; scan output is logical
+    val dlOpt = eqDf.map { d =>
+      val toLogical = fromSchema.map(GraftCatalog.physicalMap)
+        .getOrElse(Map.empty).map(_.swap)
+      d.columns.foldLeft(d)((acc, c) =>
+        acc.withColumnRenamed(c, toLogical.getOrElse(c, c)))
+    }
+    // equality erasure IS a key match: one (pruned) scan of the
+    // candidate files semi-joined against the broadcast key set —
+    // delta-sized output, and NO lineage decode unless position deletes
+    // exist. (An earlier C − apply(C) formulation differenced two
+    // candidate-sized frames; with saturated pruning that was two
+    // corpus-sized except legs — measured 4× a full rebuild at 30×.)
+    val erasedEq = dlOpt.map { dl =>
+      morScan(ns, name, from, keepEq)
+        .join(dl, dl.columns.toSeq, "left_semi")
+    }
+    val erasedPos =
+      if (posFiles.isEmpty) None
+      else {
+        val hit = morScanLineage(ns, name, from, e => posRefs(e.path))
+          .join(spark.read.parquet(posFiles: _*)
+            .select(col("file_path").as("_file"), col("pos").as("_pos")),
+            Seq("_file", "_pos"), "left_semi")
+          .drop("_file", "_pos")
+        // a row both key-matched AND position-named must erase ONCE
+        Some(dlOpt.fold(hit)(dl => hit.join(dl, dl.columns.toSeq, "left_anti")))
+      }
+    val erased = (erasedEq.toSeq ++ erasedPos.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(readSnapshot(ns, name, from).limit(0))
+    (n, erased)
   }
 
   /** History as a DataFrame (the `t.history` metadata-table pattern) —

@@ -104,6 +104,12 @@ private[graft] object GraftMaterializedView {
         def swap(p: LogicalPlan, sub: LogicalPlan): Option[LogicalPlan] = p match {
           case r: UnresolvedRelation if baseParts.isEmpty =>
             baseParts = Some(r.multipartIdentifier); Some(sub)
+          // a star would EXPAND the delta view's own _sign at refresh
+          // and the appended _sign would duplicate it (ambiguous
+          // reference, refresh dies with no downgrade path) — pin full
+          case pj: Project if pj.projectList.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.analysis
+                .UnresolvedStar])) => None
           case pj: Project => swap(pj.child, sub).map(n => pj.copy(
             projectList = pj.projectList :+ UnresolvedAttribute("_sign"),
             child = n))
@@ -290,10 +296,16 @@ private[graft] object GraftMaterializedView {
     * to `VERSION AS OF seq` — the defining query is LAZY and otherwise
     * executes inside the commit, so a base commit racing the refresh
     * would make the state NEWER than the recorded watermark and the
-    * next delta would double-apply. Skipped for seq < 0 (a base with no
-    * committed version has nothing to pin). */
-  private[catalog] def pinBaseVersion(plan: LogicalPlan, seq: Long): LogicalPlan =
-    if (seq < 0) plan
+    * next delta would double-apply. seq < 0 (a base with NO committed
+    * version) has no version to pin, but the race is the same — a base
+    * commit landing between the head read and the lazy execution would
+    * make the state newer than the -1 watermark — so the plan is pinned
+    * to EMPTY (LIMIT 0), exactly what "state reflects version -1"
+    * means; the first refresh picks those rows up as the -1→head
+    * delta. */
+  private[graft] def pinBaseVersion(plan: LogicalPlan, seq: Long): LogicalPlan =
+    if (seq < 0) Limit(org.apache.spark.sql.catalyst.expressions
+      .Literal(0, org.apache.spark.sql.types.IntegerType), plan)
     else plan.transformUp {
       case r: UnresolvedRelation =>
         org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(

@@ -58,8 +58,12 @@ import graft.catalog.{GraftCatalog, IcebergExport}
   * the caller and never kills the server (same contract as
   * TopicServer/CatalogServer). */
 final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
-                              port: Int = 0) {
-  private val server = new ServerSocket(port)
+                              port: Int = 0, bindAll: Boolean = false) {
+  // loopback by default: this surface is unauthenticated and WRITABLE
+  // (create/drop/commit) and its commit protocol reads client-supplied
+  // local file URIs — an all-interfaces bind is an explicit opt-in
+  private val server = new ServerSocket(port, 50,
+    if (bindAll) null else java.net.InetAddress.getLoopbackAddress)
   def boundPort: Int = server.getLocalPort
   private val mapper = new ObjectMapper()
   @volatile private var running = true
@@ -170,8 +174,29 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     buf
   }
 
+  /** Uniform identifier gate for EVERY route that carries a namespace
+    * or table segment. URL decoding happens per-segment AFTER path
+    * splitting, so a '%2F'-encoded separator or a '..' segment reaches
+    * here intact — without this check it would flow into Paths.get and
+    * resolve OUTSIDE the warehouse (create/drop/commit are writable).
+    * Same rules the catalog enforces: non-empty, no separators, no
+    * leading '.'/'_' (covers '..' and plumbing dirs). */
+  private def requireIdent(s: String, kind: String): Unit =
+    if (s.isEmpty || s.startsWith(".") || s.startsWith("_") ||
+        s.exists(c => c == '/' || c == '\\'))
+      bad(s"invalid $kind '$s'")
+
   private def route(method: String, path: Seq[String], body: String,
-                    out: OutputStream): Unit =
+                    out: OutputStream): Unit = {
+    path.toList match {
+      case "v1" :: "namespaces" :: ns :: rest =>
+        requireIdent(ns, "namespace")
+        rest match {
+          case "tables" :: t :: _ => requireIdent(t, "table identifier")
+          case _ => ()
+        }
+      case _ => ()
+    }
     (method, path.toList) match {
       case ("GET", "v1" :: "config" :: Nil) =>
         reply(out, 200, """{"defaults":{},"overrides":{}}""")
@@ -203,7 +228,6 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case ("POST", "v1" :: "namespaces" :: Nil) =>
         createNamespace(body, out)
       case ("DELETE", "v1" :: "namespaces" :: ns :: Nil) =>
-        if (ns.exists(c => c == '/' || c == '\\')) bad(s"invalid namespace '$ns'")
         if (!namespaces().contains(ns))
           reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
         else if (cat.listTables(ns).nonEmpty)
@@ -216,8 +240,6 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: Nil) =>
         createTable(ns, body, out)
       case ("DELETE", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
-        if ((ns + t).exists(c => c == '/' || c == '\\'))
-          bad(s"invalid identifier '$ns.$t'")
         if (!cat.tableExists(ns, t))
           reply(out, 404, err(404, "NoSuchTableException", s"table $ns.$t"))
         else {
@@ -240,6 +262,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         reply(out, 404, err(404, "NotFoundException",
           s"$method /${path.mkString("/")}"))
     }
+  }
 
   /** Spec CreateNamespaceRequest — single-level namespaces (the graft
     * warehouse model); the namespace is a warehouse directory. */
@@ -415,8 +438,19 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     addSnapshots.headOption match {
       case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq)
       case None =>
-        try cat.commitProperties(ns, t, setProps, unsetProps): Unit
-        catch { case e: IllegalArgumentException => bad(e.getMessage) }
+        // anchored on the SAME served version the requirements were
+        // judged against — a concurrent commit in the check-then-commit
+        // window is the spec's 409, never silent last-writer-wins (the
+        // set may carry graft.partition-spec, whose new value encodes
+        // the prior map)
+        try cat.commitProperties(ns, t, setProps, unsetProps,
+          expectedParentSeq = Some(servedSeq).filter(_ >= 0)): Unit
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            conflict(e.getMessage)
+          case e: IllegalArgumentException => bad(e.getMessage)
+          case e: IllegalStateException => bad(e.getMessage)
+        }
     }
     reply(out, 200, loadTableResult(ns, t))
   }

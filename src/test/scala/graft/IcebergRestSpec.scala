@@ -34,6 +34,59 @@ class IcebergRestSpec extends SparkSpec {
     conn.getResponseCode
   }
 
+  /** Raw-socket request: HttpURLConnection normalizes dot-segments, so
+    * traversal probes must go over the wire verbatim. */
+  private def rawRequest(port: Int, method: String, rawPath: String,
+                         body: String = ""): String = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val os = sock.getOutputStream
+      val b = body.getBytes("UTF-8")
+      os.write((s"$method $rawPath HTTP/1.1\r\nContent-Length: ${b.length}" +
+        "\r\n\r\n").getBytes("UTF-8"))
+      os.write(b)
+      os.flush()
+      new String(sock.getInputStream.readAllBytes(), "UTF-8")
+    } finally sock.close()
+  }
+
+  test("every ns/table route rejects traversal identifiers: '%2F'-encoded " +
+       "separators and '..' segments decode AFTER path splitting and " +
+       "would otherwise reach Paths.get on the writable create/drop/" +
+       "commit surface — all must 400, and nothing lands outside the " +
+       "warehouse") {
+    val wh = Files.createTempDirectory("graft-rest-trav-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("safe", "t1")
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-trav-exp").toString)
+    try {
+      val p = server.boundPort
+      val probes = Seq(
+        ("GET", "/v1/namespaces/..%2Fevil"),
+        ("GET", "/v1/namespaces/..%2Fevil/tables"),
+        ("GET", "/v1/namespaces/safe/tables/..%2F..%2Fevil"),
+        ("HEAD", "/v1/namespaces/safe/tables/..%2Ft1"),
+        ("DELETE", "/v1/namespaces/..%2Fevil"),
+        ("DELETE", "/v1/namespaces/safe/tables/..%2F..%2Fevil"),
+        ("DELETE", "/v1/namespaces/safe/tables/%2E%2E%2Ft1"),
+        ("POST", "/v1/namespaces/..%2Fevil/tables"),
+        ("POST", "/v1/namespaces/safe/tables/..%2F..%2Fevil"),
+        ("POST", "/v1/namespaces/_internal/tables"),
+        ("GET", "/v1/namespaces/.hidden/tables"))
+      probes.foreach { case (m, path) =>
+        val resp = rawRequest(p, m, path,
+          if (m == "POST") """{"requirements":[],"updates":[]}""" else "")
+        assert(resp.startsWith("HTTP/1.1 400"),
+          s"$m $path must 400, got ${resp.linesIterator.next()}")
+      }
+      // the guarded surface still works for honest identifiers
+      assert(httpHead(p, "/v1/namespaces/safe/tables/t1") === 204)
+      // and nothing escaped the warehouse
+      assert(!Files.exists(Paths.get(wh).getParent.resolve("evil")))
+    } finally server.stop()
+  }
+
   test("a REST-client walk mounts a live graft table: discovery endpoints " +
        "are spec-shaped, LoadTableResult serves a real metadata tree with " +
        "the table's PARTITION SPEC, the data files read back exactly, a " +

@@ -206,6 +206,68 @@ class MaterializedViewSpec extends SparkSpec {
         "ORDER BY k").collect().toSeq)
   }
 
+  test("a star projection on the path pins mode=full (at refresh the " +
+       "star would expand the delta view's own _sign and the appended " +
+       "_sign would collide — ambiguous reference with no downgrade " +
+       "exit), and a LEGACY view pinned incremental over a star " +
+       "definition downgrades on refresh instead of dying") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 10), (2, 20), (1, 5)")
+
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.sv AS " +
+      s"SELECT k, count(*) AS c FROM (SELECT * FROM $c.ns.t) GROUP BY k")
+    assert(cat.tableProperties("ns", "sv")("graft.mv.mode") === "full")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (3, 1)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.sv")
+    assert(spark.sql(s"SELECT * FROM $c.ns.sv ORDER BY k").collect().toSeq
+      === spark.sql(s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k " +
+        "ORDER BY k").collect().toSeq)
+
+    // legacy-pinned incremental whose stored definition carries a star:
+    // refresh must rebuild + downgrade, never die on the duplicate _sign
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.sv2 AS " +
+      s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "sv2")("graft.mv.mode") === "incremental")
+    cat.commitProperties("ns", "sv2", Map("graft.mv.query" ->
+      s"SELECT k, count(*) AS c FROM (SELECT * FROM $c.ns.t) GROUP BY k")): Unit
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (4, 2)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.sv2") // must not throw
+    assert(cat.tableProperties("ns", "sv2")("graft.mv.mode") === "full")
+    assert(spark.sql(s"SELECT * FROM $c.ns.sv2 ORDER BY k").collect().toSeq
+      === spark.sql(s"SELECT k, count(*) AS c FROM $c.ns.t GROUP BY k " +
+        "ORDER BY k").collect().toSeq)
+  }
+
+  test("pinBaseVersion pins a NEGATIVE watermark to the empty plan " +
+       "(LIMIT 0): a base commit racing the lazy CREATE/rebuild " +
+       "execution can never make the state newer than the -1 watermark " +
+       "(which would double-apply the first incremental delta)") {
+    import org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      "SELECT k, count(*) AS c FROM some_base GROUP BY k")
+    val pinned = graft.catalog.GraftMaterializedView.pinBaseVersion(parsed, -1L)
+    assert(pinned.isInstanceOf[GlobalLimit],
+      s"seq<0 must pin to LIMIT 0, got ${pinned.getClass.getSimpleName}")
+    // and the end-to-end shape: state committed under a -1 watermark is
+    // EMPTY, so the first refresh applies every base row exactly once
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.b (g BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 10), (2, 20)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m AS " +
+      s"SELECT g, count(*) AS cnt, sum(v) AS s FROM $c.ns.b GROUP BY g")
+    // simulate the race: rewind the watermark to -1 with the CURRENT
+    // state replaced by the empty frame the pin guarantees
+    val empty = spark.sql(s"SELECT * FROM $c.ns.m LIMIT 0")
+    cat.commitReplace("ns", "m", empty, sourceRegion = "test",
+      propsSet = Map("graft.mv.base-seq" -> "-1")): Unit
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.m")
+    assert(spark.sql(s"SELECT * FROM $c.ns.m ORDER BY g").collect().toSeq
+      === spark.sql(s"SELECT g, count(*) AS cnt, sum(v) AS s FROM $c.ns.b " +
+        "GROUP BY g ORDER BY g").collect().toSeq,
+      "a -1 watermark over empty state must converge on first refresh")
+  }
+
   test("CALL graft.system.refresh_mv is the scheduled-maintenance " +
        "spelling: same shared refresh, reports the path taken and the " +
        "post-refresh watermark") {

@@ -10,6 +10,28 @@ import org.apache.spark.sql.SparkSession
   * reflect steady-state execution, matching how the operators would run
   * inside a long-lived cluster application.
   */
+/** Process-level meters for steal-proof timing: on a host that shares
+  * CPU with other tooling, wall-clock alone cannot distinguish a real
+  * regression from scheduler steal — but steal shows up mechanically as
+  * wall >> cpu (the process wasn't running), while a true regression
+  * moves cpu with wall. Every bench row carries all three. */
+private[graft] object BenchMeters {
+  private val os = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private val gcs = java.lang.management.ManagementFactory
+    .getGarbageCollectorMXBeans
+  /** Cumulative process CPU seconds (all threads — in local mode the
+    * executors live in this JVM, so deltas bracket the whole query). */
+  def cpuSec: Double = os.getProcessCpuTime / 1e9
+  /** Cumulative stop-the-world GC milliseconds across all collectors. */
+  def gcMs: Long = {
+    var t = 0L
+    gcs.forEach(b => if (b.getCollectionTime >= 0) t += b.getCollectionTime)
+    t
+  }
+}
+
 /** Isolation runner: time a single named query (outlier re-runs on a
   * noisy host; ROUND_NOTES documents why totals beat single samples). */
 object BenchOne {
@@ -34,9 +56,13 @@ object BenchOne {
       // accumulated block-manager state, not the query
       if (i > 1) { System.gc(); Thread.sleep(500) }
       args(0).split(",").foreach { q =>
+        val (c0, g0) = (BenchMeters.cpuSec, BenchMeters.gcMs)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, sfDir).count()
-        println(s"""{"query":"$q","run":$i,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}}""")
+        println(s"""{"query":"$q","run":$i,"rows":$n,""" +
+          s""""sec":${(System.nanoTime() - t0) / 1e9},""" +
+          s""""cpu":${BenchMeters.cpuSec - c0},""" +
+          s""""gc_ms":${BenchMeters.gcMs - g0}}""")
       }
     }
     spark.stop()
@@ -497,12 +523,19 @@ object Bench {
     // pass the noise landed on. A System.gc() between passes lets the
     // ContextCleaner drop localCheckpoint blocks pinned by pass 1 so the
     // second pass isn't penalized by accumulated block-manager state.
-    def pass(): Map[String, (Double, Option[String])] =
+    // per-query (wall, process-cpu, gc) — cpu/gc deltas make host steal
+    // mechanically visible (wall >> cpu) so variance adjudication stops
+    // resting on prose (round-12 verdict task #2)
+    case class Sample(wall: Double, cpu: Double, gcMs: Long,
+                      err: Option[String])
+    def pass(): Map[String, Sample] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (c0, g0) = (BenchMeters.cpuSec, BenchMeters.gcMs)
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        name -> ((System.nanoTime() - t0) / 1e9, err)
+        name -> Sample((System.nanoTime() - t0) / 1e9,
+          BenchMeters.cpuSec - c0, BenchMeters.gcMs - g0, err)
       }.toMap
     val p1 = pass()
     spark.catalog.clearCache(); System.gc()
@@ -512,8 +545,9 @@ object Bench {
     // must not masquerade as a fast success
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       (p1(name), p2(name)) match {
-        case ((t1, None), (t2, None)) => (name, math.min(t1, t2), None)
-        case ((_, e1), (_, e2))       => (name, 0.0, e1.orElse(e2))
+        case (s1, s2) if s1.err.isEmpty && s2.err.isEmpty =>
+          (name, if (s1.wall <= s2.wall) s1 else s2, None)
+        case (s1, s2) => (name, s1, s1.err.orElse(s2.err))
       }
     }
     // millisecond precision keeps the whole line short enough for the
@@ -521,21 +555,29 @@ object Bench {
     // in round 3 and the line failed to parse)
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, v, None)    => "\"" + k + "\":" + fmt(v)
+      case (k, s, None)    => "\"" + k + "\":" + fmt(s.wall)
       case (k, _, Some(e)) => "\"" + k + "\":\"error:" + e + "\""
     }.mkString("{", ",", "}")
     val failed = results.count(_._3.isDefined)
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, s, None) => s.wall }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}"""
     println(line)
     // the driver's tail capture is bounded (~73 queries survive in
     // BENCH_r*.json), so round-over-round regression audits need the
     // FULL per-query map in a committed artifact — write it next to the
     // repo root (SPARK_GRAFT_BENCH_OUT overrides; never fatal: the
-    // stdout contract above is the product surface)
+    // stdout contract above is the product surface). The artifact also
+    // carries per-query {wall, cpu, gc_ms} of the MIN pass: host steal
+    // reads as wall >> cpu, a real regression moves both.
+    val detail = results.map {
+      case (k, s, None) => "\"" + k + "\":{\"wall\":" + fmt(s.wall) +
+        ",\"cpu\":" + fmt(s.cpu) + ",\"gc_ms\":" + s.gcMs + "}"
+      case (k, _, Some(e)) => "\"" + k + "\":{\"error\":\"" + e + "\"}"
+    }.mkString("{", ",", "}")
+    val fullLine = line.dropRight(1) + s""","detail":$detail}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()

@@ -401,6 +401,27 @@ object ServeBench {
           spark.sql(s"SELECT count(*) FROM $c.sb.mvagg").head().getLong(0)
         }
       }
+      // COMPACTION-INTERLEAVED refreshes (round-13): a maintenance
+      // rewrite between churn batches breaks the manifest-prefix test,
+      // so before the segmented changefeed every such refresh paid the
+      // two-snapshot shuffle diff. The claim: mv_refresh_postcompact
+      // stays FLAT with mv_refresh_incr across corpus factors (the
+      // compact itself is corpus-proportional and timed separately).
+      time("mv_compact", 1) {
+        cat.compact("sb", "mvb", 128L * 1024 * 1024).fileCount
+      }
+      (1 to math.max(repeat, 3)).foreach { i =>
+        cat.commitCdcApply("sb", "mvb",
+          batch.withColumn("cents", col("cents") + i + 100), delKeys,
+          keyCols = Seq("pk"))
+        if (i == 2) { // TWO maintenance boundaries inside one window
+          cat.compact("sb", "mvb", 128L * 1024 * 1024): Unit
+        }
+        time("mv_refresh_postcompact", i) {
+          spark.sql(s"CALL $c.system.refresh_mv('sb', 'mvagg')").collect()
+          spark.sql(s"SELECT count(*) FROM $c.sb.mvagg").head().getLong(0)
+        }
+      }
       // control: the full rebuild the signed delta avoids
       time("mv_rebuild_full", 1) {
         spark.sql(s"""SELECT grp, count(*) AS cnt, sum(cents) AS total

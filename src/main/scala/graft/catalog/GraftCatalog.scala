@@ -949,11 +949,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       return (head, 0)
     }
     try {
-      val snap = casCommit(ns, name, maxRetries) { parent =>
+      val snap = casCommit(ns, name, maxRetries, allowMaintenanceId = true) { parent =>
         if (!parent.map(_.commitId).contains(head.commitId))
           throw new java.util.ConcurrentModificationException(
             s"rewriteManifests of $ns.$name inspected ${head.commitId} but the head moved")
-        Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}", Some(head.commitId),
+        Snapshot(head.seq + 1, s"rwmanifests-${UUID.randomUUID()}", Some(head.commitId),
           System.currentTimeMillis(), newList.toSeq,
           head.sourceRegion, head.fileCount, head.totalBytes, head.schemaJson,
           head.propsJson)
@@ -1032,12 +1032,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         if (entries.isEmpty) None
         else Some(writeManifest(ns, name, entries, prefix = "p"))
       staged = newManifest.toSeq
-      val snap = casCommit(ns, name, maxRetries) { parent =>
+      val snap = casCommit(ns, name, maxRetries, allowMaintenanceId = true) { parent =>
         if (!parent.map(_.commitId).contains(head.commitId))
           throw new java.util.ConcurrentModificationException(
             s"rewritePositionDeletes of $ns.$name inspected ${head.commitId} " +
               "but the head moved")
-        Snapshot(head.seq + 1, s"commit-${UUID.randomUUID()}",
+        Snapshot(head.seq + 1, s"rwposdel-${UUID.randomUUID()}",
           Some(head.commitId), System.currentTimeMillis(),
           head.manifests.filterNot(isPosDeleteManifest) ++ newManifest,
           head.sourceRegion,
@@ -1430,11 +1430,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * identical for every ref. */
   private def casCommitAt(ns: String, name: String, maxRetries: Int,
                           readParent: () => Option[Snapshot],
-                          target: Long => Path)
+                          target: Long => Path,
+                          allowMaintenanceId: Boolean = false)
                          (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = mkSnapshot(readParent())
+      // maintenance prefixes mark ROW-NEUTRAL rewrites the changefeed
+      // skips over ([[changesBetween]]'s segmented O(delta) path) — a
+      // caller-supplied commitId spoofing one would silently DROP its
+      // rows from every downstream MV/CDC consumer, so the reservation
+      // is enforced at the single funnel every commit flows through
+      require(allowMaintenanceId ||
+        !GraftCatalog.isMaintenanceCommitId(snap.commitId),
+        s"commit id '${snap.commitId}' uses an engine-reserved " +
+          "maintenance prefix (compact-/rwmanifests-/rwposdel-)")
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
       try {
@@ -1451,10 +1461,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
   }
 
-  private def casCommit(ns: String, name: String, maxRetries: Int)
+  private def casCommit(ns: String, name: String, maxRetries: Int,
+                        allowMaintenanceId: Boolean = false)
                        (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot =
     casCommitAt(ns, name, maxRetries,
-      () => latest(ns, name), versionFile(ns, name, _))(mkSnapshot)
+      () => latest(ns, name), versionFile(ns, name, _),
+      allowMaintenanceId)(mkSnapshot)
 
   /** C3/C12: append `df` as a new version with optimistic CAS on the
     * version number. Data files land distributed (executor writes); one
@@ -1543,7 +1555,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                     expectedParentSeq: Option[Long] = None,
                     bloomCols: Seq[String] = Seq.empty,
                     alignSpec: Boolean = false,
-                    propsSet: Map[String, String] = Map.empty): Snapshot = {
+                    propsSet: Map[String, String] = Map.empty,
+                    maintenance: Boolean = false): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     val parent0 = latest(ns, name)
     validatedSchemaJson(ns, name, parent0, df.schema, replacesAll = true)
@@ -1574,7 +1587,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           stagedFileBlooms(ns, name, entries, pdf.schema,
             bloomCols.map(c => pm.getOrElse(c, c)))))
       staged = manifest
-      casCommit(ns, name, maxRetries) { parent =>
+      casCommit(ns, name, maxRetries, allowMaintenanceId = maintenance) { parent =>
         expectedParentSeq.foreach { exp =>
           val cur = parent.map(_.seq).getOrElse(-1L)
           if (cur != exp) throw new java.util.ConcurrentModificationException(
@@ -1582,7 +1595,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         }
         Snapshot(
           parent.map(_.seq + 1).getOrElse(0L),
-          s"commit-${UUID.randomUUID()}",
+          // `maintenance` = the caller ASSERTS this replace is row-
+          // neutral (compaction): the reserved prefix lets the
+          // changefeed's segmented path skip the commit
+          (if (maintenance) s"compact-${UUID.randomUUID()}"
+           else s"commit-${UUID.randomUUID()}"),
           parent.map(_.commitId),
           System.currentTimeMillis(),
           manifest,
@@ -1851,7 +1868,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def commitCdcApply(ns: String, name: String, rows: DataFrame,
                      deleteKeys: DataFrame, keyCols: Seq[String],
                      sourceRegion: String = "local", maxRetries: Int = 5,
-                     commitId: Option[String] = None): Snapshot = {
+                     commitId: Option[String] = None,
+                     propsSet: Map[String, String] = Map.empty): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     require(keyCols.nonEmpty && keyCols.forall(rows.columns.contains),
       s"cdc key columns $keyCols must be a subset of ${rows.columns.toSeq}")
@@ -1866,7 +1884,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // (an update's delete(old) half targets a row this replica
         // never held) — refusing would deadlock the stream on replay
         // of its own first batch
-        commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
+        val snap = commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
+        if (propsSet.isEmpty) snap
+        else commitProperties(ns, name, propsSet,
+          expectedParentSeq = Some(snap.seq))
       case Some(parent0) =>
         validatedSchemaJson(ns, name, Some(parent0), rows.schema)
         val curSchema = parent0.schemaJson
@@ -1925,7 +1946,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               par.fileCount + delEntries.size + dataEntries.size,
               par.totalBytes + (delEntries ++ dataEntries).map(_._2).sum,
               Some(validatedSchemaJson(ns, name, Some(par), rows.schema)),
-              par.propsJson)
+              // propsSet rides the SAME snapshot as the batch (a derived
+              // index's refresh watermark must never be a second commit)
+              if (propsSet.isEmpty) par.propsJson
+              else {
+                val next = par.properties ++ propsSet
+                val tm = new java.util.TreeMap[String, String]()
+                next.foreach { case (k, v) => tm.put(k, v) }
+                Some(GraftCatalog.propsMapper.writeValueAsString(tm))
+              })
           }
         } catch { case e: Throwable =>
           cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
@@ -2221,7 +2250,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         .map(DataType.fromJson(_).asInstanceOf[StructType]))
     commitReplace(ns, name, layout(read(ns, name), parts),
       expectedParentSeq = Some(cur.seq), bloomCols = bloomCols,
-      alignSpec = alignSpec)
+      alignSpec = alignSpec, maintenance = true)
   }
 
   /** Sort-aware compaction (Iceberg's rewrite-with-sort-order): rewrite
@@ -2376,6 +2405,151 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       }
     } catch { case e: Throwable =>
       staged.foreach(dropManifest(ns, name, _)); throw e
+    }
+  }
+
+  /** REST MoR landing — the inbound half of the shim's merge-on-read
+    * surface ([[graft.service.IcebergRestServer]]): register externally-
+    * written DATA files plus DELETE content (equality-delete parquet
+    * already copied under the table dir, and/or remapped position
+    * deletes) as ONE conditional snapshot. Completes the round-12
+    * read-side MoR serving: a foreign engine that reads graft MoR
+    * tables can now write a row-level delta back — the reference's
+    * commit protocol is symmetric over content kinds (v1 ContentType
+    * enumerates POSITION_DELETE/EQUALITY_DELETE as first-class
+    * replicated content, `ContentType.java:2`).
+    *
+    * Manifest order is [[commitUpsert]]'s positional rule: deletes land
+    * BEFORE the commit's own data manifest, so equality keys erase only
+    * strictly-prior rows (the landing rows outlive their own purge) and
+    * position ordinals apply to parent files only. Position liveness is
+    * validated INSIDE the CAS against the parent actually landed on —
+    * a concurrent compaction that rewrote the referenced files aborts
+    * the commit loudly, never publishes ordinals over dead files. Same
+    * refusals as [[commitLandedFiles]] (renamed tables; schema-unbound
+    * equality columns; mixed equality column sets would break the
+    * scan's single-join invariant). */
+  def commitLandedMoR(ns: String, name: String,
+                      dataRels: Seq[String],
+                      eqDeleteRels: Seq[String],
+                      posDeletes: Option[DataFrame],
+                      sourceRegion: String,
+                      expectedParentSeq: Option[Long] = None,
+                      commitId: Option[String] = None,
+                      maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+      throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+    }
+    val parent0 = latest(ns, name).getOrElse(throw new IllegalStateException(
+      s"$ns.$name has no committed version — a MoR delta needs a parent"))
+    val curSchema = parent0.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+    require(pm.forall { case (l, p) => l == p },
+      s"$ns.$name carries renamed (column-mapped) columns — externally-" +
+        "written files resolve by LOGICAL name and would silently read " +
+        "the renamed column as null; compact() re-materializes the " +
+        "physical names first")
+    val tblFields = curSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    // equality-delete files: column sets must be self-consistent,
+    // schema-bound, and equal to any EXISTING delete set (the scan-side
+    // anti-join stays one join)
+    val eqColSets = eqDeleteRels.map { r =>
+      r -> IcebergExport.parquetColumnNames(
+        tableDir(ns, name).resolve(r).toString,
+        spark.sparkContext.hadoopConfiguration).toSet
+    }
+    eqColSets.foreach { case (r, cols) =>
+      require(cols.nonEmpty && (tblFields.isEmpty || cols.subsetOf(tblFields)),
+        s"equality-delete file $r columns $cols are not table columns " +
+          s"of $ns.$name ($tblFields)")
+    }
+    require(eqColSets.map(_._2).distinct.size <= 1,
+      s"equality-delete files disagree on columns: " +
+        s"${eqColSets.map(_._2).distinct.mkString(" vs ")}")
+    equalityDeleteFileEntries(ns, name, parent0).headOption.foreach { case (p, _) =>
+      val prior = spark.read.parquet(tableDir(ns, name).resolve(p).toString)
+        .columns.toSet
+      eqColSets.headOption.foreach { case (_, cols) =>
+        require(prior == cols,
+          s"equality-delete columns $cols differ from the table's existing $prior")
+      }
+    }
+    val props = parent0.properties
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, curSchema)
+    val bloomCols = GraftCatalog.writeBloomColumnsOf(props, pspec)
+    def sized(rels: Seq[String]): Seq[(String, Long)] =
+      rels.distinct.map(f => f -> Files.size(tableDir(ns, name).resolve(f)))
+    val dataEntries = sized(dataRels)
+    val eqEntries = sized(eqDeleteRels)
+    posDeletes.foreach(p => require(
+      p.columns.toSeq.sorted == Seq("file_path", "pos"),
+      s"position deletes carry exactly (file_path, pos); got ${p.columns.toSeq}"))
+    val referenced = posDeletes.toSeq.flatMap(_.select("file_path")
+      .distinct().collect().map(_.getString(0)))
+    val posEntries = posDeletes.toSeq.flatMap(p => stageDataFiles(ns, name,
+      p.select(col("file_path"), col("pos").cast("long").as("pos"))))
+    require(dataEntries.nonEmpty || eqEntries.nonEmpty || posEntries.nonEmpty,
+      "MoR commit carries no data files and no deletes")
+    var staged: Seq[String] = Seq.empty
+    try {
+      val dManifest =
+        if (eqEntries.isEmpty) None
+        else Some(writeManifest(ns, name, eqEntries, prefix = "d"))
+      val pManifest =
+        if (posEntries.isEmpty) None
+        else Some(writeManifest(ns, name, posEntries, prefix = "p"))
+      val mManifest = (dataEntries.nonEmpty, curSchema) match {
+        case (false, _) => None
+        case (true, Some(s)) => Some(writeManifest(ns, name, dataEntries,
+          stagedFileStats(ns, name, dataEntries, s,
+            GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)),
+          stagedFileBlooms(ns, name, dataEntries, s, bloomCols)))
+        case (true, None) => Some(writeManifest(ns, name, dataEntries))
+      }
+      staged = dManifest.toSeq ++ pManifest.toSeq ++ mManifest.toSeq
+      casCommit(ns, name, maxRetries) { parent =>
+        commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
+        val par = parent.getOrElse(throw new IllegalStateException(
+          s"table log for $ns.$name vanished mid-commit"))
+        expectedParentSeq.foreach { exp =>
+          if (par.seq != exp) throw new java.util.ConcurrentModificationException(
+            s"conditional commit of $ns.$name expected parent v$exp but found v${par.seq}")
+        }
+        // liveness INSIDE the CAS, against the parent actually landed on
+        if (referenced.nonEmpty) {
+          val live = dataFiles(ns, name, par).toSet
+          val stale = referenced.filterNot(live)
+          if (stale.nonEmpty) throw new IllegalArgumentException(
+            s"position delete references files not live in $ns.$name " +
+              s"v${par.seq}: ${stale.take(3).mkString(", ")}")
+        }
+        val all = eqEntries ++ posEntries ++ dataEntries
+        Snapshot(par.seq + 1,
+          commitId.getOrElse(s"commit-${UUID.randomUUID()}"),
+          Some(par.commitId),
+          System.currentTimeMillis(),
+          // equality BEFORE the new data (strictly-less rule: the
+          // landing rows outlive their own key-purge), position AFTER
+          // it (at-or-before rule; sound AND Iceberg-expressible —
+          // (file,pos) identity is path-scoped and the commit's own
+          // files carry fresh staged paths no client ordinal can name,
+          // so the widened scope erases exactly the same rows, same
+          // argument as rewritePositionDeletes' end-of-list move)
+          par.manifests ++ dManifest ++ mManifest ++ pManifest,
+          sourceRegion,
+          par.fileCount + all.size,
+          par.totalBytes + all.map(_._2).sum,
+          par.schemaJson, // a MoR delta never changes the schema
+          par.propsJson)
+      }
+    } catch { case e: Throwable =>
+      // position entries were staged HERE; landed data/equality files
+      // belong to the caller's commit-scoped staging dir (it cleans up)
+      cleanupStaged(ns, name, posEntries, staged); throw e
     }
   }
 
@@ -3420,8 +3594,66 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // O(batch), never a base rescan per refresh.
       val (n, d) = morAdditiveDelta(ns, name, from, to)
       diff(n, d)
-    } else
-      diff(readSnapshot(ns, name, to), readSnapshot(ns, name, from))
+    } else segmentedMorDelta(ns, name, snaps, from, to) match {
+      // additive-MODULO-MAINTENANCE range: compaction/rewrites are
+      // row-neutral by construction (reserved commit-id prefixes,
+      // enforced at the commit funnel), so the range decomposes into
+      // MoR-additive segments whose per-segment (N, D) union to the
+      // same signed delta — O(Σ batch), never the two-snapshot shuffle
+      // diff. At 100 TB compaction runs constantly; without this every
+      // MV/CDC consumer would pay a full-corpus diff per maintenance
+      // window.
+      case Some((n, d)) => diff(n, d)
+      case None =>
+        diff(readSnapshot(ns, name, to), readSnapshot(ns, name, from))
+    }
+  }
+
+  /** Decompose (from, to] at ROW-NEUTRAL maintenance commits and union
+    * the per-segment MoR-additive deltas — None when the range doesn't
+    * decompose (a true overwrite, or an expired boundary). Correctness:
+    * each additive segment satisfies rows(end) = rows(start) + Nᵢ − Dᵢ
+    * (Dᵢ drawn from rows present at its segment start), maintenance
+    * commits preserve rows exactly, so the signed sum telescopes to
+    * rows(to) − rows(from); the caller's diff(N, D) cancels cross-
+    * segment insert-then-delete pairs the same way the within-segment
+    * positional rule does. */
+  private def segmentedMorDelta(ns: String, name: String,
+                                snaps: Seq[Snapshot],
+                                from: Snapshot, to: Snapshot)
+      : Option[(DataFrame, DataFrame)] = {
+    val range = snaps.filter(s => s.seq > from.seq && s.seq <= to.seq)
+      .sortBy(_.seq)
+    if (!range.exists(s => GraftCatalog.isMaintenanceCommitId(s.commitId)))
+      return None // no maintenance boundary — the prefix test already failed
+    val nsBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val dsBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var segStart = from
+    // a segment must END on the maintenance commit's direct parent —
+    // an expired boundary would silently skip the commits between the
+    // last present snapshot and the rewrite
+    def close(end: Snapshot): Boolean =
+      end.seq == segStart.seq || {
+        end.manifests.startsWith(segStart.manifests) && {
+          val (n, d) = morAdditiveDelta(ns, name, segStart, end)
+          nsBuf += n; dsBuf += d; true
+        }
+      }
+    range.foreach { s =>
+      if (GraftCatalog.isMaintenanceCommitId(s.commitId)) {
+        val end = if (s.seq - 1 == segStart.seq) Some(segStart)
+                  else snaps.find(_.seq == s.seq - 1)
+        end match {
+          case Some(e) if close(e) => segStart = s
+          case _ => return None
+        }
+      }
+    }
+    if (!close(to)) return None
+    val empty = readSnapshot(ns, name, to).limit(0)
+    def unite(fs: Seq[DataFrame]) = fs.reduceOption((a, b) =>
+      a.unionByName(b, allowMissingColumns = true)).getOrElse(empty)
+    Some((unite(nsBuf.toSeq), unite(dsBuf.toSeq)))
   }
 
   /** The (added rows N, erased rows D) of a MoR-additive version range
@@ -3770,6 +4002,18 @@ object GraftCatalog {
 
   /** A caller-supplied commitId already exists in the log — the append
     * was a replay; `seq` is the version the original commit created. */
+  /** Commit-id prefixes RESERVED for the engine's row-neutral
+    * maintenance rewrites (compact / rewrite_manifests /
+    * rewrite_position_deletes). The changefeed's segmented O(delta)
+    * path skips these commits — they rewrite layout, never rows — so
+    * the prefixes are refused on every other commit path (enforced at
+    * casCommitAt, the single funnel all commits flow through). */
+  val MaintenancePrefixes: Seq[String] =
+    Seq("compact-", "rwmanifests-", "rwposdel-")
+
+  def isMaintenanceCommitId(id: String): Boolean =
+    MaintenancePrefixes.exists(id.startsWith)
+
   final class DuplicateCommitException(val commitId: String, val seq: Long)
     extends RuntimeException(s"commit $commitId already applied as v$seq")
 

@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions.{col, lit, sum, when}
   *    cycle, which a 100 TB base cannot afford. Groups whose count
   *    reaches zero vanish. Falls back to a full rebuild when the
   *    changefeed window has been expired.
-  *  - **full** (everything else — joins, AVG/MIN/MAX, subqueries,
+  *    `avg(bare column)` also maintains incrementally (round-13): the
+  *    merge runs in SUM space — state avg × count(*) plus the delta's
+  *    signed sum, divided back — guarded by a NULL-free argument
+  *    invariant (probed over the base at CREATE, re-probed per delta; a
+  *    NULL downgrades the view to full, since avg skips NULLs while
+  *    count(*) cannot) and a DoubleType result.
+  *  - **full** (everything else — joins, MIN/MAX, subqueries,
   *    DISTINCT): re-run the stored definition and replace the state.
   *
   * State + watermark publish as ONE snapshot (commitReplace propsSet) —
@@ -86,6 +92,7 @@ private[graft] object GraftMaterializedView {
     * rebuild. */
   private[catalog] case class MvShape(
       baseParts: Seq[String], aggPositions: Seq[Int], countPositions: Seq[Int],
+      avgPositions: Seq[Int], avgArgCols: Seq[String],
       signedPlanOver: String => LogicalPlan)
 
   private[catalog] def incrementalShape(parsed: LogicalPlan): Option[MvShape] =
@@ -101,6 +108,7 @@ private[graft] object GraftMaterializedView {
         // Projections must CARRY _sign through (they prune columns),
         // so swap() appends it to every Project on the path.
         var baseParts: Option[Seq[String]] = None
+        var pathHasProject = false
         def swap(p: LogicalPlan, sub: LogicalPlan): Option[LogicalPlan] = p match {
           case r: UnresolvedRelation if baseParts.isEmpty =>
             baseParts = Some(r.multipartIdentifier); Some(sub)
@@ -110,9 +118,10 @@ private[graft] object GraftMaterializedView {
           case pj: Project if pj.projectList.exists(_.exists(
               _.isInstanceOf[org.apache.spark.sql.catalyst.analysis
                 .UnresolvedStar])) => None
-          case pj: Project => swap(pj.child, sub).map(n => pj.copy(
-            projectList = pj.projectList :+ UnresolvedAttribute("_sign"),
-            child = n))
+          case pj: Project => pathHasProject = true
+            swap(pj.child, sub).map(n => pj.copy(
+              projectList = pj.projectList :+ UnresolvedAttribute("_sign"),
+              child = n))
           case f: Filter => swap(f.child, sub).map(n => f.copy(child = n))
           case sa: SubqueryAlias => swap(sa.child, sub).map(n => sa.copy(child = n))
           case _ => None
@@ -138,6 +147,8 @@ private[graft] object GraftMaterializedView {
           UnresolvedFunction(Seq("sum"), Seq(e), isDistinct = false)
         val aggPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         val cntPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val avgPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val avgArgs = scala.collection.mutable.ArrayBuffer.empty[String]
         var maintainable = true
         val signed: Seq[Expression] = aggExprs.zipWithIndex.map {
           case (Alias(f: UnresolvedFunction, name), i) if isCountStar(f) =>
@@ -147,6 +158,21 @@ private[graft] object GraftMaterializedView {
               if isAgg(f, "sum") && f.arguments.size == 1 &&
                 !f.arguments.head.exists(_.isInstanceOf[UnresolvedFunction]) =>
             aggPos += i
+            Alias(sumOf(Multiply(f.arguments.head,
+              UnresolvedAttribute("_sign"))), name)()
+          // avg(bare column): the DELTA carries the signed SUM; the merge
+          // converts the state's avg to a count(*)-weighted sum and back
+          // (sound only while the column carries no NULLs — avg skips
+          // them, count(*) does not; the callers probe the base at
+          // CREATE, re-probe every delta, and downgrade on violation)
+          case (Alias(f: UnresolvedFunction, name), i)
+              if isAgg(f, "avg") && (f.arguments match {
+                case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 => true
+                case _ => false
+              }) =>
+            aggPos += i; avgPos += i
+            avgArgs += f.arguments.head
+              .asInstanceOf[UnresolvedAttribute].nameParts.head
             Alias(sumOf(Multiply(f.arguments.head,
               UnresolvedAttribute("_sign"))), name)()
           case (e, _) if groupSqls.contains(stripAlias(e).sql) => e
@@ -165,8 +191,14 @@ private[graft] object GraftMaterializedView {
             !groupSqls.subsetOf(keySqls)) None
         else {
           val probe = swap(child, UnresolvedRelation(Seq("__probe__")))
-          probe.flatMap(_ => baseParts).map { parts =>
-            MvShape(parts, aggPos.toSeq, cntPos.toSeq, deltaView => {
+          // avg reconstruction resolves its argument against the BASE
+          // schema (the no-NULL probe needs the raw column) — a Project
+          // on the path could alias an expression under the same name,
+          // making the probe blind; pin full there
+          if (avgPos.nonEmpty && pathHasProject) None
+          else probe.flatMap(_ => baseParts).map { parts =>
+            MvShape(parts, aggPos.toSeq, cntPos.toSeq, avgPos.toSeq,
+              avgArgs.toSeq, deltaView => {
               baseParts = None // reset for the real swap
               agg.copy(aggregateExpressions =
                   signed.map(_.asInstanceOf[org.apache.spark.sql.catalyst
@@ -256,6 +288,27 @@ private[graft] object GraftMaterializedView {
       val changes =
         try cat.changesBetween(bns, bt, fromSeq, headSeq)
         catch { case _: Exception => return fullRebuild() }
+      // the state the merge reads is the SNAPSHOT the CAS anchors on,
+      // never "latest at execution time"
+      val state = cat.readSnapshotPublic(ns, name, mvSnap)
+      val schema = state.schema
+      // avg reconstruction (state avg × count ↔ sum) is sound only over
+      // DoubleType results and NULL-free arguments — a NULL-bearing
+      // delta row makes count(*) diverge from avg's own row count, so
+      // the view DOWNGRADES to full the moment one appears (the null
+      // stays in the table; every later reconstruction would be wrong)
+      if (shape.avgPositions.nonEmpty) {
+        val typesOk = shape.avgPositions.forall(i =>
+          schema.fields(i).dataType ==
+            org.apache.spark.sql.types.DoubleType)
+        val argsPresent = shape.avgArgCols.forall(changes.columns.contains)
+        if (!typesOk || !argsPresent)
+          return fullRebuild(Map(ModeProp -> "full"))
+        val nullSeen = !changes
+          .filter(shape.avgArgCols.map(col(_).isNull).reduce(_ || _))
+          .isEmpty
+        if (nullSeen) return fullRebuild(Map(ModeProp -> "full"))
+      }
       val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
       changes.withColumn("_sign",
           when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
@@ -263,14 +316,15 @@ private[graft] object GraftMaterializedView {
       try {
         val delta = GraftMaterializedView.run(session,
           shape.signedPlanOver(deltaView))
-        // the state the merge reads is the SNAPSHOT the CAS anchors on,
-        // never "latest at execution time"
-        val state = cat.readSnapshotPublic(ns, name, mvSnap)
-        val schema = state.schema
         val aggIdx = shape.aggPositions.toSet
         val keyCols = schema.fieldNames.zipWithIndex
           .collect { case (n, i) if !aggIdx(i) => n }.toSeq
         val cntName = schema.fieldNames(shape.countPositions.head)
+        val avgNames = shape.avgPositions.map(schema.fieldNames)
+        // avg merges in SUM space: state avg -> count(*)-weighted sum
+        // before the union (the delta already carries its signed sum)
+        val stateW = avgNames.foldLeft(state)((df, n) =>
+          df.withColumn(n, col(n) * col(cntName)))
         // one group-key aggregation of state ∪ delta; aggregate columns
         // re-cast to the view's recorded types (sum-of-sum widening must
         // not drift the schema refresh over refresh)
@@ -278,11 +332,15 @@ private[graft] object GraftMaterializedView {
           val n = schema.fieldNames(i)
           sum(col(n)).cast(schema.fields(i).dataType).as(n)
         }
-        val merged = state.unionByName(delta.select(schema.fieldNames
+        val merged0 = stateW.unionByName(delta.select(schema.fieldNames
             .map(col).toSeq: _*))
           .groupBy(keyCols.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
           .filter(col(cntName) > 0)
+        // ... and back to avg space after the merge
+        val merged = avgNames.foldLeft(merged0)((df, n) =>
+            df.withColumn(n, (col(n) / col(cntName)).cast(
+              org.apache.spark.sql.types.DoubleType)))
           .select(schema.fieldNames.map(col).toSeq: _*)
         cat.commitReplace(ns, name, merged, sourceRegion = "mv",
           expectedParentSeq = Some(mvSnap.seq),
@@ -336,9 +394,19 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
 
     // maintenance mode decided (and pinned) at CREATE: incremental when
     // the shape qualifies AND the base is a graft table of THIS catalog
+    // AND any avg argument is provably NULL-free in the base today
+    // (avg skips NULLs, the count(*)-weighted reconstruction cannot —
+    // one O(base) probe at CREATE, which already materializes O(base))
     val shape = incrementalShape(parsed).filter { s =>
       GraftViewSql.viewTarget(session, s.baseParts).exists { case (bg, bid) =>
-        bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name())
+        bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name()) && {
+          s.avgArgCols.isEmpty || {
+            val base = bg.cat.read(bid.namespace()(0), bid.name())
+            s.avgArgCols.forall(base.columns.contains) &&
+              base.filter(s.avgArgCols.map(org.apache.spark.sql.functions
+                .col(_).isNull).reduce(_ || _)).isEmpty
+          }
+        }
       }
     }
     val (baseProps, df) = shape match {
@@ -349,12 +417,20 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
         // the query is lazy (it executes inside the commit below) —
         // pin it to THIS version or a racing base commit would make the
         // state newer than the watermark and double-apply the next delta
-        (Map(ModeProp -> "incremental",
+        val df0 = GraftMaterializedView.run(session,
+          pinBaseVersion(qualified, bSeq))
+        // avg reconstruction is double-space only (avg(decimal) would
+        // need exact decimal sums the state does not carry)
+        val avgTypesOk = s.avgPositions.forall(i =>
+          df0.schema.fields(i).dataType ==
+            org.apache.spark.sql.types.DoubleType)
+        if (!avgTypesOk) (Map(ModeProp -> "full"), df0)
+        else (Map(ModeProp -> "incremental",
           BaseProp -> s"${bid.namespace()(0)} ${bid.name()}",
           BaseSeqProp -> bSeq.toString,
           AggColsProp -> s.aggPositions.mkString(","),
           CountColProp -> s.countPositions.head.toString),
-          GraftMaterializedView.run(session, pinBaseVersion(qualified, bSeq)))
+          df0)
       case None =>
         (Map(ModeProp -> "full"),
           GraftMaterializedView.run(session, qualified))

@@ -831,7 +831,7 @@ object IcebergExport {
     * flattening lets distinct rel paths collide (`a/b-c` vs `a-b/c`)
     * and the REPLACE_EXISTING copy would silently overwrite one file
     * with another. */
-  private def flatName(rel: String): String = {
+  private[graft] def flatName(rel: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(rel.getBytes(StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString

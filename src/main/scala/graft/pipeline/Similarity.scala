@@ -523,6 +523,36 @@ object Similarity {
     // orderings agree, on raw vectors they diverge and queries probe
     // cells their true neighbors were never assigned to (silent recall
     // loss on un-normalized embeddings)
+    val (probes0, assigned) =
+      ivfDecisions(corpus, queries, nlist, nprobe, seed, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val probes = probes0.join(q, "query_id") // re-attach the query vector
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
+    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+  }
+
+  /** The quantizer DECISIONS of [[ivfTopK]]'s configuration — (query
+    * probe pairs (query_id, cell), corpus assignment carrying
+    * (neighbor_id, vec, _nvec, cell)) — factored out so the declared
+    * query can EXPORT them as an oracle fixture: the seeded quantizer
+    * is engine-defined, but everything downstream of its decisions
+    * (probe-restricted candidate set, exact cosine, ranking, top-k)
+    * replays declaratively in DuckDB. Deterministic (bounded id-sorted
+    * training sample, seeded k-means), so two calls — ivfTopK's own and
+    * the fixture export — are identical by construction. */
+  def ivfDecisions(corpus: DataFrame, queries: DataFrame,
+                   nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    // NORMALIZE before the quantizer (same as ivfPqTopK): cells are
+    // assigned by L2 and probed by inner product — on unit vectors those
+    // orderings agree, on raw vectors they diverge and queries probe
+    // cells their true neighbors were never assigned to (silent recall
+    // loss on un-normalized embeddings)
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
     // bounded-sample LocalKMeans + a codegen'd assignment projection:
@@ -532,18 +562,11 @@ object Similarity {
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     val assigned = c.withColumn("cell",
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers))
-
     // nprobe nearest cells per query, from the broadcast centroid array
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val qn = withNormalized(q, "query_vec")
-    val probes = probeCells(qn, centers, nprobe)
-      .join(q, "query_id") // re-attach the query vector (tiny side)
-
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("vec"), col("query_vec")), 4).as("score"))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+    val qn = withNormalized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
+      "query_vec")
+    (probeCells(qn, centers, nprobe), assigned)
   }
 
   // ---------------- product quantization (PQ) ----------------
@@ -753,7 +776,8 @@ object Similarity {
   def buildIvfPqIndexTables(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
                             corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                             seed: Long = 42L,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            codesProps: Map[String, String] = Map.empty): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
@@ -773,7 +797,8 @@ object Similarity {
     }
     cat.commitReplace(ns, s"${prefix}_codes",
       idx.coded.select(col("cell"), col("neighbor_id"), col("codes"))
-        .repartitionByRange(math.max(1, nlist / 4), col("cell")))
+        .repartitionByRange(math.max(1, nlist / 4), col("cell")),
+      propsSet = codesProps)
     cat.commitReplace(ns, s"${prefix}_centroids",
       centroidRows.toSeq.toDF("kind", "j", "c", "vec"))
   }
@@ -839,6 +864,85 @@ object Similarity {
     cat.commitAppend(ns, s"${prefix}_codes",
       assigned.repartitionByRange(math.max(1, coarse.length / 4), col("cell")),
       commitId = commitId)
+  }
+
+  /** Base-table identity + staleness watermark recorded on a persisted
+    * index's codes table — the serving index follows table commits like
+    * a materialized view ([[refreshIvfPqIndex]]). */
+  val AnnBaseProp = "graft.ann.base"
+  val AnnBaseSeqProp = "graft.ann.base-seq"
+
+  /** [[buildIvfPqIndexTables]] over a CATALOG base table, pinning the
+    * read to one version and recording it as the codes table's
+    * staleness WATERMARK (state + watermark in the same snapshot) —
+    * what makes the index changefeed-refreshable. */
+  def buildIvfPqIndexForTable(cat: graft.catalog.GraftCatalog, ns: String,
+                              prefix: String, baseNs: String, baseName: String,
+                              nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                              seed: Long = 42L, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    val head = cat.latest(baseNs, baseName).getOrElse(
+      throw new IllegalStateException(
+        s"$baseNs.$baseName has no committed version to index"))
+    buildIvfPqIndexTables(cat, ns, prefix,
+      cat.readSnapshotPublic(baseNs, baseName, head), nlist, m, ksub, seed,
+      idCol, vecCol,
+      codesProps = Map(AnnBaseProp -> s"$baseNs $baseName",
+        AnnBaseSeqProp -> head.seq.toString))
+  }
+
+  /** CDC-driven refresh of a persisted IVF-PQ index (round-13): follow
+    * the base table's changefeed from the recorded watermark — inserts
+    * assign to the EXISTING cells and encode with the EXISTING
+    * codebooks (O(batch), no retraining), deletes purge their ids from
+    * the codes table — and publish batch + new watermark as ONE
+    * commitCdcApply snapshot (an UPDATE's delete+insert halves resolve
+    * through its key-purge ordering). This is the serving story a
+    * 100 TB corpus needs: the index tracks table commits like an MV,
+    * paying O(delta) per refresh, with the same deterministic-commitId
+    * idempotence as any cdc batch; with the segmented changefeed,
+    * base-table compaction between refreshes stays O(delta) too.
+    * Freshness vs drift split is [[appendToIvfPqIndex]]'s: quantizers
+    * never retrain here — schedule periodic full rebuilds. Returns
+    * "noop" or "incremental"; an expired changefeed window surfaces as
+    * the underlying read error (rebuild via
+    * [[buildIvfPqIndexForTable]]). */
+  def refreshIvfPqIndex(cat: graft.catalog.GraftCatalog, ns: String,
+                        prefix: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): String = {
+    import cat.spark.implicits._
+    val codesT = s"${prefix}_codes"
+    val props = cat.tableProperties(ns, codesT)
+    val base = props.getOrElse(AnnBaseProp, throw new IllegalArgumentException(
+      s"$ns.$codesT records no $AnnBaseProp — build with buildIvfPqIndexForTable"))
+    val Array(bns, bt) = base.split(" ")
+    val fromSeq = props(AnnBaseSeqProp).toLong
+    val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+    if (headSeq == fromSeq) return "noop"
+    val changes = cat.changesBetween(bns, bt, fromSeq, headSeq)
+    val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
+    val ins = changes.filter(col("_change_type") === "insert")
+    val delKeys = changes.filter(col("_change_type") === "delete")
+      .select(col(idCol).as("neighbor_id")).distinct()
+    val c0 = withNormalized(
+      ins.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val assigned = c0.select(
+      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse).as("cell"),
+      col("neighbor_id"),
+      graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
+    // same loud refusal as appendToIvfPqIndex: a width-mismatched batch
+    // must never land unreachable rows or report a partial success
+    val (nIn, nOk) = assigned.agg(count(lit(1)), count(col("cell")))
+      .as[(Long, Long)].head()
+    require(nOk == nIn,
+      s"$nIn-row delta has ${nIn - nOk} vectors whose width does not match " +
+        s"index $ns.$prefix (dims=${idx.m * idx.dsub}) — refusing a partial refresh")
+    cat.commitCdcApply(ns, codesT,
+      assigned.repartitionByRange(math.max(1, coarse.length / 4), col("cell")),
+      delKeys, keyCols = Seq("neighbor_id"),
+      commitId = Some(s"annrefresh-$fromSeq-$headSeq"),
+      propsSet = Map(AnnBaseSeqProp -> headSeq.toString)): Unit
+    "incremental"
   }
 
   /** Serve top-k from the persisted index: centroids/codebooks load from

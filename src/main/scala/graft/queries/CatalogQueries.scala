@@ -906,6 +906,52 @@ object CatalogQueries {
               FROM $c2.q.mvagg ORDER BY grp""")
   }
 
+  private val mvAvgWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Incremental AVG materialized view (round-13): avg(cents) rides the
+    * same signed-delta refresh as count/sum — the merge runs in SUM
+    * space (state avg × count(*) + delta's signed sum, divided back),
+    * guarded by the NULL-free-argument invariant. The fixture churns
+    * the base with inserts AND row-level deletes, takes ONE refresh,
+    * and REQUIRES the incremental path (a silent full rebuild would
+    * pass the hash but not the claim); the oracle recomputes the final
+    * grouped state declaratively. */
+  private def mvAvg: Q = (s, d) => {
+    val wh = mvAvgWarehouses.synchronized {
+      mvAvgWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-mvavg-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.avb (o_orderkey BIGINT, cents BIGINT)")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .createOrReplaceTempView("mv_avg_src")
+        s.sql(s"""INSERT INTO $c.q.avb SELECT * FROM mv_avg_src
+                  WHERE o_orderkey % 3 = 0""").collect(): Unit
+        s.sql(s"""CREATE MATERIALIZED VIEW $c.q.avagg AS
+                  SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                         sum(cents) AS sum_cents, avg(cents) AS avg_cents
+                  FROM $c.q.avb GROUP BY o_orderkey % 7""").collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.avb SELECT * FROM mv_avg_src
+                  WHERE o_orderkey % 3 = 1""").collect(): Unit
+        s.sql(s"DELETE FROM $c.q.avb WHERE o_orderkey % 9 = 0").collect(): Unit
+        val path = s.sql(s"CALL $c.system.refresh_mv('q', 'avagg')")
+          .head().getString(0)
+        require(path == "incremental",
+          s"cat_mv_avg must take the signed-delta path, took '$path'")
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_mvavgreread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents,
+                     round(avg_cents, 4) AS avg_cents
+              FROM $c2.q.avagg ORDER BY grp""")
+  }
+
   // one REST server per sf dir, kept alive for the session (daemon
   // threads; port captured with the warehouse)
   private val restFixtures = scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -981,6 +1027,89 @@ object CatalogQueries {
       })
     }
     new GraftCatalog(s, wh).read("q", "restc")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  private val restMorWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Iceberg REST MoR WRITE path (round-13): after the append, the
+    * foreign client commits ONE snapshot carrying equality-delete keys
+    * (o_orderkey % 3 = 0 of the base), position deletes (rows located
+    * per served file by `_metadata.row_index` where o_orderkey % 5 = 0,
+    * spelled with the manifest's exact file URIs), and new data that
+    * RE-INSERTS half the purged keys — proving delete manifests land
+    * inbound, positions remap from served URIs to graft rels, and the
+    * deletes order before the landing data. The declared read is the
+    * MoR-resolved graft table; the oracle replays the same row algebra
+    * declaratively from the raw parquet. */
+  private def restMorCommit: Q = (s, d) => {
+    val wh = restMorWarehouses.synchronized {
+      restMorWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-restm-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "nsseed")
+        val server = new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-restm-exp").toString)
+        val port = server.boundPort
+        val (cc, cb) = graft.tools.RestClient.createViaRest(port, "q", "restm",
+          Seq("o_orderkey" -> "long", "o_totalprice" -> "double"),
+          spec = Seq("o_orderkey" -> "bucket[4]"))
+        require(cc == 200, s"REST create failed: $cc $cb")
+        def slice(pred: org.apache.spark.sql.Column) = Tables.orders(s, d)
+          .filter(pred)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val (ac, ab) = graft.tools.RestClient.appendViaRest(s, port,
+          "q", "restm", slice(col("o_orderkey") % 7 === 0),
+          snapshotId = 881001L,
+          workDir = Files.createTempDirectory("graft-restm-work").toString)
+        require(ac == 200, s"REST append failed: $ac $ab")
+        // the foreign walk: served data-file URIs from the current
+        // manifest list, positions per file via _metadata.row_index
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val meta = mapper.readTree(graft.tools.RestClient.get(port,
+          "/v1/namespaces/q/tables/restm")._2).get("metadata")
+        val cur = meta.get("current-snapshot-id").asLong()
+        import scala.jdk.CollectionConverters._
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cur).get
+        val servedFiles = graft.catalog.IcebergExport.readAvro(
+            java.nio.file.Paths.get(java.net.URI.create(
+              snap.get("manifest-list").asText())))
+          .filter(m => graft.catalog.IcebergExport.getOpt(m, "content") == null ||
+            m.get("content").asInstanceOf[Number].intValue() == 0)
+          .flatMap(m => graft.catalog.IcebergExport.readAvro(
+            java.nio.file.Paths.get(java.net.URI.create(
+              m.get("manifest_path").toString))))
+          .map(_.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord])
+          .filter(_.get("content").asInstanceOf[Number].intValue() == 0)
+          .map(_.get("file_path").toString)
+        val posDel = servedFiles.map { uri =>
+          s.read.parquet(java.nio.file.Paths.get(
+              java.net.URI.create(uri)).toString)
+            .select(col("_metadata.row_index").as("pos"), col("o_orderkey"))
+            .filter(col("o_orderkey") % 5 === 0)
+            .select(lit(uri).as("file_path"), col("pos"))
+        }.reduce(_ unionAll _)
+        val eqKeys = slice(col("o_orderkey") % 21 === 0).select("o_orderkey")
+        val newRows = slice(col("o_orderkey") % 7 === 3)
+          .unionAll(slice(col("o_orderkey") % 21 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") + 1000).as("o_totalprice")))
+        val (mc, mb) = graft.tools.RestClient.morCommitViaRest(s, port,
+          "q", "restm", data = Some(newRows), eqDeleteKeys = Some(eqKeys),
+          posDeletes = Some(posDel), snapshotId = 881002L,
+          workDir = Files.createTempDirectory("graft-restm-work2").toString)
+        require(mc == 200, s"REST MoR commit failed: $mc $mb")
+        server.stop()
+        w
+      })
+    }
+    new GraftCatalog(s, wh).read("q", "restm")
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 2).as("total_price"),
         min(col("o_orderkey")).as("min_key"),
@@ -1164,8 +1293,10 @@ object CatalogQueries {
     "cat_view_read"        -> viewRead,
     "cat_view_stack"       -> viewStack,
     "cat_mv_sql"           -> mvSql,
+    "cat_mv_avg"           -> mvAvg,
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
+    "cat_rest_mor_commit"  -> restMorCommit,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1259,6 +1390,16 @@ object CatalogQueries {
                        WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
          SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
                 CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
+    "cat_mv_avg" ->
+      """WITH base AS (SELECT o_orderkey,
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                AS cents
+                       FROM orders
+                       WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
+         SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                round(avg(cents), 4) AS avg_cents
          FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
     "cat_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey % 7 AS grp,
@@ -1383,6 +1524,20 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 7 = 0""",
+    "cat_rest_mor_commit" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 7 = 0),
+              kept AS (SELECT * FROM base
+                       WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0),
+              ins AS (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_orderkey % 7 = 3
+                      UNION ALL
+                      SELECT o_orderkey, o_totalprice + 1000 FROM orders
+                      WHERE o_orderkey % 21 = 0),
+              live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM live""",
     "cat_view_read" ->
       """SELECT count(*) AS cnt, round(sum(round(o_totalprice / 1000, 3)), 2) AS total_k,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

@@ -286,9 +286,38 @@ object Pipeline {
     subset.unionAll(symdiff).orderBy(col("check"), col("id_a"), col("id_b"))
   }
 
+  /** Oracle-fixture directory for quantizer DECISIONS (round-13): the
+    * seeded quantizers are engine-defined, but their decisions — cell
+    * assignments, probe lists, LSH buckets — exported as parquet let
+    * DuckDB replay everything downstream (candidate restriction, exact
+    * cosine, ranking, top-k) and grade the previously rows-only
+    * ann_ivf_topk / ann_lsh_topk with full hash oracles. Keyed by sfDir
+    * (one Verify process serves one sf); the oracle SQL (built AFTER
+    * the queries ran — Verify dumps oracleSql last) interpolates the
+    * recorded path. */
+  private val fixtureDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def oracleFixtureDir(sfDir: String): String =
+    fixtureDirs.getOrElseUpdate(sfDir, {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val p = s"${sys.props("java.io.tmpdir")}/graft-oracle-fixtures-$h"
+      new java.io.File(p).mkdirs()
+      p
+    })
+  private def fixtureDirForOracle: String =
+    fixtureDirs.values.toSeq.sorted.headOption
+      .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-oracle-fixtures-unset")
+
   private def annIvfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (probes, assigned) = Similarity.ivfDecisions(emb, queries,
+      nlist = 8, nprobe = 3)
+    val fix = oracleFixtureDir(d)
+    probes.coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_probes")
+    assigned.select(col("neighbor_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_assign")
+    Similarity.ivfTopK(emb, queries, 5, nlist = 8, nprobe = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -437,6 +466,12 @@ object Pipeline {
 
   private def annLshTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val fix = oracleFixtureDir(d)
+    // the bucket DECISIONS as a fixture — scoring within a bucket is
+    // exact quantized cosine DuckDB replays (see oracleFixtureDir)
+    emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 6).as("bucket"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$fix/lsh_buckets")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, planes = 6)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1720,7 +1755,43 @@ object Pipeline {
   private val TOKSTREAM =
     """w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks)"""
 
-  val oracles: Map[String, String] = Map(
+  // a DEF, not a val: the ann_ivf_topk / ann_lsh_topk oracles
+  // interpolate the fixture path the queries recorded when they ran
+  // (Verify dumps oracleSql AFTER running every query)
+  def oracles: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('$fixtureDirForOracle/ivf_probes/*.parquet')),
+              a AS (SELECT * FROM read_parquet('$fixtureDirForOracle/ivf_assign/*.parquet')),
+              q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p.query_id, a.neighbor_id, $cosineSql AS score
+                FROM p JOIN a USING (cell)
+                JOIN q ON q.query_id = p.query_id
+                JOIN embeddings e ON e.vec_id = a.neighbor_id
+                WHERE a.neighbor_id <> p.query_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS "rank"
+                FROM scored)
+         SELECT query_id, neighbor_id, score, "rank" FROM ranked
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "ann_lsh_topk" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$fixtureDirForOracle/lsh_buckets/*.parquet')),
+              q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id, $cosineSql AS score
+                FROM q JOIN b bq ON bq.vec_id = q.query_id
+                JOIN b bn ON bn.bucket = bq.bucket
+                JOIN embeddings e ON e.vec_id = bn.vec_id
+                WHERE e.vec_id <> q.query_id),
+              ranked AS (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id) AS "rank"
+                FROM scored)
+         SELECT query_id, neighbor_id, score, "rank" FROM ranked
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "text_contamination" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
               $TOKSTREAM,

@@ -436,7 +436,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       bad("commit carries no supported updates")
 
     addSnapshots.headOption match {
-      case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq)
+      case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq, loc)
       case None =>
         // anchored on the SAME served version the requirements were
         // judged against — a concurrent commit in the check-then-commit
@@ -457,9 +457,25 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
 
   /** Walk the client's snapshot (manifest-list avro -> NEW manifest
     * avros -> ADDED parquet), copy the files into the warehouse,
-    * footer-validate, and land them as one conditional graft commit. */
+    * footer-validate, and land them as one conditional graft commit.
+    *
+    * The surface is MoR-SYMMETRIC: delete manifests (content=1) commit
+    * alongside data manifests. Equality-delete files (data_file
+    * content=2) land as graft `d-` content after the same footer
+    * validation (their columns must be table columns and must match
+    * any existing delete set); position-delete files (content=1) are
+    * READ, their `file_path` values — which name the SERVED export's
+    * flat data-file URIs, the only spelling the foreign client ever
+    * saw — are remapped to graft's table-relative paths, and land as
+    * `p-` content. Unknown paths refuse with 400 (a stale position set
+    * silently erasing nothing is how audit replays rot); liveness is
+    * re-checked inside the commit's CAS. An upsert (data + deletes) is
+    * ONE snapshot with deletes ordered before the new data, so the
+    * landing rows outlive their own key-purge — exactly
+    * [[GraftCatalog.commitUpsert]]'s rule. */
   private def commitSnapshot(ns: String, t: String, snap: JsonNode,
-                             servedMeta: JsonNode, servedSeq: Long): Unit = {
+                             servedMeta: JsonNode, servedSeq: Long,
+                             servedLoc: String): Unit = {
     val snapId = snap.get("snapshot-id").asLong()
     val listUri = Option(snap.get("manifest-list")).map(_.asText())
       .getOrElse(bad("add-snapshot.snapshot.manifest-list is required"))
@@ -477,30 +493,37 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     val clientList = readAvroAt(listUri)
     val newManifests = clientList
       .filterNot(m => priorManifests.contains(m.get("manifest_path").toString))
-    newManifests.foreach { m =>
-      if (IcebergExport.getOpt(m, "content") != null &&
-          m.get("content").asInstanceOf[Number].intValue() != 0)
-        bad("delete manifests cannot commit over REST (append-only " +
-          "surface) — row-level changes go through graft SQL")
-    }
-    val dataFiles: Seq[(String, Long)] = newManifests.flatMap { m =>
-      readAvroAt(m.get("manifest_path").toString).map { e =>
-        val status = e.get("status").asInstanceOf[Number].intValue()
-        if (status != 1)
-          bad(s"manifest entry status $status in a new manifest — only " +
-            "ADDED (1) entries commit over REST")
-        val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-        if (df.get("content").asInstanceOf[Number].intValue() != 0)
-          bad("delete files cannot commit over REST")
-        val fmt = df.get("file_format").toString
-        if (!fmt.equalsIgnoreCase("parquet"))
-          bad(s"file format $fmt is not supported (parquet only)")
-        (df.get("file_path").toString,
-          df.get("record_count").asInstanceOf[Number].longValue())
+    // (path, record_count) of ADDED parquet entries with the given
+    // data_file.content kind, across the new manifests of manifest-list
+    // content `listContent`
+    def added(listContent: Int, kinds: Set[Int]): Seq[(String, Int)] =
+      newManifests.filter { m =>
+        val c = IcebergExport.getOpt(m, "content")
+        (if (c == null) 0 else c.asInstanceOf[Number].intValue()) == listContent
+      }.flatMap { m =>
+        readAvroAt(m.get("manifest_path").toString).map { e =>
+          val status = e.get("status").asInstanceOf[Number].intValue()
+          if (status != 1)
+            bad(s"manifest entry status $status in a new manifest — only " +
+              "ADDED (1) entries commit over REST")
+          val df = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          val content = df.get("content").asInstanceOf[Number].intValue()
+          if (!kinds.contains(content))
+            bad(s"data_file content $content inside a " +
+              (if (listContent == 0) "data" else "delete") + " manifest")
+          val fmt = df.get("file_format").toString
+          if (!fmt.equalsIgnoreCase("parquet"))
+            bad(s"file format $fmt is not supported (parquet only)")
+          (df.get("file_path").toString, content)
+        }
       }
-    }
-    if (dataFiles.isEmpty)
-      bad(s"snapshot $snapId adds no new data files")
+    val dataFiles = added(0, Set(0)).map(_._1)
+    val deleteFiles = added(1, Set(1, 2))
+    val posFiles = deleteFiles.collect { case (p, 1) => p }
+    val eqFiles = deleteFiles.collect { case (p, 2) => p }
+    if (dataFiles.isEmpty && deleteFiles.isEmpty)
+      bad(s"snapshot $snapId adds no new files")
 
     // copy into the warehouse under one commit-scoped staging dir; the
     // footer probe refuses files that do not carry the table's columns
@@ -513,29 +536,88 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     Files.createDirectories(stageDir)
     def cleanup(): Unit = deleteTree(stageDir)
     try {
-      val rels = dataFiles.zipWithIndex.map { case ((uri, _), i) =>
+      def land(uri: String, i: Int, tag: String,
+               requiredCols: Set[String] => Option[String]): String = {
         val src = pathOf(uri)
         if (!Files.isRegularFile(src))
-          bad(s"data file $uri does not exist or is not readable")
+          bad(s"$tag file $uri does not exist or is not readable")
         val cols = IcebergExport.parquetColumnNames(src.toString,
           cat.spark.sparkContext.hadoopConfiguration).toSet
-        val missing = schema.fieldNames.filterNot(cols.contains)
-        if (missing.nonEmpty)
-          bad(s"data file $uri omits table column(s) " +
-            s"${missing.mkString(", ")} — they would silently read as null")
-        val dest = stageDir.resolve(s"$i-${src.getFileName}")
+        requiredCols(cols).foreach(msg => bad(s"$tag file $uri $msg"))
+        val dest = stageDir.resolve(s"$tag$i-${src.getFileName}")
         Files.copy(src, dest)
-        s"data/rest-$stageId/$i-${src.getFileName}"
+        s"data/rest-$stageId/$tag$i-${src.getFileName}"
       }
-      try cat.commitLandedFiles(ns, t, rels, sourceRegion = "rest",
-        expectedParentSeq = Some(servedSeq),
-        commitId = Some(s"rest-snap-$snapId")): Unit
-      catch {
+      val dataRels = dataFiles.zipWithIndex.map { case (uri, i) =>
+        land(uri, i, "", cols => {
+          val missing = schema.fieldNames.filterNot(cols.contains)
+          if (missing.isEmpty) None
+          else Some(s"omits table column(s) ${missing.mkString(", ")} — " +
+            "they would silently read as null")
+        })
+      }
+      val eqRels = eqFiles.zipWithIndex.map { case (uri, i) =>
+        land(uri, i, "eq", cols => {
+          val alien = cols.filterNot(schema.fieldNames.contains)
+          if (cols.isEmpty) Some("carries no columns")
+          else if (alien.nonEmpty)
+            Some(s"names non-table column(s) ${alien.mkString(", ")}")
+          else None
+        })
+      }
+      // position deletes: validate + REMAP from the served export's flat
+      // URIs (the only file spelling the client ever saw) to graft rels
+      val posDeltas: Option[org.apache.spark.sql.DataFrame] =
+        if (posFiles.isEmpty) None
+        else {
+          val srcs = posFiles.map { uri =>
+            val p = pathOf(uri)
+            if (!Files.isRegularFile(p))
+              bad(s"position-delete file $uri does not exist")
+            val cols = IcebergExport.parquetColumnNames(p.toString,
+              cat.spark.sparkContext.hadoopConfiguration).toSet
+            if (!Set("file_path", "pos").subsetOf(cols))
+              bad(s"position-delete file $uri must carry (file_path, pos), " +
+                s"found ${cols.mkString(", ")}")
+            p.toString
+          }
+          val servedSnap = cat.snapshots(ns, t).find(_.seq == servedSeq)
+            .getOrElse(bad(s"served version v$servedSeq of $ns.$t is gone — " +
+              "refresh and retry"))
+          val dataDir = Paths.get(servedLoc).getParent.getParent.resolve("data")
+          val mapping = cat.dataFiles(ns, t, servedSnap).map(rel =>
+            dataDir.resolve(IcebergExport.flatName(rel)).toUri.toString -> rel)
+          import cat.spark.implicits._
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val mapDf = mapping.toDF("__uri", "__rel")
+          val raw = cat.spark.read.parquet(srcs: _*)
+            .select(col("file_path"), col("pos").cast("long").as("pos"))
+          val unknown = raw.join(broadcast(mapDf),
+              raw("file_path") === mapDf("__uri"), "left_anti")
+            .select("file_path").distinct().limit(3)
+            .collect().map(_.getString(0))
+          if (unknown.nonEmpty)
+            bad(s"position delete references files the served snapshot " +
+              s"(v$servedSeq) does not serve: ${unknown.mkString(", ")}")
+          Some(raw.join(broadcast(mapDf), raw("file_path") === mapDf("__uri"))
+            .select(col("__rel").as("file_path"), col("pos")))
+        }
+      try {
+        if (eqRels.isEmpty && posDeltas.isEmpty)
+          cat.commitLandedFiles(ns, t, dataRels, sourceRegion = "rest",
+            expectedParentSeq = Some(servedSeq),
+            commitId = Some(s"rest-snap-$snapId")): Unit
+        else
+          cat.commitLandedMoR(ns, t, dataRels, eqRels, posDeltas,
+            sourceRegion = "rest", expectedParentSeq = Some(servedSeq),
+            commitId = Some(s"rest-snap-$snapId")): Unit
+      } catch {
         case e: java.util.ConcurrentModificationException =>
           cleanup(); conflict(e.getMessage)
         case e: GraftCatalog.DuplicateCommitException =>
           cleanup(); conflict(s"snapshot $snapId already committed: ${e.getMessage}")
         case e: IllegalArgumentException => cleanup(); bad(e.getMessage)
+        case e: IllegalStateException => cleanup(); bad(e.getMessage)
       }
     } catch { case e: Throwable =>
       // a refusal above the commit call (footer probe, missing file)

@@ -185,6 +185,116 @@ object RestClient {
     post(port, s"/v1/namespaces/$ns/tables/$t", body)
   }
 
+  /** The foreign MoR-commit walk: one snapshot carrying optional new
+    * DATA rows plus optional EQUALITY-delete keys and/or POSITION
+    * deletes — the write-back a foreign engine performs after reading a
+    * graft-served table (upsert = data + equality deletes of the same
+    * keys; pure delete = deletes only). `posDeletes` carries
+    * (file_path, pos) where file_path is the SERVED data-file URI the
+    * client read from the export tree — the server remaps. Each kind is
+    * written as this client's own parquet + spec-shaped Avro: the
+    * delete manifest carries manifest-list content=1 and data_file
+    * content 2 (equality) / 1 (position), ordered before the data
+    * manifest. */
+  def morCommitViaRest(spark: SparkSession, port: Int, ns: String, t: String,
+                       data: Option[DataFrame], eqDeleteKeys: Option[DataFrame],
+                       posDeletes: Option[DataFrame], snapshotId: Long,
+                       workDir: String): (Int, String) = {
+    val (gc, gb) = get(port, s"/v1/namespaces/$ns/tables/$t")
+    require(gc == 200, s"GET $ns.$t failed: $gc $gb")
+    val meta = mapper.readTree(gb).get("metadata")
+    val curId = Option(meta.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).filter(_ >= 0)
+    val prior: Seq[(String, Int)] = curId.toSeq.flatMap { cid =>
+      val snap = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cid)
+        .getOrElse(sys.error(s"current snapshot $cid missing from metadata"))
+      graft.catalog.IcebergExport.readAvro(
+        Paths.get(java.net.URI.create(snap.get("manifest-list").asText())))
+        .map { m =>
+          val c = graft.catalog.IcebergExport.getOpt(m, "content")
+          (m.get("manifest_path").toString,
+            if (c == null) 0 else c.asInstanceOf[Number].intValue())
+        }
+    }
+    val work = Paths.get(workDir)
+    Files.createDirectories(work)
+    def writeParquet(df: DataFrame, sub: String): Seq[(Path, Long)] = {
+      val dir = work.resolve(sub)
+      df.write.mode("overwrite").parquet(dir.toString)
+      val s = Files.list(dir)
+      val files = try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
+      finally s.close()
+      require(files.nonEmpty, s"foreign $sub write produced no parquet")
+      files.map(f => f -> -1L) // record_count unused by the server
+    }
+    def entryOf(f: Path, content: Int): GenericRecord = {
+      val dataFile = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dataFile.put("content", content)
+      dataFile.put("file_path", f.toAbsolutePath.toUri.toString)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("record_count", 0L)
+      dataFile.put("file_size_in_bytes", Files.size(f))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", dataFile)
+      e
+    }
+    // delete manifest: equality (content 2) + position (content 1)
+    val delEntries =
+      eqDeleteKeys.toSeq.flatMap(writeParquet(_, "eqdel"))
+        .map { case (f, _) => entryOf(f, 2) } ++
+      posDeletes.toSeq.flatMap(writeParquet(_, "posdel"))
+        .map { case (f, _) => entryOf(f, 1) }
+    val dataEntries = data.toSeq.flatMap(writeParquet(_, "data"))
+      .map { case (f, _) => entryOf(f, 0) }
+    var manifests = Seq.empty[(Path, Int)] // (path, manifest-list content)
+    if (delEntries.nonEmpty) {
+      val p = work.resolve(s"del-$snapshotId.avro")
+      writeAvro(p, entrySchema, delEntries)
+      manifests :+= ((p, 1))
+    }
+    if (dataEntries.nonEmpty) {
+      val p = work.resolve(s"m-$snapshotId.avro")
+      writeAvro(p, entrySchema, dataEntries)
+      manifests :+= ((p, 0))
+    }
+    val listRecords = (prior ++ manifests.map { case (p, c) =>
+      (p.toAbsolutePath.toUri.toString, c)
+    }).map { case (p, c) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p)
+      r.put("manifest_length",
+        manifests.collectFirst {
+          case (mp, _) if mp.toAbsolutePath.toUri.toString == p =>
+            Files.size(mp)
+        }.getOrElse(0L))
+      r.put("partition_spec_id", 0)
+      r.put("content", c)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
+    val listPath = work.resolve(s"snap-$snapshotId.avro")
+    writeAvro(listPath, listSchema, listRecords)
+    val assertId = curId.map(_.toString).getOrElse("null")
+    val body =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
+         |],"updates":[
+         |  {"action":"add-snapshot","snapshot":{
+         |    "snapshot-id":$snapshotId,
+         |    "manifest-list":"${listPath.toAbsolutePath.toUri}",
+         |    "summary":{"operation":"overwrite"}}},
+         |  {"action":"set-snapshot-ref","ref-name":"main",
+         |   "snapshot-id":$snapshotId,"type":"branch"}
+         |]}""".stripMargin
+    post(port, s"/v1/namespaces/$ns/tables/$t", body)
+  }
+
   /** CreateTableRequest for a flat schema: `fields` = (name, icebergType)
     * in order; optional partition-spec transforms as (fieldName,
     * transform) with the spec's bucket[n]/truncate[w] spellings. */

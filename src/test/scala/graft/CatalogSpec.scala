@@ -897,6 +897,72 @@ class CatalogSpec extends SparkSpec {
       "a cdc UPDATE is delete(old)+insert(new)")
   }
 
+  test("changesBetween across MAINTENANCE commits (segmented O(delta)): " +
+       "compact / rewrite_position_deletes / rewrite_manifests are row-" +
+       "neutral boundaries, so every additive-modulo-maintenance range " +
+       "equals the full two-snapshot diff; reserved commit-id prefixes " +
+       "refuse on ordinary commits (spoofing would drop rows from the " +
+       "feed)") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "mx")
+    cat.commitAppend("ns", "mx",
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), bloomCols = Seq("id"))     // v0
+    cat.commitDelete("ns", "mx", Seq(10L, 20L, 30L).toDF("id"))       // v1
+    cat.commitAppend("ns", "mx",
+      Seq((10L, "v10b"), (200L, "v200")).toDF("id", "v"))             // v2
+    cat.compact("ns", "mx", 1024L * 1024)                             // v3
+    cat.commitCdcApply("ns", "mx",
+      Seq((5L, "v5-new"), (300L, "v300")).toDF("id", "v"),
+      Seq(40L).toDF("id"), keyCols = Seq("id"))                       // v4
+    cat.commitDeletePositions("ns", "mx",
+      cat.positionsWhere("ns", "mx", col("id") === 7L))               // v5
+    cat.commitDeletePositions("ns", "mx",
+      cat.positionsWhere("ns", "mx", col("id") === 8L))               // v6
+    val (rwp, rwpN) = cat.rewritePositionDeletes("ns", "mx")          // v7
+    assert(rwpN > 0 && rwp.seq === 7L, "fixture must really consolidate")
+    cat.commitAppend("ns", "mx", Seq((500L, "v500")).toDF("id", "v")) // v8
+    cat.commitAppend("ns", "mx", Seq((600L, "v600")).toDF("id", "v")) // v9
+    val (rwm, rwmN) = cat.rewriteManifests("ns", "mx")                // v10
+    assert(rwmN > 0 && rwm.seq === 10L, "fixture must really consolidate")
+    cat.commitAppend("ns", "mx", Seq((700L, "v700")).toDF("id", "v")) // v11
+
+    val snaps = cat.snapshots("ns", "mx")
+    assert(snaps.find(_.seq == 3).get.commitId.startsWith("compact-"))
+    assert(snaps.find(_.seq == 7).get.commitId.startsWith("rwposdel-"))
+    assert(snaps.find(_.seq == 10).get.commitId.startsWith("rwmanifests-"))
+
+    def refDiff(fromSeq: Long, toSeq: Long): Set[(Long, String, String)] = {
+      val a = cat.readVersion("ns", "mx", fromSeq).select("id", "v")
+      val b = cat.readVersion("ns", "mx", toSeq).select("id", "v")
+      (b.exceptAll(a).withColumn("t", lit("insert"))
+        .unionByName(a.exceptAll(b).withColumn("t", lit("delete"))))
+        .as[(Long, String, String)].collect().toSet
+    }
+    // every range, including the ones that CROSS one, two or all three
+    // maintenance kinds, must equal the independent two-snapshot diff
+    var crossing = 0
+    for (i <- snaps.indices; j <- snaps.indices if i < j) {
+      val (f, t) = (snaps(i), snaps(j))
+      val crossesMaint = snaps.exists(s => s.seq > f.seq && s.seq <= t.seq &&
+        graft.catalog.GraftCatalog.isMaintenanceCommitId(s.commitId))
+      if (crossesMaint && !t.manifests.startsWith(f.manifests)) crossing += 1
+      val got = cat.changesBetween("ns", "mx", f.seq, t.seq)
+        .select(col("id"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got === refDiff(f.seq, t.seq),
+        s"range v${f.seq}->v${t.seq} (crossesMaintenance=$crossesMaint) diverged")
+    }
+    assert(crossing >= 20,
+      s"fixture must exercise maintenance-crossing ranges broadly, got $crossing")
+
+    // maintenance prefixes are engine-reserved: a spoofed commit id
+    // refuses loudly instead of silently vanishing from the changefeed
+    val e = intercept[Exception](cat.commitAppend("ns", "mx",
+      Seq((1L, "x")).toDF("id", "v"), commitId = Some("compact-evil")))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
   test("TIMESTAMP AS OF resolves the newest version at-or-before the instant") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

@@ -253,6 +253,122 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST MoR WRITE path: a foreign client commits an UPSERT — new " +
+       "data + equality-delete keys + position deletes naming the " +
+       "served file URIs — as ONE snapshot; deletes order before the " +
+       "landing data (re-inserted keys survive their own purge), " +
+       "positions remap to graft rels, a deletes-only commit works, " +
+       "and stale/unknown/alien-column requests refuse") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-restm-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("mns", "seed")
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-restm-exp").toString)
+    try {
+      val p = server.boundPort
+      assert(RestClient.createViaRest(p, "mns", "mt",
+        Seq("id" -> "long", "v" -> "double"))._1 === 200)
+      val base = (0 until 400).map(i => (i.toLong, i / 10.0)).toDF("id", "v")
+      assert(RestClient.appendViaRest(spark, p, "mns", "mt", base,
+        snapshotId = 991001L,
+        workDir = Files.createTempDirectory("restm-w1").toString)._1 === 200)
+
+      // the foreign walk: served file URIs from the current manifests
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def servedFiles(): Seq[String] = {
+        val meta = mapper.readTree(
+          RestClient.get(p, "/v1/namespaces/mns/tables/mt")._2).get("metadata")
+        val cur = meta.get("current-snapshot-id").asLong()
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cur).get
+        IcebergExport.readAvro(Paths.get(java.net.URI.create(
+            snap.get("manifest-list").asText())))
+          .filter(m => IcebergExport.getOpt(m, "content") == null ||
+            m.get("content").asInstanceOf[Number].intValue() == 0)
+          .flatMap(m => IcebergExport.readAvro(Paths.get(java.net.URI.create(
+            m.get("manifest_path").toString))))
+          .map(_.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord])
+          .filter(_.get("content").asInstanceOf[Number].intValue() == 0)
+          .map(_.get("file_path").toString)
+      }
+      val files = servedFiles()
+      assert(files.nonEmpty)
+      // position deletes: rows with id % 5 == 3, located per served file
+      // with the MANIFEST's exact URI spelling (what a real engine records)
+      val posDel = files.map { uri =>
+        spark.read.parquet(Paths.get(java.net.URI.create(uri)).toString)
+          .select(col("_metadata.row_index").as("pos"), col("id"))
+          .filter(col("id") % 5 === 3)
+          .select(lit(uri).as("file_path"), col("pos"))
+      }.reduce(_ unionAll _)
+      // equality deletes: id % 3 == 0; re-insert HALF of them (id % 6 == 0)
+      // with bumped values — they must outlive their own purge
+      val eqKeys = base.filter(col("id") % 3 === 0).select("id")
+      val newRows = (1000 until 1050).map(i => (i.toLong, 7.7)).toDF("id", "v")
+        .unionAll(base.filter(col("id") % 6 === 0)
+          .select(col("id"), (col("v") + 1000).as("v")))
+      val (mc, mb) = RestClient.morCommitViaRest(spark, p, "mns", "mt",
+        data = Some(newRows), eqDeleteKeys = Some(eqKeys),
+        posDeletes = Some(posDel), snapshotId = 991002L,
+        workDir = Files.createTempDirectory("restm-w2").toString)
+      assert(mc === 200, mb)
+
+      val got = cat.read("mns", "mt")
+      val expected = base
+        .filter(col("id") % 3 =!= 0 && col("id") % 5 =!= 3)
+        .unionAll(newRows)
+      assert(got.count() === expected.count())
+      assert(got.agg(round(sum(col("v")), 3)).head().getDouble(0) ===
+        expected.agg(round(sum(col("v")), 3)).head().getDouble(0))
+      assert(got.filter(col("id") === 9L).count() === 0L,
+        "equality-deleted, not re-inserted: gone")
+      assert(got.filter(col("id") === 12L).collect().map(_.getDouble(1)).toSeq
+        === Seq(1001.2), "re-inserted key must survive its own purge")
+      assert(got.filter(col("id") === 8L).count() === 0L,
+        "position-deleted physical row: gone")
+
+      // deletes-only commit (pure DELETE, no data manifest)
+      val (dc, db) = RestClient.morCommitViaRest(spark, p, "mns", "mt",
+        data = None, eqDeleteKeys = Some(spark.range(1000, 1010)
+          .select(col("id"))), posDeletes = None, snapshotId = 991003L,
+        workDir = Files.createTempDirectory("restm-w3").toString)
+      assert(dc === 200, db)
+      assert(cat.read("mns", "mt").filter(col("id") >= 1000L &&
+        col("id") < 1010L).count() === 0L)
+
+      // replayed snapshot id -> 409 (idempotence: the commit-id dedup
+      // catches a replay even though the fresh walk re-asserts the head)
+      val (rc, rb) = RestClient.morCommitViaRest(spark, p, "mns", "mt",
+        data = None, eqDeleteKeys = Some(spark.range(5).select(col("id"))),
+        posDeletes = None, snapshotId = 991003L,
+        workDir = Files.createTempDirectory("restm-w4").toString)
+      assert(rc === 409, rb)
+      // alien-column equality delete refuses:
+      val (ec, eb) = RestClient.morCommitViaRest(spark, p, "mns", "mt",
+        data = None,
+        eqDeleteKeys = Some(spark.range(3).select(col("id").as("nope"))),
+        posDeletes = None, snapshotId = 991004L,
+        workDir = Files.createTempDirectory("restm-w5").toString)
+      assert(ec === 400, eb)
+      assert(eb.contains("non-table column"), eb)
+
+      // position delete naming a file the served snapshot does not
+      // serve -> 400, nothing lands
+      val before = cat.latest("mns", "mt").get.seq
+      val bogus = spark.createDataFrame(Seq(
+        ("file:///nowhere/ghost.parquet", 0L))).toDF("file_path", "pos")
+      val (bc, bb) = RestClient.morCommitViaRest(spark, p, "mns", "mt",
+        data = None, eqDeleteKeys = None, posDeletes = Some(bogus),
+        snapshotId = 991005L,
+        workDir = Files.createTempDirectory("restm-w6").toString)
+      assert(bc === 400, bb)
+      assert(bb.contains("does not serve"), bb)
+      assert(cat.latest("mns", "mt").get.seq === before)
+    } finally server.stop()
+  }
+
   test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
        "table, appends its own parquet via add-snapshot (real Avro " +
        "manifests, real HTTP), the files land as a graft version with " +

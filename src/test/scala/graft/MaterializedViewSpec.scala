@@ -102,14 +102,20 @@ class MaterializedViewSpec extends SparkSpec {
         s"FROM $c.ns.t WHERE v > 10 GROUP BY k % 7 ORDER BY bucket")
         .collect().toSeq)
 
-    // avg -> full mode, still correct through rebuilds
+    // min -> full mode (deletes break monotonicity), still correct
+    // through rebuilds; avg without count(*) selected also pins full
+    // (the merge needs the weight column)
     spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m2 AS " +
-      s"SELECT k % 3 AS g, avg(v) AS a FROM $c.ns.t GROUP BY k % 3")
+      s"SELECT k % 3 AS g, min(v) AS mn FROM $c.ns.t GROUP BY k % 3")
     assert(cat.tableProperties("ns", "m2")("graft.mv.mode") === "full")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.m2b AS " +
+      s"SELECT k % 3 AS g, avg(v) AS a FROM $c.ns.t GROUP BY k % 3")
+    assert(cat.tableProperties("ns", "m2b")("graft.mv.mode") === "full",
+      "avg without count(*) has no merge weight — must pin full")
     spark.sql(s"INSERT INTO $c.ns.t VALUES (300, 300)")
     spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.m2")
     assert(spark.sql(s"SELECT * FROM $c.ns.m2 ORDER BY g").collect().toSeq
-      === spark.sql(s"SELECT k % 3 AS g, avg(v) AS a FROM $c.ns.t " +
+      === spark.sql(s"SELECT k % 3 AS g, min(v) AS mn FROM $c.ns.t " +
         "GROUP BY k % 3 ORDER BY g").collect().toSeq)
 
     // duplicate CREATE refuses; IF NOT EXISTS no-ops
@@ -204,6 +210,76 @@ class MaterializedViewSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $c.ns.h2 ORDER BY k").collect().toSeq
       === spark.sql(s"SELECT k, count(v) AS c FROM $c.ns.t GROUP BY k " +
         "ORDER BY k").collect().toSeq)
+  }
+
+  test("incremental AVG (round-13): a bare-column avg with count(*) " +
+       "maintains by signed-sum reconstruction under inserts AND " +
+       "deletes; a NULL-bearing base pins full at CREATE; a NULL " +
+       "arriving in a delta DOWNGRADES the view instead of silently " +
+       "drifting it") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    (0 until 200).map(i => ((i % 7).toLong, i.toLong * 3)).toDF("k", "v")
+      .createOrReplaceTempView("mv_avg_src")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT * FROM mv_avg_src").collect(): Unit
+
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.av AS " +
+      s"SELECT k, count(*) AS c, sum(v) AS s, avg(v) AS a " +
+      s"FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "av")("graft.mv.mode") === "incremental")
+
+    def expectRows() = spark.sql(
+      s"SELECT k, count(*) AS c, sum(v) AS s, avg(v) AS a FROM $c.ns.t " +
+        "GROUP BY k ORDER BY k").collect().toSeq
+    def gotRows() = spark.sql(s"SELECT k, c, s, a FROM $c.ns.av ORDER BY k")
+      .collect().toSeq
+    def assertMatches(): Unit = {
+      val (g, e) = (gotRows(), expectRows())
+      assert(g.size === e.size)
+      g.zip(e).foreach { case (gr, er) =>
+        assert(gr.getLong(0) === er.getLong(0))
+        assert(gr.getLong(1) === er.getLong(1))
+        assert(gr.getLong(2) === er.getLong(2))
+        // reconstruction is float-exact up to ~1 ulp per refresh
+        assert(math.abs(gr.getDouble(3) - er.getDouble(3)) <=
+          math.max(1e-9, math.abs(er.getDouble(3)) * 1e-12),
+          s"avg drifted for k=${gr.getLong(0)}: ${gr.getDouble(3)} vs " +
+            s"${er.getDouble(3)}")
+      }
+    }
+    assertMatches()
+
+    // churn: inserts, a whole-group delete, a partial delete -> one
+    // incremental refresh
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (9, 100), (9, 200), (1, 77)")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = 2")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = 3 AND v < 100")
+    val v0 = cat.latest("ns", "av").get.seq
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av")
+    assert(cat.latest("ns", "av").get.seq === v0 + 1)
+    assert(cat.tableProperties("ns", "av")("graft.mv.mode") === "incremental")
+    assertMatches()
+    assert(!gotRows().exists(_.getLong(0) == 2L), "zero-count group vanishes")
+
+    // second refresh wave (reconstruction compounds; still within ulp)
+    spark.sql(s"INSERT INTO $c.ns.t SELECT k, v * 2 FROM $c.ns.t WHERE k = 4")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av")
+    assertMatches()
+
+    // a NULL arriving in the delta: avg skips it, count(*) cannot —
+    // the refresh must rebuild AND downgrade, never reconstruct
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (5, CAST(NULL AS BIGINT))")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av")
+    assert(cat.tableProperties("ns", "av")("graft.mv.mode") === "full",
+      "a NULL-bearing delta must downgrade the avg view")
+    assertMatches()
+
+    // a NULL-bearing base pins full at CREATE
+    spark.sql(s"CREATE TABLE $c.ns.tn (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.tn VALUES (1, 10), (2, CAST(NULL AS BIGINT))")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.avn AS " +
+      s"SELECT k, count(*) AS c, avg(v) AS a FROM $c.ns.tn GROUP BY k")
+    assert(cat.tableProperties("ns", "avn")("graft.mv.mode") === "full")
   }
 
   test("a star projection on the path pins mode=full (at refresh the " +

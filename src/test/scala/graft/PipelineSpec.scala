@@ -737,6 +737,78 @@ class PipelineSpec extends SparkSpec {
     assert(one < all, s"expected pruning after append: $one of $all files")
   }
 
+  test("changefeed-driven IVF-PQ refresh (round-13): the serving index " +
+       "follows base-table commits like an MV — inserts become " +
+       "searchable, deletes vanish, an UPDATE re-encodes its id exactly " +
+       "once, the watermark rides the SAME snapshot, and a compaction " +
+       "in the window stays on the O(delta) path") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-cdc").toString)
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    cat.createTable("ann", "vecs")
+    cat.commitAppend("ann", "vecs",
+      emb.filter(col("vec_id") < 400).select("vec_id", "embedding"))
+    Similarity.buildIvfPqIndexForTable(cat, "ann", "ix", "ann", "vecs",
+      nlist = 8, m = 8, ksub = 16)
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "ix") === "noop")
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val before = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5,
+        nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(before.nonEmpty && before.forall(_._2 < 400))
+    val victim = before.filter(_._1 == 1L).map(_._2)
+      .find(_ >= 3L).get // a current result of query 1, not itself a query
+
+    // churn: insert the held-out tail + a planted near-copy of query 0,
+    // DELETE the victim, and COMPACT the base mid-window (the
+    // maintenance boundary that used to force a full-corpus diff)
+    val q0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    cat.commitAppend("ann", "vecs",
+      emb.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+        .union(Seq((9999L, q0.map(x => x * 2.0f))).toDF("vec_id", "embedding")))
+    cat.compact("ann", "vecs", 512L * 1024 * 1024)
+    cat.commitDelete("ann", "vecs", Seq(victim).toDF("vec_id"))
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "ix") === "incremental")
+
+    val after = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5,
+        nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(after.filter(_._1 == 0L).minBy(_._3)._2 === 9999L,
+      "inserted near-copy must surface at rank 1 through the refreshed index")
+    assert(!after.exists(_._2 == victim),
+      s"deleted id $victim must vanish from serving")
+    assert(cat.read("ann", "ix_codes").filter(col("neighbor_id") === victim)
+      .count() === 0L, "the purge must reach the codes table itself")
+    assert(cat.read("ann", "ix_codes").count() ===
+      cat.read("ann", "vecs").count(), "index rows must track base rows")
+    // freshness contract: ONE codes commit, centroids untouched, the
+    // watermark advanced atomically with the batch
+    assert(cat.snapshots("ann", "ix_codes").size === 2)
+    assert(cat.snapshots("ann", "ix_centroids").size === 1)
+    assert(cat.tableProperties("ann", "ix_codes")(Similarity.AnnBaseSeqProp)
+      .toLong === cat.latest("ann", "vecs").get.seq)
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "ix") === "noop")
+
+    // an UPDATE (same id, new vector — near-copy of query 1) re-encodes
+    // its id exactly once through the delete+insert halves
+    val q1 = emb.filter(col("vec_id") === 1).select("embedding")
+      .as[Array[Float]].head()
+    cat.commitUpsert("ann", "vecs",
+      Seq((500L, q1.map(x => x * 3.0f))).toDF("vec_id", "embedding"),
+      keyCols = Seq("vec_id"))
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "ix") === "incremental")
+    assert(cat.read("ann", "ix_codes").filter(col("neighbor_id") === 500L)
+      .count() === 1L, "an UPDATE must leave exactly one codes row")
+    val upd = Similarity.servePqTopK(cat, "ann", "ix", queries, k = 5,
+        nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(upd.filter(_._1 == 1L).minBy(_._3)._2 === 500L,
+      "the re-encoded vector must serve under its id at rank 1")
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

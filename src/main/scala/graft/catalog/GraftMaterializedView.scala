@@ -44,8 +44,13 @@ import org.apache.spark.sql.functions.{col, lit, sum, when}
   *    invariant (probed over the base at CREATE, re-probed per delta; a
   *    NULL downgrades the view to full, since avg skips NULLs while
   *    count(*) cannot) and a DoubleType result.
-  *  - **full** (everything else — joins, MIN/MAX, subqueries,
-  *    DISTINCT): re-run the stored definition and replace the state.
+  *    `min`/`max` of a simple expression maintain MONOTONICALLY while
+  *    deltas are insert-only (the 100 TB append-dominant shape); the
+  *    moment a delta carries deletes the refresh takes a one-off full
+  *    rebuild (an erased row may have held the extremum) without
+  *    losing the incremental mode.
+  *  - **full** (everything else — joins, subqueries, DISTINCT):
+  *    re-run the stored definition and replace the state.
   *
   * State + watermark publish as ONE snapshot (commitReplace propsSet) —
   * a crash can never leave a new state with an old watermark, which
@@ -93,6 +98,7 @@ private[graft] object GraftMaterializedView {
   private[catalog] case class MvShape(
       baseParts: Seq[String], aggPositions: Seq[Int], countPositions: Seq[Int],
       avgPositions: Seq[Int], avgArgCols: Seq[String],
+      minPositions: Seq[Int], maxPositions: Seq[Int],
       signedPlanOver: String => LogicalPlan)
 
   private[catalog] def incrementalShape(parsed: LogicalPlan): Option[MvShape] =
@@ -149,6 +155,8 @@ private[graft] object GraftMaterializedView {
         val cntPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         val avgPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         val avgArgs = scala.collection.mutable.ArrayBuffer.empty[String]
+        val minPos = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxPos = scala.collection.mutable.ArrayBuffer.empty[Int]
         var maintainable = true
         val signed: Seq[Expression] = aggExprs.zipWithIndex.map {
           case (Alias(f: UnresolvedFunction, name), i) if isCountStar(f) =>
@@ -175,6 +183,19 @@ private[graft] object GraftMaterializedView {
               .asInstanceOf[UnresolvedAttribute].nameParts.head
             Alias(sumOf(Multiply(f.arguments.head,
               UnresolvedAttribute("_sign"))), name)()
+          // min/max of a simple expression: MONOTONE under inserts, so
+          // the delta aggregates the ORIGINAL expression (no signing —
+          // the refresh falls back to a one-off full rebuild the moment
+          // a delta carries deletes, see refresh()); min/max skip NULLs
+          // natively, so no null invariant is needed
+          case (a @ Alias(f: UnresolvedFunction, _), i)
+              if (isAgg(f, "min") || isAgg(f, "max")) &&
+                f.arguments.size == 1 &&
+                !f.arguments.head.exists(_.isInstanceOf[UnresolvedFunction]) =>
+            aggPos += i
+            if (f.nameParts.map(_.toLowerCase) == Seq("min")) minPos += i
+            else maxPos += i
+            a
           case (e, _) if groupSqls.contains(stripAlias(e).sql) => e
           case _ => maintainable = false; null
         }
@@ -198,7 +219,7 @@ private[graft] object GraftMaterializedView {
           if (avgPos.nonEmpty && pathHasProject) None
           else probe.flatMap(_ => baseParts).map { parts =>
             MvShape(parts, aggPos.toSeq, cntPos.toSeq, avgPos.toSeq,
-              avgArgs.toSeq, deltaView => {
+              avgArgs.toSeq, minPos.toSeq, maxPos.toSeq, deltaView => {
               baseParts = None // reset for the real swap
               agg.copy(aggregateExpressions =
                   signed.map(_.asInstanceOf[org.apache.spark.sql.catalyst
@@ -292,6 +313,14 @@ private[graft] object GraftMaterializedView {
       // never "latest at execution time"
       val state = cat.readSnapshotPublic(ns, name, mvSnap)
       val schema = state.schema
+      // min/max merge monotonically — sound for INSERT-ONLY deltas only
+      // (an erased row may have held the extremum). A delete-bearing
+      // delta takes a ONE-OFF full rebuild; the mode stays incremental,
+      // so the next insert-only window is O(delta) again — the
+      // append-dominant shape a 100 TB MV actually runs
+      if ((shape.minPositions.nonEmpty || shape.maxPositions.nonEmpty) &&
+          !changes.filter(col("_change_type") === "delete").isEmpty)
+        return fullRebuild()
       // avg reconstruction (state avg × count ↔ sum) is sound only over
       // DoubleType results and NULL-free arguments — a NULL-bearing
       // delta row makes count(*) diverge from avg's own row count, so
@@ -330,7 +359,13 @@ private[graft] object GraftMaterializedView {
         // not drift the schema refresh over refresh)
         val aggCols = shape.aggPositions.map { i =>
           val n = schema.fieldNames(i)
-          sum(col(n)).cast(schema.fields(i).dataType).as(n)
+          val merged =
+            if (shape.minPositions.contains(i))
+              org.apache.spark.sql.functions.min(col(n))
+            else if (shape.maxPositions.contains(i))
+              org.apache.spark.sql.functions.max(col(n))
+            else sum(col(n))
+          merged.cast(schema.fields(i).dataType).as(n)
         }
         val merged0 = stateW.unionByName(delta.select(schema.fieldNames
             .map(col).toSeq: _*))

@@ -1116,6 +1116,101 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  private val mvMinMaxWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Incremental MIN/MAX materialized view (round-13): extrema merge
+    * MONOTONICALLY across insert-only refreshes — the fixture churns the
+    * base twice with inserts (new extrema both directions, a fresh
+    * group) and REQUIRES the incremental path both times; the oracle
+    * recomputes the final grouped state declaratively. */
+  private def mvMinMax: Q = (s, d) => {
+    val wh = mvMinMaxWarehouses.synchronized {
+      mvMinMaxWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-mvmm-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.mmb (o_orderkey BIGINT, cents BIGINT)")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .createOrReplaceTempView("mv_mm_src")
+        s.sql(s"""INSERT INTO $c.q.mmb SELECT * FROM mv_mm_src
+                  WHERE o_orderkey % 4 = 0""").collect(): Unit
+        s.sql(s"""CREATE MATERIALIZED VIEW $c.q.mmagg AS
+                  SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                         min(cents) AS min_cents, max(cents) AS max_cents,
+                         max(o_orderkey) AS max_key
+                  FROM $c.q.mmb GROUP BY o_orderkey % 7""").collect(): Unit
+        Seq(1, 2).foreach { m =>
+          s.sql(s"""INSERT INTO $c.q.mmb SELECT * FROM mv_mm_src
+                    WHERE o_orderkey % 4 = $m""").collect(): Unit
+          val path = s.sql(s"CALL $c.system.refresh_mv('q', 'mmagg')")
+            .head().getString(0)
+          require(path == "incremental",
+            s"cat_mv_minmax must take the monotone path, took '$path'")
+        }
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_mvmmreread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"""SELECT grp, cnt, CAST(min_cents AS BIGINT) AS min_cents,
+                     CAST(max_cents AS BIGINT) AS max_cents,
+                     CAST(max_key AS BIGINT) AS max_key
+              FROM $c2.q.mmagg ORDER BY grp""")
+  }
+
+  private val restEvolveWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REST schema evolution (round-13): a foreign client ADD-COLUMNs via
+    * the spec's add-schema + set-current-schema update kinds, then
+    * appends rows CARRYING the new column — pre-evolution files read it
+    * as null, exactly Iceberg's evolution semantics. The oracle replays
+    * the null/valued split declaratively. */
+  private def restEvolve: Q = (s, d) => {
+    val wh = restEvolveWarehouses.synchronized {
+      restEvolveWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-reste-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "nsseed")
+        val server = new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-reste-exp").toString)
+        val port = server.boundPort
+        require(graft.tools.RestClient.createViaRest(port, "q", "reste",
+          Seq("o_orderkey" -> "long", "o_totalprice" -> "double"))._1 == 200)
+        def slice(m: Int) = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 11 === m)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        require(graft.tools.RestClient.appendViaRest(s, port, "q", "reste",
+          slice(0), snapshotId = 661001L,
+          workDir = Files.createTempDirectory("graft-reste-w1").toString)
+          ._1 == 200)
+        val (ec, eb) = graft.tools.RestClient.evolveSchemaViaRest(port,
+          "q", "reste", Seq(("o_orderkey", "long", false),
+            ("o_totalprice", "double", false), ("tier", "string", false)))
+        require(ec == 200, s"REST evolve failed: $ec $eb")
+        require(graft.tools.RestClient.appendViaRest(s, port, "q", "reste",
+          slice(1).withColumn("tier",
+            when(col("o_totalprice") > 150000, "hi").otherwise("lo")),
+          snapshotId = 661002L,
+          workDir = Files.createTempDirectory("graft-reste-w2").toString)
+          ._1 == 200)
+        server.stop()
+        w
+      })
+    }
+    new GraftCatalog(s, wh).read("q", "reste")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("tier").asc_nulls_first)
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -1294,9 +1389,11 @@ object CatalogQueries {
     "cat_view_stack"       -> viewStack,
     "cat_mv_sql"           -> mvSql,
     "cat_mv_avg"           -> mvAvg,
+    "cat_mv_minmax"        -> mvMinMax,
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
     "cat_rest_mor_commit"  -> restMorCommit,
+    "cat_rest_evolve"      -> restEvolve,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1401,6 +1498,29 @@ object CatalogQueries {
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 round(avg(cents), 4) AS avg_cents
          FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
+    "cat_mv_minmax" ->
+      """WITH base AS (SELECT o_orderkey,
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                AS cents
+                       FROM orders
+                       WHERE o_orderkey % 4 IN (0, 1, 2))
+         SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                CAST(min(cents) AS BIGINT) AS min_cents,
+                CAST(max(cents) AS BIGINT) AS max_cents,
+                CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
+    "cat_rest_evolve" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS tier
+           FROM orders WHERE o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice,
+                  CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+           FROM orders WHERE o_orderkey % 11 = 1)
+         SELECT tier, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM u GROUP BY tier ORDER BY tier ASC NULLS FIRST""",
     "cat_mv_refresh" ->
       """WITH base AS (SELECT o_orderkey % 7 AS grp,
                               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -402,6 +402,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     var unsetProps = Seq.empty[String]
     var addSnapshots = Seq.empty[JsonNode]
     var setRefs = Seq.empty[JsonNode]
+    var addSchemas = Seq.empty[JsonNode]
+    var setCurrentSchemaIds = Seq.empty[Int]
     Option(req.get("updates")).toSeq.flatMap(_.elements().asScala).foreach { u =>
       u.get("action").asText() match {
         case "add-snapshot" => addSnapshots :+= u.get("snapshot")
@@ -411,9 +413,17 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
             .map(e => e.getKey -> e.getValue.asText())
         case "remove-properties" =>
           unsetProps ++= u.get("removals").elements().asScala.map(_.asText())
+        case "add-schema" =>
+          addSchemas :+= Option(u.get("schema"))
+            .getOrElse(bad("add-schema carries no schema"))
+        case "set-current-schema" =>
+          setCurrentSchemaIds :+= Option(u.get("schema-id"))
+            .map(_.asInt()).getOrElse(-1)
         case other => bad(s"unsupported update action '$other' — this shim " +
-          "commits appends (add-snapshot + set-snapshot-ref) and table " +
-          "properties; schema/spec evolution goes through graft ALTER")
+          "commits appends (add-snapshot + set-snapshot-ref), table " +
+          "properties, and schema evolution (add-schema + " +
+          "set-current-schema); partition-spec evolution goes through " +
+          "graft ALTER")
       }
     }
     if (addSnapshots.size > 1) bad("at most one add-snapshot per commit")
@@ -429,14 +439,28 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       if (sid != added)
         bad(s"set-snapshot-ref names snapshot $sid but the commit adds $added")
     }
-    if (addSnapshots.nonEmpty && (setProps.nonEmpty || unsetProps.nonEmpty))
-      bad("mixed snapshot + property commits are not supported — " +
-        "commit them separately")
-    if (addSnapshots.isEmpty && setProps.isEmpty && unsetProps.isEmpty)
+    if (addSchemas.size > 1) bad("at most one add-schema per commit")
+    if (setCurrentSchemaIds.nonEmpty && addSchemas.isEmpty)
+      bad("set-current-schema without add-schema (rolling back to an " +
+        "old schema over REST) is not supported")
+    setCurrentSchemaIds.foreach { sid =>
+      val addedId = Option(addSchemas.head.get("schema-id")).map(_.asInt())
+      if (sid != -1 && !addedId.contains(sid))
+        bad(s"set-current-schema names schema-id $sid but the commit " +
+          s"adds ${addedId.getOrElse(-1)} (-1 = last added)")
+    }
+    val kinds = Seq(addSnapshots.nonEmpty,
+      setProps.nonEmpty || unsetProps.nonEmpty, addSchemas.nonEmpty)
+    if (kinds.count(identity) > 1)
+      bad("mixed snapshot / property / schema commits are not supported " +
+        "— commit them separately")
+    if (!kinds.exists(identity))
       bad("commit carries no supported updates")
 
     addSnapshots.headOption match {
       case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq, loc)
+      case None if addSchemas.nonEmpty =>
+        commitSchemaChange(ns, t, addSchemas.head, servedSeq)
       case None =>
         // anchored on the SAME served version the requirements were
         // judged against — a concurrent commit in the check-then-commit
@@ -453,6 +477,60 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         }
     }
     reply(out, 200, loadTableResult(ns, t))
+  }
+
+  /** Spec schema evolution (add-schema + set-current-schema) mapped
+    * onto graft's ALTER-grade schema commit: adds read as null from
+    * pre-evolution files, drops leave the read schema, type changes
+    * must follow the promotion lattice — the same rules
+    * [[GraftCatalog.commitSchemaEvolution]] enforces, CAS-anchored on
+    * the schema of the SERVED version (a concurrent schema change is
+    * the spec's 409; interleaved DATA commits don't abort — they leave
+    * the schema untouched, which is exactly what expectedPrev checks).
+    * Refused on column-mapped (renamed) tables: the foreign schema
+    * spells LOGICAL names, so a renamed column would pair as drop+add
+    * and silently null out its data. */
+  private def commitSchemaChange(ns: String, t: String, schemaNode: JsonNode,
+                                 servedSeq: Long): Unit = {
+    val newSchema: StructType =
+      try IcebergExport.sparkSchema(schemaNode)
+      catch { case e: Exception => bad(s"unsupported schema: ${e.getMessage}") }
+    if (servedSeq < 0)
+      bad(s"$ns.$t has no committed version — nothing to evolve")
+    val servedSnap = cat.snapshots(ns, t).find(_.seq == servedSeq)
+      .getOrElse(bad(s"served version v$servedSeq of $ns.$t is gone — " +
+        "refresh and retry"))
+    val prev = servedSnap.schemaJson
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
+      .getOrElse(bad(s"$ns.$t records no schema to evolve"))
+    val pm = GraftCatalog.physicalMap(prev)
+    if (pm.exists { case (l, p) => l != p })
+      bad(s"$ns.$t carries renamed (column-mapped) columns — a foreign " +
+        "schema spells logical names and would pair the renamed column " +
+        "as drop+add, silently nulling its data; evolve through graft " +
+        "ALTER instead")
+    // fields that pair by name keep their graft-side metadata (column
+    // comments) — the foreign schema has no doc strings and must not
+    // silently strip them
+    val aligned = StructType(newSchema.fields.map { f =>
+      prev.fields.find(_.name == f.name) match {
+        case Some(pf) => f.copy(metadata = pf.metadata)
+        case None => f
+      }
+    })
+    try cat.commitSchemaEvolution(ns, t, aligned,
+      expectedPrev = Some(prev)): Unit
+    catch {
+      case e: java.util.ConcurrentModificationException => conflict(e.getMessage)
+      case e: IllegalArgumentException =>
+        // expectedPrev mismatch surfaces as require(...) — the spec's
+        // commit conflict, not a bad request
+        if (e.getMessage != null && e.getMessage.contains("concurrent schema"))
+          conflict(e.getMessage)
+        else bad(e.getMessage)
+      case e: IllegalStateException => bad(e.getMessage)
+    }
   }
 
   /** Walk the client's snapshot (manifest-list avro -> NEW manifest

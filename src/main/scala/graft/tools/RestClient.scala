@@ -323,6 +323,23 @@ object RestClient {
     post(port, s"/v1/namespaces/$ns/tables", body)
   }
 
+  /** Spec schema evolution: one add-schema (the full replacement
+    * schema, flat fields as (name, icebergType, required)) +
+    * set-current-schema(-1, "last added"). */
+  def evolveSchemaViaRest(port: Int, ns: String, t: String,
+                          fields: Seq[(String, String, Boolean)]): (Int, String) = {
+    val fieldJson = fields.zipWithIndex.map { case ((n, ty, req), i) =>
+      s"""{"id":${i + 1},"name":"$n","required":$req,"type":"$ty"}"""
+    }.mkString(",")
+    val body =
+      s"""{"requirements":[],"updates":[
+         |  {"action":"add-schema","schema":{"schema-id":1,"type":"struct",
+         |   "fields":[$fieldJson]}},
+         |  {"action":"set-current-schema","schema-id":-1}
+         |]}""".stripMargin
+    post(port, s"/v1/namespaces/$ns/tables/$t", body)
+  }
+
   /** Node access for callers asserting on responses. */
   def json(body: String): JsonNode = mapper.readTree(body)
 }

@@ -369,6 +369,83 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST schema evolution: a foreign client ADD-COLUMNs via " +
+       "add-schema + set-current-schema — pre-evolution files read the " +
+       "new column as null, a foreign append WITH the column lands, " +
+       "illegal changes (required add, off-lattice retype, schema " +
+       "rollback, mixed commits) refuse with the right codes") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-reste-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ens", "seed")
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-reste-exp").toString)
+    try {
+      val p = server.boundPort
+      assert(RestClient.createViaRest(p, "ens", "et",
+        Seq("id" -> "long", "v" -> "double"))._1 === 200)
+      assert(RestClient.appendViaRest(spark, p, "ens", "et",
+        (0 until 50).map(i => (i.toLong, i / 2.0)).toDF("id", "v"),
+        snapshotId = 551001L,
+        workDir = Files.createTempDirectory("reste-w1").toString)._1 === 200)
+
+      // ADD COLUMN note string (optional)
+      val (ec, eb) = RestClient.evolveSchemaViaRest(p, "ens", "et",
+        Seq(("id", "long", false), ("v", "double", false),
+          ("note", "string", false)))
+      assert(ec === 200, eb)
+      assert(cat.tableSchema("ens", "et").get.fieldNames.toSeq ===
+        Seq("id", "v", "note"))
+      // pre-evolution rows read the new column as null
+      assert(cat.read("ens", "et").filter(col("note").isNull).count() === 50L)
+      // the evolved schema serves back over REST
+      val served = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(RestClient.get(p, "/v1/namespaces/ens/tables/et")._2)
+        .get("metadata")
+      val curSchemaId = served.get("current-schema-id").asInt()
+      val fields = served.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == curSchemaId).get
+        .get("fields").elements().asScala.map(_.get("name").asText()).toSeq
+      assert(fields === Seq("id", "v", "note"))
+
+      // a foreign append WITH the new column lands and reads back
+      assert(RestClient.appendViaRest(spark, p, "ens", "et",
+        Seq((1000L, 1.5, "hello")).toDF("id", "v", "note"),
+        snapshotId = 551002L,
+        workDir = Files.createTempDirectory("reste-w2").toString)._1 === 200)
+      assert(cat.read("ens", "et").filter(col("note") === "hello")
+        .count() === 1L)
+
+      // refusals: a REQUIRED new column (existing rows cannot supply it)
+      val (rc, rb) = RestClient.evolveSchemaViaRest(p, "ens", "et",
+        Seq(("id", "long", false), ("v", "double", false),
+          ("note", "string", false), ("must", "long", true)))
+      assert(rc === 400, rb)
+      assert(rb.contains("nullable"), rb)
+      // off-lattice retype (double -> float narrows)
+      assert(RestClient.evolveSchemaViaRest(p, "ens", "et",
+        Seq(("id", "long", false), ("v", "float", false),
+          ("note", "string", false)))._1 === 400)
+      // schema rollback (set-current-schema without add-schema)
+      assert(RestClient.post(p, "/v1/namespaces/ens/tables/et",
+        """{"requirements":[],"updates":[
+          {"action":"set-current-schema","schema-id":0}]}""")._1 === 400)
+      // mixed schema + property commit refuses
+      assert(RestClient.post(p, "/v1/namespaces/ens/tables/et",
+        """{"requirements":[],"updates":[
+          {"action":"add-schema","schema":{"schema-id":2,"type":"struct",
+           "fields":[{"id":1,"name":"id","required":false,"type":"long"}]}},
+          {"action":"set-properties","updates":{"x":"y"}}]}""")._1 === 400)
+      // a LEGAL widening retype (long -> ... int column would widen; here
+      // verify v double stays double and id can widen from long to long)
+      // and a DROP: removing note succeeds (no eq-deletes live)
+      assert(RestClient.evolveSchemaViaRest(p, "ens", "et",
+        Seq(("id", "long", false), ("v", "double", false)))._1 === 200)
+      assert(cat.tableSchema("ens", "et").get.fieldNames.toSeq ===
+        Seq("id", "v"))
+    } finally server.stop()
+  }
+
   test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
        "table, appends its own parquet via add-snapshot (real Avro " +
        "manifests, real HTTP), the files land as a graft version with " +

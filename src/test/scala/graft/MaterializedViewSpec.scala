@@ -282,6 +282,54 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.tableProperties("ns", "avn")("graft.mv.mode") === "full")
   }
 
+  test("incremental MIN/MAX (round-13): monotone merge under insert-only " +
+       "deltas (strings included); a delete-bearing delta takes a ONE-OFF " +
+       "full rebuild without losing the incremental mode, and the next " +
+       "insert-only window is incremental again") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES " +
+      "(1, 10, 'm'), (1, 20, 'a'), (2, 5, 'q'), (2, 50, 'z')")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.mm AS " +
+      s"SELECT k, count(*) AS c, sum(v) AS sv, min(v) AS mn, " +
+      s"max(v) AS mx, min(s) AS ms FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "mm")("graft.mv.mode") === "incremental")
+
+    def expect() = spark.sql(s"SELECT k, count(*) AS c, sum(v) AS sv, " +
+      s"min(v) AS mn, max(v) AS mx, min(s) AS ms FROM $c.ns.t " +
+      "GROUP BY k ORDER BY k").collect().toSeq
+    def got() = spark.sql(
+      s"SELECT k, c, sv, mn, mx, ms FROM $c.ns.mm ORDER BY k")
+      .collect().toSeq
+    def path() = spark.sql(s"CALL $c.system.refresh_mv('ns', 'mm')")
+      .head().getString(0)
+
+    // insert-only wave: new extrema on both ends, a new group, a new
+    // string minimum
+    spark.sql(s"INSERT INTO $c.ns.t VALUES " +
+      "(1, 3, 'zz'), (1, 99, 'b'), (3, 7, 'x'), (2, 50, 'Q')")
+    assert(path() === "incremental")
+    assert(got() === expect())
+
+    // a delete: the erased row held group 2's max -> one-off full
+    // rebuild, mode retained
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = 2 AND v = 50 AND s = 'z'")
+    assert(path() === "full", "a delete-bearing window must rebuild")
+    assert(cat.tableProperties("ns", "mm")("graft.mv.mode") === "incremental",
+      "the one-off rebuild must not downgrade the mode")
+    assert(got() === expect())
+
+    // back to insert-only -> incremental again
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (3, 1, 'a')")
+    assert(path() === "incremental")
+    assert(got() === expect())
+
+    // min/max of a NESTED-function argument still pins full
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.mm2 AS " +
+      s"SELECT k, count(*) AS c, min(abs(v)) AS mn FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "mm2")("graft.mv.mode") === "full")
+  }
+
   test("a star projection on the path pins mode=full (at refresh the " +
        "star would expand the delta view's own _sign and the appended " +
        "_sign would collide — ambiguous reference with no downgrade " +

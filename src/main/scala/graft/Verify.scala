@@ -9,6 +9,9 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (local spot checks)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // oracle fixture exports (quantizer decisions) happen only under
+    // Verify — bench runs of the same queries must not pay fixture I/O
+    sys.props("spark.graft.oracle.fixtures") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)

@@ -1478,7 +1478,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                    sourceRegion: String = "local", maxRetries: Int = 5,
                    commitId: Option[String] = None,
                    bloomCols: Seq[String] = Seq.empty,
-                   alignSpec: Boolean = false): Snapshot = {
+                   alignSpec: Boolean = false,
+                   propsSet: Map[String, String] = Map.empty): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     // idempotence fast path: a caller-supplied commitId that already
     // committed (streaming batch replay, retried RPC) must not re-append
@@ -1535,7 +1536,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           parent.map(_.fileCount).getOrElse(0L) + entries.size,
           parent.map(_.totalBytes).getOrElse(0L) + entries.map(_._2).sum,
           Some(validatedSchemaJson(ns, name, parent, df.schema)),
-          parent.flatMap(_.propsJson))
+          // propsSet rides the SAME snapshot as the data (a derived
+          // consumer's watermark must never be a second commit — a
+          // crash between the two would strand the batch watermark-less)
+          if (propsSet.isEmpty) parent.flatMap(_.propsJson)
+          else {
+            val next = parent.map(_.properties).getOrElse(Map.empty) ++ propsSet
+            val tm = new java.util.TreeMap[String, String]()
+            next.foreach { case (k, v) => tm.put(k, v) }
+            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
+          })
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1883,11 +1893,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         // deletes against an EMPTY replica erase nothing by definition
         // (an update's delete(old) half targets a row this replica
         // never held) — refusing would deadlock the stream on replay
-        // of its own first batch
-        val snap = commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId)
-        if (propsSet.isEmpty) snap
-        else commitProperties(ns, name, propsSet,
-          expectedParentSeq = Some(snap.seq))
+        // of its own first batch. propsSet rides the same commit: a
+        // second props commit would strand a crashed batch watermark-
+        // less AND consume its deterministic commitId (replays would
+        // throw DuplicateCommitException instead of completing)
+        commitAppend(ns, name, rows, sourceRegion, maxRetries, commitId,
+          propsSet = propsSet)
       case Some(parent0) =>
         validatedSchemaJson(ns, name, Some(parent0), rows.schema)
         val curSchema = parent0.schemaJson

@@ -306,37 +306,63 @@ private[graft] object GraftMaterializedView {
         case Some(s) => s
         case None => return fullRebuild(Map(ModeProp -> "full"))
       }
-      val changes =
+      val changes0 =
         try cat.changesBetween(bns, bt, fromSeq, headSeq)
         catch { case _: Exception => return fullRebuild() }
+      // probes + the delta aggregation would each re-execute the
+      // changefeed plan — checkpoint ONCE when any probe is needed so
+      // the O(delta) scan runs once per refresh (no-probe shapes keep
+      // the single lazy use)
+      val needDelProbe =
+        shape.minPositions.nonEmpty || shape.maxPositions.nonEmpty
+      val needNullProbe = shape.avgPositions.nonEmpty
+      val changes = if (needDelProbe || needNullProbe)
+        changes0.localCheckpoint() else changes0
       // the state the merge reads is the SNAPSHOT the CAS anchors on,
       // never "latest at execution time"
       val state = cat.readSnapshotPublic(ns, name, mvSnap)
       val schema = state.schema
-      // min/max merge monotonically — sound for INSERT-ONLY deltas only
-      // (an erased row may have held the extremum). A delete-bearing
-      // delta takes a ONE-OFF full rebuild; the mode stays incremental,
-      // so the next insert-only window is O(delta) again — the
-      // append-dominant shape a 100 TB MV actually runs
-      if ((shape.minPositions.nonEmpty || shape.maxPositions.nonEmpty) &&
-          !changes.filter(col("_change_type") === "delete").isEmpty)
-        return fullRebuild()
-      // avg reconstruction (state avg × count ↔ sum) is sound only over
-      // DoubleType results and NULL-free arguments — a NULL-bearing
-      // delta row makes count(*) diverge from avg's own row count, so
-      // the view DOWNGRADES to full the moment one appears (the null
-      // stays in the table; every later reconstruction would be wrong)
-      if (shape.avgPositions.nonEmpty) {
-        val typesOk = shape.avgPositions.forall(i =>
-          schema.fields(i).dataType ==
-            org.apache.spark.sql.types.DoubleType)
-        val argsPresent = shape.avgArgCols.forall(changes.columns.contains)
-        if (!typesOk || !argsPresent)
+      // ONE pass answers both probes. ORDER MATTERS: the avg NULL
+      // downgrade must win over the min/max one-off rebuild — a window
+      // carrying BOTH a delete and a NULL avg argument leaves the NULL
+      // in the base below the new watermark, so keeping mode=incremental
+      // (as the plain rebuild does) would silently corrupt every later
+      // avg reconstruction.
+      if (needDelProbe || needNullProbe) {
+        if (needNullProbe) {
+          // avg reconstruction (state avg × count ↔ sum) is sound only
+          // over DoubleType results and NULL-free arguments — avg skips
+          // NULLs, the count(*) weight cannot
+          val typesOk = shape.avgPositions.forall(i =>
+            schema.fields(i).dataType ==
+              org.apache.spark.sql.types.DoubleType)
+          if (!typesOk || !shape.avgArgCols.forall(changes.columns.contains))
+            return fullRebuild(Map(ModeProp -> "full"))
+        }
+        val nullCond =
+          if (needNullProbe)
+            shape.avgArgCols.map(col(_).isNull).reduce(_ || _)
+          else lit(false)
+        // coalesce: an EMPTY window (props-only base commits) must
+        // probe clean, not NPE on a null max
+        val probe = changes.agg(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max(
+              when(nullCond, 1).otherwise(0)), lit(0)).as("nulls"),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max(
+              when(col("_change_type") === "delete", 1).otherwise(0)),
+            lit(0)).as("dels"))
+          .head()
+        if (needNullProbe && probe.getInt(0) == 1)
           return fullRebuild(Map(ModeProp -> "full"))
-        val nullSeen = !changes
-          .filter(shape.avgArgCols.map(col(_).isNull).reduce(_ || _))
-          .isEmpty
-        if (nullSeen) return fullRebuild(Map(ModeProp -> "full"))
+        // min/max merge monotonically — sound for INSERT-ONLY deltas
+        // only (an erased row may have held the extremum): a delete-
+        // bearing delta takes a ONE-OFF full rebuild, mode retained,
+        // so the next insert-only window is O(delta) again — the
+        // append-dominant shape a 100 TB MV actually runs
+        if (needDelProbe && probe.getInt(1) == 1)
+          return fullRebuild()
       }
       val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
       changes.withColumn("_sign",
@@ -429,37 +455,44 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
 
     // maintenance mode decided (and pinned) at CREATE: incremental when
     // the shape qualifies AND the base is a graft table of THIS catalog
-    // AND any avg argument is provably NULL-free in the base today
-    // (avg skips NULLs, the count(*)-weighted reconstruction cannot —
-    // one O(base) probe at CREATE, which already materializes O(base))
     val shape = incrementalShape(parsed).filter { s =>
       GraftViewSql.viewTarget(session, s.baseParts).exists { case (bg, bid) =>
-        bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name()) && {
-          s.avgArgCols.isEmpty || {
-            val base = bg.cat.read(bid.namespace()(0), bid.name())
-            s.avgArgCols.forall(base.columns.contains) &&
-              base.filter(s.avgArgCols.map(org.apache.spark.sql.functions
-                .col(_).isNull).reduce(_ || _)).isEmpty
-          }
-        }
+        bg.eq(g) && bg.cat.tableExists(bid.namespace()(0), bid.name())
       }
     }
     val (baseProps, df) = shape match {
       case Some(s) =>
         val (_, bid) = GraftViewSql.viewTarget(session, s.baseParts).get
-        val bSeq = g.cat.latest(bid.namespace()(0), bid.name())
-          .map(_.seq).getOrElse(-1L)
+        val (bns, bt) = (bid.namespace()(0), bid.name())
+        // ONE head read anchors everything: the pinned defining read,
+        // the recorded watermark, AND the avg NULL probe below — a
+        // probe at "latest" with the pin read separately would let a
+        // NULL-bearing commit slip between the two and corrupt every
+        // later avg reconstruction
+        val headSnap = g.cat.latest(bns, bt)
+        val bSeq = headSnap.map(_.seq).getOrElse(-1L)
         // the query is lazy (it executes inside the commit below) —
         // pin it to THIS version or a racing base commit would make the
         // state newer than the watermark and double-apply the next delta
         val df0 = GraftMaterializedView.run(session,
           pinBaseVersion(qualified, bSeq))
         // avg reconstruction is double-space only (avg(decimal) would
-        // need exact decimal sums the state does not carry)
+        // need exact decimal sums the state does not carry) ...
         val avgTypesOk = s.avgPositions.forall(i =>
           df0.schema.fields(i).dataType ==
             org.apache.spark.sql.types.DoubleType)
-        if (!avgTypesOk) (Map(ModeProp -> "full"), df0)
+        // ... and NULL-free-argument only (avg skips NULLs, the
+        // count(*) weight cannot): one O(base) probe over the SAME
+        // pinned version, next to the O(base) materialize CREATE
+        // already pays. A base with no committed version is vacuously
+        // NULL-free (state pins to LIMIT 0; refresh deltas re-probe).
+        val avgNullFree = s.avgArgCols.isEmpty || headSnap.forall { hs =>
+          val base = g.cat.readSnapshotPublic(bns, bt, hs)
+          s.avgArgCols.forall(base.columns.contains) &&
+            base.filter(s.avgArgCols.map(org.apache.spark.sql.functions
+              .col(_).isNull).reduce(_ || _)).isEmpty
+        }
+        if (!avgTypesOk || !avgNullFree) (Map(ModeProp -> "full"), df0)
         else (Map(ModeProp -> "incremental",
           BaseProp -> s"${bid.namespace()(0)} ${bid.name()}",
           BaseSeqProp -> bSeq.toString,

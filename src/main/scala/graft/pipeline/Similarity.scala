@@ -525,14 +525,23 @@ object Similarity {
     // loss on un-normalized embeddings)
     val (probes0, assigned) =
       ivfDecisions(corpus, queries, nlist, nprobe, seed, idCol, vecCol)
+    ivfTopKFrom(probes0, assigned, queries, k, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] over ALREADY-COMPUTED quantizer decisions — callers
+    * that also export the decisions (oracle fixtures) train the
+    * quantizer and assign the corpus exactly once. */
+  def ivfTopKFrom(probes0: DataFrame, assigned: DataFrame,
+                  queries: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val probes = probes0.join(q, "query_id") // re-attach the query vector
-
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("vec"), col("query_vec")), 4).as("score"))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+    topKPerQuery(scored, k, queries.schema(idCol).dataType)
   }
 
   /** The quantizer DECISIONS of [[ivfTopK]]'s configuration — (query

@@ -308,16 +308,27 @@ object Pipeline {
     fixtureDirs.values.toSeq.sorted.headOption
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-oracle-fixtures-unset")
 
+  /** Fixture export is a VERIFY concern (graft.Verify sets the flag):
+    * bench/ad-hoc runs of the same queries must not pay fixture I/O
+    * inside their timed bodies — it would distort the round-over-round
+    * regression audit BENCH_FULL.json exists for. */
+  private def fixturesEnabled: Boolean =
+    sys.props.get("spark.graft.oracle.fixtures").contains("true")
+
   private def annIvfTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 5)
+    // decisions computed ONCE: the fixture export and the top-k consume
+    // the same (probes, assignment) pair
     val (probes, assigned) = Similarity.ivfDecisions(emb, queries,
       nlist = 8, nprobe = 3)
-    val fix = oracleFixtureDir(d)
-    probes.coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_probes")
-    assigned.select(col("neighbor_id"), col("cell"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_assign")
-    Similarity.ivfTopK(emb, queries, 5, nlist = 8, nprobe = 3)
+    if (fixturesEnabled) {
+      val fix = oracleFixtureDir(d)
+      probes.coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_probes")
+      assigned.select(col("neighbor_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$fix/ivf_assign")
+    }
+    Similarity.ivfTopKFrom(probes, assigned, queries, 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -466,12 +477,14 @@ object Pipeline {
 
   private def annLshTopK: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val fix = oracleFixtureDir(d)
-    // the bucket DECISIONS as a fixture — scoring within a bucket is
-    // exact quantized cosine DuckDB replays (see oracleFixtureDir)
-    emb.select(col("vec_id"),
-        Similarity.lshBucket(col("embedding"), 6).as("bucket"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$fix/lsh_buckets")
+    if (fixturesEnabled) {
+      // the bucket DECISIONS as a fixture — scoring within a bucket is
+      // exact quantized cosine DuckDB replays (see oracleFixtureDir)
+      emb.select(col("vec_id"),
+          Similarity.lshBucket(col("embedding"), 6).as("bucket"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${oracleFixtureDir(d)}/lsh_buckets")
+    }
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, planes = 6)
       .orderBy(col("query_id"), col("rank"))
   }

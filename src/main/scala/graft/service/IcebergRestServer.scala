@@ -571,6 +571,16 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     val clientList = readAvroAt(listUri)
     val newManifests = clientList
       .filterNot(m => priorManifests.contains(m.get("manifest_path").toString))
+    // refuse-loud guard: a manifest whose list content is neither data
+    // (0) nor deletes (1) must never be SILENTLY DROPPED from the
+    // commit — the client would get a 200 while its files diverge
+    newManifests.foreach { m =>
+      val c = IcebergExport.getOpt(m, "content")
+      val cv = if (c == null) 0 else c.asInstanceOf[Number].intValue()
+      if (cv != 0 && cv != 1)
+        bad(s"manifest ${m.get("manifest_path")} carries unsupported " +
+          s"content $cv (0=data, 1=deletes)")
+    }
     // (path, record_count) of ADDED parquet entries with the given
     // data_file.content kind, across the new manifests of manifest-list
     // content `listContent`

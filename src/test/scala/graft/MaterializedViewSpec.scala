@@ -330,6 +330,28 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.tableProperties("ns", "mm2")("graft.mv.mode") === "full")
   }
 
+  test("review regression: a window carrying BOTH a delete and a NULL " +
+       "avg argument DOWNGRADES the view — the NULL probe must win over " +
+       "the min/max one-off rebuild, or the NULL enters the base below " +
+       "the watermark and every later avg reconstruction silently drifts") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 10), (2, 20), (2, 30)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.x AS " +
+      s"SELECT k, count(*) AS c, avg(v) AS a, max(v) AS mx " +
+      s"FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "x")("graft.mv.mode") === "incremental")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = 2 AND v = 30")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (5, CAST(NULL AS BIGINT))")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.x")
+    assert(cat.tableProperties("ns", "x")("graft.mv.mode") === "full",
+      "delete+NULL window must downgrade, not take the mode-retaining rebuild")
+    assert(spark.sql(s"SELECT k, c, a, mx FROM $c.ns.x ORDER BY k")
+      .collect().toSeq ===
+      spark.sql(s"SELECT k, count(*) AS c, avg(v) AS a, max(v) AS mx " +
+        s"FROM $c.ns.t GROUP BY k ORDER BY k").collect().toSeq)
+  }
+
   test("a star projection on the path pins mode=full (at refresh the " +
        "star would expand the delta view's own _sign and the appended " +
        "_sign would collide — ambiguous reference with no downgrade " +

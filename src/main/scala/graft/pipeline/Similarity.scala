@@ -804,10 +804,16 @@ object Similarity {
     Seq(s"${prefix}_codes", s"${prefix}_centroids").foreach { t =>
       if (!cat.tableExists(ns, t)) cat.createTable(ns, t)
     }
+    // build-time quantization-error baseline (drift denominator) — one
+    // more pass over the corpus the build already scans twice
+    val baseErr = Option(withCell
+        .agg(org.apache.spark.sql.functions.avg(cellDist2(coarse))).head().get(0))
+      .map(_.asInstanceOf[Double])
     cat.commitReplace(ns, s"${prefix}_codes",
       idx.coded.select(col("cell"), col("neighbor_id"), col("codes"))
         .repartitionByRange(math.max(1, nlist / 4), col("cell")),
-      propsSet = codesProps)
+      propsSet = codesProps ++
+        baseErr.map(e => AnnBaseErrProp -> e.toString))
     cat.commitReplace(ns, s"${prefix}_centroids",
       centroidRows.toSeq.toDF("kind", "j", "c", "vec"))
   }
@@ -856,23 +862,27 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import cat.spark.implicits._
     val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
-    val c0 = withNormalized(batch.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-    val assigned = c0.select(
-        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse).as("cell"),
-        col("neighbor_id"),
-        graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
+    val enriched = withNormalized(
+        batch.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+      .withColumn("cell",
+        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
+    val assigned = enriched.select(col("cell"), col("neighbor_id"),
+      graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
     // width-mismatched vectors assign a null cell by NearestCentroid's
     // contract; committing them would create unreachable rows, and
     // silently dropping them would report success for a batch that was
     // never indexed — count both sides and fail loudly on any mismatch
-    val (nIn, nOk) = assigned.agg(count(lit(1)), count(col("cell")))
-      .as[(Long, Long)].head()
+    // (the same pass records the drift numerator)
+    val (nIn, nOk, errAvg) = enriched.agg(count(lit(1)), count(col("cell")),
+        org.apache.spark.sql.functions.avg(cellDist2(coarse)))
+      .as[(Long, Long, Option[Double])].head()
     require(nOk == nIn,
       s"$nIn-row batch has ${nIn - nOk} vectors whose width does not match " +
         s"index $ns.$prefix (dims=${idx.m * idx.dsub}) — refusing a partial append")
     cat.commitAppend(ns, s"${prefix}_codes",
       assigned.repartitionByRange(math.max(1, coarse.length / 4), col("cell")),
-      commitId = commitId)
+      commitId = commitId,
+      propsSet = errAvg.map(e => AnnLastErrProp -> e.toString).toMap)
   }
 
   /** Base-table identity + staleness watermark recorded on a persisted
@@ -880,6 +890,38 @@ object Similarity {
     * a materialized view ([[refreshIvfPqIndex]]). */
   val AnnBaseProp = "graft.ann.base"
   val AnnBaseSeqProp = "graft.ann.base-seq"
+  /** Build-time baseline and last-batch quantization error (mean squared
+    * L2 to the assigned coarse centroid, normalized vectors) — the DRIFT
+    * signal for the freshness/rebuild split. */
+  val AnnBaseErrProp = "graft.ann.base-err"
+  val AnnLastErrProp = "graft.ann.last-batch-err"
+
+  /** Squared L2 distance from `_nvec` to its assigned coarse centroid —
+    * the per-row quantization error (HOF form; runs over batch-sized
+    * frames only). */
+  private def cellDist2(coarse: Array[Array[Double]]): Column = {
+    val centLit = org.apache.spark.sql.functions.typedLit(
+      coarse.map(_.toSeq).toSeq)
+    aggregate(zip_with(col("_nvec"),
+        org.apache.spark.sql.functions.element_at(centLit, col("cell") + 1),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Quantization-drift ratio of a persisted index: last refresh/append
+    * batch's mean error over the build-time baseline. ~1.0 = incoming
+    * data still fits the frozen quantizers; sustained >> 1 (rule of
+    * thumb 1.5) = schedule a [[buildIvfPqIndexForTable]] rebuild — the
+    * standard freshness/retrain split every production ANN deployment
+    * monitors. None until both sides are recorded. */
+  def ivfPqDrift(cat: graft.catalog.GraftCatalog, ns: String,
+                 prefix: String): Option[Double] = {
+    val props = cat.tableProperties(ns, s"${prefix}_codes")
+    for {
+      b <- props.get(AnnBaseErrProp).map(_.toDouble) if b > 0
+      l <- props.get(AnnLastErrProp).map(_.toDouble)
+    } yield l / b
+  }
 
   /** [[buildIvfPqIndexTables]] over a CATALOG base table, pinning the
     * read to one version and recording it as the codes table's
@@ -933,16 +975,18 @@ object Similarity {
     val ins = changes.filter(col("_change_type") === "insert")
     val delKeys = changes.filter(col("_change_type") === "delete")
       .select(col(idCol).as("neighbor_id")).distinct()
-    val c0 = withNormalized(
-      ins.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
-    val assigned = c0.select(
-      graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse).as("cell"),
-      col("neighbor_id"),
+    val enriched = withNormalized(
+        ins.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+      .withColumn("cell",
+        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
+    val assigned = enriched.select(col("cell"), col("neighbor_id"),
       graft.functions.PqFunctions.pqEncode(col("_nvec"), idx.codebooks).as("codes"))
-    // same loud refusal as appendToIvfPqIndex: a width-mismatched batch
-    // must never land unreachable rows or report a partial success
-    val (nIn, nOk) = assigned.agg(count(lit(1)), count(col("cell")))
-      .as[(Long, Long)].head()
+    // ONE batch pass answers the width guard (same loud refusal as
+    // appendToIvfPqIndex: a mismatched batch must never land unreachable
+    // rows or report a partial success) AND the drift numerator
+    val (nIn, nOk, errAvg) = enriched.agg(count(lit(1)), count(col("cell")),
+        org.apache.spark.sql.functions.avg(cellDist2(coarse)))
+      .as[(Long, Long, Option[Double])].head()
     require(nOk == nIn,
       s"$nIn-row delta has ${nIn - nOk} vectors whose width does not match " +
         s"index $ns.$prefix (dims=${idx.m * idx.dsub}) — refusing a partial refresh")
@@ -950,7 +994,8 @@ object Similarity {
       assigned.repartitionByRange(math.max(1, coarse.length / 4), col("cell")),
       delKeys, keyCols = Seq("neighbor_id"),
       commitId = Some(s"annrefresh-$fromSeq-$headSeq"),
-      propsSet = Map(AnnBaseSeqProp -> headSeq.toString)): Unit
+      propsSet = Map(AnnBaseSeqProp -> headSeq.toString) ++
+        errAvg.map(e => AnnLastErrProp -> e.toString)): Unit
     "incremental"
   }
 

@@ -384,6 +384,12 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
             val have = meta.get("table-uuid").asText()
             if (want != have)
               conflict(s"table uuid changed: expected $want, found $have")
+          case "assert-current-schema-id" =>
+            val want = r.get("current-schema-id").asInt()
+            val have = Option(meta.get("current-schema-id"))
+              .map(_.asInt()).getOrElse(0)
+            if (want != have)
+              conflict(s"current schema changed: expected $want, found $have")
           case "assert-ref-snapshot-id" =>
             val ref = Option(r.get("ref")).map(_.asText()).getOrElse("main")
             if (ref != "main")

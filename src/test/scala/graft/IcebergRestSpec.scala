@@ -436,6 +436,13 @@ class IcebergRestSpec extends SparkSpec {
           {"action":"add-schema","schema":{"schema-id":2,"type":"struct",
            "fields":[{"id":1,"name":"id","required":false,"type":"long"}]}},
           {"action":"set-properties","updates":{"x":"y"}}]}""")._1 === 400)
+      // the spec's schema-change guard requirement: a stale
+      // assert-current-schema-id is the 409 CommitFailedException
+      assert(RestClient.post(p, "/v1/namespaces/ens/tables/et",
+        """{"requirements":[
+          {"type":"assert-current-schema-id","current-schema-id":99}],
+          "updates":[{"action":"set-properties","updates":{"z":"1"}}]}""")
+        ._1 === 409)
       // a LEGAL widening retype (long -> ... int column would widen; here
       // verify v double stays double and id can widen from long to long)
       // and a DROP: removing note succeeds (no eq-deletes live)

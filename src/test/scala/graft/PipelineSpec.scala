@@ -809,6 +809,42 @@ class PipelineSpec extends SparkSpec {
       "the re-encoded vector must serve under its id at rank 1")
   }
 
+  test("IVF-PQ drift monitor: in-distribution refresh batches keep the " +
+       "quantization-error ratio ~1; an out-of-distribution batch raises " +
+       "it sharply — the signal that schedules the periodic full rebuild") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-drift").toString)
+    val dim = 8
+    // three tight clusters on axes 0/1/2 with deterministic jitter
+    def cluster(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, Array.tabulate(dim)(j =>
+        (if (j == axis) 1.0f else 0.0f) + ((i * 7 + j) % 5) * 0.01f))
+    }
+    cat.createTable("ann", "dv")
+    cat.commitAppend("ann", "dv",
+      (cluster(0, 200, 0) ++ cluster(1, 200, 1000) ++ cluster(2, 200, 2000))
+        .toDF("vec_id", "embedding"))
+    Similarity.buildIvfPqIndexForTable(cat, "ann", "dx", "ann", "dv",
+      nlist = 8, m = 4, ksub = 16)
+    assert(Similarity.ivfPqDrift(cat, "ann", "dx").isEmpty,
+      "no batch recorded yet — drift undefined")
+
+    // in-distribution batch: ratio stays near 1
+    cat.commitAppend("ann", "dv", cluster(0, 50, 5000).toDF("vec_id", "embedding"))
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "dx") === "incremental")
+    val d1 = Similarity.ivfPqDrift(cat, "ann", "dx").get
+    assert(d1 > 0.05 && d1 < 3.0, s"in-distribution drift should be ~1, got $d1")
+
+    // out-of-distribution batch (a cluster the quantizer never saw,
+    // orthogonal to every centroid): the ratio must jump
+    cat.commitAppend("ann", "dv", cluster(5, 50, 6000).toDF("vec_id", "embedding"))
+    assert(Similarity.refreshIvfPqIndex(cat, "ann", "dx") === "incremental")
+    val d2 = Similarity.ivfPqDrift(cat, "ann", "dx").get
+    assert(d2 > math.max(1.5, d1 * 2),
+      s"out-of-distribution drift must spike: baseline-relative $d2 vs $d1")
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

@@ -35,7 +35,7 @@ object GraftProcedures {
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
     "backfill_stats", "rewrite_manifests", "rewrite_position_deletes",
-    "refresh_mv")
+    "refresh_mv", "create_changelog_view")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
@@ -94,6 +94,22 @@ object GraftProcedures {
           val wm = cat.tableProperties(ns, t)
             .get(GraftMaterializedView.BaseSeqProp).map(_.toLong).getOrElse(-1L)
           Seq(Seq(mode, wm)) }))
+      // Iceberg's CDC spelling (spark procedure create_changelog_view):
+      // registers the row-level changefeed of (from_seq, to_seq] as a
+      // TEMP VIEW carrying _change_type, so a SQL-only consumer reads
+      // CDC without the Scala API — same O(delta) machinery
+      // (changesBetween incl. the maintenance-segmented path); the view
+      // is LAZY, so registration is metadata-only
+      case "create_changelog_view" => Some(proc("create_changelog_view",
+        Seq("ns" -> StringType, "tbl" -> StringType,
+          "from_seq" -> LongType, "to_seq" -> LongType),
+        StructType(Seq(StructField("changelog_view", StringType))),
+        { case Seq(ns: String, t: String, from: java.lang.Long,
+                   to: java.lang.Long) =>
+          val name = s"${t}_changes"
+          cat.changesBetween(ns, t, from.longValue(), to.longValue())
+            .createOrReplaceTempView(name)
+          Seq(Seq(name)) }))
       case "rollback" => Some(proc("rollback",
         Seq("ns" -> StringType, "tbl" -> StringType, "seq" -> LongType),
         StructType(Seq(StructField("head_seq", LongType),

@@ -1116,6 +1116,47 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  private val changelogWarehouses = scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+
+  /** SQL CDC surface (round-13): CALL graft.system.create_changelog_view
+    * registers the row-level changefeed of a version range as a temp
+    * view — Iceberg's create_changelog_view spelling. The fixture's
+    * range CROSSES a compaction, so the declared read exercises the
+    * maintenance-segmented O(delta) path end-to-end through SQL; the
+    * oracle recomputes the net row delta declaratively. */
+  private def changelogView: Q = (s, d) => {
+    val (wh, fromSeq, toSeq) = changelogWarehouses.synchronized {
+      changelogWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-clv-wh").toString
+        val cat = new GraftCatalog(s, w)
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.clv (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+          .createOrReplaceTempView("clv_src")
+        s.sql(s"""INSERT INTO $c.q.clv SELECT * FROM clv_src
+                  WHERE o_orderkey % 5 = 0""").collect(): Unit
+        val from = cat.latest("q", "clv").get.seq
+        s.sql(s"""INSERT INTO $c.q.clv SELECT * FROM clv_src
+                  WHERE o_orderkey % 5 = 1""").collect(): Unit
+        s.sql(s"DELETE FROM $c.q.clv WHERE o_orderkey % 10 = 0").collect(): Unit
+        s.sql(s"CALL $c.system.compact('q', 'clv', 134217728)").collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.clv SELECT * FROM clv_src
+                  WHERE o_orderkey % 5 = 2""").collect(): Unit
+        (w, from, cat.latest("q", "clv").get.seq)
+      })
+    }
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    // re-register every invocation (metadata-only): the temp view must
+    // track THIS sf dir's warehouse, not a warm-up run's
+    val view = s.sql(s"CALL $c.system.create_changelog_view(" +
+      s"'q', 'clv', $fromSeq, $toSeq)").head().getString(0)
+    s.sql(s"""SELECT _change_type, count(*) AS cnt,
+                     round(sum(o_totalprice), 2) AS total_price,
+                     min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              FROM $view GROUP BY _change_type ORDER BY _change_type""")
+  }
+
   private val mvMinMaxWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Incremental MIN/MAX materialized view (round-13): extrema merge
@@ -1390,6 +1431,7 @@ object CatalogQueries {
     "cat_mv_sql"           -> mvSql,
     "cat_mv_avg"           -> mvAvg,
     "cat_mv_minmax"        -> mvMinMax,
+    "cat_changelog_view"   -> changelogView,
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
     "cat_rest_mor_commit"  -> restMorCommit,
@@ -1498,6 +1540,17 @@ object CatalogQueries {
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 round(avg(cents), 4) AS avg_cents
          FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
+    "cat_changelog_view" ->
+      """WITH ch AS (
+           SELECT 'insert' AS _change_type, o_orderkey, o_totalprice
+           FROM orders WHERE o_orderkey % 5 IN (1, 2)
+           UNION ALL
+           SELECT 'delete', o_orderkey, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 0)
+         SELECT _change_type, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM ch GROUP BY _change_type ORDER BY _change_type""",
     "cat_mv_minmax" ->
       """WITH base AS (SELECT o_orderkey,
                               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -150,9 +150,18 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       val parts = reqLine.split(" ")
       val (method, rawPath) =
         (parts.headOption.getOrElse(""), parts.lift(1).getOrElse("/"))
-      val path = rawPath.split("\\?")(0).split("/").filter(_.nonEmpty)
+      val rawSplit = rawPath.split("\\?", 2)
+      val path = rawSplit(0).split("/").filter(_.nonEmpty)
         .map(URLDecoder.decode(_, UTF_8)).toSeq
-      try route(method, path, new String(body, UTF_8), out)
+      val query: Map[String, String] = rawSplit.lift(1).toSeq
+        .flatMap(_.split("&")).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+            case _ => None
+          }
+        }.toMap
+      try route(method, path, new String(body, UTF_8), query, out)
       catch {
         case e: RestError => reply(out, e.code, err(e.code, e.typ, e.getMessage))
         case e: Exception =>
@@ -187,7 +196,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       bad(s"invalid $kind '$s'")
 
   private def route(method: String, path: Seq[String], body: String,
-                    out: OutputStream): Unit = {
+                    query: Map[String, String], out: OutputStream): Unit = {
     path.toList match {
       case "v1" :: "namespaces" :: ns :: rest =>
         requireIdent(ns, "namespace")
@@ -215,9 +224,29 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         if (!namespaces().contains(ns))
           reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
         else {
-          val ids = cat.listTables(ns).map(t =>
+          // spec pagination: pageToken is opaque to the client — here an
+          // offset into the SORTED listing (listTables is sorted, so
+          // pages are stable under concurrent creates of later names)
+          val all = cat.listTables(ns)
+          val offset = query.get("pageToken") match {
+            case Some(t) => t.toIntOption.filter(_ >= 0)
+              .getOrElse(bad(s"malformed pageToken '$t'"))
+            case None => 0
+          }
+          val pageSize = query.get("pageSize") match {
+            case Some(s0) => Some(s0.toIntOption.filter(_ > 0)
+              .getOrElse(bad(s"malformed pageSize '$s0'")))
+            case None => None
+          }
+          val page = pageSize match {
+            case Some(n) => all.slice(offset, offset + n)
+            case None => all.drop(offset)
+          }
+          val next = pageSize.filter(n => offset + n < all.size)
+            .map(n => s""","next-page-token":"${offset + n}"""").getOrElse("")
+          val ids = page.map(t =>
             s"""{"namespace":["${esc(ns)}"],"name":"${esc(t)}"}""")
-          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]}""")
+          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
         }
       case ("HEAD", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         if (cat.tableExists(ns, t)) replyHead(out, 204) else replyHead(out, 404)

@@ -87,6 +87,44 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST table-listing pagination: pageSize/pageToken walk the " +
+       "sorted listing page by page (next-page-token absent on the last " +
+       "page, union == the full list); malformed tokens 400") {
+    val wh = Files.createTempDirectory("graft-rest-page-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    (0 until 7).foreach(i => cat.createTable("pns", f"t$i%02d"))
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-page-exp").toString)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var token: Option[String] = None
+      var pages = 0
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      var done = false
+      while (!done) {
+        val q = "pageSize=3" + token.map(t => s"&pageToken=$t").getOrElse("")
+        val (c, b) = httpGet(p, s"/v1/namespaces/pns/tables?$q")
+        assert(c === 200, b)
+        val node = mapper.readTree(b)
+        node.get("identifiers").elements().asScala
+          .foreach(n => seen += n.get("name").asText())
+        pages += 1
+        token = Option(node.get("next-page-token")).map(_.asText())
+        done = token.isEmpty
+      }
+      assert(pages === 3, s"7 tables at pageSize=3 must take 3 pages")
+      assert(seen.toSeq === (0 until 7).map(i => f"t$i%02d"),
+        "paged union must equal the sorted full listing")
+      // unpaged listing still serves everything
+      assert(mapper.readTree(httpGet(p, "/v1/namespaces/pns/tables")._2)
+        .get("identifiers").size() === 7)
+      // malformed parameters refuse
+      assert(httpGet(p, "/v1/namespaces/pns/tables?pageToken=abc")._1 === 400)
+      assert(httpGet(p, "/v1/namespaces/pns/tables?pageSize=-1")._1 === 400)
+    } finally server.stop()
+  }
+
   test("a REST-client walk mounts a live graft table: discovery endpoints " +
        "are spec-shaped, LoadTableResult serves a real metadata tree with " +
        "the table's PARTITION SPEC, the data files read back exactly, a " +

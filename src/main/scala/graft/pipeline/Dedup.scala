@@ -307,9 +307,16 @@ object Dedup {
     * full cross join (near-dups almost always share the high band; for
     * exhaustive recall run the 4-rotation variant). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDistance: Int = 10): DataFrame = {
-    val sh = simhashTable(docs, idCol, textCol)
-      .withColumn("band", shiftright(col("sh"), 48))
+                      maxDistance: Int = 10): DataFrame =
+    simhashNearDupsOnTable(simhashTable(docs, idCol, textCol), idCol,
+      maxDistance)
+
+  /** [[simhashNearDups]] over a PRECOMPUTED (id, sh) signature table —
+    * lets a declared query export the signatures (the engine-defined
+    * DECISIONS) as an oracle fixture while sharing one computation. */
+  def simhashNearDupsOnTable(sh0: DataFrame, idCol: String,
+                             maxDistance: Int = 10): DataFrame = {
+    val sh = sh0.withColumn("band", shiftright(col("sh"), 48))
     val a = sh.select(col("band"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("band"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band"))

@@ -438,14 +438,30 @@ object Similarity {
   def semDeDupPairsWithinCells(corpus: DataFrame, threshold: Double,
                                nlist: Int = 16, seed: Long = 42L,
                                idCol: String = "vec_id",
-                               vecCol: String = "embedding"): DataFrame = {
+                               vecCol: String = "embedding"): DataFrame =
+    semDeDupPairsOnAssigned(
+      semDeDupCellAssignments(corpus, nlist, seed, idCol, vecCol)
+        .localCheckpoint(),
+      threshold)
+
+  /** The cell DECISIONS of [[semDeDupPairsWithinCells]] — (neighbor_id,
+    * vec, cell) — factored out so a declared query can export the
+    * assignment as an oracle fixture (within-cell scoring is exact
+    * cosine + a recursive closure an external engine replays). */
+  def semDeDupCellAssignments(corpus: DataFrame, nlist: Int = 16,
+                              seed: Long = 42L, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
     val c = withNormalized(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
     val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
-    val assigned = c.select(col("neighbor_id"), col("vec"),
+    c.select(col("neighbor_id"), col("vec"),
       graft.functions.PqFunctions.nearestCentroid(col("_nvec"), centers).as("cell"))
-      .localCheckpoint()
+  }
+
+  /** [[semDeDupPairsWithinCells]] over a PRECOMPUTED assignment. */
+  def semDeDupPairsOnAssigned(assigned: DataFrame,
+                              threshold: Double): DataFrame = {
     val a = assigned.select(col("neighbor_id").as("id_a"),
       col("vec").as("vec_a"), col("cell"))
     val b = assigned.select(col("neighbor_id").as("id_b"),
@@ -700,13 +716,28 @@ object Similarity {
     * the driver check is rows-only like IVF/LSH). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWithDecisions(corpus, queries, k, m, ksub, seed, idCol, vecCol)._1
+
+  /** [[pqTopK]] + DECISION EXPORT from ONE trained quantizer: returns
+    * (top-k, the coded corpus (neighbor_id, codes), codebook rows
+    * (j, c, vec)) — what lets the declared query hand the quantizer's
+    * decisions to an external oracle that replays the whole ADC
+    * scoring/ranking declaratively (the ann_ivf_topk fixture pattern
+    * extended to PQ). */
+  def pqTopKWithDecisions(corpus: DataFrame, queries: DataFrame, k: Int,
+                          m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                          idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame, Seq[(Int, Int, Seq[Double])]) = {
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
     val idx = buildPqIndex(c0, m, ksub, seed, passthrough = Seq.empty)
     val scored = idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), round(adcScore(idx), 4).as("score"))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+    val cb = for (j <- 0 until m; c <- 0 until ksub)
+      yield (j, c, idx.codebooks(j)(c).toSeq)
+    (topKPerQuery(scored, k, corpus.schema(idCol).dataType),
+      idx.coded.select(col("neighbor_id"), col("codes")), cb)
   }
 
   /** PQ ANN with an EXACT re-rank: ADC ranks a candidate pool of
@@ -749,7 +780,20 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 seed: Long = 42L,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKWithDecisions(corpus, queries, k, nlist, nprobe, m, ksub,
+      seed, idCol, vecCol)._1
+
+  /** [[ivfPqTopK]] + DECISION EXPORT from one trained quantizer pair:
+    * (top-k, coded corpus (cell, neighbor_id, codes), PQ codebook rows,
+    * query probe pairs) — the oracle-fixture form (see
+    * [[pqTopKWithDecisions]]). */
+  def ivfPqTopKWithDecisions(corpus: DataFrame, queries: DataFrame, k: Int,
+                             nlist: Int = 16, nprobe: Int = 4,
+                             m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding")
+      : (DataFrame, DataFrame, Seq[(Int, Int, Seq[Double])], DataFrame) = {
     val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
     val sample = collectSample(c0, "_nvec", 4096)
     val coarse = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
@@ -767,7 +811,11 @@ object Similarity {
             Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), round(adcScore(idx), 4).as("score"))
-    topKPerQuery(scored, k, corpus.schema(idCol).dataType)
+    val cb = for (j <- 0 until m; c <- 0 until ksub)
+      yield (j, c, idx.codebooks(j)(c).toSeq)
+    (topKPerQuery(scored, k, corpus.schema(idCol).dataType),
+      idx.coded.select(col("cell"), col("neighbor_id"), col("codes")),
+      cb, probes)
   }
 
   // ---------------- persisted serving index (IVF-PQ × catalog) ----------------

@@ -57,9 +57,16 @@ object Pipeline {
       .orderBy(col("incoming_id"), col("existing_id"))
   }
 
-  private def dedupSimhashPairs: Q = (s, d) =>
-    Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxDistance = 16)
+  private def dedupSimhashPairs: Q = (s, d) => {
+    val sh = Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text")
+    if (fixturesEnabled)
+      // the signatures ARE the quantizer decisions — banding, hamming
+      // and the distance cut replay declaratively in DuckDB
+      sh.coalesce(1).write.mode("overwrite")
+        .parquet(s"${oracleFixtureDir(d)}/simhash_sigs")
+    Dedup.simhashNearDupsOnTable(sh, "doc_id", maxDistance = 16)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** In-engine verifier for the pigeonhole SimHash banding: the
     * symmetric difference between the banded join and the all-pairs
@@ -245,8 +252,17 @@ object Pipeline {
     * [[semdedupCellsCheck]]'s green contract row. */
   private def semdedupCellsKeepers: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val assigned = Similarity.semDeDupCellAssignments(emb, nlist = 16)
+      .localCheckpoint()
+    if (fixturesEnabled)
+      // the cell assignment IS the quantizer decision — within-cell
+      // exact-cosine edges + the recursive min-label closure + keeper
+      // election all replay declaratively in DuckDB
+      assigned.select(col("neighbor_id").as("vec_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${oracleFixtureDir(d)}/semdedup_cells")
     Dedup.clusterNearDups(
-        Similarity.semDeDupPairsWithinCells(emb, 0.4, nlist = 16)
+        Similarity.semDeDupPairsOnAssigned(assigned, 0.4)
           .select(col("id_a"), col("id_b")),
         emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 24)
       .filter(col("id") === col("cluster"))
@@ -490,9 +506,18 @@ object Pipeline {
   }
 
   private def annPqTopK: Q = (s, d) => {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 5, m = 8, ksub = 16)
-      .orderBy(col("query_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val (topk, codesDf, cb) = Similarity.pqTopKWithDecisions(
+      emb, queries, 5, m = 8, ksub = 16)
+    if (fixturesEnabled) {
+      val fix = oracleFixtureDir(d)
+      codesDf.coalesce(1).write.mode("overwrite").parquet(s"$fix/pq_codes")
+      cb.toDF("j", "c", "vec").coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/pq_codebooks")
+    }
+    topk.orderBy(col("query_id"), col("rank"))
   }
 
   /** IVF-PQ composition — the billion-vector serving layout (cell-pruned
@@ -500,10 +525,19 @@ object Pipeline {
     * path). Quantizer-defined output → rows-only; recall vs brute force
     * is ScalaTest-checked in PipelineSpec. */
   private def annIvfPqTopK: Q = (s, d) => {
+    import s.implicits._
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 5,
-        nlist = 8, nprobe = 3, m = 8, ksub = 16)
-      .orderBy(col("query_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val (topk, codesDf, cb, probes) = Similarity.ivfPqTopKWithDecisions(
+      emb, queries, 5, nlist = 8, nprobe = 3, m = 8, ksub = 16)
+    if (fixturesEnabled) {
+      val fix = oracleFixtureDir(d)
+      codesDf.coalesce(1).write.mode("overwrite").parquet(s"$fix/ivfpq_codes")
+      cb.toDF("j", "c", "vec").coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/ivfpq_codebooks")
+      probes.coalesce(1).write.mode("overwrite").parquet(s"$fix/ivfpq_probes")
+    }
+    topk.orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------- curation ----------------
@@ -1768,10 +1802,102 @@ object Pipeline {
   private val TOKSTREAM =
     """w AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t)+1)) AS ord FROM toks)"""
 
-  // a DEF, not a val: the ann_ivf_topk / ann_lsh_topk oracles
+  /** ADC-scoring oracle over exported quantizer DECISIONS (codes +
+    * codebooks + optional probe pairs): DuckDB replays the per-query
+    * LUTs (subvector·codebook inner products, left-to-right like the
+    * driver loop), the ordered m-lookup sum, the 4-decimal rounding and
+    * the (score DESC, neighbor) ranking — everything downstream of the
+    * seeded quantizer. */
+  private def adcOracleSql(prefix: String, withProbes: Boolean): String = {
+    val fix = fixtureDirForOracle
+    val cand =
+      if (withProbes)
+        s"""pair AS (SELECT pr.query_id, cu.neighbor_id, cu.j, cu.code
+                     FROM read_parquet('$fix/${prefix}_probes/*.parquet') pr
+                     JOIN cu USING (cell)
+                     WHERE cu.neighbor_id <> pr.query_id)"""
+      else
+        s"""pair AS (SELECT qn.query_id, cu.neighbor_id, cu.j, cu.code
+                     FROM qn CROSS JOIN cu
+                     WHERE cu.neighbor_id <> qn.query_id)"""
+    s"""WITH cb AS (SELECT * FROM read_parquet('$fix/${prefix}_codebooks/*.parquet')),
+            codes AS (SELECT * FROM read_parquet('$fix/${prefix}_codes/*.parquet')),
+            q0 AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings WHERE vec_id < 5),
+            qn AS (SELECT query_id,
+                     CASE WHEN nrm > 0 THEN list_transform(emb, x -> x / nrm)
+                          ELSE list_transform(emb, x -> CAST(0.0 AS DOUBLE)) END AS nv
+                   FROM (SELECT query_id, emb,
+                                sqrt(list_aggregate(list_transform(emb,
+                                  x -> x * x), 'sum')) AS nrm FROM q0)),
+            lut AS MATERIALIZED (
+              SELECT qn.query_id, cb.j, cb.c,
+                     list_aggregate(list_transform(
+                       list_zip(list_slice(qn.nv, cb.j * len(cb.vec) + 1,
+                                           (cb.j + 1) * len(cb.vec)), cb.vec),
+                       p -> p[1] * p[2]), 'sum') AS ip
+              FROM qn CROSS JOIN cb),
+            cu AS MATERIALIZED (
+              SELECT *, unnest(codes) AS code,
+                     unnest(range(0, len(codes))) AS j
+              FROM codes),
+            $cand,
+            scored AS (
+              SELECT p.query_id, p.neighbor_id,
+                     round(list_aggregate(list(l.ip ORDER BY l.j), 'sum'), 4) AS score
+              FROM pair p JOIN lut l
+                ON l.query_id = p.query_id AND l.j = p.j AND l.c = p.code
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS "rank"
+              FROM scored)
+       SELECT query_id, neighbor_id, score, "rank" FROM ranked
+       WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+  }
+
+  // a DEF, not a val: the ann_ivf_topk / ann_lsh_topk / ADC oracles
   // interpolate the fixture path the queries recorded when they ran
   // (Verify dumps oracleSql AFTER running every query)
   def oracles: Map[String, String] = Map(
+    "ann_pq_topk" -> adcOracleSql("pq", withProbes = false),
+    "ann_ivfpq_topk" -> adcOracleSql("ivfpq", withProbes = true),
+    "semdedup_cells_keepers" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_aggregate(list_transform(list_zip($a, $b),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform($a,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform($b,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"""
+      s"""WITH RECURSIVE cells AS (
+            SELECT * FROM read_parquet('$fixtureDirForOracle/semdedup_cells/*.parquet')),
+          edges AS MATERIALIZED (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.4),
+          reach AS (
+            SELECT vec_id AS id, vec_id AS r FROM embeddings
+            UNION
+            SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         SELECT id AS vec_id FROM (
+           SELECT id, min(r) AS cluster FROM reach GROUP BY id) t
+         WHERE id = cluster ORDER BY vec_id"""
+    },
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, sh, sh >> 48 AS band
+                      FROM read_parquet('$fixtureDirForOracle/simhash_sigs/*.parquet')),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+                    FROM sh a JOIN sh b
+                      ON a.band = b.band AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 16
+         ORDER BY id_a, id_b""",
     "ann_ivf_topk" ->
       s"""WITH p AS (SELECT * FROM read_parquet('$fixtureDirForOracle/ivf_probes/*.parquet')),
               a AS (SELECT * FROM read_parquet('$fixtureDirForOracle/ivf_assign/*.parquet')),

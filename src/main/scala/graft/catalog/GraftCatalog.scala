@@ -1540,12 +1540,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           // consumer's watermark must never be a second commit — a
           // crash between the two would strand the batch watermark-less)
           if (propsSet.isEmpty) parent.flatMap(_.propsJson)
-          else {
-            val next = parent.map(_.properties).getOrElse(Map.empty) ++ propsSet
-            val tm = new java.util.TreeMap[String, String]()
-            next.foreach { case (k, v) => tm.put(k, v) }
-            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
-          })
+          else GraftCatalog.mergedPropsJson(
+            parent.map(_.properties).getOrElse(Map.empty), propsSet))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1566,6 +1562,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                     bloomCols: Seq[String] = Seq.empty,
                     alignSpec: Boolean = false,
                     propsSet: Map[String, String] = Map.empty,
+                    propsUnset: Seq[String] = Seq.empty,
                     maintenance: Boolean = false): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
     val parent0 = latest(ns, name)
@@ -1620,13 +1617,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           // propsSet rides the SAME snapshot as the data (a materialized
           // view's refresh watermark must never be a second commit — a
           // crash between the two would double-apply the next delta)
-          if (propsSet.isEmpty) parent.flatMap(_.propsJson)
-          else {
-            val next = parent.map(_.properties).getOrElse(Map.empty) ++ propsSet
-            val tm = new java.util.TreeMap[String, String]()
-            next.foreach { case (k, v) => tm.put(k, v) }
-            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
-          })
+          if (propsSet.isEmpty && propsUnset.isEmpty) parent.flatMap(_.propsJson)
+          else GraftCatalog.mergedPropsJson(
+            parent.map(_.properties).getOrElse(Map.empty), propsSet, propsUnset))
       }
     } catch { case e: Throwable =>
       cleanupStaged(ns, name, entries, staged); throw e
@@ -1960,12 +1953,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
               // propsSet rides the SAME snapshot as the batch (a derived
               // index's refresh watermark must never be a second commit)
               if (propsSet.isEmpty) par.propsJson
-              else {
-                val next = par.properties ++ propsSet
-                val tm = new java.util.TreeMap[String, String]()
-                next.foreach { case (k, v) => tm.put(k, v) }
-                Some(GraftCatalog.propsMapper.writeValueAsString(tm))
-              })
+              else GraftCatalog.mergedPropsJson(par.properties, propsSet))
           }
         } catch { case e: Throwable =>
           cleanupStaged(ns, name, delEntries ++ dataEntries, staged); throw e
@@ -2683,14 +2671,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           Some(newSchema)): Unit
       val props =
         if (propsSet.isEmpty && propsUnset.isEmpty) parent.propsJson
-        else {
-          if (nextProps.isEmpty) None
-          else {
-            val tm = new java.util.TreeMap[String, String]()
-            nextProps.foreach { case (k, v) => tm.put(k, v) }
-            Some(GraftCatalog.propsMapper.writeValueAsString(tm))
-          }
-        }
+        else GraftCatalog.mergedPropsJson(parent.properties, propsSet, propsUnset)
       Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
         Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
         "local", parent.fileCount, parent.totalBytes, Some(newSchema.json),
@@ -2735,15 +2716,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       if (set.contains(GraftCatalog.PartitionSpecProp))
         GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
           parent.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])): Unit
-      // TreeMap: deterministic key order, so identical maps serialize
-      // identically (diffable logs, stable export)
-      val json =
-        if (next.isEmpty) None
-        else {
-          val tm = new java.util.TreeMap[String, String]()
-          next.foreach { case (k, v) => tm.put(k, v) }
-          Some(GraftCatalog.propsMapper.writeValueAsString(tm))
-        }
+      val json = GraftCatalog.mergedPropsJson(parent.properties, set, unset)
       Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
         Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
         "local", parent.fileCount, parent.totalBytes, parent.schemaJson, json)
@@ -4013,6 +3986,24 @@ object GraftCatalog {
 
   /** A caller-supplied commitId already exists in the log — the append
     * was a replay; `seq` is the version the original commit created. */
+  /** Parent properties ++ set −− unset, serialized to the snapshot's
+    * sorted-key JSON form — ONE implementation for every commit path
+    * that lets metadata ride the data snapshot (TreeMap: deterministic
+    * key order, so identical maps serialize identically; a divergent
+    * copy would silently desynchronize property JSON across paths). */
+  private[catalog] def mergedPropsJson(parentProps: Map[String, String],
+                                       set: Map[String, String],
+                                       unset: Seq[String] = Seq.empty)
+      : Option[String] = {
+    val next = (parentProps ++ set) -- unset
+    if (next.isEmpty) None
+    else {
+      val tm = new java.util.TreeMap[String, String]()
+      next.foreach { case (k, v) => tm.put(k, v) }
+      Some(propsMapper.writeValueAsString(tm))
+    }
+  }
+
   /** Commit-id prefixes RESERVED for the engine's row-neutral
     * maintenance rewrites (compact / rewrite_manifests /
     * rewrite_position_deletes). The changefeed's segmented O(delta)

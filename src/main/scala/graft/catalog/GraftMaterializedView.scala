@@ -309,19 +309,29 @@ private[graft] object GraftMaterializedView {
       val changes0 =
         try cat.changesBetween(bns, bt, fromSeq, headSeq)
         catch { case _: Exception => return fullRebuild() }
-      // probes + the delta aggregation would each re-execute the
-      // changefeed plan — checkpoint ONCE when any probe is needed so
-      // the O(delta) scan runs once per refresh (no-probe shapes keep
-      // the single lazy use)
       val needDelProbe =
         shape.minPositions.nonEmpty || shape.maxPositions.nonEmpty
       val needNullProbe = shape.avgPositions.nonEmpty
-      val changes = if (needDelProbe || needNullProbe)
-        changes0.localCheckpoint() else changes0
       // the state the merge reads is the SNAPSHOT the CAS anchors on,
       // never "latest at execution time"
       val state = cat.readSnapshotPublic(ns, name, mvSnap)
       val schema = state.schema
+      // SCHEMA-ONLY downgrades run before anything materializes: avg
+      // reconstruction (state avg × count ↔ sum) is sound only over
+      // DoubleType results with the argument column visible in the feed
+      if (needNullProbe) {
+        val typesOk = shape.avgPositions.forall(i =>
+          schema.fields(i).dataType ==
+            org.apache.spark.sql.types.DoubleType)
+        if (!typesOk || !shape.avgArgCols.forall(changes0.columns.contains))
+          return fullRebuild(Map(ModeProp -> "full"))
+      }
+      // probes + the delta aggregation would each re-execute the
+      // changefeed plan — checkpoint ONCE when any probe is needed so
+      // the O(delta) scan runs once per refresh (no-probe shapes keep
+      // the single lazy use)
+      val changes = if (needDelProbe || needNullProbe)
+        changes0.localCheckpoint() else changes0
       // ONE pass answers both probes. ORDER MATTERS: the avg NULL
       // downgrade must win over the min/max one-off rebuild — a window
       // carrying BOTH a delete and a NULL avg argument leaves the NULL
@@ -329,16 +339,6 @@ private[graft] object GraftMaterializedView {
       // (as the plain rebuild does) would silently corrupt every later
       // avg reconstruction.
       if (needDelProbe || needNullProbe) {
-        if (needNullProbe) {
-          // avg reconstruction (state avg × count ↔ sum) is sound only
-          // over DoubleType results and NULL-free arguments — avg skips
-          // NULLs, the count(*) weight cannot
-          val typesOk = shape.avgPositions.forall(i =>
-            schema.fields(i).dataType ==
-              org.apache.spark.sql.types.DoubleType)
-          if (!typesOk || !shape.avgArgCols.forall(changes.columns.contains))
-            return fullRebuild(Map(ModeProp -> "full"))
-        }
         val nullCond =
           if (needNullProbe)
             shape.avgArgCols.map(col(_).isNull).reduce(_ || _)

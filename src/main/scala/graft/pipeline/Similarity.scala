@@ -557,7 +557,10 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("vec"), col("query_vec")), 4).as("score"))
-    topKPerQuery(scored, k, queries.schema(idCol).dataType)
+    // neighbor ids come from the CORPUS side (mixed query/corpus id
+    // types are supported — see queryLuts); casting them to the query
+    // id type would silently null string/UUID neighbor ids
+    topKPerQuery(scored, k, assigned.schema("neighbor_id").dataType)
   }
 
   /** The quantizer DECISIONS of [[ivfTopK]]'s configuration — (query
@@ -712,8 +715,8 @@ object Similarity {
     *
     * Returns (query_id, neighbor_id, score, rank) like the other ANN
     * paths — approximate scores, recall controlled by m/ksub (ScalaTest
-    * checks recall vs brute force; the result is quantizer-defined, so
-    * the driver check is rows-only like IVF/LSH). */
+    * checks recall vs brute force; the quantizer decisions export as
+    * an oracle fixture — see [[pqTopKWithDecisions]]). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, ksub: Int = 16, seed: Long = 42L,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -861,7 +864,12 @@ object Similarity {
       idx.coded.select(col("cell"), col("neighbor_id"), col("codes"))
         .repartitionByRange(math.max(1, nlist / 4), col("cell")),
       propsSet = codesProps ++
-        baseErr.map(e => AnnBaseErrProp -> e.toString))
+        baseErr.map(e => AnnBaseErrProp -> e.toString),
+      // a REBUILD over an existing index must clear the old quantizer's
+      // last-batch error, or ivfPqDrift reports a stale cross-quantizer
+      // ratio right after the rebuild the monitor scheduled — and the
+      // monitoring loop schedules another useless one
+      propsUnset = Seq(AnnLastErrProp))
     cat.commitReplace(ns, s"${prefix}_centroids",
       centroidRows.toSeq.toDF("kind", "j", "c", "vec"))
   }

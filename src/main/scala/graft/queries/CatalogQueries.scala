@@ -1053,6 +1053,7 @@ object CatalogQueries {
         cat.createTable("q", "nsseed")
         val server = new graft.service.IcebergRestServer(cat,
           Files.createTempDirectory("graft-restm-exp").toString)
+        try {
         val port = server.boundPort
         val (cc, cb) = graft.tools.RestClient.createViaRest(port, "q", "restm",
           Seq("o_orderkey" -> "long", "o_totalprice" -> "double"),
@@ -1105,7 +1106,7 @@ object CatalogQueries {
           posDeletes = Some(posDel), snapshotId = 881002L,
           workDir = Files.createTempDirectory("graft-restm-work2").toString)
         require(mc == 200, s"REST MoR commit failed: $mc $mb")
-        server.stop()
+        } finally server.stop() // a failed require must not leak the server
         w
       })
     }
@@ -1218,6 +1219,7 @@ object CatalogQueries {
         cat.createTable("q", "nsseed")
         val server = new graft.service.IcebergRestServer(cat,
           Files.createTempDirectory("graft-reste-exp").toString)
+        try {
         val port = server.boundPort
         require(graft.tools.RestClient.createViaRest(port, "q", "reste",
           Seq("o_orderkey" -> "long", "o_totalprice" -> "double"))._1 == 200)
@@ -1239,7 +1241,7 @@ object CatalogQueries {
           snapshotId = 661002L,
           workDir = Files.createTempDirectory("graft-reste-w2").toString)
           ._1 == 200)
-        server.stop()
+        } finally server.stop() // a failed require must not leak the server
         w
       })
     }

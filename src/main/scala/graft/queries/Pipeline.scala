@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * through its *verified* output (16 bands × 2 rows — see
   * dedupMinhashPairs for the recall arithmetic that makes the verified
   * set equal the exact-Jaccard pair set DuckDB computes directly).
-  * SimHash/LSH-ANN outputs are defined by xxhash64 (no DuckDB twin) and
-  * run as rows-only checks with ScalaTest fixture coverage.
+  * SimHash/LSH/PQ outputs are defined by engine-internal arithmetic
+  * (xxhash64, seeded quantizers); since round 13 their DECISIONS export
+  * as parquet fixtures DuckDB ingests, so every one carries a full hash
+  * oracle — only slo_approx (the sketch estimate itself) stays rows-only.
   */
 object Pipeline {
 
@@ -248,8 +250,10 @@ object Pipeline {
     * deployment actually runs (SCALE_r09/r10), vs the exact ball-cover
     * form above whose completeness theorem costs ~all-pairs on
     * isotropic corpora. Cell assignment is engine-defined (seeded
-    * k-means) ⇒ rows-only; the machinery is pinned by
-    * [[semdedupCellsCheck]]'s green contract row. */
+    * k-means) and EXPORTED as an oracle fixture (round 13): DuckDB
+    * replays the within-cell exact-cosine edges, the recursive closure
+    * and the keeper election — full hash oracle, with
+    * [[semdedupCellsCheck]]'s contract row alongside. */
   private def semdedupCellsKeepers: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val assigned = Similarity.semDeDupCellAssignments(emb, nlist = 16)
@@ -352,7 +356,8 @@ object Pipeline {
     * whole corpus, so the result is provably identical to brute force —
     * which gives the IVF machinery (quantizer, cell assignment, probe
     * join, bounded-heap merge) a full cross-engine oracle. The pruned
-    * configuration above stays rows-only + recall-checked. */
+    * configuration above carries its own decision-fixture oracle
+    * (round 13) + recall contracts. */
   private def annIvfExact: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5, nlist = 8, nprobe = 8)
@@ -403,8 +408,9 @@ object Pipeline {
     *  - `score_parity`: every returned (query, neighbor) pair's score
     *    equals the directly recomputed exact cosine — a bounded re-join
     *    (|queries|·k rows against the corpus), free next to the search.
-    * This pins the previously rows-only ann_lsh_topk's machinery with a
-    * green driver row (the bucket CONTENTS stay engine-defined). */
+    * This pins ann_lsh_topk's machinery independently of its
+    * decision-fixture oracle (the bucket CONTENTS stay engine-defined;
+    * the fixture makes them replayable, this row makes them provable). */
   private def annLshCheck: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 50)
@@ -429,7 +435,9 @@ object Pipeline {
       .orderBy(col("check"), col("query_id"), col("detail"))
   }
 
-  /** PQ contracts for the rows-only PQ family (typed empty set):
+  /** PQ contracts for the PQ family (typed empty set — these theorem
+    * rows predate and now complement the round-13 ADC decision-fixture
+    * oracles):
     * quantizer codebooks are engine-defined (no SQL oracle can replay
     * seeded k-means), but two exact properties pin the machinery:
     *
@@ -522,8 +530,9 @@ object Pipeline {
 
   /** IVF-PQ composition — the billion-vector serving layout (cell-pruned
     * scan of m-byte codes, broadcast LUTs, no raw vectors on the read
-    * path). Quantizer-defined output → rows-only; recall vs brute force
-    * is ScalaTest-checked in PipelineSpec. */
+    * path). Quantizer decisions exported as an oracle fixture
+    * (round 13 — DuckDB replays the full ADC pipeline); recall vs brute
+    * force is ScalaTest-checked in PipelineSpec. */
   private def annIvfPqTopK: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
@@ -2490,8 +2499,8 @@ object Pipeline {
                 CAST(NULL AS BIGINT) AS query_id,
                 CAST(NULL AS DOUBLE) AS recall WHERE 1 = 0""",
     // subset-of-exact and equal-at-nlist=1 are theorems — typed empty
-    // set (semdedup_cells_keepers itself stays rows-only: cell contents
-    // are engine-defined, this row pins the machinery)
+    // set (pins the machinery independently of semdedup_cells_keepers'
+    // round-13 decision-fixture oracle)
     "semdedup_cells_check" ->
       """SELECT CAST(NULL AS VARCHAR) AS check,
                 CAST(NULL AS BIGINT) AS id_a,

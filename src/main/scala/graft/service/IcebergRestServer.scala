@@ -478,6 +478,13 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     if (setCurrentSchemaIds.nonEmpty && addSchemas.isEmpty)
       bad("set-current-schema without add-schema (rolling back to an " +
         "old schema over REST) is not supported")
+    // refuse-loud, not silently-different: the spec lets a client STAGE
+    // a schema (add-schema alone, current unchanged); this shim has no
+    // staged-schema store, and applying it as current would change
+    // semantics the client never asked for
+    if (addSchemas.nonEmpty && setCurrentSchemaIds.isEmpty)
+      bad("add-schema without set-current-schema (staging a schema) is " +
+        "not supported — commit both updates together")
     setCurrentSchemaIds.foreach { sid =>
       val addedId = Option(addSchemas.head.get("schema-id")).map(_.asInt())
       if (sid != -1 && !addedId.contains(sid))

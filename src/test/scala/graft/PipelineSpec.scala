@@ -843,6 +843,14 @@ class PipelineSpec extends SparkSpec {
     val d2 = Similarity.ivfPqDrift(cat, "ann", "dx").get
     assert(d2 > math.max(1.5, d1 * 2),
       s"out-of-distribution drift must spike: baseline-relative $d2 vs $d1")
+
+    // the rebuild the spike schedules must RESET the signal: a stale
+    // last-batch error over the NEW baseline would read as still-high
+    // drift and schedule another useless rebuild
+    Similarity.buildIvfPqIndexForTable(cat, "ann", "dx", "ann", "dv",
+      nlist = 8, m = 4, ksub = 16)
+    assert(Similarity.ivfPqDrift(cat, "ann", "dx").isEmpty,
+      "a rebuild must clear the old quantizer's last-batch error")
   }
 
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {

@@ -10,8 +10,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     // oracle fixture exports (quantizer decisions) happen only under
-    // Verify — bench runs of the same queries must not pay fixture I/O
+    // Verify — bench runs of the same queries must not pay fixture I/O.
+    // The fixture dir is pinned to THIS run's sf and cleared up front:
+    // stale exports from a previous run must never grade.
     sys.props("spark.graft.oracle.fixtures") = "true"
+    graft.queries.Pipeline.resetFixtures(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)

@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions.{col, lit, sum, when}
   *    NULL downgrades the view to full, since avg skips NULLs while
   *    count(*) cannot) and a DoubleType result.
   *    `min`/`max` of a simple expression maintain MONOTONICALLY while
-  *    deltas are insert-only (the 100 TB append-dominant shape); the
-  *    moment a delta carries deletes the refresh takes a one-off full
-  *    rebuild (an erased row may have held the extremum) without
-  *    losing the incremental mode.
+  *    deltas are insert-only (the 100 TB append-dominant shape); a
+  *    delta carrying deletes takes the GROUP-SCOPED HYBRID path
+  *    (round-14): sum/count/avg columns still merge by signed delta,
+  *    and only the groups the delta touched re-derive from the pinned
+  *    base (an erased row may have held their extremum) — mode kept,
+  *    cost O(delta + changed groups), never a whole-view rebuild
+  *    (fallback past [[HybridKeyCap]] changed groups).
   *  - **full** (everything else — joins, subqueries, DISTINCT):
   *    re-run the stored definition and replace the state.
   *
@@ -272,14 +275,34 @@ private[graft] object GraftMaterializedView {
     require(props.contains(QueryProp),
       s"$label is a plain table, not a materialized view")
 
-    def fullRebuild(extraProps: Map[String, String] = Map.empty): String = {
+    /** `probeAvgArgs`: re-check the avg NULL-free invariant over the
+      * base AT THE SAME pinned head this rebuild reads (the CREATE-time
+      * probe) and DOWNGRADE the mode when it no longer holds — the
+      * rebuild paths that retain incremental mode must pass it whenever
+      * the view maintains an avg, because the rows this rebuild absorbs
+      * sink below the new watermark where no per-delta probe will ever
+      * see them again (an unseen NULL would silently corrupt every later
+      * sum-space reconstruction: avg skips it, the count(*) weight
+      * cannot). */
+    def fullRebuild(extraProps: Map[String, String] = Map.empty,
+                    probeAvgArgs: Seq[String] = Nil): String = {
       val (wm, plan) = props.get(BaseProp) match {
         case Some(b) =>
           val Array(bns, bt) = b.split(" ")
-          val head = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
+          val headSnap = cat.latest(bns, bt)
+          val head = headSnap.map(_.seq).getOrElse(-1L)
+          val nullSeen = probeAvgArgs.nonEmpty && headSnap.exists { hs =>
+            val base = cat.readSnapshotPublic(bns, bt, hs)
+            !probeAvgArgs.forall(base.columns.contains) ||
+              !base.filter(probeAvgArgs.map(col(_).isNull)
+                .reduce(_ || _)).isEmpty
+          }
           // pin the lazy rebuild read to the version the new watermark
-          // names (same race as CREATE)
-          (Map(BaseSeqProp -> head.toString),
+          // names (same race as CREATE; the probe reads the SAME pinned
+          // snapshot, so no NULL-bearing commit can slip between them)
+          ((if (nullSeen) Map(ModeProp -> "full")
+            else Map.empty[String, String]) +
+            (BaseSeqProp -> head.toString),
             pinBaseVersion(qualifiedDefinition(session, props), head))
         case None =>
           (Map.empty[String, String], qualifiedDefinition(session, props))
@@ -306,9 +329,14 @@ private[graft] object GraftMaterializedView {
         case Some(s) => s
         case None => return fullRebuild(Map(ModeProp -> "full"))
       }
+      // expired/unreadable window: the lost delta may have carried a
+      // NULL avg argument that now sits in the base below the new
+      // watermark — fullRebuild's probe re-checks the invariant (or
+      // downgrades) instead of blindly retaining incremental mode
       val changes0 =
         try cat.changesBetween(bns, bt, fromSeq, headSeq)
-        catch { case _: Exception => return fullRebuild() }
+        catch { case _: Exception =>
+          return fullRebuild(probeAvgArgs = shape.avgArgCols) }
       val needDelProbe =
         shape.minPositions.nonEmpty || shape.maxPositions.nonEmpty
       val needNullProbe = shape.avgPositions.nonEmpty
@@ -338,6 +366,7 @@ private[graft] object GraftMaterializedView {
       // in the base below the new watermark, so keeping mode=incremental
       // (as the plain rebuild does) would silently corrupt every later
       // avg reconstruction.
+      var hybridDelete = false
       if (needDelProbe || needNullProbe) {
         val nullCond =
           if (needNullProbe)
@@ -357,12 +386,16 @@ private[graft] object GraftMaterializedView {
         if (needNullProbe && probe.getInt(0) == 1)
           return fullRebuild(Map(ModeProp -> "full"))
         // min/max merge monotonically — sound for INSERT-ONLY deltas
-        // only (an erased row may have held the extremum): a delete-
-        // bearing delta takes a ONE-OFF full rebuild, mode retained,
-        // so the next insert-only window is O(delta) again — the
-        // append-dominant shape a 100 TB MV actually runs
+        // only (an erased row may have held the extremum). A delete-
+        // bearing delta takes the GROUP-SCOPED HYBRID below (round-14):
+        // sum/count/avg columns still merge by signed delta for every
+        // group, and only the groups the delta TOUCHED re-derive their
+        // min/max (all columns, in fact) from the pinned base — the
+        // common delete touches a handful of groups, so the refresh
+        // stays O(delta + changed groups' base rows), never a whole-
+        // view rebuild.
         if (needDelProbe && probe.getInt(1) == 1)
-          return fullRebuild()
+          hybridDelete = true
       }
       val deltaView = s"__mv_delta_${java.util.UUID.randomUUID().toString.take(8)}"
       changes.withColumn("_sign",
@@ -403,12 +436,99 @@ private[graft] object GraftMaterializedView {
             df.withColumn(n, (col(n) / col(cntName)).cast(
               org.apache.spark.sql.types.DoubleType)))
           .select(schema.fieldNames.map(col).toSeq: _*)
-        cat.commitReplace(ns, name, merged, sourceRegion = "mv",
-          expectedParentSeq = Some(mvSnap.seq),
-          propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
-        "incremental"
+        if (!hybridDelete) {
+          cat.commitReplace(ns, name, merged, sourceRegion = "mv",
+            expectedParentSeq = Some(mvSnap.seq),
+            propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
+          "incremental"
+        } else hybridRefresh(session, cat, ns, name, parsed, merged,
+          delta, schema, keyCols, mvSnap, headSeq) match {
+          case Some(path) => path
+          // more changed groups than the cap — the recompute would
+          // approach a full scan anyway; one-off rebuild, mode retained
+          // (the avg invariant re-probed at the pinned head)
+          case None => fullRebuild(probeAvgArgs = shape.avgArgCols)
+        }
       } finally session.catalog.dropTempView(deltaView): Unit
     } else fullRebuild()
+  }
+
+  /** Changed-group cap for the hybrid delete refresh: past this many
+    * touched groups the per-group recompute approaches the cost of the
+    * one-off full rebuild it exists to avoid, so the caller falls back. */
+  private[catalog] val HybridKeyCap = 1024
+
+  /** Group-scoped hybrid refresh for delete-bearing windows on views
+    * with min/max legs (round-14): `merged` (the signed-delta merge) is
+    * already correct for every sum-mergeable column and for the min/max
+    * of groups the delta never touched (their monotone merge saw no
+    * delta rows); only the TOUCHED groups can have lost an extremum, so
+    * those — and only those — re-derive from the defining query over
+    * the base pinned at `headSeq`, filtered to the changed group keys
+    * (a literal IN / null-safe key predicate, pushable to the scan when
+    * the key is a raw clustered column). Returns Some("hybrid") on
+    * commit, Some("incremental") when the delta touched no groups, None
+    * when the changed-group count exceeds [[HybridKeyCap]]. */
+  private def hybridRefresh(session: SparkSession, cat: GraftCatalog,
+      ns: String, name: String, parsed: LogicalPlan,
+      merged: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType, keyCols: Seq[String],
+      mvSnap: GraftCatalog#Snapshot, headSeq: Long): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, In, Literal, Or, And => CAnd}
+    val keyRows = delta.select(keyCols.map(col): _*).distinct()
+      .limit(HybridKeyCap + 1).collect()
+    if (keyRows.length > HybridKeyCap) return None
+    def commit(df: org.apache.spark.sql.DataFrame, path: String) = {
+      cat.commitReplace(ns, name, df, sourceRegion = "mv",
+        expectedParentSeq = Some(mvSnap.seq),
+        propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
+      Some(path)
+    }
+    // a delete the defining query FILTERS OUT touches no group — the
+    // plain merge is already the whole refresh
+    if (keyRows.isEmpty) return commit(merged, "incremental")
+    val agg = parsed.asInstanceOf[Aggregate]
+    // group expr -> the view key column that selects it (every grouping
+    // expression is selected — incrementalShape refused otherwise)
+    val exprToCol: Seq[(Expression, String)] = agg.groupingExpressions.map { g =>
+      val i = agg.aggregateExpressions.indexWhere(e =>
+        stripAlias(e).sql == g.sql)
+      g -> schema.fieldNames(i)
+    }
+    def litOf(colName: String, r: Row): Expression =
+      Literal.create(r.get(r.fieldIndex(colName)),
+        schema(colName).dataType)
+    val singleKey = exprToCol.size == 1
+    val anyNullKey = keyRows.exists(r => keyCols.exists(c =>
+      r.isNullAt(r.fieldIndex(c))))
+    // single non-null key -> IN(list) (translates to sources.In — the
+    // shape manifest stats / partition pruning understands); otherwise
+    // null-safe per-tuple conjunctions
+    val cond: Expression =
+      if (singleKey && !anyNullKey)
+        In(exprToCol.head._1,
+          keyRows.toSeq.map(litOf(exprToCol.head._2, _)))
+      else keyRows.toSeq.map { r =>
+        exprToCol.map { case (g, n) =>
+          EqualNullSafe(g, litOf(n, r)): Expression
+        }.reduce(CAnd(_, _))
+      }.reduce(Or(_, _))
+    val recomputed = run(session, pinBaseVersion(
+        agg.copy(child = Filter(cond, agg.child)), headSeq))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    // nullable forced: a NULL group key is a legal group, whatever the
+    // view schema recorded for the column
+    val changedDf = session.createDataFrame(
+      java.util.Arrays.asList(keyRows: _*),
+      org.apache.spark.sql.types.StructType(
+        keyCols.map(c => schema(c).copy(nullable = true)).toSeq))
+    val keep = merged.join(
+      org.apache.spark.sql.functions.broadcast(changedDf),
+      keyCols.map(c => merged(c) <=> changedDf(c)).reduce(_ && _),
+      "left_anti")
+    commit(keep.select(schema.fieldNames.map(col).toSeq: _*)
+      .unionByName(recomputed), "hybrid")
   }
 
   /** Pin every relation of an incremental MV's (single-relation) plan

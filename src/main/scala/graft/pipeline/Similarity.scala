@@ -1026,7 +1026,13 @@ object Similarity {
     val fromSeq = props(AnnBaseSeqProp).toLong
     val headSeq = cat.latest(bns, bt).map(_.seq).getOrElse(-1L)
     if (headSeq == fromSeq) return "noop"
+    // the insert filter, the delete-key distinct AND the width/drift
+    // probe below each re-execute the changefeed plan — a maintenance-
+    // crossing segmented window would pay its MoR scans and anti-joins
+    // 3-4x per refresh; checkpoint ONCE (same reason the MV refresh
+    // does)
     val changes = cat.changesBetween(bns, bt, fromSeq, headSeq)
+      .localCheckpoint()
     val (coarse, idx) = loadIndexMeta(cat, ns, prefix)
     val ins = changes.filter(col("_change_type") === "insert")
     val delKeys = changes.filter(col("_change_type") === "delete")

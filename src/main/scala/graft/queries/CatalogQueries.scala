@@ -947,8 +947,17 @@ object CatalogQueries {
     val c2 = s"${c1}_mvavgreread"
     s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
     s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    // avg_cents grades as a TOLERANCE flag against the exact-integer
+    // reconstruction sum_cents/cnt, not as a rounded-double hash: the
+    // engine's multi-refresh sum-space reconstruction and DuckDB's
+    // direct avg are different fp computations, and a true value within
+    // ~1 ulp of a rounding boundary would flip a rounded 4th decimal
+    // between them — a latent flaky oracle. cnt/sum stay exact-hash.
     s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents,
-                     round(avg_cents, 4) AS avg_cents
+                     CAST(abs(avg_cents - CAST(sum_cents AS DOUBLE) / cnt)
+                          <= 1e-9 * greatest(abs(CAST(sum_cents AS DOUBLE) / cnt),
+                                             CAST(1.0 AS DOUBLE))
+                          AS INT) AS avg_ok
               FROM $c2.q.avagg ORDER BY grp""")
   }
 
@@ -1540,7 +1549,7 @@ object CatalogQueries {
                        WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
          SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
-                round(avg(cents), 4) AS avg_cents
+                1 AS avg_ok
          FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
     "cat_changelog_view" ->
       """WITH ch AS (

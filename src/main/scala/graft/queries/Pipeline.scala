@@ -230,15 +230,19 @@ object Pipeline {
     * whole thing as exact cosine edges + a recursive-CTE closure. */
   private def semdedupKeepers: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    // maxIterations 24: at threshold 0.4 this corpus's near-dup graph has
+    // maxIterations 64: at threshold 0.4 this corpus's near-dup graph has
     // a sparse giant component (avg degree ~2), whose diameter grows with
-    // corpus size — pointer jumping doubles reach per round, so 24 rounds
-    // covers diameter 2^24 at a cost that only accrues while labels still
-    // change (the loop exits on converged counts, it never pads)
+    // corpus size — pointer jumping doubles reach per round, so 64 rounds
+    // cover ANY diameter a physical corpus can have (2^64), i.e. the
+    // declared query iterates to convergence (matching the oracle's full
+    // recursive closure); the cost only accrues while labels still
+    // change (the loop exits on converged counts, it never pads) and a
+    // non-converged exit still throws loudly rather than electing
+    // different keepers
     Dedup.clusterNearDups(
         Similarity.nearDupPairsBallCover(emb, 0.4, nlist = 16)
           .select(col("id_a"), col("id_b")),
-        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 24)
+        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 64)
       .filter(col("id") === col("cluster"))
       .select(col("id").as("vec_id"))
       .orderBy(col("vec_id"))
@@ -265,10 +269,13 @@ object Pipeline {
       assigned.select(col("neighbor_id").as("vec_id"), col("cell"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"${oracleFixtureDir(d)}/semdedup_cells")
+    // 64 rounds = convergence for any physical diameter (see
+    // semdedupKeepers) — the oracle's recursive closure is unbounded,
+    // so the engine side must never stop short of the fixpoint
     Dedup.clusterNearDups(
         Similarity.semDeDupPairsOnAssigned(assigned, 0.4)
           .select(col("id_a"), col("id_b")),
-        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 24)
+        emb.select(col("vec_id")), idCol = "vec_id", maxIterations = 64)
       .filter(col("id") === col("cluster"))
       .select(col("id").as("vec_id"))
       .orderBy(col("vec_id"))
@@ -324,9 +331,30 @@ object Pipeline {
       new java.io.File(p).mkdirs()
       p
     })
+  // the sf dir Verify declared at start wins (a process serving more
+  // than one sf would otherwise grade every fixture oracle against the
+  // lexicographically-first recorded dir); recorded dirs are the
+  // fallback for ad-hoc callers that never declared one
   private def fixtureDirForOracle: String =
-    fixtureDirs.values.toSeq.sorted.headOption
+    sys.props.get("spark.graft.oracle.sfdir").map(oracleFixtureDir)
+      .orElse(fixtureDirs.values.toSeq.sorted.headOption)
       .getOrElse(s"${sys.props("java.io.tmpdir")}/graft-oracle-fixtures-unset")
+
+  /** Verify-start hygiene: pin the oracle fixture dir to `sfDir` and
+    * CLEAR it — the md5-keyed /tmp dir persists across runs, so a query
+    * that fails before its export would otherwise silently grade
+    * against a previous run's stale decisions. */
+  def resetFixtures(sfDir: String): Unit = {
+    sys.props("spark.graft.oracle.sfdir") = sfDir
+    val root = java.nio.file.Paths.get(oracleFixtureDir(sfDir))
+    if (java.nio.file.Files.isDirectory(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .filter(p => p != root)
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+  }
 
   /** Fixture export is a VERIFY concern (graft.Verify sets the flag):
     * bench/ad-hoc runs of the same queries must not pay fixture I/O

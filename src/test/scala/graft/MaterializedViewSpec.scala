@@ -282,10 +282,10 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.tableProperties("ns", "avn")("graft.mv.mode") === "full")
   }
 
-  test("incremental MIN/MAX (round-13): monotone merge under insert-only " +
-       "deltas (strings included); a delete-bearing delta takes a ONE-OFF " +
-       "full rebuild without losing the incremental mode, and the next " +
-       "insert-only window is incremental again") {
+  test("incremental MIN/MAX (round-13/14): monotone merge under insert-" +
+       "only deltas (strings included); a delete-bearing delta takes the " +
+       "GROUP-SCOPED HYBRID refresh without losing the incremental mode, " +
+       "and the next insert-only window is incremental again") {
     val (cat, c) = fresh()
     spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT, s STRING)")
     spark.sql(s"INSERT INTO $c.ns.t VALUES " +
@@ -311,12 +311,13 @@ class MaterializedViewSpec extends SparkSpec {
     assert(path() === "incremental")
     assert(got() === expect())
 
-    // a delete: the erased row held group 2's max -> one-off full
-    // rebuild, mode retained
+    // a delete: the erased row held group 2's max -> group-scoped
+    // hybrid (only k=2 re-derives from the base), mode retained
     spark.sql(s"DELETE FROM $c.ns.t WHERE k = 2 AND v = 50 AND s = 'z'")
-    assert(path() === "full", "a delete-bearing window must rebuild")
+    assert(path() === "hybrid", "a delete-bearing window must take the " +
+      "group-scoped hybrid refresh")
     assert(cat.tableProperties("ns", "mm")("graft.mv.mode") === "incremental",
-      "the one-off rebuild must not downgrade the mode")
+      "the hybrid refresh must not downgrade the mode")
     assert(got() === expect())
 
     // back to insert-only -> incremental again
@@ -478,5 +479,196 @@ class MaterializedViewSpec extends SparkSpec {
     assert(spark.sql(s"SELECT s FROM $c.ns.mv WHERE g = 2").head().getLong(0)
       === spark.sql(s"SELECT sum(v) FROM $c.ns.b WHERE g = 2")
         .head().getLong(0))
+  }
+
+  test("GROUP-SCOPED HYBRID (round-14): a mixed avg+min/max view under a " +
+       "delete-bearing window keeps avg/count/sum signed-delta and " +
+       "re-derives ONLY the touched groups; the recompute reads a " +
+       "bounded slice of the base (job-metrics assert); null group keys " +
+       "and the changed-group cap both stay correct") {
+    val (cat, c) = fresh()
+    // merge-on-read deletes: the 100 TB churn shape this path exists
+    // for — a CoW delete rewrites files, breaks the manifest-prefix
+    // invariant and forces the changefeed onto the two-snapshot diff,
+    // which would drown the job-metrics comparison below
+    val prevMode = spark.conf.getOption("spark.graft.rowlevel.mode")
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    try {
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    // 8 groups x 5000 rows, one file per group (clustered) so the
+    // recompute's key filter prunes; big enough that the O(base) full
+    // rebuild dominates the hybrid's O(delta + changed-group slice)
+    // reads in the job-metrics comparison below — which therefore ALSO
+    // pins the pruning (an unpruned recompute alone reads > one base)
+    (0 until 40000).map(i => ((i % 8).toLong, i.toLong * 3)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).createOrReplaceTempView("hy_src")
+    spark.sql(s"INSERT INTO $c.ns.t SELECT * FROM hy_src").collect(): Unit
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.h AS " +
+      s"SELECT k, count(*) AS cnt, sum(v) AS sv, avg(v) AS av, " +
+      s"min(v) AS mn, max(v) AS mx FROM $c.ns.t GROUP BY k")
+    assert(cat.tableProperties("ns", "h")("graft.mv.mode") === "incremental")
+    def path() = spark.sql(s"CALL $c.system.refresh_mv('ns', 'h')")
+      .head().getString(0)
+    def expect() = spark.sql(s"SELECT k, count(*) AS cnt, sum(v) AS sv, " +
+      s"avg(v) AS av, min(v) AS mn, max(v) AS mx FROM $c.ns.t " +
+      "GROUP BY k ORDER BY k").collect().toSeq
+    def got() = spark.sql(
+      s"SELECT k, cnt, sv, av, mn, mx FROM $c.ns.h ORDER BY k")
+      .collect().toSeq
+    def assertMatches(): Unit = got().zip(expect()).foreach { case (g, e) =>
+      assert(g.get(0) === e.get(0)) // null-safely: NULL is a legal group
+      assert(g.getLong(1) === e.getLong(1))
+      assert(g.getLong(2) === e.getLong(2))
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) <=
+        math.max(1e-9, math.abs(e.getDouble(3)) * 1e-12),
+        s"avg drifted for k=${g.get(0)}")
+      assert(g.getLong(4) === e.getLong(4) && g.getLong(5) === e.getLong(5))
+    }
+
+    // records-read meter across the refresh (job-metrics assert)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    def metered(body: => String): (String, Long) = {
+      spark.sparkContext.addSparkListener(listener)
+      recordsRead.set(0L)
+      try {
+        val p = body
+        // listener bus is async — drain before reading the counter
+        var spins = 0
+        var last = -1L
+        while (spins < 100 && recordsRead.get() != last) {
+          last = recordsRead.get(); Thread.sleep(50); spins += 1
+        }
+        (p, recordsRead.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // delete the max of ONE group (+ an insert elsewhere): hybrid path,
+    // every column correct, mode retained
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = 3 AND v = " +
+      s"(SELECT max(v) FROM $c.ns.t WHERE k = 3)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 9999)")
+    val (p1, hybridRecords) = metered(path())
+    assert(p1 === "hybrid")
+    assert(cat.tableProperties("ns", "h")("graft.mv.mode") === "incremental")
+    assertMatches()
+
+    // the same churn resolved by a FULL rebuild on a copy reads the
+    // whole base; the hybrid — changefeed + state + the changed-group
+    // slice — must have read strictly less than one whole base pass
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.hfull AS " +
+      s"SELECT k, count(*) AS cnt, sum(v) AS sv, avg(v) AS av, " +
+      s"min(v) AS mn, max(v) AS mx FROM $c.ns.t GROUP BY k")
+    cat.commitProperties("ns", "hfull", Map("graft.mv.mode" -> "full")): Unit
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (2, 1)")
+    val (p2, fullRecords) = metered(
+      spark.sql(s"CALL $c.system.refresh_mv('ns', 'hfull')")
+        .head().getString(0))
+    assert(p2 === "full")
+    assert(hybridRecords < fullRecords,
+      s"hybrid must read less than a full rebuild: $hybridRecords vs " +
+        s"$fullRecords")
+
+    // null group key: a delete inside the NULL group re-derives it
+    // null-safely (EqualNullSafe path), never drops or duplicates it
+    spark.sql(s"INSERT INTO $c.ns.t VALUES " +
+      "(CAST(NULL AS BIGINT), 10), (CAST(NULL AS BIGINT), 20)")
+    assert(path() === "incremental")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k IS NULL AND v = 20")
+    assert(path() === "hybrid")
+    val nullRows = got().filter(_.isNullAt(0))
+    assert(nullRows.size === 1, s"exactly one NULL-key group, got $nullRows")
+    assert(nullRows.head.getLong(1) === 1L &&
+      nullRows.head.getLong(2) === 10L)
+    assertMatches()
+
+    // changed-group cap: churn touching > HybridKeyCap groups falls
+    // back to the one-off full rebuild, mode retained
+    spark.sql(s"CREATE TABLE $c.ns.wide (k BIGINT, v BIGINT)")
+    (0 until 3000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("hy_wide")
+    spark.sql(s"INSERT INTO $c.ns.wide SELECT * FROM hy_wide").collect(): Unit
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.hw AS " +
+      s"SELECT k, count(*) AS cnt, max(v) AS mx FROM $c.ns.wide GROUP BY k")
+    spark.sql(s"DELETE FROM $c.ns.wide WHERE k % 2 = 0") // 1500 groups
+    assert(spark.sql(s"CALL $c.system.refresh_mv('ns', 'hw')")
+      .head().getString(0) === "full",
+      "past the changed-group cap the one-off rebuild wins")
+    assert(cat.tableProperties("ns", "hw")("graft.mv.mode") === "incremental")
+    assert(spark.sql(s"SELECT k, cnt, mx FROM $c.ns.hw ORDER BY k")
+      .collect().toSeq ===
+      spark.sql(s"SELECT k, count(*) AS cnt, max(v) AS mx FROM $c.ns.wide " +
+        "GROUP BY k ORDER BY k").collect().toSeq)
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.graft.rowlevel.mode", m)
+      case None => spark.conf.unset("spark.graft.rowlevel.mode")
+    }
+  }
+
+  test("hybrid guardrail: a delete the defining WHERE filters out " +
+       "touches no group — the refresh stays plain incremental; and an " +
+       "expired window on an avg view RE-PROBES the base at the pinned " +
+       "head (a NULL that arrived inside the lost window downgrades " +
+       "instead of silently corrupting later reconstructions)") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 10), (2, 20), (-5, 7)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.f AS " +
+      s"SELECT k, count(*) AS cnt, max(v) AS mx FROM $c.ns.t " +
+      s"WHERE k >= 0 GROUP BY k")
+    assert(cat.tableProperties("ns", "f")("graft.mv.mode") === "incremental")
+    // the deleted row never passed the WHERE -> zero changed groups
+    spark.sql(s"DELETE FROM $c.ns.t WHERE k = -5")
+    assert(spark.sql(s"CALL $c.system.refresh_mv('ns', 'f')")
+      .head().getString(0) === "incremental")
+    assert(spark.sql(s"SELECT k, cnt, mx FROM $c.ns.f ORDER BY k")
+      .collect().toSeq ===
+      spark.sql(s"SELECT k, count(*) AS cnt, max(v) AS mx FROM $c.ns.t " +
+        "WHERE k >= 0 GROUP BY k ORDER BY k").collect().toSeq)
+
+    // ADVICE r13 (high): expired window + avg view. A NULL avg argument
+    // arrives in the window, the window expires, the fallback rebuild
+    // runs — incremental mode MUST NOT survive with the NULL now below
+    // the watermark.
+    spark.sql(s"CREATE TABLE $c.ns.b (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 10)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.av AS " +
+      s"SELECT k, count(*) AS cnt, avg(v) AS a FROM $c.ns.b GROUP BY k")
+    assert(cat.tableProperties("ns", "av")("graft.mv.mode") === "incremental")
+    // NULL lands inside the soon-to-expire window
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, CAST(NULL AS BIGINT))")
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 20)")
+    cat.expireSnapshots("ns", "b", retainLast = 1): Unit
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av")
+    assert(cat.tableProperties("ns", "av")("graft.mv.mode") === "full",
+      "the expired-window fallback must re-probe the base and downgrade")
+    // a later refresh over fresh churn still equals the recompute (no
+    // reconstruction drift — (10+20)/2=15, never (10*2+20)/3=13.33)
+    spark.sql(s"INSERT INTO $c.ns.b VALUES (1, 30)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av")
+    val row = spark.sql(s"SELECT cnt, a FROM $c.ns.av WHERE k = 1").head()
+    assert(row.getLong(0) === 4L)
+    assert(math.abs(row.getDouble(1) - 20.0) < 1e-9,
+      s"avg must be (10+20+30)/3=20 over non-NULLs, got ${row.getDouble(1)}")
+
+    // the clean-base expired window keeps incremental (probe passes)
+    spark.sql(s"CREATE TABLE $c.ns.b2 (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.b2 VALUES (1, 10)")
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.ns.av2 AS " +
+      s"SELECT k, count(*) AS cnt, avg(v) AS a FROM $c.ns.b2 GROUP BY k")
+    spark.sql(s"INSERT INTO $c.ns.b2 VALUES (1, 20)")
+    spark.sql(s"INSERT INTO $c.ns.b2 VALUES (1, 30)")
+    cat.expireSnapshots("ns", "b2", retainLast = 1): Unit
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av2")
+    assert(cat.tableProperties("ns", "av2")("graft.mv.mode") === "incremental",
+      "a NULL-free base must keep incremental mode through the fallback")
+    spark.sql(s"INSERT INTO $c.ns.b2 VALUES (1, 40)")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $c.ns.av2")
+    val r2 = spark.sql(s"SELECT cnt, a FROM $c.ns.av2 WHERE k = 1").head()
+    assert(r2.getLong(0) === 4L && math.abs(r2.getDouble(1) - 25.0) < 1e-9)
   }
 }

@@ -1263,6 +1263,74 @@ object CatalogQueries {
       .orderBy(col("tier").asc_nulls_first)
   }
 
+  private val restSpecWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REST partition-spec evolution (round-14): a foreign client evolves
+    * the DEFAULT PARTITION SPEC over the spec's add-spec +
+    * set-default-spec update kinds (with the assert-default-spec-id
+    * requirement), writes land under the NEW spec through graft SQL,
+    * and the declared read proves the evolved layout PRUNES — a year
+    * slice and a point probe must both read fewer files than the table
+    * holds. The oracle replays both reads declaratively from the raw
+    * parquet. */
+  private def restSpecEvolve: Q = (s, d) => {
+    val wh = restSpecWarehouses.synchronized {
+      restSpecWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-restsp-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "seedsp") // materializes the namespace dir
+        val server = new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-restsp-exp").toString)
+        try {
+          val port = server.boundPort
+          // foreign CREATE: year(o_orderdate) partitioning from day one
+          require(graft.tools.RestClient.createViaRest(port, "q", "spev",
+            Seq("o_orderkey" -> "long", "o_totalprice" -> "double",
+              "o_orderdate" -> "timestamptz"),
+            spec = Seq("o_orderdate" -> "year"))._1 == 200)
+          val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+            .createOrReplaceTempView("spev_src")
+          s.sql(s"""INSERT INTO $c.q.spev SELECT * FROM spev_src
+                    WHERE o_orderkey % 4 = 0""").collect(): Unit
+          // foreign SPEC EVOLUTION: add bucket(8) on the key, asserting
+          // the served default-spec-id (the export serves 1 when
+          // partitioned — a concurrent spec change would 409)
+          val (ec, eb) = graft.tools.RestClient.evolveSpecViaRest(port,
+            "q", "spev", Seq("o_orderdate" -> "year",
+              "o_orderkey" -> "bucket[8]"),
+            assertDefaultSpecId = Some(1))
+          require(ec == 200, s"REST spec evolve failed: $ec $eb")
+          // writes after the evolution cluster under the NEW spec
+          s.sql(s"""INSERT INTO $c.q.spev SELECT * FROM spev_src
+                    WHERE o_orderkey % 4 = 1""").collect(): Unit
+        } finally server.stop() // a failed require must not leak the server
+        w
+      })
+    }
+    val cat = new GraftCatalog(s, wh)
+    val total = cat.read("q", "spev").inputFiles.length
+    val yearSlice = cat.readWhere("q", "spev", "o_orderdate",
+      Some("1995-01-01"), Some("1995-12-31"))
+    val pointProbe = cat.readWhereEquals("q", "spev", "o_orderkey", "1")
+    val pruned = total > 1 &&
+      yearSlice.inputFiles.length < total &&
+      pointProbe.inputFiles.length < total
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(yearSlice, "1_year_slice")
+      .unionByName(agg(pointProbe, "2_point_lookup"))
+      .withColumn("pruned", lit(pruned))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"), col("pruned"))
+      .orderBy(col("stage"))
+  }
+
   private val nestedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** NESTED columns end-to-end: a catalog table carrying struct, map
@@ -1447,6 +1515,7 @@ object CatalogQueries {
     "cat_rest_commit"      -> restCommit,
     "cat_rest_mor_commit"  -> restMorCommit,
     "cat_rest_evolve"      -> restEvolve,
+    "cat_rest_spec_evolve" -> restSpecEvolve,
     "cat_nested_struct"    -> nestedStructRead,
     "stream_table_source"  -> streamTableSource,
     "stream_sync_dag"      -> streamSyncDag,
@@ -1739,6 +1808,22 @@ object CatalogQueries {
                             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
                             TRUE AS pruned
                      FROM orders WHERE o_orderkey = 1)
+         SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
+    "cat_rest_spec_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderdate
+                       FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+              s1 AS (SELECT '1_year_slice' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                            TRUE AS pruned
+                     FROM base
+                     WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                           AND TIMESTAMP '1995-12-31 00:00:00'),
+              s2 AS (SELECT '2_point_lookup' AS stage, count(*) AS cnt,
+                            round(sum(o_totalprice), 2) AS total_price,
+                            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                            TRUE AS pruned
+                     FROM base WHERE o_orderkey = 1)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
     "cat_sql_alter" ->
       """WITH u AS (

@@ -44,7 +44,10 @@ import graft.catalog.{GraftCatalog, IcebergExport}
   * files are copied into the warehouse, footer-validated against the
   * table schema, and land as ONE graft version with native stats +
   * blooms. Supported update kinds: add-snapshot + set-snapshot-ref
-  * (appends), set-properties / remove-properties (metadata). The server
+  * (appends/MoR), set-properties / remove-properties (metadata),
+  * add-schema + set-current-schema (schema evolution, round-13),
+  * add-spec + set-default-spec (partition-spec evolution, round-14).
+  * The server
   * NORMALIZES the commit (the spec allows this): the landed graft
   * version re-exports with a server-assigned snapshot id; the response
   * metadata is the post-commit state the client must refresh to.
@@ -419,6 +422,13 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
               .map(_.asInt()).getOrElse(0)
             if (want != have)
               conflict(s"current schema changed: expected $want, found $have")
+          case "assert-default-spec-id" =>
+            val want = r.get("default-spec-id").asInt()
+            val have = Option(meta.get("default-spec-id"))
+              .map(_.asInt()).getOrElse(0)
+            if (want != have)
+              conflict(s"default partition spec changed: expected $want, " +
+                s"found $have")
           case "assert-ref-snapshot-id" =>
             val ref = Option(r.get("ref")).map(_.asText()).getOrElse("main")
             if (ref != "main")
@@ -439,6 +449,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     var setRefs = Seq.empty[JsonNode]
     var addSchemas = Seq.empty[JsonNode]
     var setCurrentSchemaIds = Seq.empty[Int]
+    var addSpecs = Seq.empty[JsonNode]
+    var setDefaultSpecIds = Seq.empty[Int]
     Option(req.get("updates")).toSeq.flatMap(_.elements().asScala).foreach { u =>
       u.get("action").asText() match {
         case "add-snapshot" => addSnapshots :+= u.get("snapshot")
@@ -454,11 +466,17 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         case "set-current-schema" =>
           setCurrentSchemaIds :+= Option(u.get("schema-id"))
             .map(_.asInt()).getOrElse(-1)
+        case "add-spec" =>
+          addSpecs :+= Option(u.get("spec"))
+            .getOrElse(bad("add-spec carries no spec"))
+        case "set-default-spec" =>
+          setDefaultSpecIds :+= Option(u.get("spec-id"))
+            .map(_.asInt()).getOrElse(-1)
         case other => bad(s"unsupported update action '$other' — this shim " +
           "commits appends (add-snapshot + set-snapshot-ref), table " +
-          "properties, and schema evolution (add-schema + " +
-          "set-current-schema); partition-spec evolution goes through " +
-          "graft ALTER")
+          "properties, schema evolution (add-schema + set-current-" +
+          "schema), and partition-spec evolution (add-spec + " +
+          "set-default-spec)")
       }
     }
     if (addSnapshots.size > 1) bad("at most one add-snapshot per commit")
@@ -491,11 +509,27 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         bad(s"set-current-schema names schema-id $sid but the commit " +
           s"adds ${addedId.getOrElse(-1)} (-1 = last added)")
     }
+    // same refusal discipline as add-schema: no staged-spec store, no
+    // set-default to a spec this commit did not add (spec rollback)
+    if (addSpecs.size > 1) bad("at most one add-spec per commit")
+    if (setDefaultSpecIds.nonEmpty && addSpecs.isEmpty)
+      bad("set-default-spec without add-spec (switching back to an old " +
+        "spec over REST) is not supported")
+    if (addSpecs.nonEmpty && setDefaultSpecIds.isEmpty)
+      bad("add-spec without set-default-spec (staging a spec) is not " +
+        "supported — commit both updates together")
+    setDefaultSpecIds.foreach { sid =>
+      val addedId = Option(addSpecs.head.get("spec-id")).map(_.asInt())
+      if (sid != -1 && !addedId.contains(sid))
+        bad(s"set-default-spec names spec-id $sid but the commit adds " +
+          s"${addedId.getOrElse(-1)} (-1 = last added)")
+    }
     val kinds = Seq(addSnapshots.nonEmpty,
-      setProps.nonEmpty || unsetProps.nonEmpty, addSchemas.nonEmpty)
+      setProps.nonEmpty || unsetProps.nonEmpty, addSchemas.nonEmpty,
+      addSpecs.nonEmpty)
     if (kinds.count(identity) > 1)
-      bad("mixed snapshot / property / schema commits are not supported " +
-        "— commit them separately")
+      bad("mixed snapshot / property / schema / partition-spec commits " +
+        "are not supported — commit them separately")
     if (!kinds.exists(identity))
       bad("commit carries no supported updates")
 
@@ -503,6 +537,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case Some(snap) => commitSnapshot(ns, t, snap, meta, servedSeq, loc)
       case None if addSchemas.nonEmpty =>
         commitSchemaChange(ns, t, addSchemas.head, servedSeq)
+      case None if addSpecs.nonEmpty =>
+        commitSpecChange(ns, t, addSpecs.head, meta, servedSeq)
       case None =>
         // anchored on the SAME served version the requirements were
         // judged against — a concurrent commit in the check-then-commit
@@ -571,6 +607,61 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         if (e.getMessage != null && e.getMessage.contains("concurrent schema"))
           conflict(e.getMessage)
         else bad(e.getMessage)
+      case e: IllegalStateException => bad(e.getMessage)
+    }
+  }
+
+  /** Spec partition evolution (add-spec + set-default-spec, round-14)
+    * mapped onto graft's validated spec-evolution commit — the same
+    * property commit ALTER TABLE ... ADD/DROP/REPLACE PARTITION FIELD
+    * is sugar for ([[graft.catalog.GraftCatalog.PartitionSpecProp]]):
+    * committed files keep their recorded layout, new writes cluster by
+    * the new spec, per-version spec resolution at read — exactly
+    * Iceberg's spec-evolution model, which treats spec changes as
+    * ordinary catalog commits. The spec's source-ids resolve against
+    * the SERVED metadata's current schema (the only field-id space the
+    * foreign client ever saw); transform/type legality is validated by
+    * the catalog's property commit, CAS-anchored on the served version
+    * (a concurrent commit is the spec's 409). An EMPTY field list
+    * removes the partitioning (unsets the property). */
+  private def commitSpecChange(ns: String, t: String, specNode: JsonNode,
+                               servedMeta: JsonNode, servedSeq: Long): Unit = {
+    if (servedSeq < 0)
+      bad(s"$ns.$t has no committed version — nothing to evolve")
+    val curSchemaId = Option(servedMeta.get("current-schema-id"))
+      .map(_.asInt()).getOrElse(0)
+    val idName: Map[Int, String] =
+      Option(servedMeta.get("schemas")).toSeq.flatMap(_.elements().asScala)
+        .find(s => Option(s.get("schema-id")).exists(_.asInt() == curSchemaId))
+        .toSeq.flatMap(s => Option(s.get("fields")).toSeq
+          .flatMap(_.elements().asScala))
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val fields: Seq[GraftCatalog.PartitionField] =
+      Option(specNode.get("fields")).toSeq.flatMap(_.elements().asScala)
+        .map { f =>
+          val sid = Option(f.get("source-id")).map(_.asInt())
+            .getOrElse(bad(s"partition field ${f.get("name")} carries no " +
+              "source-id"))
+          val src = idName.getOrElse(sid,
+            bad(s"partition field ${f.get("name")} names source-id $sid " +
+              "which is not a top-level column of the current schema"))
+          parseTransform(Option(f.get("transform")).map(_.asText())
+            .getOrElse(bad(s"partition field ${f.get("name")} carries no " +
+              "transform")), src)
+        }.toSeq
+    try {
+      if (fields.isEmpty)
+        cat.commitProperties(ns, t, Map.empty,
+          unset = Seq(GraftCatalog.PartitionSpecProp),
+          expectedParentSeq = Some(servedSeq)): Unit
+      else
+        cat.commitProperties(ns, t,
+          Map(GraftCatalog.PartitionSpecProp ->
+            GraftCatalog.partitionSpecJson(fields)),
+          expectedParentSeq = Some(servedSeq)): Unit
+    } catch {
+      case e: java.util.ConcurrentModificationException => conflict(e.getMessage)
+      case e: IllegalArgumentException => bad(e.getMessage)
       case e: IllegalStateException => bad(e.getMessage)
     }
   }

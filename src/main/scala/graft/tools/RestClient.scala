@@ -340,6 +340,41 @@ object RestClient {
     post(port, s"/v1/namespaces/$ns/tables/$t", body)
   }
 
+  /** Spec partition evolution: one add-spec (the full replacement spec
+    * as (sourceFieldName, transform) with the spec's bucket[n]/
+    * truncate[w] spellings) + set-default-spec(-1, "last added").
+    * Source-ids resolve from the served metadata's CURRENT schema —
+    * the walk a real client performs. `assertDefaultSpecId` adds the
+    * spec's optimistic-concurrency requirement. */
+  def evolveSpecViaRest(port: Int, ns: String, t: String,
+                        spec: Seq[(String, String)],
+                        assertDefaultSpecId: Option[Int] = None): (Int, String) = {
+    val (gc, gb) = get(port, s"/v1/namespaces/$ns/tables/$t")
+    require(gc == 200, s"GET $ns.$t failed: $gc $gb")
+    val meta = mapper.readTree(gb).get("metadata")
+    val cur = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val idOf: Map[String, Int] = Option(meta.get("schemas")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(s => Option(s.get("schema-id")).exists(_.asInt() == cur))
+      .toSeq.flatMap(_.get("fields").elements().asScala)
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val fieldsJson = spec.zipWithIndex.map { case ((src, tr), i) =>
+      val sid = idOf.getOrElse(src, sys.error(s"no column '$src' in the " +
+        s"served schema of $ns.$t (have ${idOf.keys.mkString(", ")})"))
+      s"""{"name":"${src}_$i","transform":"$tr","source-id":$sid,
+         |"field-id":${1000 + i}}""".stripMargin.replace("\n", "")
+    }.mkString(",")
+    val reqs = assertDefaultSpecId.map(id =>
+      s"""{"type":"assert-default-spec-id","default-spec-id":$id}""")
+      .toSeq.mkString(",")
+    val body =
+      s"""{"requirements":[$reqs],"updates":[
+         |  {"action":"add-spec","spec":{"spec-id":-1,"fields":[$fieldsJson]}},
+         |  {"action":"set-default-spec","spec-id":-1}
+         |]}""".stripMargin
+    post(port, s"/v1/namespaces/$ns/tables/$t", body)
+  }
+
   /** Node access for callers asserting on responses. */
   def json(body: String): JsonNode = mapper.readTree(body)
 }

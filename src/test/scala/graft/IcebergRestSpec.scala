@@ -491,6 +491,100 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST partition-spec evolution: a foreign client evolves the " +
+       "default spec via add-spec + set-default-spec, writes after the " +
+       "evolution cluster (and prune) under the new spec, the evolved " +
+       "spec serves back, a stale assert-default-spec-id gets the 409, " +
+       "and staging / rollback / unknown-source / mixed commits refuse") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-restsp-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("sns", "seed")
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-restsp-exp").toString)
+    try {
+      val p = server.boundPort
+      assert(RestClient.createViaRest(p, "sns", "st",
+        Seq("id" -> "long", "k" -> "long", "v" -> "double"))._1 === 200)
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+      (0 until 200).map(i => (i.toLong, (i % 4).toLong, i / 2.0))
+        .toDF("id", "k", "v").createOrReplaceTempView("sp_src")
+      spark.sql(s"INSERT INTO $c.sns.st SELECT * FROM sp_src " +
+        "WHERE id < 100").collect(): Unit
+
+      // unpartitioned table serves default-spec-id 0; evolve to
+      // identity(k) + bucket(4, id), asserting that id
+      val (ec, eb) = RestClient.evolveSpecViaRest(p, "sns", "st",
+        Seq("k" -> "identity", "id" -> "bucket[4]"),
+        assertDefaultSpecId = Some(0))
+      assert(ec === 200, eb)
+      val specJson = cat.tableProperties("sns", "st")("graft.partition-spec")
+      assert(specJson.contains("identity") && specJson.contains("bucket"),
+        specJson)
+
+      // writes after the evolution cluster under the new spec: a point
+      // probe on k prunes to the k-aligned files of the second batch
+      spark.sql(s"INSERT INTO $c.sns.st SELECT * FROM sp_src " +
+        "WHERE id >= 100").collect(): Unit
+      val total = cat.read("sns", "st").inputFiles.length
+      assert(cat.readWhereEquals("sns", "st", "k", "2")
+        .inputFiles.length < total)
+      // content unchanged by all the layout machinery
+      assert(cat.read("sns", "st").count() === 200L)
+
+      // the evolved spec serves back over REST
+      val served = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(RestClient.get(p, "/v1/namespaces/sns/tables/st")._2)
+        .get("metadata")
+      assert(served.get("default-spec-id").asInt() === 1)
+      val tr = served.get("partition-specs").elements().asScala
+        .find(_.get("spec-id").asInt() == 1).get
+        .get("fields").elements().asScala
+        .map(_.get("transform").asText()).toSeq
+      assert(tr === Seq("identity", "bucket[4]"), tr)
+
+      // a STALE assert-default-spec-id is the spec's 409
+      assert(RestClient.evolveSpecViaRest(p, "sns", "st",
+        Seq("k" -> "identity"), assertDefaultSpecId = Some(0))._1 === 409)
+
+      // refusals: staging (add-spec alone), rollback (set-default-spec
+      // alone), unknown source-id, mixed spec+property commit, and an
+      // unsupported transform
+      val route = "/v1/namespaces/sns/tables/st"
+      val addOnly = """{"requirements":[],"updates":[
+        {"action":"add-spec","spec":{"spec-id":5,"fields":[
+          {"name":"k_0","transform":"identity","source-id":2,"field-id":1000}]}}]}"""
+      assert(RestClient.post(p, route, addOnly)._1 === 400)
+      assert(RestClient.post(p, route,
+        """{"requirements":[],"updates":[
+          {"action":"set-default-spec","spec-id":0}]}""")._1 === 400)
+      assert(RestClient.post(p, route,
+        """{"requirements":[],"updates":[
+          {"action":"add-spec","spec":{"spec-id":5,"fields":[
+            {"name":"x","transform":"identity","source-id":99,"field-id":1000}]}},
+          {"action":"set-default-spec","spec-id":-1}]}""")._1 === 400)
+      assert(RestClient.post(p, route,
+        """{"requirements":[],"updates":[
+          {"action":"add-spec","spec":{"spec-id":5,"fields":[
+            {"name":"k_0","transform":"identity","source-id":2,"field-id":1000}]}},
+          {"action":"set-default-spec","spec-id":-1},
+          {"action":"set-properties","updates":{"x":"y"}}]}""")._1 === 400)
+      assert(RestClient.post(p, route,
+        """{"requirements":[],"updates":[
+          {"action":"add-spec","spec":{"spec-id":5,"fields":[
+            {"name":"k_0","transform":"zorder","source-id":2,"field-id":1000}]}},
+          {"action":"set-default-spec","spec-id":-1}]}""")._1 === 400)
+
+      // an EMPTY field list removes the partitioning
+      assert(RestClient.post(p, route,
+        """{"requirements":[],"updates":[
+          {"action":"add-spec","spec":{"spec-id":6,"fields":[]}},
+          {"action":"set-default-spec","spec-id":-1}]}""")._1 === 200)
+      assert(!cat.tableProperties("sns", "st").contains(
+        "graft.partition-spec"))
+    } finally server.stop()
+  }
+
   test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
        "table, appends its own parquet via add-snapshot (real Avro " +
        "manifests, real HTTP), the files land as a graft version with " +

@@ -428,6 +428,66 @@ object ServeBench {
           FROM $c.sb.mvb GROUP BY grp""").count()
       }
     }
+    if (groups("wap")) {
+      // MV refresh across a FAST-FORWARD-PUBLISHING history (round-14):
+      // cat_wap's recommended write path commits via fastForwardMerge,
+      // whose merge commit adopts the branch head's manifest list — an
+      // EXTENSION of its parent's — so publish-crossing changefeed
+      // windows keep the additive O(delta) path (CatalogSpec pins the
+      // invariant; this sweep pins the cost). Claim: mv_refresh_wap
+      // stays FLAT across 1x/10x/30x, tracking SCALE_r13's cdc-churn
+      // path. The publish AUDIT is corpus-proportional by contract
+      // (rules evaluate over the would-be table state) and timed
+      // separately as wap_publish.
+      import graft.catalog.Wap
+      val li = Tables.lineitem(spark, sfDir)
+      val base = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        (col("l_orderkey") % 1000).as("grp"),
+        (col("l_extendedprice") * 100).cast("long").as("cents"))
+      val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, cat.warehouse)
+      spark.sql(s"""CREATE TABLE $c.sb.wapb (pk BIGINT, grp BIGINT, cents BIGINT)
+                    TBLPROPERTIES ('write.sort-columns'='pk')""")
+      base.createOrReplaceTempView("wapb_src")
+      time("wap_base_insert", 1) {
+        spark.sql(s"INSERT INTO $c.sb.wapb SELECT * FROM wapb_src").collect()
+        cat.latest("sb", "wapb").get.fileCount
+      }
+      time("wap_mv_create", 1) {
+        spark.sql(s"""CREATE MATERIALIZED VIEW $c.sb.wapagg AS
+          SELECT grp, count(*) AS cnt, sum(cents) AS total
+          FROM $c.sb.wapb GROUP BY grp""").collect()
+        spark.sql(s"SELECT count(*) FROM $c.sb.wapagg").head().getLong(0)
+      }
+      // fixed-size batches from the 1x-stable key range; publishes use
+      // per-window negated keys so they never collide
+      val pubBatch = base.filter(col("pk") < 40000 && col("pk") % 2 === 0)
+        .localCheckpoint()
+      val delKeys = base.filter(col("pk") < 40000 && col("pk") % 17 === 0)
+        .select(col("pk")).localCheckpoint()
+      (1 to math.max(repeat, 3)).foreach { i =>
+        // a window = one WAP publish + one cdc upsert/delete batch,
+        // with a compaction ALSO inside window 2 (merge + maintenance
+        // in the same window exercises merges inside segments)
+        time("wap_publish", i) {
+          Wap.writeAuditPublish(cat, "sb", "wapb",
+            pubBatch.select((-col("pk") - lit(i * 1000000L)).as("pk"),
+              col("grp"), col("cents")),
+            rowRules = Seq(("grp_bounds", col("grp").between(0, 999)))) match {
+            case Wap.Published(s) => s.seq
+            case r => sys.error(s"WAP publish rejected: $r")
+          }
+        }
+        cat.commitCdcApply("sb", "wapb",
+          pubBatch.withColumn("cents", col("cents") + i), delKeys,
+          keyCols = Seq("pk"))
+        if (i == 2) cat.compact("sb", "wapb", 128L * 1024 * 1024): Unit
+        time("mv_refresh_wap", i) {
+          spark.sql(s"CALL $c.system.refresh_mv('sb', 'wapagg')").collect()
+          spark.sql(s"SELECT count(*) FROM $c.sb.wapagg").head().getLong(0)
+        }
+      }
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with

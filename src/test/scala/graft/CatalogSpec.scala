@@ -963,6 +963,83 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("changesBetween across WAP FAST-FORWARD publishes (round-14): a " +
+       "fast-forward merge adopts the branch head's manifest list, which " +
+       "EXTENDS its parent's — so merge commits never break the additive " +
+       "prefix and every publish-crossing range stays O(delta); " +
+       "interleaved with MoR churn and compaction, all ranges equal the " +
+       "independent two-snapshot diff") {
+    val cat = freshCatalog()
+    cat.createTable("ns", "wp")
+    def wap(rows: Seq[(Long, String)]): Unit =
+      Wap.writeAuditPublish(cat, "ns", "wp", rows.toDF("id", "v"),
+        rowRules = Seq(("id_nonneg", col("id") >= 0L))) match {
+        case Wap.Published(_) => ()
+        case r => fail(s"publish rejected: $r")
+      }
+    cat.commitAppend("ns", "wp",
+      (0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")), bloomCols = Seq("id"))     // v0
+    wap(Seq((100L, "w100"), (101L, "w101")))                          // v1
+    cat.commitDelete("ns", "wp", Seq(10L, 100L).toDF("id"))           // v2
+    wap(Seq((100L, "w100b"), (200L, "w200")))                         // v3 (re-add)
+    cat.commitCdcApply("ns", "wp",
+      Seq((5L, "v5-new"), (300L, "v300")).toDF("id", "v"),
+      Seq(40L).toDF("id"), keyCols = Seq("id"))                       // v4
+    cat.compact("ns", "wp", 1024L * 1024)                             // v5
+    wap(Seq((400L, "w400")))                                          // v6
+    cat.commitDeletePositions("ns", "wp",
+      cat.positionsWhere("ns", "wp", col("id") === 7L))               // v7
+    wap(Seq((500L, "w500")))                                          // v8
+    cat.commitAppend("ns", "wp", Seq((600L, "v600")).toDF("id", "v")) // v9
+
+    val snaps = cat.snapshots("ns", "wp")
+    assert(snaps.count(_.commitId.startsWith("merge-")) === 4,
+      "fixture must carry four fast-forward publishes")
+    assert(snaps.find(_.seq == 5).exists(_.commitId.startsWith("compact-")))
+
+    def refDiff(fromSeq: Long, toSeq: Long): Set[(Long, String, String)] = {
+      val a = cat.readVersion("ns", "wp", fromSeq).select("id", "v")
+      val b = cat.readVersion("ns", "wp", toSeq).select("id", "v")
+      (b.exceptAll(a).withColumn("t", lit("insert"))
+        .unionByName(a.exceptAll(b).withColumn("t", lit("delete"))))
+        .as[(Long, String, String)].collect().toSet
+    }
+    var mergeCrossing = 0
+    for (i <- snaps.indices; j <- snaps.indices if i < j) {
+      val (f, t) = (snaps(i), snaps(j))
+      val crossesMerge = snaps.exists(s => s.seq > f.seq && s.seq <= t.seq &&
+        s.commitId.startsWith("merge-"))
+      val crossesMaint = snaps.exists(s => s.seq > f.seq && s.seq <= t.seq &&
+        graft.catalog.GraftCatalog.isMaintenanceCommitId(s.commitId))
+      if (crossesMerge) mergeCrossing += 1
+      // THE O(delta) pin: merges alone never break the additive prefix —
+      // only a maintenance rewrite may, and those decompose (segmented)
+      if (!crossesMaint)
+        assert(t.manifests.startsWith(f.manifests),
+          s"v${f.seq}->v${t.seq} crosses no maintenance commit yet broke " +
+            "the manifest-prefix invariant — a fast-forward publish " +
+            "would force the full two-snapshot diff")
+      val got = cat.changesBetween("ns", "wp", f.seq, t.seq)
+        .select(col("id"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().toSet
+      assert(got === refDiff(f.seq, t.seq),
+        s"range v${f.seq}->v${t.seq} (crossesMerge=$crossesMerge) diverged")
+    }
+    assert(mergeCrossing >= 20,
+      s"fixture must exercise publish-crossing ranges broadly, got $mergeCrossing")
+
+    // re-add semantics across a publish: 100 deleted at v2, re-published
+    // at v3 — the full range surfaces both sides
+    val r = cat.changesBetween("ns", "wp", 0, 9)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(r.contains((100L, "w100b", "insert")) &&
+      !r.exists(x => x._1 == 100L && x._2 == "w100" && x._3 == "insert"),
+      "an insert-then-delete-then-republish key must surface only its " +
+        "final spelling")
+  }
+
   test("TIMESTAMP AS OF resolves the newest version at-or-before the instant") {
     val cat = freshCatalog()
     cat.createTable("ns", "t")

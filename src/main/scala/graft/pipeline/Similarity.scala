@@ -951,6 +951,12 @@ object Similarity {
     * signal for the freshness/rebuild split. */
   val AnnBaseErrProp = "graft.ann.base-err"
   val AnnLastErrProp = "graft.ann.last-batch-err"
+  /** Build parameters recorded on the codes table (`nlist m ksub seed`
+    * and `idCol vecCol`) — what lets [[maintainIvfPqIndex]] re-train
+    * with the ORIGINAL configuration when the drift monitor fires,
+    * instead of asking the caller to re-supply build-time knobs. */
+  val AnnParamsProp = "graft.ann.params"
+  val AnnColsProp = "graft.ann.cols"
 
   /** Squared L2 distance from `_nvec` to its assigned coarse centroid —
     * the per-row quantization error (HOF form; runs over batch-sized
@@ -995,7 +1001,39 @@ object Similarity {
       cat.readSnapshotPublic(baseNs, baseName, head), nlist, m, ksub, seed,
       idCol, vecCol,
       codesProps = Map(AnnBaseProp -> s"$baseNs $baseName",
-        AnnBaseSeqProp -> head.seq.toString))
+        AnnBaseSeqProp -> head.seq.toString,
+        AnnParamsProp -> s"$nlist $m $ksub $seed",
+        AnnColsProp -> s"$idCol $vecCol"))
+  }
+
+  /** The MAINTENANCE entry point a scheduled/streaming worker calls
+    * (round-14, closing the drift loop): one changefeed refresh, then —
+    * when the freshly-recorded batch quantization error reads past
+    * `driftBound` times the build-time baseline — ONE full re-train at
+    * the current head with the original build parameters. The rebuild
+    * resets the baseline and clears the last-batch error
+    * ([[buildIvfPqIndexTables]]'s propsUnset), so a stable stream never
+    * schedules a second rebuild (no rebuild storm); a genuinely shifted
+    * distribution re-trains once and the new quantizers serve it.
+    * Returns "noop" | "incremental" | "rebuild". */
+  def maintainIvfPqIndex(cat: graft.catalog.GraftCatalog, ns: String,
+                         prefix: String, driftBound: Double = 1.5): String = {
+    val props = cat.tableProperties(ns, s"${prefix}_codes")
+    val Array(idCol, vecCol) = props.get(AnnColsProp)
+      .map(_.split(" ")).getOrElse(Array("vec_id", "embedding"))
+    val path = refreshIvfPqIndex(cat, ns, prefix, idCol, vecCol)
+    if (path == "noop") return path
+    ivfPqDrift(cat, ns, prefix) match {
+      case Some(d) if d >= driftBound =>
+        val base = props.getOrElse(AnnBaseProp, return path)
+        val Array(bns, bt) = base.split(" ")
+        val Array(nlist, m, ksub, seed) = props.get(AnnParamsProp)
+          .map(_.split(" ")).getOrElse(Array("16", "8", "16", "42"))
+        buildIvfPqIndexForTable(cat, ns, prefix, bns, bt,
+          nlist.toInt, m.toInt, ksub.toInt, seed.toLong, idCol, vecCol)
+        "rebuild"
+      case _ => path
+    }
   }
 
   /** CDC-driven refresh of a persisted IVF-PQ index (round-13): follow

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 import graft.catalog.GraftCatalog
 
@@ -236,10 +236,21 @@ private[graft] class GraftTableSource(cat: GraftCatalog,
           "stream to re-declare its schema")
       // name alone isn't enough: a mid-stream ALTER COLUMN TYPE keeps the
       // name but changes the type, which would otherwise surface as an
-      // opaque engine-internal assertion at batch substitution time
+      // opaque engine-internal assertion at batch substitution time.
+      // Compare NULLABILITY-NORMALIZED types: an array<float> batch whose
+      // containsNull flag differs from the declared schema's is the same
+      // type (the select below adapts it), not an incompatible retype
+      def norm(dt: DataType): DataType = dt match {
+        case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+        case MapType(k, v, _) =>
+          MapType(norm(k), norm(v), valueContainsNull = true)
+        case StructType(fs) => StructType(fs.toSeq.map(f =>
+          f.copy(dataType = norm(f.dataType), nullable = true)))
+        case other => other
+      }
       val retyped = declared.fields.toSeq.flatMap { fld =>
         df.schema.fields.find(_.name == fld.name)
-          .filter(_.dataType != fld.dataType)
+          .filter(f => norm(f.dataType) != norm(fld.dataType))
           .map(got => s"${fld.name} (stream declared ${fld.dataType.sql}, " +
             s"batch has ${got.dataType.sql})")
       }

@@ -853,6 +853,68 @@ class PipelineSpec extends SparkSpec {
       "a rebuild must clear the old quantizer's last-batch error")
   }
 
+  test("maintainIvfPqIndex closes the drift loop (round-14): stable " +
+       "batches refresh incrementally with NO rebuild storm; sustained " +
+       "out-of-distribution churn fires ONE re-train with the original " +
+       "build parameters, the signal resets, and the shifted data serves " +
+       "correctly afterwards") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ann-maint").toString)
+    val dim = 8
+    def cluster(axis: Int, n: Int, base: Long) = (0 until n).map { i =>
+      (base + i, Array.tabulate(dim)(j =>
+        (if (j == axis) 1.0f else 0.0f) + ((i * 7 + j) % 5) * 0.01f))
+    }
+    cat.createTable("ann", "mv")
+    cat.commitAppend("ann", "mv",
+      (cluster(0, 200, 0) ++ cluster(1, 200, 1000) ++ cluster(2, 200, 2000))
+        .toDF("vec_id", "embedding"))
+    Similarity.buildIvfPqIndexForTable(cat, "ann", "mx", "ann", "mv",
+      nlist = 8, m = 4, ksub = 16)
+    // recorded build configuration is what the auto-rebuild re-trains with
+    val props0 = cat.tableProperties("ann", "mx_codes")
+    assert(props0(Similarity.AnnParamsProp) === "8 4 16 42")
+    assert(props0(Similarity.AnnColsProp) === "vec_id embedding")
+
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "noop")
+    // two stable in-distribution batches: incremental both times, no
+    // rebuild storm
+    cat.commitAppend("ann", "mv", cluster(0, 50, 5000).toDF("vec_id", "embedding"))
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "incremental")
+    cat.commitAppend("ann", "mv", cluster(1, 50, 5500).toDF("vec_id", "embedding"))
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "incremental")
+
+    // sustained shift: a cluster the quantizer never saw -> ONE rebuild
+    cat.commitAppend("ann", "mv", cluster(5, 80, 6000).toDF("vec_id", "embedding"))
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "rebuild")
+    // the rebuild pinned the new head as the watermark and RESET the
+    // signal (no stale cross-quantizer ratio scheduling another rebuild)
+    val props1 = cat.tableProperties("ann", "mx_codes")
+    assert(props1(Similarity.AnnBaseSeqProp).toLong ===
+      cat.latest("ann", "mv").get.seq)
+    assert(Similarity.ivfPqDrift(cat, "ann", "mx").isEmpty)
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "noop")
+
+    // the re-trained quantizers SERVE the shifted cluster: an axis-5
+    // query's neighbors are axis-5 vectors
+    val q = Seq((99999L, Array.tabulate(dim)(j =>
+      if (j == 5) 1.0f else 0.0f).toSeq)).toDF("vec_id", "embedding")
+    val top = Similarity.servePqTopK(cat, "ann", "mx", q, k = 5, nprobe = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.nonEmpty && top.forall(id => id >= 6000L && id < 6080L),
+      s"axis-5 neighbors expected, got ${top.mkString(", ")}")
+
+    // post-rebuild stability: a batch matching the corpus MIXTURE (the
+    // drift ratio compares batch error against the corpus-average
+    // baseline, so in-distribution means the mixture, not one minority
+    // mode) refreshes incrementally — the loop converged, no storm
+    cat.commitAppend("ann", "mv",
+      (cluster(0, 20, 7000) ++ cluster(1, 20, 7100) ++ cluster(5, 20, 7200))
+        .toDF("vec_id", "embedding"))
+    assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "incremental")
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

@@ -1233,4 +1233,89 @@ class StreamingSpec extends SparkSpec {
     assert(msgs.contains("no version") || msgs.contains("expired"),
       s"expiring unprocessed versions must fail loudly, got:\n$msgs")
   }
+
+  test("DerivedStateWorker (round-14): one commit-signal stream keeps an " +
+       "MV and a persisted IVF-PQ index fresh — each window refreshes " +
+       "exactly once, replayed/empty signals no-op via the watermarks, " +
+       "deletes purge the index, and a checkpoint restart stays " +
+       "exactly-once") {
+    import graft.catalog.GraftCatalog
+    import graft.pipeline.Similarity
+    import graft.streaming.DerivedStateWorker
+    val wh = Files.createTempDirectory("graft-dsw-wh").toString
+    val ckpt = Files.createTempDirectory("graft-dsw-ckpt").toString
+    val cat = new GraftCatalog(spark, wh)
+    val dim = 8
+    def vecs(from: Long, n: Int) = (0 until n).map { i =>
+      (from + i, Array.tabulate(dim)(j =>
+        (((from + i) * 7 + j) % 13 - 6).toFloat / 6f))
+    }
+    cat.createTable("w", "base")
+    cat.commitAppend("w", "base", vecs(0, 300).toDF("vec_id", "embedding"))
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"""CREATE MATERIALIZED VIEW $c.w.stats AS
+      SELECT vec_id % 5 AS grp, count(*) AS cnt
+      FROM $c.w.base GROUP BY vec_id % 5""")
+    assert(cat.tableProperties("w", "stats")("graft.mv.mode") === "incremental")
+    Similarity.buildIvfPqIndexForTable(cat, "w", "ix", "w", "base",
+      nlist = 4, m = 4, ksub = 8)
+
+    def mvGot() = spark.sql(s"SELECT grp, cnt FROM $c.w.stats ORDER BY grp")
+      .collect().toSeq
+    def mvWant() = spark.sql(s"SELECT vec_id % 5 AS grp, count(*) AS cnt " +
+      s"FROM $c.w.base GROUP BY vec_id % 5 ORDER BY grp").collect().toSeq
+    def baseHead() = cat.latest("w", "base").get.seq
+
+    val worker = DerivedStateWorker.start(spark, wh, "w", "base",
+      mvs = Seq(("w", "stats")), ivfPqIndexes = Seq(("w", "ix")),
+      checkpointDir = ckpt)
+    try {
+      // window 1: an append and a MoR delete
+      cat.commitAppend("w", "base", vecs(1000, 50).toDF("vec_id", "embedding"))
+      cat.commitDelete("w", "base", Seq(3L, 7L).toDF("vec_id"))
+      worker.processAllAvailable()
+      assert(mvGot() === mvWant())
+      assert(cat.tableProperties("w", "stats")("graft.mv.base-seq").toLong
+        === baseHead())
+      assert(cat.tableProperties("w", "ix_codes")(Similarity.AnnBaseSeqProp)
+        .toLong === baseHead())
+      val codes = cat.read("w", "ix_codes")
+      assert(codes.filter(col("neighbor_id") === 1049L).count() === 1L,
+        "the appended batch must be encoded into the index")
+      assert(codes.filter(col("neighbor_id").isin(3L, 7L)).count() === 0L,
+        "deleted ids must purge from the index")
+
+      // an EMPTY signal (no commits): neither derived state re-commits
+      val (mvSeq, ixSeq) = (cat.latest("w", "stats").get.seq,
+        cat.latest("w", "ix_codes").get.seq)
+      worker.processAllAvailable()
+      assert(cat.latest("w", "stats").get.seq === mvSeq)
+      assert(cat.latest("w", "ix_codes").get.seq === ixSeq)
+      // a REPLAYED window is a no-op through the watermark, the same
+      // idempotence a (queryTag, batchId)-guarded sink enforces
+      assert(Similarity.refreshIvfPqIndex(cat, "w", "ix") === "noop")
+
+      // window 2 while the worker runs
+      cat.commitAppend("w", "base", vecs(2000, 30).toDF("vec_id", "embedding"))
+      worker.processAllAvailable()
+      assert(mvGot() === mvWant())
+      assert(cat.latest("w", "stats").get.seq === mvSeq + 1,
+        "one window = exactly one MV refresh commit")
+    } finally worker.stop()
+
+    // checkpoint RESTART: the new worker resumes the signal stream and
+    // stays exactly-once (no re-refresh of already-applied windows)
+    val mvSeqBefore = cat.latest("w", "stats").get.seq
+    cat.commitAppend("w", "base", vecs(3000, 20).toDF("vec_id", "embedding"))
+    val worker2 = DerivedStateWorker.start(spark, wh, "w", "base",
+      mvs = Seq(("w", "stats")), ivfPqIndexes = Seq(("w", "ix")),
+      checkpointDir = ckpt)
+    try {
+      worker2.processAllAvailable()
+      assert(mvGot() === mvWant())
+      assert(cat.latest("w", "stats").get.seq === mvSeqBefore + 1)
+      assert(cat.read("w", "ix_codes")
+        .filter(col("neighbor_id") === 3019L).count() === 1L)
+    } finally worker2.stop()
+  }
 }

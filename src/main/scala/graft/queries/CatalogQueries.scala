@@ -961,6 +961,66 @@ object CatalogQueries {
               FROM $c2.q.avagg ORDER BY grp""")
   }
 
+  private val mvMixedWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** GROUP-SCOPED HYBRID refresh (round-14): a view mixing avg with
+    * min/max under a delete-bearing (merge-on-read) window maintains
+    * the count/sum/avg columns by signed delta and re-derives ONLY the
+    * delta-touched groups from the pinned base. The fixture REQUIRES
+    * the hybrid path (a silent whole-view rebuild or a plain
+    * incremental would both fail the require); the oracle recomputes
+    * the final grouped state declaratively, with avg graded as the
+    * cat_mv_avg tolerance flag. */
+  private def mvMixed: Q = (s, d) => {
+    val wh = mvMixedWarehouses.synchronized {
+      mvMixedWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-mvmx-wh").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        s.sql(s"CREATE TABLE $c.q.mxb (o_orderkey BIGINT, cents BIGINT)")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .createOrReplaceTempView("mv_mixed_src")
+        s.sql(s"""INSERT INTO $c.q.mxb SELECT * FROM mv_mixed_src
+                  WHERE o_orderkey % 3 = 0""").collect(): Unit
+        s.sql(s"""CREATE MATERIALIZED VIEW $c.q.mxagg AS
+                  SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                         sum(cents) AS sum_cents, avg(cents) AS avg_cents,
+                         min(cents) AS min_cents, max(cents) AS max_cents
+                  FROM $c.q.mxb GROUP BY o_orderkey % 7""").collect(): Unit
+        s.sql(s"""INSERT INTO $c.q.mxb SELECT * FROM mv_mixed_src
+                  WHERE o_orderkey % 3 = 1""").collect(): Unit
+        // merge-on-read delete: the delete-bearing O(delta) window shape
+        val prevMode = s.conf.getOption("spark.graft.rowlevel.mode")
+        try {
+          s.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+          s.sql(s"DELETE FROM $c.q.mxb WHERE o_orderkey % 9 = 0").collect(): Unit
+        } finally prevMode match {
+          case Some(m) => s.conf.set("spark.graft.rowlevel.mode", m)
+          case None => s.conf.unset("spark.graft.rowlevel.mode")
+        }
+        val path = s.sql(s"CALL $c.system.refresh_mv('q', 'mxagg')")
+          .head().getString(0)
+        require(path == "hybrid",
+          s"cat_mv_mixed must take the group-scoped hybrid path, took '$path'")
+        w
+      })
+    }
+    val c1 = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, wh)
+    val c2 = s"${c1}_mvmxreread"
+    s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
+    s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents,
+                     CAST(abs(avg_cents - CAST(sum_cents AS DOUBLE) / cnt)
+                          <= 1e-9 * greatest(abs(CAST(sum_cents AS DOUBLE) / cnt),
+                                             CAST(1.0 AS DOUBLE))
+                          AS INT) AS avg_ok,
+                     CAST(min_cents AS BIGINT) AS min_cents,
+                     CAST(max_cents AS BIGINT) AS max_cents
+              FROM $c2.q.mxagg ORDER BY grp""")
+  }
+
   // one REST server per sf dir, kept alive for the session (daemon
   // threads; port captured with the warehouse)
   private val restFixtures = scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -1510,6 +1570,7 @@ object CatalogQueries {
     "cat_mv_sql"           -> mvSql,
     "cat_mv_avg"           -> mvAvg,
     "cat_mv_minmax"        -> mvMinMax,
+    "cat_mv_mixed"         -> mvMixed,
     "cat_changelog_view"   -> changelogView,
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
@@ -1809,6 +1870,18 @@ object CatalogQueries {
                             TRUE AS pruned
                      FROM orders WHERE o_orderkey = 1)
          SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage""",
+    "cat_mv_mixed" ->
+      """WITH base AS (SELECT o_orderkey,
+                              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                                AS cents
+                       FROM orders
+                       WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0)
+         SELECT o_orderkey % 7 AS grp, count(*) AS cnt,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                1 AS avg_ok,
+                CAST(min(cents) AS BIGINT) AS min_cents,
+                CAST(max(cents) AS BIGINT) AS max_cents
+         FROM base GROUP BY o_orderkey % 7 ORDER BY grp""",
     "cat_rest_spec_evolve" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderdate
                        FROM orders WHERE o_orderkey % 4 IN (0, 1)),

@@ -504,6 +504,86 @@ object ServeBench {
         }
       }
     }
+    if (groups("restmor")) {
+      // REST MoR-commit round trip at scale (round-14, VERDICT r13 #9):
+      // a foreign engine's upsert — fixed-size data + equality-delete
+      // keys + ~2k POSITION deletes naming served file URIs — must stay
+      // O(commit): the position remap broadcasts a live-file mapping,
+      // liveness re-checks inside the CAS are commit-sized, and the
+      // post-commit re-export HARD-LINKS the superseded tree's files
+      // (O(new files) bytes, the round-14 incremental export).
+      // restmor_export times the one-time first export (corpus-
+      // proportional by design); restmor_reserve times the re-export a
+      // reader pays after each commit — the linked form must be flat.
+      import graft.tools.RestClient
+      import graft.catalog.IcebergExport
+      val li = Tables.lineitem(spark, sfDir)
+      val rows = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_extendedprice").as("price"))
+      cat.createTable("sb", "rm")
+      val nKeys = rows.count()
+      val nFiles = math.max(8, (nKeys / 60000L).toInt)
+      cat.commitAppend("sb", "rm", rows.repartitionByRange(nFiles, col("pk")))
+      val server = new graft.service.IcebergRestServer(cat,
+        Files.createTempDirectory("graft-restmor-exp").toString)
+      try {
+        val p = server.boundPort
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        time("restmor_export", 1) {
+          require(RestClient.get(p, "/v1/namespaces/sb/tables/rm")._1 == 200)
+          nFiles.toLong
+        }
+        def servedFiles(): Seq[String] = {
+          val meta = om.readTree(
+            RestClient.get(p, "/v1/namespaces/sb/tables/rm")._2).get("metadata")
+          val cur = meta.get("current-snapshot-id").asLong()
+          import scala.jdk.CollectionConverters._
+          val snap = meta.get("snapshots").elements().asScala
+            .find(_.get("snapshot-id").asLong() == cur).get
+          IcebergExport.readAvro(java.nio.file.Paths.get(java.net.URI.create(
+              snap.get("manifest-list").asText())))
+            .filter(m => IcebergExport.getOpt(m, "content") == null ||
+              m.get("content").asInstanceOf[Number].intValue() == 0)
+            .flatMap(m => IcebergExport.readAvro(java.nio.file.Paths.get(
+              java.net.URI.create(m.get("manifest_path").toString))))
+            .map(_.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord])
+            .filter(_.get("content").asInstanceOf[Number].intValue() == 0)
+            .map(_.get("file_path").toString)
+        }
+        (1 to math.max(repeat, 3)).foreach { i =>
+          // FIXTURE (untimed): the foreign client locates its position
+          // deletes in the served files — 1x-stable keys, fresh per
+          // window; the commit itself is the measured quantity
+          val posDel = servedFiles().map { uri =>
+            spark.read.parquet(
+                java.nio.file.Paths.get(java.net.URI.create(uri)).toString)
+              .select(col("_metadata.row_index").as("pos"), col("pk"))
+              .filter(col("pk") < 40000 && pmod(col("pk") + i, lit(17)) === 0)
+              .select(lit(uri).as("file_path"), col("pos"))
+          }.reduce(_ unionAll _).localCheckpoint()
+          val nPos = posDel.count()
+          val eqKeys = rows.filter(col("pk") < 40000 &&
+            pmod(col("pk") + i, lit(23)) === 0).select("pk").localCheckpoint()
+          val data = rows.filter(col("pk") < 40000 && col("pk") % 2 === 0)
+            .select((-col("pk") - lit(i * 1000000L)).as("pk"), col("price"))
+            .localCheckpoint()
+          time("restmor_upsert", i) {
+            val (mc, mb) = RestClient.morCommitViaRest(spark, p, "sb", "rm",
+              data = Some(data), eqDeleteKeys = Some(eqKeys),
+              posDeletes = Some(posDel), snapshotId = 7000L + i,
+              workDir = Files.createTempDirectory(s"restmor-w$i").toString)
+            require(mc == 200, s"foreign MoR commit failed: $mc $mb")
+            nPos
+          }
+          time("restmor_reserve", i) {
+            require(RestClient.get(p, "/v1/namespaces/sb/tables/rm")._1 == 200)
+            0L
+          }
+        }
+      } finally server.stop()
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with

@@ -263,6 +263,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def viewHistory(ns: String, name: String): Seq[(Long, String)] =
     viewVersions(ns, name).map { case (s, p) => (s, Files.readString(p)) }
 
+  /** [[viewHistory]] plus each version file's publish time — what the
+    * REST view surface serves as the spec's version-log timestamps. */
+  def viewHistoryFull(ns: String, name: String): Seq[(Long, String, Long)] =
+    viewVersions(ns, name).map { case (s, p) =>
+      (s, Files.readString(p), Files.getLastModifiedTime(p).toMillis) }
+
   def listViews(ns: String): Seq[String] = {
     val d = Paths.get(warehouse, ns, "_views")
     if (!Files.isDirectory(d)) Seq.empty

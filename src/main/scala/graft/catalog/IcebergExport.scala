@@ -223,9 +223,10 @@ object IcebergExport {
     * nested ids follow after all top-level ids (spec: every field, list
     * element and map key/value carries a unique id). Returns
     * (json, lastColumnId). */
-  private[graft] def icebergSchemaJson(schema: StructType): (String, Int) = {
+  private[graft] def icebergSchemaJson(schema: StructType,
+                                       schemaId: Int = 0): (String, Int) = {
     val (ids, nestedBase, lastId) = unionIdAssignment(Seq(schema))
-    (schemaJsonWithIds(schema, 0, ids, nestedBase), lastId)
+    (schemaJsonWithIds(schema, schemaId, ids, nestedBase), lastId)
   }
 
   private def jstr(s: String): String = {
@@ -401,7 +402,8 @@ object IcebergExport {
 
   /** Export every committed version of `ns.name` as an Iceberg v2 table
     * under `dest`. Returns the report (metadata file path etc.). */
-  def exportTable(cat: GraftCatalog, ns: String, name: String, dest: String): ExportReport = {
+  def exportTable(cat: GraftCatalog, ns: String, name: String, dest: String,
+                  reuseDataFrom: Option[String] = None): ExportReport = {
     val spark = cat.spark
     val snaps = cat.snapshots(ns, name)
     require(snaps.nonEmpty, s"nothing to export: $ns.$name has no committed versions")
@@ -457,10 +459,27 @@ object IcebergExport {
       f.dataType == TimestampType || f.dataType == TimestampNTZType))
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // incremental re-export (round-14): flat names are content-stable
+    // (md5 of the immutable rel path), so a file already materialized in
+    // the PREVIOUS export tree hard-links instead of re-copying — a
+    // re-export after one commit pays O(new files) bytes, not O(table),
+    // which is what keeps a REST-commit round-trip (every commit
+    // re-serves the export) commit-shaped at warehouse scale. Any link
+    // failure (cross-device, prior tree gone) falls back to the copy.
+    val reuseDir = reuseDataFrom
     val int96Risk = spark.sparkContext
       .parallelize(copies, math.max(1, math.min(copies.size, 32)))
       .map { case (src, dst) =>
-        Files.copy(Paths.get(src), Paths.get(dst), StandardCopyOption.REPLACE_EXISTING): Unit
+        val dstP = Paths.get(dst)
+        val prior = reuseDir.map(d => Paths.get(d, dstP.getFileName.toString))
+          .filter(p => Files.isRegularFile(p))
+        val linked = prior.exists { pf =>
+          try { Files.deleteIfExists(dstP); Files.createLink(dstP, pf); true }
+          catch { case _: Exception => false }
+        }
+        if (!linked)
+          Files.copy(Paths.get(src), dstP,
+            StandardCopyOption.REPLACE_EXISTING): Unit
         checkTs && hasInt96Column(src, confSer.value)
       }.fold(false)(_ || _)
 

@@ -205,6 +205,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         requireIdent(ns, "namespace")
         rest match {
           case "tables" :: t :: _ => requireIdent(t, "table identifier")
+          case "views" :: v :: _ => requireIdent(v, "view identifier")
           case _ => ()
         }
       case _ => ()
@@ -290,6 +291,40 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         }
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         commitTable(ns, t, body, out)
+      // ---- view read surface (spec view API, round-14) ----
+      case ("GET", "v1" :: "namespaces" :: ns :: "views" :: Nil) =>
+        if (!namespaces().contains(ns))
+          reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
+        else {
+          // same pagination contract as the table listing (sorted, so
+          // offset tokens are stable under concurrent creates)
+          val all = cat.listViews(ns)
+          val offset = query.get("pageToken") match {
+            case Some(tk) => tk.toIntOption.filter(_ >= 0)
+              .getOrElse(bad(s"malformed pageToken '$tk'"))
+            case None => 0
+          }
+          val pageSize = query.get("pageSize") match {
+            case Some(s0) => Some(s0.toIntOption.filter(_ > 0)
+              .getOrElse(bad(s"malformed pageSize '$s0'")))
+            case None => None
+          }
+          val page = pageSize match {
+            case Some(n) => all.slice(offset, offset + n)
+            case None => all.drop(offset)
+          }
+          val next = pageSize.filter(n => offset + n < all.size)
+            .map(n => s""","next-page-token":"${offset + n}"""").getOrElse("")
+          val ids = page.map(v =>
+            s"""{"namespace":["${esc(ns)}"],"name":"${esc(v)}"}""")
+          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
+        }
+      case ("HEAD", "v1" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        if (cat.viewExists(ns, v)) replyHead(out, 204) else replyHead(out, 404)
+      case ("GET", "v1" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        if (!cat.viewExists(ns, v))
+          reply(out, 404, err(404, "NoSuchViewException", s"view $ns.$v"))
+        else reply(out, 200, loadViewResult(ns, v))
       case _ =>
         reply(out, 404, err(404, "NotFoundException",
           s"$method /${path.mkString("/")}"))
@@ -907,7 +942,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         Files.createDirectories(dest.resolve("metadata"))
         val newLoc = headSnap match {
           case Some(_) =>
-            IcebergExport.exportTable(cat, ns, t, dest.toString).metadataFile
+            // incremental re-export: the superseded tree's data files are
+            // immutable and content-addressed — hard-link them instead of
+            // re-copying, so serving a table after one commit costs
+            // O(new files), not O(table) (the commit-shaped round-trip
+            // the foreign MoR write path needs at warehouse scale)
+            IcebergExport.exportTable(cat, ns, t, dest.toString,
+              reuseDataFrom = Option(memo.loc).map(l =>
+                Paths.get(l).getParent.getParent.resolve("data").toString))
+              .metadataFile
           case None =>
             // created-but-never-committed: a REST client that just
             // LISTED the table must get valid metadata, not a 500 —
@@ -938,6 +981,74 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     o.set[com.fasterxml.jackson.databind.JsonNode](
       "config", mapper.createObjectNode())
     mapper.writeValueAsString(o)
+  }
+
+  /** Spec LoadViewResult (round-14): the graft view's FULL version
+    * history as view-spec metadata — one `versions` entry per stored
+    * definition (SQL representation, dialect `spark`, the defining
+    * catalog/namespace as the default resolution context) with its own
+    * schema (schema-id = version-id), `current-version-id` at the
+    * latest, and the publish times as the version-log. The metadata
+    * tree is written under the export root keyed by the current
+    * version, so an unchanged view re-serves one location and a
+    * replaced view serves a NEW one (the table surface's contract). MV
+    * DEFINITIONS need no view endpoint: an MV is a table whose
+    * definition rides the served table metadata's properties
+    * (`graft.mv.query` et al.). */
+  private def loadViewResult(ns: String, v: String): String = {
+    val history = cat.viewHistoryFull(ns, v)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"view:$ns.$v".getBytes(UTF_8))
+    val (schemas, versions) = history.map { case (seq, json, tsMs) =>
+      val node = mapper.readTree(json)
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        node.get("schemaJson").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val (schemaJson, _) =
+        IcebergExport.icebergSchemaJson(schema, schemaId = seq.toInt)
+      val nsArr = Option(node.get("currentNamespace")).toSeq
+        .flatMap(_.elements().asScala).map(n => s""""${esc(n.asText())}"""")
+        .mkString(",")
+      val version =
+        s"""{"version-id":$seq,"schema-id":$seq,"timestamp-ms":$tsMs,
+           |"summary":{"engine-name":"graft"},
+           |"representations":[{"type":"sql",
+           |"sql":${mapper.writeValueAsString(node.get("sql").asText())},
+           |"dialect":"spark"}],
+           |"default-catalog":"${esc(Option(node.get("currentCatalog"))
+              .map(_.asText()).getOrElse(""))}",
+           |"default-namespace":[$nsArr]}""".stripMargin.replace("\n", "")
+      (schemaJson, version)
+    }.unzip
+    val cur = history.last._1
+    val props = mapper.readTree(history.last._2)
+    val propsJson = Option(props.get("properties")).toSeq
+      .flatMap(_.properties().asScala).map(e =>
+        s"""${mapper.writeValueAsString(e.getKey)}:${
+          mapper.writeValueAsString(e.getValue.asText())}""").mkString(",")
+    val versionLog = history.map { case (seq, _, tsMs) =>
+      s"""{"timestamp-ms":$tsMs,"version-id":$seq}""" }
+    val metadata =
+      s"""{"view-uuid":"$uuid","format-version":1,
+         |"location":"${esc(Paths.get(cat.warehouse, ns, "_views", v)
+            .toUri.toString)}",
+         |"current-version-id":$cur,
+         |"versions":[${versions.mkString(",")}],
+         |"version-log":[${versionLog.mkString(",")}],
+         |"schemas":[${schemas.mkString(",")}],
+         |"properties":{$propsJson}}""".stripMargin.replace("\n", "")
+    val dir = Paths.get(exportRoot, ns, "_views", v)
+    Files.createDirectories(dir)
+    val f = dir.resolve(s"v$cur.metadata.json")
+    if (!Files.exists(f)) {
+      val tmp = Files.createTempFile(dir, ".stage-", ".json")
+      Files.writeString(tmp, metadata)
+      try Files.createLink(f, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp): Unit
+    }
+    s"""{"metadata-location":"${esc(f.toUri.toString)}",""" +
+      s""""metadata":$metadata,"config":{}}"""
   }
 
   /** Spec-shaped metadata for a table with NO committed versions: empty

@@ -585,6 +585,93 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST view endpoints (round-14): a foreign engine lists and " +
+       "resolves graft views over the spec's view API — SQL " +
+       "representation, defining catalog/namespace, per-version schemas " +
+       "and version-log; a REPLACE serves a new metadata-location with " +
+       "the history intact; an MV's definition rides its served TABLE " +
+       "metadata properties") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-restv-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.vns.vt (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $c.vns.vt VALUES (1, 1.5), (2, 200001.0)")
+      .collect(): Unit
+    spark.sql(s"""CREATE VIEW $c.vns.pricey (key, price_k) AS
+      SELECT id, round(v / 1000, 3) FROM $c.vns.vt WHERE v > 100000""")
+    spark.sql(s"CREATE VIEW $c.vns.allrows AS SELECT * FROM $c.vns.vt")
+    spark.sql(s"""CREATE MATERIALIZED VIEW $c.vns.mvx AS
+      SELECT id % 2 AS grp, count(*) AS cnt FROM $c.vns.vt GROUP BY id % 2""")
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-restv-exp").toString)
+    try {
+      val p = server.boundPort
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+      // listing (sorted) + pagination + HEAD
+      val (lc, lb) = RestClient.get(p, "/v1/namespaces/vns/views")
+      assert(lc === 200, lb)
+      val names = om.readTree(lb).get("identifiers").elements().asScala
+        .map(_.get("name").asText()).toSeq
+      assert(names === Seq("allrows", "pricey"))
+      val (pc, pb) = RestClient.get(p, "/v1/namespaces/vns/views?pageSize=1")
+      assert(om.readTree(pb).get("identifiers").size() === 1, pb)
+      assert(om.readTree(pb).get("next-page-token").asText() === "1", pb)
+      assert(pc === 200)
+      assert(httpHead(p, "/v1/namespaces/vns/views/pricey") === 204)
+      assert(httpHead(p, "/v1/namespaces/vns/views/nope") === 404)
+      assert(RestClient.get(p, "/v1/namespaces/nons/views")._1 === 404)
+
+      // LoadViewResult: the definition resolves
+      val (vc, vb) = RestClient.get(p, "/v1/namespaces/vns/views/pricey")
+      assert(vc === 200, vb)
+      val meta = om.readTree(vb).get("metadata")
+      assert(meta.get("format-version").asInt() === 1)
+      val curId = meta.get("current-version-id").asInt()
+      val ver = meta.get("versions").elements().asScala
+        .find(_.get("version-id").asInt() == curId).get
+      val rep = ver.get("representations").elements().asScala.next()
+      assert(rep.get("type").asText() === "sql")
+      assert(rep.get("dialect").asText() === "spark")
+      assert(rep.get("sql").asText().contains("round(v / 1000, 3)"))
+      assert(ver.get("default-namespace").elements().asScala
+        .map(_.asText()).toSeq.nonEmpty)
+      val schema = meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == ver.get("schema-id").asInt()).get
+      assert(schema.get("fields").elements().asScala
+        .map(_.get("name").asText()).toSeq === Seq("key", "price_k"))
+      val loc0 = om.readTree(vb).get("metadata-location").asText()
+      // unchanged view re-serves the SAME location
+      assert(om.readTree(RestClient.get(p,
+        "/v1/namespaces/vns/views/pricey")._2)
+        .get("metadata-location").asText() === loc0)
+
+      // REPLACE: new version, new location, history intact
+      spark.sql(s"""CREATE OR REPLACE VIEW $c.vns.pricey (key, price_k) AS
+        SELECT id, round(v / 1000, 2) FROM $c.vns.vt WHERE v > 50000""")
+      val (rc2, rb2) = RestClient.get(p, "/v1/namespaces/vns/views/pricey")
+      val meta2 = om.readTree(rb2).get("metadata")
+      assert(rc2 === 200)
+      assert(meta2.get("current-version-id").asInt() === curId + 1)
+      assert(meta2.get("versions").size() === 2)
+      assert(meta2.get("version-log").size() === 2)
+      assert(om.readTree(rb2).get("metadata-location").asText() !== loc0)
+
+      // an MV is a TABLE over REST; its definition rides the served
+      // metadata properties (no separate view endpoint needed)
+      val (mc, mb) = RestClient.get(p, "/v1/namespaces/vns/tables/mvx")
+      assert(mc === 200, mb)
+      val mvProps = om.readTree(mb).get("metadata").get("properties")
+      assert(mvProps.get("graft.mv.query").asText()
+        .contains("GROUP BY id % 2"), mvProps.toString)
+      // and the MV does NOT appear on the views listing (it is a table)
+      assert(!om.readTree(RestClient.get(p, "/v1/namespaces/vns/views")._2)
+        .get("identifiers").elements().asScala
+        .exists(_.get("name").asText() == "mvx"))
+    } finally server.stop()
+  }
+
   test("REST COMMIT protocol: a foreign client CREATEs a partitioned " +
        "table, appends its own parquet via add-snapshot (real Avro " +
        "manifests, real HTTP), the files land as a graft version with " +

@@ -577,6 +577,13 @@ object ServeBench {
             require(mc == 200, s"foreign MoR commit failed: $mc $mb")
             nPos
           }
+          // pin the LINKED re-export in isolation: a graft-side props
+          // commit moves the head WITHOUT new data files, so the next
+          // GET must rebuild the whole export tree — all data files
+          // hard-linked from the superseded tree (the commit POST's own
+          // re-export already ran inside restmor_upsert's timer)
+          cat.commitProperties("sb", "rm",
+            Map("bench.touch" -> i.toString)): Unit
           time("restmor_reserve", i) {
             require(RestClient.get(p, "/v1/namespaces/sb/tables/rm")._1 == 200)
             0L

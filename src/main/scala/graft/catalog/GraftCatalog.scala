@@ -269,6 +269,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     viewVersions(ns, name).map { case (s, p) =>
       (s, Files.readString(p), Files.getLastModifiedTime(p).toMillis) }
 
+  /** Version ids only (no content reads) — the cheap staleness probe a
+    * memoizing reader checks before rebuilding anything. */
+  def viewVersionIds(ns: String, name: String): Seq[Long] =
+    viewVersions(ns, name).map(_._1)
+
   def listViews(ns: String): Seq[String] = {
     val d = Paths.get(warehouse, ns, "_views")
     if (!Files.isDirectory(d)) Seq.empty

@@ -441,7 +441,14 @@ private[graft] object GraftMaterializedView {
             expectedParentSeq = Some(mvSnap.seq),
             propsSet = Map(BaseSeqProp -> headSeq.toString)): Unit
           "incremental"
-        } else hybridRefresh(session, cat, ns, name, parsed, merged,
+        } else hybridRefresh(session, cat, ns, name,
+          // the recompute resolves under the MV's DEFINING catalog/
+          // namespace (qualifiedDefinition), never the refreshing
+          // session's current context — an unqualified base name would
+          // otherwise resolve against whatever catalog the worker
+          // session happens to sit in (AnalysisException at best,
+          // recomputing from a same-named foreign table at worst)
+          qualifiedDefinition(session, props), merged,
           delta, schema, keyCols, mvSnap, headSeq) match {
           case Some(path) => path
           // more changed groups than the cap — the recompute would
@@ -470,7 +477,7 @@ private[graft] object GraftMaterializedView {
     * commit, Some("incremental") when the delta touched no groups, None
     * when the changed-group count exceeds [[HybridKeyCap]]. */
   private def hybridRefresh(session: SparkSession, cat: GraftCatalog,
-      ns: String, name: String, parsed: LogicalPlan,
+      ns: String, name: String, qualified: LogicalPlan,
       merged: org.apache.spark.sql.DataFrame,
       delta: org.apache.spark.sql.DataFrame,
       schema: org.apache.spark.sql.types.StructType, keyCols: Seq[String],
@@ -488,7 +495,7 @@ private[graft] object GraftMaterializedView {
     // a delete the defining query FILTERS OUT touches no group — the
     // plain merge is already the whole refresh
     if (keyRows.isEmpty) return commit(merged, "incremental")
-    val agg = parsed.asInstanceOf[Aggregate]
+    val agg = qualified.asInstanceOf[Aggregate]
     // group expr -> the view key column that selects it (every grouping
     // expression is selected — incrementalShape refused otherwise)
     val exprToCol: Seq[(Expression, String)] = agg.groupingExpressions.map { g =>

@@ -1027,8 +1027,16 @@ object Similarity {
       case Some(d) if d >= driftBound =>
         val base = props.getOrElse(AnnBaseProp, return path)
         val Array(bns, bt) = base.split(" ")
+        // refuse-loud, never guess: a pre-round-14 index records no
+        // build parameters, and a silent default rebuild would retrain
+        // at the wrong nlist/m/ksub — permanently degraded recall and a
+        // changed code width with a 200-shaped success
         val Array(nlist, m, ksub, seed) = props.get(AnnParamsProp)
-          .map(_.split(" ")).getOrElse(Array("16", "8", "16", "42"))
+          .map(_.split(" ")).getOrElse(throw new IllegalStateException(
+            s"index $ns.$prefix records no $AnnParamsProp (built before " +
+              "the parameter-recording build) — drift passed the bound " +
+              f"($d%.2f >= $driftBound); rebuild explicitly via " +
+              "buildIvfPqIndexForTable with the original parameters"))
         buildIvfPqIndexForTable(cat, ns, prefix, bns, bt,
           nlist.toInt, m.toInt, ksub.toInt, seed.toLong, idCol, vecCol)
         "rebuild"

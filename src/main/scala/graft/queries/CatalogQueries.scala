@@ -906,6 +906,17 @@ object CatalogQueries {
               FROM $c2.q.mvagg ORDER BY grp""")
   }
 
+  /** avg graded as a TOLERANCE flag against the exact-integer
+    * reconstruction sum/cnt — shared by every avg-grading MV row so the
+    * rule can never drift between them: the engine's multi-refresh
+    * sum-space reconstruction and DuckDB's direct avg are different fp
+    * computations, and a rounded-double hash would flip at boundaries. */
+  private def avgOkSql(avgCol: String, sumCol: String, cntCol: String): String =
+    s"""CAST(abs($avgCol - CAST($sumCol AS DOUBLE) / $cntCol)
+       |     <= 1e-9 * greatest(abs(CAST($sumCol AS DOUBLE) / $cntCol),
+       |                        CAST(1.0 AS DOUBLE))
+       |     AS INT) AS avg_ok""".stripMargin
+
   private val mvAvgWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Incremental AVG materialized view (round-13): avg(cents) rides the
@@ -947,17 +958,8 @@ object CatalogQueries {
     val c2 = s"${c1}_mvavgreread"
     s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
     s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
-    // avg_cents grades as a TOLERANCE flag against the exact-integer
-    // reconstruction sum_cents/cnt, not as a rounded-double hash: the
-    // engine's multi-refresh sum-space reconstruction and DuckDB's
-    // direct avg are different fp computations, and a true value within
-    // ~1 ulp of a rounding boundary would flip a rounded 4th decimal
-    // between them — a latent flaky oracle. cnt/sum stay exact-hash.
     s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents,
-                     CAST(abs(avg_cents - CAST(sum_cents AS DOUBLE) / cnt)
-                          <= 1e-9 * greatest(abs(CAST(sum_cents AS DOUBLE) / cnt),
-                                             CAST(1.0 AS DOUBLE))
-                          AS INT) AS avg_ok
+                     ${avgOkSql("avg_cents", "sum_cents", "cnt")}
               FROM $c2.q.avagg ORDER BY grp""")
   }
 
@@ -1012,10 +1014,7 @@ object CatalogQueries {
     s.conf.set(s"spark.sql.catalog.$c2", "graft.catalog.GraftSparkCatalog")
     s.conf.set(s"spark.sql.catalog.$c2.warehouse", wh)
     s.sql(s"""SELECT grp, cnt, CAST(sum_cents AS BIGINT) AS sum_cents,
-                     CAST(abs(avg_cents - CAST(sum_cents AS DOUBLE) / cnt)
-                          <= 1e-9 * greatest(abs(CAST(sum_cents AS DOUBLE) / cnt),
-                                             CAST(1.0 AS DOUBLE))
-                          AS INT) AS avg_ok,
+                     ${avgOkSql("avg_cents", "sum_cents", "cnt")},
                      CAST(min_cents AS BIGINT) AS min_cents,
                      CAST(max_cents AS BIGINT) AS max_cents
               FROM $c2.q.mxagg ORDER BY grp""")

@@ -227,31 +227,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         // never an empty page (a client cannot tell empty from absent)
         if (!namespaces().contains(ns))
           reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
-        else {
-          // spec pagination: pageToken is opaque to the client — here an
-          // offset into the SORTED listing (listTables is sorted, so
-          // pages are stable under concurrent creates of later names)
-          val all = cat.listTables(ns)
-          val offset = query.get("pageToken") match {
-            case Some(t) => t.toIntOption.filter(_ >= 0)
-              .getOrElse(bad(s"malformed pageToken '$t'"))
-            case None => 0
-          }
-          val pageSize = query.get("pageSize") match {
-            case Some(s0) => Some(s0.toIntOption.filter(_ > 0)
-              .getOrElse(bad(s"malformed pageSize '$s0'")))
-            case None => None
-          }
-          val page = pageSize match {
-            case Some(n) => all.slice(offset, offset + n)
-            case None => all.drop(offset)
-          }
-          val next = pageSize.filter(n => offset + n < all.size)
-            .map(n => s""","next-page-token":"${offset + n}"""").getOrElse("")
-          val ids = page.map(t =>
-            s"""{"namespace":["${esc(ns)}"],"name":"${esc(t)}"}""")
-          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
-        }
+        else reply(out, 200, pagedIdentifiers(ns, cat.listTables(ns), query))
       case ("HEAD", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         if (cat.tableExists(ns, t)) replyHead(out, 204) else replyHead(out, 404)
       case ("GET", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -295,30 +271,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       case ("GET", "v1" :: "namespaces" :: ns :: "views" :: Nil) =>
         if (!namespaces().contains(ns))
           reply(out, 404, err(404, "NoSuchNamespaceException", s"namespace $ns"))
-        else {
-          // same pagination contract as the table listing (sorted, so
-          // offset tokens are stable under concurrent creates)
-          val all = cat.listViews(ns)
-          val offset = query.get("pageToken") match {
-            case Some(tk) => tk.toIntOption.filter(_ >= 0)
-              .getOrElse(bad(s"malformed pageToken '$tk'"))
-            case None => 0
-          }
-          val pageSize = query.get("pageSize") match {
-            case Some(s0) => Some(s0.toIntOption.filter(_ > 0)
-              .getOrElse(bad(s"malformed pageSize '$s0'")))
-            case None => None
-          }
-          val page = pageSize match {
-            case Some(n) => all.slice(offset, offset + n)
-            case None => all.drop(offset)
-          }
-          val next = pageSize.filter(n => offset + n < all.size)
-            .map(n => s""","next-page-token":"${offset + n}"""").getOrElse("")
-          val ids = page.map(v =>
-            s"""{"namespace":["${esc(ns)}"],"name":"${esc(v)}"}""")
-          reply(out, 200, s"""{"identifiers":[${ids.mkString(",")}]$next}""")
-        }
+        else reply(out, 200, pagedIdentifiers(ns, cat.listViews(ns), query))
       case ("HEAD", "v1" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
         if (cat.viewExists(ns, v)) replyHead(out, 204) else replyHead(out, 404)
       case ("GET", "v1" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
@@ -885,6 +838,33 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     }
   }
 
+  /** Spec listing pagination, shared by the tables and views routes:
+    * pageToken is opaque to the client — here an offset into the SORTED
+    * listing, so pages are stable under concurrent creates of later
+    * names. */
+  private def pagedIdentifiers(ns: String, all: Seq[String],
+                               query: Map[String, String]): String = {
+    val offset = query.get("pageToken") match {
+      case Some(tk) => tk.toIntOption.filter(_ >= 0)
+        .getOrElse(bad(s"malformed pageToken '$tk'"))
+      case None => 0
+    }
+    val pageSize = query.get("pageSize") match {
+      case Some(s0) => Some(s0.toIntOption.filter(_ > 0)
+        .getOrElse(bad(s"malformed pageSize '$s0'")))
+      case None => None
+    }
+    val page = pageSize match {
+      case Some(n) => all.slice(offset, offset + n)
+      case None => all.drop(offset)
+    }
+    val next = pageSize.filter(n => offset + n < all.size)
+      .map(n => s""","next-page-token":"${offset + n}"""").getOrElse("")
+    val ids = page.map(n =>
+      s"""{"namespace":["${esc(ns)}"],"name":"${esc(n)}"}""")
+    s"""{"identifiers":[${ids.mkString(",")}]$next}"""
+  }
+
   private def parseJson(body: String): JsonNode =
     try mapper.readTree(body)
     catch { case e: Exception => bad(s"invalid JSON body: ${e.getMessage}") }
@@ -995,8 +975,25 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * DEFINITIONS need no view endpoint: an MV is a table whose
     * definition rides the served table metadata's properties
     * (`graft.mv.query` et al.). */
+  // response memo keyed by current version id — an unchanged view
+  // re-serves one prebuilt response instead of re-reading and
+  // re-rendering its whole history per GET (the table surface's
+  // memo-by-head discipline)
+  private val viewResponses =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, String)]()
+
   private def loadViewResult(ns: String, v: String): String = {
+    // version-id probe first (no content reads); empty = the view was
+    // DROPPED after the route's exists check — the spec's 404, not a
+    // NoSuchElementException-shaped 500
+    val verIds = cat.viewVersionIds(ns, v)
+    if (verIds.isEmpty)
+      throw new RestError(404, "NoSuchViewException", s"view $ns.$v")
+    Option(viewResponses.get((ns, v))).filter(_._1 == verIds.last)
+      .foreach(hit => return hit._2)
     val history = cat.viewHistoryFull(ns, v)
+    if (history.isEmpty)
+      throw new RestError(404, "NoSuchViewException", s"view $ns.$v")
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"view:$ns.$v".getBytes(UTF_8))
     val (schemas, versions) = history.map { case (seq, json, tsMs) =>
@@ -1047,8 +1044,10 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       finally Files.deleteIfExists(tmp): Unit
     }
-    s"""{"metadata-location":"${esc(f.toUri.toString)}",""" +
+    val response = s"""{"metadata-location":"${esc(f.toUri.toString)}",""" +
       s""""metadata":$metadata,"config":{}}"""
+    viewResponses.put((ns, v), (cur, response)): Unit
+    response
   }
 
   /** Spec-shaped metadata for a table with NO committed versions: empty

@@ -609,6 +609,38 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("review regression (round-14): the hybrid recompute resolves " +
+       "under the MV's DEFINING catalog/namespace — an MV whose stored " +
+       "definition spells an unqualified base name, refreshed from a " +
+       "session parked in another catalog, must recompute from the " +
+       "right table (never resolve in the session's current catalog)") {
+    val (cat, c) = fresh()
+    spark.sql(s"CREATE TABLE $c.ns.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1, 10), (1, 20), (2, 5)")
+    spark.sql(s"USE $c.ns")
+    try spark.sql("CREATE MATERIALIZED VIEW hmv AS " +
+      "SELECT k, count(*) AS cnt, max(v) AS mx FROM t GROUP BY k")
+    finally spark.sql("USE spark_catalog.default")
+    assert(cat.tableProperties("ns", "hmv")("graft.mv.mode") === "incremental")
+    assert(cat.tableProperties("ns", "hmv")("graft.mv.query")
+      .contains("FROM t"), "fixture must store the UNQUALIFIED spelling")
+    // delete-bearing MoR window -> the hybrid recompute must qualify
+    // 't' under the defining context, not spark_catalog.default
+    val prevMode = spark.conf.getOption("spark.graft.rowlevel.mode")
+    spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $c.ns.t WHERE k = 1 AND v = 20")
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.graft.rowlevel.mode", m)
+      case None => spark.conf.unset("spark.graft.rowlevel.mode")
+    }
+    assert(spark.sql(s"CALL $c.system.refresh_mv('ns', 'hmv')")
+      .head().getString(0) === "hybrid")
+    assert(spark.sql(s"SELECT k, cnt, mx FROM $c.ns.hmv ORDER BY k")
+      .collect().toSeq ===
+      spark.sql(s"SELECT k, count(*) AS cnt, max(v) AS mx FROM $c.ns.t " +
+        "GROUP BY k ORDER BY k").collect().toSeq)
+  }
+
   test("hybrid guardrail: a delete the defining WHERE filters out " +
        "touches no group — the refresh stays plain incremental; and an " +
        "expired window on an avg view RE-PROBES the base at the pinned " +

@@ -913,6 +913,18 @@ class PipelineSpec extends SparkSpec {
       (cluster(0, 20, 7000) ++ cluster(1, 20, 7100) ++ cluster(5, 20, 7200))
         .toDF("vec_id", "embedding"))
     assert(Similarity.maintainIvfPqIndex(cat, "ann", "mx") === "incremental")
+
+    // refuse-loud (review regression): an index WITHOUT recorded build
+    // parameters (pre-round-14) must never silently rebuild with
+    // guessed defaults when drift fires — wrong nlist/m/ksub would
+    // permanently degrade recall behind a success-shaped return
+    cat.commitProperties("ann", "mx_codes", Map.empty,
+      unset = Seq(Similarity.AnnParamsProp)): Unit
+    cat.commitAppend("ann", "mv", cluster(6, 60, 8000)
+      .toDF("vec_id", "embedding"))
+    val e = intercept[IllegalStateException](
+      Similarity.maintainIvfPqIndex(cat, "ann", "mx"))
+    assert(e.getMessage.contains(Similarity.AnnParamsProp), e.getMessage)
   }
 
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {

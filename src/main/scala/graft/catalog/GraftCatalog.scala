@@ -269,10 +269,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     viewVersions(ns, name).map { case (s, p) =>
       (s, Files.readString(p), Files.getLastModifiedTime(p).toMillis) }
 
-  /** Version ids only (no content reads) — the cheap staleness probe a
-    * memoizing reader checks before rebuilding anything. */
-  def viewVersionIds(ns: String, name: String): Seq[Long] =
-    viewVersions(ns, name).map(_._1)
+  /** (version id, publish time) pairs without content reads — the cheap
+    * staleness probe a memoizing reader checks before rebuilding
+    * anything. The TIME matters as much as the id: version ids restart
+    * at 0 when a view is dropped and recreated under the same name, so
+    * an id-only probe would serve the OLD view's definition forever. */
+  def viewVersionStamps(ns: String, name: String): Seq[(Long, Long)] =
+    viewVersions(ns, name).map { case (s, p) =>
+      (s, Files.getLastModifiedTime(p).toMillis) }
 
   def listViews(ns: String): Seq[String] = {
     val d = Paths.get(warehouse, ns, "_views")

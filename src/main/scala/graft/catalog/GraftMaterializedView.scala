@@ -291,12 +291,8 @@ private[graft] object GraftMaterializedView {
           val Array(bns, bt) = b.split(" ")
           val headSnap = cat.latest(bns, bt)
           val head = headSnap.map(_.seq).getOrElse(-1L)
-          val nullSeen = probeAvgArgs.nonEmpty && headSnap.exists { hs =>
-            val base = cat.readSnapshotPublic(bns, bt, hs)
-            !probeAvgArgs.forall(base.columns.contains) ||
-              !base.filter(probeAvgArgs.map(col(_).isNull)
-                .reduce(_ || _)).isEmpty
-          }
+          val nullSeen = probeAvgArgs.nonEmpty && headSnap.exists(hs =>
+            !avgInvariantHolds(cat)(bns, bt, hs, probeAvgArgs))
           // pin the lazy rebuild read to the version the new watermark
           // names (same race as CREATE; the probe reads the SAME pinned
           // snapshot, so no NULL-bearing commit can slip between them)
@@ -460,6 +456,20 @@ private[graft] object GraftMaterializedView {
     } else fullRebuild()
   }
 
+  /** The avg NULL-free-argument invariant over ONE pinned base
+    * snapshot: every avg argument column present and carrying no NULLs
+    * (avg skips NULLs, the count(*)-weighted sum reconstruction
+    * cannot). ONE spelling shared by the CREATE-time probe and the
+    * mode-retaining rebuild probes — two copies would silently diverge
+    * into different downgrade behavior for the same base state. */
+  private[catalog] def avgInvariantHolds(cat: GraftCatalog)(
+      bns: String, bt: String, snap: cat.Snapshot,
+      argCols: Seq[String]): Boolean = {
+    val base = cat.readSnapshotPublic(bns, bt, snap)
+    argCols.forall(base.columns.contains) &&
+      base.filter(argCols.map(col(_).isNull).reduce(_ || _)).isEmpty
+  }
+
   /** Changed-group cap for the hybrid delete refresh: past this many
     * touched groups the per-group recompute approaches the cost of the
     * one-off full rebuild it exists to avoid, so the caller falls back. */
@@ -613,12 +623,8 @@ private[catalog] case class GraftCreateMvCommand(parts: Seq[String],
         // pinned version, next to the O(base) materialize CREATE
         // already pays. A base with no committed version is vacuously
         // NULL-free (state pins to LIMIT 0; refresh deltas re-probe).
-        val avgNullFree = s.avgArgCols.isEmpty || headSnap.forall { hs =>
-          val base = g.cat.readSnapshotPublic(bns, bt, hs)
-          s.avgArgCols.forall(base.columns.contains) &&
-            base.filter(s.avgArgCols.map(org.apache.spark.sql.functions
-              .col(_).isNull).reduce(_ || _)).isEmpty
-        }
+        val avgNullFree = s.avgArgCols.isEmpty || headSnap.forall(hs =>
+          avgInvariantHolds(g.cat)(bns, bt, hs, s.avgArgCols))
         if (!avgTypesOk || !avgNullFree) (Map(ModeProp -> "full"), df0)
         else (Map(ModeProp -> "incremental",
           BaseProp -> s"${bid.namespace()(0)} ${bid.name()}",

@@ -515,6 +515,31 @@ object IcebergExport {
     val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name",
       snaps.last.properties, Some(verSchemas.last))
     val specFields = specFieldsOf(pspec, verSchemas.last, colIds)
+    // spec-ID assignment reflects EVOLUTION (round-14): distinct
+    // nonempty specs across the version history number 1..k in order of
+    // first appearance, so the served default-spec-id CHANGES when the
+    // spec does — which is what lets a foreign client's
+    // assert-default-spec-id detect a concurrent partitioned→partitioned
+    // spec change (a constant 1 would let two evolutions silently
+    // last-writer-win). Only spec 0 (empty) and the HEAD's spec are
+    // emitted in partition-specs — the only ids any exported manifest
+    // references. Spec identity is by VALUE (graft's model): evolving
+    // A→B→A serves A's original id again.
+    val headSpecId: Int =
+      if (pspec.isEmpty) 0
+      else {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+        snaps.zipWithIndex.foreach { case (s, i) =>
+          val sp = scala.util.Try(GraftCatalog.validatedPartitionSpec(
+            s"$ns.$name", s.properties, Some(verSchemas(i))))
+            .getOrElse(Seq.empty)
+          if (sp.nonEmpty) {
+            val key = GraftCatalog.partitionSpecJson(sp)
+            if (!seen.contains(key)) seen(key) = seen.size + 1
+          }
+        }
+        seen(GraftCatalog.partitionSpecJson(pspec))
+      }
     val specEntrySchema: Option[Schema] =
       if (specFields.isEmpty) None
       else Some(manifestEntrySchemaWith(specFields.map(f =>
@@ -666,7 +691,8 @@ object IcebergExport {
           val tagged = entries.map(e => (e, tupleOf(e)))
           val (tupled, plain) = tagged.partition(_._2.isDefined)
           val written =
-            (if (tupled.nonEmpty) Seq(writeOne(specEntrySchema.get, 1, tupled))
+            (if (tupled.nonEmpty)
+               Seq(writeOne(specEntrySchema.get, headSpecId, tupled))
              else Seq.empty) ++
             (if (plain.nonEmpty || tupled.isEmpty)
                Seq(writeOne(ManifestEntrySchema, 0, plain))
@@ -806,10 +832,10 @@ object IcebergExport {
          |"last-column-id":$lastColumnId,
          |"current-schema-id":$headSchemaId,
          |"schemas":[${schemasJson.mkString(",")}],
-         |"default-spec-id":${if (specFields.isEmpty) 0 else 1},
+         |"default-spec-id":$headSpecId,
          |"partition-specs":[{"spec-id":0,"fields":[]}${
            if (specFields.isEmpty) ""
-           else s""",{"spec-id":1,"fields":[$specFieldsJson]}"""}],
+           else s""",{"spec-id":$headSpecId,"fields":[$specFieldsJson]}"""}],
          |"last-partition-id":${999 + specFields.size},
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],

@@ -975,21 +975,23 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * DEFINITIONS need no view endpoint: an MV is a table whose
     * definition rides the served table metadata's properties
     * (`graft.mv.query` et al.). */
-  // response memo keyed by current version id — an unchanged view
-  // re-serves one prebuilt response instead of re-reading and
-  // re-rendering its whole history per GET (the table surface's
-  // memo-by-head discipline)
-  private val viewResponses =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, String)]()
+  // response memo keyed by (current version id, publish time) — an
+  // unchanged view re-serves one prebuilt response instead of
+  // re-reading and re-rendering its whole history per GET (the table
+  // surface's memo-by-head discipline). The time is part of the key:
+  // version ids RESTART at 0 on drop+recreate, so an id-only key would
+  // serve the previous view's definition with a 200
+  private val viewResponses = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((Long, Long), String)]()
 
   private def loadViewResult(ns: String, v: String): String = {
-    // version-id probe first (no content reads); empty = the view was
+    // stamp probe first (no content reads); empty = the view was
     // DROPPED after the route's exists check — the spec's 404, not a
     // NoSuchElementException-shaped 500
-    val verIds = cat.viewVersionIds(ns, v)
-    if (verIds.isEmpty)
+    val stamps = cat.viewVersionStamps(ns, v)
+    if (stamps.isEmpty)
       throw new RestError(404, "NoSuchViewException", s"view $ns.$v")
-    Option(viewResponses.get((ns, v))).filter(_._1 == verIds.last)
+    Option(viewResponses.get((ns, v))).filter(_._1 == stamps.last)
       .foreach(hit => return hit._2)
     val history = cat.viewHistoryFull(ns, v)
     if (history.isEmpty)
@@ -1036,7 +1038,9 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
          |"properties":{$propsJson}}""".stripMargin.replace("\n", "")
     val dir = Paths.get(exportRoot, ns, "_views", v)
     Files.createDirectories(dir)
-    val f = dir.resolve(s"v$cur.metadata.json")
+    // the publish time in the name keeps drop+recreate cycles from
+    // reusing the PREVIOUS view's metadata file of the same version id
+    val f = dir.resolve(f"v$cur-${history.last._3}%x.metadata.json")
     if (!Files.exists(f)) {
       val tmp = Files.createTempFile(dir, ".stage-", ".json")
       Files.writeString(tmp, metadata)
@@ -1046,7 +1050,7 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     }
     val response = s"""{"metadata-location":"${esc(f.toUri.toString)}",""" +
       s""""metadata":$metadata,"config":{}}"""
-    viewResponses.put((ns, v), (cur, response)): Unit
+    viewResponses.put((ns, v), ((cur, history.last._3), response)): Unit
     response
   }
 

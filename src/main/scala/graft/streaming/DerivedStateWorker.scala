@@ -61,14 +61,31 @@ object DerivedStateWorker {
       .queryName(s"graft-derived-$baseNs-$baseTable")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
         val cat = new GraftCatalog(spark, warehouse)
+        // PER-TARGET isolation: one failing refresh (a benign CAS
+        // conflict with a concurrent manual REFRESH, a dropped view)
+        // must not terminate the stream and silently stop maintenance
+        // of every OTHER target — the failure is logged loudly per
+        // batch and the next window retries, which the watermark
+        // idempotence makes safe. A conflict-aborted refresh in
+        // particular is already applied or will be re-derived.
+        def guarded(what: String)(body: => Unit): Unit =
+          try body catch { case e: Exception =>
+            System.err.println(s"[derived-worker] batch $batchId: " +
+              s"refresh of $what failed (will retry next window): " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         mvs.foreach { case (ns, name) =>
-          GraftMaterializedView.refresh(spark, cat, ns, name,
-            s"$ns.$name"): Unit
+          guarded(s"mv $ns.$name") {
+            GraftMaterializedView.refresh(spark, cat, ns, name,
+              s"$ns.$name"): Unit
+          }
         }
         ivfPqIndexes.foreach { case (ns, prefix) =>
-          Similarity.maintainIvfPqIndex(cat, ns, prefix, driftBound): Unit
+          guarded(s"index $ns.$prefix") {
+            Similarity.maintainIvfPqIndex(cat, ns, prefix, driftBound): Unit
+          }
         }
       }
       .start()

@@ -547,6 +547,20 @@ class IcebergRestSpec extends SparkSpec {
       assert(RestClient.evolveSpecViaRest(p, "sns", "st",
         Seq("k" -> "identity"), assertDefaultSpecId = Some(0))._1 === 409)
 
+      // partitioned -> partitioned evolution BUMPS the served spec id
+      // (distinct specs number 1..k in first-appearance order), so a
+      // client pinned to the previous spec detects a concurrent change
+      // instead of silently last-writer-winning over it
+      assert(RestClient.evolveSpecViaRest(p, "sns", "st",
+        Seq("k" -> "identity"), assertDefaultSpecId = Some(1))._1 === 200)
+      val served2 = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(RestClient.get(p, "/v1/namespaces/sns/tables/st")._2)
+        .get("metadata")
+      assert(served2.get("default-spec-id").asInt() === 2, served2.toString)
+      assert(RestClient.evolveSpecViaRest(p, "sns", "st",
+        Seq("id" -> "bucket[8]"), assertDefaultSpecId = Some(1))._1 === 409,
+        "an assert pinned to the superseded spec must conflict")
+
       // refusals: staging (add-spec alone), rollback (set-default-spec
       // alone), unknown source-id, mixed spec+property commit, and an
       // unsupported transform
@@ -657,6 +671,21 @@ class IcebergRestSpec extends SparkSpec {
       assert(meta2.get("versions").size() === 2)
       assert(meta2.get("version-log").size() === 2)
       assert(om.readTree(rb2).get("metadata-location").asText() !== loc0)
+
+      // DROP + RECREATE under the same name: version ids restart at 0,
+      // so the memo and metadata file must key on the publish stamp —
+      // an id-only key would serve the OLD definition with a 200
+      spark.sql(s"DROP VIEW $c.vns.allrows")
+      assert(httpHead(p, "/v1/namespaces/vns/views/allrows") === 404)
+      spark.sql(s"CREATE VIEW $c.vns.allrows AS " +
+        s"SELECT id FROM $c.vns.vt WHERE id > 1")
+      val (nc, nb) = RestClient.get(p, "/v1/namespaces/vns/views/allrows")
+      assert(nc === 200)
+      val nrep = om.readTree(nb).get("metadata").get("versions")
+        .elements().asScala.next().get("representations")
+        .elements().asScala.next().get("sql").asText()
+      assert(nrep.contains("id > 1"),
+        s"recreated view must serve the NEW definition, got: $nrep")
 
       // an MV is a TABLE over REST; its definition rides the served
       // metadata properties (no separate view endpoint needed)

@@ -1266,8 +1266,12 @@ class StreamingSpec extends SparkSpec {
       s"FROM $c.w.base GROUP BY vec_id % 5 ORDER BY grp").collect().toSeq
     def baseHead() = cat.latest("w", "base").get.seq
 
+    // a NONEXISTENT target rides along: per-target isolation means its
+    // per-batch failure is logged and every OTHER target keeps
+    // refreshing (one bad entry must not kill the maintenance stream)
     val worker = DerivedStateWorker.start(spark, wh, "w", "base",
-      mvs = Seq(("w", "stats")), ivfPqIndexes = Seq(("w", "ix")),
+      mvs = Seq(("w", "ghost"), ("w", "stats")),
+      ivfPqIndexes = Seq(("w", "ix")),
       checkpointDir = ckpt)
     try {
       // window 1: an append and a MoR delete
@@ -1317,5 +1321,69 @@ class StreamingSpec extends SparkSpec {
       assert(cat.read("w", "ix_codes")
         .filter(col("neighbor_id") === 3019L).count() === 1L)
     } finally worker2.stop()
+  }
+
+  test("DerivedStateWorker x hybrid MV (round-14 composition): the " +
+       "worker session maintains a mixed avg+min/max view whose stored " +
+       "definition spells an UNQUALIFIED base name — a MoR delete window " +
+       "takes the group-scoped hybrid path inside foreachBatch, resolving " +
+       "under the view's defining context, and matches the recompute") {
+    import graft.catalog.GraftCatalog
+    import graft.streaming.DerivedStateWorker
+    val wh = Files.createTempDirectory("graft-dswh-wh").toString
+    val ckpt = Files.createTempDirectory("graft-dswh-ckpt").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.h.base (k BIGINT, v BIGINT)")
+    (0 until 400).map(i => ((i % 8).toLong, i.toLong * 3)).toDF("k", "v")
+      .createOrReplaceTempView("dswh_src")
+    spark.sql(s"INSERT INTO $c.h.base SELECT * FROM dswh_src").collect(): Unit
+    // defined under USE: the stored query text says 'FROM base'
+    spark.sql(s"USE $c.h")
+    try spark.sql("CREATE MATERIALIZED VIEW mx AS " +
+      "SELECT k, count(*) AS cnt, sum(v) AS sv, avg(v) AS av, " +
+      "min(v) AS mn, max(v) AS mx FROM base GROUP BY k")
+    finally spark.sql("USE spark_catalog.default")
+    assert(cat.tableProperties("h", "mx")("graft.mv.mode") === "incremental")
+
+    def want() = spark.sql(s"SELECT k, count(*) AS cnt, sum(v) AS sv, " +
+      s"avg(v) AS av, min(v) AS mn, max(v) AS mx FROM $c.h.base " +
+      "GROUP BY k ORDER BY k").collect().toSeq
+    def got() = spark.sql(
+      s"SELECT k, cnt, sv, av, mn, mx FROM $c.h.mx ORDER BY k")
+      .collect().toSeq
+
+    val worker = DerivedStateWorker.start(spark, wh, "h", "base",
+      mvs = Seq(("h", "mx")), checkpointDir = ckpt)
+    try {
+      // window 1: insert-only -> plain incremental inside the worker
+      spark.sql(s"INSERT INTO $c.h.base VALUES (1, 9999), (9, 1)")
+      worker.processAllAvailable()
+      assert(got() === want())
+      // window 2: a MoR delete erasing group 3's max -> the worker's
+      // refresh must take the hybrid path and re-derive group 3 from
+      // the DEFINING context (the worker session sits in spark_catalog)
+      val prevMode = spark.conf.getOption("spark.graft.rowlevel.mode")
+      spark.conf.set("spark.graft.rowlevel.mode", "merge-on-read")
+      try spark.sql(s"DELETE FROM $c.h.base WHERE k = 3 AND v = " +
+        s"(SELECT max(v) FROM $c.h.base WHERE k = 3)")
+      finally prevMode match {
+        case Some(m) => spark.conf.set("spark.graft.rowlevel.mode", m)
+        case None => spark.conf.unset("spark.graft.rowlevel.mode")
+      }
+      val mvSeq0 = cat.latest("h", "mx").get.seq
+      worker.processAllAvailable()
+      assert(cat.latest("h", "mx").get.seq === mvSeq0 + 1,
+        "the delete window must refresh exactly once")
+      assert(cat.tableProperties("h", "mx")("graft.mv.mode") === "incremental")
+      got().zip(want()).foreach { case (g, e) =>
+        assert(g.getLong(0) === e.getLong(0))
+        assert(g.getLong(1) === e.getLong(1) && g.getLong(2) === e.getLong(2))
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) <= 1e-9 *
+          math.max(1.0, math.abs(e.getDouble(3))))
+        assert(g.getLong(4) === e.getLong(4) && g.getLong(5) === e.getLong(5),
+          s"min/max must re-derive for k=${g.getLong(0)}")
+      }
+    } finally worker.stop()
   }
 }

@@ -33,6 +33,66 @@ import graft.pipeline.Similarity
   */
 object DerivedStateWorker {
 
+  /** Discover EVERY derived state the warehouse records and start one
+    * worker per base table — no manual registration, the reference's
+    * sync-orchestrator model (scan the control plane, maintain
+    * everything downstream) applied to derived data:
+    *  - incremental materialized views name their base in the
+    *    `graft.mv.base` table property (full-mode MVs record no base —
+    *    their definition may span several tables — and are skipped);
+    *  - persisted IVF-PQ indexes name theirs in `graft.ann.base` on
+    *    their `{prefix}_codes` table.
+    * Checkpoints land under `checkpointRoot/<ns>.<table>`. Returns the
+    * started queries (one per base table with derived state). */
+  def startAll(spark: SparkSession, warehouse: String,
+               checkpointRoot: String,
+               trigger: Trigger = Trigger.ProcessingTime(0L),
+               driftBound: Double = 1.5): Seq[StreamingQuery] = {
+    val cat = new GraftCatalog(spark, warehouse)
+    val root = java.nio.file.Paths.get(warehouse)
+    val namespaces: Seq[String] =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(root)
+        try {
+          val b = Seq.newBuilder[String]
+          s.forEach { p =>
+            val n = p.getFileName.toString
+            if (java.nio.file.Files.isDirectory(p) &&
+                !n.startsWith(".") && !n.startsWith("_")) b += n
+          }
+          b.result().sorted
+        } finally s.close()
+      }
+    val mvsByBase = scala.collection.mutable.Map
+      .empty[(String, String), Vector[(String, String)]]
+    val idxByBase = scala.collection.mutable.Map
+      .empty[(String, String), Vector[(String, String)]]
+    for (ns <- namespaces; t <- cat.listTables(ns)) {
+      val props = cat.tableProperties(ns, t)
+      props.get(GraftMaterializedView.BaseProp)
+        .filter(_ => props.contains(GraftMaterializedView.QueryProp))
+        .foreach { b =>
+          val Array(bns, bt) = b.split(" ")
+          mvsByBase((bns, bt)) =
+            mvsByBase.getOrElse((bns, bt), Vector.empty) :+ ((ns, t))
+        }
+      if (t.endsWith("_codes"))
+        props.get(Similarity.AnnBaseProp).foreach { b =>
+          val Array(bns, bt) = b.split(" ")
+          idxByBase((bns, bt)) = idxByBase.getOrElse((bns, bt), Vector.empty) :+
+            ((ns, t.stripSuffix("_codes")))
+        }
+    }
+    (mvsByBase.keySet ++ idxByBase.keySet).toSeq.sorted.map { case (bns, bt) =>
+      start(spark, warehouse, bns, bt,
+        mvs = mvsByBase.getOrElse((bns, bt), Vector.empty),
+        ivfPqIndexes = idxByBase.getOrElse((bns, bt), Vector.empty),
+        checkpointDir = s"$checkpointRoot/$bns.$bt",
+        trigger = trigger, driftBound = driftBound)
+    }
+  }
+
   /** Start the worker over `baseNs.baseTable` in `warehouse`.
     * `mvs` are (namespace, viewName) pairs; `ivfPqIndexes` are
     * (namespace, prefix) pairs built by

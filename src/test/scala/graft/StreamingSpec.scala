@@ -1323,6 +1323,64 @@ class StreamingSpec extends SparkSpec {
     } finally worker2.stop()
   }
 
+  test("DerivedStateWorker.startAll discovers every derived state in " +
+       "the warehouse by its recorded base (MVs via graft.mv.base, " +
+       "IVF-PQ indexes via graft.ann.base on their codes table) and " +
+       "starts one worker per base table; full-mode MVs (no recorded " +
+       "base) are skipped; churn on both bases refreshes both sides") {
+    import graft.catalog.GraftCatalog
+    import graft.pipeline.Similarity
+    import graft.streaming.DerivedStateWorker
+    val wh = Files.createTempDirectory("graft-dsall-wh").toString
+    val ckptRoot = Files.createTempDirectory("graft-dsall-ck").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    // base 1: a table with an incremental MV and an IVF-PQ index
+    spark.sql(s"CREATE TABLE $c.a.b1 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    (0 until 200).map(i => (i.toLong,
+        Array.tabulate(8)(j => ((i * 7 + j) % 13 - 6).toFloat / 6f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("dsall_src1")
+    spark.sql(s"INSERT INTO $c.a.b1 SELECT * FROM dsall_src1").collect(): Unit
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.a.m1 AS " +
+      s"SELECT vec_id % 4 AS grp, count(*) AS cnt FROM $c.a.b1 " +
+      "GROUP BY vec_id % 4")
+    Similarity.buildIvfPqIndexForTable(cat, "a", "ix", "a", "b1",
+      nlist = 4, m = 4, ksub = 8)
+    // base 2 in ANOTHER namespace: one MV
+    spark.sql(s"CREATE TABLE $c.b.b2 (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.b.b2 VALUES (1, 10), (2, 20)").collect(): Unit
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.b.m2 AS " +
+      s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $c.b.b2 GROUP BY k")
+    // a FULL-mode MV (join — no recorded base): must be skipped, not die
+    spark.sql(s"CREATE MATERIALIZED VIEW $c.b.mj AS " +
+      s"SELECT t1.k, count(*) AS cnt FROM $c.b.b2 t1 " +
+      s"JOIN $c.b.b2 t2 ON t1.k = t2.k GROUP BY t1.k")
+    assert(cat.tableProperties("b", "mj")("graft.mv.mode") === "full")
+
+    val workers = DerivedStateWorker.startAll(spark, wh, ckptRoot)
+    try {
+      assert(workers.size === 2, s"one worker per base, got ${workers.size}")
+      spark.sql(s"INSERT INTO $c.a.b1 SELECT vec_id + 1000, embedding " +
+        "FROM dsall_src1 WHERE vec_id < 40").collect(): Unit
+      spark.sql(s"INSERT INTO $c.b.b2 VALUES (1, 5), (3, 30)").collect(): Unit
+      workers.foreach(_.processAllAvailable())
+      assert(spark.sql(s"SELECT grp, cnt FROM $c.a.m1 ORDER BY grp")
+        .collect().toSeq ===
+        spark.sql(s"SELECT vec_id % 4 AS grp, count(*) AS cnt " +
+          s"FROM $c.a.b1 GROUP BY vec_id % 4 ORDER BY grp").collect().toSeq)
+      assert(spark.sql(s"SELECT k, sv, cnt FROM $c.b.m2 ORDER BY k")
+        .collect().toSeq ===
+        spark.sql(s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $c.b.b2 " +
+          "GROUP BY k ORDER BY k").collect().toSeq)
+      assert(cat.read("a", "ix_codes")
+        .filter(col("neighbor_id") === 1039L).count() === 1L,
+        "the discovered index must follow base-1 commits")
+      // the full-mode join MV was skipped: still serving its stale state
+      assert(spark.sql(s"SELECT count(*) FROM $c.b.mj").head().getLong(0)
+        === 2L)
+    } finally workers.foreach(_.stop())
+  }
+
   test("DerivedStateWorker x hybrid MV (round-14 composition): the " +
        "worker session maintains a mixed avg+min/max view whose stored " +
        "definition spells an UNQUALIFIED base name — a MoR delete window " +

@@ -1107,6 +1107,78 @@ object Similarity {
     "incremental"
   }
 
+  /** Coarse-cell assignment of `df` under a PERSISTED index's
+    * centroids — (idCol, cell). What [[semDeDupIncremental]] restricts
+    * candidates with; exposed so oracle fixtures can export the exact
+    * decision the engine made. */
+  def ivfCellAssignments(cat: graft.catalog.GraftCatalog, ns: String,
+                         prefix: String, df: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val (coarse, _) = loadIndexMeta(cat, ns, prefix)
+    withNormalized(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol),
+        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse)
+          .as("cell"))
+  }
+
+  /** Incremental SemDeDup against the ADMITTED corpus (round-14): which
+    * vectors of an incoming batch have a semantic near-dup
+    * (cosine >= tau) among the corpus a persisted IVF(-PQ) index covers
+    * — the admission gate a streaming ingest runs BEFORE committing a
+    * batch, without recomputing pairs over corpus ∪ batch.
+    *
+    * Candidates restrict to the batch vector's coarse CELL (the
+    * production SemDeDup recipe's within-cell rule, Abbas et al. 2023),
+    * read from the index's materialized codes table; scoring is EXACT
+    * cosine against the base table's raw vectors at the index's
+    * recorded watermark (PQ codes only restrict, never score). Scale
+    * shape: assign O(batch), candidate join = codes scan x broadcast
+    * batch cells, then ONE column-pruned corpus vector scan joined to
+    * the broadcast candidate ids — O(batch · cellSize) scored pairs.
+    * A batch whose vector width does not match the index refuses
+    * loudly (every row would silently admit otherwise). Output:
+    * (incoming_id, existing_id, cosine), threshold applied on the
+    * 4-decimal rounded score (cross-engine replayable). */
+  def semDeDupIncremental(cat: graft.catalog.GraftCatalog, ns: String,
+                          prefix: String, batch: DataFrame, tau: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import cat.spark.implicits._
+    val (coarse, _) = loadIndexMeta(cat, ns, prefix)
+    val props = cat.tableProperties(ns, s"${prefix}_codes")
+    val base = props.getOrElse(AnnBaseProp, throw new IllegalArgumentException(
+      s"$ns.${prefix}_codes records no $AnnBaseProp — build with " +
+        "buildIvfPqIndexForTable"))
+    val Array(bns, bt) = base.split(" ")
+    val wm = props(AnnBaseSeqProp).toLong
+    val snap = cat.snapshots(bns, bt).find(_.seq == wm).getOrElse(
+      throw new IllegalStateException(
+        s"index watermark v$wm of $bns.$bt expired — rebuild the index"))
+    val qn = withNormalized(
+        batch.select(col(idCol).as("incoming_id"), col(vecCol)), vecCol)
+      .withColumn("cell",
+        graft.functions.PqFunctions.nearestCentroid(col("_nvec"), coarse))
+      .select(col("incoming_id"), col("cell"), col(vecCol).as("__qvec"))
+      .localCheckpoint() // width guard + candidate join share one pass
+    val (nIn, nOk) = qn.agg(count(lit(1)), count(col("cell")))
+      .as[(Long, Long)].head()
+    require(nOk == nIn,
+      s"$nIn-row batch has ${nIn - nOk} vectors whose width does not " +
+        s"match index $ns.$prefix — refusing (they would silently admit)")
+    val cand = cat.read(ns, s"${prefix}_codes")
+      .select(col("cell"), col("neighbor_id").as("existing_id"))
+      .join(broadcast(qn), Seq("cell"))
+      .filter(col("existing_id") =!= col("incoming_id"))
+      .select(col("incoming_id"), col("existing_id"), col("__qvec"))
+    val corpus = cat.readSnapshotPublic(bns, bt, snap)
+      .select(col(idCol).as("existing_id"), col(vecCol).as("__cvec"))
+    corpus.join(broadcast(cand), Seq("existing_id"))
+      .select(col("incoming_id"), col("existing_id"),
+        round(cosine(col("__qvec"), col("__cvec")), 4).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Serve top-k from the persisted index: centroids/codebooks load from
     * the tiny `{prefix}_centroids` table, per-query LUTs and probe cells
     * compute driver-side (broadcast), and the only distributed work is a

@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import graft.Tables
 import graft.pipeline.{Curation, Dedup, GraphOps, Multimodal, Retrieval, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -279,6 +281,49 @@ object Pipeline {
       .filter(col("id") === col("cluster"))
       .select(col("id").as("vec_id"))
       .orderBy(col("vec_id"))
+  }
+
+  private val semIncrWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Incremental SemDeDup (round-14): the ADMISSION GATE — which
+    * vectors of an incoming batch have a semantic near-dup among the
+    * admitted corpus a PERSISTED IVF index covers, candidates
+    * restricted to the batch vector's coarse cell (O(batch·cellSize)),
+    * scored by EXACT cosine against the base table's raw vectors at the
+    * index watermark. The quantizer's cell decisions (corpus side =
+    * the codes table, batch side re-derived under the same centroids)
+    * export as oracle fixtures; DuckDB replays the candidate
+    * restriction, the exact cosine and the threshold — full hash
+    * oracle, same decision-fixture pattern as ann_ivf_topk. */
+  private def semdedupIncrementalPairs: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val wh = semIncrWarehouses.synchronized {
+      semIncrWarehouses.getOrElseUpdate(d, {
+        val w = Files.createTempDirectory("graft-semincr-wh").toString
+        val cat = new graft.catalog.GraftCatalog(s, w)
+        cat.createTable("si", "vecs")
+        // admitted corpus = 3/4 of the table; the rest is the batch
+        cat.commitAppend("si", "vecs", emb.filter(col("vec_id") % 4 =!= 0)
+          .select(col("vec_id"), col("embedding")))
+        Similarity.buildIvfPqIndexForTable(cat, "si", "six", "si", "vecs",
+          nlist = 8)
+        w
+      })
+    }
+    val cat = new graft.catalog.GraftCatalog(s, wh)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    if (fixturesEnabled) {
+      val fix = oracleFixtureDir(d)
+      cat.read("si", "six_codes")
+        .select(col("neighbor_id").as("vec_id"), col("cell"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/semincr_corpus_cells")
+      Similarity.ivfCellAssignments(cat, "si", "six", batch)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/semincr_batch_cells")
+    }
+    Similarity.semDeDupIncremental(cat, "si", "six", batch, tau = 0.4)
+      .orderBy(col("incoming_id"), col("existing_id"))
   }
 
   /** Contract row pinning the production SemDeDup shape (typed empty
@@ -1473,6 +1518,7 @@ object Pipeline {
     "ann_neardup_pairs"    -> annNearDupPairs,
     "semdedup_keepers"     -> semdedupKeepers,
     "semdedup_cells_keepers" -> semdedupCellsKeepers,
+    "semdedup_incremental_pairs" -> semdedupIncrementalPairs,
     "semdedup_cells_check" -> semdedupCellsCheck,
     "ann_lsh_topk"         -> annLshTopK,
     "ann_ivf_topk"         -> annIvfTopK,
@@ -1925,6 +1971,27 @@ object Pipeline {
          SELECT id AS vec_id FROM (
            SELECT id, min(r) AS cluster FROM reach GROUP BY id) t
          WHERE id = cluster ORDER BY vec_id"""
+    },
+    "semdedup_incremental_pairs" -> {
+      def cos(a: String, b: String) =
+        s"""round(list_aggregate(list_transform(list_zip($a, $b),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform($a,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform($b,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"""
+      s"""WITH cc AS (SELECT * FROM read_parquet('$fixtureDirForOracle/semincr_corpus_cells/*.parquet')),
+              bc AS (SELECT * FROM read_parquet('$fixtureDirForOracle/semincr_batch_cells/*.parquet')),
+              cand AS (SELECT bc.vec_id AS incoming_id, cc.vec_id AS existing_id
+                       FROM bc JOIN cc ON bc.cell = cc.cell
+                       WHERE bc.vec_id <> cc.vec_id),
+              scored AS (SELECT incoming_id, existing_id,
+                                ${cos("eb.embedding", "ei.embedding")} AS cosine
+                         FROM cand
+                         JOIN embeddings eb ON eb.vec_id = cand.incoming_id
+                         JOIN embeddings ei ON ei.vec_id = cand.existing_id)
+         SELECT incoming_id, existing_id, cosine FROM scored
+         WHERE cosine >= 0.4 ORDER BY incoming_id, existing_id"""
     },
     "dedup_simhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, sh, sh >> 48 AS band

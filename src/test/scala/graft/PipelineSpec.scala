@@ -927,6 +927,53 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains(Similarity.AnnParamsProp), e.getMessage)
   }
 
+  test("semDeDupIncremental (round-14): the admission gate — batch " +
+       "vectors with a within-cell near-dup in the ADMITTED corpus pair " +
+       "by exact cosine (a planted near-copy is caught at ~1.0), every " +
+       "emitted pair is in the exact all-pairs set at the threshold, " +
+       "and a width-mismatched batch refuses loudly") {
+    import graft.catalog.GraftCatalog
+    val cat = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-semincr").toString)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .filter(col("vec_id") < 600)
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    cat.createTable("si", "vecs")
+    cat.commitAppend("si", "vecs", corpus.select("vec_id", "embedding"))
+    Similarity.buildIvfPqIndexForTable(cat, "si", "six", "si", "vecs",
+      nlist = 8)
+    val v1 = corpus.filter(col("vec_id") === 1).select("embedding")
+      .as[Array[Float]].head()
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(Seq((9999L, v1.map(_ * 1.01f).toSeq))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")))
+    val got = Similarity.semDeDupIncremental(cat, "si", "six", batch, 0.4)
+      .as[(Long, Long, Double)].collect()
+    // the planted near-copy pairs with its source at cosine ~1
+    assert(got.exists(p => p._1 == 9999L && p._2 == 1L && p._3 > 0.99),
+      s"planted near-dup must be caught, got ${got.take(5).mkString(", ")}")
+    // SOUNDNESS: every emitted pair really is a near-dup by exact cosine
+    got.foreach { case (in, ex, c) =>
+      val vi = batch.filter(col("vec_id") === in).select("embedding")
+        .as[Array[Float]].head()
+      val ve = corpus.filter(col("vec_id") === ex).select("embedding")
+        .as[Array[Float]].head()
+      def n(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val cos = vi.zip(ve).map { case (a, b) => a.toDouble * b }.sum /
+        (n(vi) * n(ve))
+      assert(math.abs(cos - c) < 1e-3 && c >= 0.4,
+        s"pair ($in,$ex) cosine $c vs exact $cos")
+    }
+    // a width-mismatched batch must refuse, never silently admit
+    val e = intercept[IllegalArgumentException](
+      Similarity.semDeDupIncremental(cat, "si", "six",
+        Seq((5L, Seq.fill(4)(0.1f))).toDF("vec_id", "embedding"), 0.4)
+        .count())
+    assert(e.getMessage.contains("width"), e.getMessage)
+  }
+
   test("quantizer expressions: interpreted eval bit-matches the codegen'd path") {
     import graft.functions.PqFunctions
     import org.apache.spark.sql.functions.typedLit

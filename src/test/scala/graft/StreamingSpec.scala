@@ -1323,6 +1323,77 @@ class StreamingSpec extends SparkSpec {
     } finally worker2.stop()
   }
 
+  test("streaming semantic ADMISSION (round-14 composition): each " +
+       "micro-batch gates against the admitted corpus via the persisted " +
+       "IVF index (semDeDupIncremental), only novel vectors commit " +
+       "(idempotent batch commitId), the index refreshes in the same " +
+       "foreachBatch — so a near-dup of an EARLIER batch's admission is " +
+       "rejected too") {
+    import graft.catalog.GraftCatalog
+    import graft.pipeline.Similarity
+    val wh = Files.createTempDirectory("graft-adm-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val dim = 8
+    // axis clusters with jitter: distinct axes are near-orthogonal, so
+    // cross-axis cosines sit far below the gate threshold while a
+    // scaled copy scores ~1 (the drift-test fixture family)
+    def cvec(axis: Int, i: Long): Seq[Float] = (0 until dim).map(j =>
+      (if (j == axis) 1.0f else 0.0f) + ((i * 7 + j) % 5) * 0.01f)
+    cat.createTable("adm", "corpus")
+    cat.commitAppend("adm", "corpus",
+      (0L until 100L).map(i => (i, cvec((i % 3).toInt, i)))
+        .toDF("vec_id", "embedding"))
+    Similarity.buildIvfPqIndexForTable(cat, "adm", "gate", "adm", "corpus",
+      nlist = 4, m = 4, ksub = 8)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-adm-ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val batch = df.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+          .localCheckpoint()
+        val dups = Similarity.semDeDupIncremental(cat, "adm", "gate",
+            batch, tau = 0.95)
+          .select(col("incoming_id").as("vec_id")).distinct()
+        val admitted = batch.join(dups, Seq("vec_id"), "left_anti")
+        // idempotent under replay: the batch id is the commit id
+        try cat.commitAppend("adm", "corpus", admitted,
+          commitId = Some(s"ingest-$batchId")): Unit
+        catch { case _: GraftCatalog.DuplicateCommitException => () }
+        Similarity.refreshIvfPqIndex(cat, "adm", "gate"): Unit
+      }.start()
+    try {
+      // batch 1: two novel vectors (new axes) + a near-copy of corpus id 5
+      in.addData((1000L, cvec(5, 1L)), (1001L, cvec(6, 2L)),
+        (9005L, cvec((5 % 3).toInt, 5L).map(x => x * 1.01f)))
+      q.processAllAvailable()
+      val ids1 = cat.read("adm", "corpus").select("vec_id")
+        .as[Long].collect().toSet
+      assert(ids1.contains(1000L) && ids1.contains(1001L),
+        "novel vectors must admit")
+      assert(!ids1.contains(9005L), "a corpus near-dup must be rejected")
+
+      // batch 2: a near-copy of BATCH 1's admitted vector — the gate
+      // must see it because batch 1 refreshed the index
+      in.addData((9100L, cvec(5, 1L).map(x => x * 0.99f)),
+        (1002L, cvec(7, 3L)))
+      q.processAllAvailable()
+      val ids2 = cat.read("adm", "corpus").select("vec_id")
+        .as[Long].collect().toSet
+      assert(!ids2.contains(9100L),
+        "a near-dup of an earlier ADMITTED batch must be rejected")
+      assert(ids2.contains(1002L))
+      // the index watermark tracks every admission commit
+      assert(cat.tableProperties("adm", "gate_codes")(
+        Similarity.AnnBaseSeqProp).toLong ===
+        cat.latest("adm", "corpus").get.seq)
+    } finally q.stop()
+  }
+
   test("DerivedStateWorker.startAll discovers every derived state in " +
        "the warehouse by its recorded base (MVs via graft.mv.base, " +
        "IVF-PQ indexes via graft.ann.base on their codes table) and " +

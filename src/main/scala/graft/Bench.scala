@@ -591,6 +591,56 @@ object ServeBench {
         }
       } finally server.stop()
     }
+    if (groups("xdelta")) {
+      // Shared-store O(delta) METADATA re-export (round-14 part 3): the
+      // remaining per-serve cost after the hard-link fix was HISTORY-
+      // shaped — every re-export rewrote every snapshot's manifests and
+      // manifest lists. With the per-table content-addressed store, the
+      // re-export after ONE commit writes O(commit) metadata objects at
+      // ANY history length. Axis: history length H (commits over a fixed
+      // corpus), contrasted with the self-contained legacy export (with
+      // data-dir hard-link reuse — round-14 part 2's best form) whose
+      // metadata rewrite is O(H) by construction.
+      import graft.catalog.IcebergExport
+      val li = Tables.lineitem(spark, sfDir)
+      val xrows = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        col("l_extendedprice").as("price"))
+      Seq(8, 40, 120).foreach { h =>
+        val t = s"xd$h"
+        cat.createTable("sb", t)
+        (0 until h).foreach { k =>
+          cat.commitAppend("sb", t,
+            xrows.filter(pmod(col("pk"), lit(h)) === k).coalesce(2)): Unit
+        }
+        val shared = Files.createTempDirectory(s"xd-shared-$h").toString
+        val t0dir = Files.createTempDirectory(s"xd-t0-$h").toString
+        time(s"xdelta_first_h$h", 1) {
+          IcebergExport.exportTable(cat, "sb", t, t0dir,
+            sharedStore = Some(shared)).writtenManifests.toLong
+        }
+        (1 to repeat).foreach { i =>
+          cat.commitAppend("sb", t,
+            xrows.filter(pmod(col("pk"), lit(9973)) === i).coalesce(1)): Unit
+          val tN = Files.createTempDirectory(s"xd-tn-$h-$i").toString
+          time(s"xdelta_shared_h$h", i) {
+            val r = IcebergExport.exportTable(cat, "sb", t, tN,
+              sharedStore = Some(shared))
+            require(r.reusedManifests >= h && r.writtenManifests == 1,
+              s"delta path must reuse the history (reused=${r.reusedManifests})")
+            r.reusedManifests.toLong
+          }
+          // legacy baseline gets the SAME data-byte reuse (links from the
+          // store, which holds every flat name) so the measured gap is
+          // purely the O(H) metadata rewrite vs the O(delta) store path
+          val tL = Files.createTempDirectory(s"xd-tl-$h-$i").toString
+          time(s"xdelta_legacy_h$h", i) {
+            IcebergExport.exportTable(cat, "sb", t, tL,
+              reuseDataFrom = Some(s"$shared/data")).manifests.toLong
+          }
+        }
+      }
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with

@@ -76,7 +76,13 @@ object IcebergExport {
     * number a manifest reader sums, not the post-MoR live count). */
   case class ExportReport(metadataFile: String, snapshots: Int, manifests: Int,
                           dataFiles: Int, rows: Long, timestampInt96Risk: Boolean,
-                          deleteFiles: Int = 0)
+                          deleteFiles: Int = 0,
+                          // shared-store accounting (0 outside shared mode):
+                          // what this call REUSED from the store vs wrote anew
+                          // — the O(delta) evidence a re-export spec asserts on
+                          reusedManifests: Int = 0, writtenManifests: Int = 0,
+                          reusedLists: Int = 0, writtenLists: Int = 0,
+                          copiedDataFiles: Int = 0)
 
   // ---- Iceberg schema (JSON) from a Spark schema ----
 
@@ -403,7 +409,8 @@ object IcebergExport {
   /** Export every committed version of `ns.name` as an Iceberg v2 table
     * under `dest`. Returns the report (metadata file path etc.). */
   def exportTable(cat: GraftCatalog, ns: String, name: String, dest: String,
-                  reuseDataFrom: Option[String] = None): ExportReport = {
+                  reuseDataFrom: Option[String] = None,
+                  sharedStore: Option[String] = None): ExportReport = {
     val spark = cat.spark
     val snaps = cat.snapshots(ns, name)
     require(snaps.nonEmpty, s"nothing to export: $ns.$name has no committed versions")
@@ -424,9 +431,28 @@ object IcebergExport {
 
     val destPath = Paths.get(dest)
     val metaDir = destPath.resolve("metadata")
-    val dataDir = destPath.resolve("data")
+    // Shared per-table store (round-14, the O(delta) METADATA re-export):
+    // when given, data files, rewritten position-delete files, manifest
+    // avros, and manifest lists live in a per-table content-addressed
+    // store shared ACROSS export trees — names are deterministic digests
+    // of everything that shapes their bytes, so a re-export after one
+    // commit writes only the delta and hard-reuses the rest. Objects a
+    // retired graft state produced (expired snapshots, evolved schema or
+    // spec — all of which change the digests) become unreferenced and are
+    // reclaimed by [[sweepSharedStore]] against the serving window's
+    // refs.json files. Without sharedStore the tree stays fully
+    // self-contained (byte-stable legacy behavior).
+    val sharedPath = sharedStore.map(Paths.get(_))
+    val sharedMetaDir = sharedPath.map(_.resolve("metadata"))
+    val dataDir = sharedPath.map(_.resolve("data"))
+      .getOrElse(destPath.resolve("data"))
     Files.createDirectories(metaDir)
     Files.createDirectories(dataDir)
+    sharedMetaDir.foreach(Files.createDirectories(_))
+    def md5hex(parts: Seq[String]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\u0000").getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
 
     // 1. copy data files (distributed; dedup across snapshots — replace
     //    commits drop files from later versions but earlier snapshots
@@ -467,8 +493,15 @@ object IcebergExport {
     // re-serves the export) commit-shaped at warehouse scale. Any link
     // failure (cross-device, prior tree gone) falls back to the copy.
     val reuseDir = reuseDataFrom
+    // shared mode: the store is content-addressed by immutable rel path,
+    // so a file already materialized there IS the file — skip it without
+    // touching bytes (its INT96 footer check ran when it first landed;
+    // this call's risk flag covers the files this call lands)
+    val toLand =
+      if (sharedPath.isEmpty) copies
+      else copies.filter { case (_, dst) => !Files.isRegularFile(Paths.get(dst)) }
     val int96Risk = spark.sparkContext
-      .parallelize(copies, math.max(1, math.min(copies.size, 32)))
+      .parallelize(toLand, math.max(1, math.min(toLand.size, 32)))
       .map { case (src, dst) =>
         val dstP = Paths.get(dst)
         val prior = reuseDir.map(d => Paths.get(d, dstP.getFileName.toString))
@@ -492,15 +525,22 @@ object IcebergExport {
         .map(r => r -> dataDir.resolve(flatName(r)).toUri.toString).toMap
       import spark.implicits._
       posDeleteRels.toSeq.sorted.foreach { rel =>
-        val rows = spark.read.parquet(tableRoot.resolve(rel).toString)
-          .select("file_path", "pos").as[(String, Long)].collect()
-          .map { case (fp, pos) =>
-            (uriOf.getOrElse(fp, throw new IllegalStateException(
-              s"position-delete file $rel references $fp, which no exported " +
-                "snapshot carries")), pos)
-          }.sortBy(identity).toSeq
-        posRelSize(rel) = writeSingleParquet(
-          rows.toDF("file_path", "pos"), dataDir.resolve(flatName(rel)))
+        val target = dataDir.resolve(flatName(rel))
+        // shared mode: the rewrite is a pure function of the immutable
+        // source file and the (stable) shared data-dir URIs — reuse it
+        if (sharedPath.isDefined && Files.isRegularFile(target)) {
+          posRelSize(rel) = Files.size(target)
+        } else {
+          val rows = spark.read.parquet(tableRoot.resolve(rel).toString)
+            .select("file_path", "pos").as[(String, Long)].collect()
+            .map { case (fp, pos) =>
+              (uriOf.getOrElse(fp, throw new IllegalStateException(
+                s"position-delete file $rel references $fp, which no exported " +
+                  "snapshot carries")), pos)
+            }.sortBy(identity).toSeq
+          posRelSize(rel) = writeSingleParquet(
+            rows.toDF("file_path", "pos"), target)
+        }
       }
     }
 
@@ -624,6 +664,17 @@ object IcebergExport {
       }
     }
 
+    // shared-mode manifest identity: a digest of EVERY input that shapes
+    // the avro bytes — the graft manifest rel (its entry set is immutable
+    // by the CAS commit model), the adding snapshot's id/seq (these move
+    // when earlier snapshots expire), the embedded head schema JSON and
+    // partition-spec context (these move on evolution), the equality-id
+    // assignment, and the per-entry exported sizes (pos-delete rewrites).
+    // Any graft state change that would alter the bytes changes the key,
+    // so reuse can never serve stale metadata; retired keys become
+    // unreferenced and are swept.
+    val manifestKeyOf = scala.collection.mutable.Map.empty[String, String]
+    var reusedM = 0; var writtenM = 0
     snaps.foreach { s =>
       cat.manifestsFull(ns, name, s).foreach { case (rel, isDelete, entries) =>
         if (!manifestMeta.contains(rel)) {
@@ -633,6 +684,39 @@ object IcebergExport {
           val eqIds =
             if (isDelete && !isPos && entries.nonEmpty) equalityIdsOf(entries)
             else Seq.empty
+          val keyOpt = sharedMetaDir.map { _ =>
+            md5hex(Seq(rel, add.id.toString, add.seq.toString, schemaJson,
+              headSpecId.toString, specFieldsJson, eqIds.mkString(","),
+              entries.map(e =>
+                s"${e.path}:${posRelSize.getOrElse(e.path, e.sizeBytes)}")
+                .mkString(",")))
+          }
+          keyOpt.foreach(k => manifestKeyOf(rel) = k)
+          val sidecar = for { smd <- sharedMetaDir; k <- keyOpt }
+            yield smd.resolve(s"m-$k.txt")
+          val fromStore: Option[Seq[(String, Int, Long, Long, Int)]] =
+            sidecar.filter(Files.isRegularFile(_)).map { sc =>
+              Files.readAllLines(sc, StandardCharsets.UTF_8).asScala.toSeq
+                .filter(_.nonEmpty).map { ln =>
+                  val parts = ln.split('|')
+                  (sharedMetaDir.get.resolve(parts(0)).toAbsolutePath.toString,
+                    parts(1).toInt, parts(2).toLong, parts(3).toLong,
+                    parts(4).toInt)
+                }
+            // a sidecar whose avros were lost (interrupted sweep) must
+            // rewrite, never serve dangling manifest paths
+            }.filter(_.forall(m => Files.isRegularFile(Paths.get(m._1))))
+          var partIdx = 0
+          def nextManifestFile(): Path = sharedMetaDir match {
+            case Some(smd) =>
+              val f = smd.resolve(s"m-${keyOpt.get}-$partIdx.avro")
+              partIdx += 1
+              Files.deleteIfExists(f)
+              f
+            case None => metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
+          }
+          fromStore.foreach { ms => reusedM += 1; manifestMeta(rel) = ms }
+          if (fromStore.isEmpty) {
           // per-entry partition tuple where the stats prove one (data
           // manifests of a partitioned table only); None = spec-0
           def tupleOf(e: cat.ManifestEntry): Option[Seq[AnyRef]] =
@@ -644,7 +728,7 @@ object IcebergExport {
           def writeOne(schema: Schema, specId: Int,
                        es: Seq[(cat.ManifestEntry, Option[Seq[AnyRef]])])
               : (String, Int, Long, Long, Int) = {
-            val file = metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
+            val file = nextManifestFile()
             val w = new DataFileWriter[GenericRecord](
               new GenericDatumWriter[GenericRecord](schema))
             w.setMeta("schema", schemaJson)
@@ -698,14 +782,45 @@ object IcebergExport {
                Seq(writeOne(ManifestEntrySchema, 0, plain))
              else Seq.empty)
           manifestMeta(rel) = written
+          // sidecar LAST: a crash between avro writes and here leaves no
+          // sidecar, so the next export simply rewrites the same names
+          sidecar.foreach { sc =>
+            writtenM += 1
+            val lines = written.map { case (p, n, r, l, sp) =>
+              s"${Paths.get(p).getFileName}|$n|$r|$l|$sp" }
+            Files.write(sc,
+              lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+          }
+          }
         }
       }
     }
 
-    // 3. one manifest LIST per snapshot
+    // 3. one manifest LIST per snapshot. Shared mode keys the list by a
+    //    digest of every record it will carry (the manifest FILE names —
+    //    which already encode their own full content — plus ordering,
+    //    attribution, and the snapshot's id/seq/parent), so the list of
+    //    an unchanged snapshot is reused verbatim across re-exports and a
+    //    re-export after one commit writes exactly the NEW snapshots'
+    //    lists.
+    var reusedL = 0; var writtenL = 0
     val listPaths = snaps.zipWithIndex.map { case (s, i) =>
       val sid = snapshotId(i)
-      val file = metaDir.resolve(s"snap-$sid-1-${UUID.randomUUID()}.avro")
+      val file = sharedMetaDir match {
+        case Some(smd) =>
+          val lkey = md5hex(Seq(sid.toString, (i + 1L).toString,
+            if (i > 0) snapshotId(i - 1).toString else "-",
+            s.manifests.map(rel =>
+              s"$rel=${manifestKeyOf(rel)}:${addedBy(rel).id}:${addedBy(rel).seq}")
+              .mkString(";")))
+          smd.resolve(s"snap-$sid-1-$lkey.avro")
+        case None => metaDir.resolve(s"snap-$sid-1-${UUID.randomUUID()}.avro")
+      }
+      if (sharedMetaDir.isDefined && Files.isRegularFile(file)) {
+        reusedL += 1
+        file.toAbsolutePath
+      } else {
+      if (sharedMetaDir.isDefined) { writtenL += 1; Files.deleteIfExists(file): Unit }
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](ManifestListSchema))
       w.setMeta("format-version", "2")
@@ -741,6 +856,7 @@ object IcebergExport {
       }
       w.close()
       file.toAbsolutePath
+      }
     }
 
     // 4. table metadata JSON + version hint
@@ -860,9 +976,63 @@ object IcebergExport {
       .map(manifestMeta(_).map(_._3).sum).sum
     val deleteRels = snaps.flatMap(s => cat.manifestsFull(ns, name, s)
       .filter(_._2).flatMap(_._3.map(_.path))).distinct.toSet
+    // shared mode: record this tree's claims on the store — the unit of
+    // liveness [[sweepSharedStore]] retains (union over the serving
+    // window's trees); written LAST so a tree with a refs file is always
+    // a complete tree
+    sharedPath.foreach { _ =>
+      val names =
+        allRel.map(r => s"data/${flatName(r)}") ++
+          manifestMeta.values.flatten
+            .map(m => s"metadata/${Paths.get(m._1).getFileName}") ++
+          manifestKeyOf.values.map(k => s"metadata/m-$k.txt") ++
+          listPaths.map(p => s"metadata/${p.getFileName}")
+      Files.write(destPath.resolve("refs.txt"),
+        names.distinct.sorted.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8)): Unit
+    }
     ExportReport(metaFile.toAbsolutePath.toString, snaps.length,
       manifestMeta.values.map(_.size).sum, allRel.count(!deleteRels(_)),
-      headRows, int96Risk, deleteRels.size)
+      headRows, int96Risk, deleteRels.size,
+      reusedManifests = reusedM, writtenManifests = writtenM,
+      reusedLists = reusedL, writtenLists = writtenL,
+      copiedDataFiles = toLand.size)
+  }
+
+  /** Reclaim shared-store objects no retained export tree references.
+    * `refsFiles` are the `refs.txt` paths of every tree still in the
+    * serving window; a missing file contributes nothing (the only
+    * refs-less trees the serving path creates are empty-table stubs,
+    * which reference no shared objects). Objects become unreferenced
+    * when the graft state that shaped them retires — snapshot expiry
+    * moves every manifest's added-by attribution, schema/spec evolution
+    * moves the embedded metadata — because all of those are digest
+    * inputs of the shared names. Cost: one directory listing, zero data
+    * reads. Returns the deleted names (`data/...` / `metadata/...`). */
+  def sweepSharedStore(shared: String, refsFiles: Seq[String]): Seq[String] = {
+    val sp = Paths.get(shared)
+    if (!Files.isDirectory(sp)) return Seq.empty
+    val keep: Set[String] = refsFiles.flatMap { f =>
+      val p = Paths.get(f)
+      if (Files.isRegularFile(p))
+        Files.readAllLines(p, StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)
+      else Nil
+    }.toSet
+    val deleted = Seq.newBuilder[String]
+    Seq("data", "metadata").foreach { sub =>
+      val d = sp.resolve(sub)
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+          val n = s"$sub/${p.getFileName}"
+          if (!keep(n)) {
+            Files.deleteIfExists(p): Unit
+            deleted += n
+          }
+        } finally s.close()
+      }
+    }
+    deleted.result()
   }
 
   private case class Snapshot0(id: Long, seq: Long, tsMs: Long)
@@ -1114,9 +1284,19 @@ object IcebergExport {
     // the scan): match on the ENCODED data-dir token, then DECODE both
     // to one canonical relative form ('+' is literal in URIs — escape it
     // before URLDecoder's form-decoding would eat it)
+    // the token is derived from the files the manifests actually name —
+    // NOT from `location` — because a shared-store layout keeps data
+    // outside the tree; the common directory prefix covers flat (tree or
+    // shared) and partition-nested (foreign) layouts alike
     val dataToken = {
-      val t = Paths.get(location, "data").toAbsolutePath.toUri.getRawPath
-      if (t.endsWith("/")) t else t + "/"
+      val dirs = (dataFiles.map(_._1) ++ posDeleteFiles.map(_._1) ++
+          deleteFiles.map(_._1)).map { p =>
+        val rp = Paths.get(p).toAbsolutePath.toUri.getRawPath
+        rp.take(rp.lastIndexOf('/') + 1)
+      }.distinct
+      val common = dirs.reduce { (a, b) =>
+        a.lazyZip(b).takeWhile { case (x, y) => x == y }.map(_._1).mkString }
+      common.take(common.lastIndexOf('/') + 1)
     }
     def relOfUri(c: org.apache.spark.sql.Column) =
       url_decode(regexp_replace(substring_index(c, dataToken, -1), "\\+", "%2B"))

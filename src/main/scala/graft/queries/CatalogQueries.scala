@@ -1554,7 +1554,59 @@ object CatalogQueries {
               FROM $cname.q.branched_sql""")
   }
 
+  // one shared-store delta export per (sf dir, session)
+  private val exportDeltaDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Shared-store O(delta) re-export (round-14): the table exports into
+    * a per-table content-addressed store, takes MoR churn (an upsert
+    * that ships an equality delete with its data), and re-exports a
+    * SECOND tree against the same store. The fixture REQUIRES the delta
+    * path — every pre-churn manifest and manifest list must come back
+    * REUSED (the report's counters; a silent full metadata rewrite
+    * fails the require) — then the query reads the final head through
+    * ONLY the re-exported artifacts. The oracle recomputes the expected
+    * live set from the raw source rows: green = delta-written metadata
+    * composes with store-resident reused metadata into exactly the
+    * right table. */
+  private def exportDeltaRead: Q = (s, d) => {
+    val dest2 = exportDeltaDirs.getOrElseUpdate(sessionKey(s, d), {
+      val wh = Files.createTempDirectory("graft-xdelta-wh").toString
+      val cat = new GraftCatalog(s, wh)
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      cat.createTable("q", "xd")
+      cat.commitAppend("q", "xd", orders.filter(col("o_orderkey") % 2 === 0))
+      cat.commitDelete("q", "xd",
+        orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))
+      val shared = Files.createTempDirectory("graft-xdelta-store").toString
+      val t1 = Files.createTempDirectory("graft-xdelta-t1").toString
+      val r1 = graft.catalog.IcebergExport.exportTable(cat, "q", "xd", t1,
+        sharedStore = Some(shared))
+      cat.commitUpsert("q", "xd",
+        orders.filter(col("o_orderkey") % 16 === 2)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000).as("o_totalprice")),
+        Seq("o_orderkey"))
+      val t2 = Files.createTempDirectory("graft-xdelta-t2").toString
+      val r2 = graft.catalog.IcebergExport.exportTable(cat, "q", "xd", t2,
+        sharedStore = Some(shared))
+      require(r2.reusedManifests == r1.writtenManifests
+          && r2.writtenManifests == 2,
+        s"cat_export_delta must reuse the pre-churn manifests " +
+          s"(reused=${r2.reusedManifests}, written=${r2.writtenManifests})")
+      require(r2.reusedLists == r1.writtenLists && r2.writtenLists == 1,
+        s"cat_export_delta must reuse the unchanged snapshots' manifest " +
+          s"lists (reused=${r2.reusedLists}, written=${r2.writtenLists})")
+      t2
+    })
+    graft.catalog.IcebergExport.readExported(s, dest2)
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_export_delta"     -> exportDeltaRead,
     "cat_iceberg_export"   -> icebergExportRead,
     "cat_iceberg_import"   -> icebergImportRead,
     "cat_iceberg_mor_roundtrip" -> icebergMorRoundtrip,
@@ -1742,6 +1794,16 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
+    "cat_export_delta" ->
+      """WITH kept AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey % 2 = 0 AND o_orderkey % 8 <> 0
+                         AND o_orderkey % 16 <> 2),
+              ups AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 16 = 2),
+              live AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+         SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM live""",
     "cat_sql_procedures" ->
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

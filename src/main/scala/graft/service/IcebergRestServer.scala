@@ -260,6 +260,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
             m.synchronized {
               (Option(m.loc) ++ m.prev).foreach(l =>
                 deleteTree(Paths.get(l).getParent.getParent))
+              // the shared store is table-scoped — dropped with the table
+              deleteTree(sharedStoreDir(ns, t))
               m.loc = null; m.prev = None; m.head = null
             }
           }
@@ -793,7 +795,9 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
           val servedSnap = cat.snapshots(ns, t).find(_.seq == servedSeq)
             .getOrElse(bad(s"served version v$servedSeq of $ns.$t is gone — " +
               "refresh and retry"))
-          val dataDir = Paths.get(servedLoc).getParent.getParent.resolve("data")
+          // served data files live in the table's SHARED store (the only
+          // spelling the client ever saw in the export's manifests)
+          val dataDir = sharedStoreDir(ns, t).resolve("data")
           val mapping = cat.dataFiles(ns, t, servedSnap).map(rel =>
             dataDir.resolve(IcebergExport.flatName(rel)).toUri.toString -> rel)
           import cat.spark.implicits._
@@ -904,9 +908,22 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * last served location finishes its read); anything older is deleted
     * — without this, every served commit leaks a full table copy on
     * disk. */
+  /** The table's shared content-addressed export store — data files,
+    * manifests, manifest lists shared by every tree of this table
+    * (named "_shared": identifier segments are sanitized, so no table's
+    * own tree dir can collide with it). */
+  private def sharedStoreDir(ns: String, t: String): java.nio.file.Path =
+    Paths.get(exportRoot, ns, t, "_shared")
+
   private def servedExport(ns: String, t: String): (String, Long) = {
-    val headSnap = cat.latest(ns, t)
-    val head = headSnap.map(_.commitId).getOrElse("v0-empty")
+    val snaps = cat.snapshots(ns, t)
+    val headSnap = snaps.lastOption
+    // the memo key captures the head AND the history SHAPE: snapshot
+    // expiry removes early versions without moving the head commit id,
+    // and a foreign reader must stop seeing expired history on its next
+    // load (snapshots() is already paid for by the head lookup)
+    val head = headSnap.map(s =>
+      s"${s.commitId}#${snaps.size}#${snaps.head.seq}").getOrElse("v0-empty")
     val memo = exported.computeIfAbsent((ns, t), _ => new Memo)
     memo.synchronized {
       // re-check under the lock: a DELETE racing this GET (which passed
@@ -922,14 +939,17 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         Files.createDirectories(dest.resolve("metadata"))
         val newLoc = headSnap match {
           case Some(_) =>
-            // incremental re-export: the superseded tree's data files are
-            // immutable and content-addressed — hard-link them instead of
-            // re-copying, so serving a table after one commit costs
-            // O(new files), not O(table) (the commit-shaped round-trip
-            // the foreign MoR write path needs at warehouse scale)
+            // incremental re-export (round-14, both halves): data files,
+            // manifests, manifest lists, and rewritten position-delete
+            // files live in the table's SHARED content-addressed store,
+            // so serving a table after one commit writes O(that commit)
+            // objects — data bytes AND metadata — not O(table) or
+            // O(history). reuseDataFrom migrates a pre-shared tree's
+            // data into the store by hard-link on first use.
             IcebergExport.exportTable(cat, ns, t, dest.toString,
               reuseDataFrom = Option(memo.loc).map(l =>
-                Paths.get(l).getParent.getParent.resolve("data").toString))
+                Paths.get(l).getParent.getParent.resolve("data").toString),
+              sharedStore = Some(sharedStoreDir(ns, t).toString))
               .metadataFile
           case None =>
             // created-but-never-committed: a REST client that just
@@ -944,6 +964,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         memo.loc = newLoc
         memo.head = head
         memo.seq = headSnap.map(_.seq).getOrElse(-1L)
+        // reclaim shared objects nothing in the serving window (the new
+        // tree + the immediately superseded one) references — what keeps
+        // the store delta-shaped across expiry/evolution, mirroring the
+        // tree retention above. Empty-table stubs have no refs.txt and
+        // reference nothing shared.
+        val refs = (Option(memo.loc) ++ memo.prev).map(l =>
+          Paths.get(l).getParent.getParent.resolve("refs.txt").toString)
+        IcebergExport.sweepSharedStore(
+          sharedStoreDir(ns, t).toString, refs.toSeq): Unit
       }
       (memo.loc, memo.seq)
     }

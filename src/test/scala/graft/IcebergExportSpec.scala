@@ -652,6 +652,181 @@ class IcebergExportSpec extends SparkSpec {
     assert(cat2.targetFileSizeBytes("ns", "pp") === 268435456L)
   }
 
+  // ---- shared content-addressed store: O(delta) metadata re-export ----
+
+  /** Every file in the store, name -> md5 (byte identity across exports). */
+  private def storeState(shared: String): Map[String, String] = {
+    def files(sub: String): Seq[java.nio.file.Path] = {
+      val d = Paths.get(shared, sub)
+      if (!Files.isDirectory(d)) Seq.empty
+      else { val s = Files.list(d); try s.iterator().asScala.toList finally s.close() }
+    }
+    (files("data") ++ files("metadata")).map { p =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      s"${p.getParent.getFileName}/${p.getFileName}" -> h
+    }.toMap
+  }
+
+  test("shared-store re-export is O(delta): unchanged manifests, lists, and " +
+       "data files reuse byte-identical store objects; only the new commit writes") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    cat.createTable("ns", "sh")
+    cat.commitAppend("ns", "sh", orders.filter(col("o_orderkey") % 3 === 0))
+    cat.commitAppend("ns", "sh", orders.filter(col("o_orderkey") % 3 === 1))
+
+    val shared = Files.createTempDirectory("iceberg-shared").toString
+    val dest1 = Files.createTempDirectory("iceberg-sh1").toString
+    val r1 = IcebergExport.exportTable(cat, "ns", "sh", dest1,
+      sharedStore = Some(shared))
+    assert(r1.reusedManifests === 0 && r1.writtenManifests === 2)
+    assert(r1.reusedLists === 0 && r1.writtenLists === 2)
+    assert(Files.isRegularFile(Paths.get(dest1, "refs.txt")))
+    val before = storeState(shared)
+
+    cat.commitAppend("ns", "sh", orders.filter(col("o_orderkey") % 3 === 2))
+    val dest2 = Files.createTempDirectory("iceberg-sh2").toString
+    val r2 = IcebergExport.exportTable(cat, "ns", "sh", dest2,
+      sharedStore = Some(shared))
+    // exactly the delta: one new manifest, one new list, the new files
+    assert(r2.reusedManifests === 2 && r2.writtenManifests === 1)
+    assert(r2.reusedLists === 2 && r2.writtenLists === 1)
+    assert(r2.copiedDataFiles === r2.dataFiles - r1.dataFiles)
+    assert(r2.copiedDataFiles > 0)
+    // every pre-existing store object is byte-untouched (reuse, not rewrite)
+    val after = storeState(shared)
+    before.foreach { case (n, h) =>
+      assert(after.get(n).contains(h), s"store object $n changed across re-export") }
+    // and both trees read back complete tables
+    assert(IcebergExport.readExported(spark, dest2).count() === orders.count())
+    assert(IcebergExport.readExported(spark, dest1).count() ===
+      orders.filter(col("o_orderkey") % 3 =!= 2).count())
+    assert(IcebergExport.readExported(spark, dest2)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
+  test("shared-store MoR re-export reuses equality-delete manifests and " +
+       "rewritten position-delete files; the read-back still applies both") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 4 === 0)
+    cat.createTable("ns", "shm")
+    cat.commitAppend("ns", "shm", base)
+    cat.commitDelete("ns", "shm",
+      orders.filter(col("o_orderkey") % 8 === 0).select("o_orderkey"))
+    cat.commitDeletePositions("ns", "shm",
+      cat.positionsWhere("ns", "shm", col("o_orderkey") % 16 === 4))
+
+    val shared = Files.createTempDirectory("iceberg-shared-mor").toString
+    val dest1 = Files.createTempDirectory("iceberg-shm1").toString
+    val r1 = IcebergExport.exportTable(cat, "ns", "shm", dest1,
+      sharedStore = Some(shared))
+    val expectHead = IcebergExport.readExported(spark, dest1)
+    val expectCnt = expectHead.count()
+    val before = storeState(shared)
+
+    cat.commitUpsert("ns", "shm",
+      base.filter(col("o_orderkey") % 32 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 2, 2).as("o_totalprice")),
+      Seq("o_orderkey"))
+    val dest2 = Files.createTempDirectory("iceberg-shm2").toString
+    val r2 = IcebergExport.exportTable(cat, "ns", "shm", dest2,
+      sharedStore = Some(shared))
+    // all three prior manifests (data, equality-delete, position-delete)
+    // reuse; the upsert adds its delete+data manifests
+    assert(r2.reusedManifests === r1.writtenManifests)
+    assert(r2.writtenManifests === 2)
+    assert(r2.reusedLists === r1.writtenLists && r2.writtenLists === 1)
+    val after = storeState(shared)
+    before.foreach { case (n, h) =>
+      assert(after.get(n).contains(h), s"store object $n changed across re-export") }
+    // MoR semantics through the reused artifacts: catalog and format agree
+    val head = IcebergExport.readExported(spark, dest2)
+    val viaCat = cat.read("ns", "shm")
+    assert(head.count() === viaCat.count())
+    assert(head.exceptAll(viaCat).count() === 0L)
+    assert(viaCat.exceptAll(head).count() === 0L)
+    // the superseded tree still serves its own (pre-upsert) version
+    assert(IcebergExport.readExported(spark, dest1).count() === expectCnt)
+  }
+
+  test("snapshot expiry moves every digest (attribution shifted) and the " +
+       "sweep reclaims retired objects while the serving window stays readable") {
+    val cat = freshCat()
+    val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
+    cat.createTable("ns", "she")
+    cat.commitAppend("ns", "she", orders.filter(col("o_orderkey") % 3 === 0))
+    cat.commitAppend("ns", "she", orders.filter(col("o_orderkey") % 3 === 1))
+    cat.commitAppend("ns", "she", orders.filter(col("o_orderkey") % 3 === 2))
+
+    val shared = Files.createTempDirectory("iceberg-shared-exp").toString
+    val dest1 = Files.createTempDirectory("iceberg-she1").toString
+    IcebergExport.exportTable(cat, "ns", "she", dest1,
+      sharedStore = Some(shared)): Unit
+
+    cat.expireSnapshots("ns", "she", retainLast = 2): Unit
+    val dest2 = Files.createTempDirectory("iceberg-she2").toString
+    val r2 = IcebergExport.exportTable(cat, "ns", "she", dest2,
+      sharedStore = Some(shared))
+    // attribution shifted under m2 and m3 (their first-carrying snapshot
+    // moved down a position) so their digests moved and they rewrite; m1
+    // collapses onto the same (first-snapshot) attribution and its reuse
+    // is byte-exact. Every list names a different manifest set, so all
+    // rewrite.
+    assert(r2.reusedManifests === 1 && r2.writtenManifests === 2)
+    assert(r2.reusedLists === 0 && r2.writtenLists === 2)
+
+    // sweep with the serving window (new + superseded) keeps both readable
+    val swept = IcebergExport.sweepSharedStore(shared, Seq(
+      s"$dest2/refs.txt", s"$dest1/refs.txt"))
+    assert(swept.isEmpty,
+      s"window refs must retain everything both trees use, swept: $swept")
+    assert(IcebergExport.readExported(spark, dest1).count() === orders.count())
+    assert(IcebergExport.readExported(spark, dest2).count() === orders.count())
+
+    // narrowing the window to the new tree reclaims the retired objects
+    // (old manifests/lists whose attribution died with the expiry)
+    val swept2 = IcebergExport.sweepSharedStore(shared, Seq(s"$dest2/refs.txt"))
+    assert(swept2.nonEmpty)
+    assert(IcebergExport.readExported(spark, dest2).count() === orders.count())
+    assert(IcebergExport.readExported(spark, dest2)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
+  test("schema evolution between shared-store exports rewrites the embedded " +
+       "metadata (digests moved) instead of serving stale schemas") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("iceberg-shev-src").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    spark.sql(s"CREATE TABLE $c.ns.shv (id BIGINT, qty BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.shv VALUES (1, 10), (2, 20)")
+
+    val shared = Files.createTempDirectory("iceberg-shared-ev").toString
+    val dest1 = Files.createTempDirectory("iceberg-shv1").toString
+    val r1 = IcebergExport.exportTable(cat, "ns", "shv", dest1,
+      sharedStore = Some(shared))
+    assert(r1.writtenManifests >= 1 && r1.reusedManifests === 0)
+
+    spark.sql(s"ALTER TABLE $c.ns.shv RENAME COLUMN qty TO quantity")
+    spark.sql(s"INSERT INTO $c.ns.shv VALUES (3, 30)")
+    val dest2 = Files.createTempDirectory("iceberg-shv2").toString
+    val r2 = IcebergExport.exportTable(cat, "ns", "shv", dest2,
+      sharedStore = Some(shared))
+    // the head schema is embedded in every manifest: evolution must
+    // rewrite them all, never reuse the stale-schema objects
+    assert(r2.reusedManifests === 0)
+    val back = IcebergExport.readExported(spark, dest2)
+    assert(back.columns.toSeq === Seq("id", "quantity"))
+    assert(back.select("id", "quantity").as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("array-of-primitive columns export with list element ids past the " +
        "top-level ids") {
     val cat = freshCat()

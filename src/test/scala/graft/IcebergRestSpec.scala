@@ -225,6 +225,7 @@ class IcebergRestSpec extends SparkSpec {
       val tableExpRoot = Paths.get(java.net.URI.create(
         load2.get("metadata-location").asText())).getParent.getParent.getParent
       val trees = Files.list(tableExpRoot).iterator().asScala.toList
+        .filterNot(_.getFileName.toString == "_shared") // the store is not a tree
       assert(trees.size <= 2,
         s"export trees must be reclaimed past the serving window, " +
           s"found ${trees.size}")
@@ -866,6 +867,94 @@ class IcebergRestSpec extends SparkSpec {
       delNs2.setRequestMethod("DELETE")
       assert(delNs2.getResponseCode === 204)
       assert(!RestClient.get(p, "/v1/namespaces")._2.contains("[\"fresh\"]"))
+    } finally server.stop()
+  }
+
+  test("shared-store serving (round-14): successive LOADs re-export " +
+       "O(delta) against a per-table content-addressed store, the sweep " +
+       "keeps the store equal to the serving window's refs, and DROP " +
+       "reclaims it") {
+    val wh = Files.createTempDirectory("graft-rest-shwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val rows = (0 until 200).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    cat.createTable("ns", "sh")
+    cat.commitAppend("ns", "sh", rows.filter($"id" < 100))
+
+    val exportRoot = Files.createTempDirectory("graft-rest-shexp").toString
+    val server = new IcebergRestServer(cat, exportRoot)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sharedDir = Paths.get(exportRoot, "ns", "sh", "_shared")
+      def load(): String = {
+        val (c, b) = httpGet(p, "/v1/namespaces/ns/tables/sh")
+        assert(c === 200, b)
+        mapper.readTree(b).get("metadata-location").asText()
+      }
+      def treeOf(loc: String): java.nio.file.Path =
+        Paths.get(java.net.URI.create(loc)).getParent.getParent
+      def storeHashes(): Map[String, String] = {
+        def files(sub: String): Seq[java.nio.file.Path] = {
+          val d = sharedDir.resolve(sub)
+          if (!Files.isDirectory(d)) Seq.empty
+          else { val s = Files.list(d); try s.iterator().asScala.toList finally s.close() }
+        }
+        (files("data") ++ files("metadata")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+          s"${f.getParent.getFileName}/${f.getFileName}" -> h
+        }.toMap
+      }
+
+      val loc1 = load()
+      assert(Files.isDirectory(sharedDir), "export must build the shared store")
+      // the served manifests live in the store, not the tree
+      val meta1 = new String(Files.readAllBytes(
+        Paths.get(java.net.URI.create(loc1))), "UTF-8")
+      assert(meta1.contains("_shared/metadata/"), "manifest lists must be store-resident")
+      val before = storeHashes()
+
+      cat.commitAppend("ns", "sh", rows.filter($"id" >= 100))
+      val loc2 = load()
+      assert(loc2 !== loc1)
+      // delta re-export: every pre-existing store object is byte-untouched
+      val after = storeHashes()
+      before.foreach { case (n, h) =>
+        assert(after.get(n).contains(h), s"store object $n changed across loads") }
+      assert(after.size > before.size)
+      // the new tree reads back the full table through the store objects
+      val back = IcebergExport.readExported(spark, treeOf(loc2).toString)
+      assert(back.count() === 200L)
+
+      // expiry moves every digest; two more loads roll the pre-expiry
+      // objects out of the serving window and the sweep reclaims them:
+      // the store ends EXACTLY equal to the window's refs union
+      cat.expireSnapshots("ns", "sh", retainLast = 1): Unit
+      val loc3 = load()
+      cat.commitAppend("ns", "sh", rows.filter($"id" < 50)
+        .select($"id" + 1000 as "id", $"v")): Unit
+      val loc4 = load()
+      assert(!Files.exists(treeOf(loc1)) && !Files.exists(treeOf(loc2)),
+        "trees outside the serving window must be deleted")
+      val windowRefs: Set[String] = Seq(loc3, loc4).flatMap { l =>
+        Files.readAllLines(treeOf(l).resolve("refs.txt"))
+          .asScala.filter(_.nonEmpty)
+      }.toSet
+      val storeNames = storeHashes().keySet
+      assert(storeNames === windowRefs,
+        "the store must hold exactly the serving window's referenced objects")
+      assert(before.keySet.exists(n => !storeNames.contains(n)),
+        "pre-expiry objects must have been swept")
+      assert(IcebergExport.readExported(spark, treeOf(loc4).toString)
+        .count() === 250L)
+
+      // DROP reclaims the store with the trees
+      val del = java.net.URI.create(
+        s"http://127.0.0.1:$p/v1/namespaces/ns/tables/sh").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      del.setRequestMethod("DELETE")
+      assert(del.getResponseCode === 204)
+      assert(!Files.exists(sharedDir), "DROP must reclaim the shared store")
     } finally server.stop()
   }
 }

@@ -1446,10 +1446,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   private def casCommitAt(ns: String, name: String, maxRetries: Int,
                           readParent: () => Option[Snapshot],
                           target: Long => Path,
-                          allowMaintenanceId: Boolean = false)
+                          allowMaintenanceId: Boolean = false,
+                          beforeAttempt: () => Unit = () => ())
                          (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
+      // main commits resolve any multi-table transaction barrier before
+      // EVERY attempt (complete a published one, abort an expired one,
+      // wait out a fresh one) — the cross-table atomicity handshake
+      beforeAttempt()
       val snap = mkSnapshot(readParent())
       // maintenance prefixes mark ROW-NEUTRAL rewrites the changefeed
       // skips over ([[changesBetween]]'s segmented O(delta) path) — a
@@ -1481,7 +1486,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                        (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot =
     casCommitAt(ns, name, maxRetries,
       () => latest(ns, name), versionFile(ns, name, _),
-      allowMaintenanceId)(mkSnapshot)
+      allowMaintenanceId,
+      beforeAttempt = () => awaitTxnBarrier(ns, name))(mkSnapshot)
 
   /** C3/C12: append `df` as a new version with optimistic CAS on the
     * version number. Data files land distributed (executor writes); one
@@ -3077,6 +3083,62 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** [[commitLandedFiles]] on a branch: register externally-landed
+    * parquet (already under the table dir) as a BRANCH version — the
+    * staging half of a multi-table transaction part
+    * ([[commitTransaction]] publishes the branch atomically with its
+    * siblings). Same stats/bloom manifest machinery as the main-log
+    * form; same column-mapping refusal. */
+  def commitLandedFilesToBranch(ns: String, name: String, branch: String,
+                                newFiles: Seq[String], sourceRegion: String,
+                                maxRetries: Int = 5): Snapshot = {
+    require(tableExists(ns, name), s"no such table $ns.$name")
+    val head0 = branchHead(ns, name, branch)
+    val curSchema = head0.schemaJson
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
+    require(pm.forall { case (l, p) => l == p },
+      s"$ns.$name carries renamed (column-mapped) columns — externally-" +
+        "written files resolve by LOGICAL name and would silently read " +
+        "the renamed column as null; compact() re-materializes the " +
+        "physical names first")
+    val props = head0.properties
+    val pspec = GraftCatalog.validatedPartitionSpec(s"$ns.$name", props, curSchema)
+    val bloomCols = GraftCatalog.writeBloomColumnsOf(props, pspec)
+    val entries = newFiles.distinct.map(f =>
+      f -> Files.size(tableDir(ns, name).resolve(f)))
+    var staged: Seq[String] = Seq.empty
+    try {
+      val manifest = (entries.nonEmpty, curSchema) match {
+        case (false, _) => None
+        case (true, Some(s)) => Some(writeManifest(ns, name, entries,
+          stagedFileStats(ns, name, entries, s,
+            GraftCatalog.partitionDerivedStatsOf(pspec, curSchema)),
+          stagedFileBlooms(ns, name, entries, s, bloomCols)))
+        case (true, None) => Some(writeManifest(ns, name, entries))
+      }
+      staged = manifest.toSeq
+      casCommitAt(ns, name, maxRetries,
+          () => Some(branchHead(ns, name, branch)),
+          branchVersionFile(ns, name, branch, _)) { parent =>
+        val p = parent.get
+        Snapshot(
+          p.seq + 1,
+          s"commit-${UUID.randomUUID()}",
+          Some(p.commitId),
+          System.currentTimeMillis(),
+          p.manifests ++ manifest,
+          sourceRegion,
+          p.fileCount + entries.size,
+          p.totalBytes + entries.map(_._2).sum,
+          p.schemaJson,
+          p.propsJson)
+      }
+    } catch { case e: Throwable =>
+      cleanupStaged(ns, name, entries, staged); throw e
+    }
+  }
+
   /** Read the branch head (manifest union of the fork point plus every
     * branch commit — shared immutable files, no copies). */
   def readBranch(ns: String, name: String, branch: String): DataFrame =
@@ -3173,6 +3235,299 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       Files.deleteIfExists(p): Unit
     }
     rm(bd)
+  }
+
+  // ---- multi-table transactions (atomic cross-table publish) ----
+  //
+  // The one coordination problem per-table CAS cannot express: publish
+  // changes to SEVERAL tables so that either all land or none do (the
+  // Iceberg REST spec's /v1/transactions/commit semantics; the
+  // reference's write-coordination theme applied ACROSS tables).
+  //
+  // Protocol — all plain atomic-create primitives, the same contract as
+  // the version CAS (conditional PUTs on an object store):
+  //
+  //   STAGE    each part's changes sit on an ordinary branch (any
+  //            branch commit flavor; isolation for free — the WAP
+  //            habit). A transaction is "fast-forward N tables at
+  //            once".
+  //   BARRIER  per-table `.txn-barrier.json`, create-if-absent with a
+  //            lease deadline. casCommit waits on a fresh barrier
+  //            before EVERY attempt, so once the coordinator holds a
+  //            table's barrier and has sat out the grace period, no
+  //            same-API writer can take a version slot under it.
+  //            Acquisition in canonical table order — no deadlocks.
+  //   PUBLISH  one atomic create of `_txn/<id>.json` naming every
+  //            part's fully-built staged version file. THE commit
+  //            point: before it nothing is visible; after it the
+  //            transaction is durable and will complete. The
+  //            coordinator refuses to publish unless it still owns
+  //            every barrier, every fork check still holds, every
+  //            target slot is free, and the lease has safety headroom
+  //            — so a lease-expiry aborter acting after the deadline
+  //            can never race a late publish.
+  //   APPLY    hard-link each staged version file into its table's log
+  //            (idempotent: deterministic per-part commit ids), then
+  //            reclaim journal, stakes, and staged branches.
+  //
+  // Crash recovery rides the commit funnel: a later committer finding a
+  // barrier either completes the published journal it names (journal
+  // present = committed) or aborts the expired lease (no journal = the
+  // transaction never happened). A transaction commit is
+  // changefeed-transparent: its snapshot extends the parent's manifest
+  // list exactly like fastForwardMerge, so MV/CDC/index consumers keep
+  // the O(delta) prefix path.
+  //
+  // Atomicity scope, honestly: all-or-nothing durability with writer
+  // serialization under the lease assumption every object-store commit
+  // protocol makes (a writer does not stall longer than the grace
+  // period between its final barrier check and its link — enforced
+  // here by per-attempt barrier checks plus the coordinator's grace
+  // sleep). A breach of that assumption halts completion LOUDLY before
+  // anything partial lands, never silently. Readers scanning DIFFERENT
+  // tables during the milliseconds of APPLY can observe part k before
+  // part k+1 — the same skew any non-snapshot multi-table read has;
+  // the journal guarantees that window CLOSES (any later commit
+  // completes it) rather than leaving a partial transaction behind.
+
+  case class TxnPart(ns: String, table: String, branch: String)
+
+  private def txnDir: Path = Paths.get(warehouse, "_txn")
+  private def txnJournal(txnId: String): Path = txnDir.resolve(s"$txnId.json")
+  private def txnBarrierFile(ns: String, name: String): Path =
+    metaDir(ns, name).resolve(".txn-barrier.json")
+  // publish refuses within this margin of the lease deadline; the
+  // coordinator also sits this long between BARRIER and its fork reads
+  // so in-flight pre-barrier committers drain first
+  private val txnGraceMs = 250L
+
+  /** Resolve any transaction barrier on `ns.name` before acting on its
+    * main log: a PUBLISHED journal is completed (the transaction
+    * committed — finishing it unblocks us); an EXPIRED barrier without
+    * a journal is aborted (that transaction never happened); a fresh
+    * barrier is waited out. Called by casCommit before every attempt. */
+  private def awaitTxnBarrier(ns: String, name: String): Unit = {
+    var waits = 0
+    while (true) {
+      val bf = txnBarrierFile(ns, name)
+      val content =
+        try Some(new String(Files.readAllBytes(bf), StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => None }
+      content match {
+        case None => return
+        case Some(j) =>
+          val n = jsonMapper.readTree(j)
+          val txnId = n.get("txnId").asText()
+          val deadline = n.get("deadlineMs").asLong()
+          // journal FIRST, expiry second: a publish always happens
+          // before (deadline - grace), so an expiry observed here
+          // proves no publish can still be in flight
+          if (Files.isRegularFile(txnJournal(txnId))) {
+            completeTxn(txnId)
+          } else if (System.currentTimeMillis() > deadline) {
+            // expired intent that never published: abandon this
+            // table's stake; other tables self-heal on their own next
+            // commit
+            listDir(metaDir(ns, name))
+              .filter(_.getFileName.toString.startsWith(s".txn-$txnId-"))
+              .foreach(p => Files.deleteIfExists(p): Unit)
+            Files.deleteIfExists(bf): Unit
+          } else {
+            waits += 1
+            require(waits < 12000,
+              s"transaction $txnId has held $ns.$name for over 10 minutes " +
+                "within its lease; refusing to wait longer")
+            Thread.sleep(50)
+          }
+      }
+    }
+  }
+
+  /** Complete a PUBLISHED transaction: verify every target slot is
+    * free-or-ours, then link every staged version file into its
+    * table's log (idempotent), then reclaim journal and stakes. Any
+    * actor may call this — the coordinator, or a later committer's
+    * recovery. */
+  private def completeTxn(txnId: String): Unit = {
+    val jf = txnJournal(txnId)
+    val j =
+      try new String(Files.readAllBytes(jf), StandardCharsets.UTF_8)
+      catch { case _: java.nio.file.NoSuchFileException => return } // done
+    val n = jsonMapper.readTree(j)
+    val parts = n.get("parts").elements().asScala.toSeq
+    case class P(ns: String, table: String, seq: Long, commitId: String,
+                 staged: Path, target: Path)
+    val ps = parts.map { p =>
+      val (pns, pt) = (p.get("ns").asText(), p.get("table").asText())
+      val seq = p.get("seq").asLong()
+      P(pns, pt, seq, p.get("commitId").asText(),
+        metaDir(pns, pt).resolve(p.get("staged").asText()),
+        versionFile(pns, pt, seq))
+    }
+    def takenBy(target: Path): Option[String] =
+      try Some(parseJson(new String(Files.readAllBytes(target),
+        StandardCharsets.UTF_8)).commitId)
+      catch { case _: java.io.IOException => None }
+    // verify-all BEFORE link-any: all-or-nothing even against the
+    // documented-impossible lease breach — which halts loudly here,
+    // with nothing partial applied
+    ps.foreach { p =>
+      takenBy(p.target).foreach { cid =>
+        require(cid == p.commitId,
+          s"transaction $txnId cannot complete: v${p.seq} of " +
+            s"${p.ns}.${p.table} was taken by '$cid' — the barrier lease " +
+            "was breached; refusing to apply a partial transaction")
+      }
+      require(Files.isRegularFile(p.staged) || takenBy(p.target).isDefined,
+        s"transaction $txnId journal names a missing staged file ${p.staged}")
+    }
+    ps.foreach { p =>
+      if (!Files.isRegularFile(p.target)) {
+        try Files.createLink(p.target, p.staged)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          require(takenBy(p.target).contains(p.commitId),
+            s"transaction $txnId lost v${p.seq} of ${p.ns}.${p.table} " +
+              "mid-apply — the barrier lease was breached")
+        }
+      }
+    }
+    // journal first (the transaction is fully applied), stakes second
+    Files.deleteIfExists(jf): Unit
+    ps.foreach { p =>
+      Files.deleteIfExists(p.staged): Unit
+      Files.deleteIfExists(txnBarrierFile(p.ns, p.table)): Unit
+    }
+  }
+
+  /** Atomically publish staged branches to SEVERAL tables: either every
+    * part lands or none does. Returns the committed snapshots in part
+    * order and drops the staged branches; on ANY failure nothing is
+    * visible on any table and the branches stay parked (forensics, the
+    * WAP habit). Replaying a succeeded `txnId` throws
+    * [[GraftCatalog.DuplicateCommitException]] like every commit
+    * flavor. */
+  def commitTransaction(parts: Seq[TxnPart],
+                        txnId: String = UUID.randomUUID().toString,
+                        leaseMs: Long = 60000L): Seq[Snapshot] = {
+    require(parts.nonEmpty, "empty transaction")
+    require(parts.map(p => (p.ns, p.table)).distinct.size == parts.size,
+      "a transaction names each table at most once")
+    require(txnId.matches("[A-Za-z0-9_-]+"),
+      s"txnId '$txnId' must be filesystem-plain ([A-Za-z0-9_-])")
+    require(leaseMs >= 10 * txnGraceMs,
+      s"leaseMs $leaseMs leaves no room for the publish safety margin")
+    parts.foreach { p =>
+      require(tableExists(p.ns, p.table), s"no such table ${p.ns}.${p.table}")
+      require(branchExists(p.ns, p.table, p.branch),
+        s"no branch '${p.branch}' on ${p.ns}.${p.table}")
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      byCommitId(p.ns, p.table, s"txn-$txnId-$i").foreach { prior =>
+        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+      }
+    }
+    val deadline = System.currentTimeMillis() + leaseMs
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stagedFiles = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def releaseStakes(): Unit = {
+      stagedFiles.foreach(p => Files.deleteIfExists(p): Unit)
+      acquired.foreach { case (bns, bt) =>
+        Files.deleteIfExists(txnBarrierFile(bns, bt)): Unit }
+    }
+    try {
+      // 1. barriers, canonical order (no deadlocks)
+      parts.sortBy(p => (p.ns, p.table)).foreach { p =>
+        var attempt = 0
+        var held = false
+        while (!held) {
+          awaitTxnBarrier(p.ns, p.table)
+          val tmp = metaDir(p.ns, p.table)
+            .resolve(s".tmp-${UUID.randomUUID()}.json")
+          Files.write(tmp,
+            s"""{"txnId":${q(txnId)},"deadlineMs":$deadline}"""
+              .getBytes(StandardCharsets.UTF_8))
+          try {
+            Files.createLink(txnBarrierFile(p.ns, p.table), tmp)
+            Files.deleteIfExists(tmp)
+            held = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(tmp)
+              attempt += 1
+              require(attempt < 200,
+                s"cannot acquire the txn barrier on ${p.ns}.${p.table}")
+              backoff(attempt)
+          }
+        }
+        acquired += ((p.ns, p.table))
+      }
+      // grace: committers that passed their barrier check BEFORE our
+      // acquisition finish their link inside this window, so the fork
+      // reads below see a settled log
+      Thread.sleep(txnGraceMs)
+      // 2. build every part's next version from its branch — the
+      // fast-forward rule, same refusal as fastForwardMerge
+      val built = parts.zipWithIndex.map { case (p, i) =>
+        val (forkSeq, _) = branchFork(p.ns, p.table, p.branch)
+        val head = branchHead(p.ns, p.table, p.branch)
+        val cur = latest(p.ns, p.table)
+        val curSeq = cur.map(_.seq).getOrElse(-1L)
+        if (curSeq != forkSeq) throw new GraftCatalog.MergeConflictException(
+          s"main of ${p.ns}.${p.table} moved to v$curSeq since branch " +
+            s"'${p.branch}' forked at v$forkSeq")
+        val snap = Snapshot(curSeq + 1, s"txn-$txnId-$i", cur.map(_.commitId),
+          System.currentTimeMillis(), head.manifests, head.sourceRegion,
+          head.fileCount, head.totalBytes,
+          head.schemaJson.orElse(cur.flatMap(_.schemaJson)),
+          head.propsJson.orElse(cur.flatMap(_.propsJson)))
+        val stagedName = s".txn-$txnId-v${snap.seq}.json"
+        val sp = metaDir(p.ns, p.table).resolve(stagedName)
+        Files.write(sp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
+        stagedFiles += sp
+        (p, snap, stagedName)
+      }
+      // 3. publish — the atomic commit point, guarded four ways
+      built.foreach { case (p, snap, _) =>
+        val bf = txnBarrierFile(p.ns, p.table)
+        val mine =
+          try jsonMapper.readTree(new String(Files.readAllBytes(bf),
+            StandardCharsets.UTF_8)).get("txnId").asText() == txnId
+          catch { case _: java.io.IOException => false }
+        require(mine, s"lost the txn barrier on ${p.ns}.${p.table}")
+        require(!Files.exists(versionFile(p.ns, p.table, snap.seq)),
+          s"v${snap.seq} of ${p.ns}.${p.table} was taken under the barrier")
+      }
+      require(System.currentTimeMillis() < deadline - txnGraceMs,
+        s"transaction $txnId ran past its lease; aborting before publish")
+      Files.createDirectories(txnDir)
+      val jparts = built.map { case (p, snap, stagedName) =>
+        s"""{"ns":${q(p.ns)},"table":${q(p.table)},"seq":${snap.seq},""" +
+          s""""commitId":${q(snap.commitId)},"staged":${q(stagedName)}}"""
+      }.mkString(",")
+      val jtmp = txnDir.resolve(s".tmp-${UUID.randomUUID()}.json")
+      Files.write(jtmp,
+        s"""{"txnId":${q(txnId)},"parts":[$jparts]}"""
+          .getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(txnJournal(txnId), jtmp)
+        Files.deleteIfExists(jtmp)
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(jtmp)
+          throw new IllegalStateException(
+            s"transaction id $txnId was already published", e)
+      }
+      // 4. apply + reclaim (completeTxn owns the stakes from here)
+      stagedFiles.clear()
+      acquired.clear()
+      completeTxn(txnId)
+      parts.foreach(p => dropBranch(p.ns, p.table, p.branch))
+      built.map(_._2)
+    } catch {
+      case e: Throwable =>
+        releaseStakes()
+        throw e
+    }
   }
 
   // ---- visibility (C13: shadow→visible promotion) ----

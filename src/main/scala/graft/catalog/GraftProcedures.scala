@@ -33,7 +33,8 @@ object GraftProcedures {
   private val Names = Seq("compact", "expire_snapshots",
     "expire_snapshots_auto", "rollback",
     "iceberg_export", "iceberg_import",
-    "create_branch", "fast_forward", "create_tag", "sweep_orphan_manifests",
+    "create_branch", "fast_forward", "create_tag", "commit_transaction",
+    "sweep_orphan_manifests",
     "backfill_stats", "rewrite_manifests", "rewrite_position_deletes",
     "refresh_mv", "create_changelog_view")
 
@@ -143,6 +144,27 @@ object GraftProcedures {
         { case Seq(ns: String, t: String, branch: String) =>
           cat.createBranch(ns, t, branch)
           Seq(Seq(branch, cat.branchFork(ns, t, branch)._1)) }))
+      case "commit_transaction" => Some(proc("commit_transaction",
+        // parts spell "ns.table:branch" joined by ';' — one SQL string
+        // because CALL takes scalars; each part stages on an ordinary
+        // branch (create_branch + branch writes), and the call publishes
+        // them ATOMICALLY across tables (all land or none)
+        Seq("parts" -> StringType, "txn_id" -> StringType),
+        StructType(Seq(StructField("tbl", StringType),
+          StructField("seq", LongType), StructField("commit_id", StringType))),
+        { case Seq(partsSpec: String, txnId: String) =>
+          val parts = partsSpec.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map { s =>
+              val m = "([^.:;]+)\\.([^.:;]+):([^.:;]+)".r
+              s match {
+                case m(ns, t, b) => cat.TxnPart(ns, t, b)
+                case other => throw new IllegalArgumentException(
+                  s"commit_transaction: part '$other' must spell ns.table:branch")
+              }
+            }
+          val snaps = cat.commitTransaction(parts, txnId = txnId)
+          parts.zip(snaps).map { case (p, s) =>
+            Seq(s"${p.ns}.${p.table}", s.seq, s.commitId) } }))
       case "fast_forward" => Some(proc("fast_forward",
         Seq("ns" -> StringType, "tbl" -> StringType, "branch" -> StringType),
         StructType(Seq(StructField("merged_seq", LongType),

@@ -1605,7 +1605,74 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  // one committed transaction per (sf dir, session)
+  private val txnWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Multi-table TRANSACTION (round-14): changes staged on ordinary
+    * branches of TWO tables publish through ONE atomic commit point
+    * (`CALL graft.system.commit_transaction`) — all land or none. The
+    * fixture REQUIRES transactional commit ids on both heads and
+    * REQUIRES the replay refusal (DuplicateCommitException — the same
+    * idempotence discipline as every commit flavor); the query reads
+    * both tables' final states and the oracle recomputes them from the
+    * raw source rows. */
+  private def txnCommit: Q = (s, d) => {
+    val wh = txnWarehouses.synchronized {
+      txnWarehouses.getOrElseUpdate(sessionKey(s, d), {
+        val w = Files.createTempDirectory("graft-txn-wh").toString
+        val cat = new GraftCatalog(s, w)
+        val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        cat.createTable("q", "t1")
+        cat.createTable("q", "t2")
+        cat.commitAppend("q", "t1", orders.filter(col("o_orderkey") % 2 === 0))
+        cat.commitAppend("q", "t2", orders.filter(col("o_orderkey") % 2 === 1))
+        cat.createBranch("q", "t1", "tx")
+        cat.createBranch("q", "t2", "tx")
+        cat.commitAppendToBranch("q", "t1", "tx",
+          orders.filter(col("o_orderkey") % 8 === 1))
+        cat.commitAppendToBranch("q", "t2", "tx",
+          orders.filter(col("o_orderkey") % 8 === 2))
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        val rows = s.sql(s"""CALL $c.system.commit_transaction(
+          'q.t1:tx;q.t2:tx', 'drv1')""").collect()
+        require(rows.map(_.getString(2)).toSeq ==
+            Seq("txn-drv1-0", "txn-drv1-1"),
+          s"cat_txn_commit must publish transactional commit ids, got " +
+            rows.map(_.getString(2)).mkString(","))
+        require(cat.latest("q", "t1").exists(_.commitId == "txn-drv1-0") &&
+            cat.latest("q", "t2").exists(_.commitId == "txn-drv1-1"),
+          "both heads must carry the transaction's parts")
+        // replay refusal: the same txn id must refuse like every commit
+        cat.createBranch("q", "t1", "tx2"); cat.createBranch("q", "t2", "tx2")
+        cat.commitAppendToBranch("q", "t1", "tx2",
+          orders.filter(col("o_orderkey") % 16 === 3).limit(1))
+        cat.commitAppendToBranch("q", "t2", "tx2",
+          orders.filter(col("o_orderkey") % 16 === 6).limit(1))
+        val replayRefused =
+          try { cat.commitTransaction(Seq(
+              cat.TxnPart("q", "t1", "tx2"), cat.TxnPart("q", "t2", "tx2")),
+              txnId = "drv1"); false }
+          catch { case _: GraftCatalog.DuplicateCommitException => true }
+        require(replayRefused, "replaying txn id drv1 must refuse")
+        w
+      })
+    }
+    val cat = new GraftCatalog(s, wh)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.read("q", "t1"), "1_t1")
+      .unionByName(agg(cat.read("q", "t2"), "2_t2"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cat_txn_commit"       -> txnCommit,
     "cat_export_delta"     -> exportDeltaRead,
     "cat_iceberg_export"   -> icebergExportRead,
     "cat_iceberg_import"   -> icebergImportRead,
@@ -1794,6 +1861,20 @@ object CatalogQueries {
       """SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS total_price,
                 min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
          FROM orders WHERE o_orderkey % 5 IN (0, 1)""",
+    "cat_txn_commit" ->
+      """WITH t1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 2 = 0 OR o_orderkey % 8 = 1),
+              t2 AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 2 = 1 OR o_orderkey % 8 = 2)
+         SELECT '1_t1' AS stage, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM t1
+         UNION ALL
+         SELECT '2_t2', count(*), round(sum(o_totalprice), 2),
+                min(o_orderkey), max(o_orderkey)
+         FROM t2
+         ORDER BY stage""",
     "cat_export_delta" ->
       """WITH kept AS (SELECT o_orderkey, o_totalprice FROM orders
                        WHERE o_orderkey % 2 = 0 AND o_orderkey % 8 <> 0

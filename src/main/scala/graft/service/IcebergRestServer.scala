@@ -269,6 +269,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         }
       case ("POST", "v1" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         commitTable(ns, t, body, out)
+      case ("POST", "v1" :: "transactions" :: "commit" :: Nil) =>
+        commitTransactionRoute(body, out)
       // ---- view read surface (spec view API, round-14) ----
       case ("GET", "v1" :: "namespaces" :: ns :: "views" :: Nil) =>
         if (!namespaces().contains(ns))
@@ -383,6 +385,157 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
 
   // ---- commit (spec CommitTableRequest -> conditional graft commit) ----
 
+  /** Spec multi-table transaction (`POST /v1/transactions/commit`): each
+    * table-change's requirements are judged against that table's served
+    * export, its add-snapshot files land and STAGE on an internal
+    * branch, and [[GraftCatalog.commitTransaction]] publishes every
+    * branch through ONE atomic commit point — all tables land or none
+    * (204 on success; a moved table is the spec's 409 with nothing
+    * applied anywhere). Scope: data appends per table-change
+    * (add-snapshot + set-snapshot-ref); merge-on-read deletes and
+    * metadata evolution stay single-table commits. */
+  private def commitTransactionRoute(body: String, out: OutputStream): Unit = {
+    val req = parseJson(body)
+    val changes = Option(req.get("table-changes")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (changes.isEmpty) bad("transaction carries no table-changes")
+    val txnId = s"rest-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    def reclaim(): Unit = parts.foreach { case (pns, pt, br) =>
+      reclaimTxnBranch(pns, pt, br) }
+    try {
+      changes.foreach { ch =>
+        val ident = Option(ch.get("identifier")).getOrElse(
+          bad("each table-change requires an identifier"))
+        val nsSegs = Option(ident.get("namespace")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText()).toSeq
+        if (nsSegs.size != 1) bad("single-level namespaces only")
+        val (ns, t) = (nsSegs.head, Option(ident.get("name")).map(_.asText())
+          .getOrElse(bad("table-change identifier carries no name")))
+        // body-carried identifiers never went through the route gate —
+        // same traversal rules apply before anything touches Paths.get
+        requireIdent(ns, "namespace")
+        requireIdent(t, "table identifier")
+        if (!cat.tableExists(ns, t))
+          throw new RestError(404, "NoSuchTableException", s"table $ns.$t")
+        if (parts.exists(p => p._1 == ns && p._2 == t))
+          bad("a transaction names each table at most once")
+        val (loc, servedSeq) = servedExport(ns, t)
+        val meta = mapper.readTree(Files.readAllBytes(Paths.get(loc)))
+        val currentSnapId = Option(meta.get("current-snapshot-id"))
+          .map(_.asLong(-1L)).filter(_ >= 0)
+        validateRequirements(ns, t, meta, currentSnapId,
+          Option(ch.get("requirements")).toSeq
+            .flatMap(_.elements().asScala).toSeq)
+        var addSnap: Option[JsonNode] = None
+        Option(ch.get("updates")).toSeq.flatMap(_.elements().asScala)
+          .foreach { u =>
+            u.get("action").asText() match {
+              case "add-snapshot" =>
+                if (addSnap.nonEmpty)
+                  bad("at most one add-snapshot per table-change")
+                addSnap = Some(u.get("snapshot"))
+              case "set-snapshot-ref" =>
+                val refName = Option(u.get("ref-name")).map(_.asText())
+                  .getOrElse("main")
+                if (refName != "main")
+                  bad(s"only the main branch accepts commits, got '$refName'")
+              case other =>
+                bad("transactional table-changes support add-snapshot " +
+                  s"(+set-snapshot-ref) only, got '$other' — commit " +
+                  "metadata changes as single-table commits")
+            }
+          }
+        val snap = addSnap.getOrElse(
+          bad(s"table-change for $ns.$t adds no snapshot"))
+        val branch = s"txn-$txnId"
+        cat.createBranch(ns, t, branch)
+        parts += ((ns, t, branch))
+        commitSnapshot(ns, t, snap, meta, servedSeq, loc,
+          stageToBranch = Some(branch))
+      }
+      try cat.commitTransaction(
+        parts.toSeq.map { case (pns, pt, br) => cat.TxnPart(pns, pt, br) },
+        txnId = txnId): Unit
+      catch {
+        case e: GraftCatalog.MergeConflictException =>
+          reclaim(); conflict(e.getMessage)
+        case e: IllegalArgumentException => reclaim(); bad(e.getMessage)
+        case e: IllegalStateException => reclaim(); bad(e.getMessage)
+      }
+      replyHead(out, 204)
+    } catch {
+      case e: RestError =>
+        // a refusal mid-staging reclaims every internal branch and its
+        // landed files — a foreign client cannot see or clean them
+        reclaim()
+        throw e
+    }
+  }
+
+  /** Reclaim an internal transaction branch: the files and manifests its
+    * commits added beyond the fork, then the branch itself. Best-effort
+    * (idempotent deletes); only ever called on branches this server
+    * created, never on user branches. */
+  private def reclaimTxnBranch(ns: String, t: String, branch: String): Unit = {
+    try {
+      val head = cat.branchHead(ns, t, branch)
+      val (forkSeq, _) = cat.branchFork(ns, t, branch)
+      val forkSnap = cat.snapshots(ns, t).find(_.seq == forkSeq)
+      val forkFiles = forkSnap
+        .map(s => cat.dataFiles(ns, t, s).toSet).getOrElse(Set.empty)
+      val forkManifests = forkSnap.map(_.manifests.toSet).getOrElse(Set.empty)
+      val root = Paths.get(cat.warehouse, ns, t)
+      cat.dataFiles(ns, t, head).filterNot(forkFiles)
+        .foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
+      head.manifests.filterNot(forkManifests)
+        .foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
+    } catch { case _: Throwable => () }
+    try cat.dropBranch(ns, t, branch) catch { case _: Throwable => () }
+  }
+
+  /** Spec commit requirements, judged against the SERVED export's
+    * metadata — shared by the single-table commit and the transaction
+    * endpoint (each table-change carries its own requirement list). */
+  private def validateRequirements(ns: String, t: String, meta: JsonNode,
+                                   currentSnapId: Option[Long],
+                                   reqs: Seq[JsonNode]): Unit =
+    reqs.foreach { r =>
+      r.get("type").asText() match {
+        case "assert-create" =>
+          conflict(s"table $ns.$t already exists")
+        case "assert-table-uuid" =>
+          val want = r.get("uuid").asText()
+          val have = meta.get("table-uuid").asText()
+          if (want != have)
+            conflict(s"table uuid changed: expected $want, found $have")
+        case "assert-current-schema-id" =>
+          val want = r.get("current-schema-id").asInt()
+          val have = Option(meta.get("current-schema-id"))
+            .map(_.asInt()).getOrElse(0)
+          if (want != have)
+            conflict(s"current schema changed: expected $want, found $have")
+        case "assert-default-spec-id" =>
+          val want = r.get("default-spec-id").asInt()
+          val have = Option(meta.get("default-spec-id"))
+            .map(_.asInt()).getOrElse(0)
+          if (want != have)
+            conflict(s"default partition spec changed: expected $want, " +
+              s"found $have")
+        case "assert-ref-snapshot-id" =>
+          val ref = Option(r.get("ref")).map(_.asText()).getOrElse("main")
+          if (ref != "main")
+            bad(s"only the main branch is served over REST, got ref '$ref'")
+          val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong())
+          if (want != currentSnapId)
+            conflict(s"branch main: expected snapshot " +
+              s"${want.getOrElse("<absent>")}, found " +
+              s"${currentSnapId.getOrElse("<absent>")}")
+        case other => bad(s"unsupported requirement type '$other'")
+      }
+    }
+
   private def commitTable(ns: String, t: String, body: String,
                           out: OutputStream): Unit = {
     if (!cat.tableExists(ns, t))
@@ -396,42 +549,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     val currentSnapId = Option(meta.get("current-snapshot-id"))
       .map(_.asLong(-1L)).filter(_ >= 0)
 
-    Option(req.get("requirements")).toSeq.flatMap(_.elements().asScala)
-      .foreach { r =>
-        r.get("type").asText() match {
-          case "assert-create" =>
-            conflict(s"table $ns.$t already exists")
-          case "assert-table-uuid" =>
-            val want = r.get("uuid").asText()
-            val have = meta.get("table-uuid").asText()
-            if (want != have)
-              conflict(s"table uuid changed: expected $want, found $have")
-          case "assert-current-schema-id" =>
-            val want = r.get("current-schema-id").asInt()
-            val have = Option(meta.get("current-schema-id"))
-              .map(_.asInt()).getOrElse(0)
-            if (want != have)
-              conflict(s"current schema changed: expected $want, found $have")
-          case "assert-default-spec-id" =>
-            val want = r.get("default-spec-id").asInt()
-            val have = Option(meta.get("default-spec-id"))
-              .map(_.asInt()).getOrElse(0)
-            if (want != have)
-              conflict(s"default partition spec changed: expected $want, " +
-                s"found $have")
-          case "assert-ref-snapshot-id" =>
-            val ref = Option(r.get("ref")).map(_.asText()).getOrElse("main")
-            if (ref != "main")
-              bad(s"only the main branch is served over REST, got ref '$ref'")
-            val want = Option(r.get("snapshot-id")).filterNot(_.isNull)
-              .map(_.asLong())
-            if (want != currentSnapId)
-              conflict(s"branch main: expected snapshot " +
-                s"${want.getOrElse("<absent>")}, found " +
-                s"${currentSnapId.getOrElse("<absent>")}")
-          case other => bad(s"unsupported requirement type '$other'")
-        }
-      }
+    validateRequirements(ns, t, meta, currentSnapId,
+      Option(req.get("requirements")).toSeq.flatMap(_.elements().asScala).toSeq)
 
     var setProps = Map.empty[String, String]
     var unsetProps = Seq.empty[String]
@@ -676,7 +795,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * [[GraftCatalog.commitUpsert]]'s rule. */
   private def commitSnapshot(ns: String, t: String, snap: JsonNode,
                              servedMeta: JsonNode, servedSeq: Long,
-                             servedLoc: String): Unit = {
+                             servedLoc: String,
+                             stageToBranch: Option[String] = None): Unit = {
     val snapId = snap.get("snapshot-id").asLong()
     val listUri = Option(snap.get("manifest-list")).map(_.asText())
       .getOrElse(bad("add-snapshot.snapshot.manifest-list is required"))
@@ -816,14 +936,24 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
             .select(col("__rel").as("file_path"), col("pos")))
         }
       try {
-        if (eqRels.isEmpty && posDeltas.isEmpty)
-          cat.commitLandedFiles(ns, t, dataRels, sourceRegion = "rest",
-            expectedParentSeq = Some(servedSeq),
-            commitId = Some(s"rest-snap-$snapId")): Unit
-        else
-          cat.commitLandedMoR(ns, t, dataRels, eqRels, posDeltas,
-            sourceRegion = "rest", expectedParentSeq = Some(servedSeq),
-            commitId = Some(s"rest-snap-$snapId")): Unit
+        stageToBranch match {
+          case Some(branch) =>
+            // transaction part: STAGE only — the branch publishes
+            // atomically with its sibling tables via commitTransaction
+            if (eqRels.nonEmpty || posDeltas.nonEmpty)
+              bad("transactional table-changes carry data appends only — " +
+                "commit merge-on-read deletes as single-table commits")
+            cat.commitLandedFilesToBranch(ns, t, branch, dataRels,
+              sourceRegion = "rest"): Unit
+          case None if eqRels.isEmpty && posDeltas.isEmpty =>
+            cat.commitLandedFiles(ns, t, dataRels, sourceRegion = "rest",
+              expectedParentSeq = Some(servedSeq),
+              commitId = Some(s"rest-snap-$snapId")): Unit
+          case None =>
+            cat.commitLandedMoR(ns, t, dataRels, eqRels, posDeltas,
+              sourceRegion = "rest", expectedParentSeq = Some(servedSeq),
+              commitId = Some(s"rest-snap-$snapId")): Unit
+        }
       } catch {
         case e: java.util.ConcurrentModificationException =>
           cleanup(); conflict(e.getMessage)

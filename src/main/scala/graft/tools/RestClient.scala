@@ -95,6 +95,35 @@ object RestClient {
   def appendViaRest(spark: SparkSession, port: Int, ns: String, t: String,
                     df: DataFrame, snapshotId: Long,
                     workDir: String): (Int, String) = {
+    val ch = mapper.readTree(
+      buildAppendChange(spark, port, ns, t, df, snapshotId, workDir))
+    post(port, s"/v1/namespaces/$ns/tables/$t",
+      s"""{"requirements":${ch.get("requirements")},""" +
+        s""""updates":${ch.get("updates")}}""")
+  }
+
+  /** Spec multi-table transaction: one append per (ns, table, df,
+    * snapshotId) part, staged as this client's own parquet + Avro and
+    * committed ATOMICALLY via POST /v1/transactions/commit (204 = every
+    * table landed; 409 = nothing did). */
+  def txnCommitViaRest(spark: SparkSession, port: Int,
+                       parts: Seq[(String, String, DataFrame, Long)],
+                       workDir: String): (Int, String) = {
+    val changes = parts.map { case (ns, t, df, sid) =>
+      buildAppendChange(spark, port, ns, t, df, sid, s"$workDir/$ns.$t")
+    }
+    post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${changes.mkString(",")}]}""")
+  }
+
+  /** One spec table-change (identifier + requirements + updates) whose
+    * add-snapshot appends `df` as this client's own parquet files and
+    * Avro manifest/list — shared by the single-table commit and the
+    * transaction endpoint. */
+  private def buildAppendChange(spark: SparkSession, port: Int,
+                                ns: String, t: String,
+                                df: DataFrame, snapshotId: Long,
+                                workDir: String): String = {
     val (gc, gb) = get(port, s"/v1/namespaces/$ns/tables/$t")
     require(gc == 200, s"GET $ns.$t failed: $gc $gb")
     val meta = mapper.readTree(gb).get("metadata")
@@ -171,18 +200,17 @@ object RestClient {
     writeAvro(listPath, listSchema, listRecords)
 
     val assertId = curId.map(_.toString).getOrElse("null")
-    val body =
-      s"""{"requirements":[
-         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
-         |],"updates":[
-         |  {"action":"add-snapshot","snapshot":{
-         |    "snapshot-id":$snapshotId,
-         |    "manifest-list":"${listPath.toAbsolutePath.toUri}",
-         |    "summary":{"operation":"append"}}},
-         |  {"action":"set-snapshot-ref","ref-name":"main",
-         |   "snapshot-id":$snapshotId,"type":"branch"}
-         |]}""".stripMargin
-    post(port, s"/v1/namespaces/$ns/tables/$t", body)
+    s"""{"identifier":{"namespace":["$ns"],"name":"$t"},
+       |"requirements":[
+       |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
+       |],"updates":[
+       |  {"action":"add-snapshot","snapshot":{
+       |    "snapshot-id":$snapshotId,
+       |    "manifest-list":"${listPath.toAbsolutePath.toUri}",
+       |    "summary":{"operation":"append"}}},
+       |  {"action":"set-snapshot-ref","ref-name":"main",
+       |   "snapshot-id":$snapshotId,"type":"branch"}
+       |]}""".stripMargin
   }
 
   /** The foreign MoR-commit walk: one snapshot carrying optional new

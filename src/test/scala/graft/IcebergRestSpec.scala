@@ -870,6 +870,78 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST multi-table TRANSACTION: a foreign client appends to TWO " +
+       "tables through one POST /v1/transactions/commit — 204, both " +
+       "heads advance with transactional commit ids; a stale " +
+       "requirement is the spec's 409 with NOTHING applied anywhere; a " +
+       "refused mid-staging transaction reclaims its internal branches " +
+       "and landed files") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-rest-txn-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "ta")
+    cat.createTable("ns", "tb")
+    cat.commitAppend("ns", "ta", (0 until 50).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "v"))
+    cat.commitAppend("ns", "tb", (0 until 30).map(i => (i.toLong, s"s$i"))
+      .toDF("k", "s"))
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-txn-exp").toString)
+    try {
+      val p = server.boundPort
+      val work = Files.createTempDirectory("graft-rest-txn-work").toString
+      // happy path: one transaction, two tables, all-or-nothing = all
+      val (tc, tb2) = RestClient.txnCommitViaRest(spark, p, Seq(
+        ("ns", "ta", (100 until 120).map(i => (i.toLong, i * 1.0))
+          .toDF("id", "v"), 9001L),
+        ("ns", "tb", (100 until 110).map(i => (i.toLong, s"s$i"))
+          .toDF("k", "s"), 9002L)), work)
+      assert(tc === 204, tb2)
+      assert(cat.read("ns", "ta").count() === 70L)
+      assert(cat.read("ns", "tb").count() === 40L)
+      assert(cat.latest("ns", "ta").get.commitId.startsWith("txn-rest-"))
+      assert(cat.latest("ns", "tb").get.commitId.startsWith("txn-rest-"))
+      // and the post-transaction LOAD serves both new states
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val served = om.readTree(httpGet(p, "/v1/namespaces/ns/tables/ta")._2)
+      assert(served.get("metadata").get("snapshots").size() === 2)
+
+      // stale requirement: 409, nothing applied anywhere
+      val (cc, cb) = RestClient.post(p, "/v1/transactions/commit",
+        """{"table-changes":[{"identifier":{"namespace":["ns"],"name":"ta"},
+          |"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+          |"snapshot-id":999999}],"updates":[]}]}""".stripMargin)
+      assert(cc === 409, cb)
+      assert(cat.read("ns", "ta").count() === 70L)
+
+      // refusal mid-staging (duplicate table in one transaction):
+      // the first part already staged an internal branch + landed files
+      // — both must be reclaimed, and neither table may advance
+      val h1 = cat.latest("ns", "ta").get.seq
+      val (dc, db) = RestClient.txnCommitViaRest(spark, p, Seq(
+        ("ns", "ta", Seq((900L, 9.0)).toDF("id", "v"), 9003L),
+        ("ns", "ta", Seq((901L, 9.0)).toDF("id", "v"), 9004L)), work + "2")
+      assert(dc === 400, db)
+      assert(cat.latest("ns", "ta").get.seq === h1)
+      assert(cat.read("ns", "ta").count() === 70L)
+      assert(cat.listBranches("ns", "ta").isEmpty,
+        "internal txn branches must be reclaimed on refusal")
+      // no stray landed files: the reclaimed stage dir is gone
+      val dataDir = Paths.get(wh, "ns", "ta", "data")
+      val strays = Files.list(dataDir).iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith("rest-"))
+        .filter(d => Files.list(d).iterator().asScala.nonEmpty)
+        .toList
+      val liveRels = cat.dataFiles("ns", "ta",
+        cat.latest("ns", "ta").get).toSet
+      strays.foreach { d =>
+        val live = Files.list(d).iterator().asScala.exists(f =>
+          liveRels.exists(r => f.toString.endsWith(r.split('/').last)))
+        assert(live, s"stage dir $d holds only reclaimed (dead) files")
+      }
+    } finally server.stop()
+  }
+
   test("shared-store serving (round-14): successive LOADs re-export " +
        "O(delta) against a per-table content-addressed store, the sweep " +
        "keeps the store equal to the serving window's refs, and DROP " +

@@ -3327,11 +3327,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           } else if (System.currentTimeMillis() > deadline) {
             // expired intent that never published: abandon this
             // table's stake; other tables self-heal on their own next
-            // commit
+            // commit. Ownership re-check right before the delete — a
+            // concurrent aborter + a fresh acquisition must not lose
+            // the NEW transaction's barrier
             listDir(metaDir(ns, name))
               .filter(_.getFileName.toString.startsWith(s".txn-$txnId-"))
               .foreach(p => Files.deleteIfExists(p): Unit)
-            Files.deleteIfExists(bf): Unit
+            val still =
+              try jsonMapper.readTree(new String(Files.readAllBytes(bf),
+                StandardCharsets.UTF_8)).get("txnId").asText() == txnId
+              catch { case _: java.io.IOException => false }
+            if (still) Files.deleteIfExists(bf): Unit
           } else {
             waits += 1
             require(waits < 12000,
@@ -3391,13 +3397,32 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         }
       }
     }
-    // journal first (the transaction is fully applied), stakes second
-    Files.deleteIfExists(jf): Unit
+    // journal first (the transaction is fully applied), stakes second —
+    // and ONLY by the single actor whose journal delete won: a slower
+    // concurrent completer must not run cleanup after a NEWER
+    // transaction acquired one of these barriers (it would strip that
+    // transaction's lock mid-flight)
+    if (!Files.deleteIfExists(jf)) return
     ps.foreach { p =>
       Files.deleteIfExists(p.staged): Unit
-      Files.deleteIfExists(txnBarrierFile(p.ns, p.table)): Unit
+      val bf = txnBarrierFile(p.ns, p.table)
+      // ownership re-check (belt on top of the single-cleaner gate)
+      val ownedByUs =
+        try jsonMapper.readTree(new String(Files.readAllBytes(bf),
+          StandardCharsets.UTF_8)).get("txnId").asText() == txnId
+        catch { case _: java.io.IOException => false }
+      if (ownedByUs) Files.deleteIfExists(bf): Unit
     }
   }
+
+  /** Resolve any pending transaction state on `ns.name` without
+    * committing anything: completes a published journal, aborts an
+    * expired intent, waits out a fresh lease. A replay-idempotent
+    * caller (the streaming fan-out sink) runs this before probing
+    * commit ids, so a transaction that published but crashed before
+    * applying becomes VISIBLE to the probe instead of replaying twice. */
+  def resolveTxnBarriers(ns: String, name: String): Unit =
+    awaitTxnBarrier(ns, name)
 
   /** Atomically publish staged branches to SEVERAL tables: either every
     * part lands or none does. Returns the committed snapshots in part
@@ -3521,7 +3546,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       stagedFiles.clear()
       acquired.clear()
       completeTxn(txnId)
-      parts.foreach(p => dropBranch(p.ns, p.table, p.branch))
+      // the transaction is COMMITTED from here — a failed branch drop is
+      // litter, never a failure the caller should see (and must never
+      // trip the catch below into reporting a committed txn as failed)
+      parts.foreach(p =>
+        try dropBranch(p.ns, p.table, p.branch)
+        catch { case _: Throwable => () })
       built.map(_._2)
     } catch {
       case e: Throwable =>

@@ -172,6 +172,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (ident.namespace().length == 2) {
       val Array(mns, mt) = ident.namespace()
       if (cat.tableExists(mns, mt)) {
+        // WRITABLE branch view (Iceberg's `table.branch_<name>` habit):
+        // `INSERT INTO graft.ns.t.branch_b` stages an append on the
+        // branch, `SELECT` reads the branch head — the SQL-only staging
+        // half of a multi-table transaction (publish with
+        // CALL graft.system.commit_transaction) and of WAP. INSERT
+        // OVERWRITE refuses: branches stage APPENDS; replace semantics
+        // belong to main-table commits.
+        if (ident.name().startsWith("branch_")) {
+          val branch = ident.name().stripPrefix("branch_")
+          if (cat.branchExists(mns, mt, branch)) {
+            val head = cat.branchHead(mns, mt, branch)
+            val schema = head.schemaJson
+              .map(org.apache.spark.sql.types.DataType.fromJson(_)
+                .asInstanceOf[StructType])
+              .getOrElse(cat.readBranch(mns, mt, branch).schema)
+            return new GraftV2Table(
+              s"$catalogName.$mns.$mt.${ident.name()}",
+              () => cat.readBranch(mns, mt, branch), schema,
+              insert = Some((df, overwrite) => {
+                require(!overwrite,
+                  s"branch view $mns.$mt.${ident.name()} stages appends — " +
+                    "INSERT INTO only, not INSERT OVERWRITE")
+                cat.commitAppendToBranch(mns, mt, branch, df): Unit
+              }))
+          }
+        }
         val entry: Option[(StructType, () => DataFrame)] = ident.name() match {
           case "history" | "snapshots" =>
             Some((GraftSparkCatalog.HistorySchema, () => cat.history(mns, mt)))

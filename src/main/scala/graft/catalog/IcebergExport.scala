@@ -510,9 +510,16 @@ object IcebergExport {
           try { Files.deleteIfExists(dstP); Files.createLink(dstP, pf); true }
           catch { case _: Exception => false }
         }
-        if (!linked)
-          Files.copy(Paths.get(src), dstP,
+        if (!linked) {
+          // temp + ATOMIC move: shared-store names are skip-if-present,
+          // so a crash mid-copy must never leave a truncated file under
+          // a final name (it would poison every later export)
+          val tmp = dstP.resolveSibling(s".tmp-${UUID.randomUUID()}")
+          Files.copy(Paths.get(src), tmp,
             StandardCopyOption.REPLACE_EXISTING): Unit
+          Files.move(tmp, dstP, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE): Unit
+        }
         checkTs && hasInt96Column(src, confSer.value)
       }.fold(false)(_ || _)
 
@@ -788,8 +795,13 @@ object IcebergExport {
             writtenM += 1
             val lines = written.map { case (p, n, r, l, sp) =>
               s"${Paths.get(p).getFileName}|$n|$r|$l|$sp" }
-            Files.write(sc,
+            // atomic: a truncated sidecar would crash later exports on
+            // parse (the sidecar's presence IS the reuse gate)
+            val tmp = sc.resolveSibling(s".tmp-${UUID.randomUUID()}.txt")
+            Files.write(tmp,
               lines.mkString("\n").getBytes(StandardCharsets.UTF_8)): Unit
+            Files.move(tmp, sc, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE): Unit
           }
           }
         }
@@ -820,6 +832,12 @@ object IcebergExport {
         reusedL += 1
         file.toAbsolutePath
       } else {
+      // shared names are reuse-if-present: write a temp sibling and
+      // ATOMIC-move, so a crash mid-write can never leave a truncated
+      // list that later exports would reuse
+      val writeTarget =
+        if (sharedMetaDir.isEmpty) file
+        else file.resolveSibling(s".tmp-${UUID.randomUUID()}.avro")
       if (sharedMetaDir.isDefined) { writtenL += 1; Files.deleteIfExists(file): Unit }
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](ManifestListSchema))
@@ -827,7 +845,7 @@ object IcebergExport {
       w.setMeta("snapshot-id", sid.toString)
       w.setMeta("sequence-number", (i + 1L).toString)
       if (i > 0) w.setMeta("parent-snapshot-id", snapshotId(i - 1).toString)
-      w.create(ManifestListSchema, file.toFile)
+      w.create(ManifestListSchema, writeTarget.toFile)
       s.manifests.foreach { rel =>
         val add = addedBy(rel)
         manifestMeta(rel).foreach { case (path, nFiles, nRows, len, specId) =>
@@ -855,6 +873,9 @@ object IcebergExport {
         }
       }
       w.close()
+      if (writeTarget ne file)
+        Files.move(writeTarget, file, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
       file.toAbsolutePath
       }
     }
@@ -1069,7 +1090,18 @@ object IcebergExport {
             s"single-file write to $tmp produced no parquet output"))
         finally st.close()
       }
-      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      // ATOMIC landing: shared-store callers skip-if-present, so a
+      // truncated file must never appear under the final name. The
+      // temp dir may sit on another filesystem — stage a sibling first
+      // (same dir = same fs), then rename.
+      try Files.move(part, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        val sib = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+        Files.move(part, sib, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(sib, target, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      }
       Files.size(target)
     } finally {
       // recursive, throw-safe cleanup: a failed Spark write can leave

@@ -1626,13 +1626,18 @@ object CatalogQueries {
         cat.createTable("q", "t2")
         cat.commitAppend("q", "t1", orders.filter(col("o_orderkey") % 2 === 0))
         cat.commitAppend("q", "t2", orders.filter(col("o_orderkey") % 2 === 1))
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        // the SQL-only staging path: writable branch views
         cat.createBranch("q", "t1", "tx")
         cat.createBranch("q", "t2", "tx")
-        cat.commitAppendToBranch("q", "t1", "tx",
-          orders.filter(col("o_orderkey") % 8 === 1))
-        cat.commitAppendToBranch("q", "t2", "tx",
-          orders.filter(col("o_orderkey") % 8 === 2))
-        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(s, w)
+        orders.filter(col("o_orderkey") % 8 === 1)
+          .createOrReplaceTempView("txn_src1")
+        orders.filter(col("o_orderkey") % 8 === 2)
+          .createOrReplaceTempView("txn_src2")
+        s.sql(s"INSERT INTO $c.q.t1.branch_tx SELECT * FROM txn_src1")
+          .collect(): Unit
+        s.sql(s"INSERT INTO $c.q.t2.branch_tx SELECT * FROM txn_src2")
+          .collect(): Unit
         val rows = s.sql(s"""CALL $c.system.commit_transaction(
           'q.t1:tx;q.t2:tx', 'drv1')""").collect()
         require(rows.map(_.getString(2)).toSeq ==

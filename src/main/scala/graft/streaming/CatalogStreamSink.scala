@@ -71,6 +71,69 @@ object CatalogStreamSink {
         }
       })
 
+  /** ATOMIC MULTI-TABLE fan-out form: each micro-batch splits into N
+    * table-targeted frames (`routes` maps each (ns, table) to its
+    * slice) and publishes them as ONE transaction
+    * ([[GraftCatalog.commitTransaction]]) — either every target table
+    * gets its slice of the batch or none does. Exactly-once on top of
+    * at-least-once foreachBatch: the transaction id derives from
+    * (queryTag, batchId), pending transaction state is RESOLVED before
+    * the replay probe (so a batch that published its journal but
+    * crashed pre-apply reads as done, never double-lands), and a lost
+    * publish race resolves by re-probing the applied commit ids. The
+    * routed-fan-out shape is the reference's event fan-out (one sync
+    * event per target region) applied to streaming table writes. */
+  def foreachBatchFanout(cat: GraftCatalog,
+                         routes: Seq[(String, String, DataFrame => DataFrame)],
+                         queryTag: String = "fanout")
+      : (DataFrame, Long) => Unit = (df0, batchId) => {
+    require(routes.nonEmpty, "fanout sink needs at least one route")
+    require(routes.map(r => (r._1, r._2)).distinct.size == routes.size,
+      "fanout routes name each table at most once")
+    val tag = queryTag.replaceAll("[^A-Za-z0-9_-]", "-")
+    val txnId = s"$tag-b$batchId"
+    def appliedAll(): Boolean = routes.indices.forall { i =>
+      cat.byCommitId(routes(i)._1, routes(i)._2, s"txn-$txnId-$i").isDefined
+    }
+    // surface pending transaction state BEFORE probing: a journal
+    // published by a crashed attempt completes here and the probe then
+    // reads the batch as done
+    routes.foreach { case (ns, t, _) => cat.resolveTxnBarriers(ns, t) }
+    // an empty batch (idle tick) must not pollute N tables' histories
+    // with no-op versions — same guard as the cdc sink
+    lazy val batchEmpty = { val d = df0.localCheckpoint(); (d, d.isEmpty) }
+    if (!appliedAll() && !batchEmpty._2) {
+      // the batch frame feeds every route: pin it once
+      val df = batchEmpty._1
+      val branch = s"sink-$txnId"
+      try {
+        val parts = routes.map { case (ns, t, route) =>
+          // a crashed earlier attempt may have left a half-staged
+          // branch — rebuild it from scratch (staging is cheap and
+          // invisible; the TRANSACTION is the only visibility point)
+          if (cat.branchExists(ns, t, branch)) cat.dropBranch(ns, t, branch)
+          cat.createBranch(ns, t, branch)
+          cat.commitAppendToBranch(ns, t, branch, route(df)): Unit
+          cat.TxnPart(ns, t, branch)
+        }
+        cat.commitTransaction(parts, txnId = txnId): Unit
+      } catch {
+        // a racing replay won the journal CAS or the entry probe: this
+        // is success-by-other-means iff every part is applied — drop
+        // our orphaned staging and move on; anything else rethrows and
+        // Spark retries the batch
+        case e: Throwable =>
+          routes.foreach { case (ns, t, _) => cat.resolveTxnBarriers(ns, t) }
+          if (!appliedAll()) throw e
+          routes.foreach { case (ns, t, _) =>
+            if (cat.branchExists(ns, t, branch))
+              try cat.dropBranch(ns, t, branch)
+              catch { case _: Throwable => () }
+          }
+      }
+    }
+  }
+
   private def guarded(cat: GraftCatalog, ns: String, table: String,
                       df: DataFrame, batchId: Long, queryTag: String,
                       commit: (DataFrame, String) => Unit): Unit =

@@ -253,4 +253,53 @@ class ProcedureSpec extends SparkSpec {
     val e = intercept[Exception](cat.expireSnapshots("m", "ret"))
     assert(e.getMessage.contains(GraftCatalog.MaxSnapshotAgeMsProp))
   }
+
+  test("SQL-only multi-table transaction: INSERT INTO writable branch " +
+       "views stages (main untouched), CALL commit_transaction publishes " +
+       "ATOMICALLY across tables, and INSERT OVERWRITE on a branch view " +
+       "refuses") {
+    val (cat, c) = register()
+    spark.sql(s"CREATE TABLE $c.q.x1 (id BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $c.q.x2 (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $c.q.x1 VALUES (1, 1.0)").collect(): Unit
+    spark.sql(s"INSERT INTO $c.q.x2 VALUES (1, 'a')").collect(): Unit
+    spark.sql(s"CALL $c.system.create_branch('q', 'x1', 'st')").collect(): Unit
+    spark.sql(s"CALL $c.system.create_branch('q', 'x2', 'st')").collect(): Unit
+
+    spark.sql(s"INSERT INTO $c.q.x1.branch_st VALUES (2, 2.0)").collect(): Unit
+    spark.sql(s"INSERT INTO $c.q.x2.branch_st VALUES (2, 'b')").collect(): Unit
+    // the branch view reads STAGED state; main is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x1.branch_st")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x1").head().getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x2").head().getLong(0) === 1L)
+
+    val rows = spark.sql(
+      s"CALL $c.system.commit_transaction('q.x1:st;q.x2:st', 'sqltxn1')")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("q.x1", "q.x2"))
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("txn-sqltxn1-0", "txn-sqltxn1-1"))
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x1").head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x2").head().getLong(0) === 2L)
+    // the staged branches are gone with the publish
+    assert(cat.listBranches("q", "x1").isEmpty)
+
+    // INSERT OVERWRITE on a branch view refuses (branches stage appends)
+    spark.sql(s"CALL $c.system.create_branch('q', 'x1', 'ow')").collect(): Unit
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $c.q.x1.branch_ow VALUES (9, 9.0)")
+        .collect(): Unit
+    }
+    assert(e2.getMessage.contains("INSERT INTO only") ||
+      Option(e2.getCause).exists(_.getMessage.contains("INSERT INTO only")),
+      s"unexpected: ${e2.getMessage}")
+    // a malformed parts spec refuses loudly
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $c.system.commit_transaction('q.x1', 'sqltxn2')")
+        .collect(): Unit
+    }
+    assert(e3.getMessage.contains("ns.table:branch") ||
+      Option(e3.getCause).exists(_.getMessage.contains("ns.table:branch")))
+  }
 }

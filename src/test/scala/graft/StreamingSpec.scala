@@ -1515,4 +1515,53 @@ class StreamingSpec extends SparkSpec {
       }
     } finally worker.stop()
   }
+
+  test("atomic multi-table fan-out sink (round-14): each micro-batch " +
+       "splits across TWO tables as ONE transaction — both tables get " +
+       "their slice or neither does — and a replayed batch is a no-op " +
+       "even when its transaction already applied out-of-band") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.CatalogStreamSink
+    import org.apache.spark.sql.DataFrame
+    val wh = Files.createTempDirectory("graft-fanout-wh").toString
+    val ckpt = Files.createTempDirectory("graft-fanout-ckpt").toString
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    cat.createTable("f", "evens")
+    cat.createTable("f", "odds")
+    cat.commitAppend("f", "evens", Seq((0L, "seed")).toDF("id", "v"))
+    cat.commitAppend("f", "odds", Seq((1L, "seed")).toDF("id", "v"))
+    val sink = CatalogStreamSink.foreachBatchFanout(cat, Seq(
+      ("f", "evens", (d: DataFrame) => d.filter(col("id") % 2 === 0)),
+      ("f", "odds", (d: DataFrame) => d.filter(col("id") % 2 === 1))), "fx")
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((2L, "a"), (3L, "b"), (4L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(cat.read("f", "evens").select("id").as[Long].collect().sorted
+      === Seq(0L, 2L, 4L))
+    assert(cat.read("f", "odds").select("id").as[Long].collect().sorted
+      === Seq(1L, 3L))
+    // both heads carry the SAME transaction's parts
+    val ec = cat.latest("f", "evens").get.commitId
+    val oc = cat.latest("f", "odds").get.commitId
+    assert(ec.startsWith("txn-fx-b0-") && oc.startsWith("txn-fx-b0-"),
+      s"expected one transaction across both heads, got $ec / $oc")
+
+    // direct at-least-once replay of batch 0 (the crashed-offsets case):
+    // pending state resolves, the commit-id probe reads it as done, and
+    // NOTHING lands twice
+    sink(Seq((2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "v"), 0L)
+    assert(cat.read("f", "evens").count() === 3L)
+    assert(cat.read("f", "odds").count() === 2L)
+    assert(cat.latest("f", "evens").get.commitId === ec)
+    // no staging litter from the replay path
+    assert(cat.listBranches("f", "evens").isEmpty)
+    assert(cat.listBranches("f", "odds").isEmpty)
+  }
 }

@@ -1447,7 +1447,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                           readParent: () => Option[Snapshot],
                           target: Long => Path,
                           allowMaintenanceId: Boolean = false,
-                          beforeAttempt: () => Unit = () => ())
+                          beforeAttempt: () => Unit = () => (),
+                          blockedBy: () => Boolean = () => false)
                          (mkSnapshot: Option[Snapshot] => Snapshot): Snapshot = {
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1467,15 +1468,27 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           "maintenance prefix (compact-/rwmanifests-/rwposdel-)")
       val tmp = metaDir(ns, name).resolve(s".tmp-${UUID.randomUUID()}.json")
       Files.write(tmp, writeJson(snap).getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(target(snap.seq), tmp)
+      // final pre-link re-check: a transaction barrier that appeared
+      // AFTER beforeAttempt() (while mkSnapshot ran) must win — without
+      // this, a committer stalled past the coordinator's grace window
+      // could take a slot its journal targets and poison the
+      // transaction's completion. Narrows the race to the two syscalls
+      // below.
+      if (blockedBy()) {
         Files.deleteIfExists(tmp)
-        return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+        attempt += 1
+        // the next beforeAttempt() waits the transaction out properly
+      } else {
+        try {
+          Files.createLink(target(snap.seq), tmp)
           Files.deleteIfExists(tmp)
-          attempt += 1 // lost the race — re-read parent and retry (C12)
-          backoff(attempt)
+          return snap
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            attempt += 1 // lost the race — re-read parent and retry (C12)
+            backoff(attempt)
+        }
       }
     }
     throw new IllegalStateException(s"commit conflict after $maxRetries retries on $ns.$name")
@@ -1487,7 +1500,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     casCommitAt(ns, name, maxRetries,
       () => latest(ns, name), versionFile(ns, name, _),
       allowMaintenanceId,
-      beforeAttempt = () => awaitTxnBarrier(ns, name))(mkSnapshot)
+      beforeAttempt = () => awaitTxnBarrier(ns, name),
+      blockedBy = () => Files.isRegularFile(txnBarrierFile(ns, name)))(mkSnapshot)
 
   /** C3/C12: append `df` as a new version with optimistic CAS on the
     * version number. Data files land distributed (executor writes); one
@@ -3323,7 +3337,11 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           // before (deadline - grace), so an expiry observed here
           // proves no publish can still be in flight
           if (Files.isRegularFile(txnJournal(txnId))) {
-            completeTxn(txnId)
+            // a CANCELLED transaction (slot lost pre-apply) is the
+            // coordinator's failure to report, not this innocent
+            // committer's — the cancel already cleaned the stakes
+            try completeTxn(txnId)
+            catch { case _: java.util.ConcurrentModificationException => () }
           } else if (System.currentTimeMillis() > deadline) {
             // expired intent that never published: abandon this
             // table's stake; other tables self-heal on their own next
@@ -3374,16 +3392,41 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       try Some(parseJson(new String(Files.readAllBytes(target),
         StandardCharsets.UTF_8)).commitId)
       catch { case _: java.io.IOException => None }
-    // verify-all BEFORE link-any: all-or-nothing even against the
-    // documented-impossible lease breach — which halts loudly here,
-    // with nothing partial applied
-    ps.foreach { p =>
-      takenBy(p.target).foreach { cid =>
-        require(cid == p.commitId,
-          s"transaction $txnId cannot complete: v${p.seq} of " +
-            s"${p.ns}.${p.table} was taken by '$cid' — the barrier lease " +
-            "was breached; refusing to apply a partial transaction")
+    // verify-all BEFORE link-any: all-or-nothing even against a lease
+    // breach. A foreign commit in one of our slots with NOTHING of ours
+    // applied yet CANCELS the transaction cleanly (single-cleaner gated
+    // on the journal delete, so a concurrent applier never observes a
+    // half-cancelled journal); a foreign slot next to an ALREADY-applied
+    // part is a genuine partial state and halts loudly — that needs two
+    // independent lease breaches to reach.
+    val slots = ps.map(p => p -> takenBy(p.target))
+    val foreign = slots.collect {
+      case (p, Some(cid)) if cid != p.commitId => (p, cid) }
+    if (foreign.nonEmpty) {
+      val applied = slots.exists { case (p, cid) => cid.contains(p.commitId) }
+      require(!applied,
+        s"transaction $txnId cannot complete: v${foreign.head._1.seq} of " +
+          s"${foreign.head._1.ns}.${foreign.head._1.table} was taken by " +
+          s"'${foreign.head._2}' AFTER parts were applied — a partial " +
+          "transaction; refusing to continue")
+      if (Files.deleteIfExists(jf)) {
+        ps.foreach { p =>
+          Files.deleteIfExists(p.staged): Unit
+          val bf = txnBarrierFile(p.ns, p.table)
+          val ownedByUs =
+            try jsonMapper.readTree(new String(Files.readAllBytes(bf),
+              StandardCharsets.UTF_8)).get("txnId").asText() == txnId
+            catch { case _: java.io.IOException => false }
+          if (ownedByUs) Files.deleteIfExists(bf): Unit
+        }
       }
+      throw new java.util.ConcurrentModificationException(
+        s"transaction $txnId lost v${foreign.head._1.seq} of " +
+          s"${foreign.head._1.ns}.${foreign.head._1.table} to " +
+          s"'${foreign.head._2}' before applying anything — cancelled " +
+          "(nothing was applied on any table)")
+    }
+    ps.foreach { p =>
       require(Files.isRegularFile(p.staged) || takenBy(p.target).isDefined,
         s"transaction $txnId journal names a missing staged file ${p.staged}")
     }
@@ -3424,6 +3467,48 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
   def resolveTxnBarriers(ns: String, name: String): Unit =
     awaitTxnBarrier(ns, name)
 
+  /** A transactionally-consistent CUT across several tables: pinned
+    * snapshots such that no multi-table transaction is split by the
+    * view (every transaction is either entirely at-or-below the cut on
+    * all its tables, or entirely above). Mechanism: resolve pending
+    * transaction state, then read every head TWICE — a cut is returned
+    * only when no table's head moved between the passes, which rules
+    * out an application landing mid-scan (transaction applies are
+    * commits). The check is three-phase — pass 1 reads, a BARRIER-FREE
+    * probe on every table, pass 2 reads, accept iff the passes agree:
+    * a transaction whose apply(X) precedes pass 1's read of X while its
+    * apply(Y) follows pass 2's read of Y necessarily HOLDS Y's barrier
+    * across the whole interval (barriers acquire before any apply and
+    * release only after the last), so the mid-probe sees it and
+    * retries; an apply landing anywhere else between the passes flips a
+    * head and fails the equality. Read the pinned versions with
+    * [[readVersion]]. Bounded retries, loud failure — on a write-storm
+    * the caller decides whether a consistent cut is worth waiting for. */
+  def snapshotConsistent(tables: Seq[(String, String)],
+                         maxRetries: Int = 8): Seq[Snapshot] = {
+    require(tables.nonEmpty, "empty table set")
+    require(tables.distinct.size == tables.size, "duplicate table in cut")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      tables.foreach { case (ns, t) => awaitTxnBarrier(ns, t) }
+      val pass1 = tables.map { case (ns, t) =>
+        latest(ns, t).getOrElse(throw new IllegalStateException(
+          s"cannot pin empty table $ns.$t in a consistent cut"))
+      }
+      val noTxnMidFlight = tables.forall { case (ns, t) =>
+        !Files.isRegularFile(txnBarrierFile(ns, t)) }
+      val stable = noTxnMidFlight && tables.zip(pass1).forall {
+        case ((ns, t), s1) => latest(ns, t).exists(_.commitId == s1.commitId)
+      }
+      if (stable) return pass1
+      attempt += 1
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"no stable cut across ${tables.map { case (n, t) => s"$n.$t" }
+        .mkString(", ")} after $maxRetries attempts — heads kept moving")
+  }
+
   /** Atomically publish staged branches to SEVERAL tables: either every
     * part lands or none does. Returns the committed snapshots in part
     * order and drops the staged branches; on ANY failure nothing is
@@ -3446,6 +3531,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       require(branchExists(p.ns, p.table, p.branch),
         s"no branch '${p.branch}' on ${p.ns}.${p.table}")
     }
+    // resolve pending transaction state BEFORE the replay probe: a
+    // replay of a txnId that PUBLISHED but crashed pre-apply must read
+    // as the DuplicateCommitException it is (after completion below),
+    // never as a misleading MergeConflict the caller would retry into a
+    // double-apply
+    parts.foreach(p => awaitTxnBarrier(p.ns, p.table))
     parts.zipWithIndex.foreach { case (p, i) =>
       byCommitId(p.ns, p.table, s"txn-$txnId-$i").foreach { prior =>
         throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)

@@ -1569,7 +1569,8 @@ object CatalogQueries {
     * composes with store-resident reused metadata into exactly the
     * right table. */
   private def exportDeltaRead: Q = (s, d) => {
-    val dest2 = exportDeltaDirs.getOrElseUpdate(sessionKey(s, d), {
+    val dest2 = exportDeltaDirs.synchronized {
+      exportDeltaDirs.getOrElseUpdate(sessionKey(s, d), {
       val wh = Files.createTempDirectory("graft-xdelta-wh").toString
       val cat = new GraftCatalog(s, wh)
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -1598,6 +1599,7 @@ object CatalogQueries {
           s"lists (reused=${r2.reusedLists}, written=${r2.writtenLists})")
       t2
     })
+    }
     graft.catalog.IcebergExport.readExported(s, dest2)
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 2).as("total_price"),

@@ -451,6 +451,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         val branch = s"txn-$txnId"
         cat.createBranch(ns, t, branch)
         parts += ((ns, t, branch))
+        // the staged branch must FORK at the state the requirements were
+        // judged against — a local commit racing the window between
+        // servedExport and createBranch is the spec's 409 (the
+        // single-table path's expectedParentSeq guard, transactional
+        // form; commitTransaction's fork check then holds it to publish)
+        val (forkSeq, _) = cat.branchFork(ns, t, branch)
+        if (forkSeq != servedSeq)
+          conflict(s"table $ns.$t moved to v$forkSeq while the " +
+            s"transaction was judged against v$servedSeq — reload and retry")
         commitSnapshot(ns, t, snap, meta, servedSeq, loc,
           stageToBranch = Some(branch))
       }
@@ -465,8 +474,9 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
       }
       replyHead(out, 204)
     } catch {
-      case e: RestError =>
-        // a refusal mid-staging reclaims every internal branch and its
+      case e: Throwable =>
+        // ANY failure mid-staging (spec refusal, landing IO error,
+        // catalog require) reclaims every internal branch and its
         // landed files — a foreign client cannot see or clean them
         reclaim()
         throw e

@@ -99,13 +99,21 @@ object CatalogStreamSink {
     // published by a crashed attempt completes here and the probe then
     // reads the batch as done
     routes.foreach { case (ns, t, _) => cat.resolveTxnBarriers(ns, t) }
+    val branch = s"sink-$txnId"
+    def dropStaleBranches(): Unit = routes.foreach { case (ns, t, _) =>
+      if (cat.branchExists(ns, t, branch))
+        try cat.dropBranch(ns, t, branch) catch { case _: Throwable => () }
+    }
     // an empty batch (idle tick) must not pollute N tables' histories
     // with no-op versions — same guard as the cdc sink
     lazy val batchEmpty = { val d = df0.localCheckpoint(); (d, d.isEmpty) }
-    if (!appliedAll() && !batchEmpty._2) {
+    if (appliedAll()) {
+      // a crashed attempt's staging may survive its own recovery (the
+      // out-of-band completion never reaches the coordinator's drop)
+      dropStaleBranches()
+    } else if (!batchEmpty._2) {
       // the batch frame feeds every route: pin it once
       val df = batchEmpty._1
-      val branch = s"sink-$txnId"
       try {
         val parts = routes.map { case (ns, t, route) =>
           // a crashed earlier attempt may have left a half-staged
@@ -125,11 +133,7 @@ object CatalogStreamSink {
         case e: Throwable =>
           routes.foreach { case (ns, t, _) => cat.resolveTxnBarriers(ns, t) }
           if (!appliedAll()) throw e
-          routes.foreach { case (ns, t, _) =>
-            if (cat.branchExists(ns, t, branch))
-              try cat.dropBranch(ns, t, branch)
-              catch { case _: Throwable => () }
-          }
+          dropStaleBranches()
       }
     }
   }

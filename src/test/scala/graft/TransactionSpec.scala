@@ -262,4 +262,98 @@ class TransactionSpec extends SparkSpec {
       s"txn parts diverge: t1=$t1Txn t2=$t2Txn committed=$committed")
     assert(conflicts + committed === 4) // 3 storm-phase outcomes + the post txn
   }
+
+  test("a PUBLISHED transaction whose target slot was stolen before ANY " +
+       "part applied is CANCELLED by recovery — later commits proceed, " +
+       "nothing partial lands on either table, all stakes are reclaimed") {
+    val cat = freshCat()
+    mkTables(cat)
+    // the breach the grace window normally prevents: a regular commit
+    // takes t1's next slot FIRST...
+    cat.commitAppend("a", "t1", Seq((7L, 7.0)).toDF("id", "v")): Unit
+    // ...then a transaction's published state appears claiming that same
+    // slot (the coordinator died right after publishing). Staged content
+    // is never parsed on the cancel path, so stubs suffice.
+    val deadline = System.currentTimeMillis() + 60000L
+    val partsJson = Seq(("a", "t1", 1L, 0), ("b", "t2", 1L, 1)).map {
+      case (ns, t, seq, i) =>
+        val stagedName = s".txn-steal1-v$seq.json"
+        Files.write(meta(cat, ns, t).resolve(stagedName), "{}".getBytes(UTF_8))
+        Files.write(meta(cat, ns, t).resolve(".txn-barrier.json"),
+          s"""{"txnId":"steal1","deadlineMs":$deadline}""".getBytes(UTF_8))
+        s"""{"ns":"$ns","table":"$t","seq":$seq,""" +
+          s""""commitId":"txn-steal1-$i","staged":"$stagedName"}"""
+    }
+    val txnDir = Paths.get(cat.warehouse, "_txn")
+    Files.createDirectories(txnDir)
+    Files.write(txnDir.resolve("steal1.json"),
+      s"""{"txnId":"steal1","parts":[${partsJson.mkString(",")}]}"""
+        .getBytes(UTF_8))
+
+    // an ordinary commit on the OTHER table drives recovery: the txn
+    // cancels cleanly (slot gone, nothing applied) instead of wedging
+    // every involved table forever
+    val s2 = cat.commitAppend("b", "t2", Seq((8L, "y")).toDF("k", "s"))
+    assert(s2.seq === 1L)
+    assert(!Files.exists(txnDir.resolve("steal1.json")),
+      "the cancelled journal must be reclaimed")
+    assert(!Files.exists(meta(cat, "a", "t1").resolve(".txn-barrier.json")))
+    assert(!Files.exists(meta(cat, "b", "t2").resolve(".txn-barrier.json")))
+    assert(!Files.exists(meta(cat, "a", "t1").resolve(".txn-steal1-v1.json")))
+    assert(cat.snapshots("a", "t1").forall(!_.commitId.startsWith("txn-")),
+      "no part of the cancelled transaction may appear on t1")
+    assert(cat.snapshots("b", "t2").forall(!_.commitId.startsWith("txn-")),
+      "no part of the cancelled transaction may appear on t2")
+    // the warehouse is fully unwedged: a transaction commits normally
+    val fresh = stagePair(cat, "after")
+    val snaps = cat.commitTransaction(fresh.map(p =>
+      cat.TxnPart(p.ns, p.table, p.branch)), txnId = "after-1")
+    assert(snaps.size === 2)
+  }
+
+  test("snapshotConsistent: no cut ever splits a transaction — under a " +
+       "committing storm every pinned pair sees the SAME set of applied " +
+       "transactions on both tables, and the pins read coherently") {
+    val cat = freshCat()
+    mkTables(cat)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val committer = new Thread(() => {
+      try {
+        (1 to 10).foreach { k =>
+          val tag = s"c$k"
+          cat.createBranch("a", "t1", tag)
+          cat.createBranch("b", "t2", tag)
+          cat.commitAppendToBranch("a", "t1", tag,
+            Seq((10L + k, 1.0)).toDF("id", "v"))
+          cat.commitAppendToBranch("b", "t2", tag,
+            Seq((10L + k, "x")).toDF("k", "s"))
+          cat.commitTransaction(Seq(
+            cat.TxnPart("a", "t1", tag), cat.TxnPart("b", "t2", tag)),
+            txnId = s"cut$k"): Unit
+        }
+      } finally stop.set(true)
+    })
+    def txnIdsUpTo(ns: String, t: String, seq: Long): Set[String] =
+      cat.snapshots(ns, t).filter(_.seq <= seq).map(_.commitId)
+        .filter(_.startsWith("txn-cut"))
+        .map(_.stripSuffix("-0").stripSuffix("-1")).toSet
+    committer.start()
+    var cuts = 0
+    try {
+      while (!stop.get()) {
+        val pins = cat.snapshotConsistent(Seq(("a", "t1"), ("b", "t2")))
+        assert(txnIdsUpTo("a", "t1", pins(0).seq) ===
+          txnIdsUpTo("b", "t2", pins(1).seq),
+          s"cut (${pins(0).seq}, ${pins(1).seq}) split a transaction")
+        cuts += 1
+        Thread.sleep(15)
+      }
+    } finally { stop.set(true); committer.join(60000) }
+    assert(cuts > 0, "the reader must have taken at least one cut")
+    // the final cut sees all ten transactions on both tables
+    val fin = cat.snapshotConsistent(Seq(("a", "t1"), ("b", "t2")))
+    assert(txnIdsUpTo("a", "t1", fin(0).seq).size === 10)
+    assert(cat.readVersion("a", "t1", fin(0).seq).count() === 12L)
+    assert(cat.readVersion("b", "t2", fin(1).seq).count() === 12L)
+  }
 }

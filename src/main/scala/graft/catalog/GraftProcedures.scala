@@ -34,7 +34,7 @@ object GraftProcedures {
     "expire_snapshots_auto", "rollback",
     "iceberg_export", "iceberg_import",
     "create_branch", "fast_forward", "create_tag", "commit_transaction",
-    "sweep_orphan_manifests",
+    "snapshot_consistent", "sweep_orphan_manifests",
     "backfill_stats", "rewrite_manifests", "rewrite_position_deletes",
     "refresh_mv", "create_changelog_view")
 
@@ -165,6 +165,27 @@ object GraftProcedures {
           val snaps = cat.commitTransaction(parts, txnId = txnId)
           parts.zip(snaps).map { case (p, s) =>
             Seq(s"${p.ns}.${p.table}", s.seq, s.commitId) } }))
+      case "snapshot_consistent" => Some(proc("snapshot_consistent",
+        // tables spell "ns.table" joined by ';' — returns one row per
+        // table with the PINNED version of a transactionally-consistent
+        // cut (no multi-table transaction split across the rows); read
+        // the pins with VERSION AS OF
+        Seq("tables" -> StringType),
+        StructType(Seq(StructField("tbl", StringType),
+          StructField("seq", LongType), StructField("commit_id", StringType))),
+        { case Seq(tablesSpec: String) =>
+          val tabs = tablesSpec.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map { s0 =>
+              val m = "([^.:;]+)\\.([^.:;]+)".r
+              s0 match {
+                case m(ns, t) => (ns, t)
+                case other => throw new IllegalArgumentException(
+                  s"snapshot_consistent: '$other' must spell ns.table")
+              }
+            }
+          val pins = cat.snapshotConsistent(tabs)
+          tabs.zip(pins).map { case ((ns, t), p) =>
+            Seq(s"$ns.$t", p.seq, p.commitId) } }))
       case "fast_forward" => Some(proc("fast_forward",
         Seq("ns" -> StringType, "tbl" -> StringType, "branch" -> StringType),
         StructType(Seq(StructField("merged_seq", LongType),

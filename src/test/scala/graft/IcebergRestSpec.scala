@@ -1029,4 +1029,62 @@ class IcebergRestSpec extends SparkSpec {
       assert(!Files.exists(sharedDir), "DROP must reclaim the shared store")
     } finally server.stop()
   }
+
+  test("shared store survives a server RESTART: a fresh server on the " +
+       "same export root reuses the store byte-identically (restart ≠ " +
+       "full re-export) and its sweep respects the new serving window") {
+    val wh = Files.createTempDirectory("graft-rest-rswh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "rs")
+    cat.commitAppend("ns", "rs",
+      (0 until 120).map(i => (i.toLong, i * 1.5)).toDF("id", "v"))
+    cat.commitAppend("ns", "rs",
+      (120 until 200).map(i => (i.toLong, i * 1.5)).toDF("id", "v"))
+    val exportRoot = Files.createTempDirectory("graft-rest-rsexp").toString
+    val sharedDir = Paths.get(exportRoot, "ns", "rs", "_shared")
+    def storeHashes(): Map[String, String] = {
+      def files(sub: String): Seq[java.nio.file.Path] = {
+        val d = sharedDir.resolve(sub)
+        if (!Files.isDirectory(d)) Seq.empty
+        else { val s = Files.list(d); try s.iterator().asScala.toList finally s.close() }
+      }
+      (files("data") ++ files("metadata")).map { f =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+        s"${f.getParent.getFileName}/${f.getFileName}" -> h
+      }.toMap
+    }
+
+    val s1 = new IcebergRestServer(cat, exportRoot)
+    try { assert(httpGet(s1.boundPort, "/v1/namespaces/ns/tables/rs")._1 === 200) }
+    finally s1.stop()
+    val before = storeHashes()
+    assert(before.nonEmpty)
+
+    // RESTART (fresh memo, same root): the first load finds the same
+    // digests and reuses — every prior object byte-untouched; only a
+    // new metadata tree is written
+    val s2 = new IcebergRestServer(cat, exportRoot)
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (c1, b1) = httpGet(s2.boundPort, "/v1/namespaces/ns/tables/rs")
+      assert(c1 === 200)
+      val after = storeHashes()
+      assert(after === before,
+        "a restarted server must reuse the store byte-identically")
+      // and the restarted serving still composes with new commits
+      cat.commitAppend("ns", "rs",
+        (200 until 220).map(i => (i.toLong, i * 1.5)).toDF("id", "v"))
+      val (c2, b2) = httpGet(s2.boundPort, "/v1/namespaces/ns/tables/rs")
+      assert(c2 === 200)
+      val loc2 = mapper.readTree(b2).get("metadata-location").asText()
+      val tree2 = Paths.get(java.net.URI.create(loc2)).getParent.getParent
+      assert(IcebergExport.readExported(spark, tree2.toString).count() === 220L)
+      // pre-restart objects still byte-identical inside the grown store
+      val grown = storeHashes()
+      before.foreach { case (n, h) =>
+        assert(grown.get(n).contains(h), s"store object $n changed") }
+      assert(grown.size > before.size)
+    } finally s2.stop()
+  }
 }

@@ -301,5 +301,19 @@ class ProcedureSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("ns.table:branch") ||
       Option(e3.getCause).exists(_.getMessage.contains("ns.table:branch")))
+
+    // the read-side dual: a transactionally-consistent CUT over SQL —
+    // the pinned pair carries the committed transaction on BOTH tables
+    // and reads coherently via VERSION AS OF
+    val cut = spark.sql(
+      s"CALL $c.system.snapshot_consistent('q.x1;q.x2')").collect()
+    assert(cut.map(_.getString(0)).toSeq === Seq("q.x1", "q.x2"))
+    assert(cut.map(_.getString(2)).toSeq ===
+      Seq("txn-sqltxn1-0", "txn-sqltxn1-1"))
+    val (s1, s2) = (cut(0).getLong(1), cut(1).getLong(1))
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x1 VERSION AS OF $s1")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $c.q.x2 VERSION AS OF $s2")
+      .head().getLong(0) === 2L)
   }
 }

@@ -641,6 +641,34 @@ object ServeBench {
         }
       }
     }
+    if (groups("txn")) {
+      // Multi-table transaction publish cost (round-14): the claim is
+      // O(N) METADATA operations in the member-table count — barriers +
+      // fork reads + one journal + N links — with zero data work in the
+      // publish itself (staging is ordinary branch commits, untimed
+      // here). Axis: N tables per transaction; each carries a fixed
+      // small staged batch.
+      Seq(2, 8, 32).foreach { n =>
+        (0 until n).foreach { i =>
+          cat.createTable("sb", s"txm$n-$i")
+          cat.commitAppend("sb", s"txm$n-$i",
+            spark.range(100).selectExpr("id", "id * 1.5 as v"))
+        }
+        (1 to repeat).foreach { r =>
+          val parts = (0 until n).map { i =>
+            val b = s"st$r"
+            cat.createBranch("sb", s"txm$n-$i", b)
+            cat.commitAppendToBranch("sb", s"txm$n-$i", b,
+              spark.range(10).selectExpr(s"id + ${r * 1000} as id",
+                "id * 2.0 as v"))
+            cat.TxnPart("sb", s"txm$n-$i", b)
+          }
+          time(s"txn_commit_n$n", r) {
+            cat.commitTransaction(parts, txnId = s"bench-$n-$r").size.toLong
+          }
+        }
+      }
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with

@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 250-query bench/verify run emits thousands of whole-stage-codegen
+  // classes; the JDK default 240m code cache runs ~71% full by the end
+  // of one clean pass (BENCH_FULL.json "jvm" meter) — past the flush
+  // threshold, HotSpot evicts and recompiles hot methods repeatedly and
+  // late (alphabetical) queries pay persistent cpu≈wall compilation
+  // churn. Headroom makes forked sbt runs immune.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -26,7 +26,24 @@ import org.apache.spark.sql.SparkSession
   * forced to 1 entry, 5.2 s / 7.4 cpu-s in the driver's full suite; gc
   * stays small, cpu scales WITH wall (compiler threads), unlike steal.
   * The bench mains size the cache to the suite (4096), which is what a
-  * long-lived production app serving this query set would run. */
+  * long-lived production app serving this query set would run.
+  *
+  * Round-15 extension: the 4096-entry cache retired the PLAN-cache
+  * eviction mode, but the driver's context still showed the signature
+  * on the text block, so the remaining candidate is the JVM CODE cache:
+  * one clean full run ends at ~170 of the default 240 MB
+  * (BENCH_FULL.json "jvm" meter) — an invocation that crosses the
+  * flush threshold gets hot generated methods evicted and recompiled
+  * every pass (persistent cpu≈wall + large jit_ms, which min-of-two
+  * cannot remove; full exhaustion disables the JIT outright and the
+  * tail runs interpreted). Instrumented, not guessed: every detail row
+  * now carries jit_ms (CompilationMXBean delta) and the artifact ends
+  * with {"jvm":{code_cache_used_mb, code_cache_max_mb, jit_total_ms}} —
+  * an inflated row with jit_ms ≈ wall·1000 IS compilation churn, by
+  * meter. build.sbt raises forked-run headroom to 512m; a clean cold
+  * run on this tree reads text_novelty 0.12 s / text_langid 0.35 s /
+  * text_rrf_fusion 0.73 s (vs the driver-context 1.58/4.00/4.95),
+  * within 1.5x of BenchOne steady state. */
 private[graft] object BenchMeters {
   private val os = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean
@@ -41,6 +58,32 @@ private[graft] object BenchMeters {
     var t = 0L
     gcs.forEach(b => if (b.getCollectionTime >= 0) t += b.getCollectionTime)
     t
+  }
+  /** Cumulative JIT compilation milliseconds (all compiler threads) —
+    * a query whose wall inflates WITH this meter is paying compilation
+    * (janino emits the bytecode; HotSpot then compiles it), not steal
+    * and not data-shaped work. */
+  def jitMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else -1L
+  }
+  /** (used, max) bytes summed over the JVM code-heap pools — a
+    * 250-query × (warmup + 2 passes) suite emits thousands of
+    * generated classes, and a FULL code cache turns the JIT off
+    * ("compiler disabled": late queries then run interpreted with
+    * cpu ≈ wall, gc ≈ 0, persisting across BOTH timed passes, which
+    * min-of-two cannot remove). This meter makes that state visible
+    * in the artifact instead of inferred from prose. */
+  def codeCache: (Long, Long) = {
+    var used = 0L; var max = 0L
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+      if (p.getName.startsWith("CodeHeap") || p.getName == "Code Cache") {
+        val u = p.getUsage
+        if (u != null) { used += u.getUsed; max += u.getMax }
+      }
+    }
+    (used, max)
   }
 }
 
@@ -669,6 +712,123 @@ object ServeBench {
         }
       }
     }
+    if (groups("txnrecover")) {
+      // Transaction CRASH-RECOVERY cost (round-15 stretch): fabricate
+      // the exact post-journal-CAS, pre-apply state over N=16 tables
+      // whose bases are CORPUS-sized (lineitem slices — the axis the
+      // sweep varies via SPARK_GRAFT_SF_DIR), then time recovery
+      // triggered by one ordinary commit. Claim: recovery is
+      // JOURNAL-shaped (N staged-JSON links + barrier drops — flat
+      // across corpus factors), and the changefeed over the recovered
+      // txn version stays O(delta staged), never a corpus rescan.
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val li = Tables.lineitem(spark, sfDir)
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("v"))
+      val n = 16
+      (1 to repeat).foreach { r =>
+        val txnId = s"rec$r"
+        (0 until n).foreach { i =>
+          if (r == 1) {
+            cat.createTable("sb", s"rc$i")
+            // corpus-sized base: each table carries 1/n of lineitem
+            cat.commitAppend("sb", s"rc$i",
+              li.filter(pmod(col("id"), lit(n)) === i)): Unit
+          }
+          cat.createBranch("sb", s"rc$i", s"st$r")
+          cat.commitAppendToBranch("sb", s"rc$i", s"st$r",
+            spark.range(10).selectExpr(s"id + ${r * 1000000} as id",
+              "id * 2.0 as v")): Unit
+        }
+        // fabricate the published-but-unapplied state the way the
+        // coordinator would have left it (TransactionSpec's shape)
+        val deadline = System.currentTimeMillis() + 600000L
+        val partsJson = (0 until n).map { i =>
+          val (ns, t) = ("sb", s"rc$i")
+          val head = cat.branchHead(ns, t, s"st$r")
+          val cur = cat.latest(ns, t).get
+          val seq = cur.seq + 1
+          val cid = s"txn-$txnId-$i"
+          val o = om.createObjectNode()
+          o.put("seq", seq): Unit
+          o.put("commitId", cid): Unit
+          o.put("parentId", cur.commitId): Unit
+          o.put("timestampMs", System.currentTimeMillis()): Unit
+          o.put("sourceRegion", head.sourceRegion): Unit
+          o.put("fileCount", head.fileCount): Unit
+          o.put("totalBytes", head.totalBytes): Unit
+          head.schemaJson.foreach(s => o.put("schemaJson", s): Unit)
+          head.propsJson.foreach(s => o.put("propsJson", s): Unit)
+          val arr = o.putArray("manifests")
+          head.manifests.foreach(m => arr.add(m): Unit)
+          val stagedName = s".txn-$txnId-v$seq.json"
+          val metaDir = java.nio.file.Paths.get(cat.warehouse, ns, t, "_meta")
+          Files.write(metaDir.resolve(stagedName),
+            om.writeValueAsString(o).getBytes("UTF-8")): Unit
+          Files.write(metaDir.resolve(".txn-barrier.json"),
+            s"""{"txnId":"$txnId","deadlineMs":$deadline}"""
+              .getBytes("UTF-8")): Unit
+          s"""{"ns":"$ns","table":"$t","seq":$seq,"commitId":"$cid","staged":"$stagedName"}"""
+        }
+        val txnDir = java.nio.file.Paths.get(cat.warehouse, "_txn")
+        Files.createDirectories(txnDir)
+        Files.write(txnDir.resolve(s"$txnId.json"),
+          s"""{"txnId":"$txnId","parts":[${partsJson.mkString(",")}]}"""
+            .getBytes("UTF-8")): Unit
+        val preSeq = cat.latest("sb", "rc0").get.seq
+        // recovery: ONE ordinary commit on ONE involved table completes
+        // the whole 16-table transaction first
+        time(s"txnrecover_n$n", r) {
+          cat.commitAppend("sb", "rc0",
+            spark.range(1).selectExpr(s"id + ${r * 9000000} as id",
+              "id * 1.0 as v")): Unit
+          // recovery must have applied EVERY part
+          (0 until n).count(i =>
+            cat.latest("sb", s"rc$i").exists(s =>
+              s.commitId == s"txn-$txnId-$i" ||
+                s.parentId.contains(s"txn-$txnId-$i"))).toLong
+        }
+        // changefeed across the recovered txn version: O(delta staged)
+        time(s"txnrecover_feed_n$n", r) {
+          val cur = cat.latest("sb", "rc0").get.seq
+          cat.changesBetween("sb", "rc0", preSeq, cur).count()
+        }
+      }
+    }
+    if (groups("dworker")) {
+      // Pooled DerivedStateWorker cost (round-15): the claim is
+      // per-commit maintenance cost FLAT in the number of bases a pool
+      // multiplexes — one commit on one base costs one refresh plus
+      // O(members) head STAT probes, never O(members) refreshes or
+      // data reads. Axis: member count {2, 8, 32}, one pool.
+      import org.apache.spark.sql.streaming.Trigger
+      Seq(2, 8, 32).foreach { m =>
+        val wh = Files.createTempDirectory(s"graft-dwb-$m").toString
+        val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+        (0 until m).foreach { i =>
+          spark.sql(s"CREATE TABLE $c.dw.b$i (k BIGINT, v BIGINT)")
+          spark.sql(s"INSERT INTO $c.dw.b$i VALUES (1, $i), (2, 7)")
+            .collect(): Unit
+          spark.sql(s"CREATE MATERIALIZED VIEW $c.dw.m$i AS " +
+            s"SELECT k, sum(v) AS sv FROM $c.dw.b$i GROUP BY k")
+        }
+        val ckpt = Files.createTempDirectory(s"graft-dwb-ck-$m").toString
+        val workers = graft.streaming.DerivedStateWorker.startAll(
+          spark, wh, ckpt, trigger = Trigger.ProcessingTime(0L),
+          poolSize = 1) // ONE pool multiplexing all m bases
+        try {
+          workers.foreach(_.processAllAvailable()) // drain startup
+          (1 to repeat).foreach { r =>
+            time(s"dworker_commit_m$m", r) {
+              spark.sql(s"INSERT INTO $c.dw.b0 VALUES (1, ${100 + r})")
+                .collect(): Unit
+              workers.foreach(_.processAllAvailable())
+              spark.sql(s"SELECT sum(sv) FROM $c.dw.m0").head().getLong(0)
+            }
+          }
+        } finally workers.foreach(_.stop())
+      }
+    }
     if (groups("partwrite")) {
       // PARTITIONED WRITE path at scale (round-12 sweep): the claims
       // under test are (a) aligned-staging INSERT cost ∝ corpus with
@@ -790,16 +950,18 @@ object Bench {
     // per-query (wall, process-cpu, gc) — cpu/gc deltas make host steal
     // mechanically visible (wall >> cpu) so variance adjudication stops
     // resting on prose (round-12 verdict task #2)
-    case class Sample(wall: Double, cpu: Double, gcMs: Long,
+    case class Sample(wall: Double, cpu: Double, gcMs: Long, jitMs: Long,
                       err: Option[String])
     def pass(): Map[String, Sample] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (c0, g0) = (BenchMeters.cpuSec, BenchMeters.gcMs)
+        val (c0, g0, j0) =
+          (BenchMeters.cpuSec, BenchMeters.gcMs, BenchMeters.jitMs)
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
         name -> Sample((System.nanoTime() - t0) / 1e9,
-          BenchMeters.cpuSec - c0, BenchMeters.gcMs - g0, err)
+          BenchMeters.cpuSec - c0, BenchMeters.gcMs - g0,
+          BenchMeters.jitMs - j0, err)
       }.toMap
     val p1 = pass()
     spark.catalog.clearCache(); System.gc()
@@ -835,10 +997,17 @@ object Bench {
     // reads as wall >> cpu, a real regression moves both.
     val detail = results.map {
       case (k, s, None) => "\"" + k + "\":{\"wall\":" + fmt(s.wall) +
-        ",\"cpu\":" + fmt(s.cpu) + ",\"gc_ms\":" + s.gcMs + "}"
+        ",\"cpu\":" + fmt(s.cpu) + ",\"gc_ms\":" + s.gcMs +
+        ",\"jit_ms\":" + s.jitMs + "}"
       case (k, _, Some(e)) => "\"" + k + "\":{\"error\":\"" + e + "\"}"
     }.mkString("{", ",", "}")
-    val fullLine = line.dropRight(1) + s""","detail":$detail}"""
+    // end-of-run JVM compiler state: a code cache at/near max explains a
+    // cpu≈wall tail (JIT disabled → interpreted execution) mechanically
+    val (ccUsed, ccMax) = BenchMeters.codeCache
+    val jvm = s"""{"code_cache_used_mb":${ccUsed / 1048576}""" +
+      s""","code_cache_max_mb":${ccMax / 1048576}""" +
+      s""","jit_total_ms":${BenchMeters.jitMs}}"""
+    val fullLine = line.dropRight(1) + s""","jvm":$jvm,"detail":$detail}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit

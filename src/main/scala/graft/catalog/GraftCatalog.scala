@@ -2470,13 +2470,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
                       sourceRegion: String,
                       expectedParentSeq: Option[Long] = None,
                       commitId: Option[String] = None,
-                      maxRetries: Int = 5): Snapshot = {
+                      maxRetries: Int = 5,
+                      toBranch: Option[String] = None): Snapshot = {
     require(tableExists(ns, name), s"no such table $ns.$name")
+    toBranch.foreach { b =>
+      require(branchExists(ns, name, b), s"no branch '$b' on $ns.$name")
+      require(expectedParentSeq.isEmpty && commitId.isEmpty,
+        "branch-staged MoR commits take their publish identity from the " +
+          "transaction — expectedParentSeq/commitId belong to main commits")
+    }
     commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
       throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
     }
-    val parent0 = latest(ns, name).getOrElse(throw new IllegalStateException(
-      s"$ns.$name has no committed version — a MoR delta needs a parent"))
+    val parent0 = toBranch.map(branchHead(ns, name, _)).getOrElse(
+      latest(ns, name).getOrElse(throw new IllegalStateException(
+        s"$ns.$name has no committed version — a MoR delta needs a parent")))
     val curSchema = parent0.schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
     val pm = curSchema.map(GraftCatalog.physicalMap).getOrElse(Map.empty)
@@ -2543,7 +2551,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
         case (true, None) => Some(writeManifest(ns, name, dataEntries))
       }
       staged = dManifest.toSeq ++ pManifest.toSeq ++ mManifest.toSeq
-      casCommit(ns, name, maxRetries) { parent =>
+      def commitVia(f: (Option[Snapshot] => Snapshot) => Snapshot): Snapshot =
+        f { parent =>
         commitId.flatMap(byCommitId(ns, name, _)).foreach { prior =>
           throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
         }
@@ -2580,12 +2589,36 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
           par.schemaJson, // a MoR delta never changes the schema
           par.propsJson)
       }
+      toBranch match {
+        case Some(b) => commitVia(casCommitAt(ns, name, maxRetries,
+          () => Some(branchHead(ns, name, b)),
+          branchVersionFile(ns, name, b, _)))
+        case None => commitVia(casCommit(ns, name, maxRetries))
+      }
     } catch { case e: Throwable =>
       // position entries were staged HERE; landed data/equality files
       // belong to the caller's commit-scoped staging dir (it cleans up)
       cleanupStaged(ns, name, posEntries, staged); throw e
     }
   }
+
+  /** Transactional MoR staging: [[commitLandedMoR]]'s refusals and
+    * manifest ordering, landed on an internal txn `branch` — the branch
+    * head's manifest list extends the fork point's, so
+    * [[commitTransaction]] publishes the MoR delta atomically with its
+    * sibling tables (the positional delete-before-data rule survives the
+    * fast-forward because publish adopts the head's list wholesale).
+    * Position-delete liveness is validated inside the branch CAS against
+    * the branch head; main movement after staging is the transaction's
+    * own fork-conflict refusal. */
+  def commitLandedMoRToBranch(ns: String, name: String, branch: String,
+                              dataRels: Seq[String],
+                              eqDeleteRels: Seq[String],
+                              posDeletes: Option[DataFrame],
+                              sourceRegion: String,
+                              maxRetries: Int = 5): Snapshot =
+    commitLandedMoR(ns, name, dataRels, eqDeleteRels, posDeletes,
+      sourceRegion, maxRetries = maxRetries, toBranch = Some(branch))
 
   /** ALTER TABLE's metadata-only schema commit: publish ONE new version
     * whose schema is `newSchema`, touching no data file — committed
@@ -2748,6 +2781,34 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       // their recorded layout, exactly Iceberg's spec-evolution model)
       // — but a malformed/ill-typed spec must refuse AT THE ALTER, not
       // at the next INSERT, or the table is bricked for SQL writers
+      if (set.contains(GraftCatalog.PartitionSpecProp))
+        GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
+          parent.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])): Unit
+      val json = GraftCatalog.mergedPropsJson(parent.properties, set, unset)
+      Snapshot(parent.seq + 1, s"commit-${UUID.randomUUID()}",
+        Some(parent.commitId), System.currentTimeMillis(), parent.manifests,
+        "local", parent.fileCount, parent.totalBytes, parent.schemaJson, json)
+    }
+  }
+
+  /** Transactional property staging: [[commitProperties]]' validation,
+    * landed on an internal txn `branch` — [[commitTransaction]] adopts
+    * the branch head's propsJson at publish, so a property change lands
+    * atomically with sibling tables' data/MoR parts. No
+    * expectedParentSeq: main movement after staging is the transaction's
+    * fork-conflict refusal. */
+  def commitPropertiesToBranch(ns: String, name: String, branch: String,
+                               set: Map[String, String],
+                               unset: Seq[String] = Seq.empty,
+                               maxRetries: Int = 5): Snapshot = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to set or unset")
+    require(branchExists(ns, name, branch), s"no branch '$branch' on $ns.$name")
+    casCommitAt(ns, name, maxRetries,
+        () => Some(branchHead(ns, name, branch)),
+        branchVersionFile(ns, name, branch, _)) { parentOpt =>
+      val parent = parentOpt.getOrElse(throw new IllegalStateException(
+        s"$ns.$name has no committed version to carry properties"))
+      val next = (parent.properties ++ set) -- unset
       if (set.contains(GraftCatalog.PartitionSpecProp))
         GraftCatalog.validatedPartitionSpec(s"$ns.$name", next,
           parent.schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])): Unit
@@ -3537,10 +3598,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     // never as a misleading MergeConflict the caller would retry into a
     // double-apply
     parts.foreach(p => awaitTxnBarrier(p.ns, p.table))
-    parts.zipWithIndex.foreach { case (p, i) =>
-      byCommitId(p.ns, p.table, s"txn-$txnId-$i").foreach { prior =>
-        throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
-      }
+    // Index-INDEPENDENT replay probe: a replayed txnId must throw even if
+    // the caller reordered or re-sliced the part list (the SQL procedure
+    // lets users supply both txnId and part order). Commit ids are
+    // txn-<txnId>-<partIndex> with a pure-digit index, and txnId itself may
+    // contain '-' and digits, so an anchored regex — not a bare prefix
+    // test — is the unambiguous membership check.
+    val replayPat = java.util.regex.Pattern
+      .compile("^txn-" + java.util.regex.Pattern.quote(txnId) + "-\\d+$")
+    parts.foreach { p =>
+      snapshots(p.ns, p.table)
+        .find(s => replayPat.matcher(s.commitId).matches()).foreach { prior =>
+          throw new GraftCatalog.DuplicateCommitException(prior.commitId, prior.seq)
+        }
     }
     val deadline = System.currentTimeMillis() + leaseMs
     val acquired = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

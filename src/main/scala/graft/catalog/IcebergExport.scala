@@ -60,7 +60,11 @@ import org.apache.spark.sql.types._
   *    spec-physical. The copy tasks still verify each file's FOOTER and
   *    `timestampInt96Risk` reports true only if a foreign/pre-upgrade
   *    INT96 file is physically present (a strict Iceberg reader may
-  *    reject those).
+  *    reject those). The flag is TABLE-level in every mode: shared-store
+  *    re-exports OR this call's footer probes with per-store-file
+  *    `.int96` sidecar verdicts persisted at land time (healed by a
+  *    one-time probe for files landed before markers existed), so a
+  *    delta re-export never silently narrows the flag's meaning.
   *  - there are no Iceberg jars in this environment (offline build), so
   *    conformance is checked two ways: a spec-shape ScalaTest over the
   *    JSON + Avro artifacts, and [[readExported]] — an independent
@@ -494,13 +498,19 @@ object IcebergExport {
     // failure (cross-device, prior tree gone) falls back to the copy.
     val reuseDir = reuseDataFrom
     // shared mode: the store is content-addressed by immutable rel path,
-    // so a file already materialized there IS the file — skip it without
-    // touching bytes (its INT96 footer check ran when it first landed;
-    // this call's risk flag covers the files this call lands)
-    val toLand =
-      if (sharedPath.isEmpty) copies
-      else copies.filter { case (_, dst) => !Files.isRegularFile(Paths.get(dst)) }
-    val int96Risk = spark.sparkContext
+    // so a file already materialized there IS the file — skip its bytes.
+    // The INT96 verdict, however, must stay TABLE-level: each store file
+    // carries a `.int96` sidecar marker recording its footer probe
+    // ("1"/"0"), written at land time and healed on first re-visit for
+    // files landed before markers existed, so a re-export ORs the whole
+    // serve set's verdicts instead of silently narrowing to this call's
+    // delta.
+    val (toLand, preLanded) =
+      if (sharedPath.isEmpty) (copies, Seq.empty[(String, String)])
+      else copies.partition { case (_, dst) =>
+        !Files.isRegularFile(Paths.get(dst)) }
+    val sharedMode = sharedPath.isDefined
+    val landedRisk = spark.sparkContext
       .parallelize(toLand, math.max(1, math.min(toLand.size, 32)))
       .map { case (src, dst) =>
         val dstP = Paths.get(dst)
@@ -520,8 +530,43 @@ object IcebergExport {
           Files.move(tmp, dstP, StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE): Unit
         }
-        checkTs && hasInt96Column(src, confSer.value)
+        if (!checkTs) false
+        else {
+          val risk = hasInt96Column(src, confSer.value)
+          if (sharedMode) {
+            val m = dstP.resolveSibling(dstP.getFileName.toString + ".int96")
+            val tmp = m.resolveSibling(s".tmp-${UUID.randomUUID()}")
+            Files.write(tmp, (if (risk) "1" else "0")
+              .getBytes(StandardCharsets.UTF_8)): Unit
+            Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE): Unit
+          }
+          risk
+        }
       }.fold(false)(_ || _)
+    // skipped store files: read each marker (heal a missing one with a
+    // one-time footer probe of the store copy — same bytes as the source)
+    val preLandedRisk = checkTs && preLanded.nonEmpty && {
+      spark.sparkContext
+        .parallelize(preLanded, math.max(1, math.min(preLanded.size, 32)))
+        .map { case (_, dst) =>
+          val dstP = Paths.get(dst)
+          val m = dstP.resolveSibling(dstP.getFileName.toString + ".int96")
+          if (Files.isRegularFile(m))
+            new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+              .trim == "1"
+          else {
+            val risk = hasInt96Column(dst, confSer.value)
+            val tmp = m.resolveSibling(s".tmp-${UUID.randomUUID()}")
+            Files.write(tmp, (if (risk) "1" else "0")
+              .getBytes(StandardCharsets.UTF_8)): Unit
+            Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE): Unit
+            risk
+          }
+        }.fold(false)(_ || _)
+    }
+    val int96Risk = landedRisk || preLandedRisk
 
     // 1b. rewrite position-delete files: map each table-relative
     //     file_path to its exported flat URI (driver-side — delete files
@@ -718,7 +763,6 @@ object IcebergExport {
             case Some(smd) =>
               val f = smd.resolve(s"m-${keyOpt.get}-$partIdx.avro")
               partIdx += 1
-              Files.deleteIfExists(f)
               f
             case None => metaDir.resolve(s"${UUID.randomUUID()}-m0.avro")
           }
@@ -736,6 +780,14 @@ object IcebergExport {
                        es: Seq[(cat.ManifestEntry, Option[Seq[AnyRef]])])
               : (String, Int, Long, Long, Int) = {
             val file = nextManifestFile()
+            // Shared-store names are reuse-if-present and may be referenced
+            // by already-served trees: stage to a temp sibling and
+            // ATOMIC_MOVE, matching the data-file/list landing discipline —
+            // an in-place rewrite would let a concurrent reader observe a
+            // truncated or momentarily absent manifest.
+            val writeTarget =
+              if (sharedMetaDir.isEmpty) file
+              else file.resolveSibling(s".tmp-${UUID.randomUUID()}.avro")
             val w = new DataFileWriter[GenericRecord](
               new GenericDatumWriter[GenericRecord](schema))
             w.setMeta("schema", schemaJson)
@@ -744,7 +796,7 @@ object IcebergExport {
             w.setMeta("partition-spec-id", specId.toString)
             w.setMeta("format-version", "2")
             w.setMeta("content", if (isDelete) "deletes" else "data")
-            w.create(schema, file.toFile)
+            w.create(schema, writeTarget.toFile)
             var rows = 0L
             es.foreach { case (e, tuple) =>
               val nRows = rowCountOf(cat)(e.stats, tableRoot.resolve(e.path))
@@ -777,6 +829,9 @@ object IcebergExport {
               w.append(rec)
             }
             w.close()
+            if (writeTarget ne file)
+              Files.move(writeTarget, file, StandardCopyOption.REPLACE_EXISTING,
+                StandardCopyOption.ATOMIC_MOVE): Unit
             (file.toAbsolutePath.toString, es.size, rows, Files.size(file), specId)
           }
           val tagged = entries.map(e => (e, tupleOf(e)))
@@ -1046,7 +1101,10 @@ object IcebergExport {
         val s = Files.list(d)
         try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
           val n = s"$sub/${p.getFileName}"
-          if (!keep(n)) {
+          // an .int96 sidecar lives and dies with its data file (it is
+          // never listed in refs itself)
+          val owner = if (n.endsWith(".int96")) n.stripSuffix(".int96") else n
+          if (!keep(owner)) {
             Files.deleteIfExists(p): Unit
             deleted += n
           }

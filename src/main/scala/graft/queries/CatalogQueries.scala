@@ -1185,6 +1185,121 @@ object CatalogQueries {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  private val restTxnMorWarehouses = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** REST multi-table transaction with MoR + property parts (round-15):
+    * ONE `POST /v1/transactions/commit` where table A's part is a
+    * foreign upsert (new data + equality-delete keys + position deletes
+    * against the served tree), table B's part is a foreign delete-only
+    * MoR change, and table C's part sets properties — all staged on
+    * internal branches ([[GraftCatalog.commitLandedMoRToBranch]] /
+    * commitPropertiesToBranch) and published through one atomic commit
+    * point. The fixture REQUIRES transactional commit ids on all three
+    * heads and the property landing; the query reads BOTH data tables'
+    * post-transaction MoR state and the oracle recomputes each from the
+    * raw source rows. */
+  private def restTxnMor: Q = (s, d) => {
+    val wh = restTxnMorWarehouses.synchronized {
+      restTxnMorWarehouses.getOrElseUpdate(sessionKey(s, d), {
+        val w = Files.createTempDirectory("graft-resttxm-wh").toString
+        val cat = new GraftCatalog(s, w)
+        cat.createTable("q", "nsseed")
+        val server = new graft.service.IcebergRestServer(cat,
+          Files.createTempDirectory("graft-resttxm-exp").toString)
+        try {
+        val port = server.boundPort
+        def slice(pred: org.apache.spark.sql.Column) = Tables.orders(s, d)
+          .filter(pred)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        Seq("txa", "txb", "txc").foreach { t =>
+          val (cc, cb) = graft.tools.RestClient.createViaRest(port, "q", t,
+            Seq("o_orderkey" -> "long", "o_totalprice" -> "double"))
+          require(cc == 200, s"REST create $t failed: $cc $cb")
+        }
+        def append(t: String, pred: org.apache.spark.sql.Column, sid: Long)
+            : Unit = {
+          val (ac, ab) = graft.tools.RestClient.appendViaRest(s, port,
+            "q", t, slice(pred), snapshotId = sid,
+            workDir = Files.createTempDirectory(s"graft-resttxm-$t").toString)
+          require(ac == 200, s"REST append $t failed: $ac $ab")
+        }
+        append("txa", col("o_orderkey") % 3 === 0, 771001L)
+        append("txb", col("o_orderkey") % 3 === 1, 771002L)
+        append("txc", col("o_orderkey") % 21 === 2, 771003L)
+        // the foreign walk over txa's served tree -> position deletes of
+        // every %5 row, spelled with the manifest's exact file URIs
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        val meta = mapper.readTree(graft.tools.RestClient.get(port,
+          "/v1/namespaces/q/tables/txa")._2).get("metadata")
+        val cur = meta.get("current-snapshot-id").asLong()
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cur).get
+        val servedFiles = graft.catalog.IcebergExport.readAvro(
+            java.nio.file.Paths.get(java.net.URI.create(
+              snap.get("manifest-list").asText())))
+          .filter(m => graft.catalog.IcebergExport.getOpt(m, "content") == null ||
+            m.get("content").asInstanceOf[Number].intValue() == 0)
+          .flatMap(m => graft.catalog.IcebergExport.readAvro(
+            java.nio.file.Paths.get(java.net.URI.create(
+              m.get("manifest_path").toString))))
+          .map(_.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord])
+          .filter(_.get("content").asInstanceOf[Number].intValue() == 0)
+          .map(_.get("file_path").toString)
+        val posDel = servedFiles.map { uri =>
+          s.read.parquet(java.nio.file.Paths.get(
+              java.net.URI.create(uri)).toString)
+            .select(col("_metadata.row_index").as("pos"), col("o_orderkey"))
+            .filter(col("o_orderkey") % 5 === 0)
+            .select(lit(uri).as("file_path"), col("pos"))
+        }.reduce(_ unionAll _)
+        val eqKeys = slice(col("o_orderkey") % 9 === 0).select("o_orderkey")
+        val newRows = slice(col("o_orderkey") % 3 === 2)
+          .unionAll(slice(col("o_orderkey") % 9 === 0)
+            .select(col("o_orderkey"),
+              (col("o_totalprice") + 1000).as("o_totalprice")))
+        val chA = graft.tools.RestClient.buildMorChange(s, port, "q", "txa",
+          data = Some(newRows), eqDeleteKeys = Some(eqKeys),
+          posDeletes = Some(posDel), snapshotId = 771004L,
+          workDir = Files.createTempDirectory("graft-resttxm-a").toString)
+        val chB = graft.tools.RestClient.buildMorChange(s, port, "q", "txb",
+          data = None,
+          eqDeleteKeys = Some(slice(col("o_orderkey") % 2 === 1)
+            .select("o_orderkey")),
+          posDeletes = None, snapshotId = 771005L,
+          workDir = Files.createTempDirectory("graft-resttxm-b").toString)
+        val chC = graft.tools.RestClient.buildPropsChange(port, "q", "txc",
+          set = Map("owner" -> "etl-team"))
+        val (tc, tb) = graft.tools.RestClient.txnCommitChangesViaRest(port,
+          Seq(chA, chB, chC))
+        require(tc == 204, s"REST transaction failed: $tc $tb")
+        Seq("txa", "txb", "txc").foreach { t =>
+          require(cat.latest("q", t).exists(_.commitId.startsWith("txn-rest-")),
+            s"$t must publish under the transaction's commit family")
+        }
+        require(cat.tableProperties("q", "txc").get("owner")
+            .contains("etl-team"),
+          "the property part must land atomically with the MoR parts")
+        } finally server.stop()
+        w
+      })
+    }
+    val cat = new GraftCatalog(s, wh)
+    def agg(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("stage", lit(stage))
+    agg(cat.read("q", "txa"), "1_txa")
+      .unionByName(agg(cat.read("q", "txb"), "2_txb"))
+      .select(col("stage"), col("cnt"), col("total_price"),
+        col("min_key"), col("max_key"))
+      .orderBy(col("stage"))
+  }
+
   private val changelogWarehouses = scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
 
   /** SQL CDC surface (round-13): CALL graft.system.create_changelog_view
@@ -1700,6 +1815,7 @@ object CatalogQueries {
     "cat_rest_read"        -> restRead,
     "cat_rest_commit"      -> restCommit,
     "cat_rest_mor_commit"  -> restMorCommit,
+    "cat_rest_txn_mor"     -> restTxnMor,
     "cat_rest_evolve"      -> restEvolve,
     "cat_rest_spec_evolve" -> restSpecEvolve,
     "cat_nested_struct"    -> nestedStructRead,
@@ -1881,6 +1997,27 @@ object CatalogQueries {
          SELECT '2_t2', count(*), round(sum(o_totalprice), 2),
                 min(o_orderkey), max(o_orderkey)
          FROM t2
+         ORDER BY stage""",
+    "cat_rest_txn_mor" ->
+      """WITH a_kept AS (SELECT o_orderkey, o_totalprice FROM orders
+                         WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+                           AND o_orderkey % 9 <> 0),
+              a_new AS (SELECT o_orderkey, o_totalprice FROM orders
+                        WHERE o_orderkey % 3 = 2),
+              a_ups AS (SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice
+                        FROM orders WHERE o_orderkey % 9 = 0),
+              a_live AS (SELECT * FROM a_kept UNION ALL SELECT * FROM a_new
+                         UNION ALL SELECT * FROM a_ups),
+              b_live AS (SELECT o_orderkey, o_totalprice FROM orders
+                         WHERE o_orderkey % 3 = 1 AND o_orderkey % 2 = 0)
+         SELECT '1_txa' AS stage, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM a_live
+         UNION ALL
+         SELECT '2_txb', count(*), round(sum(o_totalprice), 2),
+                min(o_orderkey), max(o_orderkey)
+         FROM b_live
          ORDER BY stage""",
     "cat_export_delta" ->
       """WITH kept AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -61,7 +61,8 @@ import graft.catalog.{GraftCatalog, IcebergExport}
   * the caller and never kills the server (same contract as
   * TopicServer/CatalogServer). */
 final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
-                              port: Int = 0, bindAll: Boolean = false) {
+                              port: Int = 0, bindAll: Boolean = false,
+                              serveGraceMs: Long = 300000L) {
   // loopback by default: this surface is unauthenticated and WRITABLE
   // (create/drop/commit) and its commit protocol reads client-supplied
   // local file URIs — an all-interfaces bind is an explicit opt-in
@@ -77,7 +78,13 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     var head: String = _ // commit id the current export serves
     var seq: Long = -1L // graft version of that commit (CAS anchor)
     var loc: String = _ // metadata-location of the current export
-    var prev: Option[String] = None // immediately superseded location
+    // superseded locations with their supersede timestamps, newest
+    // first: each stays servable (tree + store refs) for serveGraceMs
+    // after being superseded — a reader holding a just-served tree
+    // never loses files to a concurrent re-export or store sweep. The
+    // most recent superseded tree is retained regardless of age (the
+    // pre-grace invariant reclaimTxnBranch-era tests pin).
+    var prev: List[(String, Long)] = Nil
   }
   private val exported =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Memo]()
@@ -258,11 +265,11 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
           // reading loc/prev bare would tear down dirs under its feet)
           Option(exported.remove((ns, t))).foreach { m =>
             m.synchronized {
-              (Option(m.loc) ++ m.prev).foreach(l =>
+              (Option(m.loc) ++ m.prev.map(_._1)).foreach(l =>
                 deleteTree(Paths.get(l).getParent.getParent))
               // the shared store is table-scoped — dropped with the table
               deleteTree(sharedStoreDir(ns, t))
-              m.loc = null; m.prev = None; m.head = null
+              m.loc = null; m.prev = Nil; m.head = null
             }
           }
           replyHead(out, 204)
@@ -271,6 +278,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         commitTable(ns, t, body, out)
       case ("POST", "v1" :: "transactions" :: "commit" :: Nil) =>
         commitTransactionRoute(body, out)
+      case ("POST", "v1" :: "transactions" :: "consistent-cut" :: Nil) =>
+        consistentCutRoute(body, out)
       // ---- view read surface (spec view API, round-14) ----
       case ("GET", "v1" :: "namespaces" :: ns :: "views" :: Nil) =>
         if (!namespaces().contains(ns))
@@ -391,9 +400,11 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     * branch, and [[GraftCatalog.commitTransaction]] publishes every
     * branch through ONE atomic commit point — all tables land or none
     * (204 on success; a moved table is the spec's 409 with nothing
-    * applied anywhere). Scope: data appends per table-change
-    * (add-snapshot + set-snapshot-ref); merge-on-read deletes and
-    * metadata evolution stay single-table commits. */
+    * applied anywhere). Scope per table-change: one add-snapshot
+    * (+set-snapshot-ref) carrying data appends AND/OR merge-on-read
+    * deletes (upserts stage via the branch-targeted MoR commit), or
+    * set-properties/remove-properties (staged on the branch, adopted at
+    * publish); schema/partition-spec evolution stays single-table. */
   private def commitTransactionRoute(body: String, out: OutputStream): Unit = {
     val req = parseJson(body)
     val changes = Option(req.get("table-changes")).toSeq
@@ -428,6 +439,8 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
           Option(ch.get("requirements")).toSeq
             .flatMap(_.elements().asScala).toSeq)
         var addSnap: Option[JsonNode] = None
+        var setProps = Map.empty[String, String]
+        var unsetProps = Seq.empty[String]
         Option(ch.get("updates")).toSeq.flatMap(_.elements().asScala)
           .foreach { u =>
             u.get("action").asText() match {
@@ -440,14 +453,27 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
                   .getOrElse("main")
                 if (refName != "main")
                   bad(s"only the main branch accepts commits, got '$refName'")
+              case "set-properties" =>
+                setProps ++= u.get("updates").fields().asScala
+                  .map(e => e.getKey -> e.getValue.asText())
+              case "remove-properties" =>
+                unsetProps ++= u.get("removals").elements().asScala
+                  .map(_.asText())
               case other =>
                 bad("transactional table-changes support add-snapshot " +
-                  s"(+set-snapshot-ref) only, got '$other' — commit " +
-                  "metadata changes as single-table commits")
+                  "(+set-snapshot-ref, data and merge-on-read deletes) " +
+                  s"and table properties, got '$other' — commit schema/" +
+                  "spec evolution as single-table commits")
             }
           }
-        val snap = addSnap.getOrElse(
-          bad(s"table-change for $ns.$t adds no snapshot"))
+        // same refusal discipline as the single-table route: one part is
+        // ONE kind of change (a snapshot or a property set, not both)
+        if (addSnap.nonEmpty && (setProps.nonEmpty || unsetProps.nonEmpty))
+          bad(s"table-change for $ns.$t mixes add-snapshot with property " +
+            "updates — split them into two transactions (or two parts " +
+            "on different tables)")
+        if (addSnap.isEmpty && setProps.isEmpty && unsetProps.isEmpty)
+          bad(s"table-change for $ns.$t carries no supported updates")
         val branch = s"txn-$txnId"
         cat.createBranch(ns, t, branch)
         parts += ((ns, t, branch))
@@ -460,8 +486,18 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         if (forkSeq != servedSeq)
           conflict(s"table $ns.$t moved to v$forkSeq while the " +
             s"transaction was judged against v$servedSeq — reload and retry")
-        commitSnapshot(ns, t, snap, meta, servedSeq, loc,
-          stageToBranch = Some(branch))
+        addSnap match {
+          case Some(snap) =>
+            commitSnapshot(ns, t, snap, meta, servedSeq, loc,
+              stageToBranch = Some(branch))
+          case None =>
+            try cat.commitPropertiesToBranch(ns, t, branch, setProps,
+              unsetProps): Unit
+            catch {
+              case e: IllegalArgumentException => bad(e.getMessage)
+              case e: IllegalStateException => bad(e.getMessage)
+            }
+        }
       }
       try cat.commitTransaction(
         parts.toSeq.map { case (pns, pt, br) => cat.TxnPart(pns, pt, br) },
@@ -483,6 +519,67 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     }
   }
 
+  /** Read-side dual of /v1/transactions/commit (graft extension,
+    * round-15): `POST /v1/transactions/consistent-cut` pins a SET of
+    * tables on a cut that never splits a multi-table transaction —
+    * [[GraftCatalog.snapshotConsistent]]'s barrier-aware stable-heads
+    * read, then each pinned table served as a spec metadata tree at
+    * exactly that version (retry when a commit lands between the pin
+    * and the serve; a storm that keeps moving the heads is a 409).
+    * Response: `{"tables":[{"identifier":…,"metadata-location":…,
+    * "sequence-number":N}]}`. Served locations live in the table's
+    * serving window (the current tree plus one superseded per table) —
+    * a consumer holding a cut across further commits must copy the
+    * trees it needs. */
+  private def consistentCutRoute(body: String, out: OutputStream): Unit = {
+    val req = parseJson(body)
+    val idents = Option(req.get("tables")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    if (idents.isEmpty) bad("consistent-cut names no tables")
+    val tables = idents.map { id =>
+      val nsSegs = Option(id.get("namespace")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSeq
+      if (nsSegs.size != 1) bad("single-level namespaces only")
+      val t = Option(id.get("name")).map(_.asText())
+        .getOrElse(bad("identifier carries no name"))
+      requireIdent(nsSegs.head, "namespace")
+      requireIdent(t, "table identifier")
+      if (!cat.tableExists(nsSegs.head, t))
+        throw new RestError(404, "NoSuchTableException", s"table ${nsSegs.head}.$t")
+      if (cat.latest(nsSegs.head, t).isEmpty)
+        bad(s"cannot pin empty table ${nsSegs.head}.$t in a consistent cut")
+      (nsSegs.head, t)
+    }
+    if (tables.distinct.size != tables.size)
+      bad("a cut names each table at most once")
+    var attempt = 0
+    while (attempt < 8) {
+      val cut =
+        try cat.snapshotConsistent(tables)
+        catch { case e: IllegalStateException => conflict(e.getMessage) }
+      // serve each table and require the served head to BE the pinned
+      // version — a commit in the pin-to-serve window retries
+      val served = tables.map { case (ns, t) => servedExport(ns, t) }
+      if (served.map(_._2) == cut.map(_.seq)) {
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("tables")
+        tables.zip(cut).zip(served).foreach {
+          case (((ns, t), snap), (loc, _)) =>
+            val e = arr.addObject()
+            val ident = e.putObject("identifier")
+            ident.putArray("namespace").add(ns): Unit
+            ident.put("name", t): Unit
+            e.put("metadata-location", Paths.get(loc).toUri.toString): Unit
+            e.put("sequence-number", snap.seq): Unit
+        }
+        return reply(out, 200, mapper.writeValueAsString(o))
+      }
+      attempt += 1
+    }
+    conflict(s"no stable served cut across ${tables.map { case (n, t) =>
+      s"$n.$t" }.mkString(", ")} — heads kept moving; retry")
+  }
+
   /** Reclaim an internal transaction branch: the files and manifests its
     * commits added beyond the fork, then the branch itself. Best-effort
     * (idempotent deletes); only ever called on branches this server
@@ -491,15 +588,26 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
     try {
       val head = cat.branchHead(ns, t, branch)
       val (forkSeq, _) = cat.branchFork(ns, t, branch)
-      val forkSnap = cat.snapshots(ns, t).find(_.seq == forkSeq)
-      val forkFiles = forkSnap
-        .map(s => cat.dataFiles(ns, t, s).toSet).getOrElse(Set.empty)
-      val forkManifests = forkSnap.map(_.manifests.toSet).getOrElse(Set.empty)
-      val root = Paths.get(cat.warehouse, ns, t)
-      cat.dataFiles(ns, t, head).filterNot(forkFiles)
-        .foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
-      head.manifests.filterNot(forkManifests)
-        .foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
+      // Only subtract against a fork snapshot that actually resolved: if a
+      // concurrent expire_snapshots removed the fork point, forkFiles would
+      // be empty and the subtraction below would delete every file reachable
+      // from the branch head — including main's live history. In that case
+      // drop only the branch ref and leave file reclaim to the GC planner
+      // (reachability-based, so the orphaned txn files are still collected).
+      cat.snapshots(ns, t).find(_.seq == forkSeq).foreach { forkSnap =>
+        // data AND delete files: a MoR-shaped part staged equality /
+        // position delete parquet beyond the fork too
+        def files(s: cat.Snapshot): Set[String] =
+          (cat.dataFiles(ns, t, s) ++
+            cat.deleteFileEntries(ns, t, s).map(_._1)).toSet
+        val forkFiles = files(forkSnap)
+        val forkManifests = forkSnap.manifests.toSet
+        val root = Paths.get(cat.warehouse, ns, t)
+        files(head).filterNot(forkFiles)
+          .foreach(f => Files.deleteIfExists(root.resolve(f)): Unit)
+        head.manifests.filterNot(forkManifests)
+          .foreach(m => Files.deleteIfExists(root.resolve(m)): Unit)
+      }
     } catch { case _: Throwable => () }
     try cat.dropBranch(ns, t, branch) catch { case _: Throwable => () }
   }
@@ -949,11 +1057,15 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
         stageToBranch match {
           case Some(branch) =>
             // transaction part: STAGE only — the branch publishes
-            // atomically with its sibling tables via commitTransaction
+            // atomically with its sibling tables via commitTransaction.
+            // MoR-shaped parts (upserts: data + equality/position
+            // deletes) stage through the branch-targeted MoR commit,
+            // same refusals and manifest ordering as the single-table
+            // path.
             if (eqRels.nonEmpty || posDeltas.nonEmpty)
-              bad("transactional table-changes carry data appends only — " +
-                "commit merge-on-read deletes as single-table commits")
-            cat.commitLandedFilesToBranch(ns, t, branch, dataRels,
+              cat.commitLandedMoRToBranch(ns, t, branch, dataRels,
+                eqRels, posDeltas, sourceRegion = "rest"): Unit
+            else cat.commitLandedFilesToBranch(ns, t, branch, dataRels,
               sourceRegion = "rest"): Unit
           case None if eqRels.isEmpty && posDeltas.isEmpty =>
             cat.commitLandedFiles(ns, t, dataRels, sourceRegion = "rest",
@@ -1099,17 +1211,27 @@ final class IcebergRestServer(cat: GraftCatalog, exportRoot: String,
             Files.writeString(f, emptyMetadataJson(ns, t))
             f.toAbsolutePath.toString
         }
-        memo.prev.foreach(o => deleteTree(Paths.get(o).getParent.getParent))
-        memo.prev = Option(memo.loc)
+        // serving-window retention: the superseding tree joins the
+        // window stamped NOW; superseded trees stay until their grace
+        // expires (the newest superseded one is kept regardless, so a
+        // reader that loaded a moment before the commit always has it)
+        val now = System.currentTimeMillis()
+        val window = Option(memo.loc).map((_, now)).toList ::: memo.prev
+        val (keep, drop) = window.zipWithIndex.partition { case ((_, ts), i) =>
+          i == 0 || now - ts <= serveGraceMs
+        }
+        drop.foreach { case ((o, _), _) =>
+          deleteTree(Paths.get(o).getParent.getParent) }
+        memo.prev = keep.map(_._1)
         memo.loc = newLoc
         memo.head = head
         memo.seq = headSnap.map(_.seq).getOrElse(-1L)
         // reclaim shared objects nothing in the serving window (the new
-        // tree + the immediately superseded one) references — what keeps
-        // the store delta-shaped across expiry/evolution, mirroring the
-        // tree retention above. Empty-table stubs have no refs.txt and
-        // reference nothing shared.
-        val refs = (Option(memo.loc) ++ memo.prev).map(l =>
+        // tree + every grace-retained superseded one) references — what
+        // keeps the store delta-shaped across expiry/evolution,
+        // mirroring the tree retention above. Empty-table stubs have no
+        // refs.txt and reference nothing shared.
+        val refs = (Option(memo.loc) ++ memo.prev.map(_._1)).map(l =>
           Paths.get(l).getParent.getParent.resolve("refs.txt").toString)
         IcebergExport.sweepSharedStore(
           sharedStoreDir(ns, t).toString, refs.toSeq): Unit

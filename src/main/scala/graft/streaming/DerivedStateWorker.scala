@@ -33,21 +33,39 @@ import graft.pipeline.Similarity
   */
 object DerivedStateWorker {
 
-  /** Discover EVERY derived state the warehouse records and start one
-    * worker per base table — no manual registration, the reference's
-    * sync-orchestrator model (scan the control plane, maintain
-    * everything downstream) applied to derived data:
+  /** One pooled worker's share: a base table plus the derived states
+    * that follow it. */
+  case class PoolMember(ns: String, table: String,
+                        mvs: Seq[(String, String)],
+                        ivfPqIndexes: Seq[(String, String)])
+
+  /** Discover EVERY derived state the warehouse records and start a
+    * BOUNDED POOL of workers multiplexing them — no manual
+    * registration, the reference's sync-orchestrator model (scan the
+    * control plane, maintain everything downstream) applied to derived
+    * data:
     *  - incremental materialized views name their base in the
     *    `graft.mv.base` table property (full-mode MVs record no base —
     *    their definition may span several tables — and are skipped);
     *  - persisted IVF-PQ indexes name theirs in `graft.ann.base` on
     *    their `{prefix}_codes` table.
-    * Checkpoints land under `checkpointRoot/<ns>.<table>`. Returns the
-    * started queries (one per base table with derived state). */
+    * Base tables are sharded round-robin over at most `poolSize`
+    * streaming queries (fewer when there are fewer bases), each
+    * unioning its members' commit signals into ONE stream — a
+    * warehouse of thousands of tables costs `poolSize` streams,
+    * checkpoints, and scheduler loops, not thousands
+    * ([[startPool]] for the per-batch cost shape). Checkpoints land
+    * under `checkpointRoot/pool-<i>-<topology-hash>`: the hash keys
+    * the member list, so adding/removing a base re-shards onto FRESH
+    * checkpoints (source order inside a Spark checkpoint is fixed) and
+    * the derived states' own watermarks carry exactly-once across the
+    * switch. Returns the started queries (≤ poolSize). */
   def startAll(spark: SparkSession, warehouse: String,
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime(0L),
-               driftBound: Double = 1.5): Seq[StreamingQuery] = {
+               driftBound: Double = 1.5,
+               poolSize: Int = 4): Seq[StreamingQuery] = {
+    require(poolSize > 0, s"poolSize must be positive, got $poolSize")
     val cat = new GraftCatalog(spark, warehouse)
     val root = java.nio.file.Paths.get(warehouse)
     val namespaces: Seq[String] =
@@ -84,13 +102,99 @@ object DerivedStateWorker {
             ((ns, t.stripSuffix("_codes")))
         }
     }
-    (mvsByBase.keySet ++ idxByBase.keySet).toSeq.sorted.map { case (bns, bt) =>
-      start(spark, warehouse, bns, bt,
-        mvs = mvsByBase.getOrElse((bns, bt), Vector.empty),
-        ivfPqIndexes = idxByBase.getOrElse((bns, bt), Vector.empty),
-        checkpointDir = s"$checkpointRoot/$bns.$bt",
-        trigger = trigger, driftBound = driftBound)
-    }
+    val bases = (mvsByBase.keySet ++ idxByBase.keySet).toSeq.sorted
+    if (bases.isEmpty) return Seq.empty
+    val buckets = math.min(poolSize, bases.size)
+    bases.zipWithIndex.groupMap(_._2 % buckets)(_._1).toSeq.sortBy(_._1)
+      .map { case (i, members) =>
+        val pool = members.map { case (bns, bt) =>
+          PoolMember(bns, bt, mvsByBase.getOrElse((bns, bt), Vector.empty),
+            idxByBase.getOrElse((bns, bt), Vector.empty))
+        }
+        // topology-keyed checkpoint: a re-shard must NOT resume a
+        // checkpoint whose source list differs (member set/order is
+        // baked into Spark's offset log)
+        val topo = java.security.MessageDigest.getInstance("MD5")
+          .digest(members.map(m => s"${m._1}.${m._2}").mkString(";")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map("%02x".format(_)).mkString
+        startPool(spark, warehouse, pool,
+          checkpointDir = s"$checkpointRoot/pool-$i-$topo",
+          trigger = trigger, driftBound = driftBound)
+      }
+  }
+
+  /** Start ONE streaming query maintaining every member base's derived
+    * states: the members' cdc commit signals union into a single
+    * stream (each projected to one constant column — the batch rows
+    * are never executed, the sources only tick offsets), and each
+    * micro-batch refreshes only the targets whose base HEAD moved
+    * since the last successful refresh (one `latest()` metadata probe
+    * per member per batch — no data read for quiet tables). A failed
+    * refresh leaves its target's marker unset, so the next window
+    * retries it; replay after a crash re-runs markers from empty and
+    * the derived states' own watermarks no-op the already-applied ones
+    * — the same exactly-once discipline as the single-base worker. */
+  def startPool(spark: SparkSession, warehouse: String,
+                members: Seq[PoolMember],
+                checkpointDir: String,
+                trigger: Trigger = Trigger.ProcessingTime(0L),
+                driftBound: Double = 1.5): StreamingQuery = {
+    require(members.nonEmpty, "startPool needs at least one member")
+    require(members.forall(m => m.mvs.nonEmpty || m.ivfPqIndexes.nonEmpty),
+      "every pool member needs at least one MV or index to maintain")
+    import org.apache.spark.sql.functions.lit
+    val signal = members.map { m =>
+      spark.readStream
+        .format("graft.streaming.GraftTableSourceProvider")
+        .option("warehouse", warehouse)
+        .option("table", s"${m.ns}.${m.table}")
+        // cdc mode: delete/replace/maintenance commits must tick the
+        // signal, not kill the stream (the appends mode's loud contract)
+        .option("mode", "cdc")
+        .option("starting-seq", "latest")
+        .load()
+        // common one-column shape so heterogeneous tables union; the
+        // projection is never executed (signal only)
+        .select(lit(1).as("tick"))
+    }.reduce(_ unionAll _)
+    // (kind, ns, name) -> base head seq at last SUCCESSFUL refresh;
+    // worker-local (rebuilt empty on restart — the first batch then
+    // re-attempts everything and the watermarks no-op what's done)
+    val lastDone = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val poolName = members.map(m => s"${m.ns}-${m.table}").mkString("_")
+    signal.writeStream
+      .queryName(s"graft-derived-pool-${poolName.take(64)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        val cat = new GraftCatalog(spark, warehouse)
+        def guarded(what: String)(body: => Unit): Unit =
+          try body catch { case e: Exception =>
+            System.err.println(s"[derived-worker] batch $batchId: " +
+              s"refresh of $what failed (will retry next window): " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        members.foreach { m =>
+          val head = cat.latest(m.ns, m.table).map(_.seq).getOrElse(-1L)
+          m.mvs.foreach { case (ns, name) =>
+            val key = ("mv", ns, name)
+            if (!lastDone.get(key).contains(head)) guarded(s"mv $ns.$name") {
+              GraftMaterializedView.refresh(spark, cat, ns, name,
+                s"$ns.$name"): Unit
+              lastDone(key) = head
+            }
+          }
+          m.ivfPqIndexes.foreach { case (ns, prefix) =>
+            val key = ("idx", ns, prefix)
+            if (!lastDone.get(key).contains(head)) guarded(s"index $ns.$prefix") {
+              Similarity.maintainIvfPqIndex(cat, ns, prefix, driftBound): Unit
+              lastDone(key) = head
+            }
+          }
+        }
+      }
+      .start()
   }
 
   /** Start the worker over `baseNs.baseTable` in `warehouse`.

@@ -228,6 +228,20 @@ object RestClient {
                        data: Option[DataFrame], eqDeleteKeys: Option[DataFrame],
                        posDeletes: Option[DataFrame], snapshotId: Long,
                        workDir: String): (Int, String) = {
+    val ch = mapper.readTree(buildMorChange(spark, port, ns, t, data,
+      eqDeleteKeys, posDeletes, snapshotId, workDir))
+    post(port, s"/v1/namespaces/$ns/tables/$t",
+      s"""{"requirements":${ch.get("requirements")},""" +
+        s""""updates":${ch.get("updates")}}""")
+  }
+
+  /** One spec table-change whose add-snapshot carries a MoR delta (data
+    * and/or equality/position deletes) — shared by the single-table MoR
+    * commit and the transaction endpoint. */
+  def buildMorChange(spark: SparkSession, port: Int, ns: String, t: String,
+                     data: Option[DataFrame], eqDeleteKeys: Option[DataFrame],
+                     posDeletes: Option[DataFrame], snapshotId: Long,
+                     workDir: String): String = {
     val (gc, gb) = get(port, s"/v1/namespaces/$ns/tables/$t")
     require(gc == 200, s"GET $ns.$t failed: $gc $gb")
     val meta = mapper.readTree(gb).get("metadata")
@@ -309,19 +323,60 @@ object RestClient {
     val listPath = work.resolve(s"snap-$snapshotId.avro")
     writeAvro(listPath, listSchema, listRecords)
     val assertId = curId.map(_.toString).getOrElse("null")
-    val body =
-      s"""{"requirements":[
-         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
-         |],"updates":[
-         |  {"action":"add-snapshot","snapshot":{
-         |    "snapshot-id":$snapshotId,
-         |    "manifest-list":"${listPath.toAbsolutePath.toUri}",
-         |    "summary":{"operation":"overwrite"}}},
-         |  {"action":"set-snapshot-ref","ref-name":"main",
-         |   "snapshot-id":$snapshotId,"type":"branch"}
-         |]}""".stripMargin
-    post(port, s"/v1/namespaces/$ns/tables/$t", body)
+    s"""{"identifier":{"namespace":["$ns"],"name":"$t"},
+       |"requirements":[
+       |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
+       |],"updates":[
+       |  {"action":"add-snapshot","snapshot":{
+       |    "snapshot-id":$snapshotId,
+       |    "manifest-list":"${listPath.toAbsolutePath.toUri}",
+       |    "summary":{"operation":"overwrite"}}},
+       |  {"action":"set-snapshot-ref","ref-name":"main",
+       |   "snapshot-id":$snapshotId,"type":"branch"}
+       |]}""".stripMargin
   }
+
+  /** One spec table-change carrying property updates only (staged on
+    * the transaction branch, adopted at publish). */
+  def buildPropsChange(port: Int, ns: String, t: String,
+                       set: Map[String, String],
+                       unset: Seq[String] = Seq.empty): String = {
+    val (gc, gb) = get(port, s"/v1/namespaces/$ns/tables/$t")
+    require(gc == 200, s"GET $ns.$t failed: $gc $gb")
+    val meta = mapper.readTree(gb).get("metadata")
+    val assertId = Option(meta.get("current-snapshot-id"))
+      .map(_.asLong(-1L)).filter(_ >= 0).map(_.toString).getOrElse("null")
+    def q(s: String) = mapper.writeValueAsString(s)
+    val setJson =
+      if (set.isEmpty) ""
+      else s"""{"action":"set-properties","updates":{${
+        set.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")}}}"""
+    val unsetJson =
+      if (unset.isEmpty) ""
+      else s"""{"action":"remove-properties","removals":[${
+        unset.map(q).mkString(",")}]}"""
+    val updates = Seq(setJson, unsetJson).filter(_.nonEmpty).mkString(",")
+    s"""{"identifier":{"namespace":["$ns"],"name":"$t"},
+       |"requirements":[
+       |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$assertId}
+       |],"updates":[$updates]}""".stripMargin
+  }
+
+  /** Spec multi-table transaction over PRE-BUILT table-changes (mix
+    * append / MoR / property parts freely): POST /v1/transactions/commit
+    * with the changes verbatim. */
+  def txnCommitChangesViaRest(port: Int, changes: Seq[String]): (Int, String) =
+    post(port, "/v1/transactions/commit",
+      s"""{"table-changes":[${changes.mkString(",")}]}""")
+
+  /** Transactionally-consistent multi-table READ (graft extension):
+    * POST /v1/transactions/consistent-cut — returns per-table pinned
+    * metadata locations that never split a multi-table transaction. */
+  def consistentCutViaRest(port: Int,
+                           tables: Seq[(String, String)]): (Int, String) =
+    post(port, "/v1/transactions/consistent-cut",
+      s"""{"tables":[${tables.map { case (ns, t) =>
+        s"""{"namespace":["$ns"],"name":"$t"}""" }.mkString(",")}]}""")
 
   /** CreateTableRequest for a flat schema: `fields` = (name, icebergType)
     * in order; optional partition-spec transforms as (fieldName,

@@ -708,6 +708,102 @@ class IcebergExportSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("shared-store reuse across DIFFERENT warehouse roots (round-15, " +
+       "the DR/mirror scenario): a byte-mirrored warehouse at a new " +
+       "root re-derives digest-identical store objects — zero data " +
+       "copies, zero manifest/list writes, every store object " +
+       "byte-untouched — because the digests embed only rel-path-" +
+       "stable inputs; a fresh commit on the mirror then composes " +
+       "O(delta); a mirror whose rel paths drifted (compaction " +
+       "re-staged the files) derives NEW names and never serves " +
+       "stale objects") {
+    val whA = Files.createTempDirectory("iceberg-mirror-a").toString
+    val catA = new GraftCatalog(spark, whA)
+    val orders = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    catA.createTable("ns", "m")
+    catA.commitAppend("ns", "m", orders.filter(col("o_orderkey") % 3 === 0))
+    catA.commitAppend("ns", "m", orders.filter(col("o_orderkey") % 3 === 1))
+    val shared = Files.createTempDirectory("iceberg-mirror-store").toString
+    val destA = Files.createTempDirectory("iceberg-mirror-da").toString
+    val rA = IcebergExport.exportTable(catA, "ns", "m", destA,
+      sharedStore = Some(shared))
+    assert(rA.writtenManifests === 2 && rA.writtenLists === 2)
+    val before = storeState(shared)
+
+    // byte-mirror the warehouse to a DIFFERENT root
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val s = Files.walk(src)
+      try s.iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      } finally s.close()
+    }
+    val whB = Files.createTempDirectory("iceberg-mirror-b").toString
+    copyTree(Paths.get(whA), Paths.get(whB))
+    val catB = new GraftCatalog(spark, whB)
+    assert(catB.read("ns", "m").count() === catA.read("ns", "m").count())
+
+    // B's first export against the SAME store: complete reuse
+    val destB = Files.createTempDirectory("iceberg-mirror-db").toString
+    val rB = IcebergExport.exportTable(catB, "ns", "m", destB,
+      sharedStore = Some(shared))
+    assert(rB.copiedDataFiles === 0,
+      s"mirror re-export must copy no data (copied=${rB.copiedDataFiles})")
+    assert(rB.writtenManifests === 0 && rB.reusedManifests === 2,
+      s"mirror re-export must reuse every manifest " +
+        s"(written=${rB.writtenManifests})")
+    assert(rB.writtenLists === 0 && rB.reusedLists === 2,
+      s"mirror re-export must reuse every manifest list " +
+        s"(written=${rB.writtenLists})")
+    val afterB = storeState(shared)
+    assert(afterB === before, "B's export must leave the store byte-identical")
+    assert(IcebergExport.readExported(spark, destB).count() ===
+      catB.read("ns", "m").count())
+
+    // a fresh commit on the MIRROR composes O(delta) on the shared store
+    catB.commitAppend("ns", "m", orders.filter(col("o_orderkey") % 3 === 2))
+    val destB2 = Files.createTempDirectory("iceberg-mirror-db2").toString
+    val rB2 = IcebergExport.exportTable(catB, "ns", "m", destB2,
+      sharedStore = Some(shared))
+    assert(rB2.reusedManifests === 2 && rB2.writtenManifests === 1)
+    assert(rB2.reusedLists === 2 && rB2.writtenLists === 1)
+    assert(rB2.copiedDataFiles > 0)
+    val afterB2 = storeState(shared)
+    before.foreach { case (n, h) =>
+      assert(afterB2.get(n).contains(h),
+        s"store object $n changed across the mirror's commit") }
+    assert(IcebergExport.readExported(spark, destB2).count() ===
+      orders.count())
+    assert(IcebergExport.readExported(spark, destB2)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+
+    // rel-path DRIFT: a mirror whose restore re-staged the files
+    // (compaction rewrites every rel path) derives NEW store names —
+    // content addressing writes fresh objects and can never serve the
+    // drifted table through stale ones
+    val whC = Files.createTempDirectory("iceberg-mirror-c").toString
+    copyTree(Paths.get(whA), Paths.get(whC))
+    val catC = new GraftCatalog(spark, whC)
+    catC.compact("ns", "m"): Unit
+    val destC = Files.createTempDirectory("iceberg-mirror-dc").toString
+    val rC = IcebergExport.exportTable(catC, "ns", "m", destC,
+      sharedStore = Some(shared))
+    assert(rC.writtenManifests > 0,
+      "drifted rel paths must derive fresh store objects, not reuse")
+    assert(rC.copiedDataFiles > 0)
+    assert(IcebergExport.readExported(spark, destC).count() ===
+      catC.read("ns", "m").count())
+    // and the drift wrote NEW names; nothing pre-existing was touched
+    val afterC = storeState(shared)
+    before.foreach { case (n, h) =>
+      assert(afterC.get(n).contains(h),
+        s"store object $n changed across the drifted export") }
+  }
+
   test("shared-store MoR re-export reuses equality-delete manifests and " +
        "rewritten position-delete files; the read-back still applies both") {
     val cat = freshCat()

@@ -142,8 +142,11 @@ class IcebergRestSpec extends SparkSpec {
     src.createOrReplaceTempView("rt_src")
     spark.sql(s"INSERT INTO $c.ns.rt SELECT * FROM rt_src").collect(): Unit
 
+    // grace 0: this test pins the MINIMAL serving window (current +
+    // newest superseded); the grace retention has its own spec
     val server = new IcebergRestServer(cat,
-      Files.createTempDirectory("graft-rest-exp").toString)
+      Files.createTempDirectory("graft-rest-exp").toString,
+      serveGraceMs = 0L)
     try {
       val p = server.boundPort
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -942,6 +945,306 @@ class IcebergRestSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("REST transaction with MoR + property parts (round-15): one " +
+       "POST /v1/transactions/commit where table A's part is an upsert " +
+       "(data + equality keys + ~2k position deletes against the served " +
+       "tree) and table B's part sets properties — atomically visible " +
+       "(204); a conflicting local commit mid-flight is the spec's 409 " +
+       "with NOTHING applied on either table and every internal branch " +
+       "and landed delete file reclaimed") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-rest-txm-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("ns", "ta")
+    cat.createTable("ns", "tb")
+    val base = (0 until 4000).map(i => (i.toLong, i / 10.0)).toDF("id", "v")
+    cat.commitAppend("ns", "ta", base)
+    cat.commitAppend("ns", "tb", (0 until 30).map(i => (i.toLong, s"s$i"))
+      .toDF("k", "s"))
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-txm-exp").toString)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // the foreign walk over ta's served tree: data-file URIs
+      def servedFiles(): Seq[String] = {
+        val meta = mapper.readTree(
+          httpGet(p, "/v1/namespaces/ns/tables/ta")._2).get("metadata")
+        val cur = meta.get("current-snapshot-id").asLong()
+        val snap = meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cur).get
+        IcebergExport.readAvro(Paths.get(java.net.URI.create(
+            snap.get("manifest-list").asText())))
+          .filter(m => IcebergExport.getOpt(m, "content") == null ||
+            m.get("content").asInstanceOf[Number].intValue() == 0)
+          .flatMap(m => IcebergExport.readAvro(Paths.get(java.net.URI.create(
+            m.get("manifest_path").toString))))
+          .map(_.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord])
+          .filter(_.get("content").asInstanceOf[Number].intValue() == 0)
+          .map(_.get("file_path").toString)
+      }
+      // ~2k position deletes: every odd id, located per served file
+      def posDelOf(files: Seq[String]) = files.map { uri =>
+        spark.read.parquet(Paths.get(java.net.URI.create(uri)).toString)
+          .select(col("_metadata.row_index").as("pos"), col("id"))
+          .filter(col("id") % 2 === 1)
+          .select(lit(uri).as("file_path"), col("pos"))
+      }.reduce(_ unionAll _)
+      val eqKeys = base.filter(col("id") % 500 === 0).select("id")
+      val newRows = (9000 until 9020).map(i => (i.toLong, 9.9)).toDF("id", "v")
+
+      // happy path: MoR part on ta + property part on tb, one txn
+      val work1 = Files.createTempDirectory("graft-rest-txm-w1").toString
+      val chA = RestClient.buildMorChange(spark, p, "ns", "ta",
+        data = Some(newRows), eqDeleteKeys = Some(eqKeys),
+        posDeletes = Some(posDelOf(servedFiles())), snapshotId = 881001L,
+        workDir = work1)
+      val chB = RestClient.buildPropsChange(p, "ns", "tb",
+        set = Map("owner" -> "etl-team", "retention.days" -> "30"))
+      val (tc, tb2) = RestClient.txnCommitChangesViaRest(p, Seq(chA, chB))
+      assert(tc === 204, tb2)
+      // ta: MoR semantics — odd ids position-deleted, id%500 equality-
+      // deleted, new rows present
+      val got = cat.read("ns", "ta")
+      val expected = base
+        .filter(col("id") % 2 =!= 1 && col("id") % 500 =!= 0)
+        .unionAll(newRows)
+      assert(got.count() === expected.count())
+      assert(got.agg(round(sum(col("v")), 3)).head().getDouble(0) ===
+        expected.agg(round(sum(col("v")), 3)).head().getDouble(0))
+      assert(got.filter(col("id") === 7L).count() === 0L, "position-deleted")
+      assert(got.filter(col("id") === 1000L).count() === 0L, "equality-deleted")
+      // tb: properties landed, data untouched, SAME txn commit family
+      assert(cat.tableProperties("ns", "tb")("owner") === "etl-team")
+      assert(cat.read("ns", "tb").count() === 30L)
+      val cidA = cat.latest("ns", "ta").get.commitId
+      val cidB = cat.latest("ns", "tb").get.commitId
+      assert(cidA.startsWith("txn-rest-") && cidB.startsWith("txn-rest-"))
+      assert(cidA.stripSuffix("-0") === cidB.stripSuffix("-1"),
+        "both parts publish under ONE transaction id")
+
+      // conflict: stage a fresh MoR+props txn, but tb moves first ->
+      // 409 and NOTHING lands anywhere
+      val seqA = cat.latest("ns", "ta").get.seq
+      val work2 = Files.createTempDirectory("graft-rest-txm-w2").toString
+      val chA2 = RestClient.buildMorChange(spark, p, "ns", "ta",
+        data = None, eqDeleteKeys = Some(spark.range(2).select(col("id"))),
+        posDeletes = None, snapshotId = 881002L, workDir = work2)
+      val chB2 = RestClient.buildPropsChange(p, "ns", "tb",
+        set = Map("owner" -> "someone-else"))
+      cat.commitProperties("ns", "tb", Map("racer" -> "local")) // move tb
+      val seqB = cat.latest("ns", "tb").get.seq
+      val (cc, cb) = RestClient.txnCommitChangesViaRest(p, Seq(chA2, chB2))
+      assert(cc === 409, cb)
+      assert(cat.latest("ns", "ta").get.seq === seqA, "ta must not advance")
+      assert(cat.latest("ns", "tb").get.seq === seqB, "tb must not advance")
+      assert(cat.tableProperties("ns", "tb")("owner") === "etl-team",
+        "refused property part must not apply")
+      assert(cat.listBranches("ns", "ta").isEmpty &&
+        cat.listBranches("ns", "tb").isEmpty,
+        "internal txn branches must be reclaimed")
+      // the refused part's staged delete files are reclaimed: every
+      // delete file the table serves belongs to the COMMITTED head
+      val liveDel = cat.deleteFileEntries("ns", "ta",
+        cat.latest("ns", "ta").get).map(_._1).toSet
+      val dataDir = Paths.get(wh, "ns", "ta", "data")
+      val strayDel = Files.walk(dataDir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => dataDir.getParent.relativize(f).toString)
+        .filter(r => r.contains("eqdel") || r.contains("eq"))
+        .filterNot(r => liveDel.contains(r) ||
+          cat.dataFiles("ns", "ta", cat.latest("ns", "ta").get).contains(r))
+        .toList
+      assert(strayDel.isEmpty, s"reclaim left stray delete files: $strayDel")
+
+      // a part mixing add-snapshot with set-properties refuses loudly
+      val work3 = Files.createTempDirectory("graft-rest-txm-w3").toString
+      val chMix0 = RestClient.buildMorChange(spark, p, "ns", "ta",
+        data = Some(Seq((7777L, 1.0)).toDF("id", "v")), eqDeleteKeys = None,
+        posDeletes = None, snapshotId = 881003L, workDir = work3)
+      val mixNode = mapper.readTree(chMix0)
+      val chMix = chMix0.stripSuffix("]}").stripSuffix("]}").take(0) + {
+        val ups = mixNode.get("updates")
+        val extra = """{"action":"set-properties","updates":{"x":"y"}}"""
+        s"""{"identifier":${mixNode.get("identifier")},
+           |"requirements":${mixNode.get("requirements")},
+           |"updates":[${ups.elements().asScala.map(_.toString)
+             .mkString(",")},$extra]}""".stripMargin
+      }
+      val (mc, mb) = RestClient.txnCommitChangesViaRest(p, Seq(chMix))
+      assert(mc === 400, mb)
+      assert(mb.contains("mixes add-snapshot with property"), mb)
+    } finally server.stop()
+  }
+
+  test("serving-window grace (round-15): a foreign reader holding a " +
+       "just-served metadata tree never loses files to concurrent " +
+       "re-exports + store sweeps — every tree served within " +
+       "serveGraceMs stays fully resolvable through churn; with " +
+       "grace 0 only the newest superseded tree survives (the " +
+       "documented serving-window contract)") {
+    val wh = Files.createTempDirectory("graft-rest-grace-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val rows = (0 until 400).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    cat.createTable("g", "t")
+    cat.commitAppend("g", "t", rows.filter($"id" < 100))
+    val exportRoot = Files.createTempDirectory("graft-rest-grace-exp").toString
+    val server = new IcebergRestServer(cat, exportRoot,
+      serveGraceMs = 600000L)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def load(): String = {
+        val (c, b) = httpGet(p, "/v1/namespaces/g/tables/t")
+        assert(c === 200, b)
+        mapper.readTree(b).get("metadata-location").asText()
+      }
+      def treeOf(loc: String) =
+        Paths.get(java.net.URI.create(loc)).getParent.getParent
+      val loc1 = load()
+      val count1 = IcebergExport.readExported(spark, treeOf(loc1).toString)
+        .count()
+      // churn: three commits, each re-served (re-export + store sweep)
+      (1 to 3).foreach { k =>
+        cat.commitAppend("g", "t",
+          rows.filter($"id" >= k * 100 && $"id" < (k + 1) * 100))
+        load(): Unit
+      }
+      // the reader's pinned tree still resolves COMPLETELY — metadata,
+      // manifest lists, manifests, data files — despite three sweeps
+      val back1 = IcebergExport.readExported(spark, treeOf(loc1).toString)
+      assert(back1.count() === count1,
+        "a grace-retained tree must stay fully resolvable under churn")
+      assert(IcebergExport.readExported(spark,
+        treeOf(load()).toString).count() === 400L)
+    } finally server.stop()
+
+    // grace 0: the window is current + newest superseded ONLY — an
+    // older pin is reclaimed (the contract a long-lived reader must
+    // copy against)
+    val wh0 = Files.createTempDirectory("graft-rest-grace0-wh").toString
+    val cat0 = new GraftCatalog(spark, wh0)
+    cat0.createTable("g", "t")
+    cat0.commitAppend("g", "t", rows.filter($"id" < 100))
+    val server0 = new IcebergRestServer(cat0,
+      Files.createTempDirectory("graft-rest-grace0-exp").toString,
+      serveGraceMs = 0L)
+    try {
+      val p = server0.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def load(): String = {
+        val (c, b) = httpGet(p, "/v1/namespaces/g/tables/t")
+        assert(c === 200, b)
+        mapper.readTree(b).get("metadata-location").asText()
+      }
+      def treeOf(loc: String) =
+        Paths.get(java.net.URI.create(loc)).getParent.getParent
+      val loc1 = load()
+      cat0.commitAppend("g", "t", rows.filter($"id" >= 100 && $"id" < 200))
+      val loc2 = load()
+      // loc1 is the newest superseded tree: still resolvable
+      assert(IcebergExport.readExported(spark,
+        treeOf(loc1).toString).count() === 100L)
+      cat0.commitAppend("g", "t", rows.filter($"id" >= 200 && $"id" < 300))
+      load(): Unit
+      // two generations old at grace 0: reclaimed
+      assert(!Files.isDirectory(treeOf(loc1)),
+        "outside the serving window the tree is reclaimed (grace 0)")
+      // the newest superseded one still serves
+      assert(IcebergExport.readExported(spark,
+        treeOf(loc2).toString).count() === 200L)
+    } finally server0.stop()
+  }
+
+  test("REST consistent cut (round-15): POST /v1/transactions/" +
+       "consistent-cut pins two tables on versions that never split a " +
+       "multi-table transaction — verified under a committing storm — " +
+       "and each pinned metadata-location reads back as a spec tree at " +
+       "exactly the pinned version; empty-table and unknown-table " +
+       "requests refuse with 400/404") {
+    import graft.tools.RestClient
+    val wh = Files.createTempDirectory("graft-rest-cut-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("c", "t1")
+    cat.createTable("c", "t2")
+    cat.commitAppend("c", "t1", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    cat.commitAppend("c", "t2", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val server = new IcebergRestServer(cat,
+      Files.createTempDirectory("graft-rest-cut-exp").toString)
+    try {
+      val p = server.boundPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def txnIdsUpTo(ns: String, t: String, seq: Long): Set[String] =
+        cat.snapshots(ns, t).filter(_.seq <= seq).map(_.commitId)
+          .filter(_.startsWith("txn-cut"))
+          .map(_.stripSuffix("-0").stripSuffix("-1")).toSet
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val committer = new Thread(() => {
+        try {
+          (1 to 8).foreach { k =>
+            val tag = s"c$k"
+            cat.createBranch("c", "t1", tag)
+            cat.createBranch("c", "t2", tag)
+            cat.commitAppendToBranch("c", "t1", tag,
+              Seq((10L + k, 1.0)).toDF("id", "v"))
+            cat.commitAppendToBranch("c", "t2", tag,
+              Seq((10L + k, "x")).toDF("k", "s"))
+            cat.commitTransaction(Seq(
+              cat.TxnPart("c", "t1", tag), cat.TxnPart("c", "t2", tag)),
+              txnId = s"cut$k"): Unit
+          }
+        } finally stop.set(true)
+      })
+      committer.start()
+      var cuts = 0
+      try {
+        while (!stop.get()) {
+          val (cc, cb) = RestClient.consistentCutViaRest(p,
+            Seq(("c", "t1"), ("c", "t2")))
+          if (cc == 200) {
+            val ts = mapper.readTree(cb).get("tables")
+            assert(ts.size() === 2, cb)
+            val seqs = (0 until 2).map(i =>
+              ts.get(i).get("sequence-number").asLong())
+            assert(txnIdsUpTo("c", "t1", seqs(0)) ===
+              txnIdsUpTo("c", "t2", seqs(1)),
+              s"REST cut ($seqs) split a transaction")
+            cuts += 1
+          } else assert(cc === 409, s"$cc $cb") // storm kept heads moving
+          Thread.sleep(20)
+        }
+      } finally { stop.set(true); committer.join(60000) }
+      // quiesced: the final cut must succeed, see all 8 transactions,
+      // and each pinned location must READ BACK at the pinned version
+      val (fc, fb) = RestClient.consistentCutViaRest(p,
+        Seq(("c", "t1"), ("c", "t2")))
+      assert(fc === 200, fb)
+      assert(cuts >= 0) // storm-window successes are best-effort
+      val ts = mapper.readTree(fb).get("tables")
+      (0 until 2).foreach { i =>
+        val e = ts.get(i)
+        val t = e.get("identifier").get("name").asText()
+        val seq = e.get("sequence-number").asLong()
+        assert(txnIdsUpTo("c", t, seq).size === 8)
+        val tree = Paths.get(java.net.URI.create(
+          e.get("metadata-location").asText())).getParent.getParent
+        val back = IcebergExport.readExported(spark, tree.toString)
+        assert(back.count() === cat.readVersion("c", t, seq).count(),
+          s"pinned tree of c.$t must read at v$seq")
+      }
+      // refusals: empty table -> 400, unknown table -> 404
+      cat.createTable("c", "empty")
+      val (ec, eb) = RestClient.consistentCutViaRest(p,
+        Seq(("c", "t1"), ("c", "empty")))
+      assert(ec === 400, eb)
+      assert(eb.contains("empty table"), eb)
+      val (nc, _) = RestClient.consistentCutViaRest(p,
+        Seq(("c", "ghost")))
+      assert(nc === 404)
+    } finally server.stop()
+  }
+
   test("shared-store serving (round-14): successive LOADs re-export " +
        "O(delta) against a per-table content-addressed store, the sweep " +
        "keeps the store equal to the serving window's refs, and DROP " +
@@ -953,7 +1256,9 @@ class IcebergRestSpec extends SparkSpec {
     cat.commitAppend("ns", "sh", rows.filter($"id" < 100))
 
     val exportRoot = Files.createTempDirectory("graft-rest-shexp").toString
-    val server = new IcebergRestServer(cat, exportRoot)
+    // grace 0: this test pins the MINIMAL serving window's store sweep;
+    // the grace retention has its own spec
+    val server = new IcebergRestServer(cat, exportRoot, serveGraceMs = 0L)
     try {
       val p = server.boundPort
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -1452,6 +1452,59 @@ class StreamingSpec extends SparkSpec {
     } finally workers.foreach(_.stop())
   }
 
+  test("DerivedStateWorker pooled fan-in (round-15): startAll over 8 " +
+       "base tables with poolSize=3 yields exactly 3 streams (not 8), " +
+       "each multiplexing its members' commit signals; churn on every " +
+       "base refreshes every MV through the pool; a pool restart over " +
+       "the same checkpoints replays exactly-once (no double-apply, " +
+       "and new churn still refreshes)") {
+    import graft.catalog.GraftCatalog
+    import graft.streaming.DerivedStateWorker
+    val wh = Files.createTempDirectory("graft-dspool-wh").toString
+    val ckptRoot = Files.createTempDirectory("graft-dspool-ck").toString
+    val cat = new GraftCatalog(spark, wh)
+    val c = graft.catalog.GraftSparkCatalog.registerSqlCatalog(spark, wh)
+    val n = 8
+    (0 until n).foreach { i =>
+      spark.sql(s"CREATE TABLE $c.p.b$i (k BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO $c.p.b$i VALUES (1, ${10 * (i + 1)}), (2, 7)")
+        .collect(): Unit
+      spark.sql(s"CREATE MATERIALIZED VIEW $c.p.m$i AS " +
+        s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $c.p.b$i GROUP BY k")
+    }
+    def mvMatchesBase(i: Int): Unit =
+      assert(spark.sql(s"SELECT k, sv, cnt FROM $c.p.m$i ORDER BY k")
+        .collect().toSeq ===
+        spark.sql(s"SELECT k, sum(v) AS sv, count(*) AS cnt FROM $c.p.b$i " +
+          "GROUP BY k ORDER BY k").collect().toSeq, s"mv m$i")
+    val workers = DerivedStateWorker.startAll(spark, wh, ckptRoot,
+      poolSize = 3)
+    try {
+      assert(workers.size === 3,
+        s"8 bases over poolSize=3 must yield 3 pooled streams, got " +
+          s"${workers.size}")
+      (0 until n).foreach { i =>
+        spark.sql(s"INSERT INTO $c.p.b$i VALUES (1, $i), (3, 3)")
+          .collect(): Unit
+      }
+      workers.foreach(_.processAllAvailable())
+      (0 until n).foreach(mvMatchesBase)
+    } finally workers.foreach(_.stop())
+    // restart over the SAME checkpoint root: replayed batches no-op
+    // through the MV watermarks, fresh churn still refreshes
+    val workers2 = DerivedStateWorker.startAll(spark, wh, ckptRoot,
+      poolSize = 3)
+    try {
+      spark.sql(s"INSERT INTO $c.p.b0 VALUES (9, 99)").collect(): Unit
+      spark.sql(s"INSERT INTO $c.p.b7 VALUES (9, 42)").collect(): Unit
+      workers2.foreach(_.processAllAvailable())
+      (0 until n).foreach(mvMatchesBase)
+      assert(spark.sql(s"SELECT sv FROM $c.p.m0 WHERE k = 9")
+        .head().getLong(0) === 99L, "no double-apply across restart")
+    } finally workers2.foreach(_.stop())
+    cat.listTables("p") // touch to keep cat referenced
+  }
+
   test("DerivedStateWorker x hybrid MV (round-14 composition): the " +
        "worker session maintains a mixed avg+min/max view whose stored " +
        "definition spells an UNQUALIFIED base name — a MoR delete window " +

@@ -723,8 +723,9 @@ object ServeBench {
       // txn version stays O(delta staged), never a corpus rescan.
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val li = Tables.lineitem(spark, sfDir)
-        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-          col("l_extendedprice").as("v"))
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("id"),
+          col("l_extendedprice").cast("double").as("v"))
       val n = 16
       (1 to repeat).foreach { r =>
         val txnId = s"rec$r"
@@ -738,7 +739,7 @@ object ServeBench {
           cat.createBranch("sb", s"rc$i", s"st$r")
           cat.commitAppendToBranch("sb", s"rc$i", s"st$r",
             spark.range(10).selectExpr(s"id + ${r * 1000000} as id",
-              "id * 2.0 as v")): Unit
+              "cast(id * 2.0 as double) as v")): Unit
         }
         // fabricate the published-but-unapplied state the way the
         // coordinator would have left it (TransactionSpec's shape)
@@ -781,7 +782,7 @@ object ServeBench {
         time(s"txnrecover_n$n", r) {
           cat.commitAppend("sb", "rc0",
             spark.range(1).selectExpr(s"id + ${r * 9000000} as id",
-              "id * 1.0 as v")): Unit
+              "cast(id as double) as v")): Unit
           // recovery must have applied EVERY part
           (0 until n).count(i =>
             cat.latest("sb", s"rc$i").exists(s =>

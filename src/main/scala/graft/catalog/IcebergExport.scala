@@ -648,15 +648,52 @@ object IcebergExport {
     //    (path, entry count, row count, length, partition-spec-id)
     val manifestMeta =
       scala.collection.mutable.Map.empty[String, Seq[(String, Int, Long, Long, Int)]]
-    // which snapshot first carries each graft manifest (= added it)
-    val addedBy: Map[String, Snapshot0] = {
+    // which snapshot first carries each graft manifest (= added it).
+    // Identity is GRAFT-SEQ-shaped (snapshotId(seq), not positional), so
+    // snapshot expiry — which drops early versions without renumbering
+    // the rest — leaves surviving snapshots' exported ids untouched.
+    val addedByComputed: Map[String, Snapshot0] = {
       val m = scala.collection.mutable.Map.empty[String, Snapshot0]
-      snaps.zipWithIndex.foreach { case (s, i) =>
+      snaps.foreach { s =>
         s.manifests.foreach { rel =>
-          if (!m.contains(rel)) m(rel) = Snapshot0(snapshotId(i), i + 1L, s.timestampMs)
+          if (!m.contains(rel))
+            m(rel) = Snapshot0(snapshotId(s.seq), s.seq + 1L, s.timestampMs)
         }
       }
       m.toMap
+    }
+    // Shared mode additionally PERSISTS each manifest's attribution at
+    // first export (attr-<md5(rel)>.txt): expiry may retire a
+    // manifest's adding snapshot, and recomputing attribution from the
+    // retained history would shift it onto the oldest survivor — moving
+    // the manifest's digest and forcing an O(history) metadata rewrite
+    // per expiry. The recorded attribution keeps the ORIGINAL (smaller)
+    // sequence number, which also preserves delete-application ordering
+    // exactly as first served. Attr files are listed in refs.txt and
+    // live/die with the serving window like every store object.
+    val addedBy: Map[String, Snapshot0] = sharedMetaDir match {
+      case None => addedByComputed
+      case Some(smd) =>
+        addedByComputed.map { case (rel, computed) =>
+          val af = smd.resolve(s"attr-${md5hex(Seq(rel))}.txt")
+          val persisted =
+            if (!Files.isRegularFile(af)) None
+            else new String(Files.readAllBytes(af), StandardCharsets.UTF_8)
+              .trim.split('|') match {
+                case Array(id, sq, ts) =>
+                  try Some(Snapshot0(id.toLong, sq.toLong, ts.toLong))
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+          rel -> persisted.getOrElse {
+            val tmp = af.resolveSibling(s".tmp-${UUID.randomUUID()}.txt")
+            Files.write(tmp, s"${computed.id}|${computed.seq}|${computed.tsMs}"
+              .getBytes(StandardCharsets.UTF_8)): Unit
+            Files.move(tmp, af, StandardCopyOption.REPLACE_EXISTING,
+              StandardCopyOption.ATOMIC_MOVE): Unit
+            computed
+          }
+        }
     }
 
     // equality-delete manifests name their key columns by FIELD ID
@@ -872,11 +909,11 @@ object IcebergExport {
     //    lists.
     var reusedL = 0; var writtenL = 0
     val listPaths = snaps.zipWithIndex.map { case (s, i) =>
-      val sid = snapshotId(i)
+      val sid = snapshotId(s.seq)
       val file = sharedMetaDir match {
         case Some(smd) =>
-          val lkey = md5hex(Seq(sid.toString, (i + 1L).toString,
-            if (i > 0) snapshotId(i - 1).toString else "-",
+          val lkey = md5hex(Seq(sid.toString, (s.seq + 1L).toString,
+            if (i > 0) snapshotId(snaps(i - 1).seq).toString else "-",
             s.manifests.map(rel =>
               s"$rel=${manifestKeyOf(rel)}:${addedBy(rel).id}:${addedBy(rel).seq}")
               .mkString(";")))
@@ -898,8 +935,9 @@ object IcebergExport {
         new GenericDatumWriter[GenericRecord](ManifestListSchema))
       w.setMeta("format-version", "2")
       w.setMeta("snapshot-id", sid.toString)
-      w.setMeta("sequence-number", (i + 1L).toString)
-      if (i > 0) w.setMeta("parent-snapshot-id", snapshotId(i - 1).toString)
+      w.setMeta("sequence-number", (s.seq + 1L).toString)
+      if (i > 0)
+        w.setMeta("parent-snapshot-id", snapshotId(snaps(i - 1).seq).toString)
       w.create(ManifestListSchema, writeTarget.toFile)
       s.manifests.foreach { rel =>
         val add = addedBy(rel)
@@ -937,7 +975,9 @@ object IcebergExport {
 
     // 4. table metadata JSON + version hint
     val snapJsons = snaps.zipWithIndex.map { case (s, i) =>
-      val parent = if (i == 0) "" else s""""parent-snapshot-id":${snapshotId(i - 1)},"""
+      val parent =
+        if (i == 0) ""
+        else s""""parent-snapshot-id":${snapshotId(snaps(i - 1).seq)},"""
       // spec summary operations: append = only data added; delete = only
       // delete files added; overwrite = both (upsert) or a rewrite
       val added =
@@ -951,15 +991,16 @@ object IcebergExport {
           case (_, 0) => "delete"
           case _      => "overwrite"
         }
-      s"""{"snapshot-id":${snapshotId(i)},$parent"sequence-number":${i + 1},""" +
+      s"""{"snapshot-id":${snapshotId(s.seq)},$parent""" +
+        s""""sequence-number":${s.seq + 1},""" +
         s""""timestamp-ms":${s.timestampMs},"summary":{"operation":"$op"},""" +
         s""""manifest-list":${jstr(listPaths(i).toUri.toString)},""" +
         s""""schema-id":${schemaIdOf(verSchemas(i))}}"""
     }
-    val snapLog = snaps.zipWithIndex.map { case (s, i) =>
-      s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${snapshotId(i)}}"""
+    val snapLog = snaps.map { s =>
+      s"""{"timestamp-ms":${s.timestampMs},"snapshot-id":${snapshotId(s.seq)}}"""
     }
-    val currentId = snapshotId(snaps.length - 1)
+    val currentId = snapshotId(snaps.last.seq)
     // data parquet spells columns by their PHYSICAL names and carries no
     // embedded field-ids — when any version renamed a column (logical ≠
     // physical), emit the spec's name-mapping property so Iceberg
@@ -1019,7 +1060,7 @@ object IcebergExport {
          |"format-version":2,
          |"table-uuid":"${UUID.randomUUID()}",
          |"location":${jstr(destPath.toAbsolutePath.toUri.toString.stripSuffix("/"))},
-         |"last-sequence-number":${snaps.length},
+         |"last-sequence-number":${snaps.last.seq + 1},
          |"last-updated-ms":${snaps.last.timestampMs},
          |"last-column-id":$lastColumnId,
          |"current-schema-id":$headSchemaId,
@@ -1062,6 +1103,7 @@ object IcebergExport {
           manifestMeta.values.flatten
             .map(m => s"metadata/${Paths.get(m._1).getFileName}") ++
           manifestKeyOf.values.map(k => s"metadata/m-$k.txt") ++
+          addedBy.keys.map(rel => s"metadata/attr-${md5hex(Seq(rel))}.txt") ++
           listPaths.map(p => s"metadata/${p.getFileName}")
       Files.write(destPath.resolve("refs.txt"),
         names.distinct.sorted.mkString("\n")
@@ -1116,9 +1158,12 @@ object IcebergExport {
 
   private case class Snapshot0(id: Long, seq: Long, tsMs: Long)
 
-  /** Deterministic positive snapshot id (any unique long is spec-legal;
-    * deterministic ids keep re-exports diffable). */
-  private def snapshotId(i: Int): Long = 1000L + i
+  /** Deterministic positive snapshot id keyed on the GRAFT sequence
+    * number (any unique long is spec-legal; deterministic ids keep
+    * re-exports diffable, and seq-keyed — rather than positional — ids
+    * survive snapshot expiry unchanged, which is what keeps the shared
+    * store's digests stable across retention). */
+  private def snapshotId(graftSeq: Long): Long = 1000L + graftSeq
 
   /** `data/<stagingId>/<part>.parquet` -> flat unique basename. The
     * hash prefix keys on the FULL relative path: plain '/'->'-'

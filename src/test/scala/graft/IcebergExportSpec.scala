@@ -850,8 +850,10 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.readExported(spark, dest1).count() === expectCnt)
   }
 
-  test("snapshot expiry moves every digest (attribution shifted) and the " +
-       "sweep reclaims retired objects while the serving window stays readable") {
+  test("snapshot expiry re-exports O(expired): persisted attribution + " +
+       "seq-keyed ids keep every surviving manifest and all but one list " +
+       "byte-reused; the sweep reclaims retired objects while the " +
+       "serving window stays readable") {
     val cat = freshCat()
     val orders = Tables.orders(spark, sf()).select("o_orderkey", "o_totalprice")
     cat.createTable("ns", "she")
@@ -868,13 +870,18 @@ class IcebergExportSpec extends SparkSpec {
     val dest2 = Files.createTempDirectory("iceberg-she2").toString
     val r2 = IcebergExport.exportTable(cat, "ns", "she", dest2,
       sharedStore = Some(shared))
-    // attribution shifted under m2 and m3 (their first-carrying snapshot
-    // moved down a position) so their digests moved and they rewrite; m1
-    // collapses onto the same (first-snapshot) attribution and its reuse
-    // is byte-exact. Every list names a different manifest set, so all
-    // rewrite.
-    assert(r2.reusedManifests === 1 && r2.writtenManifests === 2)
-    assert(r2.reusedLists === 0 && r2.writtenLists === 2)
+    // round-15: expiry is O(expired), not O(history) — snapshot ids are
+    // graft-seq-keyed (stable across expiry) and each manifest's
+    // attribution was PERSISTED at first export, so every surviving
+    // manifest reuses byte-exact and only the oldest retained
+    // snapshot's list rewrites (its parent pointer died with the
+    // expired snapshot); the newer list reuses verbatim.
+    assert(r2.reusedManifests === 3 && r2.writtenManifests === 0,
+      s"expiry must not rewrite surviving manifests " +
+        s"(reused=${r2.reusedManifests}, written=${r2.writtenManifests})")
+    assert(r2.reusedLists === 1 && r2.writtenLists === 1,
+      s"only the expiry-adjacent list rewrites " +
+        s"(reused=${r2.reusedLists}, written=${r2.writtenLists})")
 
     // sweep with the serving window (new + superseded) keeps both readable
     val swept = IcebergExport.sweepSharedStore(shared, Seq(

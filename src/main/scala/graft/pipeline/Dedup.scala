@@ -124,10 +124,15 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
     * pairs → shingle-set Jaccard verification at `threshold` (sets
     * pre-hashed to sorted longs; see the in-body note). */
-  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+  def minhashNearDups(docs0: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, shingleK: Int = 3,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // spread the raw docs BEFORE the signature/shingle projections: the
+    // single-split local corpus otherwise computes them in one task
+    // (ScaleOut scaladoc); the identical exchange feeds all four
+    // references below, so Spark's ReuseExchange ships the text once
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleK)
     // NOTE: the band table and shingle sets feed both sides of self-joins
     // and are deliberately NOT persisted — measured 13× slower cached
@@ -161,11 +166,14 @@ object Dedup {
     * maintained at admit time, so each batch pays O(batch) signature work
     * plus one equi-join against the band index — never a rescan of the
     * admitted corpus. Output: (incoming_id, existing_id, jaccard). */
-  def minhashNearDupsAgainst(existing: DataFrame, incoming: DataFrame,
+  def minhashNearDupsAgainst(existing0: DataFrame, incoming0: DataFrame,
                              idCol: String, textCol: String,
                              numHashes: Int = 16, shingleK: Int = 3,
                              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // same single-split guard as minhashNearDups, per side
+    val existing = graft.operators.ScaleOut.forCompute(existing0, idCol)
+    val incoming = graft.operators.ScaleOut.forCompute(incoming0, idCol)
     val r = numHashes / bands
     def bandSide(df: DataFrame, as: String) =
       lshBands(minhashSignatures(df, idCol, textCol, numHashes, shingleK), idCol, "sig", bands, r)
@@ -202,10 +210,13 @@ object Dedup {
     * re-shingled, or re-hashed. Bands commit clustered by band_hash so
     * per-bucket file pruning holds as the index grows. */
   def buildLshIndexTables(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
-                          docs: DataFrame, idCol: String, textCol: String,
+                          docs0: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 16, shingleK: Int = 3,
                           bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the build's signature/shingle projections feed the two table
+    // writes map-side — spread a single-split corpus (ScaleOut scaladoc)
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val r = numHashes / bands
     Seq(s"${prefix}_bands", s"${prefix}_sets").foreach { t =>
       if (!cat.tableExists(ns, t)) cat.createTable(ns, t)
@@ -255,10 +266,13 @@ object Dedup {
     * (incoming_id, existing_id, jaccard), same contract as
     * minhashNearDupsAgainst (PipelineSpec pins equality). */
   def dedupAgainstLshIndex(cat: graft.catalog.GraftCatalog, ns: String, prefix: String,
-                           batch: DataFrame, idCol: String, textCol: String,
+                           batch0: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 16, shingleK: Int = 3, bands: Int = 4,
                            threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the batch's signature + shingle-set projections are the serve
+    // path's only per-row heavy compute — spread a single-split batch
+    val batch = graft.operators.ScaleOut.forCompute(batch0, idCol)
     val r = numHashes / bands
     val batchBands =
       lshBands(minhashSignatures(batch, idCol, textCol, numHashes, shingleK),
@@ -288,7 +302,10 @@ object Dedup {
     * per document with map-side partial aggregation — the naive
     * per-bit-rehash form is O(64×tokens) and breaks codegen.
     * Returns (idCol, sh: long). */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashTable(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the token explode + 64-vote partial aggregation run map-side —
+    // spread a single-split corpus before them (ScaleOut scaladoc)
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val hashed = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -396,36 +413,52 @@ object Dedup {
       .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .localCheckpoint()
     // undirected edge list incl. self-loops so single-edge endpoints keep
-    // their own candidacy in the min
+    // their own candidacy in the min. Repartitioned by the join key
+    // BEFORE the checkpoint (r15): the 3-way union otherwise checkpoints
+    // with the summed partition count of its legs (~3× the session
+    // parallelism of near-empty partitions), and since localCheckpoint
+    // pins physical partitioning, EVERY round's probe stage then runs
+    // that many do-nothing tasks. A keyless-N-free repartition is
+    // AQE-coalescible, so the checkpoint lands data-sized (one
+    // partition here, many at a 100 TB dup graph), and hash(dst)
+    // partitioning is exactly what the per-round join wants.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(touched.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
+    // no checkpoint: a narrow projection of the checkpointed `touched`
     var labels = touched.select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
-      // each node adopts the min cluster label among itself and neighbors
+      // each node adopts the min cluster label among itself and
+      // neighbors — the self-loop rows injected above guarantee every
+      // touched node's OWN label is in the min, so no separate
+      // least(own, neighbors) join is needed; the same self-loop row
+      // (dst == src) also carries the node's previous label out of the
+      // aggregate, so convergence detection below is a narrow filter
+      // over the round's checkpoint instead of a join against the
+      // previous labels (2 fewer joins per round than the r14 form —
+      // these rounds are tiny-data, so per-round job count IS the cost)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("new_cluster"))
-      val hopped = labels.join(viaNeighbors, "id")
-        .select(col("id"), least(col("cluster"), col("new_cluster")).as("cluster"))
+        .agg(min(col("cluster")).as("cluster"),
+          max(when(col("dst") === col("src"), col("cluster"))).as("old"))
       // pointer jumping: follow each label to ITS label (cluster :=
       // label(cluster)), squaring the propagation distance per round —
       // O(log diameter) convergence, so a chain-shaped component longer
       // than maxIterations hops cannot silently split (one-hop-only
       // propagation needs O(diameter) rounds).
-      val next = hopped.as("a")
-        .join(hopped.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
+      val next = viaNeighbors.as("a")
+        .join(viaNeighbors.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
               col("a.cluster") === col("b.cid"))
-        .select(col("a.id").as("id"), least(col("a.cluster"), col("ccluster")).as("cluster"))
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"), col("ccluster")).as("cluster"), col("a.old").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     if (changed > 0)
@@ -518,13 +551,21 @@ object Dedup {
     * with it the pair stage is an equi-join on the gram key whose
     * per-key fan-out is bounded by maxDf² — shuffle-partitioned,
     * AQE-splittable, no driver state. */
-  def exactSubstringPairs(docs: DataFrame, idCol: String, textCol: String,
+  def exactSubstringPairs(docs0: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, minShared: Long = 1,
                           maxDf: Int = 1000): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     require(maxDf >= 2, s"maxDf must be >= 2 to ever emit a pair: $maxDf")
+    // gram extraction (explode + per-doc window + distinct) is the
+    // expensive stage and the plan references it from SIX places (df
+    // counts, both pair sides, sizes) — without materialization Spark
+    // re-derives it per reference (16 scans in the r14 plan). One
+    // localCheckpoint computes it once, at session parallelism (the
+    // ScaleOut guard spreads the single-split local corpus first).
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val grams = graft.pipeline.Curation
       .wordNgramSets(docs, idCol, textCol, n, lowercase = true)
+      .localCheckpoint()
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("gram"))
     val g = grams.join(rare, "gram")
@@ -560,13 +601,18 @@ object Dedup {
     * same reason exactSubstringPairs anchors on LONG grams. Output:
     * (id_a, id_b, inter, size_a, size_b, overlap) with id_a < id_b,
     * overlap rounded to 4. */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+  def containmentPairs(docs0: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.6,
                        maxDf: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     require(maxDf >= 2, s"maxDf must be >= 2 to ever emit a pair: $maxDf")
+    // same one-materialization + spread discipline as
+    // exactSubstringPairs (this plan references the gram table from
+    // five places; see the note there)
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val grams = graft.pipeline.Curation
       .wordNgramSets(docs, idCol, textCol, n, lowercase = true)
+      .localCheckpoint()
     val rare = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("gram"))
     val g = grams.join(rare, "gram")
@@ -671,9 +717,13 @@ object Dedup {
     * 1-based. Suffix classes (equal ranks) with members in >1 document
     * are exactly the cross-document duplicated k-grams, feeding the
     * same span-election rewrite as exactSubstringPairs. */
-  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+  def suffixRanks(docs0: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame = {
     require(k >= 1 && (k & (k - 1)) == 0, s"k must be a power of two: $k")
+    // the character posexplode multiplies rows by text length before
+    // the first rank's range shuffle — spread a single-split corpus
+    // so that map stage isn't one task (ScaleOut scaladoc)
+    val docs = graft.operators.ScaleOut.forCompute(docs0, idCol)
     val chars = docs.select(col(idCol).as("doc"),
         posexplode(split(col(textCol), "")))
       .select(col("doc"), (col("pos") + 1).as("pos"), col("col").as("ch"))

@@ -24,10 +24,16 @@ object Profiling {
     * (column, n_rows, n_nulls, n_distinct, min_num, max_num, mean,
     * min_str, max_str) — numeric stats null for string columns and vice
     * versa. Numeric stats round to 4 (engine-portable). */
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def profile(df0: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "no columns to profile")
-    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val types = df0.schema.fields.map(f => f.name -> f.dataType).toMap
     columns.foreach(c => require(types.contains(c), s"no such column: $c"))
+    // the Expand (rows × distinct-profiled columns) and the partial
+    // aggregation are map-side: over a single-split batch they run in
+    // one task — spread the rows first (ScaleOut scaladoc; count /
+    // distinct / min / max are partitioning-independent, avg reorders
+    // only at the last ulp, inside the 4-decimal rounding)
+    val df = graft.operators.ScaleOut.forCompute(df0)
 
     val aggs = columns.flatMap { c =>
       val numeric = types(c).isInstanceOf[NumericType]

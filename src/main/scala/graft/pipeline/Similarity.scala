@@ -57,7 +57,8 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "neighbor_id")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -165,7 +166,8 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "neighbor_id")
     val pre = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -191,8 +193,9 @@ object Similarity {
                     labelCol: String = "label"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
       col(labelCol).as("query_label"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-      col(labelCol).as("neg_label"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        col(labelCol).as("neg_label")), "neighbor_id")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id") &&
         col("neg_label") =!= col("query_label"))
@@ -307,8 +310,9 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       quantizeInt8(col(vecCol)).as("query_q"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantizeInt8(col(vecCol)).as("q"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"),
+        quantizeInt8(col(vecCol)).as("q")), "neighbor_id")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -361,8 +365,9 @@ object Similarity {
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = withNormalized(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
+    val c = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+      "neighbor_id"), "vec")
     val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     // localCheckpoint (not persist): the assignment pass feeds the radii
@@ -451,8 +456,9 @@ object Similarity {
   def semDeDupCellAssignments(corpus: DataFrame, nlist: Int = 16,
                               seed: Long = 42L, idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
-    val c = withNormalized(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
+    val c = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+      "neighbor_id"), "vec")
     val sample = collectSample(c, "_nvec", 4096)
     val centers = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     c.select(col("neighbor_id"), col("vec"),
@@ -581,8 +587,9 @@ object Similarity {
     // orderings agree, on raw vectors they diverge and queries probe
     // cells their true neighbors were never assigned to (silent recall
     // loss on un-normalized embeddings)
-    val c = withNormalized(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "vec")
+    val c = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+      "neighbor_id"), "vec")
     // bounded-sample LocalKMeans + a codegen'd assignment projection:
     // training cost is corpus-size-independent, and the full-corpus pass
     // is one narrow NearestCentroid map (no MLlib fit/transform jobs)
@@ -732,7 +739,8 @@ object Similarity {
                           m: Int = 8, ksub: Int = 16, seed: Long = 42L,
                           idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame, Seq[(Int, Int, Seq[Double])]) = {
-    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val c0 = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), "neighbor_id"), vecCol)
     val idx = buildPqIndex(c0, m, ksub, seed, passthrough = Seq.empty)
     val scored = idx.coded.crossJoin(broadcast(queryLuts(queries, idx, idCol, vecCol)))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -762,7 +770,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cands = pqTopK(corpus, queries, k * poolFactor, m, ksub, seed, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")), "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(cands), "neighbor_id")
       .join(broadcast(q), "query_id")
@@ -797,7 +806,8 @@ object Similarity {
                              idCol: String = "vec_id",
                              vecCol: String = "embedding")
       : (DataFrame, DataFrame, Seq[(Int, Int, Seq[Double])], DataFrame) = {
-    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val c0 = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), "neighbor_id"), vecCol)
     val sample = collectSample(c0, "_nvec", 4096)
     val coarse = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     val withCell = c0.withColumn("cell",
@@ -840,7 +850,8 @@ object Similarity {
                             codesProps: Map[String, String] = Map.empty): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c0 = withNormalized(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), vecCol)
+    val c0 = withNormalized(graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol)), "neighbor_id"), vecCol)
     val sample = collectSample(c0, "_nvec", 4096)
     val coarse = LocalKMeans.fit(sample, nlist, maxIter = 5, seed = seed)
     val withCell = c0.withColumn("cell",
@@ -1220,8 +1231,9 @@ object Similarity {
     * recall, up for more speed). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-                          lshBucket(col(vecCol), planes).as("bucket"))
+    val c = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        lshBucket(col(vecCol), planes).as("bucket")), "neighbor_id")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
                            lshBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -1256,8 +1268,9 @@ object Similarity {
     require(k >= 1, s"k=$k"); require(iters >= 1, s"iters=$iters")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .filter(col("__vec").isNotNull)
+    val base = graft.operators.ScaleOut.forCompute(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+        .filter(col("__vec").isNotNull), "__id")
     val init: Array[Array[Double]] = base.orderBy("__id").limit(k)
       .select("__vec").as[Seq[Float]].collect()
       .map(_.toArray.map(_.toDouble))
@@ -1414,9 +1427,10 @@ object Similarity {
                      labelCol: String = "label"): DataFrame = {
     // null labels dropped EXPLICITLY (the centroid join would silently
     // drop them anyway — null never equi-joins null)
-    val base = emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(idCol), col(labelCol),
-        transform(col(vecCol), _.cast("double")).as("__v"))
+    val base = graft.operators.ScaleOut.forCompute(
+      emb.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+        .select(col(idCol), col(labelCol),
+          transform(col(vecCol), _.cast("double")).as("__v")), idCol)
     val cents = base
       .select(col(labelCol), posexplode(col("__v")))
       .groupBy(col(labelCol), col("pos"))

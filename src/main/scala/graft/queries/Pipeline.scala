@@ -103,7 +103,11 @@ object Pipeline {
     * the join condition rebuilds both arrays per pair (O(pairs·len))
     * instead of per doc (O(docs·len)). */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.documents(s, d).filter(col("doc_id") < 100)
+    // spread before the char-3-gram projection AND the pair scoring:
+    // the brute pair join streams over these partitions, so a
+    // single-split scan would score all pairs in one task
+    val g = graft.operators.ScaleOut.forCompute(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id")
       .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("grams"))
     val a = g.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val b = g.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
@@ -1420,12 +1424,22 @@ object Pipeline {
 
   // ---------------- multimodal ----------------
 
+  /** Documents scan spread to the session parallelism for the decode /
+    * fingerprint queries below: their per-row work (PNG round trips,
+    * integer DCTs, byte transforms) is the heavy stage and runs
+    * map-side, where the single-split local file would serialize it
+    * (ScaleOut scaladoc; at real scale the guard no-ops). The operators
+    * themselves stay narrow projections — PlanSpec's exchange-free pins
+    * on mediaTable∘dhashFingerprint are unchanged. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScaleOut.forCompute(Tables.documents(s, d), "doc_id")
+
   private def mmMediaStats: Q = (s, d) =>
     Multimodal.metadataOnly(Multimodal.mediaTable(Tables.documents(s, d)))
       .orderBy(col("format"))
 
   private def mmFeatures: Q = (s, d) =>
-    Multimodal.extractFeatures(Multimodal.mediaTable(Tables.documents(s, d)))(s)
+    Multimodal.extractFeatures(Multimodal.mediaTable(docsSpread(s, d)))(s)
       .toDF()
       .select(col("doc_id"), col("format"), col("n_bytes"),
         round(col("byte_mean"), 4).as("byte_mean"),
@@ -1436,7 +1450,7 @@ object Pipeline {
     * The oracle recomputes each frame's md5 from the source text (the
     * synthetic corpus is ASCII, so byte slices == char slices). */
   private def mmFrameSample: Q = (s, d) =>
-    Multimodal.frameSample(Multimodal.mediaTable(Tables.documents(s, d)),
+    Multimodal.frameSample(Multimodal.mediaTable(docsSpread(s, d)),
         frameBytes = 64, everyNth = 4)
       .select(col("doc_id"), col("format"), col("frame_idx"), col("frame_len"),
         md5(col("frame")).as("frame_md5"))
@@ -1447,7 +1461,7 @@ object Pipeline {
     * a bit-for-bit check of the whole per-partition transform path. */
   private def mmResize: Q = (s, d) => {
     implicit val sp: SparkSession = s
-    Multimodal.resize(Multimodal.mediaTable(Tables.documents(s, d)),
+    Multimodal.resize(Multimodal.mediaTable(docsSpread(s, d)),
         Multimodal.StrideResizer(4))
       .toDF()
       .select(col("doc_id"), col("format"),
@@ -1461,7 +1475,7 @@ object Pipeline {
     * collision behavior on planted re-encodes). The oracle replays every
     * document's sampling grid and comparison bits exactly. */
   private def mmDhash: Q = (s, d) =>
-    Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
+    Multimodal.dhashFingerprint(Multimodal.mediaTable(docsSpread(s, d)))
       .orderBy(col("doc_id"))
 
   /** 63-bit pHash (integer-DCT) perceptual fingerprint per payload —
@@ -1470,7 +1484,7 @@ object Pipeline {
     * All arithmetic is exact int64 (quantized basis), so the oracle
     * replays every document's DCT and median threshold bit-for-bit. */
   private def mmPhash: Q = (s, d) =>
-    Multimodal.phashFingerprint(Multimodal.mediaTable(Tables.documents(s, d)))
+    Multimodal.phashFingerprint(Multimodal.mediaTable(docsSpread(s, d)))
       .orderBy(col("doc_id"))
 
   /** Perceptual near-dup pairs at hamming ≤ 6 over the dHash
@@ -1480,7 +1494,7 @@ object Pipeline {
     * scan (bounded corpus); the engine plan has no cartesian. */
   private def mmDhashNearDups: Q = (s, d) =>
     Multimodal.dhashNearDups(
-        Multimodal.dhashFingerprint(Multimodal.mediaTable(Tables.documents(s, d))))
+        Multimodal.dhashFingerprint(Multimodal.mediaTable(docsSpread(s, d))))
       .orderBy(col("id_a"), col("id_b"))
 
   /** REAL image decode: deterministic per-doc pixels → actual PNG encode
@@ -1491,7 +1505,7 @@ object Pipeline {
   private def mmDecode: Q = (s, d) => {
     implicit val sp: SparkSession = s
     Multimodal.decodeImageFeatures(
-        Multimodal.syntheticPngTable(Tables.documents(s, d)).toDF())
+        Multimodal.syntheticPngTable(docsSpread(s, d)).toDF())
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("channels"), col("px_sum"))
       .orderBy(col("doc_id"))

@@ -49,11 +49,19 @@ object Relational {
                           nBuckets: Int = 8): (DataFrame, DataFrame) = {
     val loc = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-bucketed-tables").toString
-    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    // spread the single-split local scans so the bucketed write (hash +
+    // per-bucket sort + parquet encode, the expensive stage here) runs
+    // at session parallelism instead of one task (ScaleOut scaladoc);
+    // bucket assignment is per-row hash arithmetic, so the re-read
+    // tables and the zero-exchange join plan are unchanged
+    graft.operators.ScaleOut.forCompute(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey")
       .write.format("parquet").option("path", s"$loc/lineitem_b")
       .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("graft_bucketed_lineitem")
-    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    graft.operators.ScaleOut.forCompute(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"), "o_orderkey")
       .write.format("parquet").option("path", s"$loc/orders_b")
       .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("graft_bucketed_orders")

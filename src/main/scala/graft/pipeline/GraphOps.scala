@@ -51,25 +51,35 @@ object GraphOps {
     val e = edges.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("w"))
       .localCheckpoint()
-    val srcs = deg.select(col("src")).localCheckpoint()
 
-    var pr = ids.withColumn("pr", round(lit(1.0 / n), 9)).localCheckpoint()
+    // has-out-edge flag joined ONCE and carried through every round's
+    // checkpoint (r15): the dangling-mass scalar then reads as a narrow
+    // filter-aggregate over the current checkpoint instead of a
+    // per-iteration anti-join job — same semantics (dangling = rank
+    // held by vertices absent from the src set), fewer wide ops per
+    // round on a loop whose cost is round latency, not rows.
+    val ids2 = ids
+      .join(deg.select(col("src").as("id"), lit(true).as("__has_out")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__has_out"), lit(false)).as("__has_out"))
+      .localCheckpoint()
+
+    var pr = ids2.withColumn("pr", round(lit(1.0 / n), 9)).localCheckpoint()
     for (_ <- 1 to iters) {
       // dangling mass: rank held by vertices with no out-edges — one
       // scalar, redistributed uniformly (standard PageRank semantics)
-      val dangling = pr.join(srcs, pr("id") === srcs("src"), "left_anti")
+      val dangling = pr.filter(!col("__has_out"))
         .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
       val contrib = e.join(pr, e("src") === pr("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("w")).as("__in"))
-      pr = ids.join(contrib, ids("id") === contrib("dst"), "left")
-        .select(ids("id"),
+      pr = ids2.join(contrib, ids2("id") === contrib("dst"), "left")
+        .select(ids2("id"), ids2("__has_out"),
           round(lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)),
             9).as("pr"))
         .localCheckpoint()
     }
-    pr
+    pr.select(col("id"), col("pr"))
   }
 
   /** Undirected convenience: every (a,b) pair becomes both directed

@@ -102,6 +102,13 @@ object Multimodal {
   def syntheticPngTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      // ImageIO defaults every read/write through a synchronized
+      // TEMP-FILE cache — with 32 concurrent decode tasks that is one
+      // temp file per image plus lock contention (measured: the r15
+      // parallelized mm_decode burned 85 cpu-s in it vs 2.8 serial).
+      // Memory-cached streams are contention-free and strictly faster
+      // for these KB-sized payloads. JVM-global, idempotent, per-task.
+      javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + ((id * 7) % 16).toInt
@@ -141,6 +148,8 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
+        // memory-cached ImageIO streams — see syntheticPngTable
+        javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { r =>
           ImageIoDecoder.decode(r.media).map { case (w, h, ch, sum) =>
             ImageFeatures(r.doc_id, w, h, ch, sum)

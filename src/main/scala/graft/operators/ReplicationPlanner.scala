@@ -103,7 +103,13 @@ object ReplicationPlanner {
                              sizeCol: String = "size_bytes", etagCol: String = "etag",
                              expectedItems: Long = 1000000L,
                              bloomBits: Long = 8388608L): DataFrame = {
+    // materialized once (r15): BOTH membership filters below reference
+    // the level-1 candidates, and without this the manifest anti-join —
+    // the widest stage of the plan — executes twice. Candidates after
+    // level 1 are the small side by design (the class scaladoc), so the
+    // checkpoint is delta-sized at any corpus.
     val newFiles = JoinKeys.hashKeyedJoin(srcFiles, dstFiles.select(pathCol), Seq(pathCol), "left_anti")
+      .localCheckpoint()
     // ONE sketch feeds both membership filters — the inventory aggregate
     // is the widest stage here and must not run twice. expectedItems is
     // a real tuning knob: size it to the inventory cardinality or the

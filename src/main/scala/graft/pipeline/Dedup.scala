@@ -429,9 +429,9 @@ object Dedup {
       .localCheckpoint()
     // no checkpoint: a narrow projection of the checkpointed `touched`
     var labels = touched.select(col("id"), col("id").as("cluster"))
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIterations) {
+    while (changed && iter < maxIterations) {
       // each node adopts the min cluster label among itself and
       // neighbors — the self-loop rows injected above guarantee every
       // touched node's OWN label is in the min, so no separate
@@ -457,11 +457,14 @@ object Dedup {
         .select(col("a.id").as("id"),
           least(col("a.cluster"), col("ccluster")).as("cluster"), col("a.old").as("old"))
         .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("old")).count()
+      // boolean convergence probe: only "did ANY label move" matters,
+      // so isEmpty (limit-1 over the round's checkpoint) short-circuits
+      // on the first changed row instead of counting them all
+      changed = !next.filter(col("cluster") =!= col("old")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"clusterNearDups did not converge in $maxIterations rounds; raise maxIterations")
     // singletons (no edge → label can never move) rejoin as their own

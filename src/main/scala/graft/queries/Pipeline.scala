@@ -724,7 +724,8 @@ object Pipeline {
     * reuses an independently-oracled operator; this query pins their
     * composition. */
   private def pipelineCurationV2: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // same map-side gate/rewrite spread as pipelineCuration
+    val docs = docsSpread(s, d)
     val gated = docs.join(
       Curation.gopherRules(docs, "doc_id", "text", minWords = 50)
         .filter(col("keep")).select("doc_id"), "doc_id")
@@ -1298,7 +1299,9 @@ object Pipeline {
     * an operator with its own oracle elsewhere; this query proves they
     * compose (one DuckDB CTE chain replays all four stages). */
   private def pipelineCuration: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // quality-score gate + fingerprints are map-side over the scan —
+    // spread the single-split local corpus first (ScaleOut scaladoc)
+    val docs = docsSpread(s, d)
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     val train = docs.filter(col("doc_id") % 97 =!= 0)
     val quality = train.filter(TA.qualityScore(col("text")) >= 0.5)

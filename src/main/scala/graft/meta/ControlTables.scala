@@ -26,11 +26,7 @@ object ControlTables {
   /** File inventory: one file per lineitem row.
     * Columns: path, size_bytes, etag, region (r_name), shipped_at, commit_seq. */
   def fileInventory(s: SparkSession, d: String): DataFrame = {
-    // the path-string construction below and every consumer's narrow
-    // filter legs are map-side over this scan; the local single-split
-    // lineitem file would serialize them (ScaleOut scaladoc)
-    val l = graft.operators.ScaleOut.forCompute(
-      Tables.lineitem(s, d), "l_orderkey", "l_linenumber")
+    val l = Tables.lineitem(s, d)
     val r = Tables.region(s, d)
     l.join(broadcast(r), l("l_suppkey") % 5 === r("r_regionkey"))
       .select(

@@ -407,11 +407,13 @@ object Dedup {
     // lineage every round, re-executing upstream exponentially.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     // semi-join against ids: an edge endpoint outside the id set never
-    // labeled, bridged, or emitted before this optimization — keep that
+    // labeled, bridged, or emitted before this optimization — keep that.
+    // NOT separately checkpointed (round-16): it materializes exactly
+    // once INSIDE the edges checkpoint below, and the initial labels are
+    // recovered from the self-loop rows — one eager job less per query.
     val touched = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
       .join(ids.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .localCheckpoint()
     // undirected edge list incl. self-loops so single-edge endpoints keep
     // their own candidacy in the min. Repartitioned by the join key
     // BEFORE the checkpoint (r15): the 3-way union otherwise checkpoints
@@ -427,8 +429,10 @@ object Dedup {
       .union(touched.select(col("id").as("src"), col("id").as("dst")))
       .repartition(col("dst"))
       .localCheckpoint()
-    // no checkpoint: a narrow projection of the checkpointed `touched`
-    var labels = touched.select(col("id"), col("id").as("cluster"))
+    // initial labels = the self-loop rows of the edges checkpoint (the
+    // touched set by construction) — a narrow filter, no extra job
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("cluster"))
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
@@ -437,10 +441,11 @@ object Dedup {
       // touched node's OWN label is in the min, so no separate
       // least(own, neighbors) join is needed; the same self-loop row
       // (dst == src) also carries the node's previous label out of the
-      // aggregate, so convergence detection below is a narrow filter
-      // over the round's checkpoint instead of a join against the
-      // previous labels (2 fewer joins per round than the r14 form —
-      // these rounds are tiny-data, so per-round job count IS the cost)
+      // aggregate, so convergence detection rides the SAME action that
+      // materializes the round (an `observe` metric on the checkpoint —
+      // round-16; the round-15 isEmpty probe was a second job per round,
+      // and these rounds are tiny-data, so per-round job count IS the
+      // cost)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -451,16 +456,17 @@ object Dedup {
       // O(log diameter) convergence, so a chain-shaped component longer
       // than maxIterations hops cannot silently split (one-hop-only
       // propagation needs O(diameter) rounds).
+      val obs = org.apache.spark.sql.Observation()
       val next = viaNeighbors.as("a")
         .join(viaNeighbors.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
               col("a.cluster") === col("b.cid"))
         .select(col("a.id").as("id"),
           least(col("a.cluster"), col("ccluster")).as("cluster"), col("a.old").as("old"))
+        .observe(obs,
+          coalesce(max(when(col("cluster") =!= col("old"), 1L).otherwise(0L)),
+            lit(0L)).as("moved"))
         .localCheckpoint()
-      // boolean convergence probe: only "did ANY label move" matters,
-      // so isEmpty (limit-1 over the round's checkpoint) short-circuits
-      // on the first changed row instead of counting them all
-      changed = !next.filter(col("cluster") =!= col("old")).isEmpty
+      changed = obs.get("moved").asInstanceOf[Long] == 1L
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }

@@ -40,44 +40,54 @@ object GraphOps {
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    // materialized once — every iteration's left join (and the initial
-    // count) reuses it instead of re-running the distinct shuffle
-    val ids = nodes.select(col("id")).distinct().localCheckpoint()
-    val n = ids.count().toDouble
-    require(n > 0, "empty vertex set")
-
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).cast("double").as("__deg"))
     // (src, dst, w = 1/outdeg) — materialized once, reused every round
+    // with its hash(src) join-output partitioning preserved by the
+    // checkpoint, so the per-round contribution join never re-shuffles it
     val e = edges.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("__deg")).as("w"))
       .localCheckpoint()
 
     // has-out-edge flag joined ONCE and carried through every round's
     // checkpoint (r15): the dangling-mass scalar then reads as a narrow
-    // filter-aggregate over the current checkpoint instead of a
-    // per-iteration anti-join job — same semantics (dangling = rank
-    // held by vertices absent from the src set), fewer wide ops per
-    // round on a loop whose cost is round latency, not rows.
-    val ids2 = ids
+    // filter-aggregate over the current checkpoint. Round-16: the vertex
+    // COUNT rides the same materialization as an `observe` metric — the
+    // separate ids checkpoint + count job of r15 are gone.
+    val nObs = org.apache.spark.sql.Observation()
+    val ids2 = nodes.select(col("id")).distinct()
       .join(deg.select(col("src").as("id"), lit(true).as("__has_out")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__has_out"), lit(false)).as("__has_out"))
+      .observe(nObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val n = nObs.get("n").asInstanceOf[Long].toDouble
+    require(n > 0, "empty vertex set")
 
-    var pr = ids2.withColumn("pr", round(lit(1.0 / n), 9)).localCheckpoint()
+    // each round's dangling mass (rank held by vertices with no
+    // out-edges — one scalar, redistributed uniformly, standard PageRank
+    // semantics) is an `observe` metric on the SAME action that
+    // materializes the iterate (round-16): the r15 form paid a separate
+    // 1-row aggregate job per iteration.
+    def checkpointWithDangling(df: DataFrame): (DataFrame, Double) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs,
+        coalesce(sum(when(!col("__has_out"), col("pr"))), lit(0.0)).as("d"))
+        .localCheckpoint()
+      (ck, obs.get("d").asInstanceOf[Double])
+    }
+    var (pr, dangling) =
+      checkpointWithDangling(ids2.withColumn("pr", round(lit(1.0 / n), 9)))
     for (_ <- 1 to iters) {
-      // dangling mass: rank held by vertices with no out-edges — one
-      // scalar, redistributed uniformly (standard PageRank semantics)
-      val dangling = pr.filter(!col("__has_out"))
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
       val contrib = e.join(pr, e("src") === pr("id"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("w")).as("__in"))
-      pr = ids2.join(contrib, ids2("id") === contrib("dst"), "left")
-        .select(ids2("id"), ids2("__has_out"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)),
-            9).as("pr"))
-        .localCheckpoint()
+      val d = dangling
+      val next = checkpointWithDangling(
+        ids2.join(contrib, ids2("id") === contrib("dst"), "left")
+          .select(ids2("id"), ids2("__has_out"),
+            round(lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(d / n)),
+              9).as("pr")))
+      pr = next._1; dangling = next._2
     }
     pr.select(col("id"), col("pr"))
   }
@@ -164,19 +174,27 @@ object GraphOps {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var nEdges = edges.count()
+    // the surviving-edge COUNT rides the round's materialization as an
+    // `observe` metric (round-16) — the r15 form paid a separate count
+    // job per peel round, and these rounds are tiny-data, so per-round
+    // job count IS the cost
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (edges, nEdges) = checkpointCounted(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val keep = degrees(edges).filter(col("deg") >= k)
         .select(col("id")).localCheckpoint()
-      val next = edges
+      val (next, n) = checkpointCounted(edges
         .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint()
-      val n = next.count()
+        .select(col("u"), col("v")))
       converged = n == nEdges // edges only ever shrink; equal count = no peel
       edges = next; nEdges = n; round += 1
     }

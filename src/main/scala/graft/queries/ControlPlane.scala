@@ -84,12 +84,16 @@ object ControlPlane {
 
   /** Y15 three-level replication plan.
     *
-    * The derived inventory feeds all four legs (src/dst/inv/stat); one
-    * `localCheckpoint` materializes the narrow projection once instead of
-    * re-deriving the lineitem⋈region scan per leg. At warehouse scale the
-    * inventory IS a table, so this models "share one scan", not caching. */
+    * The derived inventory feeds all four legs (src/dst/inv/stat) as a
+    * re-derived narrow parquet scan per leg (round-16): the round-15
+    * `localCheckpoint` materialized 600k ten-column rows (~125 MB of
+    * deserialized checkpoint blocks) and every leg's re-SCAN of that
+    * checkpoint measured 2-5× the cost of just recomputing the pruned
+    * columnar scan + path concat (~0.4 cpu-s). At warehouse scale the
+    * inventory IS a table and each leg is an independent pruned scan of
+    * it — exactly this shape. */
   private def replicationPlan: Q = (s, d) => {
-    val files = ControlTables.fileInventory(s, d).localCheckpoint()
+    val files = ControlTables.fileInventory(s, d)
     val src = files.select("path", "size_bytes", "etag")
     val dst = files.filter(col("shipped_at") < lit("1995-06-01"))
     val inv = files.filter(col("shipped_at") < lit("1996-06-01") && col("l_returnflag") =!= "R")
@@ -105,7 +109,9 @@ object ControlPlane {
     * resolved against the real inventory, so the output is provably
     * identical to the exact plan — same oracle. */
   private def replicationPlanBloom: Q = (s, d) => {
-    val files = ControlTables.fileInventory(s, d).localCheckpoint()
+    // same re-derive-per-leg shape as replicationPlan (round-16): the
+    // checkpoint cost more than the scans it saved
+    val files = ControlTables.fileInventory(s, d)
     val src = files.select("path", "size_bytes", "etag")
     val dst = files.filter(col("shipped_at") < lit("1995-06-01"))
     val inv = files.filter(col("shipped_at") < lit("1996-06-01") && col("l_returnflag") =!= "R")
@@ -173,14 +179,22 @@ object ControlPlane {
 
   // ======================= §2.7 GC / reconciliation =======================
 
-  /** G2 produce_gc_candidates: unreachable = all − reachable. */
+  /** G2 produce_gc_candidates: unreachable = all − reachable.
+    *
+    * Reachability is COMMIT-keyed here (a file is reachable iff its
+    * commit_seq has a live order), so the set difference anti-joins on
+    * the compact long key instead of first materializing the reachable
+    * PATH strings via a files⋈orders join and then shuffling ~40-byte
+    * paths on both sides (guide §2.3: shuffle keys, not payloads).
+    * Row-identical by construction — each file's membership in the
+    * round-15 reachable path set was decided exactly by its own
+    * commit_seq (paths are collision-free per row) — and the oracle
+    * re-proves it. */
   private def gcCandidates: Q = (s, d) => {
     val files = ControlTables.fileInventory(s, d)
-    val reachable = files.join(
-        Tables.orders(s, d).filter(col("o_orderstatus") =!= "F"),
-        files("commit_seq") === col("o_orderkey"))
-      .select("path")
-    GcPlanner.candidates(files, reachable, Seq("path"), "shipped_at", 7)
+    val reachable = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("commit_seq"))
+    GcPlanner.candidates(files, reachable, Seq("commit_seq"), "shipped_at", 7)
       .select(col("path"), col("delete_after")).orderBy(col("path"))
   }
 
@@ -196,14 +210,14 @@ object ControlPlane {
       .orderBy(col("path"))
   }
 
-  /** G4 delete guard chain: safety window + consistency waterline. */
+  /** G4 delete guard chain: safety window + consistency waterline.
+    * Same commit-keyed reachability anti-join as [[gcCandidates]]
+    * (guide §2.3) — row-identical, oracle-proven. */
   private def gcDeleteGuard: Q = (s, d) => {
     val files = ControlTables.fileInventory(s, d)
-    val reachable = files.join(
-        Tables.orders(s, d).filter(col("o_orderstatus") =!= "F"),
-        files("commit_seq") === col("o_orderkey"))
-      .select("path")
-    val cands = GcPlanner.candidates(files, reachable, Seq("path"), "shipped_at", 7)
+    val reachable = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey").as("commit_seq"))
+    val cands = GcPlanner.candidates(files, reachable, Seq("commit_seq"), "shipped_at", 7)
       .withColumn("watermark",
         when(col("region").isin("ASIA", "AMERICA"), lit("1996-06-01").cast("timestamp")))
     GcPlanner.deleteGuard(cands, lit("1997-01-01").cast("timestamp"),

@@ -103,11 +103,13 @@ object Pipeline {
     * the join condition rebuilds both arrays per pair (O(pairs·len))
     * instead of per doc (O(docs·len)). */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    // spread before the char-3-gram projection AND the pair scoring:
-    // the brute pair join streams over these partitions, so a
-    // single-split scan would score all pairs in one task
-    val g = graft.operators.ScaleOut.forCompute(
-        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id")
+    // NO spread (round-16, reverting round-15): the input is BOUNDED —
+    // 100 docs by declaration — so the pair stage is ≤ 100·99/2 jaccard
+    // evaluations (~10 ms single-core), while the round-15 32-way
+    // repartition added an exchange + 32-task stages to the five queries
+    // built on this graph (triangles, pagerank, cluster keepers,
+    // leakage split) whose cost is pure scheduling at any scale
+    val g = Tables.documents(s, d).filter(col("doc_id") < 100)
       .select(col("doc_id"), Dedup.charNgrams(col("text"), 3).as("grams"))
     val a = g.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val b = g.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))

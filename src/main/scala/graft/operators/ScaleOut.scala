@@ -39,12 +39,19 @@ import org.apache.spark.sql.functions.col
   */
 object ScaleOut {
 
+  /** Default per-task byte budget; env-overridable
+    * (SPARK_GRAFT_SCALEOUT_BPT) so deployments can match it to their
+    * cores' measured throughput — and so optimization rounds can A/B the
+    * whole suite without a rebuild. Local default: 16 KB (see scaladoc). */
+  private val defaultBytesPerTask: Long =
+    sys.env.get("SPARK_GRAFT_SCALEOUT_BPT").map(_.toLong).getOrElse(16L * 1024)
+
   /** `df` hash-repartitioned on `keys` (round-robin when empty) to
     * min(session default parallelism, data-sized width), iff its current
     * scan parallelism is below that. Row set and per-row values are
     * unchanged — only the physical distribution moves. */
   def forCompute(df: DataFrame, keys: String*): DataFrame =
-    forComputeSized(df, bytesPerTask = 16L * 1024, keys: _*)
+    forComputeSized(df, bytesPerTask = defaultBytesPerTask, keys: _*)
 
   /** [[forCompute]] with an explicit per-task byte budget — callers whose
     * per-row work is cheap relative to hashing/decoding pass a larger

@@ -140,10 +140,12 @@ object GraphOps {
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
       .join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
       .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
-      .localCheckpoint()
-    val perNode = tri.select(col("a").as("id"))
-      .unionAll(tri.select(col("b").as("id")))
-      .unionAll(tri.select(col("c").as("id")))
+    // each triangle credits its three corners: ONE pass over the closure
+    // join via explode (round-16) — the previous union of three selects
+    // over a localCheckpoint'ed triangle table paid a materialization job
+    // plus three scans for the same multiset of ids
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
     nodes.select(col(idCol).as("id")).join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
